@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.queries.QuerySpec
+
+/** Joins Spark lacks as first-class operators, composed from built-ins
+  * (SURVEY.md §2.C "range & as-of"): preference (a) of the custom-operator
+  * ladder — no planner surgery needed, Catalyst still optimizes the parts.
+  *
+  * Scale notes:
+  *  - As-of join: the naive formulation is an inequality join (quadratic per
+  *    key). The composition below instead unions both sides, sorts once per
+  *    key by the time axis (one shuffle on user_id), and carries the last
+  *    build-side row forward with `last(..., ignoreNulls)` — O(n log n) per
+  *    key, the same trick a dedicated as-of operator would run.
+  *  - Range join: the band table is tiny → broadcast nested-loop is the
+  *    right physical plan, and it is what Catalyst picks.
+  */
+object AdvancedJoins {
+
+  /** For each probe-side row, attach the most recent build-side row of the
+    * same key with ordKey ≤ probe's ordKey. Sort-based, one shuffle.
+    */
+  def asOfJoin(probe: DataFrame, build: DataFrame, key: String, ord: String,
+               buildVal: String): DataFrame = {
+    val p = probe
+      .withColumn("__is_probe", lit(1))
+      .withColumn(buildVal, lit(null).cast(build.schema(buildVal).dataType))
+    val b = build.select(col(key), col(ord), col(buildVal))
+      .withColumn("__is_probe", lit(0))
+    val all = p.unionByName(b, allowMissingColumns = true)
+    // probe rows sort after build rows at equal ord (as-of ≤ semantics)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ord), col("__is_probe"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    all
+      .withColumn("__asof",
+        last(when(col("__is_probe") === 0, col(buildVal)), ignoreNulls = true).over(w))
+      .filter(col("__is_probe") === 1)
+      .drop("__is_probe", buildVal)
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- as-of join: latest click (by event_id order) at or before each purchase
+    QuerySpec(
+      "q60_asof_join",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.events(s, d)
+        val purchases = e.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id", $"value")
+        val clicks = e.filter($"event_type" === "click")
+          .select($"user_id", $"event_id", $"event_id".as("click_event_id"))
+        asOfJoin(purchases, clicks, "user_id", "event_id", "click_event_id")
+          .select($"user_id", $"event_id", $"value",
+            col("__asof").as("last_click_event_id"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""
+        SELECT p.user_id, p.event_id, p.value,
+               (SELECT MAX(c.event_id) FROM events c
+                WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                  AND c.event_id <= p.event_id) AS last_click_event_id
+        FROM events p
+        WHERE p.event_type = 'purchase'
+        ORDER BY p.user_id, p.event_id""")),
+
+    // ---- range (band) join: quantity bands × lineitem
+    QuerySpec(
+      "q61_range_join",
+      (s, d) => {
+        import s.implicits._
+        val bands = s.createDataFrame(Seq(
+          ("small", 0.0, 10.0), ("medium", 10.0, 25.0), ("large", 25.0, 51.0)))
+          .toDF("band", "lo", "hi")
+        Tables.lineitem(s, d)
+          .join(broadcast(bands), $"l_quantity" >= $"lo" && $"l_quantity" < $"hi")
+          .groupBy($"band")
+          .agg(count(lit(1)).as("n_items"),
+               sum($"l_quantity".cast("decimal(18,4)")).cast("double").as("sum_qty"))
+          .orderBy($"band")
+      },
+      Some("""
+        SELECT band, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        JOIN (VALUES ('small', 0.0, 10.0), ('medium', 10.0, 25.0), ('large', 25.0, 51.0))
+             AS bands(band, lo, hi)
+          ON l_quantity >= lo AND l_quantity < hi
+        GROUP BY band
+        ORDER BY band"""))
+  )
+}

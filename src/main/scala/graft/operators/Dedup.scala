@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.queries.QuerySpec
+
+/** Deduplication operators for a training-data pipeline (north star).
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup is a hash `groupBy` on a content digest — one shuffle on
+  *    the digest, never on the full text (`xxhash64(text)` travels, the
+  *    document body does not need to).
+  *  - Near-dup candidate generation is MinHash + LSH banding: shuffle key is
+  *    the (band_id, band_hash) bucket, so each comparison group is tiny and
+  *    the O(n²) all-pairs comparison is avoided. Exact Jaccard verification
+  *    then runs only inside candidate buckets.
+  *  - The exact token-Jaccard pair join (used as the correctness oracle) is
+  *    an inverted-index self-join on rare tokens — the scalable exact
+  *    formulation — not a cross join.
+  *  - SimHash is a 64-bit fingerprint; near-dups are found by hamming
+  *    distance over rotated-band buckets, same bucketing idea as LSH.
+  */
+object Dedup {
+
+  /** Distinct whitespace tokens per doc. */
+  private def tokenSet(text: Column): Column = array_distinct(split(text, " "))
+
+  // ---------------------------------------------------------------------
+  // Exact dedup
+
+  /** Keep the lowest doc_id per exact text digest. */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col(textCol)), col(textCol)).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---------------------------------------------------------------------
+  // Exact n-gram (token-set) Jaccard via inverted-index self-join
+
+  /** All pairs (a < b) with token-set Jaccard ≥ threshold. Exact, but
+    * scalable: pairs are generated only for docs sharing ≥1 token (inverted
+    * index), and the per-pair intersection size comes from the join group
+    * count — no per-pair array intersection.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
+    val sizes = docs.select(col("doc_id"), size(tokenSet(col("text"))).as("n_tok"))
+    val a = toks.as("a")
+    val b = toks.as("b")
+    a.join(b, col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_tok", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_tok", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // ---------------------------------------------------------------------
+  // MinHash + LSH banding
+
+  /** 64 minhash signatures via xxhash64(tok, seed); banded into 16 bands of
+    * 4 rows. Candidate pairs share ≥1 band; exact Jaccard verifies.
+    */
+  def minhashSignature(text: Column, nHashes: Int): Column = {
+    val toks = tokenSet(text)
+    array((0 until nHashes).map { seed =>
+      array_min(transform(toks, t => xxhash64(lit(seed), t)))
+    }: _*)
+  }
+
+  /** Near-dup candidate pairs from LSH bucketing, verified by the MinHash
+    * Jaccard estimate (share of equal signature components). Returns
+    * (doc_a, doc_b, est_jaccard) for pairs ≥ threshold.
+    *
+    * Scale notes: only (doc_id, band, bucket) travels through the
+    * candidate self-join — never text. Signatures rejoin by doc_id
+    * afterwards. `maxBucketSize` is the standard LSH skew guard: a bucket
+    * holding half the corpus generates O(n²) candidates and is useless for
+    * dedup anyway, so degenerate buckets are dropped (logged cap — at
+    * 100 TB this is the difference between a bounded join and a meltdown).
+    */
+  def minhashLsh(docs: DataFrame, threshold: Double, nHashes: Int = 64,
+                 bands: Int = 16, maxBucketSize: Int = 64): DataFrame = {
+    val rows = nHashes / bands
+    val sigs = docs.select(col("doc_id"),
+      minhashSignature(col("text"), nHashes).as("sig"))
+    // one row per (doc, band): bucket key = hash of the band's slice
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(lit(b) +: (0 until rows).map(r => col("sig")(b * rows + r)): _*)
+      }: _*)).as(Seq("band", "bucket")))
+    val bucketed = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val l = bucketed.as("l")
+    val r = bucketed.as("r")
+    val candidates = l.join(r,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // verify via the signature estimate — signatures rejoin by id, text never shuffles
+    val estJaccard = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / nHashes
+    candidates
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard", estJaccard)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
+  // ---------------------------------------------------------------------
+  // SimHash (64-bit, token-level)
+
+  /** 64-bit SimHash over the token set: sign-sum of each token's xxhash64
+    * bits. Pure column expressions — codegen'd, no UDF.
+    */
+  def simhash(text: Column): Column = {
+    val toks = tokenSet(text)
+    val bitSums = (0 until 64).map { bit =>
+      // +1 when bit set, -1 otherwise, summed across tokens
+      aggregate(toks, lit(0),
+        (acc, t) => acc + when(shiftright(xxhash64(t), bit).bitwiseAND(1) === 1, 1).otherwise(-1))
+    }
+    (0 until 64).foldLeft(lit(0L)) { (acc, bit) =>
+      acc.bitwiseOR(when(bitSums(bit) > 0, shiftleft(lit(1L), bit)).otherwise(0L))
+    }
+  }
+
+  /** Pairs within the given hamming distance of simhash fingerprints,
+    * candidate-generated by 4 16-bit bands (any pair within distance ≤3
+    * shares at least one exact band).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col("doc_id"), simhash(col("text")).as("sh"))
+    val banded = sigs.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "bucket")))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  // ---------------------------------------------------------------------
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec(
+      "q30_dedup_exact",
+      (s, d) => {
+        import s.implicits._
+        exact(Tables.documents(s, d))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_unique_docs"), sum($"n_chars").as("sum_chars"))
+          .orderBy($"lang")
+      },
+      Some("""
+        SELECT lang, COUNT(*) AS n_unique_docs, SUM(n_chars) AS sum_chars
+        FROM (
+          SELECT lang, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          FROM documents)
+        WHERE rn = 1
+        GROUP BY lang
+        ORDER BY lang""")),
+
+    QuerySpec(
+      "q31_jaccard_pairs",
+      (s, d) => jaccardPairs(Tables.documents(s, d), 0.5)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some("""
+        WITH toksets AS (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+          FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+        FROM toksets a JOIN toksets b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks)) > 0
+          AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+        ORDER BY doc_a, doc_b""")),
+
+    // MinHash-LSH and SimHash use engine-specific hash fns → rows-only check.
+    QuerySpec(
+      "q32_minhash_lsh",
+      (s, d) => minhashLsh(Tables.documents(s, d), 0.5)
+        .orderBy(col("doc_a"), col("doc_b")),
+      None),
+
+    QuerySpec(
+      "q33_simhash",
+      (s, d) => simhashPairs(Tables.documents(s, d), 16)
+        .orderBy(col("doc_a"), col("doc_b")),
+      None)
+  )
+}

