@@ -131,7 +131,11 @@ final class RocksDbSessionBackend(
         } else {
           unzipTo(new Path(basePath, snapshotFileName(v)), workDir)
         }
-        // prove loadability before declaring victory
+        // prove loadability before declaring victory: a corrupt archive can
+        // unzip to nothing, and RocksDB would happily create a fresh empty
+        // DB there — require a real manifest, then open it
+        require(Files.exists(workDir.resolve("CURRENT")),
+          s"snapshot $v has no RocksDB manifest")
         val db = RocksDB.open(newOptions(), workDir.toString)
         db.close()
         v

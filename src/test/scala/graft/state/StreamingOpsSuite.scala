@@ -1,0 +1,211 @@
+package graft.state
+
+import java.nio.file.Files
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The full §2.B streaming-operator surface (SURVEY.md) running on our
+  * providers: stream-stream join, flatMapGroupsWithState, session windows,
+  * streaming global limit, dropDuplicatesWithinWatermark. Each operator
+  * routes all its keyed state through the provider under test — these are
+  * the capability checks that the SPI implementation is actually complete
+  * (column families, multiple stores per operator, watermark-driven
+  * eviction).
+  */
+object StreamingOpsFns extends Serializable {
+  def explodeCounts(id: Int, rows: Iterator[(Int, String)],
+                    state: GroupState[Int]): Iterator[(Int, Int)] = {
+    val total = state.getOption.getOrElse(0) + rows.size
+    state.update(total)
+    Iterator.single((id, total))
+  }
+}
+
+abstract class StreamingOpsSuiteBase extends AnyFunSuite with BeforeAndAfterAll {
+
+  def providerClass: String
+  def suiteName: String
+
+  @transient protected var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName(s"graft-ops-$suiteName")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass", providerClass)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ckpt(tag: String): String =
+    Files.createTempDirectory(s"graft-ops-$suiteName-$tag").toString
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test(s"$suiteName: stream-stream inner join with watermarks") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val clicks = MemoryStream[(java.sql.Timestamp, Int, String)]
+    val imps = MemoryStream[(java.sql.Timestamp, Int, String)]
+
+    val clickDf = clicks.toDF().toDF("click_ts", "ad", "click_info")
+      .withWatermark("click_ts", "10 seconds")
+    val impDf = imps.toDF().toDF("imp_ts", "ad", "imp_info")
+      .withWatermark("imp_ts", "10 seconds")
+
+    val query = impDf.as("i").join(clickDf.as("c"),
+        expr("i.ad = c.ad AND c.click_ts >= i.imp_ts AND c.click_ts <= i.imp_ts + interval 30 seconds"))
+      .select($"i.ad", $"i.imp_info", $"c.click_info")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(s"ssjoin_$suiteName")
+      .option("checkpointLocation", ckpt("ssjoin"))
+      .start()
+
+    imps.addData((ts("2024-01-01 00:00:00"), 1, "imp1"), (ts("2024-01-01 00:00:05"), 2, "imp2"))
+    query.processAllAvailable()
+    clicks.addData((ts("2024-01-01 00:00:10"), 1, "click1"),
+                   (ts("2024-01-01 00:02:00"), 2, "late-click"))
+    query.processAllAvailable()
+
+    val rows = spark.sql(s"select ad, imp_info, click_info from ssjoin_$suiteName")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    // ad 1 joins within 30s; ad 2's click is outside the interval
+    assert(rows === Set((1, "imp1", "click1")))
+    query.stop()
+  }
+
+  test(s"$suiteName: flatMapGroupsWithState emits per-group updates") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Int, String)]
+    val counts = input.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        StreamingOpsFns.explodeCounts)
+
+    val query = counts.toDF("id", "n").writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName(s"fmgws_$suiteName")
+      .option("checkpointLocation", ckpt("fmgws"))
+      .start()
+
+    input.addData((1, "a"), (1, "b"), (2, "c"))
+    query.processAllAvailable()
+    input.addData((1, "d"), (3, "e"))
+    query.processAllAvailable()
+
+    val byId = spark.sql(s"select id, max(n) from fmgws_$suiteName group by id")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(byId === Map(1 -> 3, 2 -> 1, 3 -> 1))
+    query.stop()
+  }
+
+  test(s"$suiteName: session window aggregation") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val sessions = input.toDF().toDF("ts", "user")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(session_window($"ts", "30 seconds"), $"user")
+      .agg(count(lit(1)).as("n_events"))
+
+    val query = sessions
+      .select($"user", $"n_events",
+        $"session_window.start".cast("long").as("start_s"),
+        $"session_window.end".cast("long").as("end_s"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(s"sess_$suiteName")
+      .option("checkpointLocation", ckpt("sess"))
+      .start()
+
+    // two bursts for u1 separated by > 30s gap → two sessions
+    input.addData((ts("2024-01-01 00:00:00"), "u1"), (ts("2024-01-01 00:00:10"), "u1"),
+                  (ts("2024-01-01 00:00:05"), "u2"))
+    query.processAllAvailable()
+    input.addData((ts("2024-01-01 00:05:00"), "u1"))
+    query.processAllAvailable()
+
+    val rows = spark.sql(s"select user, n_events from sess_$suiteName order by user, n_events")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(rows === List(("u1", 1L), ("u1", 2L), ("u2", 1L)))
+    query.stop()
+  }
+
+  test(s"$suiteName: streaming global limit keeps state across batches") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Int]
+    val query = input.toDF().limit(4)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(s"lim_$suiteName")
+      .option("checkpointLocation", ckpt("lim"))
+      .start()
+
+    input.addData(1, 2, 3)
+    query.processAllAvailable()
+    input.addData(4, 5, 6) // only one more should pass the global limit
+    query.processAllAvailable()
+
+    val n = spark.sql(s"select count(*) from lim_$suiteName").collect().head.getLong(0)
+    assert(n === 4L)
+    query.stop()
+  }
+
+  test(s"$suiteName: dropDuplicatesWithinWatermark evicts expired dedup state") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val deduped = input.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "5 seconds")
+      .dropDuplicatesWithinWatermark("event_id")
+
+    val query = deduped.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(s"ddww_$suiteName")
+      .option("checkpointLocation", ckpt("ddww"))
+      .start()
+
+    input.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:00:01"), 1L))
+    query.processAllAvailable()
+    // advance watermark far past the dedup window, then repeat id 1
+    input.addData((ts("2024-01-01 00:10:00"), 2L))
+    query.processAllAvailable()
+    input.addData((ts("2024-01-01 00:10:01"), 1L))
+    query.processAllAvailable()
+
+    val n = spark.sql(s"select count(*) from ddww_$suiteName").collect().head.getLong(0)
+    // id1 (first), id2, id1-again (state evicted by watermark) = 3
+    assert(n === 3L)
+    query.stop()
+  }
+}
+
+class InMemoryStreamingOpsSuite extends StreamingOpsSuiteBase {
+  override def providerClass: String = classOf[InMemoryStateStoreProvider].getName
+  override def suiteName = "inmemory"
+}
+
+class RocksDbStreamingOpsSuite extends StreamingOpsSuiteBase {
+  override def providerClass: String = classOf[RocksDbStateStoreProvider].getName
+  override def suiteName = "rocksdb"
+}

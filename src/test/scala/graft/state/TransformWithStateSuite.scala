@@ -1,0 +1,152 @@
+package graft.state
+
+import java.nio.file.Files
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming._
+
+/** transformWithState (Spark 4 arbitrary-state v2 — the modern home of the
+  * reference's TTL feature, SURVEY.md §1.4) on our providers. Exercises
+  * the Spark 4 SPI surface the reference predates: column families
+  * (one per state variable + internal metadata/timer families), ListState
+  * (multi-value merge + valuesIterator), MapState (prefix scan), and
+  * native TTLConfig.
+  */
+class CountAndRecentProcessor extends StatefulProcessor[Int, (Int, String), (Int, Int, String)] {
+  @transient private var count: ValueState[Int] = _
+  @transient private var recent: ListState[String] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    count = getHandle.getValueState[Int]("count", Encoders.scalaInt, TTLConfig.NONE)
+    recent = getHandle.getListState[String]("recent", Encoders.STRING, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Int, rows: Iterator[(Int, String)],
+                               timerValues: TimerValues): Iterator[(Int, Int, String)] = {
+    val items = rows.map(_._2).toSeq
+    val newCount = (if (count.exists()) count.get() else 0) + items.size
+    count.update(newCount)
+    items.foreach(recent.appendValue)
+    val all = recent.get().mkString(",")
+    Iterator.single((key, newCount, all))
+  }
+}
+
+/** MapState routes through prefixScan (composite user key = grouping key +
+  * map key with a PrefixKeyScanStateEncoderSpec column family). */
+class PerCategoryCounter extends StatefulProcessor[Int, (Int, String), (Int, String, Long)] {
+  @transient private var perCat: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    perCat = getHandle.getMapState[String, Long]("perCat",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Int, rows: Iterator[(Int, String)],
+                               timerValues: TimerValues): Iterator[(Int, String, Long)] = {
+    rows.foreach { case (_, cat) =>
+      val cur = if (perCat.containsKey(cat)) perCat.getValue(cat) else 0L
+      perCat.updateValue(cat, cur + 1)
+    }
+    // full-map read exercises the prefix scan over this grouping key
+    perCat.iterator().map { case (cat, n) => (key, cat, n) }
+  }
+}
+
+abstract class TransformWithStateSuiteBase extends AnyFunSuite with BeforeAndAfterAll {
+
+  def providerClass: String
+  def suiteName: String
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName(s"graft-tws-$suiteName")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass", providerClass)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test(s"$suiteName: transformWithState with ValueState + ListState across batches") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Int, String)]
+    val out = input.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new CountAndRecentProcessor,
+        TimeMode.None(), OutputMode.Update())
+
+    val query = out.toDF("id", "n", "items").writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName(s"tws_$suiteName")
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft-tws-$suiteName").toString)
+      .start()
+
+    input.addData((1, "a"), (1, "b"), (2, "x"))
+    query.processAllAvailable()
+    input.addData((1, "c"), (2, "y"))
+    query.processAllAvailable()
+
+    val latest = spark.sql(
+      s"select id, max(n), max(items) from tws_$suiteName group by id")
+      .collect().map(r => r.getInt(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(latest(1)._1 === 3)
+    assert(latest(1)._2 === "a,b,c")
+    assert(latest(2)._1 === 2)
+    assert(latest(2)._2 === "x,y")
+    query.stop()
+  }
+
+  test(s"$suiteName: transformWithState MapState (prefix-scanned composite keys)") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Int, String)]
+    val out = input.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new PerCategoryCounter,
+        TimeMode.None(), OutputMode.Update())
+
+    val query = out.toDF("id", "cat", "n").writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName(s"twsmap_$suiteName")
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft-twsmap-$suiteName").toString)
+      .start()
+
+    input.addData((1, "a"), (1, "a"), (1, "b"), (2, "a"))
+    query.processAllAvailable()
+    input.addData((1, "a"), (2, "c"))
+    query.processAllAvailable()
+
+    val latest = spark.sql(
+      s"select id, cat, max(n) from twsmap_$suiteName group by id, cat")
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(latest === Map((1, "a") -> 3L, (1, "b") -> 1L, (2, "a") -> 1L, (2, "c") -> 1L))
+    query.stop()
+  }
+}
+
+class InMemoryTransformWithStateSuite extends TransformWithStateSuiteBase {
+  override def providerClass: String = classOf[InMemoryStateStoreProvider].getName
+  override def suiteName = "inmemory"
+}
+
+class RocksDbTransformWithStateSuite extends TransformWithStateSuiteBase {
+  override def providerClass: String = classOf[RocksDbStateStoreProvider].getName
+  override def suiteName = "rocksdb"
+}
