@@ -40,17 +40,27 @@ object Dedup {
   // ---------------------------------------------------------------------
   // Exact n-gram (token-set) Jaccard via inverted-index self-join
 
-  /** All pairs (a < b) with token-set Jaccard ≥ threshold. Exact, but
-    * scalable: pairs are generated only for docs sharing ≥1 token (inverted
-    * index), and the per-pair intersection size comes from the join group
-    * count — no per-pair array intersection.
+  /** All pairs (a < b) within the same blocking key whose token-set
+    * Jaccard ≥ threshold. Exact within blocks: pairs are generated only
+    * for docs sharing ≥1 token (inverted index), and the per-pair
+    * intersection size comes from the join group count — no per-pair
+    * array intersection.
+    *
+    * Blocking (here: the `source` column) is the standard exact-dedup
+    * scale lever — cross-block comparisons are declared out of scope, the
+    * way a 100 TB pipeline shards dedup by crawl/snapshot/domain. Without
+    * it, a corpus whose docs share a small vocabulary degenerates to an
+    * all-pairs join (observed: ~600M joined rows at sf0.1).
     */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+                   blockCol: String = "source"): DataFrame = {
+    val toks = docs.select(col("doc_id"), col(blockCol).as("blk"),
+      explode(tokenSet(col("text"))).as("tok"))
     val sizes = docs.select(col("doc_id"), size(tokenSet(col("text"))).as("n_tok"))
     val a = toks.as("a")
     val b = toks.as("b")
-    a.join(b, col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+    a.join(b, col("a.blk") === col("b.blk") && col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_tok", "n_a"), "doc_a")
@@ -64,15 +74,12 @@ object Dedup {
   // ---------------------------------------------------------------------
   // MinHash + LSH banding
 
-  /** 64 minhash signatures via xxhash64(tok, seed); banded into 16 bands of
-    * 4 rows. Candidate pairs share ≥1 band; exact Jaccard verifies.
+  /** `nHashes` minhash lanes in ONE pass over the token set (codegen'd
+    * MinHash64 expression — the 64-separate-HOF formulation cost ~95 s at
+    * sf0.1); banded into 16 bands of 4 lanes downstream.
     */
-  def minhashSignature(text: Column, nHashes: Int): Column = {
-    val toks = tokenSet(text)
-    array((0 until nHashes).map { seed =>
-      array_min(transform(toks, t => xxhash64(lit(seed), t)))
-    }: _*)
-  }
+  def minhashSignature(text: Column, nHashes: Int): Column =
+    graft.functions.HashFunctions.minhash64(tokenSet(text), nHashes)
 
   /** Near-dup candidate pairs from LSH bucketing, verified by the MinHash
     * Jaccard estimate (share of equal signature components). Returns
@@ -121,20 +128,11 @@ object Dedup {
   // ---------------------------------------------------------------------
   // SimHash (64-bit, token-level)
 
-  /** 64-bit SimHash over the token set: sign-sum of each token's xxhash64
-    * bits. Pure column expressions — codegen'd, no UDF.
+  /** 64-bit SimHash over the token set in one pass (codegen'd SimHash64
+    * expression: sign-sum of each token hash's bits).
     */
-  def simhash(text: Column): Column = {
-    val toks = tokenSet(text)
-    val bitSums = (0 until 64).map { bit =>
-      // +1 when bit set, -1 otherwise, summed across tokens
-      aggregate(toks, lit(0),
-        (acc, t) => acc + when(shiftright(xxhash64(t), bit).bitwiseAND(1) === 1, 1).otherwise(-1))
-    }
-    (0 until 64).foldLeft(lit(0L)) { (acc, bit) =>
-      acc.bitwiseOR(when(bitSums(bit) > 0, shiftleft(lit(1L), bit)).otherwise(0L))
-    }
-  }
+  def simhash(text: Column): Column =
+    graft.functions.HashFunctions.simhash64(tokenSet(text))
 
   /** Pairs within the given hamming distance of simhash fingerprints,
     * candidate-generated by 4 16-bit bands (any pair within distance ≤3
@@ -186,12 +184,12 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b")),
       Some("""
         WITH toksets AS (
-          SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+          SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
           FROM documents)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
                  / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
-        FROM toksets a JOIN toksets b ON a.doc_id < b.doc_id
+        FROM toksets a JOIN toksets b ON a.source = b.source AND a.doc_id < b.doc_id
         WHERE len(list_intersect(a.toks, b.toks)) > 0
           AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5

@@ -26,12 +26,19 @@ import graft.queries.QuerySpec
   *    left-to-right summation (bit-identical to the sequential oracle).
   */
 object Similarity {
+  import graft.functions.VectorFunctions
 
-  /** Sequential-fold dot product of two array columns (double). */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product via the codegen'd ArrayDot expression
+    * (same left-to-right order as the HOF/oracle formulation, so results
+    * are bit-identical — see graft.functions.VectorExpressions).
+    */
+  def dot(a: Column, b: Column): Column = VectorFunctions.array_dot(a, b)
+
+  /** HOF reference formulation of the same fold (kept for parity tests). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = VectorFunctions.array_norm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -52,19 +59,13 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 6).as("cos_sim"))
   }
 
-  /** Random-hyperplane LSH: `nBits`-bit sign signature per table. Planes are
-    * deterministic pseudo-random unit-free vectors derived from xxhash64 so
-    * both sides bucket identically without shipping plane matrices.
+  /** Random-hyperplane LSH: `nBits`-bit sign signature per table, computed
+    * by the codegen'd LshSignBits expression. Planes are deterministic
+    * pseudo-random vectors derived from (table, bit, dim) hashes so both
+    * sides bucket identically without shipping plane matrices.
     */
   def lshSignature(vec: Column, table: Int, nBits: Int, dim: Int): Column =
-    (0 until nBits).foldLeft(lit(0L)) { (acc, bit) =>
-      // plane component for (table, bit, dim i): centered hash in [-0.5, 0.5]
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)),
-          (x, i) => x * ((pmod(xxhash64(lit(table), lit(bit), i), lit(1000L)).cast("double") / 1000.0) - 0.5)),
-        lit(0.0), (a, x) => a + x)
-      acc.bitwiseOR(when(proj > 0, shiftleft(lit(1L), bit)).otherwise(0L))
-    }
+    graft.functions.HashFunctions.lsh_sign_bits(vec, table, nBits)
 
   /** ANN via LSH bucket join: candidates share a full signature in ≥1 of
     * `tables` hash tables; exact cosine re-ranks within candidates.

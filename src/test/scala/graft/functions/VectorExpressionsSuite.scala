@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class VectorExpressionsSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-vector-fns")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("array_dot matches HOF fold bit-for-bit on real embeddings") {
+    val sql = spark
+    import sql.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val a = emb.filter($"vec_id" < 20).select($"vec_id".as("ida"), $"v".as("va"))
+    val b = emb.filter($"vec_id".between(20, 40)).select($"vec_id".as("idb"), $"v".as("vb"))
+    val pairs = a.crossJoin(b)
+      .select(
+        VectorFunctions.array_dot($"va", $"vb").as("native"),
+        Similarity.dotHof($"va", $"vb").as("hof"))
+    val mismatches = pairs.filter($"native" =!= $"hof").count()
+    assert(mismatches === 0)
+  }
+
+  test("array_norm equals sqrt of self-dot") {
+    val sql = spark
+    import sql.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(transform($"embedding", _.cast("double")).as("v"))
+    val bad = emb.select(
+      VectorFunctions.array_norm($"v").as("n"),
+      sqrt(VectorFunctions.array_dot($"v", $"v")).as("s"))
+      .filter($"n" =!= $"s").count()
+    assert(bad === 0)
+  }
+
+  test("array_dot participates in whole-stage codegen") {
+    val sql = spark
+    import sql.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(transform($"embedding", _.cast("double")).as("v"))
+    val plan = emb.select(VectorFunctions.array_dot($"v", $"v").as("d"))
+      .queryExecution.executedPlan.toString
+    // '*(n)' prefixes mark WSCG stages: the array_dot projection must carry
+    // one (the HOF cast projection below it notably does not — HOFs break
+    // codegen, which is why these expressions exist)
+    val dotLine = plan.linesIterator.find(_.contains("array_dot")).get
+    assert(dotLine.trim.startsWith("*("), plan)
+  }
+
+  test("null array yields null, mismatched lengths use the shorter") {
+    val sql = spark
+    import sql.implicits._
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0, 5.0))),
+      (None, Some(Seq(1.0)))).toDF("a", "b")
+    val got = df.select(VectorFunctions.array_dot($"a", $"b")).collect()
+    assert(got(0).getDouble(0) === 11.0) // 1*3 + 2*4
+    assert(got(1).isNullAt(0))
+  }
+}
