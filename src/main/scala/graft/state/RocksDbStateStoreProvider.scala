@@ -11,7 +11,7 @@ import scala.util.Try
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.internal.Logging
-import org.rocksdb.{CompactionStyle, CompressionType, Options, RocksDB, TtlDB}
+import org.rocksdb.{Checkpoint, CompactionStyle, CompressionType, Options, RocksDB, TtlDB}
 
 /** RocksDB-backed versioned KV backend — the parity flagship. Re-expresses
   * the reference's storage design (reference
@@ -124,10 +124,10 @@ final class RocksDbSessionBackend(
         clearDir(workDir)
         val local = localSnapshots.get(v)
         if (local != null && Files.exists(local)) {
-          // same-executor fast path: adopt the local snapshot dir wholesale
-          localSnapshots.remove(v)
-          Files.delete(workDir)
-          Files.move(local, workDir, StandardCopyOption.ATOMIC_MOVE)
+          // same-executor fast path: hardlink the immutable SSTs, copy the
+          // small manifest files — the snapshot dir stays intact for
+          // further retries
+          linkOrCopyDir(local, workDir)
         } else {
           unzipTo(new Path(basePath, snapshotFileName(v)), workDir)
         }
@@ -148,19 +148,42 @@ final class RocksDbSessionBackend(
     }
   }
 
+  // ----- live-DB cache ------------------------------------------------------
+
+  /** The open DB positioned at a committed version. Kept open across
+    * batches (like Spark's built-in provider keeps its loaded store):
+    * sequential batches on the same executor skip close→move→reopen
+    * entirely — commit snapshots via RocksDB `Checkpoint` (hardlinked
+    * SSTs, cheap) without closing the live DB.
+    */
+  private case class LiveDb(var version: Long, db: RocksDB, dir: JPath)
+  private var live: LiveDb = null
+
+  private def invalidateLive(): Unit = if (live != null) {
+    Try(live.db.close())
+    clearDir(live.dir)
+    Try(Files.deleteIfExists(live.dir))
+    live = null
+  }
+
   // ----- session ------------------------------------------------------------
 
   override def open(loadVersion: Long, commitVersion: Long): StoreSession = {
-    val workDir = Files.createTempDirectory(localRoot, "work-")
-    loadInto(workDir, loadVersion)
-    val db = openDb(workDir)
+    if (live == null || live.version != loadVersion) {
+      invalidateLive()
+      val workDir = Files.createTempDirectory(localRoot, "work-")
+      loadInto(workDir, loadVersion)
+      live = LiveDb(loadVersion, openDb(workDir), workDir)
+    }
+    val db = live.db
 
     new StoreSession {
-      private var closed = false
+      // writes mutate the live DB; an abort after writes must invalidate it
+      private var dirty = false
 
       def get(key: Array[Byte]): Array[Byte] = db.get(key)
-      def put(key: Array[Byte], value: Array[Byte]): Unit = db.put(key, value)
-      def remove(key: Array[Byte]): Unit = db.delete(key)
+      def put(key: Array[Byte], value: Array[Byte]): Unit = { dirty = true; db.put(key, value) }
+      def remove(key: Array[Byte]): Unit = { dirty = true; db.delete(key) }
 
       def scan(prefix: Array[Byte]): Iterator[(Array[Byte], Array[Byte])] = {
         val it = db.newIterator()
@@ -185,29 +208,27 @@ final class RocksDbSessionBackend(
       }
 
       def commit(): Unit = {
-        db.close()
-        closed = true
-        // the committed dir becomes the local snapshot for commitVersion...
+        // consistent point-in-time snapshot of the live DB via hardlinks
         val snapDir = localRoot.resolve(s"snapshot-$commitVersion")
         clearDir(snapDir); Files.deleteIfExists(snapDir)
-        Files.move(workDir, snapDir, StandardCopyOption.ATOMIC_MOVE)
+        val cp = Checkpoint.create(db)
+        try cp.createCheckpoint(snapDir.toString) finally cp.close()
         localSnapshots.put(commitVersion, snapDir)
-        // ...and is durably zipped to the checkpoint FS
+        live.version = commitVersion
+        // durable copy on the checkpoint FS
         zipDir(snapDir, new Path(basePath, snapshotFileName(commitVersion)))
       }
 
-      def abort(): Unit = {
-        if (!closed) { db.close(); closed = true }
-        clearDir(workDir)
-        Try(Files.deleteIfExists(workDir))
+      def abort(): Unit = if (dirty) {
+        // uncommitted writes live in the shared DB — drop it; the next
+        // open reloads from the last committed snapshot
+        invalidateLive()
       }
 
-      def numKeys: Long =
-        if (closed) 0L else db.getProperty("rocksdb.estimate-num-keys").toLong
+      def numKeys: Long = db.getProperty("rocksdb.estimate-num-keys").toLong
 
       def sizeBytes: Long =
-        if (closed) 0L
-        else db.getProperty("rocksdb.cur-size-all-mem-tables").toLong +
+        db.getProperty("rocksdb.cur-size-all-mem-tables").toLong +
           Try(db.getProperty("rocksdb.estimate-live-data-size").toLong).getOrElse(0L)
     }
   }
@@ -227,8 +248,23 @@ final class RocksDbSessionBackend(
   }
 
   override def close(): Unit = {
+    invalidateLive()
     clearDir(localRoot)
     Try(Files.deleteIfExists(localRoot))
+  }
+
+  /** SST files are immutable — hardlink them; copy everything else. */
+  private def linkOrCopyDir(src: JPath, dst: JPath): Unit = {
+    Files.createDirectories(dst)
+    Files.list(src).iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
+      val target = dst.resolve(f.getFileName.toString)
+      if (f.getFileName.toString.endsWith(".sst")) {
+        Try(Files.createLink(target, f)).getOrElse(
+          Files.copy(f, target, StandardCopyOption.REPLACE_EXISTING))
+      } else {
+        Files.copy(f, target, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
   }
 
   // ----- zip/unzip through the checkpoint FileSystem ------------------------
