@@ -90,16 +90,9 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 6).as("cos_sim"))
   }
 
-  val specs: Seq[QuerySpec] = Seq(
-
-    QuerySpec(
-      "q40_cosine_topk",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 5)
-          .orderBy(col("qid"), col("rnk"))
-      },
-      Some("""
+  /** Shared oracle for the exact top-5 searches (q40 window formulation
+    * and q43 aggregator formulation produce identical results). */
+  private val specsOracleTopK: Option[String] = Some("""
         WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
              q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 5),
              scored AS (
@@ -119,7 +112,18 @@ object Similarity {
                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
           FROM scored)
         WHERE rnk <= 5
-        ORDER BY qid, rnk""")),
+        ORDER BY qid, rnk""")
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec(
+      "q40_cosine_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 5)
+          .orderBy(col("qid"), col("rnk"))
+      },
+      specsOracleTopK),
 
     // LSH path: recall < 1 by design → rows-only check; judged on plan shape.
     QuerySpec(
@@ -130,6 +134,30 @@ object Similarity {
           .orderBy(col("qid"), col("rnk"))
       },
       None),
+
+    // same exact top-k via the typed Aggregator (map-side partial top-k:
+    // the shuffle carries partitions×k rows, not all |Q|·|C| scored pairs)
+    QuerySpec(
+      "q43_topk_aggregator",
+      (s, d) => {
+        import org.apache.spark.sql.functions.udaf
+        val topk = udaf(new graft.functions.TopKAggregator(5))
+        val emb = Tables.embeddings(s, d)
+        val q = broadcast(emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv")))
+        val c = emb.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("cv"))
+        c.crossJoin(q)
+          .filter(col("qid") =!= col("nid"))
+          .select(col("qid"), cosine(col("qv"), col("cv")).as("cos"), col("nid"))
+          .groupBy(col("qid"))
+          .agg(topk(col("cos"), col("nid")).as("top"))
+          .select(col("qid"), posexplode(col("top")).as(Seq("idx", "entry")))
+          .select(col("qid"), (col("idx") + 1).as("rnk"),
+            col("entry._2").as("nid"), round(col("entry._1"), 6).as("cos_sim"))
+          .orderBy(col("qid"), col("rnk"))
+      },
+      // identical semantics to q40 → same oracle
+      specsOracleTopK),
 
     // label-constrained search: pre-filter + exact top-k (hybrid search shape)
     QuerySpec(

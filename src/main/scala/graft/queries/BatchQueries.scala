@@ -449,6 +449,43 @@ object BatchQueries {
         WHERE rn = 1
         ORDER BY user_id, event_type""")),
 
+    // ---- SQL-text surface: same engine, spark.sql over registered views
+    QuerySpec(
+      "q19_sql_text",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        Tables.customer(s, d).createOrReplaceTempView("customer_v")
+        s.sql("""
+          SELECT c_mktsegment,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+          FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+          WHERE o_orderstatus = 'F'
+          GROUP BY c_mktsegment
+          ORDER BY c_mktsegment""")
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")),
+
+    // ---- approx_count_distinct (HLL++): sketch values are engine-specific
+    // → rows-only check; the exact q15 covers value correctness
+    QuerySpec(
+      "q24_approx_distinct",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+               approx_count_distinct($"l_suppkey", 0.01).as("approx_supps"))
+          .orderBy($"l_returnflag")
+      },
+      None),
+
     // ---- Correlated-style aggregation via join on pre-aggregated subquery
     QuerySpec(
       "q18_above_avg_orders",
