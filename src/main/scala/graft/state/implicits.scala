@@ -22,6 +22,12 @@ object implicits {
     /** Route state through the in-memory provider (external-KV stand-in). */
     def useInMemoryStateStore(): SparkSession.Builder =
       builder.config(ProviderClassKey, classOf[InMemoryStateStoreProvider].getName)
+
+    /** Route state through the external-KV seam (embedded server; a real
+      * Redis/Aerospike `KvClient` adapter drops in — the reference's
+      * `useRedisDBStateStore()` role). */
+    def useKvStateStore(): SparkSession.Builder =
+      builder.config(ProviderClassKey, classOf[KvStateStoreProvider].getName)
   }
 
   implicit class GraftStateTimeout[T](val writer: DataStreamWriter[T]) extends AnyVal {

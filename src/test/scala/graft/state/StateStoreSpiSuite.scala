@@ -144,3 +144,10 @@ class RocksDbSpiSuite extends StateStoreSpiSuiteBase {
   override def makeProvider(dir: String): GraftStateStoreProviderBase =
     initProvider(new RocksDbStateStoreProvider, dir)
 }
+
+class KvSpiSuite extends StateStoreSpiSuiteBase {
+  import StateTestHelper._
+  override def providerName = "kv"
+  override def makeProvider(dir: String): GraftStateStoreProviderBase =
+    initProvider(new KvStateStoreProvider, dir)
+}

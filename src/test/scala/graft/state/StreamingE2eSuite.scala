@@ -169,3 +169,8 @@ class RocksDbStreamingE2eSuite extends StreamingE2eSuiteBase {
   override def providerClass: String = classOf[RocksDbStateStoreProvider].getName
   override def suiteName = "rocksdb"
 }
+
+class KvStreamingE2eSuite extends StreamingE2eSuiteBase {
+  override def providerClass: String = classOf[KvStateStoreProvider].getName
+  override def suiteName = "kv"
+}
