@@ -71,7 +71,12 @@ object Similarity {
     * `tables` hash tables; exact cosine re-ranks within candidates.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              tables: Int = 8, nBits: Int = 12, dim: Int = 64): DataFrame = {
+              tables: Int = 8, nBits: Int = 4, dim: Int = 64): DataFrame = {
+    // nBits trades candidate-set size against recall: P(all bits agree) ≈
+    // (1 − θ/π)^nBits per table. Random 64-dim embeddings put even true
+    // neighbors at θ ≈ 60-70°, so long signatures kill recall (12 bits
+    // measured 0.04 on the test corpus; 4 bits × 8 tables ≈ 0.7+ while
+    // still pruning most of each table).
     def bucketed(df: DataFrame, idName: String): DataFrame =
       df.select(col("vec_id").as(idName), asDouble(col("embedding")).as(s"${idName}_v"))
         .select(col(idName), col(s"${idName}_v"),
@@ -114,6 +119,86 @@ object Similarity {
         WHERE rnk <= 5
         ORDER BY qid, rnk""")
 
+  /** IVF (inverted-file) ANN: k-means the corpus into `nClusters` cells,
+    * search only the `nProbe` cells nearest each query. The coarse
+    * quantizer is trained with Lloyd iterations expressed as DataFrame
+    * ops (assign = broadcast-centroid argmin map-side; update =
+    * explode-to-(cluster, dim) mean — one shuffle of K×dim rows); the
+    * centroid table (K×dim doubles) collects to the driver like any
+    * fitted model and broadcasts back.
+    *
+    * At scale this is the standard ANN architecture: the corpus
+    * partitions by cell id, a query touches nProbe/nClusters of the data,
+    * and the exact re-rank runs only inside probed cells.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nClusters: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("cv"))
+
+    def centroidLit(cents: Array[(Int, Array[Double])]): Column =
+      array(cents.map { case (cid, v) =>
+        struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cvec"))
+      }: _*)
+
+    def assign(df: DataFrame, cents: Array[(Int, Array[Double])], vecCol: String): DataFrame = {
+      // argmin over K dot-distances; K is small so an exploded
+      // min_by is fine and stays map-side (centroids are literals)
+      df.withColumn("cand", explode(centroidLit(cents)))
+        .withColumn("d2",
+          dot(col(vecCol), col("cand.cvec")) * lit(-2.0)
+            + dot(col("cand.cvec"), col("cand.cvec")))
+        .withColumn("pick", struct(col("d2"), col("cand.cid").as("cid")))
+        .groupBy(df.columns.map(col): _*)
+        .agg(min(col("pick")).as("best"))
+        .withColumn("cid", col("best.cid"))
+        .drop("best")
+    }
+
+    // deterministic init: the nClusters lowest vec_ids
+    var centroids: Array[(Int, Array[Double])] =
+      c.orderBy(col("nid")).limit(nClusters).collect()
+        .zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+
+    (1 to iters).foreach { _ =>
+      val assigned = assign(c, centroids, "cv")
+      val updated = assigned
+        .select(col("cid"), posexplode(col("cv")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cid"), transform(col("dm"), e => e.getField("m")).as("cvec"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      // empty clusters keep their previous centroid
+      val byId = updated.toMap
+      centroids = centroids.map { case (cid, v) => (cid, byId.getOrElse(cid, v)) }
+    }
+
+    // index: corpus tagged with its cell
+    val indexed = assign(c, centroids, "cv")
+    // probe: nProbe nearest cells per query
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+    val probes = q.withColumn("cand", explode(centroidLit(centroids)))
+      .withColumn("d2",
+        dot(col("qv"), col("cand.cvec")) * lit(-2.0)
+          + dot(col("cand.cvec"), col("cand.cvec")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("cand.cid").asc)))
+      .filter(col("rnk") <= nProbe)
+      .select(col("qid"), col("qv"), col("cand.cid").as("cid"))
+    // exact re-rank inside probed cells only
+    val scored = broadcast(probes).join(indexed, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec(
@@ -131,6 +216,16 @@ object Similarity {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         lshTopK(emb, emb.filter(col("vec_id") < 5), 5)
+          .orderBy(col("qid"), col("rnk"))
+      },
+      None),
+
+    // IVF path: k-means cells + nProbe probing (recall < 1 → rows-only).
+    QuerySpec(
+      "q44_ann_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        ivfTopK(emb, emb.filter(col("vec_id") < 5), 5)
           .orderBy(col("qid"), col("rnk"))
       },
       None),

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.Tables
+
+/** ANN quality gate: both approximate paths (LSH, IVF) must recover a
+  * healthy fraction of the exact top-k neighbor set — guards against
+  * parameter regressions (a 12-bit LSH signature once measured 0.04
+  * recall on this corpus).
+  */
+class AnnRecallSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.01"
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-ann-recall")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("LSH and IVF recall ≥ 0.5 of exact top-5") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, 5))
+    val lsh = pairs(Similarity.lshTopK(emb, queries, 5))
+    val ivf = pairs(Similarity.ivfTopK(emb, queries, 5))
+    val lshRecall = (exact & lsh).size.toDouble / exact.size
+    val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    assert(lshRecall >= 0.5, s"LSH recall $lshRecall")
+    assert(ivfRecall >= 0.5, s"IVF recall $ivfRecall")
+  }
+}
