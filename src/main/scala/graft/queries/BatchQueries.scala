@@ -486,6 +486,48 @@ object BatchQueries {
       },
       None),
 
+    // ---- explode / lateral view: corpus word count, top 20
+    QuerySpec(
+      "q25_word_count",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(explode(split($"text", " ")).as("token"))
+          .groupBy($"token")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"token")
+          .limit(20)
+      },
+      Some("""
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 20""")),
+
+    // ---- from_json with an explicit schema (struct access, not just path
+    // extraction as in q14)
+    QuerySpec(
+      "q26_from_json",
+      (s, d) => {
+        import s.implicits._
+        val schema = StructType(Seq(StructField("k", IntegerType)))
+        Tables.events(s, d)
+          .withColumn("parsed", from_json($"props", schema))
+          .filter($"parsed.k" >= 50)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_high_k"),
+               max($"parsed.k").as("max_k"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n_high_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
     // ---- Correlated-style aggregation via join on pre-aggregated subquery
     QuerySpec(
       "q18_above_avg_orders",
