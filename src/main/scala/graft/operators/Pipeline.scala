@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.queries.QuerySpec
+
+/** The composed training-data curation pipeline — the flow a 100 TB
+  * corpus actually runs, end to end, as ONE declarative plan:
+  *
+  *   1. quality gate   (length + lexical-diversity band, map-side)
+  *   2. exact dedup    (content digest, keep lowest doc_id)
+  *   3. near-dup prune (exact Jaccard within source blocks; a doc with a
+  *                      near-dup of smaller doc_id is dropped — greedy,
+  *                      deterministic)
+  *   4. budget report  (surviving docs + token budget per source)
+  *
+  * Every stage reuses the standalone operators (TextOps, Dedup) so the
+  * pipeline is exactly what a library user would compose; Catalyst fuses
+  * the stages (the quality gate reaches the scan, dedup and near-dup each
+  * cost one keyed shuffle).
+  */
+object Pipeline {
+
+  def curate(docs: DataFrame, minTokens: Int, maxTokens: Int,
+             minTtr: Double, nearDupThreshold: Double): DataFrame = {
+    val quality = docs
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+      .withColumn("ttr", TextOps.typeTokenRatio(col("text")))
+      .filter(col("n_tokens").between(minTokens, maxTokens) && col("ttr") > minTtr)
+
+    val exactDeduped = Dedup.exact(quality)
+
+    val nearDupLosers = Dedup.jaccardPairs(exactDeduped, nearDupThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+
+    exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q70_curation_pipeline",
+      (s, d) => {
+        curate(Tables.documents(s, d),
+            minTokens = 10, maxTokens = 100, minTtr = 0.3, nearDupThreshold = 0.8)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+               sum(col("n_tokens")).as("token_budget"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH quality AS (
+          SELECT doc_id, source, text,
+                 len(string_split(text, ' ')) AS n_tokens
+          FROM documents
+          WHERE len(string_split(text, ' ')) BETWEEN 10 AND 100
+            AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' ')) > 0.3),
+        exact_deduped AS (
+          SELECT doc_id, source, text, n_tokens FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM quality)
+          WHERE rn = 1),
+        toksets AS (
+          SELECT doc_id, source, n_tokens,
+                 list_distinct(string_split(text, ' ')) AS toks
+          FROM exact_deduped),
+        losers AS (
+          SELECT DISTINCT b.doc_id
+          FROM toksets a JOIN toksets b
+            ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.toks, b.toks)) > 0
+            AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8)
+        SELECT source, COUNT(*) AS n_kept, SUM(n_tokens) AS token_budget
+        FROM exact_deduped
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        GROUP BY source
+        ORDER BY source"""))
+  )
+}
