@@ -69,6 +69,16 @@ abstract class GraftStateStoreProviderBase extends StateStoreProvider with Loggi
   protected var clock: TtlClock = SystemTtlClock
   protected var backend: SessionBackend = _
 
+  /** Provider-scoped (like the reference's Guava cache, a provider member
+    * — reference RocksDbStateStoreProvider.scala:101): last-access
+    * deadlines persist across micro-batches within an executor's provider
+    * lifetime, so inactivity TTL actually fires between batches. Unlike
+    * the reference, the index survives `getStore` re-opens; it resets
+    * only with the provider (executor loss → fresh windows, documented in
+    * TtlConf).
+    */
+  protected var expiryTracker: ExpiryTracker = _
+
   /** Build the physical backend once `init` has run. */
   protected def createBackend(): SessionBackend
 
@@ -105,6 +115,7 @@ abstract class GraftStateStoreProviderBase extends StateStoreProvider with Loggi
     this.multiValueDefault = useMultipleValuesPerKey
     this.ttlConf = TtlConf.fromStoreConf(storeConfs, stateStoreId.checkpointRootLocation)
     this.clock = GraftStateStoreProviderBase.clockOverride.getOrElse(SystemTtlClock)
+    this.expiryTracker = new ExpiryTracker(ttlConf, clock)
     cfs.put(StateStore.DEFAULT_COL_FAMILY_NAME,
       CfInfo(keySchema, valueSchema, keyStateEncoderSpec, useMultipleValuesPerKey))
     this.backend = createBackend()
@@ -115,7 +126,7 @@ abstract class GraftStateStoreProviderBase extends StateStoreProvider with Loggi
   override def getStore(version: Long, uniqueId: Option[String]): StateStore = {
     require(version >= 0, s"Version cannot be $version")
     val session = backend.open(version, version + 1)
-    new GraftStore(session, version + 1, new ExpiryTracker(ttlConf, clock))
+    new GraftStore(session, version + 1, expiryTracker)
   }
 
   override def doMaintenance(): Unit =

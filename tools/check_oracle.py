@@ -32,7 +32,14 @@ def main(out_dir, sf_dir):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    import os
+    present = {n for n in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{n}")}
+    skipped = sorted(set(oracle) - present)
+    if skipped:
+        print(f"(skipping {len(skipped)} queries not in this filtered run)")
     for name, sql in sorted(oracle.items()):
+        if name not in present:
+            continue
         try:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
