@@ -24,6 +24,9 @@ trait StoreSession {
   def abort(): Unit
   def numKeys: Long
   def sizeBytes: Long
+  /** Time spent making the committed version durable (snapshot + upload)
+    * during the last `commit()`, for metrics. */
+  def lastCommitDurabilityMs: Long = 0L
 }
 
 /** Versioned session factory per (checkpoint, operator, partition). */
@@ -43,6 +46,13 @@ trait SessionBackend {
 object GraftStateStoreProviderBase {
   /** Test seam: when set, new providers use this clock for TTL. */
   @volatile var clockOverride: Option[TtlClock] = None
+
+  /** Snapshot+upload time of the last commit (BASELINE.md commit-latency
+    * row) — surfaces in StreamingQueryProgress.stateOperators
+    * customMetrics. */
+  val SnapshotDurabilityMetric: StateStoreCustomTimingMetric =
+    StateStoreCustomTimingMetric("snapshotDurabilityMs",
+      "time making the committed version durable (snapshot + upload)")
 }
 
 /** Spark 4.1.2 `StateStoreProvider` implementation over a pluggable
@@ -128,6 +138,9 @@ abstract class GraftStateStoreProviderBase extends StateStoreProvider with Loggi
     val session = backend.open(version, version + 1)
     new GraftStore(session, version + 1, expiryTracker)
   }
+
+  override def supportedCustomMetrics: Seq[StateStoreCustomMetric] =
+    Seq(GraftStateStoreProviderBase.SnapshotDurabilityMetric)
 
   override def doMaintenance(): Unit =
     backend.doMaintenance(math.max(storeConf.minVersionsToRetain, 1))
@@ -391,7 +404,10 @@ abstract class GraftStateStoreProviderBase extends StateStoreProvider with Loggi
     }
 
     override def metrics: StateStoreMetrics =
-      StateStoreMetrics(session.numKeys, math.max(session.sizeBytes, 1L), Map.empty, Map.empty)
+      StateStoreMetrics(session.numKeys, math.max(session.sizeBytes, 1L),
+        Map(GraftStateStoreProviderBase.SnapshotDurabilityMetric ->
+          session.lastCommitDurabilityMs),
+        Map.empty)
 
     override def getStateStoreCheckpointInfo(): StateStoreCheckpointInfo =
       StateStoreCheckpointInfo(storeId.partitionId, newVersion, None, None)

@@ -207,7 +207,10 @@ final class RocksDbSessionBackend(
         }
       }
 
+      private var durabilityMs = 0L
+
       def commit(): Unit = {
+        val t0 = System.nanoTime()
         // consistent point-in-time snapshot of the live DB via hardlinks
         val snapDir = localRoot.resolve(s"snapshot-$commitVersion")
         clearDir(snapDir); Files.deleteIfExists(snapDir)
@@ -217,7 +220,10 @@ final class RocksDbSessionBackend(
         live.version = commitVersion
         // durable copy on the checkpoint FS
         zipDir(snapDir, new Path(basePath, snapshotFileName(commitVersion)))
+        durabilityMs = (System.nanoTime() - t0) / 1000000L
       }
+
+      override def lastCommitDurabilityMs: Long = durabilityMs
 
       def abort(): Unit = if (dirty) {
         // uncommitted writes live in the shared DB — drop it; the next

@@ -88,6 +88,9 @@ abstract class StateStoreSpiSuiteBase extends AnyFunSuite {
     assert(m.numKeys === 2)
     assert(m.memoryUsedBytes > 0)
     s0.commit()
+    // commit-durability custom metric is declared and reported post-commit
+    assert(p.supportedCustomMetrics.exists(_.name == "snapshotDurabilityMs"))
+    assert(s0.metrics.customMetrics.keys.exists(_.name == "snapshotDurabilityMs"))
     p.close()
   }
 
