@@ -37,8 +37,10 @@ object StateBench {
     "spark-rocksdb" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
+  /** (events/sec, avg commit-duration ms/batch, avg snapshot-durability
+    * ms/batch from our custom metric when the provider reports it). */
   def run(providerClass: String, nBatches: Int, eventsPerBatch: Int,
-          nKeys: Int): Double = {
+          nKeys: Int): (Double, Double, Double) = {
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("graft-state-bench")
@@ -65,16 +67,23 @@ object StateBench {
     query.processAllAvailable()
 
     val t0 = System.nanoTime()
+    val commitMs = Seq.newBuilder[Long]
+    val durabilityMs = Seq.newBuilder[Long]
     (1 to nBatches).foreach { b =>
       input.addData((0 until eventsPerBatch).map(i => Event(i % nKeys, (b + i).toLong)))
       query.processAllAvailable()
+      Option(query.lastProgress).flatMap(_.stateOperators.headOption).foreach { so =>
+        commitMs += so.allUpdatesTimeMs + so.commitTimeMs
+        Option(so.customMetrics.get("snapshotDurabilityMs")).foreach(durabilityMs += _.longValue)
+      }
     }
     val secs = (System.nanoTime() - t0) / 1e9
     query.stop()
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    nBatches.toLong * eventsPerBatch / secs
+    def avg(xs: Seq[Long]): Double = if (xs.isEmpty) -1.0 else xs.sum.toDouble / xs.size
+    (nBatches.toLong * eventsPerBatch / secs, avg(commitMs.result()), avg(durabilityMs.result()))
   }
 
   def main(args: Array[String]): Unit = {
@@ -82,12 +91,14 @@ object StateBench {
     val eventsPerBatch = sys.env.getOrElse("SB_EVENTS", "20000").toInt
     val nKeys = sys.env.getOrElse("SB_KEYS", "2000").toInt
     val results = providers.map { case (name, cls) =>
-      val evps = try run(cls, nBatches, eventsPerBatch, nKeys)
-                 catch { case e: Throwable =>
-                   System.err.println(s"[statebench] $name failed: $e"); -1.0 }
-      name -> evps
+      val r = try run(cls, nBatches, eventsPerBatch, nKeys)
+              catch { case e: Throwable =>
+                System.err.println(s"[statebench] $name failed: $e"); (-1.0, -1.0, -1.0) }
+      name -> r
     }
-    val js = results.map { case (k, v) => s""""$k":${v.toLong}""" }.mkString(",")
-    println(s"""{"metric":"state_events_per_sec","batches":$nBatches,"events_per_batch":$eventsPerBatch,"keys":$nKeys,"providers":{$js}}""")
+    val js = results.map { case (k, (evps, commit, dur)) =>
+      s""""$k":{"events_per_sec":${evps.toLong},"avg_commit_ms":${commit.round},"avg_snapshot_durability_ms":${dur.round}}"""
+    }.mkString(",")
+    println(s"""{"metric":"state_store_bench","batches":$nBatches,"events_per_batch":$eventsPerBatch,"keys":$nKeys,"providers":{$js}}""")
   }
 }

@@ -528,6 +528,30 @@ object BatchQueries {
         GROUP BY event_type
         ORDER BY event_type""")),
 
+    // ---- exact interpolated percentiles (sort-based agg)
+    QuerySpec(
+      "q27_percentiles",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .groupBy($"o_orderpriority")
+          .agg(
+            percentile($"o_totalprice", lit(0.5)).as("med"),
+            percentile($"o_totalprice", lit(0.9)).as("p90"),
+            min($"o_totalprice").as("lo"),
+            max($"o_totalprice").as("hi"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.5) AS med,
+               quantile_cont(o_totalprice, 0.9) AS p90,
+               MIN(o_totalprice) AS lo,
+               MAX(o_totalprice) AS hi
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
     // ---- Correlated-style aggregation via join on pre-aggregated subquery
     QuerySpec(
       "q18_above_avg_orders",

@@ -49,12 +49,26 @@ object RocksDbBackend {
   val DefaultBackgroundJobs = 10
 
   def snapshotFileName(version: Long): String = s"state.snapshot.$version"
+  def changelogFileName(version: Long): String = s"state.changelog.$version"
   private val SnapshotRe = raw"state\.snapshot\.(\d+)".r
+  private val ChangelogRe = raw"state\.changelog\.(\d+)".r
 
   def parseSnapshotVersion(name: String): Option[Long] = name match {
     case SnapshotRe(v) => Some(v.toLong)
     case _ => None
   }
+
+  def parseChangelogVersion(name: String): Option[Long] = name match {
+    case ChangelogRe(v) => Some(v.toLong)
+    case _ => None
+  }
+
+  /** Full zip snapshot cadence: every N commits; changelogs cover the
+    * versions in between (the built-in provider's changelog-checkpointing
+    * shape — durable per commit at changelog cost, snapshot cost amortized).
+    */
+  val SnapshotIntervalKey = "spark.sql.streaming.stateStore.rocksdb.snapshotIntervalBatches"
+  val DefaultSnapshotInterval = 5
 }
 
 final class RocksDbSessionBackend(
@@ -99,50 +113,103 @@ final class RocksDbSessionBackend(
     }
   }
 
-  // ----- snapshot listing ---------------------------------------------------
+  private val snapshotInterval: Int =
+    confs.get(SnapshotIntervalKey).map(_.toInt).getOrElse(DefaultSnapshotInterval)
 
-  private def remoteVersions(): Seq[Long] = Try {
+  // ----- snapshot / changelog listing ---------------------------------------
+
+  private def listRemote(parse: String => Option[Long]): Seq[Long] = Try {
     if (!fs.exists(basePath)) Seq.empty[Long]
-    else fs.listStatus(basePath).toSeq
-      .flatMap(st => parseSnapshotVersion(st.getPath.getName))
+    else fs.listStatus(basePath).toSeq.flatMap(st => parse(st.getPath.getName))
   }.getOrElse(Seq.empty)
 
+  private def remoteSnapshotVersions(): Seq[Long] = listRemote(parseSnapshotVersion)
+  private def remoteChangelogVersions(): Seq[Long] = listRemote(parseChangelogVersion)
+
   override def committedVersions(): Seq[Long] =
-    (remoteVersions() ++ localSnapshots.keySet().asScala).distinct.sorted
+    (remoteSnapshotVersions() ++ remoteChangelogVersions() ++
+      localSnapshots.keySet().asScala).distinct.sorted
+
+  // ----- changelog format ---------------------------------------------------
+  // records: [1B op (0=put,1=del)][4B keyLen][key]([4B valLen][val] for put)
+
+  private def writeChangelog(version: Long,
+                             changes: Seq[(Array[Byte], Array[Byte])]): Unit = {
+    val out = new java.io.DataOutputStream(new BufferedOutputStream(
+      fs.create(new Path(basePath, changelogFileName(version)), true)))
+    try {
+      changes.foreach { case (k, v) =>
+        out.writeByte(if (v == null) 1 else 0)
+        out.writeInt(k.length)
+        out.write(k)
+        if (v != null) { out.writeInt(v.length); out.write(v) }
+      }
+    } finally out.close()
+  }
+
+  private def applyChangelog(db: RocksDB, version: Long): Unit = {
+    val in = new java.io.DataInputStream(new BufferedInputStream(
+      fs.open(new Path(basePath, changelogFileName(version)))))
+    try {
+      var op = in.read()
+      while (op >= 0) {
+        val k = new Array[Byte](in.readInt()); in.readFully(k)
+        if (op == 0) {
+          val v = new Array[Byte](in.readInt()); in.readFully(v)
+          db.put(k, v)
+        } else {
+          db.delete(k)
+        }
+        op = in.read()
+      }
+    } finally in.close()
+  }
 
   // ----- load ladder --------------------------------------------------------
 
-  /** Try candidates newest-first; corrupted/missing snapshots fall through
-    * (the reference's `Try(...).find(_.isSuccess)` ladder, :381-388). */
+  /** Newest reachable state ≤ loadVersion: try bases (local snapshot dirs,
+    * remote zips, the empty store) newest-first; from each loadable base
+    * replay changelogs base+1..loadVersion as far as they exist. Corrupted
+    * artifacts fall through to older bases — the reference's lenient
+    * ladder (:381-388) extended with changelog replay.
+    */
   private def loadInto(workDir: JPath, loadVersion: Long): Unit = {
     if (loadVersion <= 0) return
-    val candidates =
-      (localSnapshots.keySet().asScala ++ remoteVersions())
-        .filter(_ <= loadVersion).toSeq.distinct.sorted.reverse
-    val loaded = candidates.iterator.map { v =>
+    val bases =
+      ((localSnapshots.keySet().asScala ++ remoteSnapshotVersions())
+        .filter(_ <= loadVersion).toSeq.distinct.sorted.reverse :+ 0L).distinct
+    val loaded = bases.iterator.map { base =>
       Try {
         clearDir(workDir)
-        val local = localSnapshots.get(v)
-        if (local != null && Files.exists(local)) {
-          // same-executor fast path: hardlink the immutable SSTs, copy the
-          // small manifest files — the snapshot dir stays intact for
-          // further retries
-          linkOrCopyDir(local, workDir)
-        } else {
-          unzipTo(new Path(basePath, snapshotFileName(v)), workDir)
+        if (base > 0) {
+          val local = localSnapshots.get(base)
+          if (local != null && Files.exists(local)) {
+            // same-executor fast path: hardlink the immutable SSTs; the
+            // snapshot dir stays intact for further retries
+            linkOrCopyDir(local, workDir)
+          } else {
+            unzipTo(new Path(basePath, snapshotFileName(base)), workDir)
+          }
+          // a corrupt archive can unzip to nothing and RocksDB would
+          // happily create a fresh DB — require a real manifest
+          require(Files.exists(workDir.resolve("CURRENT")),
+            s"snapshot $base has no RocksDB manifest")
         }
-        // prove loadability before declaring victory: a corrupt archive can
-        // unzip to nothing, and RocksDB would happily create a fresh empty
-        // DB there — require a real manifest, then open it
-        require(Files.exists(workDir.resolve("CURRENT")),
-          s"snapshot $v has no RocksDB manifest")
         val db = RocksDB.open(newOptions(), workDir.toString)
-        db.close()
-        v
+        try {
+          var v = base + 1
+          var reached = base
+          var miss = false
+          while (v <= loadVersion && !miss) {
+            if (Try(applyChangelog(db, v)).isSuccess) { reached = v; v += 1 }
+            else miss = true
+          }
+          reached
+        } finally db.close()
       }
-    }.find(_.isSuccess)
+    }.collectFirst { case scala.util.Success(reached) => reached }
     if (loaded.isEmpty) clearDir(workDir)
-    loaded.flatMap(_.toOption).foreach { v =>
+    loaded.foreach { v =>
       if (v != loadVersion)
         logWarning(s"state version $loadVersion unavailable; recovered from $v")
     }
@@ -180,10 +247,16 @@ final class RocksDbSessionBackend(
     new StoreSession {
       // writes mutate the live DB; an abort after writes must invalidate it
       private var dirty = false
+      // batch changelog: replayed on recovery for versions between zips
+      private val changes = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Array[Byte])]
 
       def get(key: Array[Byte]): Array[Byte] = db.get(key)
-      def put(key: Array[Byte], value: Array[Byte]): Unit = { dirty = true; db.put(key, value) }
-      def remove(key: Array[Byte]): Unit = { dirty = true; db.delete(key) }
+      def put(key: Array[Byte], value: Array[Byte]): Unit = {
+        dirty = true; changes += ((key, value)); db.put(key, value)
+      }
+      def remove(key: Array[Byte]): Unit = {
+        dirty = true; changes += ((key, null)); db.delete(key)
+      }
 
       def scan(prefix: Array[Byte]): Iterator[(Array[Byte], Array[Byte])] = {
         val it = db.newIterator()
@@ -211,15 +284,21 @@ final class RocksDbSessionBackend(
 
       def commit(): Unit = {
         val t0 = System.nanoTime()
-        // consistent point-in-time snapshot of the live DB via hardlinks
+        // durability per commit = the small changelog, written synchronously
+        writeChangelog(commitVersion, changes.toSeq)
+        // consistent local point-in-time snapshot via hardlinks (cheap;
+        // same-executor reuse + base for future retries)
         val snapDir = localRoot.resolve(s"snapshot-$commitVersion")
         clearDir(snapDir); Files.deleteIfExists(snapDir)
         val cp = Checkpoint.create(db)
         try cp.createCheckpoint(snapDir.toString) finally cp.close()
         localSnapshots.put(commitVersion, snapDir)
         live.version = commitVersion
-        // durable copy on the checkpoint FS
-        zipDir(snapDir, new Path(basePath, snapshotFileName(commitVersion)))
+        // full zip upload only on the snapshot cadence — recovery replays
+        // changelogs from the newest snapshot
+        if (commitVersion % snapshotInterval == 0) {
+          zipDir(snapDir, new Path(basePath, snapshotFileName(commitVersion)))
+        }
         durabilityMs = (System.nanoTime() - t0) / 1000000L
       }
 
@@ -243,13 +322,34 @@ final class RocksDbSessionBackend(
 
   override def doMaintenance(minVersionsToRetain: Int): Unit = {
     val vs = committedVersions()
-    if (vs.nonEmpty) {
-      val earliest = vs.max - minVersionsToRetain + 1
-      vs.filter(_ < earliest).foreach { v =>
-        Try(fs.delete(new Path(basePath, snapshotFileName(v)), false))
-        val local = localSnapshots.remove(v)
-        if (local != null) { clearDir(local); Try(Files.deleteIfExists(local)) }
+    if (vs.isEmpty) return
+    val earliest = vs.max - minVersionsToRetain + 1
+    // a GC'd changelog must never strand the retained range: establish a
+    // full-snapshot base ≤ earliest first (zipping a local snapshot dir if
+    // the cadence hasn't produced one), then delete only below that base
+    var base = remoteSnapshotVersions().filter(_ <= earliest).maxOption
+    if (base.isEmpty) {
+      val localBase = localSnapshots.keySet().asScala.filter(_ <= earliest).maxOption
+      localBase.foreach { v =>
+        val dir = localSnapshots.get(v)
+        if (dir != null && Files.exists(dir) &&
+            Try(zipDir(dir, new Path(basePath, snapshotFileName(v)))).isSuccess) {
+          base = Some(v)
+        }
       }
+    }
+    base.foreach { b =>
+      remoteSnapshotVersions().filter(_ < b).foreach { v =>
+        Try(fs.delete(new Path(basePath, snapshotFileName(v)), false))
+      }
+      remoteChangelogVersions().filter(_ <= b).foreach { v =>
+        Try(fs.delete(new Path(basePath, changelogFileName(v)), false))
+      }
+    }
+    // local snapshot dirs below the retention horizon are never needed again
+    localSnapshots.keySet().asScala.filter(_ < earliest).foreach { v =>
+      val local = localSnapshots.remove(v)
+      if (local != null) { clearDir(local); Try(Files.deleteIfExists(local)) }
     }
   }
 
