@@ -365,6 +365,12 @@ abstract class GraftStateStoreProviderBase extends StateStoreProvider with Loggi
       }
       session.commit()
       state = State.Committed
+      // Spark 4.1 commit validation (enforced e.g. under foreachBatch
+      // sinks) expects every partition's commit reported to the
+      // coordinator, as the built-in providers do. Best-effort: outside a
+      // live streaming query (direct SPI use) the endpoint doesn't exist.
+      scala.util.Try(
+        StateStore.reportCommitToCoordinator(newVersion, storeId, hadoopConf))
       newVersion
     }
 

@@ -57,6 +57,28 @@ class PerCategoryCounter extends StatefulProcessor[Int, (Int, String), (Int, Str
   }
 }
 
+/** ValueState with Spark 4 native TTLConfig — the modern home of the
+  * reference's TTL feature (SURVEY.md §1.4). Requires
+  * TimeMode.ProcessingTime; Spark stores expiry in a TTL column family on
+  * our provider.
+  */
+class TtlCountProcessor(ttlMs: Long)
+    extends StatefulProcessor[Int, (Int, String), (Int, Int)] {
+  @transient private var count: ValueState[Int] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    count = getHandle.getValueState[Int]("count", Encoders.scalaInt,
+      TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+  }
+
+  override def handleInputRows(key: Int, rows: Iterator[(Int, String)],
+                               timerValues: TimerValues): Iterator[(Int, Int)] = {
+    val n = (if (count.exists()) count.get() else 0) + rows.size
+    count.update(n)
+    Iterator.single((key, n))
+  }
+}
+
 abstract class TransformWithStateSuiteBase extends AnyFunSuite with BeforeAndAfterAll {
 
   def providerClass: String
@@ -138,6 +160,48 @@ abstract class TransformWithStateSuiteBase extends AnyFunSuite with BeforeAndAft
       .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(latest === Map((1, "a") -> 3L, (1, "b") -> 1L, (2, "a") -> 1L, (2, "c") -> 1L))
     query.stop()
+  }
+
+  test(s"$suiteName: transformWithState native TTLConfig expires ValueState") {
+    // TimeMode.ProcessingTime queries never quiesce (Spark keeps
+    // scheduling batches for timer/TTL progress), so drive two
+    // Trigger.AvailableNow runs over one checkpoint instead of
+    // processAllAvailable — which also exercises restart recovery.
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Int, String)]
+    val ckpt = Files.createTempDirectory(s"graft-twsttl-$suiteName").toString
+    // memory sink can't recover a checkpoint; foreachBatch can
+    val collected = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Int, Int)]())
+
+    def runOnce(): List[Int] = {
+      collected.clear()
+      val out = input.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new TtlCountProcessor(ttlMs = 500),
+          TimeMode.ProcessingTime(), OutputMode.Update())
+      val query = out.writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Int, Int)], _: Long) =>
+          batch.collect().foreach(collected.add)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination(120000)
+      import scala.jdk.CollectionConverters._
+      collected.asScala.toList.filter(_._1 == 1).map(_._2).sorted
+    }
+
+    input.addData((1, "a"), (1, "b"))
+    assert(runOnce() === List(2))
+    Thread.sleep(2000) // well past the 500ms TTL
+    input.addData((1, "c"))
+    // state expired between runs → count restarts at 1, not 3
+    assert(runOnce() === List(1))
   }
 }
 
