@@ -169,7 +169,7 @@ object Dedup {
           .orderBy($"lang")
       },
       Some("""
-        SELECT lang, COUNT(*) AS n_unique_docs, SUM(n_chars) AS sum_chars
+        SELECT lang, COUNT(*) AS n_unique_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM (
           SELECT lang, n_chars,
                  ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn

@@ -92,8 +92,8 @@ object Multimodal {
       },
       Some("""
         SELECT format, COUNT(*) AS n_media,
-               SUM(octet_length(CAST(text AS BLOB))) AS sum_bytes,
-               SUM(CAST(width AS BIGINT) * height) AS sum_pixels
+               CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS sum_bytes,
+               CAST(SUM(CAST(width AS BIGINT) * height) AS BIGINT) AS sum_pixels
         FROM (
           SELECT text,
                  ['png','jpeg','webm'][CAST(doc_id % 3 + 1 AS INT)] AS format,
@@ -115,8 +115,9 @@ object Multimodal {
       // byte-level recompute of the stub's features in SQL
       Some("""
         SELECT format, COUNT(*) AS n,
-               SUM(byte_sum) AS total_byte_sum,
-               SUM(h0) AS h0, SUM(h1) AS h1, SUM(h2) AS h2, SUM(h3) AS h3
+               CAST(SUM(byte_sum) AS BIGINT) AS total_byte_sum,
+               CAST(SUM(h0) AS BIGINT) AS h0, CAST(SUM(h1) AS BIGINT) AS h1,
+               CAST(SUM(h2) AS BIGINT) AS h2, CAST(SUM(h3) AS BIGINT) AS h3
         FROM (
           SELECT ['png','jpeg','webm'][CAST(doc_id % 3 + 1 AS INT)] AS format,
                  list_sum(list_transform(range(1, length(text) + 1),

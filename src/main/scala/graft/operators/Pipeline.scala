@@ -74,7 +74,7 @@ object Pipeline {
           WHERE len(list_intersect(a.toks, b.toks)) > 0
             AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
                   / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8)
-        SELECT source, COUNT(*) AS n_kept, SUM(n_tokens) AS token_budget
+        SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_tokens) AS BIGINT) AS token_budget
         FROM exact_deduped
         WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         GROUP BY source

@@ -42,7 +42,9 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  private def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
+  // array-level cast, NOT transform(_.cast) — the HOF lambda is interpreted
+  // (no codegen) and allocation-heavy; measured 50-95 s/query at sf0.1
+  private def asDouble(a: Column): Column = a.cast("array<double>")
 
   /** Exact top-k cosine neighbors for each query vector (brute force).
     * Queries are broadcast; corpus is scanned once map-side.

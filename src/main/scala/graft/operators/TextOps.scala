@@ -102,9 +102,9 @@ object TextOps {
       },
       Some("""
         SELECT lang, COUNT(*) AS n_docs,
-               SUM(n_tokens) AS sum_tokens,
-               SUM(n_regex_tokens) AS sum_regex_tokens,
-               SUM(len_chars) AS sum_chars,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(SUM(n_regex_tokens) AS BIGINT) AS sum_regex_tokens,
+               CAST(SUM(len_chars) AS BIGINT) AS sum_chars,
                CAST(SUM(n_stop_tokens) AS DOUBLE) / SUM(n_tokens) AS stopword_ratio
         FROM (
           SELECT lang,
@@ -176,7 +176,7 @@ object TextOps {
           .orderBy($"source")
       },
       Some("""
-        SELECT source, COUNT(*) AS n_kept, SUM(n_tokens) AS sum_tokens
+        SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
         FROM (
           SELECT source,
                  len(string_split(text,' ')) AS n_tokens,

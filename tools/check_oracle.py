@@ -58,6 +58,17 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: columns differ spark={g_cols} duck={e_cols}")
             n_bad += 1
             continue
+        # The driver's hash is TYPE-sensitive across dtype FAMILIES: a DuckDB
+        # HUGEINT (bare SUM(int)) lands in pandas as float64/object vs Spark's
+        # int64 and hash-mismatches despite equal values. Integer-width
+        # differences (int32 vs int64, e.g. row_number) are proven harmless
+        # (q40/q42/q43 pass the driver). Compare dtype *kind* only.
+        dt_diff = [(c, str(got[c].dtype), str(exp[c].dtype)) for c in g_cols
+                   if got[c].dtype.kind != exp[c].dtype.kind]
+        if dt_diff:
+            print(f"FAIL {name}: dtypes differ (spark vs duck): {dt_diff}")
+            n_bad += 1
+            continue
         g = got[g_cols].applymap(norm)
         e = exp[e_cols].applymap(norm)
         g_rows = sorted(map(tuple, g.values.tolist()))
