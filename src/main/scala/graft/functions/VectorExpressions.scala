@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
 
 /** Native vector arithmetic for the similarity-search path.
   *
@@ -97,6 +97,85 @@ case class ArrayNorm(child: Expression) extends UnaryExpression with Serializabl
     copy(child = newChild)
 }
 
+/** Index of the nearest centroid (squared L2) for an ARRAY<DOUBLE> vector.
+  *
+  * The K×dim centroid matrix rides inside the expression as a flat
+  * `double[]` reference object — a fitted-model literal, exactly like a
+  * broadcast variable but visible to whole-stage codegen. This makes
+  * k-means `assign` a pure map-side projection: no crossJoin, no shuffle,
+  * no per-row allocation. Ties break to the lowest centroid id
+  * (strict `<` with ascending scan).
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  private lazy val k = centroids.length
+  private lazy val dim = if (k > 0) centroids(0).length else 0
+  private lazy val flat: Array[Double] = {
+    val out = new Array[Double](k * dim)
+    var c = 0
+    while (c < k) {
+      System.arraycopy(centroids(c), 0, out, c * dim, dim)
+      c += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(dim, x.numElements())
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      val base = c * dim
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val t = x.getDouble(i) - flat(base + i)
+        d += t * t
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val flatRef = ctx.addReferenceObj("centroidsFlat", flat, "double[]")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val base = ctx.freshName("base")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+        int $n = java.lang.Math.min($dim, $a.numElements());
+        int $best = 0;
+        double $bestD = Double.MAX_VALUE;
+        for (int $c = 0; $c < $k; $c++) {
+          int $base = $c * $dim;
+          double $d = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $t = $a.getDouble($i) - $flatRef[$base + $i];
+            $d += $t * $t;
+          }
+          if ($d < $bestD) { $bestD = $d; $best = $c; }
+        }
+        ${ev.value} = $best;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -110,4 +189,8 @@ object VectorFunctions {
   /** Cosine similarity via the codegen'd primitives. */
   def array_cosine(a: Column, b: Column): Column =
     array_dot(a, b) / (array_norm(a) * array_norm(b))
+
+  /** Nearest-centroid id (squared L2, codegen'd) over an embedded matrix. */
+  def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    column(NearestCentroid(expression(vec), centroids))
 }

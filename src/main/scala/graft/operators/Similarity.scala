@@ -136,26 +136,27 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nClusters: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
+    // cached: the Lloyd loop takes `iters` passes plus one for the final
+    // index — without this every pass re-reads (and re-casts) the parquet
     val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // centroids travel as a broadcast DataFrame, NOT a literal expression
     // tree — K×dim lit() nodes made every Lloyd iteration recompile a
-    // 1000-node plan (measured 48 s at sf0.1; ~3 s this way)
+    // 1000-node plan (measured 48 s at sf0.1; ~3 s this way). Used only for
+    // the per-query top-nProbe ranking; assign uses the codegen'd argmin.
     def centroidDf(cents: Array[(Int, Array[Double])]): DataFrame = {
       import spark.implicits._
       cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cvec")
     }
 
+    // map-side argmin over the fitted centroid matrix: a single projection,
+    // zero shuffle (the old crossJoin+groupBy-on-full-row shuffled
+    // |corpus|×K rows carrying the vector, once per Lloyd iteration)
     def assign(df: DataFrame, cents: Array[(Int, Array[Double])], vecCol: String): DataFrame = {
-      // argmin over K dot-distances via broadcast cross join (map-side)
-      df.crossJoin(broadcast(centroidDf(cents)))
-        .withColumn("d2",
-          dot(col(vecCol), col("cvec")) * lit(-2.0) + dot(col("cvec"), col("cvec")))
-        .withColumn("pick", struct(col("d2"), col("cid")))
-        .groupBy(df.columns.map(col): _*)
-        .agg(min(col("pick")).as("best"))
-        .withColumn("cid", col("best.cid"))
-        .drop("best")
+      val matrix = cents.sortBy(_._1).map(_._2)
+      df.withColumn("cid",
+        graft.functions.VectorFunctions.nearest_centroid(col(vecCol), matrix))
     }
 
     // deterministic init: the nClusters lowest vec_ids
