@@ -571,6 +571,142 @@ object BatchQueries {
         WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
                               FROM orders) * 1.5
         GROUP BY o_orderpriority
-        ORDER BY o_orderpriority"""))
+        ORDER BY o_orderpriority""")),
+
+    // ---- Right-outer join: preserved side is the build side of q06's shape
+    QuerySpec(
+      "q28_right_outer_join",
+      (s, d) => {
+        import s.implicits._
+        val o  = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d)
+        li.select($"l_orderkey")
+          .join(o, $"l_orderkey" === $"o_orderkey", "right_outer")
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"), count($"l_orderkey").as("n_items"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus, COUNT(*) AS n_rows, COUNT(l_orderkey) AS n_items
+        FROM (SELECT l_orderkey FROM lineitem) li
+        RIGHT JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
+
+    // ---- Full-outer join over two disjoint-keyed aggregates: rows survive
+    //      from either side (events users vs ordering customers)
+    QuerySpec(
+      "q29_full_outer_join",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+        val or = Tables.orders(s, d)
+          .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+        ev.join(or, $"user_id" === $"o_custkey", "full_outer")
+          .withColumn("side",
+            when($"user_id".isNull, "orders_only")
+              .when($"o_custkey".isNull, "events_only")
+              .otherwise("both"))
+          .groupBy($"side")
+          .agg(count(lit(1)).as("n"),
+               sum(coalesce($"n_events", lit(0L))).as("sum_events"),
+               sum(coalesce($"n_orders", lit(0L))).as("sum_orders"))
+          .orderBy($"side")
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+             orc AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
+        SELECT side, COUNT(*) AS n,
+               CAST(SUM(COALESCE(n_events, 0)) AS BIGINT) AS sum_events,
+               CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS sum_orders
+        FROM (
+          SELECT CASE WHEN user_id IS NULL THEN 'orders_only'
+                      WHEN o_custkey IS NULL THEN 'events_only'
+                      ELSE 'both' END AS side, n_events, n_orders
+          FROM ev FULL JOIN orc ON user_id = o_custkey)
+        GROUP BY side
+        ORDER BY side""")),
+
+    // ---- Analytic window: lead() + a RANGE frame (value-based, not row-based)
+    QuerySpec(
+      "q34_lead_range_window",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.events(s, d)
+        val w = Window.partitionBy($"user_id").orderBy($"event_id")
+        e.withColumn("next_value", lead($"value", 1).over(w))
+          .withColumn("range_sum",
+            sum(dec($"value")).over(w.rangeBetween(-10, 0)).cast("double"))
+          .withColumn("seq", row_number().over(w))
+          .filter($"seq" <= 5)
+          .select($"user_id", $"seq", $"event_id", $"value", $"next_value", $"range_sum")
+          .orderBy($"user_id", $"seq")
+      },
+      Some("""
+        SELECT user_id, seq, event_id, value, next_value, range_sum FROM (
+          SELECT user_id, event_id, value,
+                 LEAD(value, 1) OVER w AS next_value,
+                 CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY event_id
+                      RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum,
+                 ROW_NUMBER() OVER w AS seq
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        WHERE seq <= 5
+        ORDER BY user_id, seq""")),
+
+    // ---- MapType scalar functions: construction, element access, keys/values.
+    //      The oracle recomputes the same VALUES directly (DuckDB's MAP
+    //      extraction semantics differ; the gate compares results, not plans).
+    QuerySpec(
+      "q35_map_functions",
+      (s, d) => {
+        import s.implicits._
+        val meta = map(
+          lit("brand"), $"p_brand",
+          lit("ptype"), $"p_type",
+          lit("size"), $"p_size".cast("string"))
+        Tables.part(s, d)
+          .filter($"p_size" > 40)
+          .select($"p_partkey", meta.as("meta"))
+          .select(
+            $"p_partkey",
+            element_at($"meta", "brand").as("brand"),
+            element_at($"meta", "ptype").as("ptype"),
+            size($"meta").as("n_keys"),
+            array_join(sort_array(map_keys($"meta")), ",").as("keys_csv"),
+            array_join(map_values($"meta"), "|").as("vals_csv"))
+          .orderBy($"p_partkey")
+      },
+      Some("""
+        SELECT p_partkey, p_brand AS brand, p_type AS ptype,
+               3 AS n_keys,
+               'brand,ptype,size' AS keys_csv,
+               p_brand || '|' || p_type || '|' || CAST(p_size AS VARCHAR) AS vals_csv
+        FROM part
+        WHERE p_size > 40
+        ORDER BY p_partkey""")),
+
+    // ---- Explicit GROUPING SETS (beyond q09 rollup / q10 cube): the two
+    //      single-column sets plus the grand total, via the Spark 4
+    //      Dataset.groupingSets API
+    QuerySpec(
+      "q36_grouping_sets",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .groupingSets(
+            Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq()),
+            $"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+               dsum($"o_totalprice").as("sum_price"))
+          .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
   )
 }
