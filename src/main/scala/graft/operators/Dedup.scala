@@ -52,21 +52,42 @@ object Dedup {
     * it, a corpus whose docs share a small vocabulary degenerates to an
     * all-pairs join (observed: ~600M joined rows at sf0.1).
     */
+  /** @param maxTokenDf skew guard: tokens appearing in more than this many
+    *        docs of one block are excluded from CANDIDATE GENERATION (each
+    *        such token alone contributes O(df²) joined rows — one stop-word
+    *        inside a block is the all-pairs meltdown this operator exists
+    *        to avoid). Verification then recomputes the EXACT Jaccard from
+    *        the full token sets, so capped tokens still count toward the
+    *        score of every surviving pair. Bound on the loss: only a pair
+    *        whose every shared token exceeds the cap can be missed — at
+    *        threshold ≥ 0.5 that is a pair built almost entirely of
+    *        block-wide stopwords, which is not a meaningful near-dup.
+    */
   def jaccardPairs(docs: DataFrame, threshold: Double,
-                   blockCol: String = "source"): DataFrame = {
-    val toks = docs.select(col("doc_id"), col(blockCol).as("blk"),
-      explode(tokenSet(col("text"))).as("tok"))
-    val sizes = docs.select(col("doc_id"), size(tokenSet(col("text"))).as("n_tok"))
-    val a = toks.as("a")
-    val b = toks.as("b")
-    a.join(b, col("a.blk") === col("b.blk") && col("a.tok") === col("b.tok") &&
+                   blockCol: String = "source", maxTokenDf: Int = 1000): DataFrame = {
+    val sets = docs.select(col("doc_id"), col(blockCol).as("blk"),
+      tokenSet(col("text")).as("toks"))
+    val toks = sets.select(col("doc_id"), col("blk"), explode(col("toks")).as("tok"))
+    val indexed = toks
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("blk"), col("tok"))))
+      .filter(col("df") <= maxTokenDf)
+    val a = indexed.as("a")
+    val b = indexed.as("b")
+    val candidates = a.join(b,
+        col("a.blk") === col("b.blk") && col("a.tok") === col("b.tok") &&
         col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_tok", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_tok", "n_b"), "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // exact verification over the full (uncapped) token sets; |candidates|
+    // is bounded by the df cap, so the arrays only travel for real pairs
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+      .withColumn("n_shared", inter)
       .withColumn("jaccard",
-        col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
+        col("n_shared").cast("double") /
+          (size(col("toks_a")) + size(col("toks_b")) - col("n_shared")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -137,12 +158,25 @@ object Dedup {
   /** Pairs within the given hamming distance of simhash fingerprints,
     * candidate-generated by 4 16-bit bands (any pair within distance ≤3
     * shares at least one exact band).
+    *
+    * @param maxBucketSize skew guard, same pattern as [[minhashLsh]]: a
+    *        band-bucket holding n docs contributes O(n²) candidates; a
+    *        bucket that collects a large fraction of the corpus means the
+    *        band carries no discriminating bits there, so it is dropped.
+    *        A dropped pair can still surface through any of the other 3
+    *        bands; only pairs colliding SOLELY in degenerate buckets are
+    *        lost.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   maxBucketSize: Int = 256): DataFrame = {
     val sigs = docs.select(col("doc_id"), simhash(col("text")).as("sh"))
     val banded = sigs.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "bucket")))
+      .withColumn("bucket_n", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&

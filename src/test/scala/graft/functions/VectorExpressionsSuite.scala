@@ -65,6 +65,25 @@ class VectorExpressionsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(dotLine.trim.startsWith("*("), plan)
   }
 
+  test("nearest_centroid picks the argmin cell, ties to lowest id, codegen'd") {
+    val sql = spark
+    import sql.implicits._
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 0.0), Array(0.0, 10.0))
+    val df = Seq(
+      Seq(1.0, 1.0),    // nearest: (0,0) → 0
+      Seq(9.0, 1.0),    // nearest: (10,0) → 1
+      Seq(1.0, 9.0),    // nearest: (0,10) → 2
+      Seq(5.0, 0.0))    // tie between 0 and 1 → lowest id 0
+      // repartition keeps the projection physical (ConvertToLocalRelation
+      // would otherwise fold it into the LocalRelation)
+      .toDF("v").repartition(1)
+    val got = df.select(VectorFunctions.nearest_centroid($"v", cents).as("cid"))
+    assert(got.collect().map(_.getInt(0)).toSeq === Seq(0, 1, 2, 0))
+    val line = got.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("nearest_centroid")).get
+    assert(line.contains("*("), "nearest_centroid must stay in WSCG")
+  }
+
   test("null array yields null, mismatched lengths use the shorter") {
     val sql = spark
     import sql.implicits._
