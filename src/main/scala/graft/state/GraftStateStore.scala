@@ -13,13 +13,32 @@ import org.apache.spark.sql.types.StructType
   * Keys/values are opaque bytes; the physical key layout is produced by the
   * provider (see [[GraftStateStoreProviderBase.physicalKey]]).
   */
+/** A KV scan whose backing resources (e.g. a native RocksDB iterator) can
+  * be released without draining it. `close()` must be idempotent and is
+  * also called implicitly on exhaustion by well-behaved implementations.
+  */
+trait KvScanIterator extends Iterator[(Array[Byte], Array[Byte])] with AutoCloseable
+
+object KvScanIterator {
+  /** Wrap a heap-backed iterator that holds no native resources. */
+  def wrap(it: Iterator[(Array[Byte], Array[Byte])]): KvScanIterator =
+    new KvScanIterator {
+      def hasNext: Boolean = it.hasNext
+      def next(): (Array[Byte], Array[Byte]) = it.next()
+      def close(): Unit = ()
+    }
+}
+
 trait StoreSession {
   def get(key: Array[Byte]): Array[Byte] // null when absent
   def put(key: Array[Byte], value: Array[Byte]): Unit
   def remove(key: Array[Byte]): Unit
   /** Sorted (unsigned-lex) iteration over keys with the given byte prefix;
-    * whole store for an empty prefix. */
-  def scan(prefix: Array[Byte]): Iterator[(Array[Byte], Array[Byte])]
+    * whole store for an empty prefix. Callers that may not drain the
+    * iterator (limit/take) must `close()` it; sessions also close any
+    * still-open scans on commit/abort so a native handle can never outlive
+    * the DB it reads from. */
+  def scan(prefix: Array[Byte]): KvScanIterator
   def commit(): Unit
   def abort(): Unit
   def numKeys: Long
@@ -286,8 +305,15 @@ abstract class GraftStateStoreProviderBase extends StateStoreProvider with Loggi
       val pk = physicalKey(colFamilyName, info, key)
       val bk = new BytesKey(pk)
       if (ttlConf.strict && expiry.isExpired(bk)) {
-        session.remove(pk)
-        expiry.remove(bk)
+        // physical delete only while Updating: a read on a Committed store
+        // must not write into the live DB after its changelog sealed (the
+        // local DB would diverge from the snapshot/changelog chain). The
+        // tracker entry stays either way so a later commit's sweep still
+        // drops the row.
+        if (state == State.Updating) {
+          session.remove(pk)
+          expiry.remove(bk)
+        }
         return null
       }
       val bytes = session.get(pk)
@@ -391,7 +417,11 @@ abstract class GraftStateStoreProviderBase extends StateStoreProvider with Loggi
       val pairs = filtered.map { case (k, v) =>
         new UnsafeRowPair(decodeKey(colFamilyName, info, k), decodeValue(info, v))
       }
-      new StateStoreIterator(pairs, () => ())
+      // the backend scan's close MUST reach the StateStoreIterator: a
+      // partially-consumed iterator (limit/take over state) would otherwise
+      // leak a native RocksIterator, and closing the DB with live native
+      // iterators can crash the JVM
+      new StateStoreIterator(pairs, () => raw.close())
     }
 
     override def prefixScan(prefixKey: UnsafeRow, colFamilyName: String): StateStoreIterator[UnsafeRowPair] = {
@@ -406,7 +436,7 @@ abstract class GraftStateStoreProviderBase extends StateStoreProvider with Loggi
       val pairs = filtered.map { case (k, v) =>
         new UnsafeRowPair(decodeKey(colFamilyName, info, k), decodeValue(info, v))
       }
-      new StateStoreIterator(pairs, () => ())
+      new StateStoreIterator(pairs, () => raw.close())
     }
 
     override def metrics: StateStoreMetrics =

@@ -76,12 +76,13 @@ final class InMemorySessionBackend(storeKey: String) extends SessionBackend {
       def remove(key: Array[Byte]): Unit =
         data -= new BytesKey(key)
 
-      def scan(prefix: Array[Byte]): Iterator[(Array[Byte], Array[Byte])] = {
+      def scan(prefix: Array[Byte]): KvScanIterator = {
         val it =
           if (prefix.isEmpty) data.iterator
           else data.iteratorFrom(new BytesKey(prefix))
             .takeWhile { case (k, _) => ByteOrdering.hasPrefix(k.bytes, prefix) }
-        it.map { case (k, v) => (k.bytes, v) }
+        // heap-backed persistent map: nothing native to release
+        KvScanIterator.wrap(it.map { case (k, v) => (k.bytes, v) })
       }
 
       def commit(): Unit = versions.put(commitVersion, data)

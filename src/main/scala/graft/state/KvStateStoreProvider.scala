@@ -70,12 +70,23 @@ object EmbeddedKvServer {
   def clear(): Unit = spaces.clear()
 }
 
-/** Versioned sessions over a [[KvClient]]: reads hit `<prefix>:<v>:`,
-  * writes buffer locally and commit as one atomic batch under
-  * `<prefix>:<v+1>:` (read-version / write-next-version, the Redis
-  * semantics — reference RedisStateStoreProvider.scala:108,119).
+/** Versioned sessions over a [[KvClient]], stored as per-version DELTAS.
+  *
+  * Every committed version writes only its batch's changes under
+  * `<prefix>:<v>:` — puts framed as `[0][payload]`, removals as a `[1]`
+  * tombstone. Reads resolve through the version chain newest→oldest until
+  * the nearest BASE version (a full materialization, written every
+  * [[KvSessionBackend.BaseInterval]] commits and by maintenance
+  * compaction), exactly the changelog+snapshot shape the RocksDB backend
+  * uses on its checkpoint FS.
+  *
+  * The previous design copied the ENTIRE base keyspace forward on every
+  * commit — O(total state) writes per batch, which defeats an external KV
+  * at any real state size. Now commit writes ∝ the batch delta, and the
+  * chain walk is bounded by the base cadence.
   */
-final class KvSessionBackend(storePrefix: String, client: KvClient)
+final class KvSessionBackend(storePrefix: String, client: KvClient,
+                             baseInterval: Int = KvSessionBackend.BaseInterval)
     extends SessionBackend {
 
   private val Sep: Byte = ':'
@@ -90,43 +101,91 @@ final class KvSessionBackend(storePrefix: String, client: KvClient)
     out
   }
   private val versionsKey = s"$storePrefix:__versions__".getBytes("UTF-8")
+  private val basesKey = s"$storePrefix:__bases__".getBytes("UTF-8")
 
-  private def committed(): Set[Long] = {
-    val raw = client.get(versionsKey)
+  // value framing inside a version keyspace
+  private val TagPut: Byte = 0
+  private val TagTombstone: Byte = 1
+  private def framePut(v: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](v.length + 1)
+    out(0) = TagPut
+    System.arraycopy(v, 0, out, 1, v.length)
+    out
+  }
+  private val tombstone: Array[Byte] = Array(TagTombstone)
+  private def unframe(v: Array[Byte]): Option[Array[Byte]] =
+    if (v(0) == TagTombstone) None
+    else Some(java.util.Arrays.copyOfRange(v, 1, v.length))
+
+  private def readVersionSet(key: Array[Byte]): Set[Long] = {
+    val raw = client.get(key)
     if (raw == null) Set.empty
     else new String(raw, "UTF-8").split(',').filter(_.nonEmpty).map(_.toLong).toSet
   }
 
-  private def recordVersion(v: Long): Unit = {
-    val vs = committed() + v
+  private def writeVersionSet(key: Array[Byte], vs: Set[Long],
+                              extraPuts: Seq[(Array[Byte], Array[Byte])] = Seq.empty): Unit =
     client.writeBatch(
-      Seq(versionsKey -> vs.toSeq.sorted.mkString(",").getBytes("UTF-8")), Seq.empty)
-  }
+      extraPuts :+ (key -> vs.toSeq.sorted.mkString(",").getBytes("UTF-8")), Seq.empty)
+
+  private def committed(): Set[Long] = readVersionSet(versionsKey)
+  private def bases(): Set[Long] = readVersionSet(basesKey)
 
   override def committedVersions(): Seq[Long] = committed().toSeq.sorted
 
-  override def open(loadVersion: Long, commitVersion: Long): StoreSession = {
-    // lenient ladder: newest committed version ≤ loadVersion, else empty
-    val base = committed().filter(_ <= loadVersion) match {
-      case s if s.isEmpty => None
-      case s => Some(s.max)
+  /** Versions to consult for a read as of `asOf`, OLDEST FIRST, starting at
+    * the newest base ≤ asOf (or the oldest committed version if no base —
+    * the first commit acts as one).
+    */
+  private def chainAsOf(asOf: Long): Seq[Long] = {
+    val vs = committed().filter(_ <= asOf)
+    if (vs.isEmpty) return Seq.empty
+    val start = bases().filter(_ <= asOf) match {
+      case b if b.nonEmpty => b.max
+      case _ => vs.min
     }
-    val readPrefix = base.map(versionPrefix)
+    vs.filter(_ >= start).toSeq.sorted
+  }
+
+  private def strip(full: Array[Byte], prefix: Array[Byte]): Array[Byte] =
+    java.util.Arrays.copyOfRange(full, prefix.length, full.length)
+
+  /** Full resolved state at `asOf` (server side only, no overlay). */
+  private def resolveAt(asOf: Long, prefix: Array[Byte]): TreeMap[BytesKey, Array[Byte]] = {
+    var acc = TreeMap.empty[BytesKey, Array[Byte]](ByteOrdering)
+    chainAsOf(asOf).foreach { v =>
+      val p = versionPrefix(v)
+      client.scanPrefix(p ++ prefix).foreach { case (k, framed) =>
+        val key = new BytesKey(strip(k, p))
+        unframe(framed) match {
+          case Some(value) => acc += (key -> value)
+          case None => acc -= key
+        }
+      }
+    }
+    acc
+  }
+
+  override def open(loadVersion: Long, commitVersion: Long): StoreSession = {
+    // lenient ladder: chainAsOf resolves through the newest committed
+    // version ≤ loadVersion; empty chain → empty store
+    val readChainNewestFirst = chainAsOf(loadVersion).reverse
 
     new StoreSession {
       // local overlay: server state stays untouched until commit (the
       // MULTI/EXEC discipline — and abort is a real rollback)
       private var overlay = TreeMap.empty[BytesKey, Option[Array[Byte]]](ByteOrdering)
 
-      private def strip(full: Array[Byte], prefix: Array[Byte]): Array[Byte] =
-        java.util.Arrays.copyOfRange(full, prefix.length, full.length)
-
       def get(key: Array[Byte]): Array[Byte] =
         overlay.get(new BytesKey(key)) match {
           case Some(Some(v)) => v
           case Some(None) => null
           case None =>
-            readPrefix.map(p => client.get(p ++ key)).orNull
+            // newest→oldest: the first version with an entry decides
+            readChainNewestFirst.iterator
+              .map(v => client.get(versionPrefix(v) ++ key))
+              .collectFirst { case framed if framed != null => unframe(framed) }
+              .flatten.orNull
         }
 
       def put(key: Array[Byte], value: Array[Byte]): Unit =
@@ -135,41 +194,45 @@ final class KvSessionBackend(storePrefix: String, client: KvClient)
       def remove(key: Array[Byte]): Unit =
         overlay += (new BytesKey(key) -> None)
 
-      def scan(prefix: Array[Byte]): Iterator[(Array[Byte], Array[Byte])] = {
-        val fromServer: Map[BytesKey, Array[Byte]] = readPrefix match {
-          case None => Map.empty
-          case Some(p) =>
-            client.scanPrefix(p ++ prefix)
-              .map { case (k, v) => new BytesKey(strip(k, p)) -> v }.toMap
-        }
-        val merged = fromServer ++ overlay.iterator.collect {
-          case (k, Some(v)) if ByteOrdering.hasPrefix(k.bytes, prefix) => k -> v
-        }.toMap
-        val removed = overlay.collect { case (k, None) => k }.toSet
-        merged.view.filterKeys(k => !removed.contains(k))
-          .toSeq.sortBy(_._1)(ByteOrdering)
-          .iterator.map { case (k, v) => (k.bytes, v) }
+      def scan(prefix: Array[Byte]): KvScanIterator = {
+        var merged = resolveAt(loadVersion, prefix)
+        overlay.iterator.filter(e => ByteOrdering.hasPrefix(e._1.bytes, prefix))
+          .foreach {
+            case (k, Some(v)) => merged += (k -> v)
+            case (k, None) => merged -= k
+          }
+        // materialized merge: the iterator holds no server resources
+        KvScanIterator.wrap(merged.iterator.map { case (k, v) => (k.bytes, v) })
       }
 
       def commit(): Unit = {
         val writePrefix = versionPrefix(commitVersion)
-        // seed the new version with the base version's surviving entries,
-        // then apply the overlay — one atomic batch
-        val seed: Seq[(Array[Byte], Array[Byte])] = readPrefix match {
-          case None => Seq.empty
-          case Some(p) =>
-            client.scanPrefix(p).map { case (k, v) =>
-              (writePrefix ++ strip(k, p), v)
+        val isBase = baseInterval > 0 && commitVersion % baseInterval == 0
+        val puts: Seq[(Array[Byte], Array[Byte])] =
+          if (isBase) {
+            // cadence base: materialize the full resolved state (amortized
+            // O(state)/interval, like the RocksDB zip-snapshot cadence) so
+            // read chains and recovery stay bounded
+            var full = resolveAt(loadVersion, Array.emptyByteArray)
+            overlay.foreach {
+              case (k, Some(v)) => full += (k -> v)
+              case (k, None) => full -= k
+            }
+            full.iterator.map { case (k, v) => (writePrefix ++ k.bytes, framePut(v)) }.toSeq
+          } else {
+            // delta commit: writes ∝ this batch's changes only
+            overlay.iterator.map {
+              case (k, Some(v)) => (writePrefix ++ k.bytes, framePut(v))
+              case (k, None) => (writePrefix ++ k.bytes, tombstone)
             }.toSeq
-        }
-        val puts = seed ++ overlay.iterator.collect {
-          case (k, Some(v)) => (writePrefix ++ k.bytes, v)
-        }.toSeq
-        val deletes = overlay.iterator.collect {
-          case (k, None) => writePrefix ++ k.bytes
-        }.toSeq
-        client.writeBatch(puts, deletes)
-        recordVersion(commitVersion)
+          }
+        // one atomic batch: the version's data plus both registry updates
+        val registryPuts = Seq(
+          versionsKey -> (committed() + commitVersion).toSeq.sorted.mkString(",").getBytes("UTF-8")) ++
+          (if (isBase)
+            Seq(basesKey -> (bases() + commitVersion).toSeq.sorted.mkString(",").getBytes("UTF-8"))
+          else Seq.empty)
+        client.writeBatch(puts ++ registryPuts, Seq.empty)
       }
 
       def abort(): Unit = overlay = TreeMap.empty(ByteOrdering)
@@ -180,18 +243,37 @@ final class KvSessionBackend(storePrefix: String, client: KvClient)
     }
   }
 
+  /** Compaction + GC: materialize a base at the retention horizon, then
+    * drop every older version's keyspace.
+    */
   override def doMaintenance(minVersionsToRetain: Int): Unit = {
     val vs = committedVersions()
-    if (vs.nonEmpty) {
-      val earliest = vs.max - minVersionsToRetain + 1
-      val keep = vs.filter(_ >= earliest)
-      vs.filter(_ < earliest).foreach(v => client.deletePrefix(versionPrefix(v)))
-      client.writeBatch(
-        Seq(versionsKey -> keep.mkString(",").getBytes("UTF-8")), Seq.empty)
+    if (vs.isEmpty) return
+    val earliest = math.max(vs.max - minVersionsToRetain + 1, vs.min)
+    val horizon = vs.filter(_ <= earliest).max // newest version ≤ horizon
+    if (!bases().contains(horizon)) {
+      val full = resolveAt(horizon, Array.emptyByteArray)
+      val p = versionPrefix(horizon)
+      // rewrite the horizon version as a base (its delta entries are
+      // subsumed by the materialization; tombstones below a base are dead)
+      client.deletePrefix(p)
+      writeVersionSet(basesKey, bases() + horizon,
+        extraPuts = full.iterator.map { case (k, v) => (p ++ k.bytes, framePut(v)) }.toSeq)
     }
+    vs.filter(_ < horizon).foreach(v => client.deletePrefix(versionPrefix(v)))
+    writeVersionSet(versionsKey, committed().filter(_ >= horizon))
+    writeVersionSet(basesKey, bases().filter(_ >= horizon))
   }
 
   override def close(): Unit = client.close()
+}
+
+object KvSessionBackend {
+  /** Full-materialization cadence: every N commits the version is written
+    * as a base instead of a delta, bounding read chains and recovery cost
+    * (same amortization as the RocksDB snapshot cadence).
+    */
+  val BaseInterval = 10
 }
 
 /** Provider wiring the KV seam to the embedded server. A production

@@ -195,7 +195,11 @@ final class RocksDbSessionBackend(
           require(Files.exists(workDir.resolve("CURRENT")),
             s"snapshot $base has no RocksDB manifest")
         }
-        val db = RocksDB.open(newOptions(), workDir.toString)
+        // MUST go through openDb: in non-strict TTL mode the live store is
+        // a TtlDB whose values carry a 4-byte timestamp suffix — replaying
+        // through a plain RocksDB.open would write unframed values into the
+        // same dir and silently corrupt every replayed value after recovery
+        val db = openDb(workDir)
         try {
           var v = base + 1
           var reached = base
@@ -249,6 +253,17 @@ final class RocksDbSessionBackend(
       private var dirty = false
       // batch changelog: replayed on recovery for versions between zips
       private val changes = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Array[Byte])]
+      // scans whose native RocksIterator is still open — a handle that
+      // outlives the DB (close with live iterators) can crash the JVM, so
+      // commit/abort drain this set before any DB teardown can follow
+      private val openScans =
+        java.util.Collections.newSetFromMap(
+          new ConcurrentHashMap[KvScanIterator, java.lang.Boolean]())
+
+      private def closeOpenScans(): Unit = {
+        openScans.asScala.toSeq.foreach(s => Try(s.close()))
+        openScans.clear()
+      }
 
       def get(key: Array[Byte]): Array[Byte] = db.get(key)
       def put(key: Array[Byte], value: Array[Byte]): Unit = {
@@ -258,16 +273,15 @@ final class RocksDbSessionBackend(
         dirty = true; changes += ((key, null)); db.delete(key)
       }
 
-      def scan(prefix: Array[Byte]): Iterator[(Array[Byte], Array[Byte])] = {
+      def scan(prefix: Array[Byte]): KvScanIterator = {
         val it = db.newIterator()
         if (prefix.isEmpty) it.seekToFirst() else it.seek(prefix)
-        new Iterator[(Array[Byte], Array[Byte])] {
+        val scanIt: KvScanIterator = new KvScanIterator {
           private var done = false
           private def check(): Unit =
             if (!done && !(it.isValid &&
               (prefix.isEmpty || ByteOrdering.hasPrefix(it.key(), prefix)))) {
-              done = true
-              it.close()
+              close()
             }
           check()
           def hasNext: Boolean = !done
@@ -277,13 +291,21 @@ final class RocksDbSessionBackend(
             check()
             kv
           }
+          def close(): Unit = if (!done) {
+            done = true
+            it.close()
+            openScans.remove(this)
+          }
         }
+        if (scanIt.hasNext) openScans.add(scanIt)
+        scanIt
       }
 
       private var durabilityMs = 0L
 
       def commit(): Unit = {
         val t0 = System.nanoTime()
+        closeOpenScans()
         // durability per commit = the small changelog, written synchronously
         writeChangelog(commitVersion, changes.toSeq)
         // consistent local point-in-time snapshot via hardlinks (cheap;
@@ -304,10 +326,13 @@ final class RocksDbSessionBackend(
 
       override def lastCommitDurabilityMs: Long = durabilityMs
 
-      def abort(): Unit = if (dirty) {
-        // uncommitted writes live in the shared DB — drop it; the next
-        // open reloads from the last committed snapshot
-        invalidateLive()
+      def abort(): Unit = {
+        closeOpenScans()
+        if (dirty) {
+          // uncommitted writes live in the shared DB — drop it; the next
+          // open reloads from the last committed snapshot
+          invalidateLive()
+        }
       }
 
       def numKeys: Long = db.getProperty("rocksdb.estimate-num-keys").toLong

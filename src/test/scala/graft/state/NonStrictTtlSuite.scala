@@ -31,6 +31,30 @@ class NonStrictTtlSuite extends AnyFunSuite {
     p.close()
   }
 
+  test("non-strict recovery replays changelogs through the TtlDB value framing") {
+    // regression: loadInto used to replay changelogs via plain RocksDB.open
+    // while the live store opens via TtlDB — TtlDB values carry a 4-byte
+    // timestamp suffix, so replayed values came back truncated/corrupt
+    // after any fresh-provider recovery
+    val dir = Files.createTempDirectory("graft-nonstrict-rec").toString + "/q/state"
+    val conf = storeConf(extra = Map(
+      s"${TtlConf.ExpiryKey}.q" -> "3600",
+      TtlConf.StrictKey -> "false"))
+    val p1 = initProvider(new RocksDbStateStoreProvider, dir, conf)
+    val s0 = p1.getStore(0, None)
+    put(s0, "k", 7)
+    put(s0, "j", 11)
+    assert(s0.commit() === 1)
+    p1.close() // drops local snapshots; only the remote changelog survives
+
+    val p2 = initProvider(new RocksDbStateStoreProvider, dir, conf)
+    val s1 = p2.getStore(1, None)
+    assert(get(s1, "k").contains(7))
+    assert(contents(s1) === Map("k" -> 7, "j" -> 11))
+    s1.abort()
+    p2.close()
+  }
+
   test("non-strict ttl=0 is still stateless (storage TTL can't express it)") {
     val dir = Files.createTempDirectory("graft-nonstrict0").toString + "/q/state"
     val conf = storeConf(extra = Map(
