@@ -99,6 +99,10 @@ object StateBench {
     val js = results.map { case (k, (evps, commit, dur)) =>
       s""""$k":{"events_per_sec":${evps.toLong},"avg_commit_ms":${commit.round},"avg_snapshot_durability_ms":${dur.round}}"""
     }.mkString(",")
-    println(s"""{"metric":"state_store_bench","batches":$nBatches,"events_per_batch":$eventsPerBatch,"keys":$nKeys,"providers":{$js}}""")
+    val json = s"""{"metric":"state_store_bench","batches":$nBatches,"events_per_batch":$eventsPerBatch,"keys":$nKeys,"providers":{$js}}"""
+    println(json)
+    // committed into the repo so every round's artifacts carry the
+    // state-throughput numbers (BASELINE.md state-store target)
+    Files.writeString(java.nio.file.Paths.get("STATEBENCH.json"), json + "\n")
   }
 }
