@@ -122,6 +122,21 @@ abstract class GraftStateStoreProviderBase extends StateStoreProvider with Loggi
     lazy val prefixProj: UnsafeProjection = UnsafeProjection.create(
       (0 until numPrefixCols).map(i =>
         BoundReference(i, keySchema(i).dataType, keySchema(i).nullable)))
+
+    /** Range-scan ordering columns (RangeKeyScanStateEncoderSpec): the
+      * physical key gets an order-preserving big-endian section for these
+      * columns so unsigned-lex backend iteration IS value order — Spark's
+      * TTL/timer cleanup iterates such CFs expecting expiration order and
+      * stops at the first live entry.
+      */
+    val rangeOrdinals: Seq[Int] = spec match {
+      case r: RangeKeyScanStateEncoderSpec => r.orderingOrdinals
+      case _ => Seq.empty
+    }
+    /** Fixed byte width of the range section (1 null-marker + payload per
+      * ordering column), so decode can skip it without a length prefix. */
+    lazy val rangeSectionLen: Int =
+      rangeOrdinals.map(i => 1 + RangeKeyCodec.width(keySchema(i).dataType)).sum
   }
 
   protected val cfs = new java.util.concurrent.ConcurrentHashMap[String, CfInfo]()
@@ -184,11 +199,22 @@ abstract class GraftStateStoreProviderBase extends StateStoreProvider with Loggi
     out
   }
 
-  /** cf header ++ [prefix section when prefix-scannable] ++ full key row. */
+  /** cf header ++ [range section | prefix section] ++ full key row. */
   protected def physicalKey(cf: String, info: CfInfo, key: UnsafeRow): Array[Byte] = {
     val header = cfPrefix(cf)
     val keyBytes = key.getBytes
-    if (info.numPrefixCols == 0) {
+    if (info.rangeOrdinals.nonEmpty) {
+      // order-preserving section first: backend byte order == value order
+      // over the ordering columns (ties broken by the raw key bytes)
+      val out = new Array[Byte](header.length + info.rangeSectionLen + keyBytes.length)
+      var o = 0
+      System.arraycopy(header, 0, out, o, header.length); o += header.length
+      info.rangeOrdinals.foreach { ord =>
+        o += RangeKeyCodec.encode(key, ord, info.keySchema(ord).dataType, out, o)
+      }
+      System.arraycopy(keyBytes, 0, out, o, keyBytes.length)
+      out
+    } else if (info.numPrefixCols == 0) {
       val out = new Array[Byte](header.length + keyBytes.length)
       System.arraycopy(header, 0, out, 0, header.length)
       System.arraycopy(keyBytes, 0, out, header.length, keyBytes.length)
@@ -229,7 +255,9 @@ abstract class GraftStateStoreProviderBase extends StateStoreProvider with Loggi
   protected def decodeKey(cf: String, info: CfInfo, physical: Array[Byte]): UnsafeRow = {
     val headerLen = 2 + cfBytes(cf).length
     var off = headerLen
-    if (info.numPrefixCols > 0) {
+    if (info.rangeOrdinals.nonEmpty) {
+      off += info.rangeSectionLen // fixed width — full key row follows
+    } else if (info.numPrefixCols > 0) {
       val plen = ((physical(off) & 0xFF) << 24) | ((physical(off + 1) & 0xFF) << 16) |
         ((physical(off + 2) & 0xFF) << 8) | (physical(off + 3) & 0xFF)
       off += 4 + plen

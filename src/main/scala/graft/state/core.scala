@@ -118,6 +118,71 @@ final class ExpiryTracker(ttl: TtlConf, clock: TtlClock) {
   }
 }
 
+/** Order-preserving byte encoding for range-scan ordering columns
+  * (RangeKeyScanStateEncoderSpec): unsigned-lex comparison of the encoded
+  * bytes equals value comparison, so a byte-ordered backend (RocksDB, the
+  * in-memory TreeMap) iterates range-scan column families in value order.
+  * Layout per column: `[1B null marker: 0=null, 1=present][fixed-width
+  * big-endian payload]` — nulls sort first, matching Spark's encoder.
+  */
+object RangeKeyCodec {
+  import org.apache.spark.sql.types._
+
+  /** Payload width in bytes; ordering columns must be fixed-width. */
+  def width(dt: DataType): Int = dt match {
+    case LongType | TimestampType | TimestampNTZType | DoubleType => 8
+    case IntegerType | FloatType | DateType => 4
+    case ShortType => 2
+    case ByteType => 1
+    case other =>
+      throw new IllegalArgumentException(
+        s"range-scan ordering column type $other is not fixed-width")
+  }
+
+  private def putBE(out: Array[Byte], off: Int, v: Long, n: Int): Unit = {
+    var i = 0
+    while (i < n) {
+      out(off + i) = ((v >>> ((n - 1 - i) * 8)) & 0xFF).toByte
+      i += 1
+    }
+  }
+
+  /** Sign-flip for integers; IEEE754 total-order trick for floats. */
+  private def orderBits(v: Long, n: Int): Long = v ^ (1L << (n * 8 - 1))
+  private def orderDouble(d: Double): Long = {
+    val bits = java.lang.Double.doubleToLongBits(d)
+    if (bits < 0) ~bits else bits ^ java.lang.Long.MIN_VALUE
+  }
+  private def orderFloat(f: Float): Long = {
+    val bits = java.lang.Float.floatToIntBits(f)
+    (if (bits < 0) ~bits else bits ^ Integer.MIN_VALUE).toLong & 0xFFFFFFFFL
+  }
+
+  /** Encode `row`'s column `ordinal` into `out` at `off`; returns bytes
+    * written (1 + width). */
+  def encode(row: org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+             ordinal: Int, dt: DataType, out: Array[Byte], off: Int): Int = {
+    val n = width(dt)
+    if (row.isNullAt(ordinal)) {
+      out(off) = 0
+      java.util.Arrays.fill(out, off + 1, off + 1 + n, 0.toByte)
+    } else {
+      out(off) = 1
+      val bits: Long = dt match {
+        case LongType | TimestampType | TimestampNTZType => orderBits(row.getLong(ordinal), 8)
+        case IntegerType | DateType => orderBits(row.getInt(ordinal).toLong & 0xFFFFFFFFL, 4)
+        case ShortType => orderBits(row.getShort(ordinal).toLong & 0xFFFFL, 2)
+        case ByteType => orderBits(row.getByte(ordinal).toLong & 0xFFL, 1)
+        case DoubleType => orderDouble(row.getDouble(ordinal))
+        case FloatType => orderFloat(row.getFloat(ordinal))
+        case other => throw new IllegalArgumentException(s"unsupported $other")
+      }
+      putBE(out, off + 1, bits, n)
+    }
+    1 + n
+  }
+}
+
 /** Multi-value encoding for `useMultipleValuesPerKey` stores (the Spark 4
   * `merge`/`valuesIterator` contract, used by transformWithState ListState):
   * values are stored as length-prefixed segments
