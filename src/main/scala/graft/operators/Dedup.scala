@@ -68,9 +68,14 @@ object Dedup {
     val sets = docs.select(col("doc_id"), col(blockCol).as("blk"),
       tokenSet(col("text")).as("toks"))
     val toks = sets.select(col("doc_id"), col("blk"), explode(col("toks")).as("tok"))
-    val indexed = toks
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("blk"), col("tok"))))
-      .filter(col("df") <= maxTokenDf)
+    // hot tokens are FEW by construction (df > cap on a heavy-tailed
+    // vocabulary): aggregate with map-side combine, broadcast the tiny
+    // result, anti-join — far cheaper than a window sort over every token
+    val hotTokens = toks.groupBy(col("blk"), col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxTokenDf)
+      .select(col("blk"), col("tok"))
+    val indexed = toks.join(broadcast(hotTokens), Seq("blk", "tok"), "left_anti")
     val a = indexed.as("a")
     val b = indexed.as("b")
     val candidates = a.join(b,
