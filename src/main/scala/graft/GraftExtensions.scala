@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{ArrayDot, ArrayNorm, LshSignBits, MinHash64, SimHash64}
+
+/** SQL-surface registration of the engine's codegen'd expressions via
+  * `SparkSessionExtensions` (preference (c) of the custom-operator
+  * ladder): `spark.sql("SELECT graft_array_dot(a, b) ...")` works in any
+  * session built with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
+  *
+  * Literal-only parameters (hash counts, table/bit widths) are folded at
+  * registration time — they parameterize generated code, so they cannot
+  * be column-valued.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other =>
+      throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  private def register(ext: SparkSessionExtensions, name: String, usage: String)(
+      builder: Seq[Expression] => Expression): Unit =
+    ext.injectFunction((
+      new FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", name, usage),
+      new FunctionBuilder { def apply(children: Seq[Expression]): Expression = builder(children) }))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    register(ext, "graft_array_dot",
+      "graft_array_dot(a, b) - sequential-fold dot product of two ARRAY<DOUBLE>") {
+      case Seq(a, b) => ArrayDot(a, b)
+      case other => throw new IllegalArgumentException(
+        s"graft_array_dot expects 2 arguments, got ${other.length}")
+    }
+    register(ext, "graft_array_norm",
+      "graft_array_norm(a) - L2 norm of an ARRAY<DOUBLE>") {
+      case Seq(a) => ArrayNorm(a)
+      case other => throw new IllegalArgumentException(
+        s"graft_array_norm expects 1 argument, got ${other.length}")
+    }
+    register(ext, "graft_minhash64",
+      "graft_minhash64(tokens, nHashes) - nHashes-lane minhash signature of ARRAY<STRING>") {
+      case Seq(tokens, n) => MinHash64(tokens, intLit(n, "nHashes"))
+      case other => throw new IllegalArgumentException(
+        s"graft_minhash64 expects 2 arguments, got ${other.length}")
+    }
+    register(ext, "graft_simhash64",
+      "graft_simhash64(tokens) - 64-bit simhash of ARRAY<STRING>") {
+      case Seq(tokens) => SimHash64(tokens)
+      case other => throw new IllegalArgumentException(
+        s"graft_simhash64 expects 1 argument, got ${other.length}")
+    }
+    register(ext, "graft_lsh_sign_bits",
+      "graft_lsh_sign_bits(vec, table, nBits) - random-hyperplane sign signature of ARRAY<DOUBLE>") {
+      case Seq(vec, t, n) => LshSignBits(vec, intLit(t, "table"), intLit(n, "nBits"))
+      case other => throw new IllegalArgumentException(
+        s"graft_lsh_sign_bits expects 3 arguments, got ${other.length}")
+    }
+  }
+}

@@ -195,6 +195,64 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // Embedding-cosine near-dup
+
+  /** All pairs (a < b) within the same block whose embedding cosine ≥
+    * threshold — the exact formulation (the correctness oracle and the
+    * small-block tool). Blocking (default: `label`) is the declared scale
+    * lever exactly as in [[jaccardPairs]]; the all-pairs join inside one
+    * block is O(block²), so the 100 TB path is [[cosinePairsLsh]].
+    */
+  def cosinePairs(embeddings: DataFrame, threshold: Double,
+                  blockCol: String = "label"): DataFrame = {
+    import graft.functions.VectorFunctions.array_cosine
+    val v = embeddings.select(col("vec_id"), col(blockCol).as("blk"),
+      col("embedding").cast("array<double>").as("v"))
+    val a = v.as("a")
+    val b = v.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", array_cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Near-dup candidate pairs from random-hyperplane LSH buckets (shared
+    * full signature in ≥1 of `tables` tables), verified by the exact
+    * cosine. Same bucketed shape as [[minhashLsh]]: only (vec_id, table,
+    * bucket) travels through the candidate self-join, vectors rejoin by
+    * id for verification, and degenerate buckets are capped. Recall < 1
+    * by design (a pair colliding in no table is missed).
+    */
+  def cosinePairsLsh(embeddings: DataFrame, threshold: Double,
+                     tables: Int = 8, nBits: Int = 4,
+                     maxBucketSize: Int = 256): DataFrame = {
+    import graft.functions.VectorFunctions.array_cosine
+    val v = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val banded = v.select(col("vec_id"),
+      posexplode(array((0 until tables).map(t =>
+        graft.functions.HashFunctions.lsh_sign_bits(col("v"), t, nBits)): _*))
+        .as(Seq("tbl", "bucket")))
+      .withColumn("bucket_n", count(lit(1)).over(
+        Window.partitionBy(col("tbl"), col("bucket"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val l = banded.as("l")
+    val r = banded.as("r")
+    val candidates = l.join(r,
+        col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
+        col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    candidates
+      .join(v.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(v.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .withColumn("cos", array_cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  // ---------------------------------------------------------------------
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -233,6 +291,33 @@ object Dedup {
           AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
         ORDER BY doc_a, doc_b""")),
+
+    QuerySpec(
+      "q45_cosine_dedup",
+      (s, d) => cosinePairs(Tables.embeddings(s, d), 0.35)
+        .orderBy(col("vec_a"), col("vec_b")),
+      Some("""
+        WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             pairs AS (
+               SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                      list_reduce(list_prepend(0.0,
+                        list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])), (x, y) -> x + y)
+                      / (sqrt(list_reduce(list_prepend(0.0,
+                           list_transform(list_zip(a.v, a.v), p -> p[1] * p[2])), (x, y) -> x + y))
+                       * sqrt(list_reduce(list_prepend(0.0,
+                           list_transform(list_zip(b.v, b.v), p -> p[1] * p[2])), (x, y) -> x + y))) AS cos
+               FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, round(cos, 6) AS cos_sim
+        FROM pairs
+        WHERE cos >= 0.35
+        ORDER BY vec_a, vec_b""")),
+
+    // LSH-bucketed variant: recall < 1 by design → rows-only check.
+    QuerySpec(
+      "q46_cosine_dedup_lsh",
+      (s, d) => cosinePairsLsh(Tables.embeddings(s, d), 0.35)
+        .orderBy(col("vec_a"), col("vec_b")),
+      None),
 
     // MinHash-LSH and SimHash use engine-specific hash fns → rows-only check.
     QuerySpec(

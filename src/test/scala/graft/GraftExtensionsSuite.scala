@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.SparkSession
+
+/** The SQL surface of the codegen'd expressions, registered through
+  * SparkSessionExtensions — a user who only speaks SQL gets the same
+  * engine primitives as the Column API.
+  */
+class GraftExtensionsSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-extensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("graft_array_dot / graft_array_norm match the Column API bit-for-bit") {
+    val row = spark.sql(
+      """SELECT graft_array_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS dot,
+        |       graft_array_norm(array(3.0d, 4.0d)) AS nrm""".stripMargin).head()
+    assert(row.getDouble(0) === 32.0)
+    assert(row.getDouble(1) === 5.0)
+  }
+
+  test("graft_minhash64 / graft_simhash64 agree with the Column API") {
+    import org.apache.spark.sql.functions._
+    val sqlRow = spark.sql(
+      """SELECT graft_minhash64(array('a','b','c'), 8) AS mh,
+        |       graft_simhash64(array('a','b','c')) AS sh""".stripMargin).head()
+    val df = spark.range(1).select(
+      graft.functions.HashFunctions.minhash64(
+        typedLit(Seq("a", "b", "c")), 8).as("mh"),
+      graft.functions.HashFunctions.simhash64(
+        typedLit(Seq("a", "b", "c"))).as("sh"))
+    val apiRow = df.head()
+    assert(sqlRow.getSeq[Long](0) === apiRow.getSeq[Long](0))
+    assert(sqlRow.getLong(1) === apiRow.getLong(1))
+  }
+
+  test("graft_lsh_sign_bits works in SQL; literal params are enforced") {
+    val n = spark.sql(
+      "SELECT graft_lsh_sign_bits(array(0.5d, -0.2d, 1.0d), 0, 4) AS sig").head().getLong(0)
+    assert(n >= 0 && n < 16) // 4-bit signature
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_minhash64(array('a'), cast(rand() * 4 AS INT))").head()
+    }
+    assert(err.getMessage.contains("integer literal") ||
+      Option(err.getCause).exists(_.getMessage.contains("integer literal")))
+  }
+}
