@@ -79,6 +79,27 @@ class TtlCountProcessor(ttlMs: Long)
   }
 }
 
+/** Migration path from an existing system: state seeded from a batch
+  * Dataset via StatefulProcessorWithInitialState. */
+class CountWithInitProcessor
+    extends StatefulProcessorWithInitialState[Int, (Int, String), (Int, Int), Int] {
+  @transient private var count: ValueState[Int] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    count = getHandle.getValueState[Int]("count", Encoders.scalaInt, TTLConfig.NONE)
+
+  override def handleInitialState(key: Int, initialState: Int,
+                                  timerValues: TimerValues): Unit =
+    count.update(initialState)
+
+  override def handleInputRows(key: Int, rows: Iterator[(Int, String)],
+                               timerValues: TimerValues): Iterator[(Int, Int)] = {
+    val n = (if (count.exists()) count.get() else 0) + rows.size
+    count.update(n)
+    Iterator.single((key, n))
+  }
+}
+
 abstract class TransformWithStateSuiteBase extends AnyFunSuite with BeforeAndAfterAll {
 
   def providerClass: String
@@ -159,6 +180,39 @@ abstract class TransformWithStateSuiteBase extends AnyFunSuite with BeforeAndAft
       s"select id, cat, max(n) from twsmap_$suiteName group by id, cat")
       .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(latest === Map((1, "a") -> 3L, (1, "b") -> 1L, (2, "a") -> 1L, (2, "c") -> 1L))
+    query.stop()
+  }
+
+  test(s"$suiteName: transformWithState seeds state from an initial Dataset") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val initial = Seq((1, 100), (3, 7)).toDS()
+      .groupByKey(_._1).mapValues(_._2)
+    val input = MemoryStream[(Int, String)]
+    val out = input.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new CountWithInitProcessor,
+        TimeMode.None(), OutputMode.Update(), initial)
+
+    val query = out.toDF("id", "n").writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName(s"twsinit_$suiteName")
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft-twsinit-$suiteName").toString)
+      .start()
+
+    input.addData((1, "a"), (2, "x"))
+    query.processAllAvailable()
+    input.addData((3, "z"), (1, "b"))
+    query.processAllAvailable()
+
+    val latest = spark.sql(
+      s"select id, max(n) from twsinit_$suiteName group by id")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    // key 1: seeded 100 + 2 events; key 2: unseeded; key 3: seeded 7 + 1
+    assert(latest === Map(1 -> 102, 2 -> 1, 3 -> 8))
     query.stop()
   }
 
