@@ -66,6 +66,10 @@ object GraftStateStoreProviderBase {
   /** Test seam: when set, new providers use this clock for TTL. */
   @volatile var clockOverride: Option[TtlClock] = None
 
+  /** Test seam: the last snapshot-upload report (storeId, runId, version)
+    * that reached the coordinator. */
+  @volatile private[state] var lastSnapshotReport: Option[(StateStoreId, java.util.UUID, Long)] = None
+
   /** Snapshot+upload time of the last commit (BASELINE.md commit-latency
     * row) — surfaces in StreamingQueryProgress.stateOperators
     * customMetrics. */
@@ -166,6 +170,19 @@ abstract class GraftStateStoreProviderBase extends StateStoreProvider with Loggi
   }
 
   override def stateStoreId: StateStoreId = storeId
+
+  /** Tell the coordinator a full snapshot for `version` is durable, so its
+    * snapshot-lag detector doesn't flag this store (what the built-in
+    * RocksDB provider reports after every upload). Best-effort: outside a
+    * live streaming query there is no run id / coordinator endpoint.
+    */
+  private[state] def reportSnapshotUploaded(version: Long): Unit = scala.util.Try {
+    import org.apache.spark.sql.execution.streaming.runtime.StreamExecution
+    val runId = java.util.UUID.fromString(
+      hadoopConf.get(StreamExecution.RUN_ID_KEY))
+    GraftCoordinatorBridge.snapshotUploaded(storeId, runId, version)
+    GraftStateStoreProviderBase.lastSnapshotReport = Some((storeId, runId, version))
+  }
 
   override def getStore(version: Long, uniqueId: Option[String]): StateStore = {
     require(version >= 0, s"Version cannot be $version")

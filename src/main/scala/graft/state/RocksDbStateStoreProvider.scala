@@ -75,7 +75,8 @@ final class RocksDbSessionBackend(
     checkpointBaseDir: String,
     hadoopConf: Configuration,
     ttl: TtlConf,
-    confs: Map[String, String]) extends SessionBackend with Logging {
+    confs: Map[String, String],
+    onSnapshotUploaded: Long => Unit = _ => ()) extends SessionBackend with Logging {
   import RocksDbBackend._
 
   private val basePath = new Path(checkpointBaseDir)
@@ -320,6 +321,7 @@ final class RocksDbSessionBackend(
         // changelogs from the newest snapshot
         if (commitVersion % snapshotInterval == 0) {
           zipDir(snapDir, new Path(basePath, snapshotFileName(commitVersion)))
+          onSnapshotUploaded(commitVersion)
         }
         durabilityMs = (System.nanoTime() - t0) / 1000000L
       }
@@ -360,6 +362,7 @@ final class RocksDbSessionBackend(
         if (dir != null && Files.exists(dir) &&
             Try(zipDir(dir, new Path(basePath, snapshotFileName(v)))).isSuccess) {
           base = Some(v)
+          onSnapshotUploaded(v)
         }
       }
     }
@@ -451,5 +454,6 @@ class RocksDbStateStoreProvider extends GraftStateStoreProviderBase {
       storeId.storeCheckpointLocation.toString,
       hadoopConf,
       ttlConf,
-      storeConf.sqlConfs ++ storeConf.extraOptions)
+      storeConf.sqlConfs ++ storeConf.extraOptions,
+      onSnapshotUploaded = reportSnapshotUploaded)
 }
