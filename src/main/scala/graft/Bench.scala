@@ -17,9 +17,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-footer costs land here, not on
-    // whichever query happens to run first
-    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // whichever query happens to run first; one relational + one vector
+    // query so both scan paths (lineitem, embeddings) and the custom
+    // expressions are warm
+    Seq("q01_pricing_summary", "q40_cosine_topk").foreach { q =>
+      try SparkEntry.queries(q)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -100,12 +100,21 @@ object Dedup {
   // ---------------------------------------------------------------------
   // MinHash + LSH banding
 
-  /** `nHashes` minhash lanes in ONE pass over the token set (codegen'd
-    * MinHash64 expression — the 64-separate-HOF formulation cost ~95 s at
-    * sf0.1); banded into 16 bands of 4 lanes downstream.
+  /** `nHashes` minhash lanes in ONE pass over the shingle/token set
+    * (codegen'd MinHash64 expression — the 64-separate-HOF formulation
+    * cost ~95 s at sf0.1); banded into 16 bands of 4 lanes downstream.
+    *
+    * @param shingleK 0 → whitespace-token units (robust to reordering);
+    *        k>0 → overlapping character k-grams (robust to
+    *        token-boundary edits — the classic shingling pipeline).
     */
-  def minhashSignature(text: Column, nHashes: Int): Column =
-    graft.functions.HashFunctions.minhash64(tokenSet(text), nHashes)
+  def minhashSignature(text: Column, nHashes: Int, shingleK: Int = 0): Column = {
+    val units =
+      if (shingleK > 0)
+        array_distinct(graft.functions.TextFunctions.char_shingles(text, shingleK))
+      else tokenSet(text)
+    graft.functions.HashFunctions.minhash64(units, nHashes)
+  }
 
   /** Near-dup candidate pairs from LSH bucketing, verified by the MinHash
     * Jaccard estimate (share of equal signature components). Returns
@@ -119,10 +128,11 @@ object Dedup {
     * 100 TB this is the difference between a bounded join and a meltdown).
     */
   def minhashLsh(docs: DataFrame, threshold: Double, nHashes: Int = 64,
-                 bands: Int = 16, maxBucketSize: Int = 64): DataFrame = {
+                 bands: Int = 16, maxBucketSize: Int = 64,
+                 shingleK: Int = 0): DataFrame = {
     val rows = nHashes / bands
     val sigs = docs.select(col("doc_id"),
-      minhashSignature(col("text"), nHashes).as("sig"))
+      minhashSignature(col("text"), nHashes, shingleK).as("sig"))
     // one row per (doc, band): bucket key = hash of the band's slice
     val banded = sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map { b =>
@@ -329,6 +339,14 @@ object Dedup {
     QuerySpec(
       "q33_simhash",
       (s, d) => simhashPairs(Tables.documents(s, d), 16)
+        .orderBy(col("doc_a"), col("doc_b")),
+      None),
+
+    // character-shingle MinHash (shingle→minhash→band→bucket-join): the
+    // near-dup pipeline that survives token-boundary edits
+    QuerySpec(
+      "q47_minhash_shingles",
+      (s, d) => minhashLsh(Tables.documents(s, d), 0.5, shingleK = 5)
         .orderBy(col("doc_a"), col("doc_b")),
       None)
   )
