@@ -78,21 +78,32 @@ object Dedup {
     val indexed = toks.join(broadcast(hotTokens), Seq("blk", "tok"), "left_anti")
     val a = indexed.as("a")
     val b = indexed.as("b")
-    val candidates = a.join(b,
+    // shared-RARE-token count per pair straight from the join group — the
+    // pair shuffle carries (doc_a, doc_b) only, never token arrays
+    val counted = a.join(b,
         col("a.blk") === col("b.blk") && col("a.tok") === col("b.tok") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    // exact verification over the full (uncapped) token sets; |candidates|
-    // is bounded by the df cap, so the arrays only travel for real pairs
-    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
-    candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
-      .withColumn("n_shared", inter)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_rare"))
+    // exact correction for capped tokens: each doc's HOT tokens are a tiny
+    // array (bounded by the broadcast hot set), so shipping those per
+    // candidate is cheap where full token sets would not be
+    val hotPerDoc = toks.join(broadcast(hotTokens), Seq("blk", "tok"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_set(col("tok")).as("hot_toks"))
+    val sizes = sets.select(col("doc_id"), size(col("toks")).as("n_tok"))
+    val emptyArr = array().cast("array<string>")
+    counted
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_tok").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_tok").as("n_b")), "doc_b")
+      .join(hotPerDoc.select(col("doc_id").as("doc_a"), col("hot_toks").as("hot_a")),
+        Seq("doc_a"), "left_outer")
+      .join(hotPerDoc.select(col("doc_id").as("doc_b"), col("hot_toks").as("hot_b")),
+        Seq("doc_b"), "left_outer")
+      .withColumn("n_shared", col("n_shared_rare") +
+        size(array_intersect(coalesce(col("hot_a"), emptyArr),
+                             coalesce(col("hot_b"), emptyArr))))
       .withColumn("jaccard",
-        col("n_shared").cast("double") /
-          (size(col("toks_a")) + size(col("toks_b")) - col("n_shared")))
+        col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
