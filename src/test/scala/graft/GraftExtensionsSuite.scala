@@ -49,6 +49,12 @@ class GraftExtensionsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(sqlRow.getLong(1) === apiRow.getLong(1))
   }
 
+  test("graft_char_shingles works in SQL") {
+    val got = spark.sql("SELECT graft_char_shingles('abcde', 3) AS sh")
+      .head().getSeq[String](0)
+    assert(got === Seq("abc", "bcd", "cde"))
+  }
+
   test("graft_lsh_sign_bits works in SQL; literal params are enforced") {
     val n = spark.sql(
       "SELECT graft_lsh_sign_bits(array(0.5d, -0.2d, 1.0d), 0, 4) AS sig").head().getLong(0)
