@@ -67,6 +67,38 @@ object Multimodal {
       }
   }
 
+  final case class ResizedMedia(doc_id: Long, format: String, width: Int,
+                                height: Int, n_bytes: Int, byte_sum: Long)
+
+  /** STUB resize: a real implementation would decode, scale to
+    * (targetW, targetH) and re-encode per partition. The fake keeps the
+    * plumbing honest — metadata is rewritten to the target dimensions and
+    * the payload is stride-sampled (every `stride`-th byte) so output size
+    * tracks the scale factor deterministically.
+    */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int,
+                 stride: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"), col("data"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition init site for a real codec
+        rows.map { m =>
+          var sum = 0L
+          var n = 0
+          var i = 0
+          while (i < m.data.length) {
+            sum += m.data(i) & 0xFF
+            n += 1
+            i += stride
+          }
+          ResizedMedia(m.doc_id, m.format, targetW, targetH, n, sum)
+        }
+      }
+  }
+
   /** Frame sampling shape: one row per sampled frame index (every `stride`
     * frames of a fake `nFrames` clip derived from payload size).
     */
@@ -130,6 +162,32 @@ object Multimodal {
                    i -> ascii(substr(text, CAST(i AS INT), 1))), b -> b // 64 = 2)) AS h2,
                  len(list_filter(list_transform(range(1, length(text) + 1),
                    i -> ascii(substr(text, CAST(i AS INT), 1))), b -> b // 64 = 3)) AS h3
+          FROM documents)
+        GROUP BY format
+        ORDER BY format""")),
+
+    QuerySpec(
+      "q53_media_resize",
+      (s, d) => resizeStub(withMedia(Tables.documents(s, d)), 224, 224, 4)
+        .toDF()
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n"),
+             max(col("width")).as("out_w"), max(col("height")).as("out_h"),
+             sum(col("n_bytes")).cast("long").as("sum_bytes"),
+             sum(col("byte_sum")).cast("long").as("sum_sampled"))
+        .orderBy(col("format")),
+      // byte-level recompute of the stride sampling in SQL
+      Some("""
+        SELECT format, COUNT(*) AS n,
+               224 AS out_w, 224 AS out_h,
+               CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
+               CAST(SUM(byte_sum) AS BIGINT) AS sum_sampled
+        FROM (
+          SELECT ['png','jpeg','webm'][CAST(doc_id % 3 + 1 AS INT)] AS format,
+                 len(list_filter(range(1, length(text) + 1), i -> (i - 1) % 4 = 0)) AS n_bytes,
+                 list_sum(list_transform(
+                   list_filter(range(1, length(text) + 1), i -> (i - 1) % 4 = 0),
+                   i -> ascii(substr(text, CAST(i AS INT), 1)))) AS byte_sum
           FROM documents)
         GROUP BY format
         ORDER BY format""")),
