@@ -150,4 +150,43 @@ class EventsReplaySuite extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamed === batch)
   }
+
+  test("streaming curation (quality gate + exact dedup) matches the batch pipeline") {
+    // the training-data curation flow in its streaming form: documents
+    // arrive continuously, the quality gate runs map-side, exact dedup is
+    // stateful dropDuplicates on the content digest through our provider
+    import graft.operators.TextOps
+    val docsDir = Files.createTempDirectory("graft-docs-stream").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(4).write.mode("overwrite").parquet(docsDir)
+    val schema = spark.read.parquet(docsDir).schema
+
+    val curated = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docsDir)
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+      .withColumn("ttr", TextOps.typeTokenRatio(col("text")))
+      .filter(col("n_tokens").between(10, 100) && col("ttr") > 0.3)
+      .withColumn("digest", xxhash64(col("text")))
+      .dropDuplicates("digest")
+      .select(col("source"), col("n_tokens"))
+    runToCompletion(curated, "er_curate", OutputMode.Append())
+
+    val streamed = spark.sql(
+      "select source, count(*) as n, sum(n_tokens) as toks from er_curate group by source")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // batch equivalent: same gate, keep ONE doc per distinct text
+    val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+      .withColumn("ttr", TextOps.typeTokenRatio(col("text")))
+      .filter(col("n_tokens").between(10, 100) && col("ttr") > 0.3)
+      .dropDuplicates("text")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("toks"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // counts per source match exactly; token sums match because duplicate
+    // texts have identical token counts regardless of which copy survives
+    assert(streamed === batch)
+  }
 }
