@@ -32,6 +32,7 @@ object StateBench {
   private val providers = Seq(
     "graft-inmemory" -> classOf[graft.state.InMemoryStateStoreProvider].getName,
     "graft-rocksdb" -> classOf[graft.state.RocksDbStateStoreProvider].getName,
+    "graft-kv" -> classOf[graft.state.KvStateStoreProvider].getName,
     "spark-hdfsbacked" ->
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
     "spark-rocksdb" ->
