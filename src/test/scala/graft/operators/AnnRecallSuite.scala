@@ -45,4 +45,21 @@ class AnnRecallSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(lshRecall >= 0.5, s"LSH recall $lshRecall")
     assert(ivfRecall >= 0.5, s"IVF recall $ivfRecall")
   }
+
+  test("cosinePairsLsh recall ≥ 0.5 of exact near-dup pairs") {
+    // exact all-pairs at 0.35 with blocking disabled (single block) vs the
+    // LSH-bucketed path over the same corpus
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("allblk", org.apache.spark.sql.functions.lit(1))
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("vec_a"), col("vec_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.cosinePairs(emb, 0.35, blockCol = "allblk"))
+    val lsh = pairSet(Dedup.cosinePairsLsh(emb, 0.35))
+    assert(exact.nonEmpty, "fixture produced no exact near-dup pairs")
+    // every LSH pair is exact-verified, so precision is 1 by construction
+    assert((lsh -- exact).isEmpty, "LSH produced a pair the exact path did not")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.5, s"cosine-LSH pair recall $recall")
+  }
 }
