@@ -295,8 +295,11 @@ object BatchQueries {
         val building = c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
         val bigBuyers = o.filter($"o_totalprice" > 300000).select($"o_custkey".as("c_custkey"))
         val both    = building.intersect(bigBuyers).withColumn("tag", lit("both"))
-        val onlySeg = building.except(bigBuyers).withColumn("tag", lit("only_building"))
-        both.union(onlySeg)
+        // built column-reversed on purpose: unionByName resolves by name
+        // where positional union would mis-zip the columns
+        val onlySeg = building.except(bigBuyers)
+          .select(lit("only_building").as("tag"), $"c_custkey")
+        both.unionByName(onlySeg)
           .groupBy($"tag").agg(count(lit(1)).as("n"))
           .orderBy($"tag")
       },
