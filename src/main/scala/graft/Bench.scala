@@ -33,10 +33,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stop FIRST so no Spark background thread can interleave log output
+    // with the one JSON line the harness parses
+    spark.stop()
     println(json)
     // belt-and-braces: also leave the JSON on disk in case stdout is
     // prefixed/interleaved by the build tool
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), json)
-    spark.stop()
   }
 }
