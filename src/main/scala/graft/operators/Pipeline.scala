@@ -24,8 +24,15 @@ import graft.queries.QuerySpec
   */
 object Pipeline {
 
+  /** @param maxTokenDf near-dup skew guard, threaded to
+    *        [[Dedup.jaccardPairs]]. Production runs cap it (default);
+    *        the oracle-gated spec passes Int.MaxValue because its DuckDB
+    *        oracle is the exact all-pairs Jaccard and capped recall is
+    *        data-dependent.
+    */
   def curate(docs: DataFrame, minTokens: Int, maxTokens: Int,
-             minTtr: Double, nearDupThreshold: Double): DataFrame = {
+             minTtr: Double, nearDupThreshold: Double,
+             maxTokenDf: Int = 1000): DataFrame = {
     val quality = docs
       .withColumn("n_tokens", TextOps.tokenCount(col("text")))
       .withColumn("ttr", TextOps.typeTokenRatio(col("text")))
@@ -33,7 +40,8 @@ object Pipeline {
 
     val exactDeduped = Dedup.exact(quality)
 
-    val nearDupLosers = Dedup.jaccardPairs(exactDeduped, nearDupThreshold)
+    val nearDupLosers = Dedup.jaccardPairs(exactDeduped, nearDupThreshold,
+        maxTokenDf = maxTokenDf)
       .select(col("doc_b").as("doc_id")).distinct()
 
     exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
@@ -44,7 +52,8 @@ object Pipeline {
       "q70_curation_pipeline",
       (s, d) => {
         curate(Tables.documents(s, d),
-            minTokens = 10, maxTokens = 100, minTtr = 0.3, nearDupThreshold = 0.8)
+            minTokens = 10, maxTokens = 100, minTtr = 0.3, nearDupThreshold = 0.8,
+            maxTokenDf = Int.MaxValue) // exact: gated vs exact oracle
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_kept"),
                sum(col("n_tokens")).as("token_budget"))

@@ -180,6 +180,11 @@ object Similarity {
       val byId = updated.toMap
       centroids = centroids.map { case (cid, v) => (cid, byId.getOrElse(cid, v)) }
     }
+    // training done (centroids are driver-side); drop the cache NOW rather
+    // than leak one cached plan per invocation for the session's lifetime.
+    // The final index/re-rank below is a single pass, so recomputing the
+    // scan+cast once costs less than an unbounded cache.
+    c.unpersist(blocking = false)
 
     // index: corpus tagged with its cell
     val indexed = assign(c, centroids, "cv")

@@ -117,6 +117,14 @@ final class KvSessionBackend(storePrefix: String, client: KvClient,
     if (v(0) == TagTombstone) None
     else Some(java.util.Arrays.copyOfRange(v, 1, v.length))
 
+  /** Serializes every registry (versions/bases) read-modify-write between
+    * commit() on task threads and doMaintenance() on Spark's background
+    * maintenance thread — without it a concurrent commit and GC can lose a
+    * version registration. Per-backend (= per operator/partition/store),
+    * so commits of different partitions never contend.
+    */
+  private val registryLock = new Object
+
   private def readVersionSet(key: Array[Byte]): Set[Long] = {
     val raw = client.get(key)
     if (raw == null) Set.empty
@@ -226,13 +234,26 @@ final class KvSessionBackend(storePrefix: String, client: KvClient,
               case (k, None) => (writePrefix ++ k.bytes, tombstone)
             }.toSeq
           }
-        // one atomic batch: the version's data plus both registry updates
-        val registryPuts = Seq(
-          versionsKey -> (committed() + commitVersion).toSeq.sorted.mkString(",").getBytes("UTF-8")) ++
-          (if (isBase)
-            Seq(basesKey -> (bases() + commitVersion).toSeq.sorted.mkString(",").getBytes("UTF-8"))
-          else Seq.empty)
-        client.writeBatch(puts ++ registryPuts, Seq.empty)
+        registryLock.synchronized {
+          // replayed commit (batch re-run after restart): the recomputed
+          // delta may differ from the earlier attempt, and plain overwrites
+          // would leave the old attempt's extra keys alive in this version
+          // and every later chain read. Delete them in the SAME atomic
+          // batch (puts win: deletes exclude any key being re-put).
+          val staleDeletes: Seq[Array[Byte]] =
+            if (committed().contains(commitVersion)) {
+              val putKeys = puts.iterator.map(p => new BytesKey(p._1)).toSet
+              client.scanPrefix(writePrefix).map(_._1)
+                .filterNot(k => putKeys.contains(new BytesKey(k))).toSeq
+            } else Seq.empty
+          // one atomic batch: the version's data plus both registry updates
+          val registryPuts = Seq(
+            versionsKey -> (committed() + commitVersion).toSeq.sorted.mkString(",").getBytes("UTF-8")) ++
+            (if (isBase)
+              Seq(basesKey -> (bases() + commitVersion).toSeq.sorted.mkString(",").getBytes("UTF-8"))
+            else Seq.empty)
+          client.writeBatch(puts ++ registryPuts, staleDeletes)
+        }
       }
 
       def abort(): Unit = overlay = TreeMap.empty(ByteOrdering)
@@ -245,8 +266,28 @@ final class KvSessionBackend(storePrefix: String, client: KvClient,
 
   /** Compaction + GC: materialize a base at the retention horizon, then
     * drop every older version's keyspace.
+    *
+    * Crash- and reader-safety (Spark runs this on a background thread
+    * concurrent with task-thread reads):
+    *  1. The materialized base is WRITTEN FIRST, in one atomic batch with
+    *     the bases-registry flip. The materialized values equal the
+    *     chain-resolved values at the horizon, so a concurrent reader
+    *     folding an old chain through the horizon keyspace sees identical
+    *     results whether it observes the pre-write deltas, the post-write
+    *     materialization, or any prefix of the batch's effect — there is
+    *     no window where the horizon keyspace is empty. A crash before
+    *     the flip leaves only redundant-but-equal overwrites behind.
+    *  2. Dead tombstones in the horizon keyspace (keys absent from the
+    *     materialization) are deleted only AFTER the flip — until then
+    *     they are still semantically correct (absent key ↔ tombstone).
+    *  3. Versions below the horizon are deleted only after the flip is
+    *     durable, so any chain computed afterwards starts at the new
+    *     base. Sessions opened before maintenance on a version below the
+    *     retention horizon are outside the SPI contract
+    *     (minVersionsToRetain is Spark's grace window), same as the
+    *     RocksDB checkpoint GC.
     */
-  override def doMaintenance(minVersionsToRetain: Int): Unit = {
+  override def doMaintenance(minVersionsToRetain: Int): Unit = registryLock.synchronized {
     val vs = committedVersions()
     if (vs.isEmpty) return
     val earliest = math.max(vs.max - minVersionsToRetain + 1, vs.min)
@@ -254,15 +295,22 @@ final class KvSessionBackend(storePrefix: String, client: KvClient,
     if (!bases().contains(horizon)) {
       val full = resolveAt(horizon, Array.emptyByteArray)
       val p = versionPrefix(horizon)
-      // rewrite the horizon version as a base (its delta entries are
-      // subsumed by the materialization; tombstones below a base are dead)
-      client.deletePrefix(p)
+      // (1) base entries + registry flip, one atomic batch, before any delete
       writeVersionSet(basesKey, bases() + horizon,
         extraPuts = full.iterator.map { case (k, v) => (p ++ k.bytes, framePut(v)) }.toSeq)
+      // (2) now-dead delta entries: keys not in the materialization
+      // (tombstones below a base). framePut overwrites already replaced
+      // every live delta entry in the batch above.
+      val dead = client.scanPrefix(p).map(_._1)
+        .filterNot(k => full.contains(new BytesKey(strip(k, p)))).toSeq
+      if (dead.nonEmpty) client.writeBatch(Seq.empty, dead)
     }
+    // (3) GC below the horizon, then shrink both registries atomically
     vs.filter(_ < horizon).foreach(v => client.deletePrefix(versionPrefix(v)))
-    writeVersionSet(versionsKey, committed().filter(_ >= horizon))
-    writeVersionSet(basesKey, bases().filter(_ >= horizon))
+    client.writeBatch(Seq(
+      versionsKey -> committed().filter(_ >= horizon).toSeq.sorted.mkString(",").getBytes("UTF-8"),
+      basesKey -> bases().filter(_ >= horizon).toSeq.sorted.mkString(",").getBytes("UTF-8")),
+      Seq.empty)
   }
 
   override def close(): Unit = client.close()

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan regression gates. Correctness is the oracle's job; these
+  * pin the SHAPE properties that make each plan survive a 100× scale-up —
+  * pushdown reaching the scan, small dims broadcast, partial aggregation,
+  * and (globally) the absence of unbounded cartesian products. A future
+  * edit that silently turns an inverted-index join into an all-pairs
+  * product fails here, not in a 100 TB run.
+  */
+class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-plan-regression")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: filter is pushed into the parquet scan") {
+    val p = plan("q02_revenue_filter")
+    assert(p.contains("PushedFilters: ["), s"no pushdown section:\n$p")
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
+      s"PushedFilters list is empty:\n$p")
+  }
+
+  test("q01: scan is column-pruned (no l_comment in ReadSchema)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("ReadSchema"), s"no ReadSchema:\n$p")
+    assert(!p.contains("l_comment"),
+      "aggregation query reads l_comment — column pruning regressed")
+  }
+
+  test("q01: aggregation is partial (map-side combine before the shuffle)") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final HashAggregate pair:\n$p")
+  }
+
+  test("q03: dimension joins broadcast (no shuffle of the fact table per dim)") {
+    val p = plan("q03_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"small dims are not broadcast:\n$p")
+  }
+
+  test("q40: query side of brute-force top-k is broadcast") {
+    val p = plan("q40_cosine_topk")
+    assert(p.contains("BroadcastExchange"),
+      s"query vectors should broadcast, corpus should never shuffle:\n$p")
+  }
+
+  test("q31: exact jaccard stays an inverted-index hash join") {
+    val p = plan("q31_jaccard_pairs")
+    // keyed equi-join (broadcast at this tiny SF, shuffle-keyed at scale)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"),
+      s"expected a keyed join on (blk, tok):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "jaccard pair generation degenerated to an all-pairs product")
+  }
+
+  test("no declared query plans a CartesianProduct") {
+    // the one shape that cannot survive any scale-up; cross joins against
+    // broadcast fitted models plan as BroadcastNestedLoopJoin instead
+    val offenders = SparkEntry.allSpecs.flatMap { spec =>
+      val p = plan(spec.name)
+      if (p.contains("CartesianProduct")) Some(spec.name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+}

@@ -97,4 +97,100 @@ class KvDeltaCommitSuite extends AnyFunSuite {
     assert(new String(s.get(k("k3")), "UTF-8") === "updated3")
     assert(s.scan(Array.emptyByteArray).size === 19)
   }
+
+  test("re-committing a version removes the earlier attempt's stale keys") {
+    EmbeddedKvServer.clear()
+    val client = EmbeddedKvServer.client("replay-test")
+    val backend = new KvSessionBackend("store", client, baseInterval = 1000)
+    val s1 = backend.open(0, 1)
+    s1.put(k("stable"), k("base"))
+    s1.commit()
+    // first attempt at v2 writes two keys
+    val attempt1 = backend.open(1, 2)
+    attempt1.put(k("a"), k("a1"))
+    attempt1.put(k("b"), k("b1"))
+    attempt1.commit()
+    // batch replay recomputes a DIFFERENT delta (non-deterministic source):
+    // only `a` this time — `b` from the first attempt must not survive
+    val attempt2 = backend.open(1, 2)
+    attempt2.put(k("a"), k("a2"))
+    attempt2.commit()
+    val r = backend.open(2, 3)
+    assert(new String(r.get(k("a")), "UTF-8") === "a2")
+    assert(r.get(k("b")) === null,
+      "stale key from the replaced commit attempt leaked into the chain")
+    assert(new String(r.get(k("stable")), "UTF-8") === "base")
+    assert(r.scan(Array.emptyByteArray).size === 2)
+  }
+
+  test("maintenance writes the horizon base before deleting anything") {
+    EmbeddedKvServer.clear()
+    val inner = EmbeddedKvServer.client("order-test")
+    // records the operation order so the crash/reader-safety contract is
+    // pinned: the batch containing the base + registry flip must come
+    // before ANY delete touching existing data
+    val ops = scala.collection.mutable.ArrayBuffer.empty[String]
+    val client = new KvClient {
+      def get(key: Array[Byte]): Array[Byte] = inner.get(key)
+      def writeBatch(puts: Seq[(Array[Byte], Array[Byte])], deletes: Seq[Array[Byte]]): Unit = {
+        val flips = puts.exists { case (kk, _) => new String(kk, "UTF-8").contains("__bases__") }
+        if (flips && puts.size > 1) ops += "base-write"
+        else if (deletes.nonEmpty) ops += "delete-keys"
+        else ops += "other-write"
+        inner.writeBatch(puts, deletes)
+      }
+      def scanPrefix(prefix: Array[Byte]): Iterator[(Array[Byte], Array[Byte])] =
+        inner.scanPrefix(prefix)
+      def deletePrefix(prefix: Array[Byte]): Unit = { ops += "delete-prefix"; inner.deletePrefix(prefix) }
+      def close(): Unit = inner.close()
+    }
+    val backend = new KvSessionBackend("store", client, baseInterval = 1000)
+    val s1 = backend.open(0, 1)
+    (1 to 5).foreach(i => s1.put(k(s"k$i"), k(s"v$i")))
+    s1.commit()
+    (2 to 4).foreach { v =>
+      val s = backend.open(v - 1, v)
+      s.put(k(s"k$v"), k(s"u$v"))
+      if (v == 3) s.remove(k("k5"))
+      s.commit()
+    }
+    ops.clear()
+    backend.doMaintenance(minVersionsToRetain = 2)
+    val firstDelete = ops.indexWhere(o => o.startsWith("delete"))
+    val baseWrite = ops.indexOf("base-write")
+    assert(baseWrite >= 0, s"no atomic base+flip batch observed: $ops")
+    assert(firstDelete === -1 || baseWrite < firstDelete,
+      s"a delete preceded the base materialization: $ops")
+    // and the result is still correct
+    val r = backend.open(4, 5)
+    assert(r.get(k("k5")) === null)
+    assert(new String(r.get(k("k3")), "UTF-8") === "u3")
+    assert(r.scan(Array.emptyByteArray).size === 4)
+  }
+
+  test("maintenance physically drops dead tombstones at the horizon base") {
+    EmbeddedKvServer.clear()
+    val client = EmbeddedKvServer.client("tombstone-gc-test")
+    val backend = new KvSessionBackend("store", client, baseInterval = 1000)
+    val s1 = backend.open(0, 1)
+    s1.put(k("keep"), k("v"))
+    s1.put(k("drop"), k("v"))
+    s1.commit()
+    val s2 = backend.open(1, 2)
+    s2.remove(k("drop"))
+    s2.commit()
+    val s3 = backend.open(2, 3)
+    s3.put(k("keep"), k("v3"))
+    s3.commit()
+    backend.doMaintenance(minVersionsToRetain = 2)
+    // horizon = 2 became a base; its tombstone for `drop` is dead weight
+    // once the materialization (which simply lacks the key) is in place
+    val horizonEntries = client.scanPrefix(k("store:2:")).toSeq
+    assert(horizonEntries.nonEmpty)
+    assert(!horizonEntries.exists { case (_, v) => v.length == 1 && v(0) == 1.toByte },
+      "dead tombstone survived horizon compaction")
+    val r = backend.open(3, 4)
+    assert(r.get(k("drop")) === null)
+    assert(new String(r.get(k("keep")), "UTF-8") === "v3")
+  }
 }
