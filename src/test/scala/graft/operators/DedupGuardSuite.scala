@@ -25,6 +25,47 @@ class DedupGuardSuite extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("exact mode (prefix filtering) equals the naive all-pairs Jaccard") {
+    val sql = spark
+    import sql.implicits._
+    import org.apache.spark.sql.functions._
+    // adversarial shapes for the prefix lemma: single-token docs, docs of
+    // very different lengths, docs sharing only their hottest tokens, two
+    // blocks, plus a deterministic random corpus over a tiny vocabulary
+    // (maximal token heat = the regime where a buggy prefix drops pairs)
+    val rng = new scala.util.Random(42)
+    val vocab = ('a' to 'j').map(_.toString)
+    val random = (100L until 160L).map { id =>
+      val len = 1 + rng.nextInt(8)
+      (id, if (id % 2 == 0) "b1" else "b2",
+        rng.shuffle(vocab).take(len).mkString(" "))
+    }
+    val handPicked = Seq(
+      (1L, "b1", "x"), (2L, "b1", "x"),                    // identical singletons
+      (3L, "b1", "x y z w v u t s"), (4L, "b1", "x y"),    // length-filter edge
+      (5L, "b2", "p q"), (6L, "b2", "q p"))                // order-independence
+    val docs = (handPicked ++ random).toDF("doc_id", "source", "text")
+
+    val fast = Dedup.jaccardPairs(docs, 0.5, maxTokenDf = Int.MaxValue)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val prefix = Dedup.jaccardPairsPrefix(docs, 0.5)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    // naive oracle: all pairs within a block, exact set Jaccard
+    val sets = docs.select(col("doc_id"), col("source"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    val naive = sets.as("a").join(sets.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", size(array_intersect(col("a.toks"), col("b.toks"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("a.toks")) + size(col("b.toks")) - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(naive.nonEmpty, "degenerate fixture: the oracle found no pairs")
+    assert(fast === naive)
+    assert(prefix === naive)
+  }
+
   test("jaccardPairs: df-capped tokens skip candidate gen but still score") {
     val sql = spark
     import sql.implicits._
