@@ -102,6 +102,11 @@ final class KvSessionBackend(storePrefix: String, client: KvClient,
   }
   private val versionsKey = s"$storePrefix:__versions__".getBytes("UTF-8")
   private val basesKey = s"$storePrefix:__bases__".getBytes("UTF-8")
+  /** Versions deregistered by the previous maintenance run whose keyspaces
+    * are physically deleted on the NEXT run — epoch-deferred GC (see
+    * doMaintenance).
+    */
+  private val gcPendingKey = s"$storePrefix:__gcpending__".getBytes("UTF-8")
 
   // value framing inside a version keyspace
   private val TagPut: Byte = 0
@@ -280,12 +285,17 @@ final class KvSessionBackend(storePrefix: String, client: KvClient,
     *  2. Dead tombstones in the horizon keyspace (keys absent from the
     *     materialization) are deleted only AFTER the flip — until then
     *     they are still semantically correct (absent key ↔ tombstone).
-    *  3. Versions below the horizon are deleted only after the flip is
-    *     durable, so any chain computed afterwards starts at the new
-    *     base. Sessions opened before maintenance on a version below the
-    *     retention horizon are outside the SPI contract
-    *     (minVersionsToRetain is Spark's grace window), same as the
-    *     RocksDB checkpoint GC.
+    *  3. Version GC is EPOCH-DEFERRED: this run only DEREGISTERS versions
+    *     below the horizon (removes them from the registries, so no new
+    *     chain can reference them) and physically deletes the keyspaces
+    *     deregistered by the PREVIOUS run. Any chain — even one computed
+    *     from a registry read racing the shrink — only contains versions
+    *     deregistered at most one run ago, whose data is still intact, so
+    *     concurrent chain reads never dangle. The remaining exposure is a
+    *     session that stays open across a FULL maintenance cycle while
+    *     reading a version below the retention horizon — outside the SPI
+    *     contract (Spark's maintenance interval dwarfs a micro-batch),
+    *     same as the RocksDB checkpoint GC.
     */
   override def doMaintenance(minVersionsToRetain: Int): Unit = registryLock.synchronized {
     val vs = committedVersions()
@@ -305,11 +315,17 @@ final class KvSessionBackend(storePrefix: String, client: KvClient,
         .filterNot(k => full.contains(new BytesKey(strip(k, p)))).toSeq
       if (dead.nonEmpty) client.writeBatch(Seq.empty, dead)
     }
-    // (3) GC below the horizon, then shrink both registries atomically
-    vs.filter(_ < horizon).foreach(v => client.deletePrefix(versionPrefix(v)))
+    // (3) epoch-deferred GC: physically delete what the PREVIOUS run
+    // deregistered (no live chain can reference it anymore), then
+    // deregister this run's sub-horizon versions and record them as
+    // pending — registry shrink + pending handoff in one atomic batch
+    readVersionSet(gcPendingKey).filter(_ < horizon)
+      .foreach(v => client.deletePrefix(versionPrefix(v)))
+    val newPending = committed().filter(_ < horizon)
     client.writeBatch(Seq(
       versionsKey -> committed().filter(_ >= horizon).toSeq.sorted.mkString(",").getBytes("UTF-8"),
-      basesKey -> bases().filter(_ >= horizon).toSeq.sorted.mkString(",").getBytes("UTF-8")),
+      basesKey -> bases().filter(_ >= horizon).toSeq.sorted.mkString(",").getBytes("UTF-8"),
+      gcPendingKey -> newPending.toSeq.sorted.mkString(",").getBytes("UTF-8")),
       Seq.empty)
   }
 
