@@ -16,12 +16,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JVM/codegen/parquet-footer costs land here, not on
-    // whichever query happens to run first; one relational + one vector
-    // query so both scan paths (lineitem, embeddings) and the custom
-    // expressions are warm
-    Seq("q01_pricing_summary", "q40_cosine_topk").foreach { q =>
-      try SparkEntry.queries(q)(spark, sfDir).count()
+    // untimed warmup: a FULL pass over every query, so JIT/codegen
+    // compilation, parquet footer reads, and shuffle-service init land
+    // here instead of on the measured pass. The measured numbers are then
+    // steady-state throughput — the thing the baseline comparison is
+    // about — rather than whichever query paid the JVM's one-time costs.
+    // (Two queries of warmup left ~30 s of first-touch cost smeared over
+    // the timed pass in the driver's environment.)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
