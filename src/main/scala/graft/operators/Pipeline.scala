@@ -47,6 +47,23 @@ object Pipeline {
     exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
   }
 
+  /** [[curate]] plus an [[org.apache.spark.sql.Observation]] that reports
+    * surviving-doc and token-budget totals as the job runs — the
+    * zero-extra-pass monitoring hook a production curation run needs
+    * (`observe` metrics ride the existing plan as accumulators; a separate
+    * `count()` would re-execute the whole pipeline). Read the metrics from
+    * the returned Observation after the DataFrame is materialized.
+    */
+  def curateWithMetrics(docs: DataFrame, minTokens: Int, maxTokens: Int,
+                        minTtr: Double, nearDupThreshold: Double,
+                        maxTokenDf: Int = 1000): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("graft_curation")
+    val out = curate(docs, minTokens, maxTokens, minTtr, nearDupThreshold, maxTokenDf)
+      .observe(obs, count(lit(1)).as("docs_kept"),
+        sum(col("n_tokens")).as("token_budget"))
+    (out, obs)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
       "q70_curation_pipeline",

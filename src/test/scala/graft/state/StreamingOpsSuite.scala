@@ -198,6 +198,43 @@ abstract class StreamingOpsSuiteBase extends AnyFunSuite with BeforeAndAfterAll 
     assert(n === 3L)
     query.stop()
   }
+
+  test(s"$suiteName: file source feeds stateful aggregation across arrivals") {
+    // the production shape for batch-ish ingestion at scale: files land in
+    // a directory, the stream discovers them per trigger, and the running
+    // aggregate's state lives in our provider between triggers
+    val sql = spark
+    import sql.implicits._
+    val inDir = Files.createTempDirectory(s"graft-filesrc-$suiteName").toString
+
+    Seq((1, 10L), (2, 20L)).toDF("uid", "amount")
+      .write.mode("append").parquet(inDir)
+
+    val stream = spark.readStream
+      .schema("uid INT, amount BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .groupBy($"uid").agg(sum($"amount").as("total"))
+
+    val query = stream.writeStream
+      .format("memory")
+      .queryName(s"filesrc_$suiteName")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckpt("filesrc"))
+      .start()
+    query.processAllAvailable()
+
+    // second wave of files: uid 1 again — the provider must resurface the
+    // committed running total, not start from zero
+    Seq((1, 5L), (3, 30L)).toDF("uid", "amount")
+      .write.mode("append").parquet(inDir)
+    query.processAllAvailable()
+
+    val totals = spark.sql(s"select uid, total from filesrc_$suiteName")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(totals === Map(1 -> 15L, 2 -> 20L, 3 -> 30L))
+    query.stop()
+  }
 }
 
 class InMemoryStreamingOpsSuite extends StreamingOpsSuiteBase {
