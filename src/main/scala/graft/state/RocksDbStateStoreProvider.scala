@@ -11,6 +11,8 @@ import scala.util.Try
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.internal.Logging
+import org.apache.spark.sql.catalyst.expressions.UnsafeRow
+import org.apache.spark.sql.execution.streaming.state.StateStore
 import org.rocksdb.{Checkpoint, CompactionStyle, CompressionType, Options, RocksDB, TtlDB}
 
 /** RocksDB-backed versioned KV backend — the parity flagship. Re-expresses
@@ -345,6 +347,120 @@ final class RocksDbSessionBackend(
     }
   }
 
+  // ----- fine-grained replay (SupportsFineGrainedReplay) --------------------
+
+  /** Pinned, STRICT replay: the base must be the snapshot at exactly
+    * `snapshotVersion` (0 = empty base; NO lenient fallback — replay is a
+    * debugging/state-source contract where silently recovering from a
+    * different base would lie about history), and every changelog in
+    * (snapshotVersion, endVersion] must apply or this throws. The session
+    * is read-only over its own detached temp dir (the live DB is
+    * untouched); release it with abort().
+    */
+  def openReplay(snapshotVersion: Long, endVersion: Long): StoreSession = {
+    val workDir = Files.createTempDirectory(localRoot, "replay-")
+    if (snapshotVersion > 0) {
+      val local = localSnapshots.get(snapshotVersion)
+      if (local != null && Files.exists(local)) {
+        linkOrCopyDir(local, workDir)
+      } else {
+        val zip = new Path(basePath, snapshotFileName(snapshotVersion))
+        if (!Try(fs.exists(zip)).getOrElse(false))
+          throw new IllegalStateException(
+            s"no snapshot for version $snapshotVersion under $basePath")
+        unzipTo(zip, workDir)
+      }
+      if (!Files.exists(workDir.resolve("CURRENT")))
+        throw new IllegalStateException(
+          s"snapshot $snapshotVersion has no RocksDB manifest")
+    }
+    val db = openDb(workDir)
+    try {
+      var v = snapshotVersion + 1
+      while (v <= endVersion) { applyChangelog(db, v); v += 1 }
+    } catch { case t: Throwable => db.close(); clearDir(workDir); throw t }
+
+    new StoreSession {
+      private var closed = false
+      private val openScans =
+        java.util.Collections.newSetFromMap(
+          new ConcurrentHashMap[KvScanIterator, java.lang.Boolean]())
+
+      def get(key: Array[Byte]): Array[Byte] = db.get(key)
+      def put(key: Array[Byte], value: Array[Byte]): Unit =
+        throw new UnsupportedOperationException("replay session is read-only")
+      def remove(key: Array[Byte]): Unit =
+        throw new UnsupportedOperationException("replay session is read-only")
+      def commit(): Unit =
+        throw new UnsupportedOperationException("replay session is read-only")
+
+      def scan(prefix: Array[Byte]): KvScanIterator = {
+        val it = db.newIterator()
+        if (prefix.isEmpty) it.seekToFirst() else it.seek(prefix)
+        val scanIt: KvScanIterator = new KvScanIterator {
+          private var done = false
+          private def check(): Unit =
+            if (!done && !(it.isValid &&
+              (prefix.isEmpty || ByteOrdering.hasPrefix(it.key(), prefix)))) {
+              close()
+            }
+          check()
+          def hasNext: Boolean = !done
+          def next(): (Array[Byte], Array[Byte]) = {
+            val kv = (it.key().clone(), it.value().clone())
+            it.next()
+            check()
+            kv
+          }
+          def close(): Unit = if (!done) {
+            done = true
+            it.close()
+            openScans.remove(this)
+          }
+        }
+        if (scanIt.hasNext) openScans.add(scanIt)
+        scanIt
+      }
+
+      def abort(): Unit = if (!closed) {
+        closed = true
+        openScans.asScala.toSeq.foreach(s => Try(s.close()))
+        openScans.clear()
+        Try(db.close())
+        clearDir(workDir)
+        Try(Files.deleteIfExists(workDir))
+      }
+
+      def numKeys: Long = db.getProperty("rocksdb.estimate-num-keys").toLong
+      def sizeBytes: Long =
+        db.getProperty("rocksdb.cur-size-all-mem-tables").toLong
+    }
+  }
+
+  /** The raw (physicalKey, valueOrNull) records of one version's
+    * changelog, strictly (missing/corrupt file throws) — the backing for
+    * the provider's change-data reader.
+    */
+  private[state] def changelogRecords(version: Long): Iterator[(Array[Byte], Array[Byte])] = {
+    val in = new java.io.DataInputStream(new BufferedInputStream(
+      fs.open(new Path(basePath, changelogFileName(version)))))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Array[Byte])]
+    try {
+      var op = in.read()
+      while (op >= 0) {
+        val k = new Array[Byte](in.readInt()); in.readFully(k)
+        if (op == 0) {
+          val v = new Array[Byte](in.readInt()); in.readFully(v)
+          buf += ((k, v))
+        } else buf += ((k, null))
+        op = in.read()
+      }
+    } finally in.close()
+    // materialized: a changelog is one micro-batch's delta, bounded by
+    // design; holding the stream open across lazy consumption is not
+    buf.iterator
+  }
+
   // ----- maintenance --------------------------------------------------------
 
   override def doMaintenance(minVersionsToRetain: Int): Unit = {
@@ -448,7 +564,8 @@ final class RocksDbSessionBackend(
   * graft.state.RocksDbStateStoreProvider` (or
   * `GraftSession.useRocksDbStateStore()`).
   */
-class RocksDbStateStoreProvider extends GraftStateStoreProviderBase {
+class RocksDbStateStoreProvider extends GraftStateStoreProviderBase
+    with org.apache.spark.sql.graftbridge.GraftChangeDataSupport {
   override protected def createBackend(): SessionBackend =
     new RocksDbSessionBackend(
       storeId.storeCheckpointLocation.toString,
@@ -456,4 +573,51 @@ class RocksDbStateStoreProvider extends GraftStateStoreProviderBase {
       ttlConf,
       storeConf.sqlConfs ++ storeConf.extraOptions,
       onSnapshotUploaded = reportSnapshotUploaded)
+
+  private def rocksBackend: RocksDbSessionBackend =
+    backend.asInstanceOf[RocksDbSessionBackend]
+
+  /** Spark 4 fine-grained replay (the state data source's
+    * `snapshotStartBatchId` path): state at `endVersion` reconstructed
+    * from EXACTLY the snapshot at `snapshotVersion` plus the changelogs
+    * between them — strict, unlike getStore's lenient recovery ladder,
+    * because replay answers "what did history look like", not "give me
+    * something to keep running with".
+    */
+  override def replayStateFromSnapshot(
+      snapshotVersion: Long, endVersion: Long, readOnly: Boolean,
+      startCheckpointId: Option[String],
+      endCheckpointId: Option[String]): StateStore = {
+    require(snapshotVersion >= 0, s"snapshotVersion cannot be $snapshotVersion")
+    require(endVersion >= snapshotVersion,
+      s"endVersion $endVersion < snapshotVersion $snapshotVersion")
+    val session = rocksBackend.openReplay(snapshotVersion, endVersion)
+    new GraftStore(session, endVersion + 1, expiryTracker)
+  }
+
+  // Change-data reader hooks (the state data source's `readChangeFeed`
+  // path) — the NextIterator plumbing lives in GraftChangeDataSupport
+  // (sql-namespace bridge; the return type is private[spark]). Records
+  // decode through the same column-family physical-key layout the stores
+  // use.
+  override protected def changeRecords(version: Long, colFamilyName: String):
+      Iterator[(Array[Byte], Array[Byte])] = {
+    val prefix = cfPrefix(colFamilyName)
+    rocksBackend.changelogRecords(version)
+      .filter(r => ByteOrdering.hasPrefix(r._1, prefix))
+  }
+
+  override protected def decodeChangeKey(colFamilyName: String,
+      physicalKey: Array[Byte]): UnsafeRow = {
+    val info = cfs.get(colFamilyName)
+    require(info != null, s"unknown column family $colFamilyName")
+    decodeKey(colFamilyName, info, physicalKey)
+  }
+
+  override protected def decodeChangeValue(colFamilyName: String,
+      valueBytes: Array[Byte]): UnsafeRow = {
+    val info = cfs.get(colFamilyName)
+    require(info != null, s"unknown column family $colFamilyName")
+    decodeValue(info, valueBytes)
+  }
 }
