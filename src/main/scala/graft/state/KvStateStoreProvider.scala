@@ -181,7 +181,15 @@ final class KvSessionBackend(storePrefix: String, client: KvClient,
 
   override def open(loadVersion: Long, commitVersion: Long): StoreSession = {
     // lenient ladder: chainAsOf resolves through the newest committed
-    // version ≤ loadVersion; empty chain → empty store
+    // version ≤ loadVersion; empty chain → empty store.
+    // Per-key get() walks this chain captured at open time WITHOUT the
+    // registry lock (a lock per state lookup would serialize task threads
+    // against maintenance): it relies on epoch-deferred GC keeping a
+    // registered chain's data intact for one full maintenance cycle, and
+    // on Spark's maintenance interval dwarfing a micro-batch — the same
+    // files-outlive-the-batch invariant the RocksDB checkpoint GC assumes.
+    // scan() and commit(), which RE-resolve chains at call time, instead
+    // take the lock (see below) because their exposure is unbounded.
     val readChainNewestFirst = chainAsOf(loadVersion).reverse
 
     new StoreSession {
@@ -208,7 +216,14 @@ final class KvSessionBackend(storePrefix: String, client: KvClient,
         overlay += (new BytesKey(key) -> None)
 
       def scan(prefix: Array[Byte]): KvScanIterator = {
-        var merged = resolveAt(loadVersion, prefix)
+        // registryLock: chain resolution + version-keyspace scans must be
+        // atomic w.r.t. maintenance — otherwise two GC cycles between
+        // computing the chain and scanning it can physically delete a
+        // chained version (epoch-deferred GC only protects chains for ONE
+        // cycle), silently dropping that version's entries — fatally, its
+        // TOMBSTONES (caught by KvConcurrencySuite: a baked-in base
+        // resurrected a key whose tombstone's version vanished mid-scan)
+        var merged = registryLock.synchronized { resolveAt(loadVersion, prefix) }
         overlay.iterator.filter(e => ByteOrdering.hasPrefix(e._1.bytes, prefix))
           .foreach {
             case (k, Some(v)) => merged += (k -> v)
@@ -221,6 +236,13 @@ final class KvSessionBackend(storePrefix: String, client: KvClient,
       def commit(): Unit = {
         val writePrefix = versionPrefix(commitVersion)
         val isBase = baseInterval > 0 && commitVersion % baseInterval == 0
+        // the WHOLE commit — including the cadence-base materialization —
+        // runs under registryLock: the base's chain resolution + scans must
+        // be atomic w.r.t. maintenance GC, or a chained version (and its
+        // tombstones) can be physically deleted between computing the chain
+        // and scanning it, baking resurrected keys into the base
+        // (KvConcurrencySuite caught exactly this)
+        registryLock.synchronized {
         val puts: Seq[(Array[Byte], Array[Byte])] =
           if (isBase) {
             // cadence base: materialize the full resolved state (amortized
@@ -239,7 +261,6 @@ final class KvSessionBackend(storePrefix: String, client: KvClient,
               case (k, None) => (writePrefix ++ k.bytes, tombstone)
             }.toSeq
           }
-        registryLock.synchronized {
           // replayed commit (batch re-run after restart): the recomputed
           // delta may differ from the earlier attempt, and plain overwrites
           // would leave the old attempt's extra keys alive in this version
