@@ -235,6 +235,48 @@ abstract class StreamingOpsSuiteBase extends AnyFunSuite with BeforeAndAfterAll 
     assert(totals === Map(1 -> 15L, 2 -> 20L, 3 -> 30L))
     query.stop()
   }
+
+  test(s"$suiteName: foreachBatch upserts running aggregates idempotently") {
+    // the production sink shape for "stream into a table": per-batch
+    // upsert keyed by (uid), written with the batchId so a replayed batch
+    // overwrites rather than double-applies — exactly-once semantics on
+    // top of the provider's at-least-once batch replay
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val target = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+    def upsert(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               batchId: Long): Unit =
+      batch.collect().foreach { r =>
+        val k = r.getInt(0)
+        val v = r.getLong(1)
+        // idempotent: a replay of batchId b must not regress a newer write
+        target.compute(k, (_, old) =>
+          if (old == null || old._2 <= batchId) (v, batchId) else old)
+      }
+
+    val input = MemoryStream[(Int, Long)]
+    val query = input.toDF().toDF("uid", "amount")
+      .groupBy($"uid").agg(sum($"amount").as("total"))
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt("feb"))
+      .foreachBatch(upsert _)
+      .start()
+    input.addData((1, 10L), (2, 20L))
+    query.processAllAvailable()
+    input.addData((1, 5L))
+    query.processAllAvailable()
+    query.stop()
+
+    assert(target.get(1)._1 === 15L) // state carried across batches
+    assert(target.get(2)._1 === 20L)
+    // simulate the at-least-once replay of batch 0: the stale total must
+    // not clobber the newer one
+    upsert(Seq((1, 10L)).toDF("uid", "total"), 0L)
+    assert(target.get(1)._1 === 15L)
+  }
 }
 
 class InMemoryStreamingOpsSuite extends StreamingOpsSuiteBase {
