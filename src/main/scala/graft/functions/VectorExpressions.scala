@@ -4,8 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native vector arithmetic for the similarity-search path.
   *
@@ -176,6 +176,131 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** `pq_dist_table(queryResidual)` → ARRAY<DOUBLE> of numSub×k squared
+  * distances between each query sub-vector and each product-quantization
+  * codebook centroid — the per-query ADC (asymmetric distance
+  * computation) lookup table, built ONCE per (query, probed cell) and
+  * then shared by every candidate scored against it.
+  */
+case class PqDistTable(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_dist_table"
+
+  private lazy val numSub = codebooks.length
+  private lazy val k = if (numSub > 0) codebooks(0).length else 0
+  private lazy val subDim = if (k > 0) codebooks(0)(0).length else 0
+  // [ (m*k + c) * subDim + j ]
+  private lazy val flat: Array[Double] = {
+    val out = new Array[Double](numSub * k * subDim)
+    var m = 0
+    while (m < numSub) {
+      var c = 0
+      while (c < k) {
+        System.arraycopy(codebooks(m)(c), 0, out, (m * k + c) * subDim, subDim)
+        c += 1
+      }
+      m += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val table = new Array[Double](numSub * k)
+    var m = 0
+    while (m < numSub) {
+      var c = 0
+      while (c < k) {
+        val base = (m * k + c) * subDim
+        var d = 0.0
+        var j = 0
+        while (j < subDim) {
+          val t = x.getDouble(m * subDim + j) - flat(base + j)
+          d += t * t
+          j += 1
+        }
+        table(m * k + c) = d
+        c += 1
+      }
+      m += 1
+    }
+    new GenericArrayData(table)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val flatRef = ctx.addReferenceObj("pqFlat", flat, "double[]")
+      val table = ctx.freshName("table")
+      val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val base = ctx.freshName("base")
+      s"""
+        double[] $table = new double[${numSub * k}];
+        for (int $m = 0; $m < $numSub; $m++) {
+          for (int $c = 0; $c < $k; $c++) {
+            int $base = ($m * $k + $c) * $subDim;
+            double $d = 0.0;
+            for (int $j = 0; $j < $subDim; $j++) {
+              double $t = $a.getDouble($m * $subDim + $j) - $flatRef[$base + $j];
+              $d += $t * $t;
+            }
+            $table[$m * $k + $c] = $d;
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($table);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqDistTable =
+    copy(child = newChild)
+}
+
+/** `pq_adc_score(table, codes)` → DOUBLE: Σ over subspaces of
+  * table[m·k + codes[m]] — the ADC approximate squared distance of one
+  * PQ-encoded candidate to the query whose lookup table this is. The hot
+  * path of IVF-PQ search: one array index per subspace, no vector math.
+  */
+case class PqAdcScore(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score"
+
+  override def nullSafeEval(tableAny: Any, codesAny: Any): Any = {
+    val table = tableAny.asInstanceOf[ArrayData]
+    val codes = codesAny.asInstanceOf[ArrayData]
+    var s = 0.0
+    var m = 0
+    val n = codes.numElements()
+    while (m < n) {
+      s += table.getDouble(m * k + codes.getInt(m))
+      m += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (table, codes) => {
+      val s = ctx.freshName("s")
+      val m = ctx.freshName("m")
+      val n = ctx.freshName("n")
+      s"""
+        double $s = 0.0;
+        int $n = $codes.numElements();
+        for (int $m = 0; $m < $n; $m++) {
+          $s += $table.getDouble($m * $k + $codes.getInt($m));
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdcScore =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -193,4 +318,13 @@ object VectorFunctions {
   /** Nearest-centroid id (squared L2, codegen'd) over an embedded matrix. */
   def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
     column(NearestCentroid(expression(vec), centroids))
+
+  /** Per-query ADC lookup table over embedded PQ codebooks (codegen'd). */
+  def pq_dist_table(queryResidual: Column,
+                    codebooks: Array[Array[Array[Double]]]): Column =
+    column(PqDistTable(expression(queryResidual), codebooks))
+
+  /** ADC approximate distance: sum of table entries picked by codes. */
+  def pq_adc_score(table: Column, codes: Column, k: Int): Column =
+    column(PqAdcScore(expression(table), expression(codes), k))
 }

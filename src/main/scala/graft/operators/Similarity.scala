@@ -133,42 +133,42 @@ object Similarity {
     * partitions by cell id, a query touches nProbe/nClusters of the data,
     * and the exact re-rank runs only inside probed cells.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nClusters: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
-    val spark = corpus.sparkSession
-    // cached: the Lloyd loop takes `iters` passes plus one for the final
-    // index — without this every pass re-reads (and re-casts) the parquet
-    val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("cv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Centroids as a broadcastable DataFrame, NOT a literal expression
+    * tree — K×dim lit() nodes made every Lloyd iteration recompile a
+    * 1000-node plan (measured 48 s at sf0.1; ~3 s this way). Used only for
+    * the per-query top-nProbe ranking; assign uses the codegen'd argmin.
+    */
+  private def centroidDf(spark: SparkSession,
+                         cents: Array[(Int, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cvec")
+  }
 
-    // centroids travel as a broadcast DataFrame, NOT a literal expression
-    // tree — K×dim lit() nodes made every Lloyd iteration recompile a
-    // 1000-node plan (measured 48 s at sf0.1; ~3 s this way). Used only for
-    // the per-query top-nProbe ranking; assign uses the codegen'd argmin.
-    def centroidDf(cents: Array[(Int, Array[Double])]): DataFrame = {
-      import spark.implicits._
-      cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cvec")
-    }
+  /** Map-side argmin over the fitted centroid matrix: a single projection,
+    * zero shuffle (the old crossJoin+groupBy-on-full-row shuffled
+    * |corpus|×K rows carrying the vector, once per Lloyd iteration).
+    */
+  private def assign(df: DataFrame, cents: Array[(Int, Array[Double])],
+                     vecCol: String, as: String = "cid"): DataFrame = {
+    val matrix = cents.sortBy(_._1).map(_._2)
+    df.withColumn(as,
+      graft.functions.VectorFunctions.nearest_centroid(col(vecCol), matrix))
+  }
 
-    // map-side argmin over the fitted centroid matrix: a single projection,
-    // zero shuffle (the old crossJoin+groupBy-on-full-row shuffled
-    // |corpus|×K rows carrying the vector, once per Lloyd iteration)
-    def assign(df: DataFrame, cents: Array[(Int, Array[Double])], vecCol: String): DataFrame = {
-      val matrix = cents.sortBy(_._1).map(_._2)
-      df.withColumn("cid",
-        graft.functions.VectorFunctions.nearest_centroid(col(vecCol), matrix))
-    }
-
-    // deterministic init: the nClusters lowest vec_ids
+  /** Lloyd k-means over `vecCol`, deterministic init (the k lowest
+    * `idCol` rows). Assign is the codegen'd map-side argmin (zero
+    * shuffle); update is one K×dim-row shuffle per iteration; the fitted
+    * K×dim model collects to the driver. Shared by IVF and IVF-PQ.
+    */
+  private def fitCentroids(df: DataFrame, idCol: String, vecCol: String,
+                           k: Int, iters: Int): Array[(Int, Array[Double])] = {
     var centroids: Array[(Int, Array[Double])] =
-      c.orderBy(col("nid")).limit(nClusters).collect()
+      df.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k).collect()
         .zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
-
     (1 to iters).foreach { _ =>
-      val assigned = assign(c, centroids, "cv")
-      val updated = assigned
-        .select(col("cid"), posexplode(col("cv")).as(Seq("dim", "x")))
+      val updated = assign(df, centroids, vecCol, "__cid")
+        .select(col("__cid").as("cid"), posexplode(col(vecCol)).as(Seq("dim", "x")))
         .groupBy(col("cid"), col("dim"))
         .agg(avg(col("x")).as("m"))
         .groupBy(col("cid"))
@@ -180,6 +180,18 @@ object Similarity {
       val byId = updated.toMap
       centroids = centroids.map { case (cid, v) => (cid, byId.getOrElse(cid, v)) }
     }
+    centroids
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nClusters: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    // cached: the Lloyd loop takes `iters` passes plus one for the final
+    // index — without this every pass re-reads (and re-casts) the parquet
+    val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val centroids = fitCentroids(c, "nid", "cv", nClusters, iters)
     // training done (centroids are driver-side); drop the cache NOW rather
     // than leak one cached plan per invocation for the session's lifetime.
     // The final index/re-rank below is a single pass, so recomputing the
@@ -190,7 +202,7 @@ object Similarity {
     val indexed = assign(c, centroids, "cv")
     // probe: nProbe nearest cells per query
     val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
-    val probes = q.crossJoin(broadcast(centroidDf(centroids)))
+    val probes = q.crossJoin(broadcast(centroidDf(spark, centroids)))
       .withColumn("d2",
         dot(col("qv"), col("cvec")) * lit(-2.0) + dot(col("cvec"), col("cvec")))
       .withColumn("rnk", row_number().over(
@@ -205,6 +217,101 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** IVF-PQ: the standard billion-scale ANN architecture (inverted file +
+    * product quantization). On top of [[ivfTopK]]'s coarse quantizer, each
+    * vector's RESIDUAL (v − centroid) is split into `numSub` subspaces,
+    * each quantized against its own `codebookK`-entry codebook, so a
+    * d-dim float vector compresses to `numSub` small ints — at 100 TB the
+    * index fits in memory where raw vectors never could, and candidate
+    * scoring touches no vector math at all:
+    *
+    *  1. probes: nProbe nearest cells per query (as IVF),
+    *  2. per (query, cell): one ADC lookup table (codegen'd
+    *     `pq_dist_table` over the query residual),
+    *  3. per candidate: approx distance = `numSub` array lookups
+    *     (codegen'd `pq_adc_score` — the hot path),
+    *  4. top-`shortlist` by approx distance, then EXACT cosine re-rank of
+    *     the shortlist only (vectors rejoined by id — the only place full
+    *     vectors travel).
+    *
+    * All training runs as DataFrame Lloyd iterations ([[fitCentroids]]);
+    * only K×dim fitted models ever collect to the driver.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nClusters: Int = 16, nProbe: Int = 4, iters: Int = 3,
+                numSub: Int = 8, codebookK: Int = 16, subIters: Int = 2,
+                shortlist: Int = 50): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // coarse quantizer (shared shape with ivfTopK)
+    val coarse = fitCentroids(c, "nid", "cv", nClusters, iters)
+    val dim = coarse(0)._2.length
+    require(dim % numSub == 0, s"dim $dim not divisible into $numSub subspaces")
+    val subDim = dim / numSub
+
+    // residuals r = v − coarse[cid]: the quantity PQ actually encodes
+    // (residuals cluster far tighter than raw vectors). One zip_with per
+    // row during one-time training/encode — off the per-candidate hot path.
+    val withRes = assign(c, coarse, "cv")
+      .join(broadcast(centroidDf(spark, coarse)), "cid")
+      .withColumn("r", zip_with(col("cv"), col("cvec"), (a, b) => a - b))
+      .select(col("nid"), col("cid"), col("cv"), col("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // per-subspace codebooks, each fit on its residual slice
+    val codebooks: Array[Array[Array[Double]]] = (0 until numSub).map { m =>
+      val sub = withRes.select(col("nid"),
+        slice(col("r"), m * subDim + 1, subDim).as("sv"))
+      fitCentroids(sub, "nid", "sv", codebookK, subIters).sortBy(_._1).map(_._2)
+    }.toArray
+
+    // encode: numSub codegen'd argmins over residual slices → tiny codes
+    val encoded = withRes.withColumn("codes",
+        array((0 until numSub).map(m =>
+          graft.functions.VectorFunctions.nearest_centroid(
+            slice(col("r"), m * subDim + 1, subDim), codebooks(m))): _*))
+      .select(col("nid"), col("cid"), col("codes"))
+
+    // probes + per-(query, cell) ADC table from the QUERY residual
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+    val probes = q.crossJoin(broadcast(centroidDf(spark, coarse)))
+      .withColumn("d2",
+        dot(col("qv"), col("cvec")) * lit(-2.0) + dot(col("cvec"), col("cvec")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("cid").asc)))
+      .filter(col("rnk") <= nProbe)
+      .withColumn("qr", zip_with(col("qv"), col("cvec"), (a, b) => a - b))
+      .withColumn("adc",
+        graft.functions.VectorFunctions.pq_dist_table(col("qr"), codebooks))
+      .select(col("qid"), col("qv"), col("cid"), col("adc"))
+
+    // approx scoring: numSub array lookups per candidate, zero vector math
+    val approx = broadcast(probes).join(encoded, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("approx",
+        graft.functions.VectorFunctions.pq_adc_score(col("adc"), col("codes"), codebookK))
+      .withColumn("srnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("approx").asc, col("nid").asc)))
+      .filter(col("srnk") <= shortlist)
+      .select(col("qid"), col("qv"), col("nid"))
+
+    // exact re-rank of the shortlist only — the single place full corpus
+    // vectors travel, |Q|·shortlist rows
+    val result = approx
+      .join(withRes.select(col("nid"), col("cv")), "nid")
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 6).as("cos_sim"))
+
+    withRes.unpersist(blocking = false)
+    c.unpersist(blocking = false)
+    result
   }
 
   val specs: Seq[QuerySpec] = Seq(
@@ -234,6 +341,18 @@ object Similarity {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         ivfTopK(emb, emb.filter(col("vec_id") < 5), 5)
+          .orderBy(col("qid"), col("rnk"))
+      },
+      None),
+
+    // IVF-PQ: compressed-index ANN (codes instead of vectors in the
+    // candidate path) + exact shortlist re-rank. Approximate by design →
+    // rows-only; recall gated in AnnRecallSuite.
+    QuerySpec(
+      "q48_ann_ivfpq",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        ivfPqTopK(emb, emb.filter(col("vec_id") < 5), 5)
           .orderBy(col("qid"), col("rnk"))
       },
       None),

@@ -84,6 +84,30 @@ class VectorExpressionsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(line.contains("*("), "nearest_centroid must stay in WSCG")
   }
 
+  test("pq_dist_table + pq_adc_score reproduce exact subspace distances, codegen'd") {
+    val sql = spark
+    import sql.implicits._
+    // 2 subspaces of dim 2, 2 centroids each — hand-checkable
+    val codebooks: Array[Array[Array[Double]]] = Array(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)),   // subspace 0
+      Array(Array(2.0, 2.0), Array(5.0, 5.0)))   // subspace 1
+    val df = Seq(Seq(1.0, 1.0, 2.0, 2.0)).toDF("qr").repartition(1)
+    val tableDf = df.select(
+      VectorFunctions.pq_dist_table($"qr", codebooks).as("t"))
+    val table = tableDf.collect().head.getSeq[Double](0)
+    // sub0: (1,1) vs (0,0)=2, vs (1,1)=0; sub1: (2,2) vs (2,2)=0, vs (5,5)=18
+    assert(table === Seq(2.0, 0.0, 0.0, 18.0))
+    val line = tableDf.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("pq_dist_table")).get
+    assert(line.contains("*("), "pq_dist_table must stay in WSCG")
+
+    val scored = Seq((Seq(2.0, 0.0, 0.0, 18.0), Seq(1, 0)), // codes: sub0→1, sub1→0
+                     (Seq(2.0, 0.0, 0.0, 18.0), Seq(0, 1)))
+      .toDF("t", "codes").repartition(1)
+      .select(VectorFunctions.pq_adc_score($"t", $"codes", 2).as("d"))
+    assert(scored.collect().map(_.getDouble(0)).toSeq === Seq(0.0, 20.0))
+  }
+
   test("null array yields null, mismatched lengths use the shorter") {
     val sql = spark
     import sql.implicits._

@@ -46,6 +46,21 @@ class AnnRecallSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivfRecall >= 0.5, s"IVF recall $ivfRecall")
   }
 
+  test("IVF-PQ recall ≥ 0.5 of exact top-5, ≥ plain IVF − 0.1") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, 5))
+    val ivf = pairs(Similarity.ivfTopK(emb, queries, 5))
+    val pq = pairs(Similarity.ivfPqTopK(emb, queries, 5))
+    val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    val pqRecall = (exact & pq).size.toDouble / exact.size
+    assert(pqRecall >= 0.5, s"IVF-PQ recall $pqRecall")
+    // the exact shortlist re-rank should keep PQ within a whisker of the
+    // uncompressed IVF search (same probed cells, compressed shortlist)
+    assert(pqRecall >= ivfRecall - 0.1,
+      s"IVF-PQ recall $pqRecall fell too far below IVF $ivfRecall")
+  }
+
   test("cosinePairsLsh recall ≥ 0.5 of exact near-dup pairs") {
     // exact all-pairs at 0.35 with blocking disabled (single block) vs the
     // LSH-bucketed path over the same corpus
