@@ -415,11 +415,13 @@ object Dedup {
 
     // Production mode of the same operator: token-df skew cap ON (the
     // 100 TB guard — one block-wide stopword must not regenerate the
-    // all-pairs join). Candidate recall is data-dependent by design, so
-    // this is a rows-only check; exactness is gated by q31.
+    // all-pairs join). Cap 100 actually FIRES on this corpus (max block
+    // df ≈ 214 at sf0.1), so the hot-token exclusion + exact correction
+    // paths run for real, not vacuously. Candidate recall is
+    // data-dependent by design → rows-only; exactness is gated by q31.
     QuerySpec(
       "q37_jaccard_capped",
-      (s, d) => jaccardPairs(Tables.documents(s, d), 0.5, maxTokenDf = 1000)
+      (s, d) => jaccardPairs(Tables.documents(s, d), 0.5, maxTokenDf = 100)
         .orderBy(col("doc_a"), col("doc_b")),
       None),
 
