@@ -35,7 +35,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // "warmup" records the harness methodology: r01-r03 warmed only 2
+    // queries; r04+ run a full untimed pass first. Numbers are only
+    // comparable across runs with the same warmup tag.
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warmup":"full-pass","queries":$qs,"sf":"$sfDir"}"""
     // stop FIRST so no Spark background thread can interleave log output
     // with the one JSON line the harness parses
     spark.stop()

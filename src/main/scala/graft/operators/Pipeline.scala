@@ -24,6 +24,8 @@ import graft.queries.QuerySpec
   */
 object Pipeline {
 
+  private val obsCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** @param maxTokenDf near-dup skew guard, threaded to
     *        [[Dedup.jaccardPairs]]. Production runs cap it (default);
     *        the oracle-gated spec passes Int.MaxValue because its DuckDB
@@ -53,11 +55,17 @@ object Pipeline {
     * (`observe` metrics ride the existing plan as accumulators; a separate
     * `count()` would re-execute the whole pipeline). Read the metrics from
     * the returned Observation after the DataFrame is materialized.
+    *
+    * @param tag caller-supplied suffix distinguishing this curation's
+    *        metrics; by default a per-JVM counter keeps concurrent
+    *        curations' Observations from colliding on one name.
     */
   def curateWithMetrics(docs: DataFrame, minTokens: Int, maxTokens: Int,
                         minTtr: Double, nearDupThreshold: Double,
-                        maxTokenDf: Int = 1000): (DataFrame, org.apache.spark.sql.Observation) = {
-    val obs = org.apache.spark.sql.Observation("graft_curation")
+                        maxTokenDf: Int = 1000,
+                        tag: String = ""): (DataFrame, org.apache.spark.sql.Observation) = {
+    val suffix = if (tag.nonEmpty) tag else obsCounter.incrementAndGet().toString
+    val obs = org.apache.spark.sql.Observation(s"graft_curation_$suffix")
     val out = curate(docs, minTokens, maxTokens, minTtr, nearDupThreshold, maxTokenDf)
       .observe(obs, count(lit(1)).as("docs_kept"),
         sum(col("n_tokens")).as("token_budget"))

@@ -107,6 +107,20 @@ final class KvSessionBackend(storePrefix: String, client: KvClient,
     * doMaintenance).
     */
   private val gcPendingKey = s"$storePrefix:__gcpending__".getBytes("UTF-8")
+  /** Monotonic counter bumped by every maintenance run that deregisters or
+    * physically deletes a version keyspace. Open sessions use it as a
+    * tripwire: a chain captured at open() is guaranteed intact for one
+    * full GC cycle (epoch +1); at epoch +2 its keyspaces may be gone, so
+    * reads that fall past the newest chained keyspace re-validate the
+    * chain instead of silently missing a deleted tombstone (key
+    * resurrection).
+    */
+  private val gcEpochKey = s"$storePrefix:__gcepoch__".getBytes("UTF-8")
+
+  private def readGcEpoch(): Long = {
+    val raw = client.get(gcEpochKey)
+    if (raw == null) 0L else new String(raw, "UTF-8").toLong
+  }
 
   // value framing inside a version keyspace
   private val TagPut: Byte = 0
@@ -190,12 +204,46 @@ final class KvSessionBackend(storePrefix: String, client: KvClient,
     // files-outlive-the-batch invariant the RocksDB checkpoint GC assumes.
     // scan() and commit(), which RE-resolve chains at call time, instead
     // take the lock (see below) because their exposure is unbounded.
-    val readChainNewestFirst = chainAsOf(loadVersion).reverse
+    // The residual risk — a session held open across ≥2 maintenance
+    // cycles reading a GC'd keyspace — is DETECTED via the GC epoch
+    // tripwire in get() below rather than silently returning wrong data.
+    val readChainNewestFirst: IndexedSeq[Long] = chainAsOf(loadVersion).reverse.toIndexedSeq
+    val gcEpochAtOpen = readGcEpoch()
 
     new StoreSession {
       // local overlay: server state stays untouched until commit (the
       // MULTI/EXEC discipline — and abort is a real rollback)
       private var overlay = TreeMap.empty[BytesKey, Option[Array[Byte]]](ByteOrdering)
+
+      // highest epoch at which the captured chain was re-verified intact
+      // (avoids re-reading the registries on every exposed get)
+      private var verifiedEpoch = gcEpochAtOpen
+
+      /** Tripwire for the documented one-cycle invariant: if ≥2 GC epochs
+        * passed since open(), a chained keyspace may be physically gone —
+        * a get() that consulted more than the newest chained keyspace
+        * could then have skipped a deleted tombstone and resurrected an
+        * older value. One extra KV get per exposed read (the epoch key);
+        * the full registry check runs once per new epoch. Fails loudly
+        * (task retry re-opens with a fresh chain) instead of returning
+        * silently wrong state.
+        */
+      private def checkChainIntact(): Unit = {
+        if (readChainNewestFirst.isEmpty) return
+        val epoch = readGcEpoch()
+        if (epoch == verifiedEpoch) return
+        if (epoch >= gcEpochAtOpen + 2) {
+          val live = committed() ++ readVersionSet(gcPendingKey)
+          val missing = readChainNewestFirst.filterNot(live.contains)
+          if (missing.nonEmpty)
+            throw new IllegalStateException(
+              s"state version chain [${missing.mkString(",")}] for loadVersion=$loadVersion " +
+                "was garbage-collected while this session stayed open across >=2 " +
+                "maintenance cycles; reads could silently miss deleted tombstones " +
+                "(key resurrection) - failing instead")
+        }
+        verifiedEpoch = epoch
+      }
 
       def get(key: Array[Byte]): Array[Byte] =
         overlay.get(new BytesKey(key)) match {
@@ -203,10 +251,17 @@ final class KvSessionBackend(storePrefix: String, client: KvClient,
           case Some(None) => null
           case None =>
             // newest→oldest: the first version with an entry decides
-            readChainNewestFirst.iterator
-              .map(v => client.get(versionPrefix(v) ++ key))
-              .collectFirst { case framed if framed != null => unframe(framed) }
-              .flatten.orNull
+            var i = 0
+            var decided: Option[Option[Array[Byte]]] = None
+            while (decided.isEmpty && i < readChainNewestFirst.length) {
+              val framed = client.get(versionPrefix(readChainNewestFirst(i)) ++ key)
+              if (framed != null) decided = Some(unframe(framed))
+              i += 1
+            }
+            // any probe that fell past the newest chained keyspace is the
+            // exact shape a GC'd version (lost tombstone) produces
+            if (i > 1 || decided.isEmpty) checkChainIntact()
+            decided.flatten.orNull
         }
 
       def put(key: Array[Byte], value: Array[Byte]): Unit =
@@ -340,10 +395,16 @@ final class KvSessionBackend(storePrefix: String, client: KvClient,
     // deregistered (no live chain can reference it anymore), then
     // deregister this run's sub-horizon versions and record them as
     // pending — registry shrink + pending handoff in one atomic batch
-    readVersionSet(gcPendingKey).filter(_ < horizon)
-      .foreach(v => client.deletePrefix(versionPrefix(v)))
+    val toDelete = readVersionSet(gcPendingKey).filter(_ < horizon)
+    toDelete.foreach(v => client.deletePrefix(versionPrefix(v)))
     val newPending = committed().filter(_ < horizon)
-    client.writeBatch(Seq(
+    // bump the GC epoch whenever this run deregistered or deleted a
+    // keyspace — open sessions key their chain-intact tripwire off it
+    val epochPut =
+      if (toDelete.nonEmpty || newPending.nonEmpty)
+        Seq(gcEpochKey -> (readGcEpoch() + 1).toString.getBytes("UTF-8"))
+      else Seq.empty
+    client.writeBatch(epochPut ++ Seq(
       versionsKey -> committed().filter(_ >= horizon).toSeq.sorted.mkString(",").getBytes("UTF-8"),
       basesKey -> bases().filter(_ >= horizon).toSeq.sorted.mkString(",").getBytes("UTF-8"),
       gcPendingKey -> newPending.toSeq.sorted.mkString(",").getBytes("UTF-8")),

@@ -38,4 +38,21 @@ class PipelineObserveSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(metrics("docs_kept") === rows.length.toLong)
     assert(metrics("token_budget") === expectedTokens)
   }
+
+  test("two curations in one session get distinct Observations") {
+    // Observation names must be unique per session — a hardcoded name
+    // made the second registration collide. Default counter + explicit
+    // tag both have to work, and each Observation reports its OWN run.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (outA, obsA) = Pipeline.curateWithMetrics(docs,
+      minTokens = 10, maxTokens = 100, minTtr = 0.3, nearDupThreshold = 0.8)
+    val (outB, obsB) = Pipeline.curateWithMetrics(docs,
+      minTokens = 30, maxTokens = 60, minTtr = 0.3, nearDupThreshold = 0.8,
+      tag = "strict")
+    val a = outA.collect().length.toLong
+    val b = outB.collect().length.toLong
+    assert(a !== b, "fixture should make the two curations differ")
+    assert(obsA.get("docs_kept") === a)
+    assert(obsB.get("docs_kept") === b)
+  }
 }

@@ -168,6 +168,40 @@ class KvDeltaCommitSuite extends AnyFunSuite {
     assert(r.scan(Array.emptyByteArray).size === 4)
   }
 
+  test("a session held open across two GC cycles fails loudly, not by resurrecting keys") {
+    EmbeddedKvServer.clear()
+    val client = EmbeddedKvServer.client("epoch-test")
+    val backend = new KvSessionBackend("store", client, baseInterval = 1000)
+    val s1 = backend.open(0, 1)
+    s1.put(k("old"), k("v1"))
+    s1.put(k("victim"), k("v1"))
+    s1.commit()
+    val s2 = backend.open(1, 2)
+    s2.remove(k("victim")) // the tombstone physical GC would lose
+    s2.commit()
+    (3 to 6).foreach { v => val s = backend.open(v - 1, v); s.put(k(s"k$v"), k("x")); s.commit() }
+
+    val stale = backend.open(2, 3) // chain [1,2] captured now
+    assert(stale.get(k("victim")) === null) // tombstone honored pre-GC
+
+    backend.doMaintenance(minVersionsToRetain = 2) // cycle 1: deregisters 1..4
+    // documented one-cycle invariant: keyspaces are still intact, the
+    // captured chain still reads correctly
+    assert(stale.get(k("victim")) === null)
+    assert(new String(stale.get(k("old")), "UTF-8") === "v1")
+
+    backend.doMaintenance(minVersionsToRetain = 2) // cycle 2: physical delete
+    // without the tripwire this get would fall through v2's DELETED
+    // tombstone and either resurrect or silently null — must throw instead
+    val ex = intercept[IllegalStateException] { stale.get(k("victim")) }
+    assert(ex.getMessage.contains("garbage-collected"))
+
+    // a freshly opened session (the task-retry path) reads fine
+    val fresh = backend.open(6, 7)
+    assert(fresh.get(k("victim")) === null)
+    assert(new String(fresh.get(k("k6")), "UTF-8") === "x")
+  }
+
   test("maintenance physically drops dead tombstones at the horizon base") {
     EmbeddedKvServer.clear()
     val client = EmbeddedKvServer.client("tombstone-gc-test")
