@@ -183,6 +183,49 @@ object Similarity {
     centroids
   }
 
+  /** Fit all `numSub` PQ codebooks in ONE Lloyd loop. Per iteration a
+    * single projection computes every subspace's argmin code (numSub
+    * codegen'd nearest_centroid calls side by side), then one
+    * explode+groupBy shuffle over (subspace, code, dim) rows updates every
+    * codebook at once. The per-subspace alternative (fitCentroids × numSub)
+    * runs numSub seeding sorts plus numSub×iters update passes over the
+    * residuals — at 100 TB that's numSub full scans per iteration where
+    * this does one. Seeding and per-subspace means are identical to the
+    * per-subspace formulation (subspaces never interact), so the fitted
+    * codebooks match.
+    */
+  private def fitSubCodebooks(withRes: DataFrame, numSub: Int, subDim: Int,
+                              k: Int, iters: Int): Array[Array[Array[Double]]] = {
+    // deterministic seed: the k lowest-id residuals, sliced into every subspace
+    val seedRows = withRes.select(col("nid"), col("r"))
+      .orderBy(col("nid")).limit(k).collect()
+    var books: Array[Array[Array[Double]]] = (0 until numSub).map { m =>
+      seedRows.map(r => r.getSeq[Double](1).slice(m * subDim, (m + 1) * subDim).toArray)
+    }.toArray
+    (1 to iters).foreach { _ =>
+      val updated = withRes.select(posexplode(array((0 until numSub).map(m =>
+          struct(lit(m).as("m"),
+            graft.functions.VectorFunctions.nearest_centroid(
+              slice(col("r"), m * subDim + 1, subDim), books(m)).as("code"),
+            slice(col("r"), m * subDim + 1, subDim).as("sv"))): _*)).as(Seq("__i", "e")))
+        .select(col("e.m").as("m"), col("e.code").as("code"),
+          posexplode(col("e.sv")).as(Seq("dim", "x")))
+        .groupBy(col("m"), col("code"), col("dim"))
+        .agg(avg(col("x")).as("mn"))
+        .groupBy(col("m"), col("code"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("mn")))).as("dm"))
+        .select(col("m"), col("code"),
+          transform(col("dm"), e => e.getField("mn")).as("cvec"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
+      // empty codes keep their previous entry
+      books = books.zipWithIndex.map { case (book, m) =>
+        book.zipWithIndex.map { case (v, code) => updated.getOrElse((m, code), v) }
+      }
+    }
+    books
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nClusters: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
@@ -262,12 +305,14 @@ object Similarity {
       .select(col("nid"), col("cid"), col("cv"), col("r"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // per-subspace codebooks, each fit on its residual slice
-    val codebooks: Array[Array[Array[Double]]] = (0 until numSub).map { m =>
-      val sub = withRes.select(col("nid"),
-        slice(col("r"), m * subDim + 1, subDim).as("sv"))
-      fitCentroids(sub, "nid", "sv", codebookK, subIters).sortBy(_._1).map(_._2)
-    }.toArray
+    // all numSub codebooks fit jointly — one residual pass per iteration
+    val codebooks: Array[Array[Array[Double]]] =
+      fitSubCodebooks(withRes, numSub, subDim, codebookK, subIters)
+    // fitCentroids seeds from limit(codebookK): a corpus smaller than
+    // codebookK yields fewer centroids. The ADC table strides by the
+    // FITTED size (PqDistTable uses codebooks(0).length), so scoring must
+    // index with the same k or distances land in the wrong subspace row.
+    val fittedK = codebooks(0).length
 
     // encode: numSub codegen'd argmins over residual slices → tiny codes
     val encoded = withRes.withColumn("codes",
@@ -293,7 +338,7 @@ object Similarity {
     val approx = broadcast(probes).join(encoded, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("approx",
-        graft.functions.VectorFunctions.pq_adc_score(col("adc"), col("codes"), codebookK))
+        graft.functions.VectorFunctions.pq_adc_score(col("adc"), col("codes"), fittedK))
       .withColumn("srnk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("approx").asc, col("nid").asc)))
       .filter(col("srnk") <= shortlist)

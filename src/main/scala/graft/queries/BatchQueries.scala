@@ -710,6 +710,54 @@ object BatchQueries {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    // ---- pivot (long→wide): order counts by priority × status. Explicit
+    //      pivot values keep the plan a single pass (no distinct-values
+    //      pre-query) — the 100 TB form. Spark leaves empty cells null
+    //      where conditional COUNT gives 0, hence the na.fill.
+    QuerySpec(
+      "q38_pivot",
+      (s, d) => {
+        val p = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+        p.na.fill(0L, Seq("F", "O", "P")).orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority,
+               count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+               count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+               count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // ---- unpivot/melt (wide→long): per-flag measures to (metric, value)
+    //      rows — pre-aggregated first so the unpivot touches F rows, not
+    //      the fact table
+    QuerySpec(
+      "q39_unpivot",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(dsum(col("l_quantity")).as("sum_qty"),
+               dsum(col("l_extendedprice")).as("sum_price"))
+          .unpivot(Array(col("l_returnflag")),
+                   Array(col("sum_qty"), col("sum_price")),
+                   "metric", "value")
+          .orderBy(col("l_returnflag"), col("metric"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT l_returnflag,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+        UNION ALL
+        SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM a
+        ORDER BY l_returnflag, metric"""))
   )
 }

@@ -61,6 +61,22 @@ class AnnRecallSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"IVF-PQ recall $pqRecall fell too far below IVF $ivfRecall")
   }
 
+  test("IVF-PQ on a corpus smaller than codebookK scores with the fitted stride") {
+    // fitCentroids seeds from limit(codebookK): a 10-vector corpus fits
+    // 10-entry codebooks, and the ADC table strides by that FITTED size.
+    // Scoring with the configured codebookK=16 would read the wrong table
+    // rows (or past the end) — this pins the fitted-k plumbing.
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10)
+    val queries = emb.filter(col("vec_id") < 3)
+    val pq = Similarity.ivfPqTopK(emb, queries, 5,
+      nClusters = 2, nProbe = 2, numSub = 8, codebookK = 16)
+    val rows = pq.collect()
+    assert(rows.nonEmpty)
+    // every query found neighbors and cosines are sane (in [-1, 1])
+    assert(rows.map(_.getAs[Long]("qid")).toSet === Set(0L, 1L, 2L))
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cos_sim")) <= 1.0 + 1e-9))
+  }
+
   test("cosinePairsLsh recall ≥ 0.5 of exact near-dup pairs") {
     // exact all-pairs at 0.35 with blocking disabled (single block) vs the
     // LSH-bucketed path over the same corpus

@@ -79,6 +79,50 @@ class TtlCountProcessor(ttlMs: Long)
   }
 }
 
+/** Processing-time timers: sessionization shape — each input (re)arms a
+  * timer (delay ms carried in the value); when it fires,
+  * handleExpiredTimer emits the session total and clears state. Timer
+  * state lives in a dedicated timer column family keyed with
+  * RangeKeyScanStateEncoderSpec (expiry-ordered), so this drives the
+  * range-scan encoder through a real operator. A "cancel" input
+  * exercises listTimers + deleteTimer.
+  *
+  * AvailableNow semantics (observed): after the data batches, Spark keeps
+  * running no-data batches until no registered timer is pending, so a
+  * single run carries arm → fire end-to-end.
+  */
+class SessionFlushProcessor extends StatefulProcessor[Int, (Int, String), (Int, String, Int)] {
+  @transient private var count: ValueState[Int] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    count = getHandle.getValueState[Int]("count", Encoders.scalaInt, TTLConfig.NONE)
+
+  override def handleInputRows(key: Int, rows: Iterator[(Int, String)],
+                               timerValues: TimerValues): Iterator[(Int, String, Int)] = {
+    val items = rows.toSeq
+    if (items.exists(_._2 == "cancel")) {
+      getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
+      count.clear()
+      Iterator.single((key, "cancelled", 0))
+    } else {
+      val n = (if (count.exists()) count.get() else 0) + items.size
+      count.update(n)
+      // re-arm: drop any previous timer, fire delayMs from now
+      getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
+      getHandle.registerTimer(
+        timerValues.getCurrentProcessingTimeInMs() + items.map(_._2.toLong).max)
+      Iterator.single((key, "open", n))
+    }
+  }
+
+  override def handleExpiredTimer(key: Int, timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo): Iterator[(Int, String, Int)] = {
+    val n = if (count.exists()) count.get() else 0
+    count.clear()
+    Iterator.single((key, "flushed", n))
+  }
+}
+
 /** Migration path from an existing system: state seeded from a batch
   * Dataset via StatefulProcessorWithInitialState. */
 class CountWithInitProcessor
@@ -256,6 +300,56 @@ abstract class TransformWithStateSuiteBase extends AnyFunSuite with BeforeAndAft
     input.addData((1, "c"))
     // state expired between runs → count restarts at 1, not 3
     assert(runOnce() === List(1))
+  }
+  test(s"$suiteName: processing-time timers fire, re-arm, and cancel") {
+    // AvailableNow keeps scheduling no-data batches while timers are
+    // pending, so each run observes its timers through to firing.
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Int, String)]
+    val ckpt = Files.createTempDirectory(s"graft-twstimer-$suiteName").toString
+    val collected = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Int, String, Int)]())
+
+    def runOnce(): List[(Int, String, Int)] = {
+      collected.clear()
+      val out = input.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new SessionFlushProcessor,
+          TimeMode.ProcessingTime(), OutputMode.Update())
+      val query = out.writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Int, String, Int)], _: Long) =>
+          batch.collect().foreach(collected.add)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination(120000)
+      query.stop()
+      import scala.jdk.CollectionConverters._
+      collected.asScala.toList
+    }
+
+    // key 1: two arrivals re-arm one 2s timer → exactly one flush with the
+    // session total. key 2: arms a 60s timer then cancels it — the run
+    // terminating promptly (not after 60s) is itself proof of deleteTimer.
+    input.addData((1, "2000"), (2, "60000"))
+    input.addData((1, "2000"), (2, "cancel"))
+    val r1 = runOnce()
+    assert(r1.contains((1, "flushed", 2)))
+    assert(r1.count(t => t._1 == 1 && t._2 == "flushed") === 1,
+      "re-armed timer must fire exactly once")
+    assert(r1.contains((2, "cancelled", 0)))
+    assert(!r1.exists(t => t._1 == 2 && t._2 == "flushed"))
+
+    // flush cleared the state: key 1's next session restarts at 1
+    input.addData((1, "500"))
+    val r2 = runOnce()
+    assert(r2.contains((1, "open", 1)))
+    assert(r2.contains((1, "flushed", 1)))
   }
 }
 
