@@ -277,6 +277,53 @@ abstract class StreamingOpsSuiteBase extends AnyFunSuite with BeforeAndAfterAll 
     upsert(Seq((1, 10L)).toDF("uid", "total"), 0L)
     assert(target.get(1)._1 === 15L)
   }
+
+  test(s"$suiteName: parquet file sink appends exactly-once across a restart") {
+    // stateful dedup (state on our provider) → parquet sink. The file
+    // sink's transaction log + the recovered dedup state must together
+    // give exactly-once file output even when the query restarts and old
+    // duplicates arrive again.
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val outDir = Files.createTempDirectory(s"graft-fsink-$suiteName-out").toString
+    val ckptDir = ckpt("fsink")
+    val input = MemoryStream[(Int, String)]
+
+    def startQuery() = input.toDF().toDF("id", "payload")
+      .dropDuplicates("id")
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .start()
+
+    val q1 = startQuery()
+    input.addData((1, "a"), (2, "b"), (1, "dup-in-batch"))
+    q1.processAllAvailable()
+    input.addData((2, "dup-across-batch"), (3, "c"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    val firstRun = spark.read.parquet(outDir)
+    assert(firstRun.count() === 3) // 1, 2, 3 — each exactly once
+
+    // restart over the same checkpoint: dedup state recovers from the
+    // provider, so replayed ids write nothing; only id 4 is new
+    val q2 = startQuery()
+    input.addData((1, "replay"), (3, "replay"), (4, "d"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val out = spark.read.parquet(outDir)
+    assert(out.count() === 4)
+    assert(out.select("id").as[Int].collect().sorted === Array(1, 2, 3, 4))
+    // the payload kept for each id is the FIRST seen (dedup, not upsert)
+    val kept = out.as[(Int, String)].collect().toMap
+    assert(kept(1) === "a" && kept(2) === "b")
+  }
 }
 
 class InMemoryStreamingOpsSuite extends StreamingOpsSuiteBase {

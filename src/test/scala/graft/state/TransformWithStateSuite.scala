@@ -123,6 +123,37 @@ class SessionFlushProcessor extends StatefulProcessor[Int, (Int, String), (Int, 
   }
 }
 
+/** Event-time timers: a session flushes when the WATERMARK (not the wall
+  * clock) passes one second after the session's latest event. Exercises
+  * TimeMode.EventTime — timer expiry driven by watermark progress from
+  * later data, deterministic under replay, where the processing-time
+  * variant depends on the machine clock.
+  */
+class EventTimeFlushProcessor
+    extends StatefulProcessor[Int, (Int, java.sql.Timestamp), (Int, String, Int)] {
+  @transient private var count: ValueState[Int] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    count = getHandle.getValueState[Int]("count", Encoders.scalaInt, TTLConfig.NONE)
+
+  override def handleInputRows(key: Int, rows: Iterator[(Int, java.sql.Timestamp)],
+                               timerValues: TimerValues): Iterator[(Int, String, Int)] = {
+    val items = rows.toSeq
+    val n = (if (count.exists()) count.get() else 0) + items.size
+    count.update(n)
+    getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
+    getHandle.registerTimer(items.map(_._2.getTime).max + 1000)
+    Iterator.single((key, "open", n))
+  }
+
+  override def handleExpiredTimer(key: Int, timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo): Iterator[(Int, String, Int)] = {
+    val n = if (count.exists()) count.get() else 0
+    count.clear()
+    Iterator.single((key, "flushed", n))
+  }
+}
+
 /** Migration path from an existing system: state seeded from a batch
   * Dataset via StatefulProcessorWithInitialState. */
 class CountWithInitProcessor
@@ -350,6 +381,63 @@ abstract class TransformWithStateSuiteBase extends AnyFunSuite with BeforeAndAft
     val r2 = runOnce()
     assert(r2.contains((1, "open", 1)))
     assert(r2.contains((1, "flushed", 1)))
+  }
+
+  test(s"$suiteName: event-time timers fire on watermark progress, not wall clock") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[(Int, java.sql.Timestamp)]
+    val ckpt = Files.createTempDirectory(s"graft-twsevt-$suiteName").toString
+    val collected = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Int, String, Int)]())
+
+    def runOnce(): List[(Int, String, Int)] = {
+      collected.clear()
+      val out = input.toDS().toDF("id", "ts")
+        .withWatermark("ts", "0 seconds")
+        .as[(Int, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .transformWithState(new EventTimeFlushProcessor,
+          TimeMode.EventTime(), OutputMode.Update())
+      val query = out.writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Int, String, Int)], _: Long) =>
+          batch.collect().foreach(collected.add)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination(120000)
+      query.stop()
+      import scala.jdk.CollectionConverters._
+      collected.asScala.toList
+    }
+
+    // key 1's session ends at event-time 10s → timer armed for 11s. The
+    // watermark is still ≤10s when the run ends, so NO flush yet no matter
+    // how much wall time passes.
+    input.addData((1, ts(9)), (1, ts(10)))
+    val r1 = runOnce()
+    assert(r1.contains((1, "open", 2)))
+    assert(!r1.exists(_._2 == "flushed"))
+
+    Thread.sleep(1500) // wall time must NOT fire an event-time timer
+    // 10.5s is past the 10s watermark (not late) but re-arms the timer to
+    // 11.5s — still ahead of the watermark, so again no flush
+    input.addData((1, new java.sql.Timestamp(10500L)))
+    val r2 = runOnce()
+    assert(r2.contains((1, "open", 3)))
+    assert(!r2.exists(_._2 == "flushed"),
+      "timer fired on wall clock / non-advancing watermark")
+
+    // key 99's event at 30s pushes the watermark past 11.5s → key 1
+    // flushes with its session total of 3
+    input.addData((99, ts(30)))
+    val r3 = runOnce()
+    assert(r3.contains((1, "flushed", 3)))
   }
 }
 
