@@ -311,6 +311,84 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // Connected components over near-dup pairs → dedup clusters
+
+  /** Connected components over an undirected pair list: returns
+    * `(id, comp)` where `comp` is the minimum node id reachable from `id`
+    * (the canonical representative of its component). Nodes that appear in
+    * no pair are absent from the result — callers treat them as singleton
+    * components (`comp = id`).
+    *
+    * This is the step that turns near-dup PAIRS into dedup DECISIONS: a
+    * chain a~b~c must collapse to ONE retained doc even though (a,c) was
+    * never emitted as a pair, so per-pair "keep the smaller id" is wrong —
+    * only the component's canonical member is retained.
+    *
+    * Algorithm: iterative min-label propagation. Each iteration is one
+    * hash join (labels ⋈ edges, shuffled on node id) plus one partial
+    * aggregation — no driver-side graph state; the driver sees a single
+    * scalar checksum per iteration for convergence. Lineage is truncated
+    * every iteration (`localCheckpoint`) so the plan does not grow with
+    * the iteration count (at cluster scale, swap for reliable
+    * `checkpoint()` to a durable dir). Converges in ≤ diameter iterations
+    * — near-dup components are dense and shallow (a few hops), so this
+    * runs 3-5 rounds in practice; for adversarially long chains the
+    * large-star/small-star variant (O(log n) rounds) is the documented
+    * evolution.
+    *
+    * Scale notes (100 TB): only (id, comp) pairs ever travel — never
+    * text; the edge list is materialized once and re-joined per round;
+    * both sides of the per-round join are hash-partitioned on the same
+    * key, so AQE coalesces the exchange after round 1.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b",
+                          maxIterations: Int = 30): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .dropDuplicates("src", "dst")
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    // comp is monotone non-increasing per node, so the exact sum strictly
+    // decreases until the fixpoint — one scalar per round, overflow-proof
+    // via decimal, no old-vs-new join needed.
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head.getDecimal(0)
+    var prev = checksum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      val msgs = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.union(msgs).groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      val cur = checksum(next)
+      converged = cur.compareTo(prev) == 0
+      prev = cur
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Documents annotated with their near-dup cluster: `comp` (canonical
+    * doc_id of the component, = own id for singletons) and `retained`
+    * (1 iff this doc is the component's canonical member). Downstream, a
+    * curation pipeline filters `retained = 1`.
+    */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame,
+                    idCol: String = "doc_id"): DataFrame = {
+    val comp = connectedComponents(pairs)
+    docs.join(comp, docs(idCol) === comp("id"), "left_outer")
+      .drop("id")
+      .withColumn("comp", coalesce(col("comp"), col(idCol)))
+      .withColumn("retained", (col("comp") === col(idCol)).cast("int"))
+  }
+
+  // ---------------------------------------------------------------------
   // Embedding-cosine near-dup
 
   /** All pairs (a < b) within the same block whose embedding cosine ≥
@@ -471,6 +549,46 @@ object Dedup {
       "q47_minhash_shingles",
       (s, d) => minhashLsh(Tables.documents(s, d), 0.5, shingleK = 5)
         .orderBy(col("doc_a"), col("doc_b")),
-      None)
+      None),
+
+    // pairs → clusters → one retained doc per cluster: exact Jaccard pairs
+    // (the q31-gated operator) through connectedComponents; oracle is a
+    // DuckDB recursive CTE computing min-reachable-id per node — same
+    // canonicalization, independent formulation.
+    QuerySpec(
+      "q49_dedup_clusters",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = jaccardPairs(docs, 0.5, maxTokenDf = Int.MaxValue)
+        dedupClusters(docs, pairs)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("retained")).cast("bigint").as("n_retained"),
+            countDistinct(col("comp")).as("n_clusters"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH RECURSIVE toksets AS (
+          SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+          FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM toksets a JOIN toksets b ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.toks, b.toks)) > 0
+            AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(id, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+        comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+        SELECT d.lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN COALESCE(c.comp, d.doc_id) = d.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+               COUNT(DISTINCT COALESCE(c.comp, d.doc_id)) AS n_clusters
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        GROUP BY d.lang ORDER BY d.lang"""))
   )
 }

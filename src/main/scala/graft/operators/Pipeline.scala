@@ -72,7 +72,59 @@ object Pipeline {
     (out, obs)
   }
 
+  /** Deterministic stratified sampling: keep a per-stratum fraction of
+    * rows, selected by a multiplicative hash of the row id — the mixture-
+    * weighting step of a training-data pipeline ("40% web, 25% code, …").
+    *
+    * Why hash-based and not `sample()`: the decision is a pure function of
+    * (id, rate), so it is reproducible across runs/engines/retries,
+    * stable under repartitioning, and monotone in the rate (raising a
+    * stratum's rate only ADDS docs — a mixture re-weight never churns the
+    * previously sampled set). Spark's `sample()` is per-partition RNG:
+    * renumbering partitions reshuffles the selection.
+    *
+    * Scale notes: selection is a map-side filter fused into the scan
+    * (zero shuffle, no pre-pass); the integer hash arithmetic is exact in
+    * any engine, which is what makes the DuckDB oracle bit-reproducible.
+    *
+    * @param perMille stratum → keep-rate in 1/1000ths; strata absent from
+    *        the map use `defaultPerMille`.
+    */
+  def stratifiedSample(docs: DataFrame, strataCol: String,
+                       perMille: Map[String, Int], defaultPerMille: Int,
+                       idCol: String = "doc_id"): DataFrame = {
+    // Knuth multiplicative hash, exact in 64-bit: ids are dense/sequential,
+    // multiplication by a large odd constant decorrelates id ranges from
+    // the keep decision; mod 1000 = the rate granularity.
+    val bucket = pmod(col(idCol).cast("long") * lit(2654435761L), lit(1000L))
+    val rate = perMille.foldLeft(lit(defaultPerMille)) { case (acc, (k, v)) =>
+      when(col(strataCol) === lit(k), lit(v)).otherwise(acc)
+    }
+    docs.filter(bucket < rate)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q55_stratified_sample",
+      (s, d) => {
+        stratifiedSample(Tables.documents(s, d), "source",
+            perMille = Map("src0" -> 50, "src1" -> 250, "src2" -> 1000),
+            defaultPerMille = 100)
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(col("n_chars")).cast("bigint").as("sum_chars"))
+          .orderBy(col("source"), col("lang"))
+      },
+      Some("""
+        SELECT source, lang, COUNT(*) AS n_sampled,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE (doc_id * 2654435761) % 1000 <
+              CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 250
+                          WHEN 'src2' THEN 1000 ELSE 100 END
+        GROUP BY source, lang
+        ORDER BY source, lang""")),
+
     QuerySpec(
       "q70_curation_pipeline",
       (s, d) => {

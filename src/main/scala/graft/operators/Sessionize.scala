@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.QuerySpec
+
+/** Batch sessionization: split each entity's event stream into sessions at
+  * inactivity gaps — the standard first step of behavioral / engagement
+  * pipelines (the batch twin of the streaming `session_window` aggregation
+  * exercised in StreamingOpsSuite).
+  *
+  * Scale design (100 TB): ONE shuffle, on the entity key. Both windows
+  * (the lag and the running sum) share the same `partitionBy(entity)
+  * .orderBy(time, tie)` spec, so Catalyst plans a single Exchange + a
+  * single Sort and evaluates both frames in one Window operator pass.
+  * Per-entity event counts are human-scale (a user's events fit a
+  * partition trivially); entity-count parallelism is what grows with the
+  * data, which is exactly what hash partitioning scales with. Time
+  * arithmetic is pure integer (ns since epoch) — no timestamp-precision
+  * drift between engines, no timezone dependence.
+  */
+object Sessionize {
+
+  /** Events + `session_id` (1-based, per entity, in time order). A new
+    * session starts when the gap since the previous event exceeds `gap`
+    * (same units as `timeCol`). `tieCol` must make (time, tie) a total
+    * order per entity so the running sum is deterministic.
+    */
+  def sessionize(events: DataFrame, entityCol: String, timeCol: String,
+                 tieCol: String, gap: Long): DataFrame = {
+    val order = Window.partitionBy(col(entityCol))
+      .orderBy(col(timeCol), col(tieCol))
+    val prev = lag(col(timeCol), 1).over(order)
+    val newSession = when(prev.isNull || col(timeCol) - prev > gap, 1).otherwise(0)
+    events
+      .withColumn("__new_s", newSession)
+      .withColumn("session_id", sum(col("__new_s")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new_s")
+  }
+
+  /** Per-session rollup: one row per (entity, session). */
+  def sessions(events: DataFrame, entityCol: String, timeCol: String,
+               tieCol: String, gap: Long): DataFrame =
+    sessionize(events, entityCol, timeCol, tieCol, gap)
+      .groupBy(col(entityCol), col("session_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        min(col(timeCol)).as("t_start"),
+        max(col(timeCol)).as("t_end"))
+
+  private val GapNs30Min: Long = 1800L * 1000000000L
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q54_sessionize",
+      (s, d) => {
+        val perSession = sessions(Tables.events(s, d),
+          "user_id", "ts", "event_id", GapNs30Min)
+        perSession.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("n_ev")).cast("bigint").as("n_events"),
+            max(col("n_ev")).as("max_session_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, event_id,
+                 CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER
+                        (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+                        > 1800000000000
+                      OR LAG(epoch_ns(ts)) OVER
+                        (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_s,
+                 epoch_ns(ts) AS tns
+          FROM events),
+        sess AS (
+          SELECT user_id,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged),
+        per_session AS (
+          SELECT user_id, session_id, COUNT(*) AS n_ev
+          FROM sess GROUP BY user_id, session_id)
+        SELECT user_id, COUNT(*) AS n_sessions,
+               CAST(SUM(n_ev) AS BIGINT) AS n_events,
+               MAX(n_ev) AS max_session_events
+        FROM per_session
+        GROUP BY user_id
+        ORDER BY user_id"""))
+  )
+}

@@ -359,6 +359,69 @@ object Similarity {
     result
   }
 
+  // -------------------------------------------------------------------
+  // SQ8: int8 scalar quantization
+
+  /** Int8 scalar quantization: each vector stored as `array<tinyint>` plus
+    * one per-vector `double` scale — a 4× index compression (float32 →
+    * int8) with reconstruction error ≤ scale/2 per component. The simple,
+    * robust sibling of PQ: no training pass at all, decode is one
+    * multiply, and at 100 TB it is frequently the difference between an
+    * in-memory ANN index and a disk-bound one.
+    *
+    * Encode runs ONCE over the corpus (HOF `transform` is fine off the
+    * per-candidate hot path); zero-vectors get scale 0 and all-zero codes.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val maxAbs = greatest(array_max(v), -array_min(v))
+    val qscale = (maxAbs / lit(127.0)).as("qscale")
+    df.select(col(idCol), v.as("__v"), qscale)
+      .withColumn("qv", when(col("qscale") === 0.0,
+          transform(col("__v"), _ => lit(0).cast("tinyint")))
+        .otherwise(transform(col("__v"),
+          x => round(x / col("qscale")).cast("tinyint"))))
+      .select(col(idCol), col("qv"), col("qscale"))
+  }
+
+  /** ANN over the SQ8-compressed corpus: asymmetric scoring (full-precision
+    * query against dequantized candidates — dot(q, c̃)·scale_c via the
+    * codegen'd ArrayDot), top-`shortlist` approx candidates per query, then
+    * EXACT cosine re-rank of the shortlist only. Full-precision corpus
+    * vectors travel solely in the |Q|·shortlist re-rank join — the scan
+    * side of the scoring pass touches nothing but int8 codes + one scale.
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              shortlist: Int = 50): DataFrame = {
+    val enc = quantizeInt8(corpus)
+      .select(col("vec_id").as("nid"), col("qv"), col("qscale"))
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qv_full")))
+    // dequantized candidate norm: ‖c̃‖·scale; approx cos needs no corpus
+    // vector math beyond one int8→double dot per (query, candidate)
+    val dq = dot(col("qv_full"), col("qv").cast("array<double>")) * col("qscale")
+    val cnorm = norm(col("qv").cast("array<double>")) * col("qscale")
+    val approx = enc.crossJoin(q)
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("acos", when(col("qscale") === 0.0, lit(-2.0))
+        .otherwise(dq / (norm(col("qv_full")) * cnorm)))
+      .withColumn("srnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("nid").asc)))
+      .filter(col("srnk") <= shortlist)
+      .select(col("qid"), col("qv_full"), col("nid"))
+    val full = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("cv"))
+    approx.join(full, "nid")
+      // a zero vector has no defined cosine — rank it last instead of
+      // tripping ANSI divide-by-zero in the re-rank
+      .withColumn("cos", when(norm(col("cv")) === 0.0, lit(-2.0))
+        .otherwise(cosine(col("qv_full"), col("cv"))))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec(
@@ -398,6 +461,19 @@ object Similarity {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         ivfPqTopK(emb, emb.filter(col("vec_id") < 5), 5)
+          .orderBy(col("qid"), col("rnk"))
+      },
+      None),
+
+    // SQ8: int8-compressed scoring pass + exact shortlist re-rank.
+    // Shortlist re-rank makes the top-k usually exact, but the guarantee
+    // is approximate → rows-only; recall + error bound gated in
+    // AnnRecallSuite / Sq8QuantizationSuite.
+    QuerySpec(
+      "q57_ann_sq8",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        sq8TopK(emb, emb.filter(col("vec_id") < 5), 5)
           .orderBy(col("qid"), col("rnk"))
       },
       None),

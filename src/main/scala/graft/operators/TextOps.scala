@@ -62,6 +62,38 @@ object TextOps {
       .otherwise("fr")
   }
 
+  /** Top-k characteristic terms per group by TF-IDF — "what vocabulary
+    * distinguishes this language / source / domain slice", the standard
+    * corpus-exploration and quality-audit step.
+    *
+    * Scale design (100 TB): tf is one shuffle keyed on (group, term) with
+    * map-side partial counts; df one on term; N is a broadcast scalar (a
+    * one-row crossJoin — never a driver collect). The final top-k window
+    * sorts only |groups|×|vocab| scored rows, not the corpus.
+    *
+    * Determinism vs an independent engine: the ranking key is
+    * `round(tfidf, 6)` DESC with the term string as tie-break — rounding
+    * first makes float-ulp library differences in ln() unable to reorder
+    * near-ties.
+    */
+  def tfidfTopTerms(docs: DataFrame, groupCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), col(groupCol).as("grp"),
+      explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("grp"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rn") <= k)
+      .select(col("grp").as(groupCol), col("rn"), col("term"),
+        col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Full per-document text statistics frame. */
   def analyze(docs: DataFrame): DataFrame =
     docs.select(
@@ -185,6 +217,30 @@ object TextOps {
           FROM documents)
         WHERE n_tokens BETWEEN 10 AND 100 AND ttr > 0.3
         GROUP BY source
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    QuerySpec(
+      "q56_tfidf_terms",
+      (s, d) => tfidfTopTerms(Tables.documents(s, d), "lang", 5)
+        .orderBy(col("lang"), col("rn")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        tf AS (SELECT lang, term, COUNT(*) AS tf FROM toks GROUP BY lang, term),
+        dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.lang, tf.term, tf.tf, dfreq.df,
+                 round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+          FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+        ranked AS (
+          SELECT lang, term, tf, df, tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY tfidf DESC, term) AS rn
+          FROM scored)
+        SELECT lang, rn, term, tf, df, tfidf
+        FROM ranked WHERE rn <= 5
+        ORDER BY lang, rn"""))
   )
 }

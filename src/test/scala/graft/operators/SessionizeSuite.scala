@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.SparkSession
+
+/** Sessionize: inactivity-gap splitting, strict-gap boundary, tie-order
+  * determinism, per-session rollup.
+  */
+class SessionizeSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-sessionize")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("splits at gap > threshold; gap == threshold stays in-session") {
+    val sql = spark
+    import sql.implicits._
+    // u1: 0,50 | 200,310(? 310-200=110>100 → split) | 1000 ; gap exactly 100
+    // between 100 and 200 would NOT split (strict >)
+    val ev = Seq(
+      ("u1", 0L, 1L), ("u1", 50L, 2L), ("u1", 150L, 3L), // 150-50=100 == gap → same
+      ("u1", 300L, 4L),                                  // 150 → new session
+      ("u2", 0L, 5L))
+      .toDF("user", "t", "eid")
+    val got = Sessionize.sessionize(ev, "user", "t", "eid", 100L)
+      .select("user", "eid", "session_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      ("u1", 1L, 1L), ("u1", 2L, 1L), ("u1", 3L, 1L),
+      ("u1", 4L, 2L),
+      ("u2", 5L, 1L)))
+  }
+
+  test("equal timestamps order by the tie column — session ids deterministic") {
+    val sql = spark
+    import sql.implicits._
+    // two events at t=500; the tie column decides which is 'first', but
+    // with zero gap between them they must land in the SAME session
+    val ev = Seq(("u", 0L, 1L), ("u", 500L, 3L), ("u", 500L, 2L))
+      .toDF("user", "t", "eid")
+    val got = Sessionize.sessionize(ev, "user", "t", "eid", 100L)
+      .select("eid", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("sessions rollup: counts and time bounds per session") {
+    val sql = spark
+    import sql.implicits._
+    val ev = Seq(("u", 0L, 1L), ("u", 10L, 2L), ("u", 500L, 3L))
+      .toDF("user", "t", "eid")
+    val got = Sessionize.sessions(ev, "user", "t", "eid", 100L)
+      .select("session_id", "n_ev", "t_start", "t_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set((1L, 2L, 0L, 10L), (2L, 1L, 500L, 500L)))
+  }
+}
