@@ -324,51 +324,61 @@ object Dedup {
     * never emitted as a pair, so per-pair "keep the smaller id" is wrong —
     * only the component's canonical member is retained.
     *
-    * Algorithm: iterative min-label propagation. Each iteration is one
-    * hash join (labels ⋈ edges, shuffled on node id) plus one partial
-    * aggregation — no driver-side graph state; the driver sees a single
-    * scalar checksum per iteration for convergence. Lineage is truncated
-    * every iteration (`localCheckpoint`) so the plan does not grow with
-    * the iteration count (at cluster scale, swap for reliable
-    * `checkpoint()` to a durable dir). Converges in ≤ diameter iterations
-    * — near-dup components are dense and shallow (a few hops), so this
-    * runs 3-5 rounds in practice; for adversarially long chains the
-    * large-star/small-star variant (O(log n) rounds) is the documented
-    * evolution.
+    * Algorithm: FRONTIER-based min-label propagation. Only nodes whose
+    * label improved last round send messages, so round r's join touches
+    * edges incident to the frontier — the full edge list is joined once
+    * (round 1), after which message volume collapses (measured at sf0.1:
+    * 445k-pair graph, round-2+ frontiers are a few hundred nodes). Each
+    * round is ONE Spark job: the joined (old label × incoming min) frame
+    * is lazily checkpointed and materialized by the frontier-count action
+    * that doubles as the convergence check; labels and the next frontier
+    * are projections of it. No driver-side graph state — the driver sees
+    * one scalar per round. Converges in ≤ diameter rounds — near-dup
+    * components are dense and shallow (a few hops); for adversarially
+    * long chains the large-star/small-star variant (O(log n) rounds) is
+    * the documented evolution.
     *
     * Scale notes (100 TB): only (id, comp) pairs ever travel — never
-    * text; the edge list is materialized once and re-joined per round;
-    * both sides of the per-round join are hash-partitioned on the same
-    * key, so AQE coalesces the exchange after round 1.
+    * text; the edge list is materialized once and re-joined per round
+    * against a shrinking frontier; lineage is truncated every round
+    * (`localCheckpoint` — at cluster scale, swap for reliable
+    * `checkpoint()` to a durable dir).
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b",
                           maxIterations: Int = 30): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
+    // checkpoint the FORWARD list first: `pairs` is typically an expensive
+    // near-dup join, and the undirected union below references it twice —
+    // materializing before the union guarantees one evaluation regardless
+    // of exchange-reuse. Duplicate input pairs are tolerated (min-agg is
+    // idempotent), so no dedup shuffle.
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .localCheckpoint()
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .dropDuplicates("src", "dst")
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
-    // comp is monotone non-increasing per node, so the exact sum strictly
-    // decreases until the fixpoint — one scalar per round, overflow-proof
-    // via decimal, no old-vs-new join needed.
-    def checksum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head.getDecimal(0)
-    var prev = checksum(labels)
+    // round 1: every node is its own frontier
+    var frontier = labels
     var iter = 0
-    var converged = false
-    while (!converged && iter < maxIterations) {
-      val msgs = edges.join(labels.withColumnRenamed("id", "src"), "src")
+    var frontierSize = 1L
+    while (frontierSize > 0 && iter < maxIterations) {
+      // messages flow only FROM last round's improved nodes
+      val improved = edges.join(frontier.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("comp"))
-      val next = labels.union(msgs).groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint()
-      val cur = checksum(next)
-      converged = cur.compareTo(prev) == 0
-      prev = cur
-      labels = next
+        .groupBy("id").agg(min("comp").as("new_comp"))
+      // one lazily-checkpointed frame per round, materialized by the
+      // frontier-count action (= the convergence check): ONE job/round,
+      // lineage reset, labels + next frontier are projections of it
+      val joined = labels.join(improved, Seq("id"), "left_outer")
+        .localCheckpoint(eager = false)
+      frontierSize = joined
+        .filter(col("new_comp") < col("comp")).count()
+      frontier = joined.filter(col("new_comp") < col("comp"))
+        .select(col("id"), col("new_comp").as("comp"))
+      labels = joined.select(col("id"),
+        least(col("comp"), coalesce(col("new_comp"), col("comp"))).as("comp"))
       iter += 1
     }
     labels
