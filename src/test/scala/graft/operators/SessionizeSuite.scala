@@ -56,6 +56,55 @@ class SessionizeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("batch sessionize agrees with streaming session_window on session counts") {
+    // the same inactivity-gap semantics exist twice in the engine: this
+    // batch operator and Structured Streaming's session_window. Replaying
+    // one fixture through both must yield identical (user, session-count,
+    // per-session event counts) — fixture avoids exact-boundary gaps,
+    // where the two definitions differ by design (batch keeps diff == gap
+    // in-session; session_window's half-open [start, last+gap) does not).
+    val sql = spark
+    import sql.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // (user, offset-seconds): u1 → sessions {0,5,8}, {120,121}; u2 → {0}, {300}
+    val fixture = Seq((1, 0L), (1, 5L), (1, 8L), (1, 120L), (1, 121L),
+      (2, 0L), (2, 300L))
+
+    // batch: seconds as the integer time axis, 30 s gap
+    val batchDf = fixture.zipWithIndex
+      .map { case ((u, off), i) => (u, off, i.toLong) }
+      .toDF("user", "t", "eid")
+    val batch = Sessionize.sessions(batchDf, "user", "t", "eid", 30L)
+      .groupBy($"user").agg(count(lit(1)).as("n_sessions"),
+        sort_array(collect_list($"n_ev")).as("sizes"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2))).toSet
+
+    // streaming: same events as timestamps through session_window(30 s)
+    val input = MemoryStream[(Int, java.sql.Timestamp)]
+    val query = input.toDF().toDF("user", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "30 seconds"), $"user")
+      .agg(count(lit(1)).as("n_ev"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sessionize_xcheck")
+      .start()
+    input.addData(fixture.map { case (u, off) =>
+      (u, new java.sql.Timestamp(base + off * 1000)) }: _*)
+    query.processAllAvailable()
+    query.stop()
+    val streaming = spark.table("sessionize_xcheck")
+      .groupBy($"user").agg(count(lit(1)).as("n_sessions"),
+        sort_array(collect_list($"n_ev")).as("sizes"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2))).toSet
+
+    assert(batch === streaming)
+    assert(batch.map(_._1) === Set(1, 2))
+  }
+
   test("sessions rollup: counts and time bounds per session") {
     val sql = spark
     import sql.implicits._

@@ -278,6 +278,44 @@ abstract class StreamingOpsSuiteBase extends AnyFunSuite with BeforeAndAfterAll 
     assert(target.get(1)._1 === 15L)
   }
 
+  test(s"$suiteName: two stateful operators chained in one query (dedup → windowed agg)") {
+    // one streaming query, TWO stateful operators with distinct
+    // operatorIds — dedup state and aggregation state live in separate
+    // store instances of the provider under test, within one checkpoint
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(java.sql.Timestamp, Int, Int)]
+    val query = input.toDF().toDF("ts", "event_id", "user")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicates("event_id")
+      .groupBy(window($"ts", "1 minute"), $"user")
+      .agg(count(lit(1)).as("n"))
+      .select($"user", $"n")
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(s"chained_$suiteName")
+      .option("checkpointLocation", ckpt("chained"))
+      .start()
+
+    input.addData(
+      (ts("2024-01-01 00:00:01"), 1, 7),
+      (ts("2024-01-01 00:00:02"), 2, 7),
+      (ts("2024-01-01 00:00:01"), 1, 7)) // in-batch duplicate
+    query.processAllAvailable()
+    input.addData(
+      (ts("2024-01-01 00:00:03"), 2, 7), // cross-batch duplicate
+      (ts("2024-01-01 00:00:10"), 3, 8)) // new user
+    query.processAllAvailable()
+    query.stop()
+
+    // latest update per user: dup events never re-counted
+    val rows = spark.table(s"chained_$suiteName")
+      .groupBy($"user").agg(max($"n").as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(rows === Map(7 -> 2L, 8 -> 1L))
+  }
+
   test(s"$suiteName: parquet file sink appends exactly-once across a restart") {
     // stateful dedup (state on our provider) → parquet sink. The file
     // sink's transaction log + the recovered dedup state must together
