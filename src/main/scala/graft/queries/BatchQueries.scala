@@ -475,6 +475,74 @@ object BatchQueries {
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment""")),
 
+    // ---- Correlated EXISTS / NOT EXISTS: Catalyst decorrelates both to a
+    // semi + anti join pair on l_suppkey (no per-row subquery execution) —
+    // the subquery surface q04/q05 exercise only as explicit joins
+    QuerySpec(
+      "q58_correlated_exists",
+      (s, d) => {
+        Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+        s.sql("""
+          SELECT s_nationkey, COUNT(*) AS n_suppliers
+          FROM supplier_v s
+          WHERE EXISTS (SELECT 1 FROM lineitem_v l
+                        WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 50)
+            AND NOT EXISTS (SELECT 1 FROM lineitem_v l2
+                            WHERE l2.l_suppkey = s.s_suppkey
+                              AND l2.l_returnflag = 'R' AND l2.l_quantity >= 50)
+          GROUP BY s_nationkey
+          ORDER BY s_nationkey""")
+      },
+      Some("""
+        SELECT s_nationkey, COUNT(*) AS n_suppliers
+        FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 50)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_suppkey = s.s_suppkey
+                            AND l2.l_returnflag = 'R' AND l2.l_quantity >= 50)
+        GROUP BY s_nationkey
+        ORDER BY s_nationkey""")),
+
+    // ---- Correlated scalar subqueries (one nested inside another): per
+    // order, count lineitems above that order's OWN average quantity.
+    // Decorrelates to two aggregations joined back on l_orderkey.
+    // Determinism: quantities are integral doubles — sums exact, one IEEE
+    // division per order — so the comparison is engine-independent.
+    QuerySpec(
+      "q59_correlated_scalar",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+        s.sql("""
+          SELECT o_orderpriority, COUNT(*) AS n_orders,
+                 CAST(SUM(big_items) AS BIGINT) AS sum_big_items
+          FROM (
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   (SELECT COUNT(*) FROM lineitem_v l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_quantity > (SELECT AVG(l2.l_quantity)
+                                          FROM lineitem_v l2
+                                          WHERE l2.l_orderkey = l.l_orderkey)) AS big_items
+            FROM orders_v o)
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(big_items) AS BIGINT) AS sum_big_items
+        FROM (
+          SELECT o.o_orderkey, o.o_orderpriority,
+                 (SELECT COUNT(*) FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_quantity > (SELECT AVG(l2.l_quantity)
+                                        FROM lineitem l2
+                                        WHERE l2.l_orderkey = l.l_orderkey)) AS big_items
+          FROM orders o)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
     // ---- approx_count_distinct (HLL++): sketch values are engine-specific
     // → rows-only check; the exact q15 covers value correctness
     QuerySpec(
