@@ -69,6 +69,19 @@ class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"query vectors should broadcast, corpus should never shuffle:\n$p")
   }
 
+  test("sessionize: both window frames share ONE Exchange + ONE Sort") {
+    // the lag and the running sum use the same partitionBy/orderBy spec,
+    // so Catalyst must plan a single shuffle + sort and evaluate both in
+    // one Window pass — two exchanges here means the spec drifted
+    val df = graft.operators.Sessionize.sessionize(
+      Tables.events(spark, sfDir), "user_id", "ts", "event_id", 1800L * 1000000000L)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val exchanges = "(?m)^\\s*\\+?-? ?Exchange".r.findAllIn(p).size
+    val sorts = "(?m)Sort \\(".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected one shuffle, got $exchanges:\n$p")
+    assert(sorts === 1, s"expected one sort, got $sorts:\n$p")
+  }
+
   test("q31: exact jaccard stays an inverted-index hash join") {
     val p = plan("q31_jaccard_pairs")
     // keyed equi-join (broadcast at this tiny SF, shuffle-keyed at scale)

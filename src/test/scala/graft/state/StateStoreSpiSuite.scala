@@ -116,6 +116,41 @@ abstract class StateStoreSpiSuiteBase extends AnyFunSuite {
     p.close()
   }
 
+  test(s"$providerName: read store lifecycle — getReadStore, release, write upgrade") {
+    val p = freshProvider()
+    val s0 = p.getStore(0, None)
+    put(s0, "a", 1); put(s0, "b", 2)
+    assert(s0.commit() === 1)
+
+    // read-only view; partial scan then release (no drain required)
+    val r = p.getReadStore(1, None)
+    assert(get(r, "a").contains(1))
+    val it = r.iterator()
+    assert(it.hasNext); it.next()
+    r.release()
+
+    // read → write upgrade: Spark's restore-then-save pattern
+    // (StateStoreRestoreExec reads, StateStoreSaveExec upgrades + writes)
+    val r2 = p.getReadStore(1, None)
+    assert(get(r2, "b").contains(2))
+    val w = p.upgradeReadStoreToWriteStore(r2, 1, None)
+    put(w, "c", 3)
+    assert(w.commit() === 2)
+    val s2 = p.getStore(2, None)
+    assert(contents(s2) === Map("a" -> 1, "b" -> 2, "c" -> 3))
+    s2.abort()
+
+    // release() mid-update on a WRITE store must discard like abort
+    val s3 = p.getStore(2, None)
+    put(s3, "junk", 9)
+    s3.release()
+    assert(!s3.hasCommitted)
+    val s3b = p.getStore(2, None)
+    assert(get(s3b, "junk").isEmpty)
+    s3b.abort()
+    p.close()
+  }
+
   test(s"$providerName: multi-value merge + valuesIterator") {
     val dir = Files.createTempDirectory(s"graft-mv-$providerName").toString
     val p = makeProvider(dir)
