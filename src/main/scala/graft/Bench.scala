@@ -14,6 +14,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: a FULL pass over every query, so JIT/codegen

@@ -543,6 +543,32 @@ object BatchQueries {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority""")),
 
+    // ---- ntile quantile binning: assign docs to per-language quality
+    // quartiles — the "quality band" step of a curation pipeline. Total
+    // order (n_chars, doc_id) makes bin boundaries engine-independent.
+    QuerySpec(
+      "q62_ntile_bins",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"lang").orderBy($"n_chars", $"doc_id")
+        Tables.documents(s, d)
+          .withColumn("quartile", ntile(4).over(w))
+          .groupBy($"lang", $"quartile")
+          .agg(count(lit(1)).as("n_docs"),
+            min($"n_chars").as("min_chars"),
+            max($"n_chars").as("max_chars"))
+          .orderBy($"lang", $"quartile")
+      },
+      Some("""
+        SELECT lang, quartile, COUNT(*) AS n_docs,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM (
+          SELECT lang, n_chars,
+                 NTILE(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS quartile
+          FROM documents)
+        GROUP BY lang, quartile
+        ORDER BY lang, quartile""")),
+
     // ---- approx_count_distinct (HLL++): sketch values are engine-specific
     // → rows-only check; the exact q15 covers value correctness
     QuerySpec(
