@@ -219,6 +219,42 @@ object TextOps {
         GROUP BY source
         ORDER BY source""")),
 
+    // vocabulary-distribution audit: how heavy-tailed is the corpus?
+    // (the shape that decides whether jaccardPairs needs its df cap and
+    // which LSH parameters hold). Buckets are decade CASE arms — pure
+    // integer logic, no log() float boundary risk cross-engine.
+    QuerySpec(
+      "q63_token_df_histogram",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"),
+            explode(array_distinct(tokens(col("text")))).as("tok"))
+        val dfs = toks.groupBy(col("lang"), col("tok"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        dfs.withColumn("df_bucket",
+            when(col("df") < 10, 0).when(col("df") < 100, 1)
+              .when(col("df") < 1000, 2).otherwise(3))
+          .groupBy(col("lang"), col("df_bucket"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("df")).cast("bigint").as("sum_df"))
+          .orderBy(col("lang"), col("df_bucket"))
+      },
+      Some("""
+        WITH dfs AS (
+          SELECT lang, tok, COUNT(DISTINCT doc_id) AS df
+          FROM (SELECT lang, doc_id,
+                       unnest(list_distinct(string_split(text, ' '))) AS tok
+                FROM documents)
+          GROUP BY lang, tok)
+        SELECT lang,
+               CASE WHEN df < 10 THEN 0 WHEN df < 100 THEN 1
+                    WHEN df < 1000 THEN 2 ELSE 3 END AS df_bucket,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(df) AS BIGINT) AS sum_df
+        FROM dfs
+        GROUP BY 1, 2
+        ORDER BY lang, df_bucket""")),
+
     QuerySpec(
       "q56_tfidf_terms",
       (s, d) => tfidfTopTerms(Tables.documents(s, d), "lang", 5)
