@@ -94,6 +94,43 @@ object TextOps {
         col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Corpus-trained bigram language-model score per document: the mean
+    * log conditional probability avg(ln c(w1 w2) / c(w1 ·)) over the
+    * doc's bigrams, with the corpus itself as training data — the
+    * KenLM-style fluency signal a curation pipeline thresholds on
+    * (gibberish and boilerplate-scrambles score low; text whose bigrams
+    * are corpus-typical scores high).
+    *
+    * Scale design (100 TB): training is two keyed aggregations over the
+    * exploded bigram stream (map-side partial counts); scoring joins each
+    * doc's bigrams against the two count tables — hash joins keyed on
+    * the bigram/history strings, broadcastable when the vocabulary is
+    * small. The per-doc average is one more keyed agg; document text
+    * never travels beyond the initial explode.
+    *
+    * Float caveat: the per-doc mean sums ln() terms in partition order,
+    * so scores are deterministic within one engine but not bit-stable
+    * across engines — exactness is spec-gated (BigramLmSuite computes a
+    * fixture by hand), not oracle-gated.
+    */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = toks.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bg")))).as("e"))
+      .select(col("doc_id"), col("e.w1").as("w1"), col("e.bg").as("bg"))
+    val cBg = bi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    // history count = bigrams starting with w1 (so P sums to 1 per history)
+    val cW1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bi.join(cBg, "bg").join(cW1, "w1")
+      .withColumn("lp", log(col("c2").cast("double") / col("c1")))
+      .groupBy(col("doc_id"))
+      .agg(avg(col("lp")).as("lm_score"), count(lit(1)).as("n_bigrams"))
+  }
+
   /** Full per-document text statistics frame. */
   def analyze(docs: DataFrame): DataFrame =
     docs.select(
@@ -254,6 +291,23 @@ object TextOps {
         FROM dfs
         GROUP BY 1, 2
         ORDER BY lang, df_bucket""")),
+
+    // corpus-trained bigram LM fluency score, thresholded per language.
+    // Cross-engine float-sum ordering makes per-doc means oracle-hostile →
+    // rows-only; semantics are spec-gated in BigramLmSuite.
+    QuerySpec(
+      "q64_bigram_lm",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        bigramLmScore(docs)
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(col("lm_score")), 4).as("avg_lm_score"),
+            sum(when(col("lm_score") > -1.0, 1).otherwise(0)).as("n_fluent"))
+          .orderBy(col("lang"))
+      },
+      None),
 
     QuerySpec(
       "q56_tfidf_terms",
