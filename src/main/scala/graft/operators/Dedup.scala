@@ -381,6 +381,13 @@ object Dedup {
         least(col("comp"), coalesce(col("new_comp"), col("comp"))).as("comp"))
       iter += 1
     }
+    // partial propagation would be CONSERVATIVE for dedup (unmerged
+    // components keep extra docs, never drop wrong ones) but must not
+    // pass silently as converged output
+    require(frontierSize == 0,
+      s"connectedComponents did not converge in $maxIterations rounds " +
+        s"($frontierSize labels still improving) — raise maxIterations; " +
+        "a graph this deep usually means the pair threshold is too loose")
     labels
   }
 

@@ -95,8 +95,14 @@ object Pipeline {
                        idCol: String = "doc_id"): DataFrame = {
     // Knuth multiplicative hash, exact in 64-bit: ids are dense/sequential,
     // multiplication by a large odd constant decorrelates id ranges from
-    // the keep decision; mod 1000 = the rate granularity.
-    val bucket = pmod(col(idCol).cast("long") * lit(2654435761L), lit(1000L))
+    // the keep decision; mod 1000 = the rate granularity. The id is
+    // first reduced mod a prime so the product stays ≤ ~2.7e15 — a raw
+    // doc_id × 2654435761 overflows a long past id ≈ 3.5e9, which ANSI
+    // mode (Spark 4 default) turns into a query-aborting
+    // ARITHMETIC_OVERFLOW at exactly the multi-billion-doc scale this
+    // operator is for.
+    val bucket = pmod(pmod(col(idCol).cast("long"), lit(1000003L)) * lit(2654435761L),
+      lit(1000L))
     val rate = perMille.foldLeft(lit(defaultPerMille)) { case (acc, (k, v)) =>
       when(col(strataCol) === lit(k), lit(v)).otherwise(acc)
     }
@@ -119,7 +125,7 @@ object Pipeline {
         SELECT source, lang, COUNT(*) AS n_sampled,
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM documents
-        WHERE (doc_id * 2654435761) % 1000 <
+        WHERE ((doc_id % 1000003) * 2654435761) % 1000 <
               CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 250
                           WHEN 'src2' THEN 1000 ELSE 100 END
         GROUP BY source, lang

@@ -402,19 +402,28 @@ object Similarity {
     // vector math beyond one int8→double dot per (query, candidate)
     val dq = dot(col("qv_full"), col("qv").cast("array<double>")) * col("qscale")
     val cnorm = norm(col("qv").cast("array<double>")) * col("qscale")
+    // the shortlist shuffle carries ONLY (qid, nid, acos): projecting the
+    // query vector through the per-qid window would duplicate dim doubles
+    // onto every scored row of the |C|×|Q| exchange; it rejoins from the
+    // broadcast query table after the cut instead
     val approx = enc.crossJoin(q)
       .filter(col("qid") =!= col("nid"))
-      .withColumn("acos", when(col("qscale") === 0.0, lit(-2.0))
+      // zero-norm on EITHER side has no defined cosine — rank last
+      .withColumn("acos",
+        when(col("qscale") === 0.0 || norm(col("qv_full")) === 0.0, lit(-2.0))
         .otherwise(dq / (norm(col("qv_full")) * cnorm)))
+      .select(col("qid"), col("nid"), col("acos"))
       .withColumn("srnk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("nid").asc)))
       .filter(col("srnk") <= shortlist)
-      .select(col("qid"), col("qv_full"), col("nid"))
+      .select(col("qid"), col("nid"))
     val full = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("cv"))
     approx.join(full, "nid")
-      // a zero vector has no defined cosine — rank it last instead of
-      // tripping ANSI divide-by-zero in the re-rank
-      .withColumn("cos", when(norm(col("cv")) === 0.0, lit(-2.0))
+      .join(q, "qid")
+      // zero-norm on EITHER side again: rank last instead of tripping
+      // ANSI divide-by-zero in the exact re-rank
+      .withColumn("cos",
+        when(norm(col("cv")) === 0.0 || norm(col("qv_full")) === 0.0, lit(-2.0))
         .otherwise(cosine(col("qv_full"), col("cv"))))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)))

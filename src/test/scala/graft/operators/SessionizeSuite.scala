@@ -27,8 +27,8 @@ class SessionizeSuite extends AnyFunSuite with BeforeAndAfterAll {
   test("splits at gap > threshold; gap == threshold stays in-session") {
     val sql = spark
     import sql.implicits._
-    // u1: 0,50 | 200,310(? 310-200=110>100 → split) | 1000 ; gap exactly 100
-    // between 100 and 200 would NOT split (strict >)
+    // u1: {0, 50, 150} one session (both gaps ≤ 100; 150−50 == gap stays,
+    // strict >), then 300 splits (300−150 = 150 > 100). u2: singleton.
     val ev = Seq(
       ("u1", 0L, 1L), ("u1", 50L, 2L), ("u1", 150L, 3L), // 150-50=100 == gap → same
       ("u1", 300L, 4L),                                  // 150 → new session

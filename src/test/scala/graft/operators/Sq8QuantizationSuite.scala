@@ -78,5 +78,11 @@ class Sq8QuantizationSuite extends AnyFunSuite with BeforeAndAfterAll {
     // search still works with a zero vector in the corpus
     val got = Similarity.sq8TopK(vecs, vecs.filter($"vec_id" === 1), 1).collect()
     assert(got.length === 1 && got.head.getAs[Long]("nid") === 2L)
+    // ...and with a zero vector AS the query: undefined cosines rank last
+    // (cos −2.0) instead of tripping ANSI divide-by-zero in either the
+    // approx pass or the exact re-rank
+    val zq = Similarity.sq8TopK(vecs, vecs.filter($"vec_id" === 0), 2).collect()
+    assert(zq.length === 2)
+    assert(zq.forall(_.getAs[Double]("cos_sim") === -2.0))
   }
 }
