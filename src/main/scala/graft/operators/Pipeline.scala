@@ -109,6 +109,32 @@ object Pipeline {
     docs.filter(bucket < rate)
   }
 
+  /** Publish a curated corpus for training consumption: one directory
+    * per `partitionCol` value (consumers read a language/source slice
+    * without touching the rest), rows sorted by `sortCol` inside each
+    * file (reproducible shard contents + parquet min/max stats that
+    * enable row-group skipping on the id axis), and `maxRecordsPerFile`
+    * bounding shard size (training loaders want many same-sized shards,
+    * not one giant file per partition).
+    *
+    * Scale notes: the sort is WITHIN partitions (no global ordering
+    * shuffle); `repartition(partitionCol)` keeps one writer task per
+    * directory instead of every task writing every directory (the
+    * small-files explosion); file-count growth is then
+    * |partitions| × ⌈rows/maxRecordsPerFile⌉.
+    */
+  def writeCurated(docs: DataFrame, path: String,
+                   partitionCol: String = "lang", sortCol: String = "doc_id",
+                   maxRecordsPerFile: Int = 1000000): Unit = {
+    docs.repartition(col(partitionCol))
+      .sortWithinPartitions(col(sortCol))
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy(partitionCol)
+      .mode("overwrite")
+      .parquet(path)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
       "q55_stratified_sample",
