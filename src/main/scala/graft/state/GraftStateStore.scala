@@ -115,6 +115,12 @@ abstract class GraftStateStoreProviderBase extends StateStoreProvider with Loggi
   /** Build the physical backend once `init` has run. */
   protected def createBackend(): SessionBackend
 
+  /** Whether the backend expires entries at the storage layer (RocksDB
+    * TtlDB). Backends without it get non-strict TTL upgraded to strict
+    * tracking in `init` — otherwise `strictExpire=false` would silently
+    * never expire anything there. */
+  protected def backendSupportsStorageTtl: Boolean = false
+
   // ----- column-family registry -------------------------------------------
   final case class CfInfo(keySchema: StructType, valueSchema: StructType,
                           spec: KeyStateEncoderSpec, multiValue: Boolean) {
@@ -161,7 +167,20 @@ abstract class GraftStateStoreProviderBase extends StateStoreProvider with Loggi
     this.storeConf = storeConfs
     this.hadoopConf = hadoopConf
     this.multiValueDefault = useMultipleValuesPerKey
-    this.ttlConf = TtlConf.fromStoreConf(storeConfs, stateStoreId.checkpointRootLocation)
+    this.ttlConf = {
+      val parsed = TtlConf.fromStoreConf(storeConfs, stateStoreId.checkpointRootLocation)
+      // non-strict TTL delegates expiry to the STORAGE layer (RocksDB
+      // TtlDB). On a backend with no storage-level expiry that delegation
+      // is a silent no-op — state configured to expire would live forever
+      // — so such backends upgrade to strict tracking (a superset of the
+      // "expire after ≥ ttl, best effort" contract) and say so.
+      if (parsed.enabled && !parsed.strict && !backendSupportsStorageTtl) {
+        logWarning(s"backend ${getClass.getSimpleName} has no storage-level " +
+          "TTL; upgrading strictExpire=false to strict tracking so " +
+          s"stateExpirySecs=${parsed.expirySecs} actually expires state")
+        parsed.copy(strict = true)
+      } else parsed
+    }
     this.clock = GraftStateStoreProviderBase.clockOverride.getOrElse(SystemTtlClock)
     this.expiryTracker = new ExpiryTracker(ttlConf, clock)
     cfs.put(StateStore.DEFAULT_COL_FAMILY_NAME,
@@ -320,6 +339,19 @@ abstract class GraftStateStoreProviderBase extends StateStoreProvider with Loggi
     private object State extends Enumeration { val Updating, Committed, Aborted = Value }
     private var state = State.Updating
 
+    /** The global inactivity TTL applies to the DEFAULT column family only
+      * — the reference's feature predates column families (whole store ==
+      * default CF), and Spark 4's extra CFs are operator internals
+      * (transformWithState timers, its TTL index, ListState) with their
+      * own lifecycle: a registered timer is written once and only ever
+      * observed via iterator(), so subjecting timer CFs to
+      * expire-after-access would silently drop any timer idle longer than
+      * the TTL — it would simply never fire. transformWithState state
+      * gets per-variable native TTLConfig instead.
+      */
+    private def ttlApplies(colFamilyName: String): Boolean =
+      colFamilyName == StateStore.DEFAULT_COL_FAMILY_NAME
+
     override def id: StateStoreId = storeId
     override def version: Long = newVersion - 1
 
@@ -349,7 +381,8 @@ abstract class GraftStateStoreProviderBase extends StateStoreProvider with Loggi
       val info = cfInfo(colFamilyName)
       val pk = physicalKey(colFamilyName, info, key)
       val bk = new BytesKey(pk)
-      if (ttlConf.strict && expiry.isExpired(bk)) {
+      val ttlHere = ttlApplies(colFamilyName)
+      if (ttlHere && ttlConf.strict && expiry.isExpired(bk)) {
         // physical delete only while Updating: a read on a Committed store
         // must not write into the live DB after its changelog sealed (the
         // local DB would diverge from the snapshot/changelog chain). The
@@ -362,8 +395,8 @@ abstract class GraftStateStoreProviderBase extends StateStoreProvider with Loggi
         return null
       }
       val bytes = session.get(pk)
-      if (bytes != null && ttlConf.expirySecs == 0) return null // stateless mode
-      if (bytes != null) expiry.touch(bk)
+      if (bytes != null && ttlHere && ttlConf.expirySecs == 0) return null // stateless
+      if (bytes != null && ttlHere) expiry.touch(bk)
       decodeValue(info, bytes)
     }
 
@@ -371,12 +404,26 @@ abstract class GraftStateStoreProviderBase extends StateStoreProvider with Loggi
       val info = cfInfo(colFamilyName)
       require(info.multiValue,
         s"valuesIterator requires a multi-value column family ($colFamilyName)")
-      val bytes = session.get(physicalKey(colFamilyName, info, key))
+      val pk = physicalKey(colFamilyName, info, key)
+      val bk = new BytesKey(pk)
+      // same visibility rules as get(): an expired / stateless-mode key
+      // must not resurface through the multi-value read path
+      if (ttlApplies(colFamilyName)) {
+        if (ttlConf.strict && expiry.isExpired(bk)) {
+          if (state == State.Updating) { session.remove(pk); expiry.remove(bk) }
+          return Iterator.empty
+        }
+        if (ttlConf.expirySecs == 0) return Iterator.empty
+      }
+      val bytes = session.get(pk)
       if (bytes == null) Iterator.empty
-      else MultiValue.decode(bytes).map { payload =>
-        val row = new UnsafeRow(info.valueSchema.fields.length)
-        row.pointTo(payload, payload.length)
-        row
+      else {
+        if (ttlApplies(colFamilyName)) expiry.touch(bk)
+        MultiValue.decode(bytes).map { payload =>
+          val row = new UnsafeRow(info.valueSchema.fields.length)
+          row.pointTo(payload, payload.length)
+          row
+        }
       }
     }
 
@@ -386,7 +433,7 @@ abstract class GraftStateStoreProviderBase extends StateStoreProvider with Loggi
       val pk = physicalKey(colFamilyName, info, key)
       val vb = valueBytes(value)
       session.put(pk, if (info.multiValue) MultiValue.encodeOne(vb) else vb)
-      expiry.touch(new BytesKey(pk))
+      if (ttlApplies(colFamilyName)) expiry.touch(new BytesKey(pk))
     }
 
     override def putList(key: UnsafeRow, values: Array[UnsafeRow], colFamilyName: String): Unit = {
@@ -401,7 +448,7 @@ abstract class GraftStateStoreProviderBase extends StateStoreProvider with Loggi
       }
       if (encoded != null) {
         session.put(pk, encoded)
-        expiry.touch(new BytesKey(pk))
+        if (ttlApplies(colFamilyName)) expiry.touch(new BytesKey(pk))
       }
     }
 
@@ -414,7 +461,7 @@ abstract class GraftStateStoreProviderBase extends StateStoreProvider with Loggi
       val next = if (existing == null) MultiValue.encodeOne(value.getBytes)
                  else MultiValue.append(existing, value.getBytes)
       session.put(pk, next)
-      expiry.touch(new BytesKey(pk))
+      if (ttlApplies(colFamilyName)) expiry.touch(new BytesKey(pk))
     }
 
     override def mergeList(key: UnsafeRow, values: Array[UnsafeRow], colFamilyName: String): Unit =
@@ -425,13 +472,15 @@ abstract class GraftStateStoreProviderBase extends StateStoreProvider with Loggi
       val info = cfInfo(colFamilyName)
       val pk = physicalKey(colFamilyName, info, key)
       session.remove(pk)
-      expiry.remove(new BytesKey(pk))
+      if (ttlApplies(colFamilyName)) expiry.remove(new BytesKey(pk))
     }
 
     override def commit(): Long = {
       verifyUpdating()
-      // strict TTL: physically drop expired entries before the version seals
-      if (ttlConf.strict && ttlConf.expirySecs > 0) {
+      // strict TTL: physically drop expired entries before the version
+      // seals. Runs for expirySecs == 0 too — "stateless" must not quietly
+      // accumulate this batch's puts in every snapshot/changelog forever.
+      if (ttlConf.strict && ttlConf.expirySecs >= 0) {
         expiry.expiredKeys().foreach { bk => session.remove(bk.bytes); expiry.remove(bk) }
       }
       session.commit()
@@ -455,8 +504,10 @@ abstract class GraftStateStoreProviderBase extends StateStoreProvider with Loggi
     override def iterator(colFamilyName: String): StateStoreIterator[UnsafeRowPair] = {
       val info = cfInfo(colFamilyName)
       val raw = session.scan(cfPrefix(colFamilyName))
+      val ttlHere = ttlApplies(colFamilyName)
       val filtered = raw.filter { case (k, _) =>
-        if (ttlConf.expirySecs == 0) false
+        if (!ttlHere) true
+        else if (ttlConf.expirySecs == 0) false
         else !(ttlConf.strict && expiry.isExpired(new BytesKey(k)))
       }
       val pairs = filtered.map { case (k, v) =>
@@ -474,8 +525,10 @@ abstract class GraftStateStoreProviderBase extends StateStoreProvider with Loggi
       require(info.numPrefixCols > 0,
         s"prefixScan requires a PrefixKeyScanStateEncoderSpec column family ($colFamilyName)")
       val raw = session.scan(physicalScanPrefix(colFamilyName, info, prefixKey))
+      val ttlHere = ttlApplies(colFamilyName)
       val filtered = raw.filter { case (k, _) =>
-        if (ttlConf.expirySecs == 0) false
+        if (!ttlHere) true
+        else if (ttlConf.expirySecs == 0) false
         else !(ttlConf.strict && expiry.isExpired(new BytesKey(k)))
       }
       val pairs = filtered.map { case (k, v) =>

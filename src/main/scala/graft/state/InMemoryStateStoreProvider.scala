@@ -56,11 +56,18 @@ final class InMemorySessionBackend(storeKey: String) extends SessionBackend {
   private val versions = InMemoryStateRegistry.forStore(storeKey)
 
   /** Lenient recovery ladder: newest committed version ≤ loadVersion, else
-    * empty (mirrors reference RocksDbStateStoreProvider.scala:371-388). */
+    * empty (mirrors reference RocksDbStateStoreProvider.scala:371-388).
+    * Background maintenance can remove a candidate between the keyset
+    * filter and the get — a null there must fall through to the next
+    * older version (the ladder's whole point), not NPE the session.
+    */
   private def snapshotAsOf(loadVersion: Long): Snapshot = {
     val candidates = versions.keySet().asScala.filter(_ <= loadVersion)
-    if (candidates.isEmpty) TreeMap.empty(ByteOrdering)
-    else versions.get(candidates.max)
+      .toSeq.sorted.reverse
+    candidates.iterator
+      .map(versions.get)          // null when GC'd after the listing
+      .collectFirst { case s if s != null => s }
+      .getOrElse(TreeMap.empty(ByteOrdering))
   }
 
   override def open(loadVersion: Long, commitVersion: Long): StoreSession =

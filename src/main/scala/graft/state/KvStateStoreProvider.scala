@@ -339,9 +339,27 @@ final class KvSessionBackend(storePrefix: String, client: KvClient,
 
       def abort(): Unit = overlay = TreeMap.empty(ByteOrdering)
 
-      def numKeys: Long = scan(Array.emptyByteArray).size.toLong
-      def sizeBytes: Long =
-        scan(Array.emptyByteArray).map { case (k, v) => k.length + v.length }.sum.toLong
+      // Spark reads BOTH numKeys and sizeBytes from metrics after every
+      // batch; resolving the full version chain twice per batch would be
+      // O(total state) × 2 at the exact layer the delta-commit design
+      // exists to keep O(delta). One shared resolution per stats request,
+      // invalidated by writes.
+      private var statsCache: Option[(Long, Long, Int)] = None // keys, bytes, overlaySize
+      private def stats: (Long, Long) = {
+        statsCache match {
+          case Some((k, b, ov)) if ov == overlay.size => (k, b)
+          case _ =>
+            var keys = 0L
+            var bytes = 0L
+            val it = scan(Array.emptyByteArray)
+            try it.foreach { case (k, v) => keys += 1; bytes += k.length + v.length }
+            finally it.close()
+            statsCache = Some((keys, bytes, overlay.size))
+            (keys, bytes)
+        }
+      }
+      def numKeys: Long = stats._1
+      def sizeBytes: Long = stats._2
     }
   }
 

@@ -506,29 +506,38 @@ final class RocksDbSessionBackend(
   /** SST files are immutable — hardlink them; copy everything else. */
   private def linkOrCopyDir(src: JPath, dst: JPath): Unit = {
     Files.createDirectories(dst)
-    Files.list(src).iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
-      val target = dst.resolve(f.getFileName.toString)
-      if (f.getFileName.toString.endsWith(".sst")) {
-        Try(Files.createLink(target, f)).getOrElse(
-          Files.copy(f, target, StandardCopyOption.REPLACE_EXISTING))
-      } else {
-        Files.copy(f, target, StandardCopyOption.REPLACE_EXISTING)
+    // the stream holds a directory FD — close it, or frequent batches leak
+    // handles until GC and can hit the process FD limit
+    val listing = Files.list(src)
+    try {
+      listing.iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
+        val target = dst.resolve(f.getFileName.toString)
+        if (f.getFileName.toString.endsWith(".sst")) {
+          Try(Files.createLink(target, f)).getOrElse(
+            Files.copy(f, target, StandardCopyOption.REPLACE_EXISTING))
+        } else {
+          Files.copy(f, target, StandardCopyOption.REPLACE_EXISTING)
+        }
       }
-    }
+    } finally listing.close()
   }
 
   // ----- zip/unzip through the checkpoint FileSystem ------------------------
 
   private def zipDir(dir: JPath, dest: Path): Unit = {
     val out = new ZipOutputStream(new BufferedOutputStream(fs.create(dest, true)))
+    val listing = Files.list(dir)
     try {
-      Files.list(dir).iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
+      listing.iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
         out.putNextEntry(new ZipEntry(f.getFileName.toString))
         val in = new BufferedInputStream(new FileInputStream(f.toFile))
         try transfer(in, out) finally in.close()
         out.closeEntry()
       }
-    } finally out.close()
+    } finally {
+      listing.close()
+      out.close()
+    }
   }
 
   private def unzipTo(src: Path, dir: JPath): Unit = {
@@ -554,8 +563,11 @@ final class RocksDbSessionBackend(
 
   private def clearDir(dir: JPath): Unit =
     if (Files.exists(dir)) {
-      Files.walk(dir).iterator().asScala.toSeq.reverseIterator
-        .filter(_ != dir).foreach(p => Try(Files.deleteIfExists(p)))
+      val walk = Files.walk(dir)
+      try {
+        walk.iterator().asScala.toSeq.reverseIterator
+          .filter(_ != dir).foreach(p => Try(Files.deleteIfExists(p)))
+      } finally walk.close()
     }
 }
 
@@ -566,6 +578,10 @@ final class RocksDbSessionBackend(
   */
 class RocksDbStateStoreProvider extends GraftStateStoreProviderBase
     with org.apache.spark.sql.graftbridge.GraftChangeDataSupport {
+  // non-strict TTL is real here: the backend opens TtlDB, which expires
+  // at the storage layer (compaction-time, "≥ ttl, best effort")
+  override protected def backendSupportsStorageTtl: Boolean = true
+
   override protected def createBackend(): SessionBackend =
     new RocksDbSessionBackend(
       storeId.storeCheckpointLocation.toString,
@@ -592,7 +608,12 @@ class RocksDbStateStoreProvider extends GraftStateStoreProviderBase
     require(endVersion >= snapshotVersion,
       s"endVersion $endVersion < snapshotVersion $snapshotVersion")
     val session = rocksBackend.openReplay(snapshotVersion, endVersion)
-    new GraftStore(session, endVersion + 1, expiryTracker)
+    // a DISABLED tracker, never the live one: replay answers "what did
+    // history look like" — the live query's TTL deadlines must neither
+    // filter/delete historical state (the replay session is read-only and
+    // would throw) nor be touched by historical reads
+    new GraftStore(session, endVersion + 1,
+      new ExpiryTracker(TtlConf(TtlConf.Infinite, strict = true), clock))
   }
 
   // Change-data reader hooks (the state data source's `readChangeFeed`
@@ -614,10 +635,15 @@ class RocksDbStateStoreProvider extends GraftStateStoreProviderBase
     decodeKey(colFamilyName, info, physicalKey)
   }
 
-  override protected def decodeChangeValue(colFamilyName: String,
-      valueBytes: Array[Byte]): UnsafeRow = {
+  override protected def decodeChangeValues(colFamilyName: String,
+      valueBytes: Array[Byte]): Iterator[UnsafeRow] = {
     val info = cfs.get(colFamilyName)
     require(info != null, s"unknown column family $colFamilyName")
-    decodeValue(info, valueBytes)
+    if (!info.multiValue) Iterator.single(decodeValue(info, valueBytes))
+    else MultiValue.decode(valueBytes).map { payload =>
+      val row = new UnsafeRow(info.valueSchema.fields.length)
+      row.pointTo(payload, payload.length)
+      row
+    }
   }
 }

@@ -77,22 +77,36 @@ object TtlConf {
   }
 }
 
-/** Exact (strict-mode) expiry index: access-ordered last-touch tracking over
-  * opaque key bytes. O(1) touch/check; `sweep` removes expired entries in
-  * access order (oldest first) so it stops at the first live key.
+/** Exact (strict-mode) expiry index: last-touch tracking over opaque key
+  * bytes, kept in TOUCH order. O(1) touch/check; `expiredKeys` walks
+  * oldest-touch-first and stops at the first live key.
+  *
+  * The map is insertion-ordered and `touch` re-inserts (remove + put) to
+  * move a key to the tail — deliberately NOT an access-ordered
+  * LinkedHashMap, whose `get`/`getOrDefault` also count as "access": a
+  * read-only `isExpired` probe (every iterator row goes through one)
+  * would silently move an entry to the tail while keeping its OLD
+  * timestamp, breaking the oldest-first invariant `expiredKeys` relies
+  * on — an expired key reordered behind a hot live key would never be
+  * swept and its storage would be retained indefinitely.
   */
 final class ExpiryTracker(ttl: TtlConf, clock: TtlClock) {
   private val ttlNanos: Long =
     if (ttl.expirySecs > 0) ttl.expirySecs * 1000000000L else 0L
 
   private val lastAccess: JLinkedHashMap[BytesKey, java.lang.Long] =
-    new JLinkedHashMap[BytesKey, java.lang.Long](128, 0.75f, true)
+    new JLinkedHashMap[BytesKey, java.lang.Long](128, 0.75f)
 
   def touch(key: BytesKey): Unit =
-    if (ttl.enabled) lastAccess.put(key, clock.nanos())
+    if (ttl.enabled) {
+      // re-insert so insertion order == touch order (tail = freshest)
+      lastAccess.remove(key)
+      lastAccess.put(key, clock.nanos())
+    }
 
   /** True when the key must be treated as gone. Unknown keys are fresh
     * (snapshot-loaded state becomes visible and starts a new window).
+    * Read-only: never perturbs the touch order.
     */
   def isExpired(key: BytesKey): Boolean = {
     if (!ttl.enabled) return false
@@ -103,12 +117,20 @@ final class ExpiryTracker(ttl: TtlConf, clock: TtlClock) {
 
   def remove(key: BytesKey): Unit = if (ttl.enabled) lastAccess.remove(key)
 
-  /** Expired keys in oldest-access-first order (for commit-time cleanup). */
+  /** Expired keys in oldest-touch-first order (for commit-time cleanup).
+    * In stateless mode (ttl 0) every tracked key is expired — the
+    * commit sweep physically drops this batch's writes so "stateless"
+    * does not quietly grow snapshots/changelogs forever.
+    */
   def expiredKeys(): Seq[BytesKey] = {
-    if (!ttl.enabled || ttl.expirySecs == 0) return Seq.empty
-    val now = clock.nanos()
+    if (!ttl.enabled) return Seq.empty
     val out = Seq.newBuilder[BytesKey]
     val it = lastAccess.entrySet().iterator()
+    if (ttl.expirySecs == 0) {
+      while (it.hasNext) out += it.next().getKey
+      return out.result()
+    }
+    val now = clock.nanos()
     var done = false
     while (it.hasNext && !done) {
       val e = it.next()

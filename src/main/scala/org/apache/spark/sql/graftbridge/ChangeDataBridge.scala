@@ -21,7 +21,14 @@ trait GraftChangeDataSupport extends SupportsFineGrainedReplay {
     Iterator[(Array[Byte], Array[Byte])]
 
   protected def decodeChangeKey(colFamilyName: String, physicalKey: Array[Byte]): UnsafeRow
-  protected def decodeChangeValue(colFamilyName: String, valueBytes: Array[Byte]): UnsafeRow
+
+  /** All value rows encoded in one changelog value blob. Single-value
+    * column families yield exactly one row; multi-value (ListState) blobs
+    * yield one row PER ELEMENT — a merge's changelog entry carries the
+    * whole concatenated list, and reporting only its first element would
+    * silently drop the rest from the change feed. */
+  protected def decodeChangeValues(colFamilyName: String,
+      valueBytes: Array[Byte]): Iterator[UnsafeRow]
 
   override def getStateStoreChangeDataReader(
       startVersion: Long, endVersion: Long,
@@ -35,24 +42,30 @@ trait GraftChangeDataSupport extends SupportsFineGrainedReplay {
     new NextIterator[(RecordType.Value, UnsafeRow, UnsafeRow, Long)] {
       private var version = startVersion
       private var records: Iterator[(Array[Byte], Array[Byte])] = Iterator.empty
+      // multi-value puts expand to several tuples; drain these first
+      private var pending: Iterator[(RecordType.Value, UnsafeRow, UnsafeRow, Long)] =
+        Iterator.empty
 
       override protected def getNext(): (RecordType.Value, UnsafeRow, UnsafeRow, Long) = {
-        while (!records.hasNext && version <= endVersion) {
-          records = changeRecords(version, cf)
-          version += 1
-        }
-        if (!records.hasNext) {
-          finished = true
-          null
-        } else {
+        while (!pending.hasNext) {
+          while (!records.hasNext && version <= endVersion) {
+            records = changeRecords(version, cf)
+            version += 1
+          }
+          if (!records.hasNext) {
+            finished = true
+            return null
+          }
           val (pk, vb) = records.next()
           // the tuple's Long is surfaced as batch_id: changelog version v
           // holds the changes batch v-1 wrote (version 0 = empty store)
           val batchId = (version - 1) - 1
           val key = decodeChangeKey(cf, pk)
-          if (vb == null) (RecordType.DELETE_RECORD, key, null, batchId)
-          else (RecordType.PUT_RECORD, key, decodeChangeValue(cf, vb), batchId)
+          pending =
+            if (vb == null) Iterator.single((RecordType.DELETE_RECORD, key, null: UnsafeRow, batchId))
+            else decodeChangeValues(cf, vb).map(v => (RecordType.PUT_RECORD, key, v, batchId))
         }
+        pending.next()
       }
 
       override protected def close(): Unit = ()
