@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -36,7 +36,12 @@ object HashMix {
 
 /** `minhash64(tokens)` → ARRAY<BIGINT> of `nHashes` min-hash lanes. */
 case class MinHash64(child: Expression, nHashes: Int)
-    extends UnaryExpression with Serializable {
+    extends UnaryExpression with ExpectsInputTypes with Serializable {
+  // constructor-time: the SQL registration exposes nHashes to arbitrary
+  // queries, and nHashes <= 0 would diverge between the interpreted path
+  // (empty signature) and codegen (NegativeArraySizeException per row)
+  require(nHashes >= 1, s"nHashes must be >= 1, got $nHashes")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash64"
 
@@ -86,7 +91,9 @@ case class MinHash64(child: Expression, nHashes: Int)
 }
 
 /** `simhash64(tokens)` → 64-bit SimHash of the token array. */
-case class SimHash64(child: Expression) extends UnaryExpression with Serializable {
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with Serializable {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
@@ -151,7 +158,11 @@ case class SimHash64(child: Expression) extends UnaryExpression with Serializabl
   * shipping a plane matrix.
   */
 case class LshSignBits(child: Expression, table: Int, nBits: Int)
-    extends UnaryExpression with Serializable {
+    extends UnaryExpression with ExpectsInputTypes with Serializable {
+  // 1L << bit wraps at 64 (Java shift is mod 64), so nBits > 64 would
+  // silently alias plane 64 onto plane 0 instead of failing
+  require(nBits >= 1 && nBits <= 64, s"nBits must be in [1, 64], got $nBits")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh_sign_bits"
 

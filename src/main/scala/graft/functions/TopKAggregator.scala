@@ -21,8 +21,16 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** Total order, NaN included: `java.lang.Double.compare` ranks NaN above
+    * every real score — the same total order Spark's sort/window uses — so
+    * a NaN cosine (zero vector, NaN embedding component) lands in the same
+    * position under both formulations. Raw `>`/`==` are false for every
+    * NaN comparison, which would silently corrupt the sorted-buffer
+    * invariant and drop/misplace rows relative to the window plan. */
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   /** Insert keeping the buffer sorted best-first, truncated at k. */
   private def insert(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] = {

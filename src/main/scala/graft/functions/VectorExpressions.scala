@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
@@ -21,7 +21,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * as 0 to keep the loop branch-free.
   */
 case class ArrayDot(left: Expression, right: Expression)
-    extends BinaryExpression with Serializable {
+    extends BinaryExpression with ExpectsInputTypes with Serializable {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "array_dot"
 
@@ -59,7 +61,9 @@ case class ArrayDot(left: Expression, right: Expression)
 }
 
 /** L2 norm — `sqrt(array_dot(a, a))` without materializing twice. */
-case class ArrayNorm(child: Expression) extends UnaryExpression with Serializable {
+case class ArrayNorm(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with Serializable {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "array_norm"
 
@@ -107,7 +111,8 @@ case class ArrayNorm(child: Expression) extends UnaryExpression with Serializabl
   * (strict `<` with ascending scan).
   */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
-    extends UnaryExpression with Serializable {
+    extends UnaryExpression with ExpectsInputTypes with Serializable {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = IntegerType
   override def prettyName: String = "nearest_centroid"
 
@@ -207,6 +212,7 @@ case class PqDistTable(child: Expression, codebooks: Array[Array[Array[Double]]]
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    val xn = x.numElements()
     val table = new Array[Double](numSub * k)
     var m = 0
     while (m < numSub) {
@@ -216,7 +222,9 @@ case class PqDistTable(child: Expression, codebooks: Array[Array[Array[Double]]]
         var d = 0.0
         var j = 0
         while (j < subDim) {
-          val t = x.getDouble(m * subDim + j) - flat(base + j)
+          val idx = m * subDim + j
+          val xv = if (idx < xn) x.getDouble(idx) else 0.0
+          val t = xv - flat(base + j)
           d += t * t
           j += 1
         }
@@ -238,14 +246,20 @@ case class PqDistTable(child: Expression, codebooks: Array[Array[Array[Double]]]
       val d = ctx.freshName("d")
       val t = ctx.freshName("t")
       val base = ctx.freshName("base")
+      val idx = ctx.freshName("idx")
+      val xv = ctx.freshName("xv")
+      val xn = ctx.freshName("xn")
       s"""
+        int $xn = $a.numElements();
         double[] $table = new double[${numSub * k}];
         for (int $m = 0; $m < $numSub; $m++) {
           for (int $c = 0; $c < $k; $c++) {
             int $base = ($m * $k + $c) * $subDim;
             double $d = 0.0;
             for (int $j = 0; $j < $subDim; $j++) {
-              double $t = $a.getDouble($m * $subDim + $j) - $flatRef[$base + $j];
+              int $idx = $m * $subDim + $j;
+              double $xv = $idx < $xn ? $a.getDouble($idx) : 0.0;
+              double $t = $xv - $flatRef[$base + $j];
               $d += $t * $t;
             }
             $table[$m * $k + $c] = $d;
@@ -265,7 +279,10 @@ case class PqDistTable(child: Expression, codebooks: Array[Array[Array[Double]]]
   * path of IVF-PQ search: one array index per subspace, no vector math.
   */
 case class PqAdcScore(left: Expression, right: Expression, k: Int)
-    extends BinaryExpression with Serializable {
+    extends BinaryExpression with ExpectsInputTypes with Serializable {
+  require(k >= 1, s"codebook size k must be >= 1, got $k")
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(IntegerType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc_score"
 
@@ -276,7 +293,12 @@ case class PqAdcScore(left: Expression, right: Expression, k: Int)
     var m = 0
     val n = codes.numElements()
     while (m < n) {
-      s += table.getDouble(m * k + codes.getInt(m))
+      val code = codes.getInt(m)
+      if (code < 0 || code >= k)
+        throw new IllegalArgumentException(
+          s"PQ code $code out of range [0, $k) — codes were built against " +
+            "a different codebook size than this ADC table")
+      s += table.getDouble(m * k + code)
       m += 1
     }
     s
@@ -287,11 +309,18 @@ case class PqAdcScore(left: Expression, right: Expression, k: Int)
       val s = ctx.freshName("s")
       val m = ctx.freshName("m")
       val n = ctx.freshName("n")
+      val code = ctx.freshName("code")
       s"""
         double $s = 0.0;
         int $n = $codes.numElements();
         for (int $m = 0; $m < $n; $m++) {
-          $s += $table.getDouble($m * $k + $codes.getInt($m));
+          int $code = $codes.getInt($m);
+          if ($code < 0 || $code >= $k) {
+            throw new IllegalArgumentException(
+              "PQ code " + $code + " out of range [0, $k) — codes were built " +
+              "against a different codebook size than this ADC table");
+          }
+          $s += $table.getDouble($m * $k + $code);
         }
         ${ev.value} = $s;
       """

@@ -45,6 +45,26 @@ class TextExpressionsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(line.contains("*("), "char_shingles must stay in WSCG")
   }
 
+  test("char_shingles: multibyte chars split on char boundaries; values are stable copies") {
+    val sql = spark
+    import sql.implicits._
+    import org.apache.spark.sql.functions._
+    // multibyte (2- and 3-byte UTF8) chars: shingles must split on CHAR
+    // boundaries, and collect_list must return stable values (a borrowed
+    // row-buffer reference would mutate to later rows' bytes)
+    val docs = Seq((1L, "héllo"), (2L, "日本語だ"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val got = docs
+      .select($"doc_id", TextFunctions.char_shingles($"text", 3).as("sh"))
+      .orderBy($"doc_id")
+      .agg(collect_list(struct($"doc_id", $"sh")).as("all"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) === Seq("hél", "éll", "llo"))
+    assert(got(2L) === Seq("日本語", "本語だ"))
+    assert(got(3L) === Seq("ab")) // short-string fallback, also a copy
+  }
+
   test("shingle-minhash catches intra-token edits that token-minhash misses") {
     val sql = spark
     import sql.implicits._

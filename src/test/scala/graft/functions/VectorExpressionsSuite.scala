@@ -118,4 +118,24 @@ class VectorExpressionsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(0).getDouble(0) === 11.0) // 1*3 + 2*4
     assert(got(1).isNullAt(0))
   }
+
+  test("TopKAggregator ranks NaN like the window formulation (largest)") {
+    val sql = spark
+    import sql.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val scored = Seq((0.5, 10L), (Double.NaN, 11L), (0.9, 12L), (0.8, 13L))
+      .toDF("cos", "nid").withColumn("qid", lit(1))
+    val topk = udaf(new TopKAggregator(2))
+    val agg = scored.groupBy($"qid").agg(topk($"cos", $"nid").as("top"))
+      .select(posexplode($"top")).select($"col._2".as("nid"))
+      .collect().map(_.getLong(0)).toSeq
+    val win = scored.withColumn("rnk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)))
+      .filter($"rnk" <= 2).orderBy($"rnk")
+      .collect().map(_.getAs[Long]("nid")).toSeq
+    // Spark sorts NaN as the largest double: both must return [11, 12]
+    assert(win === Seq(11L, 12L), s"window fixture drifted: $win")
+    assert(agg === win, s"aggregator $agg diverged from window $win")
+  }
 }
