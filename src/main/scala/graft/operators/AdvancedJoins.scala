@@ -22,26 +22,44 @@ import graft.queries.QuerySpec
   */
 object AdvancedJoins {
 
-  /** For each probe-side row, attach the most recent build-side row of the
-    * same key with ordKey ≤ probe's ordKey. Sort-based, one shuffle.
+  /** For each probe-side row, attach the most recent build-side row's
+    * `buildVal` of the same key with ordKey ≤ probe's ordKey, returned
+    * under the name `asof_<buildVal>`. Sort-based, one shuffle.
+    *
+    * Semantics notes:
+    *  - the carried value is wrapped in a struct before `last(...,
+    *    ignoreNulls)`: the struct is non-null for every BUILD row even
+    *    when its inner value is null, so a most-recent build row whose
+    *    value is NULL yields NULL (the correct as-of answer) instead of
+    *    silently falling back to an older row's value;
+    *  - build rows tied on (key, ord) break deterministically to the
+    *    LARGEST buildVal (documented, value-based — not shuffle order).
     */
   def asOfJoin(probe: DataFrame, build: DataFrame, key: String, ord: String,
                buildVal: String): DataFrame = {
+    Seq("__is_probe", "__asof", buildVal).foreach { c =>
+      require(!probe.columns.contains(c),
+        s"asOfJoin: probe already has a column named '$c' — it would be " +
+          "silently overwritten; rename it first")
+    }
     val p = probe
       .withColumn("__is_probe", lit(1))
       .withColumn(buildVal, lit(null).cast(build.schema(buildVal).dataType))
     val b = build.select(col(key), col(ord), col(buildVal))
       .withColumn("__is_probe", lit(0))
     val all = p.unionByName(b, allowMissingColumns = true)
-    // probe rows sort after build rows at equal ord (as-of ≤ semantics)
+    // probe rows sort after build rows at equal ord (as-of ≤ semantics);
+    // buildVal is the deterministic tie-break among equal-ord build rows
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ord), col("__is_probe"))
+      .orderBy(col(ord), col("__is_probe"), col(buildVal))
       .rowsBetween(Window.unboundedPreceding, 0)
     all
       .withColumn("__asof",
-        last(when(col("__is_probe") === 0, col(buildVal)), ignoreNulls = true).over(w))
+        last(when(col("__is_probe") === 0, struct(col(buildVal))),
+          ignoreNulls = true).over(w).getField(buildVal))
       .filter(col("__is_probe") === 1)
       .drop("__is_probe", buildVal)
+      .withColumnRenamed("__asof", s"asof_$buildVal")
   }
 
   val specs: Seq[QuerySpec] = Seq(
@@ -58,7 +76,7 @@ object AdvancedJoins {
           .select($"user_id", $"event_id", $"event_id".as("click_event_id"))
         asOfJoin(purchases, clicks, "user_id", "event_id", "click_event_id")
           .select($"user_id", $"event_id", $"value",
-            col("__asof").as("last_click_event_id"))
+            col("asof_click_event_id").as("last_click_event_id"))
           .orderBy($"user_id", $"event_id")
       },
       Some("""

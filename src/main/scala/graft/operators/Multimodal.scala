@@ -39,6 +39,16 @@ object Multimodal {
         (col("doc_id") % 640 + 64).cast("int").as("width"),
         (col("doc_id") % 480 + 48).cast("int").as("height")).as("meta"))
 
+  /** Flatten the media frame to the typed row the per-partition stubs
+    * consume (shared so the struct layout lives in one place). */
+  private def mediaRows(media: DataFrame): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"), col("data"))
+      .as[MediaRow]
+  }
+
   /** STUB decode: a real implementation would invoke an image/audio codec
     * here (per partition, batched). The fake is deterministic: byte count,
     * byte sum, and a 4-bin byte histogram stand in for decoded features.
@@ -46,9 +56,7 @@ object Multimodal {
   def decodeStub(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("doc_id"), col("meta.format").as("format"),
-        col("meta.width").as("width"), col("meta.height").as("height"), col("data"))
-      .as[MediaRow]
+    mediaRows(media)
       .mapPartitions { rows =>
         // per-partition init site for a real codec (native lib handle, etc.)
         rows.map { m =>
@@ -78,11 +86,10 @@ object Multimodal {
     */
   def resizeStub(media: DataFrame, targetW: Int, targetH: Int,
                  stride: Int): Dataset[ResizedMedia] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride") // 0 = infinite loop
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("doc_id"), col("meta.format").as("format"),
-        col("meta.width").as("width"), col("meta.height").as("height"), col("data"))
-      .as[MediaRow]
+    mediaRows(media)
       .mapPartitions { rows =>
         // per-partition init site for a real codec
         rows.map { m =>
@@ -100,14 +107,21 @@ object Multimodal {
   }
 
   /** Frame sampling shape: one row per sampled frame index (every `stride`
-    * frames of a fake `nFrames` clip derived from payload size).
+    * frames of a fake `nFrames` clip derived from payload size). Payloads
+    * too small for even one frame produce NO rows — without the filter,
+    * `sequence(0, -1, stride)` throws on any sub-frame-size payload
+    * (Spark requires start <= stop for a positive step) where the
+    * equivalent SQL `range(0, 0, stride)` simply yields nothing.
     */
-  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     media
       .withColumn("n_frames", (octet_length(col("data")) / 16).cast("int"))
+      .filter(col("n_frames") > 0)
       .select(col("doc_id"), col("meta"),
         posexplode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
           .as(Seq("sample_idx", "frame_idx")))
+  }
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -144,7 +158,11 @@ object Multimodal {
              sum(col("hist_0")).as("h0"), sum(col("hist_1")).as("h1"),
              sum(col("hist_2")).as("h2"), sum(col("hist_3")).as("h3"))
         .orderBy(col("format")),
-      // byte-level recompute of the stub's features in SQL
+      // byte-level recompute of the stub's features in SQL. NOTE: the
+      // oracle iterates CHARS (ascii/substr) while the operator iterates
+      // UTF-8 BYTES — equivalent only because the fixture corpus is pure
+      // ASCII (verified); DuckDB has no blob byte accessor to express the
+      // byte-exact form.
       Some("""
         SELECT format, COUNT(*) AS n,
                CAST(SUM(byte_sum) AS BIGINT) AS total_byte_sum,
@@ -176,7 +194,8 @@ object Multimodal {
              sum(col("n_bytes")).cast("long").as("sum_bytes"),
              sum(col("byte_sum")).cast("long").as("sum_sampled"))
         .orderBy(col("format")),
-      // byte-level recompute of the stride sampling in SQL
+      // byte-level recompute of the stride sampling in SQL (same ASCII
+      // caveat as q51)
       Some("""
         SELECT format, COUNT(*) AS n,
                224 AS out_w, 224 AS out_h,

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** asOfJoin contract corners the q60 fixture cannot reach: a most-recent
+  * build row with a NULL value, build rows tied on the time axis, and the
+  * reserved-name guard. Plus sampleFrames' sub-frame-size payloads.
+  */
+class AsOfJoinSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-asof")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("a most-recent build row with NULL value yields NULL, not an older value") {
+    val sql = spark
+    import sql.implicits._
+    val probe = Seq((1, 3L)).toDF("k", "t")
+    val build = Seq((1, 1L, Some(5)), (1, 2L, None))
+      .toDF("k", "t", "v")
+    val got = AdvancedJoins.asOfJoin(probe, build, "k", "t", "v")
+      .select("asof_v").collect()
+    assert(got.length === 1 && got.head.isNullAt(0),
+      s"expected NULL from the t=2 build row, got ${got.head}")
+  }
+
+  test("build rows tied on ord break deterministically to the largest value") {
+    val sql = spark
+    import sql.implicits._
+    val probe = Seq((1, 7L)).toDF("k", "t")
+    val build = Seq((1, 5L, "a"), (1, 5L, "b")).toDF("k", "t", "v")
+    val results = (1 to 5).map { _ =>
+      AdvancedJoins.asOfJoin(probe, build, "k", "t", "v")
+        .select("asof_v").collect().head.getString(0)
+    }
+    assert(results.toSet === Set("b"), s"nondeterministic tie-break: $results")
+  }
+
+  test("probe rows with no prior build row get NULL; <= boundary matches") {
+    val sql = spark
+    import sql.implicits._
+    val probe = Seq((1, 1L), (1, 5L)).toDF("k", "t")
+    val build = Seq((1, 5L, 9)).toDF("k", "t", "v")
+    val got = AdvancedJoins.asOfJoin(probe, build, "k", "t", "v")
+      .orderBy("t").collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(2)) None else Some(r.getInt(2))))
+    assert(got.toSeq === Seq(1L -> None, 5L -> Some(9))) // as-of is <=
+  }
+
+  test("reserved/colliding probe column names are rejected, not clobbered") {
+    val sql = spark
+    import sql.implicits._
+    val probe = Seq((1, 3L, 42)).toDF("k", "t", "v") // probe already has 'v'
+    val build = Seq((1, 1L, 5)).toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException](
+      AdvancedJoins.asOfJoin(probe, build, "k", "t", "v"))
+    assert(e.getMessage.contains("rename"))
+  }
+
+  test("sampleFrames drops sub-frame-size payloads instead of throwing") {
+    val sql = spark
+    import sql.implicits._
+    val media = Seq((1L, "tiny"), (2L, "x" * 40)) // 4 bytes → 0 frames; 40 → 2
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"),
+        struct(lit("png").as("format")).as("meta"))
+    val got = Multimodal.sampleFrames(media, 8)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(2L -> 1L)) // doc 1 absent, doc 2 has frame 0 only
+    intercept[IllegalArgumentException](Multimodal.sampleFrames(media, 0))
+  }
+}
