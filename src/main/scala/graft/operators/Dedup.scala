@@ -237,8 +237,16 @@ object Dedup {
                  bands: Int = 16, maxBucketSize: Int = 64,
                  shingleK: Int = 0): DataFrame = {
     val rows = nHashes / bands
+    // The signature scan (shingling + nHashes minhash passes per doc) is
+    // the expensive leaf, and the plan below references it THREE times
+    // (banding + both verify rejoins). A lazy local checkpoint computes it
+    // once and serves the other two subtrees from stored blocks —
+    // signatures are doc_id + nHashes longs, orders of magnitude smaller
+    // than the text they replace, which is exactly why checkpointing them
+    // (and never the text) is the right trade at 100 TB too.
     val sigs = docs.select(col("doc_id"),
       minhashSignature(col("text"), nHashes, shingleK).as("sig"))
+      .localCheckpoint(false)
     // one row per (doc, band): bucket key = hash of the band's slice
     val banded = sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map { b =>

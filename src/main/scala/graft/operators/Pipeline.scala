@@ -109,6 +109,36 @@ object Pipeline {
     docs.filter(bucket < rate)
   }
 
+  /** Sequence packing: assign each doc to a training chunk of
+    * ~`budgetTokens` tokens by CONTIGUOUS concatenation order — the way
+    * pretraining actually fills context windows (docs are laid end to end
+    * in a deterministic order and cut every `budgetTokens`; a doc belongs
+    * to the chunk its first token lands in). Deterministic given
+    * (strataCol, idCol), so shard assignment is reproducible across runs
+    * and engines — no bin-packing heuristic whose output depends on
+    * partition order.
+    *
+    * Scale notes: one running-sum window per stratum (a single shuffle on
+    * `strataCol`, the same partitioning the downstream per-stratum shard
+    * write wants); no driver-side state. Strata are independent, so skew
+    * is bounded by the largest stratum, which a 100 TB pipeline already
+    * shards (source × date).
+    */
+  def packSequences(docs: DataFrame, budgetTokens: Int,
+                    strataCol: String = "source",
+                    idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("n_tokens", TextOps.tokenCount(col("text")))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      // integer `div`, not floor(double /): a corpus-scale running token
+      // sum can pass 2^53, where double division starts mis-assigning
+      // chunk boundaries
+      .withColumn("chunk_id",
+        expr(s"(__cum - n_tokens) div $budgetTokens").cast("bigint"))
+      .drop("__cum")
+  }
+
   /** Publish a curated corpus for training consumption: one directory
     * per `partitionCol` value (consumers read a language/source slice
     * without touching the rest), rows sorted by `sortCol` inside each
@@ -156,6 +186,27 @@ object Pipeline {
                           WHEN 'src2' THEN 1000 ELSE 100 END
         GROUP BY source, lang
         ORDER BY source, lang""")),
+
+    QuerySpec(
+      "q67_pack_sequences",
+      (s, d) => {
+        packSequences(Tables.documents(s, d), budgetTokens = 256)
+          .groupBy(col("source"), col("chunk_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("bigint").as("sum_tokens"))
+          .orderBy(col("source"), col("chunk_id"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source, len(string_split(text,' ')) AS n_tokens,
+                 SUM(len(string_split(text,' '))) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM documents)
+        SELECT source, CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id,
+               COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        FROM t GROUP BY source, chunk_id
+        ORDER BY source, chunk_id""")),
 
     QuerySpec(
       "q70_curation_pipeline",

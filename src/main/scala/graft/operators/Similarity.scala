@@ -155,10 +155,19 @@ object Similarity {
       graft.functions.VectorFunctions.nearest_centroid(col(vecCol), matrix))
   }
 
+  /** Map-side-combining vector mean (see [[graft.functions.VecMeanAggregator]]):
+    * the centroid-update shuffle carries `partitions × K` array rows,
+    * independent of corpus size. */
+  private lazy val vecMean = udaf(new graft.functions.VecMeanAggregator,
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+
   /** Lloyd k-means over `vecCol`, deterministic init (the k lowest
     * `idCol` rows). Assign is the codegen'd map-side argmin (zero
-    * shuffle); update is one K×dim-row shuffle per iteration; the fitted
-    * K×dim model collects to the driver. Shared by IVF and IVF-PQ.
+    * shuffle); update is ONE partial-aggregated shuffle of ≤ partitions×K
+    * (sum, count) buffers per iteration ([[vecMean]] — the old
+    * posexplode/avg/re-assemble formulation shuffled N×dim scalar rows
+    * twice per iteration); the fitted K×dim model collects to the driver.
+    * Shared by IVF and IVF-PQ.
     */
   private def fitCentroids(df: DataFrame, idCol: String, vecCol: String,
                            k: Int, iters: Int): Array[(Int, Array[Double])] = {
@@ -168,12 +177,8 @@ object Similarity {
         .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
     (1 to iters).foreach { _ =>
       val updated = assign(df, centroids, vecCol, "__cid")
-        .select(col("__cid").as("cid"), posexplode(col(vecCol)).as(Seq("dim", "x")))
-        .groupBy(col("cid"), col("dim"))
-        .agg(avg(col("x")).as("m"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("cid"), transform(col("dm"), e => e.getField("m")).as("cvec"))
+        .groupBy(col("__cid").as("cid"))
+        .agg(vecMean(col(vecCol)).as("cvec"))
         .collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       // empty clusters keep their previous centroid
@@ -186,13 +191,14 @@ object Similarity {
   /** Fit all `numSub` PQ codebooks in ONE Lloyd loop. Per iteration a
     * single projection computes every subspace's argmin code (numSub
     * codegen'd nearest_centroid calls side by side), then one
-    * explode+groupBy shuffle over (subspace, code, dim) rows updates every
-    * codebook at once. The per-subspace alternative (fitCentroids × numSub)
-    * runs numSub seeding sorts plus numSub×iters update passes over the
-    * residuals — at 100 TB that's numSub full scans per iteration where
-    * this does one. Seeding and per-subspace means are identical to the
-    * per-subspace formulation (subspaces never interact), so the fitted
-    * codebooks match.
+    * partial-aggregated shuffle over (subspace, code) groups updates every
+    * codebook at once ([[vecMean]] again: ≤ partitions × numSub × k
+    * buffer rows, never N×numSub×subDim scalars). The per-subspace
+    * alternative (fitCentroids × numSub) runs numSub seeding sorts plus
+    * numSub×iters update passes over the residuals — at 100 TB that's
+    * numSub full scans per iteration where this does one. Seeding and
+    * per-subspace means are identical to the per-subspace formulation
+    * (subspaces never interact), so the fitted codebooks match.
     */
   private def fitSubCodebooks(withRes: DataFrame, numSub: Int, subDim: Int,
                               k: Int, iters: Int): Array[Array[Array[Double]]] = {
@@ -208,14 +214,8 @@ object Similarity {
             graft.functions.VectorFunctions.nearest_centroid(
               slice(col("r"), m * subDim + 1, subDim), books(m)).as("code"),
             slice(col("r"), m * subDim + 1, subDim).as("sv"))): _*)).as(Seq("__i", "e")))
-        .select(col("e.m").as("m"), col("e.code").as("code"),
-          posexplode(col("e.sv")).as(Seq("dim", "x")))
-        .groupBy(col("m"), col("code"), col("dim"))
-        .agg(avg(col("x")).as("mn"))
-        .groupBy(col("m"), col("code"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("mn")))).as("dm"))
-        .select(col("m"), col("code"),
-          transform(col("dm"), e => e.getField("mn")).as("cvec"))
+        .groupBy(col("e.m").as("m"), col("e.code").as("code"))
+        .agg(vecMean(col("e.sv")).as("cvec"))
         .collect()
         .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
       // empty codes keep their previous entry
