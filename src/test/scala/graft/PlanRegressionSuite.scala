@@ -92,6 +92,26 @@ class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
       "jaccard pair generation degenerated to an all-pairs product")
   }
 
+  test("q65: decontamination semi-join broadcasts the eval grams") {
+    // the corpus side must stream map-side through the semi-join; a
+    // shuffled semi-join here means the 100 TB corpus gets repartitioned
+    // by gram just to probe a benchmark-sized eval set
+    val p = plan("q65_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"eval-gram probe is not a broadcast semi-join:\n$p")
+  }
+
+  test("q67: packing plans ONE hash exchange (window keyed on the stratum)") {
+    // the running-sum window shuffles by source once; the downstream
+    // groupBy(source, chunk_id) must reuse that partitioning (subset
+    // clustering), not add a second hash exchange
+    val p = plan("q67_pack_sequences")
+    // formatted mode prints each Exchange's partitioning on its
+    // "Arguments:" detail line
+    val hashEx = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, found $hashEx:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct") {
     // the one shape that cannot survive any scale-up; cross joins against
     // broadcast fitted models plan as BroadcastNestedLoopJoin instead
