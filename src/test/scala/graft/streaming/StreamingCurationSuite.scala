@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.TextOps
+import graft.state.RocksDbStateStoreProvider
+
+/** Decontamination as a streaming admission gate: stream-static broadcast
+  * semi-join on grams + state-backed dropDuplicates (on our RocksDB
+  * provider), with flags surfacing incrementally per batch and exactly
+  * once per doc. Map-side gates (blocklist) run on streams unchanged.
+  */
+class StreamingCurationSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-stream-curation")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        classOf[RocksDbStateStoreProvider].getName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("streaming decontamination flags each overlapping doc once, per batch") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val evalDocs = Seq((100L, "q1 q2 q3 q4 q5 tail")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val flags = StreamingCuration.contaminatedIdsStream(
+      input.toDS().toDF("doc_id", "text"), evalDocs, n = 4)
+
+    val query = flags.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("sdecon")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sdecon").toString)
+      .start()
+
+    // batch 1: doc 2 shares TWO eval 4-grams (q1..q4 and q2..q5) — must
+    // still be flagged exactly once; doc 1 is clean
+    input.addData((1L, "clean words only here"), (2L, "x q1 q2 q3 q4 q5 y"))
+    query.processAllAvailable()
+    val b1 = spark.table("sdecon").collect().map(_.getLong(0)).toSeq
+    assert(b1 == Seq(2L), s"batch 1 flags: $b1")
+
+    // batch 2: doc 3 contaminated, doc 4 clean — flags accumulate
+    input.addData((3L, "prefix q2 q3 q4 q5 suffix"), (4L, "also clean text"))
+    query.processAllAvailable()
+    val all = spark.table("sdecon").collect().map(_.getLong(0)).sorted.toSeq
+    assert(all == Seq(2L, 3L), s"accumulated flags: $all")
+    query.stop()
+  }
+
+  test("map-side gates (blocklist) apply to a stream unchanged") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, String)]
+    val kept = TextOps.blocklistFilter(
+      input.toDS().toDF("doc_id", "text"), Seq("bad"))
+
+    val query = kept.select("doc_id").writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("sblock")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sblock").toString)
+      .start()
+
+    input.addData((1L, "all fine"), (2L, "this is bad content"), (3L, "badge ok"))
+    query.processAllAvailable()
+    val got = spark.table("sblock").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 3L), s"kept: $got")
+    query.stop()
+  }
+}
