@@ -78,6 +78,11 @@ object TextOps {
     */
   def tfidfTopTerms(docs: DataFrame, groupCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the term stream feeds two aggregations keyed differently ((grp,
+    // term) vs term) so it IS computed twice — deliberately: a bare
+    // split+explode is cheaper to recompute than to materialize
+    // (measured; contrast bigramLmScore, whose heavier stream is
+    // checkpointed)
     val toks = docs.select(col("doc_id"), col(groupCol).as("grp"),
       explode(tokens(col("text"))).as("term"))
     val tf = toks.groupBy(col("grp"), col("term")).agg(count(lit(1)).as("tf"))
@@ -122,6 +127,12 @@ object TextOps {
           slice(col("t"), lit(2), size(col("t")) - 1),
           (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bg")))).as("e"))
       .select(col("doc_id"), col("e.w1").as("w1"), col("e.bg").as("bg"))
+      // three consumers, three different join/agg keys (bg, w1, bg→w1):
+      // checkpoint the bigram stream once rather than re-scanning and
+      // re-exploding the text per consumer. Trade: stores ~2× the text
+      // size; at cluster scale with cheap disk that beats two extra full
+      // corpus scans, and the stream is already the operator's working set
+      .localCheckpoint(false)
     val cBg = bi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
     // history count = bigrams starting with w1 (so P sums to 1 per history)
     val cW1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
