@@ -236,6 +236,9 @@ object Dedup {
   def minhashLsh(docs: DataFrame, threshold: Double, nHashes: Int = 64,
                  bands: Int = 16, maxBucketSize: Int = 64,
                  shingleK: Int = 0): DataFrame = {
+    require(bands >= 1 && nHashes % bands == 0,
+      s"nHashes ($nHashes) must divide into bands ($bands) — a remainder " +
+        "would silently drop signature lanes from every bucket key")
     val rows = nHashes / bands
     // The signature scan (shingling + nHashes minhash passes per doc) is
     // the expensive leaf, and the plan below references it THREE times

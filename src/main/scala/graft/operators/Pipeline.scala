@@ -127,6 +127,8 @@ object Pipeline {
   def packSequences(docs: DataFrame, budgetTokens: Int,
                     strataCol: String = "source",
                     idCol: String = "doc_id"): DataFrame = {
+    require(budgetTokens > 0,
+      s"chunk budget must be positive, got $budgetTokens") // div-by-zero aborts under ANSI
     val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.withColumn("n_tokens", TextOps.tokenCount(col("text")))

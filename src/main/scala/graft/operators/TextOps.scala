@@ -147,6 +147,7 @@ object TextOps {
     * DOWN and fabricate grams). Pure column expression: codegen'd,
     * map-side, zero shuffle. */
   def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
     val t = tokens(text)
     when(size(t) >= n,
       transform(sequence(lit(1), size(t) - (n - 1)),

@@ -98,6 +98,8 @@ object StreamingDedup {
   def nearDupPairs(docs: DataFrame, threshold: Double, nHashes: Int = 64,
                    bands: Int = 16, maxBucketSize: Int = 64,
                    shingleK: Int = 0): Dataset[NearDupPair] = {
+    require(bands >= 1 && nHashes % bands == 0,
+      s"nHashes ($nHashes) must divide into bands ($bands)")
     val spark = docs.sparkSession
     import spark.implicits._
     val rows = nHashes / bands
