@@ -33,9 +33,12 @@ import graft.operators.Dedup
   *    `.dropDuplicates("docA","docB")` downstream (itself state-backed)
   *    or a keyed sink dedupes. Kept out of this operator so callers
   *    choose their own retention/watermark for that state.
-  *  - Bucket state never expires here (`TTLConfig.NONE`); a production
-  *    crawl would pass a TTL so buckets forget docs older than the
-  *    near-dup horizon — the SPI TTL machinery this library implements.
+  *  - The `ttl` parameter bounds the near-dup horizon: bucket members
+  *    expire individually (native TTL through the providers' TTL column
+  *    families), so a long-running crawl's index state is proportional
+  *    to the horizon window, not to everything ever ingested — the SPI
+  *    TTL machinery this library implements, applied to its own
+  *    north-star operator.
   */
 object StreamingDedup {
 
@@ -46,47 +49,53 @@ object StreamingDedup {
   /** Per-(band, bucket) processor: compare-then-join against bucket
     * members. Emits each qualifying pair with the MinHash Jaccard
     * estimate (share of equal signature lanes — same verify as batch).
+    *
+    * Membership is counted from the live list on every arrival rather
+    * than a separate counter: with a TTL, ListState elements expire
+    * INDIVIDUALLY, so a persisted count would go stale and permanently
+    * wedge a "full" bucket whose members have long expired. The count
+    * rides the same iteration the comparisons already need.
     */
-  class BucketProcessor(threshold: Double, nHashes: Int, maxBucketSize: Int)
+  class BucketProcessor(threshold: Double, nHashes: Int, maxBucketSize: Int,
+                        ttl: TTLConfig)
       extends StatefulProcessor[(Int, Long), BandedDoc, NearDupPair] {
     @transient private var members: ListState[Member] = _
-    @transient private var nMembers: ValueState[Int] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       members = getHandle.getListState[Member]("members",
-        Encoders.product[Member], TTLConfig.NONE)
-      nMembers = getHandle.getValueState[Int]("n", Encoders.scalaInt, TTLConfig.NONE)
-    }
+        Encoders.product[Member], ttl)
 
     override def handleInputRows(key: (Int, Long), rows: Iterator[BandedDoc],
                                  timerValues: TimerValues): Iterator[NearDupPair] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
-      var n = if (nMembers.exists()) nMembers.get() else 0
       rows.foreach { doc =>
-        if (n < maxBucketSize) {
-          members.get().foreach { m =>
-            if (m.docId != doc.docId) {
-              var eq = 0
-              var i = 0
-              while (i < nHashes) {
-                if (doc.sig(i) == m.sig(i)) eq += 1
-                i += 1
-              }
-              val est = eq.toDouble / nHashes
-              if (est >= threshold) {
-                val (a, b) =
-                  if (doc.docId < m.docId) (doc.docId, m.docId) else (m.docId, doc.docId)
-                out += NearDupPair(a, b, est)
-              }
+        var n = 0
+        val mine = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+        members.get().foreach { m =>
+          n += 1
+          if (m.docId != doc.docId) {
+            var eq = 0
+            var i = 0
+            while (i < nHashes) {
+              if (doc.sig(i) == m.sig(i)) eq += 1
+              i += 1
+            }
+            val est = eq.toDouble / nHashes
+            if (est >= threshold) {
+              val (a, b) =
+                if (doc.docId < m.docId) (doc.docId, m.docId) else (m.docId, doc.docId)
+              mine += NearDupPair(a, b, est)
             }
           }
-          members.appendValue(Member(doc.docId, doc.sig))
-          n += 1
         }
-        // a full bucket admits no more members: degenerate buckets stop
-        // generating O(n²) pairs, mirroring the batch skew guard
+        // a full bucket admits no more members (and emits nothing for the
+        // rejected doc): degenerate buckets stop generating O(n²) pairs,
+        // mirroring the batch skew guard
+        if (n < maxBucketSize) {
+          out ++= mine
+          members.appendValue(Member(doc.docId, doc.sig))
+        }
       }
-      nMembers.update(n)
       out.iterator
     }
   }
@@ -94,10 +103,17 @@ object StreamingDedup {
   /** Near-dup pairs of a streaming `docs` frame (columns `doc_id`,
     * `text`), emitted incrementally as documents arrive. Parameters match
     * [[graft.operators.Dedup.minhashLsh]].
+    *
+    * @param ttl near-dup horizon: bucket members expire this long after
+    *        insertion (native Spark 4 TTL through our providers' TTL
+    *        column families), so the index forgets docs older than the
+    *        horizon and state stays proportional to the window, not the
+    *        stream's history. `None` = remember forever.
     */
   def nearDupPairs(docs: DataFrame, threshold: Double, nHashes: Int = 64,
                    bands: Int = 16, maxBucketSize: Int = 64,
-                   shingleK: Int = 0): Dataset[NearDupPair] = {
+                   shingleK: Int = 0,
+                   ttl: Option[java.time.Duration] = None): Dataset[NearDupPair] = {
     require(bands >= 1 && nHashes % bands == 0,
       s"nHashes ($nHashes) must divide into bands ($bands)")
     val spark = docs.sparkSession
@@ -111,8 +127,13 @@ object StreamingDedup {
         }: _*)).as(Seq("band", "bucket")),
         col("doc_id").as("docId"), col("sig"))
       .as[BandedDoc]
+    val (ttlConf, timeMode) = ttl match {
+      case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
+      case None    => (TTLConfig.NONE, TimeMode.None())
+    }
     banded.groupByKey(d => (d.band, d.bucket))
-      .transformWithState(new BucketProcessor(threshold, nHashes, maxBucketSize),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(
+        new BucketProcessor(threshold, nHashes, maxBucketSize, ttlConf),
+        timeMode, OutputMode.Append())
   }
 }

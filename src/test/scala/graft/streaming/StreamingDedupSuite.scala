@@ -112,6 +112,72 @@ abstract class StreamingDedupSuiteBase extends AnyFunSuite with BeforeAndAfterAl
       s"cap 3 must bound pairs to one 3-doc triangle, got $got")
     query.stop()
   }
+
+  test(s"$suiteName: TTL'd bucket index forgets docs past the horizon") {
+    // ONE long-running query, synchronized by a progress listener. With
+    // TimeMode.ProcessingTime, shouldRunAnotherBatch is unconditionally
+    // true, which breaks both standard sync tools: an AvailableNow run
+    // never self-terminates (a restart harness burns its await timeout
+    // and leaves a zombie query on the checkpoint), and the perpetual
+    // no-data batches starve processAllAvailable's noNewData wait. So:
+    // count COMMITTED source rows via the listener and poll for them.
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val text = "identical content repeated verbatim across every arriving document"
+    val input = MemoryStream[(Long, String)]
+    val pairs = StreamingDedup.nearDupPairs(
+      input.toDS().toDF("doc_id", "text"), threshold = 0.5,
+      ttl = Some(java.time.Duration.ofSeconds(5)))
+
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        seen.addAndGet(e.progress.numInputRows)
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+
+    val query = pairs.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(s"sdedupttl_$suiteName")
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft-sdedupttl-$suiteName").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .start()
+
+    def awaitInput(total: Long): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (seen.get < total && System.currentTimeMillis < deadline) Thread.sleep(50)
+      assert(seen.get >= total, s"timed out waiting for $total committed input rows")
+    }
+    def pairsSoFar(): Set[(Long, Long)] =
+      spark.table(s"sdedupttl_$suiteName")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    try {
+      input.addData((1L, text))
+      awaitInput(1)
+      assert(pairsSoFar().isEmpty)
+
+      Thread.sleep(7000) // well past the 5 s horizon: doc 1 must be forgotten
+      input.addData((2L, text))
+      awaitInput(2)
+      assert(pairsSoFar().isEmpty, "expired member must not pair")
+
+      input.addData((3L, text)) // doc 2 is well inside the horizon → (2,3); (1,3) must not
+      awaitInput(3)
+      assert(pairsSoFar() == Set((2L, 3L)))
+    } finally {
+      query.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
 }
 
 class InMemoryStreamingDedupSuite extends StreamingDedupSuiteBase {
