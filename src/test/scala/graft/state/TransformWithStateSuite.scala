@@ -292,10 +292,14 @@ abstract class TransformWithStateSuiteBase extends AnyFunSuite with BeforeAndAft
   }
 
   test(s"$suiteName: transformWithState native TTLConfig expires ValueState") {
-    // TimeMode.ProcessingTime queries never quiesce (Spark keeps
-    // scheduling batches for timer/TTL progress), so drive two
-    // Trigger.AvailableNow runs over one checkpoint instead of
-    // processAllAvailable — which also exercises restart recovery.
+    // TimeMode.ProcessingTime queries never quiesce: shouldRunAnotherBatch
+    // is unconditionally true in that mode, so even a Trigger.AvailableNow
+    // run keeps scheduling no-data batches and never self-terminates —
+    // awaitTermination would burn its full timeout and leave a zombie
+    // query racing the next restart on the same checkpoint. Instead: poll
+    // the collected output for the expected rows (plus a short grace so a
+    // spurious extra emission would still surface), then stop() — which
+    // still exercises restart recovery across the two runs.
     val sql = spark
     import sql.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -306,7 +310,7 @@ abstract class TransformWithStateSuiteBase extends AnyFunSuite with BeforeAndAft
     val collected = java.util.Collections.synchronizedList(
       new java.util.ArrayList[(Int, Int)]())
 
-    def runOnce(): List[Int] = {
+    def runOnce(expectRows: Int): List[Int] = {
       collected.clear()
       val out = input.toDS()
         .groupByKey(_._1)
@@ -320,17 +324,21 @@ abstract class TransformWithStateSuiteBase extends AnyFunSuite with BeforeAndAft
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      query.awaitTermination(120000)
+      val deadline = System.currentTimeMillis + 60000
+      while (collected.size < expectRows && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      Thread.sleep(500) // grace: an unexpected extra row must still be seen
+      query.stop()
       import scala.jdk.CollectionConverters._
       collected.asScala.toList.filter(_._1 == 1).map(_._2).sorted
     }
 
     input.addData((1, "a"), (1, "b"))
-    assert(runOnce() === List(2))
+    assert(runOnce(expectRows = 1) === List(2))
     Thread.sleep(2000) // well past the 500ms TTL
     input.addData((1, "c"))
     // state expired between runs → count restarts at 1, not 3
-    assert(runOnce() === List(1))
+    assert(runOnce(expectRows = 1) === List(1))
   }
   test(s"$suiteName: processing-time timers fire, re-arm, and cancel") {
     // AvailableNow keeps scheduling no-data batches while timers are
@@ -344,7 +352,10 @@ abstract class TransformWithStateSuiteBase extends AnyFunSuite with BeforeAndAft
     val collected = java.util.Collections.synchronizedList(
       new java.util.ArrayList[(Int, String, Int)]())
 
-    def runOnce(): List[(Int, String, Int)] = {
+    // ProcessingTime mode never self-terminates (shouldRunAnotherBatch is
+    // unconditionally true), so poll for the expected output rows plus a
+    // grace window, then stop() — see the TTLConfig test above.
+    def runOnce(expectRows: Int, graceMs: Long): List[(Int, String, Int)] = {
       collected.clear()
       val out = input.toDS()
         .groupByKey(_._1)
@@ -358,18 +369,24 @@ abstract class TransformWithStateSuiteBase extends AnyFunSuite with BeforeAndAft
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      query.awaitTermination(120000)
+      val deadline = System.currentTimeMillis + 60000
+      while (collected.size < expectRows && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      Thread.sleep(graceMs)
       query.stop()
       import scala.jdk.CollectionConverters._
       collected.asScala.toList
     }
 
     // key 1: two arrivals re-arm one 2s timer → exactly one flush with the
-    // session total. key 2: arms a 60s timer then cancels it — the run
-    // terminating promptly (not after 60s) is itself proof of deleteTimer.
+    // session total. key 2: arms a 60s timer then cancels it — no flush for
+    // key 2 inside the grace window is the observable proof of deleteTimer
+    // (an uncancelled timer would be 60s out either way; the sharp check is
+    // the "cancelled" row and the exactly-once flush of the re-armed key).
     input.addData((1, "2000"), (2, "60000"))
     input.addData((1, "2000"), (2, "cancel"))
-    val r1 = runOnce()
+    // 4 "open"/"cancelled" rows from the two data batches + 1 flush at ~2s
+    val r1 = runOnce(expectRows = 5, graceMs = 1500)
     assert(r1.contains((1, "flushed", 2)))
     assert(r1.count(t => t._1 == 1 && t._2 == "flushed") === 1,
       "re-armed timer must fire exactly once")
@@ -378,7 +395,7 @@ abstract class TransformWithStateSuiteBase extends AnyFunSuite with BeforeAndAft
 
     // flush cleared the state: key 1's next session restarts at 1
     input.addData((1, "500"))
-    val r2 = runOnce()
+    val r2 = runOnce(expectRows = 2, graceMs = 500)
     assert(r2.contains((1, "open", 1)))
     assert(r2.contains((1, "flushed", 1)))
   }
