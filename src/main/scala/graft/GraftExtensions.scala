@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{ArrayDot, ArrayNorm, CharShingles, LshSignBits, MinHash64, SimHash64}
+import graft.functions.{ArrayDot, ArrayNorm, CharShingles, LshSignBits, MinHash64, NgramRepetitionStats, SimHash64}
 
 /** SQL-surface registration of the engine's codegen'd expressions via
   * `SparkSessionExtensions` (preference (c) of the custom-operator
@@ -62,6 +62,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(text, k) => CharShingles(text, intLit(k, "k"))
       case other => throw new IllegalArgumentException(
         s"graft_char_shingles expects 2 arguments, got ${other.length}")
+    }
+    register(ext, "graft_ngram_repetition",
+      "graft_ngram_repetition(text, n) - word-n-gram repetition stats struct(n_grams, n_dup, top_count)") {
+      case Seq(text, n) => NgramRepetitionStats(text, intLit(n, "n"))
+      case other => throw new IllegalArgumentException(
+        s"graft_ngram_repetition expects 2 arguments, got ${other.length}")
     }
     register(ext, "graft_lsh_sign_bits",
       "graft_lsh_sign_bits(vec, table, nBits) - random-hyperplane sign signature of ARRAY<DOUBLE>") {

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Character k-gram (shingle) array of a string — the standard MinHash
@@ -76,10 +77,101 @@ object CharShingles {
   }
 }
 
+/** Per-document word-n-gram repetition statistics — the Gopher-style
+  * repetition quality signals (duplicate-n-gram fraction, most-repeated
+  * n-gram count) a curation pipeline thresholds on to drop boilerplate
+  * and degenerate loops. Returns STRUCT(n_grams, n_dup, top_count):
+  *
+  *   - `n_grams`:   total n-gram occurrences in the doc
+  *   - `n_dup`:     occurrences belonging to an n-gram that appears ≥2×
+  *   - `top_count`: occurrences of the single most frequent n-gram
+  *
+  * Counts (not fractions) so downstream rollups stay in exact integer
+  * arithmetic until one final division — the property that makes the
+  * group-level duplicate fraction bit-reproducible across engines.
+  *
+  * Codegen'd single pass per row: an exploded
+  * ngram→groupBy(doc, gram)→groupBy(doc) formulation costs two keyed
+  * shuffles of the full gram stream; this is map-side, zero shuffle.
+  */
+case class NgramRepetitionStats(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes with Serializable {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_dup", LongType, nullable = false),
+    StructField("top_count", LongType, nullable = false)))
+  override def prettyName: String = "ngram_repetition"
+
+  override def nullSafeEval(input: Any): Any =
+    NgramRepetitionStats.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.NgramRepetitionStats$$.MODULE$$.compute($s, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramRepetitionStats =
+    copy(child = newChild)
+}
+
+object NgramRepetitionStats {
+  /** One pass over a private copy of the payload bytes. Tokens are the
+    * single-space split (empty tokens kept — `split(text, ' ')` parity
+    * with Spark and DuckDB); since the separator is one byte, an n-gram
+    * of ADJACENT tokens is a contiguous byte range of the source, so
+    * each counting key wraps that range with zero per-gram copying
+    * (0x20 never occurs inside a UTF-8 multibyte sequence, making the
+    * byte scan char-safe).
+    */
+  def compute(s: UTF8String, n: Int): InternalRow = {
+    val nBytes = s.numBytes
+    val bytes = new Array[Byte](nBytes)
+    s.writeToMemory(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+    var nTokens = 1
+    var i = 0
+    while (i < nBytes) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
+    if (nTokens < n) return InternalRow(0L, 0L, 0L)
+    // starts(t) = byte offset of token t; sentinel so that n-gram g
+    // spans bytes [starts(g), starts(g + n) - 1) — one space before the
+    // next token's start
+    val starts = new Array[Int](nTokens + 1)
+    starts(0) = 0
+    var t = 1
+    i = 0
+    while (i < nBytes) { if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }; i += 1 }
+    starts(nTokens) = nBytes + 1
+    val nGrams = nTokens - n + 1
+    val counts = new java.util.HashMap[UTF8String, Array[Int]](nGrams * 2)
+    var g = 0
+    while (g < nGrams) {
+      val st = starts(g)
+      val key = UTF8String.fromBytes(bytes, st, starts(g + n) - 1 - st)
+      val c = counts.get(key)
+      if (c == null) counts.put(key, Array(1)) else c(0) += 1
+      g += 1
+    }
+    var dup = 0L
+    var top = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      if (c >= 2) dup += c
+      if (c > top) top = c
+    }
+    InternalRow(nGrams.toLong, dup, top)
+  }
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   /** Overlapping character k-grams of a string column (codegen'd). */
   def char_shingles(text: Column, k: Int): Column =
     column(CharShingles(expression(text), k))
+
+  /** Word-n-gram repetition stats struct of a text column (codegen'd). */
+  def ngram_repetition(text: Column, n: Int): Column =
+    column(NgramRepetitionStats(expression(text), n))
 }

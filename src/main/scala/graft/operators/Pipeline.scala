@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -109,6 +109,64 @@ object Pipeline {
     docs.filter(bucket < rate)
   }
 
+  /** Deterministic per-group exemplar sample: the k docs per group that
+    * rank first by `md5(text)` (doc id as tie-break) — "give me K
+    * representative examples from every language/source slice", the
+    * eval-subset / human-review draw of a curation pipeline. Ordering by
+    * a content hash makes the draw (a) uniform-ish regardless of how ids
+    * were assigned, (b) reproducible across runs, engines, and
+    * repartitioning, and (c) stable under corpus growth (a doc's rank
+    * only changes if higher-ranked docs enter its group).
+    *
+    * Scale notes: one shuffle keyed on the group column; within each
+    * group Spark sorts to rank. For k ≪ group size a typed partial
+    * top-k aggregator (the q43 pattern) trades the per-group sort for
+    * map-side heaps; the window form is kept here because the ranking
+    * column (`rn`) is part of the contract.
+    */
+  def groupExemplars(docs: DataFrame, groupCol: String, k: Int,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"exemplar count must be positive, got $k")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(textCol)), col(idCol))
+    docs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Temperature (α) mixture re-weighting: sample stratum s at a rate
+    * ∝ count(s)^α / max_s count(s)^α — the UniMax/Pile-style step that
+    * flattens a source/language imbalance before training (α = 1 keeps
+    * proportions, α = 0 equalizes toward the largest stratum's rate cap,
+    * α = 0.5 is the common square-root temperature). The largest stratum
+    * always keeps rate 1000‰; smaller strata are UP-weighted relative to
+    * proportional sampling.
+    *
+    * Selection reuses [[stratifiedSample]]'s multiplicative id hash, so
+    * the draw is reproducible and monotone: raising α only removes docs
+    * from smaller strata, never churns the kept set.
+    *
+    * Scale notes: stratum counts are one map-side-combined aggregation
+    * (|strata| rows); rates broadcast back; the corpus itself is never
+    * shuffled — the keep decision is a map-side filter. α = 0.5 is
+    * computed via sqrt (IEEE correctly-rounded, so the per-mille floor is
+    * bit-identical across engines); other α use pow, whose last-ulp is
+    * libm-specific — fine in production, but only α = 0.5 is oracle-gated.
+    */
+  def temperatureResample(docs: DataFrame, strataCol: String,
+                          alpha: Double = 0.5,
+                          idCol: String = "doc_id"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"temperature alpha must be in [0, 1], got $alpha")
+    def w(c: Column): Column = if (alpha == 0.5) sqrt(c) else pow(c, alpha)
+    val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val mx = counts.agg(max(col("__n")).as("__mx"))
+    val rates = counts.crossJoin(broadcast(mx))
+      .select(col(strataCol),
+        floor(lit(1000) * w(col("__n")) / w(col("__mx"))).as("sample_per_mille"))
+    val bucket = pmod(pmod(col(idCol).cast("long"), lit(1000003L)) * lit(2654435761L),
+      lit(1000L))
+    docs.join(broadcast(rates), strataCol).filter(bucket < col("sample_per_mille"))
+  }
+
   /** Sequence packing: assign each doc to a training chunk of
     * ~`budgetTokens` tokens by CONTIGUOUS concatenation order — the way
     * pretraining actually fills context windows (docs are laid end to end
@@ -188,6 +246,46 @@ object Pipeline {
                           WHEN 'src2' THEN 1000 ELSE 100 END
         GROUP BY source, lang
         ORDER BY source, lang""")),
+
+    QuerySpec(
+      "q71_group_exemplars",
+      (s, d) => {
+        groupExemplars(Tables.documents(s, d), "lang", k = 3)
+          .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"))
+          .orderBy(col("lang"), col("rn"))
+      },
+      Some("""
+        SELECT lang, rn, doc_id, n_chars FROM (
+          SELECT lang, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY md5(text), doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 3
+        ORDER BY lang, rn""")),
+
+    // α = 0.5 temperature re-weighting over the lang mixture (counts are
+    // skewed: en ≈ 3× the others at every SF, so the rates are
+    // non-trivial — e.g. 566‰..1000‰ at sf0.01).
+    QuerySpec(
+      "q72_temperature_mix",
+      (s, d) => {
+        temperatureResample(Tables.documents(s, d), "lang", alpha = 0.5)
+          .groupBy(col("lang"), col("sample_per_mille"))
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(col("n_chars")).cast("bigint").as("sum_chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        m AS (SELECT MAX(n) AS mx FROM c),
+        r AS (SELECT lang, CAST(floor(1000 * sqrt(n) / sqrt((SELECT mx FROM m)))
+                           AS BIGINT) AS sample_per_mille FROM c)
+        SELECT d.lang, r.sample_per_mille, COUNT(*) AS n_sampled,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents d JOIN r USING (lang)
+        WHERE ((doc_id % 1000003) * 2654435761) % 1000 < r.sample_per_mille
+        GROUP BY d.lang, r.sample_per_mille
+        ORDER BY d.lang""")),
 
     QuerySpec(
       "q67_pack_sequences",

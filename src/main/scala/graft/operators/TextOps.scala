@@ -182,6 +182,58 @@ object TextOps {
     corpus.join(contaminatedIds(corpus, evalDocs, n, textCol, idCol),
       Seq(idCol), "left_anti")
 
+  /** Per-doc word-n-gram repetition stats struct (n_grams, n_dup,
+    * top_count) — the Gopher-style repetition quality signals. Codegen'd
+    * single pass per row ([[graft.functions.NgramRepetitionStats]]):
+    * zero shuffle until whatever rollup consumes it.
+    */
+  def repetitionStats(text: Column, n: Int = 2): Column =
+    graft.functions.TextFunctions.ngram_repetition(text, n)
+
+  /** BM25 keyword retrieval: top-k docs for a bag of query terms — the
+    * lexical leg of a hybrid (keyword + vector) corpus search, and the
+    * standard "find the boilerplate/spam cluster" audit probe.
+    *
+    * Scale design (100 TB): the corpus scan is pre-filtered map-side
+    * (`arrays_overlap` against the literal term set) BEFORE the explode,
+    * so only matching docs ever produce rows; term frequencies are one
+    * keyed aggregation over those rows; document frequency and corpus
+    * stats are term-count-sized / single-row and broadcast back. The
+    * final top-k is `orderBy(...).limit(k)` — Spark plans
+    * TakeOrderedAndProject (per-partition partial top-k, no global
+    * sort). Corpus length stats (N, avgdl) are exact integer sums with
+    * ONE final division, and per-term scores are rounded before the
+    * per-doc sum so cross-engine libm ulp differences in ln() cannot
+    * reorder results.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    require(k > 0, s"top-k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val withDl = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("dl", size(col("t")))
+    // exact-integer corpus stats: sum/count once, divide once
+    val stats = withDl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val matched = withDl.filter(arrays_overlap(col("t"), typedlit(terms)))
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .filter(col("term").isin(terms.map(lit): _*))
+    val tf = matched.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      .withColumn("s_term", round(
+        log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+      .groupBy(col("doc_id")).agg(round(sum(col("s_term")), 4).as("score"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+      // rank assignment runs over only the k surviving rows
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+  }
+
   /** Drop docs containing any blocklisted token — the safety/blocklist
     * gate of a curation pipeline. A pure map-side filter fused into the
     * scan (the blocklist is a literal array; no join, no shuffle). */
@@ -434,6 +486,76 @@ object TextOps {
         SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM documents
         WHERE len(list_intersect(string_split(text,' '), ['stream','batch'])) = 0
-        GROUP BY lang ORDER BY lang"""))
+        GROUP BY lang ORDER BY lang""")),
+
+    // Gopher-style repetition quality rollup: integer counts all the way
+    // (the struct carries counts, not fractions), one division at the
+    // end, and the per-doc "repetitive" flag is a pure integer compare
+    // (dup/total > 0.15 ⇔ dup*20 > total*3) — no float boundary risk.
+    // Threshold measured non-vacuous on this corpus: 32/500 docs at
+    // sf0.01 (0.10 flags 94, 0.20 flags 3).
+    QuerySpec(
+      "q68_repetition_stats",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("lang"), repetitionStats(col("text"), 2).as("r"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("r.n_dup")).as("sum_dup"),
+            sum(col("r.n_grams")).as("sum_bigrams"),
+            (sum(col("r.n_dup")).cast("double") / sum(col("r.n_grams")))
+              .as("dup_frac"),
+            sum(when(col("r.n_dup") * 20 > col("r.n_grams") * 3, 1).otherwise(0))
+              .as("n_repetitive"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents),
+        bg AS (SELECT doc_id, array_to_string(toks[i:i+1],' ') AS bg
+               FROM t, UNNEST(generate_series(1, greatest(len(toks)-1,0))) AS u(i)),
+        cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+        perdoc AS (SELECT doc_id, SUM(c) AS n_bg,
+                          SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS n_dup
+                   FROM cnt GROUP BY doc_id)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(COALESCE(n_dup, 0)) AS BIGINT) AS sum_dup,
+               CAST(SUM(COALESCE(n_bg, 0)) AS BIGINT) AS sum_bigrams,
+               CAST(SUM(COALESCE(n_dup, 0)) AS DOUBLE)
+                 / SUM(COALESCE(n_bg, 0)) AS dup_frac,
+               CAST(SUM(CASE WHEN COALESCE(n_dup, 0) * 20 > COALESCE(n_bg, 0) * 3
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+        FROM t LEFT JOIN perdoc USING (doc_id)
+        GROUP BY lang
+        ORDER BY lang""")),
+
+    // BM25 keyword retrieval. The oracle spells the score arithmetic in
+    // the SAME operation order as the Spark plan (including `(1.2 + 1)`
+    // rather than the non-identical double literal 2.2) so both engines
+    // produce bit-identical doubles before the deterministic rounds.
+    QuerySpec(
+      "q73_bm25",
+      (s, d) => bm25TopK(Tables.documents(s, d),
+          Seq("spark", "join", "window"), k = 10)
+        .orderBy(col("rn")),
+      Some("""
+        WITH dl AS (SELECT doc_id, len(string_split(text,' ')) AS dl FROM documents),
+        stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dl),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf
+               FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
+               WHERE term IN ('spark','join','window') GROUP BY doc_id, term),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id,
+                 round(SUM(round(
+                   ln(1 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5)) *
+                     (tf.tf * (1.2 + 1)) /
+                     (tf.tf + 1.2*((1 - 0.75) + 0.75*dl.dl/stats.avgdl)), 6)), 4) AS score
+          FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+          GROUP BY tf.doc_id)
+        SELECT doc_id, score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+        FROM scored QUALIFY rn <= 10
+        ORDER BY rn"""))
   )
 }

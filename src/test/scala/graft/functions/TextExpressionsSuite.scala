@@ -65,6 +65,69 @@ class TextExpressionsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L) === Seq("ab")) // short-string fallback, also a copy
   }
 
+  test("ngram_repetition: counts, edge cases, null") {
+    val sql = spark
+    import sql.implicits._
+    val df = Seq(
+      (1L, Some("a b a b c")),   // bigrams: "a b","b a","a b","b c" → dup=2, top=2
+      (2L, Some("x y z")),       // all distinct → dup=0, top=1
+      (3L, Some("go go go go")), // "go go"×3 → n=3, dup=3, top=3
+      (4L, Some("solo")),        // 1 token → no bigrams
+      (5L, Some("")),            // splits to [""] → no bigrams
+      (6L, None)
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextFunctions.ngram_repetition($"text", 2).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getStruct(1))).toMap
+    assert(got(1L).getLong(0) === 4L && got(1L).getLong(1) === 2L && got(1L).getLong(2) === 2L)
+    assert(got(2L).getLong(0) === 2L && got(2L).getLong(1) === 0L && got(2L).getLong(2) === 1L)
+    assert(got(3L).getLong(0) === 3L && got(3L).getLong(1) === 3L && got(3L).getLong(2) === 3L)
+    assert(got(4L).getLong(0) === 0L && got(5L).getLong(0) === 0L)
+    assert(got(6L) == null)
+  }
+
+  test("ngram_repetition: empty tokens and multibyte text match the split contract") {
+    val sql = spark
+    import sql.implicits._
+    // consecutive spaces produce EMPTY tokens (split keeps them): "a  a"
+    // tokens are [a, "", a] → bigrams "a " and " a" (distinct) — and the
+    // gram text is the contiguous byte range, so multibyte chars survive
+    val df = Seq((1L, "a  a"), (2L, "日本 語 日本 語")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextFunctions.ngram_repetition($"text", 2).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(got(1L).getLong(0) === 2L && got(1L).getLong(1) === 0L)
+    // bigrams: "日本 語","語 日本","日本 語" → dup=2, top=2
+    assert(got(2L).getLong(0) === 3L && got(2L).getLong(1) === 2L && got(2L).getLong(2) === 2L)
+  }
+
+  test("ngram_repetition stays in whole-stage codegen and matches a composed plan") {
+    val sql = spark
+    import sql.implicits._
+    import graft.operators.TextOps
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(6)(Seq("a", "b", "c")(i % 3) + " " + Seq("x", "y")(i % 2)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = docs.repartition(1)
+      .select($"doc_id", TextFunctions.ngram_repetition($"text", 2).as("r"))
+    got.collect() // finalize the adaptive plan before reading it
+    val line = got.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ngram_repetition")).get
+    assert(line.contains("*("), "ngram_repetition must stay in WSCG")
+    // cross-check against the declarative explode→count formulation
+    val composed = docs
+      .select($"doc_id", explode(TextOps.wordNgrams($"text", 2)).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(
+        sum($"c").as("n_grams"),
+        sum(when($"c" >= 2, $"c").otherwise(0L)).as("n_dup"),
+        max($"c").as("top_count"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    got.collect().foreach { r =>
+      val s = r.getStruct(1)
+      assert(composed(r.getLong(0)) === ((s.getLong(0), s.getLong(1), s.getLong(2))))
+    }
+  }
+
   test("shingle-minhash catches intra-token edits that token-minhash misses") {
     val sql = spark
     import sql.implicits._

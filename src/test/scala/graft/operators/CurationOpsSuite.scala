@@ -100,6 +100,69 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("temperatureResample: rates follow count^alpha, selection monotone in alpha") {
+    val sql = spark
+    import sql.implicits._
+    val docs = ((0L until 64L).map(i => (i, "big")) ++
+      (100L until 116L).map(i => (i, "small")))
+      .toDF("doc_id", "lang").withColumn("text", lit("w"))
+    def kept(alpha: Double): Map[String, Set[Long]] =
+      Pipeline.temperatureResample(docs, "lang", alpha)
+        .select($"lang", $"doc_id").collect()
+        .groupBy(_.getString(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    val rates = Pipeline.temperatureResample(docs, "lang", 0.5)
+      .select($"lang", $"sample_per_mille").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sqrt(16)/sqrt(64) = 1/2 → 500‰; the largest stratum is always 1000‰
+    assert(rates("big") === 1000L && rates("small") === 500L)
+    val at0 = kept(0.0); val at05 = kept(0.5); val at1 = kept(1.0)
+    assert(at0("big").size === 64 && at0("small").size === 16) // α=0 keeps everything
+    assert(at05("big").size === 64) // rate 1000‰ ⇒ complete
+    // raising α only REMOVES docs from smaller strata (hash-bucket nesting)
+    assert(at1("small").subsetOf(at05("small")) && at05("small").subsetOf(at0("small")))
+    assert(at1("small").size < at05("small").size)
+  }
+
+  test("groupExemplars: exactly k per group, stable under repartitioning") {
+    val sql = spark
+    import sql.implicits._
+    val docs = (0L until 60L).map(i => (i, s"g${i % 4}", s"text number $i"))
+      .toDF("doc_id", "lang", "text")
+    val a = Pipeline.groupExemplars(docs, "lang", k = 2)
+      .select($"lang", $"rn", $"doc_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a.size === 8 && a.groupBy(_._1).forall(_._2.size == 2))
+    val b = Pipeline.groupExemplars(docs.repartition(7), "lang", k = 2)
+      .select($"lang", $"rn", $"doc_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a === b)
+  }
+
+  test("bm25TopK: ranks only matching docs, scores descending, formula spot-check") {
+    val sql = spark
+    import sql.implicits._
+    val docs = Seq(
+      (1L, "apple banana cherry apple"),
+      (2L, "apple banana"),
+      (3L, "banana banana banana"),
+      (4L, "cherry date egg")
+    ).toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(docs, Seq("apple", "banana"), k = 10)
+      .orderBy($"rn").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(got.map(_._1).toSet === Set(1L, 2L, 3L)) // doc 4 has no query term
+    assert(got.map(_._3).toSeq === Seq(1, 2, 3))
+    assert(got.sliding(2).forall(p => p.head._2 >= p.last._2))
+    // doc 3 by hand: dl=3, avgdl=3, banana tf=3 df=3, N=4
+    val idf = math.log(1 + (4 - 3 + 0.5) / (3 + 0.5))
+    val tfc = (3 * (1.2 + 1)) / (3 + 1.2 * ((1 - 0.75) + 0.75 * 3.0 / 3.0))
+    val expected = BigDecimal(BigDecimal(idf * tfc)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val doc3 = got.find(_._1 == 3L).get._2
+    assert(math.abs(doc3 - expected) < 1e-9, s"got $doc3, expected $expected")
+  }
+
   test("VecMeanAggregator matches per-dimension avg and handles singletons") {
     val sql = spark
     import sql.implicits._
