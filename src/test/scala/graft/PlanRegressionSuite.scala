@@ -112,6 +112,29 @@ class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashEx == 1, s"expected 1 hash exchange, found $hashEx:\n$p")
   }
 
+  test("q68: repetition rollup has no shuffle before the partial aggregate") {
+    val p = plan("q68_repetition_stats")
+    // map-side expression → partial agg → ONE exchange on lang → final agg
+    val hashEx = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, found $hashEx:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregate:\n$p")
+  }
+
+  test("q72: mixture rates broadcast back; the corpus is never hash-shuffled pre-filter") {
+    val p = plan("q72_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rates must join the corpus via broadcast:\n$p")
+  }
+
+  test("q73: top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q73_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected distributed partial top-k:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"df/corpus stats must broadcast:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct") {
     // the one shape that cannot survive any scale-up; cross joins against
     // broadcast fitted models plan as BroadcastNestedLoopJoin instead
