@@ -37,6 +37,47 @@ object Dedup {
     docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Compact digest index of a corpus: one distinct 128-bit md5 per
+    * (normalized) document text. This is the artifact an INCREMENTAL
+    * ingest pipeline persists — at 100 TB the corpus itself is never
+    * rescanned for dedup; each day's batch joins this narrow index
+    * (16 bytes/doc vs the full text).
+    *
+    * @param normalize content canonicalization applied before digesting
+    *        (lowercase, whitespace collapse, prefix truncation, …) —
+    *        exact dedup in production is always "exact after
+    *        normalization".
+    */
+  def digestIndex(docs: DataFrame, textCol: String = "text",
+                  normalize: Column => Column = identity): DataFrame =
+    docs.select(md5(normalize(col(textCol))).as("digest")).distinct()
+
+  /** Incremental exact dedup: drop incoming docs whose (normalized)
+    * digest already exists in `existingIndex`, then keep the lowest id
+    * per digest within the batch — the daily-ingest counterpart of
+    * [[exact]] (and the batch analogue of
+    * [[graft.streaming.StreamingDedup]]'s stateful index).
+    *
+    * Scale design: one hash join keyed on the digest (the incoming batch
+    * is small relative to the corpus, so it broadcasts when it fits;
+    * either way the 100 TB corpus contributes only its 16-byte digests),
+    * plus one keyed window over the batch. md5 is 128-bit: a false
+    * cross-doc collision needs ~2^64 docs, so digest equality IS
+    * (normalized) content equality at any realistic corpus size — and
+    * both engines of the oracle gate compute the same md5.
+    */
+  def exactIncremental(incoming: DataFrame, existingIndex: DataFrame,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       normalize: Column => Column = identity): DataFrame = {
+    val withDigest = incoming.withColumn("__digest", md5(normalize(col(textCol))))
+    val fresh = withDigest.join(
+      existingIndex.select(col("digest").as("__digest")),
+      Seq("__digest"), "left_anti")
+    val w = Window.partitionBy(col("__digest")).orderBy(col(idCol))
+    fresh.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__digest")
+  }
+
   // ---------------------------------------------------------------------
   // Exact n-gram (token-set) Jaccard via inverted-index self-join
 
@@ -496,6 +537,41 @@ object Dedup {
         WHERE rn = 1
         GROUP BY lang
         ORDER BY lang""")),
+
+    // Incremental ingest: docs < 250 stand in for the already-ingested
+    // corpus (as a digest index), the rest arrive as a batch. Digests are
+    // over the 100-char normalized prefix so the gate is non-vacuous on
+    // this corpus (12 batch docs collide with the corpus, 7 within the
+    // batch at sf0.01) — raw texts here are unique by construction.
+    QuerySpec(
+      "q74_dedup_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val norm = (t: Column) => substring(t, 1, 100)
+        val index = digestIndex(docs.filter(col("doc_id") < 250), normalize = norm)
+        exactIncremental(docs.filter(col("doc_id") >= 250), index, normalize = norm)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_new"),
+            sum(col("n_chars")).cast("bigint").as("sum_chars"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH existing AS (
+          SELECT DISTINCT md5(substr(text,1,100)) AS digest
+          FROM documents WHERE doc_id < 250),
+        incoming AS (
+          SELECT *, md5(substr(text,1,100)) AS digest
+          FROM documents WHERE doc_id >= 250),
+        fresh AS (
+          SELECT * FROM incoming
+          WHERE digest NOT IN (SELECT digest FROM existing)),
+        kept AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+            FROM fresh)
+          WHERE rn = 1)
+        SELECT source, COUNT(*) AS n_new, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM kept GROUP BY source ORDER BY source""")),
 
     QuerySpec(
       "q31_jaccard_pairs",

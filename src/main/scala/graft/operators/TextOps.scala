@@ -182,6 +182,22 @@ object TextOps {
     corpus.join(contaminatedIds(corpus, evalDocs, n, textCol, idCol),
       Seq(idCol), "left_anti")
 
+  /** Composite document quality score in [0, 1] — the weighted ensemble
+    * of heuristic signals (lexical diversity, stopword density, length)
+    * that curation pipelines threshold on when no learned classifier is
+    * available (and the feature vector they feed one when it is). Every
+    * component is an exact int/int division and the combination is a
+    * FIXED-order expression, so the rounded score is bit-reproducible
+    * across engines — a doc's keep/drop decision never depends on which
+    * engine (or which partition order) evaluated it.
+    */
+  def qualityScore(text: Column): Column = {
+    val ttr = typeTokenRatio(text)
+    val stop = stopwordRatio(text)
+    val lenNorm = least(tokenCount(text).cast("double") / lit(100), lit(1.0))
+    round(lit(0.4) * ttr + lit(0.3) * (lit(1) - stop) + lit(0.3) * lenNorm, 6)
+  }
+
   /** Per-doc word-n-gram repetition stats struct (n_grams, n_dup,
     * top_count) — the Gopher-style repetition quality signals. Codegen'd
     * single pass per row ([[graft.functions.NgramRepetitionStats]]):
@@ -528,6 +544,38 @@ object TextOps {
         FROM t LEFT JOIN perdoc USING (doc_id)
         GROUP BY lang
         ORDER BY lang""")),
+
+    // Composite quality ensemble, rolled up per lang. The double sum
+    // routes through DECIMAL(18,6) (exact, order-independent) and back —
+    // the established cross-engine pattern for summing doubles.
+    QuerySpec(
+      "q75_quality_score",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("lang"), qualityScore(col("text")).as("score"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("score") >= 0.6, 1).otherwise(0)).cast("bigint").as("n_passing"),
+            sum(col("score").cast("decimal(18,6)")).cast("double").as("sum_score"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT lang,
+            CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+              / len(string_split(text,' ')) AS ttr,
+            CAST(len(list_filter(string_split(text,' '),
+                 t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+              / len(string_split(text,' ')) AS stop_ratio,
+            least(CAST(len(string_split(text,' ')) AS DOUBLE) / 100, 1.0) AS len_norm
+          FROM documents),
+        q AS (SELECT lang,
+                round(0.4*ttr + 0.3*(1 - stop_ratio) + 0.3*len_norm, 6) AS score
+              FROM s)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN score >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_passing,
+               CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+        FROM q GROUP BY lang ORDER BY lang""")),
 
     // BM25 keyword retrieval. The oracle spells the score arithmetic in
     // the SAME operation order as the Spark plan (including `(1.2 + 1)`

@@ -163,6 +163,45 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(doc3 - expected) < 1e-9, s"got $doc3, expected $expected")
   }
 
+  test("exactIncremental: drops corpus dups and batch dups, keeps first-of-batch") {
+    val sql = spark
+    import sql.implicits._
+    val existing = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha text"),  // dup vs corpus → dropped
+      (11L, "gamma text"),  // fresh
+      (12L, "gamma text"),  // dup within batch → dropped (11 wins)
+      (13L, "delta text")   // fresh
+    ).toDF("doc_id", "text")
+    val index = Dedup.digestIndex(existing)
+    val kept = Dedup.exactIncremental(incoming, index)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(11L, 13L))
+    // normalization: digesting a prefix collapses docs differing later on
+    val norm = (t: org.apache.spark.sql.Column) => substring(t, 1, 5)
+    val keptNorm = Dedup.exactIncremental(incoming, Dedup.digestIndex(existing, normalize = norm),
+        normalize = norm)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptNorm === Set(11L, 13L)) // "alpha"/"gamma" prefixes still distinct
+  }
+
+  test("qualityScore: bounded, rewards diversity, exact fixture value") {
+    val sql = spark
+    import sql.implicits._
+    val df = Seq(
+      (1L, "the the the the"),                 // degenerate
+      (2L, "sparse vocabulary rich diverse")   // diverse, no stopwords
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextOps.qualityScore($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.values.forall(s => s >= 0.0 && s <= 1.0))
+    assert(got(2L) > got(1L))
+    // doc 1 by hand: ttr=0.25, stop=1.0, lenNorm=0.04
+    val expected = BigDecimal(0.4 * 0.25 + 0.3 * (1 - 1.0) + 0.3 * 0.04)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got(1L) - expected) < 1e-12)
+  }
+
   test("VecMeanAggregator matches per-dimension avg and handles singletons") {
     val sql = spark
     import sql.implicits._
