@@ -127,6 +127,26 @@ class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"rates must join the corpus via broadcast:\n$p")
   }
 
+  test("q74: incremental dedup probes the digest index via broadcast anti-join") {
+    // the incoming batch must stream map-side past the corpus index; a
+    // shuffled anti-join would repartition the batch by digest just to
+    // probe an index that is 16 bytes/doc (broadcastable at any batch:index
+    // ratio a daily ingest actually has)
+    val p = plan("q74_dedup_incremental")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"digest-index probe is not a broadcast anti-join:\n$p")
+  }
+
+  test("q75: quality score is map-side; one exchange feeds the lang rollup") {
+    // the score is a pure projection fused into the scan: the only
+    // shuffles are the index-free partial→final aggregate on lang
+    val p = plan("q75_quality_score")
+    val hashEx = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, found $hashEx:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregate:\n$p")
+  }
+
   test("q73: top-k is TakeOrderedAndProject, not a global sort") {
     val p = plan("q73_bm25")
     assert(p.contains("TakeOrderedAndProject"),
