@@ -198,6 +198,34 @@ object TextOps {
     round(lit(0.4) * ttr + lit(0.3) * (lit(1) - stop) + lit(0.3) * lenNorm, 6)
   }
 
+  /** In-place redaction: replace every whole-token occurrence of `terms`
+    * with `mask`, leaving the rest of the document intact — the scrubbing
+    * counterpart of the blocklist DOC filter ([[graft.operators.Dedup]]
+    * q66 drops documents; this keeps them with the sensitive tokens
+    * masked). A pure `regexp_replace` projection: fuses into the scan,
+    * zero shuffle, and the alternation compiles once per task. Terms are
+    * restricted to plain word tokens so the generated pattern is also
+    * valid RE2 — the redacted text is reproducible across engines.
+    */
+  def redact(text: Column, terms: Seq[String], mask: String = "<MASK>"): Column = {
+    require(terms.nonEmpty, "redact: empty term list")
+    require(terms.forall(_.matches("[A-Za-z0-9]+")),
+      s"redact: terms must be plain word tokens, got ${terms.filterNot(_.matches("[A-Za-z0-9]+"))}")
+    regexp_replace(text, terms.mkString("\\b(", "|", ")\\b"), mask)
+  }
+
+  /** Structured-PII scrub: emails, then long digit runs (phone/account
+    * numbers), each to a typed placeholder. Patterns deliberately use
+    * only RE2-compatible syntax (no lookarounds) so the same scrub is
+    * reproducible on any engine. Applied innermost-first so an email's
+    * digits are consumed by `<EMAIL>` rather than split by `<NUM>`.
+    */
+  def redactPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val longNum = "\\+?[0-9][0-9 ()+.-]{6,}[0-9]"
+    regexp_replace(regexp_replace(text, email, "<EMAIL>"), longNum, "<NUM>")
+  }
+
   /** Per-doc word-n-gram repetition stats struct (n_grams, n_dup,
     * top_count) — the Gopher-style repetition quality signals. Codegen'd
     * single pass per row ([[graft.functions.NgramRepetitionStats]]):
@@ -576,6 +604,40 @@ object TextOps {
                CAST(SUM(CASE WHEN score >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_passing,
                CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
         FROM q GROUP BY lang ORDER BY lang""")),
+
+    // Term redaction over the corpus vocabulary (the corpus has no
+    // natural PII strings, so the oracle gates whole-token masking on
+    // vocabulary terms; the email/number patterns are fixture-tested in
+    // CurationOpsSuite). Counting the mask token AFTER replacement gates
+    // the rewritten text itself, not just a match count.
+    QuerySpec(
+      "q76_redact",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("lang"),
+            redact(col("text"), Seq("customer", "spark", "vector")).as("red"))
+          .select(col("lang"),
+            size(filter(tokens(col("red")), t => t === "<MASK>")).as("n_masked"),
+            length(col("red")).as("len_after"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_masked") > 0, 1).otherwise(0)).cast("bigint").as("n_redacted_docs"),
+            sum(col("n_masked")).cast("bigint").as("n_masked"),
+            sum(col("len_after")).cast("bigint").as("sum_chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT lang, regexp_replace(text, '\b(customer|spark|vector)\b', '<MASK>', 'g') AS red
+          FROM documents),
+        m AS (SELECT lang,
+                len(list_filter(string_split(red,' '), t -> t = '<MASK>')) AS n_masked,
+                length(red) AS len_after FROM r)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN n_masked > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted_docs,
+          CAST(SUM(n_masked) AS BIGINT) AS n_masked,
+          CAST(SUM(len_after) AS BIGINT) AS sum_chars
+        FROM m GROUP BY lang ORDER BY lang""")),
 
     // BM25 keyword retrieval. The oracle spells the score arithmetic in
     // the SAME operation order as the Spark plan (including `(1.2 + 1)`

@@ -202,6 +202,32 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(got(1L) - expected) < 1e-12)
   }
 
+  test("redact masks whole tokens only; redactPii scrubs emails before numbers") {
+    val sql = spark
+    import sql.implicits._
+    val df = Seq(
+      (1L, "the customer called spark support"),
+      (2L, "customers sparked interest"), // substrings must NOT match
+      (3L, "mail bob.smith+x@corp.example.com or call +1 (555) 123-4567 now"),
+      (4L, "ids 1234567890 and 42 stay typed") // 42 too short for <NUM>
+    ).toDF("doc_id", "text")
+    val red = df.select($"doc_id",
+        TextOps.redact($"text", Seq("customer", "spark")).as("r"),
+        TextOps.redactPii($"text").as("p"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(red(1L)._1 === "the <MASK> called <MASK> support")
+    assert(red(2L)._1 === "customers sparked interest")
+    assert(red(3L)._2 === "mail <EMAIL> or call <NUM> now")
+    assert(red(4L)._2 === "ids <NUM> and 42 stay typed")
+    // malformed term lists fail fast, not silently as regex metachars
+    intercept[IllegalArgumentException] {
+      TextOps.redact($"text", Seq("a|b"))
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.redact($"text", Seq.empty)
+    }
+  }
+
   test("VecMeanAggregator matches per-dimension avg and handles singletons") {
     val sql = spark
     import sql.implicits._
