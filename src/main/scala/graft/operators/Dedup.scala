@@ -516,6 +516,72 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // Hybrid (lexical ∧ semantic) near-dup
+
+  /** Consensus near-dup pairs: lexically similar (token Jaccard ≥
+    * `lexThreshold`, from [[jaccardPairs]]) AND semantically similar
+    * (embedding cosine ≥ `semThreshold`). Lexical overlap alone flags
+    * boilerplate that shares phrasing but not content; embedding cosine
+    * alone flags paraphrases that share no tokens with anything — the
+    * conjunction is the high-precision dedup signal a curation pipeline
+    * uses when a false drop is expensive.
+    *
+    * Scale notes: candidate generation is entirely the lexical inverted
+    * index (with its token-df skew cap — the 100 TB guard); embeddings
+    * enter only for SURVIVING candidate pairs, joined by id, so the wide
+    * vector column never rides the candidate self-join. The two id-joins
+    * hash-partition on doc id at scale (broadcast if the pair set is
+    * small); cosine verification is a per-row map.
+    *
+    * @param embeddings (vec_id, embedding) keyed by the same ids as
+    *        `docs.doc_id`.
+    */
+  def hybridPairs(docs: DataFrame, embeddings: DataFrame,
+                  lexThreshold: Double, semThreshold: Double,
+                  blockCol: String = "source",
+                  maxTokenDf: Int = 1000): DataFrame = {
+    import graft.functions.VectorFunctions.array_cosine
+    val lex = jaccardPairs(docs, lexThreshold, blockCol, maxTokenDf)
+    val v = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    lex
+      .join(v.select(col("vec_id").as("doc_a"), col("v").as("va")), "doc_a")
+      .join(v.select(col("vec_id").as("doc_b"), col("v").as("vb")), "doc_b")
+      .withColumn("cos", array_cosine(col("va"), col("vb")))
+      .filter(col("cos") >= semThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Cross-source duplicate-rate matrix
+
+  /** For every pair of sources, how many distinct (normalized) documents
+    * they share — the contamination/provenance diagnostic a multi-source
+    * corpus needs before mixing ("how much of src1 is already in src0?").
+    *
+    * Shape: ONE shuffle, on the content digest. Each digest group folds
+    * to its distinct source set (map-side combined `collect_set` over a
+    * domain bounded by the number of sources, not the corpus); source
+    * pairs then expand map-side from those tiny arrays and aggregate —
+    * no digest self-join, so a hot digest costs O(sources²), not
+    * O(copies²).
+    */
+  def crossSourceOverlap(docs: DataFrame, textCol: String = "text",
+                         normalize: Column => Column = identity): DataFrame = {
+    val bySrc = docs
+      .select(md5(normalize(col(textCol))).as("dg"), col("source"))
+      .groupBy(col("dg")).agg(array_sort(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+    bySrc
+      .select(explode(col("srcs")).as("src_a"), col("srcs"))
+      .select(col("src_a"), explode(col("srcs")).as("src_b"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  // ---------------------------------------------------------------------
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -693,6 +759,59 @@ object Dedup {
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
                COUNT(DISTINCT COALESCE(c.comp, d.doc_id)) AS n_clusters
         FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
-        GROUP BY d.lang ORDER BY d.lang"""))
+        GROUP BY d.lang ORDER BY d.lang""")),
+
+    // Hybrid consensus dedup: exact-mode lexical candidates (gated by the
+    // same oracle construction as q31) intersected with an embedding-
+    // cosine floor. Thresholds chosen non-vacuously for this corpus: at
+    // sf0.01, 4439 lexical pairs, of which ~40% clear cos ≥ 0.05 — the
+    // semantic gate does real work. Jaccard is an exact int ratio and the
+    // pairwise dot runs in array-index order in both engines → the
+    // doubles are bit-identical (q45 pattern), cosine rounded to 6dp.
+    QuerySpec(
+      "q77_hybrid_dedup",
+      (s, d) => hybridPairs(Tables.documents(s, d), Tables.embeddings(s, d),
+          lexThreshold = 0.5, semThreshold = 0.05, maxTokenDf = Int.MaxValue)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some("""
+        WITH toksets AS (
+          SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+          FROM documents),
+        lex AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+          FROM toksets a JOIN toksets b ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        hyb AS (
+          SELECT doc_a, doc_b, jaccard,
+                 list_reduce(list_prepend(0.0,
+                   list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])), (x, y) -> x + y)
+                 / (sqrt(list_reduce(list_prepend(0.0,
+                      list_transform(list_zip(a.v, a.v), p -> p[1] * p[2])), (x, y) -> x + y))
+                  * sqrt(list_reduce(list_prepend(0.0,
+                      list_transform(list_zip(b.v, b.v), p -> p[1] * p[2])), (x, y) -> x + y))) AS cos
+          FROM lex JOIN c a ON a.vec_id = lex.doc_a JOIN c b ON b.vec_id = lex.doc_b)
+        SELECT doc_a, doc_b, jaccard, round(cos, 6) AS cos_sim
+        FROM hyb WHERE cos >= 0.05
+        ORDER BY doc_a, doc_b""")),
+
+    // Cross-source duplicate matrix over prefix-100 digests (raw texts
+    // are unique by construction — q74 pattern; 23 shared digests across
+    // source pairs at sf0.01, so the matrix is non-trivial).
+    QuerySpec(
+      "q79_cross_source_overlap",
+      (s, d) => crossSourceOverlap(Tables.documents(s, d),
+          normalize = t => substring(t, 1, 100))
+        .orderBy(col("src_a"), col("src_b")),
+      Some("""
+        WITH h AS (
+          SELECT DISTINCT md5(substr(text, 1, 100)) AS dg, source FROM documents)
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        FROM h a JOIN h b ON a.dg = b.dg AND a.source < b.source
+        GROUP BY a.source, b.source
+        ORDER BY src_a, src_b"""))
   )
 }

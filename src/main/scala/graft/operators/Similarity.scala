@@ -431,6 +431,42 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Embedding outliers by anchor distance: within each block (label),
+    * the anchor is the lowest-id vector; every other vector scores its
+    * cosine to that anchor and rows under `threshold` are flagged — the
+    * garbage-embedding screen of an ingest pipeline (truncated docs,
+    * encoder failures, wrong-modality rows land far from everything).
+    *
+    * The anchor — rather than the centroid — makes the score a pure
+    * per-row pairwise computation (deterministic array-order fold, so an
+    * exact cross-engine oracle holds); a centroid is a cross-row float
+    * sum whose value depends on partition order. For a drift-robust
+    * production screen, swap the anchor for a fitted centroid
+    * ([[graft.functions.VecMeanAggregator]]) and keep the identical plan
+    * shape.
+    *
+    * Shape: anchor ids are a per-block `min` (map-side-combined shuffle
+    * of block ids only); anchor VECTORS are fetched by an id equi-join
+    * and broadcast back (one row per block), so the corpus itself never
+    * shuffles — the scoring pass is a map over the scan.
+    */
+  def anchorOutliers(embeddings: DataFrame, threshold: Double,
+                     blockCol: String = "label"): DataFrame = {
+    val v = embeddings.select(col("vec_id"), col(blockCol).as("blk"),
+      asDouble(col("embedding")).as("v"))
+    val anchorIds = v.groupBy(col("blk")).agg(min(col("vec_id")).as("aid"))
+    // anchors/v share lineage (two self-joins) — alias-qualify throughout
+    val anchors = v.as("s").join(broadcast(anchorIds.as("i")),
+        col("s.vec_id") === col("i.aid"))
+      .select(col("i.blk").as("ablk"), col("i.aid").as("aid"), col("s.v").as("av"))
+    v.as("x").join(broadcast(anchors), col("x.blk") === col("ablk"))
+      .filter(col("x.vec_id") =!= col("aid"))
+      .withColumn("cos", cosine(col("x.v"), col("av")))
+      .filter(col("cos") < threshold)
+      .select(col("x.vec_id").as("vec_id"), col("x.blk").as(blockCol),
+        round(col("cos"), 6).as("cos_anchor"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec(
@@ -540,6 +576,32 @@ object Similarity {
                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
           FROM scored)
         WHERE rnk <= 3
-        ORDER BY qid, rnk"""))
+        ORDER BY qid, rnk""")),
+
+    // Anchor-distance outlier screen. τ = −0.15 flags ~10% of vectors at
+    // sf0.01 (anchor-cosine spans [−0.35, 0.33] on this corpus), so the
+    // filter does real work. Per-row pairwise cosine → bit-identical
+    // doubles cross-engine (q45 pattern), rounded to 6dp on output.
+    QuerySpec(
+      "q80_anchor_outliers",
+      (s, d) => anchorOutliers(Tables.embeddings(s, d), threshold = -0.15)
+        .orderBy(col("vec_id")),
+      Some("""
+        WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        anchors AS (SELECT label, MIN(vec_id) AS aid FROM c GROUP BY label),
+        av AS (SELECT an.label, an.aid, c.v AS av
+               FROM anchors an JOIN c ON c.vec_id = an.aid),
+        scored AS (
+          SELECT c.vec_id, c.label,
+                 list_reduce(list_prepend(0.0,
+                   list_transform(list_zip(c.v, av.av), p -> p[1] * p[2])), (x, y) -> x + y)
+                 / (sqrt(list_reduce(list_prepend(0.0,
+                      list_transform(list_zip(c.v, c.v), p -> p[1] * p[2])), (x, y) -> x + y))
+                  * sqrt(list_reduce(list_prepend(0.0,
+                      list_transform(list_zip(av.av, av.av), p -> p[1] * p[2])), (x, y) -> x + y))) AS cos
+          FROM c JOIN av USING (label) WHERE c.vec_id <> av.aid)
+        SELECT vec_id, label, round(cos, 6) AS cos_anchor
+        FROM scored WHERE cos < -0.15
+        ORDER BY vec_id"""))
   )
 }

@@ -569,6 +569,29 @@ object BatchQueries {
         GROUP BY lang, quartile
         ORDER BY lang, quartile""")),
 
+    // ---- percent_rank / cume_dist: the remaining analytic-window pair
+    // (q07/q62 cover ranking+ntile, q08/q34 cover lag/lead+frames).
+    // Row-level output: each is ONE double division over exact integers
+    // ((rank−1)/(n−1), n_le/n) → bit-identical cross-engine; rounded to
+    // 6dp anyway. (n_chars, doc_id) total order keeps ranks unique.
+    QuerySpec(
+      "q78_quality_percentiles",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"lang").orderBy($"n_chars", $"doc_id")
+        Tables.documents(s, d)
+          .select($"lang", $"doc_id", $"n_chars",
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy($"lang", $"doc_id")
+      },
+      Some("""
+        SELECT lang, doc_id, n_chars,
+               round(PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars, doc_id), 6) AS pct_rank,
+               round(CUME_DIST() OVER (PARTITION BY lang ORDER BY n_chars, doc_id), 6) AS cume
+        FROM documents
+        ORDER BY lang, doc_id""")),
+
     // ---- approx_count_distinct (HLL++): sketch values are engine-specific
     // → rows-only check; the exact q15 covers value correctness
     QuerySpec(

@@ -155,6 +155,20 @@ class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"df/corpus stats must broadcast:\n$p")
   }
 
+  test("q79: overlap matrix plans ZERO joins (digest-group fold, no self-join)") {
+    val p = plan("q79_cross_source_overlap")
+    assert(!p.contains("Join"),
+      s"cross-source overlap must fold digest groups, not self-join them " +
+        s"(a hot digest would cost O(copies²)):\n$p")
+  }
+
+  test("q80: anchors broadcast; the corpus is never sort-merge-joined") {
+    val p = plan("q80_anchor_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"anchor joins should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"one-row-per-block anchors must not force a corpus shuffle:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct") {
     // the one shape that cannot survive any scale-up; cross joins against
     // broadcast fitted models plan as BroadcastNestedLoopJoin instead

@@ -228,6 +228,58 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hybridPairs keeps only pairs passing BOTH lexical and semantic gates") {
+    val sql = spark
+    import sql.implicits._
+    // (1,2): jaccard 0.8, cos 1 → kept. (1,4)/(2,4): jaccard ≥ 0.5 but
+    // vec4 is antipodal → dropped. (3,*): no lexical overlap → never a
+    // candidate, so its embedding is irrelevant.
+    val docs = Seq(
+      (1L, "src0", "a b c d"),
+      (2L, "src0", "a b c d e"),
+      (3L, "src0", "x y z w"),
+      (4L, "src0", "a b c e")
+    ).toDF("doc_id", "source", "text")
+    val embs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0f)),
+      (3L, Array(1f, 0f)), (4L, Array(-1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.hybridPairs(docs, embs, lexThreshold = 0.5,
+        semThreshold = 0.0, maxTokenDf = Int.MaxValue)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("crossSourceOverlap counts each shared digest once per source pair") {
+    val sql = spark
+    import sql.implicits._
+    val docs = Seq(
+      (1L, "src0", "dup one"), (2L, "src1", "dup one"), (3L, "src1", "dup one"),
+      (4L, "src0", "dup two"), (5L, "src1", "dup two"), (6L, "src2", "dup two"),
+      (7L, "src0", "only here"), (8L, "src2", "also unique")
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.crossSourceOverlap(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // "dup one" twice inside src1 must not double-count the (src0,src1) cell
+    assert(got == Map(("src0", "src1") -> 2L, ("src0", "src2") -> 1L,
+      ("src1", "src2") -> 1L))
+  }
+
+  test("anchorOutliers flags vectors far from the block anchor, never the anchor") {
+    val sql = spark
+    import sql.implicits._
+    val embs = Seq(
+      (0L, 0, Array(1f, 0f)),    // anchor of label 0
+      (1L, 0, Array(0.9f, 0.1f)),
+      (2L, 0, Array(-1f, 0f)),   // cos −1 → outlier
+      (10L, 1, Array(0f, 1f)),   // anchor of label 1
+      (11L, 1, Array(0f, -1f))   // cos −1 → outlier
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.anchorOutliers(embs, threshold = -0.5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 11L))
+  }
+
   test("VecMeanAggregator matches per-dimension avg and handles singletons") {
     val sql = spark
     import sql.implicits._
