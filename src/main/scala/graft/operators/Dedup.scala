@@ -516,6 +516,63 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // Incremental near-dup (batch vs persisted token index)
+
+  /** Inverted token index of an already-ingested corpus — the artifact an
+    * incremental NEAR-dup pipeline persists, exactly as [[digestIndex]]
+    * is the persisted artifact of incremental EXACT dedup. One row per
+    * (doc, distinct token) with the doc's block and token count riding
+    * along, so probing needs no join back to the corpus text. At 100 TB
+    * this lives partitioned/bucketed by (blk, tok) so each day's probe
+    * co-locates with it.
+    */
+  def tokenIndex(docs: DataFrame, blockCol: String = "source"): DataFrame =
+    docs.select(col("doc_id"), col(blockCol).as("blk"),
+        tokenSet(col("text")).as("toks"))
+      .select(col("doc_id"), col("blk"), size(col("toks")).as("n_tok"),
+        explode(col("toks")).as("tok"))
+
+  /** Incremental exact-Jaccard near-dup: every pair (corpus doc, batch
+    * doc) and (batch doc, batch doc) with Jaccard ≥ `threshold` — the
+    * daily-ingest counterpart of [[jaccardPairs]]. The already-ingested
+    * corpus participates ONLY through its persisted [[tokenIndex]]; its
+    * text is never rescanned, and corpus×corpus pairs (found when they
+    * were ingested) are never recomputed — the work is ∝ batch activity,
+    * not corpus size, which is what makes daily near-dup affordable at
+    * 100 TB.
+    *
+    * Same candidate algebra as [[jaccardPairs]] exact mode: index join on
+    * (blk, tok) with the J ≥ t length filter pushed into the join, pair
+    * scoring from the group count. Within-batch pairs orient a < b;
+    * corpus→batch pairs orient (corpus, batch) and appear once. The
+    * production skew guard (token-df cap / prefix filtering) applies to
+    * the persisted index exactly as documented on [[jaccardPairs]] /
+    * [[jaccardPairsPrefix]].
+    */
+  def jaccardPairsIncremental(corpusIndex: DataFrame, batch: DataFrame,
+                              threshold: Double,
+                              blockCol: String = "source"): DataFrame = {
+    val probe = tokenIndex(batch, blockCol)
+    val build = corpusIndex.withColumn("is_new", lit(false))
+      .unionByName(probe.withColumn("is_new", lit(true)))
+    val a = build.as("a")
+    val b = probe.as("b")
+    a.join(b,
+        col("a.blk") === col("b.blk") && col("a.tok") === col("b.tok") &&
+        col("a.doc_id") =!= col("b.doc_id") &&
+        (not(col("a.is_new")) || col("a.doc_id") < col("b.doc_id")) &&
+        col("a.n_tok") * lit(threshold) <= col("b.n_tok") &&
+        col("b.n_tok") * lit(threshold) <= col("a.n_tok"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_tok").as("n_a"), col("b.n_tok").as("n_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("jaccard",
+        col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // ---------------------------------------------------------------------
   // Hybrid (lexical ∧ semantic) near-dup
 
   /** Consensus near-dup pairs: lexically similar (token Jaccard ≥
@@ -812,6 +869,34 @@ object Dedup {
         SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
         FROM h a JOIN h b ON a.dg = b.dg AND a.source < b.source
         GROUP BY a.source, b.source
-        ORDER BY src_a, src_b"""))
+        ORDER BY src_a, src_b""")),
+
+    // Incremental near-dup: docs < 250 stand in for the ingested corpus
+    // (as a persisted token index — same split as q74's digest index),
+    // the rest arrive as a batch. Pairs are corpus→batch and
+    // within-batch only; corpus×corpus near-dups are deliberately absent
+    // (recomputing them is exactly what incremental avoids).
+    QuerySpec(
+      "q81_neardup_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val index = tokenIndex(docs.filter(col("doc_id") < 250))
+        jaccardPairsIncremental(index, docs.filter(col("doc_id") >= 250), 0.5)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""
+        WITH toksets AS (
+          SELECT doc_id, source, doc_id >= 250 AS is_new,
+                 list_distinct(string_split(text, ' ')) AS toks
+          FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+        FROM toksets a JOIN toksets b
+          ON a.source = b.source AND b.is_new
+         AND (NOT a.is_new OR a.doc_id < b.doc_id) AND a.doc_id <> b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+        ORDER BY doc_a, doc_b"""))
   )
 }

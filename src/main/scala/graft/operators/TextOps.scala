@@ -226,6 +226,34 @@ object TextOps {
     regexp_replace(regexp_replace(text, email, "<EMAIL>"), longNum, "<NUM>")
   }
 
+  /** Split each document into overlapping token windows — the
+    * long-document chunking step of sequence preparation (a doc longer
+    * than the model context becomes ⌈n/stride⌉ training chunks of up to
+    * `chunkTokens` tokens, consecutive chunks overlapping by
+    * `chunkTokens − stride`).
+    *
+    * Pure per-row generate (`sequence` → `posexplode` → `slice`, all
+    * codegen'd): no shuffle, no state — the chunk list is a function of
+    * the row, so the operator scales linearly and survives any
+    * repartitioning. Output rows: (id, chunk_idx, start, n_chunk_tokens,
+    * chunk_text); chunk_idx = start / stride.
+    */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int, stride: Int,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens >= 1, s"chunkDocs: chunkTokens must be ≥ 1, got $chunkTokens")
+    require(stride >= 1 && stride <= chunkTokens,
+      s"chunkDocs: stride must be in [1, chunkTokens], got $stride — " +
+        "stride 0 loops forever; stride > chunk silently drops tokens")
+    docs.select(col(idCol), split(col(textCol), " ").as("toks"))
+      .select(col(idCol), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start"),
+        size(slice(col("toks"), col("start") + 1, lit(chunkTokens))).as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunkTokens))).as("chunk_text"))
+  }
+
   /** Per-doc word-n-gram repetition stats struct (n_grams, n_dup,
     * top_count) — the Gopher-style repetition quality signals. Codegen'd
     * single pass per row ([[graft.functions.NgramRepetitionStats]]):
@@ -638,6 +666,26 @@ object TextOps {
           CAST(SUM(n_masked) AS BIGINT) AS n_masked,
           CAST(SUM(len_after) AS BIGINT) AS sum_chars
         FROM m GROUP BY lang ORDER BY lang""")),
+
+    // Token-window chunking (64-token chunks, stride 32 → 50% overlap).
+    // Gated row-level on the md5 of each chunk's text — the oracle
+    // verifies the exact chunk CONTENT and boundaries, not just counts.
+    QuerySpec(
+      "q82_chunk_docs",
+      (s, d) => chunkDocs(Tables.documents(s, d), chunkTokens = 64, stride = 32)
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        s AS (
+          SELECT doc_id, toks, unnest(generate_series(0, len(toks)-1, 32)) AS start
+          FROM t)
+        SELECT doc_id, CAST(start // 32 AS BIGINT) AS chunk_idx,
+               CAST(len(list_slice(toks, start+1, start+64)) AS BIGINT) AS n_chunk_tokens,
+               md5(array_to_string(list_slice(toks, start+1, start+64), ' ')) AS chunk_md5
+        FROM s ORDER BY doc_id, chunk_idx""")),
 
     // BM25 keyword retrieval. The oracle spells the score arithmetic in
     // the SAME operation order as the Spark plan (including `(1.2 + 1)`

@@ -169,6 +169,25 @@ class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"one-row-per-block anchors must not force a corpus shuffle:\n$p")
   }
 
+  test("q81: incremental near-dup stays a keyed index join") {
+    val p = plan("q81_neardup_incremental")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"),
+      s"expected a keyed join on (blk, tok):\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"pair scoring should partial-aggregate before the shuffle:\n$p")
+  }
+
+  test("q82: chunking is a pure per-row generate (zero exchanges)") {
+    // Verify.orderBy adds the output sort; gate the OPERATOR frame itself
+    val df = graft.operators.TextOps.chunkDocs(
+      Tables.documents(spark, sfDir), chunkTokens = 64, stride = 32)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"),
+      s"chunking must not shuffle — it is a function of each row:\n$p")
+    assert(p.contains("Generate"), s"expected posexplode Generate:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct") {
     // the one shape that cannot survive any scale-up; cross joins against
     // broadcast fitted models plan as BroadcastNestedLoopJoin instead

@@ -280,6 +280,33 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(2L, 11L))
   }
 
+  test("jaccardPairsIncremental: corpus pairs absent, corpus→batch oriented, batch a<b") {
+    val sql = spark
+    import sql.implicits._
+    // corpus ids {1, 9} straddle batch ids {2, 5}: the corpus→batch pair
+    // (9, 2) must still emit (corpus side is doc_a regardless of id order)
+    val near = (s: String) => s // all docs share tokens → every pair ≥ 0.5
+    val corpus = Seq((1L, "s", "a b c"), (9L, "s", "a b c d")).toDF("doc_id", "source", "text")
+    val batch = Seq((2L, "s", "a b c"), (5L, "s", "a b c d")).toDF("doc_id", "source", "text")
+    val got = Dedup.jaccardPairsIncremental(Dedup.tokenIndex(corpus), batch, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 5L), (9L, 2L), (9L, 5L), (2L, 5L)),
+      s"got $got") // (1,9) corpus×corpus absent; (2,5) within-batch once
+  }
+
+  test("chunkDocs: boundaries, overlap, tail chunk, parameter validation") {
+    val sql = spark
+    import sql.implicits._
+    val df = Seq((1L, "t1 t2 t3 t4 t5"), (2L, "x")).toDF("doc_id", "text")
+    val got = TextOps.chunkDocs(df, chunkTokens = 3, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(3), r.getString(4))).toMap
+    assert(got == Map(
+      (1L, 0L) -> (3, "t1 t2 t3"), (1L, 1L) -> (3, "t3 t4 t5"),
+      (1L, 2L) -> (1, "t5"), (2L, 0L) -> (1, "x")))
+    intercept[IllegalArgumentException] { TextOps.chunkDocs(df, 3, 0) }
+    intercept[IllegalArgumentException] { TextOps.chunkDocs(df, 3, 4) }
+  }
+
   test("VecMeanAggregator matches per-dimension avg and handles singletons") {
     val sql = spark
     import sql.implicits._
