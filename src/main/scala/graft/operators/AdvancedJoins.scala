@@ -62,6 +62,41 @@ object AdvancedJoins {
       .withColumnRenamed("__asof", s"asof_$buildVal")
   }
 
+  /** Equi-join with explicit key salting — the manual skew lever for when
+    * AQE's runtime skew split can't help (skewed side feeding an
+    * aggregation in the same stage, streaming micro-batches where AQE is
+    * off, or a key so hot a single split still overflows one task). The
+    * skewed side scatters each row to one of `saltFactor` sub-keys by a
+    * deterministic row-content hash; the other side replicates each row to
+    * ALL `saltFactor` sub-keys; joining on (keys, salt) then spreads a hot
+    * key over `saltFactor` reducers instead of one.
+    *
+    * Result-identical to `skewed.join(other, keys, joinType)`: every
+    * skewed row meets the full set of its key's other-side rows exactly
+    * once (the other side carries every salt). Cost: the other side is
+    * shuffled ×saltFactor — use when `other` is the smaller-but-too-big-
+    * to-broadcast side. Join types where the OTHER side would need its
+    * own unmatched rows (right/full outer) are rejected: replicas would
+    * surface `saltFactor` times.
+    */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
+                 saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "saltedJoin: empty key list")
+    require(saltFactor >= 1, s"saltedJoin: saltFactor must be ≥ 1, got $saltFactor")
+    val okTypes = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti")
+    require(okTypes.contains(joinType.toLowerCase),
+      s"saltedJoin: join type '$joinType' would duplicate unmatched replicas " +
+        "of the other side; use a plain join for right/full outer")
+    Seq(skewed, other).foreach(df => require(!df.columns.contains("__salt"),
+      "saltedJoin: input already has a __salt column"))
+    val salted = skewed.withColumn("__salt",
+      pmod(xxhash64(struct(skewed.columns.map(col): _*)), lit(saltFactor)).cast("int"))
+    val replicated = other.withColumn("__salt",
+      explode(array((0 until saltFactor).map(i => lit(i)): _*)))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- as-of join: latest click (by event_id order) at or before each purchase
@@ -111,6 +146,30 @@ object AdvancedJoins {
              AS bands(band, lo, hi)
           ON l_quantity >= lo AND l_quantity < hi
         GROUP BY band
-        ORDER BY band"""))
+        ORDER BY band""")),
+
+    // ---- salted fact-fact join: result must be IDENTICAL to the plain
+    // join (salting is a physical rewrite), which is exactly what the
+    // plain-SQL oracle checks. Sum routed through DECIMAL for cross-
+    // engine determinism.
+    QuerySpec(
+      "q83_salted_join",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_extendedprice")
+        val ord = Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority")
+        saltedJoin(li, ord.withColumnRenamed("o_orderkey", "l_orderkey"),
+            Seq("l_orderkey"), saltFactor = 8)
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum($"l_extendedprice".cast("decimal(18,4)")).cast("double").as("sum_price"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""))
   )
 }

@@ -188,6 +188,12 @@ class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Generate"), s"expected posexplode Generate:\n$p")
   }
 
+  test("q83: salt participates in the join keys") {
+    val p = plan("q83_salted_join")
+    assert(p.contains("__salt"),
+      s"salted join must key on (orderkey, __salt):\n$p")
+  }
+
   test("no declared query plans a CartesianProduct") {
     // the one shape that cannot survive any scale-up; cross joins against
     // broadcast fitted models plan as BroadcastNestedLoopJoin instead

@@ -60,4 +60,41 @@ class SkewJoinSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(finalPlan.contains("skew=true"),
       s"AQE did not mark the hot partition as skewed:\n$finalPlan")
   }
+
+  test("saltedJoin is result-identical to the plain join, for every allowed type") {
+    val sql = spark
+    import sql.implicits._
+    // hot key 0 (many rows), matched keys 1..3, UNMATCHED skewed key 99,
+    // and an unmatched other-side key 50 — exercises every orientation
+    val skewed = (Seq.fill(500)((0L, "hot")) ++
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (99L, "lonely"))).toDF("k", "v")
+    val other = Seq((0L, "dim0"), (1L, "dim1"), (2L, "dim2"), (3L, "dim3"),
+      (50L, "never")).toDF("k", "dim")
+    for (jt <- Seq("inner", "left_outer", "left_semi", "left_anti")) {
+      val plain = skewed.join(other, Seq("k"), jt)
+      val salted = AdvancedJoins.saltedJoin(skewed, other, Seq("k"), 4, jt)
+      assert(salted.columns.toSeq === plain.columns.toSeq, s"schema drift for $jt")
+      val p = plain.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      val s2 = salted.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      assert(s2 === p, s"multiset mismatch for join type $jt")
+    }
+    intercept[IllegalArgumentException] {
+      AdvancedJoins.saltedJoin(skewed, other, Seq("k"), 4, "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      AdvancedJoins.saltedJoin(skewed, other, Seq("k"), 0)
+    }
+  }
+
+  test("saltedJoin spreads the hot key across salt sub-keys") {
+    val sql = spark
+    import sql.implicits._
+    val skewed = Seq.fill(1000)((0L, "hot")).zipWithIndex
+      .map { case ((k, v), i) => (k, v + i) }.toDF("k", "v")
+    val other = Seq((0L, "dim")).toDF("k", "dim")
+    val salted = skewed.withColumn("__salt",
+      pmod(xxhash64(struct(skewed.columns.map(col): _*)), lit(8)).cast("int"))
+    val n = salted.select("__salt").distinct().count()
+    assert(n >= 6, s"content-hash salt should hit most of 8 sub-keys, got $n")
+  }
 }
