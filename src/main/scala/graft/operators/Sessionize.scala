@@ -51,6 +51,41 @@ object Sessionize {
         min(col(timeCol)).as("t_start"),
         max(col(timeCol)).as("t_end"))
 
+  /** Strict ordered funnel: for each entity, the first event of
+    * `steps(0)`, then the first `steps(1)` event STRICTLY AFTER it, then
+    * the first `steps(2)` after that, … One column per reached step
+    * (`step_0 … step_{n-1}`, the event's `ordCol`; null once the chain
+    * breaks) — the conversion-funnel primitive of behavioral analytics.
+    *
+    * Strictness matters: a click BEFORE the first view does not count,
+    * so `min(click) > min(view)` is the wrong predicate — each stage
+    * filters on `ord > previous step's ord` BEFORE taking its min.
+    *
+    * Scale design: every stage is a groupBy/join keyed on the SAME
+    * entity column, so the plan shuffles the events once per step type
+    * (each a map-side-filtered sliver of the stream) and reuses the
+    * entity hash partitioning across stages; per-entity state is one
+    * long per step. Step count is the (small) constant; entity count is
+    * what scales.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             entityCol: String = "user_id", ordCol: String = "event_id",
+             typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel: empty step list")
+    require(steps.distinct.size == steps.size,
+      s"funnel: duplicate step types in $steps — a repeated type would " +
+        "match the same event twice; encode repeats in the data instead")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(entityCol)).agg(min(col(ordCol)).as("step_0"))
+    steps.tail.zipWithIndex.foldLeft(first) { case (acc, (step, i)) =>
+      val reached = events.filter(col(typeCol) === step)
+        .join(acc.select(col(entityCol), col(s"step_$i")), entityCol)
+        .filter(col(ordCol) > col(s"step_$i"))
+        .groupBy(col(entityCol)).agg(min(col(ordCol)).as(s"step_${i + 1}"))
+      acc.join(reached, Seq(entityCol), "left_outer")
+    }
+  }
+
   private val GapNs30Min: Long = 1800L * 1000000000L
 
   val specs: Seq[QuerySpec] = Seq(
@@ -89,6 +124,32 @@ object Sessionize {
                MAX(n_ev) AS max_session_events
         FROM per_session
         GROUP BY user_id
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // Strict ordered funnel view → click → purchase, row-level per user:
+    // the exact step event-ids (not just reach counts) gate the
+    // strictly-after semantics — a min(click) that precedes the first
+    // view would hash-mismatch immediately.
+    QuerySpec(
+      "q84_funnel",
+      (s, d) => funnel(Tables.events(s, d), Seq("view", "click", "purchase"))
+        .orderBy(col("user_id")),
+      Some("""
+        WITH s0 AS (
+          SELECT user_id, MIN(event_id) AS step_0 FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        s1 AS (
+          SELECT e.user_id, MIN(e.event_id) AS step_1
+          FROM events e JOIN s0 USING (user_id)
+          WHERE e.event_type = 'click' AND e.event_id > s0.step_0
+          GROUP BY e.user_id),
+        s2 AS (
+          SELECT e.user_id, MIN(e.event_id) AS step_2
+          FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.event_id > s1.step_1
+          GROUP BY e.user_id)
+        SELECT s0.user_id, s0.step_0, s1.step_1, s2.step_2
+        FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        ORDER BY s0.user_id"""))
   )
 }

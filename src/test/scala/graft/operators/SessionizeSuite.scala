@@ -105,6 +105,30 @@ class SessionizeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.map(_._1) === Set(1, 2))
   }
 
+  test("funnel: strictly-after semantics, broken chains null out") {
+    val sql = spark
+    import sql.implicits._
+    val ev = Seq(
+      // u1 completes: view(1) < click(3) < purchase(5); click(0) BEFORE
+      // the first view must not count as step_1 (strictness)
+      ("u1", 0L, "click"), ("u1", 1L, "view"), ("u1", 3L, "click"),
+      ("u1", 5L, "purchase"),
+      // u2 breaks after view: purchase precedes the first click
+      ("u2", 1L, "view"), ("u2", 2L, "purchase"),
+      // u3 never views → absent entirely (no step_0 anchor)
+      ("u3", 1L, "click"), ("u3", 2L, "purchase"))
+      .toDF("user_id", "event_id", "event_type")
+    val got = Sessionize.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(0) ->
+        (r.get(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got === Map(
+      "u1" -> ((1L, Some(3L), Some(5L))),
+      "u2" -> ((1L, None, None))))
+    intercept[IllegalArgumentException] {
+      Sessionize.funnel(ev, Seq("view", "view"))
+    }
+  }
+
   test("sessions rollup: counts and time bounds per session") {
     val sql = spark
     import sql.implicits._

@@ -89,4 +89,33 @@ class StreamingCurationSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq(1L, 3L), s"kept: $got")
     query.stop()
   }
+
+  test("redaction and chunking compose on a stream (stateless projections/generates)") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, String)]
+    // redact → chunk in one streaming plan: both are per-row, so the
+    // query needs no state store and emits in Append mode batch-by-batch
+    val out = TextOps.chunkDocs(
+      input.toDS().toDF("doc_id", "text")
+        .withColumn("text", TextOps.redact(org.apache.spark.sql.functions.col("text"),
+          Seq("secret"))),
+      chunkTokens = 3, stride = 3)
+
+    val query = out.select("doc_id", "chunk_idx", "chunk_text").writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("sredchunk")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sredchunk").toString)
+      .start()
+
+    input.addData((1L, "a secret b c d"))
+    query.processAllAvailable()
+    val rows = spark.table("sredchunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(rows == Seq((1L, 0L, "a <MASK> b"), (1L, 1L, "c d")), s"got: $rows")
+    query.stop()
+  }
 }
