@@ -871,22 +871,27 @@ object Dedup {
         GROUP BY a.source, b.source
         ORDER BY src_a, src_b""")),
 
-    // Incremental near-dup: docs < 250 stand in for the ingested corpus
-    // (as a persisted token index — same split as q74's digest index),
-    // the rest arrive as a batch. Pairs are corpus→batch and
-    // within-batch only; corpus×corpus near-dups are deliberately absent
-    // (recomputing them is exactly what incremental avoids).
+    // Incremental near-dup: the FIRST 250 docs arrive as the batch; all
+    // later ids stand in for the already-ingested corpus (as a persisted
+    // token index). The batch side is the fixed-size slice ON PURPOSE —
+    // at every SF the benched shape stays "small daily batch probing a
+    // big corpus index", which is the workload the operator exists for
+    // (the other orientation would grow the batch with the SF and
+    // converge back to q31's full all-pairs cost). Pairs are
+    // corpus→batch and within-batch only; corpus×corpus near-dups are
+    // deliberately absent (recomputing them is exactly what incremental
+    // avoids).
     QuerySpec(
       "q81_neardup_incremental",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val index = tokenIndex(docs.filter(col("doc_id") < 250))
-        jaccardPairsIncremental(index, docs.filter(col("doc_id") >= 250), 0.5)
+        val index = tokenIndex(docs.filter(col("doc_id") >= 250))
+        jaccardPairsIncremental(index, docs.filter(col("doc_id") < 250), 0.5)
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some("""
         WITH toksets AS (
-          SELECT doc_id, source, doc_id >= 250 AS is_new,
+          SELECT doc_id, source, doc_id < 250 AS is_new,
                  list_distinct(string_split(text, ' ')) AS toks
           FROM documents)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
