@@ -468,13 +468,12 @@ object Dedup {
     */
   def cosinePairs(embeddings: DataFrame, threshold: Double,
                   blockCol: String = "label"): DataFrame = {
-    import graft.functions.VectorFunctions.array_cosine
     val v = embeddings.select(col("vec_id"), col(blockCol).as("blk"),
       col("embedding").cast("array<double>").as("v"))
     val a = v.as("a")
     val b = v.as("b")
     a.join(b, col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", array_cosine(col("a.v"), col("b.v")))
+      .withColumn("cos", safeCosine(col("a.v"), col("b.v")))
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(col("cos"), 6).as("cos_sim"))
@@ -490,7 +489,6 @@ object Dedup {
   def cosinePairsLsh(embeddings: DataFrame, threshold: Double,
                      tables: Int = 8, nBits: Int = 4,
                      maxBucketSize: Int = 256): DataFrame = {
-    import graft.functions.VectorFunctions.array_cosine
     val v = embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     val banded = v.select(col("vec_id"),
@@ -510,9 +508,19 @@ object Dedup {
     candidates
       .join(v.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
       .join(v.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
-      .withColumn("cos", array_cosine(col("va"), col("vb")))
+      .withColumn("cos", safeCosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Pair cosine with the zero-norm guard: a zero embedding has no
+    * direction, so it is near-dup of NOTHING — score −2.0 (below any
+    * threshold) instead of tripping ANSI divide-by-zero mid-query.
+    */
+  private def safeCosine(a: Column, b: Column): Column = {
+    import graft.functions.VectorFunctions.{array_cosine, array_norm}
+    when(array_norm(a) === 0.0 || array_norm(b) === 0.0, lit(-2.0))
+      .otherwise(array_cosine(a, b))
   }
 
   // ---------------------------------------------------------------------
@@ -591,20 +599,23 @@ object Dedup {
     * small); cosine verification is a per-row map.
     *
     * @param embeddings (vec_id, embedding) keyed by the same ids as
-    *        `docs.doc_id`.
+    *        `docs.doc_id`. The embedding joins are INNER: a candidate
+    *        pair either of whose docs lacks an embedding is dropped (no
+    *        semantic evidence → no consensus). Callers wanting
+    *        lexical-only fallback for unembedded docs should union
+    *        [[jaccardPairs]] filtered to those ids.
     */
   def hybridPairs(docs: DataFrame, embeddings: DataFrame,
                   lexThreshold: Double, semThreshold: Double,
                   blockCol: String = "source",
                   maxTokenDf: Int = 1000): DataFrame = {
-    import graft.functions.VectorFunctions.array_cosine
     val lex = jaccardPairs(docs, lexThreshold, blockCol, maxTokenDf)
     val v = embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     lex
       .join(v.select(col("vec_id").as("doc_a"), col("v").as("va")), "doc_a")
       .join(v.select(col("vec_id").as("doc_b"), col("v").as("vb")), "doc_b")
-      .withColumn("cos", array_cosine(col("va"), col("vb")))
+      .withColumn("cos", safeCosine(col("va"), col("vb")))
       .filter(col("cos") >= semThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
         round(col("cos"), 6).as("cos_sim"))

@@ -75,6 +75,9 @@ object Sessionize {
     require(steps.distinct.size == steps.size,
       s"funnel: duplicate step types in $steps — a repeated type would " +
         "match the same event twice; encode repeats in the data instead")
+    require(!events.columns.exists(_.startsWith("step_")),
+      "funnel: events already has step_* columns — they would collide " +
+        "with the per-stage join; rename them first")
     val first = events.filter(col(typeCol) === steps.head)
       .groupBy(col(entityCol)).agg(min(col(ordCol)).as("step_0"))
     steps.tail.zipWithIndex.foldLeft(first) { case (acc, (step, i)) =>

@@ -459,9 +459,15 @@ object Similarity {
     val anchors = v.as("s").join(broadcast(anchorIds.as("i")),
         col("s.vec_id") === col("i.aid"))
       .select(col("i.blk").as("ablk"), col("i.aid").as("aid"), col("s.v").as("av"))
+    // zero-norm on either side: a zero embedding IS a broken row — score
+    // it −2.0 (below any real cosine) so it always flags as an outlier
+    // instead of tripping ANSI divide-by-zero mid-query (same sentinel
+    // as the top-k re-rank paths)
     v.as("x").join(broadcast(anchors), col("x.blk") === col("ablk"))
       .filter(col("x.vec_id") =!= col("aid"))
-      .withColumn("cos", cosine(col("x.v"), col("av")))
+      .withColumn("cos",
+        when(norm(col("x.v")) === 0.0 || norm(col("av")) === 0.0, lit(-2.0))
+          .otherwise(cosine(col("x.v"), col("av"))))
       .filter(col("cos") < threshold)
       .select(col("x.vec_id").as("vec_id"), col("x.blk").as(blockCol),
         round(col("cos"), 6).as("cos_anchor"))

@@ -273,11 +273,12 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 0, Array(0.9f, 0.1f)),
       (2L, 0, Array(-1f, 0f)),   // cos −1 → outlier
       (10L, 1, Array(0f, 1f)),   // anchor of label 1
-      (11L, 1, Array(0f, -1f))   // cos −1 → outlier
+      (11L, 1, Array(0f, -1f)),  // cos −1 → outlier
+      (12L, 1, Array(0f, 0f))    // zero norm = broken row → outlier, no crash
     ).toDF("vec_id", "label", "embedding")
     val got = Similarity.anchorOutliers(embs, threshold = -0.5)
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    assert(got == Set(2L, 11L))
+    assert(got == Set(2L, 11L, 12L))
   }
 
   test("jaccardPairsIncremental: corpus pairs absent, corpus→batch oriented, batch a<b") {
