@@ -561,23 +561,33 @@ object Dedup {
                               threshold: Double,
                               blockCol: String = "source"): DataFrame = {
     val probe = tokenIndex(batch, blockCol)
-    val build = corpusIndex.withColumn("is_new", lit(false))
-      .unionByName(probe.withColumn("is_new", lit(true)))
-    val a = build.as("a")
-    val b = probe.as("b")
-    a.join(b,
-        col("a.blk") === col("b.blk") && col("a.tok") === col("b.tok") &&
-        col("a.doc_id") =!= col("b.doc_id") &&
-        (not(col("a.is_new")) || col("a.doc_id") < col("b.doc_id")) &&
-        col("a.n_tok") * lit(threshold) <= col("b.n_tok") &&
-        col("b.n_tok") * lit(threshold) <= col("a.n_tok"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_tok").as("n_a"), col("b.n_tok").as("n_b"))
+    // TWO joins whose PAIR outputs union — deliberately not one join over
+    // (index ∪ probe): a union upstream of the join would strip the
+    // persisted index's physical layout, while here an index stored
+    // bucketed on (blk, tok) feeds its join straight from its buckets and
+    // only the batch-sized sides ever shuffle (gated in
+    // BucketedJoinSuite). Corpus and batch doc ids must be disjoint
+    // (they are distinct ingest generations by contract).
+    def joinCond(a: String, b: String) =
+      col(s"$a.blk") === col(s"$b.blk") && col(s"$a.tok") === col(s"$b.tok") &&
+        col(s"$a.n_tok") * lit(threshold) <= col(s"$b.n_tok") &&
+        col(s"$b.n_tok") * lit(threshold) <= col(s"$a.n_tok")
+    def score(pairs: DataFrame): DataFrame = pairs
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_shared"))
       .withColumn("jaccard",
         col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val cross = corpusIndex.as("a").join(probe.as("b"),
+        joinCond("a", "b") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_tok").as("n_a"), col("b.n_tok").as("n_b"))
+    val within = probe.as("a").join(probe.as("b"),
+        joinCond("a", "b") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_tok").as("n_a"), col("b.n_tok").as("n_b"))
+    score(cross).unionByName(score(within))
   }
 
   // ---------------------------------------------------------------------

@@ -69,4 +69,40 @@ class BucketedJoinSuite extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(got === expected)
   }
+
+  test("persisted bucketed tokenIndex: incremental near-dup shuffles only the batch") {
+    // The q81 story at 100 TB: the corpus's inverted token index is the
+    // persisted artifact, bucketed on the join key — each day's probe
+    // pays ONE exchange (its own, batch-sized) while the corpus-sized
+    // index side reads straight from its buckets.
+    val sql = spark
+    import sql.implicits._
+    val corpus = Seq((10L, "s", "a b c"), (11L, "s", "a b c d"), (12L, "s", "x y z"))
+      .toDF("doc_id", "source", "text")
+    val batch = Seq((1L, "s", "a b c"), (2L, "s", "x q r")).toDF("doc_id", "source", "text")
+
+    Dedup.tokenIndex(corpus).write.mode("overwrite")
+      .bucketBy(4, "blk", "tok").saveAsTable("token_index")
+
+    val pairs = Dedup.jaccardPairsIncremental(
+      spark.table("token_index"), batch, 0.5)
+    val plan = pairs.queryExecution.sparkPlan
+    // the INDEX side must feed its join straight from its buckets: no
+    // shuffle subtree may contain the token_index scan (the batch-sized
+    // probe/aggregation exchanges are expected and fine). Spark only
+    // keeps Bucketed: true when the bucketing is actually exploited
+    // (autoBucketedScan disables useless bucketed reads).
+    assert(plan.toString.contains("Bucketed: true"),
+      s"index side should read its buckets directly:\n$plan")
+    val shuffledIndexScans = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+          if e.collectLeaves().exists(_.toString.contains("token_index")) => e
+    }
+    assert(shuffledIndexScans.isEmpty,
+      s"the corpus-sized index must never shuffle:\n$plan")
+
+    val got = pairs.select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 1L), (11L, 1L)), s"got $got")
+  }
 }
