@@ -225,7 +225,45 @@ object Pipeline {
       .parquet(path)
   }
 
+  /** Deterministic content-hash shard assignment — the split step before
+    * a training run: route each document to one of `nShards` shards (or
+    * train/validation splits) by hashing its CONTENT, so the assignment
+    * is stable across runs, re-orderings, and re-ingests of the same
+    * corpus, and dedup-by-content implies dedup-by-shard (a doc and its
+    * exact duplicate always land together, never train/eval-straddling).
+    *
+    * Scale design: the shard id is a map-side scalar (md5 prefix → int),
+    * entirely codegen'd — no shuffle is introduced by assignment itself;
+    * downstream writers `repartition(shard)` only when they actually
+    * need physical co-location. md5 (not xxhash64) because content
+    * hashing must be engine-portable: the same doc must land in the same
+    * shard when the split is recomputed by another system (and the
+    * DuckDB oracle IS that other system here).
+    */
+  def shardAssign(docs: DataFrame, textCol: String, nShards: Int,
+                  shardCol: String = "shard"): DataFrame = {
+    require(nShards > 0, s"shardAssign: nShards must be > 0, got $nShards")
+    require(nShards <= (1 << 30),
+      s"shardAssign: nShards $nShards exceeds the 32-bit hash prefix's range")
+    docs.withColumn(shardCol,
+      conv(substring(md5(col(textCol)), 1, 8), 16, 10)
+        .cast("long") % nShards)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q87_train_shards",
+      (s, d) => shardAssign(Tables.documents(s, d), "text", 16)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("bigint").as("n_tokens"))
+        .orderBy(col("shard")),
+      Some("""
+        SELECT ('0x' || substr(md5(text), 1, 8))::BIGINT % 16 AS shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY shard ORDER BY shard""")),
+
     QuerySpec(
       "q55_stratified_sample",
       (s, d) => {

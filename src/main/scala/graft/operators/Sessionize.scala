@@ -89,6 +89,68 @@ object Sessionize {
     }
   }
 
+  /** Cohort retention matrix: for each entity, the first time-bucket it
+    * was ever active in (its cohort) and, for every bucket it was active
+    * in, the offset from that cohort — the classic "day-N retention"
+    * triangle of product analytics.
+    *
+    * Scale design (100 TB): TWO shuffles, both on keys whose cardinality
+    * grows with the data. (1) `groupBy(entity)` + `collect_set(bucket)`
+    * — per-entity bucket sets are human-scale (an entity is active in at
+    * most a few thousand distinct days), so the set is bounded and the
+    * min/offset arithmetic happens map-side after one exchange; no join
+    * back to a cohort table, no second pass over the raw events.
+    * (2) the final `groupBy(cohort, offset)` count-distinct. Bucket
+    * arithmetic is integer `div` on the raw ns clock — exact, engine-
+    * portable, timezone-free.
+    */
+  def retentionCohorts(events: DataFrame, entityCol: String,
+                       timeCol: String, bucketNs: Long): DataFrame = {
+    require(bucketNs > 0, s"retentionCohorts: bucketNs must be > 0, got $bucketNs")
+    val perEntity = events
+      .select(col(entityCol), expr(s"$timeCol div ${bucketNs}L").as("__bucket"))
+      .groupBy(col(entityCol))
+      .agg(collect_set(col("__bucket")).as("__buckets"))
+      .select(col(entityCol), array_min(col("__buckets")).as("cohort"),
+        explode(col("__buckets")).as("__bucket"))
+    perEntity
+      .groupBy(col("cohort"),
+        (col("__bucket") - col("cohort")).as("offset"))
+      .agg(countDistinct(col(entityCol)).as("n_entities"))
+  }
+
+  /** Last-touch attribution: every `targetType` event with the ordinal of
+    * the latest `sourceType` event by the same entity STRICTLY BEFORE it
+    * (null when none precedes) — "which click gets credit for this
+    * purchase".
+    *
+    * Scale design: ONE shuffle (the entity window), no self-join. The
+    * naive formulation — events-as-targets joined to events-as-sources on
+    * `entity AND src.ts < tgt.ts` — is a range self-join that explodes
+    * quadratically on active entities; the running `last(..., ignoreNulls)`
+    * over a `rowsBetween(unboundedPreceding, -1)` frame carries the same
+    * answer in one sorted pass per entity. The `-1` upper bound is the
+    * strictness: an attribution source at the exact same (time, tie) slot
+    * does not see itself.
+    */
+  def lastTouch(events: DataFrame, targetType: String, sourceType: String,
+                entityCol: String = "user_id", timeCol: String = "ts",
+                tieCol: String = "event_id", ordCol: String = "event_id",
+                typeCol: String = "event_type"): DataFrame = {
+    require(targetType != sourceType,
+      "lastTouch: target and source types must differ")
+    val order = Window.partitionBy(col(entityCol))
+      .orderBy(col(timeCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("__attr",
+        last(when(col(typeCol) === sourceType, col(ordCol)), ignoreNulls = true)
+          .over(order))
+      .filter(col(typeCol) === targetType)
+      .select(col(ordCol).as("target_id"), col(entityCol),
+        col("__attr").as("source_id"))
+  }
+
   private val GapNs30Min: Long = 1800L * 1000000000L
 
   val specs: Seq[QuerySpec] = Seq(
@@ -153,6 +215,48 @@ object Sessionize {
           GROUP BY e.user_id)
         SELECT s0.user_id, s0.step_0, s1.step_1, s2.step_2
         FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
-        ORDER BY s0.user_id"""))
+        ORDER BY s0.user_id""")),
+
+    // Day-granularity retention triangle. The oracle recomputes the
+    // cohort via a join (the readable formulation); the Spark side gets
+    // the identical answer from one collect_set pass — the comparison
+    // gates that the join-free plan IS the cohort semantics.
+    QuerySpec(
+      "q85_retention_cohorts",
+      (s, d) => retentionCohorts(Tables.events(s, d), "user_id", "ts",
+          86400L * 1000000000L)
+        .orderBy(col("cohort"), col("offset")),
+      Some("""
+        WITH wk AS (
+          SELECT user_id, epoch_ns(ts) // 86400000000000 AS bucket
+          FROM events),
+        cohort AS (
+          SELECT user_id, MIN(bucket) AS cohort FROM wk GROUP BY user_id)
+        SELECT c.cohort, w.bucket - c.cohort AS offset,
+               COUNT(DISTINCT w.user_id) AS n_entities
+        FROM wk w JOIN cohort c ON w.user_id = c.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Last-touch attribution: purchases credited to the latest strictly
+    // preceding click. The 143 never-clicked purchases at sf0.01 keep the
+    // null path honest; IGNORE NULLS window parity Spark <-> DuckDB is
+    // the load-bearing bit.
+    QuerySpec(
+      "q86_last_touch",
+      (s, d) => lastTouch(Tables.events(s, d), "purchase", "click")
+        .orderBy(col("target_id")),
+      Some("""
+        WITH ordered AS (
+          SELECT event_id, user_id, event_type,
+                 LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY epoch_ns(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS source_id
+          FROM events)
+        SELECT event_id AS target_id, user_id, source_id
+        FROM ordered WHERE event_type = 'purchase'
+        ORDER BY target_id"""))
   )
 }

@@ -714,6 +714,51 @@ object TextOps {
         SELECT doc_id, score,
                ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
         FROM scored QUALIFY rn <= 10
-        ORDER BY rn"""))
+        ORDER BY rn""")),
+
+    // Corpus-level vocabulary richness per source: distinct token types
+    // across ALL of a source's docs vs its total token count. Unlike the
+    // per-doc typeTokenRatio (q75's quality component), this is a CROSS-
+    // doc audit — templated/synthetic sources show a collapsed type
+    // count no per-doc metric can see. Scale: one explode + one
+    // (source, tok) pre-aggregation; the distinct count is the
+    // already-reduced type list, never the raw token stream.
+    QuerySpec(
+      "q88_vocab_richness",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        toks.groupBy(col("source"))
+          .agg(countDistinct(col("tok")).as("n_types"),
+            count(lit(1)).as("n_tokens"),
+            round(countDistinct(col("tok")).cast("double") / count(lit(1)), 6)
+              .as("ttr"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+        SELECT source, COUNT(DISTINCT tok) AS n_types, COUNT(*) AS n_tokens,
+               ROUND(CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*), 6) AS ttr
+        FROM toks GROUP BY source ORDER BY source""")),
+
+    // Corpus shape audit: log2-bucketed document-length histogram — the
+    // first plot anyone draws before setting curation length cutoffs.
+    // Pure map-side arithmetic + one tiny groupBy; floor(log2(n)) on
+    // int-valued doubles is IEEE-exact in both engines.
+    QuerySpec(
+      "q89_length_histogram",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(floor(log2(col("n_chars"))).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("bucket")),
+      Some("""
+        SELECT CAST(FLOOR(LOG2(n_chars)) AS BIGINT) AS bucket,
+               COUNT(*) AS n_docs,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM documents GROUP BY bucket ORDER BY bucket"""))
   )
 }

@@ -323,4 +323,32 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0) == Seq(3.0, 3.0))
     assert(out(1) == Seq(7.0, 7.0))
   }
+
+  test("shardAssign: content-hashed, stable under reorder, dups co-shard") {
+    val sql = spark
+    import sql.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "alpha beta gamma"), // exact dup of 1 → MUST share its shard
+      (4L, "zeta eta theta"), (5L, "iota kappa"))
+      .toDF("doc_id", "text")
+    val a = Pipeline.shardAssign(docs, "text", 4)
+      .select($"doc_id", $"shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.values.forall(s => s >= 0 && s < 4))
+    assert(a(1L) === a(3L), "exact duplicates must land in the same shard")
+    // stable under physical reordering / repartitioning (content hash,
+    // not row position)
+    val b = Pipeline.shardAssign(docs.repartition(5).sort($"doc_id".desc), "text", 4)
+      .select($"doc_id", $"shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    // md5-prefix ground truth for one value: first 8 hex chars of
+    // md5("alpha beta gamma") parsed base-16, mod 4
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha beta gamma".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    assert(a(1L) === java.lang.Long.parseLong(hex, 16) % 4)
+    intercept[IllegalArgumentException] { Pipeline.shardAssign(docs, "text", 0) }
+  }
 }

@@ -129,6 +129,50 @@ class SessionizeSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("retentionCohorts: cohort is first bucket; offsets dedup within a bucket") {
+    val sql = spark
+    import sql.implicits._
+    // bucket size 10: u1 active in buckets {0, 0, 2} (the duplicate-0
+    // event must not double-count), u2 in {1, 2}, u3 in {0}
+    val ev = Seq(
+      ("u1", 1L), ("u1", 9L), ("u1", 25L),
+      ("u2", 12L), ("u2", 27L),
+      ("u3", 5L))
+      .toDF("user", "t")
+    val got = Sessionize.retentionCohorts(ev, "user", "t", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (0L, 0L, 2L),  // u1, u3 in cohort 0 at offset 0
+      (0L, 2L, 1L),  // u1 returns 2 buckets later
+      (1L, 0L, 1L),  // u2's cohort is bucket 1
+      (1L, 1L, 1L))) // u2 returns 1 bucket later
+    intercept[IllegalArgumentException] {
+      Sessionize.retentionCohorts(ev, "user", "t", 0L)
+    }
+  }
+
+  test("lastTouch: latest strictly-preceding source; same-slot source invisible") {
+    val sql = spark
+    import sql.implicits._
+    val ev = Seq(
+      // u1: click(1) < click(3) < purchase(4) → credit click 3, not 1
+      ("u1", 1L, 1L, "click"), ("u1", 3L, 3L, "click"),
+      ("u1", 4L, 4L, "purchase"),
+      // u1 second purchase(6) after click(5) → credit 5
+      ("u1", 5L, 5L, "click"), ("u1", 6L, 6L, "purchase"),
+      // u2: purchase with NO preceding click → null; the click AT the
+      // same (t, tie) slot or later must not be credited
+      ("u2", 7L, 7L, "purchase"), ("u2", 7L, 8L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Sessionize.lastTouch(ev, "purchase", "click")
+      .collect().map(r => (r.getLong(0), Option(r.get(2)))).toMap
+    assert(got === Map(
+      4L -> Some(3L), 6L -> Some(5L), 7L -> None))
+    intercept[IllegalArgumentException] {
+      Sessionize.lastTouch(ev, "purchase", "purchase")
+    }
+  }
+
   test("sessions rollup: counts and time bounds per session") {
     val sql = spark
     import sql.implicits._
