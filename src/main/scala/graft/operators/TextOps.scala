@@ -155,6 +155,41 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Span-level duplication audit: for each doc, how many of its distinct
+    * word n-gram spans also occur in at least one OTHER doc — the
+    * boilerplate/license-header/template detector that document-level
+    * dedup (exact or MinHash) cannot see, because a doc that is 30%
+    * copied headers and 70% fresh text is nowhere near any whole-doc
+    * similarity threshold. Complements [[repetitionStats]] (q68), which
+    * measures WITHIN-doc repetition; this measures CROSS-doc span reuse.
+    *
+    * Returns one row per doc: `(doc_id, source, n_grams, dup_grams)`
+    * where `n_grams` counts the doc's distinct spans and `dup_grams`
+    * those with corpus document-frequency ≥ 2. Docs shorter than `n`
+    * tokens have no spans and are absent. All-integer outputs — ratios
+    * and thresholds stay exact and engine-portable downstream.
+    *
+    * Scale design: per-doc `array_distinct` BEFORE the explode caps each
+    * doc's contribution at its span count; the document-frequency count
+    * is one `groupBy(gram)` with map-side partial aggregation (a gram
+    * shared by millions of docs is still just a counter, never a pair
+    * explosion — the all-pairs trap this formulation exists to avoid);
+    * the rejoin back to spans is keyed on the same gram hash. Two
+    * data-sized shuffles total (gram, then doc), each on a key whose
+    * cardinality grows with the corpus.
+    */
+  def dupSpanStats(docs: DataFrame, n: Int = 6): DataFrame = {
+    require(n >= 2, s"dupSpanStats: span width must be >= 2, got $n")
+    val spans = docs.select(col("doc_id"), col("source"),
+      explode(array_distinct(wordNgrams(col("text"), n))).as("gram"))
+    val df = spans.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+    spans.join(df, "gram")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("df") > 1, 1)).as("dup_grams"))
+  }
+
   /** Doc ids from `corpus` that share ≥1 word n-gram with `evalDocs` —
     * benchmark decontamination, the curation stage every LLM pipeline
     * runs before training (eval questions leaking into the corpus).
@@ -715,6 +750,37 @@ object TextOps {
                ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
         FROM scored QUALIFY rn <= 10
         ORDER BY rn""")),
+
+    // Span-level duplication rollup: per source, docs whose 6-token spans
+    // are >= 25% corpus-duplicated (the dup_grams*4 >= n_grams compare is
+    // integer — no double ratio crosses the engine boundary).
+    QuerySpec(
+      "q90_dup_spans",
+      (s, d) => dupSpanStats(Tables.documents(s, d), n = 6)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("dup_grams") * 4 >= col("n_grams"), 1))
+            .as("n_flagged"),
+          sum(col("n_grams")).cast("bigint").as("n_grams"),
+          sum(col("dup_grams")).cast("bigint").as("n_dup_grams"))
+        .orderBy(col("source")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        g AS (
+          SELECT DISTINCT doc_id, source, array_to_string(t[i:i+5], ' ') AS gram
+          FROM toks, UNNEST(generate_series(1, greatest(len(t)-5, 0))) AS u(i)),
+        df AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram),
+        perdoc AS (
+          SELECT doc_id, source, COUNT(*) AS n_grams,
+                 COUNT(*) FILTER (WHERE df > 1) AS dup_grams
+          FROM g JOIN df USING (gram) GROUP BY doc_id, source)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(COUNT(*) FILTER (WHERE dup_grams*4 >= n_grams) AS BIGINT)
+                 AS n_flagged,
+               CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+               CAST(SUM(dup_grams) AS BIGINT) AS n_dup_grams
+        FROM perdoc GROUP BY source ORDER BY source""")),
 
     // Corpus-level vocabulary richness per source: distinct token types
     // across ALL of a source's docs vs its total token count. Unlike the

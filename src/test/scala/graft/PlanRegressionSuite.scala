@@ -194,6 +194,43 @@ class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"salted join must key on (orderkey, __salt):\n$p")
   }
 
+  test("q85: retention is join-free — collect_set, not a cohort join-back") {
+    val p = plan("q85_retention_cohorts")
+    assert(!p.contains("Join"),
+      s"retention must derive the cohort from the per-entity bucket set, " +
+        s"not re-join the raw events against a cohort table:\n$p")
+  }
+
+  test("q86: attribution is ONE window pass, not a range self-join") {
+    val p = plan("q86_last_touch")
+    assert(!p.contains("Join"),
+      s"last-touch must not self-join events (quadratic on active " +
+        s"entities):\n$p")
+    assert("Arguments: hashpartitioning".r.findAllIn(plan("q86_last_touch")).size == 1,
+      s"expected the single entity-window exchange:\n$p")
+    assert(p.contains("Window"), s"expected a Window operator:\n$p")
+  }
+
+  test("q87: shard assignment is map-side; one exchange feeds the rollup") {
+    val p = plan("q87_train_shards")
+    val hashEx = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1,
+      s"shard id must be a scalar projection — only the groupBy(shard) " +
+        s"rollup may shuffle; found $hashEx exchanges:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregate:\n$p")
+  }
+
+  test("q90: span df-count partial-aggregates; no pair explosion join shape") {
+    val p = plan("q90_dup_spans")
+    // gram df is a counter (HashAggregate), never an all-pairs self-join;
+    // the rejoin is keyed on the gram
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"gram document-frequency must partial-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span audit must stay keyed on the gram:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct") {
     // the one shape that cannot survive any scale-up; cross joins against
     // broadcast fitted models plan as BroadcastNestedLoopJoin instead

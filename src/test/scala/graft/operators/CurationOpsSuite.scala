@@ -324,6 +324,27 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1) == Seq(7.0, 7.0))
   }
 
+  test("dupSpanStats: cross-doc spans only; within-doc repeats don't inflate") {
+    val sql = spark
+    import sql.implicits._
+    val docs = Seq(
+      // docs 1 and 2 share the span "a b c"; doc 1 repeats it twice
+      // INTERNALLY — array_distinct must count it once, so its dup_grams
+      // is 1 of 4 distinct spans, not 2 of 5
+      (1L, "s1", "a b c a b c x"),  // distinct 3-grams: abc, bca, cab, bcx → abc dup
+      (2L, "s1", "a b c y"),        // distinct: abc, bcy → abc dup
+      (3L, "s2", "p q r s"),        // pqr, qrs — unique
+      (4L, "s2", "p q"))            // shorter than n → no spans, absent
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.dupSpanStats(docs, n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      1L -> ((4L, 1L)),
+      2L -> ((2L, 1L)),
+      3L -> ((2L, 0L))))
+    intercept[IllegalArgumentException] { TextOps.dupSpanStats(docs, n = 1) }
+  }
+
   test("shardAssign: content-hashed, stable under reorder, dups co-shard") {
     val sql = spark
     import sql.implicits._
