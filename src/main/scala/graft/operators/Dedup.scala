@@ -876,6 +876,35 @@ object Dedup {
         FROM hyb WHERE cos >= 0.05
         ORDER BY doc_a, doc_b""")),
 
+    // Production tier of q49: clusters over CAPPED pairs (maxTokenDf =
+    // 100, the q37 skew guard — it fires on this corpus at sf0.1).
+    // Capped candidate recall is data-dependent → rows-only; exactness
+    // of the clustering itself is gated by q49 at sf0.01 and the
+    // capped-⊆-exact containment by DedupGuardSuite. This is the
+    // formulation the sf0.1 bench times.
+    QuerySpec(
+      "q91_clusters_capped",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = jaccardPairs(docs, 0.5, maxTokenDf = 100)
+        dedupClusters(docs, pairs)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("retained")).cast("bigint").as("n_retained"),
+            countDistinct(col("comp")).as("n_clusters"))
+          .orderBy(col("lang"))
+      },
+      None),
+
+    // Production tier of q77: hybrid consensus over capped lexical
+    // candidates — same containment gate as q91; rows-only by design.
+    QuerySpec(
+      "q92_hybrid_capped",
+      (s, d) => hybridPairs(Tables.documents(s, d), Tables.embeddings(s, d),
+          lexThreshold = 0.5, semThreshold = 0.05, maxTokenDf = 100)
+        .orderBy(col("doc_a"), col("doc_b")),
+      None),
+
     // Cross-source duplicate matrix over prefix-100 digests (raw texts
     // are unique by construction — q74 pattern; 23 shared digests across
     // source pairs at sf0.01, so the matrix is non-trivial).

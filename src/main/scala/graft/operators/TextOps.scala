@@ -178,10 +178,23 @@ object TextOps {
     * data-sized shuffles total (gram, then doc), each on a key whose
     * cardinality grows with the corpus.
     */
-  def dupSpanStats(docs: DataFrame, n: Int = 6): DataFrame = {
+  /** @param hashGrams production mode: shuffle 8-byte `xxhash64(gram)`
+    *        keys instead of the gram strings. The two gram-keyed
+    *        exchanges otherwise carry ~n× the corpus text; hashing cuts
+    *        their payload by an order of magnitude at the cost of a
+    *        ~p²/2^65 birthday collision chance per gram pair — noise for
+    *        an audit metric, so the sf0.1 bench times this mode while the
+    *        oracle gate (q90) keeps the engine-portable string keys.
+    *        Gated in TextStatsSuite: hashed == string output at test SF.
+    */
+  def dupSpanStats(docs: DataFrame, n: Int = 6,
+                   hashGrams: Boolean = false): DataFrame = {
     require(n >= 2, s"dupSpanStats: span width must be >= 2, got $n")
-    val spans = docs.select(col("doc_id"), col("source"),
+    val raw = docs.select(col("doc_id"), col("source"),
       explode(array_distinct(wordNgrams(col("text"), n))).as("gram"))
+    val spans = if (hashGrams)
+      raw.select(col("doc_id"), col("source"), xxhash64(col("gram")).as("gram"))
+    else raw
     val df = spans.groupBy(col("gram"))
       .agg(count(lit(1)).as("df"))
     spans.join(df, "gram")
@@ -781,6 +794,22 @@ object TextOps {
                CAST(SUM(n_grams) AS BIGINT) AS n_grams,
                CAST(SUM(dup_grams) AS BIGINT) AS n_dup_grams
         FROM perdoc GROUP BY source ORDER BY source""")),
+
+    // Production tier of the same audit: xxhash64 gram keys (engine-
+    // specific → rows-only; TextStatsSuite gates hashed == string
+    // output). This is the formulation the sf0.1 bench times — q90's
+    // string-keyed exact mode exists for the DuckDB oracle at sf0.01.
+    QuerySpec(
+      "q93_dup_spans_hashed",
+      (s, d) => dupSpanStats(Tables.documents(s, d), n = 6, hashGrams = true)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("dup_grams") * 4 >= col("n_grams"), 1))
+            .as("n_flagged"),
+          sum(col("n_grams")).cast("bigint").as("n_grams"),
+          sum(col("dup_grams")).cast("bigint").as("n_dup_grams"))
+        .orderBy(col("source")),
+      None),
 
     // Corpus-level vocabulary richness per source: distinct token types
     // across ALL of a source's docs vs its total token count. Unlike the

@@ -345,6 +345,21 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { TextOps.dupSpanStats(docs, n = 1) }
   }
 
+  // spec gate for q93_dup_spans_hashed (rows-only in the driver): the
+  // production hashed-gram mode must reproduce the string-keyed exact
+  // output — at test SF there are no 64-bit collisions, so any diff is
+  // a logic bug, not hash luck
+  test("dupSpanStats: hashed-gram production mode equals string mode") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val asMap = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val exact = asMap(TextOps.dupSpanStats(docs, n = 6))
+    val hashed = asMap(TextOps.dupSpanStats(docs, n = 6, hashGrams = true))
+    assert(exact.nonEmpty && exact.values.exists(_._2 > 0),
+      "degenerate fixture: no duplicated spans at sf0.001")
+    assert(hashed === exact)
+  }
+
   test("shardAssign: content-hashed, stable under reorder, dups co-shard") {
     val sql = spark
     import sql.implicits._

@@ -97,6 +97,31 @@ class DedupGuardSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.jaccardPairs(docs, 0.5, maxTokenDf = 10).count() === 1)
   }
 
+  // spec gate for the q91/q92 capped bench tier: every pair the capped
+  // mode emits must appear in exact mode WITH THE SAME SCORE (the cap
+  // bounds candidate recall, never corrupts verification), for both the
+  // lexical and the hybrid operator, on the real sf0.001 corpus with a
+  // cap small enough to actually fire there.
+  test("capped tier is a score-preserving subset of exact mode (q91/q92 gate)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairsOf(Dedup.jaccardPairs(docs, 0.5, maxTokenDf = Int.MaxValue))
+    val capped = pairsOf(Dedup.jaccardPairs(docs, 0.5, maxTokenDf = 10))
+    assert(exact.nonEmpty, "degenerate fixture: exact mode found no pairs")
+    capped.foreach { case (k, j) =>
+      assert(exact.get(k).contains(j), s"capped pair $k missing or rescored") }
+
+    val hExact = pairsOf(Dedup.hybridPairs(docs, emb, 0.5, 0.05,
+      maxTokenDf = Int.MaxValue))
+    val hCapped = pairsOf(Dedup.hybridPairs(docs, emb, 0.5, 0.05,
+      maxTokenDf = 10))
+    assert(hExact.nonEmpty, "degenerate fixture: hybrid exact found no pairs")
+    hCapped.foreach { case (k, j) =>
+      assert(hExact.get(k).contains(j), s"capped hybrid pair $k missing or rescored") }
+  }
+
   test("simhashPairs: degenerate buckets are dropped by the cap") {
     val sql = spark
     import sql.implicits._
