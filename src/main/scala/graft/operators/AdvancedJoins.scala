@@ -37,7 +37,7 @@ object AdvancedJoins {
     */
   def asOfJoin(probe: DataFrame, build: DataFrame, key: String, ord: String,
                buildVal: String): DataFrame = {
-    Seq("__is_probe", "__asof", buildVal).foreach { c =>
+    Seq("__is_probe", "__asof", buildVal, s"asof_$buildVal").foreach { c =>
       require(!probe.columns.contains(c),
         s"asOfJoin: probe already has a column named '$c' — it would be " +
           "silently overwritten; rename it first")

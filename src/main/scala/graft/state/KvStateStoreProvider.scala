@@ -87,7 +87,7 @@ object EmbeddedKvServer {
   */
 final class KvSessionBackend(storePrefix: String, client: KvClient,
                              baseInterval: Int = KvSessionBackend.BaseInterval)
-    extends SessionBackend {
+    extends SessionBackend with org.apache.spark.internal.Logging {
 
   private val Sep: Byte = ':'
   private def versionPrefix(v: Long): Array[Byte] = {
@@ -232,16 +232,28 @@ final class KvSessionBackend(storePrefix: String, client: KvClient,
         if (readChainNewestFirst.isEmpty) return
         val epoch = readGcEpoch()
         if (epoch == verifiedEpoch) return
-        if (epoch >= gcEpochAtOpen + 2) {
-          val live = committed() ++ readVersionSet(gcPendingKey)
-          val missing = readChainNewestFirst.filterNot(live.contains)
-          if (missing.nonEmpty)
-            throw new IllegalStateException(
-              s"state version chain [${missing.mkString(",")}] for loadVersion=$loadVersion " +
-                "was garbage-collected while this session stayed open across >=2 " +
-                "maintenance cycles; reads could silently miss deleted tombstones " +
-                "(key resurrection) - failing instead")
-        }
+        val committedNow = committed()
+        val pending = readVersionSet(gcPendingKey)
+        val missing = readChainNewestFirst
+          .filterNot(v => committedNow.contains(v) || pending.contains(v))
+        if (missing.nonEmpty && epoch >= gcEpochAtOpen + 2)
+          throw new IllegalStateException(
+            s"state version chain [${missing.mkString(",")}] for loadVersion=$loadVersion " +
+              "was garbage-collected while this session stayed open across >=2 " +
+              "maintenance cycles; reads could silently miss deleted tombstones " +
+              "(key resurrection) - failing instead")
+        // deregistered-but-deferred: the bytes survive exactly one more GC
+        // cycle, so this read is still correct — but the session is one
+        // maintenance run away from the hard failure above. Surface the
+        // pattern (a session held open across maintenance) while it is
+        // still benign, instead of only at the point of death.
+        val deregistered = readChainNewestFirst.filter(pending.contains)
+        if (deregistered.nonEmpty)
+          logWarning(
+            s"state version chain [${deregistered.mkString(",")}] for " +
+              s"loadVersion=$loadVersion ($storePrefix) was deregistered by " +
+              "maintenance GC under this open session; data survives one " +
+              "deferred-GC cycle, after which reads here fail")
         verifiedEpoch = epoch
       }
 
@@ -264,11 +276,15 @@ final class KvSessionBackend(storePrefix: String, client: KvClient,
             decided.flatten.orNull
         }
 
-      def put(key: Array[Byte], value: Array[Byte]): Unit =
+      def put(key: Array[Byte], value: Array[Byte]): Unit = {
         overlay += (new BytesKey(key) -> Some(value))
+        mutations += 1
+      }
 
-      def remove(key: Array[Byte]): Unit =
+      def remove(key: Array[Byte]): Unit = {
         overlay += (new BytesKey(key) -> None)
+        mutations += 1
+      }
 
       def scan(prefix: Array[Byte]): KvScanIterator = {
         // registryLock: chain resolution + version-keyspace scans must be
@@ -337,24 +353,29 @@ final class KvSessionBackend(storePrefix: String, client: KvClient,
         }
       }
 
-      def abort(): Unit = overlay = TreeMap.empty(ByteOrdering)
+      def abort(): Unit = { overlay = TreeMap.empty(ByteOrdering); mutations += 1 }
 
       // Spark reads BOTH numKeys and sizeBytes from metrics after every
       // batch; resolving the full version chain twice per batch would be
       // O(total state) × 2 at the exact layer the delta-commit design
       // exists to keep O(delta). One shared resolution per stats request,
       // invalidated by writes.
-      private var statsCache: Option[(Long, Long, Int)] = None // keys, bytes, overlaySize
+      // invalidation key = a counter bumped on EVERY overlay mutation,
+      // not overlay.size: overwriting an existing key (or a remove+put
+      // landing back on the same size) changes the bytes without
+      // changing the size, and size-keyed caching would serve them stale
+      private var mutations = 0L
+      private var statsCache: Option[(Long, Long, Long)] = None // keys, bytes, mutations
       private def stats: (Long, Long) = {
         statsCache match {
-          case Some((k, b, ov)) if ov == overlay.size => (k, b)
+          case Some((k, b, m)) if m == mutations => (k, b)
           case _ =>
             var keys = 0L
             var bytes = 0L
             val it = scan(Array.emptyByteArray)
             try it.foreach { case (k, v) => keys += 1; bytes += k.length + v.length }
             finally it.close()
-            statsCache = Some((keys, bytes, overlay.size))
+            statsCache = Some((keys, bytes, mutations))
             (keys, bytes)
         }
       }

@@ -42,7 +42,8 @@ object StreamingAttribution {
 
     override def handleInputRows(key: Long, rows: Iterator[AttrEvent],
                                  timerValues: TimerValues): Iterator[Attribution] = {
-      var last: Option[Long] = if (lastSource.exists()) Some(lastSource.get()) else None
+      val loaded: Option[Long] = if (lastSource.exists()) Some(lastSource.get()) else None
+      var last = loaded
       val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
       // per-entity batch volumes are human-scale; the sort makes the
       // within-batch fold match the batch operator's (ord) order
@@ -52,7 +53,11 @@ object StreamingAttribution {
         // own slot (the batch window's `rowsBetween(…, -1)` strictness)
         if (e.eventType == sourceType) last = Some(e.eventId)
       }
-      last.foreach(lastSource.update)
+      // update only when this batch produced a NEW source event: an
+      // unconditional rewrite would reset the TTL on every batch the
+      // entity appears in, and a "30-day click window" would never
+      // expire for a continually ACTIVE (but source-quiet) entity
+      if (last != loaded) last.foreach(lastSource.update)
       out.iterator
     }
   }
@@ -73,5 +78,105 @@ object StreamingAttribution {
       .groupByKey(_.userId)
       .transformWithState(new LastTouchProcessor(targetType, sourceType, ttl),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  // -------------------------------------------------------------------
+  // Out-of-order (event-time) variant
+
+  case class TimedAttrEvent(userId: Long, eventId: Long, eventType: String,
+                            ts: java.sql.Timestamp)
+  case class BufferedAttr(eventType: String, tsMs: Long)
+
+  /** Event-time last-touch that tolerates OUT-OF-ORDER delivery up to the
+    * watermark delay: events buffer in per-entity MapState keyed by their
+    * ordinal and fold (credit-then-update, ordinal order) only when the
+    * watermark passes their event time — so a source event arriving
+    * AFTER a later-ordered target, but within the delay, still gets the
+    * credit, exactly as the batch window operator would assign it. The
+    * in-order [[LastTouchProcessor]] instead emits the batch an event
+    * arrives and documents in-order delivery as its contract.
+    *
+    * Same state shape and bounds as
+    * [[StreamingFunnel.OrderedFunnelProcessor]]: buffer ∝ event rate ×
+    * watermark delay, one long + one timer per entity besides it.
+    */
+  class OrderedLastTouchProcessor(targetType: String, sourceType: String,
+                                  ttl: TTLConfig)
+      extends StatefulProcessor[Long, TimedAttrEvent, Attribution] {
+    @transient private var lastSource: ValueState[Long] = _
+    @transient private var buffer: MapState[Long, BufferedAttr] = _
+    @transient private var minTs: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lastSource = getHandle.getValueState[Long]("lastSource",
+        Encoders.scalaLong, ttl)
+      buffer = getHandle.getMapState[Long, BufferedAttr]("buffer",
+        Encoders.scalaLong, Encoders.product[BufferedAttr], TTLConfig.NONE)
+      minTs = getHandle.getValueState[Long]("minTs",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def rearm(expiryMs: Long): Unit = {
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(expiryMs)
+      minTs.update(expiryMs)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TimedAttrEvent],
+                                 timerValues: TimerValues): Iterator[Attribution] = {
+      var newMin = if (minTs.exists()) minTs.get() else Long.MaxValue
+      rows.foreach { e =>
+        buffer.updateValue(e.eventId, BufferedAttr(e.eventType, e.ts.getTime))
+        if (e.ts.getTime < newMin) newMin = e.ts.getTime
+      }
+      if (newMin != Long.MaxValue) rearm(newMin)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[Attribution] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val all = buffer.iterator().map { case (ord, b) => (ord, b) }.toSeq
+      val (ripe, rest) = all.partition(_._2.tsMs <= wm)
+      val loaded: Option[Long] =
+        if (lastSource.exists()) Some(lastSource.get()) else None
+      var last = loaded
+      val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
+      ripe.sortBy(_._1).foreach { case (ord, b) =>
+        if (b.eventType == targetType) out += Attribution(key, ord, last)
+        if (b.eventType == sourceType) last = Some(ord)
+        buffer.removeKey(ord)
+      }
+      // TTL discipline matches the in-order processor: rewrite (and so
+      // re-arm the attribution window) only on a NEW source event
+      if (last != loaded) last.foreach(lastSource.update)
+      if (rest.nonEmpty) rearm(rest.map(_._2.tsMs).min) else minTs.clear()
+      out.iterator
+    }
+  }
+
+  /** [[lastTouchStream]] with out-of-order tolerance: `events` must carry
+    * an event-time column `tsCol`; late/reordered events within
+    * `watermarkDelay` fold in ordinal order regardless of arrival order
+    * (a late source re-credits targets it precedes, as batch would).
+    * Emission waits one watermark delay; events later than the delay are
+    * dropped by the watermark.
+    */
+  def lastTouchStreamEventTime(events: DataFrame, targetType: String,
+                               sourceType: String,
+                               tsCol: String = "ts",
+                               watermarkDelay: String = "10 seconds",
+                               ttl: TTLConfig = TTLConfig.NONE): Dataset[Attribution] = {
+    require(targetType != sourceType,
+      "lastTouchStreamEventTime: target and source types must differ")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark(tsCol, watermarkDelay)
+      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+        col("event_type").as("eventType"), col(tsCol).as("ts"))
+      .as[TimedAttrEvent]
+      .groupByKey(_.userId)
+      .transformWithState(new OrderedLastTouchProcessor(targetType, sourceType, ttl),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

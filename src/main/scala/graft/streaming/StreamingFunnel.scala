@@ -75,4 +75,103 @@ object StreamingFunnel {
       .transformWithState(new FunnelProcessor(steps),
         TimeMode.None(), OutputMode.Append())
   }
+
+  // -------------------------------------------------------------------
+  // Out-of-order (event-time) variant
+
+  case class TimedFunnelEvent(userId: Long, eventId: Long, eventType: String,
+                              ts: java.sql.Timestamp)
+  case class Buffered(eventType: String, tsMs: Long)
+
+  /** Event-time funnel that tolerates OUT-OF-ORDER delivery up to the
+    * watermark delay: events buffer in per-entity MapState keyed by their
+    * ordinal, and fold through the funnel only when the WATERMARK passes
+    * their event time — at which point every earlier-ordered event that
+    * can still arrive has arrived, so the fold equals the batch operator
+    * exactly (the in-order [[FunnelProcessor]] instead trades this for
+    * zero emission latency and documents in-order delivery as a
+    * contract). Trade: advances emit one watermark delay late.
+    *
+    * Scale notes: buffer size per entity is bounded by its event rate ×
+    * watermark delay (MapState rows, disk-resident under the RocksDB
+    * provider); each finalization drains only ripe entries. A
+    * `minBufferedTs` ValueState keeps timer re-registration O(1) per
+    * batch instead of a buffer scan; the full scan happens only inside
+    * the drain, which already iterates ripe entries.
+    */
+  class OrderedFunnelProcessor(steps: Seq[String])
+      extends StatefulProcessor[Long, TimedFunnelEvent, StepAdvance] {
+    @transient private var progress: ValueState[Progress] = _
+    @transient private var buffer: MapState[Long, Buffered] = _
+    @transient private var minTs: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      progress = getHandle.getValueState[Progress]("progress",
+        Encoders.product[Progress], TTLConfig.NONE)
+      buffer = getHandle.getMapState[Long, Buffered]("buffer",
+        Encoders.scalaLong, Encoders.product[Buffered], TTLConfig.NONE)
+      minTs = getHandle.getValueState[Long]("minTs",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def rearm(expiryMs: Long): Unit = {
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(expiryMs)
+      minTs.update(expiryMs)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TimedFunnelEvent],
+                                 timerValues: TimerValues): Iterator[StepAdvance] = {
+      var newMin = if (minTs.exists()) minTs.get() else Long.MaxValue
+      rows.foreach { e =>
+        buffer.updateValue(e.eventId, Buffered(e.eventType, e.ts.getTime))
+        if (e.ts.getTime < newMin) newMin = e.ts.getTime
+      }
+      if (newMin != Long.MaxValue) rearm(newMin)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[StepAdvance] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val all = buffer.iterator().map { case (ord, b) => (ord, b) }.toSeq
+      val (ripe, rest) = all.partition(_._2.tsMs <= wm)
+      var st = if (progress.exists()) progress.get() else Progress(-1, Long.MinValue)
+      val out = scala.collection.mutable.ArrayBuffer.empty[StepAdvance]
+      ripe.sortBy(_._1).foreach { case (ord, b) =>
+        if (st.step + 1 < steps.length && b.eventType == steps(st.step + 1) &&
+            ord > st.lastOrd) {
+          st = Progress(st.step + 1, ord)
+          out += StepAdvance(key, st.step, ord)
+        }
+        buffer.removeKey(ord)
+      }
+      if (out.nonEmpty) progress.update(st)
+      if (rest.nonEmpty) rearm(rest.map(_._2.tsMs).min) else minTs.clear()
+      out.iterator
+    }
+  }
+
+  /** [[funnelStream]] with out-of-order tolerance: `events` must carry an
+    * event-time column `tsCol`; late/reordered events within
+    * `watermarkDelay` fold in ordinal order regardless of arrival order.
+    * Events later than the delay are dropped by the watermark — the
+    * standard streaming completeness/latency trade.
+    */
+  def funnelStreamEventTime(events: DataFrame, steps: Seq[String],
+                            tsCol: String = "ts",
+                            watermarkDelay: String = "10 seconds"): Dataset[StepAdvance] = {
+    require(steps.nonEmpty, "funnelStreamEventTime: empty step list")
+    require(steps.distinct.size == steps.size,
+      s"funnelStreamEventTime: duplicate step types in $steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark(tsCol, watermarkDelay)
+      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+        col("event_type").as("eventType"), col(tsCol).as("ts"))
+      .as[TimedFunnelEvent]
+      .groupByKey(_.userId)
+      .transformWithState(new OrderedFunnelProcessor(steps),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -2,6 +2,8 @@ package graft.state
 
 import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Commit (task thread) vs doMaintenance (Spark's background maintenance
@@ -80,5 +82,50 @@ class KvConcurrencySuite extends AnyFunSuite {
     val scanned = s.scan(Array.emptyByteArray).map(p => new String(p._1, "UTF-8")).toSet
     assert(scanned === expectedKeys,
       s"state diverged: missing=${expectedKeys -- scanned} extra=${scanned -- expectedKeys}")
+  }
+
+  test("chain deregistration under an open session is logged before it turns fatal") {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.{LogEvent, Logger => Log4jLogger}
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.{Configurator, Property}
+
+    EmbeddedKvServer.clear()
+    val client = EmbeddedKvServer.client("gc-log-test")
+    // baseInterval high enough that every version is a delta: the open
+    // session's chain then spans [1..5] and get() really walks it
+    val backend = new KvSessionBackend("store", client, baseInterval = 100)
+    (1 to 5).foreach { v =>
+      val s = backend.open(v - 1, v); s.put(k(s"key$v"), k(s"v$v")); s.commit()
+    }
+    val session = backend.open(5, 6)
+    assert(new String(session.get(k("key1")), "UTF-8") === "v1")
+    (6 to 12).foreach { v =>
+      val s = backend.open(v - 1, v); s.put(k(s"key$v"), k(s"v$v")); s.commit()
+    }
+
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val appender = new AbstractAppender("kv-gc-capture", null, null, false,
+        Property.EMPTY_ARRAY) {
+      override def append(event: LogEvent): Unit =
+        captured.add(event.getMessage.getFormattedMessage)
+    }
+    appender.start()
+    Configurator.setLevel(classOf[KvSessionBackend].getName, Level.WARN)
+    val logger = LogManager.getLogger(classOf[KvSessionBackend])
+      .asInstanceOf[Log4jLogger]
+    logger.addAppender(appender)
+    try {
+      // ONE maintenance run deregisters the session's chain (→ GC-pending;
+      // bytes survive one deferred cycle, so the read must still succeed)
+      backend.doMaintenance(3)
+      assert(new String(session.get(k("key1")), "UTF-8") === "v1",
+        "deferred GC must keep a one-cycle-old chain readable")
+      assert(captured.asScala.exists(_.contains("deregistered by maintenance GC")),
+        s"expected a deregistration warning, captured: ${captured.asScala.toList}")
+    } finally {
+      logger.removeAppender(appender)
+      appender.stop()
+    }
   }
 }
