@@ -10,9 +10,12 @@ import graft.queries.QuerySpec
   * columns with a typed metadata struct, and per-batch decode / feature
   * extraction.
   *
-  * The container has no image/audio codecs, so `decodeStub` fabricates
-  * deterministic features from the raw bytes — clearly marked STUB. The
-  * Spark-side plumbing is real and is what matters at scale:
+  * The image path is REAL: [[withPngMedia]]/[[decodeImage]]/
+  * [[resizeImageNN]] run `javax.imageio` (in the JDK — no external dep)
+  * per partition, and the q94/q95 oracles gate the decoded pixels
+  * row-level. Only formats with no offline JDK codec (webm, jpeg-exact)
+  * keep the byte-level `decodeStub`, clearly marked. The Spark-side
+  * plumbing is identical for both and is what matters at scale:
   *  - media rides as `BinaryType` next to its metadata struct (schema'd,
   *    column-prunable: a query touching only `meta` never reads the blob),
   *  - decode runs per-partition (`mapPartitions`) so a real codec would
@@ -123,6 +126,123 @@ object Multimodal {
           .as(Seq("sample_idx", "frame_idx")))
   }
 
+  // -------------------------------------------------------------------
+  // Real image codec path (javax.imageio — in the JDK, no external dep)
+
+  final case class PngRow(doc_id: Long, data: Array[Byte])
+  final case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+                                 n_pixels: Long, pixel_sum: Long,
+                                 h0: Long, h1: Long, h2: Long, h3: Long)
+  final case class ResizedImage(doc_id: Long, out_w: Int, out_h: Int,
+                                pixel_sum: Long)
+
+  /** Deterministic gray value of pixel (x, y) for document `id` — the
+    * generative formula both the PNG fixture and the DuckDB oracle
+    * share. PNG is lossless, so ImageIO decode must return exactly
+    * these values; the oracle never needs to decode anything.
+    */
+  private def gray(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+  private def dims(id: Long): (Int, Int) =
+    ((id % 8 + 4).toInt, (id % 6 + 3).toInt)
+
+  /** One REAL PNG per document: a tiny grayscale image whose pixels
+    * follow [[gray]], encoded with `javax.imageio` per partition. The
+    * encoded bytes are codec-dependent (zlib level etc.) and nothing
+    * downstream asserts on them — all gates read DECODED pixels.
+    */
+  def withPngMedia(docs: DataFrame): Dataset[PngRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false) // no tmp-file spill per task
+      ids.map { id =>
+        val (w, h) = dims(id)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, gray(id, x, y)); x += 1 }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        PngRow(id, out.toByteArray)
+      }
+    }
+  }
+
+  /** REAL image decode: `javax.imageio` parses the PNG container and
+    * inflates the pixel data per partition; features come from the
+    * decoded raster, not the encoded bytes. This is the non-stub row of
+    * SURVEY §2.D — [[decodeStub]] remains only for formats with no
+    * offline JDK codec (webm).
+    */
+  def decodeImage(media: Dataset[PngRow]): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { m =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.data))
+        require(img != null, s"undecodable PNG payload for doc ${m.doc_id}")
+        val raster = img.getRaster
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        val hist = new Array[Long](4)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = raster.getSample(x, y, 0)
+            sum += g
+            hist(g >> 6) += 1
+            x += 1
+          }
+          y += 1
+        }
+        ImageFeatures(m.doc_id, w, h, w.toLong * h, sum,
+          hist(0), hist(1), hist(2), hist(3))
+      }
+    }
+  }
+
+  /** REAL decode + nearest-neighbor resample to (targetW, targetH):
+    * output pixel (x, y) reads source pixel (⌊x·w/tw⌋, ⌊y·h/th⌋) of the
+    * ImageIO-decoded raster — the deterministic resample a SQL oracle
+    * can mirror exactly, where an interpolating scaler's weights are
+    * implementation-defined.
+    */
+  def resizeImageNN(media: Dataset[PngRow], targetW: Int, targetH: Int): Dataset[ResizedImage] = {
+    require(targetW >= 1 && targetH >= 1,
+      s"resizeImageNN: target dims must be positive, got ${targetW}x$targetH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { m =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.data))
+        require(img != null, s"undecodable PNG payload for doc ${m.doc_id}")
+        val raster = img.getRaster
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < targetH) {
+          var x = 0
+          while (x < targetW) {
+            sum += raster.getSample(x * w / targetW, y * h / targetH, 0)
+            x += 1
+          }
+          y += 1
+        }
+        ResizedImage(m.doc_id, targetW, targetH, sum)
+      }
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec(
@@ -210,6 +330,52 @@ object Multimodal {
           FROM documents)
         GROUP BY format
         ORDER BY format""")),
+
+    // REAL codec round-trip gate: encode (ImageIO png writer) → decode
+    // (ImageIO reader) → features from the DECODED raster, row-level
+    // against the generative pixel formula recomputed in pure SQL. Any
+    // codec-path defect (stride, channel order, premature truncation)
+    // breaks the pixel sums.
+    QuerySpec(
+      "q94_media_decode_real",
+      (s, d) => decodeImage(withPngMedia(Tables.documents(s, d)))
+        .toDF().orderBy(col("doc_id")),
+      Some("""
+        WITH px AS (
+          SELECT doc_id, CAST(doc_id % 8 + 4 AS BIGINT) AS w,
+                 CAST(doc_id % 6 + 3 AS BIGINT) AS h
+          FROM documents),
+        g AS (
+          SELECT doc_id, w, h,
+                 (doc_id*31 + xs.x*7 + ys.y*13) % 256 AS gray
+          FROM px, LATERAL unnest(range(0, w)) AS xs(x),
+                   LATERAL unnest(range(0, h)) AS ys(y))
+        SELECT doc_id, CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+               COUNT(*) AS n_pixels, CAST(SUM(gray) AS BIGINT) AS pixel_sum,
+               CAST(COUNT(*) FILTER (WHERE gray // 64 = 0) AS BIGINT) AS h0,
+               CAST(COUNT(*) FILTER (WHERE gray // 64 = 1) AS BIGINT) AS h1,
+               CAST(COUNT(*) FILTER (WHERE gray // 64 = 2) AS BIGINT) AS h2,
+               CAST(COUNT(*) FILTER (WHERE gray // 64 = 3) AS BIGINT) AS h3
+        FROM g GROUP BY doc_id ORDER BY doc_id""")),
+
+    // REAL decode + nearest-neighbor resample, same oracle construction
+    QuerySpec(
+      "q95_media_resize_real",
+      (s, d) => resizeImageNN(withPngMedia(Tables.documents(s, d)), 4, 3)
+        .toDF().orderBy(col("doc_id")),
+      Some("""
+        WITH px AS (
+          SELECT doc_id, CAST(doc_id % 8 + 4 AS BIGINT) AS w,
+                 CAST(doc_id % 6 + 3 AS BIGINT) AS h
+          FROM documents),
+        r AS (
+          SELECT doc_id,
+                 (doc_id*31 + ((xs.x*w)//4)*7 + ((ys.y*h)//3)*13) % 256 AS gray
+          FROM px, LATERAL unnest(range(0, 4)) AS xs(x),
+                   LATERAL unnest(range(0, 3)) AS ys(y))
+        SELECT doc_id, CAST(4 AS INT) AS out_w, CAST(3 AS INT) AS out_h,
+               CAST(SUM(gray) AS BIGINT) AS pixel_sum
+        FROM r GROUP BY doc_id ORDER BY doc_id""")),
 
     QuerySpec(
       "q52_frame_sample",
