@@ -418,9 +418,10 @@ object Dedup {
     * that doubles as the convergence check; labels and the next frontier
     * are projections of it. No driver-side graph state — the driver sees
     * one scalar per round. Converges in ≤ diameter rounds — near-dup
-    * components are dense and shallow (a few hops); for adversarially
-    * long chains the large-star/small-star variant (O(log n) rounds) is
-    * the documented evolution.
+    * components are dense and shallow (a few hops); an adversarially
+    * long chain that exhausts `maxIterations` falls back to
+    * [[connectedComponentsAlternating]] (large-star/small-star,
+    * O(log n) rounds) instead of failing.
     *
     * Scale notes (100 TB): only (id, comp) pairs ever travel — never
     * text; the edge list is materialized once and re-joined per round
@@ -467,12 +468,98 @@ object Dedup {
     }
     // partial propagation would be CONSERVATIVE for dedup (unmerged
     // components keep extra docs, never drop wrong ones) but must not
-    // pass silently as converged output
-    require(frontierSize == 0,
-      s"connectedComponents did not converge in $maxIterations rounds " +
-        s"($frontierSize labels still improving) — raise maxIterations; " +
-        "a graph this deep usually means the pair threshold is too loose")
+    // pass silently as converged output: a graph deeper than
+    // maxIterations (usually a too-loose pair threshold chaining half
+    // the corpus) switches to the O(log n)-round star algorithm, which
+    // is immune to diameter
+    if (frontierSize > 0)
+      return connectedComponentsAlternating(pairs, aCol, bCol)
     labels
+  }
+
+  /** Connected components by ALTERNATING large-star/small-star rounds —
+    * the diameter-immune formulation from the MapReduce-CC literature
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * each round re-points every node's larger neighbors (large-star) and
+    * then its smaller neighbors (small-star) at the minimum of the
+    * neighborhood, collapsing any component to a star around its minimum
+    * id in O(log n) rounds REGARDLESS of graph diameter — the
+    * adversarial-chain fallback of [[connectedComponents]], whose
+    * frontier propagation needs diameter rounds.
+    *
+    * Convergence check: the canonical edge multiset is a fixpoint of the
+    * small-star round (count + order-independent hash sum — a pure
+    * aggregation, no driver-side edge set). Per round: two keyed
+    * aggregations + two joins over the shrinking edge list; only (long,
+    * long) pairs travel; lineage truncates per round (`localCheckpoint`,
+    * same durable-`checkpoint()` note as the frontier variant).
+    *
+    * Returns (id, comp) for every node incident to ≥1 pair, comp = the
+    * component's minimum node id — same contract as
+    * [[connectedComponents]] (property-tested equal in
+    * ConnectedComponentsSuite).
+    */
+  def connectedComponentsAlternating(pairs: DataFrame, aCol: String = "doc_a",
+                                     bCol: String = "doc_b",
+                                     maxIterations: Int = 40): DataFrame = {
+    // canonical undirected edges (lo, hi), self-loops dropped
+    val fwd = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    var edges = fwd
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint()
+    // every node ever seen: label emission below must cover nodes whose
+    // incident edges collapse away entirely (star roots)
+    val nodes = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id"))).distinct().localCheckpoint()
+    var iter = 0
+    var prevSig: (Long, Long) = null
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      // large-star: for each node u (symmetric view), m = min(Γ(u) ∪ {u});
+      // every LARGER neighbor re-points at m
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u")) // m <= u < v, so (m, v) is canonical
+        .select(col("m").as("u"), col("v"))
+        .distinct()
+      // small-star: for each node v, its SMALLER neighbors (the u side of
+      // canonical edges) plus v itself re-point at their minimum
+      val smins = large.groupBy(col("v")).agg(min(col("u")).as("m"))
+      val small = large.join(smins, "v")
+        .select(explode(array(
+          struct(col("u").as("x"), col("m")),
+          struct(col("v").as("x"), col("m")))).as("e"))
+        .select(col("e.x").as("x"), col("e.m").as("m"))
+        .filter(col("x") =!= col("m"))
+        .select(least(col("x"), col("m")).as("u"), greatest(col("x"), col("m")).as("v"))
+        .distinct()
+        .localCheckpoint(eager = false)
+      // fixpoint detection: an order-independent (count, hash-xor)
+      // signature materializes the round cheaply (xor, not sum — ANSI mode
+      // would overflow a long sum; xor can't, and the edge set is distinct
+      // so cancellation needs a real hash collision); a signature match is
+      // then CONFIRMED with an exact set compare, so a 2^-64 collision can
+      // never freeze a non-star edge set into the labels
+      val sigRow = small.agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h")).head()
+      val sig = (sigRow.getLong(0), sigRow.getLong(1))
+      converged = sig == prevSig &&
+        edges.exceptAll(small).isEmpty && small.exceptAll(edges).isEmpty
+      prevSig = sig
+      edges = small
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsAlternating did not converge in $maxIterations " +
+        "rounds — O(log n) bound exceeded, which indicates a bug, not a deep graph")
+    // at the fixpoint every edge is (root, member): labels are the edge
+    // list itself plus a self-label per root / fully-collapsed node
+    val memberLabels = edges.select(col("v").as("id"), col("u").as("comp"))
+    nodes.join(memberLabels, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   /** Documents annotated with their near-dup cluster: `comp` (canonical
