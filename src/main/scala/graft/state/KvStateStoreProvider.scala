@@ -461,14 +461,34 @@ object KvSessionBackend {
   val BaseInterval = 10
 }
 
-/** Provider wiring the KV seam to the embedded server. A production
-  * deployment swaps `EmbeddedKvServer.client(...)` for a Jedis/Aerospike
-  * adapter implementing [[KvClient]] — nothing else changes.
+/** Provider wiring the KV seam to a backend chosen by conf
+  * [[KvStateStoreProvider.RespAddrKey]]:
+  *  - unset → the in-JVM [[EmbeddedKvServer]] map (fastest, no sockets);
+  *  - `"embedded"` → a [[RespKvClient]] over the in-process
+  *    [[RespKvServer]] — the full Redis wire protocol exercised end to
+  *    end with no external dependency;
+  *  - `"host:port"` → a [[RespKvClient]] against a real RESP server
+  *    (Redis or compatible) at that address.
+  * A Jedis/Aerospike adapter implementing [[KvClient]] drops into the
+  * same seam — nothing else changes.
   */
 class KvStateStoreProvider extends GraftStateStoreProviderBase {
   override protected def createBackend(): SessionBackend = {
     val prefix = s"${storeId.checkpointRootLocation}/${storeId.operatorId}/" +
       s"${storeId.partitionId}/${storeId.storeName}"
-    new KvSessionBackend(prefix, EmbeddedKvServer.client("default"))
+    val confs = storeConf.sqlConfs ++ storeConf.extraOptions
+    val client = confs.get(KvStateStoreProvider.RespAddrKey) match {
+      case Some("embedded") => RespKvServer.newSharedClient()
+      case Some(addr) =>
+        val (host, port) = addr.splitAt(addr.lastIndexOf(':'))
+        new RespKvClient(host, port.drop(1).toInt)
+      case None => EmbeddedKvServer.client("default")
+    }
+    new KvSessionBackend(prefix, client)
   }
+}
+
+object KvStateStoreProvider {
+  /** "embedded" | "host:port"; unset = in-JVM map (see class doc). */
+  val RespAddrKey = "spark.sql.streaming.stateStore.kvRespAddr"
 }
