@@ -44,7 +44,8 @@ object Bench {
     // they are the documented scale-killers — so the timed tier runs the
     // capped formulations and leaves exactness to Verify.
     val verifyOnlyExact = Set(
-      "q31_jaccard_pairs", "q49_dedup_clusters", "q77_hybrid_dedup", "q90_dup_spans")
+      "q31_jaccard_pairs", "q49_dedup_clusters", "q77_hybrid_dedup", "q90_dup_spans",
+      "q70_curation_pipeline") // capped production tier benched as q99
     val benched = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => verifyOnlyExact(name) }
     // untimed warmup: a FULL pass over every query, so JIT/codegen

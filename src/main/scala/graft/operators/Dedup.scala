@@ -780,6 +780,34 @@ object Dedup {
 
   // ---------------------------------------------------------------------
 
+  /** DuckDB mirror of [[jaccardPairs]]' capped mode: candidate pairs must
+    * share a token with block-df ≤ `cap`; Jaccard over the FULL token
+    * sets (the implementation's hot-token correction makes the measure
+    * exact even though hot tokens never enter the candidate join).
+    */
+  private def cappedJaccardOracle(cap: Int): String = s"""
+        WITH toksets AS (
+          SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+          FROM documents),
+        tok AS (SELECT doc_id, source, unnest(toks) AS tok FROM toksets),
+        df AS (SELECT source, tok, COUNT(*) AS df FROM tok GROUP BY 1, 2),
+        rare AS (
+          SELECT t.doc_id, t.source, t.tok
+          FROM tok t JOIN df USING (source, tok) WHERE df <= $cap),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM rare a JOIN rare b
+            ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id)
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+        FROM cand c
+          JOIN toksets a ON c.doc_a = a.doc_id
+          JOIN toksets b ON c.doc_b = b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+        ORDER BY doc_a, doc_b"""
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec(
@@ -839,10 +867,8 @@ object Dedup {
     QuerySpec(
       "q31_jaccard_pairs",
       // exact mode (no token-df cap): this query is gated against an exact
-      // all-pairs DuckDB oracle, and the capped default is only complete
-      // when no near-dup pair shares exclusively block-hot tokens — a
-      // data-dependent guarantee no gate should rest on. The capped
-      // production mode is exercised by q37_jaccard_capped (rows-only).
+      // all-pairs DuckDB oracle. The capped production mode is exercised
+      // by q37/q96, whose oracles mirror the capped candidate rule.
       (s, d) => jaccardPairs(Tables.documents(s, d), 0.5, maxTokenDf = Int.MaxValue)
         .orderBy(col("doc_a"), col("doc_b")),
       Some("""
@@ -860,15 +886,26 @@ object Dedup {
 
     // Production mode of the same operator: token-df skew cap ON (the
     // 100 TB guard — one block-wide stopword must not regenerate the
-    // all-pairs join). Cap 100 actually FIRES on this corpus (max block
+    // all-pairs join). Cap 100 actually FIRES at bench scale (max block
     // df ≈ 214 at sf0.1), so the hot-token exclusion + exact correction
-    // paths run for real, not vacuously. Candidate recall is
-    // data-dependent by design → rows-only; exactness is gated by q31.
+    // paths run for real, not vacuously. The cap's semantics are
+    // deterministic — candidates must share a token with df ≤ cap,
+    // Jaccard itself stays exact via the hot-token correction — so the
+    // production mode is FULLY oracle-gated: the oracle mirrors the
+    // candidate rule. q96 gates the same rule with a cap tight enough to
+    // bite at sf0.01 too (max df there is 24 → cap=100 ≡ exact at verify
+    // scale, while cap=8 prunes 4439 pairs down to 6).
     QuerySpec(
       "q37_jaccard_capped",
       (s, d) => jaccardPairs(Tables.documents(s, d), 0.5, maxTokenDf = 100)
         .orderBy(col("doc_a"), col("doc_b")),
-      None),
+      Some(cappedJaccardOracle(100))),
+
+    QuerySpec(
+      "q96_jaccard_capped_tight",
+      (s, d) => jaccardPairs(Tables.documents(s, d), 0.5, maxTokenDf = 8)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(cappedJaccardOracle(8))),
 
     QuerySpec(
       "q45_cosine_dedup",

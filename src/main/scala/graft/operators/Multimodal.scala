@@ -243,6 +243,135 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // REAL audio path: 16-bit mono PCM WAV through `javax.sound.sampled`
+  // (in the JDK — no external dep). Mirrors the PNG path's design: the
+  // synthetic waveform follows a shared integer formula ([[sample]]), WAV
+  // PCM is lossless, so the decode must return exactly those samples and
+  // the DuckDB oracle recomputes the formula instead of decoding anything.
+  // Re-expresses the reference's audio-decode surface (SURVEY §2.D) —
+  // the container parse + frame read is real; only perceptual codecs
+  // (mp3/ogg) stay stubbed, there is no offline JDK codec for them.
+  // ---------------------------------------------------------------------
+
+  final case class WavRow(doc_id: Long, data: Array[Byte])
+  final case class AudioFeatures(doc_id: Long, n_samples: Long, sum_val: Long,
+                                 sum_abs: Long, zero_cross: Long, peak: Long)
+  final case class ResampledAudio(doc_id: Long, target_n: Int, sum_val: Long)
+
+  /** Deterministic 16-bit sample `i` of doc `id` — the generative formula
+    * the WAV fixture and the DuckDB oracle share. The ×787 stride wraps
+    * the 4096-wide ramp every ~5 samples so zero-crossing counts are
+    * non-degenerate.
+    */
+  private def sample(id: Long, i: Int): Int =
+    ((id * 131 + i * 787L) % 4096 - 2048).toInt
+
+  private def numSamples(id: Long): Int = (id % 50 + 30).toInt
+
+  private val WavFormat =
+    new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false) // s16le mono
+
+  /** One REAL RIFF/WAVE blob per document: [[sample]] values packed as
+    * little-endian s16 PCM and containerized by `AudioSystem.write` per
+    * partition. Nothing downstream asserts on the container bytes — all
+    * gates read DECODED samples.
+    */
+  def withWavMedia(docs: DataFrame): Dataset[WavRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val n = numSamples(id)
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = sample(id, i)
+          pcm(2 * i) = (s & 0xFF).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), WavFormat, n.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        WavRow(id, out.toByteArray)
+      }
+    }
+  }
+
+  /** Decode a WAV blob to its s16 samples via `AudioSystem` (header parse
+    * + frame read — the real container path, shared by decode/resample).
+    */
+  private def readWavSamples(data: Array[Byte], docId: Long): Array[Int] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(data))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+        s"unexpected WAV format for doc $docId: $fmt")
+      val bytes = in.readAllBytes()
+      val n = bytes.length / 2
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        out(i) = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort.toInt
+        i += 1
+      }
+      out
+    } finally in.close()
+  }
+
+  /** REAL audio decode + per-clip features: sample count, sum, absolute
+    * energy, zero crossings (sign flips between adjacent samples), and
+    * peak amplitude — all integer arithmetic over the decoded PCM, so the
+    * oracle comparison is exact, never float-tolerance.
+    */
+  def decodeAudio(media: Dataset[WavRow]): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val s = readWavSamples(m.data, m.doc_id)
+        var sum = 0L; var sumAbs = 0L; var zc = 0L; var peak = 0L
+        var i = 0
+        while (i < s.length) {
+          val v = s(i)
+          sum += v
+          sumAbs += math.abs(v)
+          if (math.abs(v) > peak) peak = math.abs(v)
+          if (i > 0 && ((s(i - 1) < 0) != (v < 0))) zc += 1
+          i += 1
+        }
+        AudioFeatures(m.doc_id, s.length.toLong, sum, sumAbs, zc, peak)
+      }
+    }
+  }
+
+  /** REAL decode + nearest-neighbor resample to `targetN` samples: output
+    * sample `i` reads decoded sample `⌊i·n/targetN⌋` — the deterministic
+    * resample a SQL oracle mirrors exactly, where a windowed-sinc
+    * resampler's taps are implementation-defined.
+    */
+  def resampleAudioNN(media: Dataset[WavRow], targetN: Int): Dataset[ResampledAudio] = {
+    require(targetN >= 1, s"resampleAudioNN: targetN must be positive, got $targetN")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val s = readWavSamples(m.data, m.doc_id)
+        var sum = 0L
+        var i = 0
+        while (i < targetN) {
+          sum += s((i.toLong * s.length / targetN).toInt)
+          i += 1
+        }
+        ResampledAudio(m.doc_id, targetN, sum)
+      }
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec(
@@ -376,6 +505,43 @@ object Multimodal {
         SELECT doc_id, CAST(4 AS INT) AS out_w, CAST(3 AS INT) AS out_h,
                CAST(SUM(gray) AS BIGINT) AS pixel_sum
         FROM r GROUP BY doc_id ORDER BY doc_id""")),
+
+    QuerySpec(
+      "q97_audio_decode_real",
+      (s, d) => decodeAudio(withWavMedia(Tables.documents(s, d)))
+        .toDF().orderBy(col("doc_id")),
+      Some("""
+        WITH p AS (
+          SELECT doc_id, CAST(doc_id % 50 + 30 AS BIGINT) AS n FROM documents),
+        s AS (
+          SELECT doc_id, n, i.i AS i,
+                 (doc_id*131 + i.i*787) % 4096 - 2048 AS v
+          FROM p, LATERAL unnest(range(0, n)) AS i(i)),
+        w AS (
+          SELECT doc_id, n, i, v,
+                 LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+          FROM s)
+        SELECT doc_id, MAX(n) AS n_samples, CAST(SUM(v) AS BIGINT) AS sum_val,
+               CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+               CAST(COUNT(*) FILTER (WHERE pv IS NOT NULL AND ((pv < 0) != (v < 0)))
+                    AS BIGINT) AS zero_cross,
+               CAST(MAX(ABS(v)) AS BIGINT) AS peak
+        FROM w GROUP BY doc_id ORDER BY doc_id""")),
+
+    QuerySpec(
+      "q98_audio_resample_real",
+      (s, d) => resampleAudioNN(withWavMedia(Tables.documents(s, d)), 16)
+        .toDF().orderBy(col("doc_id")),
+      Some("""
+        WITH p AS (
+          SELECT doc_id, CAST(doc_id % 50 + 30 AS BIGINT) AS n FROM documents),
+        r AS (
+          SELECT doc_id, (i.i * n) // 16 AS src
+          FROM p, LATERAL unnest(range(0, 16)) AS i(i)),
+        v AS (
+          SELECT doc_id, (doc_id*131 + src*787) % 4096 - 2048 AS v FROM r)
+        SELECT doc_id, CAST(16 AS INT) AS target_n, CAST(SUM(v) AS BIGINT) AS sum_val
+        FROM v GROUP BY doc_id ORDER BY doc_id""")),
 
     QuerySpec(
       "q52_frame_sample",

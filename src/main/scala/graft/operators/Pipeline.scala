@@ -346,6 +346,61 @@ object Pipeline {
         FROM t GROUP BY source, chunk_id
         ORDER BY source, chunk_id""")),
 
+    // Production tier of the same pipeline: near-dup token-df cap ON.
+    // Same deterministic-candidate-rule oracle treatment as q37/q96 —
+    // the capped mode is fully hash-gated, not rows-only, so the path a
+    // 100 TB run would actually take is itself correctness-verified.
+    // This is the benched formulation; q70 (exact) is verify-only.
+    QuerySpec(
+      "q99_curation_capped",
+      (s, d) => {
+        curate(Tables.documents(s, d),
+            minTokens = 10, maxTokens = 100, minTtr = 0.3, nearDupThreshold = 0.8,
+            maxTokenDf = 8)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+               sum(col("n_tokens")).as("token_budget"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH quality AS (
+          SELECT doc_id, source, text,
+                 len(string_split(text, ' ')) AS n_tokens
+          FROM documents
+          WHERE len(string_split(text, ' ')) BETWEEN 10 AND 100
+            AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' ')) > 0.3),
+        exact_deduped AS (
+          SELECT doc_id, source, text, n_tokens FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM quality)
+          WHERE rn = 1),
+        toksets AS (
+          SELECT doc_id, source, n_tokens,
+                 list_distinct(string_split(text, ' ')) AS toks
+          FROM exact_deduped),
+        tok AS (SELECT doc_id, source, unnest(toks) AS tok FROM toksets),
+        df AS (SELECT source, tok, COUNT(*) AS df FROM tok GROUP BY 1, 2),
+        rare AS (
+          SELECT t.doc_id, t.source, t.tok
+          FROM tok t JOIN df USING (source, tok) WHERE df <= 8),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM rare a JOIN rare b
+            ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id),
+        losers AS (
+          SELECT DISTINCT c.doc_b AS doc_id
+          FROM cand c
+            JOIN toksets a ON c.doc_a = a.doc_id
+            JOIN toksets b ON c.doc_b = b.doc_id
+          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8)
+        SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_tokens) AS BIGINT) AS token_budget
+        FROM exact_deduped
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        GROUP BY source
+        ORDER BY source""")),
+
     QuerySpec(
       "q70_curation_pipeline",
       (s, d) => {
