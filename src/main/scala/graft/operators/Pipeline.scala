@@ -250,7 +250,76 @@ object Pipeline {
         .cast("long") % nShards)
   }
 
+  /** Morton (Z-order) interleave of the low 16 bits of two non-negative
+    * dimensions — the multi-dimensional data-layout key. Sorting/range-
+    * partitioning by `zValue2(a, b)` clusters rows so that a file's
+    * (min, max) z-range covers a small BOX in (a, b) space, which turns
+    * parquet footer min/max stats into two-dimensional data skipping: a
+    * query filtering on either or both dimensions prunes most files,
+    * where a single-column sort only ever prunes on that one column.
+    *
+    * Pure bit arithmetic (shift/mask spread, codegen'd, zero shuffle),
+    * identical in any engine — which is what the q101 oracle gates.
+    * 16 bits/dim (the classic 2-dim spread) is the file-skipping sweet
+    * spot: 65536 distinct values per dimension is far finer than any
+    * realistic file count; callers bucket coarser dims down first.
+    */
+  def zValue2(a: Column, b: Column): Column = {
+    def spread(c: Column): Column = {
+      val m = Seq(0x00FF00FFL, 0x0F0F0F0FL, 0x33333333L, 0x55555555L)
+      val shifts = Seq(8, 4, 2, 1)
+      shifts.zip(m).foldLeft(c.cast("long").bitwiseAND(lit(0xFFFFL))) {
+        case (x, (s, mask)) => x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(mask))
+      }
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Range-partition + sort `df` by the Z-value of (`colA`, `colB`) —
+    * the write-side layout pass before handing to a parquet writer. Each
+    * output partition (→ file) then holds one contiguous z-range, i.e. a
+    * bounded (a, b) box, so readers filtering on either dimension skip
+    * whole files on footer stats. `repartitionByRange` samples the
+    * z-distribution, so skew in either dimension yields balanced files
+    * instead of one hot partition.
+    */
+  def zorderLayout(df: DataFrame, colA: Column, colB: Column,
+                   numPartitions: Int): DataFrame = {
+    require(numPartitions > 0,
+      s"zorderLayout: numPartitions must be > 0, got $numPartitions")
+    val z = zValue2(colA, colB)
+    df.repartitionByRange(numPartitions, z).sortWithinPartitions(z)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q101_zorder_layout",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d).select($"o_orderkey",
+          zValue2($"o_custkey" % 65536,
+            datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date")) % 65536
+          ).as("zval"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        WITH d AS (
+          SELECT o_orderkey,
+                 CAST(o_custkey % 65536 AS BIGINT) AS a,
+                 CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 65536
+                      AS BIGINT) AS b
+          FROM orders),
+        s1 AS (SELECT o_orderkey,
+                 ((a | (a << 8)) & 16711935) AS a1, ((b | (b << 8)) & 16711935) AS b1 FROM d),
+        s2 AS (SELECT o_orderkey,
+                 ((a1 | (a1 << 4)) & 252645135) AS a2, ((b1 | (b1 << 4)) & 252645135) AS b2 FROM s1),
+        s3 AS (SELECT o_orderkey,
+                 ((a2 | (a2 << 2)) & 858993459) AS a3, ((b2 | (b2 << 2)) & 858993459) AS b3 FROM s2),
+        s4 AS (SELECT o_orderkey,
+                 ((a3 | (a3 << 1)) & 1431655765) AS a4, ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM s3)
+        SELECT o_orderkey, (a4 | (b4 << 1)) AS zval
+        FROM s4 ORDER BY o_orderkey""")),
+
     QuerySpec(
       "q87_train_shards",
       (s, d) => shardAssign(Tables.documents(s, d), "text", 16)

@@ -230,6 +230,50 @@ object TextOps {
     corpus.join(contaminatedIds(corpus, evalDocs, n, textCol, idCol),
       Seq(idCol), "left_anti")
 
+  /** [[contaminatedIds]] with a Bloom-filter pre-filter — the variant for
+    * when the eval side has outgrown a broadcast of its raw gram STRINGS
+    * but not of a bit array: 10⁹ eval grams ≈ tens of GB as strings vs
+    * ~1.2 GB as a 1%-FP Bloom filter. The corpus gram stream is first
+    * thinned map-side by `might_contain` (codegen'd, no shuffle, no join),
+    * and only the tiny surviving fraction reaches the exact semi-join that
+    * removes Bloom false positives — so the result is IDENTICAL to
+    * [[contaminatedIds]] (no false negatives by construction), which is
+    * what lets q100 share q65's exact oracle.
+    *
+    * The filter is built by `bloom_filter_agg` as one aggregated row; only
+    * those `numBits/8` bytes ever reach the driver (same driver-size class
+    * as the fitted k-means models — bounded by config, not by data).
+    *
+    * @param expectedItems sizing hint for the filter's hash count
+    * @param numBits       filter width; FP rate ≈ 0.6185^(numBits/items)
+    */
+  def contaminatedIdsBloom(corpus: DataFrame, evalDocs: DataFrame, n: Int = 4,
+                           textCol: String = "text", idCol: String = "doc_id",
+                           expectedItems: Long = 1000000L,
+                           numBits: Long = 8000000L): DataFrame = {
+    require(expectedItems > 0 && numBits > 0,
+      s"contaminatedIdsBloom: sizing must be positive, got items=$expectedItems bits=$numBits")
+    val evalGrams = evalDocs
+      .select(explode(wordNgrams(col(textCol), n)).as("gram")).distinct()
+    // bloom_filter_agg / might_contain are real codegen'd Spark
+    // expressions (the machinery behind runtime bloom-filter joins) but
+    // are not in the public function registry — constructed directly,
+    // same bridge the custom expressions use.
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bloom = evalGrams
+      .select(column(new BloomFilterAggregate(
+          expression(xxhash64(col("gram"))),
+          Literal(expectedItems), Literal(numBits)).toAggregateExpression()))
+      .head().getAs[Array[Byte]](0)
+    corpus.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
+      .filter(column(BloomFilterMightContain(
+        expression(lit(bloom)), expression(xxhash64(col("gram"))))))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
   /** Composite document quality score in [0, 1] — the weighted ensemble
     * of heuristic signals (lexical diversity, stopword density, length)
     * that curation pipelines threshold on when no learned classifier is
@@ -568,6 +612,37 @@ object TextOps {
     // measured non-vacuous on this corpus (36/480 docs flagged at
     // sf0.01) where 5-grams flag almost nothing and 3-grams almost
     // everything.
+    QuerySpec(
+      "q100_bloom_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(col("doc_id") >= 20)
+        val evalSet = docs.filter(col("doc_id") < 20)
+        val hits = contaminatedIdsBloom(corpus, evalSet, n = 4,
+            expectedItems = 10000L, numBits = 80000L)
+          .withColumn("hit", lit(1))
+        corpus.join(hits, Seq("doc_id"), "left_outer")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("hit")).as("n_contaminated"))
+          .orderBy(col("source"))
+      },
+      // exact-equality oracle shared with q65: the Bloom stage is a
+      // prefilter only — false positives die in the exact semi-join,
+      // false negatives cannot exist — so the result must be identical.
+      Some("""
+        WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS t FROM documents),
+        g AS (SELECT doc_id, array_to_string(t[i:i+3],' ') AS gram
+              FROM toks, UNNEST(generate_series(1, greatest(len(t)-3, 0))) AS u(i)),
+        eval_g AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20),
+        hits AS (SELECT DISTINCT g.doc_id FROM g JOIN eval_g USING (gram)
+                 WHERE g.doc_id >= 20)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(COUNT(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM hits))
+                    AS BIGINT) AS n_contaminated
+        FROM documents WHERE doc_id >= 20
+        GROUP BY source ORDER BY source""")),
+
     QuerySpec(
       "q65_decontaminate",
       (s, d) => {
