@@ -118,7 +118,14 @@ object TextOps {
     * across engines — exactness is spec-gated (BigramLmSuite computes a
     * fixture by hand), not oracle-gated.
     */
-  def bigramLmScore(docs: DataFrame): DataFrame = {
+  def bigramLmScore(docs: DataFrame): DataFrame =
+    bigramLogProbs(docs)
+      .groupBy(col("doc_id"))
+      .agg(avg(col("lp")).as("lm_score"), count(lit(1)).as("n_bigrams"))
+
+  /** Per-bigram log conditional probabilities `(doc_id, lp)` — the shared
+    * training+scoring pipeline behind both scoring tiers. */
+  private def bigramLogProbs(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
     val bi = toks.select(col("doc_id"),
@@ -138,9 +145,26 @@ object TextOps {
     val cW1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     bi.join(cBg, "bg").join(cW1, "w1")
       .withColumn("lp", log(col("c2").cast("double") / col("c1")))
-      .groupBy(col("doc_id"))
-      .agg(avg(col("lp")).as("lm_score"), count(lit(1)).as("n_bigrams"))
   }
+
+  /** Engine-portable tier of [[bigramLmScore]]: each bigram's log-prob is
+    * rounded to integer MICRO-units (`round(lp·1e6)` as long) before the
+    * per-doc aggregation, so the sum is an integer — addition order cannot
+    * perturb it, and the score is bit-identical on any engine whose `ln`
+    * is within ~1e-9 of correctly rounded (JVM `Math.log` and C
+    * `std::log` both are, to well under a micro-unit except measure-zero
+    * boundary ties). `score_micro = round(Σ lp_micro / n)` — i.e. the
+    * mean log-prob in micro-nats as a long. This is the tier the q64
+    * oracle gates; [[bigramLmScore]] keeps full double precision for
+    * in-engine thresholding. */
+  def bigramLmScoreMicro(docs: DataFrame): DataFrame =
+    bigramLogProbs(docs)
+      .withColumn("lp_micro", round(col("lp") * lit(1e6)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(
+        round(sum(col("lp_micro")).cast("double") / count(lit(1)))
+          .cast("long").as("score_micro"),
+        count(lit(1)).as("n_bigrams"))
 
   /** Overlapping word n-grams of a text column (empty when the doc has
     * fewer than n tokens — `sequence(1, size−n+1)` would otherwise count
