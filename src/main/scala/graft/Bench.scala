@@ -14,6 +14,28 @@ object Bench {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 
+  /** Time one query: (signed seconds, error). Seconds are NEGATIVE when
+    * the query threw — a failure must never read as a (suspiciously fast)
+    * win in the bench record, which is exactly how r06's two broken
+    * queries slipped past as 0.08-0.10 s "improvements".
+    */
+  def timeOne(spark: SparkSession, sfDir: String,
+              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
+    val t0 = System.nanoTime()
+    val err = try { fn(spark, sfDir).count(); None }
+      catch { case e: Throwable =>
+        Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
+      }
+    val sec = (System.nanoTime() - t0) / 1e9
+    (if (err.isEmpty) sec else -sec, err)
+  }
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case '\r' => "\\r"; case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to every core the machine has — the driver runs this without
@@ -46,8 +68,13 @@ object Bench {
     val verifyOnlyExact = Set(
       "q31_jaccard_pairs", "q49_dedup_clusters", "q77_hybrid_dedup", "q90_dup_spans",
       "q70_curation_pipeline") // capped production tier benched as q99
+    // dev iteration only: SPARK_GRAFT_BENCH_ONLY=q99_curation_capped,...
+    // times just those queries. The driver never sets it.
+    val onlyFilter = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val benched = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => verifyOnlyExact(name) }
+      .filter { case (name, _) => onlyFilter.forall(_.contains(name)) }
     // untimed warmup: a FULL pass over every query, so JIT/codegen
     // compilation, parquet footer reads, and shuffle-service init land
     // here instead of on the measured pass. The measured numbers are then
@@ -60,26 +87,37 @@ object Bench {
       catch { case _: Throwable => () }
       dropLeftoverBlocks(spark)
     }
+    // A query that throws must be LOUD: r06 recorded two analysis-broken
+    // queries at their time-to-throw (0.08-0.10 s) which read as wins.
+    // Failures get a NEGATIVE time (impossible for a real measurement),
+    // are excluded from the total, and carry their error in "errors".
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = benched.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val (sec, err) = timeOne(spark, sfDir, fn)
+      err.foreach(errors(name) = _)
       dropLeftoverBlocks(spark) // untimed: charge cleanup to the harness, not the query
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.filter(_._2 >= 0).map(_._2).sum
     // "warmup" records the harness methodology: r01-r03 warmed only 2
     // queries; r04+ run a full untimed pass first. Numbers are only
     // comparable across runs with the same warmup tag.
     val skipped = verifyOnlyExact.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","warmup":"full-pass","tier":"capped","verify_only":$skipped,"queries":$qs,"sf":"$sfDir"}"""
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warmup":"full-pass","tier":"capped","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"verify_only":$skipped,"queries":$qs,"sf":"$sfDir"}"""
     // persist BEFORE stop so the on-disk copy exists even if shutdown hangs
     java.nio.file.Files.writeString(resultPath, json)
+    // The driver parses a JSON line from a bounded stdout TAIL; the full
+    // per-query record (~8 KB) overflowed that window in r05+r06
+    // ("parsed": null). The LAST line is therefore a compact summary that
+    // always fits; per-query detail lives in bench_result.json only.
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","warmup":"full-pass","tier":"capped","n_queries":${results.size},"n_errors":${errors.size},"file":"$resultPath","sf":"$sfDir"}"""
     // stop FIRST so no Spark background thread can interleave log output
     // with the one JSON line the harness parses
     spark.stop()
-    println(json)
+    println(compact)
   }
 }

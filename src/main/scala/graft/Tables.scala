@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver-generated TPC-H-ish star schema
   * (TESTDATA.md). One parquet file per table under the scale-factor dir.
@@ -24,7 +26,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  /** Events with `ts` normalized to a nanos-since-epoch long REGARDLESS of
+    * the parquet physical type. The generator has shipped `ts` both as
+    * TIMESTAMP(NANOS) (which `nanosAsLong=true` surfaces as a long) and as
+    * TIMESTAMP_MICROS (which arrives as TIMESTAMP_NTZ); in the wild this
+    * column WILL arrive in either flavor, so the loader absorbs the
+    * difference once and every consumer keeps pure integer-ns arithmetic —
+    * exact, engine-portable, timezone-free.
+    *
+    * The NTZ branch goes through `to_utc_timestamp(_, "UTC")` so the naive
+    * wall-clock is pinned to UTC independent of the session timezone —
+    * matching DuckDB's `epoch_ns(ts)` reading of the same file.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw // TIMESTAMP(NANOS) read via nanosAsLong
+      case TimestampNTZType =>
+        raw.withColumn("ts", unix_micros(to_utc_timestamp(col("ts"), "UTC")) * 1000L)
+      case TimestampType =>
+        raw.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other — expected long, timestamp, or timestamp_ntz")
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

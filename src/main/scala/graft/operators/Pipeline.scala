@@ -40,7 +40,18 @@ object Pipeline {
       .withColumn("ttr", TextOps.typeTokenRatio(col("text")))
       .filter(col("n_tokens").between(minTokens, maxTokens) && col("ttr") > minTtr)
 
-    val exactDeduped = Dedup.exact(quality)
+    // The near-dup stage references its input ~5 times (token sets, the
+    // inverted index on both join sides, sizes, hot-token correction) and
+    // the final anti-join a 6th — each reference would re-run the quality
+    // gate AND the full-corpus window dedup. A lazy local checkpoint cuts
+    // the lineage so that pipeline runs ONCE and every subtree reads the
+    // stored blocks (same trade as the minhash signature checkpoint in
+    // [[Dedup.minhashLsh]]). Full-width, not a projection: text dominates
+    // the row anyway, and keeping all columns lets the OUTPUT side reuse
+    // the same blocks instead of recomputing the dedup a second time.
+    // On a real cluster this is `.checkpoint()` (durable) or a staging
+    // table — executor-local blocks don't survive executor loss.
+    val exactDeduped = Dedup.exact(quality).localCheckpoint(false)
 
     val nearDupLosers = Dedup.jaccardPairs(exactDeduped, nearDupThreshold,
         maxTokenDf = maxTokenDf)

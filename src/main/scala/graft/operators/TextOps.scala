@@ -156,15 +156,23 @@ object TextOps {
     * boundary ties). `score_micro = round(Σ lp_micro / n)` — i.e. the
     * mean log-prob in micro-nats as a long. This is the tier the q64
     * oracle gates; [[bigramLmScore]] keeps full double precision for
-    * in-engine thresholding. */
+    * in-engine thresholding.
+    *
+    * The mean itself is PURE integer arithmetic — half-away-from-zero
+    * rounding as `sign(s) * ((2|s| + n) div 2n)`, every operand
+    * nonnegative so truncating (Spark `div`) and flooring (DuckDB `//`)
+    * integer division agree — rather than `round(sum/n)` through a
+    * double, which silently loses exactness once |sum| exceeds 2^53
+    * (~4e8 bigrams at worst-case lp magnitudes). */
   def bigramLmScoreMicro(docs: DataFrame): DataFrame =
     bigramLogProbs(docs)
       .withColumn("lp_micro", round(col("lp") * lit(1e6)).cast("long"))
       .groupBy(col("doc_id"))
-      .agg(
-        round(sum(col("lp_micro")).cast("double") / count(lit(1)))
-          .cast("long").as("score_micro"),
-        count(lit(1)).as("n_bigrams"))
+      .agg(sum(col("lp_micro")).as("s"), count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"),
+        expr("CAST(sign(s) AS BIGINT) * ((abs(s) * 2 + n_bigrams) div (n_bigrams * 2))")
+          .as("score_micro"),
+        col("n_bigrams"))
 
   /** Overlapping word n-grams of a text column (empty when the doc has
     * fewer than n tokens — `sequence(1, size−n+1)` would otherwise count
@@ -591,21 +599,56 @@ object TextOps {
         ORDER BY lang, df_bucket""")),
 
     // corpus-trained bigram LM fluency score, thresholded per language.
-    // Cross-engine float-sum ordering makes per-doc means oracle-hostile →
-    // rows-only; semantics are spec-gated in BigramLmSuite.
+    // Gated through the MICRO tier: per-bigram log-probs round to integer
+    // micro-nats before any aggregation, so every downstream number
+    // (per-doc mean, per-lang sum, threshold count) is exact integer
+    // arithmetic — addition order cannot perturb it, and the only float
+    // step (ln itself) is correctly-rounded to well under a micro-unit on
+    // both JVM Math.log and DuckDB's libm. The double tier
+    // (bigramLmScore) stays the in-engine thresholding surface.
+    // Threshold -3386000 µnat = the sf0.01 corpus median, so n_fluent is
+    // a non-vacuous ~half split rather than a constant.
     QuerySpec(
       "q64_bigram_lm",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        bigramLmScore(docs)
+        bigramLmScoreMicro(docs)
           .join(docs.select(col("doc_id"), col("lang")), "doc_id")
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
-            round(avg(col("lm_score")), 4).as("avg_lm_score"),
-            sum(when(col("lm_score") > -1.0, 1).otherwise(0)).as("n_fluent"))
+            sum(col("score_micro")).cast("bigint").as("sum_score_micro"),
+            sum(when(col("score_micro") > -3386000L, 1).otherwise(0))
+              .cast("bigint").as("n_fluent"))
           .orderBy(col("lang"))
       },
-      None),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        bi0 AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(t)),
+                   i -> struct_pack(w1 := t[i], bg := t[i] || ' ' || t[i+1]))) AS e
+          FROM toks),
+        bi AS (SELECT doc_id, e.w1 AS w1, e.bg AS bg FROM bi0),
+        cbg AS (SELECT bg, COUNT(*) AS c2 FROM bi GROUP BY bg),
+        cw1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+        lp AS (
+          SELECT doc_id,
+                 CAST(round(ln(CAST(c2 AS DOUBLE) / c1) * 1e6) AS BIGINT) AS lp_micro
+          FROM bi JOIN cbg USING (bg) JOIN cw1 USING (w1)),
+        per_doc AS (
+          SELECT doc_id, SUM(lp_micro) AS s, COUNT(*) AS n
+          FROM lp GROUP BY doc_id),
+        scored AS (
+          SELECT doc_id,
+                 CAST(sign(s) AS BIGINT) * ((abs(s)*2 + n) // (2*n)) AS score_micro
+          FROM per_doc)
+        SELECT d.lang, COUNT(*) AS n_docs,
+               CAST(SUM(score_micro) AS BIGINT) AS sum_score_micro,
+               CAST(SUM(CASE WHEN score_micro > -3386000 THEN 1 ELSE 0 END) AS BIGINT) AS n_fluent
+        FROM scored JOIN documents d USING (doc_id)
+        GROUP BY d.lang ORDER BY d.lang""")),
 
     QuerySpec(
       "q56_tfidf_terms",

@@ -64,20 +64,29 @@ object StreamingAttribution {
 
   /** Attributed target events of a streaming `events` frame (columns
     * `user_id`, `event_id`, `event_type`), emitted incrementally.
-    * Pass a finite `ttl` to bound the attribution window.
+    * Pass a finite `ttl` to bound the attribution window ("credit clicks
+    * from the last 30 days"): the state TTL only re-arms on a NEW source
+    * event, so a stale click expires at the horizon even for an entity
+    * that stays active with target-type events. A finite TTL switches the
+    * query to `TimeMode.ProcessingTime` — Spark rejects TTL'd state in
+    * `TimeMode.None` (same pattern as [[StreamingDedup.nearDupStream]]).
     */
   def lastTouchStream(events: DataFrame, targetType: String, sourceType: String,
-                      ttl: TTLConfig = TTLConfig.NONE): Dataset[Attribution] = {
+                      ttl: Option[java.time.Duration] = None): Dataset[Attribution] = {
     require(targetType != sourceType,
       "lastTouchStream: target and source types must differ")
     val spark = events.sparkSession
     import spark.implicits._
+    val (ttlConf, timeMode) = ttl match {
+      case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
+      case None    => (TTLConfig.NONE, TimeMode.None())
+    }
     events.select(col("user_id").as("userId"), col("event_id").as("eventId"),
         col("event_type").as("eventType"))
       .as[AttrEvent]
       .groupByKey(_.userId)
-      .transformWithState(new LastTouchProcessor(targetType, sourceType, ttl),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new LastTouchProcessor(targetType, sourceType, ttlConf),
+        timeMode, OutputMode.Append())
   }
 
   // -------------------------------------------------------------------
@@ -86,6 +95,12 @@ object StreamingAttribution {
   case class TimedAttrEvent(userId: Long, eventId: Long, eventType: String,
                             ts: java.sql.Timestamp)
   case class BufferedAttr(eventType: String, tsMs: Long)
+  /** Latest source event: ordinal + its EVENT time, so the attribution
+    * window is measured on the event-time axis (`target.ts - source.ts`),
+    * not on processing time — Spark's state TTL is processing-time-only
+    * and is rejected outright in `TimeMode.EventTime`.
+    */
+  case class SourceMark(ord: Long, tsMs: Long)
 
   /** Event-time last-touch that tolerates OUT-OF-ORDER delivery up to the
     * watermark delay: events buffer in per-entity MapState keyed by their
@@ -101,15 +116,15 @@ object StreamingAttribution {
     * watermark delay, one long + one timer per entity besides it.
     */
   class OrderedLastTouchProcessor(targetType: String, sourceType: String,
-                                  ttl: TTLConfig)
+                                  horizonMs: Option[Long])
       extends StatefulProcessor[Long, TimedAttrEvent, Attribution] {
-    @transient private var lastSource: ValueState[Long] = _
+    @transient private var lastSource: ValueState[SourceMark] = _
     @transient private var buffer: MapState[Long, BufferedAttr] = _
     @transient private var minTs: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      lastSource = getHandle.getValueState[Long]("lastSource",
-        Encoders.scalaLong, ttl)
+      lastSource = getHandle.getValueState[SourceMark]("lastSource",
+        Encoders.product[SourceMark], TTLConfig.NONE)
       buffer = getHandle.getMapState[Long, BufferedAttr]("buffer",
         Encoders.scalaLong, Encoders.product[BufferedAttr], TTLConfig.NONE)
       minTs = getHandle.getValueState[Long]("minTs",
@@ -138,18 +153,28 @@ object StreamingAttribution {
       val wm = timerValues.getCurrentWatermarkInMs()
       val all = buffer.iterator().map { case (ord, b) => (ord, b) }.toSeq
       val (ripe, rest) = all.partition(_._2.tsMs <= wm)
-      val loaded: Option[Long] =
+      val loaded: Option[SourceMark] =
         if (lastSource.exists()) Some(lastSource.get()) else None
       var last = loaded
       val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
       ripe.sortBy(_._1).foreach { case (ord, b) =>
-        if (b.eventType == targetType) out += Attribution(key, ord, last)
-        if (b.eventType == sourceType) last = Some(ord)
+        if (b.eventType == targetType)
+          // the attribution window is event-time: credit only a source
+          // within `horizonMs` of the TARGET's own event time — an
+          // entity active with target events cannot keep a stale source
+          // creditable (the batch-window "30-day click window" exactly)
+          out += Attribution(key, ord,
+            last.filter(m => horizonMs.forall(h => b.tsMs - m.tsMs <= h)).map(_.ord))
+        if (b.eventType == sourceType) last = Some(SourceMark(ord, b.tsMs))
         buffer.removeKey(ord)
       }
-      // TTL discipline matches the in-order processor: rewrite (and so
-      // re-arm the attribution window) only on a NEW source event
+      // rewrite only on a NEW source event (no pointless state churn)
       if (last != loaded) last.foreach(lastSource.update)
+      // a source already beyond the horizon of the WATERMARK can never be
+      // credited again (targets at/after the watermark are even later) —
+      // clear it so dormant entities don't hold state forever
+      if (horizonMs.exists(h => last.exists(m => wm - m.tsMs > h)))
+        lastSource.clear()
       if (rest.nonEmpty) rearm(rest.map(_._2.tsMs).min) else minTs.clear()
       out.iterator
     }
@@ -161,12 +186,17 @@ object StreamingAttribution {
     * (a late source re-credits targets it precedes, as batch would).
     * Emission waits one watermark delay; events later than the delay are
     * dropped by the watermark.
+    *
+    * `horizon` is the attribution window on the EVENT-TIME axis: a target
+    * credits a source only when `target.ts - source.ts <= horizon`
+    * (processing-time TTL would be both wrong for out-of-order data and
+    * rejected by Spark in `TimeMode.EventTime`).
     */
   def lastTouchStreamEventTime(events: DataFrame, targetType: String,
                                sourceType: String,
                                tsCol: String = "ts",
                                watermarkDelay: String = "10 seconds",
-                               ttl: TTLConfig = TTLConfig.NONE): Dataset[Attribution] = {
+                               horizon: Option[java.time.Duration] = None): Dataset[Attribution] = {
     require(targetType != sourceType,
       "lastTouchStreamEventTime: target and source types must differ")
     val spark = events.sparkSession
@@ -176,7 +206,8 @@ object StreamingAttribution {
         col("event_type").as("eventType"), col(tsCol).as("ts"))
       .as[TimedAttrEvent]
       .groupByKey(_.userId)
-      .transformWithState(new OrderedLastTouchProcessor(targetType, sourceType, ttl),
+      .transformWithState(new OrderedLastTouchProcessor(targetType, sourceType,
+          horizon.map(_.toMillis)),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -71,6 +71,18 @@ class AsOfJoinSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("rename"))
   }
 
+  test("a probe frame already carrying the OUTPUT name asof_<buildVal> is rejected") {
+    val sql = spark
+    import sql.implicits._
+    // 'asof_v' is what the join itself will emit — a probe column of that
+    // name would survive the internal renames and collide at the output
+    val probe = Seq((1, 3L, 42)).toDF("k", "t", "asof_v")
+    val build = Seq((1, 1L, 5)).toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException](
+      AdvancedJoins.asOfJoin(probe, build, "k", "t", "v"))
+    assert(e.getMessage.contains("asof_v"))
+  }
+
   test("sampleFrames drops sub-frame-size payloads instead of throwing") {
     val sql = spark
     import sql.implicits._

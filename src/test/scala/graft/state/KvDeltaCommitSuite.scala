@@ -227,4 +227,26 @@ class KvDeltaCommitSuite extends AnyFunSuite {
     assert(r.get(k("drop")) === null)
     assert(new String(r.get(k("keep")), "UTF-8") === "v3")
   }
+
+  test("stats stay fresh after an overwrite-in-place (mutation-counter invalidation)") {
+    EmbeddedKvServer.clear()
+    val client = EmbeddedKvServer.client("stats-test")
+    val backend = new KvSessionBackend("store", client, baseInterval = 1000)
+    val s = backend.open(0, 1)
+    s.put(k("a"), k("xx"))
+    assert(s.numKeys === 1)        // primes the stats cache
+    val bytesBefore = s.sizeBytes
+    // overwrite IN PLACE: numKeys and overlay.size are unchanged, only the
+    // value bytes grow — a size-keyed cache would serve both stats stale
+    s.put(k("a"), k("xxxxxxxxxx"))
+    assert(s.numKeys === 1)
+    assert(s.sizeBytes === bytesBefore + 8,
+      s"sizeBytes stale after overwrite: ${s.sizeBytes} vs $bytesBefore")
+    // remove + re-put landing back on the same key count must also refresh
+    s.remove(k("a"))
+    assert(s.numKeys === 0)
+    s.put(k("a"), k("yy"))
+    assert(s.numKeys === 1 && s.sizeBytes === bytesBefore)
+    s.commit()
+  }
 }

@@ -37,7 +37,9 @@ class EventsReplaySuite extends AnyFunSuite with BeforeAndAfterAll {
     // file stream sources read directories; re-stage the single-file table
     // as 4 files so maxFilesPerTrigger=1 produces 4 genuine micro-batches
     streamDir = Files.createTempDirectory("graft-events-stream").toString
-    spark.read.parquet(s"$sfDir/events.parquet")
+    // stage through Tables.events so `ts` is a nanos-long whatever the
+    // generator's current physical type (NANOS-as-long vs MICROS/NTZ)
+    graft.Tables.events(spark, sfDir)
       .repartition(4).write.mode("overwrite").parquet(streamDir)
   }
 
@@ -78,7 +80,7 @@ class EventsReplaySuite extends AnyFunSuite with BeforeAndAfterAll {
     val streamed = spark.sql("select * from er_winagg")
       .collect().map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
 
-    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val batch = graft.Tables.events(spark, sfDir)
       .withColumn("ets", timestamp_micros(((col("ts") / 1000L)).cast("long")))
       .groupBy(window(col("ets"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -97,7 +99,7 @@ class EventsReplaySuite extends AnyFunSuite with BeforeAndAfterAll {
 
     val streamedCount = spark.sql("select count(distinct event_id) from er_dedup")
       .collect().head.getLong(0)
-    val batchCount = spark.read.parquet(s"$sfDir/events.parquet")
+    val batchCount = graft.Tables.events(spark, sfDir)
       .select(countDistinct(col("event_id"))).collect().head.getLong(0)
     assert(streamedCount === batchCount)
   }
@@ -124,7 +126,7 @@ class EventsReplaySuite extends AnyFunSuite with BeforeAndAfterAll {
 
     val streamed = spark.sql("select user_id, max(n) as n from er_mgws group by user_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val batch = graft.Tables.events(spark, sfDir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamed === batch)
@@ -144,7 +146,7 @@ class EventsReplaySuite extends AnyFunSuite with BeforeAndAfterAll {
 
     val streamed = spark.sql("select category, n from er_enrich")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val batch = graft.Tables.events(spark, sfDir)
       .join(broadcast(dim), Seq("event_type"))
       .groupBy(col("category")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -85,6 +85,77 @@ abstract class StreamingAttributionSuiteBase extends AnyFunSuite with BeforeAndA
       .collect().map(r => (r.getLong(0), Option(r.get(2)))).toSet
     assert(batch == Set((4L, Some(3L)), (2L, None), (6L, Some(3L)), (7L, Some(5L))))
   }
+
+  test(s"$backendName: a stale click expires at the TTL horizon even for a " +
+      "continually ACTIVE entity") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // With TimeMode.ProcessingTime (any TTL'd state), shouldRunAnotherBatch
+    // is unconditionally true: an AvailableNow run never self-terminates
+    // and the perpetual no-data batches starve processAllAvailable's
+    // noNewData wait. Same harness as StreamingDedupSuite's TTL test —
+    // one long-running query, committed input rows counted via a
+    // progress listener, assertions after polling for them.
+    val input = MemoryStream[(Long, Long, String)]
+    val attributed = StreamingAttribution.lastTouchStream(
+      input.toDS().toDF("user_id", "event_id", "event_type"),
+      targetType = "purchase", sourceType = "click",
+      ttl = Some(java.time.Duration.ofSeconds(4)))
+
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        seen.addAndGet(e.progress.numInputRows)
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+
+    val query = attributed.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(s"sattr_ttl_$backendName")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sattr-ttl").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .start()
+
+    def awaitInput(total: Long): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (seen.get < total && System.currentTimeMillis < deadline) Thread.sleep(50)
+      assert(seen.get >= total, s"timed out waiting for $total committed input rows")
+    }
+    def t(): Set[(Long, Long, Option[Any])] =
+      spark.table(s"sattr_ttl_$backendName").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+
+    try {
+      // the click arms the window
+      input.addData((1L, 1L, "click"))
+      awaitInput(1)
+      // inside the window: purchase credits the click. This is
+      // TARGET-type activity — with the old unconditional state rewrite
+      // it would re-arm the TTL and the click below would never expire.
+      input.addData((1L, 2L, "purchase"))
+      awaitInput(2)
+      assert(t() == Set((1L, 2L, Some(1L))), s"inside window: ${t()}")
+
+      // let the 4 s horizon pass; the entity was active (purchase@2) but
+      // produced no NEW source event, so the click must be gone
+      Thread.sleep(4500)
+      input.addData((1L, 3L, "purchase"))
+      awaitInput(3)
+      assert(t() == Set((1L, 2L, Some(1L)), (1L, 3L, None)),
+        s"after horizon: ${t()}")
+    } finally {
+      query.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
 }
 
 class StreamingAttributionRocksDbSuite extends StreamingAttributionSuiteBase {

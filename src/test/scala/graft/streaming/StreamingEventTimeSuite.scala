@@ -129,6 +129,47 @@ abstract class StreamingEventTimeSuiteBase extends AnyFunSuite with BeforeAndAft
     assert(got == Set((1L, 5L, Some(2L)), (1L, 9L, Some(2L))), s"got: $got")
     query.stop()
   }
+
+  test(s"$backendName: the event-time attribution horizon expires a stale " +
+      "source for a continually active entity") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, Long, String, Timestamp)]
+    // 60 s attribution window measured on EVENT time: purchases more than
+    // 60 s (of event time) after the click get no credit, no matter how
+    // active the entity stays in between
+    val attributed = StreamingAttribution.lastTouchStreamEventTime(
+      input.toDS().toDF("user_id", "event_id", "event_type", "ts"),
+      targetType = "purchase", sourceType = "click",
+      watermarkDelay = "10 seconds",
+      horizon = Some(java.time.Duration.ofSeconds(60)))
+
+    val query = attributed.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(s"etattrh_$backendName")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-etattrh").toString)
+      .start()
+
+    // click@1(t10); purchase@2(t40) inside the window; purchase@3(t80)
+    // outside it (80-10 > 60) even though the entity was active at t40
+    input.addData((1L, 1L, "click", ts(10)), (1L, 2L, "purchase", ts(40)))
+    query.processAllAvailable()
+    input.addData((1L, 3L, "purchase", ts(80)))
+    query.processAllAvailable()
+    // watermark pushers (two, to absorb the one-batch watermark lag)
+    input.addData((99L, 1L, "view", ts(300)))
+    query.processAllAvailable()
+    input.addData((99L, 2L, "view", ts(600)))
+    query.processAllAvailable()
+
+    val got = spark.table(s"etattrh_$backendName").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    assert(got == Set((1L, 2L, Some(1L)), (1L, 3L, None)), s"got: $got")
+    query.stop()
+  }
 }
 
 class StreamingEventTimeRocksDbSuite extends StreamingEventTimeSuiteBase {
