@@ -34,16 +34,20 @@ object Tables {
     * difference once and every consumer keeps pure integer-ns arithmetic —
     * exact, engine-portable, timezone-free.
     *
-    * The NTZ branch goes through `to_utc_timestamp(_, "UTC")` so the naive
-    * wall-clock is pinned to UTC independent of the session timezone —
-    * matching DuckDB's `epoch_ns(ts)` reading of the same file.
+    * The NTZ branch is pure NAIVE arithmetic — `timestampdiff(MICROSECOND)`
+    * against an NTZ epoch literal — so the naive wall-clock is read as UTC
+    * regardless of the session timezone (an NTZ→timestamp cast would
+    * silently interpret it in the SESSION zone and shift the instant by
+    * the zone offset; TablesDriftSuite pins this under Asia/Tokyo). This
+    * matches DuckDB's `epoch_ns(ts)` reading of the same file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType => raw // TIMESTAMP(NANOS) read via nanosAsLong
       case TimestampNTZType =>
-        raw.withColumn("ts", unix_micros(to_utc_timestamp(col("ts"), "UTC")) * 1000L)
+        raw.withColumn("ts",
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)") * 1000L)
       case TimestampType =>
         raw.withColumn("ts", unix_micros(col("ts")) * 1000L)
       case other => throw new IllegalStateException(
