@@ -142,8 +142,17 @@ object Dedup {
 
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    blockCol: String = "source", maxTokenDf: Int = 1000): DataFrame = {
+    // The token-set scan is the expensive leaf and every downstream
+    // subtree re-derives it — capped mode ~6 times (df agg, anti-join,
+    // hot-per-doc, sizes, both self-join sides), exact mode ≥3 (vocab
+    // estimate, dictionary, keyed index). A lazy local checkpoint runs
+    // the scan+tokenize ONCE and serves the rest from stored blocks;
+    // arrays are stored (not the exploded stream) so the block footprint
+    // stays ~text-sized. Same trade as the minhashLsh signature
+    // checkpoint; cluster-scale note there applies.
     val sets = docs.select(col("doc_id"), col(blockCol).as("blk"),
       tokenSet(col("text")).as("toks"))
+      .localCheckpoint(false)
     val toks = sets.select(col("doc_id"), col("blk"), explode(col("toks")).as("tok"))
     if (maxTokenDf == Int.MaxValue) {
       // exact mode: every token is indexed, so the join-group count IS the
