@@ -224,8 +224,15 @@ object TextOps {
     require(n >= 2, s"dupSpanStats: span width must be >= 2, got $n")
     val raw = docs.select(col("doc_id"), col("source"),
       explode(array_distinct(wordNgrams(col("text"), n))).as("gram"))
+    // both the df aggregation and the rejoin consume the gram stream; in
+    // hashed mode its rows are (doc_id, source, long) — far smaller than
+    // the text they derive from — so a lazy checkpoint pays the
+    // ngram+distinct+explode CPU once. String mode deliberately keeps
+    // recompute: storing string grams is ~n× the corpus text, exactly the
+    // block footprint a 100 TB run cannot afford.
     val spans = if (hashGrams)
       raw.select(col("doc_id"), col("source"), xxhash64(col("gram")).as("gram"))
+        .localCheckpoint(false)
     else raw
     val df = spans.groupBy(col("gram"))
       .agg(count(lit(1)).as("df"))
