@@ -337,10 +337,16 @@ object Dedup {
       posexplode(array((0 until bands).map { b =>
         xxhash64(lit(b) +: (0 until rows).map(r => col("sig")(b * rows + r)): _*)
       }: _*)).as(Seq("band", "bucket")))
+    // Both self-join sides consume the bucketed stream, so the banding
+    // posexplode AND the skew-cap window (one shuffle + sort each side)
+    // would run twice. Checkpointed, the window runs once and the join
+    // reads the stored (doc_id, band, bucket) rows — docs×bands longs.
     val bucketed = banded
       .withColumn("bucket_n", count(lit(1)).over(
         Window.partitionBy(col("band"), col("bucket"))))
       .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+      .localCheckpoint(false)
     val l = bucketed.as("l")
     val r = bucketed.as("r")
     val candidates = l.join(r,
@@ -391,6 +397,9 @@ object Dedup {
         Window.partitionBy(col("band"), col("bucket"))))
       .filter(col("bucket_n") <= maxBucketSize)
       .drop("bucket_n")
+      // both self-join sides read this; checkpoint = one banding+window
+      // pass instead of two (same trade as minhashLsh's bucketed stream)
+      .localCheckpoint(false)
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
