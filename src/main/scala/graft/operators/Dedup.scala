@@ -635,6 +635,10 @@ object Dedup {
       .withColumn("bucket_n", count(lit(1)).over(
         Window.partitionBy(col("tbl"), col("bucket"))))
       .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+      // both self-join sides: one hyperplane-projection + window pass
+      // instead of two (same trade as minhashLsh's bucketed stream)
+      .localCheckpoint(false)
     val l = banded.as("l")
     val r = banded.as("r")
     val candidates = l.join(r,

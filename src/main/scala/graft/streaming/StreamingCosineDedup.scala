@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+
+/** Incremental EMBEDDING near-dup detection over a vector stream — the
+  * online counterpart of [[graft.operators.Dedup.cosinePairsLsh]],
+  * completing the streaming-twin family (lexical near-dup =
+  * [[StreamingDedup]]; this is the semantic sibling): a pipeline
+  * embedding documents as they arrive can't re-run batch LSH over every
+  * vector ever seen, so the random-hyperplane bucket index LIVES IN
+  * STATE and each arriving vector probes exactly the buckets it signs
+  * into.
+  *
+  * Shape mirrors the batch operator bit-for-bit where it matters: the
+  * SAME codegen'd `lsh_sign_bits` projection (table seed → nBits sign
+  * bits) produces the SAME bucket ids, so a pair that batch LSH would
+  * catch in table t is caught here in table t — the only semantic gap is
+  * admission order (see below). Verification is the exact cosine against
+  * bucket members, as in batch.
+  *
+  * Scale notes (100 TB stream):
+  *  - State per bucket member is the full vector (dim doubles) — the
+  *    price of EXACT cosine verification, identical to what the batch
+  *    candidate join ships per pair; `maxBucketSize` bounds it per
+  *    bucket and the TTL horizon bounds it in time. For memory-tight
+  *    deployments quantize upstream ([[graft.operators.Similarity
+  *    .quantizeInt8]]) and verify on SQ8 vectors — at the documented
+  *    reconstruction-error cost.
+  *  - Buckets are capped PROSPECTIVELY (a full bucket admits no more):
+  *    batch drops degenerate buckets retroactively; a stream can't
+  *    buffer the future, so first-come admission is the trade — same as
+  *    [[StreamingDedup]].
+  *  - A pair sharing k tables emits up to k times; callers dedupe with
+  *    their own retention (`dropDuplicates("vecA","vecB")`), kept out of
+  *    this operator so the dedup state's watermark is the caller's call.
+  */
+object StreamingCosineDedup {
+
+  case class BandedVec(tbl: Int, bucket: Long, vecId: Long, v: Seq[Double])
+  case class VecMember(vecId: Long, v: Seq[Double])
+  case class CosinePair(vecA: Long, vecB: Long, cosSim: Double)
+
+  /** Per-(table, bucket) processor: exact-cosine compare-then-join
+    * against bucket members. Membership counted from the live list (TTL
+    * expires members individually — a persisted counter would wedge a
+    * "full" bucket of expired members; same reasoning as
+    * [[StreamingDedup.BucketProcessor]]).
+    */
+  class CosineBucketProcessor(threshold: Double, maxBucketSize: Int,
+                              ttl: TTLConfig)
+      extends StatefulProcessor[(Int, Long), BandedVec, CosinePair] {
+    @transient private var members: ListState[VecMember] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[VecMember]("members",
+        Encoders.product[VecMember], ttl)
+
+    private def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      // zero-norm guard: a zero vector has no direction — below any
+      // threshold (batch safeCosine's -2.0 sentinel)
+      if (na == 0.0 || nb == 0.0) -2.0 else dot / math.sqrt(na * nb)
+    }
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[BandedVec],
+                                 timerValues: TimerValues): Iterator[CosinePair] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[CosinePair]
+      rows.foreach { vec =>
+        var n = 0
+        val mine = scala.collection.mutable.ArrayBuffer.empty[CosinePair]
+        members.get().foreach { m =>
+          n += 1
+          if (m.vecId != vec.vecId) {
+            val cos = cosine(vec.v, m.v)
+            if (cos >= threshold) {
+              val (a, b) =
+                if (vec.vecId < m.vecId) (vec.vecId, m.vecId) else (m.vecId, vec.vecId)
+              mine += CosinePair(a, b, cos)
+            }
+          }
+        }
+        if (n < maxBucketSize) {
+          out ++= mine
+          members.appendValue(VecMember(vec.vecId, vec.v))
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Cosine near-dup pairs of a streaming `embeddings` frame (columns
+    * `vec_id`, `embedding`), emitted incrementally as vectors arrive.
+    * Parameters match [[graft.operators.Dedup.cosinePairsLsh]].
+    *
+    * @param ttl near-dup horizon: bucket members expire this long after
+    *        insertion, so the index forgets vectors older than the
+    *        horizon and state stays proportional to the window.
+    */
+  def cosinePairsStream(embeddings: DataFrame, threshold: Double,
+                        tables: Int = 8, nBits: Int = 4,
+                        maxBucketSize: Int = 64,
+                        ttl: Option[java.time.Duration] = None): Dataset[CosinePair] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val banded = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(
+        posexplode(array((0 until tables).map(t =>
+          graft.functions.HashFunctions.lsh_sign_bits(col("v"), t, nBits)): _*))
+          .as(Seq("tbl", "bucket")),
+        col("vec_id").as("vecId"), col("v"))
+      .as[BandedVec]
+    val (ttlConf, timeMode) = ttl match {
+      case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
+      case None    => (TTLConfig.NONE, TimeMode.None())
+    }
+    banded.groupByKey(d => (d.tbl, d.bucket))
+      .transformWithState(
+        new CosineBucketProcessor(threshold, maxBucketSize, ttlConf),
+        timeMode, OutputMode.Append())
+  }
+}
