@@ -39,6 +39,11 @@ object Verify {
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
         failures(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(500)}"
       }
+      // several operators pin localCheckpoint blocks; 100 queries in one
+      // JVM would otherwise accumulate them until storage memory squeezes
+      // execution (same hygiene as Bench.dropLeftoverBlocks)
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
     val failJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
