@@ -25,19 +25,18 @@ object Bench {
   def timeOne(spark: SparkSession, sfDir: String,
               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
     val t0 = System.nanoTime()
+    // NonFatal only: an OutOfMemoryError / StackOverflowError corrupts
+    // the JVM — measurements taken after one are garbage, so let it
+    // abort the run rather than publish a wrecked-heap pass as data
     val err = try { fn(spark, sfDir).count(); None }
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
       }
     val sec = (System.nanoTime() - t0) / 1e9
     (if (err.isEmpty) sec else -sec, err)
   }
 
-  private def jstr(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-    case '\r' => "\\r"; case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-  } + "\""
+  private def jstr(s: String): String = JsonEscape.quote(s)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -113,11 +112,13 @@ object Bench {
       val runs = passes.map(_(i))
       val name = runs.head._1
       val ok = runs.filter(_._2 >= 0)
-      if (ok.nonEmpty) name -> ok.map(_._2).min
-      else { // failed in every pass: keep the first error, negative time
-        runs.head._3.foreach(errors(name) = _)
-        name -> runs.head._2
+      // an error in ANY pass is recorded — an intermittently-failing
+      // query must not read as clean just because one pass survived
+      runs.flatMap(_._3).headOption.foreach { e =>
+        errors(name) = if (ok.nonEmpty) s"intermittent (1/${runs.size} passes): $e" else e
       }
+      if (ok.nonEmpty) name -> ok.map(_._2).min
+      else name -> runs.head._2 // failed every pass: negative time
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -58,9 +58,12 @@ object StreamingCosineDedup {
         Encoders.product[VecMember], ttl)
 
     private def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+      // a dimension mismatch is an upstream schema slip — fail LOUDLY
+      // rather than fabricate a similarity from a truncated dot product
+      require(a.length == b.length,
+        s"cosinePairsStream: dimension mismatch ${a.length} vs ${b.length}")
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) {
+      while (i < a.length) {
         dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
       }
       // zero-norm guard: a zero vector has no direction — below any
@@ -72,21 +75,24 @@ object StreamingCosineDedup {
                                  timerValues: TimerValues): Iterator[CosinePair] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[CosinePair]
       rows.foreach { vec =>
-        var n = 0
-        val mine = scala.collection.mutable.ArrayBuffer.empty[CosinePair]
-        members.get().foreach { m =>
-          n += 1
-          if (m.vecId != vec.vecId) {
-            val cos = cosine(vec.v, m.v)
-            if (cos >= threshold) {
-              val (a, b) =
-                if (vec.vecId < m.vecId) (vec.vecId, m.vecId) else (m.vecId, vec.vecId)
-              mine += CosinePair(a, b, cos)
+        // materialize first (bounded by maxBucketSize): a FULL bucket is
+        // skipped before any cosine math — the hot-bucket path is where
+        // O(bucket × dim) wasted work would concentrate
+        val current = members.get().toArray
+        if (current.length < maxBucketSize) {
+          current.foreach { m =>
+            if (m.vecId != vec.vecId) {
+              val cos = cosine(vec.v, m.v)
+              if (cos >= threshold) {
+                val (a, b) =
+                  if (vec.vecId < m.vecId) (vec.vecId, m.vecId) else (m.vecId, vec.vecId)
+                // round as batch does (cos_sim = round(cos, 6)) so the
+                // streamed pair is value-identical to cosinePairsLsh's
+                out += CosinePair(a, b,
+                  BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              }
             }
           }
-        }
-        if (n < maxBucketSize) {
-          out ++= mine
           members.appendValue(VecMember(vec.vecId, vec.v))
         }
       }
@@ -104,7 +110,7 @@ object StreamingCosineDedup {
     */
   def cosinePairsStream(embeddings: DataFrame, threshold: Double,
                         tables: Int = 8, nBits: Int = 4,
-                        maxBucketSize: Int = 64,
+                        maxBucketSize: Int = 256,
                         ttl: Option[java.time.Duration] = None): Dataset[CosinePair] = {
     val spark = embeddings.sparkSession
     import spark.implicits._

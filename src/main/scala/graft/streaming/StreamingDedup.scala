@@ -69,30 +69,29 @@ object StreamingDedup {
                                  timerValues: TimerValues): Iterator[NearDupPair] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
       rows.foreach { doc =>
-        var n = 0
-        val mine = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
-        members.get().foreach { m =>
-          n += 1
-          if (m.docId != doc.docId) {
-            var eq = 0
-            var i = 0
-            while (i < nHashes) {
-              if (doc.sig(i) == m.sig(i)) eq += 1
-              i += 1
-            }
-            val est = eq.toDouble / nHashes
-            if (est >= threshold) {
-              val (a, b) =
-                if (doc.docId < m.docId) (doc.docId, m.docId) else (m.docId, doc.docId)
-              mine += NearDupPair(a, b, est)
+        // a full bucket admits no more members and emits nothing:
+        // degenerate buckets stop generating O(n²) pairs, mirroring the
+        // batch skew guard. Materialize-first (bounded by maxBucketSize)
+        // so the full-bucket path skips the signature comparisons
+        // entirely instead of computing then discarding them.
+        val current = members.get().toArray
+        if (current.length < maxBucketSize) {
+          current.foreach { m =>
+            if (m.docId != doc.docId) {
+              var eq = 0
+              var i = 0
+              while (i < nHashes) {
+                if (doc.sig(i) == m.sig(i)) eq += 1
+                i += 1
+              }
+              val est = eq.toDouble / nHashes
+              if (est >= threshold) {
+                val (a, b) =
+                  if (doc.docId < m.docId) (doc.docId, m.docId) else (m.docId, doc.docId)
+                out += NearDupPair(a, b, est)
+              }
             }
           }
-        }
-        // a full bucket admits no more members (and emits nothing for the
-        // rejected doc): degenerate buckets stop generating O(n²) pairs,
-        // mirroring the batch skew guard
-        if (n < maxBucketSize) {
-          out ++= mine
           members.appendValue(Member(doc.docId, doc.sig))
         }
       }

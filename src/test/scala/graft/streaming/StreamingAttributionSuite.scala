@@ -102,7 +102,7 @@ abstract class StreamingAttributionSuiteBase extends AnyFunSuite with BeforeAndA
     val attributed = StreamingAttribution.lastTouchStream(
       input.toDS().toDF("user_id", "event_id", "event_type"),
       targetType = "purchase", sourceType = "click",
-      ttl = Some(java.time.Duration.ofSeconds(4)))
+      ttl = Some(java.time.Duration.ofSeconds(6)))
 
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
@@ -144,9 +144,9 @@ abstract class StreamingAttributionSuiteBase extends AnyFunSuite with BeforeAndA
       awaitInput(2)
       assert(t() == Set((1L, 2L, Some(1L))), s"inside window: ${t()}")
 
-      // let the 4 s horizon pass; the entity was active (purchase@2) but
+      // let the horizon pass; the entity was active (purchase@2) but
       // produced no NEW source event, so the click must be gone
-      Thread.sleep(4500)
+      Thread.sleep(7000)
       input.addData((1L, 3L, "purchase"))
       awaitInput(3)
       assert(t() == Set((1L, 2L, Some(1L)), (1L, 3L, None)),
