@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF-PQ index: fit ONCE over the corpus, write the artifacts
+  * to storage, search MANY times without refitting — the build/serve
+  * split every production ANN deployment runs (nightly index build,
+  * online probe), where [[Similarity.ivfPqTopK]] is the inline
+  * fit-and-search convenience.
+  *
+  * On-disk layout under `dir` (all parquet, all engine-readable):
+  *  - `coarse/`  — (cid, cvec): the nClusters coarse centroids
+  *  - `books/`   — (m, code, cvec): all numSub × codebookK PQ codebook
+  *    entries (sub-vectors of the residual space)
+  *  - `codes/`   — (nid, cid, codes): one row per corpus vector — the
+  *    cell assignment and the numSub PQ codes. THIS is the index: a
+  *    d-dim float vector compressed to numSub small ints, the reason the
+  *    100 TB corpus's index fits where raw vectors never could.
+  *
+  * Shapes are self-describing (numSub/codebookK/dim recovered from the
+  * data), so there is no side metadata file to version.
+  *
+  * Search reuses [[Similarity.pqSearch]] — the SAME code path the inline
+  * operator runs — so a loaded index returns bit-identical results to
+  * fitting in place with the same parameters (AnnIndexSuite gates this).
+  * Exact re-rank joins the caller-supplied corpus by id: originals stay
+  * in the lake, only the shortlist (|Q|·shortlist rows) ever rejoins
+  * full vectors.
+  */
+object AnnIndex {
+
+  /** Fit the IVF-PQ model over `corpus` (`vec_id`, `embedding`) and
+    * persist it under `dir`. Training is identical to
+    * [[Similarity.ivfPqTopK]]'s (same seeding, same Lloyd loops), so the
+    * fitted model matches the inline operator's parameter-for-parameter.
+    */
+  def build(corpus: DataFrame, dir: String,
+            nClusters: Int = 16, iters: Int = 3,
+            numSub: Int = 8, codebookK: Int = 16, subIters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    import Similarity.{asDouble, assign, centroidDf, fitCentroids, fitSubCodebooks}
+    val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val coarse = fitCentroids(c, "nid", "cv", nClusters, iters)
+      val dim = coarse(0)._2.length
+      require(dim % numSub == 0, s"dim $dim not divisible into $numSub subspaces")
+      val subDim = dim / numSub
+
+      val withRes = assign(c, coarse, "cv")
+        .join(broadcast(centroidDf(spark, coarse)), "cid")
+        .withColumn("r", zip_with(col("cv"), col("cvec"), (a, b) => a - b))
+        .select(col("nid"), col("cid"), col("r"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val codebooks = fitSubCodebooks(withRes, numSub, subDim, codebookK, subIters)
+
+        centroidDf(spark, coarse)
+          .write.mode("overwrite").parquet(s"$dir/coarse")
+        locally {
+          import spark.implicits._
+          codebooks.zipWithIndex.flatMap { case (book, m) =>
+            book.zipWithIndex.map { case (v, code) => (m, code, v.toSeq) }
+          }.toSeq.toDF("m", "code", "cvec")
+            .write.mode("overwrite").parquet(s"$dir/books")
+        }
+        withRes.withColumn("codes",
+            array((0 until numSub).map(m =>
+              graft.functions.VectorFunctions.nearest_centroid(
+                slice(col("r"), m * subDim + 1, subDim), codebooks(m))): _*))
+          .select(col("nid"), col("cid"), col("codes"))
+          .write.mode("overwrite").parquet(s"$dir/codes")
+      } finally withRes.unpersist(blocking = false)
+    } finally c.unpersist(blocking = false)
+  }
+
+  /** Top-k cosine neighbors for `queries` against the index at `dir`.
+    * `corpus` supplies the original vectors for the exact re-rank of the
+    * approx shortlist (joined by `vec_id` — only shortlisted ids are
+    * ever read back as full vectors).
+    */
+  def search(corpus: DataFrame, dir: String, queries: DataFrame, k: Int,
+             nProbe: Int = 4, shortlist: Int = 50): DataFrame = {
+    val spark = queries.sparkSession
+    val coarse = spark.read.parquet(s"$dir/coarse").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val bookRows = spark.read.parquet(s"$dir/books").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
+    val numSub = bookRows.keys.map(_._1).max + 1
+    val fittedK = bookRows.keys.map(_._2).max + 1
+    val codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(numSub, fittedK)((m, code) => bookRows((m, code)))
+    val encoded = spark.read.parquet(s"$dir/codes")
+    Similarity.pqSearch(coarse, codebooks, encoded,
+      corpus.select(col("vec_id").as("nid"),
+        Similarity.asDouble(col("embedding")).as("cv")),
+      queries, k, nProbe, shortlist)
+  }
+}

@@ -44,7 +44,7 @@ object Similarity {
 
   // array-level cast, NOT transform(_.cast) — the HOF lambda is interpreted
   // (no codegen) and allocation-heavy; measured 50-95 s/query at sf0.1
-  private def asDouble(a: Column): Column = a.cast("array<double>")
+  private[operators] def asDouble(a: Column): Column = a.cast("array<double>")
 
   /** Exact top-k cosine neighbors for each query vector (brute force).
     * Queries are broadcast; corpus is scanned once map-side.
@@ -138,7 +138,7 @@ object Similarity {
     * 1000-node plan (measured 48 s at sf0.1; ~3 s this way). Used only for
     * the per-query top-nProbe ranking; assign uses the codegen'd argmin.
     */
-  private def centroidDf(spark: SparkSession,
+  private[operators] def centroidDf(spark: SparkSession,
                          cents: Array[(Int, Array[Double])]): DataFrame = {
     import spark.implicits._
     cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cvec")
@@ -148,7 +148,7 @@ object Similarity {
     * zero shuffle (the old crossJoin+groupBy-on-full-row shuffled
     * |corpus|×K rows carrying the vector, once per Lloyd iteration).
     */
-  private def assign(df: DataFrame, cents: Array[(Int, Array[Double])],
+  private[operators] def assign(df: DataFrame, cents: Array[(Int, Array[Double])],
                      vecCol: String, as: String = "cid"): DataFrame = {
     val matrix = cents.sortBy(_._1).map(_._2)
     df.withColumn(as,
@@ -169,7 +169,7 @@ object Similarity {
     * twice per iteration); the fitted K×dim model collects to the driver.
     * Shared by IVF and IVF-PQ.
     */
-  private def fitCentroids(df: DataFrame, idCol: String, vecCol: String,
+  private[operators] def fitCentroids(df: DataFrame, idCol: String, vecCol: String,
                            k: Int, iters: Int): Array[(Int, Array[Double])] = {
     var centroids: Array[(Int, Array[Double])] =
       df.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k).collect()
@@ -200,7 +200,7 @@ object Similarity {
     * per-subspace means are identical to the per-subspace formulation
     * (subspaces never interact), so the fitted codebooks match.
     */
-  private def fitSubCodebooks(withRes: DataFrame, numSub: Int, subDim: Int,
+  private[operators] def fitSubCodebooks(withRes: DataFrame, numSub: Int, subDim: Int,
                               k: Int, iters: Int): Array[Array[Array[Double]]] = {
     // deterministic seed: the k lowest-id residuals, sliced into every subspace
     val seedRows = withRes.select(col("nid"), col("r"))
@@ -321,6 +321,27 @@ object Similarity {
             slice(col("r"), m * subDim + 1, subDim), codebooks(m))): _*))
       .select(col("nid"), col("cid"), col("codes"))
 
+    val result = pqSearch(coarse, codebooks, encoded,
+      withRes.select(col("nid"), col("cv")), queries, k, nProbe, shortlist)
+
+    withRes.unpersist(blocking = false)
+    c.unpersist(blocking = false)
+    result
+  }
+
+  /** The IVF-PQ QUERY half, shared by [[ivfPqTopK]] (fit-and-search) and
+    * [[AnnIndex.search]] (search against a persisted index): probes →
+    * per-(query, cell) ADC table → approx shortlist → exact re-rank
+    * against `vectorsById` (nid, cv). One code path, so an index searched
+    * from disk returns EXACTLY what the inline fit would.
+    */
+  private[operators] def pqSearch(coarse: Array[(Int, Array[Double])],
+                                  codebooks: Array[Array[Array[Double]]],
+                                  encoded: DataFrame, vectorsById: DataFrame,
+                                  queries: DataFrame, k: Int, nProbe: Int,
+                                  shortlist: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val fittedK = codebooks(0).length
     // probes + per-(query, cell) ADC table from the QUERY residual
     val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
     val probes = q.crossJoin(broadcast(centroidDf(spark, coarse)))
@@ -346,17 +367,13 @@ object Similarity {
 
     // exact re-rank of the shortlist only — the single place full corpus
     // vectors travel, |Q|·shortlist rows
-    val result = approx
-      .join(withRes.select(col("nid"), col("cv")), "nid")
+    approx
+      .join(vectorsById, "nid")
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 6).as("cos_sim"))
-
-    withRes.unpersist(blocking = false)
-    c.unpersist(blocking = false)
-    result
   }
 
   // -------------------------------------------------------------------
@@ -512,6 +529,23 @@ object Similarity {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         ivfPqTopK(emb, emb.filter(col("vec_id") < 5), 5)
+          .orderBy(col("qid"), col("rnk"))
+      },
+      None),
+
+    // Persisted IVF-PQ index: build to parquet, search from the
+    // artifacts — the nightly-build / online-probe split. Search is the
+    // same code path as q48 (Similarity.pqSearch) and AnnIndexSuite
+    // gates build→search ≡ inline bit-for-bit, so the spec's value is
+    // the END-TO-END persistence round-trip under the driver harness.
+    // Approximate by design → rows-only, like its q48 sibling.
+    QuerySpec(
+      "q102_ann_index_persist",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val dir = java.nio.file.Files.createTempDirectory("graft-q102-index").toString
+        AnnIndex.build(emb, dir)
+        AnnIndex.search(emb, dir, emb.filter(col("vec_id") < 5), 5)
           .orderBy(col("qid"), col("rnk"))
       },
       None),

@@ -1,0 +1,75 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index: build → search must return BIT-IDENTICAL
+  * results to the inline fit-and-search with the same parameters (search
+  * is the same code path; training is the same seeding + Lloyd loops),
+  * and the on-disk artifacts must be self-describing.
+  */
+class AnnIndexSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ann-index")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("search against the persisted index == inline ivfPqTopK, bit for bit") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 5)
+
+    val dir = Files.createTempDirectory("graft-ann-index").toString
+    AnnIndex.build(emb, dir, nClusters = 8, iters = 3,
+      numSub = 8, codebookK = 16, subIters = 2)
+    val fromIndex = AnnIndex.search(emb, dir, queries, k = 5,
+        nProbe = 3, shortlist = 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+
+    val inline = Similarity.ivfPqTopK(emb, queries, k = 5,
+        nClusters = 8, nProbe = 3, iters = 3,
+        numSub = 8, codebookK = 16, subIters = 2, shortlist = 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+
+    assert(fromIndex.nonEmpty, "index search returned no rows")
+    assert(fromIndex.toSeq == inline.toSeq,
+      s"index search diverged from inline:\n index=${fromIndex.take(5).toSeq}\n inline=${inline.take(5).toSeq}")
+  }
+
+  test("artifacts are self-describing parquet (coarse / books / codes)") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-ann-artifacts").toString
+    AnnIndex.build(emb, dir, nClusters = 4, iters = 1,
+      numSub = 4, codebookK = 8, subIters = 1)
+
+    val coarse = spark.read.parquet(s"$dir/coarse")
+    assert(coarse.count() === 4)
+    val books = spark.read.parquet(s"$dir/books")
+    assert(books.select(countDistinct(col("m"))).head.getLong(0) === 4)
+    assert(books.count() === 4L * 8)
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() === emb.count())
+    // every code within the fitted codebook range
+    val bad = codes.select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") >= 8).count()
+    assert(bad === 0)
+  }
+}
