@@ -313,6 +313,34 @@ object TextOps {
       .select(col(idCol)).distinct()
   }
 
+  /** Per-doc contamination RATE — the graded companion to the binary
+    * [[contaminatedIds]] flag: for each corpus doc, how many of its
+    * DISTINCT word n-grams appear anywhere in the eval set. A doc with
+    * 1/500 overlapping grams (a quoted idiom) and one with 480/500 (a
+    * verbatim eval question) both trip the binary filter; pipelines that
+    * quarantine-by-degree need the counts. Returns
+    * `(doc_id, n_grams, contam_grams)` for docs with ≥1 hit.
+    *
+    * Scale design: the per-doc gram DISTINCT is `array_distinct` BEFORE
+    * the explode — map-side, inside codegen, no (doc, gram) shuffle —
+    * and the eval probe is the same broadcast hash join as
+    * [[contaminatedIds]], so the corpus stream is shuffled exactly once,
+    * by doc_id for the count aggregation (partial map-side counts make
+    * that exchange rows-per-doc, not rows-per-gram).
+    */
+  def contaminationRate(corpus: DataFrame, evalDocs: DataFrame, n: Int = 4,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(wordNgrams(col(textCol), n)).as("gram")).distinct()
+      .withColumn("hit", lit(1))
+    corpus
+      .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("contam_grams"))
+      .filter(col("contam_grams") >= 1)
+  }
+
   /** Composite document quality score in [0, 1] — the weighted ensemble
     * of heuristic signals (lexical diversity, stopword density, length)
     * that curation pipelines threshold on when no learned classifier is
@@ -743,6 +771,31 @@ object TextOps {
                     AS BIGINT) AS n_contaminated
         FROM documents WHERE doc_id >= 20
         GROUP BY source ORDER BY source""")),
+
+    // Graded contamination: same eval-set split as q65/q100, but counts
+    // per-doc distinct-gram overlap instead of a binary flag — the
+    // quarantine-by-degree signal. Integer counts only; deterministic
+    // ordering by doc_id.
+    QuerySpec(
+      "q103_contamination_rate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        contaminationRate(docs.filter(col("doc_id") >= 20),
+            docs.filter(col("doc_id") < 20), n = 4)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3],' ') AS gram
+              FROM toks, UNNEST(generate_series(1, greatest(len(t)-3, 0))) AS u(i)),
+        eval_g AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20)
+        SELECT doc_id, COUNT(*) AS n_grams,
+               CAST(COUNT(*) FILTER (WHERE gram IN (SELECT gram FROM eval_g))
+                    AS BIGINT) AS contam_grams
+        FROM g WHERE doc_id >= 20
+        GROUP BY doc_id
+        HAVING COUNT(*) FILTER (WHERE gram IN (SELECT gram FROM eval_g)) >= 1
+        ORDER BY doc_id""")),
 
     QuerySpec(
       "q66_blocklist_filter",

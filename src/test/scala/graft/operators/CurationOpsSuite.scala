@@ -58,6 +58,27 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(1L, 3L))
   }
 
+  test("contaminationRate counts distinct-gram overlap per doc") {
+    val sql = spark
+    import sql.implicits._
+    val evalSet = Seq((100L, "q1 q2 q3 q4 tail")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "clean doc with no overlap at all"),     // no hits → absent
+      (2L, "prefix q1 q2 q3 q4 suffix"),            // 1 of 3 distinct grams
+      // both eval 4-grams, and the repeat must NOT double-count:
+      (4L, "q1 q2 q3 q4 tail q1 q2 q3 q4 tail")
+    ).toDF("doc_id", "text")
+    val got = TextOps.contaminationRate(corpus, evalSet, n = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 2: grams {prefix q1 q2 q3, q1 q2 q3 q4, q2 q3 q4 suffix} → 1 hit
+    assert(got(2L) == ((3L, 1L)))
+    // doc 4: 10 tokens → 7 windows, 5 DISTINCT grams (the trailing
+    // repeat re-produces "q1 q2 q3 q4" and "q2 q3 q4 tail");
+    // hits = {q1 q2 q3 q4, q2 q3 q4 tail}
+    assert(got(4L) == ((5L, 2L)))
+    assert(!got.contains(1L))
+  }
+
   test("blocklistFilter is exact-token, not substring") {
     val sql = spark
     import sql.implicits._
