@@ -17,6 +17,19 @@ object Bench {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 
+  /** Materialize every output row WITH all its columns. Plain
+    * `df.count()` plans a NEW query with a count-aggregate on top, and
+    * Catalyst then column-prunes the query's own final aggregates (their
+    * values are unused) and eliminates whole uniquely-keyed joins that
+    * only fed them — measured: q65's gram-probe subtree (the entire
+    * operator!) vanished under count(), timing 0.25 s for work that
+    * honestly costs ~2 s. `toRdd.count()` executes the query's own plan,
+    * whose required output is every column, so nothing above it can
+    * prune into it. */
+  private def materialize(df: org.apache.spark.sql.DataFrame): Unit = {
+    df.queryExecution.toRdd.count(); ()
+  }
+
   /** Time one query: (signed seconds, error). Seconds are NEGATIVE when
     * the query threw — a failure must never read as a (suspiciously fast)
     * win in the bench record, which is exactly how r06's two broken
@@ -28,7 +41,7 @@ object Bench {
     // NonFatal only: an OutOfMemoryError / StackOverflowError corrupts
     // the JVM — measurements taken after one are garbage, so let it
     // abort the run rather than publish a wrecked-heap pass as data
-    val err = try { fn(spark, sfDir).count(); None }
+    val err = try { materialize(fn(spark, sfDir)); None }
       catch { case scala.util.control.NonFatal(e) =>
         Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
       }
@@ -85,7 +98,7 @@ object Bench {
     // (Two queries of warmup left ~30 s of first-touch cost smeared over
     // the timed pass in the driver's environment.)
     benched.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count()
+      try materialize(fn(spark, sfDir))
       catch { case _: Throwable => () }
       dropLeftoverBlocks(spark)
     }
@@ -125,19 +138,21 @@ object Bench {
     val total = results.filter(_._2 >= 0).map(_._2).sum
     // "warmup" records the harness methodology: r01-r03 warmed only 2
     // queries; r04+ run a full untimed pass first; r07+ additionally
-    // take the per-query min of two timed passes. Numbers are only
-    // comparable across runs with the same warmup tag.
+    // take the per-query min of two timed passes AND materialize via
+    // toRdd.count() (plain count() let Catalyst prune final aggregates —
+    // see materialize()). Numbers are only comparable across runs with
+    // the same warmup tag.
     val skipped = verifyOnlyExact.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","warmup":"full-pass-min2","tier":"capped","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"verify_only":$skipped,"queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warmup":"full-pass-min2-mat","tier":"capped","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"verify_only":$skipped,"queries":$qs,"sf":"$sfDir"}"""
     // persist BEFORE stop so the on-disk copy exists even if shutdown hangs
     java.nio.file.Files.writeString(resultPath, json)
     // The driver parses a JSON line from a bounded stdout TAIL; the full
     // per-query record (~8 KB) overflowed that window in r05+r06
     // ("parsed": null). The LAST line is therefore a compact summary that
     // always fits; per-query detail lives in bench_result.json only.
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","warmup":"full-pass-min2","tier":"capped","n_queries":${results.size},"n_errors":${errors.size},"file":"$resultPath","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","warmup":"full-pass-min2-mat","tier":"capped","n_queries":${results.size},"n_errors":${errors.size},"file":"$resultPath","sf":"$sfDir"}"""
     // stop FIRST so no Spark background thread can interleave log output
     // with the one JSON line the harness parses
     spark.stop()

@@ -950,23 +950,28 @@ object Dedup {
         ORDER BY vec_a, vec_b""")),
 
     // LSH-bucketed variant: recall < 1 by design → rows-only check.
+    // These rows-only pair specs sort WITHIN partitions, not globally: a
+    // global orderBy adds a range-sampling pass that re-executes the
+    // expensive verify stage end-to-end (measured 2x on q32 at sf0.1),
+    // and the driver's check for oracle-less queries is row count —
+    // order buys nothing but the recompute.
     QuerySpec(
       "q46_cosine_dedup_lsh",
       (s, d) => cosinePairsLsh(Tables.embeddings(s, d), 0.35)
-        .orderBy(col("vec_a"), col("vec_b")),
+        .sortWithinPartitions(col("vec_a"), col("vec_b")),
       None),
 
     // MinHash-LSH and SimHash use engine-specific hash fns → rows-only check.
     QuerySpec(
       "q32_minhash_lsh",
       (s, d) => minhashLsh(Tables.documents(s, d), 0.5)
-        .orderBy(col("doc_a"), col("doc_b")),
+        .sortWithinPartitions(col("doc_a"), col("doc_b")),
       None),
 
     QuerySpec(
       "q33_simhash",
       (s, d) => simhashPairs(Tables.documents(s, d), 16)
-        .orderBy(col("doc_a"), col("doc_b")),
+        .sortWithinPartitions(col("doc_a"), col("doc_b")),
       None),
 
     // character-shingle MinHash (shingle→minhash→band→bucket-join): the
@@ -974,7 +979,7 @@ object Dedup {
     QuerySpec(
       "q47_minhash_shingles",
       (s, d) => minhashLsh(Tables.documents(s, d), 0.5, shingleK = 5)
-        .orderBy(col("doc_a"), col("doc_b")),
+        .sortWithinPartitions(col("doc_a"), col("doc_b")),
       None),
 
     // pairs → clusters → one retained doc per cluster: exact Jaccard pairs
@@ -1080,7 +1085,7 @@ object Dedup {
       "q92_hybrid_capped",
       (s, d) => hybridPairs(Tables.documents(s, d), Tables.embeddings(s, d),
           lexThreshold = 0.5, semThreshold = 0.05, maxTokenDf = 100)
-        .orderBy(col("doc_a"), col("doc_b")),
+        .sortWithinPartitions(col("doc_a"), col("doc_b")), // see q46 note
       None),
 
     // Cross-source duplicate matrix over prefix-100 digests (raw texts

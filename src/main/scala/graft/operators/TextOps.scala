@@ -178,13 +178,45 @@ object TextOps {
     * fewer than n tokens — `sequence(1, size−n+1)` would otherwise count
     * DOWN and fabricate grams). Pure column expression: codegen'd,
     * map-side, zero shuffle. */
-  def wordNgrams(text: Column, n: Int): Column = {
+  def wordNgrams(text: Column, n: Int): Column =
+    wordNgramsOfTokens(tokens(text), n)
+
+  /** [[wordNgrams]] over an ALREADY-TOKENIZED array column.
+    *
+    * Why this exists: the token array is referenced once per generated
+    * gram (the `slice` inside the `transform` lambda), and lambda bodies
+    * are outside codegen's subexpression elimination — so when `toks` is
+    * an inline `split(text)` the text gets re-split for EVERY gram,
+    * turning an O(tokens) kernel into O(tokens·grams) (measured 3× on
+    * the sf0.1 gram stream). Callers that explode grams should
+    * materialize the token array in its own projection first (see
+    * [[explodedGrams]]) so each row is split exactly once.
+    */
+  def wordNgramsOfTokens(toks: Column, n: Int): Column = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
-    val t = tokens(text)
-    when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", slice(t, i, lit(n)))))
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
+  }
+
+  /** The exploded word-n-gram stream of `df`: `keep` columns + `gram`,
+    * one row per (doc, gram) — per-doc-distinct when `distinctPerDoc`
+    * (an `array_distinct` BEFORE the explode: map-side, no shuffle).
+    *
+    * Tokenization runs in its OWN projection so each row's text is
+    * split once, not once per gram (scaladoc at [[wordNgramsOfTokens]]).
+    * CollapseProject will not inline it back: the token array is
+    * referenced more than once by a non-cheap expression, which is
+    * exactly the case the rule's duplication guard keeps separate.
+    */
+  private[graft] def explodedGrams(df: DataFrame, n: Int, keep: Seq[String],
+                                   textCol: String = "text",
+                                   distinctPerDoc: Boolean = false): DataFrame = {
+    val grams = wordNgramsOfTokens(col("__toks"), n)
+    df.select(keep.map(col) :+ tokens(col(textCol)).as("__toks"): _*)
+      .select(keep.map(col) :+
+        explode(if (distinctPerDoc) array_distinct(grams) else grams).as("gram"): _*)
   }
 
   /** Span-level duplication audit: for each doc, how many of its distinct
@@ -222,8 +254,8 @@ object TextOps {
   def dupSpanStats(docs: DataFrame, n: Int = 6,
                    hashGrams: Boolean = false): DataFrame = {
     require(n >= 2, s"dupSpanStats: span width must be >= 2, got $n")
-    val raw = docs.select(col("doc_id"), col("source"),
-      explode(array_distinct(wordNgrams(col("text"), n))).as("gram"))
+    val raw = explodedGrams(docs, n, Seq("doc_id", "source"),
+      distinctPerDoc = true)
     // both the df aggregation and the rejoin consume the gram stream; in
     // hashed mode its rows are (doc_id, source, long) — far smaller than
     // the text they derive from — so a lazy checkpoint pays the
@@ -256,9 +288,9 @@ object TextOps {
     */
   def contaminatedIds(corpus: DataFrame, evalDocs: DataFrame, n: Int = 4,
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val evalGrams = evalDocs
-      .select(explode(wordNgrams(col(textCol), n)).as("gram")).distinct()
-    corpus.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
+    val evalGrams = explodedGrams(evalDocs, n, Seq.empty, textCol)
+      .select(col("gram")).distinct()
+    explodedGrams(corpus, n, Seq(idCol), textCol)
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")
       .select(col(idCol)).distinct()
   }
@@ -292,8 +324,8 @@ object TextOps {
                            numBits: Long = 8000000L): DataFrame = {
     require(expectedItems > 0 && numBits > 0,
       s"contaminatedIdsBloom: sizing must be positive, got items=$expectedItems bits=$numBits")
-    val evalGrams = evalDocs
-      .select(explode(wordNgrams(col(textCol), n)).as("gram")).distinct()
+    val evalGrams = explodedGrams(evalDocs, n, Seq.empty, textCol)
+      .select(col("gram")).distinct()
     // bloom_filter_agg / might_contain are real codegen'd Spark
     // expressions (the machinery behind runtime bloom-filter joins) but
     // are not in the public function registry — constructed directly,
@@ -306,7 +338,7 @@ object TextOps {
           expression(xxhash64(col("gram"))),
           Literal(expectedItems), Literal(numBits)).toAggregateExpression()))
       .head().getAs[Array[Byte]](0)
-    corpus.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
+    explodedGrams(corpus, n, Seq(idCol), textCol)
       .filter(column(BloomFilterMightContain(
         expression(lit(bloom)), expression(xxhash64(col("gram"))))))
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")
@@ -330,11 +362,10 @@ object TextOps {
     */
   def contaminationRate(corpus: DataFrame, evalDocs: DataFrame, n: Int = 4,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val evalGrams = evalDocs
-      .select(explode(wordNgrams(col(textCol), n)).as("gram")).distinct()
+    val evalGrams = explodedGrams(evalDocs, n, Seq.empty, textCol)
+      .select(col("gram")).distinct()
       .withColumn("hit", lit(1))
-    corpus
-      .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
+    explodedGrams(corpus, n, Seq(idCol), textCol, distinctPerDoc = true)
       .join(broadcast(evalGrams), Seq("gram"), "left_outer")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("contam_grams"))

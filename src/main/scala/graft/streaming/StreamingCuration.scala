@@ -28,10 +28,9 @@ object StreamingCuration {
   def contaminatedIdsStream(docsStream: DataFrame, evalDocs: DataFrame,
                             n: Int = 4, textCol: String = "text",
                             idCol: String = "doc_id"): DataFrame = {
-    val evalGrams = evalDocs
-      .select(explode(TextOps.wordNgrams(col(textCol), n)).as("gram")).distinct()
-    docsStream
-      .select(col(idCol), explode(TextOps.wordNgrams(col(textCol), n)).as("gram"))
+    val evalGrams = TextOps.explodedGrams(evalDocs, n, Seq.empty, textCol)
+      .select(col("gram")).distinct()
+    TextOps.explodedGrams(docsStream, n, Seq(idCol), textCol)
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")
       .select(col(idCol))
       .dropDuplicates(idCol)
