@@ -36,9 +36,11 @@ object Pipeline {
              minTtr: Double, nearDupThreshold: Double,
              maxTokenDf: Int = 1000): DataFrame = {
     val quality = docs
-      .withColumn("n_tokens", TextOps.tokenCount(col("text")))
-      .withColumn("ttr", TextOps.typeTokenRatio(col("text")))
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .withColumn("n_tokens", TextOps.tokenCountOfTokens(col("__toks")))
+      .withColumn("ttr", TextOps.typeTokenRatioOfTokens(col("__toks")))
       .filter(col("n_tokens").between(minTokens, maxTokens) && col("ttr") > minTtr)
+      .drop("__toks")
 
     // The near-dup stage references its input ~5 times (token sets, the
     // inverted index on both join sides, sizes, hot-token correction) and

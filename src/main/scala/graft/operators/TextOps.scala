@@ -21,18 +21,30 @@ object TextOps {
   def regexTokens(text: Column): Column =
     regexp_extract_all(text, lit("[a-z]+|[A-Z]+|[0-9]+"), lit(0))
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(text: Column): Column = tokenCountOfTokens(tokens(text))
 
   /** Fraction of tokens that are (English) stopwords. */
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
-    size(filter(toks, t => t.isin("the", "a", "of", "and", "to"))).cast("double") /
-      size(toks)
-  }
+  def stopwordRatio(text: Column): Column =
+    stopwordRatioOfTokens(tokens(text))
 
   /** Type-token ratio: distinct tokens / tokens — a repetitiveness score. */
   def typeTokenRatio(text: Column): Column =
-    size(array_distinct(tokens(text))).cast("double") / size(tokens(text))
+    typeTokenRatioOfTokens(tokens(text))
+
+  // `...OfTokens` twins for scans that compute SEVERAL token metrics per
+  // row: each metric's inline `tokens(text)` is a separate split() per
+  // occurrence (2-3 each — Catalyst does not CSE across Column trees),
+  // so a five-metric projection re-splits every row ~8×. Materialize the
+  // token array once in its own projection and feed these instead —
+  // same mechanics as [[wordNgramsOfTokens]], same bit-identical output.
+  def tokenCountOfTokens(toks: Column): Column = size(toks)
+
+  def stopwordRatioOfTokens(toks: Column): Column =
+    size(filter(toks, t => t.isin("the", "a", "of", "and", "to"))).cast("double") /
+      size(toks)
+
+  def typeTokenRatioOfTokens(toks: Column): Column =
+    size(array_distinct(toks)).cast("double") / size(toks)
 
   /** Deterministic 64-char-prefix polynomial rolling hash (mod 1e9+7). */
   def fingerprint(text: Column): Column = {
@@ -47,8 +59,11 @@ object TextOps {
     * would be per-language n-gram tables; the argmax-with-tie-break shape is
     * the same.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langIdOfTokens(tokens(text))
+
+  /** [[langId]] over a pre-materialized token array (four marker scores
+    * otherwise embed four splits — see the `...OfTokens` note below). */
+  def langIdOfTokens(toks: Column): Column = {
     def score(markers: String*): Column =
       size(filter(toks, t => t.isin(markers.map(lit): _*)))
     val en = score("the", "a", "of")
@@ -381,10 +396,15 @@ object TextOps {
     * across engines — a doc's keep/drop decision never depends on which
     * engine (or which partition order) evaluated it.
     */
-  def qualityScore(text: Column): Column = {
-    val ttr = typeTokenRatio(text)
-    val stop = stopwordRatio(text)
-    val lenNorm = least(tokenCount(text).cast("double") / lit(100), lit(1.0))
+  def qualityScore(text: Column): Column = qualityScoreOfTokens(tokens(text))
+
+  /** [[qualityScore]] over a pre-materialized token array — five token
+    * metrics otherwise re-split the text five times per row (see the
+    * `...OfTokens` note above). */
+  def qualityScoreOfTokens(toks: Column): Column = {
+    val ttr = typeTokenRatioOfTokens(toks)
+    val stop = stopwordRatioOfTokens(toks)
+    val lenNorm = least(tokenCountOfTokens(toks).cast("double") / lit(100), lit(1.0))
     round(lit(0.4) * ttr + lit(0.3) * (lit(1) - stop) + lit(0.3) * lenNorm, 6)
   }
 
@@ -503,18 +523,22 @@ object TextOps {
                       textCol: String = "text"): DataFrame =
     docs.filter(!arrays_overlap(tokens(col(textCol)), typedlit(blocked)))
 
-  /** Full per-document text statistics frame. */
+  /** Full per-document text statistics frame. Tokenizes once per row
+    * (own projection) — the metric columns embed ~10 references to the
+    * token array between them. */
   def analyze(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      col("lang"),
-      tokenCount(col("text")).as("n_tokens"),
-      size(regexTokens(col("text"))).as("n_regex_tokens"),
-      length(col("text")).as("len_chars"),
-      stopwordRatio(col("text")).as("stopword_ratio"),
-      typeTokenRatio(col("text")).as("type_token_ratio"),
-      fingerprint(col("text")).as("fp"),
-      langId(col("text")).as("pred_lang"))
+    docs.select(col("doc_id"), col("lang"), col("text"),
+        tokens(col("text")).as("__toks"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        tokenCountOfTokens(col("__toks")).as("n_tokens"),
+        size(regexTokens(col("text"))).as("n_regex_tokens"),
+        length(col("text")).as("len_chars"),
+        stopwordRatioOfTokens(col("__toks")).as("stopword_ratio"),
+        typeTokenRatioOfTokens(col("__toks")).as("type_token_ratio"),
+        fingerprint(col("text")).as("fp"),
+        langIdOfTokens(col("__toks")).as("pred_lang"))
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -523,10 +547,11 @@ object TextOps {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-        val stopToks = size(filter(tokens($"text"),
+        val stopToks = size(filter($"__toks",
           t => t.isin("the", "a", "of", "and", "to")))
-        docs.select($"lang",
-            tokenCount($"text").as("n_tokens"),
+        docs.select($"lang", $"text", tokens($"text").as("__toks"))
+          .select($"lang",
+            tokenCountOfTokens($"__toks").as("n_tokens"),
             size(regexTokens($"text")).as("n_regex_tokens"),
             length($"text").as("len_chars"),
             stopToks.as("n_stop_tokens"))
@@ -609,8 +634,9 @@ object TextOps {
         import s.implicits._
         // pipeline-style quality gate: keep docs in healthy length/diversity band
         Tables.documents(s, d)
-          .withColumn("n_tokens", tokenCount($"text"))
-          .withColumn("ttr", typeTokenRatio($"text"))
+          .withColumn("__toks", tokens($"text"))
+          .withColumn("n_tokens", tokenCountOfTokens($"__toks"))
+          .withColumn("ttr", typeTokenRatioOfTokens($"__toks"))
           .filter($"n_tokens".between(10, 100) && $"ttr" > 0.3)
           .groupBy($"source")
           .agg(count(lit(1)).as("n_kept"), sum($"n_tokens").as("sum_tokens"))
@@ -889,7 +915,8 @@ object TextOps {
       "q75_quality_score",
       (s, d) => {
         Tables.documents(s, d)
-          .select(col("lang"), qualityScore(col("text")).as("score"))
+          .select(col("lang"), tokens(col("text")).as("__toks"))
+          .select(col("lang"), qualityScoreOfTokens(col("__toks")).as("score"))
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("score") >= 0.6, 1).otherwise(0)).cast("bigint").as("n_passing"),
