@@ -82,7 +82,8 @@ object Bench {
     // capped formulations and leaves exactness to Verify.
     val verifyOnlyExact = Set(
       "q31_jaccard_pairs", "q49_dedup_clusters", "q77_hybrid_dedup", "q90_dup_spans",
-      "q70_curation_pipeline") // capped production tier benched as q99
+      "q70_curation_pipeline", // capped production tier benched as q99
+      "q104_dedup_spans")      // hashed production tier benched as q105
     // dev iteration only: SPARK_GRAFT_BENCH_ONLY=q99_curation_capped,...
     // times just those queries. The driver never sets it.
     val onlyFilter = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

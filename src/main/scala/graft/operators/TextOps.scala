@@ -289,6 +289,74 @@ object TextOps {
         count(when(col("df") > 1, 1)).as("dup_grams"))
   }
 
+  /** Span-level dedup REMOVAL — the action companion to the
+    * [[dupSpanStats]] audit: rewrite each document dropping every token
+    * covered by a cross-doc duplicated n-gram span (a span is duplicated
+    * when its gram occurs in ≥2 distinct docs). This is the
+    * training-data span dedup that whole-doc dedup cannot do: a doc that
+    * is 30% license header keeps its 70% fresh text instead of being
+    * kept (with the boilerplate) or dropped (with the fresh text).
+    *
+    * Returns `(doc_id, source, n_tokens, n_removed, clean_text)`;
+    * `clean_text` is the surviving tokens re-joined in order. Docs with
+    * fewer than `n` tokens pass through unchanged.
+    *
+    * Scale design: three exchanges, none carrying text — (1) the
+    * corpus-df aggregation over map-side per-doc-DISTINCT grams (partial
+    * agg; `hashGrams` shrinks the key to 8 bytes, q93's trade), (2) the
+    * positioned gram stream joined to the duplicated-gram set keyed on
+    * the gram (both sides gram-derived; only (doc_id, pos) survives),
+    * (3) the per-doc start-position sets rejoined to the docs by id.
+    * The rebuild itself is a pure column expression over the token
+    * array + start set: each position is kept unless some start `s`
+    * covers it (`s <= p <= s+n-1`) — O(tokens × dup-starts) per row,
+    * map-side, no UDF.
+    *
+    * @param hashGrams join/df on `xxhash64(gram)` instead of the string
+    *        (production tier — same payload trade as [[dupSpanStats]];
+    *        a ~p²/2^65 birthday collision could remove an extra span,
+    *        so the exact tier keeps the oracle; suite gates equality)
+    */
+  def dedupSpans(docs: DataFrame, n: Int = 6,
+                 hashGrams: Boolean = false): DataFrame = {
+    require(n >= 2, s"dedupSpans: span width must be >= 2, got $n")
+    val toks = docs.select(col("doc_id"), col("source"),
+      tokens(col("text")).as("__toks"))
+    val gramKey = (g: Column) => if (hashGrams) xxhash64(g) else g
+    // positioned gram stream: (doc_id, pos, gram), pos 1-based
+    val gramPos = toks
+      .select(col("doc_id"),
+        explode(when(size(col("__toks")) >= n,
+          transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
+            i => struct(i.as("pos"),
+              concat_ws(" ", slice(col("__toks"), i, lit(n))).as("gram"))))
+          .otherwise(array().cast("array<struct<pos:int,gram:string>>"))).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"),
+        gramKey(col("pg.gram")).as("gram"))
+    // corpus df over per-doc DISTINCT grams (the q90 df definition);
+    // array_distinct BEFORE explode keeps the distinct map-side
+    val dupGrams = explodedGrams(docs, n, Seq.empty, distinctPerDoc = true)
+      .select(gramKey(col("gram")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1).select(col("gram"))
+    val dupStarts = gramPos
+      .join(dupGrams, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("__starts"))
+    val starts = coalesce(col("__starts"), array().cast("array<int>"))
+    val keptPos = filter(sequence(lit(1), size(col("__toks"))),
+      p => size(filter(starts, s => p >= s && p <= s + (n - 1))) === 0)
+    toks.join(dupStarts, Seq("doc_id"), "left_outer")
+      // kept positions materialize once (own projection): the coverage
+      // filter is the O(tokens × dup-starts) kernel and is consumed by
+      // both n_removed and the rebuild
+      .select(col("doc_id"), col("source"), col("__toks"), keptPos.as("__kept"))
+      .select(col("doc_id"), col("source"),
+        size(col("__toks")).cast("bigint").as("n_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).cast("bigint").as("n_removed"),
+        concat_ws(" ",
+          transform(col("__kept"), p => element_at(col("__toks"), p))).as("clean_text"))
+  }
+
   /** Doc ids from `corpus` that share ≥1 word n-gram with `evalDocs` —
     * benchmark decontamination, the curation stage every LLM pipeline
     * runs before training (eval questions leaking into the corpus).
@@ -1069,6 +1137,50 @@ object TextOps {
           sum(col("n_grams")).cast("bigint").as("n_grams"),
           sum(col("dup_grams")).cast("bigint").as("n_dup_grams"))
         .orderBy(col("source")),
+      None),
+
+    // Span-removal twins of q90/q93: rewrite docs dropping tokens under
+    // cross-doc duplicated 6-gram spans. q104 = exact string-gram tier,
+    // full DuckDB oracle down to the rebuilt text; q105 = hashed-key
+    // production tier (rows-only by design — a hash collision could
+    // remove an extra span; TextStatsSuite gates hashed == string).
+    // The spec filters to touched docs so the output is the interesting
+    // set; ordering by doc_id is deterministic.
+    QuerySpec(
+      "q104_dedup_spans",
+      (s, d) => dedupSpans(Tables.documents(s, d), n = 6)
+        .filter(col("n_removed") > 0)
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS t FROM documents),
+        g AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+5],' ') AS gram
+              FROM toks, UNNEST(generate_series(1, greatest(len(t)-5, 0))) AS u(i)),
+        dfs AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram),
+        starts AS (SELECT g.doc_id, list(DISTINCT g.pos) AS ss
+                   FROM g JOIN dfs USING (gram) WHERE dfs.df > 1
+                   GROUP BY g.doc_id),
+        kept AS (
+          SELECT toks.doc_id, toks.source,
+                 len(toks.t) AS n_tokens,
+                 list_filter(range(1, len(toks.t)+1),
+                   p -> len(list_filter(COALESCE(starts.ss, []),
+                            s -> p >= s AND p <= s + 5)) = 0) AS kp,
+                 toks.t AS t
+          FROM toks LEFT JOIN starts USING (doc_id))
+        SELECT doc_id, source,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_tokens - len(kp) AS BIGINT) AS n_removed,
+               COALESCE(array_to_string(list_transform(kp, p -> t[p]), ' '), '')
+                 AS clean_text
+        FROM kept
+        WHERE n_tokens - len(kp) > 0
+        ORDER BY doc_id""")),
+
+    QuerySpec(
+      "q105_dedup_spans_hashed",
+      (s, d) => dedupSpans(Tables.documents(s, d), n = 6, hashGrams = true)
+        .filter(col("n_removed") > 0)
+        .sortWithinPartitions(col("doc_id")), // rows-only: see q46 note
       None),
 
     // Corpus-level vocabulary richness per source: distinct token types

@@ -381,6 +381,49 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashed === exact)
   }
 
+  test("dedupSpans: removes covered tokens only; overlap unions; short docs pass") {
+    val sql = spark
+    import sql.implicits._
+    val docs = Seq(
+      // docs 1+2 share "a b c": doc 1's tokens 2-4 covered (1-based),
+      // keeping "x y"; doc 2 keeps "z". Doc 1's SECOND occurrence of the
+      // span (positions 5-7... none here) — use doc 3 for overlap: spans
+      // "a b c" (pos 2) and "b c d" (pos 3) both duplicated → coverage
+      // union is positions 2-5, keeping "k m".
+      (1L, "s1", "x a b c y"),
+      (2L, "s1", "a b c z"),
+      (3L, "s2", "k a b c d m"),
+      (4L, "s2", "b c d q"),
+      (5L, "s3", "u v"), // shorter than n → untouched
+      (6L, "s3", "n o p r s t")) // no shared spans → untouched
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.dedupSpans(docs, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((5L, 3L, "x y")))
+    assert(got(2L) == ((4L, 3L, "z")))
+    assert(got(3L) == ((6L, 4L, "k m")))
+    assert(got(4L) == ((4L, 3L, "q")))
+    assert(got(5L) == ((2L, 0L, "u v")))
+    assert(got(6L) == ((6L, 0L, "n o p r s t")))
+    intercept[IllegalArgumentException] { TextOps.dedupSpans(docs, n = 1) }
+  }
+
+  // spec gate for q105_dedup_spans_hashed (rows-only in the driver):
+  // same contract as the q93 gate — no 64-bit collisions at test SF, so
+  // hashed-key output must equal the string-keyed exact tier exactly
+  test("dedupSpans: hashed-gram production mode equals string mode") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val asMap = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val exact = asMap(TextOps.dedupSpans(docs, n = 6))
+    val hashed = asMap(TextOps.dedupSpans(docs, n = 6, hashGrams = true))
+    assert(exact.nonEmpty && exact.values.exists(_._2 > 0),
+      "degenerate fixture: no duplicated spans at sf0.001")
+    assert(hashed === exact)
+  }
+
   test("shardAssign: content-hashed, stable under reorder, dups co-shard") {
     val sql = spark
     import sql.implicits._
