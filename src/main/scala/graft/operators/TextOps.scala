@@ -47,13 +47,18 @@ object TextOps {
     size(array_distinct(toks)).cast("double") / size(toks)
 
   /** Deterministic 64-char-prefix polynomial rolling hash (mod 1e9+7). */
-  def fingerprint(text: Column): Column = {
-    val t = substring(text, 1, 64)
+  def fingerprint(text: Column): Column = fingerprintOfPrefix(substring(text, 1, 64))
+
+  /** [[fingerprint]] over a pre-materialized prefix column: the fold
+    * lambda references the prefix per CHARACTER, so an inline
+    * `substring(text,1,64)` re-copies the prefix 64× per row (the
+    * `...OfTokens` note applies — lambda captures sit outside
+    * subexpression elimination). Feed an attribute. */
+  def fingerprintOfPrefix(t: Column): Column =
     aggregate(
       sequence(lit(1), length(t)),
       lit(0L),
       (acc, i) => (acc * 31 + ascii(substring(t, i.cast("int"), lit(1)))) % 1000000007L)
-  }
 
   /** Marker-stopword language-ID heuristic. On real corpora the marker sets
     * would be per-language n-gram tables; the argmax-with-tie-break shape is
@@ -264,7 +269,7 @@ object TextOps {
     *        ~p²/2^65 birthday collision chance per gram pair — noise for
     *        an audit metric, so the sf0.1 bench times this mode while the
     *        oracle gate (q90) keeps the engine-portable string keys.
-    *        Gated in TextStatsSuite: hashed == string output at test SF.
+    *        Gated in CurationOpsSuite: hashed == string output at test SF.
     */
   def dupSpanStats(docs: DataFrame, n: Int = 6,
                    hashGrams: Boolean = false): DataFrame = {
@@ -596,7 +601,8 @@ object TextOps {
     * token array between them. */
   def analyze(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"), col("text"),
-        tokens(col("text")).as("__toks"))
+        tokens(col("text")).as("__toks"),
+        substring(col("text"), 1, 64).as("__pfx"))
       .select(
         col("doc_id"),
         col("lang"),
@@ -605,7 +611,7 @@ object TextOps {
         length(col("text")).as("len_chars"),
         stopwordRatioOfTokens(col("__toks")).as("stopword_ratio"),
         typeTokenRatioOfTokens(col("__toks")).as("type_token_ratio"),
-        fingerprint(col("text")).as("fp"),
+        fingerprintOfPrefix(col("__pfx")).as("fp"),
         langIdOfTokens(col("__toks")).as("pred_lang"))
 
   val specs: Seq[QuerySpec] = Seq(
@@ -656,7 +662,8 @@ object TextOps {
       (s, d) => {
         import s.implicits._
         Tables.documents(s, d)
-          .select($"doc_id", fingerprint($"text").as("fp"))
+          .select($"doc_id", substring($"text", 1, 64).as("__pfx"))
+          .select($"doc_id", fingerprintOfPrefix($"__pfx").as("fp"))
           .orderBy($"doc_id")
       },
       Some("""
@@ -673,7 +680,8 @@ object TextOps {
       (s, d) => {
         import s.implicits._
         Tables.documents(s, d)
-          .select($"doc_id", langId($"text").as("pred_lang"), $"lang")
+          .select($"doc_id", tokens($"text").as("__toks"), $"lang")
+          .select($"doc_id", langIdOfTokens($"__toks").as("pred_lang"), $"lang")
           .groupBy($"pred_lang", $"lang")
           .agg(count(lit(1)).as("n"))
           .orderBy($"pred_lang", $"lang")
@@ -1124,7 +1132,7 @@ object TextOps {
         FROM perdoc GROUP BY source ORDER BY source""")),
 
     // Production tier of the same audit: xxhash64 gram keys (engine-
-    // specific → rows-only; TextStatsSuite gates hashed == string
+    // specific → rows-only; CurationOpsSuite gates hashed == string
     // output). This is the formulation the sf0.1 bench times — q90's
     // string-keyed exact mode exists for the DuckDB oracle at sf0.01.
     QuerySpec(
@@ -1143,7 +1151,7 @@ object TextOps {
     // cross-doc duplicated 6-gram spans. q104 = exact string-gram tier,
     // full DuckDB oracle down to the rebuilt text; q105 = hashed-key
     // production tier (rows-only by design — a hash collision could
-    // remove an extra span; TextStatsSuite gates hashed == string).
+    // remove an extra span; CurationOpsSuite gates hashed == string).
     // The spec filters to touched docs so the output is the interesting
     // set; ordering by doc_id is deterministic.
     QuerySpec(
