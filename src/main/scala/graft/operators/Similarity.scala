@@ -262,6 +262,48 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** K-means clustering as an END PRODUCT (not just the IVF training
+    * step): cluster assignments rolled up to per-cluster size, inertia,
+    * and a deterministic exemplar — the corpus-structure audit
+    * (domain/topic balance, mode collapse in synthetic data) and the
+    * input to cluster-balanced sampling.
+    *
+    * Determinism: init = the k lowest-id vectors, assignment =
+    * codegen'd argmin with index tie-break, and the inertia rollup
+    * routes through DECIMAL(25,10) — exact given the assignments. The
+    * Lloyd mean itself is a float sum whose partition order can drift
+    * centroids by ulps; that flips an argmin only for points essentially
+    * equidistant to two centroids, so in practice the clustering is
+    * stable under repartitioning (suite-gated on the test corpus) but
+    * that is a property of the data margin, not a bit-level guarantee.
+    *
+    * Scale design: the Lloyd loop is [[fitCentroids]] — map-side argmin
+    * assign (zero shuffle), one partitions×K-buffer mean shuffle per
+    * iteration, K×dim model on the driver; the final pass joins the
+    * broadcast centroid table back only to compute distances. The
+    * per-cluster rollup is one partial-aggregated exchange of K rows.
+    */
+  def kmeansClusters(embeddings: DataFrame, k: Int = 8,
+                     iters: Int = 5): DataFrame = {
+    require(k >= 1 && iters >= 1,
+      s"kmeansClusters: need k >= 1 and iters >= 1, got k=$k iters=$iters")
+    val spark = embeddings.sparkSession
+    val c = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = fitCentroids(c, "vec_id", "v", k, iters)
+    c.unpersist(blocking = false) // same trade as ivfTopK: final pass recomputes once
+    val d2 = aggregate(
+      zip_with(col("v"), col("cvec"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    assign(c, cents, "v", "cid")
+      .join(broadcast(centroidDf(spark, cents)), Seq("cid"))
+      .select(col("cid"), col("vec_id"), d2.as("d2"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("d2").cast("decimal(25,10)")).cast("double"), 6).as("inertia"),
+        min(col("vec_id")).as("exemplar_vec_id"))
+  }
+
   /** IVF-PQ: the standard billion-scale ANN architecture (inverted file +
     * product quantization). On top of [[ivfTopK]]'s coarse quantizer, each
     * vector's RESIDUAL (v − centroid) is split into `numSub` subspaces,
@@ -519,6 +561,17 @@ object Similarity {
         ivfTopK(emb, emb.filter(col("vec_id") < 5), 5)
           .orderBy(col("qid"), col("rnk"))
       },
+      None),
+
+    // K-means corpus clustering as an end product. No SQL oracle —
+    // iterative training isn't expressible in one DuckDB query — but the
+    // output is deterministic (fixed init, tie-broken argmin, decimal
+    // inertia sums); KmeansClustersSuite gates separation, determinism
+    // under repartitioning, and totals.
+    QuerySpec(
+      "q106_kmeans_clusters",
+      (s, d) => kmeansClusters(Tables.embeddings(s, d), k = 8, iters = 5)
+        .orderBy(col("cid")),
       None),
 
     // IVF-PQ: compressed-index ANN (codes instead of vectors in the
