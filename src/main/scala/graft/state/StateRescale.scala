@@ -1,0 +1,134 @@
+package graft.state
+
+import org.apache.hadoop.conf.Configuration
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.execution.streaming.state.{NoPrefixKeyStateEncoderSpec, StateStore, StateStoreConf, StateStoreId}
+import org.apache.spark.sql.types.StructType
+
+/** Offline state REPARTITIONING — the rescale operation Spark itself
+  * cannot do: a stateful streaming query pins `shuffle.partitions` from
+  * its first micro-batch forever (the value is recovered from the
+  * offsets log on every restart), so a query that outgrew its
+  * parallelism is stuck unless its keyed state can be physically
+  * redistributed. This tool rewrites an operator's state from `oldN` to
+  * `newN` partitions through the provider SPI itself: every (key,
+  * value) pair is routed by evaluating Spark's own
+  * `HashPartitioning.partitionIdExpression` over the key row — the
+  * EXACT routing the shuffle uses — so a restarted query with `newN`
+  * partitions finds every key in the store its exchange will read.
+  *
+  * Scope: value stores under `NoPrefixKeyStateEncoderSpec` and the
+  * default column family — streaming aggregation, dropDuplicates, and
+  * (flat)mapGroupsWithState state. Session-window / stream-stream-join
+  * layouts and multi-CF transformWithState stores carry extra key
+  * sections with their own distribution and are out of scope here.
+  *
+  * Version discipline: the new stores are committed up to the SAME
+  * version as the old ones (empty commits below, the full data set in
+  * the final commit), because the next micro-batch after restart opens
+  * `version = lastBatch + 1` — a store rebuilt at version 1 would be
+  * unreadable for any real checkpoint. All old partitions must agree on
+  * their latest committed version; disagreement means a torn checkpoint
+  * and the tool refuses.
+  *
+  * Scale notes: this implementation streams one old partition at a
+  * time through one JVM — an offline maintenance pass (state is
+  * typically orders of magnitude smaller than the data that built it).
+  * The shape distributes naturally when needed: routing is pure per-key
+  * arithmetic and the snapshot files live on the shared FS, so a
+  * cluster variant runs one task per NEW partition, each scanning the
+  * old snapshots for its keys.
+  */
+object StateRescale extends Logging {
+
+  final case class RescaleReport(
+      oldPartitions: Int,
+      newPartitions: Int,
+      version: Long,
+      keysMoved: Long,
+      perNewPartition: Map[Int, Long])
+
+  /** @param makeProvider fresh provider instance per partition
+    *                     (providers bind to one StateStoreId at init)
+    * @param oldStateRoot checkpoint state root of the source (the
+    *                     directory whose children are operator ids)
+    * @param newStateRoot state root to write the rescaled layout into
+    *                     (must not equal `oldStateRoot`)
+    */
+  def rescale(
+      makeProvider: () => GraftStateStoreProviderBase,
+      oldStateRoot: String,
+      newStateRoot: String,
+      operatorId: Long,
+      oldN: Int,
+      newN: Int,
+      keySchema: StructType,
+      valueSchema: StructType,
+      conf: StateStoreConf,
+      hadoopConf: Configuration = new Configuration()): RescaleReport = {
+    require(oldN > 0 && newN > 0, s"partition counts must be positive: $oldN -> $newN")
+    require(oldStateRoot != newStateRoot,
+      "rescale must write to a fresh state root — rewriting in place would " +
+        "destroy the source on a mid-run failure")
+
+    def open(root: String, partition: Int): GraftStateStoreProviderBase = {
+      val p = makeProvider()
+      p.init(StateStoreId(root, operatorId, partition), keySchema, valueSchema,
+        NoPrefixKeyStateEncoderSpec(keySchema), useColumnFamilies = false,
+        conf, hadoopConf, useMultipleValuesPerKey = false, stateSchemaProvider = None)
+      p
+    }
+
+    // the exact expression the shuffle evaluates to place a row
+    val partIdExpr = HashPartitioning(
+      keySchema.fields.zipWithIndex.map { case (f, i) =>
+        BoundReference(i, f.dataType, f.nullable)
+      }.toIndexedSeq, newN).partitionIdExpression
+    def route(key: InternalRow): Int = partIdExpr.eval(key).asInstanceOf[Int]
+
+    // 1) discover the common committed version across old partitions
+    val oldProviders = (0 until oldN).map(open(oldStateRoot, _))
+    try {
+      val versions = oldProviders.map(_.latestCommittedVersion)
+      val version = versions.head
+      require(versions.forall(_ == version),
+        s"torn checkpoint: old partitions at versions $versions — refusing to rescale")
+      require(version > 0, "source state has no committed version")
+
+      // 2) open writers at version-1 (empty commits up to it), then route
+      val writerProviders = (0 until newN).map(open(newStateRoot, _))
+      val writers: Array[StateStore] = writerProviders.map { prov =>
+        var v = 0L
+        while (v < version - 1) { prov.getStore(v, None).commit(); v += 1 }
+        prov.getStore(version - 1, None)
+      }.toArray
+
+      val perPart = new Array[Long](newN)
+      var moved = 0L
+      oldProviders.zipWithIndex.foreach { case (prov, p) =>
+        val store = prov.getStore(version, None)
+        try {
+          val it = store.iterator(StateStore.DEFAULT_COL_FAMILY_NAME)
+          try it.foreach { pair =>
+            val target = route(pair.key)
+            // provider put() copies both rows — the iterator may reuse buffers
+            writers(target).put(pair.key, pair.value, StateStore.DEFAULT_COL_FAMILY_NAME)
+            perPart(target) += 1
+            moved += 1
+          } finally it.close()
+        } finally store.abort()
+        logInfo(s"rescale: drained old partition $p")
+      }
+
+      writers.foreach { w => require(w.commit() == version) }
+      writerProviders.foreach(_.close())
+      logInfo(s"rescale: $moved keys $oldN -> $newN partitions at version $version")
+      RescaleReport(oldN, newN, version, moved,
+        (0 until newN).map(p => p -> perPart(p)).toMap)
+    } finally oldProviders.foreach(_.close())
+  }
+}

@@ -1,0 +1,146 @@
+package graft.state
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** The full rescale story: a stateful query runs at 2 shuffle
+  * partitions, its checkpoint is rescaled offline to 4, and the query
+  * RESUMES at 4 partitions with every key's state intact — the
+  * operation stock Spark cannot perform (shuffle.partitions is pinned
+  * by the offsets log from the first micro-batch forever).
+  *
+  * Mechanics under test beyond StateRescaleSuite's SPI layer:
+  *  - the rescaled stores are committed at the checkpoint's batch
+  *    version, so batch v+1 opens them;
+  *  - keys land where the restarted query's OWN exchange routes them
+  *    (HashPartitioning parity, proven by correct resumed aggregates);
+  *  - the offsets-log conf rewrite (the one driver-side edit rescaling
+  *    needs) is sufficient for Spark to re-plan at the new parallelism.
+  */
+object RescaleCounterFns extends Serializable {
+  def addCounts(id: Int, rows: Iterator[(Int, Int)],
+                state: GroupState[Int]): (Int, Int) = {
+    val total = state.getOption.getOrElse(0) + rows.map(_._2).sum
+    state.update(total)
+    (id, total)
+  }
+}
+
+class StateRescaleResumeSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-rescale-resume")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        classOf[RocksDbStateStoreProvider].getName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def copyTree(src: Path, dst: Path, skipTopLevel: Set[String]): Unit = {
+    Files.walk(src).iterator().asScala.foreach { p =>
+      val rel = src.relativize(p)
+      if (rel.getNameCount == 0 || !skipTopLevel(rel.getName(0).toString)) {
+        val t = dst.resolve(rel.toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else {
+          Files.createDirectories(t.getParent)
+          Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
+  }
+
+  test("resume a mapGroupsWithState query from a 2 -> 4 rescaled checkpoint") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val ckpt1 = Files.createTempDirectory("graft-rescale-src")
+    val ckpt2 = Files.createTempDirectory("graft-rescale-dst")
+
+    val input = MemoryStream[(Int, Int)]
+    // foreachBatch, not the memory sink: memory refuses checkpoint
+    // recovery, and the resumed query must restart from the copied log.
+    // Updates land last-wins per key in a shared map.
+    val latest = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    def start(ckpt: String) = input.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(RescaleCounterFns.addCounts)
+      .toDF("id", "total")
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => latest.put(r.getInt(0), r.getInt(1)))
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    // ---- phase 1: two batches at 2 partitions
+    val q1 = start(ckpt1.toString)
+    input.addData((1, 10), (2, 20), (3, 30), (4, 40))
+    q1.processAllAvailable()
+    input.addData((1, 1), (3, 3))
+    q1.processAllAvailable()
+    q1.stop()
+    val before = latest.asScala.toMap
+    assert(before == Map(1 -> 11, 2 -> 20, 3 -> 33, 4 -> 40), s"phase 1: $before")
+
+    // ---- phase 2: offline rescale into a copied checkpoint
+    copyTree(ckpt1, ckpt2, skipTopLevel = Set("state"))
+    // groupByKey(Int) keys encode as a single int field; the value row is
+    // opaque to the tool (only the KEY layout matters — it drives routing)
+    val keySchema = StructType(Seq(StructField("value", IntegerType, nullable = false)))
+    val valueSchema = StructType(Seq(StructField("value", IntegerType, nullable = false)))
+    val report = StateRescale.rescale(() => new RocksDbStateStoreProvider,
+      oldStateRoot = s"$ckpt1/state", newStateRoot = s"$ckpt2/state",
+      operatorId = 0, oldN = 2, newN = 4,
+      keySchema, valueSchema, StateTestHelper.storeConf())
+    assert(report.keysMoved == 4 && report.version == 2, s"report: $report")
+
+    // the ONE driver-side edit: the offsets log pins shuffle partitions,
+    // so the copied checkpoint must claim the new count
+    Files.list(ckpt2.resolve("offsets")).iterator().asScala.foreach { f =>
+      val rewritten = new String(Files.readAllBytes(f), "UTF-8")
+        .replace("\"spark.sql.shuffle.partitions\":\"2\"",
+                 "\"spark.sql.shuffle.partitions\":\"4\"")
+      Files.write(f, rewritten.getBytes("UTF-8"))
+    }
+
+    // ---- phase 3: resume at 4 partitions; old state must be visible
+    latest.clear()
+    val q2 = start(ckpt2.toString)
+    input.addData((1, 100), (2, 200), (5, 500))
+    q2.processAllAvailable()
+    val after = latest.asScala.toMap
+    q2.stop()
+    assert(after == Map(1 -> 111, 2 -> 220, 5 -> 500),
+      s"resumed state wrong (carried totals must include pre-rescale batches): $after")
+
+    // and the resumed run really did run 4 state partitions: all four
+    // partition dirs advanced past the rescaled version
+    (0 until 4).foreach { p =>
+      val dir = ckpt2.resolve(s"state/0/$p")
+      assert(Files.exists(dir), s"partition dir $p missing")
+      val files = Files.walk(dir).iterator().asScala.map(_.toString).toSeq
+      // version 3 lands as a snapshot or (under snapshot cadence) a changelog
+      assert(files.exists(f => f.endsWith("state.snapshot.3") ||
+          f.endsWith("state.changelog.3")),
+        s"partition $p did not commit batch 3: $files")
+    }
+  }
+}

@@ -47,9 +47,10 @@ object StateTestHelper {
       provider: P,
       checkpointDir: String,
       conf: StateStoreConf = storeConf(),
-      multiValue: Boolean = false): P = {
+      multiValue: Boolean = false,
+      partition: Int = 0): P = {
     provider.init(
-      newStoreId(checkpointDir),
+      newStoreId(checkpointDir, partition),
       keySchema,
       valueSchema,
       NoPrefixKeyStateEncoderSpec(keySchema),
