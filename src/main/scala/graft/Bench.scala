@@ -88,8 +88,10 @@ object Bench {
     // times just those queries. The driver never sets it.
     val onlyFilter = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // an explicit BENCH_ONLY list overrides the verify-only exclusion:
+    // a dev asking to time q104 means q104, not a silent empty run
     val benched = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (name, _) => verifyOnlyExact(name) }
+      .filterNot { case (name, _) => onlyFilter.isEmpty && verifyOnlyExact(name) }
       .filter { case (name, _) => onlyFilter.forall(_.contains(name)) }
     // untimed warmup: a FULL pass over every query, so JIT/codegen
     // compilation, parquet footer reads, and shuffle-service init land
@@ -98,9 +100,11 @@ object Bench {
     // about — rather than whichever query paid the JVM's one-time costs.
     // (Two queries of warmup left ~30 s of first-touch cost smeared over
     // the timed pass in the driver's environment.)
+    // NonFatal only, same contract as timeOne: a warmup OOM means the
+    // timed passes would measure a wrecked heap — abort, don't publish
     benched.foreach { case (_, fn) =>
       try materialize(fn(spark, sfDir))
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
       dropLeftoverBlocks(spark)
     }
     // A query that throws must be LOUD: r06 recorded two analysis-broken

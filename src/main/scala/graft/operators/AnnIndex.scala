@@ -85,9 +85,17 @@ object AnnIndex {
     */
   def cachedBuild(corpus: DataFrame, key: String): String =
     builtOnce.computeIfAbsent(key, { _ =>
-      val dir = java.nio.file.Files.createTempDirectory("graft-ann-index").toString
-      build(corpus, dir)
-      dir
+      val dir = java.nio.file.Files.createTempDirectory("graft-ann-index")
+      // memoized for the JVM's lifetime, deleted at its exit — repeated
+      // harness rounds must not accumulate index artifacts in /tmp
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try {
+          java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        } catch { case _: Exception => () }
+      }))
+      build(corpus, dir.toString)
+      dir.toString
     })
 
   /** Top-k cosine neighbors for `queries` against the index at `dir`.

@@ -325,8 +325,15 @@ object TextOps {
   def dedupSpans(docs: DataFrame, n: Int = 6,
                  hashGrams: Boolean = false): DataFrame = {
     require(n >= 2, s"dedupSpans: span width must be >= 2, got $n")
+    // THREE consumers reference the tokenized corpus (positioned gram
+    // stream, df aggregation, rebuild join) — without a cut each would
+    // re-run the scan + split. A lazy local checkpoint stores (doc_id,
+    // source, tokens) once — the same corpus-sized-store-for-multi-
+    // reference trade as jaccardPairs' token-set checkpoint (cluster:
+    // durable checkpoint / staging table).
     val toks = docs.select(col("doc_id"), col("source"),
       tokens(col("text")).as("__toks"))
+      .localCheckpoint(false)
     val gramKey = (g: Column) => if (hashGrams) xxhash64(g) else g
     // positioned gram stream: (doc_id, pos, gram), pos 1-based
     val gramPos = toks
@@ -339,8 +346,12 @@ object TextOps {
       .select(col("doc_id"), col("pg.pos").as("pos"),
         gramKey(col("pg.gram")).as("gram"))
     // corpus df over per-doc DISTINCT grams (the q90 df definition);
-    // array_distinct BEFORE explode keeps the distinct map-side
-    val dupGrams = explodedGrams(docs, n, Seq.empty, distinctPerDoc = true)
+    // array_distinct BEFORE explode keeps the distinct map-side. Built
+    // from `toks`, not the raw docs, so this scan reuses the already-
+    // materialized token arrays instead of re-splitting the corpus
+    val dupGrams = toks
+      .select(explode(array_distinct(
+        wordNgramsOfTokens(col("__toks"), n))).as("gram"))
       .select(gramKey(col("gram")).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") > 1).select(col("gram"))

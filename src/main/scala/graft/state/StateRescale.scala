@@ -90,9 +90,15 @@ object StateRescale extends Logging {
       }.toIndexedSeq, newN).partitionIdExpression
     def route(key: InternalRow): Int = partIdExpr.eval(key).asInstanceOf[Int]
 
-    // 1) discover the common committed version across old partitions
-    val oldProviders = (0 until oldN).map(open(oldStateRoot, _))
+    // every opened provider must close on EVERY exit path — a leaked
+    // RocksDB handle holds its LOCK file and blocks a same-JVM retry
+    val opened = scala.collection.mutable.ArrayBuffer.empty[GraftStateStoreProviderBase]
+    def openTracked(root: String, partition: Int): GraftStateStoreProviderBase = {
+      val p = open(root, partition); opened += p; p
+    }
     try {
+      // 1) discover the common committed version across old partitions
+      val oldProviders = (0 until oldN).map(openTracked(oldStateRoot, _))
       val versions = oldProviders.map(_.latestCommittedVersion)
       val version = versions.head
       require(versions.forall(_ == version),
@@ -100,8 +106,8 @@ object StateRescale extends Logging {
       require(version > 0, "source state has no committed version")
 
       // 2) open writers at version-1 (empty commits up to it), then route
-      val writerProviders = (0 until newN).map(open(newStateRoot, _))
-      val writers: Array[StateStore] = writerProviders.map { prov =>
+      val writers: Array[StateStore] = (0 until newN).map { p =>
+        val prov = openTracked(newStateRoot, p)
         var v = 0L
         while (v < version - 1) { prov.getStore(v, None).commit(); v += 1 }
         prov.getStore(version - 1, None)
@@ -125,10 +131,14 @@ object StateRescale extends Logging {
       }
 
       writers.foreach { w => require(w.commit() == version) }
-      writerProviders.foreach(_.close())
       logInfo(s"rescale: $moved keys $oldN -> $newN partitions at version $version")
       RescaleReport(oldN, newN, version, moved,
         (0 until newN).map(p => p -> perPart(p)).toMap)
-    } finally oldProviders.foreach(_.close())
+    } finally opened.foreach { p =>
+      try p.close()
+      catch { case scala.util.control.NonFatal(e) =>
+        logWarning(s"rescale: provider close failed: ${e.getMessage}")
+      }
+    }
   }
 }
