@@ -141,4 +141,86 @@ object StateRescale extends Logging {
       }
     }
   }
+
+  /** Whole-checkpoint rescale: copy `oldCkpt`'s logs (offsets, commits,
+    * metadata) to `newCkpt`, rewrite the state of `operatorId` from
+    * `oldN` to `newN` partitions, and rewrite the offsets log's pinned
+    * `spark.sql.shuffle.partitions` — after which a query restarted on
+    * `newCkpt` runs at `newN` partitions with its state intact
+    * (end-to-end gated in StateRescaleResumeSuite). Local-FS paths (the
+    * offline-maintenance context); the SPI layer underneath is
+    * FS-agnostic.
+    */
+  def rescaleCheckpoint(
+      makeProvider: () => GraftStateStoreProviderBase,
+      oldCkpt: String,
+      newCkpt: String,
+      operatorId: Long,
+      oldN: Int,
+      newN: Int,
+      keySchema: StructType,
+      valueSchema: StructType,
+      conf: StateStoreConf,
+      hadoopConf: Configuration = new Configuration()): RescaleReport = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val src = Paths.get(oldCkpt)
+    val dst = Paths.get(newCkpt)
+    require(Files.isDirectory(src), s"no checkpoint at $oldCkpt")
+    // copy every log except the state dir (rescale rewrites that)
+    Files.walk(src).iterator().asScala.foreach { p =>
+      val rel = src.relativize(p)
+      if (rel.getNameCount == 0 || rel.getName(0).toString != "state") {
+        val t = dst.resolve(rel.toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else {
+          Files.createDirectories(t.getParent)
+          Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
+    val report = rescale(makeProvider, s"$oldCkpt/state", s"$newCkpt/state",
+      operatorId, oldN, newN, keySchema, valueSchema, conf, hadoopConf)
+    // the offsets log pins shuffle partitions from the first batch; the
+    // restarted query recovers the value from the LATEST entry — rewrite
+    // them all so every recovery point agrees
+    val offsets = dst.resolve("offsets")
+    if (Files.isDirectory(offsets)) {
+      Files.list(offsets).iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
+        val rewritten = new String(Files.readAllBytes(f), "UTF-8").replace(
+          s""""spark.sql.shuffle.partitions":"$oldN"""",
+          s""""spark.sql.shuffle.partitions":"$newN"""")
+        Files.write(f, rewritten.getBytes("UTF-8"))
+      }
+    }
+    report
+  }
+}
+
+/** CLI for [[StateRescale.rescaleCheckpoint]]:
+  * {{{
+  * runMain graft.state.StateRescaleMain \
+  *   <oldCheckpoint> <newCheckpoint> <operatorId> <oldN> <newN> \
+  *   <keySchemaDDL> <valueSchemaDDL> [providerClass]
+  * }}}
+  * Schema DDL like `"value INT"` / `"user_id BIGINT, k STRING"` — the
+  * KEY schema must match the operator's grouping-key row layout (it
+  * drives routing); the value schema is informational to the SPI.
+  */
+object StateRescaleMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 7,
+      "usage: <oldCkpt> <newCkpt> <operatorId> <oldN> <newN> <keyDDL> <valueDDL> [providerClass]")
+    val Array(oldCkpt, newCkpt, opId, oldN, newN, keyDdl, valueDdl) = args.take(7)
+    val provider: () => GraftStateStoreProviderBase =
+      if (args.length > 7)
+        () => Class.forName(args(7)).getDeclaredConstructor().newInstance()
+          .asInstanceOf[GraftStateStoreProviderBase]
+      else () => new RocksDbStateStoreProvider
+    val conf = new StateStoreConf(new org.apache.spark.sql.internal.SQLConf, Map.empty)
+    val report = StateRescale.rescaleCheckpoint(provider, oldCkpt, newCkpt,
+      opId.toLong, oldN.toInt, newN.toInt,
+      StructType.fromDDL(keyDdl), StructType.fromDDL(valueDdl), conf)
+    println(s"rescaled: $report")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.state
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.Files
 import scala.jdk.CollectionConverters._
 
 import org.scalatest.BeforeAndAfterAll
@@ -52,20 +52,6 @@ class StateRescaleResumeSuite extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  private def copyTree(src: Path, dst: Path, skipTopLevel: Set[String]): Unit = {
-    Files.walk(src).iterator().asScala.foreach { p =>
-      val rel = src.relativize(p)
-      if (rel.getNameCount == 0 || !skipTopLevel(rel.getName(0).toString)) {
-        val t = dst.resolve(rel.toString)
-        if (Files.isDirectory(p)) Files.createDirectories(t)
-        else {
-          Files.createDirectories(t.getParent)
-          Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
-        }
-      }
-    }
-  }
-
   test("resume a mapGroupsWithState query from a 2 -> 4 rescaled checkpoint") {
     val sql = spark
     import sql.implicits._
@@ -100,26 +86,17 @@ class StateRescaleResumeSuite extends AnyFunSuite with BeforeAndAfterAll {
     val before = latest.asScala.toMap
     assert(before == Map(1 -> 11, 2 -> 20, 3 -> 33, 4 -> 40), s"phase 1: $before")
 
-    // ---- phase 2: offline rescale into a copied checkpoint
-    copyTree(ckpt1, ckpt2, skipTopLevel = Set("state"))
+    // ---- phase 2: offline rescale — the SHIPPED one-call orchestration
+    // (log copy + state rewrite + offsets-conf rewrite).
     // groupByKey(Int) keys encode as a single int field; the value row is
     // opaque to the tool (only the KEY layout matters — it drives routing)
     val keySchema = StructType(Seq(StructField("value", IntegerType, nullable = false)))
     val valueSchema = StructType(Seq(StructField("value", IntegerType, nullable = false)))
-    val report = StateRescale.rescale(() => new RocksDbStateStoreProvider,
-      oldStateRoot = s"$ckpt1/state", newStateRoot = s"$ckpt2/state",
+    val report = StateRescale.rescaleCheckpoint(() => new RocksDbStateStoreProvider,
+      ckpt1.toString, ckpt2.toString,
       operatorId = 0, oldN = 2, newN = 4,
       keySchema, valueSchema, StateTestHelper.storeConf())
     assert(report.keysMoved == 4 && report.version == 2, s"report: $report")
-
-    // the ONE driver-side edit: the offsets log pins shuffle partitions,
-    // so the copied checkpoint must claim the new count
-    Files.list(ckpt2.resolve("offsets")).iterator().asScala.foreach { f =>
-      val rewritten = new String(Files.readAllBytes(f), "UTF-8")
-        .replace("\"spark.sql.shuffle.partitions\":\"2\"",
-                 "\"spark.sql.shuffle.partitions\":\"4\"")
-      Files.write(f, rewritten.getBytes("UTF-8"))
-    }
 
     // ---- phase 3: resume at 4 partitions; old state must be visible
     latest.clear()
