@@ -162,20 +162,31 @@ object StateRescale extends Logging {
       valueSchema: StructType,
       conf: StateStoreConf,
       hadoopConf: Configuration = new Configuration()): RescaleReport = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val src = Paths.get(oldCkpt)
     val dst = Paths.get(newCkpt)
     require(Files.isDirectory(src), s"no checkpoint at $oldCkpt")
-    // copy every log except the state dir (rescale rewrites that)
+    // copy every log AND every other operator's state verbatim — a
+    // checkpoint can hold several stateful operators (chained ops), and
+    // skipping all of `state/` would silently drop their state, so only
+    // the target operator's subtree (which rescale rewrites) is skipped.
+    // NOTE: a query whose plan has several stateful ops must rescale
+    // EACH operator id (they all share the one pinned partition count) —
+    // run this once per op with the same newCkpt. Existing destination
+    // files are never overwritten, so call 2's copy phase cannot clobber
+    // call 1's rescaled state with the old layout.
+    def underTargetOperator(rel: java.nio.file.Path): Boolean =
+      rel.getNameCount >= 2 && rel.getName(0).toString == "state" &&
+        rel.getName(1).toString == operatorId.toString
     Files.walk(src).iterator().asScala.foreach { p =>
       val rel = src.relativize(p)
-      if (rel.getNameCount == 0 || rel.getName(0).toString != "state") {
+      if (rel.getNameCount == 0 || !underTargetOperator(rel)) {
         val t = dst.resolve(rel.toString)
         if (Files.isDirectory(p)) Files.createDirectories(t)
-        else {
+        else if (!Files.exists(t)) {
           Files.createDirectories(t.getParent)
-          Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+          Files.copy(p, t)
         }
       }
     }

@@ -1,6 +1,6 @@
 package graft.state
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -100,6 +100,69 @@ abstract class StateRescaleSuiteBase extends AnyFunSuite {
       it.close(); s.abort(); prov.close()
     }
     assert(n == 41)
+  }
+
+  test(s"$backendName: multi-operator checkpoint — per-op rescaleCheckpoint calls compose") {
+    val oldCkpt = tmp("multiOld"); val newCkpt = tmp("multiNew")
+    // two stateful operators in one checkpoint, both at 2 partitions
+    // and version 1 (a chained-stateful-ops plan)
+    val keysByOp = Map(0L -> Seq("a", "b", "c", "d"), 1L -> Seq("x", "y", "z"))
+    keysByOp.foreach { case (op, keys) =>
+      val partId = HashPartitioning(
+        keySchema.fields.zipWithIndex.map { case (f, i) =>
+          BoundReference(i, f.dataType, f.nullable)
+        }.toIndexedSeq, 2).partitionIdExpression
+      val byPart = keys.groupBy(k => partId.eval(keyRow(k)).asInstanceOf[Int])
+      (0 until 2).foreach { p =>
+        val prov = makeProvider()
+        prov.init(org.apache.spark.sql.execution.streaming.state.StateStoreId(
+            s"$oldCkpt/state", op, p),
+          keySchema, valueSchema,
+          org.apache.spark.sql.execution.streaming.state.NoPrefixKeyStateEncoderSpec(keySchema),
+          useColumnFamilies = false, storeConf(), new org.apache.hadoop.conf.Configuration(),
+          useMultipleValuesPerKey = false, stateSchemaProvider = None)
+        val s = prov.getStore(0, None)
+        byPart.getOrElse(p, Nil).foreach(k => put(s, k, k.length))
+        assert(s.commit() == 1)
+        prov.close()
+      }
+    }
+    // a minimal offsets file carrying the pinned partition count
+    val off = Paths.get(oldCkpt, "offsets")
+    Files.createDirectories(off)
+    Files.write(off.resolve("0"),
+      """v1
+        |{"conf":{"spark.sql.shuffle.partitions":"2"}}
+        |0""".stripMargin.getBytes("UTF-8"))
+
+    // rescale each operator in turn into the SAME destination
+    keysByOp.keys.toSeq.sorted.foreach { op =>
+      val r = StateRescale.rescaleCheckpoint(() => makeProvider(), oldCkpt, newCkpt,
+        operatorId = op, oldN = 2, newN = 3, keySchema, valueSchema, storeConf())
+      assert(r.keysMoved == keysByOp(op).size, s"op $op: $r")
+    }
+    // both operators' full key sets present in the new layout
+    keysByOp.foreach { case (op, keys) =>
+      var seen = Set.empty[String]
+      (0 until 3).foreach { p =>
+        val prov = makeProvider()
+        prov.init(org.apache.spark.sql.execution.streaming.state.StateStoreId(
+            s"$newCkpt/state", op, p),
+          keySchema, valueSchema,
+          org.apache.spark.sql.execution.streaming.state.NoPrefixKeyStateEncoderSpec(keySchema),
+          useColumnFamilies = false, storeConf(), new org.apache.hadoop.conf.Configuration(),
+          useMultipleValuesPerKey = false, stateSchemaProvider = None)
+        val s = prov.getStore(1, None)
+        val it = s.iterator(StateStore.DEFAULT_COL_FAMILY_NAME)
+        it.foreach(pair => seen += keyOf(pair.key))
+        it.close(); s.abort(); prov.close()
+      }
+      assert(seen == keys.toSet, s"op $op keys after compose: $seen")
+    }
+    // and the offsets conf flipped exactly once
+    val conf = new String(Files.readAllBytes(
+      Paths.get(newCkpt, "offsets", "0")), "UTF-8")
+    assert(conf.contains("\"spark.sql.shuffle.partitions\":\"3\""), conf)
   }
 
   test(s"$backendName: torn checkpoint (version skew across partitions) is refused") {
