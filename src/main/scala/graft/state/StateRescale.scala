@@ -9,17 +9,20 @@ import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
 import org.apache.spark.sql.execution.streaming.state.{NoPrefixKeyStateEncoderSpec, StateStore, StateStoreConf, StateStoreId}
 import org.apache.spark.sql.types.StructType
 
-/** Offline state REPARTITIONING — the rescale operation Spark itself
-  * cannot do: a stateful streaming query pins `shuffle.partitions` from
-  * its first micro-batch forever (the value is recovered from the
-  * offsets log on every restart), so a query that outgrew its
-  * parallelism is stuck unless its keyed state can be physically
-  * redistributed. This tool rewrites an operator's state from `oldN` to
-  * `newN` partitions through the provider SPI itself: every (key,
-  * value) pair is routed by evaluating Spark's own
-  * `HashPartitioning.partitionIdExpression` over the key row — the
-  * EXACT routing the shuffle uses — so a restarted query with `newN`
-  * partitions finds every key in the store its exchange will read.
+/** Offline state SURGERY for stopped streaming queries — operations
+  * Spark itself cannot do:
+  *
+  *  - [[rescale]]: a stateful query pins `shuffle.partitions` from its
+  *    first micro-batch forever (recovered from the offsets log on
+  *    every restart), so a query that outgrew its parallelism is stuck
+  *    unless its keyed state is physically redistributed. Every (key,
+  *    value) pair is routed by evaluating Spark's own
+  *    `HashPartitioning.partitionIdExpression` over the key row — the
+  *    EXACT routing the shuffle uses — so a restarted query with `newN`
+  *    partitions finds every key in the store its exchange will read.
+  *  - [[prune]]: targeted key deletion (the right-to-be-forgotten
+  *    request) — rewrite the state dropping rejected keys at the same
+  *    layout; the resumed query sees those entities as new.
   *
   * Scope: value stores under `NoPrefixKeyStateEncoderSpec` and the
   * default column family — streaming aggregation, dropDuplicates, and
@@ -69,11 +72,49 @@ object StateRescale extends Logging {
       keySchema: StructType,
       valueSchema: StructType,
       conf: StateStoreConf,
-      hadoopConf: Configuration = new Configuration()): RescaleReport = {
+      hadoopConf: Configuration = new Configuration()): RescaleReport =
+    rewriteState(makeProvider, oldStateRoot, newStateRoot, operatorId,
+      oldN, newN, keySchema, valueSchema, conf, hadoopConf, keep = _ => true)
+
+  /** Targeted key DELETION across a checkpoint's state — the
+    * right-to-be-forgotten operation for streaming state: a stopped
+    * query's keyed state is rewritten dropping every key `keep` rejects
+    * (e.g. a deleted user's id), at the same version and partition
+    * count, so the query resumes with those entities starting fresh and
+    * everyone else's state intact. Same scope and version discipline as
+    * [[rescale]]; the two compose (prune = same-N rewrite with a
+    * predicate, rescale = route-only rewrite).
+    */
+  def prune(
+      makeProvider: () => GraftStateStoreProviderBase,
+      oldStateRoot: String,
+      newStateRoot: String,
+      operatorId: Long,
+      numPartitions: Int,
+      keySchema: StructType,
+      valueSchema: StructType,
+      conf: StateStoreConf,
+      keep: InternalRow => Boolean,
+      hadoopConf: Configuration = new Configuration()): RescaleReport =
+    rewriteState(makeProvider, oldStateRoot, newStateRoot, operatorId,
+      numPartitions, numPartitions, keySchema, valueSchema, conf, hadoopConf, keep)
+
+  private def rewriteState(
+      makeProvider: () => GraftStateStoreProviderBase,
+      oldStateRoot: String,
+      newStateRoot: String,
+      operatorId: Long,
+      oldN: Int,
+      newN: Int,
+      keySchema: StructType,
+      valueSchema: StructType,
+      conf: StateStoreConf,
+      hadoopConf: Configuration,
+      keep: InternalRow => Boolean): RescaleReport = {
     require(oldN > 0 && newN > 0, s"partition counts must be positive: $oldN -> $newN")
     require(oldStateRoot != newStateRoot,
-      "rescale must write to a fresh state root — rewriting in place would " +
-        "destroy the source on a mid-run failure")
+      "state rewrite must target a fresh state root — rewriting in place " +
+        "would destroy the source on a mid-run failure")
 
     def open(root: String, partition: Int): GraftStateStoreProviderBase = {
       val p = makeProvider()
@@ -120,11 +161,13 @@ object StateRescale extends Logging {
         try {
           val it = store.iterator(StateStore.DEFAULT_COL_FAMILY_NAME)
           try it.foreach { pair =>
-            val target = route(pair.key)
-            // provider put() copies both rows — the iterator may reuse buffers
-            writers(target).put(pair.key, pair.value, StateStore.DEFAULT_COL_FAMILY_NAME)
-            perPart(target) += 1
-            moved += 1
+            if (keep(pair.key)) {
+              val target = route(pair.key)
+              // provider put() copies both rows — the iterator may reuse buffers
+              writers(target).put(pair.key, pair.value, StateStore.DEFAULT_COL_FAMILY_NAME)
+              perPart(target) += 1
+              moved += 1
+            }
           } finally it.close()
         } finally store.abort()
         logInfo(s"rescale: drained old partition $p")
@@ -164,18 +207,62 @@ object StateRescale extends Logging {
       hadoopConf: Configuration = new Configuration()): RescaleReport = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
+    copyCheckpointExceptOperator(oldCkpt, newCkpt, operatorId)
+    val report = rescale(makeProvider, s"$oldCkpt/state", s"$newCkpt/state",
+      operatorId, oldN, newN, keySchema, valueSchema, conf, hadoopConf)
+    // the offsets log pins shuffle partitions from the first batch; the
+    // restarted query recovers the value from the LATEST entry — rewrite
+    // them all so every recovery point agrees
+    val offsets = Paths.get(newCkpt).resolve("offsets")
+    if (Files.isDirectory(offsets)) {
+      Files.list(offsets).iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
+        val rewritten = new String(Files.readAllBytes(f), "UTF-8").replace(
+          s""""spark.sql.shuffle.partitions":"$oldN"""",
+          s""""spark.sql.shuffle.partitions":"$newN"""")
+        Files.write(f, rewritten.getBytes("UTF-8"))
+      }
+    }
+    report
+  }
+
+  /** Whole-checkpoint [[prune]]: copy the logs and sibling operators,
+    * rewrite `operatorId`'s state dropping keys `keep` rejects. Same
+    * version and partition count, so NO offsets edit — the query resumes
+    * on `newCkpt` unchanged except for the forgotten keys (end-to-end
+    * gated in StateRescaleResumeSuite).
+    */
+  def pruneCheckpoint(
+      makeProvider: () => GraftStateStoreProviderBase,
+      oldCkpt: String,
+      newCkpt: String,
+      operatorId: Long,
+      numPartitions: Int,
+      keySchema: StructType,
+      valueSchema: StructType,
+      conf: StateStoreConf,
+      keep: InternalRow => Boolean,
+      hadoopConf: Configuration = new Configuration()): RescaleReport = {
+    copyCheckpointExceptOperator(oldCkpt, newCkpt, operatorId)
+    prune(makeProvider, s"$oldCkpt/state", s"$newCkpt/state",
+      operatorId, numPartitions, keySchema, valueSchema, conf, keep, hadoopConf)
+  }
+
+  /** Copy every log AND every other operator's state verbatim — a
+    * checkpoint can hold several stateful operators (chained ops), and
+    * skipping all of `state/` would silently drop their state, so only
+    * the target operator's subtree (which the rewrite recreates) is
+    * skipped. A query with several stateful ops runs one
+    * rescale/prune per operator id into the SAME destination; existing
+    * destination files are never overwritten, so call 2's copy phase
+    * cannot clobber call 1's rewritten state with the old layout.
+    */
+  private def copyCheckpointExceptOperator(
+      oldCkpt: String, newCkpt: String, operatorId: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
     val src = Paths.get(oldCkpt)
     val dst = Paths.get(newCkpt)
     require(Files.isDirectory(src), s"no checkpoint at $oldCkpt")
-    // copy every log AND every other operator's state verbatim — a
-    // checkpoint can hold several stateful operators (chained ops), and
-    // skipping all of `state/` would silently drop their state, so only
-    // the target operator's subtree (which rescale rewrites) is skipped.
-    // NOTE: a query whose plan has several stateful ops must rescale
-    // EACH operator id (they all share the one pinned partition count) —
-    // run this once per op with the same newCkpt. Existing destination
-    // files are never overwritten, so call 2's copy phase cannot clobber
-    // call 1's rescaled state with the old layout.
     def underTargetOperator(rel: java.nio.file.Path): Boolean =
       rel.getNameCount >= 2 && rel.getName(0).toString == "state" &&
         rel.getName(1).toString == operatorId.toString
@@ -190,21 +277,6 @@ object StateRescale extends Logging {
         }
       }
     }
-    val report = rescale(makeProvider, s"$oldCkpt/state", s"$newCkpt/state",
-      operatorId, oldN, newN, keySchema, valueSchema, conf, hadoopConf)
-    // the offsets log pins shuffle partitions from the first batch; the
-    // restarted query recovers the value from the LATEST entry — rewrite
-    // them all so every recovery point agrees
-    val offsets = dst.resolve("offsets")
-    if (Files.isDirectory(offsets)) {
-      Files.list(offsets).iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
-        val rewritten = new String(Files.readAllBytes(f), "UTF-8").replace(
-          s""""spark.sql.shuffle.partitions":"$oldN"""",
-          s""""spark.sql.shuffle.partitions":"$newN"""")
-        Files.write(f, rewritten.getBytes("UTF-8"))
-      }
-    }
-    report
   }
 }
 

@@ -120,4 +120,48 @@ class StateRescaleResumeSuite extends AnyFunSuite with BeforeAndAfterAll {
         s"partition $p did not commit batch 3: $files")
     }
   }
+
+  test("resume after pruning one entity: it starts fresh, others carry state") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val ckpt1 = Files.createTempDirectory("graft-prune-src")
+    val ckpt2 = Files.createTempDirectory("graft-prune-dst")
+    val input = MemoryStream[(Int, Int)]
+    val latest = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    def start(ckpt: String) = input.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(RescaleCounterFns.addCounts)
+      .toDF("id", "total")
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => latest.put(r.getInt(0), r.getInt(1)))
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val q1 = start(ckpt1.toString)
+    input.addData((1, 10), (2, 20), (3, 30))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // forget entity 2 (the right-to-be-forgotten request)
+    val keySchema = StructType(Seq(StructField("value", IntegerType, nullable = false)))
+    val report = StateRescale.pruneCheckpoint(() => new RocksDbStateStoreProvider,
+      ckpt1.toString, ckpt2.toString, operatorId = 0, numPartitions = 2,
+      keySchema, keySchema, StateTestHelper.storeConf(),
+      keep = row => row.getInt(0) != 2)
+    assert(report.keysMoved == 2, s"$report")
+
+    latest.clear()
+    val q2 = start(ckpt2.toString)
+    input.addData((1, 1), (2, 2), (3, 3))
+    q2.processAllAvailable()
+    q2.stop()
+    val after = latest.asScala.toMap
+    // 1 and 3 carry their totals; 2 restarts from zero
+    assert(after == Map(1 -> 11, 2 -> 2, 3 -> 33),
+      s"prune must forget ONLY entity 2's history: $after")
+  }
 }

@@ -102,6 +102,26 @@ abstract class StateRescaleSuiteBase extends AnyFunSuite {
     assert(n == 41)
   }
 
+  test(s"$backendName: prune drops exactly the rejected keys, same partitions/version") {
+    val oldRoot = tmp("pruneOld"); val newRoot = tmp("pruneNew")
+    val keys = (0 until 30).map(i => s"user-$i")
+    val expected = seed(oldRoot, oldN = 3, versions = 2, keys)
+    val forget = Set("user-3", "user-17", "user-29")
+    val report = StateRescale.prune(() => makeProvider(), oldRoot, newRoot,
+      operatorId = 0, numPartitions = 3, keySchema, valueSchema, storeConf(),
+      keep = row => !forget(row.getUTF8String(0).toString))
+    assert(report.version == 2 && report.keysMoved == 27, s"$report")
+    var seen = Map.empty[String, Int]
+    (0 until 3).foreach { p =>
+      val prov = initProvider(makeProvider(), newRoot, partition = p)
+      val s = prov.getStore(2, None)
+      val it = s.iterator(StateStore.DEFAULT_COL_FAMILY_NAME)
+      it.foreach(pair => seen += (keyOf(pair.key) -> valueOf(pair.value)))
+      it.close(); s.abort(); prov.close()
+    }
+    assert(seen == expected -- forget, "pruned state must be source minus forgotten keys")
+  }
+
   test(s"$backendName: multi-operator checkpoint — per-op rescaleCheckpoint calls compose") {
     val oldCkpt = tmp("multiOld"); val newCkpt = tmp("multiNew")
     // two stateful operators in one checkpoint, both at 2 partitions
