@@ -216,13 +216,34 @@ object StateRescale extends Logging {
     val offsets = Paths.get(newCkpt).resolve("offsets")
     if (Files.isDirectory(offsets)) {
       Files.list(offsets).iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
-        val rewritten = new String(Files.readAllBytes(f), "UTF-8").replace(
+        rewriteTextFile(f, _.replace(
           s""""spark.sql.shuffle.partitions":"$oldN"""",
-          s""""spark.sql.shuffle.partitions":"$newN"""")
-        Files.write(f, rewritten.getBytes("UTF-8"))
+          s""""spark.sql.shuffle.partitions":"$newN""""))
       }
     }
+    // the OPERATOR metadata also records numPartitions; the streaming
+    // runtime takes the count from the offsets conf, but the state DATA
+    // SOURCE reader (`spark.read.format("statestore")`) takes it from
+    // here — leave it stale and every post-rescale state read silently
+    // scans only the first oldN partition dirs
+    val opMeta = Paths.get(newCkpt).resolve(s"state/$operatorId/_metadata/metadata")
+    if (Files.isRegularFile(opMeta)) {
+      rewriteTextFile(opMeta, _.replace(
+        s""""numPartitions":$oldN""", s""""numPartitions":$newN"""))
+    }
     report
+  }
+
+  /** Rewrite a checkpoint text file in place, dropping any Hadoop
+    * checksum sidecar (`.name.crc`) the copy carried over — a stale crc
+    * fails ChecksumFileSystem reads of the edited content. */
+  private def rewriteTextFile(f: java.nio.file.Path,
+                              transform: String => String): Unit = {
+    import java.nio.file.Files
+    val rewritten = transform(new String(Files.readAllBytes(f), "UTF-8"))
+    Files.write(f, rewritten.getBytes("UTF-8"))
+    Files.deleteIfExists(f.resolveSibling("." + f.getFileName.toString + ".crc"))
+    ()
   }
 
   /** Whole-checkpoint [[prune]]: copy the logs and sibling operators,
@@ -263,9 +284,15 @@ object StateRescale extends Logging {
     val src = Paths.get(oldCkpt)
     val dst = Paths.get(newCkpt)
     require(Files.isDirectory(src), s"no checkpoint at $oldCkpt")
+    // the target operator's partition DATA is skipped (the rewrite
+    // recreates it) but its `_metadata` artifacts — the operator
+    // metadata and the partition-0 state schema file — are KEPT: the
+    // state data source reader needs the schema, and a resumed query
+    // validates against it (rescale/prune never change schemas)
     def underTargetOperator(rel: java.nio.file.Path): Boolean =
       rel.getNameCount >= 2 && rel.getName(0).toString == "state" &&
-        rel.getName(1).toString == operatorId.toString
+        rel.getName(1).toString == operatorId.toString &&
+        !(0 until rel.getNameCount).exists(i => rel.getName(i).toString == "_metadata")
     Files.walk(src).iterator().asScala.foreach { p =>
       val rel = src.relativize(p)
       if (rel.getNameCount == 0 || !underTargetOperator(rel)) {

@@ -98,6 +98,18 @@ class StateRescaleResumeSuite extends AnyFunSuite with BeforeAndAfterAll {
       keySchema, valueSchema, StateTestHelper.storeConf())
     assert(report.keysMoved == 4 && report.version == 2, s"report: $report")
 
+    // the rescaled checkpoint must also serve SECONDARY consumers before
+    // any resume: the state data source takes its partition count from
+    // the operator metadata (rewritten to 4) and the value schema from
+    // the preserved partition-0 schema file — a stale metadata would
+    // silently scan only the first 2 partition dirs
+    val viaDataSource = spark.read.format("statestore")
+      .option("path", ckpt2.toString).load()
+      .selectExpr("key.value AS k", "value.groupState.value AS v")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(viaDataSource == Map(1 -> 11, 2 -> 20, 3 -> 33, 4 -> 40),
+      s"state data source after rescale: $viaDataSource")
+
     // ---- phase 3: resume at 4 partitions; old state must be visible
     latest.clear()
     val q2 = start(ckpt2.toString)
