@@ -23,6 +23,10 @@ import org.apache.spark.sql.types.StructType
   *  - [[prune]]: targeted key deletion (the right-to-be-forgotten
   *    request) — rewrite the state dropping rejected keys at the same
   *    layout; the resumed query sees those entities as new.
+  *  - [[migrate]]: value-schema evolution — rewrite every stored value
+  *    to a new layout (and, via [[migrateCheckpoint]], the checkpoint's
+  *    recorded state schema) so the query resumes with a CHANGED state
+  *    class instead of discarding its history.
   *
   * Scope: value stores under `NoPrefixKeyStateEncoderSpec` and the
   * default column family — streaming aggregation, dropDuplicates, and
@@ -74,7 +78,8 @@ object StateRescale extends Logging {
       conf: StateStoreConf,
       hadoopConf: Configuration = new Configuration()): RescaleReport =
     rewriteState(makeProvider, oldStateRoot, newStateRoot, operatorId,
-      oldN, newN, keySchema, valueSchema, conf, hadoopConf, keep = _ => true)
+      oldN, newN, keySchema, valueSchema, valueSchema, conf, hadoopConf,
+      keep = _ => true, transformValue = None)
 
   /** Targeted key DELETION across a checkpoint's state — the
     * right-to-be-forgotten operation for streaming state: a stopped
@@ -97,7 +102,35 @@ object StateRescale extends Logging {
       keep: InternalRow => Boolean,
       hadoopConf: Configuration = new Configuration()): RescaleReport =
     rewriteState(makeProvider, oldStateRoot, newStateRoot, operatorId,
-      numPartitions, numPartitions, keySchema, valueSchema, conf, hadoopConf, keep)
+      numPartitions, numPartitions, keySchema, valueSchema, valueSchema,
+      conf, hadoopConf, keep, transformValue = None)
+
+  /** State value SCHEMA MIGRATION — evolve the stored state of a
+    * stopped query to a new value layout (add a field with a default,
+    * reorder, widen) so the query can resume with a CHANGED state class
+    * instead of discarding its history: `transformValue` maps each old
+    * value row to an [[InternalRow]] matching `newValueSchema` (the
+    * tool projects it to the stored UnsafeRow form). Keys are
+    * untouched; layout and version are preserved. Pair with
+    * [[migrateCheckpoint]], which also rewrites the checkpoint's state
+    * schema file so the resumed query's compatibility check sees the
+    * new layout as the recorded one.
+    */
+  def migrate(
+      makeProvider: () => GraftStateStoreProviderBase,
+      oldStateRoot: String,
+      newStateRoot: String,
+      operatorId: Long,
+      numPartitions: Int,
+      keySchema: StructType,
+      oldValueSchema: StructType,
+      newValueSchema: StructType,
+      conf: StateStoreConf,
+      transformValue: InternalRow => InternalRow,
+      hadoopConf: Configuration = new Configuration()): RescaleReport =
+    rewriteState(makeProvider, oldStateRoot, newStateRoot, operatorId,
+      numPartitions, numPartitions, keySchema, oldValueSchema, newValueSchema,
+      conf, hadoopConf, keep = _ => true, transformValue = Some(transformValue))
 
   private def rewriteState(
       makeProvider: () => GraftStateStoreProviderBase,
@@ -107,22 +140,29 @@ object StateRescale extends Logging {
       oldN: Int,
       newN: Int,
       keySchema: StructType,
-      valueSchema: StructType,
+      oldValueSchema: StructType,
+      newValueSchema: StructType,
       conf: StateStoreConf,
       hadoopConf: Configuration,
-      keep: InternalRow => Boolean): RescaleReport = {
+      keep: InternalRow => Boolean,
+      transformValue: Option[InternalRow => InternalRow]): RescaleReport = {
     require(oldN > 0 && newN > 0, s"partition counts must be positive: $oldN -> $newN")
     require(oldStateRoot != newStateRoot,
       "state rewrite must target a fresh state root — rewriting in place " +
         "would destroy the source on a mid-run failure")
 
-    def open(root: String, partition: Int): GraftStateStoreProviderBase = {
+    def open(root: String, partition: Int,
+             valueSchema: StructType): GraftStateStoreProviderBase = {
       val p = makeProvider()
       p.init(StateStoreId(root, operatorId, partition), keySchema, valueSchema,
         NoPrefixKeyStateEncoderSpec(keySchema), useColumnFamilies = false,
         conf, hadoopConf, useMultipleValuesPerKey = false, stateSchemaProvider = None)
       p
     }
+    // migrated values arrive as any InternalRow shape; the store needs
+    // UnsafeRows of the NEW schema
+    val toUnsafe = transformValue.map(_ =>
+      org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(newValueSchema))
 
     // the exact expression the shuffle evaluates to place a row
     val partIdExpr = HashPartitioning(
@@ -134,12 +174,13 @@ object StateRescale extends Logging {
     // every opened provider must close on EVERY exit path — a leaked
     // RocksDB handle holds its LOCK file and blocks a same-JVM retry
     val opened = scala.collection.mutable.ArrayBuffer.empty[GraftStateStoreProviderBase]
-    def openTracked(root: String, partition: Int): GraftStateStoreProviderBase = {
-      val p = open(root, partition); opened += p; p
+    def openTracked(root: String, partition: Int,
+                    valueSchema: StructType): GraftStateStoreProviderBase = {
+      val p = open(root, partition, valueSchema); opened += p; p
     }
     try {
       // 1) discover the common committed version across old partitions
-      val oldProviders = (0 until oldN).map(openTracked(oldStateRoot, _))
+      val oldProviders = (0 until oldN).map(openTracked(oldStateRoot, _, oldValueSchema))
       val versions = oldProviders.map(_.latestCommittedVersion)
       val version = versions.head
       require(versions.forall(_ == version),
@@ -148,7 +189,7 @@ object StateRescale extends Logging {
 
       // 2) open writers at version-1 (empty commits up to it), then route
       val writers: Array[StateStore] = (0 until newN).map { p =>
-        val prov = openTracked(newStateRoot, p)
+        val prov = openTracked(newStateRoot, p, newValueSchema)
         var v = 0L
         while (v < version - 1) { prov.getStore(v, None).commit(); v += 1 }
         prov.getStore(version - 1, None)
@@ -163,8 +204,12 @@ object StateRescale extends Logging {
           try it.foreach { pair =>
             if (keep(pair.key)) {
               val target = route(pair.key)
+              val value = transformValue match {
+                case Some(f) => toUnsafe.get.apply(f(pair.value))
+                case None => pair.value
+              }
               // provider put() copies both rows — the iterator may reuse buffers
-              writers(target).put(pair.key, pair.value, StateStore.DEFAULT_COL_FAMILY_NAME)
+              writers(target).put(pair.key, value, StateStore.DEFAULT_COL_FAMILY_NAME)
               perPart(target) += 1
               moved += 1
             }
@@ -266,6 +311,60 @@ object StateRescale extends Logging {
     copyCheckpointExceptOperator(oldCkpt, newCkpt, operatorId)
     prune(makeProvider, s"$oldCkpt/state", s"$newCkpt/state",
       operatorId, numPartitions, keySchema, valueSchema, conf, keep, hadoopConf)
+  }
+
+  /** Whole-checkpoint [[migrate]]: copy the logs and sibling operators,
+    * rewrite `operatorId`'s state values to `newValueSchema`, and
+    * REWRITE THE STATE SCHEMA FILE (the v2 key/value-JSON record under
+    * `state/<op>/0/_metadata/schema`) so the resumed query's
+    * compatibility check accepts the evolved state class as what the
+    * checkpoint always recorded. Same version and layout — no offsets
+    * edit (end-to-end gated in StateRescaleResumeSuite: a query resumes
+    * with a CHANGED state case class over its migrated history).
+    */
+  def migrateCheckpoint(
+      makeProvider: () => GraftStateStoreProviderBase,
+      oldCkpt: String,
+      newCkpt: String,
+      operatorId: Long,
+      numPartitions: Int,
+      keySchema: StructType,
+      oldValueSchema: StructType,
+      newValueSchema: StructType,
+      conf: StateStoreConf,
+      transformValue: InternalRow => InternalRow,
+      hadoopConf: Configuration = new Configuration()): RescaleReport = {
+    copyCheckpointExceptOperator(oldCkpt, newCkpt, operatorId)
+    val report = migrate(makeProvider, s"$oldCkpt/state", s"$newCkpt/state",
+      operatorId, numPartitions, keySchema, oldValueSchema, newValueSchema,
+      conf, transformValue, hadoopConf)
+    writeSchemaFile(java.nio.file.Paths.get(
+        newCkpt, "state", operatorId.toString, "0", "_metadata", "schema"),
+      keySchema, newValueSchema)
+    report
+  }
+
+  /** Write Spark's v2 state schema record: `writeUTF("v2")`, then the
+    * key and value schema JSONs each as a chunk count + `writeUTF`
+    * chunks (one chunk here — the 64 KB writeUTF bound holds for any
+    * sane state schema; refuse rather than silently truncate). */
+  private def writeSchemaFile(path: java.nio.file.Path,
+                              keySchema: StructType,
+                              valueSchema: StructType): Unit = {
+    import java.nio.file.Files
+    val kj = keySchema.json; val vj = valueSchema.json
+    require(kj.length < 65535 && vj.length < 65535,
+      "schema JSON exceeds one UTF chunk — extend writeSchemaFile to multi-chunk")
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeUTF("v2")
+    out.writeInt(1); out.writeUTF(kj)
+    out.writeInt(1); out.writeUTF(vj)
+    out.flush()
+    Files.createDirectories(path.getParent)
+    Files.write(path, bos.toByteArray)
+    Files.deleteIfExists(path.resolveSibling("." + path.getFileName + ".crc"))
+    ()
   }
 
   /** Copy every log AND every other operator's state verbatim — a

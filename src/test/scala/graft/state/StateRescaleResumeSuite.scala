@@ -32,6 +32,17 @@ object RescaleCounterFns extends Serializable {
     state.update(total)
     (id, total)
   }
+
+  /** Evolved state class for the migration test: the Int total grew a
+    * second field. */
+  case class CounterV2(total: Int, batches: Int)
+  def addCountsV2(id: Int, rows: Iterator[(Int, Int)],
+                  state: GroupState[CounterV2]): (Int, Int, Int) = {
+    val prev = state.getOption.getOrElse(CounterV2(0, 0))
+    val next = CounterV2(prev.total + rows.map(_._2).sum, prev.batches + 1)
+    state.update(next)
+    (id, next.total, next.batches)
+  }
 }
 
 class StateRescaleResumeSuite extends AnyFunSuite with BeforeAndAfterAll {
@@ -175,5 +186,69 @@ class StateRescaleResumeSuite extends AnyFunSuite with BeforeAndAfterAll {
     // 1 and 3 carry their totals; 2 restarts from zero
     assert(after == Map(1 -> 11, 2 -> 2, 3 -> 33),
       s"prune must forget ONLY entity 2's history: $after")
+  }
+
+  test("resume with an EVOLVED state class after value-schema migration") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import RescaleCounterFns.CounterV2
+
+    val ckpt1 = Files.createTempDirectory("graft-migrate-src")
+    val ckpt2 = Files.createTempDirectory("graft-migrate-dst")
+    val input = MemoryStream[(Int, Int)]
+
+    // ---- v1 query: Int state
+    val latestV1 = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    val q1 = input.toDS().groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(RescaleCounterFns.addCounts)
+      .toDF("id", "total")
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => latestV1.put(r.getInt(0), r.getInt(1)))
+      }
+      .option("checkpointLocation", ckpt1.toString).start()
+    input.addData((1, 10), (2, 20))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(latestV1.asScala.toMap == Map(1 -> 10, 2 -> 20))
+
+    // ---- migrate: struct<value:int> grows to struct<total:int,batches:int>
+    // (the stored value row wraps the state in a `groupState` struct)
+    val keySchema = StructType(Seq(StructField("value", IntegerType, nullable = false)))
+    val oldValue = StructType(Seq(StructField("groupState",
+      StructType(Seq(StructField("value", IntegerType, nullable = false))),
+      nullable = true)))
+    val newValue = StructType(Seq(StructField("groupState",
+      org.apache.spark.sql.Encoders.product[CounterV2].schema, nullable = true)))
+    val report = StateRescale.migrateCheckpoint(() => new RocksDbStateStoreProvider,
+      ckpt1.toString, ckpt2.toString, operatorId = 0, numPartitions = 2,
+      keySchema, oldValue, newValue, StateTestHelper.storeConf(),
+      transformValue = { old =>
+        val total = old.getStruct(0, 1).getInt(0)
+        // v1 ran exactly one batch for these keys
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](total, 1))))
+      })
+    assert(report.keysMoved == 2, s"$report")
+
+    // ---- v2 query over the migrated checkpoint: evolved case class
+    val latestV2 = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Int)]()
+    val q2 = input.toDS().groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(RescaleCounterFns.addCountsV2)
+      .toDF("id", "total", "batches")
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          latestV2.put(r.getInt(0), (r.getInt(1), r.getInt(2))))
+      }
+      .option("checkpointLocation", ckpt2.toString).start()
+    input.addData((1, 1), (3, 3))
+    q2.processAllAvailable()
+    q2.stop()
+    // 1: total carried 10+1, batches 1(migrated)+1; 3: brand new
+    assert(latestV2.asScala.toMap == Map(1 -> ((11, 2)), 3 -> ((3, 1))),
+      s"migrated state must carry into the evolved class: ${latestV2.asScala}")
   }
 }
