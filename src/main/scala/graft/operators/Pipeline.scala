@@ -304,7 +304,74 @@ object Pipeline {
     df.repartitionByRange(numPartitions, z).sortWithinPartitions(z)
   }
 
+  /** Corpus snapshot DIFF — the dataset-versioning audit run before a
+    * retrain: which docs were added, removed, or had their text change
+    * between two corpus snapshots, rolled up per source. Content change
+    * is detected by digest (md5 here — engine-portable and collision-
+    * irrelevant for an audit), so the join carries (id, source, 16-byte
+    * digest) — never the text — and the diff of a 100 TB corpus pair
+    * shuffles only id+digest rows: ONE full-outer join on the doc key
+    * plus the rollup exchange. Per-doc output (`detail = true`) returns
+    * the classified rows themselves for pipeline consumption.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 detail: Boolean = false): DataFrame = {
+    def digests(df: DataFrame, side: String) =
+      df.select(col(idCol), col("source").as(s"source_$side"),
+        md5(col(textCol)).as(s"dig_$side"))
+    val joined = digests(oldDocs, "old")
+      .join(digests(newDocs, "new"), Seq(idCol), "full_outer")
+      .withColumn("change",
+        when(col("dig_old").isNull, "added")
+          .when(col("dig_new").isNull, "removed")
+          .when(col("dig_old") =!= col("dig_new"), "changed")
+          .otherwise("unchanged"))
+      .withColumn("source", coalesce(col("source_new"), col("source_old")))
+    if (detail) joined.select(col(idCol), col("source"), col("change"))
+    else joined.groupBy(col("source"))
+      .agg(count(when(col("change") === "added", 1)).as("n_added"),
+        count(when(col("change") === "removed", 1)).as("n_removed"),
+        count(when(col("change") === "changed", 1)).as("n_changed"),
+        count(when(col("change") === "unchanged", 1)).as("n_unchanged"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    // Snapshot diff between two deterministic views of the corpus:
+    // "old" drops every 7th doc (so those read as added), "new" drops
+    // every 11th (removed) and rewrites every 5th doc's text (changed).
+    QuerySpec(
+      "q107_corpus_diff",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+        corpusDiff(oldSnap, newSnap)
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH old AS (SELECT doc_id, source, md5(text) AS dig FROM documents
+                     WHERE doc_id % 7 <> 0),
+        new AS (SELECT doc_id, source,
+                       md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                                ELSE text END) AS dig
+                FROM documents WHERE doc_id % 11 <> 0),
+        j AS (SELECT COALESCE(new.source, old.source) AS source,
+                     CASE WHEN old.dig IS NULL THEN 'added'
+                          WHEN new.dig IS NULL THEN 'removed'
+                          WHEN old.dig <> new.dig THEN 'changed'
+                          ELSE 'unchanged' END AS change
+              FROM old FULL OUTER JOIN new USING (doc_id))
+        SELECT source,
+               COUNT(CASE WHEN change = 'added' THEN 1 END) AS n_added,
+               COUNT(CASE WHEN change = 'removed' THEN 1 END) AS n_removed,
+               COUNT(CASE WHEN change = 'changed' THEN 1 END) AS n_changed,
+               COUNT(CASE WHEN change = 'unchanged' THEN 1 END) AS n_unchanged
+        FROM j GROUP BY source ORDER BY source""")),
+
     QuerySpec(
       "q101_zorder_layout",
       (s, d) => {

@@ -424,6 +424,34 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashed === exact)
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged per doc") {
+    val sql = spark
+    import sql.implicits._
+    val oldSnap = Seq(
+      (1L, "s1", "same text"),
+      (2L, "s1", "will change"),
+      (3L, "s2", "will vanish")
+    ).toDF("doc_id", "source", "text")
+    val newSnap = Seq(
+      (1L, "s1", "same text"),
+      (2L, "s1", "changed text"),
+      (4L, "s2", "brand new")
+    ).toDF("doc_id", "source", "text")
+    val got = Pipeline.corpusDiff(oldSnap, newSnap, detail = true)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got == Map(
+      1L -> (("s1", "unchanged")),
+      2L -> (("s1", "changed")),
+      3L -> (("s2", "removed")),
+      4L -> (("s2", "added"))), s"$got")
+    val rollup = Pipeline.corpusDiff(oldSnap, newSnap)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rollup == Map(
+      "s1" -> ((0L, 0L, 1L, 1L)),
+      "s2" -> ((1L, 1L, 0L, 0L))), s"$rollup")
+  }
+
   test("shardAssign: content-hashed, stable under reorder, dups co-shard") {
     val sql = spark
     import sql.implicits._
