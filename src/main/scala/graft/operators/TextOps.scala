@@ -239,6 +239,11 @@ object TextOps {
         explode(if (distinctPerDoc) array_distinct(grams) else grams).as("gram"): _*)
   }
 
+  /** The distinct gram set of an eval corpus — the broadcast side every
+    * contamination operator probes. */
+  private def evalGramSet(evalDocs: DataFrame, n: Int, textCol: String): DataFrame =
+    explodedGrams(evalDocs, n, Seq.empty, textCol).select(col("gram")).distinct()
+
   /** Span-level duplication audit: for each doc, how many of its distinct
     * word n-gram spans also occur in at least one OTHER doc — the
     * boilerplate/license-header/template detector that document-level
@@ -387,8 +392,7 @@ object TextOps {
     */
   def contaminatedIds(corpus: DataFrame, evalDocs: DataFrame, n: Int = 4,
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val evalGrams = explodedGrams(evalDocs, n, Seq.empty, textCol)
-      .select(col("gram")).distinct()
+    val evalGrams = evalGramSet(evalDocs, n, textCol)
     explodedGrams(corpus, n, Seq(idCol), textCol)
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")
       .select(col(idCol)).distinct()
@@ -423,8 +427,7 @@ object TextOps {
                            numBits: Long = 8000000L): DataFrame = {
     require(expectedItems > 0 && numBits > 0,
       s"contaminatedIdsBloom: sizing must be positive, got items=$expectedItems bits=$numBits")
-    val evalGrams = explodedGrams(evalDocs, n, Seq.empty, textCol)
-      .select(col("gram")).distinct()
+    val evalGrams = evalGramSet(evalDocs, n, textCol)
     // bloom_filter_agg / might_contain are real codegen'd Spark
     // expressions (the machinery behind runtime bloom-filter joins) but
     // are not in the public function registry — constructed directly,
@@ -461,8 +464,7 @@ object TextOps {
     */
   def contaminationRate(corpus: DataFrame, evalDocs: DataFrame, n: Int = 4,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val evalGrams = explodedGrams(evalDocs, n, Seq.empty, textCol)
-      .select(col("gram")).distinct()
+    val evalGrams = evalGramSet(evalDocs, n, textCol)
       .withColumn("hit", lit(1))
     explodedGrams(corpus, n, Seq(idCol), textCol, distinctPerDoc = true)
       .join(broadcast(evalGrams), Seq("gram"), "left_outer")

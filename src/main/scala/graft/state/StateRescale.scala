@@ -52,6 +52,17 @@ import org.apache.spark.sql.types.StructType
   */
 object StateRescale extends Logging {
 
+  /** The exact expression Spark's exchange evaluates to place a state
+    * row: `Pmod(Murmur3Hash(key fields), n)` bound to the key schema.
+    * Exposed so tests (and any external verifier) route keys with the
+    * SAME arithmetic the tool and the engine use. */
+  def partitionIdExpressionFor(keySchema: StructType, n: Int)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    HashPartitioning(
+      keySchema.fields.zipWithIndex.map { case (f, i) =>
+        BoundReference(i, f.dataType, f.nullable)
+      }.toIndexedSeq, n).partitionIdExpression
+
   final case class RescaleReport(
       oldPartitions: Int,
       newPartitions: Int,
@@ -151,24 +162,13 @@ object StateRescale extends Logging {
       "state rewrite must target a fresh state root — rewriting in place " +
         "would destroy the source on a mid-run failure")
 
-    def open(root: String, partition: Int,
-             valueSchema: StructType): GraftStateStoreProviderBase = {
-      val p = makeProvider()
-      p.init(StateStoreId(root, operatorId, partition), keySchema, valueSchema,
-        NoPrefixKeyStateEncoderSpec(keySchema), useColumnFamilies = false,
-        conf, hadoopConf, useMultipleValuesPerKey = false, stateSchemaProvider = None)
-      p
-    }
     // migrated values arrive as any InternalRow shape; the store needs
     // UnsafeRows of the NEW schema
     val toUnsafe = transformValue.map(_ =>
       org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(newValueSchema))
 
     // the exact expression the shuffle evaluates to place a row
-    val partIdExpr = HashPartitioning(
-      keySchema.fields.zipWithIndex.map { case (f, i) =>
-        BoundReference(i, f.dataType, f.nullable)
-      }.toIndexedSeq, newN).partitionIdExpression
+    val partIdExpr = partitionIdExpressionFor(keySchema, newN)
     def route(key: InternalRow): Int = partIdExpr.eval(key).asInstanceOf[Int]
 
     // every opened provider must close on EVERY exit path — a leaked
@@ -176,7 +176,12 @@ object StateRescale extends Logging {
     val opened = scala.collection.mutable.ArrayBuffer.empty[GraftStateStoreProviderBase]
     def openTracked(root: String, partition: Int,
                     valueSchema: StructType): GraftStateStoreProviderBase = {
-      val p = open(root, partition, valueSchema); opened += p; p
+      val p = makeProvider()
+      opened += p
+      p.init(StateStoreId(root, operatorId, partition), keySchema, valueSchema,
+        NoPrefixKeyStateEncoderSpec(keySchema), useColumnFamilies = false,
+        conf, hadoopConf, useMultipleValuesPerKey = false, stateSchemaProvider = None)
+      p
     }
     try {
       // 1) discover the common committed version across old partitions

@@ -4,8 +4,6 @@ import java.nio.file.{Files, Paths}
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import org.apache.spark.sql.catalyst.expressions.BoundReference
-import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
 import org.apache.spark.sql.execution.streaming.state.StateStore
 
 /** StateRescale at the SPI level: every key lands in the partition
@@ -27,10 +25,7 @@ abstract class StateRescaleSuiteBase extends AnyFunSuite {
     */
   private def seed(root: String, oldN: Int, versions: Int,
                    keys: Seq[String]): Map[String, Int] = {
-    val partId = HashPartitioning(
-      keySchema.fields.zipWithIndex.map { case (f, i) =>
-        BoundReference(i, f.dataType, f.nullable)
-      }.toIndexedSeq, oldN).partitionIdExpression
+    val partId = StateRescale.partitionIdExpressionFor(keySchema, oldN)
     val byPart = keys.groupBy(k => partId.eval(keyRow(k)).asInstanceOf[Int])
     var finalData = Map.empty[String, Int]
     (0 until oldN).foreach { p =>
@@ -61,10 +56,7 @@ abstract class StateRescaleSuiteBase extends AnyFunSuite {
     assert(report.perNewPartition.values.count(_ > 0) == 4, // 97 keys spread over 4
       s"suspicious skew: ${report.perNewPartition}")
 
-    val partId4 = HashPartitioning(
-      keySchema.fields.zipWithIndex.map { case (f, i) =>
-        BoundReference(i, f.dataType, f.nullable)
-      }.toIndexedSeq, 4).partitionIdExpression
+    val partId4 = StateRescale.partitionIdExpressionFor(keySchema, 4)
     var seen = Map.empty[String, Int]
     (0 until 4).foreach { p =>
       val prov = initProvider(makeProvider(), newRoot, partition = p)
@@ -128,10 +120,7 @@ abstract class StateRescaleSuiteBase extends AnyFunSuite {
     // and version 1 (a chained-stateful-ops plan)
     val keysByOp = Map(0L -> Seq("a", "b", "c", "d"), 1L -> Seq("x", "y", "z"))
     keysByOp.foreach { case (op, keys) =>
-      val partId = HashPartitioning(
-        keySchema.fields.zipWithIndex.map { case (f, i) =>
-          BoundReference(i, f.dataType, f.nullable)
-        }.toIndexedSeq, 2).partitionIdExpression
+      val partId = StateRescale.partitionIdExpressionFor(keySchema, 2)
       val byPart = keys.groupBy(k => partId.eval(keyRow(k)).asInstanceOf[Int])
       (0 until 2).foreach { p =>
         val prov = makeProvider()
