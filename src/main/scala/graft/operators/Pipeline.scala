@@ -145,6 +145,68 @@ object Pipeline {
     docs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** DSIR-style importance reweighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every doc by
+    * how much more likely its hashed n-gram features are under a TARGET
+    * distribution (a trusted, high-quality slice) than under the RAW
+    * corpus distribution. `score = Σ_features log p_target(bucket) −
+    * log p_raw(bucket)`, features = word unigrams + bigrams hashed into
+    * `buckets` buckets, both distributions Laplace-smoothed
+    * (`(count+1)/(total+buckets)`). The returned per-doc weights feed
+    * top-fraction selection or weighted sampling.
+    *
+    * Determinism (the q108 oracle gate): buckets come from the
+    * engine-portable md5-prefix hash (same as [[shardAssign]]); each
+    * bucket's log-ratio rounds to integer MICRO-nats before any per-doc
+    * aggregation (the q64 micro-tier pattern), so the per-doc sum and
+    * the half-away-from-zero integer mean are exact on any engine whose
+    * `ln` is correctly rounded to ~1e-9.
+    *
+    * Scale notes (100 TB): ONE pass over the corpus text produces the
+    * feature stream — unigrams and bigrams are concatenated per row
+    * before a single explode, and the stream immediately narrows to
+    * (doc_id, tgt, bucket) longs, so text never rides it. That stream is
+    * cut with a lazy local checkpoint (cluster: durable checkpoint)
+    * because it feeds two consumers — the distribution aggregate and the
+    * per-doc scoring — and each would otherwise re-read + re-tokenize
+    * the corpus. The distributions are `buckets` rows (map-side-combined
+    * aggregate) and broadcast back; per-doc scoring is a broadcast join
+    * + one doc-keyed partial-agg shuffle of (doc_id, long) rows. Nothing
+    * driver-side except the `buckets`-row log-ratio table.
+    */
+  def importanceWeights(docs: DataFrame, isTarget: Column,
+                        buckets: Int = 4096,
+                        textCol: String = "text"): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 30),
+      s"importanceWeights: buckets must be in [1, 2^30], got $buckets")
+    val feats = docs
+      .select(col("doc_id"), isTarget.as("__tgt"),
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("__tgt"),
+        explode(concat(col("__toks"),
+          TextOps.wordNgramsOfTokens(col("__toks"), 2))).as("gram"))
+      .select(col("doc_id"), col("__tgt"),
+        (conv(substring(md5(col("gram")), 1, 8), 16, 10)
+          .cast("long") % buckets).as("bucket"))
+      .localCheckpoint(false)
+    val dist = feats.groupBy(col("bucket"))
+      .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      .localCheckpoint(false) // tiny (≤ buckets rows); read by tot + lr
+    val tot = dist.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val lr = dist.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round((log((col("ct") + 1L) / (col("nt") + buckets.toLong))
+          - log((col("cr") + 1L) / (col("nr") + buckets.toLong))) * 1e6)
+          .cast("long").as("lr_micro"))
+    feats.join(broadcast(lr), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lr_micro")).as("s"), count(lit(1)).as("n_feats"))
+      .select(col("doc_id"), col("n_feats"),
+        expr("CAST(sign(s) AS BIGINT) * ((abs(s) * 2 + n_feats) div (n_feats * 2))")
+          .as("score_micro"))
+  }
+
   /** Temperature (α) mixture re-weighting: sample stratum s at a rate
     * ∝ count(s)^α / max_s count(s)^α — the UniMax/Pile-style step that
     * flattens a source/language imbalance before training (α = 1 keeps
@@ -473,6 +535,65 @@ object Pipeline {
         WHERE ((doc_id % 1000003) * 2654435761) % 1000 < r.sample_per_mille
         GROUP BY d.lang, r.sample_per_mille
         ORDER BY d.lang""")),
+
+    // DSIR importance reweighting: target = the 'en' slice (the corpus's
+    // dominant language, so the learned log-ratios carry real signal —
+    // at sf0.01 the top-50 is ~90% en docs, not noise). Selection is
+    // TakeOrdered (orderBy+limit → no global sort shuffle), then the
+    // 50-row survivor set gets its rank. Integer µnat scores → exact
+    // cross-engine hash gate.
+    QuerySpec(
+      "q108_importance_reweight",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val top = importanceWeights(docs, col("lang") === "en", 4096)
+          .join(docs.select(col("doc_id"), col("source"), col("lang")), "doc_id")
+          .orderBy(col("score_micro").desc, col("doc_id"))
+          .limit(50)
+        top.withColumn("rnk", row_number().over(
+            Window.orderBy(col("score_micro").desc, col("doc_id"))))
+          .select(col("rnk"), col("doc_id"), col("source"), col("lang"),
+            col("n_feats"), col("score_micro"))
+          .orderBy(col("rnk"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, (lang = 'en') AS tgt, string_split(text, ' ') AS t
+          FROM documents),
+        uni AS (SELECT doc_id, tgt, unnest(t) AS gram FROM toks),
+        big AS (
+          SELECT doc_id, tgt,
+                 unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+          FROM toks WHERE len(t) >= 2),
+        feats AS (
+          SELECT doc_id, tgt,
+                 ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS bucket
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+        dist AS (
+          SELECT bucket,
+                 SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+                 COUNT(*) AS cr
+          FROM feats GROUP BY bucket),
+        tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM dist),
+        lr AS (
+          SELECT bucket,
+                 CAST(round((ln((ct + 1) / ((SELECT nt FROM tot) + 4096))
+                           - ln((cr + 1) / ((SELECT nr FROM tot) + 4096))) * 1e6)
+                      AS BIGINT) AS lr_micro
+          FROM dist),
+        per_doc AS (
+          SELECT doc_id, SUM(lr_micro) AS s, COUNT(*) AS n
+          FROM feats JOIN lr USING (bucket) GROUP BY doc_id),
+        scored AS (
+          SELECT doc_id,
+                 CAST(CAST(sign(s) AS BIGINT) * ((abs(s)*2 + n) // (2*n)) AS BIGINT)
+                   AS score_micro,
+                 CAST(n AS BIGINT) AS n_feats
+          FROM per_doc)
+        SELECT ROW_NUMBER() OVER (ORDER BY s.score_micro DESC, d.doc_id) AS rnk,
+               d.doc_id, d.source, d.lang, s.n_feats, s.score_micro
+        FROM scored s JOIN documents d USING (doc_id)
+        ORDER BY rnk LIMIT 50""")),
 
     QuerySpec(
       "q67_pack_sequences",

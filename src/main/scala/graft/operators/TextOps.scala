@@ -609,6 +609,45 @@ object TextOps {
                       textCol: String = "text"): DataFrame =
     docs.filter(!arrays_overlap(tokens(col(textCol)), typedlit(blocked)))
 
+  /** Sketch-first heavy hitters: the exact corpus-wide top-`topN`
+    * n-grams, found WITHOUT a vocabulary-wide groupBy. Pass 1 reduces
+    * the gram stream to a ≤ `summaryK`-entry Misra–Gries summary
+    * ([[graft.functions.MisraGriesAggregator]] — partial aggregation
+    * keeps each map task's contribution at ≤ summaryK entries, so the
+    * shuffle carries partitions×summaryK rows, not the vocabulary);
+    * pass 2 EXACTLY recounts only the summary's candidate tokens via a
+    * broadcast semi-join and takes the top `topN`.
+    *
+    * Correctness contract (the q110 oracle): the MG superset guarantee —
+    * every gram with frequency > n/(summaryK+1) survives pass 1 — means
+    * the recounted top-N equals the true top-N whenever the N-th
+    * heaviest gram clears that bar; counts are exact because they come
+    * from the recount, never from the sketch. Size summaryK ≥ n / f_N
+    * for the expected N-th-heaviest frequency f_N (gated in
+    * MisraGriesSuite on adversarial streams with summaryK ≪ vocabulary).
+    *
+    * The gram stream is deliberately recomputed between the two passes
+    * (same trade as the string tier of [[dupSpanStats]]): storing it
+    * would cost ~n× the corpus text, while the recompute is one more
+    * linear scan.
+    */
+  def heavyHitters(docs: DataFrame, summaryK: Int, topN: Int,
+                   n: Int = 2, textCol: String = "text"): DataFrame = {
+    require(summaryK >= topN, s"summaryK $summaryK must be >= topN $topN")
+    import org.apache.spark.sql.expressions.Window
+    val grams = explodedGrams(docs, n, Seq.empty, textCol)
+    val mg = udaf(new graft.functions.MisraGriesAggregator(summaryK))
+    val cand = grams.agg(mg(col("gram")).as("summary"))
+      .select(explode(map_keys(col("summary"))).as("gram"))
+    grams.join(broadcast(cand), Seq("gram"), "left_semi")
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram")).limit(topN)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("gram"))))
+      .select(col("rnk"), col("gram"), col("cnt"))
+      .orderBy(col("rnk"))
+  }
+
   /** Full per-document text statistics frame. Tokenizes once per row
     * (own projection) — the metric columns embed ~10 references to the
     * token array between them. */
@@ -778,6 +817,26 @@ object TextOps {
         FROM dfs
         GROUP BY 1, 2
         ORDER BY lang, df_bucket""")),
+
+    // Sketch-first heavy hitters over the corpus bigram stream. The
+    // oracle is the plain exact top-20 — valid because the recount is
+    // exact and the MG superset guarantee covers rank 20 here
+    // (summaryK=1024 vs the 20th-heaviest bigram at ~n/800 of the
+    // stream at every SF; MisraGriesSuite gates the guarantee itself on
+    // adversarial streams where summaryK ≪ vocabulary).
+    QuerySpec(
+      "q110_heavy_hitters",
+      (s, d) => heavyHitters(Tables.documents(s, d),
+        summaryK = 1024, topN = 20, n = 2),
+      Some("""
+        WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+        b AS (SELECT unnest(list_transform(range(1, len(t)),
+                       i -> t[i] || ' ' || t[i+1])) AS gram
+              FROM t WHERE len(t) >= 2),
+        c AS (SELECT gram, COUNT(*) AS cnt FROM b GROUP BY gram),
+        top AS (SELECT gram, cnt FROM c ORDER BY cnt DESC, gram LIMIT 20)
+        SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, gram) AS rnk, gram, cnt
+        FROM top ORDER BY rnk""")),
 
     // corpus-trained bigram LM fluency score, thresholded per language.
     // Gated through the MICRO tier: per-bigram log-probs round to integer

@@ -452,6 +452,31 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       "s2" -> ((1L, 1L, 0L, 0L))), s"$rollup")
   }
 
+  test("importanceWeights: target-vocab docs outrank raw-only; n_feats; repartition-stable") {
+    val sql = spark
+    import sql.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", true),
+      (2L, "alpha beta gamma delta", true),
+      (3L, "alpha beta gamma", false),  // target vocabulary, outside target
+      (4L, "omega psi chi phi", false), // raw-only vocabulary
+      (5L, "omega psi", false)
+    ).toDF("doc_id", "text", "is_t")
+    def run(d: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      Pipeline.importanceWeights(d, $"is_t", buckets = 4096)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val w = run(docs)
+    // n_feats = tokens + bigrams = 2t − 1
+    assert(w(4L)._1 == 7L, s"doc 4 expected 7 feats, got ${w(4L)._1}")
+    assert(w(5L)._1 == 3L)
+    // a doc written in the target's vocabulary scores above one written
+    // entirely in never-in-target vocabulary
+    assert(w(3L)._2 > w(4L)._2,
+      s"target-like ${w(3L)._2} should outrank raw-only ${w(4L)._2}")
+    // scores are a pure function of content — partitioning can't move them
+    assert(run(docs.repartition(5)) == w)
+  }
+
   test("shardAssign: content-hashed, stable under reorder, dups co-shard") {
     val sql = spark
     import sql.implicits._
