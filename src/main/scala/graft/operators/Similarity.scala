@@ -97,6 +97,101 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** ±1 sign matrix for [[randomProjectMicro]], derived per (i, j) from
+    * the parity of an md5 prefix — the same engine-portable hash the
+    * shard router uses (Pipeline.shardAssign), so an oracle can rebuild
+    * the identical matrix from SQL `md5(i || ',' || j)`. md5 rather than
+    * a cheap multiplicative mix because one extracted bit of a
+    * multiplicative hash left adjacent output dims ~85% correlated
+    * (measured); the matrix is built ONCE on the driver and ships as a
+    * literal, so hash cost is irrelevant. */
+  private[operators] def rpSignMatrix(inDim: Int, outDim: Int): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(inDim * outDim) { idx =>
+      val i = idx / outDim; val j = idx % outDim
+      val hex = md.digest(s"$i,$j".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+    }
+  }
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas ±1 variant) of
+    * an embedding column, in exact integer micro-units:
+    * `proj[j] = Σ_i s(i,j) · round(v[i]·1e6)`. Dimensionality reduction
+    * is the standard compression step in front of similarity search —
+    * distances are preserved within (1±ε) for outDim = O(log n / ε²) —
+    * and the INTEGER formulation makes it bit-reproducible on any
+    * engine (the q109 oracle recomputes the same projection in SQL,
+    * including the sign matrix from md5 parity).
+    *
+    * Scale notes: entirely map-side — the sign matrix is an
+    * inDim×outDim literal baked into the plan (no broadcast join, no
+    * shuffle), the µ-unit vector is materialized once per row in its
+    * own projection (lambda-capture rule, see PLANS.md), and each
+    * output dim is a fixed-order integer fold. A 100 TB corpus projects
+    * in one pass and stores outDim/inDim of the original bytes.
+    */
+  def randomProjectMicro(emb: DataFrame, inDim: Int, outDim: Int,
+                         vecCol: String = "embedding",
+                         idCol: String = "vec_id"): DataFrame = {
+    require(inDim > 0 && outDim > 0, s"bad dims: $inDim -> $outDim")
+    val m = rpSignMatrix(inDim, outDim)
+    // One sign VECTOR literal per output dim, and one zip_with per dim —
+    // NOT an index-juggling fold over a flattened matrix. Shape matters
+    // for two reasons: (1) zip_with evaluates its array input once and
+    // then iterates, where an aggregate-with-element_at lambda is outside
+    // codegen subexpression elimination (PLANS.md lesson 2); (2) the µ-unit
+    // array is referenced outDim times, which trips CollapseProject's
+    // duplication guard and keeps it materialized in its own projection —
+    // a single syntactic reference gets INLINED into the lambda and the
+    // array rebuilds per fold step (measured: 165 s for sf0.1's 15k
+    // vectors; this shape runs it in well under a second).
+    val dims = (0 until outDim).map { j =>
+      val sj = typedlit((0 until inDim).map(i => m(i * outDim + j)))
+      aggregate(zip_with(col("__q"), sj, (a, b) => a * b), lit(0L), _ + _)
+    }
+    emb.select(col(idCol),
+        transform(asDouble(col(vecCol)), x => round(x * 1e6).cast("long")).as("__q"))
+      .select(col(idCol), array(dims: _*).as("proj_micro"))
+  }
+
+  /** ANN via random projection: candidate top-`shortlist` by cosine in
+    * the reduced `outDim`-d space, exact re-rank in the original space.
+    * The third ANN architecture next to LSH (q41) and IVF (q44): no
+    * training step, no bucketing — the corpus scan itself shrinks by
+    * outDim/inDim, which at 100 TB is the difference between scanning
+    * 100 TB and 25 TB of vectors per query batch. Recall gated in
+    * AnnRecallSuite (≥ 0.5); this corpus's random embeddings have weak
+    * neighbor structure (the lshTopK note), so the default shortlist is
+    * generous — 40 measured 0.44, 100 clears the gate. */
+  def rpTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             inDim: Int = 64, outDim: Int = 16, shortlist: Int = 100): DataFrame = {
+    def proj(df: DataFrame, idName: String): DataFrame =
+      randomProjectMicro(df, inDim, outDim)
+        .select(col("vec_id").as(idName),
+          asDouble(col("proj_micro")).as(s"${idName}_p"))
+    val c = proj(corpus, "nid")
+    val q = broadcast(proj(queries, "qid"))
+    val w0 = Window.partitionBy(col("qid")).orderBy(col("rcos").desc, col("nid").asc)
+    // cancellation can zero a projected vector even for a nonzero input:
+    // score it -2.0 (below any real cosine) instead of tripping ANSI
+    // divide-by-zero — same sentinel as the other re-rank paths
+    val cands = c.crossJoin(q)
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("rcos",
+        when(norm(col("qid_p")) === 0.0 || norm(col("nid_p")) === 0.0, lit(-2.0))
+          .otherwise(cosine(col("qid_p"), col("nid_p"))))
+      .withColumn("rnk0", row_number().over(w0)).filter(col("rnk0") <= shortlist)
+      .select(col("qid"), col("nid"))
+    val cv = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nid_v"))
+    val qv = broadcast(queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qid_v")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    cands.join(cv, "nid").join(qv, "qid")
+      .withColumn("cos", cosine(col("qid_v"), col("nid_v")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Shared oracle for the exact top-5 searches (q40 window formulation
     * and q43 aggregator formulation produce identical results). */
   private val specsOracleTopK: Option[String] = Some("""
@@ -549,6 +644,43 @@ object Similarity {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         lshTopK(emb, emb.filter(col("vec_id") < 5), 5)
+          .orderBy(col("qid"), col("rnk"))
+      },
+      None),
+
+    // JL random projection in integer micro-units — bit-exact oracle,
+    // including the md5-parity sign matrix recomputed from SQL.
+    QuerySpec(
+      "q109_random_projection",
+      (s, d) => randomProjectMicro(Tables.embeddings(s, d), 64, 16)
+        .select(col("vec_id"),
+          posexplode(col("proj_micro")).as(Seq("dim", "proj_micro")))
+        .select(col("vec_id"), col("dim").cast("bigint").as("dim"),
+          col("proj_micro"))
+        .orderBy(col("vec_id"), col("dim")),
+      Some("""
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
+          FROM embeddings),
+        e AS (SELECT vec_id, unnest(qv) AS qval, unnest(range(len(qv))) AS i FROM q),
+        d AS (SELECT i.range AS i, j.range AS j,
+                     CASE WHEN ('0x' || substr(md5(i.range || ',' || j.range), 1, 8))::BIGINT % 2 = 0
+                          THEN 1 ELSE -1 END AS s
+              FROM range(0, 64) i CROSS JOIN range(0, 16) j),
+        p AS (SELECT e.vec_id, d.j AS dim, SUM(d.s * e.qval) AS pm
+              FROM e JOIN d USING (i) GROUP BY 1, 2)
+        SELECT vec_id, CAST(dim AS BIGINT) AS dim, CAST(pm AS BIGINT) AS proj_micro
+        FROM p ORDER BY vec_id, dim""")),
+
+    // Reduced-space ANN over the projection (recall < 1 → rows-only;
+    // recall gated in AnnRecallSuite).
+    QuerySpec(
+      "q111_ann_rp",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        rpTopK(emb, emb.filter(col("vec_id") < 5), 5)
           .orderBy(col("qid"), col("rnk"))
       },
       None),

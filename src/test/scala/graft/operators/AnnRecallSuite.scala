@@ -46,6 +46,15 @@ class AnnRecallSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivfRecall >= 0.5, s"IVF recall $ivfRecall")
   }
 
+  test("random-projection ANN recall ≥ 0.5 of exact top-5") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, 5))
+    val rp = pairs(Similarity.rpTopK(emb, queries, 5))
+    val rpRecall = (exact & rp).size.toDouble / exact.size
+    assert(rpRecall >= 0.5, s"RP recall $rpRecall")
+  }
+
   test("IVF-PQ recall ≥ 0.5 of exact top-5, ≥ plain IVF − 0.1") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)
