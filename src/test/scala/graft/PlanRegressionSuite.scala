@@ -231,6 +231,27 @@ class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"span audit must stay keyed on the gram:\n$p")
   }
 
+  test("q108: ratio table broadcasts; the gram stream is never sort-merge-joined") {
+    val p = plan("q108_importance_reweight")
+    assert(p.contains("BroadcastHashJoin"), s"ratio join didn't broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"gram stream shuffled into a sort-merge join:\n$p")
+  }
+
+  test("q109: the projection operator itself plans ZERO exchanges (map-side)") {
+    val df = graft.operators.Similarity.randomProjectMicro(
+      Tables.embeddings(spark, sfDir), 64, 16)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"projection introduced a shuffle:\n$p")
+  }
+
+  test("q110: candidate recount is a broadcast semi-join (no vocabulary-wide shuffle of the gram stream into a join)") {
+    val p = plan("q110_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"recount isn't a broadcast semi-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"gram stream sort-merge-joined:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct") {
     // the one shape that cannot survive any scale-up; cross joins against
     // broadcast fitted models plan as BroadcastNestedLoopJoin instead
