@@ -186,8 +186,7 @@ object Pipeline {
         explode(concat(col("__toks"),
           TextOps.wordNgramsOfTokens(col("__toks"), 2))).as("gram"))
       .select(col("doc_id"), col("__tgt"),
-        (conv(substring(md5(col("gram")), 1, 8), 16, 10)
-          .cast("long") % buckets).as("bucket"))
+        bucketOf(col("gram"), buckets).as("bucket"))
       .localCheckpoint(false)
     val dist = feats.groupBy(col("bucket"))
       .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"),
@@ -202,6 +201,81 @@ object Pipeline {
     feats.join(broadcast(lr), "bucket")
       .groupBy(col("doc_id"))
       .agg(sum(col("lr_micro")).as("s"), count(lit(1)).as("n_feats"))
+      .select(col("doc_id"), col("n_feats"),
+        expr("CAST(sign(s) AS BIGINT) * ((abs(s) * 2 + n_feats) div (n_feats * 2))")
+          .as("score_micro"))
+  }
+
+  private def bucketOf(gram: Column, buckets: Int): Column =
+    conv(substring(md5(gram), 1, 8), 16, 10).cast("long") % buckets
+
+  /** A fitted importance-reweighting model: the per-bucket log-ratio
+    * table (≤ `buckets` entries — bounded by config, not data, like the
+    * k-means centroids and PQ codebooks) and the Laplace default an
+    * unseen bucket scores. */
+  final case class ImportanceModel(buckets: Int, ratioMicro: Map[Long, Long],
+                                   defaultMicro: Long)
+
+  /** Fit step of [[importanceWeights]] as a reusable artifact — the
+    * nightly-fit / serve split (the AnnIndex pattern applied to data
+    * selection): fit the target-vs-raw ratio table once on a corpus
+    * sample, then [[scoreImportance]] scores any corpus — or any
+    * STREAM — against it without recomputing distributions. */
+  def fitImportanceModel(docs: DataFrame, isTarget: Column,
+                         buckets: Int = 4096,
+                         textCol: String = "text"): ImportanceModel = {
+    require(buckets > 0 && buckets <= (1 << 30),
+      s"fitImportanceModel: buckets must be in [1, 2^30], got $buckets")
+    val dist = docs
+      .select(isTarget.as("__tgt"), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("__tgt"),
+        explode(concat(col("__toks"),
+          TextOps.wordNgramsOfTokens(col("__toks"), 2))).as("gram"))
+      .select(col("__tgt"), bucketOf(col("gram"), buckets).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nt = dist.map(_._2).sum
+    val nr = dist.map(_._3).sum
+    // HALF_UP through BigDecimal, matching Spark's round() exactly —
+    // java Math.round is floor(x+0.5), which disagrees on negative ties
+    def lr(ct: Long, cr: Long): Long =
+      BigDecimal((math.log((ct + 1.0) / (nt + buckets))
+        - math.log((cr + 1.0) / (nr + buckets))) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    ImportanceModel(buckets,
+      dist.map { case (b, ct, cr) => b -> lr(ct, cr) }.toMap, lr(0L, 0L))
+  }
+
+  /** Serve path of importance reweighting: score docs per-row against a
+    * fitted [[ImportanceModel]]. The ratio table rides the plan as a MAP
+    * LITERAL, so scoring is a pure projection — zero shuffle, zero
+    * state, no join — and therefore runs UNCHANGED on a streaming frame
+    * (the stream-static composition without even a stream-static join;
+    * parity with the batch fit gated in CurationOpsSuite and
+    * StreamingCurationSuite). Buckets the fit never saw score the
+    * model's Laplace default.
+    *
+    * Shape notes: the feature array is referenced twice (size + the
+    * fold input), which keeps it materialized per the CollapseProject
+    * duplication guard; the bucket `transform` is the FOLD'S INPUT
+    * (evaluated once per row), not a lambda-body capture — the q109
+    * lesson in PLANS.md. */
+  def scoreImportance(docs: DataFrame, model: ImportanceModel,
+                      textCol: String = "text"): DataFrame = {
+    val ratio = typedlit(model.ratioMicro)
+    docs
+      .select(col("doc_id"), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        concat(col("__toks"),
+          TextOps.wordNgramsOfTokens(col("__toks"), 2)).as("__feats"))
+      .select(col("doc_id"), size(col("__feats")).cast("long").as("n_feats"),
+        aggregate(
+          transform(col("__feats"), g => bucketOf(g, model.buckets)),
+          lit(0L),
+          (acc, b) => acc + coalesce(try_element_at(ratio, b),
+            lit(model.defaultMicro))).as("s"))
       .select(col("doc_id"), col("n_feats"),
         expr("CAST(sign(s) AS BIGINT) * ((abs(s) * 2 + n_feats) div (n_feats * 2))")
           .as("score_micro"))

@@ -477,6 +477,31 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(docs.repartition(5)) == w)
   }
 
+  test("fit+scoreImportance ≡ importanceWeights on the fitted corpus; unseen grams score the default") {
+    val sql = spark
+    import sql.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", true),
+      (2L, "alpha beta gamma delta", true),
+      (3L, "alpha beta gamma", false),
+      (4L, "omega psi chi phi", false),
+      (5L, "omega psi", false)
+    ).toDF("doc_id", "text", "is_t")
+    val batch = Pipeline.importanceWeights(docs, $"is_t", buckets = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val model = Pipeline.fitImportanceModel(docs, $"is_t", buckets = 512)
+    val served = Pipeline.scoreImportance(docs, model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served == batch, s"serve path diverged:\nbatch  $batch\nserved $served")
+    // a doc of never-seen grams: every feature takes the Laplace default,
+    // so the integer mean IS the default
+    val novel = Seq((9L, "zz yy xx")).toDF("doc_id", "text")
+    val n = Pipeline.scoreImportance(novel, model).collect()(0)
+    assert(n.getLong(1) == 5L) // 3 unigrams + 2 bigrams
+    assert(n.getLong(2) == model.defaultMicro,
+      s"unseen-gram doc scored ${n.getLong(2)}, expected default ${model.defaultMicro}")
+  }
+
   test("shardAssign: content-hashed, stable under reorder, dups co-shard") {
     val sql = spark
     import sql.implicits._

@@ -67,6 +67,47 @@ class StreamingCurationSuite extends AnyFunSuite with BeforeAndAfterAll {
     query.stop()
   }
 
+  test("fitted importance model scores a stream; parity with the batch fit") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val corpus = Seq(
+      (1L, "alpha beta gamma alpha beta", true),
+      (2L, "alpha beta gamma delta", true),
+      (3L, "alpha beta gamma", false),
+      (4L, "omega psi chi phi", false),
+      (5L, "omega psi", false)
+    ).toDF("doc_id", "text", "is_t")
+    val model = graft.operators.Pipeline.fitImportanceModel(
+      corpus, $"is_t", buckets = 512)
+    val batchScores = graft.operators.Pipeline.scoreImportance(
+        corpus.select($"doc_id", $"text"), model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // the scorer is a pure projection (map literal, zero state), so the
+    // SAME call runs on a stream — no streaming-specific variant needed
+    val input = MemoryStream[(Long, String)]
+    val scored = graft.operators.Pipeline.scoreImportance(
+      input.toDS().toDF("doc_id", "text"), model)
+    val query = scored.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("simp")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-simp").toString)
+      .start()
+    input.addData((1L, "alpha beta gamma alpha beta"), (2L, "alpha beta gamma delta"))
+    query.processAllAvailable()
+    input.addData((3L, "alpha beta gamma"), (4L, "omega psi chi phi"), (5L, "omega psi"))
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("simp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batchScores,
+      s"stream scores diverged:\nbatch  $batchScores\nstream $streamed")
+  }
+
   test("map-side gates (blocklist) apply to a stream unchanged") {
     val sql = spark
     import sql.implicits._
