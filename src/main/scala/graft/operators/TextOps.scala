@@ -648,6 +648,53 @@ object TextOps {
       .orderBy(col("rnk"))
   }
 
+  /** Fit a BPE tokenizer on a bounded, deterministic corpus sample —
+    * the real subword tokenizer step past [[regexTokens]]' BPE-ish
+    * approximation. The sample is `TakeOrdered` by doc_id (top-n merge,
+    * no global sort), so the fit input — and with it the vocabulary the
+    * driver-side trainer sees — is capped by `sampleDocs`, never by
+    * corpus size (the fitted-model pattern: centroids, PQ codebooks,
+    * importance ratios). */
+  def fitBpeModel(docs: DataFrame, nMerges: Int, sampleDocs: Int = 2000,
+                  textCol: String = "text"): graft.functions.BpeTokenizer.BpeModel = {
+    val wf = docs.orderBy(col("doc_id")).limit(sampleDocs)
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.functions.BpeTokenizer.fit(wf, nMerges)
+  }
+
+  /** Per-doc token counts under a fitted BPE model — the count a
+    * trainer's tokenizer would actually produce, which is what sequence
+    * packing (q67) and context-window chunking (q82) budgets should run
+    * on. The model broadcasts; encoding is per-partition with a word
+    * memo (Zipf reuse: each partition pays encode cost per DISTINCT
+    * word, not per occurrence). `mapPartitions` is the honest tool here
+    * for the same reason as the media codecs: greedy rank-ordered
+    * merging is an iterative per-word algorithm, not a column
+    * expression. */
+  def bpeTokenCounts(docs: DataFrame,
+                     model: graft.functions.BpeTokenizer.BpeModel,
+                     textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    docs.select(col("doc_id").cast("long"), col("source"), col(textCol))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val memo = collection.mutable.HashMap.empty[String, Int]
+        it.map { case (id, src, text) =>
+          (id, src, graft.functions.BpeTokenizer.countTokens(bc.value, memo, text))
+        }
+      }.toDF("doc_id", "source", "n_bpe_tokens")
+  }
+
+  /** One fitted BPE model per sf-dir per JVM (the q102 AnnIndex memo
+    * pattern): the q112 bench measures the ENCODE path — the recurring
+    * cost — with the one-time fit landing in the warmup pass. */
+  private val bpeModels =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.functions.BpeTokenizer.BpeModel]()
+
   /** Full per-document text statistics frame. Tokenizes once per row
     * (own projection) — the metric columns embed ~10 references to the
     * token array between them. */
@@ -837,6 +884,33 @@ object TextOps {
         top AS (SELECT gram, cnt FROM c ORDER BY cnt DESC, gram LIMIT 20)
         SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, gram) AS rnk, gram, cnt
         FROM top ORDER BY rnk""")),
+
+    // Real BPE subword tokenization: fit on a bounded sample (memoized
+    // per sf-dir; the one-time fit lands in the bench warmup), encode
+    // the corpus per-partition with the broadcast model. No SQL oracle —
+    // iterative merge training isn't expressible in one DuckDB query —
+    // but the trainer and encoder are deterministic (count-DESC/pair-ASC
+    // tie-break, rank-greedy inference) and BpeSuite pins hand-computed
+    // merges and encodings.
+    QuerySpec(
+      "q112_bpe_tokens",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // 64 merges, NOT enough to fully fuse this corpus's ~31-word
+        // vocabulary — with 200 the trainer collapses every trained word
+        // to one symbol and the counts degenerate to whitespace counts
+        val model = bpeModels.computeIfAbsent(d,
+          dir => fitBpeModel(Tables.documents(s, dir), nMerges = 64))
+        bpeTokenCounts(docs, model)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_bpe_tokens")).cast("bigint").as("sum_bpe_tokens"))
+          .join(docs.select(col("source"),
+              tokenCount(col("text")).as("n_ws")).groupBy(col("source"))
+            .agg(sum(col("n_ws")).cast("bigint").as("sum_ws_tokens")), "source")
+          .orderBy(col("source"))
+      },
+      None),
 
     // corpus-trained bigram LM fluency score, thresholded per language.
     // Gated through the MICRO tier: per-bigram log-probs round to integer
