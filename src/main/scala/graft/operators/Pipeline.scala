@@ -316,6 +316,42 @@ object Pipeline {
     docs.join(broadcast(rates), strataCol).filter(bucket < col("sample_per_mille"))
   }
 
+  /** Mixture PLAN: the per-stratum budget table a pretraining run is
+    * configured from — given a total token budget and a temperature,
+    * how many tokens each source contributes and how many effective
+    * EPOCHS of that source that means (alloc/n — the number every data
+    * team watches, because >>1 epoch of a small source is memorization
+    * risk). The allocation is √-temperature (α = 0.5, the q72 sampling
+    * counterpart — this op plans the budget, q72 executes a draw).
+    *
+    * Determinism: the only float step is one `floor(sqrt(n)·1e6)` per
+    * stratum (IEEE-exact sqrt, then floored to integer µunits); the
+    * normalization, allocation, and epoch ratios are pure BIGINT
+    * arithmetic — no cross-stratum float sum whose addition order an
+    * engine could reorder. Holds while budget × max(w_micro) < 2^63
+    * (≈ 9e18; a 1e12-token budget over strata up to ~4e13 tokens each).
+    *
+    * Scale notes: one map-side-combined aggregation to |strata| rows,
+    * checkpointed (it feeds the total and the output), then a broadcast
+    * of the 1-row total — the corpus is scanned once and never
+    * shuffled. */
+  def mixPlan(docs: DataFrame, strataCol: String, budgetTokens: Long,
+              textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    val w = docs.groupBy(col(strataCol))
+      .agg(sum(TextOps.tokenCount(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("w_micro", floor(sqrt(col("n_tokens")) * 1e6).cast("long"))
+      .localCheckpoint(false) // |strata| rows; read by the total + output
+    val tot = w.agg(sum(col("w_micro")).cast("long").as("tot_w"))
+    w.crossJoin(broadcast(tot))
+      .withColumn("alloc_tokens", expr(s"($budgetTokens * w_micro) div tot_w"))
+      .withColumn("epochs_micro",
+        when(col("n_tokens") === 0L, 0L)
+          .otherwise(expr("(alloc_tokens * 1000000) div n_tokens")))
+      .select(col(strataCol), col("n_tokens"), col("w_micro"),
+        col("alloc_tokens"), col("epochs_micro"))
+  }
+
   /** Sequence packing: assign each doc to a training chunk of
     * ~`budgetTokens` tokens by CONTIGUOUS concatenation order — the way
     * pretraining actually fills context windows (docs are laid end to end
@@ -668,6 +704,27 @@ object Pipeline {
                d.doc_id, d.source, d.lang, s.n_feats, s.score_micro
         FROM scored s JOIN documents d USING (doc_id)
         ORDER BY rnk LIMIT 50""")),
+
+    // Mixture plan at a 100k-token budget over sources: the pure-integer
+    // allocation/epochs table (one float step: floor(sqrt·1e6)).
+    QuerySpec(
+      "q113_mix_plan",
+      (s, d) => mixPlan(Tables.documents(s, d), "source", budgetTokens = 100000L)
+        .orderBy(col("source")),
+      Some("""
+        WITH c AS (SELECT source,
+                          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY source),
+        w AS (SELECT source, n_tokens,
+                     CAST(floor(sqrt(n_tokens) * 1e6) AS BIGINT) AS w_micro
+              FROM c),
+        t AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot_w FROM w)
+        SELECT source, n_tokens, w_micro,
+               CAST((100000 * w_micro) // tot_w AS BIGINT) AS alloc_tokens,
+               CASE WHEN n_tokens = 0 THEN 0
+                    ELSE CAST(((100000 * w_micro) // tot_w) * 1000000 // n_tokens AS BIGINT)
+               END AS epochs_micro
+        FROM w, t ORDER BY source""")),
 
     QuerySpec(
       "q67_pack_sequences",

@@ -477,6 +477,32 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(docs.repartition(5)) == w)
   }
 
+  test("mixPlan: budget conserved within floor loss; sqrt temperature up-weights small strata") {
+    val sql = spark
+    import sql.implicits._
+    val docs = Seq(
+      (1L, "big", "a b c d e f g h i j a b c d e f g h i j"), // 20 tokens
+      (2L, "big", "a b c d e f g h i j a b c d e f g h i j"),
+      (3L, "big", "a b c d e f g h i j a b c d e f g h i j"),
+      (4L, "small", "a b c d e")                               // 5 tokens
+    ).toDF("doc_id", "source", "text")
+    val b = 1000L
+    val plan = Pipeline.mixPlan(docs, "source", b)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    val allocSum = plan.values.map(_._2).sum
+    assert(allocSum <= b && b - allocSum < plan.size,
+      s"allocation $allocSum vs budget $b (floor loss must be < |strata|)")
+    // sqrt flattening: the small stratum gets MORE effective epochs
+    assert(plan("small")._3 > plan("big")._3,
+      s"small ${plan("small")._3} should out-epoch big ${plan("big")._3}")
+    // and more than its proportional share of the budget
+    val (nSmall, aSmall, _) = plan("small")
+    val nTot = plan.values.map(_._1).sum
+    assert(aSmall.toDouble / b > nSmall.toDouble / nTot,
+      "sqrt temperature must over-allocate the small stratum vs proportional")
+  }
+
   test("fit+scoreImportance ≡ importanceWeights on the fitted corpus; unseen grams score the default") {
     val sql = spark
     import sql.implicits._
