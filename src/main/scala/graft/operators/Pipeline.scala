@@ -508,6 +508,48 @@ object Pipeline {
         count(when(col("change") === "unchanged", 1)).as("n_unchanged"))
   }
 
+  /** The nightly INCREMENTAL refresh — the composition a production
+    * corpus actually re-runs on every snapshot, with work ∝ delta, not
+    * corpus:
+    *
+    *   1. snapshot diff    ([[corpusDiff]]) → the delta = added/changed
+    *                       docs; retained = unchanged docs
+    *   2. exact dedup      ([[Dedup.exactIncremental]]): the delta
+    *                       probes the retained set's digest index
+    *                       (broadcast anti-join) + within-delta window
+    *   3. near-dup prune   ([[Dedup.jaccardPairsIncremental]]): the
+    *                       delta probes the retained token index; a
+    *                       delta doc near-duping retained content — or a
+    *                       smaller-id delta sibling — is dropped
+    *   4. decontamination  ([[TextOps.decontaminate]]): eval-gram gate
+    *
+    * Returns the ADMITTED rows of the new snapshot. Full-corpus passes
+    * touch only digests/tokens of the retained set (the indexes a real
+    * deployment persists — q74/q81's stores); text rides nothing but
+    * the delta-sized stages. The diff is checkpointed: it routes both
+    * the delta and the retained set, and each reference would otherwise
+    * re-run the full-outer digest join.
+    */
+  def refreshIncremental(oldSnap: DataFrame, newSnap: DataFrame,
+                         evalDocs: DataFrame,
+                         nearDupThreshold: Double = 0.5,
+                         evalN: Int = 4): DataFrame = {
+    val diff = corpusDiff(oldSnap, newSnap, detail = true)
+      .select(col("doc_id"), col("change")).localCheckpoint(false)
+    val delta = newSnap.join(
+      diff.filter(col("change").isin("added", "changed")).select(col("doc_id")),
+      "doc_id")
+    val retained = newSnap.join(
+      diff.filter(col("change") === "unchanged").select(col("doc_id")), "doc_id")
+    val freshExact = Dedup.exactIncremental(delta,
+      retained.select(md5(col("text")).as("digest")))
+    val losers = Dedup.jaccardPairsIncremental(
+        Dedup.tokenIndex(retained), freshExact, nearDupThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val freshNear = freshExact.join(losers, Seq("doc_id"), "left_anti")
+    TextOps.decontaminate(freshNear, evalDocs, evalN)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     // Snapshot diff between two deterministic views of the corpus:
     // "old" drops every 7th doc (so those read as added), "new" drops
@@ -543,6 +585,74 @@ object Pipeline {
                COUNT(CASE WHEN change = 'changed' THEN 1 END) AS n_changed,
                COUNT(CASE WHEN change = 'unchanged' THEN 1 END) AS n_unchanged
         FROM j GROUP BY source ORDER BY source""")),
+
+    // The incremental refresh end-to-end on the q107 snapshot scenario
+    // (old drops every 7th doc → re-appear as added; every 5th doc's
+    // text gains " v2" → changed), eval set = q65's doc_id < 20 split.
+    // Raw corpus texts are unique by construction, so the exact stage's
+    // drops are zero ON THIS DATA (q74 gates the digest probe with
+    // constructed dups); the near-dup and decontamination stages drop
+    // for real. Oracle composes the q107/q74/q81/q65 oracle fragments.
+    QuerySpec(
+      "q114_refresh_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val evalSet = docs.filter(col("doc_id") < 20)
+        val uni = docs.filter(col("doc_id") >= 20)
+        val oldSnap = uni.filter(col("doc_id") % 7 =!= 0)
+        val newSnap = uni.withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        refreshIncremental(oldSnap, newSnap, evalSet,
+            nearDupThreshold = 0.5, evalN = 4)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_admitted"),
+            sum(TextOps.tokenCount(col("text"))).cast("bigint").as("sum_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH uni AS (
+          SELECT doc_id, source,
+                 CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+          FROM documents WHERE doc_id >= 20),
+        cls AS (SELECT doc_id, source, text,
+                       CASE WHEN doc_id % 7 = 0 THEN 'added'
+                            WHEN doc_id % 5 = 0 THEN 'changed'
+                            ELSE 'unchanged' END AS change
+                FROM uni),
+        delta AS (SELECT * FROM cls WHERE change <> 'unchanged'),
+        ret AS (SELECT * FROM cls WHERE change = 'unchanged'),
+        ex1 AS (SELECT d.*, md5(d.text) AS dg FROM delta d
+                WHERE md5(d.text) NOT IN (SELECT md5(text) FROM ret)),
+        ex AS (SELECT doc_id, source, text FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY dg ORDER BY doc_id) AS rn
+                 FROM ex1) WHERE rn = 1),
+        tok AS (SELECT doc_id, source,
+                       list_distinct(string_split(text, ' ')) AS toks, TRUE AS is_new
+                FROM ex
+                UNION ALL
+                SELECT doc_id, source,
+                       list_distinct(string_split(text, ' ')), FALSE
+                FROM ret),
+        losers AS (
+          SELECT DISTINCT b.doc_id
+          FROM tok a JOIN tok b
+            ON a.source = b.source AND b.is_new
+           AND (NOT a.is_new OR a.doc_id < b.doc_id) AND a.doc_id <> b.doc_id
+          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5),
+        nn AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        etoks AS (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id < 20),
+        eg AS (SELECT DISTINCT array_to_string(t[i:i+3], ' ') AS gram
+               FROM etoks, UNNEST(generate_series(1, greatest(len(t)-3, 0))) AS u(i)),
+        ntoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM nn),
+        ng AS (SELECT doc_id, array_to_string(t[i:i+3], ' ') AS gram
+               FROM ntoks, UNNEST(generate_series(1, greatest(len(t)-3, 0))) AS u(i)),
+        hits AS (SELECT DISTINCT ng.doc_id FROM ng JOIN eg USING (gram)),
+        adm AS (SELECT * FROM nn WHERE doc_id NOT IN (SELECT doc_id FROM hits))
+        SELECT source, COUNT(*) AS n_admitted,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+        FROM adm GROUP BY source ORDER BY source""")),
 
     QuerySpec(
       "q101_zorder_layout",

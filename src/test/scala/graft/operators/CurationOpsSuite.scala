@@ -477,6 +477,29 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(docs.repartition(5)) == w)
   }
 
+  test("refreshIncremental: admits new/changed content; drops exact dups, near-dups, contamination") {
+    val sql = spark
+    import sql.implicits._
+    val a = "one two three four five six seven eight"
+    val oldSnap = Seq(
+      (1L, "s0", a),
+      (2L, "s0", "b old text here")
+    ).toDF("doc_id", "source", "text")
+    val newSnap = Seq(
+      (1L, "s0", a),                                      // unchanged → retained
+      (2L, "s0", "b brand new content words"),            // changed → admitted
+      (3L, "s0", a),                                      // exact dup of retained → dropped
+      (4L, "s0", "one two three four five six seven nine"), // near-dup of retained → dropped
+      (5L, "s0", "filler q1 q2 q3 q4 trailer"),           // eval 4-gram → dropped
+      (6L, "s0", "totally fresh unique vocabulary words") // added clean → admitted
+    ).toDF("doc_id", "source", "text")
+    val evalSet = Seq((100L, "q1 q2 q3 q4 tail")).toDF("doc_id", "text")
+    val admitted = Pipeline.refreshIncremental(oldSnap, newSnap, evalSet,
+        nearDupThreshold = 0.5, evalN = 4)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(2L, 6L), s"expected {2, 6}, got $admitted")
+  }
+
   test("mixPlan: budget conserved within floor loss; sqrt temperature up-weights small strata") {
     val sql = spark
     import sql.implicits._
