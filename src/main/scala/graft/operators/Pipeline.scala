@@ -174,12 +174,14 @@ object Pipeline {
     * + one doc-keyed partial-agg shuffle of (doc_id, long) rows. Nothing
     * driver-side except the `buckets`-row log-ratio table.
     */
-  def importanceWeights(docs: DataFrame, isTarget: Column,
-                        buckets: Int = 4096,
-                        textCol: String = "text"): DataFrame = {
+  /** The (doc_id, __tgt, bucket) hashed-feature stream both the batch
+    * scorer and the model fit derive from — ONE definition so the
+    * fit/serve ≡ batch parity contract can't drift between copies. */
+  private def importanceFeatures(docs: DataFrame, isTarget: Column,
+                                 buckets: Int, textCol: String): DataFrame = {
     require(buckets > 0 && buckets <= (1 << 30),
-      s"importanceWeights: buckets must be in [1, 2^30], got $buckets")
-    val feats = docs
+      s"importance features: buckets must be in [1, 2^30], got $buckets")
+    docs
       .select(col("doc_id"), isTarget.as("__tgt"),
         TextOps.tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), col("__tgt"),
@@ -187,10 +189,20 @@ object Pipeline {
           TextOps.wordNgramsOfTokens(col("__toks"), 2))).as("gram"))
       .select(col("doc_id"), col("__tgt"),
         bucketOf(col("gram"), buckets).as("bucket"))
-      .localCheckpoint(false)
-    val dist = feats.groupBy(col("bucket"))
+  }
+
+  /** Per-bucket (target count, raw count) over a feature stream. */
+  private def importanceDist(feats: DataFrame): DataFrame =
+    feats.groupBy(col("bucket"))
       .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"),
         count(lit(1)).as("cr"))
+
+  def importanceWeights(docs: DataFrame, isTarget: Column,
+                        buckets: Int = 4096,
+                        textCol: String = "text"): DataFrame = {
+    val feats = importanceFeatures(docs, isTarget, buckets, textCol)
+      .localCheckpoint(false)
+    val dist = importanceDist(feats)
       .localCheckpoint(false) // tiny (≤ buckets rows); read by tot + lr
     val tot = dist.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
     val lr = dist.crossJoin(broadcast(tot))
@@ -224,17 +236,8 @@ object Pipeline {
   def fitImportanceModel(docs: DataFrame, isTarget: Column,
                          buckets: Int = 4096,
                          textCol: String = "text"): ImportanceModel = {
-    require(buckets > 0 && buckets <= (1 << 30),
-      s"fitImportanceModel: buckets must be in [1, 2^30], got $buckets")
-    val dist = docs
-      .select(isTarget.as("__tgt"), TextOps.tokens(col(textCol)).as("__toks"))
-      .select(col("__tgt"),
-        explode(concat(col("__toks"),
-          TextOps.wordNgramsOfTokens(col("__toks"), 2))).as("gram"))
-      .select(col("__tgt"), bucketOf(col("gram"), buckets).as("bucket"))
-      .groupBy(col("bucket"))
-      .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"),
-        count(lit(1)).as("cr"))
+    val dist = importanceDist(
+        importanceFeatures(docs, isTarget, buckets, textCol))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val nt = dist.map(_._2).sum
     val nr = dist.map(_._3).sum
@@ -326,10 +329,13 @@ object Pipeline {
     *
     * Determinism: the only float step is one `floor(sqrt(n)·1e6)` per
     * stratum (IEEE-exact sqrt, then floored to integer µunits); the
-    * normalization, allocation, and epoch ratios are pure BIGINT
+    * normalization, allocation, and epoch ratios are exact integer
     * arithmetic — no cross-stratum float sum whose addition order an
-    * engine could reorder. Holds while budget × max(w_micro) < 2^63
-    * (≈ 9e18; a 1e12-token budget over strata up to ~4e13 tokens each).
+    * engine could reorder. The budget × w_micro and alloc × 1e6
+    * products route through DECIMAL(38,0) (exact to 1e38, truncating
+    * `div`), so the envelope is budget × max(w_micro) < 1e38 — any
+    * realistic budget over strata to ~1e25 tokens — where a plain
+    * BIGINT product already overflows at a 1e10-token budget.
     *
     * Scale notes: one map-side-combined aggregation to |strata| rows,
     * checkpointed (it feeds the total and the output), then a broadcast
@@ -344,10 +350,14 @@ object Pipeline {
       .localCheckpoint(false) // |strata| rows; read by the total + output
     val tot = w.agg(sum(col("w_micro")).cast("long").as("tot_w"))
     w.crossJoin(broadcast(tot))
-      .withColumn("alloc_tokens", expr(s"($budgetTokens * w_micro) div tot_w"))
+      .withColumn("alloc_tokens",
+        expr(s"(CAST($budgetTokens AS DECIMAL(38,0)) * w_micro div tot_w)")
+          .cast("long"))
       .withColumn("epochs_micro",
         when(col("n_tokens") === 0L, 0L)
-          .otherwise(expr("(alloc_tokens * 1000000) div n_tokens")))
+          .otherwise(expr(
+            "(CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000 div n_tokens)")
+            .cast("long")))
       .select(col(strataCol), col("n_tokens"), col("w_micro"),
         col("alloc_tokens"), col("epochs_micro"))
   }
@@ -541,8 +551,7 @@ object Pipeline {
       "doc_id")
     val retained = newSnap.join(
       diff.filter(col("change") === "unchanged").select(col("doc_id")), "doc_id")
-    val freshExact = Dedup.exactIncremental(delta,
-      retained.select(md5(col("text")).as("digest")))
+    val freshExact = Dedup.exactIncremental(delta, Dedup.digestIndex(retained))
     val losers = Dedup.jaccardPairsIncremental(
         Dedup.tokenIndex(retained), freshExact, nearDupThreshold)
       .select(col("doc_b").as("doc_id")).distinct()

@@ -524,6 +524,15 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     val nTot = plan.values.map(_._1).sum
     assert(aSmall.toDouble / b > nSmall.toDouble / nTot,
       "sqrt temperature must over-allocate the small stratum vs proportional")
+    // pretraining-scale budget: the BIGINT product would overflow (1e15
+    // × w_micro ~ 4.5e9 ≈ 4.5e24 >> 2^63); the decimal route must not
+    val big = 1000000000000000L
+    val bigPlan = Pipeline.mixPlan(docs, "source", big)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val bigSum = bigPlan.values.sum
+    assert(bigPlan.values.forall(_ > 0L), s"overflowed allocation: $bigPlan")
+    assert(bigSum <= big && big - bigSum < bigPlan.size,
+      s"big-budget conservation broke: $bigSum vs $big")
   }
 
   test("fit+scoreImportance ≡ importanceWeights on the fitted corpus; unseen grams score the default") {

@@ -75,11 +75,11 @@ abstract class StreamingHeavyHittersSuiteBase extends AnyFunSuite with BeforeAnd
     val latestByToken = latest.map { case (_, _, t, c) => t -> c }.toMap
 
     // per-partition truth: route tokens exactly like the operator does
+    // (one job over all distinct tokens, not a job per token)
     val all = batch1 ++ batch2
-    val route = all.distinct.map { t =>
-      t -> spark.range(1).select(
-        pmod(hash(lit(t)), lit(parts)).cast("int")).head().getInt(0)
-    }.toMap
+    val route = all.distinct.toDF("token")
+      .select($"token", pmod(hash($"token"), lit(parts)).cast("int").as("p"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     val byPart = all.groupBy(route)
     byPart.foreach { case (p, toks) =>
       val np = toks.size
