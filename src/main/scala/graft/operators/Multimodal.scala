@@ -243,6 +243,86 @@ object Multimodal {
     }
   }
 
+  final case class DHashRow(doc_id: Long, dhash_hi: Long, dhash_lo: Long)
+
+  /** Perceptual difference hash (dHash) of each image — the standard
+    * 64-bit fingerprint image dedup pipelines run at corpus scale
+    * (LAION-style near-dup pruning): decode, nearest-neighbor resample
+    * to a 9×8 grayscale grid (same ⌊x·w/9⌋ mapping as [[resizeImageNN]],
+    * so the DuckDB oracle recomputes the grid from the pixel formula
+    * without decoding anything), then bit(r,c) = [p(r,c) < p(r,c+1)]
+    * over the 8×8 horizontal comparisons. Robust to re-encoding, scale,
+    * and brightness-preserving noise; the hash is emitted as two 32-bit
+    * halves so neither engine touches the sign bit of a 64-bit shift.
+    *
+    * Scale notes: one mapPartitions pass over the media (the codec is
+    * per-partition, like every decode path here); output is 3 longs per
+    * image — the fingerprint table a near-dup join then works on, at
+    * 24 bytes/image regardless of image size.
+    */
+  def dHashImages(media: Dataset[PngRow]): Dataset[DHashRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { m =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.data))
+        require(img != null, s"undecodable PNG payload for doc ${m.doc_id}")
+        val raster = img.getRaster
+        val (w, h) = (img.getWidth, img.getHeight)
+        val grid = Array.tabulate(8, 9)((r, c) =>
+          raster.getSample(c * w / 9, r * h / 8, 0))
+        var hi = 0L
+        var lo = 0L
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            if (grid(r)(c) < grid(r)(c + 1)) {
+              val k = r * 8 + c
+              if (k < 32) lo |= (1L << k) else hi |= (1L << (k - 32))
+            }
+            c += 1
+          }
+          r += 1
+        }
+        DHashRow(m.doc_id, hi, lo)
+      }
+    }
+  }
+
+  /** Near-dup image pairs by banded hamming over the dHash — the same
+    * architecture as SimHash text near-dup (q33): 4×16-bit bands, pairs
+    * sharing ≥1 band verify exact `bit_count(xor) ≤ maxHamming`.
+    * Pigeonhole: any pair within hamming distance < 4 is GUARANTEED a
+    * shared band; beyond that recall is probabilistic (banding trades
+    * recall for never running all-pairs). `maxBucketSize` is the same
+    * prospective skew guard as the text paths — a degenerate hash value
+    * shared by thousands of images must not generate O(n²) candidates.
+    */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 6,
+                        maxBucketSize: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64, s"bad maxHamming $maxHamming")
+    import org.apache.spark.sql.expressions.Window
+    val full = hashes.select(col("doc_id"),
+      (shiftleft(col("dhash_hi"), 32).bitwiseOR(col("dhash_lo"))).as("dhash"))
+    val banded = full.select(col("doc_id"), col("dhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band", "bval")))
+      .withColumn("__bn", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bval"))))
+      .filter(col("__bn") <= maxBucketSize)
+      .select(col("band"), col("bval"), col("doc_id"), col("dhash"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   // ---------------------------------------------------------------------
   // REAL audio path: 16-bit mono PCM WAV through `javax.sound.sampled`
   // (in the JDK — no external dep). Mirrors the PNG path's design: the
@@ -486,6 +566,83 @@ object Multimodal {
                CAST(COUNT(*) FILTER (WHERE gray // 64 = 2) AS BIGINT) AS h2,
                CAST(COUNT(*) FILTER (WHERE gray // 64 = 3) AS BIGINT) AS h3
         FROM g GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Perceptual dHash over the REAL decode path: the oracle recomputes
+    // the 9x8 NN-resampled grid and all 64 comparison bits from the
+    // shared pixel formula — bit-exact, no decoding in DuckDB.
+    QuerySpec(
+      "q115_image_dhash",
+      (s, d) => dHashImages(withPngMedia(Tables.documents(s, d)))
+        .toDF().orderBy(col("doc_id")),
+      Some("""
+        WITH ids AS (
+          SELECT doc_id, CAST(doc_id % 8 + 4 AS BIGINT) AS w,
+                 CAST(doc_id % 6 + 3 AS BIGINT) AS h
+          FROM documents),
+        cells AS (
+          SELECT i.doc_id, r.range AS r, c.range AS c,
+                 (i.doc_id*31 + ((c.range*i.w)//9)*7 + ((r.range*i.h)//8)*13) % 256 AS g,
+                 (i.doc_id*31 + (((c.range+1)*i.w)//9)*7 + ((r.range*i.h)//8)*13) % 256 AS gn
+          FROM ids i CROSS JOIN range(0, 8) r CROSS JOIN range(0, 8) c),
+        bits AS (SELECT doc_id, r*8 + c AS k,
+                        CASE WHEN g < gn THEN 1 ELSE 0 END AS bit
+                 FROM cells)
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)
+                    AS BIGINT) AS dhash_hi,
+               CAST(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)
+                    AS BIGINT) AS dhash_lo
+        FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Banded-hamming image near-dup over the dHash table: fully
+    // deterministic (bands, cap, threshold), so the whole candidate
+    // topology is oracle-checkable. DuckDB never assembles the 64-bit
+    // hash (its `<<` raises on overflow): bands and hamming both work
+    // on the 32-bit halves, which is bit-identical.
+    QuerySpec(
+      "q116_image_neardup",
+      (s, d) => imageNearDupPairs(
+          dHashImages(withPngMedia(Tables.documents(s, d))).toDF())
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some("""
+        WITH ids AS (
+          SELECT doc_id, CAST(doc_id % 8 + 4 AS BIGINT) AS w,
+                 CAST(doc_id % 6 + 3 AS BIGINT) AS h
+          FROM documents),
+        cells AS (
+          SELECT i.doc_id, r.range AS r, c.range AS c,
+                 (i.doc_id*31 + ((c.range*i.w)//9)*7 + ((r.range*i.h)//8)*13) % 256 AS g,
+                 (i.doc_id*31 + (((c.range+1)*i.w)//9)*7 + ((r.range*i.h)//8)*13) % 256 AS gn
+          FROM ids i CROSS JOIN range(0, 8) r CROSS JOIN range(0, 8) c),
+        bits AS (SELECT doc_id, r*8 + c AS k,
+                        CASE WHEN g < gn THEN 1 ELSE 0 END AS bit
+                 FROM cells),
+        hashes AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)
+                      AS BIGINT) AS hi,
+                 CAST(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)
+                      AS BIGINT) AS lo
+          FROM bits GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, hi, lo, b.range AS band,
+                 CASE WHEN b.range = 0 THEN lo % 65536
+                      WHEN b.range = 1 THEN lo // 65536
+                      WHEN b.range = 2 THEN hi % 65536
+                      ELSE hi // 65536 END AS bval
+          FROM hashes CROSS JOIN range(0, 4) b),
+        capped AS (
+          SELECT * FROM (SELECT banded.*,
+                                COUNT(*) OVER (PARTITION BY band, bval) AS bn
+                         FROM banded)
+          WHERE bn <= 64)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                    AS BIGINT) AS hamming
+        FROM capped a JOIN capped b
+          ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+        ORDER BY doc_a, doc_b""")),
 
     // REAL decode + nearest-neighbor resample, same oracle construction
     QuerySpec(

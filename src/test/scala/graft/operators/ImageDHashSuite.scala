@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.SparkSession
+
+/** Perceptual-hash near-dup gates on constructed PNGs: identical images
+  * collide exactly, a small pixel edit stays within the banded-hamming
+  * guarantee (distance < 4 ⇒ a shared 16-bit band, pigeonhole), an
+  * inverted image never pairs, and the prospective bucket cap silences
+  * degenerate hash values instead of generating O(n²) candidates.
+  */
+class ImageDHashSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-image-dhash")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Encode a 9×8 grayscale PNG from an explicit pixel function. */
+  private def png(px: (Int, Int) => Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    for (y <- 0 until 8; x <- 0 until 9) raster.setSample(x, y, 0, px(y, x))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def base(r: Int, c: Int): Int = (r * 29 + c * 53) % 256
+
+  test("dHash: identical images collide; small edit near; inversion far; pairs exact") {
+    val sql = spark
+    import sql.implicits._
+    val rows = Seq(
+      Multimodal.PngRow(1L, png(base)),                            // A
+      Multimodal.PngRow(2L, png((r, c) =>                          // B: one cell forced
+        if (r == 3 && c == 4) 255 else base(r, c))),               //    to 255 — flips the
+                                                                   //    2 comparisons using it
+      Multimodal.PngRow(3L, png((r, c) => 255 - base(r, c))),      // C: inverted
+      Multimodal.PngRow(4L, png(base))                             // D: exact copy of A
+    ).toDS()
+    val hashes = Multimodal.dHashImages(rows).toDF()
+    val h = hashes.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(h(1L) == h(4L), "identical images must hash identically")
+    assert(h(1L) != h(3L), "inverted image must not collide")
+
+    val pairs = Multimodal.imageNearDupPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L)),
+      s"expected {(1,2),(1,4),(2,4)}, got ${pairs.keySet}")
+    assert(pairs((1L, 4L)) == 0L, "exact copy must be hamming 0")
+    assert(pairs((1L, 2L)) == 2L,
+      s"the forced cell feeds exactly 2 comparisons, got ${pairs((1L, 2L))}")
+  }
+
+  test("bucket cap: a degenerate hash shared by many images emits no pairs") {
+    val sql = spark
+    import sql.implicits._
+    val many = (1L to 70L).map(i => Multimodal.PngRow(i, png(base))).toDS()
+    val hashes = Multimodal.dHashImages(many).toDF()
+    val capped = Multimodal.imageNearDupPairs(hashes, maxHamming = 3,
+      maxBucketSize = 64)
+    assert(capped.count() == 0L, "over-cap buckets must admit no candidates")
+    val uncapped = Multimodal.imageNearDupPairs(hashes, maxHamming = 3,
+      maxBucketSize = 200)
+    assert(uncapped.count() == 70L * 69 / 2, "under the cap all pairs surface")
+  }
+}
