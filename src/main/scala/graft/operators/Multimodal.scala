@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -302,25 +302,74 @@ object Multimodal {
     */
   def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 6,
                         maxBucketSize: Int = 64): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 64, s"bad maxHamming $maxHamming")
+    val banded = dHashBandIndex(hashes, maxBucketSize)
+    hammingVerify(banded, banded, col("a.doc_id") < col("b.doc_id"), maxHamming)
+  }
+
+  /** Band the dHash table into its 4×16-bit LSH buckets and apply the
+    * prospective skew cap — `(band, bval, doc_id, dhash_hi, dhash_lo)`.
+    * This IS the persisted nightly artifact for the incremental path
+    * (the image analogue of [[graft.operators.Dedup.tokenIndex]]): 4
+    * rows × 28 B per image regardless of image size, and an index
+    * stored bucketed on `(band, bval)` feeds the probe join straight
+    * from its buckets with zero index-side shuffle (q81 precedent,
+    * `BucketedJoinSuite`). Bands are taken from the 32-bit halves —
+    * the full 64-bit word is never assembled, so every consumer
+    * (including a SQL engine whose `<<` refuses to wrap) agrees.
+    */
+  def dHashBandIndex(hashes: DataFrame, maxBucketSize: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val full = hashes.select(col("doc_id"),
-      (shiftleft(col("dhash_hi"), 32).bitwiseOR(col("dhash_lo"))).as("dhash"))
-    val banded = full.select(col("doc_id"), col("dhash"),
-        posexplode(array((0 until 4).map(b =>
-          shiftrightunsigned(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+    hashes.select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
+        posexplode(array(
+          col("dhash_lo").bitwiseAND(lit(0xFFFFL)),
+          shiftrightunsigned(col("dhash_lo"), 16).bitwiseAND(lit(0xFFFFL)),
+          col("dhash_hi").bitwiseAND(lit(0xFFFFL)),
+          shiftrightunsigned(col("dhash_hi"), 16).bitwiseAND(lit(0xFFFFL))))
           .as(Seq("band", "bval")))
       .withColumn("__bn", count(lit(1)).over(
         Window.partitionBy(col("band"), col("bval"))))
       .filter(col("__bn") <= maxBucketSize)
-      .select(col("band"), col("bval"), col("doc_id"), col("dhash"))
-    banded.as("a").join(banded.as("b"),
+      .select(col("band"), col("bval"), col("doc_id"),
+        col("dhash_hi"), col("dhash_lo"))
+  }
+
+  /** Candidate join on shared `(band, bval)` + exact hamming verify on
+    * the 32-bit halves (`popcount(xor hi) + popcount(xor lo)` — equal to
+    * the 64-bit hamming distance, without the 64-bit word).
+    */
+  private def hammingVerify(a: DataFrame, b: DataFrame, orient: Column,
+                            maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64, s"bad maxHamming $maxHamming")
+    a.alias("a").join(b.alias("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-          col("a.doc_id") < col("b.doc_id"))
+          orient)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).cast("long").as("hamming"))
+        (bit_count(col("a.dhash_hi").bitwiseXOR(col("b.dhash_hi"))) +
+          bit_count(col("a.dhash_lo").bitwiseXOR(col("b.dhash_lo"))))
+          .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** Incremental image near-dup: every (corpus image, batch image) and
+    * (batch, batch) pair within `maxHamming` — the daily-ingest
+    * counterpart of [[imageNearDupPairs]], mirroring the q74/q81 text
+    * pattern. The already-ingested corpus participates ONLY through its
+    * persisted [[dHashBandIndex]] (its PNGs are never re-decoded, and
+    * corpus×corpus pairs — found at their own ingest — are never
+    * recomputed), so daily work is ∝ batch size, not corpus size.
+    * Corpus and batch doc ids are disjoint by contract (distinct ingest
+    * generations). The skew cap applies per generation: the index was
+    * capped at build, the batch caps within itself.
+    */
+  def imageNearDupIncremental(index: DataFrame, batchHashes: DataFrame,
+                              maxHamming: Int = 6,
+                              maxBucketSize: Int = 64): DataFrame = {
+    val probe = dHashBandIndex(batchHashes, maxBucketSize)
+    val cross = hammingVerify(index, probe, lit(true), maxHamming)
+    val within = hammingVerify(probe, probe,
+      col("a.doc_id") < col("b.doc_id"), maxHamming)
+    cross.unionAll(within)
   }
 
   // ---------------------------------------------------------------------
@@ -641,6 +690,61 @@ object Multimodal {
                     AS BIGINT) AS hamming
         FROM capped a JOIN capped b
           ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+        ORDER BY doc_a, doc_b""")),
+
+    // Incremental image near-dup: corpus rides only its persisted band
+    // index (q74/q81 pattern); the oracle re-derives BOTH generations'
+    // banded buckets (cap per generation) and the exact union the two
+    // probe joins produce.
+    QuerySpec(
+      "q117_image_neardup_incr",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val index = dHashBandIndex(
+          dHashImages(withPngMedia(docs.filter(col("doc_id") >= 250))).toDF())
+        imageNearDupIncremental(index,
+            dHashImages(withPngMedia(docs.filter(col("doc_id") < 250))).toDF())
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""
+        WITH ids AS (
+          SELECT doc_id, CAST(doc_id % 8 + 4 AS BIGINT) AS w,
+                 CAST(doc_id % 6 + 3 AS BIGINT) AS h
+          FROM documents),
+        cells AS (
+          SELECT i.doc_id, r.range AS r, c.range AS c,
+                 (i.doc_id*31 + ((c.range*i.w)//9)*7 + ((r.range*i.h)//8)*13) % 256 AS g,
+                 (i.doc_id*31 + (((c.range+1)*i.w)//9)*7 + ((r.range*i.h)//8)*13) % 256 AS gn
+          FROM ids i CROSS JOIN range(0, 8) r CROSS JOIN range(0, 8) c),
+        bits AS (SELECT doc_id, r*8 + c AS k,
+                        CASE WHEN g < gn THEN 1 ELSE 0 END AS bit
+                 FROM cells),
+        hashes AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)
+                      AS BIGINT) AS hi,
+                 CAST(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)
+                      AS BIGINT) AS lo
+          FROM bits GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, hi, lo, doc_id < 250 AS is_new, b.range AS band,
+                 CASE WHEN b.range = 0 THEN lo % 65536
+                      WHEN b.range = 1 THEN lo // 65536
+                      WHEN b.range = 2 THEN hi % 65536
+                      ELSE hi // 65536 END AS bval
+          FROM hashes CROSS JOIN range(0, 4) b),
+        capped AS (
+          SELECT * FROM (SELECT banded.*,
+                                COUNT(*) OVER (PARTITION BY is_new, band, bval) AS bn
+                         FROM banded)
+          WHERE bn <= 64)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                    AS BIGINT) AS hamming
+        FROM capped a JOIN capped b
+          ON a.band = b.band AND a.bval = b.bval AND b.is_new
+         AND (NOT a.is_new OR a.doc_id < b.doc_id)
         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
         ORDER BY doc_a, doc_b""")),
 

@@ -66,6 +66,39 @@ class ImageDHashSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"the forced cell feeds exactly 2 comparisons, got ${pairs((1L, 2L))}")
   }
 
+  test("incremental: corpus via index only; ≡ full pairs minus corpus×corpus") {
+    val sql = spark
+    import sql.implicits._
+    def shifted(k: Int): (Int, Int) => Int = (r, c) => base(r, (c + k) % 9)
+    // corpus ids 100+, batch ids <100; pixel families create real near-dups
+    val corpus = Seq(100L -> base _, 101L -> shifted(1), 102L -> base _)
+      .map { case (id, f) => Multimodal.PngRow(id, png(f)) }.toDS()
+    val batch = Seq(1L -> base _, 2L -> shifted(1), 4L -> base _,
+        3L -> ((r: Int, c: Int) => 255 - base(r, c)))
+      .map { case (id, f) => Multimodal.PngRow(id, png(f)) }.toDS()
+
+    val index = Multimodal.dHashBandIndex(Multimodal.dHashImages(corpus).toDF())
+    val inc = Multimodal.imageNearDupIncremental(
+        index, Multimodal.dHashImages(batch).toDF(), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val full = Multimodal.imageNearDupPairs(
+        Multimodal.dHashImages(corpus.unionAll(batch)).toDF(), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // drop corpus×corpus; orient cross pairs as (corpus, batch)
+    val want = full.flatMap {
+      case (a, b) if a < 100L && b < 100L  => Some((a, b))
+      case (a, b) if a < 100L && b >= 100L => Some((b, a))
+      case (a, b) if a >= 100L && b < 100L => Some((a, b))
+      case _                               => None
+    }
+    assert(inc == want, s"incremental $inc != full-minus-corpus $want")
+    assert(inc.contains((100L, 1L)) && inc.contains((101L, 2L)),
+      "cross near-dups must surface oriented (corpus, batch)")
+    assert(inc.exists { case (a, b) => a < 100L && b < 100L },
+      "within-batch pairs must surface")
+  }
+
   test("bucket cap: a degenerate hash shared by many images emits no pairs") {
     val sql = spark
     import sql.implicits._
