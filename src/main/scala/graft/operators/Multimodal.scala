@@ -501,6 +501,50 @@ object Multimodal {
     }
   }
 
+  final case class AudioFingerprintRow(doc_id: Long, n_samples: Long,
+                                       fingerprint: Long)
+
+  /** Perceptual audio fingerprint — the audio twin of [[dHashImages]]:
+    * decode, bucket the clip into 33 energy frames (frame of sample `i`
+    * is `⌊i·33/n⌋`, the same monotone mapping as [[resampleAudioNN]], so
+    * the oracle re-derives it without decoding), then
+    * bit(f) = [E(f) > E(f+1)] over the 32 adjacent-frame comparisons —
+    * the sign-of-energy-difference envelope shape that survives volume-
+    * preserving re-encodes and container changes. Frames a short clip
+    * leaves empty contribute energy 0, deterministically on both
+    * engines. Entirely integer arithmetic; the 32-bit word never touches
+    * a sign bit. One mapPartitions pass, 24 B/clip out regardless of
+    * clip length — the fingerprint table downstream dedup works on.
+    */
+  def audioFingerprint(media: Dataset[WavRow]): Dataset[AudioFingerprintRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val s = readWavSamples(m.data, m.doc_id)
+        val n = s.length
+        require(n > 0, s"empty clip for doc ${m.doc_id}")
+        val e = new Array[Long](33)
+        var i = 0
+        while (i < n) { e(i * 33 / n) += math.abs(s(i)); i += 1 }
+        var fp = 0L
+        var f = 0
+        while (f < 32) { if (e(f) > e(f + 1)) fp |= (1L << f); f += 1 }
+        AudioFingerprintRow(m.doc_id, n.toLong, fp)
+      }
+    }
+  }
+
+  /** Perceptual audio dedup: group clips by exact [[audioFingerprint]]
+    * match (the acoustid-style exact-fingerprint join), keep groups of
+    * ≥ 2 with a canonical member. One partial-aggregated shuffle over
+    * 24 B/clip rows — the clips themselves never move.
+    */
+  def audioDedupGroups(fingerprints: DataFrame): DataFrame =
+    fingerprints.groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
+      .filter(col("n_copies") >= 2)
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec(
@@ -803,6 +847,73 @@ object Multimodal {
           SELECT doc_id, (doc_id*131 + src*787) % 4096 - 2048 AS v FROM r)
         SELECT doc_id, CAST(16 AS INT) AS target_n, CAST(SUM(v) AS BIGINT) AS sum_val
         FROM v GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Perceptual audio fingerprint over the REAL decode path: the oracle
+    // rebuilds the 33 frame energies (densified — empty frames are 0)
+    // and all 32 comparison bits from the shared sample formula.
+    QuerySpec(
+      "q118_audio_fingerprint",
+      (s, d) => audioFingerprint(withWavMedia(Tables.documents(s, d)))
+        .toDF().orderBy(col("doc_id")),
+      Some("""
+        WITH ids AS (
+          SELECT doc_id, CAST(doc_id % 50 + 30 AS BIGINT) AS n FROM documents),
+        samp AS (
+          SELECT doc_id, n, (s.range*33)//n AS f,
+                 ABS((doc_id*131 + s.range*787) % 4096 - 2048) AS a
+          FROM ids CROSS JOIN range(0, 80) s
+          WHERE s.range < n),
+        energies AS (
+          SELECT doc_id, f, SUM(a) AS e FROM samp GROUP BY doc_id, f),
+        frames AS (
+          SELECT i.doc_id, i.n, f.range AS f, COALESCE(e.e, 0) AS e
+          FROM ids i CROSS JOIN range(0, 33) f
+          LEFT JOIN energies e ON e.doc_id = i.doc_id AND e.f = f.range),
+        bits AS (
+          SELECT a.doc_id, a.n, a.f AS k,
+                 CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+          FROM frames a JOIN frames b
+            ON a.doc_id = b.doc_id AND b.f = a.f + 1
+          WHERE a.f < 32)
+        SELECT doc_id, MAX(n) AS n_samples,
+               CAST(SUM(bit * (1::BIGINT << k)) AS BIGINT) AS fingerprint
+        FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Perceptual audio dedup: exact-fingerprint groups with a canonical
+    // member — same oracle construction, then a plain GROUP BY.
+    QuerySpec(
+      "q119_audio_dedup",
+      (s, d) => audioDedupGroups(
+          audioFingerprint(withWavMedia(Tables.documents(s, d))).toDF())
+        .orderBy(col("fingerprint")),
+      Some("""
+        WITH ids AS (
+          SELECT doc_id, CAST(doc_id % 50 + 30 AS BIGINT) AS n FROM documents),
+        samp AS (
+          SELECT doc_id, n, (s.range*33)//n AS f,
+                 ABS((doc_id*131 + s.range*787) % 4096 - 2048) AS a
+          FROM ids CROSS JOIN range(0, 80) s
+          WHERE s.range < n),
+        energies AS (
+          SELECT doc_id, f, SUM(a) AS e FROM samp GROUP BY doc_id, f),
+        frames AS (
+          SELECT i.doc_id, f.range AS f, COALESCE(e.e, 0) AS e
+          FROM ids i CROSS JOIN range(0, 33) f
+          LEFT JOIN energies e ON e.doc_id = i.doc_id AND e.f = f.range),
+        bits AS (
+          SELECT a.doc_id, a.f AS k,
+                 CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+          FROM frames a JOIN frames b
+            ON a.doc_id = b.doc_id AND b.f = a.f + 1
+          WHERE a.f < 32),
+        fps AS (
+          SELECT doc_id,
+                 CAST(SUM(bit * (1::BIGINT << k)) AS BIGINT) AS fingerprint
+          FROM bits GROUP BY doc_id)
+        SELECT fingerprint, COUNT(*) AS n_copies,
+               MIN(doc_id) AS canonical_id
+        FROM fps GROUP BY fingerprint HAVING COUNT(*) >= 2
+        ORDER BY fingerprint""")),
 
     QuerySpec(
       "q52_frame_sample",

@@ -83,6 +83,69 @@ class AudioCodecSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  private def wavOf(id: Long, samples: Array[Int]): Multimodal.WavRow = {
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    Multimodal.WavRow(id, out.toByteArray)
+  }
+
+  /** Independent reimplementation of the 33-frame envelope fingerprint. */
+  private def fpRef(samples: Seq[Int]): Long = {
+    val e = new Array[Long](33)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      e(i * 33 / samples.length) += math.abs(s)
+    }
+    (0 until 32).foldLeft(0L)((fp, f) =>
+      if (e(f) > e(f + 1)) fp | (1L << f) else fp)
+  }
+
+  test("fingerprint: envelope shape drives the bits; decode path is exact") {
+    val sql = spark
+    import sql.implicits._
+    val falling = Array.tabulate(66)(i => 2000 - 30 * i)  // strictly falling energy
+    val rising = falling.reverse
+    val rows = Seq(wavOf(1L, falling), wavOf(2L, rising), wavOf(3L, falling)).toDS()
+    val fps = Multimodal.audioFingerprint(rows)
+      .collect().map(f => f.doc_id -> f.fingerprint).toMap
+    assert(fps(1L) == 0xFFFFFFFFL, "falling envelope sets all 32 comparison bits")
+    assert(fps(2L) == 0L, "rising envelope sets none")
+    assert(fps(1L) == fps(3L), "identical clips collide")
+
+    // formula clips, incl. n=30 < 33 frames (empty-frame path), against
+    // an independent reference computation
+    val formulaIds = Seq(0L, 1L, 5L, 123L)
+    val got = Multimodal.audioFingerprint(
+        Multimodal.withWavMedia(formulaIds.toDF("doc_id")))
+      .collect().map(f => f.doc_id -> f.fingerprint).toMap
+    formulaIds.foreach { id =>
+      val ref = fpRef((0 until nRef(id)).map(sampleRef(id, _)))
+      assert(got(id) == ref, s"doc $id fingerprint vs reference")
+    }
+  }
+
+  test("audio dedup groups exact-fingerprint copies with a canonical member") {
+    val sql = spark
+    import sql.implicits._
+    val a = Array.tabulate(50)(i => 1500 - 25 * i)
+    val b = Array.tabulate(50)(i => if (i % 2 == 0) 900 else -900) // flat: fp 0
+    val rows = Seq(wavOf(10L, a), wavOf(11L, a), wavOf(12L, b)).toDS()
+    val groups = Multimodal.audioDedupGroups(
+        Multimodal.audioFingerprint(rows).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(groups.length == 1, s"one dup group expected, got ${groups.toSeq}")
+    assert(groups.head._2 == 2L && groups.head._3 == 10L,
+      "two copies, canonical = min doc_id")
+  }
+
   test("corrupt payloads fail loudly, not as garbage features") {
     val sql = spark
     import sql.implicits._
