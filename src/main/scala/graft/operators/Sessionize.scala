@@ -151,6 +151,49 @@ object Sessionize {
         col("__attr").as("source_id"))
   }
 
+  /** Session path analysis (Markov edges): for every session, the
+    * adjacent event-type transitions in (time, tie) order, plus
+    * `_entry_ → first type` and `last type → _exit_` pseudo-edges — one
+    * table answering "where do sessions start, how do they flow, where
+    * do they die", the navigation-graph primitive behavioral suites
+    * build sankeys and next-step models from.
+    *
+    * Scale design: the sessionize window exchanges on the entity once;
+    * the per-session lead/lag window only adds a Sort, never a second
+    * Exchange — `hash(entity)` already clusters `(entity, session_id)`
+    * (partitioning-subset rule), and the final rollup shuffles
+    * edge-typed rows (4 small columns), never the event payload.
+    * Output cardinality is |event types|² + 2·|event types| at most —
+    * broadcast-sized for any real taxonomy.
+    */
+  def sessionPaths(events: DataFrame, entityCol: String, timeCol: String,
+                   tieCol: String, typeCol: String, gap: Long): DataFrame = {
+    val sess = sessionize(events, entityCol, timeCol, tieCol, gap)
+      .select(col(entityCol), col("session_id"), col(timeCol), col(tieCol),
+        col(typeCol))
+    val w = Window.partitionBy(col(entityCol), col("session_id"))
+      .orderBy(col(timeCol), col(tieCol))
+    // Single window pass: a first-in-session row explodes into its entry
+    // pseudo-edge AND its own edge (no unionAll — a union of two
+    // references to the window stream would recompute the whole
+    // scan+sessionize subtree twice).
+    val stepped = sess.select(col(entityCol), col("session_id"),
+      col(typeCol).as("__ty"),
+      coalesce(lead(col(typeCol), 1).over(w), lit("_exit_")).as("__nxt"),
+      lag(col(typeCol), 1).over(w).isNull.as("__first"))
+    val ownEdge = struct(col("__ty").as("from_type"),
+      col("__nxt").as("to_type"))
+    val entryEdge = struct(lit("_entry_").as("from_type"),
+      col("__ty").as("to_type"))
+    val edges = stepped.select(col(entityCol), col("session_id"),
+      explode(when(col("__first"), array(entryEdge, ownEdge))
+        .otherwise(array(ownEdge))).as("e"))
+    edges.groupBy(col("e.from_type").as("from_type"),
+        col("e.to_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col(entityCol), col("session_id")).as("n_sessions"))
+  }
+
   private val GapNs30Min: Long = 1800L * 1000000000L
 
   val specs: Seq[QuerySpec] = Seq(
@@ -190,6 +233,50 @@ object Sessionize {
         FROM per_session
         GROUP BY user_id
         ORDER BY user_id""")),
+
+    // Session navigation graph: every within-session transition plus
+    // entry/exit pseudo-edges, with transition and session counts — the
+    // oracle rebuilds the same gap sessions (q54 algebra) and the same
+    // lead/lag edge stream.
+    QuerySpec(
+      "q120_session_paths",
+      (s, d) => sessionPaths(Tables.events(s, d),
+          "user_id", "ts", "event_id", "event_type", GapNs30Min)
+        .orderBy(col("from_type"), col("to_type")),
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, event_id, event_type,
+                 CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER
+                        (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+                        > 1800000000000
+                      OR LAG(epoch_ns(ts)) OVER
+                        (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_s,
+                 epoch_ns(ts) AS tns
+          FROM events),
+        sess AS (
+          SELECT user_id, event_id, event_type, tns,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged),
+        seq AS (
+          SELECT user_id, session_id, event_type AS from_type,
+                 LEAD(event_type) OVER
+                   (PARTITION BY user_id, session_id ORDER BY tns, event_id) AS nxt,
+                 LAG(event_type) OVER
+                   (PARTITION BY user_id, session_id ORDER BY tns, event_id) AS prv
+          FROM sess),
+        edges AS (
+          SELECT user_id, session_id, from_type,
+                 COALESCE(nxt, '_exit_') AS to_type
+          FROM seq
+          UNION ALL
+          SELECT user_id, session_id, '_entry_', from_type
+          FROM seq WHERE prv IS NULL)
+        SELECT from_type, to_type, COUNT(*) AS n_transitions,
+               COUNT(DISTINCT (user_id, session_id)) AS n_sessions
+        FROM edges GROUP BY from_type, to_type
+        ORDER BY from_type, to_type""")),
 
     // Strict ordered funnel view → click → purchase, row-level per user:
     // the exact step event-ids (not just reach counts) gate the

@@ -173,6 +173,49 @@ class SessionizeSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sessionPaths: entry/exit pseudo-edges; session boundary severs the edge") {
+    val sql = spark
+    import sql.implicits._
+    // u1 session 1: view → click → buy; gap splits; session 2: view (solo)
+    // u2 session 1: view → view
+    val ev = Seq(
+      ("u1", 0L, 1L, "view"), ("u1", 10L, 2L, "click"), ("u1", 20L, 3L, "buy"),
+      ("u1", 500L, 4L, "view"),
+      ("u2", 0L, 5L, "view"), ("u2", 10L, 6L, "view"))
+      .toDF("user", "t", "eid", "ty")
+    val got = Sessionize.sessionPaths(ev, "user", "t", "eid", "ty", 100L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === Map(
+      ("_entry_", "view") -> (3L, 3L),   // all three sessions start at view
+      ("view", "click") -> (1L, 1L),
+      ("click", "buy") -> (1L, 1L),
+      ("buy", "_exit_") -> (1L, 1L),     // boundary severed buy→view
+      ("view", "view") -> (1L, 1L),
+      ("view", "_exit_") -> (2L, 2L)))   // u1 solo session + u2's session
+  }
+
+  test("sessionPaths plan: one entity exchange feeds both windows; no join") {
+    val sql = spark
+    import sql.implicits._
+    val ev = Seq(("u", 0L, 1L, "a"), ("u", 10L, 2L, "b"))
+      .toDF("user", "t", "eid", "ty")
+    val plan = Sessionize.sessionPaths(ev, "user", "t", "eid", "ty", 100L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // 1 window exchange (user) — the (user, session) window reuses it via
+    // the clustering-subset rule — + the distinct/final agg pair on the
+    // tiny edge rows.
+    assert(exchanges <= 3, s"unexpected exchange count $exchanges in:\n$plan")
+    assert(!plan.contains("Join"), s"no join expected:\n$plan")
+    val windowExchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .count(l => l.contains("user#") && !l.contains("from_type"))
+    assert(windowExchanges <= 1,
+      s"the per-session window must not re-exchange:\n$plan")
+  }
+
   test("sessions rollup: counts and time bounds per session") {
     val sql = spark
     import sql.implicits._
