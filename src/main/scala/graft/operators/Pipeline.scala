@@ -559,6 +559,61 @@ object Pipeline {
     TextOps.decontaminate(freshNear, evalDocs, evalN)
   }
 
+  /** Source-level curation governance: one row per source with the
+    * aggregate signals large-scale curation gates whole sources on —
+    * doc count, summed quality (decimal-routed), duplicate count under a
+    * normalized digest — and a keep/drop verdict. Mirror sites, spam
+    * domains, and template farms fail at the SOURCE level long before
+    * per-doc filters see them; every web-scale corpus (C4, RefinedWeb,
+    * Dolma) runs this gate first.
+    *
+    * Verdict legs compare in EXACT arithmetic (decimal sum vs
+    * decimal-threshold × count; dup count ×10⁶ vs scaled-rate × count) —
+    * no float division an engine could round differently. Scale shape:
+    * one text pass → (source, digest, quality); one digest-keyed
+    * partial-agg count + rejoin (the q90 df shape — no pair explosion);
+    * one groupBy over |sources| rows. The corpus text never rides a
+    * shuffle.
+    *
+    * @param normalize digest normalization — default first-100-chars
+    *        (q74's near-mirror heuristic: a boilerplate-prefixed copy
+    *        still collides)
+    */
+  def sourceReport(docs: DataFrame, minDocs: Long = 20,
+                   minMeanQuality: Double = 0.5, maxDupRate: Double = 0.5,
+                   normalize: Column => Column = substring(_, 1, 100)): DataFrame = {
+    require(minDocs >= 1, s"sourceReport: minDocs must be >= 1, got $minDocs")
+    require(maxDupRate >= 0 && maxDupRate <= 1, s"bad maxDupRate $maxDupRate")
+    val scored = docs.select(col("source"),
+      md5(normalize(col("text"))).as("__dig"),
+      TextOps.qualityScore(col("text")).as("__q"))
+    val digCounts = scored.groupBy(col("__dig"))
+      .agg(count(lit(1)).as("__dn"))
+    val agg = scored.join(digCounts, "__dig")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__q").cast("decimal(18,6)")).as("__sumq"),
+        sum(when(col("__dn") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    val qBar = lit(BigDecimal(minMeanQuality).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP)).cast("decimal(18,6)")
+    val dupBarMicro = lit(math.round(maxDupRate * 1e6))
+    agg.select(col("source"), col("n_docs"),
+        col("__sumq").cast("double").as("sum_quality"), col("n_dup"),
+        when(col("n_docs") >= minDocs &&
+            col("__sumq") >= qBar * col("n_docs") &&
+            col("n_dup") * lit(1000000L) <= dupBarMicro * col("n_docs"),
+          "keep").otherwise("drop").as("verdict"))
+  }
+
+  /** Apply a [[sourceReport]]: keep only docs whose source's verdict is
+    * `keep`. Broadcast semi-join — source cardinality is human-scale, so
+    * the corpus never shuffles for this gate.
+    */
+  def filterBySources(docs: DataFrame, report: DataFrame): DataFrame =
+    docs.join(
+      broadcast(report.filter(col("verdict") === "keep").select(col("source"))),
+      Seq("source"), "left_semi")
+
   val specs: Seq[QuerySpec] = Seq(
     // Snapshot diff between two deterministic views of the corpus:
     // "old" drops every 7th doc (so those read as added), "new" drops
@@ -960,6 +1015,77 @@ object Pipeline {
         FROM exact_deduped
         WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         GROUP BY source
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    // Source-level governance report: exact-arithmetic verdict legs (a
+    // 0.644 quality bar splits this corpus's sources; the 0.16 dup-rate
+    // bar fires on the substring-100 mirror digest), oracle down to the
+    // verdict string.
+    QuerySpec(
+      "q121_source_report",
+      (s, d) => sourceReport(Tables.documents(s, d),
+          minDocs = 20, minMeanQuality = 0.644, maxDupRate = 0.16)
+        .orderBy(col("source")),
+      Some("""
+        WITH s AS (
+          SELECT source, md5(substring(text, 1, 100)) AS dig,
+                 round(0.4*(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                              / len(string_split(text,' ')))
+                     + 0.3*(1 - CAST(len(list_filter(string_split(text,' '),
+                              t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+                              / len(string_split(text,' ')))
+                     + 0.3*least(CAST(len(string_split(text,' ')) AS DOUBLE)/100, 1.0),
+                     6) AS q
+          FROM documents),
+        d AS (SELECT dig, COUNT(*) AS dn FROM s GROUP BY dig),
+        a AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 SUM(CAST(q AS DECIMAL(18,6))) AS sumq,
+                 SUM(CASE WHEN dn >= 2 THEN 1 ELSE 0 END) AS n_dup
+          FROM s JOIN d USING (dig) GROUP BY source)
+        SELECT source, n_docs, CAST(sumq AS DOUBLE) AS sum_quality,
+               CAST(n_dup AS BIGINT) AS n_dup,
+               CASE WHEN n_docs >= 20
+                     AND sumq >= CAST(0.644 AS DECIMAL(18,6)) * n_docs
+                     AND n_dup * 1000000 <= 160000 * n_docs
+                    THEN 'keep' ELSE 'drop' END AS verdict
+        FROM a ORDER BY source""")),
+
+    // The applied gate: docs surviving the source verdict (broadcast
+    // semi-join — the corpus never shuffles).
+    QuerySpec(
+      "q122_source_filter",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        filterBySources(docs, sourceReport(docs,
+            minDocs = 20, minMeanQuality = 0.644, maxDupRate = 0.16))
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT source, md5(substring(text, 1, 100)) AS dig,
+                 round(0.4*(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                              / len(string_split(text,' ')))
+                     + 0.3*(1 - CAST(len(list_filter(string_split(text,' '),
+                              t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+                              / len(string_split(text,' ')))
+                     + 0.3*least(CAST(len(string_split(text,' ')) AS DOUBLE)/100, 1.0),
+                     6) AS q
+          FROM documents),
+        d AS (SELECT dig, COUNT(*) AS dn FROM s GROUP BY dig),
+        a AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 SUM(CAST(q AS DECIMAL(18,6))) AS sumq,
+                 SUM(CASE WHEN dn >= 2 THEN 1 ELSE 0 END) AS n_dup
+          FROM s JOIN d USING (dig) GROUP BY source),
+        kept AS (
+          SELECT source FROM a
+          WHERE n_docs >= 20
+            AND sumq >= CAST(0.644 AS DECIMAL(18,6)) * n_docs
+            AND n_dup * 1000000 <= 160000 * n_docs)
+        SELECT doc_id, source FROM documents
+        WHERE source IN (SELECT source FROM kept)
+        ORDER BY doc_id"""))
   )
 }

@@ -587,4 +587,45 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(a(1L) === java.lang.Long.parseLong(hex, 16) % 4)
     intercept[IllegalArgumentException] { Pipeline.shardAssign(docs, "text", 0) }
   }
+
+  test("sourceReport: each verdict leg fires independently; filter applies it") {
+    val sql = spark
+    import sql.implicits._
+    // goodsrc: 3 rich distinct docs. dupsrc: 3 docs, two identical →
+    // dup-rate 2/3 trips the 0.5 bar. smallsrc: 1 doc → minDocs. Quality
+    // leg: lowqsrc's docs are one repeated word (TTR collapses).
+    val rich = (i: Int) => s"alpha$i beta$i gamma$i delta$i epsilon$i " +
+      s"zeta$i eta$i theta$i iota$i kappa$i"
+    val docs = Seq(
+      (1L, rich(1), "goodsrc"), (2L, rich(2), "goodsrc"), (3L, rich(3), "goodsrc"),
+      (4L, rich(4), "dupsrc"), (5L, "same same text here", "dupsrc"),
+      (6L, "same same text here", "dupsrc"),
+      (7L, rich(7), "smallsrc"),
+      (8L, "word word word word word word word word", "lowqsrc"),
+      (9L, "word word word word word word word word w2", "lowqsrc"),
+      (10L, "word word word word word word word word w3", "lowqsrc"))
+      .toDF("doc_id", "text", "source")
+    val report = Pipeline.sourceReport(docs, minDocs = 3,
+      minMeanQuality = 0.5, maxDupRate = 0.5,
+      normalize = identity)
+    val v = report.collect().map(r =>
+      r.getString(0) -> r.getString(4)).toMap
+    assert(v === Map("goodsrc" -> "keep", "dupsrc" -> "drop",
+      "smallsrc" -> "drop", "lowqsrc" -> "drop"), s"verdicts: $v")
+
+    val kept = Pipeline.filterBySources(docs, report)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 3L), s"kept: $kept")
+
+    // dup leg counts GLOBAL collisions: a doc mirrored across two
+    // sources marks both copies
+    val cross = Seq(
+      (1L, rich(1), "a"), (2L, rich(2), "a"), (3L, rich(3), "a"),
+      (4L, rich(1), "b"), (5L, rich(5), "b"), (6L, rich(6), "b"))
+      .toDF("doc_id", "text", "source")
+    val nd = Pipeline.sourceReport(cross, minDocs = 1,
+        minMeanQuality = 0.0, maxDupRate = 1.0, normalize = identity)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(nd === Map("a" -> 1L, "b" -> 1L), s"cross-source dups: $nd")
+  }
 }
