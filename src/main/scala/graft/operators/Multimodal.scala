@@ -545,6 +545,34 @@ object Multimodal {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
       .filter(col("n_copies") >= 2)
 
+  /** Cross-modal media curation — the q70-style composition for media:
+    * drop every doc whose IMAGE has a perceptual near-dup with a lower
+    * id ([[imageNearDupPairs]] orients `doc_a < doc_b`, so distinct
+    * `doc_b` IS the loser set) and every doc whose AUDIO shares an exact
+    * [[audioFingerprint]] with an earlier doc (group-min canonical).
+    * What survives carried media that is perceptually fresh in both
+    * modalities.
+    *
+    * Scale shape: both loser sets are fingerprint-sized (24-28 B rows,
+    * never media bytes), shrink further under distinct, and anti-join
+    * the corpus by key — AQE broadcasts them in practice. The media
+    * decode passes run once each; the corpus scan itself is never
+    * replicated per modality.
+    */
+  def curateMedia(docs: DataFrame, imageHashes: DataFrame,
+                  audioFps: DataFrame, maxHamming: Int = 6,
+                  maxBucketSize: Int = 64): DataFrame = {
+    val imgLosers = imageNearDupPairs(imageHashes, maxHamming, maxBucketSize)
+      .select(col("doc_b").as("doc_id"))
+    val audLosers = audioFps
+      .join(audioFps.groupBy(col("fingerprint"))
+        .agg(min(col("doc_id")).as("__canonical")), "fingerprint")
+      .filter(col("doc_id") =!= col("__canonical"))
+      .select(col("doc_id"))
+    docs.join(imgLosers.unionAll(audLosers).distinct(),
+      Seq("doc_id"), "left_anti")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec(
@@ -914,6 +942,89 @@ object Multimodal {
                MIN(doc_id) AS canonical_id
         FROM fps GROUP BY fingerprint HAVING COUNT(*) >= 2
         ORDER BY fingerprint""")),
+
+    // Cross-modal curation composition: the oracle re-derives the image
+    // loser set (q116 banded topology) AND the audio loser set (q119
+    // fingerprint groups) and anti-joins both — gated down to exactly
+    // which docs survive.
+    QuerySpec(
+      "q123_media_curation",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        curateMedia(docs.select(col("doc_id"), col("source")),
+            dHashImages(withPngMedia(docs)).toDF(),
+            audioFingerprint(withWavMedia(docs)).toDF())
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH ids AS (
+          SELECT doc_id, CAST(doc_id % 8 + 4 AS BIGINT) AS w,
+                 CAST(doc_id % 6 + 3 AS BIGINT) AS h,
+                 CAST(doc_id % 50 + 30 AS BIGINT) AS n
+          FROM documents),
+        cells AS (
+          SELECT i.doc_id, r.range AS r, c.range AS c,
+                 (i.doc_id*31 + ((c.range*i.w)//9)*7 + ((r.range*i.h)//8)*13) % 256 AS g,
+                 (i.doc_id*31 + (((c.range+1)*i.w)//9)*7 + ((r.range*i.h)//8)*13) % 256 AS gn
+          FROM ids i CROSS JOIN range(0, 8) r CROSS JOIN range(0, 8) c),
+        ibits AS (SELECT doc_id, r*8 + c AS k,
+                         CASE WHEN g < gn THEN 1 ELSE 0 END AS bit
+                  FROM cells),
+        hashes AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)
+                      AS BIGINT) AS hi,
+                 CAST(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)
+                      AS BIGINT) AS lo
+          FROM ibits GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, hi, lo, b.range AS band,
+                 CASE WHEN b.range = 0 THEN lo % 65536
+                      WHEN b.range = 1 THEN lo // 65536
+                      WHEN b.range = 2 THEN hi % 65536
+                      ELSE hi // 65536 END AS bval
+          FROM hashes CROSS JOIN range(0, 4) b),
+        capped AS (
+          SELECT * FROM (SELECT banded.*,
+                                COUNT(*) OVER (PARTITION BY band, bval) AS bn
+                         FROM banded)
+          WHERE bn <= 64),
+        img_losers AS (
+          SELECT DISTINCT b.doc_id
+          FROM capped a JOIN capped b
+            ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6),
+        samp AS (
+          SELECT doc_id, n, (s.range*33)//n AS f,
+                 ABS((doc_id*131 + s.range*787) % 4096 - 2048) AS a
+          FROM ids CROSS JOIN range(0, 80) s
+          WHERE s.range < n),
+        energies AS (
+          SELECT doc_id, f, SUM(a) AS e FROM samp GROUP BY doc_id, f),
+        frames AS (
+          SELECT i.doc_id, f.range AS f, COALESCE(e.e, 0) AS e
+          FROM ids i CROSS JOIN range(0, 33) f
+          LEFT JOIN energies e ON e.doc_id = i.doc_id AND e.f = f.range),
+        abits AS (
+          SELECT a.doc_id, a.f AS k,
+                 CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+          FROM frames a JOIN frames b
+            ON a.doc_id = b.doc_id AND b.f = a.f + 1
+          WHERE a.f < 32),
+        fps AS (
+          SELECT doc_id,
+                 CAST(SUM(bit * (1::BIGINT << k)) AS BIGINT) AS fingerprint
+          FROM abits GROUP BY doc_id),
+        aud_losers AS (
+          SELECT f.doc_id
+          FROM fps f JOIN (SELECT fingerprint, MIN(doc_id) AS can
+                           FROM fps GROUP BY fingerprint) g
+            ON f.fingerprint = g.fingerprint
+          WHERE f.doc_id <> g.can)
+        SELECT doc_id, source FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM img_losers)
+          AND doc_id NOT IN (SELECT doc_id FROM aud_losers)
+        ORDER BY doc_id""")),
 
     QuerySpec(
       "q52_frame_sample",
