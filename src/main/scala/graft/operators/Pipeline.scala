@@ -379,12 +379,18 @@ object Pipeline {
     */
   def packSequences(docs: DataFrame, budgetTokens: Int,
                     strataCol: String = "source",
-                    idCol: String = "doc_id"): DataFrame = {
+                    idCol: String = "doc_id",
+                    tokenCountCol: Option[String] = None): DataFrame = {
     require(budgetTokens > 0,
       s"chunk budget must be positive, got $budgetTokens") // div-by-zero aborts under ANSI
     val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.withColumn("n_tokens", TextOps.tokenCount(col("text")))
+    // tokenCountCol: pack on a caller-supplied budget measure (e.g. real
+    // BPE token counts from TextOps.bpeTokenCounts — what the training
+    // batch actually pays for) instead of the whitespace default
+    tokenCountCol.fold(
+        docs.withColumn("n_tokens", TextOps.tokenCount(col("text"))))(c =>
+        docs.withColumn("n_tokens", col(c).cast("bigint")))
       .withColumn("__cum", sum(col("n_tokens")).over(w))
       // integer `div`, not floor(double /): a corpus-scale running token
       // sum can pass 2^53, where double division starts mis-assigning

@@ -912,6 +912,27 @@ object TextOps {
       },
       None),
 
+    // Sequence packing on REAL BPE token counts — the budget the
+    // training batch actually pays for (whitespace counts under-fill
+    // context windows wherever BPE splits rare words). Composition of
+    // q112's encoder with q67's packer; rows-only like q112 (the
+    // iterative BPE fit is not SQL-expressible), chunk-assignment
+    // semantics spec-gated in CurationOpsSuite.
+    QuerySpec(
+      "q124_pack_bpe",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val model = bpeModels.computeIfAbsent(d,
+          dir => fitBpeModel(Tables.documents(s, dir), nMerges = 64))
+        Pipeline.packSequences(bpeTokenCounts(docs, model),
+            budgetTokens = 512, tokenCountCol = Some("n_bpe_tokens"))
+          .groupBy(col("source"), col("chunk_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("bigint").as("chunk_tokens"))
+          .orderBy(col("source"), col("chunk_id"))
+      },
+      None),
+
     // corpus-trained bigram LM fluency score, thresholded per language.
     // Gated through the MICRO tier: per-bigram log-probs round to integer
     // micro-nats before any aggregation, so every downstream number

@@ -588,6 +588,28 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { Pipeline.shardAssign(docs, "text", 0) }
   }
 
+  test("packSequences: tokenCountCol packs on the supplied budget measure") {
+    val sql = spark
+    import sql.implicits._
+    // whitespace counts are 2 everywhere, but the supplied BPE-ish counts
+    // are 5 — with budget 10, supplied counts must split after 2 docs
+    // where whitespace counts would fit 5
+    val docs = Seq(
+      (1L, "a b", "s", 5L), (2L, "a b", "s", 5L), (3L, "a b", "s", 5L),
+      (4L, "a b", "s", 5L), (5L, "a b", "s", 5L))
+      .toDF("doc_id", "text", "source", "n_bpe")
+    val got = Pipeline.packSequences(docs, budgetTokens = 10,
+        tokenCountCol = Some("n_bpe"))
+      .select($"doc_id", $"chunk_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L),
+      s"supplied-count packing: $got")
+    val ws = Pipeline.packSequences(docs, budgetTokens = 10)
+      .select($"doc_id", $"chunk_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ws.values.forall(_ == 0L), s"whitespace packing unchanged: $ws")
+  }
+
   test("sourceReport: each verdict leg fires independently; filter applies it") {
     val sql = spark
     import sql.implicits._
