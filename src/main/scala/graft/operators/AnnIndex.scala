@@ -98,6 +98,63 @@ object AnnIndex {
       dir.toString
     })
 
+  /** Load the fitted model artifacts (coarse centroids + PQ codebooks)
+    * from `dir`. Both are K×dim-scale — driver-side by design, the same
+    * bounded-model exception every fitted operator here makes.
+    */
+  private def loadModel(spark: SparkSession, dir: String)
+      : (Array[(Int, Array[Double])], Array[Array[Array[Double]]]) = {
+    val coarse = spark.read.parquet(s"$dir/coarse").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val bookRows = spark.read.parquet(s"$dir/books").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
+    val numSub = bookRows.keys.map(_._1).max + 1
+    val fittedK = bookRows.keys.map(_._2).max + 1
+    (coarse, Array.tabulate(numSub, fittedK)((m, code) => bookRows((m, code))))
+  }
+
+  /** Encode `c` (`nid`, `cv`) with a FROZEN model: coarse cell argmin,
+    * residual, per-subspace PQ codes — the exact build-time projection,
+    * shared by [[build]] and [[append]].
+    */
+  private def encode(c: DataFrame,
+                     coarse: Array[(Int, Array[Double])],
+                     codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    import Similarity.{assign, centroidDf}
+    val spark = c.sparkSession
+    val numSub = codebooks.length
+    val subDim = coarse(0)._2.length / numSub
+    assign(c, coarse, "cv")
+      .join(broadcast(centroidDf(spark, coarse)), "cid")
+      .withColumn("r", zip_with(col("cv"), col("cvec"), (a, b) => a - b))
+      .withColumn("codes",
+        array((0 until numSub).map(m =>
+          graft.functions.VectorFunctions.nearest_centroid(
+            slice(col("r"), m * subDim + 1, subDim), codebooks(m))): _*))
+      .select(col("nid"), col("cid"), col("codes"))
+  }
+
+  /** Incrementally index a new-vector batch WITHOUT refitting: encode
+    * `batch` under the frozen model at `dir` and append the codes — the
+    * ANN analogue of the q74/q81 persisted-index pattern (nightly work ∝
+    * batch, the corpus codes are never recomputed). Batch ids must be
+    * disjoint from the indexed generation's (same contract as
+    * [[graft.operators.Dedup.jaccardPairsIncremental]]). Freezing the
+    * model is the standard serving trade-off: cells/codebooks drift from
+    * optimal as the distribution shifts — monitor with
+    * [[Similarity.embeddingDrift]] and schedule a full [[build]] when
+    * the changed/added share warrants it.
+    */
+  def append(batch: DataFrame, dir: String): Unit = {
+    val spark = batch.sparkSession
+    val (coarse, codebooks) = loadModel(spark, dir)
+    encode(batch.select(col("vec_id").as("nid"),
+        Similarity.asDouble(col("embedding")).as("cv")),
+        coarse, codebooks)
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
   /** Top-k cosine neighbors for `queries` against the index at `dir`.
     * `corpus` supplies the original vectors for the exact re-rank of the
     * approx shortlist (joined by `vec_id` — only shortlisted ids are
@@ -106,15 +163,7 @@ object AnnIndex {
   def search(corpus: DataFrame, dir: String, queries: DataFrame, k: Int,
              nProbe: Int = 4, shortlist: Int = 50): DataFrame = {
     val spark = queries.sparkSession
-    val coarse = spark.read.parquet(s"$dir/coarse").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    val bookRows = spark.read.parquet(s"$dir/books").collect()
-      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
-    val numSub = bookRows.keys.map(_._1).max + 1
-    val fittedK = bookRows.keys.map(_._2).max + 1
-    val codebooks: Array[Array[Array[Double]]] =
-      Array.tabulate(numSub, fittedK)((m, code) => bookRows((m, code)))
+    val (coarse, codebooks) = loadModel(spark, dir)
     val encoded = spark.read.parquet(s"$dir/codes")
     Similarity.pqSearch(coarse, codebooks, encoded,
       corpus.select(col("vec_id").as("nid"),

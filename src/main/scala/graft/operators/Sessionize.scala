@@ -194,6 +194,99 @@ object Sessionize {
         countDistinct(col(entityCol), col("session_id")).as("n_sessions"))
   }
 
+  /** Per-type value anomaly flag in EXACT arithmetic — the telemetry
+    * outlier screen (broken emitters, fraud spikes, unit mix-ups), flag
+    * `(v − mean)² > k²·var` rewritten to clear denominators:
+    * `(n·m − s)² > k²·(n·q − s²)` over integer micro-units
+    * (`m = round(v·1e6)`, `s = Σm`, `q = Σm²`) — no float mean, no float
+    * variance, no sqrt; the flag bit is engine-exact, so the oracle
+    * gates row-for-row. Decimal(38,0) bounds hold to ~1e12 events/type
+    * at |v| ≤ 1e3 ((n·m)² is the widest term); shard the stats beyond
+    * that.
+    *
+    * Scale shape: one map-side-combined groupBy to |types| rows,
+    * broadcast back, flag map-side — the events never shuffle.
+    */
+  def valueOutliers(events: DataFrame, k: Int = 3,
+                    typeCol: String = "event_type",
+                    valueCol: String = "value",
+                    idCol: String = "event_id"): DataFrame = {
+    require(k >= 1, s"valueOutliers: k must be >= 1, got $k")
+    val m = events.select(col(idCol), col(typeCol),
+      round(col(valueCol) * lit(1e6)).cast("long").as("v_micro"))
+    val md = col("v_micro").cast("decimal(38,0)")
+    val stats = m.groupBy(col(typeCol))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(md).as("__s"), sum(md * md).as("__q"))
+    val dev = col("__n") * md - col("__s")
+    m.join(broadcast(stats), Seq(typeCol))
+      .filter(dev * dev >
+        lit(k.toLong * k).cast("decimal(38,0)") *
+          (col("__n") * col("__q") - col("__s") * col("__s")))
+      .select(col(idCol), col(typeCol), col("v_micro"))
+  }
+
+  /** A fitted [[valueOutliers]] model: per type, the event count `n`,
+    * micro-unit sum `s`, and the precomputed threshold
+    * `c = k²·(n·q − s²)` — |types| rows of three numbers (bounded by the
+    * type taxonomy, not the data, like every fitted model here). Sums
+    * are BigDecimal: `n·q` clears a long well before the flag math
+    * loses exactness.
+    */
+  final case class OutlierStats(n: Long, sMicro: BigDecimal,
+                                cThreshold: BigDecimal)
+  final case class OutlierModel(k: Int, stats: Map[String, OutlierStats])
+
+  /** Fit step of [[valueOutliers]] as a reusable artifact — the
+    * fit/serve split (the ImportanceModel pattern applied to telemetry):
+    * fit the per-type stats once on a reference window, then
+    * [[flagOutliers]] screens any frame — or any STREAM — against them
+    * without re-aggregating.
+    */
+  def fitOutlierModel(events: DataFrame, k: Int = 3,
+                      typeCol: String = "event_type",
+                      valueCol: String = "value"): OutlierModel = {
+    require(k >= 1, s"fitOutlierModel: k must be >= 1, got $k")
+    val md = round(col(valueCol) * lit(1e6)).cast("long").cast("decimal(38,0)")
+    val rows = events.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n"), sum(md).as("s"), sum(md * md).as("q"))
+      .collect()
+      .map { r =>
+        val n = BigDecimal(r.getLong(1))
+        val s = BigDecimal(r.getDecimal(2))
+        val q = BigDecimal(r.getDecimal(3))
+        r.getString(0) -> OutlierStats(r.getLong(1), s,
+          BigDecimal(k.toLong * k) * (n * q - s * s))
+      }
+    OutlierModel(k, rows.toMap)
+  }
+
+  /** Serve path: flag rows whose value trips the fitted model's exact
+    * inequality `(n·m − s)² > c`. The per-type constants ride the plan
+    * as DECIMAL LITERALS in a type-dispatched CASE — a pure projection,
+    * zero shuffle, zero state, so it runs UNCHANGED on a streaming frame
+    * (parity with the batch aggregate gated in SessionizeSuite). Types
+    * the fit never saw pass through unflagged — an unknown emitter is a
+    * schema alert, not an outlier verdict.
+    */
+  def flagOutliers(events: DataFrame, model: OutlierModel,
+                   typeCol: String = "event_type",
+                   valueCol: String = "value",
+                   idCol: String = "event_id"): DataFrame = {
+    val m = events.select(col(idCol), col(typeCol),
+      round(col(valueCol) * lit(1e6)).cast("long").as("v_micro"))
+    val md = col("v_micro").cast("decimal(38,0)")
+    val flagged = model.stats.foldLeft(lit(false)) {
+      case (acc, (t, st)) =>
+        val dev = lit(st.n).cast("decimal(38,0)") * md -
+          lit(st.sMicro.underlying).cast("decimal(38,0)")
+        when(col(typeCol) === t,
+          dev * dev > lit(st.cThreshold.underlying).cast("decimal(38,0)"))
+          .otherwise(acc)
+    }
+    m.filter(flagged).select(col(idCol), col(typeCol), col("v_micro"))
+  }
+
   private val GapNs30Min: Long = 1800L * 1000000000L
 
   val specs: Seq[QuerySpec] = Seq(
@@ -277,6 +370,30 @@ object Sessionize {
                COUNT(DISTINCT (user_id, session_id)) AS n_sessions
         FROM edges GROUP BY from_type, to_type
         ORDER BY from_type, to_type""")),
+
+    // Exact-arithmetic 3-sigma value outliers: the oracle recomputes the
+    // same integer micro-unit inequality (HUGEINT on the DuckDB side,
+    // decimal(38,0) here) — flag bits match row-for-row.
+    QuerySpec(
+      "q125_value_outliers",
+      (s, d) => valueOutliers(Tables.events(s, d))
+        .orderBy(col("event_id")),
+      Some("""
+        WITH m AS (
+          SELECT event_id, event_type,
+                 CAST(round(value*1e6) AS BIGINT) AS v_micro
+          FROM events),
+        st AS (
+          SELECT event_type, COUNT(*) AS n,
+                 SUM(CAST(v_micro AS HUGEINT)) AS s,
+                 SUM(CAST(v_micro AS HUGEINT)*CAST(v_micro AS HUGEINT)) AS q
+          FROM m GROUP BY event_type)
+        SELECT m.event_id, m.event_type, m.v_micro
+        FROM m JOIN st USING (event_type)
+        WHERE (CAST(st.n AS HUGEINT)*m.v_micro - st.s)
+                * (CAST(st.n AS HUGEINT)*m.v_micro - st.s)
+              > 9 * (CAST(st.n AS HUGEINT)*st.q - st.s*st.s)
+        ORDER BY m.event_id""")),
 
     // Strict ordered funnel view → click → purchase, row-level per user:
     // the exact step event-ids (not just reach counts) gate the

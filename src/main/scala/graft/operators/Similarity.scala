@@ -627,6 +627,40 @@ object Similarity {
         round(col("cos"), 6).as("cos_anchor"))
   }
 
+  /** Embedding snapshot drift — the vector-store twin of
+    * [[graft.operators.Pipeline.corpusDiff]] (q107): before re-serving
+    * an ANN index or retraining on "the same" embeddings, classify every
+    * vector as added / removed / changed / unchanged between two
+    * snapshots and roll the counts up per label. "Changed" compares an
+    * md5 digest of the integer MICRO-UNIT rendering of the vector
+    * (`round(x·1e6)` per dim, comma-joined) — float-exact drift would
+    * false-positive on encode jitter below 1e-6, and a raw float compare
+    * isn't portable across engines; the micro digest is both.
+    *
+    * Scale shape: ONE full-outer join on `vec_id` carrying
+    * (id, label, 16-byte digest) — the vectors themselves never ride the
+    * join (q107's digest posture); then one |labels|-row rollup.
+    */
+  def embeddingDrift(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    def digested(df: DataFrame, side: String): DataFrame =
+      df.select(col("vec_id"), col("label").as(s"${side}_label"),
+        md5(concat_ws(",", transform(asDouble(col("embedding")),
+          x => round(x * lit(1e6)).cast("long").cast("string"))))
+          .as(s"${side}_dig"))
+    digested(oldSnap, "o")
+      .join(digested(newSnap, "n"), Seq("vec_id"), "full_outer")
+      .select(coalesce(col("n_label"), col("o_label")).as("label"),
+        when(col("o_dig").isNull, "added")
+          .when(col("n_dig").isNull, "removed")
+          .when(col("o_dig") =!= col("n_dig"), "changed")
+          .otherwise("unchanged").as("change"))
+      .groupBy(col("label"))
+      .agg(sum(when(col("change") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("change") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("change") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("change") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec(
@@ -673,6 +707,53 @@ object Similarity {
               FROM e JOIN d USING (i) GROUP BY 1, 2)
         SELECT vec_id, CAST(dim AS BIGINT) AS dim, CAST(pm AS BIGINT) AS proj_micro
         FROM p ORDER BY vec_id, dim""")),
+
+    // Embedding snapshot drift: "old" drops every 7th vector (→ added),
+    // "new" drops every 11th (→ removed) and NEGATES every 5th (float
+    // negation is exact, so the micro digest flips deterministically →
+    // changed). The oracle rebuilds both digests and the same
+    // full-outer classification.
+    QuerySpec(
+      "q126_embedding_drift",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val oldSnap = emb.filter(col("vec_id") % 7 =!= 0)
+        val newSnap = emb.filter(col("vec_id") % 11 =!= 0)
+          .withColumn("embedding",
+            when(col("vec_id") % 5 === 0,
+              transform(asDouble(col("embedding")), x => -x))
+            .otherwise(asDouble(col("embedding"))))
+        embeddingDrift(oldSnap, newSnap).orderBy(col("label"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        o AS (
+          SELECT vec_id, label,
+                 md5(array_to_string(list_transform(v,
+                   x -> CAST(round(x*1e6) AS BIGINT)), ',')) AS dig
+          FROM base WHERE vec_id % 7 <> 0),
+        n AS (
+          SELECT vec_id, label,
+                 md5(array_to_string(list_transform(
+                   CASE WHEN vec_id % 5 = 0
+                        THEN list_transform(v, x -> -x) ELSE v END,
+                   x -> CAST(round(x*1e6) AS BIGINT)), ',')) AS dig
+          FROM base WHERE vec_id % 11 <> 0),
+        j AS (
+          SELECT COALESCE(n.label, o.label) AS label,
+                 CASE WHEN o.dig IS NULL THEN 'added'
+                      WHEN n.dig IS NULL THEN 'removed'
+                      WHEN o.dig <> n.dig THEN 'changed'
+                      ELSE 'unchanged' END AS change
+          FROM o FULL OUTER JOIN n USING (vec_id))
+        SELECT label,
+               CAST(SUM(CASE WHEN change = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+               CAST(SUM(CASE WHEN change = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+               CAST(SUM(CASE WHEN change = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+               CAST(SUM(CASE WHEN change = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        FROM j GROUP BY label ORDER BY label""")),
 
     // Reduced-space ANN over the projection (recall < 1 → rows-only;
     // recall gated in AnnRecallSuite).

@@ -72,4 +72,40 @@ class AnnIndexSuite extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("c") < 0 || col("c") >= 8).count()
     assert(bad === 0)
   }
+
+  test("append: frozen-model encode is deterministic; appended vectors are findable") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+
+    val dirA = Files.createTempDirectory("graft-ann-appA").toString
+    val dirB = Files.createTempDirectory("graft-ann-appB").toString
+    Seq(dirA, dirB).foreach(AnnIndex.build(corpus, _, nClusters = 8,
+      iters = 2, numSub = 4, codebookK = 8, subIters = 1))
+    Seq(dirA, dirB).foreach(AnnIndex.append(batch, _))
+
+    val nAll = emb.count()
+    val codesA = spark.read.parquet(s"$dirA/codes")
+    assert(codesA.count() === nAll, "append grows codes by exactly the batch")
+
+    // same frozen model → two appends encode identically (cell + codes)
+    def rows(dir: String) = spark.read.parquet(s"$dir/codes")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(rows(dirA) === rows(dirB), "frozen-model encode must be deterministic")
+
+    // an exact copy of an appended vector must retrieve it at rank 1
+    // (exact re-rank puts cosine 1.0 first; id tie-break can only
+    // prefer the identical vector itself)
+    val probeId = batch.select(min(col("vec_id"))).head.getLong(0)
+    // probe under a FRESH id (search excludes same-id matches) carrying
+    // the appended vector's exact embedding; shortlist deep enough that
+    // the coarse 4×8 ADC ranking can't drop the copy before the exact
+    // re-rank (which then pins cosine 1.0 first)
+    val q = emb.filter(col("vec_id") === probeId)
+      .withColumn("vec_id", lit(999999L))
+    val top = AnnIndex.search(emb, dirA, q, k = 1, nProbe = 8, shortlist = 200)
+      .collect().head
+    assert(top.getLong(2) === probeId && top.getDouble(3) === 1.0,
+      s"appended vector $probeId must surface at cosine 1.0, got $top")
+  }
 }

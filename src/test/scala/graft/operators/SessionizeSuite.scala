@@ -216,6 +216,43 @@ class SessionizeSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"the per-session window must not re-exchange:\n$plan")
   }
 
+  test("valueOutliers: exact k-sigma flag; singleton types never flag") {
+    val sql = spark
+    import sql.implicits._
+    // type A: nine 10.0s and one 110.0 → mean 20, var 900, sd 30;
+    // |110−20| = 90 = 3·sd → NOT flagged at k=3 (strict >), flagged at k=2.
+    // type B: a singleton — zero variance, dev 0 → never flagged.
+    val ev = (1L to 9L).map(i => (i, "A", 10.0)) ++
+      Seq((10L, "A", 110.0), (11L, "B", 42.0))
+    val df = ev.toDF("event_id", "event_type", "value")
+    val k3 = Sessionize.valueOutliers(df, k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(k3 === Set.empty, s"boundary 3-sigma must not flag (strict >): $k3")
+    val k2 = Sessionize.valueOutliers(df, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(k2 === Set((10L, 110000000L)), s"k=2 flags the spike: $k2")
+    intercept[IllegalArgumentException] { Sessionize.valueOutliers(df, k = 0) }
+  }
+
+  test("flagOutliers: serve ≡ batch valueOutliers; unseen types pass through") {
+    val sql = spark
+    import sql.implicits._
+    val ev = ((1L to 9L).map(i => (i, "A", 10.0)) ++
+      Seq((10L, "A", 110.0), (11L, "B", 42.0)))
+      .toDF("event_id", "event_type", "value")
+    val model = Sessionize.fitOutlierModel(ev, k = 2)
+    val served = Sessionize.flagOutliers(ev, model)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val batch = Sessionize.valueOutliers(ev, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(served === batch && served === Set((10L, 110000000L)),
+      s"serve $served must equal batch $batch")
+
+    // a type the fit never saw is a schema alert, not an outlier verdict
+    val drifted = Seq((20L, "C", 1e9)).toDF("event_id", "event_type", "value")
+    assert(Sessionize.flagOutliers(drifted, model).count() === 0L)
+  }
+
   test("sessions rollup: counts and time bounds per session") {
     val sql = spark
     import sql.implicits._
