@@ -33,10 +33,18 @@ object AdvancedJoins {
     *    value is NULL yields NULL (the correct as-of answer) instead of
     *    silently falling back to an older row's value;
     *  - build rows tied on (key, ord) break deterministically to the
-    *    LARGEST buildVal (documented, value-based — not shuffle order).
+    *    LARGEST buildVal (documented, value-based — not shuffle order);
+    *  - `tolerance`: a match older than `tolerance` ord units (strict:
+    *    probe.ord − build.ord > tolerance) is discarded — pandas
+    *    `merge_asof(tolerance=...)` / kdb `wj` semantics, the standard
+    *    guard against attributing to a stale quote. `None` = unbounded.
+    *    Same one-shuffle plan: the carried struct just also carries the
+    *    matched ord, and the bound is a map-side filter on it.
     */
   def asOfJoin(probe: DataFrame, build: DataFrame, key: String, ord: String,
-               buildVal: String): DataFrame = {
+               buildVal: String, tolerance: Option[Long] = None): DataFrame = {
+    tolerance.foreach(t => require(t >= 0,
+      s"asOfJoin: tolerance must be >= 0, got $t"))
     Seq("__is_probe", "__asof", buildVal, s"asof_$buildVal").foreach { c =>
       require(!probe.columns.contains(c),
         s"asOfJoin: probe already has a column named '$c' — it would be " +
@@ -53,12 +61,18 @@ object AdvancedJoins {
     val w = Window.partitionBy(col(key))
       .orderBy(col(ord), col("__is_probe"), col(buildVal))
       .rowsBetween(Window.unboundedPreceding, 0)
-    all
+    val carried = all
+      .withColumn("__asof_s",
+        last(when(col("__is_probe") === 0,
+            struct(col(ord).as("__ord"), col(buildVal))),
+          ignoreNulls = true).over(w))
+    val withinBound = tolerance.fold(lit(true))(t =>
+      col(ord) - col("__asof_s").getField("__ord") <= t)
+    carried
       .withColumn("__asof",
-        last(when(col("__is_probe") === 0, struct(col(buildVal))),
-          ignoreNulls = true).over(w).getField(buildVal))
+        when(withinBound, col("__asof_s").getField(buildVal)))
       .filter(col("__is_probe") === 1)
-      .drop("__is_probe", buildVal)
+      .drop("__is_probe", "__asof_s", buildVal)
       .withColumnRenamed("__asof", s"asof_$buildVal")
   }
 
@@ -119,6 +133,36 @@ object AdvancedJoins {
                (SELECT MAX(c.event_id) FROM events c
                 WHERE c.event_type = 'click' AND c.user_id = p.user_id
                   AND c.event_id <= p.event_id) AS last_click_event_id
+        FROM events p
+        WHERE p.event_type = 'purchase'
+        ORDER BY p.user_id, p.event_id""")),
+
+    // Bounded as-of: same join under a tolerance window — a click more
+    // than 500 event-ids older than the purchase no longer matches
+    // (nulls ~half the matches on this corpus, so the bound is load-bearing)
+    // (pandas merge_asof(tolerance)/kdb wj semantics). The oracle adds
+    // the same bound to the correlated-subquery formulation.
+    QuerySpec(
+      "q127_asof_tolerance",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.events(s, d)
+        val purchases = e.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id", $"value")
+        val clicks = e.filter($"event_type" === "click")
+          .select($"user_id", $"event_id", $"event_id".as("click_event_id"))
+        asOfJoin(purchases, clicks, "user_id", "event_id", "click_event_id",
+            tolerance = Some(500L))
+          .select($"user_id", $"event_id", $"value",
+            col("asof_click_event_id").as("last_click_event_id"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""
+        SELECT p.user_id, p.event_id, p.value,
+               (SELECT MAX(c.event_id) FROM events c
+                WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                  AND c.event_id <= p.event_id
+                  AND p.event_id - c.event_id <= 500) AS last_click_event_id
         FROM events p
         WHERE p.event_type = 'purchase'
         ORDER BY p.user_id, p.event_id""")),

@@ -61,6 +61,28 @@ class AsOfJoinSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq === Seq(1L -> None, 5L -> Some(9))) // as-of is <=
   }
 
+  test("tolerance: stale matches null out; boundary is inclusive; 0 = same-ord only") {
+    val sql = spark
+    import sql.implicits._
+    val probe = Seq((1, 10L), (1, 13L), (1, 20L)).toDF("k", "t")
+    val build = Seq((1, 10L, 100), (1, 12L, 120)).toDF("k", "t", "v")
+    def run(tol: Option[Long]) =
+      AdvancedJoins.asOfJoin(probe, build, "k", "t", "v", tol)
+        .orderBy("t").collect()
+        .map(r => r.getLong(1) -> (if (r.isNullAt(2)) None else Some(r.getInt(2))))
+        .toSeq
+    assert(run(None) ===
+      Seq(10L -> Some(100), 13L -> Some(120), 20L -> Some(120)))
+    // gap to t=20 is 8 > 1: stale → null. gap 13−12 = 1 ≤ 1: inclusive.
+    assert(run(Some(1L)) ===
+      Seq(10L -> Some(100), 13L -> Some(120), 20L -> None))
+    assert(run(Some(0L)) ===
+      Seq(10L -> Some(100), 13L -> None, 20L -> None))
+    intercept[IllegalArgumentException] {
+      AdvancedJoins.asOfJoin(probe, build, "k", "t", "v", Some(-1L))
+    }
+  }
+
   test("reserved/colliding probe column names are rejected, not clobbered") {
     val sql = spark
     import sql.implicits._
