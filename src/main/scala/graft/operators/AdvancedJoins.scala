@@ -45,7 +45,8 @@ object AdvancedJoins {
                buildVal: String, tolerance: Option[Long] = None): DataFrame = {
     tolerance.foreach(t => require(t >= 0,
       s"asOfJoin: tolerance must be >= 0, got $t"))
-    Seq("__is_probe", "__asof", buildVal, s"asof_$buildVal").foreach { c =>
+    Seq("__is_probe", "__asof", "__asof_s", buildVal, s"asof_$buildVal")
+      .foreach { c =>
       require(!probe.columns.contains(c),
         s"asOfJoin: probe already has a column named '$c' — it would be " +
           "silently overwritten; rename it first")

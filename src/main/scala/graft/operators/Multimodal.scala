@@ -302,7 +302,12 @@ object Multimodal {
     */
   def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 6,
                         maxBucketSize: Int = 64): DataFrame = {
-    val banded = dHashBandIndex(hashes, maxBucketSize)
+    // Checkpoint the 28 B/image banded fingerprints before the self-join:
+    // each plan reference below `banded` would otherwise re-run the whole
+    // subtree — which is the PNG mapPartitions decode, the expensive part
+    // at media scale. Same trade as the gram-stream checkpoint in
+    // [[graft.operators.Dedup]] (q93): decode once, shuffle fingerprints.
+    val banded = dHashBandIndex(hashes, maxBucketSize).localCheckpoint(false)
     hammingVerify(banded, banded, col("a.doc_id") < col("b.doc_id"), maxHamming)
   }
 
@@ -365,7 +370,11 @@ object Multimodal {
   def imageNearDupIncremental(index: DataFrame, batchHashes: DataFrame,
                               maxHamming: Int = 6,
                               maxBucketSize: Int = 64): DataFrame = {
+    // The probe frame is referenced three times (cross + both sides of
+    // within); checkpoint its 28 B/image rows so the batch PNGs decode
+    // once, not three times.
     val probe = dHashBandIndex(batchHashes, maxBucketSize)
+      .localCheckpoint(false)
     val cross = hammingVerify(index, probe, lit(true), maxHamming)
     val within = hammingVerify(probe, probe,
       col("a.doc_id") < col("b.doc_id"), maxHamming)
@@ -526,7 +535,9 @@ object Multimodal {
         require(n > 0, s"empty clip for doc ${m.doc_id}")
         val e = new Array[Long](33)
         var i = 0
-        while (i < n) { e(i * 33 / n) += math.abs(s(i)); i += 1 }
+        // Long math on the frame index: `i * 33` overflows Int past ~65 M
+        // samples (~24 min at 44.1 kHz) — same guard as [[resampleAudioNN]].
+        while (i < n) { e((i.toLong * 33 / n).toInt) += math.abs(s(i)); i += 1 }
         var fp = 0L
         var f = 0
         while (f < 32) { if (e(f) > e(f + 1)) fp |= (1L << f); f += 1 }
@@ -564,8 +575,13 @@ object Multimodal {
                   maxBucketSize: Int = 64): DataFrame = {
     val imgLosers = imageNearDupPairs(imageHashes, maxHamming, maxBucketSize)
       .select(col("doc_b").as("doc_id"))
-    val audLosers = audioFps
-      .join(audioFps.groupBy(col("fingerprint"))
+    // audioFps feeds both the group-min and the probe side of its
+    // self-join; checkpoint the 24 B/clip fingerprints so the WAV decode
+    // runs once. (The image leg is already checkpointed inside
+    // [[imageNearDupPairs]].)
+    val fps = audioFps.localCheckpoint(false)
+    val audLosers = fps
+      .join(fps.groupBy(col("fingerprint"))
         .agg(min(col("doc_id")).as("__canonical")), "fingerprint")
       .filter(col("doc_id") =!= col("__canonical"))
       .select(col("doc_id"))

@@ -200,9 +200,13 @@ object Sessionize {
     * `(n·m − s)² > k²·(n·q − s²)` over integer micro-units
     * (`m = round(v·1e6)`, `s = Σm`, `q = Σm²`) — no float mean, no float
     * variance, no sqrt; the flag bit is engine-exact, so the oracle
-    * gates row-for-row. Decimal(38,0) bounds hold to ~1e12 events/type
-    * at |v| ≤ 1e3 ((n·m)² is the widest term); shard the stats beyond
-    * that.
+    * gates row-for-row. Decimal(38,0) exactness holds while
+    * `n·max|m| ≤ min(5·10^18, 10^19/k)` — the widest terms are
+    * `dev² ≤ (2·n·max|m|)²` and `k²·n·q ≤ (k·n·max|m|)²` — i.e. ~1e10
+    * events/type at |v| ≤ 1e3, NOT 1e12; shard the stats beyond that.
+    * The envelope is ENFORCED: an `assert_true` on the |types|-row stats
+    * frame fails the query loudly instead of letting non-ANSI decimal
+    * multiply overflow to null and silently unflag outliers.
     *
     * Scale shape: one map-side-combined groupBy to |types| rows,
     * broadcast back, flag map-side — the events never shuffle.
@@ -217,7 +221,16 @@ object Sessionize {
     val md = col("v_micro").cast("decimal(38,0)")
     val stats = m.groupBy(col(typeCol))
       .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
-        sum(md).as("__s"), sum(md * md).as("__q"))
+        sum(md).as("__s"), sum(md * md).as("__q"),
+        max(abs(md)).as("__ma"))
+      // loud envelope guard: assert_true returns null for every passing
+      // row (so the filter keeps all of them) and throws on violation —
+      // overflow can never silently null-filter a flag
+      .filter(assert_true(
+        col("__n") * col("__ma") <= lit(envelopeLimit(k).underlying),
+        concat(lit(s"valueOutliers: exact-decimal envelope exceeded " +
+          s"(n*max|v_micro| > ${envelopeLimit(k)}) for type "),
+          col(typeCol), lit(" — shard the stats"))).isNull)
     val dev = col("__n") * md - col("__s")
     m.join(broadcast(stats), Seq(typeCol))
       .filter(dev * dev >
@@ -225,6 +238,14 @@ object Sessionize {
           (col("__n") * col("__q") - col("__s") * col("__s")))
       .select(col(idCol), col(typeCol), col("v_micro"))
   }
+
+  /** Largest `n·max|m|` for which every term of the k-sigma inequality
+    * stays inside Decimal(38,0): `dev² ≤ (2·n·max|m|)² < 10^38` and
+    * `k²·(n·q − s²) ≤ (k·n·max|m|)² < 10^38`.
+    */
+  private def envelopeLimit(k: Int): BigDecimal =
+    (BigDecimal(10).pow(19) / k).setScale(0, BigDecimal.RoundingMode.DOWN)
+      .min(BigDecimal(5) * BigDecimal(10).pow(18))
 
   /** A fitted [[valueOutliers]] model: per type, the event count `n`,
     * micro-unit sum `s`, and the precomputed threshold
@@ -249,12 +270,21 @@ object Sessionize {
     require(k >= 1, s"fitOutlierModel: k must be >= 1, got $k")
     val md = round(col(valueCol) * lit(1e6)).cast("long").cast("decimal(38,0)")
     val rows = events.groupBy(col(typeCol))
-      .agg(count(lit(1)).as("n"), sum(md).as("s"), sum(md * md).as("q"))
+      .agg(count(lit(1)).as("n"), sum(md).as("s"), sum(md * md).as("q"),
+        max(abs(md)).as("ma"))
       .collect()
       .map { r =>
         val n = BigDecimal(r.getLong(1))
         val s = BigDecimal(r.getDecimal(2))
         val q = BigDecimal(r.getDecimal(3))
+        // same loud envelope as [[valueOutliers]]: the serve inequality
+        // runs in Decimal(38,0), so a fit outside it must fail the FIT,
+        // not null-out flags at serve time
+        val ma = BigDecimal(r.getDecimal(4))
+        require(n * ma <= envelopeLimit(k),
+          s"fitOutlierModel: exact-decimal envelope exceeded " +
+            s"(n*max|v_micro| = ${n * ma} > ${envelopeLimit(k)}) for type " +
+            s"'${r.getString(0)}' — shard the stats")
         r.getString(0) -> OutlierStats(r.getLong(1), s,
           BigDecimal(k.toLong * k) * (n * q - s * s))
       }
@@ -263,11 +293,18 @@ object Sessionize {
 
   /** Serve path: flag rows whose value trips the fitted model's exact
     * inequality `(n·m − s)² > c`. The per-type constants ride the plan
-    * as DECIMAL LITERALS in a type-dispatched CASE — a pure projection,
-    * zero shuffle, zero state, so it runs UNCHANGED on a streaming frame
-    * (parity with the batch aggregate gated in SessionizeSuite). Types
-    * the fit never saw pass through unflagged — an unknown emitter is a
-    * schema alert, not an outlier verdict.
+    * as ONE MAP LITERAL — `map(type → struct(n, s, c))` of all-literal
+    * entries is foldable, so ConstantFolding collapses it to a single
+    * `Literal(MapData)` before codegen and expression depth is CONSTANT
+    * in |types| (the ImportanceModel pattern from
+    * [[graft.operators.Pipeline.scoreImportance]]; the previous CASE
+    * chain grew one `when` per type and would blow codegen's method-size
+    * limit at thousands of types — parity + plan-shape gated in
+    * OutlierModelSuite). Still a pure projection — zero shuffle, zero
+    * state — so it runs UNCHANGED on a streaming frame. Types the fit
+    * never saw miss the map (`try_element_at` → null → filter drops) and
+    * pass through unflagged — an unknown emitter is a schema alert, not
+    * an outlier verdict.
     */
   def flagOutliers(events: DataFrame, model: OutlierModel,
                    typeCol: String = "event_type",
@@ -275,16 +312,19 @@ object Sessionize {
                    idCol: String = "event_id"): DataFrame = {
     val m = events.select(col(idCol), col(typeCol),
       round(col(valueCol) * lit(1e6)).cast("long").as("v_micro"))
+    if (model.stats.isEmpty) return m.filter(lit(false))
+      .select(col(idCol), col(typeCol), col("v_micro"))
     val md = col("v_micro").cast("decimal(38,0)")
-    val flagged = model.stats.foldLeft(lit(false)) {
-      case (acc, (t, st)) =>
-        val dev = lit(st.n).cast("decimal(38,0)") * md -
-          lit(st.sMicro.underlying).cast("decimal(38,0)")
-        when(col(typeCol) === t,
-          dev * dev > lit(st.cThreshold.underlying).cast("decimal(38,0)"))
-          .otherwise(acc)
+    val entries = model.stats.toSeq.flatMap { case (t, st) =>
+      Seq(lit(t), struct(
+        lit(st.n).cast("decimal(38,0)").as("n"),
+        lit(st.sMicro.underlying).cast("decimal(38,0)").as("s"),
+        lit(st.cThreshold.underlying).cast("decimal(38,0)").as("c")))
     }
-    m.filter(flagged).select(col(idCol), col(typeCol), col("v_micro"))
+    val st = try_element_at(map(entries: _*), col(typeCol))
+    val dev = st.getField("n") * md - st.getField("s")
+    m.filter(dev * dev > st.getField("c"))
+      .select(col(idCol), col(typeCol), col("v_micro"))
   }
 
   private val GapNs30Min: Long = 1800L * 1000000000L

@@ -75,7 +75,14 @@ object StreamingImageDedup {
   /** Near-dup image pairs of a streaming fingerprint frame (columns
     * `doc_id`, `dhash_hi`, `dhash_lo`), emitted incrementally. Bands are
     * the same 4×16-bit split as the batch operator, so a stream replay
-    * reproduces the batch candidate topology.
+    * reproduces the batch candidate topology — FOR BUCKETS THAT STAY
+    * UNDER `maxBucketSize`. An overflowing bucket diverges by design:
+    * batch [[graft.operators.Multimodal.dHashBandIndex]] retroactively
+    * drops the whole bucket, while the stream has already emitted the
+    * first-N members' pairs and (Append mode) cannot retract them, so it
+    * stops admitting instead. The streaming result is thus a superset of
+    * batch on overflowed buckets and identical everywhere else — the
+    * same admission semantics as [[StreamingDedup]].
     *
     * @param ttl dedup horizon: bucket members expire this long after
     *        insertion (native TTL through our providers' TTL column

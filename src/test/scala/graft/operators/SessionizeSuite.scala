@@ -253,6 +253,65 @@ class SessionizeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(Sessionize.flagOutliers(drifted, model).count() === 0L)
   }
 
+  test("flagOutliers: constant expression depth — one folded map literal, " +
+      "no CASE chain, regardless of |types|") {
+    import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Literal}
+    import org.apache.spark.sql.types.MapType
+    val sql = spark
+    import sql.implicits._
+    // 500 types: the old foldLeft CASE chain would nest 500 deep here.
+    // Built over range(), not a LocalRelation — ConvertToLocalRelation
+    // would otherwise eagerly evaluate the whole plan away and leave
+    // nothing to inspect.
+    val ev = sql.range(1, 1001).select(
+      $"id".as("event_id"),
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("t"), $"id" % 500).as("event_type"),
+      ($"id" % 7).cast("double").as("value"))
+    val model = Sessionize.fitOutlierModel(ev, k = 2)
+    assert(model.stats.size === 500)
+    val served = Sessionize.flagOutliers(ev, model)
+    val opt = served.queryExecution.optimizedPlan
+    val allExprs = opt.collect { case p => p.expressions }.flatten
+    val caseWhens = allExprs.flatMap(_.collect { case c: CaseWhen => c })
+    assert(caseWhens.isEmpty,
+      s"serve plan must not dispatch through a CASE chain: $caseWhens")
+    val mapLits = allExprs.flatMap(_.collect {
+      case l: Literal if l.dataType.isInstanceOf[MapType] => l
+    })
+    assert(mapLits.nonEmpty,
+      "the fitted stats must ride the plan as ONE folded map literal")
+    // and it still agrees with the batch aggregate on the same frame
+    val batch = Sessionize.valueOutliers(ev, k = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(served.collect().map(_.getLong(0)).toSet === batch)
+  }
+
+  test("decimal envelope: overflow fails loudly in fit AND batch, " +
+      "never silently unflags") {
+    val sql = spark
+    import sql.implicits._
+    // |v| = 1e12 → v_micro = 1e18; four rows → n·max|m| = 4e18, past the
+    // k=3 limit min(5e18, 1e19/3) ≈ 3.33e18
+    val hot = (1L to 4L).map(i => (i, "A", 1.0e12))
+      .toDF("event_id", "event_type", "value")
+    val eFit = intercept[IllegalArgumentException] {
+      Sessionize.fitOutlierModel(hot, k = 3)
+    }
+    assert(eFit.getMessage.contains("envelope"))
+    val eBatch = intercept[Exception] {
+      Sessionize.valueOutliers(hot, k = 3).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](eBatch)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("envelope")),
+      s"batch overflow must raise the envelope assert, got: $msgs")
+    // the same magnitudes under k=2 with one row stay inside and work
+    val ok = Seq((1L, "A", 1.0e12), (2L, "A", 1.0e12))
+      .toDF("event_id", "event_type", "value")
+    assert(Sessionize.valueOutliers(ok, k = 2).count() === 0L)
+  }
+
   test("sessions rollup: counts and time bounds per session") {
     val sql = spark
     import sql.implicits._
