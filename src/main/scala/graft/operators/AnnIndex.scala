@@ -149,10 +149,52 @@ object AnnIndex {
   def append(batch: DataFrame, dir: String): Unit = {
     val spark = batch.sparkSession
     val (coarse, codebooks) = loadModel(spark, dir)
-    encode(batch.select(col("vec_id").as("nid"),
-        Similarity.asDouble(col("embedding")).as("cv")),
-        coarse, codebooks)
+    val dim = coarse(0)._2.length
+    // Loud dim guard: a batch vector whose length differs from the frozen
+    // model would otherwise zip_with into null-padded residuals and write
+    // CORRUPT codes silently. assert_true returns null for every passing
+    // row (the filter keeps them all) and fails the write job otherwise.
+    val checked = batch
+      .select(col("vec_id").as("nid"),
+        Similarity.asDouble(col("embedding")).as("cv"))
+      .filter(assert_true(size(col("cv")) === lit(dim),
+        concat(lit(s"AnnIndex.append: batch vector dim "), size(col("cv")),
+          lit(s" != frozen model dim $dim (vec_id "), col("nid"),
+          lit(") — rebuild the index for a new embedding space"))).isNull)
+    encode(checked, coarse, codebooks)
       .write.mode("append").parquet(s"$dir/codes")
+  }
+
+  /** Remove `ids` (`vec_id`) from the SERVING index — the
+    * right-to-be-forgotten path for the online artifact, completing what
+    * [[graft.state.StateRescale.prune]] does for checkpointed state: a
+    * delete that reaches state but not the index the fleet actually
+    * probes is not a delete. Rewrites `codes/` through a staged anti-join
+    * (the delete list is broadcast — zero shuffle of the codes) and swaps
+    * it in; `coarse/` and `books/` stay frozen, so search over the pruned
+    * index is EXACTLY search over a same-model index of the survivors
+    * (AnnIndexSuite gates this), and [[append]] composes before and after.
+    *
+    * Cost is one scan+rewrite of the compressed codes (nid + cid + numSub
+    * small ints per vector — the artifact that fits where raw vectors
+    * never could), not of the corpus. Ids absent from the index are
+    * ignored, so replaying a delete log is idempotent.
+    */
+  def prune(ids: DataFrame, dir: String): Unit = {
+    val spark = ids.sparkSession
+    val stage = s"$dir/codes_stage"
+    spark.read.parquet(s"$dir/codes")
+      .join(broadcast(ids.select(col("vec_id").as("nid"))),
+        Seq("nid"), "left_anti")
+      .write.mode("overwrite").parquet(stage)
+    val codesPath = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val stagePath = new org.apache.hadoop.fs.Path(stage)
+    val fs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.delete(codesPath, true),
+      s"AnnIndex.prune: could not remove old codes at $codesPath")
+    require(fs.rename(stagePath, codesPath),
+      s"AnnIndex.prune: could not swap staged codes into place " +
+        s"($stagePath -> $codesPath)")
   }
 
   /** Top-k cosine neighbors for `queries` against the index at `dir`.

@@ -108,4 +108,69 @@ class AnnIndexSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.getLong(2) === probeId && top.getDouble(3) === 1.0,
       s"appended vector $probeId must surface at cosine 1.0, got $top")
   }
+
+  test("prune: forgotten ids never surface; search == same-model index of survivors; " +
+      "append composes before and after") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val forget = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    val forgetIds = forget.collect().map(_.getLong(0)).toSet
+
+    val dir = Files.createTempDirectory("graft-ann-prune").toString
+    AnnIndex.build(emb, dir, nClusters = 8, iters = 2,
+      numSub = 4, codebookK = 8, subIters = 1)
+    AnnIndex.prune(forget, dir)
+
+    // (a) pruned ids are gone from the artifact and from EVERY result
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.filter(col("nid").isin(forgetIds.toSeq: _*)).count() === 0L)
+    assert(codes.count() === emb.count() - forgetIds.size)
+    val res = AnnIndex.search(emb, dir, queries, k = 10,
+      nProbe = 8, shortlist = 200)
+    val returned = res.collect().map(_.getLong(2)).toSet
+    assert(returned.nonEmpty && returned.intersect(forgetIds).isEmpty,
+      s"pruned ids surfaced in search: ${returned.intersect(forgetIds)}")
+
+    // (c) pruned index == an index of only the survivors under the SAME
+    // frozen model (coarse/books copied, survivors encoded into codes/)
+    val ref = Files.createTempDirectory("graft-ann-prune-ref").toString
+    spark.read.parquet(s"$dir/coarse").write.parquet(s"$ref/coarse")
+    spark.read.parquet(s"$dir/books").write.parquet(s"$ref/books")
+    AnnIndex.append(emb.filter(col("vec_id") % 7 =!= 0), ref)
+    def rows(r: org.apache.spark.sql.DataFrame) = r.collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val refRes = AnnIndex.search(emb, ref, queries, k = 10,
+      nProbe = 8, shortlist = 200)
+    assert(rows(res) == rows(refRes),
+      "pruned-index search must be bit-identical to a survivor-only " +
+        "index under the same model")
+
+    // (b) append after prune composes; a re-played delete is idempotent
+    val back = emb.filter(col("vec_id") % 7 === 0 && col("vec_id") % 2 === 0)
+      .withColumn("vec_id", col("vec_id") + 2000000L)
+    AnnIndex.append(back, dir)
+    AnnIndex.prune(forget, dir)
+    val codes2 = spark.read.parquet(s"$dir/codes")
+    assert(codes2.count() === emb.count() - forgetIds.size + back.count())
+    assert(codes2.filter(col("nid").isin(forgetIds.toSeq: _*)).count() === 0L)
+  }
+
+  test("append: a batch whose dim differs from the frozen model fails loudly") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-ann-dimck").toString
+    AnnIndex.build(emb, dir, nClusters = 4, iters = 1,
+      numSub = 4, codebookK = 8, subIters = 1)
+    val truncated = emb.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+      .withColumn("embedding", slice(col("embedding"), 1, 7))
+    val e = intercept[Exception] { AnnIndex.append(truncated, dir) }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("frozen model dim")),
+      s"dim mismatch must raise the append guard, got: $msgs")
+    // and nothing was appended
+    assert(spark.read.parquet(s"$dir/codes").count() === emb.count())
+  }
 }
