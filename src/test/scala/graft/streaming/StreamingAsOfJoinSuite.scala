@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.AdvancedJoins
+
+/** Streaming as-of join vs the batch operator: an in-order replay of the
+  * same fixture must be row-identical to [[AdvancedJoins.asOfJoin]] —
+  * including the equal-ord tie-breaks and the tolerance-expiry path —
+  * across our state-store providers.
+  */
+abstract class StreamingAsOfJoinSuiteBase extends AnyFunSuite with BeforeAndAfterAll {
+
+  def providerClass: String
+  def suiteName: String
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName(s"graft-stream-asof-$suiteName")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass", providerClass)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // fixture: (key, ord, id) probes / (key, ord, bval) builds.
+  // key 1: plain carry-forward + a stale gap past tolerance 5
+  // key 2: build tie on ord 4 (bval 40 vs 41 — largest must win) and a
+  //        probe AT the tie ord (build-before-probe at equal ord)
+  // key 3: probe before any build (None even unbounded)
+  private val builds = Seq(
+    (1L, 2L, 20L), (1L, 6L, 21L),
+    (2L, 4L, 40L), (2L, 4L, 41L), (2L, 15L, 42L),
+    (3L, 30L, 60L))
+  private val probes = Seq(
+    (1L, 3L, 101L), (1L, 7L, 102L), (1L, 25L, 103L),
+    (2L, 4L, 201L), (2L, 5L, 202L), (2L, 22L, 203L),
+    (3L, 1L, 301L), (3L, 31L, 302L))
+
+  private def runStream(tolerance: Option[Long]): Set[(Long, Long, Long, Option[Long])] = {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val probeIn = MemoryStream[(Long, Long, Long)]
+    val buildIn = MemoryStream[(Long, Long, Long)]
+    val out = StreamingAsOfJoin.asOfJoinStream(
+      probeIn.toDS().toDF("key", "ord", "id"),
+      buildIn.toDS().toDF("key", "ord", "bval"),
+      "key", "ord", "id", "bval", tolerance)
+
+    val name = s"sasof_${suiteName}_${tolerance.map(t => s"t$t").getOrElse("unbounded")}"
+    val query = out.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft-sasof-$suiteName").toString)
+      .start()
+
+    // in-order replay split at ord boundaries: <5, 5-19, >=20 — three
+    // micro-batches so carry-forward crosses batch AND state boundaries
+    val cuts = Seq[Long => Boolean](_ < 5, o => o >= 5 && o < 20, _ >= 20)
+    cuts.foreach { in =>
+      buildIn.addData(builds.filter(b => in(b._2)): _*)
+      probeIn.addData(probes.filter(p => in(p._2)): _*)
+      query.processAllAvailable()
+    }
+    query.stop()
+
+    spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+  }
+
+  private def runBatch(tolerance: Option[Long]): Set[(Long, Long, Long, Option[Long])] = {
+    val sql = spark
+    import sql.implicits._
+    AdvancedJoins.asOfJoin(
+        probes.toDF("key", "ord", "id"),
+        builds.toDF("key", "ord", "bval"),
+        "key", "ord", "bval", tolerance)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+  }
+
+  test(s"$suiteName: unbounded replay == batch asOfJoin (ties, gaps, unmatched)") {
+    val stream = runStream(None)
+    val batch = runBatch(None)
+    assert(stream === batch, s"\n stream=$stream\n batch=$batch")
+    // spot-check the fixture's own truth, so both impls can't be wrong together
+    assert(batch.contains((2L, 4L, 201L, Some(41L))),
+      "equal-ord probe must see the equal-ord build, largest bval")
+    assert(batch.contains((3L, 1L, 301L, None)), "probe before any build is None")
+    assert(batch.contains((1L, 25L, 103L, Some(21L))), "unbounded carries forever")
+  }
+
+  test(s"$suiteName: tolerance-bounded replay == batch; stale matches expire to None") {
+    val stream = runStream(Some(5L))
+    val batch = runBatch(Some(5L))
+    assert(stream === batch, s"\n stream=$stream\n batch=$batch")
+    assert(batch.contains((1L, 25L, 103L, None)),
+      "a build 19 ord units stale must expire under tolerance 5")
+    assert(batch.contains((2L, 5L, 202L, Some(41L))),
+      "a fresh match inside tolerance still carries")
+  }
+}
+
+class StreamingAsOfJoinInMemorySuite extends StreamingAsOfJoinSuiteBase {
+  override def providerClass: String =
+    classOf[graft.state.InMemoryStateStoreProvider].getName
+  override def suiteName: String = "inmemory"
+}
+
+class StreamingAsOfJoinRocksDbSuite extends StreamingAsOfJoinSuiteBase {
+  override def providerClass: String =
+    classOf[graft.state.RocksDbStateStoreProvider].getName
+  override def suiteName: String = "rocksdb"
+}
