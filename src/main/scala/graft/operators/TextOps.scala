@@ -695,6 +695,14 @@ object TextOps {
   private val bpeModels =
     new java.util.concurrent.ConcurrentHashMap[String, graft.functions.BpeTokenizer.BpeModel]()
 
+  /** Where q124 persists its per-doc BPE counts for the DuckDB oracle to
+    * read back (the same absolute-path parquet access the gate already
+    * uses for every Spark result). Fixed path, overwrite-per-run: the
+    * oracle always compares against the counts the query just produced.
+    */
+  private val bpeCountsPath: String =
+    s"${sys.props("java.io.tmpdir")}/graft_bpe_counts.parquet"
+
   /** Full per-document text statistics frame. Tokenizes once per row
     * (own projection) — the metric columns embed ~10 references to the
     * token array between them. */
@@ -915,23 +923,39 @@ object TextOps {
     // Sequence packing on REAL BPE token counts — the budget the
     // training batch actually pays for (whitespace counts under-fill
     // context windows wherever BPE splits rare words). Composition of
-    // q112's encoder with q67's packer; rows-only like q112 (the
-    // iterative BPE fit is not SQL-expressible), chunk-assignment
-    // semantics spec-gated in CurationOpsSuite.
+    // q112's encoder with q67's packer. The iterative BPE fit is not
+    // SQL-expressible, so the per-doc counts are PERSISTED to parquet
+    // and the oracle reads them back — gating the full running-sum
+    // `div` chunking algebra (the q67 gate) on the real counts, while
+    // the counts themselves stay fixture-gated in BpeSuite. Both sides
+    // read the SAME persisted file, so a count bug cannot hide in the
+    // compare — it would need to break packer and oracle identically.
     QuerySpec(
       "q124_pack_bpe",
       (s, d) => {
         val docs = Tables.documents(s, d)
         val model = bpeModels.computeIfAbsent(d,
           dir => fitBpeModel(Tables.documents(s, dir), nMerges = 64))
-        Pipeline.packSequences(bpeTokenCounts(docs, model),
+        bpeTokenCounts(docs, model)
+          .write.mode("overwrite").parquet(bpeCountsPath)
+        Pipeline.packSequences(s.read.parquet(bpeCountsPath),
             budgetTokens = 512, tokenCountCol = Some("n_bpe_tokens"))
           .groupBy(col("source"), col("chunk_id"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).cast("bigint").as("chunk_tokens"))
           .orderBy(col("source"), col("chunk_id"))
       },
-      None),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, source, n_bpe_tokens,
+                 SUM(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM '$bpeCountsPath/*.parquet')
+        SELECT source, CAST((cum - n_bpe_tokens) // 512 AS BIGINT) AS chunk_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_bpe_tokens) AS BIGINT) AS chunk_tokens
+        FROM t GROUP BY source, chunk_id
+        ORDER BY source, chunk_id""")),
 
     // corpus-trained bigram LM fluency score, thresholded per language.
     // Gated through the MICRO tier: per-bigram log-probs round to integer
