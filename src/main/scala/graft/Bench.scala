@@ -51,6 +51,52 @@ object Bench {
 
   private def jstr(s: String): String = JsonEscape.quote(s)
 
+  /** Per-query minima of the PREVIOUS run, read back from
+    * bench_result.json — but only when that record was produced under
+    * the SAME warmup methodology: comparing across warmup tags is how
+    * r06→r07 "regressions" that were really honesty fixes would trip a
+    * gate built on them.
+    */
+  private[graft] def parsePrevQueries(json: String, warmupTag: String,
+                                      sfDir: Option[String] = None): Map[String, Double] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      // sfDir: a record taken at another scale factor is not comparable
+      // either — a local sf0.01 iteration must not diff against the
+      // driver's sf0.1 record
+      if (root.path("warmup").asText("") != warmupTag ||
+          sfDir.exists(_ != root.path("sf").asText(""))) Map.empty
+      else {
+        val q = root.path("queries")
+        if (!q.isObject) Map.empty
+        else {
+          val b = Map.newBuilder[String, Double]
+          val it = q.fields()
+          while (it.hasNext) {
+            val e = it.next(); b += e.getKey -> e.getValue.asDouble()
+          }
+          b.result()
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** Queries whose time exceeded `factor`× their previous same-tag
+    * record. `floorSec` is the noise gate: a 0.05→0.12 s jitter is 2.4×
+    * but means nothing on a min-of-2 local measurement — a regression
+    * must ALSO cost at least `floorSec` absolute to flag. Failed passes
+    * (negative times) never flag here — they are already loud in
+    * "errors".
+    */
+  private[graft] def findRegressions(prev: Map[String, Double],
+                                     now: Seq[(String, Double)],
+                                     factor: Double = 2.0,
+                                     floorSec: Double = 0.3): Map[String, (Double, Double)] =
+    now.collect {
+      case (name, t) if t >= 0 && prev.get(name).exists(p =>
+          p > 0 && t > factor * p && t - p > floorSec) =>
+        name -> (prev(name), t)
+    }.toMap
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to every core the machine has — the driver runs this without
@@ -155,14 +201,31 @@ object Bench {
     val skipped = verifyOnlyExact.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","warmup":"full-pass-min2-mat","tier":"capped","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"verify_only":$skipped,"queries":$qs,"sf":"$sfDir"}"""
+    // Regression gate: compare against the previous run's record (same
+    // warmup tag only) BEFORE overwriting it. >2x AND >0.3 s absolute →
+    // loud on stderr + a "regressions" key the round record carries, so
+    // a plan-shape slip can't hide inside a healthy-looking total.
+    val prevRecord =
+      if (java.nio.file.Files.exists(resultPath))
+        parsePrevQueries(java.nio.file.Files.readString(resultPath),
+          "full-pass-min2-mat", Some(sfDir))
+      else Map.empty[String, Double]
+    val regs = findRegressions(prevRecord, results)
+    regs.toSeq.sortBy(-_._2._2).foreach { case (n, (p, t)) =>
+      System.err.println(
+        f"BENCH REGRESSION: $n%s ${t}%.2f s vs previous ${p}%.2f s (>2x)")
+    }
+    val regJson = regs.toSeq.sortBy(_._1)
+      .map { case (n, (p, t)) => s"${jstr(n)}:[$p,$t]" }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warmup":"full-pass-min2-mat","tier":"capped","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"n_regressions":${regs.size},"regressions":$regJson,"verify_only":$skipped,"queries":$qs,"sf":"$sfDir"}"""
     // persist BEFORE stop so the on-disk copy exists even if shutdown hangs
     java.nio.file.Files.writeString(resultPath, json)
     // The driver parses a JSON line from a bounded stdout TAIL; the full
     // per-query record (~8 KB) overflowed that window in r05+r06
     // ("parsed": null). The LAST line is therefore a compact summary that
     // always fits; per-query detail lives in bench_result.json only.
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","warmup":"full-pass-min2-mat","tier":"capped","n_queries":${results.size},"n_errors":${errors.size},"file":"$resultPath","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","warmup":"full-pass-min2-mat","tier":"capped","n_queries":${results.size},"n_errors":${errors.size},"n_regressions":${regs.size},"regressions":$regJson,"file":"$resultPath","sf":"$sfDir"}"""
     // stop FIRST so no Spark background thread can interleave log output
     // with the one JSON line the harness parses
     spark.stop()
