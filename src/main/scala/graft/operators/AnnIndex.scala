@@ -180,22 +180,9 @@ object AnnIndex {
     * never could), not of the corpus. Ids absent from the index are
     * ignored, so replaying a delete log is idempotent.
     */
-  def prune(ids: DataFrame, dir: String): Unit = {
-    val spark = ids.sparkSession
-    val stage = s"$dir/codes_stage"
-    spark.read.parquet(s"$dir/codes")
-      .join(broadcast(ids.select(col("vec_id").as("nid"))),
-        Seq("nid"), "left_anti")
-      .write.mode("overwrite").parquet(stage)
-    val codesPath = new org.apache.hadoop.fs.Path(s"$dir/codes")
-    val stagePath = new org.apache.hadoop.fs.Path(stage)
-    val fs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.delete(codesPath, true),
-      s"AnnIndex.prune: could not remove old codes at $codesPath")
-    require(fs.rename(stagePath, codesPath),
-      s"AnnIndex.prune: could not swap staged codes into place " +
-        s"($stagePath -> $codesPath)")
-  }
+  def prune(ids: DataFrame, dir: String): Unit =
+    Pipeline.pruneArtifact(ids.select(col("vec_id").as("nid")),
+      s"$dir/codes", "nid")
 
   /** Top-k cosine neighbors for `queries` against the index at `dir`.
     * `corpus` supplies the original vectors for the exact re-rank of the

@@ -654,6 +654,66 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540, public): k-means-cluster the embedding space,
+    * then within each cluster drop every vector whose cosine to a
+    * LOWER-id cluster-mate reaches `threshold` — the cluster-then-prune
+    * scale path for semantic duplicates, where [[cosinePairs]] is the
+    * exact all-pairs tool and [[cosinePairsLsh]] the hash-bucketed one.
+    * Clustering replaces LSH banding as the candidate generator: ONE
+    * cell per vector (no multi-table replication), at the cost of
+    * missing straddling pairs near cell boundaries — the paper's
+    * documented trade. Keeper choice is min-id (deterministic,
+    * repo-wide convention — [[graft.operators.Multimodal.curateMedia]]);
+    * the paper's lowest-centroid-cosine exemplar is a per-cluster
+    * ORDER BY swap on the same plan.
+    *
+    * Scale shape: the fit is [[Similarity.fitCentroids]] (map-side
+    * argmin + one partitions×K shuffle per Lloyd iteration, K×dim model
+    * on the driver); assignment is a codegen'd projection; the
+    * within-cluster self-join is keyed by `cid` and bounded by
+    * `maxClusterSize` — an oversized cell (the centroid failed to
+    * separate; raise nClusters) is dropped from pairing PROSPECTIVELY
+    * like a degenerate LSH bucket, never allowed to go O(n²). The
+    * assigned frame is checkpointed so the fit's projection feeds both
+    * join sides once. Exact cosine verifies every pair — vectors ride
+    * only the within-cluster join, as in [[cosinePairs]].
+    *
+    * `nClusters = 1` degenerates to exact all-pairs over everything —
+    * the oracle mode SemDeDupSuite gates the clustered mode against.
+    */
+  def semDeDupLosers(embeddings: DataFrame, threshold: Double,
+                     nClusters: Int = 64, iters: Int = 3,
+                     maxClusterSize: Int = 4096): DataFrame = {
+    require(nClusters >= 1, s"semDeDup: nClusters must be >= 1, got $nClusters")
+    val v = embeddings.select(col("vec_id").as("nid"),
+      Similarity.asDouble(col("embedding")).as("cv"))
+    val cents = Similarity.fitCentroids(v, "nid", "cv", nClusters, iters)
+    val assigned = Similarity.assign(v, cents, "cv")
+      .withColumn("__cn", count(lit(1)).over(Window.partitionBy(col("cid"))))
+      .filter(col("__cn") <= maxClusterSize)
+      .select(col("nid"), col("cid"), col("cv"))
+      .localCheckpoint(false)
+    val a = assigned.as("a")
+    val b = assigned.as("b")
+    a.join(b, col("a.cid") === col("b.cid") && col("a.nid") < col("b.nid"))
+      .withColumn("cos", safeCosine(col("a.cv"), col("b.cv")))
+      .filter(col("cos") >= threshold)
+      .select(col("b.nid").as("vec_id")).distinct()
+  }
+
+  /** The surviving rows of [[semDeDupLosers]]: one representative
+    * (min id) per within-cluster semantic-dup group, everything else
+    * dropped. The loser set is id-only and shrinks under distinct —
+    * AQE broadcasts the anti-join in practice.
+    */
+  def semDeDup(embeddings: DataFrame, threshold: Double,
+               nClusters: Int = 64, iters: Int = 3,
+               maxClusterSize: Int = 4096): DataFrame =
+    embeddings.join(
+      semDeDupLosers(embeddings, threshold, nClusters, iters, maxClusterSize),
+      Seq("vec_id"), "left_anti")
+
   /** Pair cosine with the zero-norm guard: a zero embedding has no
     * direction, so it is near-dup of NOTHING — score −2.0 (below any
     * threshold) instead of tripping ANSI divide-by-zero mid-query.
@@ -959,6 +1019,19 @@ object Dedup {
       "q46_cosine_dedup_lsh",
       (s, d) => cosinePairsLsh(Tables.embeddings(s, d), 0.35)
         .sortWithinPartitions(col("vec_a"), col("vec_b")),
+      None),
+
+    // SemDeDup cluster-then-prune semantic dedup: seeded k-means defines
+    // the candidate topology, so no SQL oracle can exist — spec-gated in
+    // SemDeDupSuite (nClusters=1 ≡ exact all-pairs cosinePairs losers;
+    // separated-fixture cluster mode ≡ exact; min-id keeper; cap guard).
+    QuerySpec(
+      "q128_semdedup",
+      (s, d) => semDeDup(Tables.embeddings(s, d), threshold = 0.35,
+          nClusters = 16)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("label")),
       None),
 
     // MinHash-LSH and SimHash use engine-specific hash fns → rows-only check.

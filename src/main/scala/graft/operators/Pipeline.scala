@@ -426,6 +426,39 @@ object Pipeline {
       .parquet(path)
   }
 
+  /** Rewrite the parquet artifact at `dir`, dropping every row whose
+    * `idCol` appears in `ids` — the generic right-to-be-forgotten step
+    * for ANY persisted derived artifact keyed by document/vector id
+    * (token index, dHash band index, gram index, curated shards):
+    * [[graft.operators.AnnIndex.prune]] is this operation specialized to
+    * `codes/`, and a real deletion pipeline must run it on EVERY serving
+    * artifact an id reached, not just the primary store
+    * ([[graft.state.StateRescale.prune]] covers checkpointed state).
+    *
+    * Mechanics: staged anti-join rewrite (the delete list broadcasts —
+    * zero shuffle of the artifact) then a filesystem swap, so a reader
+    * never observes a half-written directory; the swap window itself is
+    * the same move-in-place every compaction job has. Ids absent from
+    * the artifact are ignored — replaying a delete log is idempotent.
+    * Cost: one scan+rewrite of the artifact, work ∝ artifact size, not
+    * corpus size.
+    */
+  def pruneArtifact(ids: DataFrame, dir: String, idCol: String): Unit = {
+    val spark = ids.sparkSession
+    val stage = dir.stripSuffix("/") + "__prune_stage"
+    spark.read.parquet(dir)
+      .join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti")
+      .write.mode("overwrite").parquet(stage)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val stagePath = new org.apache.hadoop.fs.Path(stage)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.delete(dirPath, true),
+      s"pruneArtifact: could not remove old artifact at $dirPath")
+    require(fs.rename(stagePath, dirPath),
+      s"pruneArtifact: could not swap staged artifact into place " +
+        s"($stagePath -> $dirPath)")
+  }
+
   /** Deterministic content-hash shard assignment — the split step before
     * a training run: route each document to one of `nShards` shards (or
     * train/validation splits) by hashing its CONTENT, so the assignment

@@ -1,0 +1,70 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Generic persisted-artifact prune: the right-to-be-forgotten rewrite
+  * must drop exactly the requested ids from ANY id-keyed parquet
+  * artifact, survive replay, and leave no staging residue.
+  */
+class ArtifactPruneSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-artifact-prune")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("prune drops exactly the listed ids; replay idempotent; no stage residue") {
+    val sql = spark
+    import sql.implicits._
+    // a token-index-shaped artifact: multiple rows per doc id
+    val dir = Files.createTempDirectory("graft-prune-art").toString + "/tokidx"
+    (1L to 100L).flatMap(id => Seq((id, s"tok_a_$id"), (id, s"tok_b_$id")))
+      .toDF("doc_id", "token").write.parquet(dir)
+
+    val forget = Seq(3L, 50L, 97L, 999999L).toDF("doc_id") // incl. an absent id
+    Pipeline.pruneArtifact(forget, dir, "doc_id")
+
+    val after = spark.read.parquet(dir)
+    assert(after.count() === 2L * 97)
+    assert(after.filter(col("doc_id").isin(3L, 50L, 97L)).count() === 0L)
+    // surviving rows untouched (both token rows per survivor)
+    assert(after.filter(col("doc_id") === 4L).count() === 2L)
+
+    // replaying the same delete log is a no-op, not an error
+    Pipeline.pruneArtifact(forget, dir, "doc_id")
+    assert(spark.read.parquet(dir).count() === 2L * 97)
+
+    // no staging directory left behind
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.listFiles().exists(_.getName.contains("__prune_stage")),
+      s"stage residue in ${parent.listFiles().map(_.getName).toSeq}")
+  }
+
+  test("prune composes with append-style growth (the daily-ingest artifact lifecycle)") {
+    val sql = spark
+    import sql.implicits._
+    val dir = Files.createTempDirectory("graft-prune-cycle").toString + "/idx"
+    (1L to 10L).map(id => (id, id * 100)).toDF("doc_id", "v").write.parquet(dir)
+    Pipeline.pruneArtifact(Seq(2L, 4L).toDF("doc_id"), dir, "doc_id")
+    (11L to 12L).map(id => (id, id * 100)).toDF("doc_id", "v")
+      .write.mode("append").parquet(dir)
+    Pipeline.pruneArtifact(Seq(11L).toDF("doc_id"), dir, "doc_id")
+    val ids = spark.read.parquet(dir).collect().map(_.getLong(0)).toSet
+    assert(ids === (1L to 10L).toSet -- Set(2L, 4L) + 12L)
+  }
+}

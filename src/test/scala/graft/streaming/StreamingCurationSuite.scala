@@ -108,6 +108,43 @@ class StreamingCurationSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"stream scores diverged:\nbatch  $batchScores\nstream $streamed")
   }
 
+  test("fitted outlier model flags a stream; parity with the batch serve") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // type A: nine 10.0s and one 110.0 (2σ spike); type B singleton
+    val ref = ((1L to 9L).map(i => (i, "A", 10.0)) ++
+      Seq((10L, "A", 110.0), (11L, "B", 42.0)))
+      .toDF("event_id", "event_type", "value")
+    val model = graft.operators.Sessionize.fitOutlierModel(ref, k = 2)
+    val batchFlags = graft.operators.Sessionize.flagOutliers(ref, model)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    // serving is one folded map literal — a pure projection, so the SAME
+    // call runs on the stream; an unseen type ("C") must pass through
+    val input = MemoryStream[(Long, String, Double)]
+    val flagged = graft.operators.Sessionize.flagOutliers(
+      input.toDS().toDF("event_id", "event_type", "value"), model)
+    val query = flagged.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("soutl")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-soutl").toString)
+      .start()
+    input.addData((1L to 9L).map(i => (i, "A", 10.0)): _*)
+    query.processAllAvailable()
+    input.addData((10L, "A", 110.0), (11L, "B", 42.0), (20L, "C", 1e9))
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("soutl")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batchFlags,
+      s"stream flags diverged:\nbatch  $batchFlags\nstream $streamed")
+    assert(streamed.map(_._1) == Set(10L), s"only the spike flags: $streamed")
+  }
+
   test("map-side gates (blocklist) apply to a stream unchanged") {
     val sql = spark
     import sql.implicits._
