@@ -199,4 +199,62 @@ object AnnIndex {
         Similarity.asDouble(col("embedding")).as("cv")),
       queries, k, nProbe, shortlist)
   }
+
+  /** [[search]] restricted to a permitted-id subset (`vec_id`) — the
+    * filtered-ANN serving path (tenant scoping, source allow-lists,
+    * post-GDPR serving before the nightly [[prune]] lands). The filter
+    * is a PRE-shortlist semi-join on the compressed codes, so the k
+    * results are the best of the PERMITTED set — not a post-filter of
+    * the global top-k, which under-fills whenever the global shortlist
+    * is dominated by out-of-scope vectors (the classic filtered-ANN
+    * bug). Gated in AnnIndexSuite: identical to searching a same-model
+    * index that only ever contained the permitted ids.
+    *
+    * Scale shape: the allow-list is ids only and broadcasts; the codes
+    * never shuffle for the filter. A filter too selective for the probed
+    * cells returns fewer than k — raise `nProbe` for narrow scopes.
+    */
+  def searchWithin(corpus: DataFrame, dir: String, queries: DataFrame,
+                   allowedIds: DataFrame, k: Int,
+                   nProbe: Int = 4, shortlist: Int = 50): DataFrame = {
+    val spark = queries.sparkSession
+    val (coarse, codebooks) = loadModel(spark, dir)
+    val encoded = spark.read.parquet(s"$dir/codes")
+      .join(broadcast(allowedIds.select(col("vec_id").as("nid"))),
+        Seq("nid"), "left_semi")
+    Similarity.pqSearch(coarse, codebooks, encoded,
+      corpus.select(col("vec_id").as("nid"),
+        Similarity.asDouble(col("embedding")).as("cv")),
+      queries, k, nProbe, shortlist)
+  }
+
+  /** Measure the index's recall@k against exact brute-force cosine on a
+    * query sample — the serving-quality audit an ANN deployment runs
+    * beside [[Similarity.embeddingDrift]]: drift says the DATA moved,
+    * recall says whether the frozen model still SERVES it. Returns one
+    * row per query (`query_id`, `n_hits`, `recall`) plus the macro
+    * average under query_id NULL.
+    *
+    * Cost: brute force over |sample|×|corpus| — size the sample, not the
+    * corpus; the audit is a sampled measurement by design.
+    */
+  def recallAudit(corpus: DataFrame, dir: String, sampleQueries: DataFrame,
+                  k: Int, nProbe: Int = 4, shortlist: Int = 50): DataFrame = {
+    val approx = search(corpus, dir, sampleQueries, k, nProbe, shortlist)
+      .select(col("qid"), col("nid"))
+    val exact = Similarity.bruteForceTopK(corpus, sampleQueries, k)
+      .select(col("qid"), col("nid"))
+    val hits = exact.join(approx, Seq("qid", "nid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    val perQuery = exact.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_exact"))
+          .as("recall"))
+    perQuery.unionByName(
+      perQuery.agg(lit(null).cast("long").as("qid"),
+        sum(col("n_hits")).as("n_hits"), avg(col("recall")).as("recall")))
+  }
 }

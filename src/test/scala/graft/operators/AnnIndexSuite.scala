@@ -157,6 +157,60 @@ class AnnIndexSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(codes2.filter(col("nid").isin(forgetIds.toSeq: _*)).count() === 0L)
   }
 
+  test("searchWithin: filtered search == search over a same-model permitted-only index") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val allowed = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+
+    val dir = Files.createTempDirectory("graft-ann-within").toString
+    AnnIndex.build(emb, dir, nClusters = 8, iters = 2,
+      numSub = 4, codebookK = 8, subIters = 1)
+    val filtered = AnnIndex.searchWithin(emb, dir, queries, allowed,
+      k = 5, nProbe = 8, shortlist = 100)
+    val rowsF = filtered.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(rowsF.nonEmpty && rowsF.forall(t => allowedIds.contains(t._3)),
+      s"every filtered result must be in scope: ${rowsF.filterNot(t => allowedIds.contains(t._3))}")
+
+    // reference: an index that only ever contained the permitted ids,
+    // under the SAME frozen model (coarse/books copied, codes pruned)
+    val ref = Files.createTempDirectory("graft-ann-within-ref").toString
+    spark.read.parquet(s"$dir/coarse").write.parquet(s"$ref/coarse")
+    spark.read.parquet(s"$dir/books").write.parquet(s"$ref/books")
+    spark.read.parquet(s"$dir/codes").write.parquet(s"$ref/codes")
+    AnnIndex.prune(emb.filter(col("vec_id") % 3 =!= 0).select(col("vec_id")), ref)
+    val rowsR = AnnIndex.search(emb, ref, queries, k = 5,
+        nProbe = 8, shortlist = 100)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(rowsF == rowsR,
+      "pre-shortlist filter must equal a permitted-only index, not a post-filter")
+  }
+
+  test("recallAudit: per-query recall vs brute force + macro average; bounded [0,1]") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val sample = emb.filter(col("vec_id") < 8)
+    val dir = Files.createTempDirectory("graft-ann-recall").toString
+    AnnIndex.build(emb, dir, nClusters = 8, iters = 2,
+      numSub = 4, codebookK = 8, subIters = 1)
+    val audit = AnnIndex.recallAudit(emb, dir, sample, k = 5,
+      nProbe = 8, shortlist = 200).collect()
+    val perQ = audit.filter(!_.isNullAt(0))
+    val macroRow = audit.filter(_.isNullAt(0))
+    assert(perQ.length === 8, s"one row per sampled query: ${perQ.length}")
+    assert(perQ.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    assert(macroRow.length === 1)
+    val macroAvg = macroRow.head.getDouble(2)
+    val mean = perQ.map(_.getDouble(2)).sum / perQ.length
+    assert(math.abs(macroAvg - mean) < 1e-9,
+      s"macro row must average the per-query recalls: $macroAvg vs $mean")
+    // deep probe over every cell with a big shortlist ≈ exact → recall high
+    assert(macroAvg >= 0.5, s"audited recall suspiciously low: $macroAvg")
+  }
+
   test("append: a batch whose dim differs from the frozen model fails loudly") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val dir = Files.createTempDirectory("graft-ann-dimck").toString
