@@ -682,13 +682,27 @@ object Dedup {
     * `nClusters = 1` degenerates to exact all-pairs over everything —
     * the oracle mode SemDeDupSuite gates the clustered mode against.
     */
+  /** Fit the SemDeDup cell model — public so the STREAMING twin
+    * ([[graft.streaming.StreamingCosineDedup.semDeDupStream]]) can serve
+    * against the exact cells the batch operator would use (the fit/serve
+    * split; seeding and Lloyd loops are [[Similarity.fitCentroids]]'s,
+    * shared with IVF).
+    */
+  def fitSemDeDupModel(embeddings: DataFrame, nClusters: Int = 64,
+                       iters: Int = 3): Array[(Int, Array[Double])] = {
+    require(nClusters >= 1, s"semDeDup: nClusters must be >= 1, got $nClusters")
+    Similarity.fitCentroids(
+      embeddings.select(col("vec_id").as("nid"),
+        Similarity.asDouble(col("embedding")).as("cv")),
+      "nid", "cv", nClusters, iters)
+  }
+
   def semDeDupLosers(embeddings: DataFrame, threshold: Double,
                      nClusters: Int = 64, iters: Int = 3,
                      maxClusterSize: Int = 4096): DataFrame = {
-    require(nClusters >= 1, s"semDeDup: nClusters must be >= 1, got $nClusters")
     val v = embeddings.select(col("vec_id").as("nid"),
       Similarity.asDouble(col("embedding")).as("cv"))
-    val cents = Similarity.fitCentroids(v, "nid", "cv", nClusters, iters)
+    val cents = fitSemDeDupModel(embeddings, nClusters, iters)
     val assigned = Similarity.assign(v, cents, "cv")
       .withColumn("__cn", count(lit(1)).over(Window.partitionBy(col("cid"))))
       .filter(col("__cn") <= maxClusterSize)

@@ -459,6 +459,37 @@ object Pipeline {
         s"($stagePath -> $dirPath)")
   }
 
+  /** Verify a delete list is GONE from every persisted artifact — the
+    * audit half of the right-to-be-forgotten story ([[pruneArtifact]] /
+    * [[graft.operators.AnnIndex.prune]] /
+    * [[graft.state.StateRescale]].pruneCheckpoint are the delete half;
+    * compliance needs the PROOF, per artifact, after the nightly jobs
+    * land). Returns one row per artifact: `(artifact, n_residual,
+    * residual_ids)` with a bounded sample of surviving ids for the
+    * incident report. A clean audit is all-zero `n_residual`.
+    *
+    * Scale shape: per artifact, one scan counting a broadcast-semi-join
+    * match — the artifact never shuffles, the delete list broadcasts,
+    * and artifacts are audited independently (parallelize across jobs if
+    * the catalog is wide).
+    */
+  def deletionAudit(ids: DataFrame, artifacts: Seq[(String, String)],
+                    sampleIds: Int = 10): DataFrame = {
+    require(artifacts.nonEmpty, "deletionAudit: empty artifact catalog")
+    val spark = ids.sparkSession
+    import spark.implicits._
+    artifacts.map { case (dir, idCol) =>
+      val residual = spark.read.parquet(dir)
+        .join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_semi")
+      val r = residual.agg(
+          count(lit(1)).as("n"),
+          slice(sort_array(collect_set(col(idCol).cast("string"))), 1, sampleIds)
+            .as("sample"))
+        .head()
+      (dir, r.getLong(0), r.getSeq[String](1))
+    }.toDF("artifact", "n_residual", "residual_ids")
+  }
+
   /** Deterministic content-hash shard assignment — the split step before
     * a training run: route each document to one of `nShards` shards (or
     * train/validation splits) by hashing its CONTENT, so the assignment

@@ -131,4 +131,45 @@ object StreamingCosineDedup {
         new CosineBucketProcessor(threshold, maxBucketSize, ttlConf),
         timeMode, OutputMode.Append())
   }
+
+  /** Streaming SemDeDup — the online twin of
+    * [[graft.operators.Dedup.semDeDupLosers]]'s candidate topology:
+    * each arriving vector is assigned to its k-means CELL by the same
+    * codegen'd argmin the batch operator runs (against a batch-FITTED
+    * frozen model — [[graft.operators.Dedup.fitSemDeDupModel]], the
+    * fit/serve split again), then compared exact-cosine against the
+    * cell's live members in SPI state. One cell per vector (no
+    * multi-table LSH replication), so each pair is emitted at most once
+    * — no downstream pair dedup needed, unlike [[cosinePairsStream]].
+    *
+    * Divergences from batch, both documented elsewhere in this family:
+    * the cap is prospective admission (batch drops oversized cells
+    * retroactively — parity holds below `maxClusterSize`), and the
+    * frozen cells drift from a batch refit as the distribution shifts
+    * (monitor with `Similarity.embeddingDrift`, refit nightly).
+    */
+  def semDeDupStream(embeddings: DataFrame,
+                     centroids: Array[(Int, Array[Double])],
+                     threshold: Double, maxClusterSize: Int = 4096,
+                     ttl: Option[java.time.Duration] = None): Dataset[CosinePair] = {
+    require(centroids.nonEmpty, "semDeDupStream: empty centroid model")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val matrix = centroids.sortBy(_._1).map(_._2)
+    val assigned = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(lit(0).as("tbl"),
+        graft.functions.VectorFunctions.nearest_centroid(col("v"), matrix)
+          .cast("long").as("bucket"),
+        col("vec_id").as("vecId"), col("v"))
+      .as[BandedVec]
+    val (ttlConf, timeMode) = ttl match {
+      case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
+      case None    => (TTLConfig.NONE, TimeMode.None())
+    }
+    assigned.groupByKey(d => (d.tbl, d.bucket))
+      .transformWithState(
+        new CosineBucketProcessor(threshold, maxClusterSize, ttlConf),
+        timeMode, OutputMode.Append())
+  }
 }

@@ -55,6 +55,36 @@ class ArtifactPruneSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"stage residue in ${parent.listFiles().map(_.getName).toSeq}")
   }
 
+  test("deletionAudit: residuals surface per artifact; clean after prune") {
+    val sql = spark
+    import sql.implicits._
+    val base = Files.createTempDirectory("graft-audit").toString
+    val idx1 = s"$base/idx1"
+    val idx2 = s"$base/idx2"
+    (1L to 20L).map(id => (id, s"t$id")).toDF("doc_id", "token").write.parquet(idx1)
+    (1L to 20L).map(id => (id, id * 7)).toDF("doc_id", "v").write.parquet(idx2)
+    val forget = Seq(5L, 9L).toDF("doc_id")
+
+    // prune only idx1 — the audit must catch idx2's residuals
+    Pipeline.pruneArtifact(forget, idx1, "doc_id")
+    val audit = Pipeline.deletionAudit(forget,
+        Seq(idx1 -> "doc_id", idx2 -> "doc_id"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getSeq[String](2).toSet))).toMap
+    assert(audit(idx1) === ((0L, Set.empty[String])), s"idx1 must be clean: $audit")
+    assert(audit(idx2) === ((2L, Set("5", "9"))), s"idx2 must show residuals: $audit")
+
+    // after pruning idx2 too, the audit is all-clean
+    Pipeline.pruneArtifact(forget, idx2, "doc_id")
+    val clean = Pipeline.deletionAudit(forget,
+        Seq(idx1 -> "doc_id", idx2 -> "doc_id"))
+      .collect()
+    assert(clean.forall(_.getLong(1) === 0L), "post-prune audit must be clean")
+    intercept[IllegalArgumentException] {
+      Pipeline.deletionAudit(forget, Seq.empty)
+    }
+  }
+
   test("prune composes with append-style growth (the daily-ingest artifact lifecycle)") {
     val sql = spark
     import sql.implicits._

@@ -104,6 +104,54 @@ abstract class StreamingCosineDedupSuiteBase extends AnyFunSuite with BeforeAndA
     assert(streamed == batch,
       s"stream $streamed must equal batch $batch")
   }
+
+  test(s"$suiteName: semDeDupStream losers == batch semDeDupLosers under a shared frozen model") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // two orthogonal directions with exact copies (the SemDeDupSuite
+    // fixture shape): copies co-cluster by construction, so stream and
+    // batch agree at an exact-copy threshold regardless of fit quality
+    def vec(group: Int, j: Long): Seq[Double] =
+      (0 until 8).map { i =>
+        val active = if (group == 0) i < 4 else i >= 4
+        if (active) 1.0 + ((j * 31 + i * 17) % 11) / 10.0 else 0.0
+      }
+    val rows = (1L to 6L).map(j => (j, vec(0, j))) ++
+      (51L to 56L).map(j => (j, vec(1, j))) ++
+      Seq((101L, vec(0, 2L)), (201L, vec(1, 53L)))
+    val batchDf = rows.toDF("vec_id", "embedding")
+
+    val model = graft.operators.Dedup.fitSemDeDupModel(batchDf,
+      nClusters = 2, iters = 3)
+    val batchLosers = graft.operators.Dedup.semDeDupLosers(batchDf,
+        threshold = 0.99999, nClusters = 2, iters = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(batchLosers === Set(101L, 201L), s"fixture truth: $batchLosers")
+
+    val input = MemoryStream[(Long, Seq[Double])]
+    val pairs = StreamingCosineDedup.semDeDupStream(
+      input.toDS().toDF("vec_id", "embedding"), model, threshold = 0.99999)
+    val query = pairs.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(s"ssem_$suiteName")
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft-ssem-$suiteName").toString)
+      .start()
+    // copies arrive in a LATER batch than their originals — the cell
+    // index must remember across micro-batches
+    input.addData(rows.filter(_._1 < 100L): _*)
+    query.processAllAvailable()
+    input.addData(rows.filter(_._1 >= 100L): _*)
+    query.processAllAvailable()
+    query.stop()
+
+    val streamLosers = spark.table(s"ssem_$suiteName").collect()
+      .map(r => math.max(r.getLong(0), r.getLong(1))).toSet
+    assert(streamLosers === batchLosers,
+      s"stream losers $streamLosers must equal batch $batchLosers")
+  }
 }
 
 class StreamingCosineDedupRocksDbSuite extends StreamingCosineDedupSuiteBase {
