@@ -108,6 +108,59 @@ abstract class StreamingAsOfJoinSuiteBase extends AnyFunSuite with BeforeAndAfte
     assert(batch.contains((1L, 25L, 103L, Some(21L))), "unbounded carries forever")
   }
 
+  test(s"$suiteName: pseudo-random interleaving (ties, dense keys) == batch, both bounds") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic pseudo-random mix: 8 keys, ord ties everywhere
+    // (ord = i/3), probe/build interleaved by residue, duplicate bvals
+    val evs = (0 until 90).map { i =>
+      (i % 8 + 1L, (i / 3).toLong, i % 5 < 2, i.toLong, (i * 13 % 50).toLong)
+    }
+    val probesR = evs.filter(_._3).map(e => (e._1, e._2, e._4))
+    val buildsR = evs.filterNot(_._3).map(e => (e._1, e._2, e._5))
+
+    Seq(None, Some(4L)).foreach { tol =>
+      val probeIn = MemoryStream[(Long, Long, Long)]
+      val buildIn = MemoryStream[(Long, Long, Long)]
+      val out = StreamingAsOfJoin.asOfJoinStream(
+        probeIn.toDS().toDF("key", "ord", "id"),
+        buildIn.toDS().toDF("key", "ord", "bval"),
+        "key", "ord", "id", "bval", tol)
+      val name = s"sasofr_${suiteName}_${tol.map(t => s"t$t").getOrElse("u")}"
+      val query = out.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name)
+        .option("checkpointLocation",
+          Files.createTempDirectory(s"graft-sasofr-$suiteName").toString)
+        .start()
+      // one epoch per ord value, builds before probes: per-key event
+      // order then holds across EVERY possible micro-batch boundary (a
+      // split within an epoch leaves only equal-ord build-before-probe,
+      // which the state's ≤ comparison answers). Wider epochs would race
+      // the continuous trigger: a boundary between an epoch's builds and
+      // probes lets a NEWER build reach state before an older probe —
+      // exactly the out-of-order replay the operator's contract excludes.
+      (0L to evs.map(_._2).max).foreach { o =>
+        buildIn.addData(buildsR.filter(_._2 == o): _*)
+        probeIn.addData(probesR.filter(_._2 == o): _*)
+        query.processAllAvailable()
+      }
+      query.stop()
+      val stream = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      val batch = AdvancedJoins.asOfJoin(
+          probesR.toDF("key", "ord", "id"), buildsR.toDF("key", "ord", "bval"),
+          "key", "ord", "bval", tol)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      assert(stream === batch,
+        s"tol=$tol diverged:\n only-stream=${stream -- batch}\n only-batch=${batch -- stream}")
+      assert(stream.size === probesR.size, "one output row per probe")
+    }
+  }
+
   test(s"$suiteName: tolerance-bounded replay == batch; stale matches expire to None") {
     val stream = runStream(Some(5L))
     val batch = runBatch(Some(5L))
