@@ -703,6 +703,42 @@ object TextOps {
   private val bpeCountsPath: String =
     s"${sys.props("java.io.tmpdir")}/graft_bpe_counts.parquet"
 
+  /** Token-vocabulary drift between two corpus snapshots — the TEXT twin
+    * of the embedding drift audit (q126) and the companion to
+    * [[graft.operators.Pipeline.corpusDiff]]: corpusDiff says WHICH docs
+    * changed, this says what the change did to the LANGUAGE the model
+    * will see (a scraper regression, an injected boilerplate string, or
+    * a source mix shift all surface as token-count deltas long before a
+    * training metric moves). Returns the `topN` tokens by |Δcount| with
+    * exact integer occurrence counts and a verdict
+    * (`new`/`gone`/`grew`/`shrunk`); flat tokens never surface.
+    * Deterministic total order (|Δ| desc, token asc) so the top-N SET is
+    * engine-exact — the DuckDB oracle gates it row-for-row.
+    *
+    * Scale shape: two map-side-combined token aggregations (vocab-sized
+    * outputs), one vocab-keyed full-outer join of (token, long) rows,
+    * and a top-N over vocab rows — the corpus text itself never
+    * shuffles.
+    */
+  def vocabDrift(oldDocs: DataFrame, newDocs: DataFrame, topN: Int = 100,
+                 textCol: String = "text"): DataFrame = {
+    require(topN > 0, s"vocabDrift: topN must be positive, got $topN")
+    def occ(df: DataFrame, as: String) =
+      df.select(explode(tokens(col(textCol))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as(as))
+    occ(oldDocs, "n_old").join(occ(newDocs, "n_new"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("delta", col("n_new") - col("n_old"))
+      .filter(col("delta") =!= 0)
+      .withColumn("change",
+        when(col("n_old") === 0, "new").when(col("n_new") === 0, "gone")
+          .when(col("delta") > 0, "grew").otherwise("shrunk"))
+      .orderBy(abs(col("delta")).desc, col("token"))
+      .limit(topN)
+  }
+
   /** Full per-document text statistics frame. Tokenizes once per row
     * (own projection) — the metric columns embed ~10 references to the
     * token array between them. */
@@ -956,6 +992,45 @@ object TextOps {
                CAST(SUM(n_bpe_tokens) AS BIGINT) AS chunk_tokens
         FROM t GROUP BY source, chunk_id
         ORDER BY source, chunk_id""")),
+
+    // Vocabulary drift between the q107 snapshot pair: the injected
+    // " v2" suffix, the dropped-every-7th docs, and the removed-every-
+    // 11th docs all surface as token deltas. Deterministic top-50 by
+    // (|Δ| desc, token asc) — a total order, so the set is engine-exact.
+    QuerySpec(
+      "q129_vocab_drift",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+        vocabDrift(oldSnap, newSnap, topN = 50)
+      },
+      Some("""
+        WITH old AS (
+          SELECT unnest(string_split(text, ' ')) AS token
+          FROM documents WHERE doc_id % 7 <> 0),
+        new AS (
+          SELECT unnest(string_split(
+                   CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END,
+                   ' ')) AS token
+          FROM documents WHERE doc_id % 11 <> 0),
+        oc AS (SELECT token, COUNT(*) AS n_old FROM old GROUP BY token),
+        nc AS (SELECT token, COUNT(*) AS n_new FROM new GROUP BY token),
+        j AS (SELECT token,
+                     CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
+                     CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new
+              FROM oc FULL OUTER JOIN nc USING (token))
+        SELECT token, n_old, n_new, delta, change FROM (
+          SELECT token, n_old, n_new, n_new - n_old AS delta,
+                 CASE WHEN n_old = 0 THEN 'new' WHEN n_new = 0 THEN 'gone'
+                      WHEN n_new > n_old THEN 'grew' ELSE 'shrunk' END AS change
+          FROM j)
+        WHERE delta <> 0
+        ORDER BY abs(delta) DESC, token
+        LIMIT 50""")),
 
     // corpus-trained bigram LM fluency score, thresholded per language.
     // Gated through the MICRO tier: per-bigram log-probs round to integer

@@ -650,4 +650,28 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(nd === Map("a" -> 1L, "b" -> 1L), s"cross-source dups: $nd")
   }
+
+  test("vocabDrift: new/gone/grew/shrunk verdicts exact; flat suppressed; topN total order") {
+    val sql = spark
+    import sql.implicits._
+    val oldS = Seq((1L, "a a b c stable"), (2L, "a d stable")).toDF("doc_id", "text")
+    val newS = Seq((1L, "a b b c stable"), (2L, "b e stable")).toDF("doc_id", "text")
+    // counts old: a=3 b=1 c=1 d=1 stable=2 ; new: a=1 b=3 c=1 e=1 stable=2
+    val rows = graft.operators.TextOps.vocabDrift(oldS, newS, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(rows.toSet === Set(
+      ("a", 3L, 1L, -2L, "shrunk"), ("b", 1L, 3L, 2L, "grew"),
+      ("d", 1L, 0L, -1L, "gone"), ("e", 0L, 1L, 1L, "new")),
+      s"verdicts: ${rows.toSeq}")
+    // flat tokens (c, stable) never surface; order is |Δ| desc then token asc
+    assert(rows.map(_._1).toSeq === Seq("a", "b", "d", "e"))
+    // topN truncates ON the total order, deterministically
+    val top2 = graft.operators.TextOps.vocabDrift(oldS, newS, topN = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(top2 === Seq("a", "b"))
+    intercept[IllegalArgumentException] {
+      graft.operators.TextOps.vocabDrift(oldS, newS, topN = 0)
+    }
+  }
 }
