@@ -602,6 +602,39 @@ object TextOps {
         Window.orderBy(col("score").desc, col("doc_id"))))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009, public) of
+    * N rankings over the same id space — the standard hybrid-retrieval
+    * combiner (lexical BM25 + semantic ANN in every modern RAG stack):
+    * fused(d) = Σ_lists 1/(k0 + rank_list(d)), robust to incomparable
+    * score scales because only RANKS enter. Computed in exact integer
+    * micro-units (`1e6 div (k0 + rank)` — floor division on both
+    * engines), so the fused ordering is engine-exact and the q130
+    * oracle gates it row-for-row; ties break to the lowest id.
+    *
+    * Scale shape: each input ranking is already top-k-sized (k·lists
+    * rows total); the fuse is one union + one id-keyed aggregation over
+    * those few rows and a `TakeOrderedAndProject` top-k — negligible
+    * next to the legs that produced the rankings.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], topK: Int, k0: Int = 60,
+              idCol: String = "doc_id", rankCol: String = "rn"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no rankings to fuse")
+    require(topK > 0, s"rrfFuse: topK must be positive, got $topK")
+    require(k0 >= 0, s"rrfFuse: k0 must be >= 0, got $k0")
+    import org.apache.spark.sql.expressions.Window
+    rankings.map(_.select(col(idCol).cast("long").as("doc_id"),
+        expr(s"CAST(1000000 AS BIGINT) div ($k0 + CAST($rankCol AS BIGINT))")
+          .as("c")))
+      .reduce(_ unionByName _)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("bigint").as("rrf_micro"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(topK)
+      .withColumn("fused_rank", row_number().over(
+        Window.orderBy(col("rrf_micro").desc, col("doc_id"))))
+  }
+
   /** Drop docs containing any blocklisted token — the safety/blocklist
     * gate of a curation pipeline. A pure map-side filter fused into the
     * scan (the blocklist is a literal array; no join, no shuffle). */
@@ -992,6 +1025,72 @@ object TextOps {
                CAST(SUM(n_bpe_tokens) AS BIGINT) AS chunk_tokens
         FROM t GROUP BY source, chunk_id
         ORDER BY source, chunk_id""")),
+
+    // Hybrid retrieval: RRF-fuse the q73 lexical BM25 ranking with the
+    // q40 semantic cosine ranking (documents and embeddings are
+    // id-parallel views of the same corpus). Both legs are individually
+    // oracle-proven; the fusion is exact integer micro-units, so the
+    // composition carries a full oracle too.
+    QuerySpec(
+      "q130_hybrid_retrieval",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val emb = Tables.embeddings(s, d)
+        val lex = bm25TopK(docs, Seq("spark", "join", "window"), k = 30)
+        val sem = Similarity.bruteForceTopK(emb,
+            emb.filter(col("vec_id") === 0), k = 30)
+          .select(col("nid").as("doc_id"), col("rnk").as("rn"))
+        rrfFuse(Seq(lex.select(col("doc_id"), col("rn")), sem), topK = 15)
+          .orderBy(col("fused_rank"))
+      },
+      Some("""
+        WITH dl AS (SELECT doc_id, len(string_split(text,' ')) AS dl FROM documents),
+        stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dl),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf
+               FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
+               WHERE term IN ('spark','join','window') GROUP BY doc_id, term),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        bscored AS (
+          SELECT tf.doc_id,
+                 round(SUM(round(
+                   ln(1 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5)) *
+                     (tf.tf * (1.2 + 1)) /
+                     (tf.tf + 1.2*((1 - 0.75) + 0.75*dl.dl/stats.avgdl)), 6)), 4) AS score
+          FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+          GROUP BY tf.doc_id),
+        lex AS (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+          FROM bscored QUALIFY rn <= 30),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id = 0),
+        sscored AS (
+          SELECT c.vec_id AS nid,
+                 list_reduce(list_prepend(0.0,
+                   list_transform(list_zip(q.qv, c.v), p -> p[1] * p[2])),
+                   (a, b) -> a + b)
+                 / (sqrt(list_reduce(list_prepend(0.0,
+                      list_transform(list_zip(q.qv, q.qv), p -> p[1] * p[2])), (a,b) -> a+b))
+                  * sqrt(list_reduce(list_prepend(0.0,
+                      list_transform(list_zip(c.v, c.v), p -> p[1] * p[2])), (a,b) -> a+b)))
+                   AS cos
+          FROM c CROSS JOIN q
+          WHERE c.vec_id <> q.qid),
+        sem AS (
+          SELECT nid AS doc_id,
+                 ROW_NUMBER() OVER (ORDER BY cos DESC, nid ASC) AS rn
+          FROM sscored QUALIFY rn <= 30),
+        contrib AS (
+          SELECT doc_id, 1000000 // (60 + rn) AS cc FROM lex
+          UNION ALL
+          SELECT doc_id, 1000000 // (60 + rn) AS cc FROM sem),
+        fused AS (
+          SELECT doc_id, CAST(SUM(cc) AS BIGINT) AS rrf_micro,
+                 CAST(COUNT(*) AS BIGINT) AS n_lists
+          FROM contrib GROUP BY doc_id)
+        SELECT doc_id, rrf_micro, n_lists,
+               ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS fused_rank
+        FROM fused QUALIFY fused_rank <= 15
+        ORDER BY fused_rank""")),
 
     // Vocabulary drift between the q107 snapshot pair: the injected
     // " v2" suffix, the dropped-every-7th docs, and the removed-every-

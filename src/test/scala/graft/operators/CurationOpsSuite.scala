@@ -651,6 +651,34 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(nd === Map("a" -> 1L, "b" -> 1L), s"cross-source dups: $nd")
   }
 
+  test("rrfFuse: exact micro contributions; asymmetric lists; id tie-break") {
+    val sql = spark
+    import sql.implicits._
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rn")
+    val sem = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rn")
+    val fused = graft.operators.TextOps.rrfFuse(Seq(lex, sem), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // contributions: 1e6 div (60+rn): rn1=16393, rn2=16129, rn3=15873
+    // doc 20 in both lists wins; 10 vs 40: 16393 > 16129; id-asc tiebreak unused
+    assert(fused.toSeq === Seq(
+      (20L, 16129L + 16393L, 2L, 1),
+      (10L, 16393L, 1L, 2),
+      (40L, 16129L, 1L, 3),
+      (30L, 15873L, 1L, 4)), s"fused: ${fused.toSeq}")
+    // exact tie (same rank, single list each) breaks to the lower id
+    val a = Seq((7L, 1)).toDF("doc_id", "rn")
+    val b = Seq((3L, 1)).toDF("doc_id", "rn")
+    val tied = graft.operators.TextOps.rrfFuse(Seq(a, b), topK = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(tied === Seq(3L, 7L))
+    intercept[IllegalArgumentException] {
+      graft.operators.TextOps.rrfFuse(Seq.empty, topK = 5)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.TextOps.rrfFuse(Seq(a), topK = 0)
+    }
+  }
+
   test("vocabDrift: new/gone/grew/shrunk verdicts exact; flat suppressed; topN total order") {
     val sql = spark
     import sql.implicits._
