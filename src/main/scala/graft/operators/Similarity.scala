@@ -216,6 +216,61 @@ object Similarity {
         WHERE rnk <= 5
         ORDER BY qid, rnk""")
 
+  /** Semantic decontamination — the EMBEDDING analogue of the n-gram
+    * eval-set decontamination (q65): drop every training vector whose
+    * cosine to ANY eval vector reaches `tau`. Lexical decontamination
+    * misses paraphrases; an embedding-space screen catches a reworded
+    * eval item that shares no 8-gram with its source. Returns the
+    * surviving training rows.
+    *
+    * Scale shape mirrors q65 exactly: the eval set is SMALL by nature
+    * and broadcasts; scoring is a map-side broadcast nested-loop over
+    * the training corpus (|train|·|eval| dot products, codegen'd
+    * ArrayDot) followed by one id-keyed anti-join of flagged ids — the
+    * training corpus never shuffles by anything but its own id. For an
+    * eval set too big to broadcast, pre-bucket both sides with
+    * [[graft.operators.Dedup.cosinePairsLsh]]'s banding instead.
+    */
+  def semanticDecontaminate(train: DataFrame, evalSet: DataFrame,
+                            tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    val t = train.select(col("vec_id"), asDouble(col("embedding")).as("tv"))
+    val e = broadcast(evalSet.select(asDouble(col("embedding")).as("ev")))
+    val flagged = t.crossJoin(e)
+      .filter(cosine(col("tv"), col("ev")) >= tau)
+      .select(col("vec_id")).distinct()
+    train.join(flagged, Seq("vec_id"), "left_anti")
+  }
+
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * `k` highest-cosine candidates BELOW `maxCos` — similar enough to
+    * be informative negatives, dissimilar enough not to be latent
+    * positives/duplicates (the near-dup band a naive top-k would
+    * surface is excluded; same anchor excluded by id). The standard
+    * pair-construction step for embedding-model training.
+    *
+    * Exact formulation (this is the oracle tier, |anchors| broadcast):
+    * for corpus-scale anchor sets run the same band filter over an ANN
+    * shortlist ([[ivfPqTopK]] with k ≫ target, then filter) — recall
+    * bounded by the ANN recall the AnnRecallSuite gates.
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+                    maxCos: Double): DataFrame = {
+    require(k > 0, s"top-k must be positive, got $k")
+    require(maxCos > -1.0 && maxCos <= 1.0, s"maxCos must be in (-1,1], got $maxCos")
+    val q = broadcast(anchors.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qv")))
+    val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .filter(col("cos") < maxCos)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** IVF (inverted-file) ANN: k-means the corpus into `nClusters` cells,
     * search only the `nProbe` cells nearest each query. The coarse
     * quantizer is trained with Lloyd iterations expressed as DataFrame
@@ -671,6 +726,69 @@ object Similarity {
           .orderBy(col("qid"), col("rnk"))
       },
       specsOracleTopK),
+
+    // Semantic decontamination: eval = vec_id < 20, tau matches the q46
+    // near-dup threshold so drops are non-vacuous on this corpus.
+    QuerySpec(
+      "q131_semantic_decontaminate",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        semanticDecontaminate(emb.filter(col("vec_id") >= 20),
+            emb.filter(col("vec_id") < 20), tau = 0.35)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_kept"))
+          .orderBy(col("label"))
+      },
+      Some("""
+        WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        t AS (SELECT * FROM c WHERE vec_id >= 20),
+        e AS (SELECT v AS ev FROM c WHERE vec_id < 20),
+        flagged AS (
+          SELECT DISTINCT t.vec_id
+          FROM t CROSS JOIN e
+          WHERE list_reduce(list_prepend(0.0,
+                  list_transform(list_zip(t.v, e.ev), p -> p[1] * p[2])),
+                  (a, b) -> a + b)
+                / (sqrt(list_reduce(list_prepend(0.0,
+                     list_transform(list_zip(t.v, t.v), p -> p[1] * p[2])), (a,b) -> a+b))
+                 * sqrt(list_reduce(list_prepend(0.0,
+                     list_transform(list_zip(e.ev, e.ev), p -> p[1] * p[2])), (a,b) -> a+b)))
+                >= 0.35)
+        SELECT label, COUNT(*) AS n_kept
+        FROM t ANTI JOIN flagged USING (vec_id)
+        GROUP BY label ORDER BY label""")),
+
+    // Hard negatives: per anchor, top-5 by cosine BELOW the 0.5
+    // latent-positive band — q40's algebra plus the band filter.
+    QuerySpec(
+      "q132_hard_negatives",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        hardNegatives(emb, emb.filter(col("vec_id") < 5), k = 5, maxCos = 0.5)
+          .orderBy(col("qid"), col("rnk"))
+      },
+      Some("""
+        WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 5),
+             scored AS (
+               SELECT q.qid, c.vec_id AS nid,
+                      list_reduce(list_prepend(0.0,
+                        list_transform(list_zip(q.qv, c.v), p -> p[1] * p[2])),
+                        (a, b) -> a + b)
+                      / (sqrt(list_reduce(list_prepend(0.0,
+                           list_transform(list_zip(q.qv, q.qv), p -> p[1] * p[2])), (a,b) -> a+b))
+                       * sqrt(list_reduce(list_prepend(0.0,
+                           list_transform(list_zip(c.v, c.v), p -> p[1] * p[2])), (a,b) -> a+b)))
+                        AS cos
+               FROM c CROSS JOIN q
+               WHERE c.vec_id <> q.qid)
+        SELECT qid, rnk, nid, round(cos, 6) AS cos_sim FROM (
+          SELECT qid, nid, cos,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+          FROM scored WHERE cos < 0.5)
+        WHERE rnk <= 5
+        ORDER BY qid, rnk""")),
 
     // LSH path: recall < 1 by design → rows-only check; judged on plan shape.
     QuerySpec(
