@@ -242,6 +242,26 @@ object Similarity {
     train.join(flagged, Seq("vec_id"), "left_anti")
   }
 
+  /** Serve tier of [[semanticDecontaminate]]: the eval vectors ride the
+    * plan as ONE ARRAY LITERAL and the screen becomes a pure projection
+    * (`exists(evalLit, e → cos(v,e) ≥ tau)` — zero joins, zero state,
+    * zero shuffle), so the SAME call runs UNCHANGED on a streaming
+    * ingest frame (the ImportanceModel / OutlierModel literal-serving
+    * pattern; parity gated in StreamingCurationSuite). Use when the
+    * eval set is literal-sized (≤ a few thousand vectors); the batch
+    * tier's broadcast join covers the rest.
+    */
+  def semanticDecontaminateServe(train: DataFrame,
+                                 evalVectors: Seq[Seq[Double]],
+                                 tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    require(evalVectors.nonEmpty, "semanticDecontaminateServe: empty eval set")
+    val evalLit = typedlit(evalVectors)
+    val v = asDouble(col("embedding"))
+    train.filter(!exists(evalLit,
+      e => cosine(v, e) >= lit(tau)))
+  }
+
   /** Hard-negative mining for contrastive training: per anchor, the
     * `k` highest-cosine candidates BELOW `maxCos` — similar enough to
     * be informative negatives, dissimilar enough not to be latent

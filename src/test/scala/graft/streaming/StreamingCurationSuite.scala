@@ -145,6 +145,50 @@ class StreamingCurationSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.map(_._1) == Set(10L), s"only the spike flags: $streamed")
   }
 
+  test("semantic decontamination serve tier screens a stream; parity with batch join tier") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // eval direction e1; vectors 1,2 leak (parallel / near-parallel),
+    // 3,4 orthogonal and survive
+    val evalVecs = Seq(Seq(1.0, 0.0, 0.0, 0.0))
+    val rows = Seq(
+      (1L, Seq(2.0, 0.0, 0.0, 0.0)),   // parallel → cos 1
+      (2L, Seq(1.0, 0.1, 0.0, 0.0)),   // near-parallel → cos ≈ 0.995
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)),   // orthogonal
+      (4L, Seq(0.0, 0.0, 3.0, 4.0)))   // orthogonal
+    val train = rows.toDF("vec_id", "embedding")
+
+    val batchKept = graft.operators.Similarity.semanticDecontaminate(
+        train, evalVecs.zipWithIndex.map { case (v, i) => (100L + i, v) }
+          .toDF("vec_id", "embedding"), tau = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    val serveKept = graft.operators.Similarity.semanticDecontaminateServe(
+        train, evalVecs, tau = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(batchKept === Set(3L, 4L) && serveKept === batchKept,
+      s"batch=$batchKept serve=$serveKept")
+
+    // the serve tier is a pure projection — the SAME call runs on a stream
+    val input = MemoryStream[(Long, Seq[Double])]
+    val screened = graft.operators.Similarity.semanticDecontaminateServe(
+      input.toDS().toDF("vec_id", "embedding"), evalVecs, tau = 0.9)
+    val query = screened.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("ssemdec")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ssemdec").toString)
+      .start()
+    input.addData(rows.take(2): _*)
+    query.processAllAvailable()
+    input.addData(rows.drop(2): _*)
+    query.processAllAvailable()
+    query.stop()
+    val streamKept = spark.table("ssemdec").collect().map(_.getLong(0)).toSet
+    assert(streamKept === batchKept, s"stream=$streamKept batch=$batchKept")
+  }
+
   test("map-side gates (blocklist) apply to a stream unchanged") {
     val sql = spark
     import sql.implicits._
