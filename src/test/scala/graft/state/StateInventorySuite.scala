@@ -1,0 +1,80 @@
+package graft.state
+
+import java.nio.file.Files
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** The state census: per-(operator, partition) key counts read through
+  * the state data source — what a resumed query would actually load —
+  * including explicit zeros for drained partitions, and agreement with
+  * the surgery toolkit (a pruned checkpoint's census reflects the drop).
+  */
+class StateInventorySuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-state-inventory")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        classOf[RocksDbStateStoreProvider].getName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("census counts per partition; zeros explicit; prune surgery reflected") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val ckpt1 = Files.createTempDirectory("graft-inv-src")
+    val ckpt2 = Files.createTempDirectory("graft-inv-dst")
+    val input = MemoryStream[(Int, Int)]
+    val q = input.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(RescaleCounterFns.addCounts)
+      .toDF("id", "total")
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("inv_sink")
+      .option("checkpointLocation", ckpt1.toString)
+      .start()
+    input.addData((1, 10), (2, 20), (3, 30), (4, 40))
+    q.processAllAvailable()
+    q.stop()
+
+    val inv = StateInventory.inventory(spark, ckpt1.toString)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(inv.keySet.map(_._1) === Set(0L), s"one operator: $inv")
+    assert(inv.keySet.map(_._2) === Set(0, 1), "both shuffle partitions present")
+    assert(inv.values.sum === 4L, s"4 keys total: $inv")
+
+    // prune two entities; the destination census must reflect exactly that,
+    // keeping zero rows where a partition drained completely
+    val keySchema = StructType(Seq(StructField("value", IntegerType, nullable = false)))
+    StateRescale.pruneCheckpoint(() => new RocksDbStateStoreProvider,
+      ckpt1.toString, ckpt2.toString, operatorId = 0, numPartitions = 2,
+      keySchema, keySchema, StateTestHelper.storeConf(),
+      keep = row => row.getInt(0) <= 2)
+    val after = StateInventory.inventory(spark, ckpt2.toString)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(after.values.sum === 2L, s"2 keys survive the prune: $after")
+    assert(after.keySet.map(_._2) === Set(0, 1),
+      s"drained partitions must still appear (as zeros): $after")
+
+    intercept[IllegalArgumentException] {
+      StateInventory.inventory(spark,
+        Files.createTempDirectory("graft-inv-empty").toString)
+    }
+  }
+}
