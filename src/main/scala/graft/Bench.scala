@@ -225,7 +225,11 @@ object Bench {
     // per-query record (~8 KB) overflowed that window in r05+r06
     // ("parsed": null). The LAST line is therefore a compact summary that
     // always fits; per-query detail lives in bench_result.json only.
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","warmup":"full-pass-min2-mat","tier":"capped","n_queries":${results.size},"n_errors":${errors.size},"n_regressions":${regs.size},"regressions":$regJson,"file":"$resultPath","sf":"$sfDir"}"""
+    // compact line carries only the COUNT: the per-query regression map
+    // is unbounded (one entry per query in a machine-wide slowdown) and
+    // would reintroduce the bounded-tail overflow this line exists to
+    // avoid — the full map lives in bench_result.json and on stderr
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","warmup":"full-pass-min2-mat","tier":"capped","n_queries":${results.size},"n_errors":${errors.size},"n_regressions":${regs.size},"file":"$resultPath","sf":"$sfDir"}"""
     // stop FIRST so no Spark background thread can interleave log output
     // with the one JSON line the harness parses
     spark.stop()

@@ -240,10 +240,15 @@ object AnnIndex {
     */
   def recallAudit(corpus: DataFrame, dir: String, sampleQueries: DataFrame,
                   k: Int, nProbe: Int = 4, shortlist: Int = 50): DataFrame = {
+    // checkpoint the |sample|·k id lists and the per-query rows: `exact`
+    // feeds two consumers and `perQuery` feeds the union's both sides —
+    // without the cut each plan reference re-runs the brute-force cross
+    // join / PQ search (the q116 multi-reference lesson; the stored form
+    // is tiny relative to what it replaces)
     val approx = search(corpus, dir, sampleQueries, k, nProbe, shortlist)
-      .select(col("qid"), col("nid"))
+      .select(col("qid"), col("nid")).localCheckpoint(false)
     val exact = Similarity.bruteForceTopK(corpus, sampleQueries, k)
-      .select(col("qid"), col("nid"))
+      .select(col("qid"), col("nid")).localCheckpoint(false)
     val hits = exact.join(approx, Seq("qid", "nid"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
     val perQuery = exact.groupBy(col("qid"))
@@ -253,6 +258,7 @@ object AnnIndex {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_exact"))
           .as("recall"))
+      .localCheckpoint(false)
     perQuery.unionByName(
       perQuery.agg(lit(null).cast("long").as("qid"),
         sum(col("n_hits")).as("n_hits"), avg(col("recall")).as("recall")))

@@ -322,8 +322,19 @@ object Sessionize {
         lit(st.cThreshold.underlying).cast("decimal(38,0)").as("c")))
     }
     val st = try_element_at(map(entries: _*), col(typeCol))
+    // serve-time envelope: the fit's require bounds only the FIT data —
+    // a unit-mix-up row arriving at serve (|m| far beyond anything
+    // fitted) would overflow dev² past Decimal(38,0) and silently
+    // unflag the most extreme outlier (or die under ANSI). Same loud
+    // assert_true as the batch path; unseen types (st null) pass.
+    val inEnvelope = st.isNull ||
+      st.getField("n") * abs(md) <= lit(envelopeLimit(model.k).underlying)
     val dev = st.getField("n") * md - st.getField("s")
-    m.filter(dev * dev > st.getField("c"))
+    m.filter(assert_true(inEnvelope,
+        concat(lit(s"flagOutliers: serve-time value outside the " +
+          s"exact-decimal envelope (n*|v_micro| > ${envelopeLimit(model.k)}) " +
+          "for type "), col(typeCol), lit(" — refit with sharded stats"))).isNull)
+      .filter(dev * dev > st.getField("c"))
       .select(col(idCol), col(typeCol), col("v_micro"))
   }
 

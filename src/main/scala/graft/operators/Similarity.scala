@@ -237,10 +237,21 @@ object Similarity {
     val t = train.select(col("vec_id"), asDouble(col("embedding")).as("tv"))
     val e = broadcast(evalSet.select(asDouble(col("embedding")).as("ev")))
     val flagged = t.crossJoin(e)
-      .filter(cosine(col("tv"), col("ev")) >= tau)
+      .filter(guardedCosine(col("tv"), col("ev")) >= tau)
       .select(col("vec_id")).distinct()
     train.join(flagged, Seq("vec_id"), "left_anti")
   }
+
+  /** Zero-norm-guarded pair cosine for the screening operators: a zero
+    * vector has no direction — score −2.0 (below any threshold) instead
+    * of NaN. Unguarded NaN is catastrophic here: Spark orders NaN above
+    * everything, so `NaN >= tau` is TRUE and one all-zeros eval vector
+    * would silently flag the ENTIRE training corpus ([[graft.operators
+    * .Dedup]]'s safeCosine precedent, applied to this family).
+    */
+  private def guardedCosine(a: Column, b: Column): Column =
+    when(norm(a) === 0.0 || norm(b) === 0.0, lit(-2.0))
+      .otherwise(cosine(a, b))
 
   /** Serve tier of [[semanticDecontaminate]]: the eval vectors ride the
     * plan as ONE ARRAY LITERAL and the screen becomes a pure projection
@@ -259,7 +270,7 @@ object Similarity {
     val evalLit = typedlit(evalVectors)
     val v = asDouble(col("embedding"))
     train.filter(!exists(evalLit,
-      e => cosine(v, e) >= lit(tau)))
+      e => guardedCosine(v, e) >= lit(tau)))
   }
 
   /** Hard-negative mining for contrastive training: per anchor, the
@@ -283,8 +294,12 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("cv"))
     val scored = c.crossJoin(q)
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
-      .filter(col("cos") < maxCos)
+      // guarded: a zero anchor/candidate scores -2.0 (surfaces last /
+      // never) instead of NaN, which Spark orders ABOVE every real cosine
+      .withColumn("cos", guardedCosine(col("qv"), col("cv")))
+      // the -2.0 zero-vector sentinel is excluded entirely: a direction-
+      // less vector is not an informative negative at any rank
+      .filter(col("cos") < maxCos && col("cos") >= -1.0)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

@@ -730,11 +730,20 @@ object TextOps {
 
   /** Where q124 persists its per-doc BPE counts for the DuckDB oracle to
     * read back (the same absolute-path parquet access the gate already
-    * uses for every Spark result). Fixed path, overwrite-per-run: the
-    * oracle always compares against the counts the query just produced.
+    * uses for every Spark result) — TAGGED per dataset directory so a
+    * sf0.1 bench run can never leave counts a later sf0.01 verify would
+    * silently compare against. The oracle SQL carries the
+    * [[graft.Verify.SfTagToken]] placeholder; Verify substitutes the
+    * actual dataset's tag when it dumps oracle_sql.json.
     */
-  private val bpeCountsPath: String =
-    s"${sys.props("java.io.tmpdir")}/graft_bpe_counts.parquet"
+  private[graft] def sfTag(sfDir: String): String =
+    sfDir.stripSuffix("/").split('/').last.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  private def bpeCountsPath(sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_bpe_counts_${sfTag(sfDir)}.parquet"
+
+  private val bpeCountsPathTemplate: String =
+    s"${sys.props("java.io.tmpdir")}/graft_bpe_counts___SF_TAG__.parquet"
 
   /** Token-vocabulary drift between two corpus snapshots — the TEXT twin
     * of the embedding drift audit (q126) and the companion to
@@ -1006,8 +1015,8 @@ object TextOps {
         val model = bpeModels.computeIfAbsent(d,
           dir => fitBpeModel(Tables.documents(s, dir), nMerges = 64))
         bpeTokenCounts(docs, model)
-          .write.mode("overwrite").parquet(bpeCountsPath)
-        Pipeline.packSequences(s.read.parquet(bpeCountsPath),
+          .write.mode("overwrite").parquet(bpeCountsPath(d))
+        Pipeline.packSequences(s.read.parquet(bpeCountsPath(d)),
             budgetTokens = 512, tokenCountCol = Some("n_bpe_tokens"))
           .groupBy(col("source"), col("chunk_id"))
           .agg(count(lit(1)).as("n_docs"),
@@ -1019,7 +1028,7 @@ object TextOps {
           SELECT doc_id, source, n_bpe_tokens,
                  SUM(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-          FROM '$bpeCountsPath/*.parquet')
+          FROM '$bpeCountsPathTemplate/*.parquet')
         SELECT source, CAST((cum - n_bpe_tokens) // 512 AS BIGINT) AS chunk_id,
                COUNT(*) AS n_docs,
                CAST(SUM(n_bpe_tokens) AS BIGINT) AS chunk_tokens

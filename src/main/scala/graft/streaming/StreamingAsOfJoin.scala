@@ -40,8 +40,8 @@ import org.apache.spark.sql.streaming._
 object StreamingAsOfJoin {
 
   case class AsOfEvent(key: Long, ord: Long, isProbe: Boolean, id: Long,
-                       bval: Long)
-  case class BuildSnap(ord: Long, bval: Long)
+                       bval: Option[Long])
+  case class BuildSnap(ord: Long, bval: Option[Long])
   case class AsOfRow(key: Long, ord: Long, id: Long, asofVal: Option[Long])
 
   /** Per-key processor: replay the batch window's exact visit order
@@ -61,13 +61,20 @@ object StreamingAsOfJoin {
       // micro-batch rows arrive in shuffle order; restore the batch
       // window's sort (ord asc, build before probe, bval asc so the
       // largest build value is applied last at equal ord)
+      // Option[Long] bval mirrors batch NULL handling exactly: a build
+      // row with a NULL value still CARRIES (its struct is non-null in
+      // the batch window), answers probes with NULL, and loses equal-ord
+      // ties to any non-null value (None < Some — batch's nulls-first
+      // ascending sort). A primitive Long here would kill the query on
+      // the first null-valued build row.
       val sorted = rows.toArray.sortBy(e => (e.ord, e.isProbe, e.bval))
       val out = scala.collection.mutable.ArrayBuffer.empty[AsOfRow]
+      val optOrd = Ordering[Option[Long]]
       var st = Option(newest.get())
       sorted.foreach { e =>
         if (!e.isProbe) {
           if (st.forall(s => e.ord > s.ord ||
-              (e.ord == s.ord && e.bval > s.bval)))
+              (e.ord == s.ord && optOrd.compare(e.bval, s.bval) > 0)))
             st = Some(BuildSnap(e.ord, e.bval))
         } else {
           // as-of looks BACKWARD only: a state row newer than the probe
@@ -75,7 +82,7 @@ object StreamingAsOfJoin {
           // answers it
           val hit = st.filter(s => s.ord <= e.ord &&
             tolerance.forall(t => e.ord - s.ord <= t))
-          out += AsOfRow(key, e.ord, e.id, hit.map(_.bval))
+          out += AsOfRow(key, e.ord, e.id, hit.flatMap(_.bval))
         }
       }
       st.foreach(newest.update)
@@ -103,7 +110,8 @@ object StreamingAsOfJoin {
     import spark.implicits._
     val p = probe.select(col(key).cast("long").as("key"),
       col(ord).cast("long").as("ord"), lit(true).as("isProbe"),
-      col(probeId).cast("long").as("id"), lit(0L).as("bval"))
+      col(probeId).cast("long").as("id"),
+      lit(null).cast("long").as("bval"))
     val b = build.select(col(key).cast("long").as("key"),
       col(ord).cast("long").as("ord"), lit(false).as("isProbe"),
       lit(0L).as("id"), col(buildVal).cast("long").as("bval"))

@@ -310,6 +310,23 @@ class SessionizeSuite extends AnyFunSuite with BeforeAndAfterAll {
     val ok = Seq((1L, "A", 1.0e12), (2L, "A", 1.0e12))
       .toDF("event_id", "event_type", "value")
     assert(Sessionize.valueOutliers(ok, k = 2).count() === 0L)
+
+    // SERVE-time overflow: a clean fit, then a unit-mix-up row at serve
+    // (the fit's require cannot see it) — must raise, never null-unflag
+    val clean = ((1L to 10L).map(i => (i, "A", 10.0)))
+      .toDF("event_id", "event_type", "value")
+    val model = Sessionize.fitOutlierModel(clean, k = 3)
+    val mixup = Seq((99L, "A", 1.0e12)).toDF("event_id", "event_type", "value")
+    val eServe = intercept[Exception] {
+      Sessionize.flagOutliers(mixup, model).collect()
+    }
+    val serveMsgs = Iterator.iterate[Throwable](eServe)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(serveMsgs.exists(_.contains("envelope")),
+      s"serve overflow must raise the envelope assert, got: $serveMsgs")
+    // an unseen type at any magnitude still passes through unflagged
+    val unseenHuge = Seq((7L, "Z", 1.0e12)).toDF("event_id", "event_type", "value")
+    assert(Sessionize.flagOutliers(unseenHuge, model).count() === 0L)
   }
 
   test("sessions rollup: counts and time bounds per session") {

@@ -41,14 +41,20 @@ abstract class StreamingAsOfJoinSuiteBase extends AnyFunSuite with BeforeAndAfte
   // key 2: build tie on ord 4 (bval 40 vs 41 — largest must win) and a
   //        probe AT the tie ord (build-before-probe at equal ord)
   // key 3: probe before any build (None even unbounded)
+  // key 4: NULL-valued build rows — a newest build with NULL value
+  //        answers with NULL (never falls back to an older value), and
+  //        a NULL loses an equal-ord tie to any non-null (batch's
+  //        nulls-first sort)
   private val builds = Seq(
-    (1L, 2L, 20L), (1L, 6L, 21L),
-    (2L, 4L, 40L), (2L, 4L, 41L), (2L, 15L, 42L),
-    (3L, 30L, 60L))
+    (1L, 2L, Some(20L)), (1L, 6L, Some(21L)),
+    (2L, 4L, Some(40L)), (2L, 4L, Some(41L)), (2L, 15L, Some(42L)),
+    (3L, 30L, Some(60L)),
+    (4L, 2L, Some(70L)), (4L, 6L, None), (4L, 8L, None), (4L, 8L, Some(71L)))
   private val probes = Seq(
     (1L, 3L, 101L), (1L, 7L, 102L), (1L, 25L, 103L),
     (2L, 4L, 201L), (2L, 5L, 202L), (2L, 22L, 203L),
-    (3L, 1L, 301L), (3L, 31L, 302L))
+    (3L, 1L, 301L), (3L, 31L, 302L),
+    (4L, 3L, 401L), (4L, 7L, 402L), (4L, 9L, 403L))
 
   private def runStream(tolerance: Option[Long]): Set[(Long, Long, Long, Option[Long])] = {
     val sql = spark
@@ -56,7 +62,7 @@ abstract class StreamingAsOfJoinSuiteBase extends AnyFunSuite with BeforeAndAfte
     implicit val sqlCtx = spark.sqlContext
 
     val probeIn = MemoryStream[(Long, Long, Long)]
-    val buildIn = MemoryStream[(Long, Long, Long)]
+    val buildIn = MemoryStream[(Long, Long, Option[Long])]
     val out = StreamingAsOfJoin.asOfJoinStream(
       probeIn.toDS().toDF("key", "ord", "id"),
       buildIn.toDS().toDF("key", "ord", "bval"),
@@ -106,6 +112,10 @@ abstract class StreamingAsOfJoinSuiteBase extends AnyFunSuite with BeforeAndAfte
       "equal-ord probe must see the equal-ord build, largest bval")
     assert(batch.contains((3L, 1L, 301L, None)), "probe before any build is None")
     assert(batch.contains((1L, 25L, 103L, Some(21L))), "unbounded carries forever")
+    assert(batch.contains((4L, 7L, 402L, None)),
+      "a newest NULL-valued build answers NULL, not an older value")
+    assert(batch.contains((4L, 9L, 403L, Some(71L))),
+      "NULL loses the equal-ord tie to a non-null value")
   }
 
   test(s"$suiteName: pseudo-random interleaving (ties, dense keys) == batch, both bounds") {
