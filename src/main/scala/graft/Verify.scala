@@ -7,6 +7,24 @@ object Verify {
 
   private def q(s: String): String = JsonEscape.quote(s)
 
+  /** Placeholder an oracle SQL string may embed wherever it needs the
+    * dataset directory's tag (e.g. q124's side-dumped BPE counts path).
+    * [[renderedOracleSql]] substitutes the ACTUAL tag at dump time, so
+    * the same static `oracleSql` map serves every sf-dir without a
+    * sf0.1 bench run leaving artifacts a later sf0.01 verify would
+    * silently compare against. OracleHygieneSuite gates that no
+    * placeholder ever survives into oracle_sql.json. */
+  val SfTagToken = "__SF_TAG__"
+
+  /** `SparkEntry.oracleSql` with every [[SfTagToken]] rendered for the
+    * given dataset dir — THE map that must reach oracle_sql.json (r8
+    * dumped the raw map verbatim and DuckDB globbed a literal
+    * `__SF_TAG__` path; this is the one substitution point). */
+  def renderedOracleSql(sfDir: String): Map[String, String] = {
+    val tag = graft.operators.TextOps.sfTag(sfDir)
+    SparkEntry.oracleSql.map { case (k, v) => k -> v.replace(SfTagToken, tag) }
+  }
+
   /** Run each (filtered) query, dumping results under `outDir/<name>`.
     * A failed query must be LOUD: r06 shipped two analysis-broken queries
     * that wrote no output dir and so vanished from the driver's
@@ -64,7 +82,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     runQueries(spark, sfDir, outDir, only)
-    val json = SparkEntry.oracleSql
+    val json = renderedOracleSql(sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // exit 0 even on per-query failures: the driver must still run the

@@ -733,8 +733,10 @@ object TextOps {
     * uses for every Spark result) — TAGGED per dataset directory so a
     * sf0.1 bench run can never leave counts a later sf0.01 verify would
     * silently compare against. The oracle SQL carries the
-    * [[graft.Verify.SfTagToken]] placeholder; Verify substitutes the
-    * actual dataset's tag when it dumps oracle_sql.json.
+    * [[graft.Verify.SfTagToken]] placeholder; `Verify.renderedOracleSql`
+    * substitutes the actual dataset's tag before oracle_sql.json is
+    * written (and OracleHygieneSuite fails if any placeholder survives
+    * a rendered dump).
     */
   private[graft] def sfTag(sfDir: String): String =
     sfDir.stripSuffix("/").split('/').last.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -743,7 +745,7 @@ object TextOps {
     s"${sys.props("java.io.tmpdir")}/graft_bpe_counts_${sfTag(sfDir)}.parquet"
 
   private val bpeCountsPathTemplate: String =
-    s"${sys.props("java.io.tmpdir")}/graft_bpe_counts___SF_TAG__.parquet"
+    s"${sys.props("java.io.tmpdir")}/graft_bpe_counts_${graft.Verify.SfTagToken}.parquet"
 
   /** Token-vocabulary drift between two corpus snapshots — the TEXT twin
     * of the embedding drift audit (q126) and the companion to

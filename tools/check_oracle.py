@@ -31,6 +31,10 @@ def main(out_dir, sf_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Verify.renderedOracleSql substitutes __SF_TAG__ before dumping; keep a
+    # defensive render here so a stale/hand-built oracle_sql.json still runs.
+    sf_tag = sf_dir.rstrip("/").split("/")[-1]
+    oracle = {k: v.replace("__SF_TAG__", sf_tag) for k, v in oracle.items()}
     n_ok = n_bad = 0
     import os
     present = {n for n in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{n}")}
