@@ -697,16 +697,37 @@ object Dedup {
       "nid", "cv", nClusters, iters)
   }
 
+  /** The capped `(nid, cid, cv)` assignment frame — split out so the
+    * plan shape is gateable (SemDeDupSuite): cell sizes come from a
+    * map-side-combined groupBy over (cid) — tiny (cid, count) traffic,
+    * never the embedding payload — and the over-cap cid set
+    * (≤ nClusters rows) broadcasts into an anti-join applied BEFORE the
+    * checkpoint/self-join. The r8 shape (a Window count partitioned by
+    * cid) funneled a degenerate cell's ENTIRE vector payload onto one
+    * task only to throw it away — exactly the skewed cell the cap
+    * exists for (e.g. a boilerplate-embedding cluster holding 10% of a
+    * 100 TB corpus). Now a capped cell's vectors never shuffle at all.
+    */
+  private[operators] def cappedAssignment(v: DataFrame,
+                                          cents: Array[(Int, Array[Double])],
+                                          maxClusterSize: Int): DataFrame = {
+    val assignedRaw = Similarity.assign(v, cents, "cv")
+    val overCap = assignedRaw.groupBy(col("cid"))
+      .agg(count(lit(1)).as("__cn"))
+      .filter(col("__cn") > maxClusterSize)
+      .select(col("cid"))
+    assignedRaw
+      .join(broadcast(overCap), Seq("cid"), "left_anti")
+      .select(col("nid"), col("cid"), col("cv"))
+  }
+
   def semDeDupLosers(embeddings: DataFrame, threshold: Double,
                      nClusters: Int = 64, iters: Int = 3,
                      maxClusterSize: Int = 4096): DataFrame = {
     val v = embeddings.select(col("vec_id").as("nid"),
       Similarity.asDouble(col("embedding")).as("cv"))
     val cents = fitSemDeDupModel(embeddings, nClusters, iters)
-    val assigned = Similarity.assign(v, cents, "cv")
-      .withColumn("__cn", count(lit(1)).over(Window.partitionBy(col("cid"))))
-      .filter(col("__cn") <= maxClusterSize)
-      .select(col("nid"), col("cid"), col("cv"))
+    val assigned = cappedAssignment(v, cents, maxClusterSize)
       .localCheckpoint(false)
     val a = assigned.as("a")
     val b = assigned.as("b")

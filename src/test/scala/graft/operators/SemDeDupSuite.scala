@@ -92,6 +92,23 @@ class SemDeDupSuite extends AnyFunSuite with BeforeAndAfterAll {
       "keepers and losers must partition the corpus")
   }
 
+  test("cap applies before any vector shuffle: no Window, broadcast anti-join") {
+    val emb = fixture()
+    val v = emb.select(col("vec_id").as("nid"),
+      Similarity.asDouble(col("embedding")).as("cv"))
+    val cents = Dedup.fitSemDeDupModel(emb, nClusters = 2, iters = 1)
+    val frame = Dedup.cappedAssignment(v, cents, maxClusterSize = 4096)
+    // the r8 regression: a Window count over cid shuffled the full vector
+    // payload of exactly the degenerate cell the cap exists to contain
+    val windows = frame.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, s"cap must not use a Window over cid: $windows")
+    val phys = frame.queryExecution.sparkPlan.toString
+    assert(phys.contains("BroadcastHashJoin") && phys.contains("LeftAnti"),
+      s"over-cap cid set must broadcast into an anti-join:\n$phys")
+  }
+
   test("an oversized cluster is dropped from pairing prospectively") {
     val emb = fixture()
     // every cluster exceeds a cap of 2 → no candidate pairs at all
