@@ -436,27 +436,41 @@ object Pipeline {
     * ([[graft.state.StateRescale.prune]] covers checkpointed state).
     *
     * Mechanics: staged anti-join rewrite (the delete list broadcasts —
-    * zero shuffle of the artifact) then a filesystem swap, so a reader
-    * never observes a half-written directory; the swap window itself is
-    * the same move-in-place every compaction job has. Ids absent from
-    * the artifact are ignored — replaying a delete log is idempotent.
-    * Cost: one scan+rewrite of the artifact, work ∝ artifact size, not
-    * corpus size.
+    * zero shuffle of the artifact) then a rename-aside swap
+    * (`dir -> dir__prune_old`, `stage -> dir`, delete the aside copy) —
+    * a crash at ANY point leaves a recoverable full copy at a
+    * deterministic path, where the r8 delete-then-rename swap had a
+    * window with NO live copy at `dir` at all. A rerun self-heals the
+    * two crash residues first (aside copy restored if `dir` vanished
+    * mid-swap; stale aside deleted otherwise), so replaying a delete
+    * log is idempotent through crashes too. Ids absent from the
+    * artifact are ignored. Cost: one scan+rewrite of the artifact, work
+    * ∝ artifact size, not corpus size.
     */
   def pruneArtifact(ids: DataFrame, dir: String, idCol: String): Unit = {
     val spark = ids.sparkSession
-    val stage = dir.stripSuffix("/") + "__prune_stage"
-    spark.read.parquet(dir)
-      .join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti")
-      .write.mode("overwrite").parquet(stage)
-    val dirPath = new org.apache.hadoop.fs.Path(dir)
-    val stagePath = new org.apache.hadoop.fs.Path(stage)
+    val base = dir.stripSuffix("/")
+    val dirPath = new org.apache.hadoop.fs.Path(base)
+    val stagePath = new org.apache.hadoop.fs.Path(base + "__prune_stage")
+    val oldPath = new org.apache.hadoop.fs.Path(base + "__prune_old")
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.delete(dirPath, true),
-      s"pruneArtifact: could not remove old artifact at $dirPath")
+    // self-heal residue of a crashed prior run before touching anything
+    if (!fs.exists(dirPath) && fs.exists(oldPath))
+      require(fs.rename(oldPath, dirPath),
+        s"pruneArtifact: could not restore crashed swap ($oldPath -> $dirPath)")
+    if (fs.exists(oldPath))
+      require(fs.delete(oldPath, true),
+        s"pruneArtifact: could not clear stale aside copy at $oldPath")
+    spark.read.parquet(base)
+      .join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti")
+      .write.mode("overwrite").parquet(stagePath.toString)
+    require(fs.rename(dirPath, oldPath),
+      s"pruneArtifact: could not move live artifact aside ($dirPath -> $oldPath)")
     require(fs.rename(stagePath, dirPath),
       s"pruneArtifact: could not swap staged artifact into place " +
         s"($stagePath -> $dirPath)")
+    require(fs.delete(oldPath, true),
+      s"pruneArtifact: could not remove aside copy at $oldPath")
   }
 
   /** Verify a delete list is GONE from every persisted artifact — the

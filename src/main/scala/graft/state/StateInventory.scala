@@ -1,6 +1,6 @@
 package graft.state
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** State census of a streaming checkpoint — the OBSERVABILITY half of the
@@ -12,16 +12,22 @@ import org.apache.spark.sql.functions._
   */
 object StateInventory {
 
-  /** One row per (operator, partition) with a key count:
-    * `(operator_id, partition_id, n_keys)`. Operators are discovered
-    * from the checkpoint's `state/` directory; partitions with zero
-    * keys carry an explicit 0 row (a silent absence would make a
-    * drained partition indistinguishable from a never-used one —
-    * which is exactly what a post-prune audit needs to tell apart).
+  /** One row per (operator, state variable, partition) with a key count:
+    * `(operator_id, state_var, partition_id, n_keys)`. Operators are
+    * discovered from the checkpoint's `state/` directory; a
+    * transformWithState operator's state VARIABLES are discovered from
+    * the checkpoint's own operator metadata (Spark's state reader
+    * requires `stateVarName` there — r8's census errored on exactly the
+    * checkpoints this repo's own transformWithState operators produce);
+    * classic stateful operators have a single implicit store, reported
+    * as `state_var = "default"`. Partitions with zero keys carry an
+    * explicit 0 row (a silent absence would make a drained partition
+    * indistinguishable from a never-used one — which is exactly what a
+    * post-prune audit needs to tell apart).
     *
     * Scale shape: the state source reads each partition's store in
     * place; the census is a partition-keyed count — no state VALUES
-    * ever reach the driver, only the |operators|×|partitions| counts.
+    * ever reach the driver, only |operators|×|vars|×|partitions| counts.
     */
   def inventory(spark: SparkSession, checkpoint: String): DataFrame = {
     import spark.implicits._
@@ -34,27 +40,59 @@ object StateInventory {
       .filter(_.forall(_.isDigit)).map(_.toLong).sorted
     require(ops.nonEmpty,
       s"stateInventory: no operator directories under $statePath")
-    val counted = ops.map { op =>
-      spark.read.format("statestore")
-        .option("path", checkpoint)
-        .option("operatorId", op)
-        .load()
-        .groupBy(col("partition_id"))
-        .agg(count(lit(1)).as("n_keys"))
-        .select(lit(op).as("operator_id"),
-          col("partition_id").cast("int").as("partition_id"),
-          col("n_keys"))
+    val varsByOp = stateVarsByOp(spark, checkpoint)
+    def opVars(op: Long): Seq[String] =
+      varsByOp.getOrElse(op, Seq.empty) match {
+        case vs if vs.isEmpty => Seq("default")
+        case vs               => vs
+      }
+    def reader(op: Long): DataFrameReader = spark.read.format("statestore")
+      .option("path", checkpoint)
+      .option("operatorId", op)
+    val counted = ops.toSeq.flatMap { op =>
+      opVars(op).map { vn =>
+        val base = reader(op)
+        val df = (if (varsByOp.getOrElse(op, Seq.empty).isEmpty) base
+                  else base.option("stateVarName", vn)).load()
+        df.groupBy(col("partition_id"))
+          .agg(count(lit(1)).as("n_keys"))
+          .select(lit(op).as("operator_id"), lit(vn).as("state_var"),
+            col("partition_id").cast("int").as("partition_id"),
+            col("n_keys"))
+      }
     }.reduce(_ unionByName _)
     // explicit zero rows for drained/never-used partitions: enumerate
     // partition dirs per operator from the checkpoint layout
-    val allParts = ops.flatMap { op =>
+    val allParts = ops.toSeq.flatMap { op =>
       val opPath = new org.apache.hadoop.fs.Path(statePath, op.toString)
-      fs.listStatus(opPath).filter(_.isDirectory).map(_.getPath.getName)
-        .filter(_.forall(_.isDigit)).map(p => (op, p.toInt))
-    }.toSeq.toDF("operator_id", "partition_id")
-    allParts.join(counted, Seq("operator_id", "partition_id"), "left")
-      .select(col("operator_id"), col("partition_id"),
+      val parts = fs.listStatus(opPath).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.forall(_.isDigit)).map(_.toInt).toSeq
+      for (vn <- opVars(op); p <- parts) yield (op, vn, p)
+    }.toDF("operator_id", "state_var", "partition_id")
+    allParts.join(counted, Seq("operator_id", "state_var", "partition_id"), "left")
+      .select(col("operator_id"), col("state_var"), col("partition_id"),
         coalesce(col("n_keys"), lit(0L)).as("n_keys"))
-      .orderBy(col("operator_id"), col("partition_id"))
+      .orderBy(col("operator_id"), col("state_var"), col("partition_id"))
   }
+
+  /** State variable names per operator id, from the checkpoint's operator
+    * metadata (the `state-metadata` source; transformWithState operators
+    * list their variables in `operatorProperties`). Empty seq = classic
+    * operator (single implicit store). Falls back to empty on checkpoints
+    * predating operator metadata.
+    */
+  private def stateVarsByOp(spark: SparkSession,
+                            checkpoint: String): Map[Long, Seq[String]] =
+    try {
+      val nameRe = "\"stateName\"\\s*:\\s*\"([^\"]+)\"".r
+      spark.read.format("state-metadata").load(checkpoint)
+        .select(col("operatorId").cast("long"), col("operatorProperties"))
+        .collect()
+        .map { r =>
+          val props = Option(r.getString(1)).getOrElse("")
+          r.getLong(0) -> nameRe.findAllMatchIn(props).map(_.group(1)).toSeq.distinct
+        }.toMap
+    } catch {
+      case scala.util.control.NonFatal(_) => Map.empty
+    }
 }

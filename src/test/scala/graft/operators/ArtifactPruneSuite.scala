@@ -49,10 +49,40 @@ class ArtifactPruneSuite extends AnyFunSuite with BeforeAndAfterAll {
     Pipeline.pruneArtifact(forget, dir, "doc_id")
     assert(spark.read.parquet(dir).count() === 2L * 97)
 
-    // no staging directory left behind
+    // no staging or aside directory left behind
     val parent = new java.io.File(dir).getParentFile
-    assert(!parent.listFiles().exists(_.getName.contains("__prune_stage")),
-      s"stage residue in ${parent.listFiles().map(_.getName).toSeq}")
+    assert(!parent.listFiles().exists(f =>
+        f.getName.contains("__prune_stage") || f.getName.contains("__prune_old")),
+      s"swap residue in ${parent.listFiles().map(_.getName).toSeq}")
+  }
+
+  test("crash after the aside move (no live dir) self-heals on rerun") {
+    val sql = spark
+    import sql.implicits._
+    val dir = Files.createTempDirectory("graft-prune-crash1").toString + "/idx"
+    (1L to 10L).map(id => (id, id * 100)).toDF("doc_id", "v").write.parquet(dir)
+    // simulate the r8 data-loss window: live copy moved aside, swap-in
+    // never happened — the serving path is empty
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + "__prune_old")))
+    Pipeline.pruneArtifact(Seq(3L).toDF("doc_id"), dir, "doc_id")
+    val ids = spark.read.parquet(dir).collect().map(_.getLong(0)).toSet
+    assert(ids === (1L to 10L).toSet - 3L,
+      s"rerun must restore the aside copy and then prune: $ids")
+    assert(!new java.io.File(dir + "__prune_old").exists())
+  }
+
+  test("stale aside copy from a crash after swap-in is cleared on rerun") {
+    val sql = spark
+    import sql.implicits._
+    val dir = Files.createTempDirectory("graft-prune-crash2").toString + "/idx"
+    // live dir already holds the NEW data; a stale aside copy survived the crash
+    (1L to 8L).map(id => (id, id)).toDF("doc_id", "v").write.parquet(dir)
+    (1L to 10L).map(id => (id, id)).toDF("doc_id", "v")
+      .write.parquet(dir + "__prune_old")
+    Pipeline.pruneArtifact(Seq(8L).toDF("doc_id"), dir, "doc_id")
+    val ids = spark.read.parquet(dir).collect().map(_.getLong(0)).toSet
+    assert(ids === (1L to 7L).toSet, s"live copy pruned, stale aside ignored: $ids")
+    assert(!new java.io.File(dir + "__prune_old").exists())
   }
 
   test("deletionAudit: residuals surface per artifact; clean after prune") {

@@ -54,9 +54,12 @@ class StateInventorySuite extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
 
     val inv = StateInventory.inventory(spark, ckpt1.toString)
-      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)) -> r.getLong(3)).toMap
     assert(inv.keySet.map(_._1) === Set(0L), s"one operator: $inv")
-    assert(inv.keySet.map(_._2) === Set(0, 1), "both shuffle partitions present")
+    assert(inv.keySet.map(_._2) === Set("default"),
+      s"classic operator reports the implicit store: $inv")
+    assert(inv.keySet.map(_._3) === Set(0, 1), "both shuffle partitions present")
     assert(inv.values.sum === 4L, s"4 keys total: $inv")
 
     // prune two entities; the destination census must reflect exactly that,
@@ -67,7 +70,8 @@ class StateInventorySuite extends AnyFunSuite with BeforeAndAfterAll {
       keySchema, keySchema, StateTestHelper.storeConf(),
       keep = row => row.getInt(0) <= 2)
     val after = StateInventory.inventory(spark, ckpt2.toString)
-      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(3)).toMap
     assert(after.values.sum === 2L, s"2 keys survive the prune: $after")
     assert(after.keySet.map(_._2) === Set(0, 1),
       s"drained partitions must still appear (as zeros): $after")
@@ -76,5 +80,37 @@ class StateInventorySuite extends AnyFunSuite with BeforeAndAfterAll {
       StateInventory.inventory(spark,
         Files.createTempDirectory("graft-inv-empty").toString)
     }
+  }
+
+  test("census of a transformWithState checkpoint (per state variable)") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the r8 gap: our own transformWithState operators produce checkpoints
+    // the census errored on (the state reader needs stateVarName there)
+    val ckpt = Files.createTempDirectory("graft-inv-tws")
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingCosineDedup.cosinePairsStream(
+        input.toDS().toDF("vec_id", "embedding"), threshold = 0.95)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("inv_tws_sink")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    input.addData(
+      (1L, Seq(1.0, 0.2, 0.1, 0.05, 0.3, 0.0, 0.0, 0.7)),
+      (2L, Seq(-0.3, 1.0, -0.2, 0.6, -1.0, 0.4, 0.9, -0.5)))
+    q.processAllAvailable()
+    q.stop()
+
+    val inv = StateInventory.inventory(spark, ckpt.toString).collect()
+    val vars = inv.map(_.getString(1)).toSet
+    assert(vars === Set("members"),
+      s"the processor's declared state variable must be discovered: $vars")
+    // each vector occupies ≥1 (tbl, bucket) state key; counts are per
+    // grouping key, so the total is at least the LSH table replication
+    assert(inv.map(_.getLong(3)).sum > 0L, s"non-empty census: ${inv.toSeq}")
+    assert(inv.map(_.getInt(2)).toSet === Set(0, 1),
+      s"both partitions present (zeros explicit): ${inv.toSeq}")
   }
 }
