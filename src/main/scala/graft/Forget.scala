@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.hadoop.conf.Configuration
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.streaming.state.StateStoreConf
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.{AnnIndex, Pipeline}
+import graft.state.{GraftStateStoreProviderBase, StateRescale}
+
+/** One-call right-to-be-forgotten orchestration — the composition of the
+  * delete surfaces this library grew one at a time:
+  *
+  *  - [[graft.state.StateRescale.pruneCheckpoint]] — streaming state (a
+  *    stopped query's keyed state, resumable after the rewrite)
+  *  - [[graft.operators.AnnIndex.prune]] — the serving ANN index (a
+  *    delete that misses the index the fleet probes is not a delete)
+  *  - [[graft.operators.Pipeline.pruneArtifact]] — every derived
+  *    parquet artifact an id reached (token index, band index, shards)
+  *
+  * followed by the audits as a FORCED exit gate:
+  * [[graft.operators.Pipeline.deletionAudit]] over every parquet
+  * artifact (including the ANN `codes/`) and
+  * [[graft.state.StateRescale.countKeys]] over the pruned state. A
+  * deletion pipeline that runs the deletes but not the proof is the
+  * compliance bug this object exists to prevent — until r9 the four
+  * calls were hand-sequenced and nothing forced the audit to run last
+  * (or at all). `forget` THROWS on any residual, so a caller cannot
+  * observe success without the proof having passed.
+  *
+  * Idempotence: every leg ignores absent ids, so replaying a delete log
+  * (same ids, new target paths) is a no-op that still passes the gate.
+  *
+  * Scale shape: the delete list is driver-collected (GDPR request
+  * batches are bounded — thousands, not billions) and broadcasts into
+  * every anti-join; each artifact is rewritten once, work ∝ artifact
+  * size; state is rewritten once, work ∝ state size. Nothing here
+  * touches the raw corpus.
+  */
+object Forget {
+
+  /** The streaming-state leg's coordinates: everything
+    * [[graft.state.StateRescale.pruneCheckpoint]] needs, plus `keyToId`
+    * mapping a state KEY row to the id space of the delete list (state
+    * keys are operator-shaped — a grouping key row — not bare ids).
+    * The pruned checkpoint lands at `prunedCheckpoint` (a fresh path;
+    * in-place rewrites are refused by the surgery tool), and the query
+    * resumes THERE.
+    */
+  final case class StateTarget(
+      makeProvider: () => GraftStateStoreProviderBase,
+      checkpoint: String,
+      prunedCheckpoint: String,
+      operatorId: Long,
+      numPartitions: Int,
+      keySchema: StructType,
+      valueSchema: StructType,
+      conf: StateStoreConf,
+      keyToId: InternalRow => Long)
+
+  /** What happened, per leg: `stateKeysKept` is the surviving key count
+    * (None = no state leg), `artifactsPruned` lists every parquet
+    * directory rewritten (ANN `codes/` included), and the gate already
+    * passed — a returned report IS the zero-residual proof.
+    */
+  final case class ForgetReport(
+      nIds: Long,
+      stateKeysKept: Option[Long],
+      artifactsPruned: Seq[String])
+
+  /** Forget `ids` (column `idCol`, castable to long) everywhere:
+    * streaming state (optional), serving ANN index (optional), and every
+    * `(dir, idCol)` parquet artifact. Throws `IllegalStateException`
+    * with the per-surface residual counts if ANY surface still holds a
+    * listed id after its prune — the audit is the exit, not an optional
+    * follow-up.
+    */
+  def forget(ids: DataFrame, idCol: String,
+             state: Option[StateTarget] = None,
+             annDir: Option[String] = None,
+             artifacts: Seq[(String, String)] = Seq.empty,
+             hadoopConf: Configuration = new Configuration()): ForgetReport = {
+    require(state.nonEmpty || annDir.nonEmpty || artifacts.nonEmpty,
+      "forget: nothing to forget from — no state, index, or artifacts given")
+    val idList = ids.select(col(idCol).cast("long").as("__id"))
+      .na.drop().distinct()
+    val idSet = idList.collect().map(_.getLong(0)).toSet
+    require(idSet.nonEmpty, "forget: empty id list")
+
+    // 1) streaming state: rewrite the checkpoint dropping the ids' keys
+    val stateReport = state.map { st =>
+      StateRescale.pruneCheckpoint(st.makeProvider, st.checkpoint,
+        st.prunedCheckpoint, st.operatorId, st.numPartitions,
+        st.keySchema, st.valueSchema, st.conf,
+        keep = row => !idSet.contains(st.keyToId(row)), hadoopConf)
+    }
+
+    // 2) serving ANN index: rewrite codes/ (model stays frozen)
+    annDir.foreach { d =>
+      AnnIndex.prune(idList.select(col("__id").as("vec_id")), d)
+    }
+
+    // 3) every derived parquet artifact
+    artifacts.foreach { case (dir, c) =>
+      Pipeline.pruneArtifact(idList.select(col("__id").as(c)), dir, c)
+    }
+
+    // 4) the exit gate — every surface must PROVE zero residuals
+    val found = residuals(ids, idCol, state, annDir, artifacts, hadoopConf)
+    if (found.nonEmpty)
+      throw new IllegalStateException(
+        s"forget: deletion audit FAILED — ${found.mkString("; ")}")
+    ForgetReport(idSet.size.toLong, stateReport.map(_.keysMoved),
+      artifacts.map(_._1) ++ annDir.map(d => s"$d/codes"))
+  }
+
+  /** The exit gate alone: one description per surface still holding a
+    * listed id (empty = clean). [[forget]] runs this LAST and throws on
+    * any hit; exposed so an incident review (or a scheduled compliance
+    * sweep) can re-prove a past deletion without re-running the prunes.
+    * Parquet surfaces go through
+    * [[graft.operators.Pipeline.deletionAudit]] (delete list broadcasts,
+    * artifacts never shuffle); the state surface through
+    * [[graft.state.StateRescale.countKeys]] on the PRUNED checkpoint.
+    */
+  def residuals(ids: DataFrame, idCol: String,
+                state: Option[StateTarget] = None,
+                annDir: Option[String] = None,
+                artifacts: Seq[(String, String)] = Seq.empty,
+                hadoopConf: Configuration = new Configuration()): Seq[String] = {
+    val idList = ids.select(col(idCol).cast("long").as("__id"))
+      .na.drop().distinct()
+    val idSet = idList.collect().map(_.getLong(0)).toSet
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    // deletionAudit joins each artifact on ITS OWN id column name, so the
+    // ids frame carries every needed column (aliased copies of __id)
+    val auditTargets = artifacts ++ annDir.map(d => s"$d/codes" -> "nid")
+    if (auditTargets.nonEmpty) {
+      val cols = auditTargets.map(_._2).distinct
+      val auditIds = idList.select(cols.map(c => col("__id").as(c)): _*)
+      Pipeline.deletionAudit(auditIds, auditTargets)
+        .collect().foreach { r =>
+          if (r.getLong(1) > 0)
+            out += s"${r.getString(0)}: ${r.getLong(1)} residual rows " +
+              s"(sample ids ${r.getSeq[String](2).mkString(",")})"
+        }
+    }
+    state.foreach { st =>
+      val n = StateRescale.countKeys(st.makeProvider,
+        s"${st.prunedCheckpoint}/state", st.operatorId, st.numPartitions,
+        st.keySchema, st.valueSchema, st.conf,
+        pred = row => idSet.contains(st.keyToId(row)), hadoopConf)
+      if (n > 0) out += s"state ${st.prunedCheckpoint}: $n residual keys"
+    }
+    out.toList
+  }
+}

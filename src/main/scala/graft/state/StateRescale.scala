@@ -143,6 +143,46 @@ object StateRescale extends Logging {
       numPartitions, numPartitions, keySchema, oldValueSchema, newValueSchema,
       conf, hadoopConf, keep = _ => true, transformValue = Some(transformValue))
 
+  /** Read-only count of keys matching `pred` across a state root — the
+    * audit companion to [[prune]]: [[graft.Forget.forget]] uses it to
+    * PROVE the pruned checkpoint holds zero residual keys for a delete
+    * list (the parquet artifacts get the same proof from
+    * [[graft.operators.Pipeline.deletionAudit]]). Opens each partition's
+    * store at its latest committed version, iterates, aborts — nothing
+    * is written.
+    */
+  def countKeys(
+      makeProvider: () => GraftStateStoreProviderBase,
+      stateRoot: String,
+      operatorId: Long,
+      numPartitions: Int,
+      keySchema: StructType,
+      valueSchema: StructType,
+      conf: StateStoreConf,
+      pred: InternalRow => Boolean = _ => true,
+      hadoopConf: Configuration = new Configuration()): Long = {
+    var n = 0L
+    (0 until numPartitions).foreach { p =>
+      val prov = makeProvider()
+      prov.init(StateStoreId(stateRoot, operatorId, p), keySchema, valueSchema,
+        NoPrefixKeyStateEncoderSpec(keySchema), useColumnFamilies = false,
+        conf, hadoopConf, useMultipleValuesPerKey = false,
+        stateSchemaProvider = None)
+      try {
+        val version = prov.latestCommittedVersion
+        if (version > 0) {
+          val store = prov.getStore(version, None)
+          try {
+            val it = store.iterator(StateStore.DEFAULT_COL_FAMILY_NAME)
+            try it.foreach(pair => if (pred(pair.key)) n += 1)
+            finally it.close()
+          } finally store.abort()
+        }
+      } finally prov.close()
+    }
+    n
+  }
+
   private def rewriteState(
       makeProvider: () => GraftStateStoreProviderBase,
       oldStateRoot: String,

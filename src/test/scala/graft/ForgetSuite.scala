@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+import graft.operators.AnnIndex
+import graft.state.{RescaleCounterFns, RocksDbStateStoreProvider, StateTestHelper}
+
+/** The one-call GDPR story: ids seeded across streaming state, a serving
+  * ANN index, and two derived artifacts are forgotten by a single
+  * [[Forget.forget]] call whose exit gate PROVES zero residuals — then
+  * the live query resumes, search never returns a pruned id, and
+  * replaying the delete log is a no-op.
+  */
+class ForgetSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-forget")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        classOf[RocksDbStateStoreProvider].getName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def vec(j: Long): Seq[Double] =
+    (0 until 8).map(i => 1.0 + ((j * 31 + i * 17) % 11) / 10.0)
+
+  test("one call forgets across state + index + artifacts; gate, resume, replay") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = Files.createTempDirectory("graft-forget").toString
+    val forgetIds = Seq(3L, 7L)
+
+    // ---- seed 1: two derived parquet artifacts keyed by doc_id
+    val idx1 = s"$base/tokidx"
+    val idx2 = s"$base/shards"
+    (1L to 20L).flatMap(id => Seq((id, s"a$id"), (id, s"b$id")))
+      .toDF("doc_id", "token").write.parquet(idx1)
+    (1L to 20L).map(id => (id, id % 4)).toDF("doc_id", "shard").write.parquet(idx2)
+
+    // ---- seed 2: a serving ANN index over the same ids
+    val annDir = s"$base/ann"
+    val corpus = (1L to 20L).map(j => (j, vec(j))).toDF("vec_id", "embedding")
+    AnnIndex.build(corpus, annDir, nClusters = 4, iters = 2,
+      numSub = 4, codebookK = 4, subIters = 1)
+
+    // ---- seed 3: streaming state keyed by the same ids (ints)
+    val ckpt1 = Files.createTempDirectory("graft-forget-ck1")
+    val ckpt2 = Files.createTempDirectory("graft-forget-ck2")
+    val latest = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    val input = MemoryStream[(Int, Int)]
+    def start(ckpt: String) = input.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(RescaleCounterFns.addCounts)
+      .toDF("id", "total")
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => latest.put(r.getInt(0), r.getInt(1)))
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q1 = start(ckpt1.toString)
+    input.addData((1, 10), (3, 30), (7, 70), (9, 90))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // ---- ONE call
+    val keySchema = StructType(Seq(StructField("value", IntegerType, nullable = false)))
+    val target = Forget.StateTarget(() => new RocksDbStateStoreProvider,
+      ckpt1.toString, ckpt2.toString, operatorId = 0, numPartitions = 2,
+      keySchema, keySchema, StateTestHelper.storeConf(),
+      keyToId = row => row.getInt(0).toLong)
+    val report = Forget.forget(forgetIds.toDF("doc_id"), "doc_id",
+      state = Some(target), annDir = Some(annDir),
+      artifacts = Seq(idx1 -> "doc_id", idx2 -> "doc_id"))
+
+    // a returned report IS the passed gate; sanity its contents
+    assert(report.nIds === 2L)
+    assert(report.stateKeysKept === Some(2L), s"2 of 4 state keys survive: $report")
+    assert(report.artifactsPruned.toSet ===
+      Set(idx1, idx2, s"$annDir/codes"), s"report: $report")
+
+    // artifacts really pruned, survivors intact
+    assert(spark.read.parquet(idx1)
+      .filter(col("doc_id").isin(forgetIds: _*)).count() === 0L)
+    assert(spark.read.parquet(idx1).count() === 2L * 18)
+    assert(spark.read.parquet(idx2).count() === 18L)
+
+    // search over the pruned index NEVER returns a forgotten id, and
+    // still serves survivors (3's nearest surviving neighbors rank)
+    val hits = AnnIndex.search(corpus, annDir,
+        corpus.filter(col("vec_id").isin(1L, 5L)), k = 5, nProbe = 4)
+      .select(col("nid")).collect().map(_.getLong(0)).toSet
+    assert(hits.nonEmpty && hits.intersect(forgetIds.toSet).isEmpty,
+      s"pruned ids must never be served: $hits")
+
+    // the query RESUMES on the pruned checkpoint: forgotten users start
+    // fresh, everyone else's state is intact
+    latest.clear()
+    val q2 = start(ckpt2.toString)
+    input.addData((1, 1), (3, 3))
+    q2.processAllAvailable()
+    q2.stop()
+    val after = latest.asScala.toMap
+    assert(after === Map(1 -> 11, 3 -> 3),
+      s"user 3 must restart fresh, user 1 keeps state: $after")
+
+    // replaying the delete log is a no-op that still passes the gate
+    // (fresh pruned-checkpoint path: in-place state rewrites are refused)
+    val ckpt3 = Files.createTempDirectory("graft-forget-ck3")
+    val replay = Forget.forget(forgetIds.toDF("doc_id"), "doc_id",
+      state = Some(target.copy(checkpoint = ckpt2.toString,
+        prunedCheckpoint = ckpt3.toString)),
+      annDir = Some(annDir),
+      artifacts = Seq(idx1 -> "doc_id", idx2 -> "doc_id"))
+    assert(replay.nIds === 2L)
+    assert(spark.read.parquet(idx1).count() === 2L * 18, "replay is a no-op")
+  }
+
+  test("residuals gate: red on an unpruned surface, green after, red on regression") {
+    val sql = spark
+    import sql.implicits._
+    val base = Files.createTempDirectory("graft-forget-gate").toString
+    val art = s"$base/idx"
+    (1L to 10L).map(id => (id, id * 7)).toDF("doc_id", "v").write.parquet(art)
+    val forget = Seq(4L, 8L).toDF("doc_id")
+
+    // red BEFORE any prune: the compliance sweep catches the unpruned surface
+    val before = Forget.residuals(forget, "doc_id", artifacts = Seq(art -> "doc_id"))
+    assert(before.size === 1 && before.head.contains("2 residual rows"),
+      s"unpruned surface must surface: $before")
+
+    // forget passes its own gate (a return IS the proof)
+    Forget.forget(forget, "doc_id", artifacts = Seq(art -> "doc_id"))
+    assert(Forget.residuals(forget, "doc_id",
+      artifacts = Seq(art -> "doc_id")).isEmpty)
+
+    // a regression (an id re-ingested after the deletion) is caught by the
+    // same sweep — this is the scenario forget's throw wiring guards
+    Seq((4L, 28L)).toDF("doc_id", "v").write.mode("append").parquet(art)
+    val after = Forget.residuals(forget, "doc_id", artifacts = Seq(art -> "doc_id"))
+    assert(after.size === 1 && after.head.contains("1 residual rows"),
+      s"re-ingested id must surface: $after")
+
+    intercept[IllegalArgumentException] {
+      Forget.forget(Seq.empty[Long].toDF("doc_id"), "doc_id",
+        artifacts = Seq(art -> "doc_id"))
+    }
+    intercept[IllegalArgumentException] {
+      Forget.forget(forget, "doc_id") // nothing to forget from
+    }
+  }
+}
