@@ -723,10 +723,22 @@ object Dedup {
 
   def semDeDupLosers(embeddings: DataFrame, threshold: Double,
                      nClusters: Int = 64, iters: Int = 3,
-                     maxClusterSize: Int = 4096): DataFrame = {
+                     maxClusterSize: Int = 4096): DataFrame =
+    semDeDupLosersFrozen(embeddings,
+      fitSemDeDupModel(embeddings, nClusters, iters), threshold, maxClusterSize)
+
+  /** [[semDeDupLosers]] under a caller-supplied FROZEN cell model — the
+    * serve half of the fit/serve split, shared by the inline operator
+    * (which fits first), the streaming twin's batch-parity gate, and the
+    * persisted-index incremental path (both of which must score under
+    * the index's frozen cells, not a refit).
+    */
+  def semDeDupLosersFrozen(embeddings: DataFrame,
+                           cents: Array[(Int, Array[Double])],
+                           threshold: Double,
+                           maxClusterSize: Int = 4096): DataFrame = {
     val v = embeddings.select(col("vec_id").as("nid"),
       Similarity.asDouble(col("embedding")).as("cv"))
-    val cents = fitSemDeDupModel(embeddings, nClusters, iters)
     val assigned = cappedAssignment(v, cents, maxClusterSize)
       .localCheckpoint(false)
     val a = assigned.as("a")
@@ -748,6 +760,146 @@ object Dedup {
     embeddings.join(
       semDeDupLosers(embeddings, threshold, nClusters, iters, maxClusterSize),
       Seq("vec_id"), "left_anti")
+
+  /** Persist the SemDeDup cell index under `dir` — the build half of the
+    * batch-incremental path (the [[graft.operators.AnnIndex]] layout
+    * discipline: fit nightly, probe per batch). All parquet,
+    * engine-readable:
+    *  - `cells/`   — (cid, cvec): the frozen k-means cell centroids
+    *  - `members/` — (nid, cv) PARTITIONED BY cid: the corpus
+    *    assignment, laid out so an incremental probe's touched cells
+    *    read ONLY their own directories (partition pruning, never a
+    *    corpus scan).
+    * Capped cells are persisted like any other (the cap is pairing
+    * policy, not membership policy — and tomorrow's batch may push a
+    * cell over cap, which the probe must see the true size to detect).
+    */
+  def buildSemDeDupIndex(embeddings: DataFrame, dir: String,
+                         nClusters: Int = 64, iters: Int = 3): Unit = {
+    val spark = embeddings.sparkSession
+    val cents = fitSemDeDupModel(embeddings, nClusters, iters)
+    Similarity.centroidDf(spark, cents)
+      .write.mode("overwrite").parquet(s"$dir/cells")
+    val v = embeddings.select(col("vec_id").as("nid"),
+      Similarity.asDouble(col("embedding")).as("cv"))
+    Similarity.assign(v, cents, "cv")
+      .select(col("nid"), col("cv"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/members")
+  }
+
+  /** Incremental SemDeDup: the NEW losers arising from `batch` against
+    * the index at `dir` — each batch vector is assigned with the FROZEN
+    * cell model and compared exact-cosine against (a) the indexed
+    * members of its own cell and (b) its same-cell batch-mates. The
+    * nightly-ingest counterpart of [[semDeDupLosers]], closing the
+    * incremental family alongside [[jaccardPairsIncremental]] (tokens)
+    * and [[graft.operators.Multimodal.imageNearDupIncremental]]
+    * (images): work ∝ batch — only the touched cells' member
+    * directories are read (partition pruning over `members/cid=`),
+    * the corpus is never reassigned or rescanned, and indexed×indexed
+    * pairs (found when they were ingested) are never recomputed.
+    *
+    * Losers are emitted on BOTH sides: an indexed member loses
+    * retroactively when a lower-id batch near-dup arrives (min-id
+    * keeper, the repo-wide convention), so
+    * build-time losers ∪ incremental losers ≡
+    * [[semDeDupLosersFrozen]] over the union corpus under the same
+    * model, for in-cap cells (SemDeDupIndexSuite gates the identity).
+    * Cells whose UNION size (members + batch) exceeds
+    * `maxClusterSize` are dropped from pairing — the same retroactive
+    * cap as the batch operator, now judged at the union size the full
+    * run would see. Batch ids must be disjoint from indexed
+    * generations (the [[jaccardPairsIncremental]] contract).
+    *
+    * If `append`, the batch's assignment rows are appended under
+    * `members/` (the [[AnnIndex.append]] discipline) so the next
+    * increment probes against them. The frozen cells drift from a
+    * refit as the distribution shifts — monitor with
+    * [[Similarity.embeddingDrift]], rebuild when warranted.
+    */
+  def semDeDupIncremental(batch: DataFrame, dir: String, threshold: Double,
+                          maxClusterSize: Int = 4096,
+                          append: Boolean = true): DataFrame = {
+    val spark = batch.sparkSession
+    val cents = spark.read.parquet(s"$dir/cells").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    require(cents.nonEmpty, s"semDeDupIncremental: no cell model at $dir/cells")
+    val v = batch.select(col("vec_id").as("nid"),
+      Similarity.asDouble(col("embedding")).as("cv"))
+    // one assignment pass feeds the counts, both joins, and the append
+    val assigned = Similarity.assign(v, cents, "cv")
+      .select(col("nid"), col("cid"), col("cv"))
+      .localCheckpoint(false)
+    // touched cells + union-cap verdicts: two (cid, count) aggregations —
+    // ≤ nClusters rows each, driver-side set arithmetic
+    val batchCounts = assigned.groupBy(col("cid")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val touched = batchCounts.keys.toSeq
+    if (touched.isEmpty) return assigned.select(col("nid").as("vec_id")).limit(0)
+    val members = indexMembers(spark, dir, touched)
+    val memberCounts = members.groupBy(col("cid")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val inCap = touched.filter(c =>
+      batchCounts(c) + memberCounts.getOrElse(c, 0L) <= maxClusterSize)
+    val losers =
+      if (inCap.isEmpty) assigned.select(col("nid").as("vec_id")).limit(0)
+      else {
+        val b = assigned.filter(col("cid").isin(inCap: _*))
+        val m = members.filter(col("cid").isin(inCap: _*))
+        val cross = m.as("a").join(b.as("b"), col("a.cid") === col("b.cid"))
+          .withColumn("cos", safeCosine(col("a.cv"), col("b.cv")))
+          .filter(col("cos") >= threshold)
+          .select(greatest(col("a.nid"), col("b.nid")).as("vec_id"))
+        val within = b.as("a").join(b.as("b"),
+            col("a.cid") === col("b.cid") && col("a.nid") < col("b.nid"))
+          .withColumn("cos", safeCosine(col("a.cv"), col("b.cv")))
+          .filter(col("cos") >= threshold)
+          .select(col("b.nid").as("vec_id"))
+        cross.unionByName(within).distinct()
+      }
+    // materialize losers BEFORE the append mutates members/ underneath
+    // the (lazy) probe plan
+    val out = losers.localCheckpoint(true)
+    if (append)
+      assigned.select(col("nid"), col("cv"), col("cid"))
+        .write.mode("append").partitionBy("cid").parquet(s"$dir/members")
+    out
+  }
+
+  private val semDdIndexOnce =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once memo for the q134 harness query (the
+    * [[AnnIndex.cachedBuild]] discipline): the operator's point is the
+    * nightly-build / per-batch-probe split, so the verified-and-benched
+    * path is the PROBE against an index built once per sf-dir per JVM.
+    * Library users call [[buildSemDeDupIndex]] with their own storage.
+    */
+  private def cachedSemDeDupIndex(s: SparkSession, d: String): String =
+    semDdIndexOnce.computeIfAbsent(d, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-semdd-index")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try {
+          java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        } catch { case _: Exception => () }
+      }))
+      buildSemDeDupIndex(
+        Tables.embeddings(s, d).filter(col("vec_id") >= 250),
+        dir.toString, nClusters = 16)
+      dir.toString
+    })
+
+  /** The index-member read the probe runs: `cid` is the PARTITION
+    * column, so the isin filter prunes to the touched cells'
+    * directories — SemDeDupIndexSuite gates that it lands as a
+    * partition filter on the scan (the "work ∝ batch" property at the
+    * IO level). */
+  private[operators] def indexMembers(spark: SparkSession, dir: String,
+                                      touched: Seq[Int]): DataFrame =
+    spark.read.parquet(s"$dir/members")
+      .filter(col("cid").isin(touched: _*))
+      .select(col("nid"), col("cid").cast("int").as("cid"), col("cv"))
 
   /** Pair cosine with the zero-norm guard: a zero embedding has no
     * direction, so it is near-dup of NOTHING — score −2.0 (below any
@@ -1067,6 +1219,28 @@ object Dedup {
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_kept"))
         .orderBy(col("label")),
+      None),
+
+    // Batch-incremental SemDeDup against the persisted cell index: the
+    // LAST 250 vectors stand for the indexed corpus (index built once
+    // per sf-dir per JVM — the q102 memo discipline), the first 250
+    // arrive as the nightly batch. append=false keeps repeated
+    // verify/bench passes pure. Same no-SQL-oracle reason as q128
+    // (seeded k-means topology) → spec-gated in SemDeDupIndexSuite
+    // (build ∪ incremental ≡ full frozen-model run on the union;
+    // partition-pruned probe; retroactive losers; union cap).
+    QuerySpec(
+      "q134_semdedup_incr",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val dir = cachedSemDeDupIndex(s, d)
+        val losers = semDeDupIncremental(emb.filter(col("vec_id") < 250),
+          dir, threshold = 0.35, append = false)
+        emb.join(losers, Seq("vec_id"), "left_semi")
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_losers"))
+          .orderBy(col("label"))
+      },
       None),
 
     // MinHash-LSH and SimHash use engine-specific hash fns → rows-only check.
