@@ -266,29 +266,37 @@ object Multimodal {
     media.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { m =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.data))
-        require(img != null, s"undecodable PNG payload for doc ${m.doc_id}")
-        val raster = img.getRaster
-        val (w, h) = (img.getWidth, img.getHeight)
-        val grid = Array.tabulate(8, 9)((r, c) =>
-          raster.getSample(c * w / 9, r * h / 8, 0))
-        var hi = 0L
-        var lo = 0L
-        var r = 0
-        while (r < 8) {
-          var c = 0
-          while (c < 8) {
-            if (grid(r)(c) < grid(r)(c + 1)) {
-              val k = r * 8 + c
-              if (k < 32) lo |= (1L << k) else hi |= (1L << (k - 32))
-            }
-            c += 1
-          }
-          r += 1
-        }
+        val (hi, lo) = dHashOfPng(m.data, m.doc_id)
         DHashRow(m.doc_id, hi, lo)
       }
     }
+  }
+
+  /** The dHash core shared by the image (q115) and video-keyframe (q133)
+    * paths: ImageIO decode, 9×8 nearest-neighbor grid, 64 horizontal
+    * comparisons → (hi, lo) 32-bit halves. */
+  private def dHashOfPng(data: Array[Byte], ctxId: Long): (Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+    require(img != null, s"undecodable PNG payload for doc $ctxId")
+    val raster = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    val grid = Array.tabulate(8, 9)((r, c) =>
+      raster.getSample(c * w / 9, r * h / 8, 0))
+    var hi = 0L
+    var lo = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (grid(r)(c) < grid(r)(c + 1)) {
+          val k = r * 8 + c
+          if (k < 32) lo |= (1L << k) else hi |= (1L << (k - 32))
+        }
+        c += 1
+      }
+      r += 1
+    }
+    (hi, lo)
   }
 
   /** Near-dup image pairs by banded hamming over the dHash — the same
@@ -379,6 +387,158 @@ object Multimodal {
     val within = hammingVerify(probe, probe,
       col("a.doc_id") < col("b.doc_id"), maxHamming)
     cross.unionAll(within)
+  }
+
+  // ---------------------------------------------------------------------
+  // Video keyframe near-dup: q52's frame sampling composed with q115's
+  // perceptual dHash, grouped per clip — the near-dup operator for the
+  // one modality whose unit of dedup (the clip) is NOT the unit of
+  // fingerprinting (the frame). A clip is a sequence of frames; clips
+  // sharing a content seed share frame content (the deterministic
+  // stub-codec analogue of re-encoded/trimmed copies of one video), so
+  // the whole path is full-oracle-able like q115/q116: keyframes are
+  // REAL PNGs whose pixels follow a shared integer formula, and the
+  // DuckDB oracle recomputes every fingerprint from the formula without
+  // decoding anything.
+  // ---------------------------------------------------------------------
+
+  final case class FrameRow(doc_id: Long, frame_idx: Int, data: Array[Byte])
+  final case class FrameHashRow(doc_id: Long, frame_idx: Int,
+                                dhash_hi: Long, dhash_lo: Long)
+
+  /** Clips sharing `doc_id % 25` share frame content — same-seed clips
+    * are copies of one "master" video differing only in length
+    * ([[clipFrames]]), the trimmed-copy ground truth. */
+  private def clipSeed(id: Long): Long = id % 25
+  private def clipFrames(id: Long): Int = (id % 40 + 10).toInt
+  private def frameGray(seed: Long, f: Int, x: Int, y: Int): Int =
+    ((seed * 31 + f * 101 + x * 7 + y * 13) % 256).toInt
+
+  /** Sample every `stride`-th frame of each clip (the q52 keyframe
+    * discipline — at real scale this is the codec's I-frame walk) and
+    * materialize each sampled frame as a REAL PNG. Only KEYFRAMES are
+    * ever encoded or decoded — the non-sampled frames never exist,
+    * which is the point of sampling before fingerprinting.
+    */
+  def withVideoKeyframes(docs: DataFrame, stride: Int = 8): Dataset[FrameRow] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false)
+      ids.flatMap { id =>
+        val seed = clipSeed(id)
+        val (w, h) = dims(seed)
+        (0 until clipFrames(id) by stride).iterator.map { f =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, frameGray(seed, f, x, y)); x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          FrameRow(id, f, out.toByteArray)
+        }
+      }
+    }
+  }
+
+  /** Per-keyframe perceptual dHash — [[dHashImages]] keyed by
+    * (clip, frame): one mapPartitions decode pass, 28 B of fingerprint
+    * per frame regardless of frame size.
+    */
+  def dHashFrames(frames: Dataset[FrameRow]): Dataset[FrameHashRow] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { m =>
+        val (hi, lo) = dHashOfPng(m.data, m.doc_id)
+        FrameHashRow(m.doc_id, m.frame_idx, hi, lo)
+      }
+    }
+  }
+
+  /** Near-dup CLIP pairs from keyframe fingerprints: candidate frame
+    * pairs come from the same 4×16-bit banded-hamming generation as the
+    * image path (never all-pairs of frames — shared band or no
+    * candidacy, degenerate buckets capped), each survives the exact
+    * `hamming ≤ maxHamming` verify, and clip-pair similarity is the
+    * fraction of `doc_a`'s keyframes with a matching keyframe in
+    * `doc_b`. Pairs with `match_frac ≥ minFrac` are emitted with their
+    * evidence counts.
+    *
+    * The default `maxHamming = 3` keeps the banding LOSSLESS by
+    * pigeonhole (4 bands, ≤ 3 differing bits ⇒ some band matches), so
+    * the operator is exactly the all-pairs formulation it replaces —
+    * recall 1 at a fraction of the candidates (modulo the bucket cap,
+    * which the oracle mirrors).
+    *
+    * Scale shape: clips never travel — only (band, bval, clip, frame,
+    * hi, lo) fingerprint rows reach the self-join, checkpointed so the
+    * keyframe decode runs once (the q116 decode-once discipline); the
+    * per-clip keyframe counts are a |clips|-row aggregate broadcast
+    * back; the final pair aggregation is keyed by the (already small)
+    * matched-pair set.
+    */
+  def videoNearDupClips(frameHashes: DataFrame, maxHamming: Int = 3,
+                        maxBucketSize: Int = 64,
+                        minFrac: Double = 0.5): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64, s"bad maxHamming $maxHamming")
+    require(minFrac >= 0.0 && minFrac <= 1.0, s"bad minFrac $minFrac")
+    import org.apache.spark.sql.expressions.Window
+    // decode-once: the 24 B/frame fingerprints are checkpointed before
+    // anything fans out — the keyframe-count aggregate and the banding
+    // both read this cut, never the PNG decode subtree
+    val hashes = frameHashes.select(col("doc_id"), col("frame_idx"),
+        col("dhash_hi"), col("dhash_lo"))
+      .localCheckpoint(false)
+    // per-clip keyframe counts come from the PRE-cap hashes: a frame
+    // whose band bucket was capped still counts toward its clip's
+    // denominator (the cap prunes candidacy, not existence)
+    val nKeys = hashes.groupBy(col("doc_id")).agg(count(lit(1)).as("n_key"))
+    val banded = hashes.select(
+        col("doc_id"), col("frame_idx"), col("dhash_hi"), col("dhash_lo"),
+        posexplode(array(
+          col("dhash_lo").bitwiseAND(lit(0xFFFFL)),
+          shiftrightunsigned(col("dhash_lo"), 16).bitwiseAND(lit(0xFFFFL)),
+          col("dhash_hi").bitwiseAND(lit(0xFFFFL)),
+          shiftrightunsigned(col("dhash_hi"), 16).bitwiseAND(lit(0xFFFFL))))
+          .as(Seq("band", "bval")))
+      .withColumn("__bn", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bval"))))
+      .filter(col("__bn") <= maxBucketSize)
+      .drop("__bn")
+      // band-once: both self-join sides read this cut, not the
+      // explode+window subtree twice
+      .localCheckpoint(false)
+    val matched = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(
+        (bit_count(col("a.dhash_hi").bitwiseXOR(col("b.dhash_hi"))) +
+          bit_count(col("a.dhash_lo").bitwiseXOR(col("b.dhash_lo"))))
+          <= maxHamming)
+      .select(col("a.doc_id").as("doc_a"), col("a.frame_idx").as("frame_a"),
+        col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "frame_a", "doc_b")
+    matched.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_matched"))
+      .join(broadcast(nKeys.select(col("doc_id").as("doc_a"),
+        col("n_key").as("n_key_a"))), "doc_a")
+      .join(broadcast(nKeys.select(col("doc_id").as("doc_b"),
+        col("n_key").as("n_key_b"))), "doc_b")
+      .withColumn("match_frac",
+        round(col("n_matched").cast("double") / col("n_key_a"), 6))
+      .filter(col("match_frac") >= minFrac)
+      .select(col("doc_a"), col("doc_b"), col("n_matched"),
+        col("n_key_a"), col("n_key_b"), col("match_frac"))
   }
 
   // ---------------------------------------------------------------------
@@ -834,6 +994,81 @@ object Multimodal {
           ON a.band = b.band AND a.bval = b.bval AND b.is_new
          AND (NOT a.is_new OR a.doc_id < b.doc_id)
         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+        ORDER BY doc_a, doc_b""")),
+
+    // Video keyframe near-dup: q52's frame sampling + q115's dHash,
+    // grouped per clip — clip-pair similarity = fraction of doc_a's
+    // keyframes with a banded-hamming match in doc_b (never all-pairs
+    // of frames). Same-seed clips (doc_id % 25) are trimmed copies of
+    // one master video, so overlap fractions are nontrivial. The
+    // oracle recomputes every keyframe fingerprint from the shared
+    // pixel formula (q116 discipline) and mirrors the banding + cap.
+    QuerySpec(
+      "q133_video_keyframe_neardup",
+      (s, d) => videoNearDupClips(
+          dHashFrames(withVideoKeyframes(Tables.documents(s, d))).toDF())
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some("""
+        WITH ids AS (
+          SELECT doc_id,
+                 CAST(doc_id % 25 AS BIGINT) AS seed,
+                 CAST(doc_id % 40 + 10 AS BIGINT) AS nf
+          FROM documents),
+        dims AS (
+          SELECT doc_id, seed, nf,
+                 CAST(seed % 8 + 4 AS BIGINT) AS w,
+                 CAST(seed % 6 + 3 AS BIGINT) AS h
+          FROM ids),
+        frames AS (
+          SELECT d.doc_id, d.seed, d.w, d.h, f.range AS f
+          FROM dims d CROSS JOIN range(0, 50) f
+          WHERE f.range % 8 = 0 AND f.range < d.nf),
+        cells AS (
+          SELECT fr.doc_id, fr.f, r.range AS r, c.range AS c,
+                 (fr.seed*31 + fr.f*101 + ((c.range*fr.w)//9)*7
+                  + ((r.range*fr.h)//8)*13) % 256 AS g,
+                 (fr.seed*31 + fr.f*101 + (((c.range+1)*fr.w)//9)*7
+                  + ((r.range*fr.h)//8)*13) % 256 AS gn
+          FROM frames fr CROSS JOIN range(0, 8) r CROSS JOIN range(0, 8) c),
+        bits AS (SELECT doc_id, f, r*8 + c AS k,
+                        CASE WHEN g < gn THEN 1 ELSE 0 END AS bit
+                 FROM cells),
+        hashes AS (
+          SELECT doc_id, f,
+                 CAST(SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)
+                      AS BIGINT) AS hi,
+                 CAST(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)
+                      AS BIGINT) AS lo
+          FROM bits GROUP BY doc_id, f),
+        nkeys AS (SELECT doc_id, COUNT(*) AS n_key FROM hashes GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, f, hi, lo, b.range AS band,
+                 CASE WHEN b.range = 0 THEN lo % 65536
+                      WHEN b.range = 1 THEN lo // 65536
+                      WHEN b.range = 2 THEN hi % 65536
+                      ELSE hi // 65536 END AS bval
+          FROM hashes CROSS JOIN range(0, 4) b),
+        capped AS (
+          SELECT * FROM (SELECT banded.*,
+                                COUNT(*) OVER (PARTITION BY band, bval) AS bn
+                         FROM banded)
+          WHERE bn <= 64),
+        matched AS (
+          SELECT DISTINCT a.doc_id AS doc_a, a.f AS frame_a, b.doc_id AS doc_b
+          FROM capped a JOIN capped b
+            ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+        pairs AS (
+          SELECT doc_a, doc_b, COUNT(*) AS n_matched
+          FROM matched GROUP BY doc_a, doc_b)
+        SELECT p.doc_a, p.doc_b, CAST(p.n_matched AS BIGINT) AS n_matched,
+               CAST(ka.n_key AS BIGINT) AS n_key_a,
+               CAST(kb.n_key AS BIGINT) AS n_key_b,
+               ROUND(CAST(p.n_matched AS DOUBLE) / ka.n_key, 6) AS match_frac
+        FROM pairs p
+        JOIN nkeys ka ON ka.doc_id = p.doc_a
+        JOIN nkeys kb ON kb.doc_id = p.doc_b
+        WHERE ROUND(CAST(p.n_matched AS DOUBLE) / ka.n_key, 6) >= 0.5
         ORDER BY doc_a, doc_b""")),
 
     // REAL decode + nearest-neighbor resample, same oracle construction
