@@ -62,36 +62,38 @@ object Forget {
       keyToId: InternalRow => Long)
 
   /** What happened, per leg: `stateKeysKept` is the surviving key count
-    * (None = no state leg), `artifactsPruned` lists every parquet
-    * directory rewritten (ANN `codes/` included), and the gate already
-    * passed — a returned report IS the zero-residual proof.
+    * per state target (in call order), `artifactsPruned` lists every
+    * parquet directory rewritten (ANN `codes/` included), and the gate
+    * already passed — a returned report IS the zero-residual proof.
     */
   final case class ForgetReport(
       nIds: Long,
-      stateKeysKept: Option[Long],
+      stateKeysKept: Seq[Long],
       artifactsPruned: Seq[String])
 
   /** Forget `ids` (column `idCol`, castable to long) everywhere:
-    * streaming state (optional), serving ANN index (optional), and every
-    * `(dir, idCol)` parquet artifact. Throws `IllegalStateException`
-    * with the per-surface residual counts if ANY surface still holds a
-    * listed id after its prune — the audit is the exit, not an optional
-    * follow-up.
+    * streaming state (one target per stateful operator — a
+    * multi-operator checkpoint chains targets through intermediate
+    * pruned-checkpoint paths, the StateRescale composition rule),
+    * serving ANN index (optional), and every `(dir, idCol)` parquet
+    * artifact. Throws `IllegalStateException` with the per-surface
+    * residual counts if ANY surface still holds a listed id after its
+    * prune — the audit is the exit, not an optional follow-up.
     */
   def forget(ids: DataFrame, idCol: String,
-             state: Option[StateTarget] = None,
+             states: Seq[StateTarget] = Seq.empty,
              annDir: Option[String] = None,
              artifacts: Seq[(String, String)] = Seq.empty,
              hadoopConf: Configuration = new Configuration()): ForgetReport = {
-    require(state.nonEmpty || annDir.nonEmpty || artifacts.nonEmpty,
+    require(states.nonEmpty || annDir.nonEmpty || artifacts.nonEmpty,
       "forget: nothing to forget from — no state, index, or artifacts given")
     val idList = ids.select(col(idCol).cast("long").as("__id"))
       .na.drop().distinct()
     val idSet = idList.collect().map(_.getLong(0)).toSet
     require(idSet.nonEmpty, "forget: empty id list")
 
-    // 1) streaming state: rewrite the checkpoint dropping the ids' keys
-    val stateReport = state.map { st =>
+    // 1) streaming state: rewrite each checkpoint dropping the ids' keys
+    val stateReports = states.map { st =>
       StateRescale.pruneCheckpoint(st.makeProvider, st.checkpoint,
         st.prunedCheckpoint, st.operatorId, st.numPartitions,
         st.keySchema, st.valueSchema, st.conf,
@@ -109,11 +111,11 @@ object Forget {
     }
 
     // 4) the exit gate — every surface must PROVE zero residuals
-    val found = residuals(ids, idCol, state, annDir, artifacts, hadoopConf)
+    val found = residuals(ids, idCol, states, annDir, artifacts, hadoopConf)
     if (found.nonEmpty)
       throw new IllegalStateException(
         s"forget: deletion audit FAILED — ${found.mkString("; ")}")
-    ForgetReport(idSet.size.toLong, stateReport.map(_.keysMoved),
+    ForgetReport(idSet.size.toLong, stateReports.map(_.keysMoved),
       artifacts.map(_._1) ++ annDir.map(d => s"$d/codes"))
   }
 
@@ -127,7 +129,7 @@ object Forget {
     * [[graft.state.StateRescale.countKeys]] on the PRUNED checkpoint.
     */
   def residuals(ids: DataFrame, idCol: String,
-                state: Option[StateTarget] = None,
+                states: Seq[StateTarget] = Seq.empty,
                 annDir: Option[String] = None,
                 artifacts: Seq[(String, String)] = Seq.empty,
                 hadoopConf: Configuration = new Configuration()): Seq[String] = {
@@ -148,7 +150,7 @@ object Forget {
               s"(sample ids ${r.getSeq[String](2).mkString(",")})"
         }
     }
-    state.foreach { st =>
+    states.foreach { st =>
       val n = StateRescale.countKeys(st.makeProvider,
         s"${st.prunedCheckpoint}/state", st.operatorId, st.numPartitions,
         st.keySchema, st.valueSchema, st.conf,

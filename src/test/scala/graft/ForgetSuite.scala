@@ -90,12 +90,12 @@ class ForgetSuite extends AnyFunSuite with BeforeAndAfterAll {
       keySchema, keySchema, StateTestHelper.storeConf(),
       keyToId = row => row.getInt(0).toLong)
     val report = Forget.forget(forgetIds.toDF("doc_id"), "doc_id",
-      state = Some(target), annDir = Some(annDir),
+      states = Seq(target), annDir = Some(annDir),
       artifacts = Seq(idx1 -> "doc_id", idx2 -> "doc_id"))
 
     // a returned report IS the passed gate; sanity its contents
     assert(report.nIds === 2L)
-    assert(report.stateKeysKept === Some(2L), s"2 of 4 state keys survive: $report")
+    assert(report.stateKeysKept === Seq(2L), s"2 of 4 state keys survive: $report")
     assert(report.artifactsPruned.toSet ===
       Set(idx1, idx2, s"$annDir/codes"), s"report: $report")
 
@@ -128,7 +128,7 @@ class ForgetSuite extends AnyFunSuite with BeforeAndAfterAll {
     // (fresh pruned-checkpoint path: in-place state rewrites are refused)
     val ckpt3 = Files.createTempDirectory("graft-forget-ck3")
     val replay = Forget.forget(forgetIds.toDF("doc_id"), "doc_id",
-      state = Some(target.copy(checkpoint = ckpt2.toString,
+      states = Seq(target.copy(checkpoint = ckpt2.toString,
         prunedCheckpoint = ckpt3.toString)),
       annDir = Some(annDir),
       artifacts = Seq(idx1 -> "doc_id", idx2 -> "doc_id"))
