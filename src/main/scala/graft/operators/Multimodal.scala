@@ -411,8 +411,22 @@ object Multimodal {
     * ([[clipFrames]]), the trimmed-copy ground truth. */
   private def clipSeed(id: Long): Long = id % 25
   private def clipFrames(id: Long): Int = (id % 40 + 10).toInt
+  /** QUADRATIC in (x, y) with an f-dependent x-coefficient — deliberately
+    * not a linear gradient: dHash reads horizontal ORDERING, which a
+    * linear ramp keeps nearly constant across frames and seeds (a `+ f·c`
+    * brightness term alone is invisible to it entirely), collapsing the
+    * clip-level ground truth; the quadratic's wrap pattern separates
+    * every (seed, f) pair (measured: 0 cross-frame and 0 cross-seed
+    * hamming ≤ 3 collisions over all 25 seeds × 7 keyframes), so a
+    * keyframe MATCH means a genuinely shared frame. */
   private def frameGray(seed: Long, f: Int, x: Int, y: Int): Int =
-    ((seed * 31 + f * 101 + x * 7 + y * 13) % 256).toInt
+    ((seed * 31 + f * 101 + x * x * (7 + f % 5) + y * y * 13) % 256).toInt
+
+  /** Frame dims larger than the single-image fixture's: a 9×8 dHash grid
+    * over a 4-wide image reads only 4 distinct columns and every hash
+    * degenerates toward equality. */
+  private def videoDims(seed: Long): (Int, Int) =
+    ((seed % 8 + 12).toInt, (seed % 6 + 9).toInt)
 
   /** Sample every `stride`-th frame of each clip (the q52 keyframe
     * discipline — at real scale this is the codec's I-frame walk) and
@@ -428,7 +442,7 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       ids.flatMap { id =>
         val seed = clipSeed(id)
-        val (w, h) = dims(seed)
+        val (w, h) = videoDims(seed)
         (0 until clipFrames(id) by stride).iterator.map { f =>
           val img = new java.awt.image.BufferedImage(w, h,
             java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -492,19 +506,37 @@ object Multimodal {
                         minFrac: Double = 0.5): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 64, s"bad maxHamming $maxHamming")
     require(minFrac >= 0.0 && minFrac <= 1.0, s"bad minFrac $minFrac")
+    val banded = videoBandIndex(frameHashes, maxBucketSize)
+      // band-once: both self-join sides read this cut, not the
+      // explode+window subtree twice
+      .localCheckpoint(false)
+    clipPairs(banded, banded, col("a.doc_id") < col("b.doc_id"),
+      maxHamming, minFrac)
+  }
+
+  /** Band a keyframe-fingerprint table into its 4×16-bit buckets with
+    * the prospective cap, each row carrying its clip's PRE-cap keyframe
+    * count — `(band, bval, doc_id, frame_idx, dhash_hi, dhash_lo,
+    * n_key)`. This is ALSO the persisted nightly artifact for the
+    * incremental path (the video analogue of
+    * [[graft.operators.Dedup.tokenIndex]]'s `n_tok` rider: the
+    * denominator travels with the fingerprint, so probing needs no join
+    * back to the corpus frames). The n_key rider is computed before the
+    * cap — a frame whose bucket was capped still counts toward its
+    * clip's denominator (the cap prunes candidacy, not existence).
+    */
+  def videoBandIndex(frameHashes: DataFrame,
+                     maxBucketSize: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // decode-once: the 24 B/frame fingerprints are checkpointed before
-    // anything fans out — the keyframe-count aggregate and the banding
-    // both read this cut, never the PNG decode subtree
+    // the count aggregate and the banding each read them
     val hashes = frameHashes.select(col("doc_id"), col("frame_idx"),
         col("dhash_hi"), col("dhash_lo"))
       .localCheckpoint(false)
-    // per-clip keyframe counts come from the PRE-cap hashes: a frame
-    // whose band bucket was capped still counts toward its clip's
-    // denominator (the cap prunes candidacy, not existence)
     val nKeys = hashes.groupBy(col("doc_id")).agg(count(lit(1)).as("n_key"))
-    val banded = hashes.select(
-        col("doc_id"), col("frame_idx"), col("dhash_hi"), col("dhash_lo"),
+    hashes.join(broadcast(nKeys), "doc_id")
+      .select(col("doc_id"), col("frame_idx"), col("dhash_hi"),
+        col("dhash_lo"), col("n_key"),
         posexplode(array(
           col("dhash_lo").bitwiseAND(lit(0xFFFFL)),
           shiftrightunsigned(col("dhash_lo"), 16).bitwiseAND(lit(0xFFFFL)),
@@ -514,31 +546,64 @@ object Multimodal {
       .withColumn("__bn", count(lit(1)).over(
         Window.partitionBy(col("band"), col("bval"))))
       .filter(col("__bn") <= maxBucketSize)
-      .drop("__bn")
-      // band-once: both self-join sides read this cut, not the
-      // explode+window subtree twice
-      .localCheckpoint(false)
-    val matched = banded.as("a").join(banded.as("b"),
+      .select(col("band"), col("bval"), col("doc_id"), col("frame_idx"),
+        col("dhash_hi"), col("dhash_lo"), col("n_key"))
+  }
+
+  /** Candidate join on shared `(band, bval)` + exact hamming verify +
+    * per-clip-pair aggregation — shared by the inline self-join (q133)
+    * and the incremental probe (q135). `n_key_a`/`n_key_b` ride the
+    * banded rows, so no join back to per-clip counts is needed.
+    */
+  private def clipPairs(a: DataFrame, b: DataFrame, orient: Column,
+                        maxHamming: Int, minFrac: Double): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64, s"bad maxHamming $maxHamming")
+    require(minFrac >= 0.0 && minFrac <= 1.0, s"bad minFrac $minFrac")
+    a.alias("a").join(b.alias("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-          col("a.doc_id") < col("b.doc_id"))
+          orient)
       .filter(
         (bit_count(col("a.dhash_hi").bitwiseXOR(col("b.dhash_hi"))) +
           bit_count(col("a.dhash_lo").bitwiseXOR(col("b.dhash_lo"))))
           <= maxHamming)
       .select(col("a.doc_id").as("doc_a"), col("a.frame_idx").as("frame_a"),
-        col("b.doc_id").as("doc_b"))
+        col("a.n_key").as("n_key_a"),
+        col("b.doc_id").as("doc_b"), col("b.n_key").as("n_key_b"))
       .dropDuplicates("doc_a", "frame_a", "doc_b")
-    matched.groupBy(col("doc_a"), col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_key_a"), col("n_key_b"))
       .agg(count(lit(1)).as("n_matched"))
-      .join(broadcast(nKeys.select(col("doc_id").as("doc_a"),
-        col("n_key").as("n_key_a"))), "doc_a")
-      .join(broadcast(nKeys.select(col("doc_id").as("doc_b"),
-        col("n_key").as("n_key_b"))), "doc_b")
       .withColumn("match_frac",
         round(col("n_matched").cast("double") / col("n_key_a"), 6))
       .filter(col("match_frac") >= minFrac)
       .select(col("doc_a"), col("doc_b"), col("n_matched"),
         col("n_key_a"), col("n_key_b"), col("match_frac"))
+  }
+
+  /** Incremental video near-dup: every (corpus clip, batch clip) and
+    * (batch, batch) pair whose matched-keyframe fraction reaches
+    * `minFrac` — the daily-ingest counterpart of [[videoNearDupClips]],
+    * completing the incremental family across modalities (text q81,
+    * image q117, semantic q134). The already-ingested corpus
+    * participates ONLY through its persisted [[videoBandIndex]] (its
+    * keyframes are never re-decoded, and corpus×corpus pairs — found at
+    * their own ingest — are never recomputed), so daily work is ∝ batch
+    * size. Cross pairs orient (corpus, batch) with the fraction
+    * denominated by the CORPUS clip's keyframes (the index side is
+    * `doc_a`, the q117 orientation); within-batch pairs orient
+    * `doc_a < doc_b`. Corpus and batch clip ids are disjoint by
+    * contract. The skew cap applies per generation: the index was
+    * capped at build, the batch caps within itself.
+    */
+  def videoNearDupIncremental(index: DataFrame, batchHashes: DataFrame,
+                              maxHamming: Int = 3, maxBucketSize: Int = 64,
+                              minFrac: Double = 0.5): DataFrame = {
+    // the probe is referenced three times (cross + both within sides)
+    val probe = videoBandIndex(batchHashes, maxBucketSize)
+      .localCheckpoint(false)
+    val cross = clipPairs(index, probe, lit(true), maxHamming, minFrac)
+    val within = clipPairs(probe, probe,
+      col("a.doc_id") < col("b.doc_id"), maxHamming, minFrac)
+    cross.unionByName(within)
   }
 
   // ---------------------------------------------------------------------
@@ -1016,8 +1081,8 @@ object Multimodal {
           FROM documents),
         dims AS (
           SELECT doc_id, seed, nf,
-                 CAST(seed % 8 + 4 AS BIGINT) AS w,
-                 CAST(seed % 6 + 3 AS BIGINT) AS h
+                 CAST(seed % 8 + 12 AS BIGINT) AS w,
+                 CAST(seed % 6 + 9 AS BIGINT) AS h
           FROM ids),
         frames AS (
           SELECT d.doc_id, d.seed, d.w, d.h, f.range AS f
@@ -1025,10 +1090,12 @@ object Multimodal {
           WHERE f.range % 8 = 0 AND f.range < d.nf),
         cells AS (
           SELECT fr.doc_id, fr.f, r.range AS r, c.range AS c,
-                 (fr.seed*31 + fr.f*101 + ((c.range*fr.w)//9)*7
-                  + ((r.range*fr.h)//8)*13) % 256 AS g,
-                 (fr.seed*31 + fr.f*101 + (((c.range+1)*fr.w)//9)*7
-                  + ((r.range*fr.h)//8)*13) % 256 AS gn
+                 (fr.seed*31 + fr.f*101
+                  + ((c.range*fr.w)//9)*((c.range*fr.w)//9)*(7 + fr.f % 5)
+                  + ((r.range*fr.h)//8)*((r.range*fr.h)//8)*13) % 256 AS g,
+                 (fr.seed*31 + fr.f*101
+                  + (((c.range+1)*fr.w)//9)*(((c.range+1)*fr.w)//9)*(7 + fr.f % 5)
+                  + ((r.range*fr.h)//8)*((r.range*fr.h)//8)*13) % 256 AS gn
           FROM frames fr CROSS JOIN range(0, 8) r CROSS JOIN range(0, 8) c),
         bits AS (SELECT doc_id, f, r*8 + c AS k,
                         CASE WHEN g < gn THEN 1 ELSE 0 END AS bit
@@ -1057,6 +1124,88 @@ object Multimodal {
           SELECT DISTINCT a.doc_id AS doc_a, a.f AS frame_a, b.doc_id AS doc_b
           FROM capped a JOIN capped b
             ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+        pairs AS (
+          SELECT doc_a, doc_b, COUNT(*) AS n_matched
+          FROM matched GROUP BY doc_a, doc_b)
+        SELECT p.doc_a, p.doc_b, CAST(p.n_matched AS BIGINT) AS n_matched,
+               CAST(ka.n_key AS BIGINT) AS n_key_a,
+               CAST(kb.n_key AS BIGINT) AS n_key_b,
+               ROUND(CAST(p.n_matched AS DOUBLE) / ka.n_key, 6) AS match_frac
+        FROM pairs p
+        JOIN nkeys ka ON ka.doc_id = p.doc_a
+        JOIN nkeys kb ON kb.doc_id = p.doc_b
+        WHERE ROUND(CAST(p.n_matched AS DOUBLE) / ka.n_key, 6) >= 0.5
+        ORDER BY doc_a, doc_b""")),
+
+    // Incremental video near-dup: the corpus participates only through
+    // its persisted banded keyframe index (q74/q81/q117/q134 pattern —
+    // work ∝ batch, keyframes never re-decoded); the oracle re-derives
+    // both generations' banded buckets (cap per generation) and the
+    // exact union of the cross and within-batch clip-pair aggregations,
+    // with fractions denominated by the a-side clip's keyframes.
+    QuerySpec(
+      "q135_video_neardup_incr",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val index = videoBandIndex(dHashFrames(
+          withVideoKeyframes(docs.filter(col("doc_id") >= 250))).toDF())
+        videoNearDupIncremental(index, dHashFrames(
+            withVideoKeyframes(docs.filter(col("doc_id") < 250))).toDF())
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""
+        WITH ids AS (
+          SELECT doc_id,
+                 CAST(doc_id % 25 AS BIGINT) AS seed,
+                 CAST(doc_id % 40 + 10 AS BIGINT) AS nf
+          FROM documents),
+        dims AS (
+          SELECT doc_id, seed, nf,
+                 CAST(seed % 8 + 12 AS BIGINT) AS w,
+                 CAST(seed % 6 + 9 AS BIGINT) AS h
+          FROM ids),
+        frames AS (
+          SELECT d.doc_id, d.seed, d.w, d.h, f.range AS f
+          FROM dims d CROSS JOIN range(0, 50) f
+          WHERE f.range % 8 = 0 AND f.range < d.nf),
+        cells AS (
+          SELECT fr.doc_id, fr.f, r.range AS r, c.range AS c,
+                 (fr.seed*31 + fr.f*101
+                  + ((c.range*fr.w)//9)*((c.range*fr.w)//9)*(7 + fr.f % 5)
+                  + ((r.range*fr.h)//8)*((r.range*fr.h)//8)*13) % 256 AS g,
+                 (fr.seed*31 + fr.f*101
+                  + (((c.range+1)*fr.w)//9)*(((c.range+1)*fr.w)//9)*(7 + fr.f % 5)
+                  + ((r.range*fr.h)//8)*((r.range*fr.h)//8)*13) % 256 AS gn
+          FROM frames fr CROSS JOIN range(0, 8) r CROSS JOIN range(0, 8) c),
+        bits AS (SELECT doc_id, f, r*8 + c AS k,
+                        CASE WHEN g < gn THEN 1 ELSE 0 END AS bit
+                 FROM cells),
+        hashes AS (
+          SELECT doc_id, f,
+                 CAST(SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)
+                      AS BIGINT) AS hi,
+                 CAST(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)
+                      AS BIGINT) AS lo
+          FROM bits GROUP BY doc_id, f),
+        nkeys AS (SELECT doc_id, COUNT(*) AS n_key FROM hashes GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, f, hi, lo, doc_id < 250 AS is_new, b.range AS band,
+                 CASE WHEN b.range = 0 THEN lo % 65536
+                      WHEN b.range = 1 THEN lo // 65536
+                      WHEN b.range = 2 THEN hi % 65536
+                      ELSE hi // 65536 END AS bval
+          FROM hashes CROSS JOIN range(0, 4) b),
+        capped AS (
+          SELECT * FROM (SELECT banded.*,
+                                COUNT(*) OVER (PARTITION BY is_new, band, bval) AS bn
+                         FROM banded)
+          WHERE bn <= 64),
+        matched AS (
+          SELECT DISTINCT a.doc_id AS doc_a, a.f AS frame_a, b.doc_id AS doc_b
+          FROM capped a JOIN capped b
+            ON a.band = b.band AND a.bval = b.bval AND b.is_new
+           AND (NOT a.is_new OR a.doc_id < b.doc_id)
           WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
         pairs AS (
           SELECT doc_a, doc_b, COUNT(*) AS n_matched

@@ -70,6 +70,48 @@ class VideoNearDupSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"banding must lose nothing at hamming<=3: got=$got expect=$expect")
   }
 
+  test("incremental: cross + within pairs; unordered-pair parity with the full run") {
+    val corpusIds = Seq(25L, 26L, 30L, 77L)
+    val batchIds = Seq(0L, 1L, 50L, 99L) // 50 shares seed 0 with clips 0/25
+    val index = Multimodal.videoBandIndex(hashesFor(corpusIds))
+    val incr = Multimodal.videoNearDupIncremental(index, hashesFor(batchIds),
+        minFrac = 0.0, maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+
+    // cross orientation: corpus side is doc_a (frac vs the CORPUS clip's
+    // keyframes, the q117 index-side convention); within-batch a < b
+    incr.foreach { case (a, b, m, ka, _, frac) =>
+      val isCross = corpusIds.contains(a)
+      if (isCross) assert(batchIds.contains(b), s"cross pair ($a,$b)")
+      else assert(a < b && batchIds.contains(b), s"within pair ($a,$b)")
+      assert(m <= ka && frac <= 1.0)
+    }
+    // clip 25 (keyframes 0,8,16,24,32) vs trimmed batch copy 0 (0,8):
+    // both of 25's first two keyframes match -> 2/5
+    assert(incr.exists(p => p._1 == 25L && p._2 == 0L &&
+      p._3 == 2L && p._4 == 5L && p._6 == 0.4),
+      s"cross trimmed copy evidence: ${incr.toSeq}")
+    // within-batch same-seed pair (0, 50)
+    assert(incr.exists(p => p._1 == 0L && p._2 == 50L),
+      s"within-batch pair missing: ${incr.toSeq}")
+
+    // unordered-pair parity: (corpus-only pairs) ∪ (incremental pairs)
+    // ≡ full-run pairs on the union — the corpus is never re-scanned
+    // yet nothing is missed (caps non-binding, minFrac 0)
+    def unordered(rows: Array[(Long, Long)]): Set[Set[Long]] =
+      rows.map(p => Set(p._1, p._2)).toSet
+    val corpusOnly = Multimodal.videoNearDupClips(hashesFor(corpusIds),
+        minFrac = 0.0, maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val full = Multimodal.videoNearDupClips(hashesFor(corpusIds ++ batchIds),
+        minFrac = 0.0, maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(unordered(corpusOnly) ++ unordered(incr.map(p => (p._1, p._2)))
+        === unordered(full),
+      "build ∪ incremental must cover exactly the full run's pair set")
+  }
+
   test("orientation, evidence bounds, cap, and strict hamming 0") {
     val hashes = hashesFor((0L until 60L).toSeq)
     val rows = Multimodal.videoNearDupClips(hashes).collect()
