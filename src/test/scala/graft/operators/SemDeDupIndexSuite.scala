@@ -7,7 +7,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 
 /** Batch-incremental SemDeDup (the persisted cell index): build-time
   * losers ∪ incremental losers must equal the full frozen-model run over
@@ -26,6 +28,9 @@ class SemDeDupIndexSuite extends AnyFunSuite with BeforeAndAfterAll {
       .appName("graft-semdedup-index")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      // for the streaming-composition gate (transformWithState)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        classOf[graft.state.RocksDbStateStoreProvider].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
   }
@@ -91,6 +96,49 @@ class SemDeDupIndexSuite extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSet
     assert(incr2 === Set(300L),
       s"the appended 150 must be probed by the next increment: $incr2")
+  }
+
+  test("incremental ∪ build equals the streaming twin under the index's frozen model") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-semdd-stream").toString
+    val gen0 = ((1L to 10L).map(j => (j, vec(0, j))) ++
+      (51L to 60L).map(j => (j, vec(1, j)))).toDF("vec_id", "embedding")
+    val batch = Seq((101L, vec(0, 1L)), (45L, vec(1, 51L)),
+      (150L, vec(0, 77L)), (151L, vec(0, 77L))).toDF("vec_id", "embedding")
+    Dedup.buildSemDeDupIndex(gen0, dir, nClusters = 2, iters = 3)
+    val cents = loadCents(dir)
+    val t = 0.99999
+
+    val offline =
+      Dedup.semDeDupLosersFrozen(gen0, cents, t)
+        .collect().map(_.getLong(0)).toSet ++
+      Dedup.semDeDupIncremental(batch, dir, t)
+        .collect().map(_.getLong(0)).toSet
+
+    // the same two generations as two micro-batches through the ONLINE
+    // twin, under the SAME frozen cells — the three serve paths (inline
+    // frozen, persisted-index incremental, streaming state) must agree
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingCosineDedup.semDeDupStream(
+        input.toDS().toDF("vec_id", "embedding"), cents, threshold = t)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("semdd_idx_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-semdd-stream-ck").toString)
+      .start()
+    input.addData((1L to 10L).map(j => (j, vec(0, j))) ++
+      (51L to 60L).map(j => (j, vec(1, j))): _*)
+    q.processAllAvailable()
+    input.addData((101L, vec(0, 1L)), (45L, vec(1, 51L)),
+      (150L, vec(0, 77L)), (151L, vec(0, 77L)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("semdd_idx_stream").collect()
+      .map(r => math.max(r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === offline,
+      s"stream=$streamed must equal build ∪ incremental=$offline")
   }
 
   test("probe reads only touched cells: the cid filter is a partition filter") {
