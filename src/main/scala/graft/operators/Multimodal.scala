@@ -781,6 +781,46 @@ object Multimodal {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
       .filter(col("n_copies") >= 2)
 
+  /** Near-dup audio pairs by banded hamming over the 32-bit envelope
+    * fingerprint — the audio analogue of [[imageNearDupPairs]] and the
+    * GRADED companion to [[audioDedupGroups]]'s exact-match join: a
+    * volume-tweaked re-encode whose quietest frame flips one
+    * energy comparison escapes the exact join entirely but sits at
+    * hamming 1–2 here. 4×8-bit bands over the fingerprint word, so by
+    * pigeonhole any pair within hamming ≤ 3 is GUARANTEED a shared band
+    * (the default is lossless, like the video path); `maxBucketSize` is
+    * the usual prospective skew guard. Only (band, bval, doc_id,
+    * fingerprint) rows — 20 B/clip — ride the self-join; clips never
+    * travel.
+    */
+  def audioNearDupPairs(fingerprints: DataFrame, maxHamming: Int = 3,
+                        maxBucketSize: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 32, s"bad maxHamming $maxHamming")
+    import org.apache.spark.sql.expressions.Window
+    val banded = fingerprints.select(col("doc_id"), col("fingerprint"),
+        posexplode(array(
+          col("fingerprint").bitwiseAND(lit(0xFFL)),
+          shiftrightunsigned(col("fingerprint"), 8).bitwiseAND(lit(0xFFL)),
+          shiftrightunsigned(col("fingerprint"), 16).bitwiseAND(lit(0xFFL)),
+          shiftrightunsigned(col("fingerprint"), 24).bitwiseAND(lit(0xFFL))))
+          .as(Seq("band", "bval")))
+      .withColumn("__bn", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bval"))))
+      .filter(col("__bn") <= maxBucketSize)
+      .drop("__bn")
+      // decode-once: both self-join sides read this 20 B/band-row cut,
+      // not the WAV mapPartitions decode subtree
+      .localCheckpoint(false)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.fingerprint").bitwiseXOR(col("b.fingerprint")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   /** Cross-modal media curation — the q70-style composition for media:
     * drop every doc whose IMAGE has a perceptual near-dup with a lower
     * id ([[imageNearDupPairs]] orients `doc_a < doc_b`, so distinct
@@ -1342,6 +1382,55 @@ object Multimodal {
                MIN(doc_id) AS canonical_id
         FROM fps GROUP BY fingerprint HAVING COUNT(*) >= 2
         ORDER BY fingerprint""")),
+
+    // Banded-hamming audio near-dup: the graded companion to q119's
+    // exact-fingerprint groups — same fingerprint oracle algebra plus
+    // the 4×8-bit banding + cap + pair verify mirrored in SQL.
+    QuerySpec(
+      "q136_audio_neardup",
+      (s, d) => audioNearDupPairs(
+          audioFingerprint(withWavMedia(Tables.documents(s, d))).toDF())
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some("""
+        WITH ids AS (
+          SELECT doc_id, CAST(doc_id % 50 + 30 AS BIGINT) AS n FROM documents),
+        samp AS (
+          SELECT doc_id, n, (s.range*33)//n AS f,
+                 ABS((doc_id*131 + s.range*787) % 4096 - 2048) AS a
+          FROM ids CROSS JOIN range(0, 80) s
+          WHERE s.range < n),
+        energies AS (
+          SELECT doc_id, f, SUM(a) AS e FROM samp GROUP BY doc_id, f),
+        frames AS (
+          SELECT i.doc_id, f.range AS f, COALESCE(e.e, 0) AS e
+          FROM ids i CROSS JOIN range(0, 33) f
+          LEFT JOIN energies e ON e.doc_id = i.doc_id AND e.f = f.range),
+        bits AS (
+          SELECT a.doc_id, a.f AS k,
+                 CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+          FROM frames a JOIN frames b
+            ON a.doc_id = b.doc_id AND b.f = a.f + 1
+          WHERE a.f < 32),
+        fps AS (
+          SELECT doc_id,
+                 CAST(SUM(bit * (1::BIGINT << k)) AS BIGINT) AS fingerprint
+          FROM bits GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, fingerprint, b.range AS band,
+                 (fingerprint // (1::BIGINT << (8*b.range))) % 256 AS bval
+          FROM fps CROSS JOIN range(0, 4) b),
+        capped AS (
+          SELECT * FROM (SELECT banded.*,
+                                COUNT(*) OVER (PARTITION BY band, bval) AS bn
+                         FROM banded)
+          WHERE bn <= 64)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS BIGINT)
+                 AS hamming
+        FROM capped a JOIN capped b
+          ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3
+        ORDER BY doc_a, doc_b""")),
 
     // Cross-modal curation composition: the oracle re-derives the image
     // loser set (q116 banded topology) AND the audio loser set (q119

@@ -146,6 +146,40 @@ class AudioCodecSuite extends AnyFunSuite with BeforeAndAfterAll {
       "two copies, canonical = min doc_id")
   }
 
+  test("banded near-dup: lossless at hamming <= 3; exact join misses what it catches") {
+    val sql = spark
+    import sql.implicits._
+    val base = Array.tabulate(66)(i => 2000 - 30 * i) // all 32 bits set
+    // flip exactly one comparison: lift frame 17's energy above frame 16's
+    // (2 samples per frame at n=66) — hamming 1 from base, invisible to
+    // the exact-fingerprint join
+    val oneOff = base.clone()
+    oneOff(34) = 3000; oneOff(35) = 3000
+    val rows = Seq(wavOf(1L, base), wavOf(2L, oneOff), wavOf(3L, base)).toDS()
+    val fps = Multimodal.audioFingerprint(rows).toDF()
+      .localCheckpoint(true)
+    assert(Multimodal.audioDedupGroups(fps)
+      .collect().map(_.getLong(2)).toSeq == Seq(1L),
+      "exact join groups only the identical pair")
+    val pairs = Multimodal.audioNearDupPairs(fps)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs == Map((1L, 2L) -> 1L, (1L, 3L) -> 0L, (2L, 3L) -> 1L),
+      s"near-dup must grade the one-bit re-encode: $pairs")
+    // brute-force parity on formula clips: banding loses nothing at <= 3
+    val ids = (0L until 60L).toSeq
+    val formulaFps = Multimodal.audioFingerprint(
+        Multimodal.withWavMedia(ids.toDF("doc_id"))).toDF()
+      .localCheckpoint(true)
+    val got = Multimodal.audioNearDupPairs(formulaFps)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = formulaFps.collect().map(r => (r.getLong(0), r.getLong(2)))
+    val expect = (for {
+      (da, fa) <- all; (db, fb) <- all
+      if da < db && java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (da, db)).toSet
+    assert(got === expect, s"banding must be lossless at hamming<=3")
+  }
+
   test("corrupt payloads fail loudly, not as garbage features") {
     val sql = spark
     import sql.implicits._
