@@ -400,6 +400,48 @@ object Pipeline {
       .drop("__cum")
   }
 
+  /** Length-bucketed padding-minimizing batch packing — the DYNAMIC
+    * BATCHING step between [[packSequences]]'s token-budget chunking and
+    * the training loader: group docs of similar token length into
+    * fixed-count batches so each batch pads to ITS OWN max length, not
+    * the corpus max (the fairseq/HF `group_by_length` discipline —
+    * batching a 30-token doc with a 2000-token doc wastes 98% of the
+    * short rows' compute as pad tokens). Docs land in a coarse length
+    * bucket (`len div bucketWidth`), are ordered (length, id) within it,
+    * and every `batchSize` consecutive docs form a batch. Emits one row
+    * per batch with the exact padding economics: `padded_tokens` =
+    * max_len × n_docs (what the accelerator pays), `waste` = padded −
+    * real (what padding burns). Deterministic total order, so the q137
+    * oracle gates it row-for-row.
+    *
+    * Scale shape: NO global sort — the ranking window is PARTITIONED by
+    * bucket (one hash exchange on ~|maxLen/bucketWidth| keys), then one
+    * map-side batch-id projection and one partial-aggregated group by
+    * (bucket, batch). A skewed bucket (the web's 100-300-token hump)
+    * still sorts only its own rows per partition. Integer arithmetic
+    * throughout ([[packSequences]]'s div discipline).
+    */
+  def packBatches(docs: DataFrame, batchSize: Int, bucketWidth: Int = 64,
+                  tokenCountCol: Option[String] = None): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val counted = tokenCountCol.fold(
+        docs.withColumn("n_tokens", TextOps.tokenCount(col("text"))))(c =>
+        docs.withColumn("n_tokens", col(c).cast("bigint")))
+      .withColumn("bucket", expr(s"n_tokens div $bucketWidth").cast("bigint"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    counted
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("batch_id", expr(s"(__rn - 1) div $batchSize").cast("bigint"))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).cast("bigint").as("max_len"),
+        sum(col("n_tokens")).cast("bigint").as("sum_len"))
+      .withColumn("padded_tokens", (col("max_len") * col("n_docs")).cast("bigint"))
+      .withColumn("waste", (col("padded_tokens") - col("sum_len")).cast("bigint"))
+  }
+
   /** Publish a curated corpus for training consumption: one directory
     * per `partitionCol` value (consumers read a language/source slice
     * without touching the rest), rows sorted by `sortCol` inside each
@@ -1004,6 +1046,34 @@ object Pipeline {
                COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
         FROM t GROUP BY source, chunk_id
         ORDER BY source, chunk_id""")),
+
+    // Length-bucketed padding-minimizing batch packing: the dynamic-
+    // batching step after token-budget chunking — deterministic
+    // (length, id) order within coarse length buckets, so the full
+    // padding economics (padded vs real tokens per batch) hash-gate.
+    QuerySpec(
+      "q137_pack_batches",
+      (s, d) => packBatches(Tables.documents(s, d), batchSize = 16)
+        .orderBy(col("bucket"), col("batch_id")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
+                 len(string_split(text,' ')) // 64 AS bucket
+          FROM documents),
+        r AS (
+          SELECT bucket, n_tokens,
+                 ROW_NUMBER() OVER (PARTITION BY bucket
+                   ORDER BY n_tokens, doc_id) AS rn
+          FROM t)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST((rn - 1) // 16 AS BIGINT) AS batch_id,
+               COUNT(*) AS n_docs,
+               CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_len,
+               CAST(MAX(n_tokens) * COUNT(*) AS BIGINT) AS padded_tokens,
+               CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT) AS waste
+        FROM r GROUP BY bucket, batch_id
+        ORDER BY bucket, batch_id""")),
 
     // Production tier of the same pipeline: near-dup token-df cap ON.
     // Same deterministic-candidate-rule oracle treatment as q37/q96 —

@@ -108,6 +108,43 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 10L -> 0L))
   }
 
+  test("packBatches: per-bucket batches, exact padding economics, stability") {
+    val sql = spark
+    import sql.implicits._
+    // bucketWidth 4, batchSize 2: lens 1,2,3 → bucket 0; 5,6 → bucket 1.
+    // bucket 0 order (len, id): (1,#1)(2,#2)(3,#3) → batches [1,2], [3]
+    val docs = Seq(
+      (1L, "t"), (2L, "t t"), (3L, "t t t"),
+      (4L, "t t t t t"), (5L, "t t t t t t")
+    ).toDF("doc_id", "text")
+    val out = Pipeline.packBatches(docs, batchSize = 2, bucketWidth = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(out === Map(
+      (0L, 0L) -> ((2L, 2L, 3L, 4L, 1L)),  // docs 1,2: pad to 2×2=4, waste 1
+      (0L, 1L) -> ((1L, 3L, 3L, 3L, 0L)),  // partial batch: pads to itself
+      (1L, 0L) -> ((2L, 6L, 11L, 12L, 1L))), s"got $out")
+
+    // batching vs ONE global batch: bucketing strictly reduces waste
+    val one = Pipeline.packBatches(docs, batchSize = 5, bucketWidth = 1000)
+      .collect().map(r => r.getLong(6)).sum
+    assert(out.values.map(_._5).sum < one,
+      "length-bucketed batches must waste less than one global batch")
+
+    // deterministic under repartitioning; supplied token column honored
+    val big = (0L until 60L).map(i =>
+      (i, Seq.fill((i % 9 + 1).toInt)("w").mkString(" "), i % 9 + 1))
+      .toDF("doc_id", "text", "n_tok")
+    val a = Pipeline.packBatches(big, 4).collect().map(_.toSeq).toSet
+    val b = Pipeline.packBatches(big.repartition(7), 4).collect().map(_.toSeq).toSet
+    assert(a === b, "stable under repartitioning")
+    val c = Pipeline.packBatches(big, 4, tokenCountCol = Some("n_tok"))
+      .collect().map(_.toSeq).toSet
+    assert(c === a, "supplied count column equals derived counts here")
+    intercept[IllegalArgumentException] { Pipeline.packBatches(big, 0) }
+  }
+
   test("packSequences is stable under repartitioning") {
     val sql = spark
     import sql.implicits._
