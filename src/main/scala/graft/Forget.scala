@@ -111,7 +111,7 @@ object Forget {
     }
 
     // 4) the exit gate — every surface must PROVE zero residuals
-    val found = residuals(ids, idCol, states, annDir, artifacts, hadoopConf)
+    val found = residualsOf(idList, idSet, states, annDir, artifacts, hadoopConf)
     if (found.nonEmpty)
       throw new IllegalStateException(
         s"forget: deletion audit FAILED — ${found.mkString("; ")}")
@@ -135,7 +135,18 @@ object Forget {
                 hadoopConf: Configuration = new Configuration()): Seq[String] = {
     val idList = ids.select(col(idCol).cast("long").as("__id"))
       .na.drop().distinct()
-    val idSet = idList.collect().map(_.getLong(0)).toSet
+    residualsOf(idList, idList.collect().map(_.getLong(0)).toSet,
+      states, annDir, artifacts, hadoopConf)
+  }
+
+  /** [[residuals]] over an already-normalized id frame/set — [[forget]]
+    * routes here so the gate reuses the list it collected for the
+    * prunes instead of re-running the normalize/collect jobs. */
+  private def residualsOf(idList: DataFrame, idSet: Set[Long],
+                          states: Seq[StateTarget],
+                          annDir: Option[String],
+                          artifacts: Seq[(String, String)],
+                          hadoopConf: Configuration): Seq[String] = {
     val out = scala.collection.mutable.ListBuffer.empty[String]
     // deletionAudit joins each artifact on ITS OWN id column name, so the
     // ids frame carries every needed column (aliased copies of __id)

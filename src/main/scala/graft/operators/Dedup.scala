@@ -711,7 +711,14 @@ object Dedup {
   private[operators] def cappedAssignment(v: DataFrame,
                                           cents: Array[(Int, Array[Double])],
                                           maxClusterSize: Int): DataFrame = {
+    // checkpoint the RAW assignment: the count aggregate and the
+    // anti-join's left input would otherwise each re-run the full
+    // embedding scan + K-argmin pass (the broadcast-subquery job and the
+    // main job share no CSE) — the same single-pass discipline as
+    // [[semDeDupIncremental]]'s probe
     val assignedRaw = Similarity.assign(v, cents, "cv")
+      .select(col("nid"), col("cid"), col("cv"))
+      .localCheckpoint(false)
     val overCap = assignedRaw.groupBy(col("cid"))
       .agg(count(lit(1)).as("__cn"))
       .filter(col("__cn") > maxClusterSize)
@@ -739,8 +746,10 @@ object Dedup {
                            maxClusterSize: Int = 4096): DataFrame = {
     val v = embeddings.select(col("vec_id").as("nid"),
       Similarity.asDouble(col("embedding")).as("cv"))
+    // cappedAssignment checkpoints the raw assignment; the cap anti-join
+    // on top is a map-side broadcast, cheap to evaluate once per join
+    // side against the stored blocks — no second cut needed
     val assigned = cappedAssignment(v, cents, maxClusterSize)
-      .localCheckpoint(false)
     val a = assigned.as("a")
     val b = assigned.as("b")
     a.join(b, col("a.cid") === col("b.cid") && col("a.nid") < col("b.nid"))
@@ -866,29 +875,20 @@ object Dedup {
     out
   }
 
-  private val semDdIndexOnce =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** Build-once memo for the q134 harness query (the
-    * [[AnnIndex.cachedBuild]] discipline): the operator's point is the
-    * nightly-build / per-batch-probe split, so the verified-and-benched
-    * path is the PROBE against an index built once per sf-dir per JVM.
-    * Library users call [[buildSemDeDupIndex]] with their own storage.
+    * [[AnnIndex.cachedBuild]] discipline via [[BuildOnce]]): the
+    * operator's point is the nightly-build / per-batch-probe split, so
+    * the verified-and-benched path is the PROBE against an index built
+    * once per sf-dir per JVM. Library users call [[buildSemDeDupIndex]]
+    * with their own storage.
     */
   private def cachedSemDeDupIndex(s: SparkSession, d: String): String =
-    semDdIndexOnce.computeIfAbsent(d, { _ =>
-      val dir = java.nio.file.Files.createTempDirectory("graft-semdd-index")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        try {
-          java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-        } catch { case _: Exception => () }
-      }))
+    BuildOnce.dir("graft-semdd-index", d) { dir =>
       buildSemDeDupIndex(
         Tables.embeddings(s, d).filter(col("vec_id") >= 250),
-        dir.toString, nClusters = 16)
-      dir.toString
-    })
+        dir, nClusters = 16)
+      dir
+    }
 
   /** The index-member read the probe runs: `cid` is the PARTITION
     * column, so the isin filter prunes to the touched cells'

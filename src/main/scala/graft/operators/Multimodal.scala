@@ -330,14 +330,21 @@ object Multimodal {
     * the full 64-bit word is never assembled, so every consumer
     * (including a SQL engine whose `<<` refuses to wrap) agrees.
     */
+  /** The 4×16-bit band values of a 64-bit dHash carried as (hi, lo)
+    * halves — THE banding every image/video consumer must agree on
+    * (batch band indexes, both streaming twins, and their SQL oracles
+    * mirror this exact split), so it is defined once. Order: lo-low,
+    * lo-high, hi-low, hi-high. */
+  private[graft] def dHashBands(hi: Column, lo: Column): Column = array(
+    lo.bitwiseAND(lit(0xFFFFL)),
+    shiftrightunsigned(lo, 16).bitwiseAND(lit(0xFFFFL)),
+    hi.bitwiseAND(lit(0xFFFFL)),
+    shiftrightunsigned(hi, 16).bitwiseAND(lit(0xFFFFL)))
+
   def dHashBandIndex(hashes: DataFrame, maxBucketSize: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     hashes.select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
-        posexplode(array(
-          col("dhash_lo").bitwiseAND(lit(0xFFFFL)),
-          shiftrightunsigned(col("dhash_lo"), 16).bitwiseAND(lit(0xFFFFL)),
-          col("dhash_hi").bitwiseAND(lit(0xFFFFL)),
-          shiftrightunsigned(col("dhash_hi"), 16).bitwiseAND(lit(0xFFFFL))))
+        posexplode(dHashBands(col("dhash_hi"), col("dhash_lo")))
           .as(Seq("band", "bval")))
       .withColumn("__bn", count(lit(1)).over(
         Window.partitionBy(col("band"), col("bval"))))
@@ -537,11 +544,7 @@ object Multimodal {
     hashes.join(broadcast(nKeys), "doc_id")
       .select(col("doc_id"), col("frame_idx"), col("dhash_hi"),
         col("dhash_lo"), col("n_key"),
-        posexplode(array(
-          col("dhash_lo").bitwiseAND(lit(0xFFFFL)),
-          shiftrightunsigned(col("dhash_lo"), 16).bitwiseAND(lit(0xFFFFL)),
-          col("dhash_hi").bitwiseAND(lit(0xFFFFL)),
-          shiftrightunsigned(col("dhash_hi"), 16).bitwiseAND(lit(0xFFFFL))))
+        posexplode(dHashBands(col("dhash_hi"), col("dhash_lo")))
           .as(Seq("band", "bval")))
       .withColumn("__bn", count(lit(1)).over(
         Window.partitionBy(col("band"), col("bval"))))
@@ -821,28 +824,18 @@ object Multimodal {
       .dropDuplicates("doc_a", "doc_b")
   }
 
-  private val videoIndexOnce =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Build-once memo for the q135 harness query: the banded keyframe
-    * index of the corpus generation (doc_id >= 250), persisted to
-    * parquet once per sf-dir per JVM. Library users call
+  /** Build-once memo for the q135 harness query ([[BuildOnce]]): the
+    * banded keyframe index of the corpus generation (doc_id >= 250),
+    * persisted to parquet once per sf-dir per JVM. Library users call
     * [[videoBandIndex]] + `.write.parquet` with their own storage.
     */
   private def cachedVideoBandIndex(s: SparkSession, d: String): String =
-    videoIndexOnce.computeIfAbsent(d, { _ =>
-      val dir = java.nio.file.Files.createTempDirectory("graft-video-index")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        try {
-          java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-        } catch { case _: Exception => () }
-      }))
+    BuildOnce.dir("graft-video-index", d) { dir =>
       videoBandIndex(dHashFrames(withVideoKeyframes(
           Tables.documents(s, d).filter(col("doc_id") >= 250))).toDF())
         .write.parquet(s"$dir/index")
       s"$dir/index"
-    })
+    }
 
   /** Cross-modal media curation — the q70-style composition for media:
     * drop every doc whose IMAGE has a perceptual near-dup with a lower

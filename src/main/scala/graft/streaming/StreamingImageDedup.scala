@@ -95,12 +95,8 @@ object StreamingImageDedup {
     val spark = hashes.sparkSession
     import spark.implicits._
     val banded = hashes.select(
-        posexplode(array(
-          col("dhash_lo").bitwiseAND(lit(0xFFFFL)),
-          shiftrightunsigned(col("dhash_lo"), 16).bitwiseAND(lit(0xFFFFL)),
-          col("dhash_hi").bitwiseAND(lit(0xFFFFL)),
-          shiftrightunsigned(col("dhash_hi"), 16).bitwiseAND(lit(0xFFFFL))))
-          .as(Seq("band", "bval")),
+        posexplode(graft.operators.Multimodal.dHashBands(
+          col("dhash_hi"), col("dhash_lo"))).as(Seq("band", "bval")),
         col("doc_id").as("docId"),
         col("dhash_hi").as("hi"), col("dhash_lo").as("lo"))
       .as[BandedHash]

@@ -60,10 +60,14 @@ object StreamingVideoDedup {
     override def handleInputRows(key: (Int, Long), rows: Iterator[BandedFrame],
                                  timerValues: TimerValues): Iterator[FrameMatch] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[FrameMatch]
+      // read the bucket ONCE per key per batch and mirror appends in the
+      // local buffer (so same-batch arrivals still pair with each other)
+      // instead of re-deserializing the full list per input row
+      val buf = scala.collection.mutable.ArrayBuffer.empty[FrameMember]
+      buf ++= members.get()
       rows.foreach { h =>
-        val current = members.get().toArray
-        if (current.length < maxBucketSize) {
-          current.foreach { m =>
+        if (buf.length < maxBucketSize) {
+          buf.foreach { m =>
             if (m.docId != h.docId) {
               val d = java.lang.Long.bitCount(h.hi ^ m.hi) +
                 java.lang.Long.bitCount(h.lo ^ m.lo)
@@ -75,8 +79,9 @@ object StreamingVideoDedup {
               }
             }
           }
-          members.appendValue(
-            FrameMember(h.docId, h.frameIdx, h.hi, h.lo, h.nKey))
+          val added = FrameMember(h.docId, h.frameIdx, h.hi, h.lo, h.nKey)
+          members.appendValue(added)
+          buf += added
         }
       }
       out.iterator
@@ -101,16 +106,19 @@ object StreamingVideoDedup {
     override def handleInputRows(key: (Long, Long), rows: Iterator[FrameMatch],
                                  timerValues: TimerValues): Iterator[ClipPair] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[ClipPair]
+      // one state read per key per batch; the local mirrors absorb the
+      // per-row updates (same-batch duplicate band hits dedup against
+      // the set, not a re-deserialized list)
+      var isEmitted = emitted.exists()
+      var seen = if (isEmitted) Set.empty[Int] else frames.get().toSet
       rows.foreach { m =>
-        if (!emitted.exists()) {
-          val seen = frames.get().toSet
-          if (!seen.contains(m.frameA)) {
-            frames.appendValue(m.frameA)
-            val n = seen.size + 1
-            if (n.toDouble / m.nKeyA >= minFrac) {
-              out += ClipPair(m.docA, m.docB, n, m.nKeyA)
-              emitted.update(true)
-            }
+        if (!isEmitted && !seen.contains(m.frameA)) {
+          frames.appendValue(m.frameA)
+          seen += m.frameA
+          if (seen.size.toDouble / m.nKeyA >= minFrac) {
+            out += ClipPair(m.docA, m.docB, seen.size, m.nKeyA)
+            emitted.update(true)
+            isEmitted = true
           }
         }
       }
@@ -133,12 +141,8 @@ object StreamingVideoDedup {
     val spark = frameHashes.sparkSession
     import spark.implicits._
     val banded = frameHashes.select(
-        posexplode(array(
-          col("dhash_lo").bitwiseAND(lit(0xFFFFL)),
-          shiftrightunsigned(col("dhash_lo"), 16).bitwiseAND(lit(0xFFFFL)),
-          col("dhash_hi").bitwiseAND(lit(0xFFFFL)),
-          shiftrightunsigned(col("dhash_hi"), 16).bitwiseAND(lit(0xFFFFL))))
-          .as(Seq("band", "bval")),
+        posexplode(graft.operators.Multimodal.dHashBands(
+          col("dhash_hi"), col("dhash_lo"))).as(Seq("band", "bval")),
         col("doc_id").as("docId"), col("frame_idx").as("frameIdx"),
         col("dhash_hi").as("hi"), col("dhash_lo").as("lo"),
         col("n_key").cast("int").as("nKey"))

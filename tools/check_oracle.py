@@ -33,7 +33,10 @@ def main(out_dir, sf_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     # Verify.renderedOracleSql substitutes __SF_TAG__ before dumping; keep a
     # defensive render here so a stale/hand-built oracle_sql.json still runs.
-    sf_tag = sf_dir.rstrip("/").split("/")[-1]
+    # Same sanitization as TextOps.sfTag, or the fallback would glob a path
+    # that differs from where the Spark side actually dumped.
+    import re
+    sf_tag = re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.rstrip("/").split("/")[-1])
     oracle = {k: v.replace("__SF_TAG__", sf_tag) for k, v in oracle.items()}
     n_ok = n_bad = 0
     import os
