@@ -447,24 +447,31 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
       javax.imageio.ImageIO.setUseCache(false)
+      // same-(seed, f) frames are byte-identical across clips (trimmed
+      // copies of one master) — encode each once per partition; the
+      // DOWNSTREAM decode+fingerprint work stays honestly per-clip-frame
+      val memo = collection.mutable.HashMap.empty[(Long, Int), Array[Byte]]
       ids.flatMap { id =>
         val seed = clipSeed(id)
         val (w, h) = videoDims(seed)
         (0 until clipFrames(id) by stride).iterator.map { f =>
-          val img = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          val raster = img.getRaster
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              raster.setSample(x, y, 0, frameGray(seed, f, x, y)); x += 1
+          val bytes = memo.getOrElseUpdate((seed, f), {
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raster.setSample(x, y, 0, frameGray(seed, f, x, y)); x += 1
+              }
+              y += 1
             }
-            y += 1
-          }
-          val out = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", out)
-          FrameRow(id, f, out.toByteArray)
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", out)
+            out.toByteArray
+          })
+          FrameRow(id, f, bytes)
         }
       }
     }
