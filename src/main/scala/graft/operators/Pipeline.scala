@@ -407,34 +407,50 @@ object Pipeline {
     * the corpus max (the fairseq/HF `group_by_length` discipline —
     * batching a 30-token doc with a 2000-token doc wastes 98% of the
     * short rows' compute as pad tokens). Docs land in a coarse length
-    * bucket (`len div bucketWidth`), are ordered (length, id) within it,
-    * and every `batchSize` consecutive docs form a batch. Emits one row
-    * per batch with the exact padding economics: `padded_tokens` =
-    * max_len × n_docs (what the accelerator pays), `waste` = padded −
-    * real (what padding burns). Deterministic total order, so the q137
-    * oracle gates it row-for-row.
+    * bucket (`len div bucketWidth`), then in a deterministic id-hash
+    * SALT cell within the bucket (`md5(doc_id) % nSalts`), are ordered
+    * (length, id) within the (bucket, salt) cell, and every `batchSize`
+    * consecutive docs form a batch. Emits one row per batch with the
+    * exact padding economics: `padded_tokens` = max_len × n_docs (what
+    * the accelerator pays), `waste` = padded − real (what padding
+    * burns). `max_len` stays bucket-bounded — salting splits a bucket's
+    * rows across cells but every cell inherits the bucket's length
+    * range, so the padding economics keep their exact form.
+    * Deterministic total order, so the q137 oracle gates it row-for-row.
     *
-    * Scale shape: NO global sort — the ranking window is PARTITIONED by
-    * bucket (one hash exchange on ~|maxLen/bucketWidth| keys), then one
-    * map-side batch-id projection and one partial-aggregated group by
-    * (bucket, batch). A skewed bucket (the web's 100-300-token hump)
-    * still sorts only its own rows per partition. Integer arithmetic
-    * throughout ([[packSequences]]'s div discipline).
+    * Scale shape: NO global sort, and NO one-task-per-bucket funnel —
+    * the ranking window is PARTITIONED BY (bucket, salt), so a
+    * hump-shaped real corpus (the web's 100-300-token hump puts most
+    * docs in one or two buckets) spreads each hot bucket across
+    * `nSalts` tasks instead of sorting it on ONE. One hash exchange on
+    * (bucket, salt) keys, then a map-side batch-id projection and a
+    * partial-aggregated group by (bucket, salt, batch) that reuses the
+    * window's partitioning (no second exchange). The salt is the
+    * engine-portable md5-prefix hash ([[shardAssign]]'s discipline) so
+    * the DuckDB oracle recomputes the identical assignment. Integer
+    * arithmetic throughout ([[packSequences]]'s div discipline).
+    * `nSalts = 1` degenerates to plain per-bucket batching (minimum
+    * waste; fine when no bucket is hot).
     */
   def packBatches(docs: DataFrame, batchSize: Int, bucketWidth: Int = 64,
+                  nSalts: Int = 8,
                   tokenCountCol: Option[String] = None): DataFrame = {
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(nSalts > 0, s"nSalts must be positive, got $nSalts")
     val counted = tokenCountCol.fold(
         docs.withColumn("n_tokens", TextOps.tokenCount(col("text"))))(c =>
         docs.withColumn("n_tokens", col(c).cast("bigint")))
       .withColumn("bucket", expr(s"n_tokens div $bucketWidth").cast("bigint"))
-    val w = Window.partitionBy(col("bucket"))
+      .withColumn("salt",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % nSalts).cast("bigint"))
+    val w = Window.partitionBy(col("bucket"), col("salt"))
       .orderBy(col("n_tokens"), col("doc_id"))
     counted
       .withColumn("__rn", row_number().over(w))
       .withColumn("batch_id", expr(s"(__rn - 1) div $batchSize").cast("bigint"))
-      .groupBy(col("bucket"), col("batch_id"))
+      .groupBy(col("bucket"), col("salt"), col("batch_id"))
       .agg(count(lit(1)).as("n_docs"),
         max(col("n_tokens")).cast("bigint").as("max_len"),
         sum(col("n_tokens")).cast("bigint").as("sum_len"))
@@ -1049,31 +1065,37 @@ object Pipeline {
 
     // Length-bucketed padding-minimizing batch packing: the dynamic-
     // batching step after token-budget chunking — deterministic
-    // (length, id) order within coarse length buckets, so the full
+    // (length, id) order within (bucket, salt) cells, so the full
     // padding economics (padded vs real tokens per batch) hash-gate.
+    // The salt (md5-prefix of doc_id % 4) is the de-skew lever: a hot
+    // length bucket batches on nSalts tasks, not one; the oracle
+    // recomputes the identical engine-portable assignment.
     QuerySpec(
       "q137_pack_batches",
-      (s, d) => packBatches(Tables.documents(s, d), batchSize = 16)
-        .orderBy(col("bucket"), col("batch_id")),
+      (s, d) => packBatches(Tables.documents(s, d), batchSize = 16, nSalts = 4)
+        .orderBy(col("bucket"), col("salt"), col("batch_id")),
       Some("""
         WITH t AS (
           SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
-                 len(string_split(text,' ')) // 64 AS bucket
+                 len(string_split(text,' ')) // 64 AS bucket,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4
+                   AS salt
           FROM documents),
         r AS (
-          SELECT bucket, n_tokens,
-                 ROW_NUMBER() OVER (PARTITION BY bucket
+          SELECT bucket, salt, n_tokens,
+                 ROW_NUMBER() OVER (PARTITION BY bucket, salt
                    ORDER BY n_tokens, doc_id) AS rn
           FROM t)
         SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(salt AS BIGINT) AS salt,
                CAST((rn - 1) // 16 AS BIGINT) AS batch_id,
                COUNT(*) AS n_docs,
                CAST(MAX(n_tokens) AS BIGINT) AS max_len,
                CAST(SUM(n_tokens) AS BIGINT) AS sum_len,
                CAST(MAX(n_tokens) * COUNT(*) AS BIGINT) AS padded_tokens,
                CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT) AS waste
-        FROM r GROUP BY bucket, batch_id
-        ORDER BY bucket, batch_id""")),
+        FROM r GROUP BY bucket, salt, batch_id
+        ORDER BY bucket, salt, batch_id""")),
 
     // Production tier of the same pipeline: near-dup token-df cap ON.
     // Same deterministic-candidate-rule oracle treatment as q37/q96 —

@@ -111,15 +111,17 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
   test("packBatches: per-bucket batches, exact padding economics, stability") {
     val sql = spark
     import sql.implicits._
-    // bucketWidth 4, batchSize 2: lens 1,2,3 → bucket 0; 5,6 → bucket 1.
+    // bucketWidth 4, batchSize 2, nSalts 1 (degenerate = plain
+    // per-bucket): lens 1,2,3 → bucket 0; 5,6 → bucket 1.
     // bucket 0 order (len, id): (1,#1)(2,#2)(3,#3) → batches [1,2], [3]
     val docs = Seq(
       (1L, "t"), (2L, "t t"), (3L, "t t t"),
       (4L, "t t t t t"), (5L, "t t t t t t")
     ).toDF("doc_id", "text")
-    val out = Pipeline.packBatches(docs, batchSize = 2, bucketWidth = 4)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
-        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+    val out = Pipeline.packBatches(docs, batchSize = 2, bucketWidth = 4,
+        nSalts = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
       .toMap
     assert(out === Map(
       (0L, 0L) -> ((2L, 2L, 3L, 4L, 1L)),  // docs 1,2: pad to 2×2=4, waste 1
@@ -127,8 +129,9 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 0L) -> ((2L, 6L, 11L, 12L, 1L))), s"got $out")
 
     // batching vs ONE global batch: bucketing strictly reduces waste
-    val one = Pipeline.packBatches(docs, batchSize = 5, bucketWidth = 1000)
-      .collect().map(r => r.getLong(6)).sum
+    val one = Pipeline.packBatches(docs, batchSize = 5, bucketWidth = 1000,
+        nSalts = 1)
+      .collect().map(r => r.getLong(7)).sum
     assert(out.values.map(_._5).sum < one,
       "length-bucketed batches must waste less than one global batch")
 
@@ -143,6 +146,43 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toSeq).toSet
     assert(c === a, "supplied count column equals derived counts here")
     intercept[IllegalArgumentException] { Pipeline.packBatches(big, 0) }
+  }
+
+  test("packBatches: salt de-skews hot buckets, economics stay bucket-bounded") {
+    val sql = spark
+    import sql.implicits._
+    // Hump-shaped corpus: 120 docs, ALL in one length bucket (lens
+    // 65..72, bucketWidth 64 → bucket 1) — the q137 scale wart shape.
+    val big = (0L until 120L).map(i =>
+      (i, Seq.fill((65 + i % 8).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val salted = Pipeline.packBatches(big, batchSize = 8, nSalts = 4)
+
+    // the exchange is keyed (bucket, salt), not bucket alone: the hot
+    // bucket's rank sort spreads across nSalts cells
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(bucket"),
+      s"window exchange must hash on bucket: $plan")
+    assert(plan.matches("(?s).*hashpartitioning\\(bucket[^)]*salt.*"),
+      s"window exchange must include the salt key: $plan")
+    val rows = salted.collect()
+    assert(rows.map(_.getLong(1)).distinct.sorted.toSeq.size > 1,
+      "hot bucket must actually split across salt cells")
+
+    // every doc batched exactly once; max_len still bucket-bounded
+    assert(rows.map(_.getLong(3)).sum === 120L)
+    assert(rows.forall { r =>
+      val bucket = r.getLong(0); val maxLen = r.getLong(4)
+      maxLen >= bucket * 64 && maxLen < (bucket + 1) * 64
+    }, "salting must not leak lengths across bucket bounds")
+    // padding economics keep their exact form per batch
+    assert(rows.forall(r => r.getLong(6) == r.getLong(4) * r.getLong(3) &&
+      r.getLong(7) == r.getLong(6) - r.getLong(5)))
+
+    // deterministic: salt is a pure function of doc_id
+    val again = Pipeline.packBatches(big.repartition(5), batchSize = 8,
+        nSalts = 4).collect().map(_.toSeq).toSet
+    assert(again === rows.map(_.toSeq).toSet)
   }
 
   test("packSequences is stable under repartitioning") {
