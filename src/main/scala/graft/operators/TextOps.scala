@@ -378,6 +378,86 @@ object TextOps {
           transform(col("__kept"), p => element_at(col("__toks"), p))).as("clean_text"))
   }
 
+  /** MAXIMAL duplicated-span extraction — the exact-substring-dedup
+    * reporting surface ([[dupSpanStats]] counts duplicated fixed-width
+    * grams; [[dedupSpans]] removes their coverage; this names the
+    * maximal verbatim spans themselves): merge the per-doc duplicated
+    * n-gram starts into maximal islands of contiguous coverage and emit
+    * one row per island, `(doc_id, span_start, span_len)` — a 40-token
+    * block shared by two docs reports ONCE as a 40-token span, not as
+    * 35 six-gram hits. Span bounds are 1-based token positions; a
+    * start's gram covers `[start, start+n-1]`, and two starts belong to
+    * the same island when the later one begins within or immediately
+    * after the earlier one's coverage (gap ≤ n).
+    *
+    * This is the public exact-substring dedup formulation (suffix-style
+    * maximal match surfaced through fixed-width gram seeds): every
+    * token of a reported span lies under some cross-doc duplicated
+    * n-gram, and maximality holds on both sides because the island
+    * merge is exhaustive per doc.
+    *
+    * Scale design: identical exchange shape to [[dedupSpans]] — the
+    * corpus-df aggregation (map-side per-doc-distinct, partial agg),
+    * the gram-keyed semi-join (only `(doc_id, pos)` survives), and one
+    * per-doc `collect_set`. The island merge itself is a PURE COLUMN
+    * EXPRESSION over the sorted start array (boundary indices where the
+    * gap to the previous start exceeds `n`, then one `transform` +
+    * `explode`) — no window function, no per-row shuffle, O(starts) per
+    * doc, map-side after the doc-keyed exchange. `hashGrams` is the
+    * same 8-byte-key production trade as [[dedupSpans]].
+    */
+  def maximalDupSpans(docs: DataFrame, n: Int = 6,
+                      hashGrams: Boolean = false): DataFrame = {
+    require(n >= 2, s"maximalDupSpans: span width must be >= 2, got $n")
+    // two consumers of the tokenized corpus (positioned stream + df agg)
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .localCheckpoint(false)
+    val gramKey = (g: Column) => if (hashGrams) xxhash64(g) else g
+    val gramPos = toks
+      .select(col("doc_id"),
+        explode(when(size(col("__toks")) >= n,
+          transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
+            i => struct(i.as("pos"),
+              concat_ws(" ", slice(col("__toks"), i, lit(n))).as("gram"))))
+          .otherwise(array().cast("array<struct<pos:int,gram:string>>"))).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"),
+        gramKey(col("pg.gram")).as("gram"))
+    val dupGrams = toks
+      .select(explode(array_distinct(
+        wordNgramsOfTokens(col("__toks"), n))).as("gram"))
+      .select(gramKey(col("gram")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1).select(col("gram"))
+    val starts = gramPos
+      .join(dupGrams, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("__ss"))
+    // map-side gaps-and-islands: boundary = 1-based indices into __ss
+    // where an island begins (first start, or gap to previous start > n)
+    // `when` (not `||`): the i-1 lookup must not evaluate at i = 1 —
+    // element_at rejects index 0 outright, and codegen'd Or evaluates
+    // both sides
+    val boundaries = filter(sequence(lit(1), size(col("__ss"))),
+      i => when(i === 1, lit(true)).otherwise(
+        element_at(col("__ss"), i) - element_at(col("__ss"), i - 1) > n))
+    starts
+      .select(col("doc_id"), col("__ss"), boundaries.as("__b"))
+      .select(col("doc_id"), explode(transform(col("__b"), (b, k) => {
+        // island k spans __ss elements [b, nextBoundary-1]; the last
+        // island runs to the end of the start array (try_element_at:
+        // the k+2 lookup walks past the boundary array there)
+        val lastIdx =
+          coalesce(try_element_at(col("__b"), k + 2), size(col("__ss")) + 1) - 1
+        struct(
+          element_at(col("__ss"), b).as("s"),
+          (element_at(col("__ss"), lastIdx) - element_at(col("__ss"), b) + n)
+            .as("l"))
+      })).as("sp"))
+      .select(col("doc_id"),
+        col("sp.s").cast("bigint").as("span_start"),
+        col("sp.l").cast("bigint").as("span_len"))
+  }
+
   /** Doc ids from `corpus` that share ≥1 word n-gram with `evalDocs` —
     * benchmark decontamination, the curation stage every LLM pipeline
     * runs before training (eval questions leaking into the corpus).
@@ -1566,6 +1646,38 @@ object TextOps {
         .filter(col("n_removed") > 0)
         .sortWithinPartitions(col("doc_id")), // rows-only: see q46 note
       None),
+
+    // Maximal duplicated-span extraction (exact-substring-dedup
+    // reporting): merge the q104 positioned dup-gram stream into
+    // maximal per-doc islands — a shared 40-token block is ONE
+    // 40-token span, not 35 six-gram hits. The oracle is classic SQL
+    // gaps-and-islands (lag → break flag → running island id); the
+    // Spark side does the same merge as a map-side array expression
+    // over the sorted start set, no window at all.
+    QuerySpec(
+      "q138_max_dup_spans",
+      (s, d) => maximalDupSpans(Tables.documents(s, d), n = 6)
+        .orderBy(col("doc_id"), col("span_start")),
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        g AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+5],' ') AS gram
+              FROM toks, UNNEST(generate_series(1, greatest(len(t)-5, 0))) AS u(i)),
+        dfs AS (SELECT gram FROM g GROUP BY gram
+                HAVING COUNT(DISTINCT doc_id) > 1),
+        s AS (SELECT g.doc_id, g.pos FROM g JOIN dfs USING (gram)),
+        l AS (SELECT doc_id, pos,
+                CASE WHEN LAG(pos) OVER w IS NULL
+                       OR pos - LAG(pos) OVER w > 6
+                     THEN 1 ELSE 0 END AS brk
+              FROM s
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        i AS (SELECT doc_id, pos,
+                SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM l)
+        SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) - MIN(pos) + 6 AS BIGINT) AS span_len
+        FROM i GROUP BY doc_id, island
+        ORDER BY doc_id, span_start""")),
 
     // Corpus-level vocabulary richness per source: distinct token types
     // across ALL of a source's docs vs its total token count. Unlike the

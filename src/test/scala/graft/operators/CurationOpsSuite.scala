@@ -501,6 +501,51 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashed === exact)
   }
 
+  test("maximalDupSpans: one island at true length, not n-gram hit counts") {
+    val sql = spark
+    import sql.implicits._
+    // docs 1+2 share a 40-token block: doc 1 carries it at positions
+    // 11-50, doc 2 at 1-40. The 35 duplicated 6-gram starts must merge
+    // into ONE island of span_len 40 per doc.
+    val shared = (1 to 40).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, ((1 to 10).map(i => s"a$i") ++ Seq(shared) ++
+        (11 to 20).map(i => s"a$i")).mkString(" ")),
+      (2L, (Seq(shared) ++ (1 to 15).map(i => s"b$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextOps.maximalDupSpans(docs, n = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 11L, 40L), (2L, 1L, 40L)), s"got $got")
+
+    // two disjoint shared regions → two islands, split at the gap
+    val u = (1 to 10).map(i => s"u$i").mkString(" ")
+    val v = (1 to 10).map(i => s"v$i").mkString(" ")
+    val two = Seq(
+      (3L, (Seq(u) ++ (1 to 10).map(i => s"c$i") ++ Seq(v)).mkString(" ")),
+      (4L, (Seq(u) ++ (1 to 5).map(i => s"d$i") ++ Seq(v)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val gotTwo = TextOps.maximalDupSpans(two, n = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotTwo === Set((3L, 1L, 10L), (3L, 21L, 10L),
+      (4L, 1L, 10L), (4L, 16L, 10L)), s"got $gotTwo")
+
+    // island coverage ≡ dedupSpans removal: per doc, Σ span_len equals
+    // the tokens dedupSpans drops (same dup definition, same coverage)
+    val spanSum = TextOps.maximalDupSpans(docs.withColumn("source", lit("s")),
+        n = 6)
+      .groupBy($"doc_id").agg(sum($"span_len").as("covered"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val removed = TextOps.dedupSpans(docs.withColumn("source", lit("s")), n = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(spanSum === removed.filter(_._2 > 0L))
+
+    // hashed production tier equals string mode; width guard
+    val hashed = TextOps.maximalDupSpans(docs, n = 6, hashGrams = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hashed === got)
+    intercept[IllegalArgumentException] { TextOps.maximalDupSpans(docs, n = 1) }
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged per doc") {
     val sql = spark
     import sql.implicits._
