@@ -284,6 +284,131 @@ object Pipeline {
           .as("score_micro"))
   }
 
+  /** A TRAINED quality classifier (fastText-supervised class: multinomial
+    * Naive Bayes log-odds over hashed unigram+bigram features, fit on
+    * LABELED seed sets) — where the heuristic quality family
+    * (TextOps.qualityScore's length/punct/stopword ensemble, the
+    * bigram-LM perplexity tier) encodes fixed judgments, this LEARNS the
+    * judgment from examples: per-bucket feature log-odds
+    * `ln P(b|good) − ln P(b|bad)` (Laplace-smoothed, integer µnats) plus
+    * a class-prior log-odds. Same bounded-artifact class as
+    * [[ImportanceModel]]: ≤ `buckets` map entries, rides the plan as a
+    * literal, so serving is a pure projection that runs unchanged on
+    * streams. */
+  final case class QualityClassifier(buckets: Int, wMicro: Map[Long, Long],
+                                     defaultMicro: Long, priorMicro: Long)
+
+  private def halfUpMicro(x: Double): Long =
+    BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** Fit a [[QualityClassifier]] from labeled seeds (`isGood` true =
+    * positive class; every seed row is one class or the other). Feature
+    * counts aggregate distributed (map-side partial, ≤ `buckets` rows
+    * collect); only the bounded log-odds table reaches the driver. */
+  def fitQualityClassifier(seeds: DataFrame, isGood: Column,
+                           buckets: Int = 4096,
+                           textCol: String = "text"): QualityClassifier = {
+    val dist = importanceDist(importanceFeatures(seeds, isGood, buckets, textCol))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2) - r.getLong(1)))
+    val ng = dist.map(_._2).sum
+    val nb = dist.map(_._3).sum
+    val counts = seeds.agg(
+        sum(when(isGood, 1L).otherwise(0L)).as("gd"),
+        sum(when(isGood, 0L).otherwise(1L)).as("bd"))
+      .head()
+    val (gd, bd) = (counts.getLong(0), counts.getLong(1))
+    require(gd > 0 && bd > 0,
+      s"fitQualityClassifier: need seeds of BOTH classes, got good=$gd bad=$bd")
+    def lo(cg: Long, cb: Long): Long = halfUpMicro(
+      math.log((cg + 1.0) / (ng + buckets)) - math.log((cb + 1.0) / (nb + buckets)))
+    QualityClassifier(buckets,
+      dist.map { case (b, cg, cb) => b -> lo(cg, cb) }.toMap,
+      lo(0L, 0L), halfUpMicro(math.log(gd.toDouble) - math.log(bd.toDouble)))
+  }
+
+  /** Serve a fitted [[QualityClassifier]]: per-doc
+    * `quality_micro = prior + round(mean feature log-odds)` (the
+    * fastText mean-of-feature-vectors normalization, so score scale is
+    * length-invariant), `is_good = quality_micro > 0`. Pure projection —
+    * the table is a map literal ([[scoreImportance]]'s shape notes
+    * apply) — so a streaming frame runs it unchanged; buckets the fit
+    * never saw score the model's Laplace default. */
+  def scoreQuality(docs: DataFrame, model: QualityClassifier,
+                   textCol: String = "text"): DataFrame = {
+    val w = typedlit(model.wMicro)
+    docs
+      .select(col("doc_id"), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        concat(col("__toks"),
+          TextOps.wordNgramsOfTokens(col("__toks"), 2)).as("__feats"))
+      .select(col("doc_id"), size(col("__feats")).cast("long").as("n_feats"),
+        aggregate(
+          transform(col("__feats"), g => bucketOf(g, model.buckets)),
+          lit(0L),
+          (acc, b) => acc + coalesce(try_element_at(w, b),
+            lit(model.defaultMicro))).as("s"))
+      .select(col("doc_id"), col("n_feats"),
+        (lit(model.priorMicro) + when(col("n_feats") === 0L, 0L).otherwise(
+          expr("CAST(sign(s) AS BIGINT) * ((abs(s) * 2 + n_feats) div (n_feats * 2))")))
+          .as("quality_micro"))
+      .withColumn("is_good", col("quality_micro") > 0L)
+  }
+
+  /** Fully-distributed fit+serve of the quality classifier in one plan —
+    * the batch formulation the q139 oracle gates end-to-end (the
+    * fit/serve pair above is the artifact split for nightly-fit +
+    * streaming-serve; CurationOpsSuite gates their parity with this).
+    * Seeds are the labeled subset of `docs` itself (`isGoodSeed` /
+    * `isBadSeed` deterministic label rules); every doc — labeled or not
+    * — is scored.
+    *
+    * Scale design: the SEED pass tokenizes only the labeled subset
+    * (seed sets are thousands of docs against a 100 TB corpus); its
+    * per-bucket distribution is a map-side-combined ≤`buckets`-row
+    * aggregate that BROADCASTS back, and the class totals/prior ride a
+    * 1-row cross-joined broadcast. The corpus pass narrows to (doc_id,
+    * bucket) longs before its one doc-keyed partial-agg shuffle —
+    * [[importanceWeights]]' exchange shape exactly, plus one broadcast.
+    */
+  def qualityScores(docs: DataFrame, isGoodSeed: Column, isBadSeed: Column,
+                    buckets: Int = 4096, textCol: String = "text"): DataFrame = {
+    val seeds = docs.filter(isGoodSeed || isBadSeed)
+    val dist = importanceDist(
+        importanceFeatures(seeds, isGoodSeed, buckets, textCol))
+      .localCheckpoint(false) // tiny (≤ buckets rows); read by tot + w
+    val tot = dist.agg(sum(col("ct")).as("ng"),
+      sum(col("cr") - col("ct")).as("nb"))
+    val docTot = seeds.agg(
+      sum(when(isGoodSeed, 1L).otherwise(0L)).as("gd"),
+      sum(when(isGoodSeed, 0L).otherwise(1L)).as("bd"))
+    // the default/prior expressions mirror fitQualityClassifier's
+    // driver-side arithmetic TERM FOR TERM (log(1/x), not -log(x)):
+    // fit/serve ≡ batch parity is gated to exact equality
+    val consts = tot.crossJoin(docTot)
+      .select(col("ng"), col("nb"),
+        round((log(lit(1.0) / (col("ng") + buckets.toLong))
+          - log(lit(1.0) / (col("nb") + buckets.toLong))) * 1e6)
+          .cast("long").as("default_micro"),
+        round((log(col("gd")) - log(col("bd"))) * 1e6)
+          .cast("long").as("prior_micro"))
+    val w = dist.crossJoin(broadcast(consts))
+      .select(col("bucket"),
+        round((log((col("ct") + 1L) / (col("ng") + buckets.toLong))
+          - log((col("cr") - col("ct") + 1L) / (col("nb") + buckets.toLong))) * 1e6)
+          .cast("long").as("w_micro"))
+    importanceFeatures(docs, lit(false), buckets, textCol)
+      .join(broadcast(w), Seq("bucket"), "left_outer")
+      .crossJoin(broadcast(consts.select(col("default_micro"), col("prior_micro"))))
+      .groupBy(col("doc_id"), col("prior_micro"))
+      .agg(sum(coalesce(col("w_micro"), col("default_micro"))).as("s"),
+        count(lit(1)).as("n_feats"))
+      .select(col("doc_id"), col("n_feats"),
+        (col("prior_micro") +
+          expr("CAST(sign(s) AS BIGINT) * ((abs(s) * 2 + n_feats) div (n_feats * 2))"))
+          .as("quality_micro"))
+      .withColumn("is_good", col("quality_micro") > 0L)
+  }
+
   /** Temperature (α) mixture re-weighting: sample stratum s at a rate
     * ∝ count(s)^α / max_s count(s)^α — the UniMax/Pile-style step that
     * flattens a source/language imbalance before training (α = 1 keeps
@@ -1018,6 +1143,84 @@ object Pipeline {
           FROM per_doc)
         SELECT ROW_NUMBER() OVER (ORDER BY s.score_micro DESC, d.doc_id) AS rnk,
                d.doc_id, d.source, d.lang, s.n_feats, s.score_micro
+        FROM scored s JOIN documents d USING (doc_id)
+        ORDER BY rnk LIMIT 50""")),
+
+    // Trained quality classifier: NB log-odds over hashed uni+bigram
+    // features, fit on labeled seeds (src0's en docs = good, src0's
+    // non-en = bad — a deterministic label rule both engines apply),
+    // served over the WHOLE corpus with class prior + Laplace default.
+    // Integer-µnat scores → exact cross-engine hash gate, q108's
+    // discipline. TakeOrdered top-50, then ranked.
+    QuerySpec(
+      "q139_quality_classifier",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val top = qualityScores(docs,
+            isGoodSeed = col("source") === "src0" && col("lang") === "en",
+            isBadSeed = col("source") === "src0" && col("lang") =!= "en",
+            buckets = 4096)
+          .join(docs.select(col("doc_id"), col("source"), col("lang")), "doc_id")
+          .orderBy(col("quality_micro").desc, col("doc_id"))
+          .limit(50)
+        top.withColumn("rnk", row_number().over(
+            Window.orderBy(col("quality_micro").desc, col("doc_id"))))
+          .select(col("rnk"), col("doc_id"), col("source"), col("lang"),
+            col("n_feats"), col("quality_micro"), col("is_good"))
+          .orderBy(col("rnk"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source, lang, string_split(text, ' ') AS t
+          FROM documents),
+        uni AS (SELECT doc_id, source, lang, unnest(t) AS gram FROM toks),
+        big AS (
+          SELECT doc_id, source, lang,
+                 unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+          FROM toks WHERE len(t) >= 2),
+        feats AS (
+          SELECT doc_id, source, lang,
+                 ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS bucket
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+        seedfeats AS (
+          SELECT bucket, (lang = 'en') AS good FROM feats WHERE source = 'src0'),
+        dist AS (
+          SELECT bucket,
+                 SUM(CASE WHEN good THEN 1 ELSE 0 END) AS cg,
+                 SUM(CASE WHEN good THEN 0 ELSE 1 END) AS cb
+          FROM seedfeats GROUP BY bucket),
+        tot AS (SELECT SUM(cg) AS ng, SUM(cb) AS nb FROM dist),
+        doctot AS (
+          SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS gd,
+                 SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS bd
+          FROM documents WHERE source = 'src0'),
+        consts AS (
+          SELECT CAST(round((ln(1.0 / ((SELECT ng FROM tot) + 4096))
+                           - ln(1.0 / ((SELECT nb FROM tot) + 4096))) * 1e6)
+                      AS BIGINT) AS default_micro,
+                 CAST(round((ln((SELECT gd FROM doctot))
+                           - ln((SELECT bd FROM doctot))) * 1e6)
+                      AS BIGINT) AS prior_micro),
+        w AS (
+          SELECT bucket,
+                 CAST(round((ln((cg + 1) / ((SELECT ng FROM tot) + 4096))
+                           - ln((cb + 1) / ((SELECT nb FROM tot) + 4096))) * 1e6)
+                      AS BIGINT) AS w_micro
+          FROM dist),
+        per_doc AS (
+          SELECT f.doc_id,
+                 SUM(COALESCE(w.w_micro, (SELECT default_micro FROM consts))) AS s,
+                 COUNT(*) AS n
+          FROM feats f LEFT JOIN w USING (bucket) GROUP BY f.doc_id),
+        scored AS (
+          SELECT doc_id, CAST(n AS BIGINT) AS n_feats,
+                 CAST((SELECT prior_micro FROM consts)
+                      + CAST(sign(s) AS BIGINT) * ((abs(s)*2 + n) // (2*n))
+                      AS BIGINT) AS quality_micro
+          FROM per_doc)
+        SELECT ROW_NUMBER() OVER (ORDER BY s.quality_micro DESC, d.doc_id) AS rnk,
+               d.doc_id, d.source, d.lang, s.n_feats, s.quality_micro,
+               s.quality_micro > 0 AS is_good
         FROM scored s JOIN documents d USING (doc_id)
         ORDER BY rnk LIMIT 50""")),
 

@@ -682,6 +682,54 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"unseen-gram doc scored ${n.getLong(2)}, expected default ${model.defaultMicro}")
   }
 
+  test("quality classifier: fit/serve ≡ batch; target ranks above; unseen defaults") {
+    val sql = spark
+    import sql.implicits._
+    val docs = Seq(
+      (1L, "clean prose flows nicely here", "good"),
+      (2L, "clean prose reads nicely too", "good"),
+      (3L, "junk junk spam spam click", "bad"),
+      (4L, "spam click junk buy now", "bad"),
+      (5L, "clean prose flows here too", ""),   // held out, good-domain
+      (6L, "spam spam click buy junk", ""))     // held out, bad-domain
+      .toDF("doc_id", "text", "label")
+    val batch = Pipeline.qualityScores(docs,
+        $"label" === "good", $"label" === "bad", buckets = 512)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+
+    // nightly-fit / serve split must reproduce the distributed batch
+    val model = Pipeline.fitQualityClassifier(
+      docs.filter($"label" =!= ""), $"label" === "good", buckets = 512)
+    val served = Pipeline.scoreQuality(docs.select($"doc_id", $"text"), model)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(served === batch, s"serve diverged:\nbatch  $batch\nserved $served")
+
+    // the learned judgment generalizes: the HELD-OUT good-domain doc
+    // scores positive and above the held-out bad-domain doc
+    val score = batch.map(t => t._1 -> t._3).toMap
+    assert(score(5L) > 0L && score(6L) < 0L && score(5L) > score(6L),
+      s"held-out ranking broke: $score")
+
+    // a doc of never-seen grams: every feature takes the Laplace
+    // default, so the score is exactly prior + default
+    val novel = Seq((9L, "zz yy xx")).toDF("doc_id", "text")
+    val n = Pipeline.scoreQuality(novel, model).collect()(0)
+    assert(n.getLong(1) == 5L)
+    assert(n.getLong(2) == model.priorMicro + model.defaultMicro,
+      s"unseen-gram doc scored ${n.getLong(2)}, expected " +
+        s"${model.priorMicro} + ${model.defaultMicro}")
+
+    // one-class seed sets must fail loudly, not fit a degenerate model
+    intercept[IllegalArgumentException] {
+      Pipeline.fitQualityClassifier(
+        docs.filter($"label" === "good"), $"label" === "good", buckets = 512)
+    }
+  }
+
   test("shardAssign: content-hashed, stable under reorder, dups co-shard") {
     val sql = spark
     import sql.implicits._

@@ -108,6 +108,56 @@ class StreamingCurationSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"stream scores diverged:\nbatch  $batchScores\nstream $streamed")
   }
 
+  test("fitted quality classifier scores a stream; parity with the batch fit") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val seeds = Seq(
+      (1L, "clean prose flows nicely here", true),
+      (2L, "clean prose reads nicely too", true),
+      (3L, "junk junk spam spam click", false),
+      (4L, "spam click junk buy now", false)
+    ).toDF("doc_id", "text", "is_good")
+    val model = graft.operators.Pipeline.fitQualityClassifier(
+      seeds, $"is_good", buckets = 512)
+    val corpus = seeds.select($"doc_id", $"text")
+      .union(Seq((5L, "clean prose flows here too"),
+        (6L, "spam spam click buy junk")).toDF("doc_id", "text"))
+    val batchScores = graft.operators.Pipeline.scoreQuality(corpus, model)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+
+    // pure projection (map literal, zero state) — the SAME call runs on
+    // a stream, no streaming-specific variant
+    val input = MemoryStream[(Long, String)]
+    val scored = graft.operators.Pipeline.scoreQuality(
+      input.toDS().toDF("doc_id", "text"), model)
+    val query = scored.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("squal")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-squal").toString)
+      .start()
+    input.addData((1L, "clean prose flows nicely here"),
+      (2L, "clean prose reads nicely too"),
+      (3L, "junk junk spam spam click"))
+    query.processAllAvailable()
+    input.addData((4L, "spam click junk buy now"),
+      (5L, "clean prose flows here too"),
+      (6L, "spam spam click buy junk"))
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("squal")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(streamed == batchScores,
+      s"stream quality diverged:\nbatch  $batchScores\nstream $streamed")
+  }
+
   test("fitted outlier model flags a stream; parity with the batch serve") {
     val sql = spark
     import sql.implicits._
