@@ -91,6 +91,15 @@ object Forget {
       .na.drop().distinct()
     val idSet = idList.collect().map(_.getLong(0)).toSet
     require(idSet.nonEmpty, "forget: empty id list")
+    // the audit gate proves deletion of idSet — so idSet must BE the
+    // caller's list: a null (or, with ANSI off, uncastable) id that
+    // na.drop silently removed would make the proof narrower than the
+    // delete request without anyone noticing
+    val rawDistinct = ids.select(col(idCol)).distinct().count()
+    require(rawDistinct == idSet.size.toLong,
+      s"forget: ${rawDistinct - idSet.size} of $rawDistinct distinct delete-" +
+        s"list entries in '$idCol' are null or not castable to long — " +
+        "refusing to prove deletion of a narrower list than was submitted")
 
     // 1) streaming state: rewrite each checkpoint dropping the ids' keys
     val stateReports = states.map { st =>

@@ -13,7 +13,11 @@ import org.apache.spark.sql.functions._
 object StateInventory {
 
   /** One row per (operator, state variable, partition) with a key count:
-    * `(operator_id, state_var, partition_id, n_keys)`. Operators are
+    * `(operator_id, state_var, partition_id, n_keys)` — n_keys counts
+    * DISTINCT GROUPING KEYS holding state, for every variable type: the
+    * state source flattens list/map state to one row per element/entry,
+    * so a raw row count would report a 1-key, 1000-element ListState as
+    * 1000 "keys" (the r9 census did). Operators are
     * discovered from the checkpoint's `state/` directory; a
     * transformWithState operator's state VARIABLES are discovered from
     * the checkpoint's own operator metadata (Spark's state reader
@@ -54,8 +58,13 @@ object StateInventory {
         val base = reader(op)
         val df = (if (varsByOp.getOrElse(op, Seq.empty).isEmpty) base
                   else base.option("stateVarName", vn)).load()
+        // count DISTINCT grouping keys, not reader rows: for list-state
+        // (and map-state) variables the state source flattens collection
+        // types to one row per ELEMENT/entry, which would overstate a
+        // key census — n_keys must mean "grouping keys holding state"
+        // uniformly across variable types
         df.groupBy(col("partition_id"))
-          .agg(count(lit(1)).as("n_keys"))
+          .agg(countDistinct(col("key")).as("n_keys"))
           .select(lit(op).as("operator_id"), lit(vn).as("state_var"),
             col("partition_id").cast("int").as("partition_id"),
             col("n_keys"))

@@ -162,6 +162,7 @@ object StateRescale extends Logging {
       pred: InternalRow => Boolean = _ => true,
       hadoopConf: Configuration = new Configuration()): Long = {
     var n = 0L
+    var committedParts = 0
     (0 until numPartitions).foreach { p =>
       val prov = makeProvider()
       prov.init(StateStoreId(stateRoot, operatorId, p), keySchema, valueSchema,
@@ -171,6 +172,7 @@ object StateRescale extends Logging {
       try {
         val version = prov.latestCommittedVersion
         if (version > 0) {
+          committedParts += 1
           val store = prov.getStore(version, None)
           try {
             val it = store.iterator(StateStore.DEFAULT_COL_FAMILY_NAME)
@@ -180,6 +182,15 @@ object StateRescale extends Logging {
         }
       } finally prov.close()
     }
+    // a compliance re-proof must be able to tell "zero residuals" from
+    // "nothing there": a typo'd or nonexistent state root has NO
+    // committed partition and would otherwise read as clean (the same
+    // torn-checkpoint class rewriteState refuses)
+    require(committedParts > 0,
+      s"countKeys: no partition under $stateRoot (operator $operatorId, " +
+        s"$numPartitions partitions) has a committed version — wrong path, " +
+        "wrong partition count, or a torn checkpoint; a count over nothing " +
+        "proves nothing")
     n
   }
 

@@ -168,5 +168,21 @@ class ForgetSuite extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       Forget.forget(forget, "doc_id") // nothing to forget from
     }
+
+    // a malformed delete-list entry must fail LOUDLY, not narrow the
+    // proof: a null id silently dropped by normalization would let the
+    // audit prove deletion of fewer ids than the caller submitted
+    val withNull = Seq(Some(4L), None, Some(8L)).toDF("doc_id")
+    val eNull = intercept[IllegalArgumentException] {
+      Forget.forget(withNull, "doc_id", artifacts = Seq(art -> "doc_id"))
+    }
+    assert(eNull.getMessage.contains("null or not castable"),
+      s"null id must name the drop: ${eNull.getMessage}")
+    val unparsable = Seq("4", "not-an-id").toDF("doc_id")
+    val eBad = intercept[Exception] {
+      Forget.forget(unparsable, "doc_id", artifacts = Seq(art -> "doc_id"))
+    } // ANSI sessions throw on the cast itself; either way it cannot pass
+    assert(!(eBad.isInstanceOf[IllegalStateException]),
+      s"unparsable id must fail before the audit gate: $eBad")
   }
 }

@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
@@ -97,9 +98,12 @@ class StateInventorySuite extends AnyFunSuite with BeforeAndAfterAll {
       .format("memory").queryName("inv_tws_sink")
       .option("checkpointLocation", ckpt.toString)
       .start()
+    // vectors 1 and 2 share an IDENTICAL embedding, so they land in the
+    // same LSH bucket in every table — every "members" list holds BOTH,
+    // making reader rows (elements) strictly exceed grouping keys
     input.addData(
       (1L, Seq(1.0, 0.2, 0.1, 0.05, 0.3, 0.0, 0.0, 0.7)),
-      (2L, Seq(-0.3, 1.0, -0.2, 0.6, -1.0, 0.4, 0.9, -0.5)))
+      (2L, Seq(1.0, 0.2, 0.1, 0.05, 0.3, 0.0, 0.0, 0.7)))
     q.processAllAvailable()
     q.stop()
 
@@ -107,10 +111,23 @@ class StateInventorySuite extends AnyFunSuite with BeforeAndAfterAll {
     val vars = inv.map(_.getString(1)).toSet
     assert(vars === Set("members"),
       s"the processor's declared state variable must be discovered: $vars")
-    // each vector occupies ≥1 (tbl, bucket) state key; counts are per
-    // grouping key, so the total is at least the LSH table replication
     assert(inv.map(_.getLong(3)).sum > 0L, s"non-empty census: ${inv.toSeq}")
     assert(inv.map(_.getInt(2)).toSet === Set(0, 1),
       s"both partitions present (zeros explicit): ${inv.toSeq}")
+
+    // the r9 bug: list-state rows are per ELEMENT, so a raw row count
+    // overstates the census — n_keys must equal DISTINCT grouping keys
+    val direct = spark.read.format("statestore")
+      .option("path", ckpt.toString)
+      .option("operatorId", 0L)
+      .option("stateVarName", "members").load()
+    val distinctKeys = direct.select(col("key")).distinct().count()
+    val elementRows = direct.count()
+    assert(elementRows > distinctKeys,
+      s"fixture degenerate: $elementRows rows vs $distinctKeys keys — " +
+        "lists must hold >1 element for this gate to bite")
+    assert(inv.map(_.getLong(3)).sum === distinctKeys,
+      s"census must count grouping keys ($distinctKeys), not list " +
+        s"elements ($elementRows): ${inv.toSeq}")
   }
 }

@@ -174,6 +174,30 @@ abstract class StateRescaleSuiteBase extends AnyFunSuite {
     assert(conf.contains("\"spark.sql.shuffle.partitions\":\"3\""), conf)
   }
 
+  test(s"$backendName: countKeys refuses a root with no committed version") {
+    // a compliance re-proof over a typo'd / nonexistent path must not
+    // read as "zero residuals" — silent absence is not proof
+    val e = intercept[IllegalArgumentException] {
+      StateRescale.countKeys(() => makeProvider(), tmp("ghost"),
+        operatorId = 0, numPartitions = 2, keySchema, valueSchema, storeConf())
+    }
+    assert(e.getMessage.contains("proves nothing"), e.getMessage)
+    // and a real, committed-but-then-emptied store still counts (0 is a
+    // legitimate answer when the versions are there)
+    val root = tmp("emptyok")
+    val prov = initProvider(makeProvider(), root, partition = 0)
+    val s = prov.getStore(0, None); put(s, "a", 1); s.commit()
+    val s2 = prov.getStore(1, None)
+    s2.remove(keyRow("a").copy()); s2.commit()
+    prov.close()
+    val prov1 = initProvider(makeProvider(), root, partition = 1)
+    val s3 = prov1.getStore(0, None); s3.commit()
+    prov1.close()
+    assert(StateRescale.countKeys(() => makeProvider(), root,
+      operatorId = 0, numPartitions = 2, keySchema, valueSchema,
+      storeConf()) === 0L)
+  }
+
   test(s"$backendName: torn checkpoint (version skew across partitions) is refused") {
     val oldRoot = tmp("torn"); val newRoot = tmp("tornNew")
     // partition 0 at version 2, partition 1 at version 1
