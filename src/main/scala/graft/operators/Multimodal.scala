@@ -396,6 +396,47 @@ object Multimodal {
     cross.unionAll(within)
   }
 
+  /** Persist the banded fingerprint index at `dir` — the nightly build
+    * step of the self-sustaining ingest loop ([[imageNearDupIngest]]
+    * probes AND grows it). */
+  def buildImageBandIndex(hashes: DataFrame, dir: String,
+                          maxBucketSize: Int = 64): Unit =
+    dHashBandIndex(hashes, maxBucketSize).write.mode("overwrite").parquet(dir)
+
+  /** [[imageNearDupIncremental]] against the PERSISTED index at `dir`,
+    * with append parity (the [[graft.operators.Dedup.semDeDupIncremental]]
+    * discipline): after emitting the batch's new pairs, the batch's own
+    * banded rows are appended under `dir`, so the NEXT increment probes
+    * against them — nightly loops self-sustain without an index rebuild.
+    * Two consecutive ingests ≡ one full run on the union corpus
+    * (ImageDHashSuite gates the identity; caps apply per generation, the
+    * standing incremental contract).
+    *
+    * Crash safety: the append is parquet `mode("append")` — new files
+    * stage under the committer's hidden `_temporary/` (which readers
+    * ignore) and only task-committed files are renamed in, so a crash
+    * mid-append leaves the index readable with the OLD contents and no
+    * torn rows; re-running the ingest is the recovery. No staged-swap
+    * ([[graft.operators.Pipeline.pruneArtifact]]) is needed because
+    * nothing existing is rewritten — that discipline guards REWRITES,
+    * where the crash window would otherwise hold a partial copy.
+    * Results materialize BEFORE the append mutates `dir` underneath the
+    * lazy probe plan. */
+  def imageNearDupIngest(batchHashes: DataFrame, dir: String,
+                         maxHamming: Int = 6, maxBucketSize: Int = 64,
+                         append: Boolean = true): DataFrame = {
+    val spark = batchHashes.sparkSession
+    val index = spark.read.parquet(dir)
+    val probe = dHashBandIndex(batchHashes, maxBucketSize)
+      .localCheckpoint(false)
+    val cross = hammingVerify(index, probe, lit(true), maxHamming)
+    val within = hammingVerify(probe, probe,
+      col("a.doc_id") < col("b.doc_id"), maxHamming)
+    val out = cross.unionAll(within).localCheckpoint(true)
+    if (append) probe.write.mode("append").parquet(dir)
+    out
+  }
+
   // ---------------------------------------------------------------------
   // Video keyframe near-dup: q52's frame sampling composed with q115's
   // perceptual dHash, grouped per clip — the near-dup operator for the
@@ -614,6 +655,41 @@ object Multimodal {
     val within = clipPairs(probe, probe,
       col("a.doc_id") < col("b.doc_id"), maxHamming, minFrac)
     cross.unionByName(within)
+  }
+
+  /** Persist the banded keyframe index at `dir` — the nightly build step
+    * of the self-sustaining video ingest loop ([[videoNearDupIngest]]
+    * probes AND grows it). */
+  def buildVideoBandIndex(frameHashes: DataFrame, dir: String,
+                          maxBucketSize: Int = 64): Unit =
+    videoBandIndex(frameHashes, maxBucketSize).write.mode("overwrite").parquet(dir)
+
+  /** [[videoNearDupIncremental]] against the PERSISTED index at `dir`,
+    * with append parity ([[graft.operators.Dedup.semDeDupIncremental]]'s
+    * discipline, [[imageNearDupIngest]]'s image twin): new clip pairs
+    * are emitted, then the batch's banded keyframe rows (n_key riders
+    * included — per-clip denominators, unaffected by other generations)
+    * are appended under `dir` so the next increment probes against
+    * them. Two consecutive ingests ≡ one full run on the union corpus
+    * (VideoNearDupSuite gates the identity). Crash safety: see
+    * [[imageNearDupIngest]] — append-only parquet stages under the
+    * committer's hidden `_temporary/`, a crash leaves the old index
+    * readable and the rerun is the recovery; no staged-swap needed
+    * because nothing existing is rewritten. */
+  def videoNearDupIngest(batchHashes: DataFrame, dir: String,
+                         maxHamming: Int = 3, maxBucketSize: Int = 64,
+                         minFrac: Double = 0.5,
+                         append: Boolean = true): DataFrame = {
+    val spark = batchHashes.sparkSession
+    val index = spark.read.parquet(dir)
+    val probe = videoBandIndex(batchHashes, maxBucketSize)
+      .localCheckpoint(false)
+    val cross = clipPairs(index, probe, lit(true), maxHamming, minFrac)
+    val within = clipPairs(probe, probe,
+      col("a.doc_id") < col("b.doc_id"), maxHamming, minFrac)
+    val out = cross.unionByName(within).localCheckpoint(true)
+    if (append) probe.write.mode("append").parquet(dir)
+    out
   }
 
   // ---------------------------------------------------------------------

@@ -99,6 +99,53 @@ class ImageDHashSuite extends AnyFunSuite with BeforeAndAfterAll {
       "within-batch pairs must surface")
   }
 
+  test("ingest: append grows the persisted index; two increments ≡ full run") {
+    val sql = spark
+    import sql.implicits._
+    def shifted(k: Int): (Int, Int) => Int = (r, c) => base(r, (c + k) % 9)
+    def hashesOf(rows: Seq[(Long, (Int, Int) => Int)]) =
+      Multimodal.dHashImages(
+        rows.map { case (id, f) => Multimodal.PngRow(id, png(f)) }.toDS()).toDF()
+    val corpus = Seq(100L -> (base _), 101L -> shifted(1), 102L -> (base _))
+    val batch1 = Seq(10L -> (base _), 11L -> shifted(1))
+    val batch2 = Seq(1L -> (base _), 2L -> shifted(1),
+      3L -> ((r: Int, c: Int) => 255 - base(r, c)))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-img-ingest")
+      .resolve("index").toString
+    Multimodal.buildImageBandIndex(hashesOf(corpus), dir)
+    val n0 = spark.read.parquet(dir).count()
+
+    val p1 = Multimodal.imageNearDupIngest(hashesOf(batch1), dir, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(spark.read.parquet(dir).count() > n0,
+      "append must grow the persisted index")
+    // batch2 probes an index that now CONTAINS batch1 — the pairs that
+    // straddle the two increments only surface if the append took
+    val p2 = Multimodal.imageNearDupIngest(hashesOf(batch2), dir, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2.exists { case (a, b) => Set(10L, 11L)(a) && b <= 3L },
+      s"batch1-vs-batch2 pairs must come from the grown index: $p2")
+
+    def unordered(ps: Set[(Long, Long)]): Set[Set[Long]] =
+      ps.map(p => Set(p._1, p._2))
+    val corpusOnly = Multimodal.imageNearDupPairs(hashesOf(corpus), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Multimodal.imageNearDupPairs(
+        hashesOf(corpus ++ batch1 ++ batch2), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unordered(corpusOnly) ++ unordered(p1) ++ unordered(p2)
+        === unordered(full),
+      "build ∪ ingest₁ ∪ ingest₂ must cover exactly the full run's pairs")
+
+    // append = false: probe only, the index must not grow
+    val nNow = spark.read.parquet(dir).count()
+    Multimodal.imageNearDupIngest(hashesOf(Seq(7L -> (base _))), dir,
+      maxHamming = 3, append = false).collect()
+    assert(spark.read.parquet(dir).count() === nNow,
+      "append = false must leave the index untouched")
+  }
+
   test("bucket cap: a degenerate hash shared by many images emits no pairs") {
     val sql = spark
     import sql.implicits._

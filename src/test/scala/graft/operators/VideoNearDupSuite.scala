@@ -112,6 +112,50 @@ class VideoNearDupSuite extends AnyFunSuite with BeforeAndAfterAll {
       "build ∪ incremental must cover exactly the full run's pair set")
   }
 
+  test("ingest: append grows the persisted index; two increments ≡ full run") {
+    val corpusIds = Seq(25L, 26L, 30L)
+    val batch1Ids = Seq(0L, 1L)   // 0 shares seed 0 with clip 25
+    val batch2Ids = Seq(50L, 99L) // 50 shares seed 0 with 25 AND batch1's 0
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-vid-ingest")
+      .resolve("index").toString
+    Multimodal.buildVideoBandIndex(hashesFor(corpusIds), dir)
+    val n0 = spark.read.parquet(dir).count()
+
+    val p1 = Multimodal.videoNearDupIngest(hashesFor(batch1Ids), dir,
+        minFrac = 0.0, maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(spark.read.parquet(dir).count() > n0,
+      "append must grow the persisted index")
+    val p2 = Multimodal.videoNearDupIngest(hashesFor(batch2Ids), dir,
+        minFrac = 0.0, maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // clip 50 vs batch1's clip 0 (both seed 0) only pairs if the append
+    // took — batch1 lives ONLY in the grown index
+    assert(p2.exists(p => Set(p._1, p._2) == Set(0L, 50L)),
+      s"cross-increment pair (0, 50) must come from the grown index: $p2")
+
+    def unordered(ps: Set[(Long, Long)]): Set[Set[Long]] =
+      ps.map(p => Set(p._1, p._2))
+    val corpusOnly = Multimodal.videoNearDupClips(hashesFor(corpusIds),
+        minFrac = 0.0, maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Multimodal.videoNearDupClips(
+        hashesFor(corpusIds ++ batch1Ids ++ batch2Ids),
+        minFrac = 0.0, maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unordered(corpusOnly) ++ unordered(p1) ++ unordered(p2)
+        === unordered(full),
+      "build ∪ ingest₁ ∪ ingest₂ must cover exactly the full run's pairs")
+
+    // append = false: probe only
+    val nNow = spark.read.parquet(dir).count()
+    Multimodal.videoNearDupIngest(hashesFor(Seq(75L)), dir, minFrac = 0.0,
+      maxBucketSize = Int.MaxValue, append = false).collect()
+    assert(spark.read.parquet(dir).count() === nNow,
+      "append = false must leave the index untouched")
+  }
+
   test("orientation, evidence bounds, cap, and strict hamming 0") {
     val hashes = hashesFor((0L until 60L).toSeq)
     val rows = Multimodal.videoNearDupClips(hashes).collect()
