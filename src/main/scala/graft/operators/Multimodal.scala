@@ -879,16 +879,22 @@ object Multimodal {
     * fingerprint) rows — 20 B/clip — ride the self-join; clips never
     * travel.
     */
+  /** The 4×8-bit band values of a 32-bit audio fingerprint — THE
+    * banding every audio consumer must agree on (the batch near-dup,
+    * the streaming twin, and the q136 SQL oracle mirror this exact
+    * split), so it is defined once. Order: low byte first. */
+  private[graft] def audioBands(fp: Column): Column = array(
+    fp.bitwiseAND(lit(0xFFL)),
+    shiftrightunsigned(fp, 8).bitwiseAND(lit(0xFFL)),
+    shiftrightunsigned(fp, 16).bitwiseAND(lit(0xFFL)),
+    shiftrightunsigned(fp, 24).bitwiseAND(lit(0xFFL)))
+
   def audioNearDupPairs(fingerprints: DataFrame, maxHamming: Int = 3,
                         maxBucketSize: Int = 64): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 32, s"bad maxHamming $maxHamming")
     import org.apache.spark.sql.expressions.Window
     val banded = fingerprints.select(col("doc_id"), col("fingerprint"),
-        posexplode(array(
-          col("fingerprint").bitwiseAND(lit(0xFFL)),
-          shiftrightunsigned(col("fingerprint"), 8).bitwiseAND(lit(0xFFL)),
-          shiftrightunsigned(col("fingerprint"), 16).bitwiseAND(lit(0xFFL)),
-          shiftrightunsigned(col("fingerprint"), 24).bitwiseAND(lit(0xFFL))))
+        posexplode(audioBands(col("fingerprint")))
           .as(Seq("band", "bval")))
       .withColumn("__bn", count(lit(1)).over(
         Window.partitionBy(col("band"), col("bval"))))
