@@ -940,23 +940,40 @@ object Multimodal {
     * decode passes run once each; the corpus scan itself is never
     * replicated per modality.
     */
+  /** @param videoFrameHashes keyframe fingerprints ([[dHashFrames]]
+    *        output) for the VIDEO leg (r10): a doc also loses when its
+    *        clip has a keyframe-level near-dup with a lower-id clip
+    *        ([[videoNearDupClips]] orients `doc_a < doc_b`, so distinct
+    *        `doc_b` is the loser set — the same pairwise min-id
+    *        convention as the image leg; route the pair set through
+    *        [[graft.operators.Dedup.dedupClusters]] instead when
+    *        cluster-canonical retention over transitive chains is
+    *        wanted). `None` = two-modality curation (q123's shape). */
   def curateMedia(docs: DataFrame, imageHashes: DataFrame,
                   audioFps: DataFrame, maxHamming: Int = 6,
-                  maxBucketSize: Int = 64): DataFrame = {
+                  maxBucketSize: Int = 64,
+                  videoFrameHashes: Option[DataFrame] = None,
+                  videoMaxHamming: Int = 3,
+                  videoMinFrac: Double = 0.5): DataFrame = {
     val imgLosers = imageNearDupPairs(imageHashes, maxHamming, maxBucketSize)
       .select(col("doc_b").as("doc_id"))
     // audioFps feeds both the group-min and the probe side of its
     // self-join; checkpoint the 24 B/clip fingerprints so the WAV decode
     // runs once. (The image leg is already checkpointed inside
-    // [[imageNearDupPairs]].)
+    // [[imageNearDupPairs]]; the video leg inside [[videoNearDupClips]].)
     val fps = audioFps.localCheckpoint(false)
     val audLosers = fps
       .join(fps.groupBy(col("fingerprint"))
         .agg(min(col("doc_id")).as("__canonical")), "fingerprint")
       .filter(col("doc_id") =!= col("__canonical"))
       .select(col("doc_id"))
-    docs.join(imgLosers.unionAll(audLosers).distinct(),
-      Seq("doc_id"), "left_anti")
+    val losers = videoFrameHashes.fold(imgLosers.unionAll(audLosers)) { vf =>
+      val vidLosers = videoNearDupClips(vf, videoMaxHamming, maxBucketSize,
+          videoMinFrac)
+        .select(col("doc_b").as("doc_id"))
+      imgLosers.unionAll(audLosers).unionAll(vidLosers)
+    }
+    docs.join(losers.distinct(), Seq("doc_id"), "left_anti")
   }
 
   val specs: Seq[QuerySpec] = Seq(
@@ -1621,6 +1638,145 @@ object Multimodal {
         SELECT doc_id, source FROM documents
         WHERE doc_id NOT IN (SELECT doc_id FROM img_losers)
           AND doc_id NOT IN (SELECT doc_id FROM aud_losers)
+        ORDER BY doc_id""")),
+
+    // FULL cross-modal curation (r10): q123's image + audio legs plus
+    // the clip-level VIDEO leg (q133's near-dup, doc_b losers) — the
+    // oracle re-derives all three loser sets and anti-joins them, gated
+    // down to exactly which docs survive all three modalities.
+    QuerySpec(
+      "q140_media_curation_full",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        curateMedia(docs.select(col("doc_id"), col("source")),
+            dHashImages(withPngMedia(docs)).toDF(),
+            audioFingerprint(withWavMedia(docs)).toDF(),
+            videoFrameHashes =
+              Some(dHashFrames(withVideoKeyframes(docs)).toDF()))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH ids AS (
+          SELECT doc_id, CAST(doc_id % 8 + 4 AS BIGINT) AS w,
+                 CAST(doc_id % 6 + 3 AS BIGINT) AS h,
+                 CAST(doc_id % 50 + 30 AS BIGINT) AS n,
+                 CAST(doc_id % 25 AS BIGINT) AS seed,
+                 CAST(doc_id % 40 + 10 AS BIGINT) AS nf
+          FROM documents),
+        cells AS (
+          SELECT i.doc_id, r.range AS r, c.range AS c,
+                 (i.doc_id*31 + ((c.range*i.w)//9)*7 + ((r.range*i.h)//8)*13) % 256 AS g,
+                 (i.doc_id*31 + (((c.range+1)*i.w)//9)*7 + ((r.range*i.h)//8)*13) % 256 AS gn
+          FROM ids i CROSS JOIN range(0, 8) r CROSS JOIN range(0, 8) c),
+        ibits AS (SELECT doc_id, r*8 + c AS k,
+                         CASE WHEN g < gn THEN 1 ELSE 0 END AS bit
+                  FROM cells),
+        hashes AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)
+                      AS BIGINT) AS hi,
+                 CAST(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)
+                      AS BIGINT) AS lo
+          FROM ibits GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, hi, lo, b.range AS band,
+                 CASE WHEN b.range = 0 THEN lo % 65536
+                      WHEN b.range = 1 THEN lo // 65536
+                      WHEN b.range = 2 THEN hi % 65536
+                      ELSE hi // 65536 END AS bval
+          FROM hashes CROSS JOIN range(0, 4) b),
+        capped AS (
+          SELECT * FROM (SELECT banded.*,
+                                COUNT(*) OVER (PARTITION BY band, bval) AS bn
+                         FROM banded)
+          WHERE bn <= 64),
+        img_losers AS (
+          SELECT DISTINCT b.doc_id
+          FROM capped a JOIN capped b
+            ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6),
+        samp AS (
+          SELECT doc_id, n, (s.range*33)//n AS f,
+                 ABS((doc_id*131 + s.range*787) % 4096 - 2048) AS a
+          FROM ids CROSS JOIN range(0, 80) s
+          WHERE s.range < n),
+        energies AS (
+          SELECT doc_id, f, SUM(a) AS e FROM samp GROUP BY doc_id, f),
+        frames AS (
+          SELECT i.doc_id, f.range AS f, COALESCE(e.e, 0) AS e
+          FROM ids i CROSS JOIN range(0, 33) f
+          LEFT JOIN energies e ON e.doc_id = i.doc_id AND e.f = f.range),
+        abits AS (
+          SELECT a.doc_id, a.f AS k,
+                 CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+          FROM frames a JOIN frames b
+            ON a.doc_id = b.doc_id AND b.f = a.f + 1
+          WHERE a.f < 32),
+        afps AS (
+          SELECT doc_id,
+                 CAST(SUM(bit * (1::BIGINT << k)) AS BIGINT) AS fingerprint
+          FROM abits GROUP BY doc_id),
+        aud_losers AS (
+          SELECT f.doc_id
+          FROM afps f JOIN (SELECT fingerprint, MIN(doc_id) AS can
+                            FROM afps GROUP BY fingerprint) g
+            ON f.fingerprint = g.fingerprint
+          WHERE f.doc_id <> g.can),
+        vframes AS (
+          SELECT i.doc_id, i.seed,
+                 CAST(i.seed % 8 + 12 AS BIGINT) AS vw,
+                 CAST(i.seed % 6 + 9 AS BIGINT) AS vh,
+                 f.range AS f
+          FROM ids i CROSS JOIN range(0, 50) f
+          WHERE f.range % 8 = 0 AND f.range < i.nf),
+        vcells AS (
+          SELECT fr.doc_id, fr.f, r.range AS r, c.range AS c,
+                 (fr.seed*31 + fr.f*101
+                  + ((c.range*fr.vw)//9)*((c.range*fr.vw)//9)*(7 + fr.f % 5)
+                  + ((r.range*fr.vh)//8)*((r.range*fr.vh)//8)*13) % 256 AS g,
+                 (fr.seed*31 + fr.f*101
+                  + (((c.range+1)*fr.vw)//9)*(((c.range+1)*fr.vw)//9)*(7 + fr.f % 5)
+                  + ((r.range*fr.vh)//8)*((r.range*fr.vh)//8)*13) % 256 AS gn
+          FROM vframes fr CROSS JOIN range(0, 8) r CROSS JOIN range(0, 8) c),
+        vbits AS (SELECT doc_id, f, r*8 + c AS k,
+                         CASE WHEN g < gn THEN 1 ELSE 0 END AS bit
+                  FROM vcells),
+        vhashes AS (
+          SELECT doc_id, f,
+                 CAST(SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)
+                      AS BIGINT) AS hi,
+                 CAST(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)
+                      AS BIGINT) AS lo
+          FROM vbits GROUP BY doc_id, f),
+        vnkeys AS (SELECT doc_id, COUNT(*) AS n_key FROM vhashes GROUP BY doc_id),
+        vbanded AS (
+          SELECT doc_id, f, hi, lo, b.range AS band,
+                 CASE WHEN b.range = 0 THEN lo % 65536
+                      WHEN b.range = 1 THEN lo // 65536
+                      WHEN b.range = 2 THEN hi % 65536
+                      ELSE hi // 65536 END AS bval
+          FROM vhashes CROSS JOIN range(0, 4) b),
+        vcapped AS (
+          SELECT * FROM (SELECT vbanded.*,
+                                COUNT(*) OVER (PARTITION BY band, bval) AS bn
+                         FROM vbanded)
+          WHERE bn <= 64),
+        vmatched AS (
+          SELECT DISTINCT a.doc_id AS doc_a, a.f AS frame_a, b.doc_id AS doc_b
+          FROM vcapped a JOIN vcapped b
+            ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+        vpairs AS (
+          SELECT doc_a, doc_b, COUNT(*) AS n_matched
+          FROM vmatched GROUP BY doc_a, doc_b),
+        vid_losers AS (
+          SELECT DISTINCT p.doc_b AS doc_id
+          FROM vpairs p JOIN vnkeys ka ON ka.doc_id = p.doc_a
+          WHERE ROUND(CAST(p.n_matched AS DOUBLE) / ka.n_key, 6) >= 0.5)
+        SELECT doc_id, source FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM img_losers)
+          AND doc_id NOT IN (SELECT doc_id FROM aud_losers)
+          AND doc_id NOT IN (SELECT doc_id FROM vid_losers)
         ORDER BY doc_id""")),
 
     QuerySpec(

@@ -156,6 +156,30 @@ class VideoNearDupSuite extends AnyFunSuite with BeforeAndAfterAll {
       "append = false must leave the index untouched")
   }
 
+  test("curateMedia video leg drops clip copies image/audio legs cannot see") {
+    val sql = spark
+    import sql.implicits._
+    // clips 1 and 26 share seed 1 (26 % 25 == 1) — clip-level near-dups;
+    // images and audio are all mutually distant, so only the video leg
+    // can catch the copy
+    val docs = Seq((1L, "s"), (2L, "s"), (26L, "s")).toDF("doc_id", "source")
+    val imgs = Seq((1L, 0x1L, 0x2L), (2L, 0xF0F0F0F0L, 0x0F0F0F0FL),
+      (26L, 0xAAAA5555L, 0x5555AAAAL)).toDF("doc_id", "dhash_hi", "dhash_lo")
+    val auds = Seq((1L, 0x11L), (2L, 0x2222L), (26L, 0x333333L))
+      .toDF("doc_id", "fingerprint")
+    val vids = hashesFor(Seq(1L, 2L, 26L))
+
+    val without = Multimodal.curateMedia(docs, imgs, auds)
+      .collect().map(_.getLong(0)).toSet
+    assert(without === Set(1L, 2L, 26L),
+      s"two-modality curation must keep all three here: $without")
+    val withVideo = Multimodal.curateMedia(docs, imgs, auds,
+        videoFrameHashes = Some(vids))
+      .collect().map(_.getLong(0)).toSet
+    assert(withVideo === Set(1L, 2L),
+      s"the video leg must drop the higher-id same-seed clip: $withVideo")
+  }
+
   test("orientation, evidence bounds, cap, and strict hamming 0") {
     val hashes = hashesFor((0L until 60L).toSeq)
     val rows = Multimodal.videoNearDupClips(hashes).collect()
