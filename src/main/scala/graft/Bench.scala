@@ -218,7 +218,30 @@ object Bench {
     val regJson = regs.toSeq.sortBy(_._1)
       .map { case (n, (p, t)) => s"${jstr(n)}:[$p,$t]" }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","warmup":"full-pass-min2-mat","tier":"capped","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"n_regressions":${regs.size},"regressions":$regJson,"verify_only":$skipped,"queries":$qs,"sf":"$sfDir"}"""
+    // CROSS-ROUND drift gate (r10): the previous-run diff above only sees
+    // one step, so a slow creep — +5% per round, never 2x in any single
+    // diff — stays invisible to it. BENCH_BASELINE.json is a COMMITTED
+    // snapshot of the last round's per-query record (same warmup tag +
+    // sf discipline as the previous-run gate; re-pinned deliberately
+    // each round), diffed at a LOOSER 1.5x so multi-round creep
+    // surfaces before it compounds. The full per-query history itself is
+    // committed every round as bench_result.json — the baseline pins
+    // which committed record the gate reads.
+    val baselinePath = java.nio.file.Paths.get("BENCH_BASELINE.json")
+    val baseline =
+      if (java.nio.file.Files.exists(baselinePath))
+        parsePrevQueries(java.nio.file.Files.readString(baselinePath),
+          "full-pass-min2-mat", Some(sfDir))
+      else Map.empty[String, Double]
+    val drift = findRegressions(baseline, results, factor = 1.5)
+    drift.toSeq.sortBy(-_._2._2).foreach { case (n, (p, t)) =>
+      System.err.println(
+        f"BENCH DRIFT vs committed baseline: $n%s ${t}%.2f s vs ${p}%.2f s (>1.5x)")
+    }
+    val driftJson = drift.toSeq.sortBy(_._1)
+      .map { case (n, (p, t)) => s"${jstr(n)}:[$p,$t]" }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warmup":"full-pass-min2-mat","tier":"capped","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"n_regressions":${regs.size},"regressions":$regJson,"n_drift":${drift.size},"drift":$driftJson,"verify_only":$skipped,"queries":$qs,"sf":"$sfDir"}"""
     // persist BEFORE stop so the on-disk copy exists even if shutdown hangs
     java.nio.file.Files.writeString(resultPath, json)
     // The driver parses a JSON line from a bounded stdout TAIL; the full
@@ -229,7 +252,7 @@ object Bench {
     // is unbounded (one entry per query in a machine-wide slowdown) and
     // would reintroduce the bounded-tail overflow this line exists to
     // avoid — the full map lives in bench_result.json and on stderr
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","warmup":"full-pass-min2-mat","tier":"capped","n_queries":${results.size},"n_errors":${errors.size},"n_regressions":${regs.size},"file":"$resultPath","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","warmup":"full-pass-min2-mat","tier":"capped","n_queries":${results.size},"n_errors":${errors.size},"n_regressions":${regs.size},"n_drift":${drift.size},"file":"$resultPath","sf":"$sfDir"}"""
     // stop FIRST so no Spark background thread can interleave log output
     // with the one JSON line the harness parses
     spark.stop()

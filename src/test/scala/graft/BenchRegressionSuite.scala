@@ -43,6 +43,35 @@ class BenchRegressionSuite extends AnyFunSuite {
     assert(Bench.parsePrevQueries("""{"warmup":"full-pass-min2-mat"}""", tag) === Map.empty)
   }
 
+  test("committed baseline: file is valid and the 1.5x drift gate reads it") {
+    // BENCH_BASELINE.json is the cross-round drift reference — a
+    // committed snapshot of the last round's per-query record. Its git
+    // history IS the per-round per-query bench series (bench_result.json
+    // itself is gitignored), so the file must stay parseable under the
+    // gate's warmup-tag + sf discipline or the drift gate silently
+    // disarms (Map.empty → no drift ever flags).
+    val path = java.nio.file.Paths.get("BENCH_BASELINE.json")
+    assert(java.nio.file.Files.exists(path),
+      "BENCH_BASELINE.json must be committed — the cross-round drift " +
+        "gate reads it and its history is the per-query bench record")
+    val baseline = Bench.parsePrevQueries(
+      java.nio.file.Files.readString(path), tag, Some("/root/testdata/sf0.1"))
+    assert(baseline.size >= 100,
+      s"baseline must carry the full per-query map, got ${baseline.size}")
+    assert(baseline.values.forall(v => v > 0 && v < 60),
+      "baseline times must be positive, sane per-query seconds")
+
+    // the LOOSER 1.5x factor catches multi-round creep the 2x
+    // previous-run gate cannot: +60% in one hop flags here, not there
+    val crept = Seq(baseline.head._1 -> (baseline.head._2 * 1.6 + 0.4))
+    assert(Bench.findRegressions(baseline, crept, factor = 1.5).nonEmpty,
+      "a 1.6x creep must trip the drift gate")
+    assert(Bench.findRegressions(baseline, crept).isEmpty
+      || baseline.head._2 * 1.6 + 0.4 > 2 * baseline.head._2,
+      "the same creep stays invisible to the 2x gate (that is the gap " +
+        "the baseline gate closes)")
+  }
+
   test("end-to-end: a slowed query surfaces from a real prior record") {
     // replay the gate exactly as main() runs it: parse prior file text,
     // diff against a pass where one query doubled
