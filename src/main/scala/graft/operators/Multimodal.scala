@@ -976,6 +976,57 @@ object Multimodal {
     docs.join(losers.distinct(), Seq("doc_id"), "left_anti")
   }
 
+  /** The undirected cross-modal near-dup PAIR set feeding
+    * [[curateMediaClusters]]: image banded-hamming pairs ∪ audio
+    * exact-fingerprint star edges (each group member linked to its group
+    * minimum — CC-equivalent to the within-group clique at |group|−1
+    * edges instead of |group|²/2) ∪ clip-level video keyframe pairs.
+    * Only fingerprint-sized (doc_a, doc_b) rows — media bytes never
+    * ride the edge list. */
+  def mediaPairs(imageHashes: DataFrame, audioFps: DataFrame,
+                 videoFrameHashes: Option[DataFrame] = None,
+                 maxHamming: Int = 6, maxBucketSize: Int = 64,
+                 videoMaxHamming: Int = 3,
+                 videoMinFrac: Double = 0.5): DataFrame = {
+    val img = imageNearDupPairs(imageHashes, maxHamming, maxBucketSize)
+      .select(col("doc_a"), col("doc_b"))
+    val fps = audioFps.localCheckpoint(false)
+    val aud = fps
+      .join(fps.groupBy(col("fingerprint"))
+        .agg(min(col("doc_id")).as("__canonical")), "fingerprint")
+      .filter(col("doc_id") =!= col("__canonical"))
+      .select(col("__canonical").as("doc_a"), col("doc_id").as("doc_b"))
+    val base = img.unionAll(aud)
+    videoFrameHashes.fold(base)(vf => base.unionAll(
+      videoNearDupClips(vf, videoMaxHamming, maxBucketSize, videoMinFrac)
+        .select(col("doc_a"), col("doc_b"))))
+  }
+
+  /** CLUSTER-CANONICAL cross-modal curation — the alternative
+    * [[curateMedia]]'s doc comment names: instead of pairwise doc_b
+    * losers (where two docs that only share a transitive neighbor can
+    * BOTH survive), the full media pair set routes through
+    * [[graft.operators.Dedup.dedupClusters]] (q49's O(log n)
+    * connected components), so exactly ONE doc survives per connected
+    * cross-modal component — an image near-dup of a video near-dup of
+    * an audio copy all collapse to one canonical keeper. Returns docs
+    * annotated with `comp` (canonical doc_id of the component) and
+    * `retained` (1 iff canonical); filter `retained = 1` to curate.
+    *
+    * Scale shape: the edge list is fingerprint-derived (20-28 B rows),
+    * the CC rounds move only (long, long) pairs, and the final label
+    * join is id-keyed — media bytes never shuffle anywhere.
+    */
+  def curateMediaClusters(docs: DataFrame, imageHashes: DataFrame,
+                          audioFps: DataFrame,
+                          videoFrameHashes: Option[DataFrame] = None,
+                          maxHamming: Int = 6, maxBucketSize: Int = 64,
+                          videoMaxHamming: Int = 3,
+                          videoMinFrac: Double = 0.5): DataFrame =
+    graft.operators.Dedup.dedupClusters(docs,
+      mediaPairs(imageHashes, audioFps, videoFrameHashes,
+        maxHamming, maxBucketSize, videoMaxHamming, videoMinFrac))
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec(
@@ -1778,6 +1829,159 @@ object Multimodal {
           AND doc_id NOT IN (SELECT doc_id FROM aud_losers)
           AND doc_id NOT IN (SELECT doc_id FROM vid_losers)
         ORDER BY doc_id""")),
+
+    // Cluster-canonical cross-modal curation (r10): the q140 pair set
+    // routed through connected components — one keeper per connected
+    // cross-modal component. The oracle re-derives all three edge legs
+    // and runs the recursive-CTE CC (q49's construction), gated down to
+    // every doc's component label and retained flag.
+    QuerySpec(
+      "q141_media_clusters",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        curateMediaClusters(docs.select(col("doc_id"), col("source")),
+            dHashImages(withPngMedia(docs)).toDF(),
+            audioFingerprint(withWavMedia(docs)).toDF(),
+            videoFrameHashes =
+              Some(dHashFrames(withVideoKeyframes(docs)).toDF()))
+          .select(col("doc_id"), col("source"), col("comp"),
+            col("retained").cast("bigint").as("retained"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE ids AS (
+          SELECT doc_id, CAST(doc_id % 8 + 4 AS BIGINT) AS w,
+                 CAST(doc_id % 6 + 3 AS BIGINT) AS h,
+                 CAST(doc_id % 50 + 30 AS BIGINT) AS n,
+                 CAST(doc_id % 25 AS BIGINT) AS seed,
+                 CAST(doc_id % 40 + 10 AS BIGINT) AS nf
+          FROM documents),
+        cells AS (
+          SELECT i.doc_id, r.range AS r, c.range AS c,
+                 (i.doc_id*31 + ((c.range*i.w)//9)*7 + ((r.range*i.h)//8)*13) % 256 AS g,
+                 (i.doc_id*31 + (((c.range+1)*i.w)//9)*7 + ((r.range*i.h)//8)*13) % 256 AS gn
+          FROM ids i CROSS JOIN range(0, 8) r CROSS JOIN range(0, 8) c),
+        ibits AS (SELECT doc_id, r*8 + c AS k,
+                         CASE WHEN g < gn THEN 1 ELSE 0 END AS bit
+                  FROM cells),
+        hashes AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)
+                      AS BIGINT) AS hi,
+                 CAST(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)
+                      AS BIGINT) AS lo
+          FROM ibits GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, hi, lo, b.range AS band,
+                 CASE WHEN b.range = 0 THEN lo % 65536
+                      WHEN b.range = 1 THEN lo // 65536
+                      WHEN b.range = 2 THEN hi % 65536
+                      ELSE hi // 65536 END AS bval
+          FROM hashes CROSS JOIN range(0, 4) b),
+        capped AS (
+          SELECT * FROM (SELECT banded.*,
+                                COUNT(*) OVER (PARTITION BY band, bval) AS bn
+                         FROM banded)
+          WHERE bn <= 64),
+        img_pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM capped a JOIN capped b
+            ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6),
+        samp AS (
+          SELECT doc_id, n, (s.range*33)//n AS f,
+                 ABS((doc_id*131 + s.range*787) % 4096 - 2048) AS a
+          FROM ids CROSS JOIN range(0, 80) s
+          WHERE s.range < n),
+        energies AS (
+          SELECT doc_id, f, SUM(a) AS e FROM samp GROUP BY doc_id, f),
+        frames AS (
+          SELECT i.doc_id, f.range AS f, COALESCE(e.e, 0) AS e
+          FROM ids i CROSS JOIN range(0, 33) f
+          LEFT JOIN energies e ON e.doc_id = i.doc_id AND e.f = f.range),
+        abits AS (
+          SELECT a.doc_id, a.f AS k,
+                 CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+          FROM frames a JOIN frames b
+            ON a.doc_id = b.doc_id AND b.f = a.f + 1
+          WHERE a.f < 32),
+        afps AS (
+          SELECT doc_id,
+                 CAST(SUM(bit * (1::BIGINT << k)) AS BIGINT) AS fingerprint
+          FROM abits GROUP BY doc_id),
+        aud_pairs AS (
+          SELECT g.can AS doc_a, f.doc_id AS doc_b
+          FROM afps f JOIN (SELECT fingerprint, MIN(doc_id) AS can
+                            FROM afps GROUP BY fingerprint) g
+            ON f.fingerprint = g.fingerprint
+          WHERE f.doc_id <> g.can),
+        vframes AS (
+          SELECT i.doc_id, i.seed,
+                 CAST(i.seed % 8 + 12 AS BIGINT) AS vw,
+                 CAST(i.seed % 6 + 9 AS BIGINT) AS vh,
+                 f.range AS f
+          FROM ids i CROSS JOIN range(0, 50) f
+          WHERE f.range % 8 = 0 AND f.range < i.nf),
+        vcells AS (
+          SELECT fr.doc_id, fr.f, r.range AS r, c.range AS c,
+                 (fr.seed*31 + fr.f*101
+                  + ((c.range*fr.vw)//9)*((c.range*fr.vw)//9)*(7 + fr.f % 5)
+                  + ((r.range*fr.vh)//8)*((r.range*fr.vh)//8)*13) % 256 AS g,
+                 (fr.seed*31 + fr.f*101
+                  + (((c.range+1)*fr.vw)//9)*(((c.range+1)*fr.vw)//9)*(7 + fr.f % 5)
+                  + ((r.range*fr.vh)//8)*((r.range*fr.vh)//8)*13) % 256 AS gn
+          FROM vframes fr CROSS JOIN range(0, 8) r CROSS JOIN range(0, 8) c),
+        vbits AS (SELECT doc_id, f, r*8 + c AS k,
+                         CASE WHEN g < gn THEN 1 ELSE 0 END AS bit
+                  FROM vcells),
+        vhashes AS (
+          SELECT doc_id, f,
+                 CAST(SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)
+                      AS BIGINT) AS hi,
+                 CAST(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)
+                      AS BIGINT) AS lo
+          FROM vbits GROUP BY doc_id, f),
+        vnkeys AS (SELECT doc_id, COUNT(*) AS n_key FROM vhashes GROUP BY doc_id),
+        vbanded AS (
+          SELECT doc_id, f, hi, lo, b.range AS band,
+                 CASE WHEN b.range = 0 THEN lo % 65536
+                      WHEN b.range = 1 THEN lo // 65536
+                      WHEN b.range = 2 THEN hi % 65536
+                      ELSE hi // 65536 END AS bval
+          FROM vhashes CROSS JOIN range(0, 4) b),
+        vcapped AS (
+          SELECT * FROM (SELECT vbanded.*,
+                                COUNT(*) OVER (PARTITION BY band, bval) AS bn
+                         FROM vbanded)
+          WHERE bn <= 64),
+        vmatched AS (
+          SELECT DISTINCT a.doc_id AS doc_a, a.f AS frame_a, b.doc_id AS doc_b
+          FROM vcapped a JOIN vcapped b
+            ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+        vid_pairs AS (
+          SELECT p.doc_a, p.doc_b
+          FROM (SELECT doc_a, doc_b, COUNT(*) AS n_matched
+                FROM vmatched GROUP BY doc_a, doc_b) p
+          JOIN vnkeys ka ON ka.doc_id = p.doc_a
+          WHERE ROUND(CAST(p.n_matched AS DOUBLE) / ka.n_key, 6) >= 0.5),
+        all_pairs AS (
+          SELECT doc_a, doc_b FROM img_pairs
+          UNION SELECT doc_a, doc_b FROM aud_pairs
+          UNION SELECT doc_a, doc_b FROM vid_pairs),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM all_pairs
+                  UNION SELECT doc_b, doc_a FROM all_pairs),
+        reach(id, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+        comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+        SELECT d.doc_id, d.source,
+               COALESCE(c.comp, d.doc_id) AS comp,
+               CAST(CASE WHEN COALESCE(c.comp, d.doc_id) = d.doc_id
+                         THEN 1 ELSE 0 END AS BIGINT) AS retained
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        ORDER BY d.doc_id""")),
 
     QuerySpec(
       "q52_frame_sample",

@@ -146,6 +146,32 @@ class ImageDHashSuite extends AnyFunSuite with BeforeAndAfterAll {
       "append = false must leave the index untouched")
   }
 
+  test("curateMediaClusters: one keeper per component where pairwise keeps two") {
+    val sql = spark
+    import sql.implicits._
+    // A~C and B~C at hamming 6, but A and B are hamming 12 apart: the
+    // pairwise doc_b rule keeps BOTH A and B (only C is ever a doc_b);
+    // cluster-canonical keeps exactly one doc of the {A,B,C} component
+    val imgs = Seq((1L, 0L, 0x3FL), (2L, 0L, 0xFC0L), (3L, 0L, 0L))
+      .toDF("doc_id", "dhash_hi", "dhash_lo")
+    val docs = Seq((1L, "s"), (2L, "s"), (3L, "s")).toDF("doc_id", "source")
+    val auds = Seq((1L, 0x1L), (2L, 0x22L), (3L, 0x333L))
+      .toDF("doc_id", "fingerprint")
+
+    val pairwise = Multimodal.curateMedia(docs, imgs, auds)
+      .collect().map(_.getLong(0)).toSet
+    assert(pairwise === Set(1L, 2L),
+      s"pairwise keeps the two transitively-linked survivors: $pairwise")
+
+    val clustered = Multimodal.curateMediaClusters(docs, imgs, auds)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getInt(3)))).toMap
+    assert(clustered.values.map(_._1).toSet === Set(1L),
+      s"all three docs must share component 1: $clustered")
+    assert(clustered.filter(_._2._2 == 1).keySet === Set(1L),
+      s"exactly the canonical min-id doc survives: $clustered")
+  }
+
   test("bucket cap: a degenerate hash shared by many images emits no pairs") {
     val sql = spark
     import sql.implicits._
