@@ -630,30 +630,72 @@ object Pipeline {
     * artifact are ignored. Cost: one scan+rewrite of the artifact, work
     * ∝ artifact size, not corpus size.
     */
-  def pruneArtifact(ids: DataFrame, dir: String, idCol: String): Unit = {
-    val spark = ids.sparkSession
+  def pruneArtifact(ids: DataFrame, dir: String, idCol: String): Unit =
+    stagedRewrite(ids.sparkSession, dir, "prune") { df =>
+      df.join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti")
+    }
+
+  /** The staged rename-aside rewrite shared by [[pruneArtifact]] and
+    * [[compactArtifact]]: read the artifact, write `transform`'s result
+    * to a stage directory, then `dir -> dir__{tag}_old`,
+    * `stage -> dir`, delete the aside copy — a crash at ANY point
+    * leaves a recoverable full copy at a deterministic path, and a
+    * rerun self-heals the two crash residues first (aside restored if
+    * `dir` vanished mid-swap; stale aside deleted otherwise). */
+  private def stagedRewrite(spark: SparkSession, dir: String, tag: String)
+                           (transform: DataFrame => DataFrame): Unit = {
     val base = dir.stripSuffix("/")
     val dirPath = new org.apache.hadoop.fs.Path(base)
-    val stagePath = new org.apache.hadoop.fs.Path(base + "__prune_stage")
-    val oldPath = new org.apache.hadoop.fs.Path(base + "__prune_old")
+    val stagePath = new org.apache.hadoop.fs.Path(base + s"__${tag}_stage")
+    val oldPath = new org.apache.hadoop.fs.Path(base + s"__${tag}_old")
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // self-heal residue of a crashed prior run before touching anything
     if (!fs.exists(dirPath) && fs.exists(oldPath))
       require(fs.rename(oldPath, dirPath),
-        s"pruneArtifact: could not restore crashed swap ($oldPath -> $dirPath)")
+        s"${tag}Artifact: could not restore crashed swap ($oldPath -> $dirPath)")
     if (fs.exists(oldPath))
       require(fs.delete(oldPath, true),
-        s"pruneArtifact: could not clear stale aside copy at $oldPath")
-    spark.read.parquet(base)
-      .join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti")
+        s"${tag}Artifact: could not clear stale aside copy at $oldPath")
+    transform(spark.read.parquet(base))
       .write.mode("overwrite").parquet(stagePath.toString)
     require(fs.rename(dirPath, oldPath),
-      s"pruneArtifact: could not move live artifact aside ($dirPath -> $oldPath)")
+      s"${tag}Artifact: could not move live artifact aside ($dirPath -> $oldPath)")
     require(fs.rename(stagePath, dirPath),
-      s"pruneArtifact: could not swap staged artifact into place " +
+      s"${tag}Artifact: could not swap staged artifact into place " +
         s"($stagePath -> $dirPath)")
     require(fs.delete(oldPath, true),
-      s"pruneArtifact: could not remove aside copy at $oldPath")
+      s"${tag}Artifact: could not remove aside copy at $oldPath")
+  }
+
+  /** Compact an append-grown parquet artifact back to a bounded file
+    * count — the MAINTENANCE companion to the ingest-append family
+    * ([[graft.operators.Multimodal.imageNearDupIngest]] /
+    * `videoNearDupIngest` / `semDeDupIncremental(append)` /
+    * [[graft.operators.AnnIndex.append]]): every nightly append adds a
+    * task's worth of new files, and after N nights an index probe opens
+    * N× the file handles and plans N× the splits it needs (the
+    * small-files problem — at 100 TB the metadata walk outweighs the
+    * read). Rewrites the artifact to `ceil(bytes / targetBytes)` files
+    * via one `repartition` pass, preserving rows exactly; same
+    * crash-safe staged rename-aside swap as [[pruneArtifact]] (shared
+    * `stagedRewrite`), so the artifact is never unreadable and a rerun
+    * self-heals crash residue. Run it when the file count materially
+    * exceeds the target — e.g. weekly, or when `listStatus` shows 10×
+    * the optimum.
+    */
+  def compactArtifact(spark: SparkSession, dir: String,
+                      targetBytes: Long = 128L << 20): Unit = {
+    require(targetBytes > 0, s"compactArtifact: targetBytes must be > 0")
+    val base = dir.stripSuffix("/")
+    val dirPath = new org.apache.hadoop.fs.Path(base)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    stagedRewrite(spark, dir, "compact") { df =>
+      // sized INSIDE the transform: stagedRewrite has self-healed any
+      // crash residue by now, so the live dir is guaranteed present
+      val bytes = fs.getContentSummary(dirPath).getLength
+      val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      df.repartition(nFiles)
+    }
   }
 
   /** Verify a delete list is GONE from every persisted artifact — the

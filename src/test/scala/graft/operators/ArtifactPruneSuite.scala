@@ -127,4 +127,38 @@ class ArtifactPruneSuite extends AnyFunSuite with BeforeAndAfterAll {
     val ids = spark.read.parquet(dir).collect().map(_.getLong(0)).toSet
     assert(ids === (1L to 10L).toSet -- Set(2L, 4L) + 12L)
   }
+
+  test("compact shrinks an append-grown artifact's file count, rows exact") {
+    val sql = spark
+    import sql.implicits._
+    def partFiles(d: String): Array[java.io.File] =
+      new java.io.File(d).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val dir = Files.createTempDirectory("graft-compact").toString + "/idx"
+    // ten appends of 4-file writes → 40+ small files, the nightly-append
+    // shape imageNearDupIngest/videoNearDupIngest/AnnIndex.append leave
+    (0 until 10).foreach { day =>
+      (1L to 20L).map(i => (day * 100L + i, i * 7))
+        .toDF("doc_id", "v").repartition(4)
+        .write.mode("append").parquet(dir)
+    }
+    val before = spark.read.parquet(dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(partFiles(dir).length >= 40, "fixture must start fragmented")
+
+    Pipeline.compactArtifact(spark, dir)
+    val after = spark.read.parquet(dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === before, "compaction must preserve rows exactly")
+    assert(partFiles(dir).length === 1,
+      s"200 tiny rows fit one target-size file, got ${partFiles(dir).length}")
+    assert(!new java.io.File(dir + "__compact_stage").exists() &&
+      !new java.io.File(dir + "__compact_old").exists(), "no staging residue")
+
+    // crash residue self-heals exactly as pruneArtifact's: a mid-swap
+    // crash (dir gone, aside present) restores on the next run
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + "__compact_old")))
+    Pipeline.compactArtifact(spark, dir)
+    assert(spark.read.parquet(dir).collect().map(_.getLong(0)).toSet ===
+      before.map(_._1), "self-healed compaction must recover every row")
+    assert(!new java.io.File(dir + "__compact_old").exists())
+  }
 }
