@@ -85,6 +85,49 @@ object Pipeline {
     (out, obs)
   }
 
+  /** Stage-by-stage curation FUNNEL report — the observability companion
+    * to [[curate]]: per source, how many docs enter and how many survive
+    * each stage (raw → quality gate → exact dedup → near-dup prune).
+    * This is the number a data team actually debugs with: "source X lost
+    * 80% at the quality gate but only 2% to dedup" localizes a scraper
+    * problem in one glance, where [[curateWithMetrics]]' end-to-end
+    * totals cannot say WHICH stage ate the corpus.
+    *
+    * Scale shape: the stage frames are exactly [[curate]]'s (same
+    * operators, same checkpoints — the quality output feeds its count
+    * AND the dedup; the exact-deduped output feeds its count AND the
+    * near-dup probe), so the funnel costs the pipeline run plus four
+    * |sources|-row map-side-combined aggregates joined driver-free.
+    * Counts, never rows, leave each stage.
+    */
+  def curationFunnel(docs: DataFrame, minTokens: Int, maxTokens: Int,
+                     minTtr: Double, nearDupThreshold: Double,
+                     maxTokenDf: Int = 1000): DataFrame = {
+    val quality = docs
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .withColumn("n_tokens", TextOps.tokenCountOfTokens(col("__toks")))
+      .withColumn("ttr", TextOps.typeTokenRatioOfTokens(col("__toks")))
+      .filter(col("n_tokens").between(minTokens, maxTokens) && col("ttr") > minTtr)
+      .drop("__toks")
+      .localCheckpoint(false) // feeds its own count AND the dedup stage
+    val exactDeduped = Dedup.exact(quality).localCheckpoint(false)
+    val losers = Dedup.jaccardPairs(exactDeduped, nearDupThreshold,
+        maxTokenDf = maxTokenDf)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val survived = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
+    def cnt(df: DataFrame, name: String): DataFrame =
+      df.groupBy(col("source")).agg(count(lit(1)).as(name))
+    cnt(docs, "n_raw")
+      .join(cnt(quality, "n_quality"), Seq("source"), "left_outer")
+      .join(cnt(exactDeduped, "n_exact"), Seq("source"), "left_outer")
+      .join(cnt(survived, "n_final"), Seq("source"), "left_outer")
+      .select(col("source"),
+        col("n_raw"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"))
+  }
+
   /** Deterministic stratified sampling: keep a per-stratum fraction of
     * rows, selected by a multiplicative hash of the row id — the mixture-
     * weighting step of a training-data pipeline ("40% web, 25% code, …").
@@ -1396,6 +1439,66 @@ object Pipeline {
         WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         GROUP BY source
         ORDER BY source""")),
+
+    // Stage-by-stage curation funnel (r10): the q99 pipeline's per-source
+    // attrition accounting — raw → quality → exact dedup → near-dup, all
+    // four counts hash-gated with the same capped deterministic candidate
+    // rule as q99.
+    QuerySpec(
+      "q142_curation_funnel",
+      (s, d) => curationFunnel(Tables.documents(s, d),
+          minTokens = 10, maxTokens = 100, minTtr = 0.3,
+          nearDupThreshold = 0.8, maxTokenDf = 8)
+        .orderBy(col("source")),
+      Some("""
+        WITH quality AS (
+          SELECT doc_id, source, text,
+                 len(string_split(text, ' ')) AS n_tokens
+          FROM documents
+          WHERE len(string_split(text, ' ')) BETWEEN 10 AND 100
+            AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' ')) > 0.3),
+        exact_deduped AS (
+          SELECT doc_id, source, text, n_tokens FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM quality)
+          WHERE rn = 1),
+        toksets AS (
+          SELECT doc_id, source, n_tokens,
+                 list_distinct(string_split(text, ' ')) AS toks
+          FROM exact_deduped),
+        tok AS (SELECT doc_id, source, unnest(toks) AS tok FROM toksets),
+        df AS (SELECT source, tok, COUNT(*) AS df FROM tok GROUP BY 1, 2),
+        rare AS (
+          SELECT t.doc_id, t.source, t.tok
+          FROM tok t JOIN df USING (source, tok) WHERE df <= 8),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM rare a JOIN rare b
+            ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id),
+        losers AS (
+          SELECT DISTINCT c.doc_b AS doc_id
+          FROM cand c
+            JOIN toksets a ON c.doc_a = a.doc_id
+            JOIN toksets b ON c.doc_b = b.doc_id
+          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+        final AS (
+          SELECT source, COUNT(*) AS n FROM exact_deduped
+          WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+          GROUP BY source)
+        SELECT d.source, COUNT(*) AS n_raw,
+               COALESCE(MAX(q.n), 0) AS n_quality,
+               COALESCE(MAX(e.n), 0) AS n_exact,
+               COALESCE(MAX(f.n), 0) AS n_final
+        FROM documents d
+        LEFT JOIN (SELECT source, COUNT(*) AS n FROM quality GROUP BY source) q
+          ON q.source = d.source
+        LEFT JOIN (SELECT source, COUNT(*) AS n FROM exact_deduped GROUP BY source) e
+          ON e.source = d.source
+        LEFT JOIN final f ON f.source = d.source
+        GROUP BY d.source
+        ORDER BY d.source""")),
 
     QuerySpec(
       "q70_curation_pipeline",

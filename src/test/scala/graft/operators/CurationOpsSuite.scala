@@ -682,6 +682,27 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"unseen-gram doc scored ${n.getLong(2)}, expected default ${model.defaultMicro}")
   }
 
+  test("curationFunnel: each stage's attrition lands in its own column") {
+    val sql = spark
+    import sql.implicits._
+    val body = (1 to 12).map(i => s"w$i").mkString(" ") // 12 distinct tokens
+    val docs = Seq(
+      (1L, "sA", body),                    // survives everything
+      (2L, "sA", "too short"),             // quality: under minTokens
+      (3L, "sA", body),                    // exact dup of 1 → exact stage
+      (4L, "sA", body + " extra"),         // jaccard 12/13 ≈ 0.92 → near-dup
+      (5L, "sB", (13 to 24).map(i => s"v$i").mkString(" ")) // clean source
+    ).toDF("doc_id", "source", "text")
+    val got = Pipeline.curationFunnel(docs, minTokens = 5, maxTokens = 100,
+        minTtr = 0.3, nearDupThreshold = 0.8, maxTokenDf = 100)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("sA") === ((4L, 3L, 2L, 1L)),
+      s"sA: raw 4 → quality 3 → exact 2 → final 1, got ${got("sA")}")
+    assert(got("sB") === ((1L, 1L, 1L, 1L)), s"sB untouched: ${got("sB")}")
+  }
+
   test("quality classifier: fit/serve ≡ batch; target ranks above; unseen defaults") {
     val sql = spark
     import sql.implicits._
