@@ -626,6 +626,53 @@ object Pipeline {
       .withColumn("waste", (col("padded_tokens") - col("sum_len")).cast("bigint"))
   }
 
+  /** Token-BUDGET batch packing — [[packBatches]]' sibling for loaders
+    * that bound batches by total tokens rather than doc count (the
+    * fairseq `--max-tokens` discipline: a batch of long docs holds few,
+    * a batch of short docs holds many, and the accelerator's memory
+    * bound is respected by construction). Docs land in the same
+    * (length bucket, md5 salt) cells as [[packBatches]], order by
+    * (length, id) within the cell, and a batch boundary falls every
+    * `budgetTokens` of RUNNING token sum ([[packSequences]]' integer
+    * chunk rule applied per cell). A single doc longer than the budget
+    * still gets its own batch (`(cum − n) div budget` puts it alone —
+    * no silent drop). Emits the same padding-economics row shape as
+    * [[packBatches]].
+    *
+    * Scale shape: identical to [[packBatches]] — ONE (bucket, salt)
+    * exchange, a running-sum window instead of a rank, map-side batch
+    * ids, partial-aggregated economics reusing the window's
+    * partitioning. Engine-portable salt ⇒ the q143 oracle recomputes
+    * the identical assignment.
+    */
+  def packBatchesByBudget(docs: DataFrame, budgetTokens: Long,
+                          bucketWidth: Int = 64, nSalts: Int = 8,
+                          tokenCountCol: Option[String] = None): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(nSalts > 0, s"nSalts must be positive, got $nSalts")
+    val counted = tokenCountCol.fold(
+        docs.withColumn("n_tokens", TextOps.tokenCount(col("text"))))(c =>
+        docs.withColumn("n_tokens", col(c).cast("bigint")))
+      .withColumn("bucket", expr(s"n_tokens div $bucketWidth").cast("bigint"))
+      .withColumn("salt",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % nSalts).cast("bigint"))
+    val w = Window.partitionBy(col("bucket"), col("salt"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counted
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("batch_id",
+        expr(s"(__cum - n_tokens) div $budgetTokens").cast("bigint"))
+      .groupBy(col("bucket"), col("salt"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).cast("bigint").as("max_len"),
+        sum(col("n_tokens")).cast("bigint").as("sum_len"))
+      .withColumn("padded_tokens", (col("max_len") * col("n_docs")).cast("bigint"))
+      .withColumn("waste", (col("padded_tokens") - col("sum_len")).cast("bigint"))
+  }
+
   /** Publish a curated corpus for training consumption: one directory
     * per `partitionCol` value (consumers read a language/source slice
     * without touching the rest), rows sorted by `sortCol` inside each
@@ -1377,6 +1424,39 @@ object Pipeline {
         SELECT CAST(bucket AS BIGINT) AS bucket,
                CAST(salt AS BIGINT) AS salt,
                CAST((rn - 1) // 16 AS BIGINT) AS batch_id,
+               COUNT(*) AS n_docs,
+               CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_len,
+               CAST(MAX(n_tokens) * COUNT(*) AS BIGINT) AS padded_tokens,
+               CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT) AS waste
+        FROM r GROUP BY bucket, salt, batch_id
+        ORDER BY bucket, salt, batch_id""")),
+
+    // Token-budget batch packing (r10): q137's cells with a running-sum
+    // boundary every 512 tokens — variable-count batches bounded by
+    // total tokens, the --max-tokens loader discipline. Same
+    // engine-portable salt; fully hash-gated.
+    QuerySpec(
+      "q143_pack_budget",
+      (s, d) => packBatchesByBudget(Tables.documents(s, d),
+          budgetTokens = 512, nSalts = 4)
+        .orderBy(col("bucket"), col("salt"), col("batch_id")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
+                 len(string_split(text,' ')) // 64 AS bucket,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4
+                   AS salt
+          FROM documents),
+        r AS (
+          SELECT bucket, salt, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY bucket, salt
+                   ORDER BY n_tokens, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(salt AS BIGINT) AS salt,
+               CAST((cum - n_tokens) // 512 AS BIGINT) AS batch_id,
                COUNT(*) AS n_docs,
                CAST(MAX(n_tokens) AS BIGINT) AS max_len,
                CAST(SUM(n_tokens) AS BIGINT) AS sum_len,

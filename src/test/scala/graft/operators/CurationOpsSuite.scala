@@ -148,6 +148,39 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { Pipeline.packBatches(big, 0) }
   }
 
+  test("packBatchesByBudget: boundary every budget tokens; oversize doc alone") {
+    val sql = spark
+    import sql.implicits._
+    // one cell (nSalts 1, wide bucket): lens 3,4,5 → cum 3,7,12; budget 6
+    // ⇒ starts 0,3,7 ⇒ batches 0,0,1. A 20-token doc lands in its own
+    // bucket and, though over budget, forms its own batch (start 0).
+    val docs = Seq(
+      (1L, Seq.fill(3)("w").mkString(" ")),
+      (2L, Seq.fill(4)("w").mkString(" ")),
+      (3L, Seq.fill(5)("w").mkString(" ")),
+      (9L, Seq.fill(200)("w").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Pipeline.packBatchesByBudget(docs, budgetTokens = 6,
+        bucketWidth = 64, nSalts = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out === Map(
+      (0L, 0L) -> ((2L, 4L, 7L)),   // docs 1+2: 3+4 = 7 tokens (starts 0, 3)
+      (0L, 1L) -> ((1L, 5L, 5L)),   // doc 3 starts at 7 → next batch
+      (3L, 0L) -> ((1L, 200L, 200L))), // oversize doc: own batch, not dropped
+      s"got $out")
+
+    // token conservation: Σ sum_len over batches ≡ Σ doc tokens,
+    // regardless of salting
+    val big = (0L until 80L).map(i =>
+      (i, Seq.fill((i % 13 + 1).toInt)("w").mkString(" "))).toDF("doc_id", "text")
+    val batched = Pipeline.packBatchesByBudget(big, budgetTokens = 16, nSalts = 4)
+      .collect()
+    assert(batched.map(_.getLong(5)).sum === (0L until 80L).map(_ % 13 + 1).sum)
+    assert(batched.forall(r => r.getLong(6) == r.getLong(4) * r.getLong(3) &&
+      r.getLong(7) == r.getLong(6) - r.getLong(5)))
+  }
+
   test("packBatches: salt de-skews hot buckets, economics stay bucket-bounded") {
     val sql = spark
     import sql.implicits._
