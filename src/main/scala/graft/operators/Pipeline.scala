@@ -452,6 +452,41 @@ object Pipeline {
       .withColumn("is_good", col("quality_micro") > 0L)
   }
 
+  /** Keep-threshold CALIBRATION sweep for the quality classifier — the
+    * table a data team reads before wiring [[qualityScores]] into a
+    * keep/drop gate: for each candidate threshold (µnats), how many docs
+    * survive and how the LABELED seeds split (good seeds kept vs bad
+    * seeds kept — the training-set precision/recall proxy; the knee of
+    * this table is the production threshold). One classifier run, one
+    * |thresholds|-row result.
+    *
+    * Scale shape: [[qualityScores]]' plan plus a map-side explode of the
+    * literal threshold list (rows ×|thresholds| exist only between the
+    * projection and the partial aggregate) and one
+    * |thresholds|-key-grouped aggregate.
+    */
+  def qualityThresholdSweep(docs: DataFrame, isGoodSeed: Column,
+                            isBadSeed: Column,
+                            thresholdsMicro: Seq[Long],
+                            buckets: Int = 4096): DataFrame = {
+    require(thresholdsMicro.nonEmpty, "qualityThresholdSweep: no thresholds")
+    val labels = docs.select(col("doc_id"),
+      isGoodSeed.as("__good"), isBadSeed.as("__bad"))
+    qualityScores(docs, isGoodSeed, isBadSeed, buckets)
+      .join(labels, "doc_id")
+      .select(col("quality_micro"), col("__good"), col("__bad"),
+        explode(typedlit(thresholdsMicro)).as("threshold_micro"))
+      .groupBy(col("threshold_micro"))
+      .agg(
+        count(when(col("quality_micro") >= col("threshold_micro"), 1))
+          .as("n_kept"),
+        count(when(col("quality_micro") >= col("threshold_micro")
+          && col("__good"), 1)).as("n_good_seeds_kept"),
+        count(when(col("quality_micro") >= col("threshold_micro")
+          && col("__bad"), 1)).as("n_bad_seeds_kept"))
+      .orderBy(col("threshold_micro"))
+  }
+
   /** Temperature (α) mixture re-weighting: sample stratum s at a rate
     * ∝ count(s)^α / max_s count(s)^α — the UniMax/Pile-style step that
     * flattens a source/language imbalance before training (α = 1 keeps
@@ -1355,6 +1390,80 @@ object Pipeline {
                s.quality_micro > 0 AS is_good
         FROM scored s JOIN documents d USING (doc_id)
         ORDER BY rnk LIMIT 50""")),
+
+    // Classifier keep-threshold calibration (r10): q139's fit+serve with
+    // a sweep over candidate µnat thresholds — kept-doc counts and the
+    // labeled-seed split per threshold, fully hash-gated.
+    QuerySpec(
+      "q145_quality_sweep",
+      (s, d) => qualityThresholdSweep(Tables.documents(s, d),
+          isGoodSeed = col("source") === "src0" && col("lang") === "en",
+          isBadSeed = col("source") === "src0" && col("lang") =!= "en",
+          thresholdsMicro = Seq(-2000000L, -1000000L, 0L, 1000000L, 2000000L),
+          buckets = 4096),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source, lang, string_split(text, ' ') AS t
+          FROM documents),
+        uni AS (SELECT doc_id, source, lang, unnest(t) AS gram FROM toks),
+        big AS (
+          SELECT doc_id, source, lang,
+                 unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+          FROM toks WHERE len(t) >= 2),
+        feats AS (
+          SELECT doc_id, source, lang,
+                 ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS bucket
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+        seedfeats AS (
+          SELECT bucket, (lang = 'en') AS good FROM feats WHERE source = 'src0'),
+        dist AS (
+          SELECT bucket,
+                 SUM(CASE WHEN good THEN 1 ELSE 0 END) AS cg,
+                 SUM(CASE WHEN good THEN 0 ELSE 1 END) AS cb
+          FROM seedfeats GROUP BY bucket),
+        tot AS (SELECT SUM(cg) AS ng, SUM(cb) AS nb FROM dist),
+        doctot AS (
+          SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS gd,
+                 SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS bd
+          FROM documents WHERE source = 'src0'),
+        consts AS (
+          SELECT CAST(round((ln(1.0 / ((SELECT ng FROM tot) + 4096))
+                           - ln(1.0 / ((SELECT nb FROM tot) + 4096))) * 1e6)
+                      AS BIGINT) AS default_micro,
+                 CAST(round((ln((SELECT gd FROM doctot))
+                           - ln((SELECT bd FROM doctot))) * 1e6)
+                      AS BIGINT) AS prior_micro),
+        w AS (
+          SELECT bucket,
+                 CAST(round((ln((cg + 1) / ((SELECT ng FROM tot) + 4096))
+                           - ln((cb + 1) / ((SELECT nb FROM tot) + 4096))) * 1e6)
+                      AS BIGINT) AS w_micro
+          FROM dist),
+        per_doc AS (
+          SELECT f.doc_id,
+                 SUM(COALESCE(w.w_micro, (SELECT default_micro FROM consts))) AS s,
+                 COUNT(*) AS n
+          FROM feats f LEFT JOIN w USING (bucket) GROUP BY f.doc_id),
+        scored AS (
+          SELECT p.doc_id,
+                 CAST((SELECT prior_micro FROM consts)
+                      + CAST(sign(s) AS BIGINT) * ((abs(s)*2 + n) // (2*n))
+                      AS BIGINT) AS quality_micro,
+                 (d.source = 'src0' AND d.lang = 'en') AS good,
+                 (d.source = 'src0' AND d.lang <> 'en') AS bad
+          FROM per_doc p JOIN documents d USING (doc_id)),
+        th(threshold_micro) AS (VALUES (-2000000), (-1000000), (0),
+                                       (1000000), (2000000))
+        SELECT CAST(th.threshold_micro AS BIGINT) AS threshold_micro,
+               COUNT(CASE WHEN s.quality_micro >= th.threshold_micro
+                          THEN 1 END) AS n_kept,
+               COUNT(CASE WHEN s.quality_micro >= th.threshold_micro
+                           AND s.good THEN 1 END) AS n_good_seeds_kept,
+               COUNT(CASE WHEN s.quality_micro >= th.threshold_micro
+                           AND s.bad THEN 1 END) AS n_bad_seeds_kept
+        FROM scored s CROSS JOIN th
+        GROUP BY th.threshold_micro
+        ORDER BY threshold_micro""")),
 
     // Mixture plan at a 100k-token budget over sources: the pure-integer
     // allocation/epochs table (one float step: floor(sqrt·1e6)).

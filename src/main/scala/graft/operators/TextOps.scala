@@ -458,6 +458,34 @@ object TextOps {
         col("sp.l").cast("bigint").as("span_len"))
   }
 
+  /** Corpus duplication MASS by source — the headline number of the
+    * exact-substring-dedup literature (what fraction of a source's
+    * tokens sit inside cross-doc verbatim spans): Σ maximal-island
+    * coverage ([[maximalDupSpans]] — islands are disjoint per doc, so
+    * the sum IS the covered-token count, never an overcount of
+    * overlapping gram hits) over the source's total tokens. The number
+    * that decides whether a source needs span-level dedup at all, and
+    * the before/after metric for it.
+    *
+    * Scale shape: [[maximalDupSpans]]' exchanges plus one
+    * |sources|-row aggregate; the corpus token count rides the same
+    * tokenized projection the span path already scans.
+    */
+  def dupMassBySource(docs: DataFrame, n: Int = 6,
+                      hashGrams: Boolean = false): DataFrame = {
+    val perDoc = maximalDupSpans(docs, n, hashGrams)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_len")).as("__dup"))
+    docs.select(col("doc_id"), col("source"),
+        tokenCount(col("text")).as("__n"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(sum(col("__n")).cast("bigint").as("total_tokens"),
+        sum(coalesce(col("__dup"), lit(0L))).cast("bigint").as("dup_tokens"))
+      .withColumn("dup_frac",
+        round(col("dup_tokens").cast("double") / col("total_tokens"), 6))
+  }
+
   /** Doc ids from `corpus` that share ≥1 word n-gram with `evalDocs` —
     * benchmark decontamination, the curation stage every LLM pipeline
     * runs before training (eval questions leaking into the corpus).
@@ -1646,6 +1674,43 @@ object TextOps {
         .filter(col("n_removed") > 0)
         .sortWithinPartitions(col("doc_id")), // rows-only: see q46 note
       None),
+
+    // Corpus duplication mass (r10): Σ maximal-island coverage / total
+    // tokens per source — the Lee et al. headline fraction; islands are
+    // disjoint so the sum never overcounts overlapping gram hits.
+    QuerySpec(
+      "q144_dup_mass",
+      (s, d) => dupMassBySource(Tables.documents(s, d), n = 6)
+        .orderBy(col("source")),
+      Some("""
+        WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS t
+                      FROM documents),
+        g AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+5],' ') AS gram
+              FROM toks, UNNEST(generate_series(1, greatest(len(t)-5, 0))) AS u(i)),
+        dfs AS (SELECT gram FROM g GROUP BY gram
+                HAVING COUNT(DISTINCT doc_id) > 1),
+        s AS (SELECT g.doc_id, g.pos FROM g JOIN dfs USING (gram)),
+        l AS (SELECT doc_id, pos,
+                CASE WHEN LAG(pos) OVER w IS NULL
+                       OR pos - LAG(pos) OVER w > 6
+                     THEN 1 ELSE 0 END AS brk
+              FROM s
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        i AS (SELECT doc_id, pos,
+                SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM l),
+        spans AS (SELECT doc_id, MAX(pos) - MIN(pos) + 6 AS span_len
+                  FROM i GROUP BY doc_id, island),
+        per_doc AS (SELECT doc_id, SUM(span_len) AS dup FROM spans
+                    GROUP BY doc_id)
+        SELECT t.source,
+               CAST(SUM(len(t.t)) AS BIGINT) AS total_tokens,
+               CAST(SUM(COALESCE(p.dup, 0)) AS BIGINT) AS dup_tokens,
+               ROUND(CAST(SUM(COALESCE(p.dup, 0)) AS DOUBLE)
+                     / SUM(len(t.t)), 6) AS dup_frac
+        FROM toks t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+        GROUP BY t.source
+        ORDER BY t.source""")),
 
     // Maximal duplicated-span extraction (exact-substring-dedup
     // reporting): merge the q104 positioned dup-gram stream into

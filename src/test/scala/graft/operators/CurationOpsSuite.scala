@@ -579,6 +579,48 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { TextOps.maximalDupSpans(docs, n = 1) }
   }
 
+  test("dupMassBySource: disjoint islands sum to covered tokens, per source") {
+    val sql = spark
+    import sql.implicits._
+    val shared = (1 to 40).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, "sA", ((1 to 10).map(i => s"a$i") ++ Seq(shared) ++
+        (11 to 20).map(i => s"a$i")).mkString(" ")),          // 60 toks, 40 dup
+      (2L, "sB", (Seq(shared) ++ (1 to 15).map(i => s"b$i")).mkString(" ")),
+      (3L, "sB", (1 to 30).map(i => s"c$i").mkString(" ")))    // clean
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.dupMassBySource(docs, n = 6)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("sA") === ((60L, 40L, 0.666667)), s"sA: ${got("sA")}")
+    assert(got("sB") === ((85L, 40L, 0.470588)), s"sB: ${got("sB")}")
+  }
+
+  test("qualityThresholdSweep: kept counts monotone, seeds separate") {
+    val sql = spark
+    import sql.implicits._
+    val docs = Seq(
+      (1L, "clean prose flows nicely here", "good"),
+      (2L, "clean prose reads nicely too", "good"),
+      (3L, "junk junk spam spam click", "bad"),
+      (4L, "spam click junk buy now", "bad"),
+      (5L, "clean prose flows here too", ""),
+      (6L, "spam spam click buy junk", ""))
+      .toDF("doc_id", "text", "label")
+    val sweep = Pipeline.qualityThresholdSweep(docs,
+        $"label" === "good", $"label" === "bad",
+        thresholdsMicro = Seq(-5000000L, 0L, 5000000L), buckets = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sweep.map(_._1).toSeq == Seq(-5000000L, 0L, 5000000L))
+    // n_kept monotone non-increasing in the threshold; all kept at -5
+    val kept = sweep.map(_._2)
+    assert(kept.head == 6L && kept.sliding(2).forall(p => p(0) >= p(1)),
+      s"kept counts must fall as the threshold rises: ${kept.toSeq}")
+    // at threshold 0 the seeds separate: both good kept, no bad kept
+    val at0 = sweep.find(_._1 == 0L).get
+    assert(at0._3 == 2L && at0._4 == 0L, s"seed split at 0: $at0")
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged per doc") {
     val sql = spark
     import sql.implicits._
