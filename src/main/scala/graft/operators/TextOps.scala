@@ -413,7 +413,22 @@ object TextOps {
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("__toks"))
       .localCheckpoint(false)
     val gramKey = (g: Column) => if (hashGrams) xxhash64(g) else g
-    val gramPos = toks
+    val gramPos = positionedGrams(toks, n, gramKey)
+    val dupGrams = toks
+      .select(explode(array_distinct(
+        wordNgramsOfTokens(col("__toks"), n))).as("gram"))
+      .select(gramKey(col("gram")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1).select(col("gram"))
+    islandsOf(gramPos.join(dupGrams, Seq("gram"), "left_semi"), n)
+  }
+
+  /** The positioned gram stream `(doc_id, pos, gram)` (pos 1-based) of a
+    * tokenized frame — shared by the span family and its persisted
+    * index. */
+  private def positionedGrams(toks: DataFrame, n: Int,
+                              gramKey: Column => Column): DataFrame =
+    toks
       .select(col("doc_id"),
         explode(when(size(col("__toks")) >= n,
           transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
@@ -422,14 +437,12 @@ object TextOps {
           .otherwise(array().cast("array<struct<pos:int,gram:string>>"))).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"),
         gramKey(col("pg.gram")).as("gram"))
-    val dupGrams = toks
-      .select(explode(array_distinct(
-        wordNgramsOfTokens(col("__toks"), n))).as("gram"))
-      .select(gramKey(col("gram")).as("gram"))
-      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > 1).select(col("gram"))
-    val starts = gramPos
-      .join(dupGrams, Seq("gram"), "left_semi")
+
+  /** Merge a duplicated-position stream `(doc_id, pos)` into maximal
+    * per-doc islands — ONE per-doc collect_set exchange, then the
+    * map-side gaps-and-islands array expression (no window). */
+  private def islandsOf(dupPos: DataFrame, n: Int): DataFrame = {
+    val starts = dupPos
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("__ss"))
     // map-side gaps-and-islands: boundary = 1-based indices into __ss
@@ -485,6 +498,153 @@ object TextOps {
       .withColumn("dup_frac",
         round(col("dup_tokens").cast("double") / col("total_tokens"), 6))
   }
+
+  private def gramBucketCol(gram: Column, hashGrams: Boolean): Column =
+    if (hashGrams) pmod(gram, lit(64L)).cast("int")
+    else (conv(substring(md5(gram), 1, 8), 16, 10).cast("long") % 64).cast("int")
+
+  /** Persisted SPAN INDEX — the nightly artifact that makes
+    * [[maximalDupSpans]] incremental (the `tokenIndex`/`videoBandIndex`
+    * discipline applied to the exact-substring surface). Layout, all
+    * parquet:
+    *  - `grams/` PARTITIONED BY gb (md5-prefix gram bucket): one
+    *    `(gram, df, solo_doc_id)` row per build/increment generation —
+    *    readers aggregate `sum(df)`; `solo_doc_id` names the single
+    *    containing doc while a gram is still unique (df 1), which is
+    *    what lets an increment find RETROACTIVELY affected corpus docs
+    *    without any gram→doc scan.
+    *  - `pos/` PARTITIONED BY db (`doc_id % 64`): the positioned gram
+    *    stream `(doc_id, pos, gram)` — read only for affected docs,
+    *    pruned to their db directories.
+    * Appends are generation rows ([[graft.operators.Pipeline
+    * .compactArtifact]] bounds the file count); `hashGrams` stores
+    * 8-byte keys (production tier — the exact tier keeps engine-portable
+    * strings for the oracle, the q90/q93 split).
+    */
+  def buildSpanIndex(docs: DataFrame, dir: String, n: Int = 6,
+                     hashGrams: Boolean = false): Unit = {
+    require(n >= 2, s"buildSpanIndex: span width must be >= 2, got $n")
+    val gk = (g: Column) => if (hashGrams) xxhash64(g) else g
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .localCheckpoint(false)
+    positionedGrams(toks, n, gk)
+      .withColumn("db", pmod(col("doc_id"), lit(64L)).cast("int"))
+      .write.mode("overwrite").partitionBy("db").parquet(s"$dir/pos")
+    toks.select(col("doc_id"), explode(array_distinct(
+        wordNgramsOfTokens(col("__toks"), n))).as("g0"))
+      .select(col("doc_id"), gk(col("g0")).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("solo_doc_id"))
+      .withColumn("solo_doc_id",
+        when(col("df") === 1, col("solo_doc_id")))
+      .withColumn("gb", gramBucketCol(col("gram"), hashGrams))
+      .write.mode("overwrite").partitionBy("gb").parquet(s"$dir/grams")
+  }
+
+  /** Incremental maximal-span extraction: the spans arising from `batch`
+    * against the index at `dir` — `(doc_id, span_start, span_len,
+    * generation)` where generation `batch` rows are the batch docs'
+    * spans under the UNION corpus's df, and `retro` rows are the FULL
+    * recomputed span sets of corpus docs whose previously-unique gram
+    * the batch just duplicated (consumers keep the latest span set per
+    * doc — a retro emission replaces the doc's earlier spans, since new
+    * dup positions can merge old islands into longer ones). Batch ∪
+    * retro ∪ untouched build-time spans ≡ [[maximalDupSpans]] on the
+    * union corpus (suite-gated); batch ids disjoint from indexed
+    * generations, the standing incremental contract.
+    *
+    * Scale shape — work ∝ batch, never corpus: the batch gram stream's
+    * corpus-df lookup reads only its grams' `gb` directories of
+    * `grams/` (partition-pruned, then a gram-keyed join); affected docs
+    * come from the `solo_doc_id` RIDER (no gram→doc scan exists
+    * anywhere); their full start sets read only their `db` directories
+    * of `pos/`. The driver sees only the (small) affected-id set.
+    * If `append`, the batch's positions and per-gram df generation rows
+    * are appended so the next increment sees them
+    * ([[graft.operators.Multimodal.imageNearDupIngest]]'s crash note:
+    * append-only parquet needs no staged swap).
+    */
+  def dupSpansIncremental(batch: DataFrame, dir: String, n: Int = 6,
+                          hashGrams: Boolean = false,
+                          append: Boolean = true): DataFrame = {
+    require(n >= 2, s"dupSpansIncremental: span width must be >= 2, got $n")
+    val spark = batch.sparkSession
+    val gk = (g: Column) => if (hashGrams) xxhash64(g) else g
+    val toksB = batch.select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .localCheckpoint(false)
+    val gramPosB = positionedGrams(toksB, n, gk).localCheckpoint(false)
+    val dfB = toksB.select(col("doc_id"), explode(array_distinct(
+        wordNgramsOfTokens(col("__toks"), n))).as("g0"))
+      .select(col("doc_id"), gk(col("g0")).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("dfb"), min(col("doc_id")).as("solo_doc_id"))
+      .withColumn("gb", gramBucketCol(col("gram"), hashGrams))
+      .localCheckpoint(false) // feeds the df join, the retro join, the append
+    val touchedGb = dfB.select(col("gb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val corpusDf = spark.read.parquet(s"$dir/grams")
+      .filter(col("gb").isin(touchedGb: _*))
+      .groupBy(col("gram"))
+      .agg(sum(col("df")).as("dfc"), min(col("solo_doc_id")).as("solo"))
+    val joined = dfB.join(corpusDf, Seq("gram"), "left_outer")
+      .select(col("gram"), col("dfb"), coalesce(col("dfc"), lit(0L)).as("dfc"),
+        col("solo"))
+      .localCheckpoint(false) // feeds batch-dup grams AND the newly set
+    val dupForBatch = joined.filter(col("dfb") + col("dfc") >= 2)
+      .select(col("gram"))
+    val batchSpans = islandsOf(
+        gramPosB.join(dupForBatch, Seq("gram"), "left_semi"), n)
+      .withColumn("generation", lit("batch"))
+    // retroactively affected corpus docs: their previously-UNIQUE gram
+    // (dfc = 1, solo rider set) just gained a batch occurrence
+    val affectedIds = joined.filter(col("dfc") === 1 && col("dfb") >= 1)
+      .select(col("solo")).distinct().collect().map(_.getLong(0)).toSeq
+    val out =
+      if (affectedIds.isEmpty) batchSpans
+      else {
+        val touchedDb = affectedIds.map(id => (id % 64).toInt).distinct
+        val affPos = spark.read.parquet(s"$dir/pos")
+          .filter(col("db").isin(touchedDb: _*) &&
+            col("doc_id").isin(affectedIds: _*))
+          .localCheckpoint(false) // feeds its own gb set + the islands
+        val affGb = affPos
+          .select(gramBucketCol(col("gram"), hashGrams).as("gb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val corpusDfAff = spark.read.parquet(s"$dir/grams")
+          .filter(col("gb").isin(affGb: _*))
+          .groupBy(col("gram")).agg(sum(col("df")).as("dfc2"))
+        val dupForAff = corpusDfAff
+          .join(dfB.select(col("gram"), col("dfb")), Seq("gram"), "left_outer")
+          .filter(col("dfc2") + coalesce(col("dfb"), lit(0L)) >= 2)
+          .select(col("gram"))
+        val retroSpans = islandsOf(
+            affPos.join(dupForAff, Seq("gram"), "left_semi"), n)
+          .withColumn("generation", lit("retro"))
+        batchSpans.unionByName(retroSpans)
+      }
+    // materialize BEFORE the append mutates the index under the lazy plan
+    val result = out.localCheckpoint(true)
+    if (append) {
+      gramPosB.withColumn("db", pmod(col("doc_id"), lit(64L)).cast("int"))
+        .write.mode("append").partitionBy("db").parquet(s"$dir/pos")
+      dfB.select(col("gram"), col("dfb").as("df"),
+          when(col("dfb") === 1, col("solo_doc_id")).as("solo_doc_id"),
+          col("gb"))
+        .write.mode("append").partitionBy("gb").parquet(s"$dir/grams")
+    }
+    result
+  }
+
+  /** Build-once memo for the q146 harness query (the q134/q135 memo
+    * discipline): the span index of the corpus generation
+    * (doc_id >= 250), built once per sf-dir per JVM. Library users call
+    * [[buildSpanIndex]] with their own storage. */
+  private def cachedSpanIndex(s: SparkSession, d: String): String =
+    graft.operators.BuildOnce.dir("graft-span-index", d) { dir =>
+      buildSpanIndex(Tables.documents(s, d).filter(col("doc_id") >= 250),
+        s"$dir/index", n = 6)
+      s"$dir/index"
+    }
 
   /** Doc ids from `corpus` that share ≥1 word n-gram with `evalDocs` —
     * benchmark decontamination, the curation stage every LLM pipeline
@@ -1674,6 +1834,49 @@ object TextOps {
         .filter(col("n_removed") > 0)
         .sortWithinPartitions(col("doc_id")), // rows-only: see q46 note
       None),
+
+    // Incremental maximal-span extraction (r10): the corpus participates
+    // only through its persisted span index — batch docs' spans under
+    // the union df, plus FULL recomputed span sets for corpus docs whose
+    // previously-unique gram the batch just duplicated (found via the
+    // solo_doc_id rider, no gram→doc scan). The oracle re-derives both
+    // generations' dfs and the exact batch/retro split on the union.
+    QuerySpec(
+      "q146_dup_spans_incr",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        dupSpansIncremental(docs.filter(col("doc_id") < 250),
+            cachedSpanIndex(s, d), n = 6, append = false)
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        g AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+5],' ') AS gram
+              FROM toks, UNNEST(generate_series(1, greatest(len(t)-5, 0))) AS u(i)),
+        dfs AS (SELECT gram,
+                       COUNT(DISTINCT CASE WHEN doc_id >= 250 THEN doc_id END) AS dfc,
+                       COUNT(DISTINCT CASE WHEN doc_id < 250 THEN doc_id END) AS dfb
+                FROM g GROUP BY gram),
+        dup AS (SELECT gram FROM dfs WHERE dfc + dfb >= 2),
+        aff AS (SELECT DISTINCT g.doc_id
+                FROM g JOIN dfs USING (gram)
+                WHERE g.doc_id >= 250 AND dfs.dfc = 1 AND dfs.dfb >= 1),
+        s AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)
+              WHERE g.doc_id < 250 OR g.doc_id IN (SELECT doc_id FROM aff)),
+        l AS (SELECT doc_id, pos,
+                CASE WHEN LAG(pos) OVER w IS NULL
+                       OR pos - LAG(pos) OVER w > 6
+                     THEN 1 ELSE 0 END AS brk
+              FROM s
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        i AS (SELECT doc_id, pos,
+                SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM l)
+        SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) - MIN(pos) + 6 AS BIGINT) AS span_len,
+               CASE WHEN doc_id < 250 THEN 'batch' ELSE 'retro' END AS generation
+        FROM i GROUP BY doc_id, island
+        ORDER BY doc_id, span_start""")),
 
     // Corpus duplication mass (r10): Σ maximal-island coverage / total
     // tokens per source — the Lee et al. headline fraction; islands are

@@ -579,6 +579,63 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { TextOps.maximalDupSpans(docs, n = 1) }
   }
 
+  test("dupSpansIncremental: build ∪ increments ≡ full run; retro fires once") {
+    val sql = spark
+    import sql.implicits._
+    val U = (1 to 12).map(i => s"u$i").mkString(" ")
+    val V = (1 to 10).map(i => s"v$i").mkString(" ")
+    val corpus = Seq(
+      (100L, ((1 to 5).map(i => s"f$i") ++ Seq(U) ++
+        (6 to 10).map(i => s"f$i")).mkString(" ")), // U at 6-17, unique in corpus
+      (101L, (Seq(V) ++ (1 to 8).map(i => s"g$i")).mkString(" ")),
+      (102L, ((1 to 4).map(i => s"h$i") ++ Seq(V)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch1 = Seq((1L, (Seq(U) ++ (1 to 7).map(i => s"w$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch2 = Seq((2L, ((1 to 3).map(i => s"x$i") ++ Seq(U)).mkString(" ")))
+      .toDF("doc_id", "text")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-span-idx")
+      .resolve("index").toString
+    TextOps.buildSpanIndex(corpus, dir, n = 6)
+    val buildSpans = TextOps.maximalDupSpans(corpus, n = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(buildSpans === Set((101L, 1L, 10L), (102L, 5L, 10L)),
+      s"build-time spans: $buildSpans")
+
+    val inc1 = TextOps.dupSpansIncremental(batch1, dir, n = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(inc1 === Set((1L, 1L, 12L, "batch"), (100L, 6L, 12L, "retro")),
+      s"inc1 must pair the batch doc AND retro-report the corpus owner: $inc1")
+
+    // batch2 re-duplicates U: the index (grown by inc1's append) already
+    // counts it at df 2, so doc 2 pairs WITHOUT re-triggering retro
+    val inc2 = TextOps.dupSpansIncremental(batch2, dir, n = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(inc2 === Set((2L, 4L, 12L, "batch")),
+      s"inc2: batch span only, retro must not re-fire: $inc2")
+
+    // latest-per-doc identity with the full frozen run on the union
+    val full = TextOps.maximalDupSpans(
+        corpus.unionAll(batch1).unionAll(batch2), n = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val latest = buildSpans ++ (inc1 ++ inc2).map(t => (t._1, t._2, t._3))
+    assert(latest === full,
+      s"build ∪ increments must equal the full run:\ngot  $latest\nfull $full")
+
+    // hashed production tier ≡ string tier on the same increment
+    val hdir = java.nio.file.Files.createTempDirectory("graft-span-idx-h")
+      .resolve("index").toString
+    TextOps.buildSpanIndex(corpus, hdir, n = 6, hashGrams = true)
+    val hInc = TextOps.dupSpansIncremental(batch1, hdir, n = 6,
+        hashGrams = true, append = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(hInc === inc1, s"hashed tier diverged: $hInc vs $inc1")
+  }
+
   test("dupMassBySource: disjoint islands sum to covered tokens, per source") {
     val sql = spark
     import sql.implicits._
