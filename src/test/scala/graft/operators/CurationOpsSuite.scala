@@ -625,6 +625,25 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(latest === full,
       s"build ∪ increments must equal the full run:\ngot  $latest\nfull $full")
 
+    // the probe's index reads prune at the PARTITION level (the
+    // SemDeDupIndexSuite IO gate): a gb/db filter must land as a
+    // partition filter on the scan, and listing must touch only the
+    // filtered directories
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no file scan in the probe-read plan"))
+    val gramRead = spark.read.parquet(s"$dir/grams").filter(col("gb").isin(3, 7))
+    assert(scanOf(gramRead).partitionFilters
+        .exists(_.references.exists(_.name == "gb")),
+      "gb must prune grams/ at the partition level")
+    val posRead = spark.read.parquet(s"$dir/pos").filter(col("db").isin(100L % 64))
+    val posScan = scanOf(posRead)
+    assert(posScan.partitionFilters.exists(_.references.exists(_.name == "db")),
+      "db must prune pos/ at the partition level")
+    assert(posScan.selectedPartitions.partitionCount === 1,
+      "one doc bucket listed, not the whole index")
+
     // hashed production tier ≡ string tier on the same increment
     val hdir = java.nio.file.Files.createTempDirectory("graft-span-idx-h")
       .resolve("index").toString
