@@ -879,6 +879,41 @@ object Pipeline {
         .cast("long") % nShards)
   }
 
+  /** LEAKAGE-SAFE split assignment — [[shardAssign]] hardened against
+    * near-duplicates: content hashing already co-shards EXACT copies,
+    * but a near-dup pair (reworded quote, trimmed boilerplate twin) can
+    * straddle train/eval and leak. Here every near-dup CLUSTER
+    * (connected components over the caller's pair set — lexical,
+    * semantic, or media pairs alike) routes to ONE shard, decided by
+    * the content hash of the cluster's canonical (min-id) member, so by
+    * construction no pair in `pairs` — nor any transitive chain of
+    * them — ever crosses a split boundary. Singleton docs shard exactly
+    * as [[shardAssign]] does (their own content hash), so the two
+    * operators agree wherever leakage-safety changes nothing.
+    *
+    * Returns docs + `comp` (canonical doc id) + `shard`.
+    *
+    * Scale shape: CC moves only (long, long) edges
+    * ([[graft.operators.Dedup.connectedComponents]]' O(log n) rounds);
+    * the canonical's text is fetched by ONE id-keyed self-join (only
+    * canonical ids' rows — ≤ one per cluster — carry text into it), and
+    * the shard id is the same map-side md5 scalar as [[shardAssign]].
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, nShards: Int,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, s"leakageSafeSplit: nShards must be > 0, got $nShards")
+    val withComp = graft.operators.Dedup.dedupClusters(docs, pairs, idCol)
+    val canonShard = shardAssign(
+        withComp.filter(col("retained") === 1)
+          .select(col(idCol).as("__comp_id"), col(textCol)),
+        textCol, nShards)
+      .select(col("__comp_id"), col("shard"))
+    withComp.drop("retained")
+      .join(canonShard, col("comp") === col("__comp_id"))
+      .drop("__comp_id")
+  }
+
   /** Morton (Z-order) interleave of the low 16 bits of two non-negative
     * dimensions — the multi-dimensional data-layout key. Sorting/range-
     * partitioning by `zValue2(a, b)` clusters rows so that a file's
@@ -1192,6 +1227,50 @@ object Pipeline {
                COUNT(*) AS n_docs,
                CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         FROM documents GROUP BY shard ORDER BY shard""")),
+
+    // Leakage-safe split assignment (r10): near-dup clusters (exact
+    // Jaccard pairs, the q49 construction) route to one shard decided by
+    // the canonical member's content hash — no near-dup pair straddles
+    // train/eval. Gated down to every doc's (comp, shard).
+    QuerySpec(
+      "q147_leakage_safe_split",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = graft.operators.Dedup.jaccardPairs(docs, 0.5,
+          maxTokenDf = Int.MaxValue)
+        leakageSafeSplit(docs.select(col("doc_id"), col("text")), pairs,
+            nShards = 16)
+          .select(col("doc_id"), col("comp"), col("shard"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE toksets AS (
+          SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+          FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM toksets a JOIN toksets b ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.toks, b.toks)) > 0
+            AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(id, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+        comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+        labeled AS (
+          SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp
+          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+        canon AS (
+          SELECT l.comp AS comp_id,
+                 ('0x' || substr(md5(d.text), 1, 8))::BIGINT % 16 AS shard
+          FROM labeled l JOIN documents d ON d.doc_id = l.comp
+          WHERE l.doc_id = l.comp)
+        SELECT l.doc_id, l.comp, c.shard
+        FROM labeled l JOIN canon c ON c.comp_id = l.comp
+        ORDER BY l.doc_id""")),
 
     QuerySpec(
       "q55_stratified_sample",

@@ -902,6 +902,38 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("leakageSafeSplit: near-dup clusters co-shard; singletons ≡ shardAssign") {
+    val sql = spark
+    import sql.implicits._
+    // a transitive chain 1~2~3 (1 and 3 share nothing) plus singletons
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma echo"),
+      (3L, "alpha beta foxtrot echo"),
+      (7L, "golf hotel india juliet"),
+      (9L, "kilo lima mike november"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Pipeline.leakageSafeSplit(docs, pairs, nShards = 16)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+
+    // the WHOLE chain lands on one shard — including the transitive
+    // (1, 3) pair no direct edge connects
+    assert(Set(1L, 2L, 3L).map(out(_)).size === 1,
+      s"chain must co-shard atomically: $out")
+    assert(out(1L)._1 === 1L, "canonical is the min id")
+
+    // singletons shard exactly as plain shardAssign — leakage safety
+    // changes nothing where there is nothing to leak
+    val plain = Pipeline.shardAssign(docs, "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(7L)._2 === plain(7L) && out(9L)._2 === plain(9L),
+      s"singleton parity broke: $out vs $plain")
+    // and the cluster's shard is its CANONICAL member's plain shard
+    assert(out(1L)._2 === plain(1L),
+      "cluster shard must be the canonical member's content shard")
+  }
+
   test("shardAssign: content-hashed, stable under reorder, dups co-shard") {
     val sql = spark
     import sql.implicits._
