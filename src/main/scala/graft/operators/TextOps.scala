@@ -363,19 +363,34 @@ object TextOps {
     val dupStarts = gramPos
       .join(dupGrams, Seq("gram"), "left_semi")
       .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("__starts"))
+    rebuildWithoutCoverage(toks.join(dupStarts, Seq("doc_id"), "left_outer"),
+      n, carryCols = Seq("source"))
+  }
+
+  /** The span-removal rewrite kernel shared by [[dedupSpans]] and
+    * [[dedupSpansIncrementalRewrite]]: given `(doc_id, carry…, __toks,
+    * __starts?)` rows, drop every token under some start's `[s, s+n-1]`
+    * coverage and emit `(doc_id, carry…, n_tokens, n_removed,
+    * clean_text)` — a pure column expression, O(tokens × dup-starts)
+    * per row, map-side, no UDF. */
+  private def rebuildWithoutCoverage(toksWithStarts: DataFrame, n: Int,
+                                     carryCols: Seq[String]): DataFrame = {
     val starts = coalesce(col("__starts"), array().cast("array<int>"))
     val keptPos = filter(sequence(lit(1), size(col("__toks"))),
       p => size(filter(starts, s => p >= s && p <= s + (n - 1))) === 0)
-    toks.join(dupStarts, Seq("doc_id"), "left_outer")
+    toksWithStarts
       // kept positions materialize once (own projection): the coverage
-      // filter is the O(tokens × dup-starts) kernel and is consumed by
-      // both n_removed and the rebuild
-      .select(col("doc_id"), col("source"), col("__toks"), keptPos.as("__kept"))
-      .select(col("doc_id"), col("source"),
-        size(col("__toks")).cast("bigint").as("n_tokens"),
-        (size(col("__toks")) - size(col("__kept"))).cast("bigint").as("n_removed"),
+      // filter is the kernel and is consumed by both n_removed and the
+      // rebuild
+      .select(col("doc_id") +: carryCols.map(col) :+ col("__toks") :+
+        keptPos.as("__kept"): _*)
+      .select(col("doc_id") +: carryCols.map(col) :+
+        size(col("__toks")).cast("bigint").as("n_tokens") :+
+        (size(col("__toks")) - size(col("__kept"))).cast("bigint")
+          .as("n_removed") :+
         concat_ws(" ",
-          transform(col("__kept"), p => element_at(col("__toks"), p))).as("clean_text"))
+          transform(col("__kept"), p => element_at(col("__toks"), p)))
+          .as("clean_text"): _*)
   }
 
   /** MAXIMAL duplicated-span extraction — the exact-substring-dedup
@@ -633,6 +648,53 @@ object TextOps {
         .write.mode("append").partitionBy("gb").parquet(s"$dir/grams")
     }
     result
+  }
+
+  /** Incremental span REMOVAL — the rewrite companion of
+    * [[dupSpansIncremental]]'s batch generation ([[dedupSpans]] is the
+    * full-corpus formulation): rewrite each BATCH doc dropping every
+    * token under a duplicated n-gram's coverage, where "duplicated"
+    * counts the UNION corpus (the gram's indexed df plus its batch df)
+    * — a batch doc whose license header already exists in the corpus
+    * sheds it on ingest, before the doc is ever published. Returns
+    * [[dedupSpans]]' row shape for the batch docs. Retroactive corpus
+    * rewrites follow from [[dupSpansIncremental]]'s `retro` spans when
+    * the pipeline wants them — this op is the ingest-side gate.
+    *
+    * Scale shape: the probe half of [[dupSpansIncremental]] (touched-gb
+    * partition-pruned corpus-df lookup, batch-sized everything else)
+    * feeding [[dedupSpans]]' pure-column rebuild kernel (shared
+    * `rebuildWithoutCoverage`). Read-only on the index — the report
+    * tier owns index growth.
+    */
+  def dedupSpansIncrementalRewrite(batch: DataFrame, dir: String, n: Int = 6,
+                                   hashGrams: Boolean = false): DataFrame = {
+    require(n >= 2,
+      s"dedupSpansIncrementalRewrite: span width must be >= 2, got $n")
+    val spark = batch.sparkSession
+    val gk = (g: Column) => if (hashGrams) xxhash64(g) else g
+    val toksB = batch.select(col("doc_id"), col("source"),
+        tokens(col("text")).as("__toks"))
+      .localCheckpoint(false)
+    val dfB = toksB.select(col("doc_id"), explode(array_distinct(
+        wordNgramsOfTokens(col("__toks"), n))).as("g0"))
+      .select(col("doc_id"), gk(col("g0")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("dfb"))
+      .withColumn("gb", gramBucketCol(col("gram"), hashGrams))
+      .localCheckpoint(false) // feeds the touched-gb set AND the df join
+    val touchedGb = dfB.select(col("gb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val corpusDf = spark.read.parquet(s"$dir/grams")
+      .filter(col("gb").isin(touchedGb: _*))
+      .groupBy(col("gram")).agg(sum(col("df")).as("dfc"))
+    val dupForBatch = dfB.join(corpusDf, Seq("gram"), "left_outer")
+      .filter(col("dfb") + coalesce(col("dfc"), lit(0L)) >= 2)
+      .select(col("gram"))
+    val starts = positionedGrams(toksB, n, gk)
+      .join(dupForBatch, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("__starts"))
+    rebuildWithoutCoverage(toksB.join(starts, Seq("doc_id"), "left_outer"),
+      n, carryCols = Seq("source"))
   }
 
   /** Build-once memo for the q146 harness query (the q134/q135 memo
@@ -1877,6 +1939,48 @@ object TextOps {
                CASE WHEN doc_id < 250 THEN 'batch' ELSE 'retro' END AS generation
         FROM i GROUP BY doc_id, island
         ORDER BY doc_id, span_start""")),
+
+    // Incremental span REMOVAL (r10): batch docs rewritten dropping
+    // union-df duplicated coverage on ingest — the q104 rewrite fed by
+    // the q146 index probe. Oracle: q104's construction with the union
+    // df, restricted to batch docs.
+    QuerySpec(
+      "q148_span_rewrite_incr",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        dedupSpansIncrementalRewrite(docs.filter(col("doc_id") < 250),
+            cachedSpanIndex(s, d), n = 6)
+          .filter(col("n_removed") > 0)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS t
+                      FROM documents),
+        g AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+5],' ') AS gram
+              FROM toks, UNNEST(generate_series(1, greatest(len(t)-5, 0))) AS u(i)),
+        dfs AS (SELECT gram FROM g GROUP BY gram
+                HAVING COUNT(DISTINCT doc_id) >= 2),
+        starts AS (SELECT g.doc_id, list(DISTINCT g.pos) AS ss
+                   FROM g JOIN dfs USING (gram)
+                   WHERE g.doc_id < 250
+                   GROUP BY g.doc_id),
+        kept AS (
+          SELECT toks.doc_id, toks.source,
+                 len(toks.t) AS n_tokens,
+                 list_filter(range(1, len(toks.t)+1),
+                   p -> len(list_filter(COALESCE(starts.ss, []),
+                            s -> p >= s AND p <= s + 5)) = 0) AS kp,
+                 toks.t AS t
+          FROM toks LEFT JOIN starts USING (doc_id)
+          WHERE toks.doc_id < 250)
+        SELECT doc_id, source,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_tokens - len(kp) AS BIGINT) AS n_removed,
+               COALESCE(array_to_string(list_transform(kp, p -> t[p]), ' '), '')
+                 AS clean_text
+        FROM kept
+        WHERE n_tokens - len(kp) > 0
+        ORDER BY doc_id""")),
 
     // Corpus duplication mass (r10): Σ maximal-island coverage / total
     // tokens per source — the Lee et al. headline fraction; islands are

@@ -644,6 +644,23 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(posScan.selectedPartitions.partitionCount === 1,
       "one doc bucket listed, not the whole index")
 
+    // incremental REWRITE parity: batch docs rewritten through the index
+    // probe must equal the full-corpus dedupSpans restricted to them
+    val freshDir = java.nio.file.Files.createTempDirectory("graft-span-rw")
+      .resolve("index").toString
+    TextOps.buildSpanIndex(corpus, freshDir, n = 6)
+    val rw = TextOps.dedupSpansIncrementalRewrite(
+        batch1.withColumn("source", lit("s")), freshDir, n = 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val fullRw = TextOps.dedupSpans(
+        corpus.unionAll(batch1).withColumn("source", lit("s")), n = 6)
+      .filter($"doc_id" === 1L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(rw === fullRw,
+      s"incremental rewrite diverged:\nincr $rw\nfull $fullRw")
+
     // hashed production tier ≡ string tier on the same increment
     val hdir = java.nio.file.Files.createTempDirectory("graft-span-idx-h")
       .resolve("index").toString
