@@ -130,6 +130,11 @@ object Bench {
       "q31_jaccard_pairs", "q49_dedup_clusters", "q77_hybrid_dedup", "q90_dup_spans",
       "q70_curation_pipeline",    // capped production tier benched as q99
       "q104_dedup_spans",         // hashed production tier benched as q105
+      "q147_leakage_safe_split",  // its ORACLE feeds exact all-pairs
+                                  // Jaccard (the q49 construction);
+                                  // production passes capped/banded pair
+                                  // sets, whose tiers bench as q37/q91,
+                                  // and the CC itself benches in q141
       "q114_refresh_incremental") // exact-mode composition whose oracle
                                   // scenario makes the delta 31% of the
                                   // corpus; its stages bench individually
