@@ -603,6 +603,55 @@ object Pipeline {
       .drop("__cum")
   }
 
+  /** MATERIALIZE [[packSequences]]' chunks into the rows a dataloader
+    * actually consumes: one row per (stratum, chunk) with the member
+    * docs' text concatenated IN ORDER and the token OFFSET where each
+    * doc begins — the document-boundary table that lets the trainer
+    * reset attention (or mask cross-doc attention) inside a packed
+    * sequence instead of attending across unrelated documents. Emits
+    * `(stratum, chunk_id, n_docs, n_tokens, doc_ids, offsets,
+    * packed_text)`; `offsets[i]` is the 0-based token position of
+    * `doc_ids[i]`, computed by an exact integer prefix sum over the
+    * id-ordered member array.
+    *
+    * Scale shape: ONE (stratum, chunk) exchange on top of
+    * [[packSequences]]' stratum window (the chunk id is a function of
+    * the same ordering, so AQE coalesces rather than re-shuffles); the
+    * member sort and prefix sum are per-group array expressions
+    * (`sort_array` + `aggregate` fold — chunks are budget-bounded, so
+    * the arrays are O(budget/avg-doc) small by construction). Packed
+    * text is the one deliberately text-carrying output — it IS the
+    * publish artifact.
+    */
+  def packChunks(docs: DataFrame, budgetTokens: Int,
+                 strataCol: String = "source",
+                 idCol: String = "doc_id",
+                 tokenCountCol: Option[String] = None): DataFrame = {
+    val chunked = packSequences(docs, budgetTokens, strataCol, idCol,
+      tokenCountCol)
+    val members = chunked.groupBy(col(strataCol), col("chunk_id"))
+      .agg(sort_array(collect_list(struct(
+        col(idCol).as("id"), col("n_tokens").as("nt"),
+        col("text").as("tx")))).as("__m"))
+    // exact integer prefix sum over the id-ordered members: offsets[i] =
+    // Σ nt of members [0, i)
+    val offsets = expr(
+      "slice(aggregate(__m, array(0L), (acc, m) -> " +
+        "array_append(acc, element_at(acc, -1) + m.nt)), 1, size(__m))")
+    members.select(col(strataCol).as("stratum"),
+      col("chunk_id"),
+      size(col("__m")).cast("bigint").as("n_docs"),
+      expr("aggregate(__m, 0L, (acc, m) -> acc + m.nt)").as("n_tokens"),
+      // csv, not arrays: engine-portable (the oracle hash-compares these
+      // columns; array cells cross pandas as numpy arrays and
+      // str-mismatch DuckDB's lists)
+      expr("array_join(transform(__m, m -> cast(m.id as string)), ',')")
+        .as("doc_ids"),
+      array_join(transform(offsets, o => o.cast("string")), ",")
+        .as("offsets"),
+      expr("array_join(transform(__m, m -> m.tx), ' ')").as("packed_text"))
+  }
+
   /** Length-bucketed padding-minimizing batch packing — the DYNAMIC
     * BATCHING step between [[packSequences]]'s token-budget chunking and
     * the training loader: group docs of similar token length into
@@ -1652,6 +1701,39 @@ object Pipeline {
                CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT) AS waste
         FROM r GROUP BY bucket, salt, batch_id
         ORDER BY bucket, salt, batch_id""")),
+
+    // Chunk materialization with document-boundary offsets (r10): the
+    // dataloader-facing publish of q67's chunking — packed text plus the
+    // exact token offset where each member doc begins (attention-reset /
+    // cross-doc-mask boundaries). Integer prefix sums; csv-joined member
+    // columns keep the hash gate engine-portable.
+    QuerySpec(
+      "q149_pack_chunks",
+      (s, d) => packChunks(Tables.documents(s, d), budgetTokens = 256)
+        .orderBy(col("stratum"), col("chunk_id")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source, text,
+                 len(string_split(text,' ')) AS n_tokens,
+                 SUM(len(string_split(text,' '))) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM documents),
+        c AS (SELECT t.*, CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id
+              FROM t),
+        b AS (SELECT c.*, MIN(cum - n_tokens) OVER (
+                PARTITION BY source, chunk_id) AS mn
+              FROM c)
+        SELECT source AS stratum, chunk_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                 AS doc_ids,
+               string_agg(CAST(cum - n_tokens - mn AS VARCHAR), ','
+                 ORDER BY doc_id) AS offsets,
+               string_agg(text, ' ' ORDER BY doc_id) AS packed_text
+        FROM b GROUP BY source, chunk_id
+        ORDER BY stratum, chunk_id""")),
 
     // Production tier of the same pipeline: near-dup token-df cap ON.
     // Same deterministic-candidate-rule oracle treatment as q37/q96 —

@@ -108,6 +108,32 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 10L -> 0L))
   }
 
+  test("packChunks: ordered concatenation with exact boundary offsets") {
+    val sql = spark
+    import sql.implicits._
+    // stratum A: tokens 3, 4, 2 → starts 0, 3, 7; budget 5 ⇒ chunks
+    // {1,2} and {3}; offsets restart per chunk
+    val docs = Seq(
+      (1L, "A", "a b c"),
+      (2L, "A", "d e f g"),
+      (3L, "A", "h i"),
+      (10L, "B", "x y z")
+    ).toDF("doc_id", "source", "text")
+    val out = Pipeline.packChunks(docs, budgetTokens = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4), r.getString(5),
+          r.getString(6)))).toMap
+    assert(out === Map(
+      ("A", 0L) -> ((2L, 7L, "1,2", "0,3", "a b c d e f g")),
+      ("A", 1L) -> ((1L, 2L, "3", "0", "h i")),
+      ("B", 0L) -> ((1L, 3L, "10", "0", "x y z"))), s"got $out")
+
+    // stable under repartitioning (the sort is inside the group)
+    val again = Pipeline.packChunks(docs.repartition(7), budgetTokens = 5)
+      .collect().map(_.toSeq).toSet
+    assert(again === Pipeline.packChunks(docs, 5).collect().map(_.toSeq).toSet)
+  }
+
   test("packBatches: per-bucket batches, exact padding economics, stability") {
     val sql = spark
     import sql.implicits._
