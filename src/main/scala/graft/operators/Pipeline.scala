@@ -128,6 +128,48 @@ object Pipeline {
         coalesce(col("n_final"), lit(0L)).as("n_final"))
   }
 
+  /** Per-source DATASET REPORT CARD — the one-table governance view a
+    * data team reviews before admitting a source to a training mix,
+    * joining the catalog's proven per-source metrics: volume (docs,
+    * tokens, distinct languages), exact-duplicate pressure (docs minus
+    * distinct content digests), verbatim-span duplication mass
+    * ([[graft.operators.TextOps.dupMassBySource]]), and the trained
+    * quality classifier's integer mean score ([[qualityScores]], the
+    * sign-aware rounded mean). Each column is individually
+    * oracle-proven elsewhere (q121's report is the keep/drop VERDICT
+    * tier; this is the metrics bundle).
+    *
+    * Scale shape: the component pipelines run as-is (their own
+    * documented exchanges); the report adds only |sources|-row
+    * aggregates and broadcast-sized joins on `source`.
+    */
+  def sourceReportCard(docs: DataFrame, isGoodSeed: Column,
+                       isBadSeed: Column, n: Int = 6,
+                       buckets: Int = 4096): DataFrame = {
+    val base = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextOps.tokenCount(col("text"))).cast("bigint").as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      (count(lit(1)) - countDistinct(md5(col("text"))))
+        .cast("bigint").as("exact_dup_docs"))
+    val mass = TextOps.dupMassBySource(docs, n)
+      .select(col("source"), col("dup_tokens"), col("dup_frac"))
+    val qual = qualityScores(docs, isGoodSeed, isBadSeed, buckets)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("quality_micro")).as("s"), count(lit(1)).as("n"))
+      .select(col("source"),
+        expr("CAST(sign(s) AS BIGINT) * ((abs(s) * 2 + n) div (n * 2))")
+          .as("mean_quality_micro"))
+    base.join(mass, Seq("source"), "left_outer")
+      .join(qual, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("exact_dup_docs"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("dup_frac"), lit(0.0)).as("dup_frac"),
+        col("mean_quality_micro"))
+  }
+
   /** Deterministic stratified sampling: keep a per-stratum fraction of
     * rows, selected by a multiplicative hash of the row id — the mixture-
     * weighting step of a training-data pipeline ("40% web, 25% code, …").
@@ -1518,6 +1560,115 @@ object Pipeline {
                s.quality_micro > 0 AS is_good
         FROM scored s JOIN documents d USING (doc_id)
         ORDER BY rnk LIMIT 50""")),
+
+    // Per-source dataset report card (r10): volume, language spread,
+    // exact-dup pressure, verbatim duplication mass, and the trained
+    // classifier's mean score in ONE governance table — every column an
+    // already-proven fragment (q144's spans, q139's classifier), joined
+    // on source and fully hash-gated.
+    QuerySpec(
+      "q150_source_report_card",
+      (s, d) => sourceReportCard(Tables.documents(s, d),
+          isGoodSeed = col("source") === "src0" && col("lang") === "en",
+          isBadSeed = col("source") === "src0" && col("lang") =!= "en",
+          n = 6, buckets = 4096)
+        .orderBy(col("source")),
+      Some("""
+        WITH toks AS (SELECT doc_id, source, lang, string_split(text,' ') AS t,
+                             text
+                      FROM documents),
+        base AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(len(t)) AS BIGINT) AS n_tokens,
+                 COUNT(DISTINCT lang) AS n_langs,
+                 CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+                   AS exact_dup_docs
+          FROM toks GROUP BY source),
+        g AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+5],' ') AS gram
+              FROM toks, UNNEST(generate_series(1, greatest(len(t)-5, 0))) AS u(i)),
+        dfs AS (SELECT gram FROM g GROUP BY gram
+                HAVING COUNT(DISTINCT doc_id) > 1),
+        sdup AS (SELECT g.doc_id, g.pos FROM g JOIN dfs USING (gram)),
+        l AS (SELECT doc_id, pos,
+                CASE WHEN LAG(pos) OVER w IS NULL
+                       OR pos - LAG(pos) OVER w > 6
+                     THEN 1 ELSE 0 END AS brk
+              FROM sdup
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        i AS (SELECT doc_id, pos,
+                SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM l),
+        spans AS (SELECT doc_id, MAX(pos) - MIN(pos) + 6 AS span_len
+                  FROM i GROUP BY doc_id, island),
+        per_doc AS (SELECT doc_id, SUM(span_len) AS dup FROM spans
+                    GROUP BY doc_id),
+        mass AS (
+          SELECT t.source,
+                 CAST(SUM(COALESCE(p.dup, 0)) AS BIGINT) AS dup_tokens,
+                 ROUND(CAST(SUM(COALESCE(p.dup, 0)) AS DOUBLE)
+                       / SUM(len(t.t)), 6) AS dup_frac
+          FROM toks t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+          GROUP BY t.source),
+        uni AS (SELECT doc_id, source, lang, unnest(t) AS gram FROM toks),
+        big AS (
+          SELECT doc_id, source, lang,
+                 unnest(list_transform(range(1, len(t)), j -> t[j] || ' ' || t[j+1])) AS gram
+          FROM toks WHERE len(t) >= 2),
+        feats AS (
+          SELECT doc_id, source, lang,
+                 ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS bucket
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+        seedfeats AS (
+          SELECT bucket, (lang = 'en') AS good FROM feats WHERE source = 'src0'),
+        dist AS (
+          SELECT bucket,
+                 SUM(CASE WHEN good THEN 1 ELSE 0 END) AS cg,
+                 SUM(CASE WHEN good THEN 0 ELSE 1 END) AS cb
+          FROM seedfeats GROUP BY bucket),
+        tot AS (SELECT SUM(cg) AS ng, SUM(cb) AS nb FROM dist),
+        doctot AS (
+          SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS gd,
+                 SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS bd
+          FROM documents WHERE source = 'src0'),
+        consts AS (
+          SELECT CAST(round((ln(1.0 / ((SELECT ng FROM tot) + 4096))
+                           - ln(1.0 / ((SELECT nb FROM tot) + 4096))) * 1e6)
+                      AS BIGINT) AS default_micro,
+                 CAST(round((ln((SELECT gd FROM doctot))
+                           - ln((SELECT bd FROM doctot))) * 1e6)
+                      AS BIGINT) AS prior_micro),
+        w AS (
+          SELECT bucket,
+                 CAST(round((ln((cg + 1) / ((SELECT ng FROM tot) + 4096))
+                           - ln((cb + 1) / ((SELECT nb FROM tot) + 4096))) * 1e6)
+                      AS BIGINT) AS w_micro
+          FROM dist),
+        pd AS (
+          SELECT f.doc_id,
+                 SUM(COALESCE(w.w_micro, (SELECT default_micro FROM consts))) AS s,
+                 COUNT(*) AS n
+          FROM feats f LEFT JOIN w USING (bucket) GROUP BY f.doc_id),
+        scored AS (
+          SELECT pd.doc_id,
+                 CAST((SELECT prior_micro FROM consts)
+                      + CAST(sign(s) AS BIGINT) * ((abs(s)*2 + n) // (2*n))
+                      AS BIGINT) AS quality_micro
+          FROM pd),
+        qual AS (
+          SELECT d.source,
+                 CAST(CAST(sign(SUM(sc.quality_micro)) AS BIGINT)
+                      * ((abs(SUM(sc.quality_micro))*2 + COUNT(*))
+                         // (COUNT(*)*2)) AS BIGINT) AS mean_quality_micro
+          FROM scored sc JOIN documents d USING (doc_id)
+          GROUP BY d.source)
+        SELECT b.source, b.n_docs, b.n_tokens, b.n_langs, b.exact_dup_docs,
+               COALESCE(m.dup_tokens, 0) AS dup_tokens,
+               COALESCE(m.dup_frac, 0.0) AS dup_frac,
+               q.mean_quality_micro
+        FROM base b
+        LEFT JOIN mass m ON m.source = b.source
+        LEFT JOIN qual q ON q.source = b.source
+        ORDER BY b.source""")),
 
     // Classifier keep-threshold calibration (r10): q139's fit+serve with
     // a sweep over candidate µnat thresholds — kept-doc counts and the
