@@ -858,7 +858,8 @@ object Pipeline {
     * leaves a recoverable full copy at a deterministic path, and a
     * rerun self-heals the two crash residues first (aside restored if
     * `dir` vanished mid-swap; stale aside deleted otherwise). */
-  private def stagedRewrite(spark: SparkSession, dir: String, tag: String)
+  private def stagedRewrite(spark: SparkSession, dir: String, tag: String,
+                            partitionCols: Seq[String] = Seq.empty)
                            (transform: DataFrame => DataFrame): Unit = {
     val base = dir.stripSuffix("/")
     val dirPath = new org.apache.hadoop.fs.Path(base)
@@ -872,8 +873,10 @@ object Pipeline {
     if (fs.exists(oldPath))
       require(fs.delete(oldPath, true),
         s"${tag}Artifact: could not clear stale aside copy at $oldPath")
-    transform(spark.read.parquet(base))
-      .write.mode("overwrite").parquet(stagePath.toString)
+    val staged = transform(spark.read.parquet(base))
+      .write.mode("overwrite")
+    (if (partitionCols.nonEmpty) staged.partitionBy(partitionCols: _*)
+     else staged).parquet(stagePath.toString)
     require(fs.rename(dirPath, oldPath),
       s"${tag}Artifact: could not move live artifact aside ($dirPath -> $oldPath)")
     require(fs.rename(stagePath, dirPath),
@@ -898,19 +901,33 @@ object Pipeline {
     * self-heals crash residue. Run it when the file count materially
     * exceeds the target — e.g. weekly, or when `listStatus` shows 10×
     * the optimum.
+    *
+    * @param partitionCols MUST name the artifact's partition columns
+    *        when it has them (`members/` → `cid`, the span index's
+    *        `grams/` → `gb`, `pos/` → `db`): a compaction that rewrote
+    *        a partitioned index flat would silently DESTROY the
+    *        partition pruning every probe's work-∝-batch property rests
+    *        on — the rewrite repartitions by the partition columns so
+    *        each directory's files merge without cross-directory
+    *        shuffling rows into the wrong bucket.
     */
   def compactArtifact(spark: SparkSession, dir: String,
-                      targetBytes: Long = 128L << 20): Unit = {
+                      targetBytes: Long = 128L << 20,
+                      partitionCols: Seq[String] = Seq.empty): Unit = {
     require(targetBytes > 0, s"compactArtifact: targetBytes must be > 0")
     val base = dir.stripSuffix("/")
     val dirPath = new org.apache.hadoop.fs.Path(base)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    stagedRewrite(spark, dir, "compact") { df =>
+    stagedRewrite(spark, dir, "compact", partitionCols) { df =>
       // sized INSIDE the transform: stagedRewrite has self-healed any
       // crash residue by now, so the live dir is guaranteed present
       val bytes = fs.getContentSummary(dirPath).getLength
       val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      df.repartition(nFiles)
+      if (partitionCols.nonEmpty)
+        // one writer task set per partition value — each directory's
+        // files merge to ~1 per task, never one global file count
+        df.repartition(partitionCols.map(col): _*)
+      else df.repartition(nFiles)
     }
   }
 

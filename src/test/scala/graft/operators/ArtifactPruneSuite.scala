@@ -161,4 +161,41 @@ class ArtifactPruneSuite extends AnyFunSuite with BeforeAndAfterAll {
       before.map(_._1), "self-healed compaction must recover every row")
     assert(!new java.io.File(dir + "__compact_old").exists())
   }
+
+  test("compact preserves a PARTITIONED index's layout and pruning") {
+    val sql = spark
+    import sql.implicits._
+    val dir = Files.createTempDirectory("graft-compact-part").toString + "/grams"
+    // gb-partitioned, append-grown like the span index's grams/
+    (0 until 6).foreach { gen =>
+      (1L to 30L).map(i => (gen * 100L + i, i % 4))
+        .toDF("gram", "gb").repartition(3)
+        .write.mode("append").partitionBy("gb").parquet(dir)
+    }
+    val before = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    def filesUnder(d: java.io.File): Int =
+      if (d.isDirectory) d.listFiles().map(filesUnder).sum
+      else if (d.getName.endsWith(".parquet")) 1 else 0
+    val nBefore = filesUnder(new java.io.File(dir))
+
+    Pipeline.compactArtifact(spark, dir, partitionCols = Seq("gb"))
+    val after = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(after === before, "partitioned compaction must preserve rows")
+    assert(filesUnder(new java.io.File(dir)) < nBefore,
+      "compaction must reduce the file count")
+    // the partition directories survive — so does partition pruning
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs === Set("gb=0", "gb=1", "gb=2", "gb=3"),
+      s"gb= directories must survive the rewrite: $dirs")
+    val pruned = spark.read.parquet(dir).filter($"gb" === 2)
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan"))
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "gb")) &&
+      scan.selectedPartitions.partitionCount === 1,
+      "partition pruning must still fire after compaction")
+  }
 }
