@@ -846,8 +846,13 @@ object Pipeline {
     * artifact are ignored. Cost: one scan+rewrite of the artifact, work
     * ∝ artifact size, not corpus size.
     */
-  def pruneArtifact(ids: DataFrame, dir: String, idCol: String): Unit =
-    stagedRewrite(ids.sparkSession, dir, "prune") { df =>
+  /** @param partitionCols the artifact's partition columns when it has
+    *        them ([[compactArtifact]]'s contract — a flat rewrite of a
+    *        partitioned index would silently destroy its partition
+    *        pruning). */
+  def pruneArtifact(ids: DataFrame, dir: String, idCol: String,
+                    partitionCols: Seq[String] = Seq.empty): Unit =
+    stagedRewrite(ids.sparkSession, dir, "prune", partitionCols) { df =>
       df.join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti")
     }
 

@@ -162,6 +162,23 @@ class ArtifactPruneSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(!new java.io.File(dir + "__compact_old").exists())
   }
 
+  test("prune preserves a PARTITIONED index's layout") {
+    val sql = spark
+    import sql.implicits._
+    val dir = Files.createTempDirectory("graft-prune-part").toString + "/members"
+    (1L to 40L).map(i => (i, (i % 3).toInt))
+      .toDF("doc_id", "cid")
+      .write.partitionBy("cid").parquet(dir)
+    Pipeline.pruneArtifact(Seq(3L, 9L).toDF("doc_id"), dir, "doc_id",
+      partitionCols = Seq("cid"))
+    val ids = spark.read.parquet(dir).collect().map(_.getLong(0)).toSet
+    assert(ids === (1L to 40L).toSet -- Set(3L, 9L))
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs === Set("cid=0", "cid=1", "cid=2"),
+      s"cid= directories must survive the prune rewrite: $dirs")
+  }
+
   test("compact preserves a PARTITIONED index's layout and pruning") {
     val sql = spark
     import sql.implicits._
