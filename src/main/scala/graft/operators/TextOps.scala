@@ -611,8 +611,13 @@ object TextOps {
         gramPosB.join(dupForBatch, Seq("gram"), "left_semi"), n)
       .withColumn("generation", lit("batch"))
     // retroactively affected corpus docs: their previously-UNIQUE gram
-    // (dfc = 1, solo rider set) just gained a batch occurrence
-    val affectedIds = joined.filter(col("dfc") === 1 && col("dfb") >= 1)
+    // (dfc = 1, solo rider set) just gained a batch occurrence. The
+    // isNotNull guard matters after [[forgetFromSpanIndex]]: a df 2 → 1
+    // decrement leaves no rider (conservative — that doc's retro span
+    // is missed, never misattributed; getLong on a null row would
+    // silently read doc 0)
+    val affectedIds = joined
+      .filter(col("dfc") === 1 && col("dfb") >= 1 && col("solo").isNotNull)
       .select(col("solo")).distinct().collect().map(_.getLong(0)).toSeq
     val out =
       if (affectedIds.isEmpty) batchSpans
@@ -695,6 +700,49 @@ object TextOps {
       .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("__starts"))
     rebuildWithoutCoverage(toksB.join(starts, Seq("doc_id"), "left_outer"),
       n, carryCols = Seq("source"))
+  }
+
+  /** Right-to-be-forgotten for the SPAN INDEX — the deletion pipeline
+    * must reach every artifact an id's CONTENT influenced
+    * ([[graft.Forget.forget]]'s doctrine), and the span index holds it
+    * twice: the doc's positioned grams in `pos/`, and its contribution
+    * to every gram's df (plus possibly a `solo_doc_id` naming it) in
+    * `grams/`. Mechanics:
+    *  - `pos/`: [[graft.operators.Pipeline.pruneArtifact]] by doc id,
+    *    partition layout preserved (`db`).
+    *  - `grams/`: NEGATIVE generation rows — one `(gram, −1, null)` per
+    *    distinct gram of each forgotten doc, derived from the doc's own
+    *    db-pruned `pos/` rows BEFORE they are pruned — so the
+    *    aggregated `sum(df)` reflects the removal without rewriting the
+    *    corpus-sized table (the same generation-row algebra appends
+    *    already use).
+    * Conservative rider note: a gram whose df drops 2 → 1 has lost its
+    * `solo_doc_id` rider (the surviving doc's identity is not derivable
+    * without a gram→doc scan), so a FUTURE increment cannot
+    * retro-report that surviving doc — it can only MISS a retro span,
+    * never emit a wrong one; the next full [[buildSpanIndex]] rebuild
+    * restores the rider. Deletion itself is exact either way: the
+    * forgotten doc's rows and df contributions are gone, which
+    * [[graft.operators.Pipeline.deletionAudit]] on `pos/` proves.
+    */
+  def forgetFromSpanIndex(ids: DataFrame, dir: String,
+                          hashGrams: Boolean = false): Unit = {
+    val spark = ids.sparkSession
+    val idList = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+      .na.drop().distinct().localCheckpoint(true)
+    val idSeq = idList.collect().map(_.getLong(0)).toSeq
+    require(idSeq.nonEmpty, "forgetFromSpanIndex: empty id list")
+    val touchedDb = idSeq.map(id => (id % 64).toInt).distinct
+    // negative df generations FIRST (derived from pos/ before the prune)
+    spark.read.parquet(s"$dir/pos")
+      .filter(col("db").isin(touchedDb: _*) && col("doc_id").isin(idSeq: _*))
+      .select(col("doc_id"), col("gram")).distinct()
+      .select(col("gram"), lit(-1L).as("df"),
+        lit(null).cast("long").as("solo_doc_id"),
+        gramBucketCol(col("gram"), hashGrams).as("gb"))
+      .write.mode("append").partitionBy("gb").parquet(s"$dir/grams")
+    Pipeline.pruneArtifact(idList, s"$dir/pos", "doc_id",
+      partitionCols = Seq("db"))
   }
 
   /** Build-once memo for the q146 harness query (the q134/q135 memo

@@ -698,6 +698,42 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(hInc === inc1, s"hashed tier diverged: $hInc vs $inc1")
   }
 
+  test("forgetFromSpanIndex: positions pruned, dfs decremented, probes consistent") {
+    val sql = spark
+    import sql.implicits._
+    val U = (1 to 12).map(i => s"u$i").mkString(" ")
+    val corpus = Seq(
+      (100L, (Seq(U) ++ (1 to 5).map(i => s"f$i")).mkString(" ")), // holds U
+      (101L, (Seq(U) ++ (1 to 6).map(i => s"g$i")).mkString(" ")), // also holds U
+      (102L, (1 to 20).map(i => s"h$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-span-forget")
+      .resolve("index").toString
+    TextOps.buildSpanIndex(corpus, dir, n = 6)
+
+    // forget doc 101: its positions vanish, U's df drops 2 -> 1
+    TextOps.forgetFromSpanIndex(Seq(101L).toDF("doc_id"), dir)
+    assert(spark.read.parquet(s"$dir/pos")
+      .filter($"doc_id" === 101L).count() === 0L,
+      "forgotten doc's positions must be pruned")
+    val uDf = spark.read.parquet(s"$dir/grams")
+      .groupBy($"gram").agg(sum($"df").as("df"))
+      .filter($"gram" === ((1 to 6).map(i => s"u$i").mkString(" ")))
+      .collect().map(_.getLong(1))
+    assert(uDf.toSeq === Seq(1L), s"U's leading gram df must decrement to 1: ${uDf.toSeq}")
+
+    // a batch re-duplicating U pairs against the SURVIVING doc only:
+    // batch spans emit (union df 1+1 >= 2); the lost solo rider means no
+    // retro row — conservative, never wrong — and never a phantom doc 0
+    val inc = TextOps.dupSpansIncremental(
+        Seq((1L, (Seq(U) ++ (1 to 4).map(i => s"w$i")).mkString(" ")))
+          .toDF("doc_id", "text"),
+        dir, n = 6, append = false)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(inc === Set((1L, "batch")),
+      s"post-forget increment: batch span only, no retro, no doc 0: $inc")
+  }
+
   test("dupMassBySource: disjoint islands sum to covered tokens, per source") {
     val sql = spark
     import sql.implicits._
