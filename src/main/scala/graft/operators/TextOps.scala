@@ -514,6 +514,92 @@ object TextOps {
         round(col("dup_tokens").cast("double") / col("total_tokens"), 6))
   }
 
+  /** CONTENT-DEFINED CHUNKING (CDC) — the rsync/LBFS boundary rule
+    * applied to text dedup: split each document where a rolling hash of
+    * the trailing `w` characters satisfies `h % modSel == 0`, so chunk
+    * boundaries are a function of CONTENT, not offsets — an insertion
+    * near the top of a doc shifts every fixed-width window but leaves
+    * all later CDC chunks identical, which is exactly what lets
+    * chunk-digest dedup catch a boilerplate block at ANY offset (the
+    * failure mode of offset-based chunking, and the byte-level
+    * complement of the token-n-gram span family: spans see token
+    * overlap, CDC sees verbatim byte runs across REFORMATTED docs whose
+    * tokenization shifted).
+    *
+    * Emits one row per chunk: `(doc_id, chunk_idx, chunk_start,
+    * chunk_len, digest)` — start 1-based, digest = md5 of the chunk
+    * text (engine-portable, the [[graft.operators.Pipeline.shardAssign]]
+    * discipline). A doc with no boundary is one chunk; expected chunk
+    * length ≈ `modSel` characters. Production CDC adds min/max clamps;
+    * this declarative tier keeps the pure boundary rule (the clamp is a
+    * second filter over the same boundary array).
+    *
+    * Scale shape: entirely map-side — one `split` pass to the char
+    * array, the rolling hash is an O(w) fold per position over it
+    * (O(n·w) per doc, codegen'd array lambdas, no UDF), boundaries and
+    * chunks are array expressions, one `posexplode`. Zero exchanges;
+    * downstream dedup groups by the 16-byte digest, never the text.
+    */
+  def cdcChunks(docs: DataFrame, w: Int = 8, modSel: Int = 32,
+                textCol: String = "text"): DataFrame = {
+    require(w >= 2, s"cdcChunks: window must be >= 2, got $w")
+    require(modSel >= 2, s"cdcChunks: modSel must be >= 2, got $modSel")
+    val chars = split(col(textCol), "")
+    val codes = transform(col("__chars"), c => ascii(c))
+    val n = size(col("__chars"))
+    // left fold, (acc*31 + code) % 1000003 — the same integer recurrence
+    // the DuckDB oracle replays; boundary at p when the trailing-w hash
+    // divides modSel
+    def hashAt(p: Column): Column =
+      aggregate(slice(col("__codes"), p - (w - 1), lit(w)), lit(0L),
+        (acc, c) => (acc * 31 + c) % 1000003L)
+    // the n >= w guard matters: Spark's sequence(w, n) DESCENDS when
+    // n < w, which would fabricate boundaries on short docs
+    val bounds = when(n >= w,
+      filter(sequence(lit(w), n), p => hashAt(p) % modSel === 0))
+      .otherwise(array().cast("array<int>"))
+    // chunk ENDS: every boundary, plus the doc end if uncovered.
+    // Chained `when`s, not `||`: the element_at(-1) peek must not
+    // evaluate on an empty boundary array (ANSI throws; codegen'd Or
+    // evaluates both sides)
+    val ends = when(size(col("__b")) === 0, array(n))
+      .when(element_at(col("__b"), -1) =!= n,
+        concat(col("__b"), array(n)))
+      .otherwise(col("__b"))
+    docs.select(col("doc_id"), col(textCol).as("__t"), chars.as("__chars"))
+      .withColumn("__codes", codes)
+      .withColumn("__b", bounds)
+      .select(col("doc_id"), col("__t"), col("__chars"),
+        ends.as("__e"))
+      .select(col("doc_id"), posexplode(transform(col("__e"), (e, k) => {
+        // `when`, not element_at(…, 0): the k = 0 chunk starts at 1
+        val start = when(k === 0, lit(1))
+          .otherwise(element_at(col("__e"), k) + 1)
+        struct(start.cast("bigint").as("s"),
+          (e - start + 1).cast("bigint").as("l"),
+          md5(array_join(slice(col("__chars"), start, e - start + 1), ""))
+            .as("d"))
+      })).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        col("c.s").as("chunk_start"), col("c.l").as("chunk_len"),
+        col("c.d").as("digest"))
+  }
+
+  /** Cross-doc duplicated CDC chunks: digests appearing in ≥ 2 distinct
+    * docs, with copy counts and the min-id canonical — the
+    * [[graft.operators.Multimodal.audioDedupGroups]] shape over
+    * content-defined text chunks. One partial-aggregated shuffle of
+    * 16-byte digests. */
+  def cdcDupChunks(docs: DataFrame, w: Int = 8, modSel: Int = 32,
+                   textCol: String = "text"): DataFrame =
+    cdcChunks(docs, w, modSel, textCol)
+      .groupBy(col("digest"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("canonical_id"),
+        max(col("chunk_len")).as("chunk_len"))
+      .filter(col("n_docs") >= 2)
+
   private def gramBucketCol(gram: Column, hashGrams: Boolean): Column =
     if (hashGrams) pmod(gram, lit(64L)).cast("int")
     else (conv(substring(md5(gram), 1, 8), 16, 10).cast("long") % 64).cast("int")
@@ -1944,6 +2030,51 @@ object TextOps {
         .filter(col("n_removed") > 0)
         .sortWithinPartitions(col("doc_id")), // rows-only: see q46 note
       None),
+
+    // Content-defined chunking (r10): rolling-hash boundaries (trailing
+    // 8 chars, (acc*31+code) % 1000003, boundary when h % 32 == 0) —
+    // the rsync/LBFS rule; the oracle replays the identical integer
+    // recurrence per position and re-derives every chunk + digest.
+    QuerySpec(
+      "q151_cdc_chunks",
+      (s, d) => cdcChunks(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""
+        WITH ch AS (
+          SELECT doc_id, text, string_split(text, '') AS cs,
+                 len(string_split(text, '')) AS n
+          FROM documents),
+        co AS (SELECT doc_id, text, n,
+                      list_transform(cs, c -> ascii(c)) AS codes
+               FROM ch),
+        hs AS (
+          SELECT doc_id, text, n, u.p AS p,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   codes[u.p - 7 : u.p]),
+                   (acc, c) -> (acc * 31 + c) % 1000003) AS h
+          FROM co, UNNEST(generate_series(8, n)) AS u(p)),
+        bounds AS (
+          SELECT doc_id, list(p ORDER BY p) AS b
+          FROM hs WHERE h % 32 = 0 GROUP BY doc_id),
+        ends AS (
+          SELECT c.doc_id, c.text, c.n,
+                 CASE WHEN b.b IS NULL THEN [c.n]
+                      WHEN b.b[-1] <> c.n THEN list_append(b.b, c.n)
+                      ELSE b.b END AS e
+          FROM co c LEFT JOIN bounds b USING (doc_id)),
+        idx AS (
+          SELECT doc_id, text, e, u.k AS k
+          FROM ends, UNNEST(generate_series(1, len(e))) AS u(k))
+        SELECT doc_id,
+               CAST(k - 1 AS BIGINT) AS chunk_idx,
+               CAST(CASE WHEN k = 1 THEN 1 ELSE e[k - 1] + 1 END
+                    AS BIGINT) AS chunk_start,
+               CAST(e[k] - (CASE WHEN k = 1 THEN 1 ELSE e[k - 1] + 1 END) + 1
+                    AS BIGINT) AS chunk_len,
+               md5(text[(CASE WHEN k = 1 THEN 1 ELSE e[k - 1] + 1 END):e[k]])
+                 AS digest
+        FROM idx
+        ORDER BY doc_id, chunk_idx""")),
 
     // Incremental maximal-span extraction (r10): the corpus participates
     // only through its persisted span index — batch docs' spans under

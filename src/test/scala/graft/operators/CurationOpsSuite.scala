@@ -734,6 +734,52 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"post-forget increment: batch span only, no retro, no doc 0: $inc")
   }
 
+  test("cdcChunks: boundaries survive insertions; dup chunks found at any offset") {
+    val sql = spark
+    import sql.implicits._
+    // doc 2 = doc 1 with a prefix INSERTED: every fixed-offset window
+    // shifts, but the content-defined boundaries re-synchronize, so the
+    // tail chunks' digests must match across the two docs
+    val body = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, body),
+      (2L, "inserted preamble text here " + body),
+      (3L, "completely different content with no shared bytes at all"))
+      .toDF("doc_id", "text")
+    val chunks = TextOps.cdcChunks(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+
+    // exact cover: chunks tile each doc with no gap or overlap
+    docs.collect().foreach { d =>
+      val id = d.getLong(0); val len = d.getString(1).length
+      val cs = chunks.filter(_._1 == id).sortBy(_._2)
+      assert(cs.head._3 == 1L && cs.map(_._4).sum == len.toLong,
+        s"doc $id chunks must tile its ${len} chars: ${cs.toSeq}")
+      cs.sliding(2).foreach { case Array(a, b) =>
+        assert(b._3 == a._3 + a._4, s"gap/overlap in doc $id: $a -> $b")
+      case _ => ()
+      }
+    }
+
+    // the CDC property: doc 1 and doc 2 share tail digests despite the
+    // shifted offsets; doc 3 shares nothing
+    val d1 = chunks.filter(_._1 == 1L).map(_._5).toSet
+    val d2 = chunks.filter(_._1 == 2L).map(_._5).toSet
+    val d3 = chunks.filter(_._1 == 3L).map(_._5).toSet
+    assert((d1 & d2).nonEmpty,
+      s"content-defined boundaries must re-sync after the insertion:\n$d1\n$d2")
+    assert((d1 & d3).isEmpty && (d2 & d3).isEmpty)
+
+    // group view: the shared chunks surface with doc 1 canonical
+    val groups = TextOps.cdcDupChunks(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(groups.nonEmpty && groups.forall(g => g._2 == 2L && g._3 == 1L),
+      s"dup chunks must pair docs 1+2 with canonical 1: ${groups.toSeq}")
+    assert(groups.map(_._1).toSet == (d1 & d2),
+      "group digests must be exactly the shared set")
+  }
+
   test("dupMassBySource: disjoint islands sum to covered tokens, per source") {
     val sql = spark
     import sql.implicits._
