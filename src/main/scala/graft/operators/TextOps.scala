@@ -607,6 +607,51 @@ object TextOps {
         max(col("chunk_len")).as("chunk_len"))
       .filter(col("n_docs") >= 2)
 
+  /** CDC near-dup DOC pairs — the FastCDC dedup application on top of
+    * [[cdcChunks]]: candidate pairs share ≥ 1 chunk digest (never
+    * all-pairs — the digest IS the bucket, with the standing
+    * `maxBucketSize` prospective skew cap silencing a boilerplate chunk
+    * shared by thousands of docs), evidence = number of shared DISTINCT
+    * digests and the containment fraction vs the a-side's chunk count
+    * (the [[graft.operators.Multimodal]] videoNearDup `n_key`
+    * denominator discipline: the count rides the chunk rows, no corpus
+    * join-back). Pairs with `shared_frac ≥ minFrac` emit oriented
+    * `doc_a < doc_b`.
+    *
+    * Scale shape: one digest-keyed self-join of (digest, doc, n_chunks)
+    * rows — 16-byte keys, text never travels — then a pair-keyed
+    * partial aggregation; the cap bounds any digest's contribution at
+    * cap² pairs.
+    */
+  def cdcNearDupPairs(docs: DataFrame, w: Int = 8, modSel: Int = 32,
+                      maxBucketSize: Int = 64, minFrac: Double = 0.25,
+                      textCol: String = "text"): DataFrame = {
+    require(minFrac >= 0.0 && minFrac <= 1.0, s"bad minFrac $minFrac")
+    import org.apache.spark.sql.expressions.Window
+    // distinct (doc, digest) + per-doc chunk-type count rider; the CDC
+    // kernel runs once (checkpoint — both self-join sides read the cut)
+    val chunks = cdcChunks(docs, w, modSel, textCol)
+      .select(col("doc_id"), col("digest")).distinct()
+      .withColumn("n_key", count(lit(1)).over(
+        Window.partitionBy(col("doc_id"))))
+      .withColumn("__bn", count(lit(1)).over(
+        Window.partitionBy(col("digest"))))
+      .filter(col("__bn") <= maxBucketSize)
+      .drop("__bn")
+      .localCheckpoint(false)
+    chunks.alias("a").join(chunks.alias("b"),
+        col("a.digest") === col("b.digest") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_key").as("n_key_a"), col("b.n_key").as("n_key_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("shared_frac",
+        round(col("n_shared").cast("double") / col("n_key_a"), 6))
+      .filter(col("shared_frac") >= minFrac)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_key_a"), col("n_key_b"), col("shared_frac"))
+  }
+
   private def gramBucketCol(gram: Column, hashGrams: Boolean): Column =
     if (hashGrams) pmod(gram, lit(64L)).cast("int")
     else (conv(substring(md5(gram), 1, 8), 16, 10).cast("long") % 64).cast("int")
@@ -2082,6 +2127,66 @@ object TextOps {
                  AS digest
         FROM idx
         ORDER BY doc_id, chunk_idx""")),
+
+    // CDC near-dup doc pairs (r10): shared-chunk-digest candidates with
+    // the prospective cap, containment fraction vs the a-side's chunk
+    // types — the FastCDC dedup application; the oracle replays the
+    // chunking recurrence and the full pair algebra.
+    QuerySpec(
+      "q152_cdc_neardup",
+      (s, d) => cdcNearDupPairs(Tables.documents(s, d), minFrac = 0.25)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some("""
+        WITH ch AS (
+          SELECT doc_id, text, string_split(text, '') AS cs,
+                 len(string_split(text, '')) AS n
+          FROM documents),
+        co AS (SELECT doc_id, text, n,
+                      list_transform(cs, c -> ascii(c)) AS codes
+               FROM ch),
+        hs AS (
+          SELECT doc_id, text, n, u.p AS p,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   codes[u.p - 7 : u.p]),
+                   (acc, c) -> (acc * 31 + c) % 1000003) AS h
+          FROM co, UNNEST(generate_series(8, n)) AS u(p)),
+        bounds AS (
+          SELECT doc_id, list(p ORDER BY p) AS b
+          FROM hs WHERE h % 32 = 0 GROUP BY doc_id),
+        ends AS (
+          SELECT c.doc_id, c.text, c.n,
+                 CASE WHEN b.b IS NULL THEN [c.n]
+                      WHEN b.b[-1] <> c.n THEN list_append(b.b, c.n)
+                      ELSE b.b END AS e
+          FROM co c LEFT JOIN bounds b USING (doc_id)),
+        idx AS (
+          SELECT doc_id, text, e, u.k AS k
+          FROM ends, UNNEST(generate_series(1, len(e))) AS u(k)),
+        dg AS (
+          SELECT DISTINCT doc_id,
+                 md5(text[(CASE WHEN k = 1 THEN 1 ELSE e[k - 1] + 1 END):e[k]])
+                   AS digest
+          FROM idx),
+        keyed AS (
+          SELECT doc_id, digest,
+                 COUNT(*) OVER (PARTITION BY doc_id) AS n_key,
+                 COUNT(*) OVER (PARTITION BY digest) AS bn
+          FROM dg),
+        capped AS (SELECT * FROM keyed WHERE bn <= 64),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.n_key AS n_key_a, b.n_key AS n_key_b,
+                 COUNT(*) AS n_shared
+          FROM capped a JOIN capped b
+            ON a.digest = b.digest AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+               CAST(n_key_a AS BIGINT) AS n_key_a,
+               CAST(n_key_b AS BIGINT) AS n_key_b,
+               ROUND(CAST(n_shared AS DOUBLE) / n_key_a, 6) AS shared_frac
+        FROM pairs
+        WHERE ROUND(CAST(n_shared AS DOUBLE) / n_key_a, 6) >= 0.25
+        ORDER BY doc_a, doc_b""")),
 
     // Incremental maximal-span extraction (r10): the corpus participates
     // only through its persisted span index — batch docs' spans under

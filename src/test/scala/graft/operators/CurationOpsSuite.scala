@@ -778,6 +778,20 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"dup chunks must pair docs 1+2 with canonical 1: ${groups.toSeq}")
     assert(groups.map(_._1).toSet == (d1 & d2),
       "group digests must be exactly the shared set")
+
+    // pair view: (1,2) surfaces with evidence = the shared digest count
+    // and containment vs doc 1's chunk types; doc 3 pairs with nothing
+    val pairs = TextOps.cdcNearDupPairs(docs, minFrac = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(5)))).toMap
+    assert(pairs.keySet === Set((1L, 2L)), s"pair set: $pairs")
+    val (nShared, nKeyA, frac) = pairs((1L, 2L))
+    assert(nShared.toInt === (d1 & d2).size && nKeyA.toInt === d1.size)
+    assert(math.abs(frac - nShared.toDouble / nKeyA) < 1e-6)
+    // a degenerate chunk shared by many docs is capped out of candidacy
+    val many = (1L to 70L).map(i => (i, body)).toDF("doc_id", "text")
+    assert(TextOps.cdcNearDupPairs(many, minFrac = 0.0).count() === 0L,
+      "over-cap digests must admit no candidates")
   }
 
   test("dupMassBySource: disjoint islands sum to covered tokens, per source") {
