@@ -28,6 +28,34 @@ object Dedup {
   /** Distinct whitespace tokens per doc. */
   private def tokenSet(text: Column): Column = array_distinct(split(text, " "))
 
+  /** Prospective skew cap on a candidate key WITHOUT a window: rows whose
+    * `keys` group exceeds `maxN` are dropped before any candidate
+    * self-join, with the group sizes computed by a map-side-combined
+    * `groupBy(keys).count()` (only (keys, count) rows shuffle) and the
+    * over-cap key set — bounded by |rows|/maxN, in practice the handful of
+    * degenerate buckets the cap exists for — broadcast into an anti-join.
+    * A `count(*).over(Window.partitionBy(keys))` formulation has the same
+    * semantics but materializes each key's FULL partition on one task's
+    * sorter before the filter discards it — a boilerplate LSH bucket or
+    * CDC chunk digest shared by 10⁸ docs would put 10⁸ rows through a
+    * single task only to be thrown away, precisely the mega-bucket the cap
+    * is meant to neutralize (the [[cappedAssignment]] doctrine, applied
+    * family-wide). The raw rows are checkpointed because both the count
+    * aggregate and the anti-join's left input read them — and every caller
+    * then feeds two self-join sides, which replay only the cheap broadcast
+    * anti-join against the stored blocks, never the upstream
+    * banding/signature scan.
+    */
+  private[graft] def capByKey(rows: DataFrame, keys: Seq[String],
+                              maxN: Int): DataFrame = {
+    val raw = rows.localCheckpoint(false)
+    val overCap = raw.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__cn"))
+      .filter(col("__cn") > maxN)
+      .select(keys.map(col): _*)
+    raw.join(broadcast(overCap), keys, "left_anti")
+  }
+
   // ---------------------------------------------------------------------
   // Exact dedup
 
@@ -337,16 +365,12 @@ object Dedup {
       posexplode(array((0 until bands).map { b =>
         xxhash64(lit(b) +: (0 until rows).map(r => col("sig")(b * rows + r)): _*)
       }: _*)).as(Seq("band", "bucket")))
-    // Both self-join sides consume the bucketed stream, so the banding
-    // posexplode AND the skew-cap window (one shuffle + sort each side)
-    // would run twice. Checkpointed, the window runs once and the join
-    // reads the stored (doc_id, band, bucket) rows — docs×bands longs.
-    val bucketed = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
-      .localCheckpoint(false)
+    // Both self-join sides consume the bucketed stream; capByKey
+    // checkpoints the banded (doc_id, band, bucket) rows — docs×bands
+    // longs — so the banding posexplode runs once, and the skew cap is a
+    // map-side count + broadcast anti-join (a degenerate bucket's rows
+    // never funnel through one task's window sorter).
+    val bucketed = capByKey(banded, Seq("band", "bucket"), maxBucketSize)
     val l = bucketed.as("l")
     val r = bucketed.as("r")
     val candidates = l.join(r,
@@ -390,16 +414,15 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    maxBucketSize: Int = 256): DataFrame = {
     val sigs = docs.select(col("doc_id"), simhash(col("text")).as("sh"))
-    val banded = sigs.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "bucket")))
-      .withColumn("bucket_n", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
-      // both self-join sides read this; checkpoint = one banding+window
-      // pass instead of two (same trade as minhashLsh's bucketed stream)
-      .localCheckpoint(false)
+    // both self-join sides read this; capByKey's checkpoint = one banding
+    // pass instead of two (same trade as minhashLsh's bucketed stream),
+    // and the cap is a map-side count + broadcast anti-join, not a window
+    val banded = capByKey(
+      sigs.select(col("doc_id"), col("sh"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL)): _*))
+          .as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucketSize)
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
@@ -628,17 +651,15 @@ object Dedup {
                      maxBucketSize: Int = 256): DataFrame = {
     val v = embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    val banded = v.select(col("vec_id"),
-      posexplode(array((0 until tables).map(t =>
-        graft.functions.HashFunctions.lsh_sign_bits(col("v"), t, nBits)): _*))
-        .as(Seq("tbl", "bucket")))
-      .withColumn("bucket_n", count(lit(1)).over(
-        Window.partitionBy(col("tbl"), col("bucket"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
-      // both self-join sides: one hyperplane-projection + window pass
-      // instead of two (same trade as minhashLsh's bucketed stream)
-      .localCheckpoint(false)
+    // both self-join sides: capByKey's checkpoint = one hyperplane-
+    // projection pass instead of two (same trade as minhashLsh's bucketed
+    // stream); the cap is a map-side count + broadcast anti-join
+    val banded = capByKey(
+      v.select(col("vec_id"),
+        posexplode(array((0 until tables).map(t =>
+          graft.functions.HashFunctions.lsh_sign_bits(col("v"), t, nBits)): _*))
+          .as(Seq("tbl", "bucket"))),
+      Seq("tbl", "bucket"), maxBucketSize)
     val l = banded.as("l")
     val r = banded.as("r")
     val candidates = l.join(r,

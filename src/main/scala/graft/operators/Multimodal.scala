@@ -341,17 +341,17 @@ object Multimodal {
     hi.bitwiseAND(lit(0xFFFFL)),
     shiftrightunsigned(hi, 16).bitwiseAND(lit(0xFFFFL)))
 
-  def dHashBandIndex(hashes: DataFrame, maxBucketSize: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    hashes.select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
+  def dHashBandIndex(hashes: DataFrame, maxBucketSize: Int = 64): DataFrame =
+    // skew cap via map-side count + broadcast anti-join (Dedup.capByKey),
+    // not a window — a degenerate (band, bval) bucket's rows never funnel
+    // through one task before being dropped
+    Dedup.capByKey(
+      hashes.select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
         posexplode(dHashBands(col("dhash_hi"), col("dhash_lo")))
-          .as(Seq("band", "bval")))
-      .withColumn("__bn", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("bval"))))
-      .filter(col("__bn") <= maxBucketSize)
+          .as(Seq("band", "bval"))),
+      Seq("band", "bval"), maxBucketSize)
       .select(col("band"), col("bval"), col("doc_id"),
         col("dhash_hi"), col("dhash_lo"))
-  }
 
   /** Candidate join on shared `(band, bval)` + exact hamming verify on
     * the 32-bit halves (`popcount(xor hi) + popcount(xor lo)` — equal to
@@ -582,21 +582,22 @@ object Multimodal {
     */
   def videoBandIndex(frameHashes: DataFrame,
                      maxBucketSize: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // decode-once: the 24 B/frame fingerprints are checkpointed before
-    // the count aggregate and the banding each read them
+    // the per-clip count aggregate and the banding each read them
     val hashes = frameHashes.select(col("doc_id"), col("frame_idx"),
         col("dhash_hi"), col("dhash_lo"))
       .localCheckpoint(false)
     val nKeys = hashes.groupBy(col("doc_id")).agg(count(lit(1)).as("n_key"))
-    hashes.join(broadcast(nKeys), "doc_id")
-      .select(col("doc_id"), col("frame_idx"), col("dhash_hi"),
-        col("dhash_lo"), col("n_key"),
-        posexplode(dHashBands(col("dhash_hi"), col("dhash_lo")))
-          .as(Seq("band", "bval")))
-      .withColumn("__bn", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("bval"))))
-      .filter(col("__bn") <= maxBucketSize)
+    // skew cap via map-side count + broadcast anti-join (Dedup.capByKey),
+    // not a window — a degenerate (band, bval) bucket never funnels
+    // through one task before being dropped
+    Dedup.capByKey(
+      hashes.join(broadcast(nKeys), "doc_id")
+        .select(col("doc_id"), col("frame_idx"), col("dhash_hi"),
+          col("dhash_lo"), col("n_key"),
+          posexplode(dHashBands(col("dhash_hi"), col("dhash_lo")))
+            .as(Seq("band", "bval"))),
+      Seq("band", "bval"), maxBucketSize)
       .select(col("band"), col("bval"), col("doc_id"), col("frame_idx"),
         col("dhash_hi"), col("dhash_lo"), col("n_key"))
   }
@@ -892,17 +893,14 @@ object Multimodal {
   def audioNearDupPairs(fingerprints: DataFrame, maxHamming: Int = 3,
                         maxBucketSize: Int = 64): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 32, s"bad maxHamming $maxHamming")
-    import org.apache.spark.sql.expressions.Window
-    val banded = fingerprints.select(col("doc_id"), col("fingerprint"),
+    // decode-once: both self-join sides read capByKey's checkpointed
+    // 20 B/band-row cut, not the WAV mapPartitions decode subtree; the
+    // skew cap is a map-side count + broadcast anti-join, not a window
+    val banded = Dedup.capByKey(
+      fingerprints.select(col("doc_id"), col("fingerprint"),
         posexplode(audioBands(col("fingerprint")))
-          .as(Seq("band", "bval")))
-      .withColumn("__bn", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("bval"))))
-      .filter(col("__bn") <= maxBucketSize)
-      .drop("__bn")
-      // decode-once: both self-join sides read this 20 B/band-row cut,
-      // not the WAV mapPartitions decode subtree
-      .localCheckpoint(false)
+          .as(Seq("band", "bval"))),
+      Seq("band", "bval"), maxBucketSize)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -629,16 +629,17 @@ object TextOps {
     require(minFrac >= 0.0 && minFrac <= 1.0, s"bad minFrac $minFrac")
     import org.apache.spark.sql.expressions.Window
     // distinct (doc, digest) + per-doc chunk-type count rider; the CDC
-    // kernel runs once (checkpoint — both self-join sides read the cut)
-    val chunks = cdcChunks(docs, w, modSel, textCol)
-      .select(col("doc_id"), col("digest")).distinct()
-      .withColumn("n_key", count(lit(1)).over(
-        Window.partitionBy(col("doc_id"))))
-      .withColumn("__bn", count(lit(1)).over(
-        Window.partitionBy(col("digest"))))
-      .filter(col("__bn") <= maxBucketSize)
-      .drop("__bn")
-      .localCheckpoint(false)
+    // kernel runs once (capByKey's checkpoint — both self-join sides read
+    // the cut). The per-doc n_key window is bounded by document length;
+    // the DIGEST cap is not (a boilerplate chunk digest can be shared by
+    // the whole corpus), so it goes through Dedup.capByKey's map-side
+    // count + broadcast anti-join instead of a window.
+    val chunks = Dedup.capByKey(
+      cdcChunks(docs, w, modSel, textCol)
+        .select(col("doc_id"), col("digest")).distinct()
+        .withColumn("n_key", count(lit(1)).over(
+          Window.partitionBy(col("doc_id")))),
+      Seq("digest"), maxBucketSize)
     chunks.alias("a").join(chunks.alias("b"),
         col("a.digest") === col("b.digest") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -252,6 +252,40 @@ class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), s"gram stream sort-merge-joined:\n$p")
   }
 
+  test("capByKey: skew cap is a broadcast anti-join, never a Window") {
+    // the family-wide r10 regression: every near-dup operator computed its
+    // prospective bucket cap with count(*).over(Window.partitionBy(key)),
+    // which materializes a degenerate bucket's FULL partition on one task
+    // before the filter drops it — the exact mega-bucket the cap exists to
+    // neutralize. The shared kernel must plan the cappedAssignment shape:
+    // map-side count + broadcast anti-join of the over-cap key set.
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 50).map(i => (i.toLong, i % 3, i % 7)).toDF("id", "band", "bucket")
+    val capped = graft.operators.Dedup.capByKey(rows, Seq("band", "bucket"), 8)
+    val windows = capped.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, s"cap must not use a Window: $windows")
+    val phys = capped.queryExecution.sparkPlan.toString
+    assert(phys.contains("BroadcastHashJoin") && phys.contains("LeftAnti"),
+      s"over-cap key set must broadcast into an anti-join:\n$phys")
+  }
+
+  test("q32/q152: the cap's broadcast anti-join is visible in the final plan, no Window survives") {
+    // downstream of capByKey's checkpoint each self-join side replays only
+    // the broadcast anti-join — so the final plan must SHOW LeftAnti and
+    // must not contain any Window (the old windowed cap hid upstream of
+    // the checkpoint; the new shape is visible and gateable)
+    for (name <- Seq("q32_minhash_lsh", "q152_cdc_neardup")) {
+      val p = plan(name)
+      assert(p.contains("LeftAnti"),
+        s"$name: capByKey broadcast anti-join missing from plan:\n$p")
+      assert(!p.contains("Window"),
+        s"$name: a Window survives in the post-checkpoint plan:\n$p")
+    }
+  }
+
   test("no declared query plans a CartesianProduct") {
     // the one shape that cannot survive any scale-up; cross joins against
     // broadcast fitted models plan as BroadcastNestedLoopJoin instead
