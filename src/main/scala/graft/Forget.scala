@@ -8,7 +8,7 @@ import org.apache.spark.sql.execution.streaming.state.StateStoreConf
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-import graft.operators.{AnnIndex, Pipeline}
+import graft.operators.{AnnIndex, Pipeline, TextOps}
 import graft.state.{GraftStateStoreProviderBase, StateRescale}
 
 /** One-call right-to-be-forgotten orchestration — the composition of the
@@ -20,6 +20,10 @@ import graft.state.{GraftStateStoreProviderBase, StateRescale}
   *    delete that misses the index the fleet probes is not a delete)
   *  - [[graft.operators.Pipeline.pruneArtifact]] — every derived
   *    parquet artifact an id reached (token index, band index, shards)
+  *  - [[graft.operators.TextOps.forgetFromSpanIndex]] — the persisted
+  *    span index, which holds an id's content TWICE (its `pos/` rows
+  *    and its df contributions in `grams/`), so a plain artifact prune
+  *    would leave the df algebra corrupted
   *
   * followed by the audits as a FORCED exit gate:
   * [[graft.operators.Pipeline.deletionAudit]] over every parquet
@@ -84,9 +88,13 @@ object Forget {
              states: Seq[StateTarget] = Seq.empty,
              annDir: Option[String] = None,
              artifacts: Seq[(String, String)] = Seq.empty,
+             spanIndexDirs: Seq[String] = Seq.empty,
+             spanIndexHashGrams: Boolean = false,
              hadoopConf: Configuration = new Configuration()): ForgetReport = {
-    require(states.nonEmpty || annDir.nonEmpty || artifacts.nonEmpty,
-      "forget: nothing to forget from — no state, index, or artifacts given")
+    require(states.nonEmpty || annDir.nonEmpty || artifacts.nonEmpty ||
+        spanIndexDirs.nonEmpty,
+      "forget: nothing to forget from — no state, index, artifacts, or " +
+        "span indexes given")
     val idList = ids.select(col(idCol).cast("long").as("__id"))
       .na.drop().distinct()
     val idSet = idList.collect().map(_.getLong(0)).toSet
@@ -119,13 +127,24 @@ object Forget {
       Pipeline.pruneArtifact(idList.select(col("__id").as(c)), dir, c)
     }
 
-    // 4) the exit gate — every surface must PROVE zero residuals
-    val found = residualsOf(idList, idSet, states, annDir, artifacts, hadoopConf)
+    // 4) span indexes: pos/ rows pruned + negative df generation rows in
+    //    grams/ — until r11 this was a standalone call OUTSIDE the forced
+    //    audit gate, i.e. the exact hand-sequencing bug this object exists
+    //    to prevent
+    spanIndexDirs.foreach { d =>
+      TextOps.forgetFromSpanIndex(idList.select(col("__id").as("doc_id")),
+        d, spanIndexHashGrams)
+    }
+
+    // 5) the exit gate — every surface must PROVE zero residuals
+    val found = residualsOf(idList, idSet, states, annDir, artifacts,
+      spanIndexDirs, hadoopConf)
     if (found.nonEmpty)
       throw new IllegalStateException(
         s"forget: deletion audit FAILED — ${found.mkString("; ")}")
     ForgetReport(idSet.size.toLong, stateReports.map(_.keysMoved),
-      artifacts.map(_._1) ++ annDir.map(d => s"$d/codes"))
+      artifacts.map(_._1) ++ annDir.map(d => s"$d/codes") ++
+        spanIndexDirs.map(d => s"$d/pos"))
   }
 
   /** The exit gate alone: one description per surface still holding a
@@ -141,11 +160,12 @@ object Forget {
                 states: Seq[StateTarget] = Seq.empty,
                 annDir: Option[String] = None,
                 artifacts: Seq[(String, String)] = Seq.empty,
+                spanIndexDirs: Seq[String] = Seq.empty,
                 hadoopConf: Configuration = new Configuration()): Seq[String] = {
     val idList = ids.select(col(idCol).cast("long").as("__id"))
       .na.drop().distinct()
     residualsOf(idList, idList.collect().map(_.getLong(0)).toSet,
-      states, annDir, artifacts, hadoopConf)
+      states, annDir, artifacts, spanIndexDirs, hadoopConf)
   }
 
   /** [[residuals]] over an already-normalized id frame/set — [[forget]]
@@ -155,11 +175,18 @@ object Forget {
                           states: Seq[StateTarget],
                           annDir: Option[String],
                           artifacts: Seq[(String, String)],
+                          spanIndexDirs: Seq[String],
                           hadoopConf: Configuration): Seq[String] = {
     val out = scala.collection.mutable.ListBuffer.empty[String]
     // deletionAudit joins each artifact on ITS OWN id column name, so the
-    // ids frame carries every needed column (aliased copies of __id)
-    val auditTargets = artifacts ++ annDir.map(d => s"$d/codes" -> "nid")
+    // ids frame carries every needed column (aliased copies of __id).
+    // Span indexes audit through pos/ — the surface holding the doc's
+    // CONTENT. grams/ is df algebra; a stale solo_doc_id rider can remain
+    // in superseded generation rows, but the negative generations drive
+    // the aggregated df to 0 so no consumer can surface the id (the
+    // documented conservative-rider contract in forgetFromSpanIndex).
+    val auditTargets = artifacts ++ annDir.map(d => s"$d/codes" -> "nid") ++
+      spanIndexDirs.map(d => s"$d/pos" -> "doc_id")
     if (auditTargets.nonEmpty) {
       val cols = auditTargets.map(_._2).distinct
       val auditIds = idList.select(cols.map(c => col("__id").as(c)): _*)

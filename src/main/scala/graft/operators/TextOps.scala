@@ -871,6 +871,15 @@ object TextOps {
       .na.drop().distinct().localCheckpoint(true)
     val idSeq = idList.collect().map(_.getLong(0)).toSeq
     require(idSeq.nonEmpty, "forgetFromSpanIndex: empty id list")
+    // the deletion must cover exactly the submitted list: a null (or,
+    // with ANSI off, uncastable) id that na.drop silently removed would
+    // make the delete narrower than the request without anyone noticing —
+    // the same raw-vs-normalized count check as [[graft.Forget.forget]]
+    val rawDistinct = ids.select(col(ids.columns.head)).distinct().count()
+    require(rawDistinct == idSeq.size.toLong,
+      s"forgetFromSpanIndex: ${rawDistinct - idSeq.size} of $rawDistinct " +
+        "distinct delete-list entries are null or not castable to long — " +
+        "refusing to delete a narrower list than was submitted")
     val touchedDb = idSeq.map(id => (id % 64).toInt).distinct
     // negative df generations FIRST (derived from pos/ before the prune)
     spark.read.parquet(s"$dir/pos")

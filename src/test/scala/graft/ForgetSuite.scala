@@ -136,6 +136,58 @@ class ForgetSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(idx1).count() === 2L * 18, "replay is a no-op")
   }
 
+  test("span-index leg: one call prunes pos/, decrements dfs, rides the gate") {
+    val sql = spark
+    import sql.implicits._
+    val base = Files.createTempDirectory("graft-forget-span").toString
+    val U = (1 to 12).map(i => s"u$i").mkString(" ")
+    val corpus = Seq(
+      (100L, (Seq(U) ++ (1 to 5).map(i => s"f$i")).mkString(" ")),
+      (101L, (Seq(U) ++ (1 to 6).map(i => s"g$i")).mkString(" ")),
+      (102L, (1 to 20).map(i => s"h$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val spanDir = s"$base/span"
+    operators.TextOps.buildSpanIndex(corpus, spanDir, n = 6)
+    val art = s"$base/idx"
+    (100L to 102L).map(id => (id, id * 7)).toDF("doc_id", "v").write.parquet(art)
+
+    // the r10 wart: forgetFromSpanIndex was a standalone call OUTSIDE the
+    // forced audit gate — now the span index is a first-class leg
+    val report = Forget.forget(Seq(101L).toDF("doc_id"), "doc_id",
+      artifacts = Seq(art -> "doc_id"), spanIndexDirs = Seq(spanDir))
+    assert(report.artifactsPruned.toSet === Set(art, s"$spanDir/pos"),
+      s"span pos/ must appear in the pruned report: $report")
+    assert(spark.read.parquet(s"$spanDir/pos")
+      .filter($"doc_id" === 101L).count() === 0L)
+    val uDf = spark.read.parquet(s"$spanDir/grams")
+      .groupBy($"gram").agg(sum($"df").as("df"))
+      .filter($"gram" === ((1 to 6).map(i => s"u$i").mkString(" ")))
+      .collect().map(_.getLong(1))
+    assert(uDf.toSeq === Seq(1L),
+      s"U's df must reflect the removal through the gated leg: ${uDf.toSeq}")
+    assert(Forget.residuals(Seq(101L).toDF("doc_id"), "doc_id",
+      spanIndexDirs = Seq(spanDir)).isEmpty)
+
+    // a re-ingested pos row is caught by the same sweep forget throws on
+    spark.read.parquet(s"$spanDir/pos").limit(1)
+      .withColumn("doc_id", lit(101L))
+      .withColumn("db", lit((101L % 64).toInt))
+      .write.mode("append").partitionBy("db").parquet(s"$spanDir/pos")
+    val res = Forget.residuals(Seq(101L).toDF("doc_id"), "doc_id",
+      spanIndexDirs = Seq(spanDir))
+    assert(res.size === 1 && res.head.contains(s"$spanDir/pos"),
+      s"span residual must name the surface: $res")
+
+    // the narrowing doctrine reaches the standalone span call too: a null
+    // id fails loudly instead of silently shrinking the delete list
+    val eNull = intercept[IllegalArgumentException] {
+      operators.TextOps.forgetFromSpanIndex(
+        Seq(Some(100L), None).toDF("doc_id"), spanDir)
+    }
+    assert(eNull.getMessage.contains("null or not castable"),
+      s"null id must name the drop: ${eNull.getMessage}")
+  }
+
   test("residuals gate: red on an unpruned surface, green after, red on regression") {
     val sql = spark
     import sql.implicits._
