@@ -481,15 +481,26 @@ object Pipeline {
         round((log((col("ct") + 1L) / (col("ng") + buckets.toLong))
           - log((col("cr") - col("ct") + 1L) / (col("nb") + buckets.toLong))) * 1e6)
           .cast("long").as("w_micro"))
-    importanceFeatures(docs, lit(false), buckets, textCol)
+    // explode_outer (not importanceFeatures' explode) so a zero-token doc
+    // keeps one null-bucket row and scores quality_micro = prior with
+    // n_feats = 0 — scoreQuality's n_feats === 0 branch exactly, so the
+    // fit/serve ≡ batch parity contract holds on empty/whitespace-only
+    // texts too (the null bucket rides the same exchange: no extra scan,
+    // no extra shuffle, and bucketOf(null) is null via md5's null rule)
+    docs
+      .select(col("doc_id"), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode_outer(concat(col("__toks"),
+        TextOps.wordNgramsOfTokens(col("__toks"), 2))).as("gram"))
+      .select(col("doc_id"), bucketOf(col("gram"), buckets).as("bucket"))
       .join(broadcast(w), Seq("bucket"), "left_outer")
       .crossJoin(broadcast(consts.select(col("default_micro"), col("prior_micro"))))
       .groupBy(col("doc_id"), col("prior_micro"))
-      .agg(sum(coalesce(col("w_micro"), col("default_micro"))).as("s"),
-        count(lit(1)).as("n_feats"))
+      .agg(sum(when(col("bucket").isNotNull,
+          coalesce(col("w_micro"), col("default_micro")))).as("s"),
+        count(col("bucket")).as("n_feats"))
       .select(col("doc_id"), col("n_feats"),
-        (col("prior_micro") +
-          expr("CAST(sign(s) AS BIGINT) * ((abs(s) * 2 + n_feats) div (n_feats * 2))"))
+        (col("prior_micro") + when(col("n_feats") === 0L, lit(0L)).otherwise(
+          expr("CAST(sign(s) AS BIGINT) * ((abs(s) * 2 + n_feats) div (n_feats * 2))")))
           .as("quality_micro"))
       .withColumn("is_good", col("quality_micro") > 0L)
   }

@@ -565,6 +565,10 @@ object TextOps {
           sb.toString
         }
         rows.flatMap { case (id, text) =>
+          // a typed kernel doesn't inherit SQL null semantics the way the
+          // declarative operators do — a null text must yield no chunk
+          // rows (the explode-of-null rule), not an NPE that kills the job
+          if (text == null) Iterator.empty else {
           val n = text.length
           val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
           var p = w
@@ -586,6 +590,7 @@ object TextOps {
               text.substring(startIdx, e)
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
             (id, k.toLong, (startIdx + 1).toLong, (e - startIdx).toLong, digest)
+          }
           }
         }
       }
