@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.Tables
 import graft.queries.QuerySpec
@@ -627,11 +628,21 @@ object Pipeline {
     * and engines — no bin-packing heuristic whose output depends on
     * partition order.
     *
-    * Scale notes: one running-sum window per stratum (a single shuffle on
-    * `strataCol`, the same partitioning the downstream per-stratum shard
-    * write wants); no driver-side state. Strata are independent, so skew
-    * is bounded by the largest stratum, which a 100 TB pipeline already
-    * shards (source × date).
+    * Scale notes: the stratum-ordered running sum is a TWO-PASS
+    * DISTRIBUTED PREFIX SUM, not a per-stratum window — one range
+    * exchange on (stratum, id) spreads every stratum across ALL
+    * partitions, pass 1 collects one partial token sum per contiguous
+    * (partition, stratum) run (≤ partitions + strata entries — a few KB
+    * on the driver, broadcast back as per-partition start offsets), and
+    * pass 2 is a map-side local cumsum seeded by the offset. One
+    * pathological giant source (Common Crawl IS one source) therefore
+    * parallelizes across the whole cluster instead of funneling its
+    * cumsum onto a single window task; chunk assignment is byte-identical
+    * to the window formulation (same global (stratum, id) order, same
+    * exact-integer arithmetic). Pass 2 reuses pass 1's shuffle files
+    * (same RDD lineage — the exchange's map stage is skipped, and an
+    * executor loss recomputes from shuffle files rather than failing the
+    * job, unlike a localCheckpoint).
     */
   def packSequences(docs: DataFrame, budgetTokens: Int,
                     strataCol: String = "source",
@@ -639,22 +650,89 @@ object Pipeline {
                     tokenCountCol: Option[String] = None): DataFrame = {
     require(budgetTokens > 0,
       s"chunk budget must be positive, got $budgetTokens") // div-by-zero aborts under ANSI
-    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // tokenCountCol: pack on a caller-supplied budget measure (e.g. real
     // BPE token counts from TextOps.bpeTokenCounts — what the training
-    // batch actually pays for) instead of the whitespace default
-    tokenCountCol.fold(
-        docs.withColumn("n_tokens", TextOps.tokenCount(col("text"))))(c =>
-        docs.withColumn("n_tokens", col(c).cast("bigint")))
-      .withColumn("__cum", sum(col("n_tokens")).over(w))
-      // integer `div`, not floor(double /): a corpus-scale running token
-      // sum can pass 2^53, where double division starts mis-assigning
-      // chunk boundaries
-      .withColumn("chunk_id",
-        expr(s"(__cum - n_tokens) div $budgetTokens").cast("bigint"))
-      .drop("__cum")
+    // batch actually pays for) instead of the whitespace default.
+    // Applied AFTER the range exchange (order-preserving projection) so
+    // the exchange's boundary-sampling pass doesn't tokenize the corpus.
+    val withTok = (d: DataFrame) => tokenCountCol.fold(
+        d.withColumn("n_tokens", TextOps.tokenCount(col("text"))))(c =>
+        d.withColumn("n_tokens", col(c).cast("bigint")))
+    val spark = docs.sparkSession
+    val ordered = withTok(packOrdered(docs, strataCol, idCol))
+    val schema = ordered.schema
+    val sIdx = schema.fieldIndex(strataCol)
+    val tIdx = schema.fieldIndex("n_tokens")
+    // `.rdd` is a lazy val: both passes share ONE RDD DAG, so the range
+    // partitioner (sampled boundaries) is fixed once and pass 2 reuses
+    // pass 1's shuffle files — no checkpoint needed for consistency.
+    val rows = ordered.rdd
+    // pass 1: per-partition partial token sums, one entry per contiguous
+    // stratum run (rows are sorted by (stratum, id) within partitions).
+    // Null n_tokens rows contribute 0, matching `sum() OVER` semantics.
+    val runSums: Array[Array[(Any, Long)]] = rows.mapPartitions { it =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Any, Long)]
+      var cur: Any = null; var have = false; var acc = 0L
+      it.foreach { r =>
+        val s = r.get(sIdx)
+        if (!have || !java.util.Objects.equals(s, cur)) {
+          if (have) runs += ((cur, acc))
+          cur = s; acc = 0L; have = true
+        }
+        // n_tokens is int (default whitespace count) or bigint
+        // (caller-supplied measure) — read either exactly
+        if (!r.isNullAt(tIdx))
+          acc += r.get(tIdx).asInstanceOf[Number].longValue
+      }
+      if (have) runs += ((cur, acc))
+      Iterator.single(runs.toArray)
+    }.collect()
+    // driver fold: the range partitioning keeps each stratum CONTIGUOUS
+    // across partitions, so total entries ≤ partitions + strata.
+    val offsets: Array[Map[Any, Long]] = {
+      val acc = scala.collection.mutable.HashMap.empty[Any, Long]
+      runSums.map { runs =>
+        val off = runs.map { case (s, _) => s -> acc.getOrElse(s, 0L) }.toMap
+        runs.foreach { case (s, n) => acc.update(s, acc.getOrElse(s, 0L) + n) }
+        off
+      }
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val budget = budgetTokens.toLong
+    // pass 2: map-side local cumsum seeded by the broadcast offset. Long
+    // `/` truncates exactly like SQL `div` (exact-integer — a
+    // corpus-scale running sum can pass 2^53, where double division
+    // starts mis-assigning chunk boundaries); a null n_tokens yields a
+    // null chunk_id and leaves the cumsum unchanged, the window's
+    // null-skipping semantics.
+    val out = rows.mapPartitionsWithIndex { (pid, it) =>
+      val off = bc.value(pid)
+      var cur: Any = null; var have = false; var cum = 0L
+      it.map { r =>
+        val s = r.get(sIdx)
+        if (!have || !java.util.Objects.equals(s, cur)) {
+          cur = s; have = true; cum = off.getOrElse(s, 0L)
+        }
+        if (r.isNullAt(tIdx)) Row.fromSeq(r.toSeq :+ null)
+        else {
+          val chunk = cum / budget
+          cum += r.get(tIdx).asInstanceOf[Number].longValue
+          Row.fromSeq(r.toSeq :+ chunk)
+        }
+      }
+    }
+    spark.createDataFrame(out,
+      StructType(schema.fields :+ StructField("chunk_id", LongType)))
   }
+
+  /** [[packSequences]]' pre-pass: the global (stratum, id) ordering laid
+    * out as a range exchange + in-partition sort — every stratum spans
+    * MANY partitions (the de-funnel property the plan gate pins).
+    * `private[graft]` so PlanRegressionSuite can assert the shape. */
+  private[graft] def packOrdered(withTok: DataFrame, strataCol: String,
+                                 idCol: String): DataFrame =
+    withTok.repartitionByRange(col(strataCol), col(idCol))
+      .sortWithinPartitions(col(strataCol), col(idCol))
 
   /** MATERIALIZE [[packSequences]]' chunks into the rows a dataloader
     * actually consumes: one row per (stratum, chunk) with the member
@@ -668,8 +746,8 @@ object Pipeline {
     * id-ordered member array.
     *
     * Scale shape: ONE (stratum, chunk) exchange on top of
-    * [[packSequences]]' stratum window (the chunk id is a function of
-    * the same ordering, so AQE coalesces rather than re-shuffles); the
+    * [[packSequences]]' distributed prefix sum (whose range layout
+    * spreads even a single giant stratum across the cluster); the
     * member sort and prefix sum are per-group array expressions
     * (`sort_array` + `aggregate` fold — chunks are budget-bounded, so
     * the arrays are O(budget/avg-doc) small by construction). Packed

@@ -101,15 +101,33 @@ class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"eval-gram probe is not a broadcast semi-join:\n$p")
   }
 
-  test("q67: packing plans ONE hash exchange (window keyed on the stratum)") {
-    // the running-sum window shuffles by source once; the downstream
-    // groupBy(source, chunk_id) must reuse that partitioning (subset
-    // clustering), not add a second hash exchange
+  test("q67: packing cumsum is a distributed prefix sum, not a stratum window") {
+    // the running sum must NOT be a per-stratum window (one giant source
+    // would funnel its whole cumsum onto a single task); the kernel path
+    // surfaces as an ExistingRDD scan, and the only hash exchange is the
+    // downstream groupBy(source, chunk_id)
     val p = plan("q67_pack_sequences")
-    // formatted mode prints each Exchange's partitioning on its
-    // "Arguments:" detail line
+    assert(!p.contains("Window"),
+      s"packing must not plan a per-stratum window:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"expected the prefix-sum kernel's RDD scan:\n$p")
     val hashEx = "Arguments: hashpartitioning".r.findAllIn(p).size
     assert(hashEx == 1, s"expected 1 hash exchange, found $hashEx:\n$p")
+  }
+
+  test("q67 pre-pass: a stratum spans MANY partitions (range exchange on (stratum, id))") {
+    // the de-funnel property itself: the ordering exchange is a RANGE
+    // partitioning on (source, doc_id) — a single hot source spreads
+    // across the cluster instead of landing on one hash partition
+    val docs = graft.Tables.documents(spark, sfDir)
+      .withColumn("n_tokens",
+        graft.operators.TextOps.tokenCount(org.apache.spark.sql.functions.col("text")))
+    val p = graft.operators.Pipeline.packOrdered(docs, "source", "doc_id")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("rangepartitioning(source"),
+      s"expected a range exchange on (source, doc_id):\n$p")
+    assert(!p.contains("hashpartitioning(source"),
+      s"ordering must not hash-partition by the stratum alone:\n$p")
   }
 
   test("q68: repetition rollup has no shuffle before the partial aggregate") {
