@@ -658,6 +658,103 @@ object TextOps {
         col("n_key_a"), col("n_key_b"), col("shared_frac"))
   }
 
+  /** Digest prefix bucket (0..63) — the partition key of the persisted
+    * CDC chunk-digest index, the `grams/gb` layout discipline: a probe
+    * touching few digests reads few directories. The digest is already
+    * an md5 hex string, so its prefix IS a uniform hash — no re-hash. */
+  private def digestBucketCol(digest: Column): Column =
+    (conv(substring(digest, 1, 8), 16, 10).cast("long") % 64).cast("int")
+
+  /** The (doc, digest) frame both the index build and the probe share:
+    * distinct chunk digests per doc, the per-doc chunk-type count rider
+    * (bounded by document length), the prospective digest cap
+    * ([[graft.operators.Dedup.capByKey]] — applied per GENERATION, the
+    * standing incremental contract), and the `db` partition bucket. */
+  private def cdcDigestFrame(docs: DataFrame, w: Int, modSel: Int,
+                             maxBucketSize: Int, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Dedup.capByKey(
+      cdcChunks(docs, w, modSel, textCol)
+        .select(col("doc_id"), col("digest")).distinct()
+        .withColumn("n_key", count(lit(1)).over(
+          Window.partitionBy(col("doc_id")))),
+      Seq("digest"), maxBucketSize)
+      .withColumn("db", digestBucketCol(col("digest")))
+  }
+
+  /** Persist the CDC chunk-digest index at `dir/digests` — the nightly
+    * artifact that gives the CDC family the q74/q81/q117/q134/q146
+    * incremental discipline: 16-byte digests + per-doc counts, never
+    * text, partitioned by the digest prefix bucket so an ingest probe
+    * partition-prunes to the directories its own digests touch.
+    * [[cdcNearDupIngest]] probes AND grows it. */
+  def buildCdcIndex(docs: DataFrame, dir: String, w: Int = 8,
+                    modSel: Int = 32, maxBucketSize: Int = 64,
+                    textCol: String = "text"): Unit =
+    cdcDigestFrame(docs, w, modSel, maxBucketSize, textCol)
+      .write.mode("overwrite").partitionBy("db").parquet(s"$dir/digests")
+
+  /** Incremental CDC near-dup — [[cdcNearDupPairs]]' daily-ingest twin
+    * against the persisted index at `dir`: every (corpus, batch) and
+    * (batch, batch) pair sharing ≥ 1 chunk digest with `shared_frac ≥
+    * minFrac`, oriented `doc_a < doc_b`. The already-ingested corpus
+    * participates ONLY through its index rows (its text is never
+    * re-chunked, and corpus×corpus pairs — found at their own ingest —
+    * are never recomputed), so daily work is ∝ batch size: the batch is
+    * chunked once, its distinct digests select the touched `db`
+    * directories (partition-pruned read), and the join keys are 16-byte
+    * digests. Corpus and batch doc ids are disjoint by contract; the
+    * digest cap applies per generation (index capped at build, batch
+    * caps within itself). If `append`, the batch's digest rows join the
+    * index (parquet append — crash-safe per
+    * [[graft.operators.Multimodal.imageNearDupIngest]]'s note), so
+    * consecutive ingests self-sustain: build ∪ ingests ≡
+    * [[cdcNearDupPairs]] on the union corpus (suite-gated).
+    */
+  def cdcNearDupIngest(batch: DataFrame, dir: String, w: Int = 8,
+                       modSel: Int = 32, maxBucketSize: Int = 64,
+                       minFrac: Double = 0.25, append: Boolean = true,
+                       textCol: String = "text"): DataFrame = {
+    require(minFrac >= 0.0 && minFrac <= 1.0, s"bad minFrac $minFrac")
+    val spark = batch.sparkSession
+    // referenced by the touched-db collect, both pair legs, and the
+    // append: chunk the batch text once
+    val probe = cdcDigestFrame(batch, w, modSel, maxBucketSize, textCol)
+      .localCheckpoint(false)
+    val touched = probe.select(col("db")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val index = spark.read.parquet(s"$dir/digests")
+      .filter(col("db").isin(touched: _*))
+    // cross pairs: orientation by id (generations are disjoint but the
+    // contract does not order them, so each side's rider follows the flip)
+    val aIsLow = col("a.doc_id") < col("b.doc_id")
+    val cross = index.alias("a").join(probe.alias("b"),
+        col("a.digest") === col("b.digest"))
+      .select(
+        when(aIsLow, col("a.doc_id")).otherwise(col("b.doc_id")).as("doc_a"),
+        when(aIsLow, col("b.doc_id")).otherwise(col("a.doc_id")).as("doc_b"),
+        when(aIsLow, col("a.n_key")).otherwise(col("b.n_key")).as("n_key_a"),
+        when(aIsLow, col("b.n_key")).otherwise(col("a.n_key")).as("n_key_b"))
+    val within = probe.alias("a").join(probe.alias("b"),
+        col("a.digest") === col("b.digest") && aIsLow)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_key").as("n_key_a"), col("b.n_key").as("n_key_b"))
+    // results materialize BEFORE the append mutates `dir` under the
+    // lazy probe plan
+    val out = cross.unionAll(within)
+      .groupBy(col("doc_a"), col("doc_b"), col("n_key_a"), col("n_key_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("shared_frac",
+        round(col("n_shared").cast("double") / col("n_key_a"), 6))
+      .filter(col("shared_frac") >= minFrac)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_key_a"), col("n_key_b"), col("shared_frac"))
+      .localCheckpoint(true)
+    if (append) probe.write.mode("append").partitionBy("db")
+      .parquet(s"$dir/digests")
+    out
+  }
+
   private def gramBucketCol(gram: Column, hashGrams: Boolean): Column =
     if (hashGrams) pmod(gram, lit(64L)).cast("int")
     else (conv(substring(md5(gram), 1, 8), 16, 10).cast("long") % 64).cast("int")
@@ -906,6 +1003,17 @@ object TextOps {
     graft.operators.BuildOnce.dir("graft-span-index", d) { dir =>
       buildSpanIndex(Tables.documents(s, d).filter(col("doc_id") >= 250),
         s"$dir/index", n = 6)
+      s"$dir/index"
+    }
+
+  /** Build-once memo for the q153 harness query (the q146 memo
+    * discipline): the CDC chunk-digest index of the corpus generation
+    * (doc_id < 250), built once per sf-dir per JVM. Library users call
+    * [[buildCdcIndex]] with their own storage. */
+  private def cachedCdcIndex(s: SparkSession, d: String): String =
+    graft.operators.BuildOnce.dir("graft-cdc-index", d) { dir =>
+      buildCdcIndex(Tables.documents(s, d).filter(col("doc_id") < 250),
+        s"$dir/index")
       s"$dir/index"
     }
 
@@ -2194,6 +2302,76 @@ object TextOps {
                  COUNT(*) AS n_shared
           FROM capped a JOIN capped b
             ON a.digest = b.digest AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+               CAST(n_key_a AS BIGINT) AS n_key_a,
+               CAST(n_key_b AS BIGINT) AS n_key_b,
+               ROUND(CAST(n_shared AS DOUBLE) / n_key_a, 6) AS shared_frac
+        FROM pairs
+        WHERE ROUND(CAST(n_shared AS DOUBLE) / n_key_a, 6) >= 0.25
+        ORDER BY doc_a, doc_b""")),
+
+    // Incremental CDC dedup (r12): the batch (doc_id >= 250) probes the
+    // PERSISTED chunk-digest index of the corpus generation (< 250) —
+    // partition-pruned 16-byte digest reads, work ∝ batch, corpus text
+    // never re-chunked; cross + within-batch pairs, never corpus×corpus.
+    // The digest cap applies per generation (the standing incremental
+    // contract). md5 digests are engine-portable, so the family stays
+    // fully hash-gated: the oracle replays the chunk recurrence, the
+    // per-generation cap, and the exact pair algebra on the union.
+    QuerySpec(
+      "q153_cdc_neardup_incr",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        cdcNearDupIngest(docs.filter(col("doc_id") >= 250),
+            cachedCdcIndex(s, d), minFrac = 0.25, append = false)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""
+        WITH ch AS (
+          SELECT doc_id, text, string_split(text, '') AS cs,
+                 len(string_split(text, '')) AS n
+          FROM documents),
+        co AS (SELECT doc_id, text, n,
+                      list_transform(cs, c -> ascii(c)) AS codes
+               FROM ch),
+        hs AS (
+          SELECT doc_id, text, n, u.p AS p,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   codes[u.p - 7 : u.p]),
+                   (acc, c) -> (acc * 31 + c) % 1000003) AS h
+          FROM co, UNNEST(generate_series(8, n)) AS u(p)),
+        bounds AS (
+          SELECT doc_id, list(p ORDER BY p) AS b
+          FROM hs WHERE h % 32 = 0 GROUP BY doc_id),
+        ends AS (
+          SELECT c.doc_id, c.text, c.n,
+                 CASE WHEN b.b IS NULL THEN [c.n]
+                      WHEN b.b[-1] <> c.n THEN list_append(b.b, c.n)
+                      ELSE b.b END AS e
+          FROM co c LEFT JOIN bounds b USING (doc_id)),
+        idx AS (
+          SELECT doc_id, text, e, u.k AS k
+          FROM ends, UNNEST(generate_series(1, len(e))) AS u(k)),
+        dg AS (
+          SELECT DISTINCT doc_id,
+                 md5(text[(CASE WHEN k = 1 THEN 1 ELSE e[k - 1] + 1 END):e[k]])
+                   AS digest
+          FROM idx),
+        keyed AS (
+          SELECT doc_id, digest,
+                 COUNT(*) OVER (PARTITION BY doc_id) AS n_key,
+                 COUNT(*) OVER (PARTITION BY digest,
+                   CASE WHEN doc_id < 250 THEN 0 ELSE 1 END) AS bn
+          FROM dg),
+        capped AS (SELECT * FROM keyed WHERE bn <= 64),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.n_key AS n_key_a, b.n_key AS n_key_b,
+                 COUNT(*) AS n_shared
+          FROM capped a JOIN capped b
+            ON a.digest = b.digest AND a.doc_id < b.doc_id
+           AND b.doc_id >= 250
           GROUP BY 1, 2, 3, 4)
         SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
                CAST(n_key_a AS BIGINT) AS n_key_a,

@@ -794,6 +794,55 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       "over-cap digests must admit no candidates")
   }
 
+  test("cdcNearDupIngest: build ∪ consecutive ingests ≡ full run on the union corpus") {
+    val sql = spark
+    import sql.implicits._
+    val body = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 50).map(i => s"w$i x$i").mkString(" ")
+    // gen0: 1-2 near-dup; gen1 doc 11 dups gen0; gen2 doc 21 dups gen1's 12
+    val gen0 = Seq((1L, body), (2L, "inserted preamble text here " + body))
+      .toDF("doc_id", "text")
+    val gen1 = Seq((11L, body + " trailing addition"), (12L, other))
+      .toDF("doc_id", "text")
+    val gen2 = Seq((21L, "prefix " + other), (22L, "unrelated fresh material entirely"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("cdc-ingest").toString
+
+    TextOps.buildCdcIndex(gen0, dir)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    val p0 = pairSet(TextOps.cdcNearDupPairs(gen0, minFrac = 0.1))
+    val p1 = pairSet(TextOps.cdcNearDupIngest(gen1, dir, minFrac = 0.1))
+    val p2 = pairSet(TextOps.cdcNearDupIngest(gen2, dir, minFrac = 0.1))
+    assert(p1.exists(p => p._1 <= 2L && p._2 == 11L),
+      s"ingest 1 must find the cross-generation dup: $p1")
+    assert(p2.exists(p => p._1 == 12L && p._2 == 21L),
+      s"ingest 2 must find the dup against ingest 1's APPENDED rows: $p2")
+    val full = pairSet(TextOps.cdcNearDupPairs(
+      gen0.unionAll(gen1).unionAll(gen2), minFrac = 0.1))
+    assert((p0 ++ p1 ++ p2) === full,
+      s"build ∪ ingests must equal the full union run:\n${p0 ++ p1 ++ p2}\n$full")
+
+    // append=false is a pure probe: running the same what-if batch twice
+    // yields identical pairs (the first run did not grow the index)
+    val gen3 = Seq((31L, body)).toDF("doc_id", "text")
+    val probe1 = pairSet(TextOps.cdcNearDupIngest(gen3, dir, minFrac = 0.1,
+      append = false))
+    val probe2 = pairSet(TextOps.cdcNearDupIngest(gen3, dir, minFrac = 0.1,
+      append = false))
+    assert(probe1 === probe2 && probe1.exists(_._2 == 31L), s"$probe1")
+
+    // the probe's index read prunes at the PARTITION level: a db filter
+    // lands as a partition filter, listing only the touched buckets
+    val idxRead = spark.read.parquet(s"$dir/digests").filter(col("db").isin(3, 7))
+    val scan = idxRead.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in the index-read plan"))
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "db")),
+      "db must prune digests/ at the partition level")
+  }
+
   test("dupMassBySource: disjoint islands sum to covered tokens, per source") {
     val sql = spark
     import sql.implicits._
