@@ -546,52 +546,87 @@ object TextOps {
     * better than the UDF it replaces.)
     */
   def cdcChunks(docs: DataFrame, w: Int = 8, modSel: Int = 32,
-                textCol: String = "text"): DataFrame = {
+                textCol: String = "text"): DataFrame =
+    cdcChunksKernel(docs, w, modSel, minLen = 1, maxLen = Int.MaxValue, textCol)
+
+  /** Per-document CDC chunk rows — ONE boundary-rule definition shared by
+    * the batch kernel and the streaming twin (the
+    * [[graft.operators.Multimodal]] `audioBands` discipline: a stream
+    * replay must reproduce the batch chunk topology exactly). Returns
+    * `(chunk_idx, chunk_start 1-based, chunk_len, digest)` tuples; a null
+    * text yields no rows (the explode-of-null rule — a typed kernel
+    * doesn't inherit SQL null semantics, and an NPE would kill the job).
+    *
+    * `minLen`/`maxLen` are the production FastCDC/rsync clamps: boundary
+    * candidates closer than `minLen` to the chunk start are SKIPPED, and
+    * a boundary is FORCED once the chunk reaches `maxLen` — bounding both
+    * the per-chunk work and the digest-row blowup of pathological content
+    * (a doc of repeated boundary patterns, or one with none). The pure
+    * tier is the identity clamp `(1, ∞)`: every candidate cuts, nothing
+    * forces — byte-identical to the unclamped recurrence. The final chunk
+    * always ends at the text end (and may be shorter than `minLen`).
+    */
+  private[graft] def cdcChunkRowsOf(text: String, w: Int, modSel: Int,
+      minLen: Int, maxLen: Int,
+      md: java.security.MessageDigest): Iterator[(Long, Long, Long, String)] = {
+    if (text == null) return Iterator.empty
+    def hex(b: Array[Byte]): String = {
+      val sb = new java.lang.StringBuilder(32)
+      var i = 0
+      while (i < b.length) {
+        sb.append(Character.forDigit((b(i) >> 4) & 0xF, 16))
+        sb.append(Character.forDigit(b(i) & 0xF, 16))
+        i += 1
+      }
+      sb.toString
+    }
+    val n = text.length
+    val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var e = 0 // 0-based exclusive end of the previous chunk
+    var p = 1
+    while (p <= n) {
+      // force-first: at exactly maxLen the chunk cuts whether or not the
+      // content rule fires (the rsync/FastCDC max clamp); under minLen
+      // the content rule is skipped WITHOUT computing the hash
+      if (p - e == maxLen) { ends += p; e = p }
+      else if (p - e >= minLen && p >= w) {
+        // trailing-w rolling hash, the recurrence the oracle replays
+        var h = 0L
+        var j = p - w
+        while (j < p) { h = (h * 31 + text.charAt(j)) % 1000003L; j += 1 }
+        if (h % modSel == 0) { ends += p; e = p }
+      }
+      p += 1
+    }
+    if (ends.isEmpty || ends.last != n) ends += n
+    var prev = 0
+    ends.iterator.zipWithIndex.map { case (end, k) =>
+      val startIdx = prev
+      prev = end
+      md.reset()
+      val digest = hex(md.digest(
+        text.substring(startIdx, end)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      (k.toLong, (startIdx + 1).toLong, (end - startIdx).toLong, digest)
+    }
+  }
+
+  private def cdcChunksKernel(docs: DataFrame, w: Int, modSel: Int,
+                              minLen: Int, maxLen: Int,
+                              textCol: String): DataFrame = {
     require(w >= 2, s"cdcChunks: window must be >= 2, got $w")
     require(modSel >= 2, s"cdcChunks: modSel must be >= 2, got $modSel")
+    require(minLen >= 1, s"cdcChunks: minLen must be >= 1, got $minLen")
+    require(maxLen >= minLen,
+      s"cdcChunks: maxLen ($maxLen) must be >= minLen ($minLen)")
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        def hex(b: Array[Byte]): String = {
-          val sb = new java.lang.StringBuilder(32)
-          var i = 0
-          while (i < b.length) {
-            sb.append(Character.forDigit((b(i) >> 4) & 0xF, 16))
-            sb.append(Character.forDigit(b(i) & 0xF, 16))
-            i += 1
-          }
-          sb.toString
-        }
         rows.flatMap { case (id, text) =>
-          // a typed kernel doesn't inherit SQL null semantics the way the
-          // declarative operators do — a null text must yield no chunk
-          // rows (the explode-of-null rule), not an NPE that kills the job
-          if (text == null) Iterator.empty else {
-          val n = text.length
-          val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
-          var p = w
-          while (p <= n) {
-            // trailing-w rolling hash, the recurrence the oracle replays
-            var h = 0L
-            var j = p - w
-            while (j < p) { h = (h * 31 + text.charAt(j)) % 1000003L; j += 1 }
-            if (h % modSel == 0) ends += p
-            p += 1
-          }
-          if (ends.isEmpty || ends.last != n) ends += n
-          var prev = 0 // 0-based exclusive end of the previous chunk
-          ends.iterator.zipWithIndex.map { case (e, k) =>
-            val startIdx = prev
-            prev = e
-            md.reset()
-            val digest = hex(md.digest(
-              text.substring(startIdx, e)
-                .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-            (id, k.toLong, (startIdx + 1).toLong, (e - startIdx).toLong, digest)
-          }
-          }
+          cdcChunkRowsOf(text, w, modSel, minLen, maxLen, md)
+            .map { case (k, start, len, digest) => (id, k, start, len, digest) }
         }
       }
       .toDF("doc_id", "chunk_idx", "chunk_start", "chunk_len", "digest")
