@@ -632,6 +632,21 @@ object TextOps {
       .toDF("doc_id", "chunk_idx", "chunk_start", "chunk_len", "digest")
   }
 
+  /** PRODUCTION tier of [[cdcChunks]] — the FastCDC/rsync min/max
+    * clamps on the same boundary recurrence: candidates closer than
+    * `minLen` to the chunk start are skipped (bounding the digest-row
+    * blowup of content whose rolling hash fires everywhere), and a cut
+    * is FORCED at `maxLen` (bounding per-chunk work and chunk size for
+    * content with no boundary at all — both pathologies exist in a
+    * 100 TB crawl). Expected chunk length stays ≈ `modSel` between the
+    * clamps; the final chunk may still be shorter than `minLen` (it ends
+    * at the text end). Same output schema and scale shape as the pure
+    * tier: one mapPartitions pass, zero exchanges. */
+  def cdcChunksClamped(docs: DataFrame, w: Int = 8, modSel: Int = 32,
+                       minLen: Int = 16, maxLen: Int = 64,
+                       textCol: String = "text"): DataFrame =
+    cdcChunksKernel(docs, w, modSel, minLen, maxLen, textCol)
+
   /** Cross-doc duplicated CDC chunks: digests appearing in ≥ 2 distinct
     * docs, with copy counts and the min-id canonical — the
     * [[graft.operators.Multimodal.audioDedupGroups]] shape over
@@ -2345,6 +2360,69 @@ object TextOps {
         FROM pairs
         WHERE ROUND(CAST(n_shared AS DOUBLE) / n_key_a, 6) >= 0.25
         ORDER BY doc_a, doc_b""")),
+
+    // Clamped CDC chunking (r12): the production FastCDC/rsync tier —
+    // boundary candidates under minLen=16 from the chunk start are
+    // skipped, a cut is forced at maxLen=64. The oracle replays the
+    // SEQUENTIAL clamp walk as a RECURSIVE CTE: from each boundary e the
+    // next is the first candidate in [e+16, e+63] (the candidate set
+    // comes from the same rolling-hash recurrence as q151) else the
+    // forced e+64, capped at the text end. (A list_reduce fold with a
+    // growing list accumulator mis-evaluates under DuckDB 1.0's lambda
+    // vectorization — conditional appends silently drop earlier
+    // elements — so the walk is recursion, not a fold.) Both clamps
+    // fire at sf0.01.
+    QuerySpec(
+      "q154_cdc_clamped",
+      (s, d) => cdcChunksClamped(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""
+        WITH RECURSIVE ch AS (
+          SELECT doc_id, text, string_split(text, '') AS cs,
+                 len(string_split(text, '')) AS n
+          FROM documents),
+        co AS (SELECT doc_id, text, n,
+                      list_transform(cs, c -> ascii(c)) AS codes
+               FROM ch),
+        hs AS (
+          SELECT doc_id, u.p AS p,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   codes[u.p - 7 : u.p]),
+                   (acc, c) -> (acc * 31 + c) % 1000003) AS h
+          FROM co, UNNEST(generate_series(8, n)) AS u(p)),
+        cand AS (
+          SELECT doc_id, list(CAST(p AS BIGINT) ORDER BY p) AS cl
+          FROM hs WHERE h % 32 = 0 GROUP BY doc_id),
+        base AS (SELECT c.doc_id, c.n, COALESCE(b.cl, []) AS cl
+                 FROM co c LEFT JOIN cand b USING (doc_id)),
+        rec AS (
+          SELECT doc_id, CAST(0 AS BIGINT) AS e, n, cl FROM base
+          UNION ALL
+          SELECT doc_id,
+                 LEAST(COALESCE(
+                     list_filter(cl, c -> c - e >= 16 AND c - e < 64)[1],
+                     e + 64), CAST(n AS BIGINT)) AS e, n, cl
+          FROM rec WHERE e < n),
+        bl AS (SELECT doc_id, list(e ORDER BY e) AS e0
+               FROM rec WHERE e > 0 GROUP BY doc_id),
+        ends AS (
+          SELECT c.doc_id, c.text, c.n,
+                 CASE WHEN b.e0 IS NULL THEN [CAST(c.n AS BIGINT)]
+                      ELSE b.e0 END AS e
+          FROM co c LEFT JOIN bl b USING (doc_id)),
+        idx AS (
+          SELECT doc_id, text, e, u.k AS k
+          FROM ends, UNNEST(generate_series(1, len(e))) AS u(k))
+        SELECT doc_id,
+               CAST(k - 1 AS BIGINT) AS chunk_idx,
+               CAST(CASE WHEN k = 1 THEN 1 ELSE e[k - 1] + 1 END
+                    AS BIGINT) AS chunk_start,
+               CAST(e[k] - (CASE WHEN k = 1 THEN 1 ELSE e[k - 1] + 1 END) + 1
+                    AS BIGINT) AS chunk_len,
+               md5(text[(CASE WHEN k = 1 THEN 1 ELSE e[k - 1] + 1 END):e[k]])
+                 AS digest
+        FROM idx
+        ORDER BY doc_id, chunk_idx""")),
 
     // Incremental CDC dedup (r12): the batch (doc_id >= 250) probes the
     // PERSISTED chunk-digest index of the corpus generation (< 250) —

@@ -794,6 +794,63 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       "over-cap digests must admit no candidates")
   }
 
+  test("cdcChunksClamped: min skips close candidates, max forces cuts, identity clamp ≡ pure") {
+    val sql = spark
+    import sql.implicits._
+    val body = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, body), (2L, "prefix shift " + body),
+      (3L, "zz"), (4L, "")).toDF("doc_id", "text")
+
+    // identity clamp is byte-identical to the pure tier
+    val pure = TextOps.cdcChunks(docs).collect().map(_.toSeq).toSet
+    val ident = TextOps.cdcChunksClamped(docs, minLen = 1,
+      maxLen = Int.MaxValue).collect().map(_.toSeq).toSet
+    assert(ident === pure, "identity clamp must reproduce the pure tier")
+
+    // clamped invariants: every chunk ≤ maxLen; every NON-FINAL chunk ≥
+    // minLen (the final chunk ends at the text end and may be shorter);
+    // chunks still tile the doc exactly
+    val clamped = TextOps.cdcChunksClamped(docs, minLen = 16, maxLen = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    docs.collect().foreach { d =>
+      val id = d.getLong(0); val len = d.getString(1).length
+      val cs = clamped.filter(_._1 == id).sortBy(_._2)
+      assert(cs.head._3 == 1L && cs.map(_._4).sum == len.toLong,
+        s"doc $id must tile its $len chars: ${cs.toSeq}")
+      assert(cs.forall(_._4 <= 64L), s"maxLen violated: ${cs.toSeq}")
+      assert(cs.dropRight(1).forall(_._4 >= 16L),
+        s"non-final chunk under minLen: ${cs.toSeq}")
+    }
+
+    // a doc with NO boundary candidates cuts at exactly maxLen intervals
+    // (content rule never fires on 'aaaa…' unless the hash happens to —
+    // verify against the pure tier producing one chunk)
+    val flat = Seq((9L, "a" * 200)).toDF("doc_id", "text")
+    val flatPure = TextOps.cdcChunks(flat).collect()
+    if (flatPure.length == 1) {
+      val forced = TextOps.cdcChunksClamped(flat, minLen = 16, maxLen = 64)
+        .collect().map(r => r.getLong(3)).toSeq.sorted
+      assert(forced == Seq(8L, 64L, 64L, 64L),
+        s"forced cuts must tile 200 as 64+64+64+8: $forced")
+    }
+
+    // min clamp: the pure tier's consecutive candidates (closer than
+    // minLen) collapse — clamped must have strictly fewer-or-equal cuts
+    // and every clamped boundary must be a pure boundary or a forced cut
+    val pureEnds = TextOps.cdcChunks(docs.filter($"doc_id" === 1L))
+      .collect().map(r => r.getLong(2) + r.getLong(3) - 1).toSet
+    val clampedRows = TextOps.cdcChunksClamped(docs.filter($"doc_id" === 1L),
+      minLen = 16, maxLen = 64).collect()
+    val clampedEnds = clampedRows.map(r => r.getLong(2) + r.getLong(3) - 1)
+    clampedRows.foreach { r =>
+      val end = r.getLong(2) + r.getLong(3) - 1
+      assert(pureEnds.contains(end) || r.getLong(3) == 64L ||
+        end == body.length.toLong,
+        s"clamped end $end is neither a content cut, a forced cut, nor the text end")
+    }
+    assert(clampedEnds.length <= pureEnds.size + body.length / 64 + 1)
+  }
+
   test("cdcNearDupIngest: build ∪ consecutive ingests ≡ full run on the union corpus") {
     val sql = spark
     import sql.implicits._
