@@ -88,22 +88,28 @@ object Pipeline {
 
   /** Stage-by-stage curation FUNNEL report — the observability companion
     * to [[curate]]: per source, how many docs enter and how many survive
-    * each stage (raw → quality gate → exact dedup → near-dup prune).
-    * This is the number a data team actually debugs with: "source X lost
-    * 80% at the quality gate but only 2% to dedup" localizes a scraper
-    * problem in one glance, where [[curateWithMetrics]]' end-to-end
-    * totals cannot say WHICH stage ate the corpus.
+    * each stage (raw → quality gate → exact dedup → near-dup prune →
+    * CDC chunk-dup prune). This is the number a data team actually
+    * debugs with: "source X lost 80% at the quality gate but only 2% to
+    * dedup" localizes a scraper problem in one glance, where
+    * [[curateWithMetrics]]' end-to-end totals cannot say WHICH stage ate
+    * the corpus. The CDC leg (r12) catches what the token-Jaccard stage
+    * can't: verbatim byte runs at shifted offsets
+    * ([[graft.operators.TextOps.cdcNearDupPairs]] losers, greedy
+    * keep-lowest-id like the near-dup stage).
     *
     * Scale shape: the stage frames are exactly [[curate]]'s (same
     * operators, same checkpoints — the quality output feeds its count
     * AND the dedup; the exact-deduped output feeds its count AND the
-    * near-dup probe), so the funnel costs the pipeline run plus four
+    * near-dup probe; the near-dup survivors feed their count AND the CDC
+    * probe), so the funnel costs the pipeline run plus five
     * |sources|-row map-side-combined aggregates joined driver-free.
     * Counts, never rows, leave each stage.
     */
   def curationFunnel(docs: DataFrame, minTokens: Int, maxTokens: Int,
                      minTtr: Double, nearDupThreshold: Double,
-                     maxTokenDf: Int = 1000): DataFrame = {
+                     maxTokenDf: Int = 1000,
+                     cdcMinFrac: Double = 0.25): DataFrame = {
     val quality = docs
       .withColumn("__toks", TextOps.tokens(col("text")))
       .withColumn("n_tokens", TextOps.tokenCountOfTokens(col("__toks")))
@@ -116,17 +122,23 @@ object Pipeline {
         maxTokenDf = maxTokenDf)
       .select(col("doc_b").as("doc_id")).distinct()
     val survived = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false) // feeds its own count AND the CDC probe
+    val cdcLosers = TextOps.cdcNearDupPairs(survived, minFrac = cdcMinFrac)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val cdcSurvived = survived.join(cdcLosers, Seq("doc_id"), "left_anti")
     def cnt(df: DataFrame, name: String): DataFrame =
       df.groupBy(col("source")).agg(count(lit(1)).as(name))
     cnt(docs, "n_raw")
       .join(cnt(quality, "n_quality"), Seq("source"), "left_outer")
       .join(cnt(exactDeduped, "n_exact"), Seq("source"), "left_outer")
       .join(cnt(survived, "n_final"), Seq("source"), "left_outer")
+      .join(cnt(cdcSurvived, "n_cdc"), Seq("source"), "left_outer")
       .select(col("source"),
         col("n_raw"),
         coalesce(col("n_quality"), lit(0L)).as("n_quality"),
         coalesce(col("n_exact"), lit(0L)).as("n_exact"),
-        coalesce(col("n_final"), lit(0L)).as("n_final"))
+        coalesce(col("n_final"), lit(0L)).as("n_final"),
+        coalesce(col("n_cdc"), lit(0L)).as("n_cdc"))
   }
 
   /** Per-source DATASET REPORT CARD — the one-table governance view a
@@ -134,9 +146,13 @@ object Pipeline {
     * joining the catalog's proven per-source metrics: volume (docs,
     * tokens, distinct languages), exact-duplicate pressure (docs minus
     * distinct content digests), verbatim-span duplication mass
-    * ([[graft.operators.TextOps.dupMassBySource]]), and the trained
-    * quality classifier's integer mean score ([[qualityScores]], the
-    * sign-aware rounded mean). Each column is individually
+    * ([[graft.operators.TextOps.dupMassBySource]]), CHUNK-level
+    * duplication from content-defined chunking (r12 — the share of a
+    * source's CDC chunk instances whose digest recurs in ≥ 2 docs
+    * corpus-wide, the byte-run complement of the token-span mass:
+    * boilerplate at shifted offsets that tokenization misses), and the
+    * trained quality classifier's integer mean score ([[qualityScores]],
+    * the sign-aware rounded mean). Each column is individually
     * oracle-proven elsewhere (q121's report is the keep/drop VERDICT
     * tier; this is the metrics bundle).
     *
@@ -155,6 +171,22 @@ object Pipeline {
         .cast("bigint").as("exact_dup_docs"))
     val mass = TextOps.dupMassBySource(docs, n)
       .select(col("source"), col("dup_tokens"), col("dup_frac"))
+    // CDC leg: one chunking pass (checkpointed — feeds the dup-digest
+    // aggregation AND the per-source rollup), digest-keyed 16 B rows only
+    val ch = TextOps.cdcChunks(docs).select(col("doc_id"), col("digest"))
+      .localCheckpoint(false)
+    val dupDg = ch.groupBy(col("digest"))
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("digest"), lit(1L).as("__dup"))
+    val cdc = ch.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .join(dupDg, Seq("digest"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("__nch"),
+        sum(coalesce(col("__dup"), lit(0L))).cast("bigint").as("cdc_dup_chunks"))
+      .select(col("source"), col("cdc_dup_chunks"),
+        round(col("cdc_dup_chunks").cast("double") / col("__nch"), 6)
+          .as("cdc_dup_frac"))
     val qual = qualityScores(docs, isGoodSeed, isBadSeed, buckets)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .groupBy(col("source"))
@@ -163,11 +195,14 @@ object Pipeline {
         expr("CAST(sign(s) AS BIGINT) * ((abs(s) * 2 + n) div (n * 2))")
           .as("mean_quality_micro"))
     base.join(mass, Seq("source"), "left_outer")
+      .join(cdc, Seq("source"), "left_outer")
       .join(qual, Seq("source"), "left_outer")
       .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
         col("exact_dup_docs"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         coalesce(col("dup_frac"), lit(0.0)).as("dup_frac"),
+        coalesce(col("cdc_dup_chunks"), lit(0L)).as("cdc_dup_chunks"),
+        coalesce(col("cdc_dup_frac"), lit(0.0)).as("cdc_dup_frac"),
         col("mean_quality_micro"))
   }
 
@@ -1672,11 +1707,13 @@ object Pipeline {
         FROM scored s JOIN documents d USING (doc_id)
         ORDER BY rnk LIMIT 50""")),
 
-    // Per-source dataset report card (r10): volume, language spread,
-    // exact-dup pressure, verbatim duplication mass, and the trained
+    // Per-source dataset report card (r10; CDC leg r12): volume,
+    // language spread, exact-dup pressure, verbatim duplication mass,
+    // chunk-level CDC duplication (share of a source's chunk instances
+    // whose digest recurs in >= 2 docs corpus-wide), and the trained
     // classifier's mean score in ONE governance table — every column an
-    // already-proven fragment (q144's spans, q139's classifier), joined
-    // on source and fully hash-gated.
+    // already-proven fragment (q144's spans, q151's chunking, q139's
+    // classifier), joined on source and fully hash-gated.
     QuerySpec(
       "q150_source_report_card",
       (s, d) => sourceReportCard(Tables.documents(s, d),
@@ -1771,13 +1808,53 @@ object Pipeline {
                       * ((abs(SUM(sc.quality_micro))*2 + COUNT(*))
                          // (COUNT(*)*2)) AS BIGINT) AS mean_quality_micro
           FROM scored sc JOIN documents d USING (doc_id)
+          GROUP BY d.source),
+        cch AS (
+          SELECT doc_id, text, string_split(text, '') AS cs,
+                 len(string_split(text, '')) AS cn
+          FROM documents),
+        cco AS (SELECT doc_id, text, cn,
+                       list_transform(cs, c -> ascii(c)) AS codes
+                FROM cch),
+        chs AS (
+          SELECT doc_id, u.p AS p,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   codes[u.p - 7 : u.p]),
+                   (acc, c) -> (acc * 31 + c) % 1000003) AS h
+          FROM cco, UNNEST(generate_series(8, cn)) AS u(p)),
+        cbounds AS (
+          SELECT doc_id, list(p ORDER BY p) AS b
+          FROM chs WHERE h % 32 = 0 GROUP BY doc_id),
+        cends AS (
+          SELECT c.doc_id, c.text, c.cn,
+                 CASE WHEN b.b IS NULL THEN [c.cn]
+                      WHEN b.b[-1] <> c.cn THEN list_append(b.b, c.cn)
+                      ELSE b.b END AS e
+          FROM cco c LEFT JOIN cbounds b USING (doc_id)),
+        cdg AS (
+          SELECT doc_id,
+                 md5(text[(CASE WHEN k = 1 THEN 1 ELSE e[k - 1] + 1 END):e[k]])
+                   AS digest
+          FROM (SELECT doc_id, text, e, u.k AS k
+                FROM cends, UNNEST(generate_series(1, len(e))) AS u(k))),
+        cdup AS (SELECT digest FROM cdg GROUP BY digest
+                 HAVING COUNT(DISTINCT doc_id) >= 2),
+        cstat AS (
+          SELECT d.source, COUNT(*) AS n_chunks,
+                 SUM(CASE WHEN c.digest IN (SELECT digest FROM cdup)
+                     THEN 1 ELSE 0 END) AS dupn
+          FROM cdg c JOIN documents d USING (doc_id)
           GROUP BY d.source)
         SELECT b.source, b.n_docs, b.n_tokens, b.n_langs, b.exact_dup_docs,
                COALESCE(m.dup_tokens, 0) AS dup_tokens,
                COALESCE(m.dup_frac, 0.0) AS dup_frac,
+               COALESCE(CAST(cs.dupn AS BIGINT), 0) AS cdc_dup_chunks,
+               COALESCE(ROUND(CAST(cs.dupn AS DOUBLE) / cs.n_chunks, 6), 0.0)
+                 AS cdc_dup_frac,
                q.mean_quality_micro
         FROM base b
         LEFT JOIN mass m ON m.source = b.source
+        LEFT JOIN cstat cs ON cs.source = b.source
         LEFT JOIN qual q ON q.source = b.source
         ORDER BY b.source""")),
 
@@ -2052,10 +2129,11 @@ object Pipeline {
         GROUP BY source
         ORDER BY source""")),
 
-    // Stage-by-stage curation funnel (r10): the q99 pipeline's per-source
-    // attrition accounting — raw → quality → exact dedup → near-dup, all
-    // four counts hash-gated with the same capped deterministic candidate
-    // rule as q99.
+    // Stage-by-stage curation funnel (r10; CDC leg r12): the q99
+    // pipeline's per-source attrition accounting — raw → quality →
+    // exact dedup → near-dup → CDC chunk-dup, all five counts
+    // hash-gated; the CDC stage replays the q152 pair algebra over the
+    // near-dup survivors.
     QuerySpec(
       "q142_curation_funnel",
       (s, d) => curationFunnel(Tables.documents(s, d),
@@ -2095,20 +2173,70 @@ object Pipeline {
             JOIN toksets b ON c.doc_b = b.doc_id
           WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
                   / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+        kept AS (
+          SELECT * FROM exact_deduped
+          WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
         final AS (
-          SELECT source, COUNT(*) AS n FROM exact_deduped
-          WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+          SELECT source, COUNT(*) AS n FROM kept GROUP BY source),
+        cch AS (
+          SELECT doc_id, text, string_split(text, '') AS cs,
+                 len(string_split(text, '')) AS cn
+          FROM kept),
+        cco AS (SELECT doc_id, text, cn,
+                       list_transform(cs, c -> ascii(c)) AS codes
+                FROM cch),
+        chs AS (
+          SELECT doc_id, u.p AS p,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   codes[u.p - 7 : u.p]),
+                   (acc, c) -> (acc * 31 + c) % 1000003) AS h
+          FROM cco, UNNEST(generate_series(8, cn)) AS u(p)),
+        cbounds AS (
+          SELECT doc_id, list(p ORDER BY p) AS b
+          FROM chs WHERE h % 32 = 0 GROUP BY doc_id),
+        cends AS (
+          SELECT c.doc_id, c.text, c.cn,
+                 CASE WHEN b.b IS NULL THEN [c.cn]
+                      WHEN b.b[-1] <> c.cn THEN list_append(b.b, c.cn)
+                      ELSE b.b END AS e
+          FROM cco c LEFT JOIN cbounds b USING (doc_id)),
+        cdg AS (
+          SELECT DISTINCT doc_id,
+                 md5(text[(CASE WHEN k = 1 THEN 1 ELSE e[k - 1] + 1 END):e[k]])
+                   AS digest
+          FROM (SELECT doc_id, text, e, u.k AS k
+                FROM cends, UNNEST(generate_series(1, len(e))) AS u(k))),
+        ckeyed AS (
+          SELECT doc_id, digest,
+                 COUNT(*) OVER (PARTITION BY doc_id) AS n_key,
+                 COUNT(*) OVER (PARTITION BY digest) AS bn
+          FROM cdg),
+        ccapped AS (SELECT * FROM ckeyed WHERE bn <= 64),
+        cpairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.n_key AS n_key_a, COUNT(*) AS n_shared
+          FROM ccapped a JOIN ccapped b
+            ON a.digest = b.digest AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3),
+        closers AS (
+          SELECT DISTINCT doc_b AS doc_id FROM cpairs
+          WHERE ROUND(CAST(n_shared AS DOUBLE) / n_key_a, 6) >= 0.25),
+        cdcn AS (
+          SELECT source, COUNT(*) AS n FROM kept
+          WHERE doc_id NOT IN (SELECT doc_id FROM closers)
           GROUP BY source)
         SELECT d.source, COUNT(*) AS n_raw,
                COALESCE(MAX(q.n), 0) AS n_quality,
                COALESCE(MAX(e.n), 0) AS n_exact,
-               COALESCE(MAX(f.n), 0) AS n_final
+               COALESCE(MAX(f.n), 0) AS n_final,
+               COALESCE(MAX(c.n), 0) AS n_cdc
         FROM documents d
         LEFT JOIN (SELECT source, COUNT(*) AS n FROM quality GROUP BY source) q
           ON q.source = d.source
         LEFT JOIN (SELECT source, COUNT(*) AS n FROM exact_deduped GROUP BY source) e
           ON e.source = d.source
         LEFT JOIN final f ON f.source = d.source
+        LEFT JOIN cdcn c ON c.source = d.source
         GROUP BY d.source
         ORDER BY d.source""")),
 

@@ -1093,10 +1093,29 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
         minTtr = 0.3, nearDupThreshold = 0.8, maxTokenDf = 100)
       .collect()
       .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
-    assert(got("sA") === ((4L, 3L, 2L, 1L)),
-      s"sA: raw 4 → quality 3 → exact 2 → final 1, got ${got("sA")}")
-    assert(got("sB") === ((1L, 1L, 1L, 1L)), s"sB untouched: ${got("sB")}")
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got("sA") === ((4L, 3L, 2L, 1L, 1L)),
+      s"sA: raw 4 → quality 3 → exact 2 → final 1 → cdc 1, got ${got("sA")}")
+    assert(got("sB") === ((1L, 1L, 1L, 1L, 1L)), s"sB untouched: ${got("sB")}")
+
+    // CDC stage fires on what Jaccard can't see: doc 7 is doc 6 with a
+    // SHIFTED byte prefix and enough token edits to dodge the 0.8
+    // Jaccard bar, but its CDC chunks re-sync — n_cdc drops below
+    // n_final for exactly that source
+    val chunkBody = (1 to 80).map(i => s"chunktok$i").mkString(" ")
+    val cdcDocs = Seq(
+      (6L, "sC", chunkBody),
+      (7L, "sC", "totally reworded preamble goes here now " + chunkBody))
+      .toDF("doc_id", "source", "text")
+    val got2 = Pipeline.curationFunnel(cdcDocs, minTokens = 5,
+        maxTokens = 1000, minTtr = 0.3, nearDupThreshold = 0.99,
+        maxTokenDf = 100)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(4), r.getLong(5)))).toMap
+    assert(got2("sC") === ((2L, 1L)),
+      s"sC: both survive near-dup (threshold .99) but CDC prunes the copy: ${got2("sC")}")
   }
 
   test("quality classifier: fit/serve ≡ batch; target ranks above; unseen defaults") {
