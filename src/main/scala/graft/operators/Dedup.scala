@@ -80,6 +80,45 @@ object Dedup {
                   normalize: Column => Column = identity): DataFrame =
     docs.select(md5(normalize(col(textCol))).as("digest")).distinct()
 
+  /** Per-source KMV (k-minimum-values) DISTINCT-CONTENT sketch — the
+    * constant-memory answer to "how many distinct documents does each
+    * source really have" at a scale where `countDistinct` per group is
+    * exact but the full digest sets can't leave the executors for any
+    * DOWNSTREAM reuse (overlap estimation, sketch unions across
+    * snapshots). Each source's sketch is the k smallest distinct 60-bit
+    * content-hash values (`sortedDistinct.take(k)` exactly — the
+    * [[graft.functions.BottomKAggregator]] invariant), from which the
+    * standard KMV estimator `(k-1)·2^60 / h_(k)` reads the distinct
+    * count; a sketch that never filled is itself the exact count.
+    *
+    * Scale design: the typed Aggregator bounds the partial-aggregation
+    * buffer at k longs per (task, source) — `collect_set`'s buffer grows
+    * with corpus cardinality, this one never does, and the shuffle
+    * carries ≤ partitions × k longs per source. The 60-bit hash is the
+    * md5 hex prefix (uniform, engine-portable — the oracle replays it),
+    * and the estimator product routes through DECIMAL(38,0) so the
+    * division is exact integer arithmetic in both engines.
+    */
+  def sourceSketches(docs: DataFrame, k: Int = 256,
+                     textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"sourceSketches: k must be >= 2, got $k")
+    val bottomK = udaf(new graft.functions.BottomKAggregator(k))
+    val h = conv(substring(md5(col(textCol)), 1, 15), 16, 10).cast("long")
+    docs.select(col("source"), h.as("__h"))
+      .groupBy(col("source"))
+      .agg(bottomK(col("__h")).as("__kmv"))
+      .select(col("source"),
+        size(col("__kmv")).cast("bigint").as("n_kmv"),
+        when(size(col("__kmv")) < k, size(col("__kmv")).cast("long"))
+          .otherwise(expr(
+            s"CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976" +
+              s" div element_at(__kmv, $k)").cast("long"))
+          .as("est_distinct"),
+        // csv, not an array: the engine-portable hash-gate discipline
+        array_join(transform(col("__kmv"), v => v.cast("string")), ",")
+          .as("kmv_csv"))
+  }
+
   /** Incremental exact dedup: drop incoming docs whose (normalized)
     * digest already exists in `existingIndex`, then keep the lowest id
     * per digest within the batch — the daily-ingest counterpart of
@@ -1406,6 +1445,33 @@ object Dedup {
         FROM h a JOIN h b ON a.dg = b.dg AND a.source < b.source
         GROUP BY a.source, b.source
         ORDER BY src_a, src_b""")),
+
+    // Per-source KMV sketches (r12): bottom-64 distinct 60-bit content
+    // hashes per source via the bounded typed Aggregator, with the
+    // (k-1)·2^60/h_k distinct estimate — the sketch is EXACTLY
+    // sortedDistinct.take(k), so the whole row (including the csv'd
+    // sketch itself) hash-gates against the oracle's
+    // list_sort(list(DISTINCT …))[1:k]. k=64 fills at sf0.01 (~230
+    // docs/source), so the estimator branch runs for real.
+    QuerySpec(
+      "q155_source_sketches",
+      (s, d) => sourceSketches(Tables.documents(s, d), k = 64)
+        .orderBy(col("source")),
+      Some("""
+        WITH h AS (
+          SELECT source, ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv
+          FROM documents),
+        sk AS (
+          SELECT source, list_sort(list(DISTINCT hv))[1:64] AS kmv
+          FROM h GROUP BY source)
+        SELECT source,
+               CAST(len(kmv) AS BIGINT) AS n_kmv,
+               CAST(CASE WHEN len(kmv) < 64 THEN len(kmv)
+                    ELSE (CAST(63 AS HUGEINT) * 1152921504606846976)
+                         // kmv[64] END AS BIGINT) AS est_distinct,
+               array_to_string(list_transform(kmv, v -> CAST(v AS VARCHAR)),
+                 ',') AS kmv_csv
+        FROM sk ORDER BY source""")),
 
     // Incremental near-dup: the FIRST 250 docs arrive as the batch; all
     // later ids stand in for the already-ingested corpus (as a persisted

@@ -1052,11 +1052,39 @@ object Pipeline {
       // crash residue by now, so the live dir is guaranteed present
       val bytes = fs.getContentSummary(dirPath).getLength
       val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      if (partitionCols.nonEmpty)
-        // one writer task set per partition value — each directory's
-        // files merge to ~1 per task, never one global file count
-        df.repartition(partitionCols.map(col): _*)
-      else df.repartition(nFiles)
+      if (partitionCols.nonEmpty) {
+        // honor targetBytes per PARTITION VALUE: plain
+        // repartition(partitionCols) routes each value to ONE task, so a
+        // hot value (a skewed cid/gb bucket) collapses to one
+        // arbitrarily large file — the same skew class capByKey guards
+        // against. Per-value row counts (one map-side-combined agg,
+        // |values| rows on the driver) × the artifact's mean row size
+        // give each value a deterministic salt width ≈ its byte share,
+        // splitting hot values across ~size/targetBytes tasks while
+        // small values keep exactly one file.
+        val pcols = partitionCols.map(col)
+        val stats = df.groupBy(pcols: _*).agg(count(lit(1)).as("__n")).collect()
+        val totalRows = math.max(1L,
+          stats.map(_.getLong(partitionCols.length)).sum)
+        val rowsPerFile = math.max(1L, targetBytes / math.max(1L, bytes / totalRows))
+        val widthRows = stats.map { r =>
+          val n = r.getLong(partitionCols.length)
+          Row.fromSeq(r.toSeq.init :+ ((n + rowsPerFile - 1) / rowsPerFile).max(1L))
+        }
+        val widthSchema = StructType(
+          df.select(pcols: _*).schema.fields :+ StructField("__w", LongType, nullable = false))
+        val widths = spark.createDataFrame(
+          spark.sparkContext.parallelize(widthRows.toSeq, 1), widthSchema)
+        // null-safe equality: a null partition value must keep its width
+        // row (an inner equality join would silently drop those rows)
+        val cond = partitionCols.map(c => df(c) <=> widths(c)).reduce(_ && _)
+        df.join(broadcast(widths), cond)
+          .select(df.columns.map(df(_)) :+ widths("__w"): _*)
+          .withColumn("__salt",
+            pmod(xxhash64(df.columns.map(df(_)): _*), col("__w")))
+          .repartition(nFiles, (pcols :+ col("__salt")): _*)
+          .drop("__w", "__salt")
+      } else df.repartition(nFiles)
     }
   }
 
@@ -1146,8 +1174,20 @@ object Pipeline {
           .select(col(idCol).as("__comp_id"), col(textCol)),
         textCol, nShards)
       .select(col("__comp_id"), col("shard"))
+    // LEFT join + loud failure, not an inner join: a pair set referencing
+    // ids absent from `docs` can make a component's canonical id a
+    // non-doc, leaving the whole component without a shard — an inner
+    // join would silently DROP those docs from the split (the
+    // forgetFromSpanIndex silent-narrowing class). A split that loses
+    // docs is corrupt; fail with the offending component id instead.
     withComp.drop("retained")
-      .join(canonShard, col("comp") === col("__comp_id"))
+      .join(canonShard, col("comp") === col("__comp_id"), "left_outer")
+      .withColumn("shard",
+        when(col("__comp_id").isNotNull, col("shard"))
+          .otherwise(raise_error(concat(
+            lit("leakageSafeSplit: pair set references ids absent from docs" +
+              " — component with canonical id "),
+            col("comp").cast("string"), lit(" has no shard")))))
       .drop("__comp_id")
   }
 

@@ -215,4 +215,37 @@ class ArtifactPruneSuite extends AnyFunSuite with BeforeAndAfterAll {
       scan.selectedPartitions.partitionCount === 1,
       "partition pruning must still fire after compaction")
   }
+
+  test("partitioned compact honors targetBytes: a hot partition splits, cold stay single") {
+    val sql = spark
+    import sql.implicits._
+    val dir = Files.createTempDirectory("graft-compact-hot").toString + "/grams"
+    // one HOT partition value (gb=0: 20k rows) + three cold (50 rows each),
+    // append-grown across generations
+    (0 until 4).foreach { gen =>
+      ((1L to 5000L).map(i => (gen * 100000L + i, 0)) ++
+        (1L to 50L).map(i => (gen * 100000L + 90000L + i, (i % 3 + 1).toInt)))
+        .toDF("gram", "gb").repartition(3)
+        .write.mode("append").partitionBy("gb").parquet(dir)
+    }
+    val before = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    def filesIn(name: String): Int =
+      new java.io.File(s"$dir/$name").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+
+    // a tiny targetBytes forces the hot value across MANY files; the
+    // cold values must still compact to one file each
+    Pipeline.compactArtifact(spark, dir, targetBytes = 16L << 10,
+      partitionCols = Seq("gb"))
+    val after = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(after === before, "hot-partition compaction must preserve rows")
+    assert(filesIn("gb=0") > 1,
+      s"hot partition must split by targetBytes, got ${filesIn("gb=0")} file(s)")
+    (1 to 3).foreach { g =>
+      assert(filesIn(s"gb=$g") === 1,
+        s"cold partition gb=$g must compact to ONE file, got ${filesIn(s"gb=$g")}")
+    }
+  }
 }

@@ -1196,6 +1196,17 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     // and the cluster's shard is its CANONICAL member's plain shard
     assert(out(1L)._2 === plain(1L),
       "cluster shard must be the canonical member's content shard")
+
+    // a malformed pair set (id 0 absent from docs becomes the component
+    // canonical) must FAIL LOUDLY, not silently drop the component
+    val badPairs = Seq((0L, 1L)).toDF("doc_a", "doc_b")
+    val ex = intercept[Exception] {
+      Pipeline.leakageSafeSplit(docs, badPairs, nShards = 16).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("absent from docs")),
+      s"expected the loud malformed-pair failure, got: $ex")
   }
 
   test("shardAssign: content-hashed, stable under reorder, dups co-shard") {
