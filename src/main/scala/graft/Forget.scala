@@ -181,10 +181,15 @@ object Forget {
     // deletionAudit joins each artifact on ITS OWN id column name, so the
     // ids frame carries every needed column (aliased copies of __id).
     // Span indexes audit through pos/ — the surface holding the doc's
-    // CONTENT. grams/ is df algebra; a stale solo_doc_id rider can remain
-    // in superseded generation rows, but the negative generations drive
-    // the aggregated df to 0 so no consumer can surface the id (the
-    // documented conservative-rider contract in forgetFromSpanIndex).
+    // CONTENT. grams/ is df algebra: a forgotten doc's id remains
+    // physically readable there (a stale df=1 rider in superseded
+    // generation rows, plus the negative generation that r12 writes WITH
+    // the forgotten id so the rider set-algebra can cancel it on a
+    // 1 → 0 → 1 df history — see dupSpansIncremental). Those ids are
+    // accounting, never positions or text; consumers derive the live
+    // rider through the except, so the forgotten id cannot be
+    // ATTRIBUTED content — but an auditor reading grams/ raw will see
+    // it, which is why the audit surface (and the GDPR claim) is pos/.
     val auditTargets = artifacts ++ annDir.map(d => s"$d/codes" -> "nid") ++
       spanIndexDirs.map(d => s"$d/pos" -> "doc_id")
     if (auditTargets.nonEmpty) {

@@ -45,15 +45,40 @@ object Dedup {
     * then feeds two self-join sides, which replay only the cheap broadcast
     * anti-join against the stored blocks, never the upstream
     * banding/signature scan.
+    *
+    * Null-keyed rows are dropped outright: equality self-joins downstream
+    * can never match them (so pair output is identical), and letting them
+    * through uncapped — `left_anti` never matches null keys — would store
+    * a degenerate uncapped null bucket in every persisted band index.
+    *
+    * The over-cap key set is bounded by |rows|/maxN — in practice the
+    * handful of degenerate buckets the cap exists for — but a
+    * pathological corpus (10¹⁰ band rows at cap 256 → ~40M keys) would
+    * make a FORCED broadcast driver-sized, so above
+    * [[OverCapBroadcastLimit]] keys the anti-join falls back to a
+    * shuffled build (the count that decides is one ≤|keys|-row aggregate
+    * over the stored blocks).
+    *
+    * Fault-tolerance note: `localCheckpoint` blocks are NON-REPLICATED —
+    * an executor loss fails the job instead of recomputing lineage (fine
+    * at local[32]; at cluster scale trade for `persist(MEMORY_AND_DISK)`
+    * keeping lineage, or a reliable checkpoint dir — see PLANS.md
+    * "localCheckpoint trade").
     */
+  private[graft] val OverCapBroadcastLimit = 1000000L
+
   private[graft] def capByKey(rows: DataFrame, keys: Seq[String],
                               maxN: Int): DataFrame = {
-    val raw = rows.localCheckpoint(false)
+    val raw = rows.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .localCheckpoint(false)
     val overCap = raw.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__cn"))
       .filter(col("__cn") > maxN)
       .select(keys.map(col): _*)
-    raw.join(broadcast(overCap), keys, "left_anti")
+      .localCheckpoint(false) // read by the guard count AND the anti-join
+    if (overCap.count() <= OverCapBroadcastLimit)
+      raw.join(broadcast(overCap), keys, "left_anti")
+    else raw.join(overCap, keys, "left_anti")
   }
 
   // ---------------------------------------------------------------------

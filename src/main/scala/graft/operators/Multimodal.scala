@@ -310,12 +310,11 @@ object Multimodal {
     */
   def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 6,
                         maxBucketSize: Int = 64): DataFrame = {
-    // Checkpoint the 28 B/image banded fingerprints before the self-join:
-    // each plan reference below `banded` would otherwise re-run the whole
-    // subtree — which is the PNG mapPartitions decode, the expensive part
-    // at media scale. Same trade as the gram-stream checkpoint in
-    // [[graft.operators.Dedup]] (q93): decode once, shuffle fingerprints.
-    val banded = dHashBandIndex(hashes, maxBucketSize).localCheckpoint(false)
+    // capByKey inside dHashBandIndex already checkpoints the banded
+    // 28 B/image fingerprints — both self-join sides replay only its
+    // cheap anti-join against those blocks, so the PNG mapPartitions
+    // decode still runs once with no second checkpoint (r12).
+    val banded = dHashBandIndex(hashes, maxBucketSize)
     hammingVerify(banded, banded, col("a.doc_id") < col("b.doc_id"), maxHamming)
   }
 
@@ -386,10 +385,11 @@ object Multimodal {
                               maxHamming: Int = 6,
                               maxBucketSize: Int = 64): DataFrame = {
     // The probe frame is referenced three times (cross + both sides of
-    // within); checkpoint its 28 B/image rows so the batch PNGs decode
-    // once, not three times.
+    // within), but dHashBandIndex's capByKey already stores the banded
+    // rows — each reference replays only the cheap anti-join against
+    // those blocks, so a second checkpoint here would just duplicate
+    // near-identical blocks (r12: the r11 double-checkpoint removed).
     val probe = dHashBandIndex(batchHashes, maxBucketSize)
-      .localCheckpoint(false)
     val cross = hammingVerify(index, probe, lit(true), maxHamming)
     val within = hammingVerify(probe, probe,
       col("a.doc_id") < col("b.doc_id"), maxHamming)
@@ -427,8 +427,9 @@ object Multimodal {
                          append: Boolean = true): DataFrame = {
     val spark = batchHashes.sparkSession
     val index = spark.read.parquet(dir)
+    // capByKey inside dHashBandIndex stores the banded rows; no second
+    // checkpoint (see imageNearDupIncremental)
     val probe = dHashBandIndex(batchHashes, maxBucketSize)
-      .localCheckpoint(false)
     val cross = hammingVerify(index, probe, lit(true), maxHamming)
     val within = hammingVerify(probe, probe,
       col("a.doc_id") < col("b.doc_id"), maxHamming)
@@ -561,10 +562,10 @@ object Multimodal {
                         minFrac: Double = 0.5): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 64, s"bad maxHamming $maxHamming")
     require(minFrac >= 0.0 && minFrac <= 1.0, s"bad minFrac $minFrac")
+    // band-once via capByKey's internal checkpoint: both self-join
+    // sides replay only its anti-join, never the explode subtree (r12:
+    // the redundant outer checkpoint removed)
     val banded = videoBandIndex(frameHashes, maxBucketSize)
-      // band-once: both self-join sides read this cut, not the
-      // explode+window subtree twice
-      .localCheckpoint(false)
     clipPairs(banded, banded, col("a.doc_id") < col("b.doc_id"),
       maxHamming, minFrac)
   }

@@ -390,6 +390,10 @@ object Pipeline {
                       textCol: String = "text"): DataFrame = {
     val ratio = typedlit(model.ratioMicro)
     docs
+      // null-text docs DROP, matching [[importanceWeights]]' batch
+      // explode exactly (unguarded, they'd surface with a null score the
+      // batch never emits — the fit/serve parity contract covers them)
+      .filter(col(textCol).isNotNull)
       .select(col("doc_id"), TextOps.tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"),
         concat(col("__toks"),
@@ -458,7 +462,14 @@ object Pipeline {
                    textCol: String = "text"): DataFrame = {
     val w = typedlit(model.wMicro)
     docs
-      .select(col("doc_id"), TextOps.tokens(col(textCol)).as("__toks"))
+      // null text ≡ zero features: the coalesce routes a null-text doc
+      // into the n_feats === 0 branch (quality = prior, is_good by the
+      // prior alone) — EXACTLY qualityScores' explode_outer null-bucket
+      // row, so fit/serve ≡ batch parity holds on null texts too
+      // (unguarded, size(null)/aggregate(null) nulled the whole score)
+      .select(col("doc_id"),
+        coalesce(TextOps.tokens(col(textCol)),
+          array().cast("array<string>")).as("__toks"))
       .select(col("doc_id"),
         concat(col("__toks"),
           TextOps.wordNgramsOfTokens(col("__toks"), 2)).as("__feats"))

@@ -768,9 +768,10 @@ object TextOps {
     require(minFrac >= 0.0 && minFrac <= 1.0, s"bad minFrac $minFrac")
     val spark = batch.sparkSession
     // referenced by the touched-db collect, both pair legs, and the
-    // append: chunk the batch text once
+    // append — capByKey inside cdcDigestFrame stores the digest rows, so
+    // the batch text is chunked once and each reference replays only its
+    // cheap anti-join
     val probe = cdcDigestFrame(batch, w, modSel, maxBucketSize, textCol)
-      .localCheckpoint(false)
     val touched = probe.select(col("db")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val index = spark.read.parquet(s"$dir/digests")
@@ -888,10 +889,21 @@ object TextOps {
       .localCheckpoint(false) // feeds the df join, the retro join, the append
     val touchedGb = dfB.select(col("gb")).distinct()
       .collect().map(_.getInt(0)).toSeq
+    // the LIVE solo rider is set algebra over generations, not a min: a
+    // forgotten doc's 1 → 0 → 1 history leaves its stale df=1 rider in
+    // grams/, and min() would shadow the later live rider
+    // ([[forgetFromSpanIndex]] writes its negative generations WITH the
+    // forgotten id so the except can cancel it). Rider sets are tiny —
+    // only df=1 generations carry one — so the arrays are O(#gens).
     val corpusDf = spark.read.parquet(s"$dir/grams")
       .filter(col("gb").isin(touchedGb: _*))
       .groupBy(col("gram"))
-      .agg(sum(col("df")).as("dfc"), min(col("solo_doc_id")).as("solo"))
+      .agg(sum(col("df")).as("dfc"),
+        array_except(
+          collect_set(when(col("df") > 0, col("solo_doc_id"))),
+          collect_set(when(col("df") < 0, col("solo_doc_id")))).as("__solos"))
+      .withColumn("solo",
+        when(size(col("__solos")) === 1, col("__solos")(0)))
     val joined = dfB.join(corpusDf, Seq("gram"), "left_outer")
       .select(col("gram"), col("dfb"), coalesce(col("dfc"), lit(0L)).as("dfc"),
         col("solo"))
@@ -902,11 +914,15 @@ object TextOps {
         gramPosB.join(dupForBatch, Seq("gram"), "left_semi"), n)
       .withColumn("generation", lit("batch"))
     // retroactively affected corpus docs: their previously-UNIQUE gram
-    // (dfc = 1, solo rider set) just gained a batch occurrence. The
+    // (dfc = 1, live solo rider) just gained a batch occurrence. The
     // isNotNull guard matters after [[forgetFromSpanIndex]]: a df 2 → 1
-    // decrement leaves no rider (conservative — that doc's retro span
-    // is missed, never misattributed; getLong on a null row would
-    // silently read doc 0)
+    // decrement leaves no rider at all (conservative — that doc's retro
+    // span is missed, never misattributed; getLong on a null row would
+    // silently read doc 0). The 1 → 0 → 1 history — forget the solo
+    // owner, then a later append restores the gram — IS handled: the
+    // negative generation carries the forgotten id, the rider
+    // set-algebra above cancels its stale rider, and the surviving
+    // rider is the live doc's.
     val affectedIds = joined
       .filter(col("dfc") === 1 && col("dfb") >= 1 && col("solo").isNotNull)
       .select(col("solo")).distinct().collect().map(_.getLong(0)).toSeq
@@ -1033,12 +1049,20 @@ object TextOps {
         "distinct delete-list entries are null or not castable to long — " +
         "refusing to delete a narrower list than was submitted")
     val touchedDb = idSeq.map(id => (id % 64).toInt).distinct
-    // negative df generations FIRST (derived from pos/ before the prune)
+    // negative df generations FIRST (derived from pos/ before the
+    // prune). The negative row CARRIES the forgotten id as its
+    // solo_doc_id so [[dupSpansIncremental]]'s rider set-algebra cancels
+    // any stale df=1 rider of this doc — without it, a 1 → 0 → 1 df
+    // history (forget, then a later append restores the gram) would
+    // leave the forgotten id shadowing the live doc's rider. The id in a
+    // negative generation is df ACCOUNTING, not content, the same class
+    // as the ids grams/ already exposes (Forget.forget's audit covers
+    // pos/, where the positions live).
     spark.read.parquet(s"$dir/pos")
       .filter(col("db").isin(touchedDb: _*) && col("doc_id").isin(idSeq: _*))
       .select(col("doc_id"), col("gram")).distinct()
       .select(col("gram"), lit(-1L).as("df"),
-        lit(null).cast("long").as("solo_doc_id"),
+        col("doc_id").as("solo_doc_id"),
         gramBucketCol(col("gram"), hashGrams).as("gb"))
       .write.mode("append").partitionBy("gb").parquet(s"$dir/grams")
     Pipeline.pruneArtifact(idList, s"$dir/pos", "doc_id",

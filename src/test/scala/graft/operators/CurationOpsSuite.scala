@@ -734,6 +734,43 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"post-forget increment: batch span only, no retro, no doc 0: $inc")
   }
 
+  test("forgetFromSpanIndex: 1→0→1 df history — retro fires on the LIVE doc, not the forgotten rider") {
+    val sql = spark
+    import sql.implicits._
+    val U = (1 to 12).map(i => s"q$i").mkString(" ")
+    // doc 50 is the SOLE owner of U (df 1, solo rider = 50)
+    val corpus = Seq(
+      (50L, (Seq(U) ++ (1 to 5).map(i => s"f$i")).mkString(" ")),
+      (60L, (1 to 20).map(i => s"h$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-span-101")
+      .resolve("index").toString
+    TextOps.buildSpanIndex(corpus, dir, n = 6)
+
+    // forget 50 (df 1 → 0), then append doc 70 restoring U (df 0 → 1):
+    // 70 is now the live solo owner, but 50's stale df=1 rider is still
+    // physically present in grams/
+    TextOps.forgetFromSpanIndex(Seq(50L).toDF("doc_id"), dir)
+    val inc1 = TextOps.dupSpansIncremental(
+        Seq((70L, (Seq(U) ++ (1 to 4).map(i => s"w$i")).mkString(" ")))
+          .toDF("doc_id", "text"),
+        dir, n = 6, append = true)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(inc1 === Set(), s"U is unique again after the forget: $inc1")
+
+    // a later batch re-duplicates U: retro must name 70 (the live owner,
+    // whose pos/ rows exist) — min() across generations would have
+    // picked the forgotten 50 and silently skipped 70's retro spans
+    val inc2 = TextOps.dupSpansIncremental(
+        Seq((80L, (Seq(U) ++ (1 to 3).map(i => s"v$i")).mkString(" ")))
+          .toDF("doc_id", "text"),
+        dir, n = 6, append = false)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(inc2.contains((80L, "batch")) && inc2.contains((70L, "retro")),
+      s"retro must fire on the live doc 70: $inc2")
+    assert(!inc2.exists(_._1 == 50L), s"forgotten doc must not reappear: $inc2")
+  }
+
   test("cdcChunks: boundaries survive insertions; dup chunks found at any offset") {
     val sql = spark
     import sql.implicits._
@@ -1061,7 +1098,8 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       (2L, "alpha beta gamma delta", true),
       (3L, "alpha beta gamma", false),
       (4L, "omega psi chi phi", false),
-      (5L, "omega psi", false)
+      (5L, "omega psi", false),
+      (6L, null.asInstanceOf[String], false) // null text: BOTH paths drop it
     ).toDF("doc_id", "text", "is_t")
     val batch = Pipeline.importanceWeights(docs, $"is_t", buckets = 512)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -1069,6 +1107,8 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     val served = Pipeline.scoreImportance(docs, model)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(served == batch, s"serve path diverged:\nbatch  $batch\nserved $served")
+    assert(!batch.exists(_._1 == 6L) && !served.exists(_._1 == 6L),
+      "null-text doc must be dropped by BOTH the batch and serve paths")
     // a doc of never-seen grams: every feature takes the Laplace default,
     // so the integer mean IS the default
     val novel = Seq((9L, "zz yy xx")).toDF("doc_id", "text")
@@ -1127,7 +1167,8 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "junk junk spam spam click", "bad"),
       (4L, "spam click junk buy now", "bad"),
       (5L, "clean prose flows here too", ""),   // held out, good-domain
-      (6L, "spam spam click buy junk", ""))     // held out, bad-domain
+      (6L, "spam spam click buy junk", ""),     // held out, bad-domain
+      (7L, null.asInstanceOf[String], ""))      // null text: scores = prior
       .toDF("doc_id", "text", "label")
     val batch = Pipeline.qualityScores(docs,
         $"label" === "good", $"label" === "bad", buckets = 512)
@@ -1143,6 +1184,11 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
       .toSet
     assert(served === batch, s"serve diverged:\nbatch  $batch\nserved $served")
+    // null text ≡ zero features in BOTH paths: kept, scored by the
+    // prior alone with n_feats = 0
+    assert(batch.exists(t => t._1 == 7L && t._2 == 0L
+        && t._3 == model.priorMicro),
+      s"null-text doc must score the prior with n_feats 0: $batch")
 
     // the learned judgment generalizes: the HELD-OUT good-domain doc
     // scores positive and above the held-out bad-domain doc
