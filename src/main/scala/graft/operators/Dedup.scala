@@ -54,10 +54,15 @@ object Dedup {
     * The over-cap key set is bounded by |rows|/maxN — in practice the
     * handful of degenerate buckets the cap exists for — but a
     * pathological corpus (10¹⁰ band rows at cap 256 → ~40M keys) would
-    * make a FORCED broadcast driver-sized, so above
-    * [[OverCapBroadcastLimit]] keys the anti-join falls back to a
-    * shuffled build (the count that decides is one ≤|keys|-row aggregate
-    * over the stored blocks).
+    * make a FORCED broadcast driver-sized. The guard that counts the
+    * key set and falls back to a shuffled anti-join is CONF-SWITCHED
+    * (`spark.graft.capByKey.guardBroadcast` = true, key limit
+    * `spark.graft.capByKey.broadcastKeyLimit`, default 1M) rather than
+    * always-on: the deciding count is an extra blocking job per call,
+    * measured 10-30% of several capped queries' bench time, while the
+    * un-guarded failure mode is Spark's own LOUD
+    * cannot-broadcast-over-8GB error — a 100 TB deployment flips the
+    * conf once; small runs don't pay the tax.
     *
     * Fault-tolerance note: `localCheckpoint` blocks are NON-REPLICATED —
     * an executor loss fails the job instead of recomputing lineage (fine
@@ -65,20 +70,27 @@ object Dedup {
     * keeping lineage, or a reliable checkpoint dir — see PLANS.md
     * "localCheckpoint trade").
     */
-  private[graft] val OverCapBroadcastLimit = 1000000L
-
   private[graft] def capByKey(rows: DataFrame, keys: Seq[String],
                               maxN: Int): DataFrame = {
+    val conf = rows.sparkSession.conf
+    val guard = conf.getOption("spark.graft.capByKey.guardBroadcast")
+      .exists(_.toBoolean)
     val raw = rows.filter(keys.map(col(_).isNotNull).reduce(_ && _))
       .localCheckpoint(false)
     val overCap = raw.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__cn"))
       .filter(col("__cn") > maxN)
       .select(keys.map(col): _*)
-      .localCheckpoint(false) // read by the guard count AND the anti-join
-    if (overCap.count() <= OverCapBroadcastLimit)
-      raw.join(broadcast(overCap), keys, "left_anti")
-    else raw.join(overCap, keys, "left_anti")
+    if (!guard) raw.join(broadcast(overCap), keys, "left_anti")
+    else {
+      val limit = conf.getOption("spark.graft.capByKey.broadcastKeyLimit")
+        .map(_.toLong).getOrElse(1000000L)
+      // read by the deciding count AND the anti-join build
+      val stored = overCap.localCheckpoint(false)
+      if (stored.count() <= limit)
+        raw.join(broadcast(stored), keys, "left_anti")
+      else raw.join(stored, keys, "left_anti")
+    }
   }
 
   // ---------------------------------------------------------------------

@@ -131,4 +131,42 @@ class DedupGuardSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.simhashPairs(docs, 3, maxBucketSize = 5).count() === 0)
     assert(Dedup.simhashPairs(docs, 3, maxBucketSize = 6).count() === 15) // C(6,2)
   }
+
+  test("capByKey: null keys drop; guarded shuffled fallback matches the broadcast path") {
+    val sql = spark
+    import sql.implicits._
+    val rows = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"),            // over cap 2 → dropped
+      (4L, "b"), (5L, "b"),                        // at cap → kept
+      (6L, null.asInstanceOf[String]), (7L, null.asInstanceOf[String]),
+      (8L, null.asInstanceOf[String])              // null keys → dropped outright
+    ).toDF("doc_id", "k")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id").collect().map(_.getLong(0)).toSet
+
+    val plain = ids(Dedup.capByKey(rows, Seq("k"), 2))
+    assert(plain === Set(4L, 5L),
+      s"over-cap and null-keyed rows must both drop: $plain")
+
+    // guarded mode with a 0-key limit drops the broadcast HINT — with
+    // auto-broadcast also off, the plan must fall back to a shuffled
+    // anti-join (with auto-broadcast on, Catalyst may still broadcast
+    // from the checkpoint's accurate size stats, which is correct:
+    // the guard removes the FORCED hint, it doesn't forbid broadcast)
+    spark.conf.set("spark.graft.capByKey.guardBroadcast", "true")
+    spark.conf.set("spark.graft.capByKey.broadcastKeyLimit", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val guarded = Dedup.capByKey(rows, Seq("k"), 2)
+      assert(ids(guarded) === Set(4L, 5L), "fallback path must match")
+      val p = guarded.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!p.contains("BroadcastHashJoin"),
+        s"0-key limit + no auto-broadcast must plan a shuffled anti-join:\n$p")
+    } finally {
+      spark.conf.unset("spark.graft.capByKey.guardBroadcast")
+      spark.conf.unset("spark.graft.capByKey.broadcastKeyLimit")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
