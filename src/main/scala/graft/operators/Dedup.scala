@@ -156,6 +156,49 @@ object Dedup {
           .as("kmv_csv"))
   }
 
+  /** Cross-source overlap ESTIMATED from the KMV sketches — the
+    * 100 TB tier of [[crossSourceOverlap]]'s exact digest matrix: the
+    * exact tier joins every pair of sources on their full digest sets
+    * (fine nightly, quadratic in stored digests), this one compares
+    * k-long sketches. For each source pair the classic min-wise
+    * resemblance estimator: merge the two sketches, keep the k smallest
+    * of the union, count how many of those k lie in BOTH sketches —
+    * that fraction estimates Jaccard(A, B) with error O(1/√k),
+    * because the bottom-k of h(A ∪ B) is a uniform sample of the union
+    * under a uniform hash. Emits `est_jaccard_micro` as an exact
+    * integer (count·10⁶ div denominator) so the gate is engine-portable
+    * with zero float-rounding ambiguity; when the union sketch never
+    * fills, the estimate is exact.
+    *
+    * Scale shape: [[sourceSketches]]' bounded aggregation, then a
+    * |sources|² self-join of k-long arrays — thousands of sources make
+    * millions of cheap array rows, never touching the corpus again.
+    */
+  def sketchOverlap(docs: DataFrame, k: Int = 64,
+                    textCol: String = "text",
+                    normalize: Column => Column = identity): DataFrame = {
+    require(k >= 2, s"sketchOverlap: k must be >= 2, got $k")
+    val bottomK = udaf(new graft.functions.BottomKAggregator(k))
+    val h = conv(substring(md5(normalize(col(textCol))), 1, 15), 16, 10)
+      .cast("long")
+    val sk = docs.select(col("source"), h.as("__h"))
+      .groupBy(col("source"))
+      .agg(bottomK(col("__h")).as("kmv"))
+      .localCheckpoint(false) // |sources| rows; both self-join sides
+    sk.alias("a").join(sk.alias("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.kmv").as("__ka"), col("b.kmv").as("__kb"))
+      .withColumn("__m",
+        expr(s"slice(array_sort(array_union(__ka, __kb)), 1, $k)"))
+      .withColumn("__inter", expr(
+        "size(filter(__m, v -> array_contains(__ka, v)" +
+          " AND array_contains(__kb, v)))"))
+      .select(col("src_a"), col("src_b"),
+        col("__inter").cast("bigint").as("n_shared_sketch"),
+        expr(s"CAST(CAST(__inter AS DECIMAL(38,0)) * 1000000" +
+          s" div least($k, size(__m)) AS BIGINT)").as("est_jaccard_micro"))
+  }
+
   /** Incremental exact dedup: drop incoming docs whose (normalized)
     * digest already exists in `existingIndex`, then keep the lowest id
     * per digest within the batch — the daily-ingest counterpart of
@@ -1509,6 +1552,45 @@ object Dedup {
                array_to_string(list_transform(kmv, v -> CAST(v AS VARCHAR)),
                  ',') AS kmv_csv
         FROM sk ORDER BY source""")),
+
+    // Sketch-estimated cross-source overlap (r12): the 100 TB tier of
+    // q79's exact matrix — min-wise resemblance from the q155 KMV
+    // sketches (merge, keep k smallest of the union, count those in
+    // both). Deterministic sketch algebra end-to-end, so even the
+    // ESTIMATE hash-gates exactly; est_jaccard_micro is an exact
+    // integer div (no float rounding to disagree on).
+    QuerySpec(
+      "q156_sketch_overlap",
+      // prefix-100 normalization (the q74/q79 fixture discipline): raw
+      // texts are unique by construction, normalized digests collide
+      // across sources, so the resemblance estimate is non-vacuous
+      (s, d) => sketchOverlap(Tables.documents(s, d), k = 64,
+          normalize = t => substring(t, 1, 100))
+        .orderBy(col("src_a"), col("src_b")),
+      Some("""
+        WITH h AS (
+          SELECT source,
+                 ('0x' || substr(md5(substr(text, 1, 100)), 1, 15))::BIGINT
+                   AS hv
+          FROM documents),
+        sk AS (
+          SELECT source, list_sort(list(DISTINCT hv))[1:64] AS kmv
+          FROM h GROUP BY source),
+        p AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+                 a.kmv AS ka, b.kmv AS kb,
+                 list_sort(list_distinct(a.kmv || b.kmv))[1:64] AS m
+          FROM sk a JOIN sk b ON a.source < b.source),
+        c AS (
+          SELECT src_a, src_b, m,
+                 len(list_filter(m, v -> list_contains(ka, v)
+                     AND list_contains(kb, v))) AS inter
+          FROM p)
+        SELECT src_a, src_b,
+               CAST(inter AS BIGINT) AS n_shared_sketch,
+               CAST((CAST(inter AS HUGEINT) * 1000000)
+                    // least(64, len(m)) AS BIGINT) AS est_jaccard_micro
+        FROM c ORDER BY src_a, src_b""")),
 
     // Incremental near-dup: the FIRST 250 docs arrive as the batch; all
     // later ids stand in for the already-ingested corpus (as a persisted

@@ -78,14 +78,19 @@ object StreamingCdcDedup {
   /** Shared-digest HIT stream of a streaming `docs` frame (columns
     * `doc_id`, `text`): one row per (pair, shared digest), emitted as
     * documents arrive. Chunking parameters match
-    * [[graft.operators.TextOps.cdcChunks]].
+    * [[graft.operators.TextOps.cdcChunks]]; pass `minLen`/`maxLen` for
+    * the clamped production tier
+    * ([[graft.operators.TextOps.cdcChunksClamped]] — same shared
+    * kernel, so stream ≡ batch holds per tier).
     *
     * @param ttl dedup horizon: digest members expire this long after
     *        insertion. `None` = remember forever.
     */
   def cdcHitsStream(docs: DataFrame, w: Int = 8, modSel: Int = 32,
                     maxBucketSize: Int = 64,
-                    ttl: Option[java.time.Duration] = None): Dataset[CdcHit] = {
+                    ttl: Option[java.time.Duration] = None,
+                    minLen: Int = 1,
+                    maxLen: Int = Int.MaxValue): Dataset[CdcHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
     // per-doc chunking + distinct-digest projection in one typed map —
@@ -97,7 +102,7 @@ object StreamingCdcDedup {
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.flatMap { case (id, text) =>
           val digests = TextOps
-            .cdcChunkRowsOf(text, w, modSel, 1, Int.MaxValue, md)
+            .cdcChunkRowsOf(text, w, modSel, minLen, maxLen, md)
             .map(_._4).toArray.distinct
           digests.iterator.map(dg => DigestDoc(dg, id, digests.length.toLong))
         }
