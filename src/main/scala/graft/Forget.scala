@@ -24,6 +24,10 @@ import graft.state.{GraftStateStoreProviderBase, StateRescale}
   *    span index, which holds an id's content TWICE (its `pos/` rows
   *    and its df contributions in `grams/`), so a plain artifact prune
   *    would leave the df algebra corrupted
+  *  - the CDC chunk-digest index ([[graft.operators.TextOps
+  *    .buildCdcIndex]]'s `digests/`) — partition-layout-preserving
+  *    prune (r12; a flat prune would destroy the ingest probe's `db`
+  *    pruning)
   *
   * followed by the audits as a FORCED exit gate:
   * [[graft.operators.Pipeline.deletionAudit]] over every parquet
@@ -90,11 +94,12 @@ object Forget {
              artifacts: Seq[(String, String)] = Seq.empty,
              spanIndexDirs: Seq[String] = Seq.empty,
              spanIndexHashGrams: Boolean = false,
+             cdcIndexDirs: Seq[String] = Seq.empty,
              hadoopConf: Configuration = new Configuration()): ForgetReport = {
     require(states.nonEmpty || annDir.nonEmpty || artifacts.nonEmpty ||
-        spanIndexDirs.nonEmpty,
-      "forget: nothing to forget from — no state, index, artifacts, or " +
-        "span indexes given")
+        spanIndexDirs.nonEmpty || cdcIndexDirs.nonEmpty,
+      "forget: nothing to forget from — no state, index, artifacts, " +
+        "span indexes, or CDC indexes given")
     val idList = ids.select(col(idCol).cast("long").as("__id"))
       .na.drop().distinct()
     val idSet = idList.collect().map(_.getLong(0)).toSet
@@ -136,15 +141,27 @@ object Forget {
         d, spanIndexHashGrams)
     }
 
-    // 5) the exit gate — every surface must PROVE zero residuals
+    // 5) CDC chunk-digest indexes (buildCdcIndex's `digests/`): a plain
+    //    artifact prune would silently FLATTEN the db partition layout
+    //    (destroying the ingest probe's partition pruning), so the prune
+    //    threads partitionCols. Unlike the span index there is no df
+    //    algebra to patch — digest rows are per-doc facts, and the n_key
+    //    rider rides the row, so dropping the doc's rows is complete.
+    cdcIndexDirs.foreach { d =>
+      Pipeline.pruneArtifact(idList.select(col("__id").as("doc_id")),
+        s"$d/digests", "doc_id", partitionCols = Seq("db"))
+    }
+
+    // 6) the exit gate — every surface must PROVE zero residuals
     val found = residualsOf(idList, idSet, states, annDir, artifacts,
-      spanIndexDirs, hadoopConf)
+      spanIndexDirs, cdcIndexDirs, hadoopConf)
     if (found.nonEmpty)
       throw new IllegalStateException(
         s"forget: deletion audit FAILED — ${found.mkString("; ")}")
     ForgetReport(idSet.size.toLong, stateReports.map(_.keysMoved),
       artifacts.map(_._1) ++ annDir.map(d => s"$d/codes") ++
-        spanIndexDirs.map(d => s"$d/pos"))
+        spanIndexDirs.map(d => s"$d/pos") ++
+        cdcIndexDirs.map(d => s"$d/digests"))
   }
 
   /** The exit gate alone: one description per surface still holding a
@@ -161,11 +178,12 @@ object Forget {
                 annDir: Option[String] = None,
                 artifacts: Seq[(String, String)] = Seq.empty,
                 spanIndexDirs: Seq[String] = Seq.empty,
+                cdcIndexDirs: Seq[String] = Seq.empty,
                 hadoopConf: Configuration = new Configuration()): Seq[String] = {
     val idList = ids.select(col(idCol).cast("long").as("__id"))
       .na.drop().distinct()
     residualsOf(idList, idList.collect().map(_.getLong(0)).toSet,
-      states, annDir, artifacts, spanIndexDirs, hadoopConf)
+      states, annDir, artifacts, spanIndexDirs, cdcIndexDirs, hadoopConf)
   }
 
   /** [[residuals]] over an already-normalized id frame/set — [[forget]]
@@ -176,6 +194,7 @@ object Forget {
                           annDir: Option[String],
                           artifacts: Seq[(String, String)],
                           spanIndexDirs: Seq[String],
+                          cdcIndexDirs: Seq[String],
                           hadoopConf: Configuration): Seq[String] = {
     val out = scala.collection.mutable.ListBuffer.empty[String]
     // deletionAudit joins each artifact on ITS OWN id column name, so the
@@ -191,7 +210,8 @@ object Forget {
     // ATTRIBUTED content — but an auditor reading grams/ raw will see
     // it, which is why the audit surface (and the GDPR claim) is pos/.
     val auditTargets = artifacts ++ annDir.map(d => s"$d/codes" -> "nid") ++
-      spanIndexDirs.map(d => s"$d/pos" -> "doc_id")
+      spanIndexDirs.map(d => s"$d/pos" -> "doc_id") ++
+      cdcIndexDirs.map(d => s"$d/digests" -> "doc_id")
     if (auditTargets.nonEmpty) {
       val cols = auditTargets.map(_._2).distinct
       val auditIds = idList.select(cols.map(c => col("__id").as(c)): _*)

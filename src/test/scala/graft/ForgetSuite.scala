@@ -188,6 +188,55 @@ class ForgetSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"null id must name the drop: ${eNull.getMessage}")
   }
 
+  test("CDC-index leg: digests pruned with layout preserved; probe finds no ghost pairs") {
+    val sql = spark
+    import sql.implicits._
+    val base = Files.createTempDirectory("graft-forget-cdc").toString
+    val body = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (200L, body),
+      (201L, "inserted preamble text here " + body),
+      (202L, (1 to 50).map(i => s"w$i x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cdcDir = s"$base/cdc"
+    operators.TextOps.buildCdcIndex(corpus, cdcDir)
+
+    val report = Forget.forget(Seq(201L).toDF("doc_id"), "doc_id",
+      cdcIndexDirs = Seq(cdcDir))
+    assert(report.artifactsPruned.toSet === Set(s"$cdcDir/digests"),
+      s"digests/ must appear in the pruned report: $report")
+    assert(spark.read.parquet(s"$cdcDir/digests")
+      .filter($"doc_id" === 201L).count() === 0L,
+      "forgotten doc's digest rows must be pruned")
+    // the db partition layout SURVIVES the prune — a flat rewrite would
+    // have destroyed the ingest probe's partition pruning
+    val dirs = new java.io.File(s"$cdcDir/digests").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("db=")),
+      s"db= directories must survive the prune: ${dirs.toSeq}")
+    assert(Forget.residuals(Seq(201L).toDF("doc_id"), "doc_id",
+      cdcIndexDirs = Seq(cdcDir)).isEmpty)
+
+    // a batch that near-dups the FORGOTTEN doc's content still pairs
+    // against the surviving copy (200) but never the forgotten id
+    val pairs = operators.TextOps.cdcNearDupIngest(
+        Seq((300L, body + " tail bit")).toDF("doc_id", "text"),
+        cdcDir, minFrac = 0.1, append = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((200L, 300L)), s"survivor must still pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 201L || p._2 == 201L),
+      s"forgotten doc must not ghost-pair: $pairs")
+
+    // a re-ingested digest row is caught by the residual sweep
+    spark.read.parquet(s"$cdcDir/digests").limit(1)
+      .withColumn("doc_id", lit(201L))
+      .write.mode("append").partitionBy("db").parquet(s"$cdcDir/digests")
+    val res = Forget.residuals(Seq(201L).toDF("doc_id"), "doc_id",
+      cdcIndexDirs = Seq(cdcDir))
+    assert(res.size === 1 && res.head.contains(s"$cdcDir/digests"),
+      s"CDC residual must name the surface: $res")
+  }
+
   test("residuals gate: red on an unpruned surface, green after, red on regression") {
     val sql = spark
     import sql.implicits._
