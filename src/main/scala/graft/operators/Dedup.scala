@@ -139,21 +139,70 @@ object Dedup {
   def sourceSketches(docs: DataFrame, k: Int = 256,
                      textCol: String = "text"): DataFrame = {
     require(k >= 2, s"sourceSketches: k must be >= 2, got $k")
+    sketchSummary(kmvFrame(docs, k, textCol, identity), k)
+  }
+
+  /** `(source, kmv)` sketch frame — shared by [[sourceSketches]],
+    * [[sketchOverlap]], and the persisted index family. */
+  private def kmvFrame(docs: DataFrame, k: Int, textCol: String,
+                       normalize: Column => Column): DataFrame = {
     val bottomK = udaf(new graft.functions.BottomKAggregator(k))
-    val h = conv(substring(md5(col(textCol)), 1, 15), 16, 10).cast("long")
+    val h = conv(substring(md5(normalize(col(textCol))), 1, 15), 16, 10)
+      .cast("long")
     docs.select(col("source"), h.as("__h"))
       .groupBy(col("source"))
-      .agg(bottomK(col("__h")).as("__kmv"))
-      .select(col("source"),
-        size(col("__kmv")).cast("bigint").as("n_kmv"),
-        when(size(col("__kmv")) < k, size(col("__kmv")).cast("long"))
-          .otherwise(expr(
-            s"CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976" +
-              s" div element_at(__kmv, $k)").cast("long"))
-          .as("est_distinct"),
-        // csv, not an array: the engine-portable hash-gate discipline
-        array_join(transform(col("__kmv"), v => v.cast("string")), ",")
-          .as("kmv_csv"))
+      .agg(bottomK(col("__h")).as("kmv"))
+  }
+
+  /** The reporting projection over a `(source, kmv)` frame: sketch
+    * size, KMV distinct estimate, csv'd sketch. */
+  private def sketchSummary(sk: DataFrame, k: Int): DataFrame =
+    sk.select(col("source"),
+      size(col("kmv")).cast("bigint").as("n_kmv"),
+      when(size(col("kmv")) < k, size(col("kmv")).cast("long"))
+        .otherwise(expr(
+          s"CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976" +
+            s" div element_at(kmv, $k)").cast("long"))
+        .as("est_distinct"),
+      // csv, not an array: the engine-portable hash-gate discipline
+      array_join(transform(col("kmv"), v => v.cast("string")), ",")
+        .as("kmv_csv"))
+
+  /** Persist the per-source KMV sketches at `dir/sketches` — the
+    * nightly sketch artifact. KMV sketches are EXACTLY mergeable
+    * (bottom-k of a union ≡ bottom-k of the union of bottom-k
+    * sketches), so the index follows the generation-append discipline
+    * of the whole incremental family: [[appendSketchIndex]] appends the
+    * batch's sketch rows (crash-safe append-only parquet — nothing
+    * rewritten), and [[readSketchIndex]] merges generations at read.
+    * Unlike the dedup indexes, the merge is LOSSLESS by algebra, so
+    * build ∪ increments ≡ a full-corpus run EXACTLY — the q157 oracle
+    * is literally the full-run oracle. */
+  def buildSketchIndex(docs: DataFrame, dir: String, k: Int = 64,
+                       textCol: String = "text"): Unit =
+    kmvFrame(docs, k, textCol, identity)
+      .write.mode("overwrite").parquet(s"$dir/sketches")
+
+  /** Append a batch generation's sketches (same `k` as the build — a
+    * generation sketched coarser than the read k would break the merge
+    * algebra). Work ∝ batch: the existing index is not read. */
+  def appendSketchIndex(batch: DataFrame, dir: String, k: Int = 64,
+                        textCol: String = "text"): Unit =
+    kmvFrame(batch, k, textCol, identity)
+      .write.mode("append").parquet(s"$dir/sketches")
+
+  /** Merge the index's generations to current per-source sketches and
+    * report them ([[sourceSketches]]' row shape). The merge is the
+    * exact bottom-k of the union of generation sketches — one
+    * |sources|-keyed aggregation over k-long arrays. */
+  def readSketchIndex(spark: SparkSession, dir: String,
+                      k: Int = 64): DataFrame = {
+    require(k >= 2, s"readSketchIndex: k must be >= 2, got $k")
+    val merged = spark.read.parquet(s"$dir/sketches")
+      .groupBy(col("source"))
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("kmv"))))),
+        1, k).as("kmv"))
+    sketchSummary(merged, k)
   }
 
   /** Cross-source overlap ESTIMATED from the KMV sketches — the
@@ -178,12 +227,7 @@ object Dedup {
                     textCol: String = "text",
                     normalize: Column => Column = identity): DataFrame = {
     require(k >= 2, s"sketchOverlap: k must be >= 2, got $k")
-    val bottomK = udaf(new graft.functions.BottomKAggregator(k))
-    val h = conv(substring(md5(normalize(col(textCol))), 1, 15), 16, 10)
-      .cast("long")
-    val sk = docs.select(col("source"), h.as("__h"))
-      .groupBy(col("source"))
-      .agg(bottomK(col("__h")).as("kmv"))
+    val sk = kmvFrame(docs, k, textCol, normalize)
       .localCheckpoint(false) // |sources| rows; both self-join sides
     sk.alias("a").join(sk.alias("b"), col("a.source") < col("b.source"))
       .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
@@ -1022,6 +1066,18 @@ object Dedup {
     * once per sf-dir per JVM. Library users call [[buildSemDeDupIndex]]
     * with their own storage.
     */
+  /** Build-once memo for the q157 harness query: corpus sketches built
+    * from doc_id < 250, the >= 250 generation appended — once per
+    * sf-dir per JVM. Library users call [[buildSketchIndex]] /
+    * [[appendSketchIndex]] with their own storage. */
+  private def cachedSketchIndex(s: SparkSession, d: String): String =
+    BuildOnce.dir("graft-sketch-index", d) { dir =>
+      val docs = Tables.documents(s, d)
+      buildSketchIndex(docs.filter(col("doc_id") < 250), dir, k = 64)
+      appendSketchIndex(docs.filter(col("doc_id") >= 250), dir, k = 64)
+      dir
+    }
+
   private def cachedSemDeDupIndex(s: SparkSession, d: String): String =
     BuildOnce.dir("graft-semdd-index", d) { dir =>
       buildSemDeDupIndex(
@@ -1536,6 +1592,33 @@ object Dedup {
     QuerySpec(
       "q155_source_sketches",
       (s, d) => sourceSketches(Tables.documents(s, d), k = 64)
+        .orderBy(col("source")),
+      Some("""
+        WITH h AS (
+          SELECT source, ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv
+          FROM documents),
+        sk AS (
+          SELECT source, list_sort(list(DISTINCT hv))[1:64] AS kmv
+          FROM h GROUP BY source)
+        SELECT source,
+               CAST(len(kmv) AS BIGINT) AS n_kmv,
+               CAST(CASE WHEN len(kmv) < 64 THEN len(kmv)
+                    ELSE (CAST(63 AS HUGEINT) * 1152921504606846976)
+                         // kmv[64] END AS BIGINT) AS est_distinct,
+               array_to_string(list_transform(kmv, v -> CAST(v AS VARCHAR)),
+                 ',') AS kmv_csv
+        FROM sk ORDER BY source""")),
+
+    // Incremental sketch index (r12): corpus sketches built and
+    // persisted once (doc_id < 250), the batch generation appended
+    // (>= 250, work ∝ batch — the index is never read by the append),
+    // generations merged at read. KMV merge is LOSSLESS by algebra
+    // (bottom-k of a union ≡ bottom-k of the sketches' union), so the
+    // oracle is LITERALLY the full-corpus q155 construction — the
+    // incremental identity is what the hash gate proves.
+    QuerySpec(
+      "q157_sketch_incr",
+      (s, d) => readSketchIndex(s, cachedSketchIndex(s, d), k = 64)
         .orderBy(col("source")),
       Some("""
         WITH h AS (

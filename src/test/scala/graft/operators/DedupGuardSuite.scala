@@ -132,6 +132,24 @@ class DedupGuardSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.simhashPairs(docs, 3, maxBucketSize = 6).count() === 15) // C(6,2)
   }
 
+  test("sketch index: build + appends ≡ full-corpus sketches (lossless KMV merge)") {
+    val sql = spark
+    import sql.implicits._
+    def gen(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, s"s${i % 3}", s"doc $i body ${i * 7}"))
+        .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sketch").toString
+    Dedup.buildSketchIndex(gen(1, 40), dir, k = 8)
+    Dedup.appendSketchIndex(gen(41, 70), dir, k = 8)
+    Dedup.appendSketchIndex(gen(71, 90), dir, k = 8)
+    val merged = Dedup.readSketchIndex(spark, dir, k = 8)
+      .collect().map(_.toSeq).toSet
+    val full = Dedup.sourceSketches(gen(1, 90), k = 8)
+      .collect().map(_.toSeq).toSet
+    assert(merged === full,
+      s"generation merge must be lossless:\nmerged $merged\nfull   $full")
+  }
+
   test("capByKey: null keys drop; guarded shuffled fallback matches the broadcast path") {
     val sql = spark
     import sql.implicits._
