@@ -142,14 +142,24 @@ object Dedup {
     sketchSummary(kmvFrame(docs, k, textCol, identity), k)
   }
 
+  /** The 60-bit content hash every sketch consumer shares (md5 hex
+    * prefix — uniform, engine-portable, non-negative): ONE definition,
+    * so the streaming twin reproduces the batch sketches exactly. */
+  private[graft] def kmvHash(text: Column): Column =
+    conv(substring(md5(text), 1, 15), 16, 10).cast("long")
+
   /** `(source, kmv)` sketch frame — shared by [[sourceSketches]],
     * [[sketchOverlap]], and the persisted index family. */
   private def kmvFrame(docs: DataFrame, k: Int, textCol: String,
                        normalize: Column => Column): DataFrame = {
     val bottomK = udaf(new graft.functions.BottomKAggregator(k))
-    val h = conv(substring(md5(normalize(col(textCol))), 1, 15), 16, 10)
-      .cast("long")
-    docs.select(col("source"), h.as("__h"))
+    docs.select(col("source"),
+        kmvHash(normalize(col(textCol))).as("__h"))
+      // a null text has no content hash and must contribute NOTHING: the
+      // typed Aggregator's primitive Long input would silently unbox a
+      // null hash to 0, injecting a phantom minimum into the sketch
+      // (caught by the streaming-twin parity gate)
+      .filter(col("__h").isNotNull)
       .groupBy(col("source"))
       .agg(bottomK(col("__h")).as("kmv"))
   }
