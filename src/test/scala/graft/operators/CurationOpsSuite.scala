@@ -244,6 +244,47 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(again === rows.map(_.toSeq).toSet)
   }
 
+  test("packSequences: ONE giant stratum spreads across partitions, chunks exact") {
+    val sql = spark
+    import sql.implicits._
+    // a single hot source (the Common-Crawl-is-one-source case): the old
+    // window formulation put ALL of it on one task; the prefix sum must
+    // spread it across partitions AND assign byte-identical chunks
+    val docs = (1L to 4000L).map(i => (i, "cc", s"t${i % 7} " * ((i % 5 + 1).toInt)))
+      .toDF("doc_id", "source", "text")
+    // AQE (size-aware) rightly coalesces these TINY partitions into one;
+    // at corpus scale partitions sit at the advisory size, so the range
+    // layout keeps a hot stratum spread. Pin the layout property itself
+    // with AQE off.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ordered = Pipeline.packOrdered(
+        docs.withColumn("n_tokens", TextOps.tokenCount($"text")),
+        "source", "doc_id")
+      val sizes = ordered.rdd
+        .mapPartitions(it => Iterator.single(it.size)).collect()
+      assert(sizes.count(_ > 0) > 1,
+        s"one stratum must span MANY partitions, got ${sizes.toSeq}")
+      assert(sizes.max < 4000,
+        s"no single partition may hold the whole stratum: ${sizes.toSeq}")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+
+    // chunk assignment equals a sequential reference computed exactly as
+    // the operator counts tokens (split on single space, trailing
+    // empties KEPT — Spark split uses limit -1)
+    val got = Pipeline.packSequences(docs, budgetTokens = 64)
+      .select($"doc_id", $"chunk_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var cum = 0L
+    val want = (1L to 4000L).map { i =>
+      val text = s"t${i % 7} " * ((i % 5 + 1).toInt)
+      val start = cum
+      cum += text.split(" ", -1).length.toLong
+      i -> start / 64
+    }.toMap
+    assert(got === want, "chunk ids must match the sequential reference")
+  }
+
   test("packSequences is stable under repartitioning") {
     val sql = spark
     import sql.implicits._
