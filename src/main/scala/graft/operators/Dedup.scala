@@ -208,12 +208,17 @@ object Dedup {
   def readSketchIndex(spark: SparkSession, dir: String,
                       k: Int = 64): DataFrame = {
     require(k >= 2, s"readSketchIndex: k must be >= 2, got $k")
-    val merged = spark.read.parquet(s"$dir/sketches")
+    sketchSummary(mergedSketches(spark, dir, k), k)
+  }
+
+  /** Current per-source sketches: generations merged by the exact
+    * bottom-k-of-union algebra. */
+  private def mergedSketches(spark: SparkSession, dir: String,
+                             k: Int): DataFrame =
+    spark.read.parquet(s"$dir/sketches")
       .groupBy(col("source"))
       .agg(slice(array_sort(array_distinct(flatten(collect_list(col("kmv"))))),
         1, k).as("kmv"))
-    sketchSummary(merged, k)
-  }
 
   /** Cross-source overlap ESTIMATED from the KMV sketches — the
     * 100 TB tier of [[crossSourceOverlap]]'s exact digest matrix: the
@@ -237,7 +242,22 @@ object Dedup {
                     textCol: String = "text",
                     normalize: Column => Column = identity): DataFrame = {
     require(k >= 2, s"sketchOverlap: k must be >= 2, got $k")
-    val sk = kmvFrame(docs, k, textCol, normalize)
+    pairResemblance(kmvFrame(docs, k, textCol, normalize), k)
+  }
+
+  /** [[sketchOverlap]] served FROM the persisted sketch index — the
+    * nightly use: the overlap matrix refreshes from the k-long merged
+    * sketches without re-reading a byte of corpus. Same estimator, same
+    * exact-integer output. */
+  def sketchIndexOverlap(spark: SparkSession, dir: String,
+                         k: Int = 64): DataFrame = {
+    require(k >= 2, s"sketchIndexOverlap: k must be >= 2, got $k")
+    pairResemblance(mergedSketches(spark, dir, k), k)
+  }
+
+  /** The min-wise resemblance pair join over a `(source, kmv)` frame. */
+  private def pairResemblance(sketches: DataFrame, k: Int): DataFrame = {
+    val sk = sketches
       .localCheckpoint(false) // |sources| rows; both self-join sides
     sk.alias("a").join(sk.alias("b"), col("a.source") < col("b.source"))
       .select(col("a.source").as("src_a"), col("b.source").as("src_b"),

@@ -148,6 +148,14 @@ class DedupGuardSuite extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toSeq).toSet
     assert(merged === full,
       s"generation merge must be lossless:\nmerged $merged\nfull   $full")
+
+    // the index-served overlap matrix ≡ the corpus-computed one
+    val fromIndex = Dedup.sketchIndexOverlap(spark, dir, k = 8)
+      .collect().map(_.toSeq).toSet
+    val fromCorpus = Dedup.sketchOverlap(gen(1, 90), k = 8)
+      .collect().map(_.toSeq).toSet
+    assert(fromIndex === fromCorpus && fromIndex.nonEmpty,
+      s"index-served overlap must equal corpus-computed:\n$fromIndex\n$fromCorpus")
   }
 
   test("capByKey: null keys drop; guarded shuffled fallback matches the broadcast path") {
