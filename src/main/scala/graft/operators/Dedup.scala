@@ -66,17 +66,23 @@ object Dedup {
     *
     * Fault-tolerance note: `localCheckpoint` blocks are NON-REPLICATED —
     * an executor loss fails the job instead of recomputing lineage (fine
-    * at local[32]; at cluster scale trade for `persist(MEMORY_AND_DISK)`
-    * keeping lineage, or a reliable checkpoint dir — see PLANS.md
-    * "localCheckpoint trade").
+    * at local[32]). At cluster scale set
+    * `spark.graft.capByKey.storage=persist` and the kernel stores its
+    * cut with `persist(MEMORY_AND_DISK)` KEEPING lineage, so a lost
+    * executor recomputes only its partitions — the conf-switchable
+    * reliable path (see PLANS.md "localCheckpoint trade" for the full
+    * menu).
     */
   private[graft] def capByKey(rows: DataFrame, keys: Seq[String],
                               maxN: Int): DataFrame = {
     val conf = rows.sparkSession.conf
     val guard = conf.getOption("spark.graft.capByKey.guardBroadcast")
       .exists(_.toBoolean)
-    val raw = rows.filter(keys.map(col(_).isNotNull).reduce(_ && _))
-      .localCheckpoint(false)
+    val cut = (df: DataFrame) =>
+      if (conf.getOption("spark.graft.capByKey.storage").contains("persist"))
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df.localCheckpoint(false)
+    val raw = cut(rows.filter(keys.map(col(_).isNotNull).reduce(_ && _)))
     val overCap = raw.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__cn"))
       .filter(col("__cn") > maxN)

@@ -982,14 +982,38 @@ object Pipeline {
     * ∝ artifact size, not corpus size.
     */
   /** @param partitionCols the artifact's partition columns when it has
-    *        them ([[compactArtifact]]'s contract — a flat rewrite of a
-    *        partitioned index would silently destroy its partition
-    *        pruning). */
+    *        them; since r12 an empty list AUTO-DETECTS the layout from
+    *        the `col=value` directory structure, so no caller (including
+    *        [[graft.Forget.forget]]'s generic artifact leg) can silently
+    *        flatten a partitioned index and destroy its partition
+    *        pruning — pass cols explicitly only to OVERRIDE detection. */
   def pruneArtifact(ids: DataFrame, dir: String, idCol: String,
                     partitionCols: Seq[String] = Seq.empty): Unit =
     stagedRewrite(ids.sparkSession, dir, "prune", partitionCols) { df =>
       df.join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti")
     }
+
+  /** The artifact's partition columns as the filesystem records them:
+    * each nesting level contributes one `name=value` directory layer
+    * (hidden/`_temporary` entries ignored). Empty for a flat artifact. */
+  private[operators] def detectPartitionCols(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = dirPath
+    var descend = true
+    while (descend) {
+      val partDirs = fs.listStatus(cur)
+        .filter(st => st.isDirectory && {
+          val n = st.getPath.getName
+          n.contains("=") && !n.startsWith("_") && !n.startsWith(".")
+        })
+      val names = partDirs.map(_.getPath.getName.split("=", 2)(0)).distinct
+      if (names.length == 1) { out += names.head; cur = partDirs.head.getPath }
+      else descend = false
+    }
+    out.toSeq
+  }
 
   /** The staged rename-aside rewrite shared by [[pruneArtifact]] and
     * [[compactArtifact]]: read the artifact, write `transform`'s result
@@ -1013,9 +1037,14 @@ object Pipeline {
     if (fs.exists(oldPath))
       require(fs.delete(oldPath, true),
         s"${tag}Artifact: could not clear stale aside copy at $oldPath")
+    // layout preservation is not optional: detect the partition columns
+    // from the directory structure when the caller didn't name them
+    val effectiveCols =
+      if (partitionCols.nonEmpty) partitionCols
+      else detectPartitionCols(fs, dirPath)
     val staged = transform(spark.read.parquet(base))
       .write.mode("overwrite")
-    (if (partitionCols.nonEmpty) staged.partitionBy(partitionCols: _*)
+    (if (effectiveCols.nonEmpty) staged.partitionBy(effectiveCols: _*)
      else staged).parquet(stagePath.toString)
     require(fs.rename(dirPath, oldPath),
       s"${tag}Artifact: could not move live artifact aside ($dirPath -> $oldPath)")
@@ -1058,12 +1087,19 @@ object Pipeline {
     val base = dir.stripSuffix("/")
     val dirPath = new org.apache.hadoop.fs.Path(base)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    stagedRewrite(spark, dir, "compact", partitionCols) { df =>
+    // r12: like pruneArtifact, an unnamed layout is DETECTED, never
+    // silently flattened (detection races a concurrent swap only in the
+    // same window any maintenance pass already owns exclusively)
+    val pcolsEff =
+      if (partitionCols.nonEmpty) partitionCols
+      else if (fs.exists(dirPath)) detectPartitionCols(fs, dirPath)
+      else Seq.empty
+    stagedRewrite(spark, dir, "compact", pcolsEff) { df =>
       // sized INSIDE the transform: stagedRewrite has self-healed any
       // crash residue by now, so the live dir is guaranteed present
       val bytes = fs.getContentSummary(dirPath).getLength
       val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      if (partitionCols.nonEmpty) {
+      if (pcolsEff.nonEmpty) {
         // honor targetBytes per PARTITION VALUE: plain
         // repartition(partitionCols) routes each value to ONE task, so a
         // hot value (a skewed cid/gb bucket) collapses to one
@@ -1073,13 +1109,13 @@ object Pipeline {
         // give each value a deterministic salt width ≈ its byte share,
         // splitting hot values across ~size/targetBytes tasks while
         // small values keep exactly one file.
-        val pcols = partitionCols.map(col)
+        val pcols = pcolsEff.map(col)
         val stats = df.groupBy(pcols: _*).agg(count(lit(1)).as("__n")).collect()
         val totalRows = math.max(1L,
-          stats.map(_.getLong(partitionCols.length)).sum)
+          stats.map(_.getLong(pcolsEff.length)).sum)
         val rowsPerFile = math.max(1L, targetBytes / math.max(1L, bytes / totalRows))
         val widthRows = stats.map { r =>
-          val n = r.getLong(partitionCols.length)
+          val n = r.getLong(pcolsEff.length)
           Row.fromSeq(r.toSeq.init :+ ((n + rowsPerFile - 1) / rowsPerFile).max(1L))
         }
         val widthSchema = StructType(
@@ -1088,7 +1124,7 @@ object Pipeline {
           spark.sparkContext.parallelize(widthRows.toSeq, 1), widthSchema)
         // null-safe equality: a null partition value must keep its width
         // row (an inner equality join would silently drop those rows)
-        val cond = partitionCols.map(c => df(c) <=> widths(c)).reduce(_ && _)
+        val cond = pcolsEff.map(c => df(c) <=> widths(c)).reduce(_ && _)
         df.join(broadcast(widths), cond)
           .select(df.columns.map(df(_)) :+ widths("__w"): _*)
           .withColumn("__salt",

@@ -216,6 +216,35 @@ class ArtifactPruneSuite extends AnyFunSuite with BeforeAndAfterAll {
       "partition pruning must still fire after compaction")
   }
 
+  test("prune/compact AUTO-DETECT the partition layout when the caller omits it") {
+    val sql = spark
+    import sql.implicits._
+    val dir = Files.createTempDirectory("graft-autodetect").toString + "/grams"
+    (1L to 120L).map(i => (i, (i % 4).toInt))
+      .toDF("gram", "gb").write.partitionBy("gb").parquet(dir)
+
+    // NO partitionCols passed — until r12 this silently flattened the
+    // artifact and destroyed its partition pruning
+    Pipeline.pruneArtifact(Seq(1L, 2L).toDF("gram"), dir, "gram")
+    val dirs1 = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs1 === Set("gb=0", "gb=1", "gb=2", "gb=3"),
+      s"prune must detect + preserve the gb layout: $dirs1")
+    assert(spark.read.parquet(dir).count() === 118L)
+
+    Pipeline.compactArtifact(spark, dir)
+    val dirs2 = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs2 === Set("gb=0", "gb=1", "gb=2", "gb=3"),
+      s"compact must detect + preserve the gb layout: $dirs2")
+    val scan = spark.read.parquet(dir).filter($"gb" === 2)
+      .queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no file scan"))
+    assert(scan.selectedPartitions.partitionCount === 1,
+      "partition pruning must still fire after the detected rewrites")
+  }
+
   test("partitioned compact honors targetBytes: a hot partition splits, cold stay single") {
     val sql = spark
     import sql.implicits._

@@ -174,6 +174,12 @@ class DedupGuardSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(plain === Set(4L, 5L),
       s"over-cap and null-keyed rows must both drop: $plain")
 
+    // the lineage-keeping storage mode (cluster fault tolerance) is
+    // result-identical
+    spark.conf.set("spark.graft.capByKey.storage", "persist")
+    try assert(ids(Dedup.capByKey(rows, Seq("k"), 2)) === Set(4L, 5L))
+    finally spark.conf.unset("spark.graft.capByKey.storage")
+
     // guarded mode with a 0-key limit drops the broadcast HINT — with
     // auto-broadcast also off, the plan must fall back to a shuffled
     // anti-join (with auto-broadcast on, Catalyst may still broadcast
