@@ -131,6 +131,28 @@ abstract class StreamingCdcDedupSuiteBase extends AnyFunSuite with BeforeAndAfte
     assert(spark.table(s"scdcc_$suiteName").count() == 0L,
       "cap-1 digest buckets admit one member and emit no hits")
     capQ.stop()
+
+    // clamped tier through the stream: a doc and its copy share exactly
+    // the CLAMPED chunk topology — hits per pair = cdcChunksClamped's
+    // distinct digest count (the shared-kernel guarantee)
+    val clampIn = MemoryStream[(Long, String)]
+    val clamped = StreamingCdcDedup.cdcHitsStream(
+      clampIn.toDS().toDF("doc_id", "text"), minLen = 16, maxLen = 64)
+    val clampQ = clamped.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(s"scdcl_$suiteName")
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft-scdcl-$suiteName").toString)
+      .start()
+    clampIn.addData((1L, body), (2L, body))
+    clampQ.processAllAvailable()
+    val hitsN = spark.table(s"scdcl_$suiteName").count()
+    clampQ.stop()
+    val wantN = graft.operators.TextOps.cdcChunksClamped(
+        Seq((1L, body)).toDF("doc_id", "text"), minLen = 16, maxLen = 64)
+      .select("digest").distinct().count()
+    assert(hitsN === wantN && wantN > 0,
+      s"clamped stream hits ($hitsN) must equal the clamped distinct digest count ($wantN)")
   }
 }
 
