@@ -1,0 +1,78 @@
+package graft.examples
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Pipeline, TextOps}
+
+/** Usage demo of the batch curation surface end to end — the nightly
+  * flow a library user composes from the public operators, run against
+  * the bundled test corpus:
+  *
+  *   1. per-source funnel report   (raw → quality → exact → near-dup →
+  *                                  CDC chunk-dup)
+  *   2. nightly index builds       (CDC chunk-digest index, KMV sketch
+  *                                  index)
+  *   3. a daily ingest probing + growing both indexes (work ∝ batch)
+  *   4. the governance report card a mix review reads
+  *   5. right-to-be-forgotten across the persisted indexes, with the
+  *      forced deletion-audit gate
+  *
+  * Run: `sbt "runMain graft.examples.CurationPipelineDemo [sfDir]"`
+  */
+object CurationPipelineDemo {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-curation-demo")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.documents(spark, sfDir)
+
+    // 1) where does each source lose its docs?
+    println("== curation funnel (per source, first 5) ==")
+    Pipeline.curationFunnel(docs, minTokens = 10, maxTokens = 200,
+        minTtr = 0.3, nearDupThreshold = 0.8, maxTokenDf = 100)
+      .orderBy(col("source")).show(5, truncate = false)
+
+    // 2) nightly artifacts: docs < 250 stand in for the ingested corpus
+    val corpus = docs.filter(col("doc_id") < 250)
+    val batch = docs.filter(col("doc_id") >= 250)
+    val base = Files.createTempDirectory("graft-demo").toString
+    TextOps.buildCdcIndex(corpus, s"$base/cdc")
+    Dedup.buildSketchIndex(corpus, s"$base/sketch", k = 64)
+
+    // 3) the daily ingest: near-dup pairs vs the union corpus, index grown
+    val pairs = TextOps.cdcNearDupIngest(batch, s"$base/cdc", minFrac = 0.25)
+    println(s"== ingest: ${pairs.count()} CDC near-dup pairs vs corpus+batch ==")
+    pairs.show(5, truncate = false)
+    Dedup.appendSketchIndex(batch, s"$base/sketch", k = 64)
+    println("== per-source distinct estimates from the merged sketch index ==")
+    Dedup.readSketchIndex(spark, s"$base/sketch", k = 64)
+      .select(col("source"), col("n_kmv"), col("est_distinct"))
+      .orderBy(col("source")).show(5, truncate = false)
+
+    // 4) the one-table governance view
+    println("== source report card (first 5) ==")
+    Pipeline.sourceReportCard(docs,
+        isGoodSeed = col("source") === "src0" && col("lang") === "en",
+        isBadSeed = col("source") === "src0" && col("lang") =!= "en")
+      .orderBy(col("source")).show(5, truncate = false)
+
+    // 5) forget one doc everywhere it landed — the audit gate proves it
+    import spark.implicits._
+    val report = graft.Forget.forget(Seq(42L).toDF("doc_id"), "doc_id",
+      cdcIndexDirs = Seq(s"$base/cdc"))
+    println(s"== forgotten ${report.nIds} id(s); " +
+      s"pruned+audited: ${report.artifactsPruned.mkString(", ")} ==")
+
+    spark.stop()
+  }
+}
