@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Randomized differential gates for the r12 kernels:
+  *
+  *  - `packSequences`' two-pass distributed prefix sum must be
+  *    BYTE-IDENTICAL to the window formulation it replaced, on random
+  *    multi-strata frames including empty strata, null texts, null
+  *    strata, and duplicate-free ids in random insertion order.
+  *  - `cdcChunksClamped` must satisfy the clamp invariants on random
+  *    byte strings (not just the hand fixtures), and the identity clamp
+  *    must reproduce the pure tier exactly.
+  *
+  * Fixed seeds (scalatestplus bridge not in the offline deps).
+  */
+class PackingEquivalenceSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-packing-equivalence")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("prefix-sum packing ≡ window formulation on random frames (incl. nulls)") {
+    val sql = spark
+    import sql.implicits._
+    for (seed <- Seq(1, 7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 300 + rnd.nextInt(300)
+      val rows = rnd.shuffle((1L to n.toLong).toList).map { id =>
+        val src: String =
+          if (rnd.nextInt(20) == 0) null else s"s${rnd.nextInt(5)}"
+        val text: String =
+          if (rnd.nextInt(15) == 0) null
+          else (0 until rnd.nextInt(9)).map(j => s"w${rnd.nextInt(40)}")
+            .mkString(" ") // may be "" (one empty token after split)
+        (id, src, text)
+      }
+      val docs = rows.toDF("doc_id", "source", "text").repartition(5)
+      val budget = 16 + rnd.nextInt(48)
+
+      val got = Pipeline.packSequences(docs, budget)
+        .select($"doc_id", $"chunk_id")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = docs
+        .withColumn("n_tokens", TextOps.tokenCount($"text"))
+        .withColumn("__cum", sum($"n_tokens").over(w))
+        .withColumn("chunk_id", expr(s"(__cum - n_tokens) div $budget"))
+        .select($"doc_id", $"chunk_id")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+
+      assert(got === want, s"seed $seed budget $budget diverged")
+    }
+  }
+
+  test("cdcChunksClamped invariants + identity-clamp equivalence on random texts") {
+    val sql = spark
+    import sql.implicits._
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 60L).map { i =>
+      val len = rnd.nextInt(400)
+      (i, (0 until len).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString)
+    }.toDF("doc_id", "text")
+
+    val ident = TextOps.cdcChunksClamped(docs, minLen = 1,
+      maxLen = Int.MaxValue).collect().map(_.toSeq).toSet
+    val pure = TextOps.cdcChunks(docs).collect().map(_.toSeq).toSet
+    assert(ident === pure, "identity clamp must equal the pure tier")
+
+    val (minL, maxL) = (12, 48)
+    val clamped = TextOps.cdcChunksClamped(docs, minLen = minL, maxLen = maxL)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    docs.collect().foreach { d =>
+      val id = d.getLong(0); val len = d.getString(1).length
+      val cs = clamped.filter(_._1 == id).sortBy(_._2)
+      if (len == 0) assert(cs.map(_._4).toSeq == Seq(0L))
+      else {
+        assert(cs.head._3 == 1L && cs.map(_._4).sum == len.toLong,
+          s"doc $id must tile $len chars: ${cs.toSeq}")
+        cs.sliding(2).foreach {
+          case Array(a, b) => assert(b._3 == a._3 + a._4,
+            s"gap/overlap in doc $id")
+          case _ => ()
+        }
+        assert(cs.forall(_._4 <= maxL), s"maxLen violated in doc $id")
+        assert(cs.dropRight(1).forall(_._4 >= minL),
+          s"non-final chunk under minLen in doc $id: ${cs.toSeq}")
+      }
+    }
+  }
+}
