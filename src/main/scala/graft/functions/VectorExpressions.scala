@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native vector arithmetic for the similarity-search path.
   *
@@ -330,6 +330,54 @@ case class PqAdcScore(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of positions where two ARRAY<LONG> values are equal — the
+  * MinHash signature-agreement kernel. The `aggregate(zip_with(...))`
+  * formulation is CodegenFallback: every CANDIDATE PAIR pays two
+  * interpreted 64-element lambda passes in the LSH verify, the exact
+  * hot-loop trap the repo's HOF lesson documents. This is one fused
+  * primitive loop inside whole-stage codegen; counting stops at the
+  * shorter length (equal lengths in practice — signatures share
+  * nHashes). */
+case class EqualLanes(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with Serializable {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "equal_lanes"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) acc += 1
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $acc = 0;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a.getLong($i) == $b.getLong($i)) $acc++;
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): EqualLanes =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -339,6 +387,10 @@ object VectorFunctions {
 
   /** L2 norm of an ARRAY<DOUBLE> column (codegen'd). */
   def array_norm(a: Column): Column = column(ArrayNorm(expression(a)))
+
+  /** Equal-position count of two ARRAY<LONG> columns (codegen'd). */
+  def equal_lanes(a: Column, b: Column): Column =
+    column(EqualLanes(expression(a), expression(b)))
 
   /** Cosine similarity via the codegen'd primitives. */
   def array_cosine(a: Column, b: Column): Column =

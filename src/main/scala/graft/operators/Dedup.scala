@@ -577,10 +577,13 @@ object Dedup {
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // verify via the signature estimate — signatures rejoin by id, text never shuffles
-    val estJaccard = aggregate(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x).cast("double") / nHashes
+    // verify via the signature estimate — signatures rejoin by id, text
+    // never shuffles. Equal-lane counting is the codegen'd EqualLanes
+    // expression (r12): the aggregate(zip_with(...)) formulation is
+    // CodegenFallback and paid two interpreted 64-element lambda passes
+    // PER CANDIDATE PAIR — the HOF hot-loop trap, in the verify stage.
+    val estJaccard = graft.functions.VectorFunctions
+      .equal_lanes(col("sig_a"), col("sig_b")).cast("double") / nHashes
     candidates
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")

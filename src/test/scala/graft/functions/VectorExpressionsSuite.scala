@@ -138,4 +138,33 @@ class VectorExpressionsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(win === Seq(11L, 12L), s"window fixture drifted: $win")
     assert(agg === win, s"aggregator $agg diverged from window $win")
   }
+
+  test("equal_lanes matches the HOF formulation and stays codegen'd") {
+    val sql = spark
+    import sql.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 200).map { i =>
+      val a = Array.fill(64)(rnd.nextLong() % 8)
+      // mutate a random subset so agreement varies across the range
+      val b = a.clone()
+      (0 until rnd.nextInt(65)).foreach(_ => b(rnd.nextInt(64)) = rnd.nextLong())
+      (i, a.toSeq, b.toSeq)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val hof = df.select($"id", aggregate(
+        zip_with($"a", $"b", (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    // repartition defeats ConvertToLocalRelation so the PLAN (not a
+    // pre-folded local table) is what the codegen assertion inspects
+    val fused = df.repartition(2).select($"id",
+        VectorFunctions.equal_lanes($"a", $"b").as("n"))
+    val got = fused.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got === hof, "equal_lanes diverged from the HOF fold")
+    // AQE's final-plan rendering marks codegen stages with the `*(n)`
+    // prefix rather than the literal WholeStageCodegen node name
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(plan.contains("*(") && plan.contains("equal_lanes"),
+      s"equal_lanes must stay inside a codegen stage:\n$plan")
+  }
 }
