@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{ArrayDot, ArrayNorm, CharShingles, LshSignBits, MinHash64, NgramRepetitionStats, SimHash64}
+import graft.functions.{ArrayDot, ArrayNorm, CharShingles, EqualLanes, LshSignBits, MinHash64, NgramRepetitionStats, SimHash64}
 
 /** SQL-surface registration of the engine's codegen'd expressions via
   * `SparkSessionExtensions` (preference (c) of the custom-operator
@@ -68,6 +68,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(text, n) => NgramRepetitionStats(text, intLit(n, "n"))
       case other => throw new IllegalArgumentException(
         s"graft_ngram_repetition expects 2 arguments, got ${other.length}")
+    }
+    register(ext, "graft_equal_lanes",
+      "graft_equal_lanes(a, b) - count of equal positions of two ARRAY<BIGINT> (minhash agreement)") {
+      case Seq(a, b) => EqualLanes(a, b)
+      case other => throw new IllegalArgumentException(
+        s"graft_equal_lanes expects 2 arguments, got ${other.length}")
     }
     register(ext, "graft_lsh_sign_bits",
       "graft_lsh_sign_bits(vec, table, nBits) - random-hyperplane sign signature of ARRAY<DOUBLE>") {

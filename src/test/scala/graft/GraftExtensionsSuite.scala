@@ -49,6 +49,13 @@ class GraftExtensionsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(sqlRow.getLong(1) === apiRow.getLong(1))
   }
 
+  test("graft_equal_lanes works in SQL") {
+    val got = spark.sql(
+      "SELECT graft_equal_lanes(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 8L)) AS n")
+      .head().getInt(0)
+    assert(got === 2)
+  }
+
   test("graft_char_shingles works in SQL") {
     val got = spark.sql("SELECT graft_char_shingles('abcde', 3) AS sh")
       .head().getSeq[String](0)
