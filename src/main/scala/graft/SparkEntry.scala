@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AdvancedJoins, Dedup, Multimodal, Pipeline, Sessionize, Similarity, TextOps}
+import graft.operators.{AdvancedJoins, Dedup, HistogramSketch, Multimodal, Pipeline, Sessionize, Similarity, TextOps}
 import graft.queries.{BatchQueries, QuerySpec}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,7 +18,7 @@ object SparkEntry {
   val allSpecs: Seq[QuerySpec] =
     BatchQueries.specs ++ TextOps.specs ++ Dedup.specs ++
       Similarity.specs ++ Multimodal.specs ++ AdvancedJoins.specs ++
-      Pipeline.specs ++ Sessionize.specs
+      Pipeline.specs ++ Sessionize.specs ++ HistogramSketch.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,117 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The exponential-bucket quantile sketch: pure-integer bucket math,
+  * lossless count-addition merge, and the exact identity that makes it
+  * oracle-able — order statistics commute with the monotone bucket map,
+  * so the sketch's p-quantile EQUALS bucketRep(exact p-quantile).
+  */
+class HistogramSketchSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-hist-sketch")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def randomDocs(seed: Int, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { i =>
+      // long-tailed lengths: most docs short, a few huge — the shape
+      // that makes p99 land in a shifted (approximate) bucket
+      val len = 1 + (math.pow(2.0, rnd.nextDouble() * 12).toInt)
+      val text = if (i % 37 == 0) null else Seq.fill(len)("w").mkString(" ")
+      (i.toLong, s"s${i % 3}", text)
+    }
+  }
+
+  test("bucketRep: exact under 2^s, lower bound above, null off-domain") {
+    val sql = spark
+    import sql.implicits._
+    val vs = Seq(0L, 1L, 31L, 32L, 33L, 63L, 64L, 65L, 127L, 128L,
+      1000L, 1024L, 1025L, (1L << 40) + 12345L, -1L)
+    val got = vs.toDF("v")
+      .select(col("v"), HistogramSketch.bucketRep(col("v"), 5).as("rep"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // values with ≤ s+1 significant bits are EXACT
+    for (v <- Seq(0L, 1L, 31L, 32L, 33L, 63L)) assert(got(v) === Some(v))
+    // powers of two are always their own bucket lower bound
+    for (v <- Seq(64L, 128L, 1024L)) assert(got(v) === Some(v))
+    assert(got(65L) === Some(64L))   // e=6, shift=1
+    assert(got(127L) === Some(126L))
+    assert(got(1000L) === Some(992L)) // e=9, shift=4 — the DuckDB cross-check
+    assert(got(1025L) === Some(1024L))
+    val big = (1L << 40) + 12345L
+    val rep = got(big).get
+    assert(rep <= big && big - rep < (1L << 35), "relative error bound 2^-s")
+    assert(got(-1L) === None, "negative values are off-domain")
+  }
+
+  test("sketch quantile ≡ bucketRep(exact quantile) — the monotone-map identity") {
+    val sql = spark
+    import sql.implicits._
+    val docs = randomDocs(7, 600).toDF("doc_id", "source", "text")
+    val report = HistogramSketch.sourceLengthQuantiles(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+
+    val lens = docs.filter(col("text").isNotNull)
+      .select(col("source"), TextOps.tokenCount(col("text")).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def bucketOf(v: Long): Long = Seq(v).toDF("v")
+      .select(HistogramSketch.bucketRep(col("v"), 5)).head().getLong(0)
+
+    for ((src, sortedVals) <- lens) {
+      val n = sortedVals.length.toLong
+      val (nDocs, p50, p90, p99) = report(src)
+      assert(nDocs === n)
+      for ((pct, got) <- Seq(50 -> p50, 90 -> p90, 99 -> p99)) {
+        val exact = sortedVals(((n * pct + 99) / 100).toInt - 1)
+        assert(got === bucketOf(exact),
+          s"$src p$pct: sketch $got != bucket(exact $exact)")
+        assert(got <= exact && exact - got <= exact / 32,
+          s"$src p$pct: relative error bound violated")
+      }
+    }
+  }
+
+  test("partition-invariant: same report at 1 and 7 partitions") {
+    val sql = spark
+    import sql.implicits._
+    val docs = randomDocs(11, 400).toDF("doc_id", "source", "text")
+    def run(p: Int) = HistogramSketch.sourceLengthQuantiles(docs.repartition(p))
+      .orderBy(col("source")).collect().map(_.toSeq).toSeq
+    assert(run(1) === run(7))
+  }
+
+  test("index: build ∪ append ≡ full corpus (lossless count merge)") {
+    val sql = spark
+    import sql.implicits._
+    val docs = randomDocs(13, 500).toDF("doc_id", "source", "text")
+    val dir = Files.createTempDirectory("graft-hist-suite").toString
+    HistogramSketch.buildHistogramIndex(docs.filter(col("doc_id") <= 250), dir)
+    HistogramSketch.appendHistogramIndex(docs.filter(col("doc_id") > 250), dir)
+    val merged = HistogramSketch.readHistogramIndex(spark, dir)
+      .orderBy(col("source")).collect().map(_.toSeq).toSeq
+    val full = HistogramSketch.sourceLengthQuantiles(docs)
+      .orderBy(col("source")).collect().map(_.toSeq).toSeq
+    assert(merged === full)
+  }
+}
