@@ -79,6 +79,13 @@ object HistogramSketch {
       .groupBy(col("source"), col("rep"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** The token-length instance of [[histFrame]] — the frame every
+    * length-family entry point (quantiles, thresholds, drift) shares.
+    * Null-text docs contribute nothing. */
+  private def lengthFrame(docs: DataFrame, subBits: Int): DataFrame =
+    histFrame(docs.filter(col("text").isNotNull),
+      TextOps.tokenCount(col("text")).cast("long"), subBits)
+
   /** Quantile report over a `(source, rep, cnt)` frame: for each pct the
     * smallest rep whose cumulative count reaches ceil(n·pct/100) — all
     * integer arithmetic, so the row hash-gates exactly. The window runs
@@ -100,9 +107,84 @@ object HistogramSketch {
     * sketches, exact-integer p50/p90/p99 bucket estimates. */
   def sourceLengthQuantiles(docs: DataFrame, subBits: Int = 5,
                             pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame =
-    quantileSummary(
-      histFrame(docs.filter(col("text").isNotNull),
-        TextOps.tokenCount(col("text")).cast("long"), subBits), pcts)
+    quantileSummary(lengthFrame(docs, subBits), pcts)
+
+  /** Per-source `(lo_rep, hi_rep)` trim band from the sketch: the bucket
+    * reps at `lowPct`/`highPct`. ≤ |sources| rows — the fitted-model
+    * class that rides a broadcast join. */
+  def lengthThresholds(docs: DataFrame, lowPct: Int, highPct: Int,
+                       subBits: Int = 5): DataFrame = {
+    require(0 < lowPct && lowPct < highPct && highPct <= 100,
+      s"lengthThresholds: need 0 < lowPct < highPct <= 100, got $lowPct/$highPct")
+    quantileSummary(lengthFrame(docs, subBits), Seq(lowPct, highPct))
+      .select(col("source"), col("n_docs"),
+        col(s"p$lowPct").as("lo_rep"), col(s"p$highPct").as("hi_rep"))
+  }
+
+  /** Sketch-driven length-outlier trim — the curation step the quantile
+    * report exists to drive: keep docs whose length BUCKET falls inside
+    * the per-source `[lo_rep, hi_rep]` band of `thresholds`
+    * ([[lengthThresholds]] output or any frame with those columns).
+    * Because membership is decided in bucket space, the decision is the
+    * same integer arithmetic the oracle replays — no float percentile to
+    * disagree on. Null-text docs are dropped (their length is
+    * undefined; the histogram never saw them either).
+    *
+    * Scale shape: thresholds are ≤ |sources| rows broadcast to a single
+    * corpus scan — one map-side hash join + filter, zero extra
+    * shuffles. */
+  def lengthBandTrim(docs: DataFrame, thresholds: DataFrame,
+                     subBits: Int = 5): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .withColumn("__rep",
+        bucketRep(TextOps.tokenCount(col("text")).cast("long"), subBits))
+      .join(broadcast(thresholds.select(col("source"),
+        col("lo_rep"), col("hi_rep"))), Seq("source"))
+      .filter(col("__rep") >= col("lo_rep") && col("__rep") <= col("hi_rep"))
+      .drop("__rep", "lo_rep", "hi_rep")
+
+  /** One-call tier: fit the band on `docs` itself, then trim. */
+  def lengthBandTrim(docs: DataFrame, lowPct: Int,
+                     highPct: Int): DataFrame =
+    lengthBandTrim(docs, lengthThresholds(docs, lowPct, highPct))
+
+  /** Length-DISTRIBUTION drift between two corpus snapshots — the
+    * histogram companion to the token-vocabulary drift audit
+    * ([[TextOps.vocabDrift]], q129): vocabDrift says which TOKENS moved,
+    * this says whether a source's length SHAPE moved (a scraper that
+    * starts truncating, a boilerplate injection, a source-mix shift all
+    * show up here before a training metric does). Per source: doc
+    * counts of both snapshots and the L1 distance between the two
+    * bucket distributions in integer µ-probability units
+    * (`p = cnt·10⁶ div n` per bucket; `l1_micro = Σ|p_old − p_new|`,
+    * 0..2·10⁶ — twice the total-variation distance). Every number is
+    * integer arithmetic over bucket rows, so the report hash-gates
+    * exactly.
+    *
+    * Scale shape: two corpus scans → two bounded sketch frames; the
+    * full-outer join, per-source totals, and the L1 rollup all run over
+    * ≤1920-row-per-source bucket tables. */
+  def lengthDrift(oldDocs: DataFrame, newDocs: DataFrame,
+                  subBits: Int = 5): DataFrame = {
+    val o = lengthFrame(oldDocs, subBits).withColumnRenamed("cnt", "cnt_old")
+    val n = lengthFrame(newDocs, subBits).withColumnRenamed("cnt", "cnt_new")
+    val w = Window.partitionBy(col("source"))
+    o.join(n, Seq("source", "rep"), "full_outer")
+      .select(col("source"), col("rep"),
+        coalesce(col("cnt_old"), lit(0L)).as("cnt_old"),
+        coalesce(col("cnt_new"), lit(0L)).as("cnt_new"))
+      .withColumn("n_old", sum(col("cnt_old")).over(w))
+      .withColumn("n_new", sum(col("cnt_new")).over(w))
+      .withColumn("p_old", when(col("n_old") === 0, lit(0L))
+        .otherwise(expr("(cnt_old * 1000000) div n_old")))
+      .withColumn("p_new", when(col("n_new") === 0, lit(0L))
+        .otherwise(expr("(cnt_new * 1000000) div n_new")))
+      .groupBy(col("source"))
+      .agg(max(col("n_old")).as("n_docs_old"),
+        max(col("n_new")).as("n_docs_new"),
+        count(lit(1)).as("n_buckets"),
+        sum(abs(col("p_old") - col("p_new"))).cast("bigint").as("l1_micro"))
+  }
 
   /** Persist the per-source histogram sketch at `dir/hist` — the nightly
     * artifact. Count addition is lossless, so the index follows the
@@ -111,16 +193,14 @@ object HistogramSketch {
     * [[readHistogramIndex]] merges generations at read by summing. */
   def buildHistogramIndex(docs: DataFrame, dir: String,
                           subBits: Int = 5): Unit =
-    histFrame(docs.filter(col("text").isNotNull),
-      TextOps.tokenCount(col("text")).cast("long"), subBits)
+    lengthFrame(docs, subBits)
       .write.mode("overwrite").parquet(s"$dir/hist")
 
   /** Append a batch generation's bucket rows (same `subBits` as the
     * build — a coarser generation would not merge bucket-for-bucket). */
   def appendHistogramIndex(batch: DataFrame, dir: String,
                            subBits: Int = 5): Unit =
-    histFrame(batch.filter(col("text").isNotNull),
-      TextOps.tokenCount(col("text")).cast("long"), subBits)
+    lengthFrame(batch, subBits)
       .write.mode("append").parquet(s"$dir/hist")
 
   /** Current per-source quantile report from the persisted index:
@@ -186,5 +266,105 @@ object HistogramSketch {
       "q159_length_quantiles_incr",
       (s, d) => readHistogramIndex(s, cachedHistogramIndex(s, d))
         .orderBy(col("source")),
-      Some(quantileOracle)))
+      Some(quantileOracle)),
+
+    // Sketch-driven length-band trim (r12): the curation step the
+    // quantile report drives — per-source [p5, p99] bucket band fitted
+    // from the sketch, docs kept by BUCKET membership (integer space, so
+    // the kept count hash-gates). The report row gates the trim operator
+    // itself: n_kept is counted from lengthBandTrim's actual output.
+    QuerySpec(
+      "q160_length_band_trim",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val thr = lengthThresholds(docs, lowPct = 5, highPct = 99)
+        val kept = lengthBandTrim(docs, thr)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        thr.join(kept, Seq("source"), "left_outer")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            col("lo_rep"), col("hi_rep"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+          FROM documents WHERE text IS NOT NULL),
+        b AS (
+          SELECT source,
+                 (v >> greatest(0, length(bin(v)) - 1 - 5))
+                   << greatest(0, length(bin(v)) - 1 - 5) AS rep
+          FROM v),
+        g AS (SELECT source, rep, COUNT(*) AS cnt FROM b GROUP BY source, rep),
+        c AS (
+          SELECT source, rep,
+                 SUM(cnt) OVER (PARTITION BY source ORDER BY rep) AS cum,
+                 SUM(cnt) OVER (PARTITION BY source) AS n
+          FROM g),
+        t AS (
+          SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+                 CAST(MIN(CASE WHEN cum >= (n * 5 + 99) // 100 THEN rep END) AS BIGINT) AS lo_rep,
+                 CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN rep END) AS BIGINT) AS hi_rep
+          FROM c GROUP BY source)
+        SELECT b.source, MAX(t.n_docs) AS n_docs,
+               CAST(SUM(CASE WHEN b.rep BETWEEN t.lo_rep AND t.hi_rep
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               MAX(t.lo_rep) AS lo_rep, MAX(t.hi_rep) AS hi_rep
+        FROM b JOIN t USING (source)
+        GROUP BY b.source ORDER BY b.source""")),
+
+    // Length-distribution drift (r12): the histogram companion to q129's
+    // vocab drift, on the same q107 snapshot pair — the " v2" suffix adds
+    // one token to every %5 doc and the differing %7/%11 memberships
+    // shift the per-source length shape; the L1 distance between bucket
+    // distributions in integer µ-probability units hash-gates exactly.
+    QuerySpec(
+      "q161_length_drift",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+        lengthDrift(oldSnap, newSnap).orderBy(col("source"))
+      },
+      Some("""
+        WITH ov AS (
+          SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+          FROM documents WHERE doc_id % 7 <> 0 AND text IS NOT NULL),
+        nv AS (
+          SELECT source, CAST(len(string_split(
+                   CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END,
+                   ' ')) AS BIGINT) AS v
+          FROM documents WHERE doc_id % 11 <> 0 AND text IS NOT NULL),
+        ob AS (SELECT source,
+                      (v >> greatest(0, length(bin(v)) - 1 - 5))
+                        << greatest(0, length(bin(v)) - 1 - 5) AS rep
+               FROM ov),
+        nb AS (SELECT source,
+                      (v >> greatest(0, length(bin(v)) - 1 - 5))
+                        << greatest(0, length(bin(v)) - 1 - 5) AS rep
+               FROM nv),
+        og AS (SELECT source, rep, COUNT(*) AS cnt_old FROM ob GROUP BY source, rep),
+        ng AS (SELECT source, rep, COUNT(*) AS cnt_new FROM nb GROUP BY source, rep),
+        j AS (
+          SELECT source, rep,
+                 CAST(COALESCE(cnt_old, 0) AS BIGINT) AS cnt_old,
+                 CAST(COALESCE(cnt_new, 0) AS BIGINT) AS cnt_new
+          FROM og FULL OUTER JOIN ng USING (source, rep)),
+        p AS (
+          SELECT source, cnt_old, cnt_new,
+                 SUM(cnt_old) OVER (PARTITION BY source) AS n_old,
+                 SUM(cnt_new) OVER (PARTITION BY source) AS n_new
+          FROM j)
+        SELECT source,
+               CAST(MAX(n_old) AS BIGINT) AS n_docs_old,
+               CAST(MAX(n_new) AS BIGINT) AS n_docs_new,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(ABS(
+                 (CASE WHEN n_old = 0 THEN 0 ELSE (cnt_old * 1000000) // n_old END)
+                 - (CASE WHEN n_new = 0 THEN 0 ELSE (cnt_new * 1000000) // n_new END)
+               )) AS BIGINT) AS l1_micro
+        FROM p GROUP BY source ORDER BY source""")))
 }

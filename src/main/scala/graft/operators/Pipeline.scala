@@ -194,16 +194,21 @@ object Pipeline {
       .select(col("source"),
         expr("CAST(sign(s) AS BIGINT) * ((abs(s) * 2 + n) div (n * 2))")
           .as("mean_quality_micro"))
+    // length-shape leg (r12): p50/p99 token-length bucket estimates from
+    // the exponential-bucket sketch — bounded bucket rows, exact integers
+    val lenq = HistogramSketch.sourceLengthQuantiles(docs, pcts = Seq(50, 99))
+      .select(col("source"), col("p50").as("p50_len"), col("p99").as("p99_len"))
     base.join(mass, Seq("source"), "left_outer")
       .join(cdc, Seq("source"), "left_outer")
       .join(qual, Seq("source"), "left_outer")
+      .join(lenq, Seq("source"), "left_outer")
       .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
         col("exact_dup_docs"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         coalesce(col("dup_frac"), lit(0.0)).as("dup_frac"),
         coalesce(col("cdc_dup_chunks"), lit(0L)).as("cdc_dup_chunks"),
         coalesce(col("cdc_dup_frac"), lit(0.0)).as("cdc_dup_frac"),
-        col("mean_quality_micro"))
+        col("mean_quality_micro"), col("p50_len"), col("p99_len"))
   }
 
   /** Deterministic stratified sampling: keep a per-stratum fraction of
@@ -1931,18 +1936,38 @@ object Pipeline {
                  SUM(CASE WHEN c.digest IN (SELECT digest FROM cdup)
                      THEN 1 ELSE 0 END) AS dupn
           FROM cdg c JOIN documents d USING (doc_id)
-          GROUP BY d.source)
+          GROUP BY d.source),
+        lv AS (
+          SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+          FROM documents WHERE text IS NOT NULL),
+        lb AS (
+          SELECT source,
+                 (v >> greatest(0, length(bin(v)) - 1 - 5))
+                   << greatest(0, length(bin(v)) - 1 - 5) AS rep
+          FROM lv),
+        lg AS (SELECT source, rep, COUNT(*) AS cnt FROM lb GROUP BY source, rep),
+        lc AS (
+          SELECT source, rep,
+                 SUM(cnt) OVER (PARTITION BY source ORDER BY rep) AS cum,
+                 SUM(cnt) OVER (PARTITION BY source) AS ltot
+          FROM lg),
+        lenq AS (
+          SELECT source,
+                 CAST(MIN(CASE WHEN cum >= (ltot * 50 + 99) // 100 THEN rep END) AS BIGINT) AS p50_len,
+                 CAST(MIN(CASE WHEN cum >= (ltot * 99 + 99) // 100 THEN rep END) AS BIGINT) AS p99_len
+          FROM lc GROUP BY source)
         SELECT b.source, b.n_docs, b.n_tokens, b.n_langs, b.exact_dup_docs,
                COALESCE(m.dup_tokens, 0) AS dup_tokens,
                COALESCE(m.dup_frac, 0.0) AS dup_frac,
                COALESCE(CAST(cs.dupn AS BIGINT), 0) AS cdc_dup_chunks,
                COALESCE(ROUND(CAST(cs.dupn AS DOUBLE) / cs.n_chunks, 6), 0.0)
                  AS cdc_dup_frac,
-               q.mean_quality_micro
+               q.mean_quality_micro, l.p50_len, l.p99_len
         FROM base b
         LEFT JOIN mass m ON m.source = b.source
         LEFT JOIN cstat cs ON cs.source = b.source
         LEFT JOIN qual q ON q.source = b.source
+        LEFT JOIN lenq l ON l.source = b.source
         ORDER BY b.source""")),
 
     // Classifier keep-threshold calibration (r10): q139's fit+serve with

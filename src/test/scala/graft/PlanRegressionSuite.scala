@@ -304,6 +304,36 @@ class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q160: the trim's threshold join broadcasts; the corpus is never sort-merge-joined") {
+    // the band is a ≤|sources|-row fitted model: it must ride a broadcast
+    // hash join onto the single corpus scan — a sort-merge join here
+    // would shuffle the whole corpus for a handful of thresholds
+    val p = plan("q160_length_band_trim")
+    assert(p.contains("BroadcastHashJoin"),
+      s"threshold join didn't broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled into a sort-merge join:\n$p")
+  }
+
+  test("q158/q161: quantile/drift windows run over bucket rows only") {
+    // the histogram family's contract: windows are legal ONLY after the
+    // (source, rep) aggregation has reduced the corpus to bounded bucket
+    // tables — every Window in the optimized plan must sit above an
+    // Aggregate, never directly on the scan
+    for (name <- Seq("q158_length_quantiles", "q161_length_drift")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val lp = df.queryExecution.optimizedPlan
+      val badWindows = lp.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.collectFirst {
+              case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => ()
+            }.isEmpty => w
+      }
+      assert(badWindows.isEmpty,
+        s"$name: a window runs below any aggregate (directly over doc rows):\n$lp")
+    }
+  }
+
   test("no declared query plans a CartesianProduct") {
     // the one shape that cannot survive any scale-up; cross joins against
     // broadcast fitted models plan as BroadcastNestedLoopJoin instead

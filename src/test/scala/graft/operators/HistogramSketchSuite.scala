@@ -101,6 +101,53 @@ class HistogramSketchSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(1) === run(7))
   }
 
+  test("band trim: kept docs are exactly the in-band buckets, non-vacuous") {
+    val sql = spark
+    import sql.implicits._
+    val docs = randomDocs(17, 700).toDF("doc_id", "source", "text")
+    val thr = HistogramSketch.lengthThresholds(docs, 5, 99)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val kept = HistogramSketch.lengthBandTrim(docs, 5, 99)
+      .select(col("doc_id"), col("source"),
+        HistogramSketch.bucketRep(
+          TextOps.tokenCount(col("text")).cast("long"), 5).as("rep"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val all = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        HistogramSketch.bucketRep(
+          TextOps.tokenCount(col("text")).cast("long"), 5).as("rep"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = all.filter { case (_, src, rep) =>
+      val (lo, hi) = thr(src); rep >= lo && rep <= hi }
+    assert(kept.toSet === expect.toSet, "trim must equal bucket-band membership")
+    // the long tail makes both cuts bite: something trimmed on each side
+    for (src <- thr.keys) {
+      val (lo, hi) = thr(src)
+      val srcAll = all.filter(_._2 == src)
+      val srcKept = kept.filter(_._2 == src)
+      assert(srcKept.nonEmpty && srcKept.length < srcAll.length,
+        s"$src: trim must be non-vacuous (${srcKept.length}/${srcAll.length})")
+      assert(srcAll.exists(_._3 < lo) || srcAll.exists(_._3 > hi))
+    }
+  }
+
+  test("drift: zero on identical snapshots, positive under a length shift") {
+    val sql = spark
+    import sql.implicits._
+    val docs = randomDocs(19, 500).toDF("doc_id", "source", "text")
+    val same = HistogramSketch.lengthDrift(docs, docs)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(same.nonEmpty && same.values.forall(_ === 0L),
+      s"identical snapshots must have zero drift, got $same")
+    // double every doc's length in the new snapshot: every bucket moves
+    val shifted = docs.filter(col("text").isNotNull)
+      .withColumn("text", concat(col("text"), lit(" "), col("text")))
+    val moved = HistogramSketch.lengthDrift(docs, shifted)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(moved.forall(_._4 > 500000L),
+      s"a 2x length shift must move most of the mass, got $moved")
+  }
+
   test("index: build ∪ append ≡ full corpus (lossless count merge)") {
     val sql = spark
     import sql.implicits._
