@@ -203,14 +203,39 @@ object HistogramSketch {
     lengthFrame(batch, subBits)
       .write.mode("append").parquet(s"$dir/hist")
 
+  /** Retract removed docs from the index by appending NEGATIVE-count
+    * generation rows — the property that distinguishes count sketches
+    * from the KMV family: counts form a GROUP (subtraction exists), a
+    * bottom-k set only a monoid (an insert cannot be undone), so the
+    * histogram index supports work-∝-batch deletion maintenance where
+    * the sketch index (q157) must rebuild. After a retract,
+    * build ∪ appends ∪ retracts ≡ a survivor-only full run EXACTLY —
+    * the read-time sum cancels the removed docs' buckets (a bucket
+    * reaching zero drops out of the report entirely, including from
+    * `n_buckets`).
+    *
+    * This is ACCURACY maintenance, not a GDPR surface: the index stores
+    * only `(source, rep, cnt)` — no doc ids — so `Forget.forget`'s
+    * audit has nothing to prove here; what a deletion batch must fix is
+    * the survivors' length statistics, which is exactly this append.
+    * Callers pass the REMOVED docs (their text is in hand in a deletion
+    * batch — the same frame that feeds the id-keyed index prunes). */
+  def retractHistogramIndex(removed: DataFrame, dir: String,
+                            subBits: Int = 5): Unit =
+    lengthFrame(removed, subBits)
+      .select(col("source"), col("rep"), (-col("cnt")).as("cnt"))
+      .write.mode("append").parquet(s"$dir/hist")
+
   /** Current per-source quantile report from the persisted index:
-    * generations merged by count addition, then the same summary. */
+    * generations merged by count addition (retraction rows subtract;
+    * fully-cancelled buckets drop out), then the same summary. */
   def readHistogramIndex(spark: SparkSession, dir: String,
                          pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame =
     quantileSummary(
       spark.read.parquet(s"$dir/hist")
         .groupBy(col("source"), col("rep"))
-        .agg(sum(col("cnt")).as("cnt")), pcts)
+        .agg(sum(col("cnt")).as("cnt"))
+        .filter(col("cnt") =!= 0), pcts)
 
   /** Build-once memo for the q159 harness query (the q157 split: corpus
     * built from doc_id < 250, the later generation appended — once per
@@ -221,6 +246,17 @@ object HistogramSketch {
       val docs = Tables.documents(s, d)
       buildHistogramIndex(docs.filter(col("doc_id") < 250), dir)
       appendHistogramIndex(docs.filter(col("doc_id") >= 250), dir)
+      dir
+    }
+
+  /** Build-once memo for the q162 harness: full-corpus build, then a
+    * deletion batch (doc_id % 13 = 0) retracted — the oracle is the
+    * survivor-only full run. */
+  private def cachedRetractedIndex(s: SparkSession, d: String): String =
+    BuildOnce.dir("graft-hist-retract", d) { dir =>
+      val docs = Tables.documents(s, d)
+      buildHistogramIndex(docs, dir)
+      retractHistogramIndex(docs.filter(col("doc_id") % 13 === 0), dir)
       dir
     }
 
@@ -267,6 +303,38 @@ object HistogramSketch {
       (s, d) => readHistogramIndex(s, cachedHistogramIndex(s, d))
         .orderBy(col("source")),
       Some(quantileOracle)),
+
+    // Retraction maintenance (r12): full-corpus build, a deletion
+    // batch's buckets retracted as NEGATIVE generation rows, read-time
+    // sum cancels them — the oracle is the survivor-only full run, so
+    // the hash gate proves the group-algebra identity (the operation
+    // the monoid-only KMV index cannot support).
+    QuerySpec(
+      "q162_length_quantiles_retract",
+      (s, d) => readHistogramIndex(s, cachedRetractedIndex(s, d))
+        .orderBy(col("source")),
+      Some("""
+        WITH v AS (
+          SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+          FROM documents WHERE text IS NOT NULL AND doc_id % 13 <> 0),
+        b AS (
+          SELECT source,
+                 (v >> greatest(0, length(bin(v)) - 1 - 5))
+                   << greatest(0, length(bin(v)) - 1 - 5) AS rep
+          FROM v),
+        g AS (SELECT source, rep, COUNT(*) AS cnt FROM b GROUP BY source, rep),
+        c AS (
+          SELECT source, rep,
+                 SUM(cnt) OVER (PARTITION BY source ORDER BY rep) AS cum,
+                 SUM(cnt) OVER (PARTITION BY source) AS n_docs
+          FROM g)
+        SELECT source,
+               CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(MIN(CASE WHEN cum >= (n_docs * 50 + 99) // 100 THEN rep END) AS BIGINT) AS p50,
+               CAST(MIN(CASE WHEN cum >= (n_docs * 90 + 99) // 100 THEN rep END) AS BIGINT) AS p90,
+               CAST(MIN(CASE WHEN cum >= (n_docs * 99 + 99) // 100 THEN rep END) AS BIGINT) AS p99
+        FROM c GROUP BY source ORDER BY source""")),
 
     // Sketch-driven length-band trim (r12): the curation step the
     // quantile report drives — per-source [p5, p99] bucket band fitted

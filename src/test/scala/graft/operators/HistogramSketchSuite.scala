@@ -161,4 +161,29 @@ class HistogramSketchSuite extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy(col("source")).collect().map(_.toSeq).toSeq
     assert(merged === full)
   }
+
+  test("index: build ∪ retract ≡ survivor-only run (count group algebra)") {
+    val sql = spark
+    import sql.implicits._
+    val docs = randomDocs(23, 500).toDF("doc_id", "source", "text")
+    val dir = Files.createTempDirectory("graft-hist-retract").toString
+    HistogramSketch.buildHistogramIndex(docs, dir)
+    HistogramSketch.retractHistogramIndex(docs.filter(col("doc_id") % 4 === 0), dir)
+    val got = HistogramSketch.readHistogramIndex(spark, dir)
+      .orderBy(col("source")).collect().map(_.toSeq).toSeq
+    val survivors = HistogramSketch.sourceLengthQuantiles(
+        docs.filter(col("doc_id") % 4 =!= 0))
+      .orderBy(col("source")).collect().map(_.toSeq).toSeq
+    assert(got === survivors,
+      "retracted index must equal a survivor-only full run incl. n_buckets")
+
+    // retract an ENTIRE source: its rows all cancel and the source
+    // disappears from the report, same as the survivor-only run
+    val dir2 = Files.createTempDirectory("graft-hist-retract2").toString
+    HistogramSketch.buildHistogramIndex(docs, dir2)
+    HistogramSketch.retractHistogramIndex(docs.filter(col("source") === "s1"), dir2)
+    val got2 = HistogramSketch.readHistogramIndex(spark, dir2)
+      .select(col("source")).collect().map(_.getString(0)).toSet
+    assert(got2 === Set("s0", "s2"), s"fully-retracted source must vanish: $got2")
+  }
 }
