@@ -69,45 +69,58 @@ object HistogramSketch {
     when(long < 0, lit(null)).otherwise(shiftL(shiftR(long, shift), shift))
   }
 
-  /** `(source, rep, cnt)` sketch frame of a per-document value — the
-    * mergeable representation every consumer shares. Null values (null
-    * text upstream) contribute nothing, the [[Dedup.kmvFrame]] rule. */
-  private def histFrame(docs: DataFrame, value: Column,
+  /** `(key, rep, cnt)` sketch frame of a per-row value — the mergeable
+    * representation every consumer shares. Null values (null text
+    * upstream) contribute nothing, the [[Dedup.kmvFrame]] rule. */
+  private def histFrame(rows: DataFrame, keyCol: String, value: Column,
                         subBits: Int): DataFrame =
-    docs.select(col("source"), bucketRep(value, subBits).as("rep"))
+    rows.select(col(keyCol), bucketRep(value, subBits).as("rep"))
       .filter(col("rep").isNotNull)
-      .groupBy(col("source"), col("rep"))
+      .groupBy(col(keyCol), col("rep"))
       .agg(count(lit(1)).as("cnt"))
 
   /** The token-length instance of [[histFrame]] — the frame every
     * length-family entry point (quantiles, thresholds, drift) shares.
     * Null-text docs contribute nothing. */
   private def lengthFrame(docs: DataFrame, subBits: Int): DataFrame =
-    histFrame(docs.filter(col("text").isNotNull),
+    histFrame(docs.filter(col("text").isNotNull), "source",
       TextOps.tokenCount(col("text")).cast("long"), subBits)
 
-  /** Quantile report over a `(source, rep, cnt)` frame: for each pct the
+  /** Quantile report over a `(key, rep, cnt)` frame: for each pct the
     * smallest rep whose cumulative count reaches ceil(n·pct/100) — all
     * integer arithmetic, so the row hash-gates exactly. The window runs
-    * over bucket rows (≤1920 per source by construction). */
-  private def quantileSummary(frame: DataFrame, pcts: Seq[Int]): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("rep"))
+    * over bucket rows (≤1920 per key by construction). `nName` is the
+    * total-count column's output name (`n_docs` for the length family). */
+  private def quantileSummary(frame: DataFrame, keyCol: String,
+                              pcts: Seq[Int],
+                              nName: String = "n_docs"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("rep"))
     val cum = frame.withColumn("cum", sum(col("cnt")).over(w))
-      .withColumn("n_docs", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+      .withColumn("__n", sum(col("cnt")).over(Window.partitionBy(col(keyCol))))
     val qCols = pcts.map { p =>
-      min(when(col("cum") >= expr(s"(n_docs * $p + 99) div 100"), col("rep")))
+      min(when(col("cum") >= expr(s"(__n * $p + 99) div 100"), col("rep")))
         .as(s"p$p")
     }
-    val aggs = Seq(max(col("n_docs")).as("n_docs"),
+    val aggs = Seq(max(col("__n")).as(nName),
       count(lit(1)).as("n_buckets")) ++ qCols
-    cum.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+    cum.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Per-key quantile report of ANY non-negative long value — the
+    * generic surface behind [[sourceLengthQuantiles]]: bucket `value`
+    * per row, count per `(key, rep)`, read the quantiles off the
+    * integer CDF. Null values contribute nothing. */
+  def valueQuantiles(rows: DataFrame, keyCol: String, value: Column,
+                     subBits: Int = 5, pcts: Seq[Int] = Seq(50, 90, 99),
+                     nName: String = "n_vals"): DataFrame =
+    quantileSummary(histFrame(rows, keyCol, value, subBits), keyCol,
+      pcts, nName)
 
   /** Per-source token-length quantile report: one corpus scan, bounded
     * sketches, exact-integer p50/p90/p99 bucket estimates. */
   def sourceLengthQuantiles(docs: DataFrame, subBits: Int = 5,
                             pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame =
-    quantileSummary(lengthFrame(docs, subBits), pcts)
+    quantileSummary(lengthFrame(docs, subBits), "source", pcts)
 
   /** Per-source `(lo_rep, hi_rep)` trim band from the sketch: the bucket
     * reps at `lowPct`/`highPct`. ≤ |sources| rows — the fitted-model
@@ -116,7 +129,8 @@ object HistogramSketch {
                        subBits: Int = 5): DataFrame = {
     require(0 < lowPct && lowPct < highPct && highPct <= 100,
       s"lengthThresholds: need 0 < lowPct < highPct <= 100, got $lowPct/$highPct")
-    quantileSummary(lengthFrame(docs, subBits), Seq(lowPct, highPct))
+    quantileSummary(lengthFrame(docs, subBits), "source",
+        Seq(lowPct, highPct))
       .select(col("source"), col("n_docs"),
         col(s"p$lowPct").as("lo_rep"), col(s"p$highPct").as("hi_rep"))
   }
@@ -186,6 +200,31 @@ object HistogramSketch {
         sum(abs(col("p_old") - col("p_new"))).cast("bigint").as("l1_micro"))
   }
 
+  /** Inter-event-gap quantiles per event type — the sketch applied to
+    * the behavioral table: per-user consecutive-event gaps (nanosecond
+    * longs — the [[Sessionize]] family's integer-time discipline, tie
+    * order `(ts, id)` so the predecessor is engine-deterministic), keyed
+    * by the LATER event's type, then the same bounded-bucket CDF walk.
+    * Answers "what's the p99 latency between a user's events of type X"
+    * — the observability question exact percentiles would answer with a
+    * corpus-sized sort per type.
+    *
+    * Scale shape: ONE per-user window pass (the q54 sessionize
+    * exchange), then map-side bucket counts; every later operator runs
+    * over bounded bucket rows. */
+  def eventGapQuantiles(events: DataFrame, userCol: String = "user_id",
+                        tsCol: String = "ts", idCol: String = "event_id",
+                        typeCol: String = "event_type", subBits: Int = 5,
+                        pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val gaps = events
+      .withColumn("__gap", col(tsCol) - lag(col(tsCol), 1).over(w))
+      .filter(col("__gap").isNotNull)
+    valueQuantiles(gaps, typeCol, col("__gap"), subBits, pcts,
+      nName = "n_gaps")
+  }
+
   /** Persist the per-source histogram sketch at `dir/hist` — the nightly
     * artifact. Count addition is lossless, so the index follows the
     * generation-append discipline: [[appendHistogramIndex]] appends the
@@ -235,7 +274,7 @@ object HistogramSketch {
       spark.read.parquet(s"$dir/hist")
         .groupBy(col("source"), col("rep"))
         .agg(sum(col("cnt")).as("cnt"))
-        .filter(col("cnt") =!= 0), pcts)
+        .filter(col("cnt") =!= 0), "source", pcts)
 
   /** Build-once memo for the q159 harness query (the q157 split: corpus
     * built from doc_id < 250, the later generation appended — once per
@@ -303,6 +342,43 @@ object HistogramSketch {
       (s, d) => readHistogramIndex(s, cachedHistogramIndex(s, d))
         .orderBy(col("source")),
       Some(quantileOracle)),
+
+    // Generic-value tier on the behavioral table (r12): per-user
+    // consecutive-event gaps in integer nanos, keyed by the later
+    // event's type — the p99-latency observability question through the
+    // same bounded-bucket CDF walk, hash-gated end to end.
+    QuerySpec(
+      "q163_event_gap_quantiles",
+      (s, d) => eventGapQuantiles(Tables.events(s, d))
+        .orderBy(col("event_type")),
+      Some("""
+        WITH g AS (
+          SELECT event_type,
+                 epoch_ns(ts) - LAG(epoch_ns(ts)) OVER
+                   (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+                   AS gap
+          FROM events),
+        v AS (SELECT event_type, CAST(gap AS BIGINT) AS v FROM g
+              WHERE gap IS NOT NULL),
+        b AS (
+          SELECT event_type,
+                 (v >> greatest(0, length(bin(v)) - 1 - 5))
+                   << greatest(0, length(bin(v)) - 1 - 5) AS rep
+          FROM v),
+        gr AS (SELECT event_type, rep, COUNT(*) AS cnt FROM b
+               GROUP BY event_type, rep),
+        c AS (
+          SELECT event_type, rep,
+                 SUM(cnt) OVER (PARTITION BY event_type ORDER BY rep) AS cum,
+                 SUM(cnt) OVER (PARTITION BY event_type) AS n
+          FROM gr)
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n_gaps,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN rep END) AS BIGINT) AS p50,
+               CAST(MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN rep END) AS BIGINT) AS p90,
+               CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN rep END) AS BIGINT) AS p99
+        FROM c GROUP BY event_type ORDER BY event_type""")),
 
     // Retraction maintenance (r12): full-corpus build, a deletion
     // batch's buckets retracted as NEGATIVE generation rows, read-time

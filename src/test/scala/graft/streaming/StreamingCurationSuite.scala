@@ -239,6 +239,49 @@ class StreamingCurationSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamKept === batchKept, s"stream=$streamKept batch=$batchKept")
   }
 
+  test("fitted length band trims a stream; parity with the batch trim") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // long-tailed corpus: fit the [p10, p90] band on it (batch), then
+    // serve the SAME lengthBandTrim call on a stream — the thresholds
+    // are a ≤|sources|-row static side of a stream-static broadcast
+    // join, the decision a stateless bucket filter
+    val rnd = new scala.util.Random(5)
+    val corpus = (1 to 120).map { i =>
+      val len = 1 + math.pow(2.0, rnd.nextDouble() * 9).toInt
+      (i.toLong, s"s${i % 2}", Seq.fill(len)("w").mkString(" "))
+    } :+ ((121L, "s0", null.asInstanceOf[String]))
+    val corpusDf = corpus.toDF("doc_id", "source", "text")
+    val thr = graft.operators.HistogramSketch.lengthThresholds(corpusDf, 10, 90)
+
+    val batchKept = graft.operators.HistogramSketch
+      .lengthBandTrim(corpusDf, thr)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+
+    val input = MemoryStream[(Long, String, String)]
+    val trimmed = graft.operators.HistogramSketch.lengthBandTrim(
+      input.toDS().toDF("doc_id", "source", "text"), thr)
+    val query = trimmed.select($"doc_id").writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("sbandtrim")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sbandtrim").toString)
+      .start()
+    corpus.grouped(40).foreach { g =>
+      input.addData(g.toSeq: _*); query.processAllAvailable()
+    }
+    val streamKept = spark.table("sbandtrim").collect()
+      .map(_.getLong(0)).toSet
+    query.stop()
+
+    assert(batchKept.nonEmpty && batchKept.size < corpus.size - 1,
+      s"degenerate fixture: band must bite (kept ${batchKept.size})")
+    assert(streamKept === batchKept,
+      s"stream kept $streamKept must equal batch kept $batchKept")
+  }
+
   test("map-side gates (blocklist) apply to a stream unchanged") {
     val sql = spark
     import sql.implicits._
