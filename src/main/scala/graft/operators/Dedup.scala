@@ -1312,6 +1312,51 @@ object Dedup {
                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
         ORDER BY doc_a, doc_b"""
 
+  /** Join-key SKEW diagnostic — the measurement that justifies every
+    * cap/salt parameter in the candidate-generation family: per-key
+    * counts of a prospective self-join key, weighted QUADRATICALLY
+    * (`pair_work = cnt·(cnt−1)/2` — the pairs an equality self-join
+    * would emit per bucket), with each top bucket's share of the TOTAL
+    * pair work in exact integer µ units. A bucket with 1% of the rows
+    * can hold 90% of the join work; row-count views (q63's df histogram,
+    * q110's heavy hitters) cannot see that, which is why capByKey's
+    * `maxN` and jaccardPairs' df cap are tuned against THIS number.
+    *
+    * Scale shape: one map-side-combined count per key, a TakeOrdered
+    * top-N (never a global sort), and a 1-row global rollup broadcast
+    * back — the row stream itself never reshuffles. The µ share routes
+    * through DECIMAL(38,0) so it is exact for any long-sized pair_work;
+    * `cnt` itself is envelope-guarded (a key would need > 3·10⁹ rows to
+    * overflow pair_work — raise_error names the key instead of wrapping).
+    */
+  def joinKeySkewReport(rows: DataFrame, keyCols: Seq[String],
+                        topN: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty, "joinKeySkewReport: need at least one key column")
+    require(topN > 0, s"joinKeySkewReport: topN must be positive, got $topN")
+    val cnts = rows.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("pair_work",
+        when(col("cnt") > 3000000000L,
+          expr("raise_error(CONCAT('joinKeySkewReport: key count ', cnt, " +
+            "' overflows the long pair_work envelope'))").cast("long"))
+          .otherwise(expr("(cnt * (cnt - 1)) div 2")))
+    val tot = cnts.agg(
+      sum(col("cnt")).cast("long").as("total_rows"),
+      count(lit(1)).as("n_keys"),
+      sum(col("pair_work")).cast("long").as("total_pair_work"))
+    val order = col("cnt").desc +: keyCols.map(col(_).asc)
+    cnts.orderBy(order: _*).limit(topN)
+      .crossJoin(broadcast(tot))
+      .withColumn("work_share_micro",
+        when(col("total_pair_work") === 0, lit(0L))
+          .otherwise(expr(
+            "CAST(CAST(pair_work AS DECIMAL(38,0)) * 1000000 div total_pair_work AS BIGINT)")))
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
+      .select((col("rank") +: keyCols.map(col)) ++
+        Seq(col("cnt"), col("pair_work"), col("work_share_micro"),
+          col("total_rows"), col("n_keys"), col("total_pair_work")): _*)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec(
@@ -1745,6 +1790,36 @@ object Dedup {
          AND (NOT a.is_new OR a.doc_id < b.doc_id) AND a.doc_id <> b.doc_id
         WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+
+    // Join-key skew diagnostic on the 6-gram inverted index (r12): the
+    // quadratic pair-work view that tunes the df cap — the top grams by
+    // self-join work with their exact µ share of the total, fully
+    // hash-gated (row counts, pair work, and shares are all integers).
+    QuerySpec(
+      "q164_gram_skew",
+      (s, d) => joinKeySkewReport(
+          TextOps.explodedGrams(Tables.documents(s, d), 6, Seq.empty),
+          Seq("gram"), topN = 10)
+        .orderBy(col("rank")),
+      Some("""
+        WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        g AS (SELECT array_to_string(t[i:i+5], ' ') AS gram
+              FROM toks, UNNEST(generate_series(1, greatest(len(t) - 5, 0))) AS u(i)),
+        c AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY gram),
+        cw AS (SELECT gram, cnt,
+                      CAST(cnt * (cnt - 1) // 2 AS BIGINT) AS pair_work
+               FROM c),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+                       CAST(COUNT(*) AS BIGINT) AS n_keys,
+                       CAST(SUM(pair_work) AS BIGINT) AS total_pair_work
+                FROM cw)
+        SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, gram) AS rank,
+               gram, cnt, pair_work,
+               CAST((pair_work * 1000000) // total_pair_work AS BIGINT)
+                 AS work_share_micro,
+               total_rows, n_keys, total_pair_work
+        FROM cw, tot
+        ORDER BY cnt DESC, gram LIMIT 10"""))
   )
 }

@@ -334,6 +334,17 @@ class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q164: skew top-N is TakeOrdered; the global rollup broadcasts back") {
+    // the diagnostic must not pay a global sort of the key-count table
+    // (TakeOrderedAndProject keeps per-partition heaps), and the 1-row
+    // totals must come back as a broadcast, never a shuffle
+    val p = plan("q164_gram_skew")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N planned as a global sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"global rollup didn't broadcast:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct") {
     // the one shape that cannot survive any scale-up; cross joins against
     // broadcast fitted models plan as BroadcastNestedLoopJoin instead

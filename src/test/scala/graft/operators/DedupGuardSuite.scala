@@ -201,4 +201,27 @@ class DedupGuardSuite extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+  test("joinKeySkewReport: hand-computed pair work, shares, and the no-dup path") {
+    val sql = spark
+    import sql.implicits._
+    import org.apache.spark.sql.functions._
+    // k1 x4 (work 6), k2 x3 (work 3), k3 x2 (work 1), k4 x1 (work 0)
+    val rows = (Seq.fill(4)("k1") ++ Seq.fill(3)("k2") ++
+      Seq.fill(2)("k3") ++ Seq("k4")).toDF("k")
+    val got = Dedup.joinKeySkewReport(rows, Seq("k"), topN = 3)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got === Array(
+      (1, "k1", 4L, 6L, 600000L, 10L, 4L, 10L),
+      (2, "k2", 3L, 3L, 300000L, 10L, 4L, 10L),
+      (3, "k3", 2L, 1L, 100000L, 10L, 4L, 10L)))
+
+    // all-unique keys: total pair work 0, shares must be 0 (not a div0)
+    val unique = Seq("a", "b", "c").toDF("k")
+    val u = Dedup.joinKeySkewReport(unique, Seq("k"), topN = 2)
+      .select(col("pair_work"), col("work_share_micro"), col("total_pair_work"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(u.forall(_ == (0L, 0L, 0L)), s"no-dup path: ${u.toSeq}")
+  }
 }
