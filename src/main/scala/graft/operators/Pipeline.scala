@@ -96,20 +96,29 @@ object Pipeline {
     * the corpus. The CDC leg (r12) catches what the token-Jaccard stage
     * can't: verbatim byte runs at shifted offsets
     * ([[graft.operators.TextOps.cdcNearDupPairs]] losers, greedy
-    * keep-lowest-id like the near-dup stage).
+    * keep-lowest-id like the near-dup stage). The length-band leg (r12)
+    * is the sketch-driven outlier trim: a
+    * [`bandLowPct`, `bandHighPct`] bucket band
+    * ([[HistogramSketch.bucketRep]] space — q158's integer algebra)
+    * fitted on the ADMITTED corpus's already-computed `n_tokens` — the
+    * quality checkpoint feeds the fit, so the band costs no extra
+    * corpus scan and no re-tokenization — applied to the CDC survivors.
     *
     * Scale shape: the stage frames are exactly [[curate]]'s (same
     * operators, same checkpoints — the quality output feeds its count
-    * AND the dedup; the exact-deduped output feeds its count AND the
-    * near-dup probe; the near-dup survivors feed their count AND the CDC
-    * probe), so the funnel costs the pipeline run plus five
-    * |sources|-row map-side-combined aggregates joined driver-free.
-    * Counts, never rows, leave each stage.
+    * AND the dedup AND the band fit; the exact-deduped output feeds its
+    * count AND the near-dup probe; the near-dup survivors feed their
+    * count AND the CDC probe; the CDC survivors feed their count AND the
+    * band trim, whose thresholds are a ≤|sources|-row broadcast), so the
+    * funnel costs the pipeline run plus six |sources|-row
+    * map-side-combined aggregates joined driver-free. Counts, never
+    * rows, leave each stage.
     */
   def curationFunnel(docs: DataFrame, minTokens: Int, maxTokens: Int,
                      minTtr: Double, nearDupThreshold: Double,
                      maxTokenDf: Int = 1000,
-                     cdcMinFrac: Double = 0.25): DataFrame = {
+                     cdcMinFrac: Double = 0.25,
+                     bandLowPct: Int = 5, bandHighPct: Int = 99): DataFrame = {
     val quality = docs
       .withColumn("__toks", TextOps.tokens(col("text")))
       .withColumn("n_tokens", TextOps.tokenCountOfTokens(col("__toks")))
@@ -126,6 +135,15 @@ object Pipeline {
     val cdcLosers = TextOps.cdcNearDupPairs(survived, minFrac = cdcMinFrac)
       .select(col("doc_b").as("doc_id")).distinct()
     val cdcSurvived = survived.join(cdcLosers, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false) // feeds its own count AND the band trim
+    val thresholds = HistogramSketch.valueQuantiles(quality, "source",
+        col("n_tokens").cast("long"), pcts = Seq(bandLowPct, bandHighPct))
+      .select(col("source"), col(s"p$bandLowPct").as("lo_rep"),
+        col(s"p$bandHighPct").as("hi_rep"))
+    val bandSurvived = cdcSurvived
+      .join(broadcast(thresholds), Seq("source"))
+      .filter(HistogramSketch.bucketRep(col("n_tokens").cast("long"), 5)
+        .between(col("lo_rep"), col("hi_rep")))
     def cnt(df: DataFrame, name: String): DataFrame =
       df.groupBy(col("source")).agg(count(lit(1)).as(name))
     cnt(docs, "n_raw")
@@ -133,12 +151,14 @@ object Pipeline {
       .join(cnt(exactDeduped, "n_exact"), Seq("source"), "left_outer")
       .join(cnt(survived, "n_final"), Seq("source"), "left_outer")
       .join(cnt(cdcSurvived, "n_cdc"), Seq("source"), "left_outer")
+      .join(cnt(bandSurvived, "n_band"), Seq("source"), "left_outer")
       .select(col("source"),
         col("n_raw"),
         coalesce(col("n_quality"), lit(0L)).as("n_quality"),
         coalesce(col("n_exact"), lit(0L)).as("n_exact"),
         coalesce(col("n_final"), lit(0L)).as("n_final"),
-        coalesce(col("n_cdc"), lit(0L)).as("n_cdc"))
+        coalesce(col("n_cdc"), lit(0L)).as("n_cdc"),
+        coalesce(col("n_band"), lit(0L)).as("n_band"))
   }
 
   /** Per-source DATASET REPORT CARD — the one-table governance view a
@@ -2336,12 +2356,39 @@ object Pipeline {
         cdcn AS (
           SELECT source, COUNT(*) AS n FROM kept
           WHERE doc_id NOT IN (SELECT doc_id FROM closers)
-          GROUP BY source)
+          GROUP BY source),
+        lb AS (
+          SELECT source,
+                 (CAST(n_tokens AS BIGINT)
+                    >> greatest(0, length(bin(CAST(n_tokens AS BIGINT))) - 1 - 5))
+                  << greatest(0, length(bin(CAST(n_tokens AS BIGINT))) - 1 - 5) AS rep
+          FROM quality),
+        lg AS (SELECT source, rep, COUNT(*) AS cnt FROM lb GROUP BY source, rep),
+        lc AS (
+          SELECT source, rep,
+                 SUM(cnt) OVER (PARTITION BY source ORDER BY rep) AS cum,
+                 SUM(cnt) OVER (PARTITION BY source) AS ltot
+          FROM lg),
+        thr AS (
+          SELECT source,
+                 CAST(MIN(CASE WHEN cum >= (ltot * 5 + 99) // 100 THEN rep END) AS BIGINT) AS lo_rep,
+                 CAST(MIN(CASE WHEN cum >= (ltot * 99 + 99) // 100 THEN rep END) AS BIGINT) AS hi_rep
+          FROM lc GROUP BY source),
+        bandn AS (
+          SELECT k.source, COUNT(*) AS n
+          FROM kept k JOIN thr t ON t.source = k.source
+          WHERE k.doc_id NOT IN (SELECT doc_id FROM closers)
+            AND ((CAST(k.n_tokens AS BIGINT)
+                    >> greatest(0, length(bin(CAST(k.n_tokens AS BIGINT))) - 1 - 5))
+                  << greatest(0, length(bin(CAST(k.n_tokens AS BIGINT))) - 1 - 5))
+                BETWEEN t.lo_rep AND t.hi_rep
+          GROUP BY k.source)
         SELECT d.source, COUNT(*) AS n_raw,
                COALESCE(MAX(q.n), 0) AS n_quality,
                COALESCE(MAX(e.n), 0) AS n_exact,
                COALESCE(MAX(f.n), 0) AS n_final,
-               COALESCE(MAX(c.n), 0) AS n_cdc
+               COALESCE(MAX(c.n), 0) AS n_cdc,
+               COALESCE(MAX(b.n), 0) AS n_band
         FROM documents d
         LEFT JOIN (SELECT source, COUNT(*) AS n FROM quality GROUP BY source) q
           ON q.source = d.source
@@ -2349,6 +2396,7 @@ object Pipeline {
           ON e.source = d.source
         LEFT JOIN final f ON f.source = d.source
         LEFT JOIN cdcn c ON c.source = d.source
+        LEFT JOIN bandn b ON b.source = d.source
         GROUP BY d.source
         ORDER BY d.source""")),
 

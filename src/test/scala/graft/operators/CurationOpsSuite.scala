@@ -1175,10 +1175,10 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       .collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-          r.getLong(5)))).toMap
-    assert(got("sA") === ((4L, 3L, 2L, 1L, 1L)),
-      s"sA: raw 4 → quality 3 → exact 2 → final 1 → cdc 1, got ${got("sA")}")
-    assert(got("sB") === ((1L, 1L, 1L, 1L, 1L)), s"sB untouched: ${got("sB")}")
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(got("sA") === ((4L, 3L, 2L, 1L, 1L, 1L)),
+      s"sA: raw 4 → quality 3 → exact 2 → final 1 → cdc 1 → band 1, got ${got("sA")}")
+    assert(got("sB") === ((1L, 1L, 1L, 1L, 1L, 1L)), s"sB untouched: ${got("sB")}")
 
     // CDC stage fires on what Jaccard can't see: doc 7 is doc 6 with a
     // SHIFTED byte prefix and enough token edits to dodge the 0.8
@@ -1197,6 +1197,25 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
         ((r.getLong(4), r.getLong(5)))).toMap
     assert(got2("sC") === ((2L, 1L)),
       s"sC: both survive near-dup (threshold .99) but CDC prunes the copy: ${got2("sC")}")
+
+    // band stage fires on what NO dedup stage can see: a doc with wholly
+    // fresh content whose LENGTH is a corpus outlier — 30 ordinary docs
+    // plus one 1000-token doc, all pairwise disjoint vocabularies; at
+    // bandHighPct = 90 the outlier's bucket sits above hi_rep
+    val bandDocs = ((1 to 30).map { i =>
+      (i.toLong, "sD", (1 to 20).map(j => s"t${i}_$j").mkString(" "))
+    } :+ ((31L, "sD", (1 to 1000).map(j => s"big_$j").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    // cdcMinFrac raised to .9: short docs have ~4 chunks each, so one
+    // coincidentally-shared byte run would otherwise trip the .25 default
+    // — this scenario isolates the BAND stage
+    val got3 = Pipeline.curationFunnel(bandDocs, minTokens = 5,
+        maxTokens = 5000, minTtr = 0.3, nearDupThreshold = 0.8,
+        maxTokenDf = 100, cdcMinFrac = 0.9, bandLowPct = 5, bandHighPct = 90)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(5), r.getLong(6)))).toMap
+    assert(got3("sD") === ((31L, 30L)),
+      s"sD: all 31 survive every dedup stage, the band trims the length outlier: ${got3("sD")}")
   }
 
   test("quality classifier: fit/serve ≡ batch; target ranks above; unseen defaults") {
