@@ -751,7 +751,83 @@ object Similarity {
         sum(when(col("change") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
   }
 
+  /** Per-label quantiles of embedding NORMS — the encoder-health check a
+    * vector pipeline runs nightly (a collapsed or exploding norm
+    * distribution flags a broken encoder or an un-normalized snapshot
+    * long before recall metrics move). Norms enter the q109 µ-unit
+    * discipline — `norm²_micro = Σ round(x·10⁶)²`, exact integer on any
+    * engine — then the q158 bounded-bucket CDF walk
+    * ([[HistogramSketch.valueQuantiles]]), so the whole report
+    * hash-gates including the quantile estimates.
+    *
+    * Scale shape: one map-side projection per vector (µ-quantize +
+    * square-sum fold — no shuffle), then bucket counts; every later
+    * operator runs over ≤1920-row-per-label bucket tables. */
+  def normQuantiles(emb: DataFrame, labelCol: String = "label",
+                    vecCol: String = "embedding", subBits: Int = 5,
+                    pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val rows = emb.select(col(labelCol),
+        transform(asDouble(col(vecCol)),
+          x => round(x * lit(1e6)).cast("long")).as("__q"))
+      .select(col(labelCol),
+        aggregate(col("__q"), lit(0L), (acc, q) => acc + q * q).as("__n2"))
+    HistogramSketch.valueQuantiles(rows, labelCol, col("__n2"), subBits,
+      pcts, nName = "n_vecs")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+
+    // Embedding-norm distribution per label (r12): the encoder-health
+    // twin of the length quantiles — integer µ-norms through the
+    // bounded-bucket CDF walk, every number (estimates included)
+    // hash-gated against the SQL replay. The corpus is unit-normalized
+    // (healthy = ONE bucket per label), so the fixture injects the
+    // q126-style anomaly the check exists to catch: every 3rd vector
+    // halved, every 7th doubled (float ×0.5/×2 is exact) — the report
+    // must surface them as distinct buckets and a spread p50/p99.
+    QuerySpec(
+      "q165_norm_quantiles",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val broken = emb.withColumn("embedding",
+          when(col("vec_id") % 3 === 0,
+            transform(asDouble(col("embedding")), x => x * lit(0.5)))
+          .when(col("vec_id") % 7 === 0,
+            transform(asDouble(col("embedding")), x => x * lit(2.0)))
+          .otherwise(asDouble(col("embedding"))))
+        normQuantiles(broken).orderBy(col("label"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT label,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(round(
+                     (CASE WHEN vec_id % 3 = 0 THEN x * 0.5
+                           WHEN vec_id % 7 = 0 THEN x * 2.0
+                           ELSE x END) * 1e6) AS BIGINT)) AS qv
+          FROM embeddings),
+        n AS (
+          SELECT label,
+                 CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS v
+          FROM q),
+        b AS (
+          SELECT label,
+                 (v >> greatest(0, length(bin(v)) - 1 - 5))
+                   << greatest(0, length(bin(v)) - 1 - 5) AS rep
+          FROM n),
+        g AS (SELECT label, rep, COUNT(*) AS cnt FROM b GROUP BY label, rep),
+        c AS (
+          SELECT label, rep,
+                 SUM(cnt) OVER (PARTITION BY label ORDER BY rep) AS cum,
+                 SUM(cnt) OVER (PARTITION BY label) AS nn
+          FROM g)
+        SELECT label,
+               CAST(MAX(nn) AS BIGINT) AS n_vecs,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(MIN(CASE WHEN cum >= (nn * 50 + 99) // 100 THEN rep END) AS BIGINT) AS p50,
+               CAST(MIN(CASE WHEN cum >= (nn * 90 + 99) // 100 THEN rep END) AS BIGINT) AS p90,
+               CAST(MIN(CASE WHEN cum >= (nn * 99 + 99) // 100 THEN rep END) AS BIGINT) AS p99
+        FROM c GROUP BY label ORDER BY label""")),
 
     QuerySpec(
       "q40_cosine_topk",

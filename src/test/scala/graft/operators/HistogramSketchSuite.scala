@@ -162,6 +162,32 @@ class HistogramSketchSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged === full)
   }
 
+  test("normQuantiles: healthy normalized snapshot is ONE bucket; anomalies surface") {
+    val sql = spark
+    import sql.implicits._
+    val rnd = new scala.util.Random(29)
+    def unit(): Seq[Float] = {
+      val v = Array.fill(16)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val healthy = (1 to 60).map(i => (i.toLong, unit(), i % 2)).toDF("vec_id", "embedding", "label")
+    val h = Similarity.normQuantiles(healthy)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(h.values.forall(_ === 1L),
+      s"unit-normalized vectors must collapse to one norm bucket: $h")
+
+    // scale anomalies must split the bucket and lift p99 above p50
+    val broken = healthy.withColumn("embedding",
+      when(col("vec_id") % 5 === 0,
+        transform(col("embedding").cast("array<double>"), x => x * lit(3.0)))
+        .otherwise(col("embedding").cast("array<double>")))
+    val b = Similarity.normQuantiles(broken)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getLong(5)))
+    assert(b.forall(_._2 > 1L), s"anomaly must add buckets: ${b.toSeq}")
+    assert(b.forall(r => r._4 > r._3), s"p99 must exceed p50: ${b.toSeq}")
+  }
+
   test("index: build ∪ retract ≡ survivor-only run (count group algebra)") {
     val sql = spark
     import sql.implicits._
