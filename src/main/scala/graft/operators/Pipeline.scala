@@ -1336,6 +1336,39 @@ object Pipeline {
         count(when(col("change") === "unchanged", 1)).as("n_unchanged"))
   }
 
+  /** Cross-snapshot SOURCE CARD — the one-table "what changed between
+    * nightly snapshots, per source" view that completes the drift trio:
+    * [[corpusDiff]]'s doc-membership classification (added / removed /
+    * changed / unchanged), the token-volume delta, and the
+    * length-distribution L1 drift
+    * ([[graft.operators.HistogramSketch.lengthDrift]], integer
+    * µ-probability). [[TextOps.vocabDrift]] stays a separate global
+    * view (tokens are not per-source rows). A review reads this table
+    * the way it reads the q150 report card: one row per source, every
+    * column exact integer arithmetic, so the whole card hash-gates.
+    *
+    * Scale shape: each leg is its own proven operator (digest
+    * full-outer on 16 B rows; map-side token sums; bounded bucket
+    * tables); the card adds only |sources|-row joins.
+    */
+  def snapshotCard(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def toks(df: DataFrame, as: String) =
+      df.filter(col("text").isNotNull).groupBy(col("source"))
+        .agg(sum(TextOps.tokenCount(col("text"))).cast("bigint").as(as))
+    val drift = HistogramSketch.lengthDrift(oldDocs, newDocs)
+      .select(col("source"), col("l1_micro").as("len_l1_micro"))
+    corpusDiff(oldDocs, newDocs)
+      .join(toks(oldDocs, "__to"), Seq("source"), "left_outer")
+      .join(toks(newDocs, "__tn"), Seq("source"), "left_outer")
+      .join(drift, Seq("source"), "left_outer")
+      .select(col("source"),
+        col("n_added"), col("n_removed"), col("n_changed"),
+        col("n_unchanged"),
+        (coalesce(col("__tn"), lit(0L)) - coalesce(col("__to"), lit(0L)))
+          .cast("bigint").as("tok_delta"),
+        coalesce(col("len_l1_micro"), lit(0L)).as("len_l1_micro"))
+  }
+
   /** The nightly INCREMENTAL refresh — the composition a production
     * corpus actually re-runs on every snapshot, with work ∝ delta, not
     * corpus:
@@ -1467,6 +1500,86 @@ object Pipeline {
                COUNT(CASE WHEN change = 'changed' THEN 1 END) AS n_changed,
                COUNT(CASE WHEN change = 'unchanged' THEN 1 END) AS n_unchanged
         FROM j GROUP BY source ORDER BY source""")),
+
+    // Cross-snapshot SOURCE CARD (r12): q107's membership legs + the
+    // token-volume delta + q161's length-distribution L1 in one
+    // per-source governance row, on the same snapshot pair — every
+    // column exact integer arithmetic, the whole card hash-gated.
+    QuerySpec(
+      "q166_snapshot_card",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+        snapshotCard(oldSnap, newSnap).orderBy(col("source"))
+      },
+      Some("""
+        WITH old AS (SELECT doc_id, source, text FROM documents
+                     WHERE doc_id % 7 <> 0),
+        new AS (SELECT doc_id, source,
+                       CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 11 <> 0),
+        j AS (SELECT COALESCE(n.source, o.source) AS source,
+                     CASE WHEN o.doc_id IS NULL THEN 'added'
+                          WHEN n.doc_id IS NULL THEN 'removed'
+                          WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+                          ELSE 'unchanged' END AS change
+              FROM old o FULL OUTER JOIN new n USING (doc_id)),
+        diff AS (
+          SELECT source,
+                 COUNT(CASE WHEN change = 'added' THEN 1 END) AS n_added,
+                 COUNT(CASE WHEN change = 'removed' THEN 1 END) AS n_removed,
+                 COUNT(CASE WHEN change = 'changed' THEN 1 END) AS n_changed,
+                 COUNT(CASE WHEN change = 'unchanged' THEN 1 END) AS n_unchanged
+          FROM j GROUP BY source),
+        tko AS (SELECT source,
+                       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok
+                FROM old WHERE text IS NOT NULL GROUP BY source),
+        tkn AS (SELECT source,
+                       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok
+                FROM new WHERE text IS NOT NULL GROUP BY source),
+        ob AS (SELECT source,
+                      (v >> greatest(0, length(bin(v)) - 1 - 5))
+                        << greatest(0, length(bin(v)) - 1 - 5) AS rep
+               FROM (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+                     FROM old WHERE text IS NOT NULL)),
+        nb AS (SELECT source,
+                      (v >> greatest(0, length(bin(v)) - 1 - 5))
+                        << greatest(0, length(bin(v)) - 1 - 5) AS rep
+               FROM (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+                     FROM new WHERE text IS NOT NULL)),
+        og AS (SELECT source, rep, COUNT(*) AS cnt_old FROM ob GROUP BY source, rep),
+        ng AS (SELECT source, rep, COUNT(*) AS cnt_new FROM nb GROUP BY source, rep),
+        fj AS (
+          SELECT source, rep,
+                 CAST(COALESCE(cnt_old, 0) AS BIGINT) AS cnt_old,
+                 CAST(COALESCE(cnt_new, 0) AS BIGINT) AS cnt_new
+          FROM og FULL OUTER JOIN ng USING (source, rep)),
+        p AS (
+          SELECT source, cnt_old, cnt_new,
+                 SUM(cnt_old) OVER (PARTITION BY source) AS n_old,
+                 SUM(cnt_new) OVER (PARTITION BY source) AS n_new
+          FROM fj),
+        drift AS (
+          SELECT source,
+                 CAST(SUM(ABS(
+                   (CASE WHEN n_old = 0 THEN 0 ELSE (cnt_old * 1000000) // n_old END)
+                   - (CASE WHEN n_new = 0 THEN 0 ELSE (cnt_new * 1000000) // n_new END)
+                 )) AS BIGINT) AS len_l1_micro
+          FROM p GROUP BY source)
+        SELECT d.source, d.n_added, d.n_removed, d.n_changed, d.n_unchanged,
+               CAST(COALESCE(tkn.tok, 0) - COALESCE(tko.tok, 0) AS BIGINT)
+                 AS tok_delta,
+               COALESCE(dr.len_l1_micro, 0) AS len_l1_micro
+        FROM diff d
+        LEFT JOIN tko ON tko.source = d.source
+        LEFT JOIN tkn ON tkn.source = d.source
+        LEFT JOIN drift dr ON dr.source = d.source
+        ORDER BY d.source""")),
 
     // The incremental refresh end-to-end on the q107 snapshot scenario
     // (old drops every 7th doc → re-appear as added; every 5th doc's
