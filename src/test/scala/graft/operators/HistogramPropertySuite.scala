@@ -121,6 +121,9 @@ class HistogramPropertySuite extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1))
       got.foreach { case (v, r) =>
         assert(r === rep(v), s"Spark bucketRep($v) = $r, model ${rep(v)}")
+        // the streaming gap processor's in-JVM mirror must agree too
+        assert(graft.streaming.StreamingEventGaps.bucketRep(v, S) === rep(v),
+          s"streaming mirror diverges at $v")
       }
     } finally spark.stop()
   }
