@@ -149,7 +149,11 @@ object HistogramSketch {
     * shuffles. */
   def lengthBandTrim(docs: DataFrame, thresholds: DataFrame,
                      subBits: Int = 5): DataFrame =
-    docs.filter(col("text").isNotNull)
+    // null-source docs are dropped EXPLICITLY (the capByKey null-key
+    // rule): the equality join below can never match them, so leaving
+    // them to the join would be the silent-narrowing class — filtering
+    // here makes the drop visible and intentional
+    docs.filter(col("text").isNotNull && col("source").isNotNull)
       .withColumn("__rep",
         bucketRep(TextOps.tokenCount(col("text")).cast("long"), subBits))
       .join(broadcast(thresholds.select(col("source"),
@@ -267,13 +271,23 @@ object HistogramSketch {
 
   /** Current per-source quantile report from the persisted index:
     * generations merged by count addition (retraction rows subtract;
-    * fully-cancelled buckets drop out), then the same summary. */
+    * fully-cancelled buckets drop out), then the same summary. A bucket
+    * whose merged count is NEGATIVE — a retraction of docs never built
+    * into the index — fails LOUDLY: letting it through would silently
+    * corrupt every downstream quantile (the cum walk subtracts), the
+    * same silent-narrowing class leakageSafeSplit/forgetFromSpanIndex
+    * were hardened against. */
   def readHistogramIndex(spark: SparkSession, dir: String,
                          pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame =
     quantileSummary(
       spark.read.parquet(s"$dir/hist")
         .groupBy(col("source"), col("rep"))
         .agg(sum(col("cnt")).as("cnt"))
+        .withColumn("cnt", when(col("cnt") < 0,
+            expr("raise_error(CONCAT('readHistogramIndex: bucket (', source, " +
+              "', ', rep, ') has negative merged count ', cnt, " +
+              "' - a retraction exceeded what was built'))").cast("long"))
+          .otherwise(col("cnt")))
         .filter(col("cnt") =!= 0), "source", pcts)
 
   /** Build-once memo for the q159 harness query (the q157 split: corpus

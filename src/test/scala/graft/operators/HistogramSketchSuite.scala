@@ -211,5 +211,19 @@ class HistogramSketchSuite extends AnyFunSuite with BeforeAndAfterAll {
     val got2 = HistogramSketch.readHistogramIndex(spark, dir2)
       .select(col("source")).collect().map(_.getString(0)).toSet
     assert(got2 === Set("s0", "s2"), s"fully-retracted source must vanish: $got2")
+
+    // over-retraction (docs never built into the index) must fail LOUDLY
+    // at read, not silently corrupt the quantiles
+    val dir3 = Files.createTempDirectory("graft-hist-retract3").toString
+    HistogramSketch.buildHistogramIndex(docs.filter(col("doc_id") <= 100), dir3)
+    HistogramSketch.retractHistogramIndex(docs, dir3) // retracts all 500
+    val ex = intercept[Exception] {
+      HistogramSketch.readHistogramIndex(spark, dir3).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("negative merged count")),
+      s"over-retraction must name the corruption: ${msgs(ex)}")
   }
 }
