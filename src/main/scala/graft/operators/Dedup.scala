@@ -1340,17 +1340,25 @@ object Dedup {
           expr("raise_error(CONCAT('joinKeySkewReport: key count ', cnt, " +
             "' overflows the long pair_work envelope'))").cast("long"))
           .otherwise(expr("(cnt * (cnt - 1)) div 2")))
+    // the TOTAL sums in DECIMAL(38,0): at the documented corpus scale a
+    // long total can overflow even when every per-key pair_work fits;
+    // it is re-narrowed to long behind a loud guard for the output row
     val tot = cnts.agg(
       sum(col("cnt")).cast("long").as("total_rows"),
       count(lit(1)).as("n_keys"),
-      sum(col("pair_work")).cast("long").as("total_pair_work"))
+      sum(col("pair_work").cast("decimal(38,0)")).as("__tpw"))
     val order = col("cnt").desc +: keyCols.map(col(_).asc)
     cnts.orderBy(order: _*).limit(topN)
       .crossJoin(broadcast(tot))
       .withColumn("work_share_micro",
-        when(col("total_pair_work") === 0, lit(0L))
+        when(col("__tpw") === 0, lit(0L))
           .otherwise(expr(
-            "CAST(CAST(pair_work AS DECIMAL(38,0)) * 1000000 div total_pair_work AS BIGINT)")))
+            "CAST(CAST(pair_work AS DECIMAL(38,0)) * 1000000 div __tpw AS BIGINT)")))
+      .withColumn("total_pair_work",
+        when(col("__tpw") > lit(Long.MaxValue),
+          expr("raise_error(CONCAT('joinKeySkewReport: total pair work ', " +
+            "__tpw, ' overflows the long output column'))").cast("long"))
+          .otherwise(col("__tpw").cast("long")))
       .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
       .select((col("rank") +: keyCols.map(col)) ++
         Seq(col("cnt"), col("pair_work"), col("work_share_micro"),

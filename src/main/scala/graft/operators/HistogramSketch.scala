@@ -50,6 +50,12 @@ import graft.queries.QuerySpec
   */
 object HistogramSketch {
 
+  /** The family-wide default sub-bucket precision: every fitted
+    * threshold and every membership test must share ONE bucket space,
+    * so call sites that fit and test at different places reference this
+    * constant rather than restating the literal. */
+  val DefaultSubBits: Int = 5
+
   private def shiftR(v: Column, n: Column): Column =
     column(ShiftRight(expression(v), expression(n)))
   private def shiftL(v: Column, n: Column): Column =
@@ -86,6 +92,21 @@ object HistogramSketch {
     histFrame(docs.filter(col("text").isNotNull), "source",
       TextOps.tokenCount(col("text")).cast("long"), subBits)
 
+  /** [[lengthFrame]] carrying per-bucket token MASS alongside the count —
+    * one corpus scan then serves both a token-volume rollup and the
+    * drift legs ([[Pipeline.snapshotCard]]), instead of tokenizing the
+    * snapshot once per leg. */
+  private[operators] def lengthFrameWithMass(docs: DataFrame,
+      subBits: Int = DefaultSubBits): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("__v"))
+      .select(col("source"), col("__v"),
+        bucketRep(col("__v"), subBits).as("rep"))
+      .filter(col("rep").isNotNull)
+      .groupBy(col("source"), col("rep"))
+      .agg(count(lit(1)).as("cnt"), sum(col("__v")).cast("long").as("tok"))
+
   /** Quantile report over a `(key, rep, cnt)` frame: for each pct the
     * smallest rep whose cumulative count reaches ceil(n·pct/100) — all
     * integer arithmetic, so the row hash-gates exactly. The window runs
@@ -94,6 +115,13 @@ object HistogramSketch {
   private def quantileSummary(frame: DataFrame, keyCol: String,
                               pcts: Seq[Int],
                               nName: String = "n_docs"): DataFrame = {
+    // every entry point funnels through here: pct > 100 would yield a
+    // silently-NULL quantile (target above n — the silent-narrowing
+    // class), duplicates would emit ambiguous duplicate column names
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"quantile pcts must be in [1, 100], got $pcts")
+    require(pcts.distinct.size == pcts.size,
+      s"quantile pcts must be distinct, got $pcts")
     val w = Window.partitionBy(col(keyCol)).orderBy(col("rep"))
     val cum = frame.withColumn("cum", sum(col("cnt")).over(w))
       .withColumn("__n", sum(col("cnt")).over(Window.partitionBy(col(keyCol))))
@@ -111,14 +139,14 @@ object HistogramSketch {
     * per row, count per `(key, rep)`, read the quantiles off the
     * integer CDF. Null values contribute nothing. */
   def valueQuantiles(rows: DataFrame, keyCol: String, value: Column,
-                     subBits: Int = 5, pcts: Seq[Int] = Seq(50, 90, 99),
+                     subBits: Int = DefaultSubBits, pcts: Seq[Int] = Seq(50, 90, 99),
                      nName: String = "n_vals"): DataFrame =
     quantileSummary(histFrame(rows, keyCol, value, subBits), keyCol,
       pcts, nName)
 
   /** Per-source token-length quantile report: one corpus scan, bounded
     * sketches, exact-integer p50/p90/p99 bucket estimates. */
-  def sourceLengthQuantiles(docs: DataFrame, subBits: Int = 5,
+  def sourceLengthQuantiles(docs: DataFrame, subBits: Int = DefaultSubBits,
                             pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame =
     quantileSummary(lengthFrame(docs, subBits), "source", pcts)
 
@@ -126,7 +154,7 @@ object HistogramSketch {
     * reps at `lowPct`/`highPct`. ≤ |sources| rows — the fitted-model
     * class that rides a broadcast join. */
   def lengthThresholds(docs: DataFrame, lowPct: Int, highPct: Int,
-                       subBits: Int = 5): DataFrame = {
+                       subBits: Int = DefaultSubBits): DataFrame = {
     require(0 < lowPct && lowPct < highPct && highPct <= 100,
       s"lengthThresholds: need 0 < lowPct < highPct <= 100, got $lowPct/$highPct")
     quantileSummary(lengthFrame(docs, subBits), "source",
@@ -148,7 +176,7 @@ object HistogramSketch {
     * corpus scan — one map-side hash join + filter, zero extra
     * shuffles. */
   def lengthBandTrim(docs: DataFrame, thresholds: DataFrame,
-                     subBits: Int = 5): DataFrame =
+                     subBits: Int = DefaultSubBits): DataFrame =
     // null-source docs are dropped EXPLICITLY (the capByKey null-key
     // rule): the equality join below can never match them, so leaving
     // them to the join would be the silent-narrowing class — filtering
@@ -183,9 +211,16 @@ object HistogramSketch {
     * full-outer join, per-source totals, and the L1 rollup all run over
     * ≤1920-row-per-source bucket tables. */
   def lengthDrift(oldDocs: DataFrame, newDocs: DataFrame,
-                  subBits: Int = 5): DataFrame = {
-    val o = lengthFrame(oldDocs, subBits).withColumnRenamed("cnt", "cnt_old")
-    val n = lengthFrame(newDocs, subBits).withColumnRenamed("cnt", "cnt_new")
+                  subBits: Int = DefaultSubBits): DataFrame =
+    driftFromFrames(
+      lengthFrame(oldDocs, subBits).withColumnRenamed("cnt", "cnt_old"),
+      lengthFrame(newDocs, subBits).withColumnRenamed("cnt", "cnt_new"))
+
+  /** [[lengthDrift]] over pre-built `(source, rep, cnt_old/cnt_new)`
+    * frames — [[Pipeline.snapshotCard]] routes here so one scan's bucket
+    * frame can feed both the drift and the token rollup. */
+  private[operators] def driftFromFrames(o: DataFrame,
+                                         n: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("source"))
     o.join(n, Seq("source", "rep"), "full_outer")
       .select(col("source"), col("rep"),
@@ -218,7 +253,7 @@ object HistogramSketch {
     * over bounded bucket rows. */
   def eventGapQuantiles(events: DataFrame, userCol: String = "user_id",
                         tsCol: String = "ts", idCol: String = "event_id",
-                        typeCol: String = "event_type", subBits: Int = 5,
+                        typeCol: String = "event_type", subBits: Int = DefaultSubBits,
                         pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
     val w = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol), col(idCol))
@@ -235,14 +270,14 @@ object HistogramSketch {
     * batch's bucket rows without reading the index (work ∝ batch), and
     * [[readHistogramIndex]] merges generations at read by summing. */
   def buildHistogramIndex(docs: DataFrame, dir: String,
-                          subBits: Int = 5): Unit =
+                          subBits: Int = DefaultSubBits): Unit =
     lengthFrame(docs, subBits)
       .write.mode("overwrite").parquet(s"$dir/hist")
 
   /** Append a batch generation's bucket rows (same `subBits` as the
     * build — a coarser generation would not merge bucket-for-bucket). */
   def appendHistogramIndex(batch: DataFrame, dir: String,
-                           subBits: Int = 5): Unit =
+                           subBits: Int = DefaultSubBits): Unit =
     lengthFrame(batch, subBits)
       .write.mode("append").parquet(s"$dir/hist")
 
@@ -264,7 +299,7 @@ object HistogramSketch {
     * Callers pass the REMOVED docs (their text is in hand in a deletion
     * batch — the same frame that feeds the id-keyed index prunes). */
   def retractHistogramIndex(removed: DataFrame, dir: String,
-                            subBits: Int = 5): Unit =
+                            subBits: Int = DefaultSubBits): Unit =
     lengthFrame(removed, subBits)
       .select(col("source"), col("rep"), (-col("cnt")).as("cnt"))
       .write.mode("append").parquet(s"$dir/hist")

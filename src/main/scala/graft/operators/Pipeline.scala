@@ -142,7 +142,8 @@ object Pipeline {
         col(s"p$bandHighPct").as("hi_rep"))
     val bandSurvived = cdcSurvived
       .join(broadcast(thresholds), Seq("source"))
-      .filter(HistogramSketch.bucketRep(col("n_tokens").cast("long"), 5)
+      .filter(HistogramSketch.bucketRep(col("n_tokens").cast("long"),
+          HistogramSketch.DefaultSubBits)
         .between(col("lo_rep"), col("hi_rep")))
     def cnt(df: DataFrame, name: String): DataFrame =
       df.groupBy(col("source")).agg(count(lit(1)).as(name))
@@ -1347,19 +1348,24 @@ object Pipeline {
     * the way it reads the q150 report card: one row per source, every
     * column exact integer arithmetic, so the whole card hash-gates.
     *
-    * Scale shape: each leg is its own proven operator (digest
-    * full-outer on 16 B rows; map-side token sums; bounded bucket
-    * tables); the card adds only |sources|-row joins.
+    * Scale shape: each snapshot is scanned and tokenized ONCE for the
+    * token + drift legs — a mass-carrying bucket frame (bounded rows,
+    * localCheckpointed) feeds both rollups; the digest leg is
+    * [[corpusDiff]]'s own doc-keyed pass. The card adds only
+    * |sources|-row joins.
     */
   def snapshotCard(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
-    def toks(df: DataFrame, as: String) =
-      df.filter(col("text").isNotNull).groupBy(col("source"))
-        .agg(sum(TextOps.tokenCount(col("text"))).cast("bigint").as(as))
-    val drift = HistogramSketch.lengthDrift(oldDocs, newDocs)
+    val fo = HistogramSketch.lengthFrameWithMass(oldDocs).localCheckpoint(false)
+    val fn = HistogramSketch.lengthFrameWithMass(newDocs).localCheckpoint(false)
+    def toks(f: DataFrame, as: String) =
+      f.groupBy(col("source")).agg(sum(col("tok")).cast("bigint").as(as))
+    val drift = HistogramSketch.driftFromFrames(
+        fo.select(col("source"), col("rep"), col("cnt").as("cnt_old")),
+        fn.select(col("source"), col("rep"), col("cnt").as("cnt_new")))
       .select(col("source"), col("l1_micro").as("len_l1_micro"))
     corpusDiff(oldDocs, newDocs)
-      .join(toks(oldDocs, "__to"), Seq("source"), "left_outer")
-      .join(toks(newDocs, "__tn"), Seq("source"), "left_outer")
+      .join(toks(fo, "__to"), Seq("source"), "left_outer")
+      .join(toks(fn, "__tn"), Seq("source"), "left_outer")
       .join(drift, Seq("source"), "left_outer")
       .select(col("source"),
         col("n_added"), col("n_removed"), col("n_changed"),
@@ -1524,8 +1530,8 @@ object Pipeline {
                             ELSE text END AS text
                 FROM documents WHERE doc_id % 11 <> 0),
         j AS (SELECT COALESCE(n.source, o.source) AS source,
-                     CASE WHEN o.doc_id IS NULL THEN 'added'
-                          WHEN n.doc_id IS NULL THEN 'removed'
+                     CASE WHEN md5(o.text) IS NULL THEN 'added'
+                          WHEN md5(n.text) IS NULL THEN 'removed'
                           WHEN md5(o.text) <> md5(n.text) THEN 'changed'
                           ELSE 'unchanged' END AS change
               FROM old o FULL OUTER JOIN new n USING (doc_id)),

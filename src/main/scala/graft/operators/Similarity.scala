@@ -766,11 +766,22 @@ object Similarity {
   def normQuantiles(emb: DataFrame, labelCol: String = "label",
                     vecCol: String = "embedding", subBits: Int = 5,
                     pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    // Envelope guard: |q| ≤ 10⁸ (|x| ≤ 100) keeps Σq² inside long for
+    // any dim ≤ 900 — and an encoder broken past that envelope is
+    // exactly what this report must surface, not die on (ANSI) or
+    // silently drop (non-ANSI wrap → null bucket). The named
+    // raise_error is the joinKeySkewReport envelope discipline.
     val rows = emb.select(col(labelCol),
         transform(asDouble(col(vecCol)),
           x => round(x * lit(1e6)).cast("long")).as("__q"))
       .select(col(labelCol),
-        aggregate(col("__q"), lit(0L), (acc, q) => acc + q * q).as("__n2"))
+        when(exists(col("__q"), q => abs(q) > lit(100000000L)),
+          expr("raise_error('normQuantiles: a coordinate exceeds the " +
+            "|x| <= 100 envelope - the sum-of-squares fold would " +
+            "overflow long')").cast("long"))
+          .otherwise(
+            aggregate(col("__q"), lit(0L), (acc, q) => acc + q * q))
+          .as("__n2"))
     HistogramSketch.valueQuantiles(rows, labelCol, col("__n2"), subBits,
       pcts, nName = "n_vecs")
   }

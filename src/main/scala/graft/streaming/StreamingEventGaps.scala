@@ -60,11 +60,21 @@ object StreamingEventGaps {
       val out = Vector.newBuilder[StreamingHistogram.DocBucket]
       var prev = Option(last.get())
       sorted.foreach { e =>
-        prev.foreach { p =>
-          out += StreamingHistogram.DocBucket(e.event_type,
-            bucketRep(e.ts - p.ts, subBits))
+        // an arrival at or before the stored (ts, id) is a LATE event a
+        // ts-ordered delivery cannot produce — a negative (or
+        // wrong-tie-order) gap would silently drag the histogram toward
+        // bucket 0 with no way to retract it, so late events are DROPPED
+        // (fail-safe) and never regress state; the replay-≡-batch
+        // contract holds for (ts, id)-ordered delivery only
+        val late = prev.exists(p =>
+          e.ts < p.ts || (e.ts == p.ts && e.event_id <= p.id))
+        if (!late) {
+          prev.foreach { p =>
+            out += StreamingHistogram.DocBucket(e.event_type,
+              bucketRep(e.ts - p.ts, subBits))
+          }
+          prev = Some(LastSeen(e.ts, e.event_id))
         }
-        prev = Some(LastSeen(e.ts, e.event_id))
       }
       prev.foreach(last.update)
       out.result().iterator

@@ -162,6 +162,31 @@ class HistogramSketchSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged === full)
   }
 
+  test("guards: out-of-range/duplicate pcts throw; norm envelope fails loudly") {
+    val sql = spark
+    import sql.implicits._
+    val docs = Seq((1L, "s0", "a b c")).toDF("doc_id", "source", "text")
+    intercept[IllegalArgumentException] {
+      HistogramSketch.sourceLengthQuantiles(docs, pcts = Seq(50, 101))
+    }
+    intercept[IllegalArgumentException] {
+      HistogramSketch.sourceLengthQuantiles(docs, pcts = Seq(50, 50))
+    }
+    intercept[IllegalArgumentException] {
+      HistogramSketch.sourceLengthQuantiles(docs, pcts = Seq.empty)
+    }
+    // a coordinate past the |x| <= 100 envelope must raise, not wrap or
+    // vanish — the exploding-norm case is what the report exists to catch
+    val exploding = Seq((1L, Seq(5000.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val ex = intercept[Exception] {
+      Similarity.normQuantiles(exploding).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("envelope")), s"got: ${msgs(ex)}")
+  }
+
   test("normQuantiles: healthy normalized snapshot is ONE bucket; anomalies surface") {
     val sql = spark
     import sql.implicits._

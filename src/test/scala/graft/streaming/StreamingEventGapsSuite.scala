@@ -85,6 +85,64 @@ abstract class StreamingEventGapsSuiteBase extends AnyFunSuite with BeforeAndAft
   }
 }
 
+/** The fail-safe disorder contract: a late (out-of-(ts,id)-order) event
+  * must be DROPPED — emitting its negative gap as bucket 0 would
+  * silently drag every quantile toward 0 with no retraction possible. */
+class StreamingEventGapsDisorderSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-stream-gaps-disorder")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        classOf[InMemoryStateStoreProvider].getName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("a late cross-batch event is dropped, not folded as a phantom 0 gap") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val rows = StreamingEventGaps.eventGapQuantilesStream(
+      input.toDS().toDF("user_id", "ts", "event_id", "event_type"))
+    val query = rows.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("segq_disorder")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-segq-disorder").toString)
+      .start()
+
+    // batch 1: user 1 at ts 100 and 1100 → one gap of 1000
+    input.addData((1L, 100L, 1L, "a"), (1L, 1100L, 2L, "a"))
+    query.processAllAvailable()
+    // batch 2: a LATE event at ts 50 — must contribute nothing and must
+    // not regress the stored (ts, id)
+    input.addData((1L, 50L, 3L, "a"))
+    query.processAllAvailable()
+    // batch 3: an in-order event at ts 2100 → gap 1000 from ts 1100
+    // (NOT 2050 from the late event — state never regressed)
+    input.addData((1L, 2100L, 4L, "a"))
+    query.processAllAvailable()
+
+    val latest = spark.table("segq_disorder").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .maxBy(_._2)
+    query.stop()
+    // two gaps, both exactly 1000 → one bucket at rep(1000) = 992, p50 = 992
+    assert(latest === (("a", 2L, 1L, 992L)),
+      s"late event leaked into the histogram: $latest")
+  }
+}
+
 class StreamingEventGapsRocksDbSuite extends StreamingEventGapsSuiteBase {
   override def providerClass: String = classOf[RocksDbStateStoreProvider].getName
   override def suiteName: String = "rocksdb"
