@@ -87,6 +87,14 @@ object Forget {
     * artifact. Throws `IllegalStateException` with the per-surface
     * residual counts if ANY surface still holds a listed id after its
     * prune — the audit is the exit, not an optional follow-up.
+    *
+    * Span-index scope note: the GDPR claim (and the audit) covers
+    * `pos/` — the surface holding the doc's CONTENT. The prune itself
+    * WRITES new `grams/` accounting rows that carry the forgotten id
+    * (the negative-df generation whose rider the set-algebra cancels);
+    * those ids are df bookkeeping, never attributable content, but an
+    * auditor reading `grams/` raw will see them — see
+    * [[residuals]]' audit-scope comment for the full rationale.
     */
   def forget(ids: DataFrame, idCol: String,
              states: Seq[StateTarget] = Seq.empty,

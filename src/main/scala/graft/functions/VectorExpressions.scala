@@ -345,6 +345,11 @@ case class EqualLanes(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "equal_lanes"
 
+  // A NULL lane never counts as equal (to anything, including another
+  // NULL) — the semantics of the `aggregate(zip_with(a, b, _ === _))`
+  // formulation this expression replaced: getLong on a null lane would
+  // silently read 0, inflating agreement counts for SQL callers with
+  // nullable arrays (graft_equal_lanes is on the public surface).
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -352,7 +357,8 @@ case class EqualLanes(left: Expression, right: Expression)
     var acc = 0
     var i = 0
     while (i < n) {
-      if (x.getLong(i) == y.getLong(i)) acc += 1
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i))
+        acc += 1
       i += 1
     }
     acc
@@ -367,7 +373,8 @@ case class EqualLanes(left: Expression, right: Expression)
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         int $acc = 0;
         for (int $i = 0; $i < $n; $i++) {
-          if ($a.getLong($i) == $b.getLong($i)) $acc++;
+          if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+              $a.getLong($i) == $b.getLong($i)) $acc++;
         }
         ${ev.value} = $acc;
       """

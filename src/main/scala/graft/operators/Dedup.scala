@@ -91,8 +91,10 @@ object Dedup {
     else {
       val limit = conf.getOption("spark.graft.capByKey.broadcastKeyLimit")
         .map(_.toLong).getOrElse(1000000L)
-      // read by the deciding count AND the anti-join build
-      val stored = overCap.localCheckpoint(false)
+      // read by the deciding count AND the anti-join build; the cut goes
+      // through the same storage conf as `raw` — the guard path is the
+      // 100 TB configuration, exactly where storage=persist must hold
+      val stored = cut(overCap)
       if (stored.count() <= limit)
         raw.join(broadcast(stored), keys, "left_anti")
       else raw.join(stored, keys, "left_anti")

@@ -722,6 +722,12 @@ object Pipeline {
                     tokenCountCol: Option[String] = None): DataFrame = {
     require(budgetTokens > 0,
       s"chunk budget must be positive, got $budgetTokens") // div-by-zero aborts under ANSI
+    // the schema-append below would DUPLICATE an existing chunk_id field
+    // (the old withColumn replaced it) — fail loudly rather than emit an
+    // ambiguous-reference time bomb for downstream select/groupBy
+    require(!docs.columns.contains("chunk_id"),
+      "packSequences: input already has a chunk_id column - drop or " +
+        "rename it before re-packing")
     // tokenCountCol: pack on a caller-supplied budget measure (e.g. real
     // BPE token counts from TextOps.bpeTokenCounts — what the training
     // batch actually pays for) instead of the whitespace default.
@@ -1115,10 +1121,16 @@ object Pipeline {
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // r12: like pruneArtifact, an unnamed layout is DETECTED, never
     // silently flattened (detection races a concurrent swap only in the
-    // same window any maintenance pass already owns exclusively)
+    // same window any maintenance pass already owns exclusively). After
+    // a crash mid-swap the live dir may be absent with the layout only
+    // visible in the __compact_old aside — detecting there keeps the
+    // rerun on the per-value sizing path instead of silently taking the
+    // flat branch (stagedRewrite restores the dir before reading).
+    val asidePath = new org.apache.hadoop.fs.Path(base + "__compact_old")
     val pcolsEff =
       if (partitionCols.nonEmpty) partitionCols
       else if (fs.exists(dirPath)) detectPartitionCols(fs, dirPath)
+      else if (fs.exists(asidePath)) detectPartitionCols(fs, asidePath)
       else Seq.empty
     stagedRewrite(spark, dir, "compact", pcolsEff) { df =>
       // sized INSIDE the transform: stagedRewrite has self-healed any

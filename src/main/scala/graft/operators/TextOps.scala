@@ -682,19 +682,13 @@ object TextOps {
                       maxBucketSize: Int = 64, minFrac: Double = 0.25,
                       textCol: String = "text"): DataFrame = {
     require(minFrac >= 0.0 && minFrac <= 1.0, s"bad minFrac $minFrac")
-    import org.apache.spark.sql.expressions.Window
-    // distinct (doc, digest) + per-doc chunk-type count rider; the CDC
-    // kernel runs once (capByKey's checkpoint — both self-join sides read
-    // the cut). The per-doc n_key window is bounded by document length;
-    // the DIGEST cap is not (a boilerplate chunk digest can be shared by
-    // the whole corpus), so it goes through Dedup.capByKey's map-side
-    // count + broadcast anti-join instead of a window.
-    val chunks = Dedup.capByKey(
-      cdcChunks(docs, w, modSel, textCol)
-        .select(col("doc_id"), col("digest")).distinct()
-        .withColumn("n_key", count(lit(1)).over(
-          Window.partitionBy(col("doc_id")))),
-      Seq("digest"), maxBucketSize)
+    // ONE definition of the capped digest frame — the same
+    // [[cdcDigestFrame]] the persisted index builds from, so the
+    // suite-gated "build + ingests ≡ full run" identity can never drift
+    // between two hand-kept copies (the db partition bucket is a pure
+    // rider; dropping it leaves the frame this join always used)
+    val chunks = cdcDigestFrame(docs, w, modSel, maxBucketSize, textCol)
+      .drop("db")
     chunks.alias("a").join(chunks.alias("b"),
         col("a.digest") === col("b.digest") &&
           col("a.doc_id") < col("b.doc_id"))

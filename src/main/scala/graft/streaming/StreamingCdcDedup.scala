@@ -57,18 +57,27 @@ object StreamingCdcDedup {
     override def handleInputRows(key: String, rows: Iterator[DigestDoc],
                                  timerValues: TimerValues): Iterator[CdcHit] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[CdcHit]
+      // ONE state-list read per (key, batch): the live list is buffered
+      // and admissions are appended to the buffer locally — re-reading
+      // state per input row multiplied per-batch state I/O by the
+      // batch's member count on hot digests
+      val current = scala.collection.mutable.ArrayBuffer[CdcMember](
+        members.get().toArray: _*)
+      val seen = scala.collection.mutable.Set(current.map(_.docId).toSeq: _*)
       rows.foreach { d =>
-        // materialize-first admission bound (membership counted from the
-        // live list — a persisted count would wedge after TTL expiry)
-        val current = members.get().toArray
-        if (current.length < maxBucketSize) {
+        // a re-delivered doc_id (duplicate in-batch rows, a crawler
+        // re-fetch) is a REPLAY: admitting it again would double its
+        // member entry and inflate every later pair's n_shared past the
+        // batch twin (whose (doc_id, digest) stream is distinct), so it
+        // neither emits nor appends
+        if (!seen.contains(d.docId) && current.length < maxBucketSize) {
           current.foreach { m =>
-            if (m.docId != d.docId) {
-              if (d.docId < m.docId) out += CdcHit(d.docId, m.docId, d.nKey, m.nKey)
-              else out += CdcHit(m.docId, d.docId, m.nKey, d.nKey)
-            }
+            if (d.docId < m.docId) out += CdcHit(d.docId, m.docId, d.nKey, m.nKey)
+            else out += CdcHit(m.docId, d.docId, m.nKey, d.nKey)
           }
           members.appendValue(CdcMember(d.docId, d.nKey))
+          current += CdcMember(d.docId, d.nKey)
+          seen += d.docId
         }
       }
       out.iterator

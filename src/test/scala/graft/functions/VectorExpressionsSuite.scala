@@ -167,4 +167,21 @@ class VectorExpressionsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("*(") && plan.contains("equal_lanes"),
       s"equal_lanes must stay inside a codegen stage:\n$plan")
   }
+
+  test("equal_lanes: a NULL lane never counts as equal (HOF semantics)") {
+    val sql = spark
+    import sql.implicits._
+    // graft_equal_lanes is on the public SQL surface — nullable arrays
+    // are legal inputs; getLong on a null lane must not read a phantom 0
+    val df = Seq((1,
+        Seq[java.lang.Long](1L, null, null, 4L),
+        Seq[java.lang.Long](1L, 0L, null, 5L)))
+      .toDF("id", "a", "b")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.select(VectorFunctions.equal_lanes($"a", $"b")).head().getInt(0)
+    // lane 0 equal; lane 1 null vs 0 NOT equal; lane 2 null vs null NOT
+    // equal; lane 3 unequal → exactly 1
+    assert(run(df) === 1, "interpreted path")
+    assert(run(df.repartition(2)) === 1, "codegen path")
+  }
 }

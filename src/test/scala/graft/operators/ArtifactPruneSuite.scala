@@ -277,4 +277,38 @@ class ArtifactPruneSuite extends AnyFunSuite with BeforeAndAfterAll {
         s"cold partition gb=$g must compact to ONE file, got ${filesIn(s"gb=$g")}")
     }
   }
+
+  test("compact rerun after a mid-swap crash still takes the per-value sizing path") {
+    val sql = spark
+    import sql.implicits._
+    val dir = Files.createTempDirectory("graft-compact-crash").toString + "/grams"
+    (0 until 4).foreach { gen =>
+      ((1L to 5000L).map(i => (gen * 100000L + i, 0)) ++
+        (1L to 50L).map(i => (gen * 100000L + 90000L + i, (i % 3 + 1).toInt)))
+        .toDF("gram", "gb").repartition(3)
+        .write.mode("append").partitionBy("gb").parquet(dir)
+    }
+    val before = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    // simulate a crash between the two swap renames: the live dir is
+    // gone, the layout only visible in the __compact_old aside — until
+    // the r12 fix this rerun silently took the FLAT branch (layout
+    // detection ran before stagedRewrite's self-heal)
+    assert(new java.io.File(dir).renameTo(
+      new java.io.File(dir + "__compact_old")))
+
+    Pipeline.compactArtifact(spark, dir, targetBytes = 16L << 10)
+    def filesIn(name: String): Int =
+      new java.io.File(s"$dir/$name").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    val after = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(after === before, "crash-heal compaction must preserve rows")
+    assert(filesIn("gb=0") > 1, "hot partition must still split after heal")
+    (1 to 3).foreach { g =>
+      assert(filesIn(s"gb=$g") === 1,
+        s"cold gb=$g must stay a single file (flat branch would shard it), " +
+          s"got ${filesIn(s"gb=$g")}")
+    }
+  }
 }

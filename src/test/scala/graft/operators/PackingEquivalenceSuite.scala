@@ -107,4 +107,20 @@ class PackingEquivalenceSuite extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+  test("re-packing a frame that already has chunk_id fails loudly") {
+    val sql = spark
+    import sql.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "s0", "a b c")).toDF("doc_id", "source", "text")
+    val packed = Pipeline.packSequences(docs, budgetTokens = 10)
+    // the schema-append would silently DUPLICATE the field; the guard
+    // names the fix instead
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.packSequences(packed, budgetTokens = 5)
+    }
+    assert(ex.getMessage.contains("chunk_id"))
+    // and the documented recovery works
+    assert(Pipeline.packSequences(packed.drop("chunk_id"), budgetTokens = 5)
+      .columns.count(_ == "chunk_id") === 1)
+  }
 }

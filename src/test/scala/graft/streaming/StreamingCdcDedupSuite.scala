@@ -77,6 +77,25 @@ abstract class StreamingCdcDedupSuiteBase extends AnyFunSuite with BeforeAndAfte
     input.addData((5L, null: String))
     query.processAllAvailable()
     assert(pairs() == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+
+    // a RE-DELIVERED doc (crawler re-fetch) is a replay: it must emit no
+    // new hits and must not double its member entry — a second member
+    // copy would double n_shared for every later arrival (batch dedups
+    // its (doc, digest) stream; the stream must match)
+    val before = spark.table(s"scdc_$suiteName").count()
+    input.addData((1L, body))
+    query.processAllAvailable()
+    assert(spark.table(s"scdc_$suiteName").count() === before,
+      "re-delivery must emit nothing")
+    input.addData((6L, body)) // pairs with 1 and 4 — ONCE each per digest
+    query.processAllAvailable()
+    val hitRows = spark.table(s"scdc_$suiteName").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val perPair = hitRows.groupBy(identity).view.mapValues(_.length)
+    val n14 = perPair.getOrElse((1L, 6L), 0)
+    val n46 = perPair.getOrElse((4L, 6L), 0)
+    assert(n14 > 0 && n14 === n46,
+      s"doc 6 must hit 1 and 4 symmetrically (no doubled member): $n14 vs $n46")
     query.stop()
   }
 
