@@ -1180,6 +1180,42 @@ object TextOps {
       .filter(col("contam_grams") >= 1)
   }
 
+  /** Multi-eval-set contamination MATRIX — the governance view of the
+    * decontamination family: a production shop screens against MANY held
+    * eval sets (each its own benchmark), and running [[contaminatedIds]]
+    * once per set re-scans the corpus per benchmark. Here every eval
+    * set's gram set is TAGGED and unioned (eval sets are small — the
+    * broadcast class), and ONE corpus gram pass joins them all: per
+    * `(source, eval_name)`, the distinct contaminated-doc count and the
+    * integer-µ contamination rate. A row of this matrix answers "which
+    * sources leak which benchmarks" before any doc is dropped.
+    *
+    * Scale shape: one corpus gram stream (the q65 projection), one
+    * broadcast hash join against the tagged union, one distinct on
+    * `(doc, eval)` pairs (output-sized), |sources|-row totals broadcast
+    * back. Adding a benchmark adds broadcast rows, never a corpus pass.
+    */
+  def contaminationMatrix(corpus: DataFrame, evals: Seq[(String, DataFrame)],
+                          n: Int = 4, textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    require(evals.nonEmpty, "contaminationMatrix: no eval sets given")
+    require(evals.map(_._1).distinct.size == evals.size,
+      s"contaminationMatrix: duplicate eval names in ${evals.map(_._1)}")
+    val tagged = evals.map { case (name, df) =>
+      evalGramSet(df, n, textCol).withColumn("eval_name", lit(name))
+    }.reduce(_ unionByName _)
+    val hits = explodedGrams(corpus, n, Seq(idCol, "source"), textCol,
+        distinctPerDoc = true)
+      .join(broadcast(tagged), Seq("gram"))
+      .select(col(idCol), col("source"), col("eval_name")).distinct()
+    val totals = corpus.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    hits.groupBy(col("source"), col("eval_name"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .join(broadcast(totals), Seq("source"))
+      .withColumn("contam_rate_micro",
+        expr("(n_contaminated * 1000000) div n_docs"))
+  }
+
   /** Composite document quality score in [0, 1] — the weighted ensemble
     * of heuristic signals (lexical diversity, stopword density, length)
     * that curation pipelines threshold on when no learned classifier is
@@ -2012,6 +2048,45 @@ object TextOps {
         GROUP BY doc_id
         HAVING COUNT(*) FILTER (WHERE gram IN (SELECT gram FROM eval_g)) >= 1
         ORDER BY doc_id""")),
+
+    // Multi-eval contamination MATRIX (r12): two tagged benchmark splits
+    // screened by ONE corpus gram pass — per (source, eval) distinct
+    // contaminated docs + integer-µ rate; the view that says which
+    // sources leak which benchmarks before any doc is dropped.
+    QuerySpec(
+      "q167_contamination_matrix",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        contaminationMatrix(docs.filter(col("doc_id") >= 40),
+            Seq("evalA" -> docs.filter(col("doc_id") < 20),
+              "evalB" -> docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)),
+            n = 4)
+          .orderBy(col("source"), col("eval_name"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS t
+                      FROM documents),
+        g AS (SELECT doc_id, source, array_to_string(t[i:i+3],' ') AS gram
+              FROM toks, UNNEST(generate_series(1, greatest(len(t)-3, 0))) AS u(i)),
+        ev AS (
+          SELECT DISTINCT gram, 'evalA' AS eval_name FROM g WHERE doc_id < 20
+          UNION
+          SELECT DISTINCT gram, 'evalB' AS eval_name FROM g
+          WHERE doc_id >= 20 AND doc_id < 40),
+        hits AS (
+          SELECT DISTINCT g.doc_id, g.source, ev.eval_name
+          FROM g JOIN ev USING (gram) WHERE g.doc_id >= 40),
+        totals AS (
+          SELECT source, COUNT(*) AS n_docs FROM documents
+          WHERE doc_id >= 40 GROUP BY source)
+        SELECT h.source, h.eval_name,
+               CAST(COUNT(*) AS BIGINT) AS n_contaminated,
+               CAST(t.n_docs AS BIGINT) AS n_docs,
+               CAST((COUNT(*) * 1000000) // t.n_docs AS BIGINT)
+                 AS contam_rate_micro
+        FROM hits h JOIN totals t ON t.source = h.source
+        GROUP BY h.source, h.eval_name, t.n_docs
+        ORDER BY h.source, h.eval_name""")),
 
     QuerySpec(
       "q66_blocklist_filter",

@@ -345,6 +345,16 @@ class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"global rollup didn't broadcast:\n$p")
   }
 
+  test("q167: ONE corpus gram pass serves all eval sets (broadcast union, no sort-merge)") {
+    // the matrix's reason to exist: adding a benchmark must add broadcast
+    // rows, never another corpus scan or a corpus-side shuffle join
+    val p = plan("q167_contamination_matrix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"tagged eval grams didn't broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus gram stream shuffled into a sort-merge join:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct") {
     // the one shape that cannot survive any scale-up; cross joins against
     // broadcast fitted models plan as BroadcastNestedLoopJoin instead
