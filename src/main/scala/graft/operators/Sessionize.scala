@@ -239,6 +239,51 @@ object Sessionize {
       .select(col(idCol), col(typeCol), col("v_micro"))
   }
 
+  /** Per-type event-RATE anomaly flag — [[valueOutliers]]' k-sigma
+    * algebra applied to TIME-BUCKETED COUNTS instead of event values:
+    * the traffic screen (a stuck emitter, a replay storm, an outage
+    * hour) over `(type, bucket)` counts with `bucket = ts div bucketNs`
+    * (integer nanos division — no calendar math for engines to disagree
+    * on). Counts are already integers, so no µ-quantization step; the
+    * flag `(n·cnt − s)² > k²·(n·q − s²)` runs in the same Decimal(38,0)
+    * exactness envelope, loudly enforced. A bucket with ZERO events is
+    * simply absent — the screen is relative to the type's ACTIVE
+    * buckets (an all-quiet hour is an availability question, not a rate
+    * distribution one).
+    *
+    * Scale shape: one map-side-combined count to (type, bucket) rows —
+    * bounded by time-range/bucketNs per type, not by events — then a
+    * |types|-row stats broadcast and a map-side flag; events shuffle
+    * once, on the bucket count's partial aggregate.
+    */
+  def rateAnomalies(events: DataFrame,
+                    bucketNs: Long = 3600L * 1000000000L, k: Int = 3,
+                    typeCol: String = "event_type",
+                    tsCol: String = "ts"): DataFrame = {
+    require(k >= 1, s"rateAnomalies: k must be >= 1, got $k")
+    require(bucketNs > 0, s"rateAnomalies: bucketNs must be > 0, got $bucketNs")
+    val rates = events
+      .select(col(typeCol), expr(s"$tsCol div ${bucketNs}L").as("bucket"))
+      .groupBy(col(typeCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val cd = col("cnt").cast("decimal(38,0)")
+    val stats = rates.groupBy(col(typeCol))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(cd).as("__s"), sum(cd * cd).as("__q"),
+        max(cd).as("__ma"))
+      .filter(assert_true(
+        col("__n") * col("__ma") <= lit(envelopeLimit(k).underlying),
+        concat(lit(s"rateAnomalies: exact-decimal envelope exceeded " +
+          s"(n*max(cnt) > ${envelopeLimit(k)}) for type "),
+          col(typeCol), lit(" — shard the stats"))).isNull)
+    val dev = col("__n") * cd - col("__s")
+    rates.join(broadcast(stats), Seq(typeCol))
+      .filter(dev * dev >
+        lit(k.toLong * k).cast("decimal(38,0)") *
+          (col("__n") * col("__q") - col("__s") * col("__s")))
+      .select(col(typeCol), col("bucket"), col("cnt"))
+  }
+
   /** Largest `n·max|m|` for which every term of the k-sigma inequality
     * stays inside Decimal(38,0): `dev² ≤ (2·n·max|m|)² < 10^38` and
     * `k²·(n·q − s²) ≤ (k·n·max|m|)² < 10^38`.
@@ -445,6 +490,34 @@ object Sessionize {
                 * (CAST(st.n AS HUGEINT)*m.v_micro - st.s)
               > 9 * (CAST(st.n AS HUGEINT)*st.q - st.s*st.s)
         ORDER BY m.event_id""")),
+
+    // Rate anomalies (r12): q125's exact k-sigma inequality over
+    // hour-bucketed COUNTS (bucket = ts div 3600e9 nanos — integer
+    // division, no calendar math) — the traffic screen; flags 26 of
+    // ~3.4k (type, hour) buckets at sf0.01, non-vacuous.
+    QuerySpec(
+      "q168_rate_anomalies",
+      (s, d) => rateAnomalies(Tables.events(s, d))
+        .orderBy(col("event_type"), col("bucket")),
+      Some("""
+        WITH b AS (
+          SELECT event_type,
+                 epoch_ns(ts) // 3600000000000 AS bucket
+          FROM events),
+        r AS (SELECT event_type, bucket, COUNT(*) AS cnt
+              FROM b GROUP BY event_type, bucket),
+        st AS (
+          SELECT event_type, COUNT(*) AS n,
+                 SUM(CAST(cnt AS HUGEINT)) AS s,
+                 SUM(CAST(cnt AS HUGEINT)*CAST(cnt AS HUGEINT)) AS q
+          FROM r GROUP BY event_type)
+        SELECT r.event_type, CAST(r.bucket AS BIGINT) AS bucket,
+               CAST(r.cnt AS BIGINT) AS cnt
+        FROM r JOIN st USING (event_type)
+        WHERE (CAST(st.n AS HUGEINT)*r.cnt - st.s)
+                * (CAST(st.n AS HUGEINT)*r.cnt - st.s)
+              > 9 * (CAST(st.n AS HUGEINT)*st.q - st.s*st.s)
+        ORDER BY r.event_type, r.bucket""")),
 
     // Strict ordered funnel view → click → purchase, row-level per user:
     // the exact step event-ids (not just reach counts) gate the

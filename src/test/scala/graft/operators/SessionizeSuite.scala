@@ -339,4 +339,28 @@ class SessionizeSuite extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got === Set((1L, 2L, 0L, 10L), (2L, 1L, 500L, 500L)))
   }
+  test("rateAnomalies: a planted traffic spike flags; steady types never flag") {
+    val sql = spark
+    import sql.implicits._
+    import org.apache.spark.sql.functions._
+    val H = 3600L * 1000000000L
+    // type "steady": 20 hours x 10 events; type "spiky": 19 hours x 10
+    // events + ONE hour with 200 (the replay storm)
+    val steady = for (h <- 0 until 20; i <- 0 until 10)
+      yield (s"e$h$i".hashCode.toLong, h * H + i, "steady")
+    val spiky = (for (h <- 0 until 19; i <- 0 until 10)
+      yield (1000000L + h * 100 + i, h * H + i, "spiky")) ++
+      (0 until 200).map(i => (2000000L + i, 19 * H + i, "spiky"))
+    val events = (steady ++ spiky).toDF("event_id", "ts", "event_type")
+    val got = Sessionize.rateAnomalies(events)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(("spiky", 19L, 200L)),
+      s"exactly the planted spike hour must flag: $got")
+
+    // a singleton bucket (one active hour) has zero variance and a zero
+    // deviation: strict > never flags it
+    val single = (0 until 5).map(i => (9000L + i, i.toLong, "once"))
+      .toDF("event_id", "ts", "event_type")
+    assert(Sessionize.rateAnomalies(single).count() === 0L)
+  }
 }
