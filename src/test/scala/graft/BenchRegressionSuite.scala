@@ -81,4 +81,27 @@ class BenchRegressionSuite extends AnyFunSuite {
     val regs = Bench.findRegressions(prev, now)
     assert(regs === Map("q32_lsh" -> ((2.9, 6.4))))
   }
+
+  test("tail re-measure: an ambient spike self-retires, a real regression survives") {
+    val prev = Map("q_spike" -> 1.0, "q_real" -> 1.0, "q_ok" -> 1.0)
+    // min-of-2 saw both q_spike and q_real at 3x; q_ok is clean
+    val minOf2 = Seq("q_spike" -> 3.0, "q_real" -> 3.1, "q_ok" -> 1.05)
+    assert(Bench.findRegressions(prev, minOf2).keySet === Set("q_spike", "q_real"))
+    // third isolated sample: the spike reproduces fast (ambient was the
+    // cause), the real regression reproduces slow
+    val merged = Bench.mergeRemeasure(minOf2,
+      Map("q_spike" -> 1.02, "q_real" -> 3.05))
+    assert(merged.toMap === Map("q_spike" -> 1.02, "q_real" -> 3.05, "q_ok" -> 1.05))
+    assert(Bench.findRegressions(prev, merged).keySet === Set("q_real"),
+      "only the reproducing regression may carry a flag into the record")
+  }
+
+  test("tail re-measure can only improve the record, never worsen it") {
+    val minOf2 = Seq("q_a" -> 2.0, "q_b" -> 2.0, "q_fail" -> -1.5)
+    val merged = Bench.mergeRemeasure(minOf2,
+      Map("q_a" -> 2.6,   // slower third sample: ignored
+          "q_b" -> -0.4,  // re-measure pass threw: never overwrites
+          "q_fail" -> 0.3)) // original failed every pass: stays negative
+    assert(merged.toMap === Map("q_a" -> 2.0, "q_b" -> 2.0, "q_fail" -> -1.5))
+  }
 }
