@@ -62,10 +62,12 @@ object Bench {
     * rounds; this probe is the artifact-side defense. */
   private def calibrationProbe(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
-    // Knuth-hash sum over 2^22 ids: ~60 ms of pure codegen'd CPU per
+    // Murmur3 sum over 2^22 ids: ~60 ms of pure codegen'd CPU per
     // sample, large enough to see machine pressure, small enough to be
-    // free (3 samples < 0.2 s total)
-    spark.range(1L << 22).selectExpr("sum(id * 2654435761) as s")
+    // free (3 samples < 0.2 s total). hash() yields ints so the LongType
+    // sum can't overflow under ANSI (a Knuth-multiply formulation did —
+    // 4M × ~1e16 products blow past Long.MaxValue and ANSI throws).
+    spark.range(1L << 22).selectExpr("sum(hash(id)) as s")
       .queryExecution.toRdd.count()
     (System.nanoTime() - t0) / 1e9
   }
@@ -220,6 +222,9 @@ object Bench {
     // this run's probe is 2x another's, so is everything else, and no
     // per-query "regression" on untouched code means anything.
     val cal = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // one untimed warm call: sample 1 must measure the machine, not the
+    // probe's own codegen compile (measured: 0.23 s cold vs 0.18 warm)
+    calibrationProbe(spark)
     cal += calibrationProbe(spark)
     val pass1 = timedPass()
     cal += calibrationProbe(spark)
