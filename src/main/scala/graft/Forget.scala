@@ -8,7 +8,7 @@ import org.apache.spark.sql.execution.streaming.state.StateStoreConf
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-import graft.operators.{AnnIndex, Pipeline, TextOps}
+import graft.operators.{AnnIndex, HistogramSketch, Pipeline, TextOps}
 import graft.state.{GraftStateStoreProviderBase, StateRescale}
 
 /** One-call right-to-be-forgotten orchestration — the composition of the
@@ -28,6 +28,16 @@ import graft.state.{GraftStateStoreProviderBase, StateRescale}
   *    .buildCdcIndex]]'s `digests/`) — partition-layout-preserving
   *    prune (r12; a flat prune would destroy the ingest probe's `db`
   *    pruning)
+  *  - the histogram index ([[graft.operators.HistogramSketch
+  *    .buildHistogramIndex]]'s `hist/`) — id-free by construction, so
+  *    its leg is ACCURACY maintenance: a negative-generation retraction
+  *    of the removed docs' bucket counts (r13), plus a structural
+  *    id-freedom audit in the exit gate
+  *  - the KMV sketch index ([[graft.operators.Dedup.buildSketchIndex]]'s
+  *    `sketches/`) — id-free AND monoid-only (a bottom-k insert cannot
+  *    be undone), so deletion-accuracy maintenance is a caller-cadence
+  *    REBUILD over the survivors; the exit gate still audits its
+  *    id-freedom so the exemption is proven, not assumed
   *
   * followed by the audits as a FORCED exit gate:
   * [[graft.operators.Pipeline.deletionAudit]] over every parquet
@@ -77,7 +87,8 @@ object Forget {
   final case class ForgetReport(
       nIds: Long,
       stateKeysKept: Seq[Long],
-      artifactsPruned: Seq[String])
+      artifactsPruned: Seq[String],
+      aggregateIndexes: Seq[String] = Seq.empty)
 
   /** Forget `ids` (column `idCol`, castable to long) everywhere:
     * streaming state (one target per stateful operator — a
@@ -103,11 +114,29 @@ object Forget {
              spanIndexDirs: Seq[String] = Seq.empty,
              spanIndexHashGrams: Boolean = false,
              cdcIndexDirs: Seq[String] = Seq.empty,
+             histIndexDirs: Seq[String] = Seq.empty,
+             removedDocs: Option[DataFrame] = None,
+             histSubBits: Int = HistogramSketch.DefaultSubBits,
+             kmvIndexDirs: Seq[String] = Seq.empty,
              hadoopConf: Configuration = new Configuration()): ForgetReport = {
     require(states.nonEmpty || annDir.nonEmpty || artifacts.nonEmpty ||
-        spanIndexDirs.nonEmpty || cdcIndexDirs.nonEmpty,
+        spanIndexDirs.nonEmpty || cdcIndexDirs.nonEmpty ||
+        histIndexDirs.nonEmpty || kmvIndexDirs.nonEmpty,
       "forget: nothing to forget from — no state, index, artifacts, " +
-        "span indexes, or CDC indexes given")
+        "span, CDC, histogram, or KMV indexes given")
+    // The histogram index holds only (source, rep, cnt) — no doc ids —
+    // so its GDPR exposure is nil (formally PROVED by the id-freedom
+    // audit in the exit gate below). What a deletion batch owes it is
+    // ACCURACY maintenance: the survivors' length statistics must stop
+    // counting the removed docs, and counts form a group, so that is a
+    // work-∝-batch negative-generation append (retractHistogramIndex),
+    // never a rewrite. Retraction needs the removed docs' TEXT (to
+    // recompute their bucket rows), which a deletion batch has in hand —
+    // requiring it here keeps the leg from being silently skipped.
+    require(histIndexDirs.isEmpty || removedDocs.nonEmpty,
+      "forget: histIndexDirs given without removedDocs — histogram " +
+        "retraction recomputes the removed docs' bucket rows from their " +
+        "text; pass the deletion batch (doc_id, source, text)")
     val idList = ids.select(col(idCol).cast("long").as("__id"))
       .na.drop().distinct()
     val idSet = idList.collect().map(_.getLong(0)).toSet
@@ -160,16 +189,46 @@ object Forget {
         s"$d/digests", "doc_id", partitionCols = Seq("db"))
     }
 
-    // 6) the exit gate — every surface must PROVE zero residuals
+    // 6) histogram indexes: retract the removed docs' bucket counts.
+    //    Guard first: retracting a doc OUTSIDE the delete list would
+    //    corrupt the length statistics of a doc nobody deleted — the
+    //    inverse of the silent-narrowing class the raw-vs-normalized
+    //    check above protects against. (⊆, not =: a replayed delete
+    //    log may list ids whose docs never reached this corpus, and
+    //    retraction of an absent doc has no row to recompute.)
+    removedDocs.filter(_ => histIndexDirs.nonEmpty).foreach { docs =>
+      val extra = docs.select(col("doc_id").cast("long").as("__rid"))
+        .na.drop().distinct()
+        .filter(!col("__rid").isInCollection(idSet)).count()
+      require(extra == 0L,
+        s"forget: removedDocs holds $extra doc_ids not in the delete " +
+          "list — refusing to retract histogram counts for docs nobody " +
+          "asked to forget")
+      histIndexDirs.foreach { d =>
+        HistogramSketch.retractHistogramIndex(docs, d, histSubBits)
+      }
+    }
+    // KMV sketch indexes get NO delete leg by algebra: a bottom-k set is
+    // a monoid (inserts cannot be undone), so deletion-accuracy
+    // maintenance is a REBUILD of the affected sources' sketches
+    // (buildSketchIndex over the survivors) on the caller's cadence.
+    // Like the histogram, the index stores no doc ids — hashed shingle
+    // minima only — so there is nothing for a GDPR audit to find; the
+    // exit gate below proves that id-freedom structurally.
+
+    // 7) the exit gate — every surface must PROVE zero residuals, and
+    //    the aggregate indexes must PROVE they carry no id column
     val found = residualsOf(idList, idSet, states, annDir, artifacts,
-      spanIndexDirs, cdcIndexDirs, hadoopConf)
+      spanIndexDirs, cdcIndexDirs, histIndexDirs, kmvIndexDirs, hadoopConf)
     if (found.nonEmpty)
       throw new IllegalStateException(
         s"forget: deletion audit FAILED — ${found.mkString("; ")}")
     ForgetReport(idSet.size.toLong, stateReports.map(_.keysMoved),
       artifacts.map(_._1) ++ annDir.map(d => s"$d/codes") ++
         spanIndexDirs.map(d => s"$d/pos") ++
-        cdcIndexDirs.map(d => s"$d/digests"))
+        cdcIndexDirs.map(d => s"$d/digests"),
+      histIndexDirs.map(d => s"$d/hist") ++
+        kmvIndexDirs.map(d => s"$d/sketches"))
   }
 
   /** The exit gate alone: one description per surface still holding a
@@ -187,11 +246,14 @@ object Forget {
                 artifacts: Seq[(String, String)] = Seq.empty,
                 spanIndexDirs: Seq[String] = Seq.empty,
                 cdcIndexDirs: Seq[String] = Seq.empty,
+                histIndexDirs: Seq[String] = Seq.empty,
+                kmvIndexDirs: Seq[String] = Seq.empty,
                 hadoopConf: Configuration = new Configuration()): Seq[String] = {
     val idList = ids.select(col(idCol).cast("long").as("__id"))
       .na.drop().distinct()
     residualsOf(idList, idList.collect().map(_.getLong(0)).toSet,
-      states, annDir, artifacts, spanIndexDirs, cdcIndexDirs, hadoopConf)
+      states, annDir, artifacts, spanIndexDirs, cdcIndexDirs,
+      histIndexDirs, kmvIndexDirs, hadoopConf)
   }
 
   /** [[residuals]] over an already-normalized id frame/set — [[forget]]
@@ -203,8 +265,31 @@ object Forget {
                           artifacts: Seq[(String, String)],
                           spanIndexDirs: Seq[String],
                           cdcIndexDirs: Seq[String],
+                          histIndexDirs: Seq[String] = Seq.empty,
+                          kmvIndexDirs: Seq[String] = Seq.empty,
                           hadoopConf: Configuration): Seq[String] = {
     val out = scala.collection.mutable.ListBuffer.empty[String]
+    // Aggregate-index id-freedom audit: the histogram ((source, rep,
+    // cnt)) and KMV ((source, kmv)) indexes are EXEMPT from the row
+    // residual audit because they structurally cannot hold a doc id —
+    // and this check is what makes that exemption formal rather than a
+    // doc comment. An exact-schema equality (not an id-name pattern):
+    // ANY column beyond the declared aggregate shape fails, so a future
+    // "helpful" provenance column (doc_id, uri, …) added to either
+    // index turns every forget into a loud failure instead of a silent
+    // compliance hole.
+    val spark = idList.sparkSession
+    def schemaAudit(dir: String, expected: Set[String], kind: String): Unit = {
+      val actual = spark.read.parquet(dir).schema.fieldNames.toSet
+      if (actual != expected)
+        out += s"$kind $dir: schema ${actual.toSeq.sorted.mkString("(", ",", ")")} " +
+          s"is not the id-free aggregate shape ${expected.toSeq.sorted.mkString("(", ",", ")")}" +
+          " - the no-doc-id exemption no longer holds"
+    }
+    histIndexDirs.foreach(d =>
+      schemaAudit(s"$d/hist", Set("source", "rep", "cnt"), "histogram index"))
+    kmvIndexDirs.foreach(d =>
+      schemaAudit(s"$d/sketches", Set("source", "kmv"), "kmv sketch index"))
     // deletionAudit joins each artifact on ITS OWN id column name, so the
     // ids frame carries every needed column (aliased copies of __id).
     // Span indexes audit through pos/ — the surface holding the doc's

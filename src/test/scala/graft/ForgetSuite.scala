@@ -286,4 +286,83 @@ class ForgetSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(!(eBad.isInstanceOf[IllegalStateException]),
       s"unparsable id must fail before the audit gate: $eBad")
   }
+
+  test("aggregate indexes: histogram retraction leg + id-freedom audit for both") {
+    val sql = spark
+    import sql.implicits._
+    import graft.operators.{Dedup, HistogramSketch}
+    val base = Files.createTempDirectory("graft-forget-agg").toString
+    // docs across two sources with id-dependent lengths, so a retraction
+    // visibly moves the quantiles
+    val docs = (1L to 24L).map { id =>
+      (id, if (id % 2 == 0) "web" else "book",
+        Seq.fill((id % 7 + 1).toInt)(s"tok$id word").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val histDir = s"$base/hist_idx"
+    val kmvDir = s"$base/kmv_idx"
+    HistogramSketch.buildHistogramIndex(docs, histDir)
+    Dedup.buildSketchIndex(docs, kmvDir)
+
+    val deleteIds = Seq(3L, 7L, 14L)
+    val removed = docs.filter(col("doc_id").isin(deleteIds: _*))
+
+    // the forget call: retraction leg + forced id-freedom audit — a
+    // returned report IS the passed gate
+    val report = Forget.forget(deleteIds.toDF("doc_id"), "doc_id",
+      histIndexDirs = Seq(histDir), removedDocs = Some(removed),
+      kmvIndexDirs = Seq(kmvDir))
+    assert(report.aggregateIndexes.toSet ===
+      Set(s"$histDir/hist", s"$kmvDir/sketches"), s"report: $report")
+
+    // retraction accuracy: the index now reports EXACTLY the
+    // survivor-only statistics (the q162 group-algebra property,
+    // reached through the GDPR surface)
+    val survivors = docs.filter(!col("doc_id").isin(deleteIds: _*))
+    val fromIndex = HistogramSketch.readHistogramIndex(spark, histDir)
+      .collect().map(_.toString).sorted
+    val fromScratch = HistogramSketch.sourceLengthQuantiles(survivors)
+      .collect().map(_.toString).sorted
+    assert(fromIndex.sameElements(fromScratch),
+      "post-forget index must equal a survivor-only rebuild")
+
+    // the histogram leg cannot be silently skipped: dirs without docs fail
+    val eNoDocs = intercept[IllegalArgumentException] {
+      Forget.forget(deleteIds.toDF("doc_id"), "doc_id",
+        histIndexDirs = Seq(histDir))
+    }
+    assert(eNoDocs.getMessage.contains("removedDocs"))
+
+    // retracting a doc NOBODY deleted must fail loudly — it would
+    // corrupt survivors' statistics
+    val eExtra = intercept[IllegalArgumentException] {
+      Forget.forget(deleteIds.toDF("doc_id"), "doc_id",
+        histIndexDirs = Seq(histDir),
+        removedDocs = Some(docs.filter(col("doc_id").isin(3L, 5L))))
+    }
+    assert(eExtra.getMessage.contains("not in the delete list"))
+
+    // id-freedom audit: an index that grew an id-bearing column (the
+    // future-provenance hazard) turns every forget into a loud failure
+    val badHist = s"$base/bad_hist"
+    Seq(("web", 8L, 2L, 99L)).toDF("source", "rep", "cnt", "doc_id")
+      .write.parquet(s"$badHist/hist")
+    val res = Forget.residuals(deleteIds.toDF("doc_id"), "doc_id",
+      histIndexDirs = Seq(badHist))
+    assert(res.size === 1 && res.head.contains("id-free aggregate shape"),
+      s"id-bearing column must surface: $res")
+    // same through forget's throw wiring — via a KMV dir, whose leg
+    // never writes, so the gate deterministically reads the bad schema
+    val badKmv = s"$base/bad_kmv"
+    Seq(("web", Seq(1L, 2L), 99L)).toDF("source", "kmv", "doc_id")
+      .write.parquet(s"$badKmv/sketches")
+    val eBadSchema = intercept[IllegalStateException] {
+      Forget.forget(deleteIds.toDF("doc_id"), "doc_id",
+        kmvIndexDirs = Seq(badKmv))
+    }
+    assert(eBadSchema.getMessage.contains("id-free aggregate shape"))
+
+    // clean sweep: the compliance re-proof over both aggregate indexes
+    assert(Forget.residuals(deleteIds.toDF("doc_id"), "doc_id",
+      histIndexDirs = Seq(histDir), kmvIndexDirs = Seq(kmvDir)).isEmpty)
+  }
 }
