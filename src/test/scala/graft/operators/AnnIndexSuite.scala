@@ -207,8 +207,10 @@ class AnnIndexSuite extends AnyFunSuite with BeforeAndAfterAll {
     val mean = perQ.map(_.getDouble(2)).sum / perQ.length
     assert(math.abs(macroAvg - mean) < 1e-9,
       s"macro row must average the per-query recalls: $macroAvg vs $mean")
-    // deep probe over every cell with a big shortlist ≈ exact → recall high
-    assert(macroAvg >= 0.5, s"audited recall suspiciously low: $macroAvg")
+    // deep probe over every cell with a big shortlist ≈ exact: measured
+    // macro recall on this fixture is exactly 1.0 (deterministic build —
+    // seeded k-means, fixed corpus), pinned at measured − 0.1
+    assert(macroAvg >= 0.9, s"audited recall below measured-0.1 floor: $macroAvg")
   }
 
   test("append: a batch whose dim differs from the frozen model fails loudly") {
