@@ -861,6 +861,98 @@ object Pipeline {
       expr("array_join(transform(__m, m -> m.tx), ' ')").as("packed_text"))
   }
 
+  /** Deterministic training-order shuffle — the step a pretraining
+    * pipeline runs AFTER packing and the catalog's last dataloader gap:
+    * a seeded, engine-portable global permutation of the packed chunks,
+    * so every epoch's read order is (a) statistically shuffled — hash
+    * order decorrelates neighbors, so no stratum's chunks stream
+    * back-to-back the way packing laid them out — and (b) exactly
+    * reproducible across runs, engines, and partition counts from
+    * `(seed, key)` alone (restart a crashed run at chunk `pos` N and it
+    * resumes the identical order; re-derive the order in another system
+    * and it matches row-for-row).
+    *
+    * Each row's sort key is the md5 prefix of `seed:key1:…:keyN`
+    * ([[shardAssign]]'s engine-portable hash discipline applied to
+    * ORDERING), and `posCol` is the 0-based global position under
+    * (hash, keys…) order — the keys tie-break the 32-bit prefix's
+    * collisions, so the order is total and exact, never
+    * approximately-shuffled.
+    *
+    * Scale shape: NO global sort and NO window — the hash is a map-side
+    * scalar, one RANGE exchange on (hash, keys…) lays the permutation
+    * out across the whole cluster, and the global position is the
+    * [[packSequences]] two-pass discipline degenerated to row COUNTS:
+    * pass 1 collects one long per partition (the driver folds ≤
+    * partitions entries and broadcasts start offsets), pass 2 is a
+    * map-side local count-up. Both passes share one RDD lineage, so
+    * pass 2 reuses pass 1's shuffle files and an executor loss
+    * recomputes instead of failing. Chunk tables are corpus-size ÷
+    * budget, so even a 100 TB corpus permutes a few hundred million
+    * k-byte rows — and none of the packed text ever re-shuffles: run
+    * this over the chunk KEYS and join the order back, or over the full
+    * packed rows when the artifact is being laid out for publish.
+    *
+    * Null keys are refused LOUDLY (pass 1 throws): concat_ws silently
+    * skips nulls — two distinct key tuples could hash identically — and
+    * Spark and DuckDB disagree on null ORDER position, so a null key
+    * would make "deterministic" silently engine-dependent.
+    */
+  /** [[trainingOrder]]'s pre-pass: the seeded hash as a map-side scalar,
+    * laid out by a RANGE exchange + in-partition sort on (hash, keys…) —
+    * no Window, no global Sort of anything. `private[graft]` so
+    * PlanRegressionSuite can assert the shape (the kernel's internals
+    * hide behind the ExistingRDD scan in the registered query's plan,
+    * packOrdered's rule). */
+  private[graft] def orderedByHash(rows: DataFrame, seed: Long,
+                                   keyCols: Seq[String]): DataFrame = {
+    val keyExprs = keyCols.map(c => col(c).cast("string"))
+    val h = conv(substring(md5(concat_ws(":",
+        lit(seed.toString) +: keyExprs: _*)), 1, 8), 16, 10).cast("long")
+    rows.withColumn("__h", h)
+      .repartitionByRange((col("__h") +: keyCols.map(col)): _*)
+      .sortWithinPartitions((col("__h") +: keyCols.map(col)): _*)
+  }
+
+  def trainingOrder(rows: DataFrame, seed: Long, keyCols: Seq[String],
+                    posCol: String = "pos"): DataFrame = {
+    require(keyCols.nonEmpty, "trainingOrder: keyCols must be non-empty")
+    require(!rows.columns.contains(posCol),
+      s"trainingOrder: input already has a '$posCol' column - drop or " +
+        "rename it before ordering")
+    val spark = rows.sparkSession
+    val ordered = orderedByHash(rows, seed, keyCols)
+    val schema = ordered.schema
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    // one RDD DAG for both passes: the range boundaries are sampled once
+    // and pass 2 reuses pass 1's shuffle files (packSequences' rule)
+    val rdd = ordered.rdd
+    // pass 1: per-partition row counts (+ the loud null-key check, free
+    // inside the counting scan)
+    val counts: Array[Long] = rdd.mapPartitions { it =>
+      var n = 0L
+      it.foreach { r =>
+        keyIdx.foreach { i =>
+          if (r.isNullAt(i)) throw new IllegalArgumentException(
+            s"trainingOrder: null key in column '${schema(i).name}' - " +
+              "null keys make the permutation engine-dependent")
+        }
+        n += 1
+      }
+      Iterator.single(n)
+    }.collect()
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    // pass 2: map-side count-up seeded by the broadcast offset
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var pos = bc.value(pid)
+      it.map { r => val o = Row.fromSeq(r.toSeq :+ pos); pos += 1; o }
+    }
+    spark.createDataFrame(out,
+        StructType(schema.fields :+ StructField(posCol, LongType)))
+      .drop("__h")
+  }
+
   /** Length-bucketed padding-minimizing batch packing — the DYNAMIC
     * BATCHING step between [[packSequences]]'s token-budget chunking and
     * the training loader: group docs of similar token length into
@@ -2336,6 +2428,43 @@ object Pipeline {
                string_agg(text, ' ' ORDER BY doc_id) AS packed_text
         FROM b GROUP BY source, chunk_id
         ORDER BY stratum, chunk_id""")),
+
+    // Deterministic training-order shuffle (r13): the seeded global
+    // permutation of q67's packed chunks — the step between packing and
+    // the dataloader. Fully oracle-able: the order key is the
+    // engine-portable md5 prefix of (seed, stratum, chunk_id), and the
+    // global position comes from the two-pass count-offset kernel, so
+    // DuckDB's ROW_NUMBER over the same hash order reproduces `pos`
+    // exactly. Plan-gated: no Window, one range exchange, never a
+    // global sort of the chunk table inside the kernel.
+    QuerySpec(
+      "q169_training_order",
+      (s, d) => trainingOrder(
+          packSequences(Tables.documents(s, d), budgetTokens = 256)
+            .filter(col("chunk_id").isNotNull)
+            .select(col("source").as("stratum"), col("chunk_id")).distinct(),
+          seed = 42, keyCols = Seq("stratum", "chunk_id"))
+        .orderBy(col("pos")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+                 len(string_split(text,' ')) AS n_tokens,
+                 SUM(len(string_split(text,' '))) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM documents),
+        k AS (SELECT DISTINCT source AS stratum,
+                     CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id
+              FROM t WHERE cum IS NOT NULL),
+        h AS (SELECT stratum, chunk_id,
+                     substr(md5(concat('42:', stratum, ':',
+                       CAST(chunk_id AS VARCHAR))), 1, 8) AS hx
+              FROM k)
+        SELECT stratum, chunk_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY hx, stratum, chunk_id) - 1
+                 AS BIGINT) AS pos
+        FROM h
+        ORDER BY pos""")),
 
     // Production tier of the same pipeline: near-dup token-df cap ON.
     // Same deterministic-candidate-rule oracle treatment as q37/q96 —

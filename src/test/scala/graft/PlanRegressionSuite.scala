@@ -115,6 +115,39 @@ class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashEx == 1, s"expected 1 hash exchange, found $hashEx:\n$p")
   }
 
+  test("q169: training order is the count-offset kernel, not a window or global sort") {
+    // the permutation's global position must come from the two-pass
+    // count-offset kernel (ExistingRDD scan), never a ROW_NUMBER window
+    // (one task ranks everything) — only the presentation orderBy(pos)
+    // above the kernel may sort, and it sorts kernel OUTPUT rows
+    val p = plan("q169_training_order")
+    assert(!p.contains("Window"),
+      s"training order must not plan a ranking window:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"expected the count-offset kernel's RDD scan:\n$p")
+  }
+
+  test("q169 pre-pass: RANGE exchange on the seeded hash, no hash exchange, no Window") {
+    // the de-funnel property: the permutation lays out by a range
+    // exchange on (__h, keys) — a single hot stratum's chunks spread
+    // across the cluster in hash order; nothing shuffles by stratum
+    val chunks = graft.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("source").as("stratum"),
+        (org.apache.spark.sql.functions.col("doc_id") % 37).as("chunk_id"))
+      .distinct()
+    val p = graft.operators.Pipeline
+      .orderedByHash(chunks, seed = 7L, keyCols = Seq("stratum", "chunk_id"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("rangepartitioning(__h"),
+      s"expected a range exchange keyed by the seeded hash:\n$p")
+    assert(!p.contains("Window"), s"no window may appear in the pre-pass:\n$p")
+    // the ordering itself adds exactly ONE exchange (the range layout);
+    // any exchange beyond the input's own (here: distinct's) would mean
+    // the permutation is double-shuffling the chunk table
+    val rangeEx = "rangepartitioning".r.findAllIn(p).size
+    assert(rangeEx == 1, s"expected exactly 1 range exchange, got $rangeEx:\n$p")
+  }
+
   test("q67 pre-pass: a stratum spans MANY partitions (range exchange on (stratum, id))") {
     // the de-funnel property itself: the ordering exchange is a RANGE
     // partitioning on (source, doc_id) — a single hot source spreads

@@ -123,4 +123,74 @@ class PackingEquivalenceSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(Pipeline.packSequences(packed.drop("chunk_id"), budgetTokens = 5)
       .columns.count(_ == "chunk_id") === 1)
   }
+
+  // ---- trainingOrder: the seeded deterministic permutation kernel ----
+
+  private def chunkFixture(seed: Int, n: Int) = {
+    val sql = spark
+    import sql.implicits._
+    val rnd = new scala.util.Random(seed)
+    rnd.shuffle((0 until n).map(i => (s"s${i % 7}", i.toLong / 7)).toList)
+      .toDF("stratum", "chunk_id")
+  }
+
+  /** Driver-side reference: md5-prefix hash + total (hash, keys) sort,
+    * computed with java.security MessageDigest — fully independent of
+    * the Spark kernel under test. */
+  private def referenceOrder(rows: Seq[(String, Long)], seed: Long): Map[(String, Long), Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String, c: Long): Long = {
+      val hex = md.digest(s"$seed:$s:$c".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    rows.sortBy { case (s, c) => (h(s, c), s, c) }
+      .zipWithIndex.map { case (k, i) => k -> i.toLong }.toMap
+  }
+
+  test("trainingOrder: exact permutation, stable across partition counts, ≡ md5 reference") {
+    val base = chunkFixture(seed = 11, n = 400)
+    val keys = base.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val ref = referenceOrder(keys, seed = 7L)
+    for (parts <- Seq(1, 5, 13)) {
+      val got = Pipeline.trainingOrder(base.repartition(parts), seed = 7L,
+          keyCols = Seq("stratum", "chunk_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // a PERMUTATION: every position 0..n-1 exactly once
+      assert(got.values.toSeq.sorted == (0L until keys.size.toLong),
+        s"parts=$parts: pos is not an exact 0..n-1 permutation")
+      assert(got == ref,
+        s"parts=$parts: kernel order diverged from the driver-side md5 reference")
+    }
+  }
+
+  test("trainingOrder: a different seed is a different permutation; same seed replays") {
+    val base = chunkFixture(seed = 3, n = 200)
+    def run(seed: Long) = Pipeline.trainingOrder(base, seed, Seq("stratum", "chunk_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val a1 = run(7L); val a2 = run(7L); val b = run(8L)
+    assert(a1 == a2, "same seed must replay the identical order")
+    assert(a1 != b, "seed 8 produced seed 7's permutation")
+    // and not a near-identity reshuffle: most keys must actually move
+    val moved = a1.count { case (k, p) => b(k) != p }
+    assert(moved > a1.size / 2, s"only $moved/${a1.size} keys moved between seeds")
+  }
+
+  test("trainingOrder: null keys and pre-existing pos column fail loudly") {
+    val sql = spark
+    import sql.implicits._
+    val withNull = Seq(("s0", java.lang.Long.valueOf(1L)), (null, java.lang.Long.valueOf(2L)))
+      .toDF("stratum", "chunk_id")
+    val ex = intercept[Exception] {
+      Pipeline.trainingOrder(withNull, 7L, Seq("stratum", "chunk_id")).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("null key") ||
+        Option(ex.getCause).exists(_.getMessage.contains("null key")),
+      s"null key must name the refusal: $ex")
+    val withPos = Seq(("s0", 1L, 0L)).toDF("stratum", "chunk_id", "pos")
+    val ex2 = intercept[IllegalArgumentException] {
+      Pipeline.trainingOrder(withPos, 7L, Seq("stratum", "chunk_id"))
+    }
+    assert(ex2.getMessage.contains("pos"))
+  }
 }
