@@ -244,6 +244,17 @@ object TextOps {
   private def evalGramSet(evalDocs: DataFrame, n: Int, textCol: String): DataFrame =
     explodedGrams(evalDocs, n, Seq.empty, textCol).select(col("gram")).distinct()
 
+  /** Every eval set's gram set TAGGED with its benchmark name and
+    * unioned — the one broadcast side [[contaminationMatrix]] and its
+    * streaming twin ([[graft.streaming.StreamingCuration
+    * .contaminationMatrixStream]]) share, so the two tiers cannot drift
+    * on what "contaminated by benchmark X" means. */
+  private[graft] def taggedEvalGrams(evals: Seq[(String, DataFrame)], n: Int,
+                                     textCol: String = "text"): DataFrame =
+    evals.map { case (name, df) =>
+      evalGramSet(df, n, textCol).withColumn("eval_name", lit(name))
+    }.reduce(_ unionByName _)
+
   /** Span-level duplication audit: for each doc, how many of its distinct
     * word n-gram spans also occur in at least one OTHER doc — the
     * boilerplate/license-header/template detector that document-level
@@ -1201,9 +1212,7 @@ object TextOps {
     require(evals.nonEmpty, "contaminationMatrix: no eval sets given")
     require(evals.map(_._1).distinct.size == evals.size,
       s"contaminationMatrix: duplicate eval names in ${evals.map(_._1)}")
-    val tagged = evals.map { case (name, df) =>
-      evalGramSet(df, n, textCol).withColumn("eval_name", lit(name))
-    }.reduce(_ unionByName _)
+    val tagged = taggedEvalGrams(evals, n, textCol)
     val hits = explodedGrams(corpus, n, Seq(idCol, "source"), textCol,
         distinctPerDoc = true)
       .join(broadcast(tagged), Seq("gram"))

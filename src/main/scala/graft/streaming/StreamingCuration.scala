@@ -35,4 +35,41 @@ object StreamingCuration {
       .select(col(idCol))
       .dropDuplicates(idCol)
   }
+
+  /** The q167 contamination MATRIX on an ingest stream, by COMPOSITION:
+    * the batch operator's tagged-union broadcast
+    * ([[graft.operators.TextOps.taggedEvalGrams]] — the SAME builder, so
+    * the two tiers cannot drift on a benchmark's gram set) probed by the
+    * stream's gram rows exactly as [[contaminatedIdsStream]] probes one
+    * eval set, then per-(doc, eval) exactly-once via state-backed
+    * `dropDuplicates` and a per-(source, eval) running count from
+    * aggregation state. Emits `(source, eval_name, n_contaminated)` —
+    * the matrix's count legs, continuously maintained; the batch
+    * operator's rate column needs the corpus total, which an admission
+    * gate doesn't own (feed the counts into the nightly matrix for
+    * rates).
+    *
+    * Scale/state shape: the broadcast side is ALL benchmarks' grams
+    * (still eval-set-sized — the batch operator's bet, unchanged);
+    * dedup state holds one key per CONTAMINATED (doc, eval) pair —
+    * bounded by the contamination rate, not the corpus; agg state is
+    * |sources|×|evals| counters. Adding a benchmark grows the broadcast,
+    * never adds a pass over the stream.
+    */
+  def contaminationMatrixStream(docsStream: DataFrame,
+                                evals: Seq[(String, DataFrame)],
+                                n: Int = 4, textCol: String = "text",
+                                idCol: String = "doc_id"): DataFrame = {
+    require(evals.nonEmpty, "contaminationMatrixStream: no eval sets given")
+    require(evals.map(_._1).distinct.size == evals.size,
+      s"contaminationMatrixStream: duplicate eval names in ${evals.map(_._1)}")
+    val tagged = TextOps.taggedEvalGrams(evals, n, textCol)
+    TextOps.explodedGrams(docsStream, n, Seq(idCol, "source"), textCol,
+        distinctPerDoc = true)
+      .join(broadcast(tagged), Seq("gram"))
+      .select(col(idCol), col("source"), col("eval_name"))
+      .dropDuplicates(idCol, "eval_name")
+      .groupBy(col("source"), col("eval_name"))
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
 }
