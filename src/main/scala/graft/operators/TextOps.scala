@@ -1789,6 +1789,58 @@ object TextOps {
         FROM t GROUP BY source, chunk_id
         ORDER BY source, chunk_id""")),
 
+    // Tokenizer-fertility audit (r13): chars/token and tokens/word per
+    // source — the encoder-health companion to q165 for the LEXICAL
+    // side (a source whose fertility drifts high is one the tokenizer
+    // splits badly: boilerplate markup, unexpected scripts, a scraper
+    // regression — and it silently pays more context budget per word).
+    // Rides the SAME persisted per-doc BPE counts artifact as q124 —
+    // the expensive encode never re-runs for this audit; the only
+    // corpus touch is a map-side words/chars projection feeding a
+    // |sources|-row aggregate. Ratios are exact integer micro-units
+    // through DECIMAL(38,0) (the established envelope), so the audit
+    // hash-gates.
+    QuerySpec(
+      "q170_tokenizer_fertility",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val model = bpeModels.computeIfAbsent(d,
+          dir => fitBpeModel(Tables.documents(s, dir), nMerges = 64))
+        bpeTokenCounts(docs, model)
+          .write.mode("overwrite").parquet(bpeCountsPath(d))
+        val bpe = s.read.parquet(bpeCountsPath(d))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_bpe_tokens")).cast("bigint").as("sum_bpe"))
+        val lex = docs.groupBy(col("source"))
+          .agg(sum(tokenCount(col("text"))).cast("bigint").as("sum_words"),
+            sum(length(col("text"))).cast("bigint").as("sum_chars"))
+        bpe.join(lex, Seq("source"))
+          .withColumn("tokens_per_word_micro",
+            expr("CAST(sum_bpe AS DECIMAL(38,0)) * 1000000 div sum_words")
+              .cast("long"))
+          .withColumn("chars_per_token_micro",
+            expr("CAST(sum_chars AS DECIMAL(38,0)) * 1000000 div sum_bpe")
+              .cast("long"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(n_bpe_tokens) AS BIGINT) AS sum_bpe
+          FROM '$bpeCountsPathTemplate/*.parquet' GROUP BY source),
+        w AS (
+          SELECT source,
+                 CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS sum_words,
+                 CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+          FROM documents GROUP BY source)
+        SELECT b.source, n_docs, sum_bpe, sum_words, sum_chars,
+               CAST(sum_bpe * 1000000 // sum_words AS BIGINT)
+                 AS tokens_per_word_micro,
+               CAST(sum_chars * 1000000 // sum_bpe AS BIGINT)
+                 AS chars_per_token_micro
+        FROM b JOIN w USING (source) ORDER BY source""")),
+
     // Hybrid retrieval: RRF-fuse the q73 lexical BM25 ranking with the
     // q40 semantic cosine ranking (documents and embeddings are
     // id-parallel views of the same corpus). Both legs are individually
