@@ -72,6 +72,21 @@ object Dedup {
     * executor recomputes only its partitions — the conf-switchable
     * reliable path (see PLANS.md "localCheckpoint trade" for the full
     * menu).
+    *
+    * Persist-path LIFECYCLE: the kernel deliberately does NOT unpersist
+    * its cut — the returned DataFrame's two self-join sides read the
+    * stored blocks lazily, and the kernel cannot know when the caller's
+    * last action over them has run (an eager unpersist here would
+    * re-run the upstream banding scan per join side, the exact
+    * double-compute the cut exists to prevent). The blocks are
+    * MEMORY_AND_DISK and therefore LRU-EVICTABLE — safe-by-default in a
+    * job-per-run deployment where the session exits. A LONG-LIVED
+    * session (notebook, Thrift server) accumulates one cut per capped
+    * call until eviction; release them between queries the way
+    * graft.Bench does after each measurement:
+    * `spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist())`
+    * once the query's outputs are materialized (same rule for the
+    * localCheckpoint default — Bench drops those blocks too).
     */
   private[graft] def capByKey(rows: DataFrame, keys: Seq[String],
                               maxN: Int): DataFrame = {

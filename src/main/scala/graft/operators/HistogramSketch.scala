@@ -306,12 +306,22 @@ object HistogramSketch {
 
   /** Current per-source quantile report from the persisted index:
     * generations merged by count addition (retraction rows subtract;
-    * fully-cancelled buckets drop out), then the same summary. A bucket
-    * whose merged count is NEGATIVE — a retraction of docs never built
-    * into the index — fails LOUDLY: letting it through would silently
-    * corrupt every downstream quantile (the cum walk subtracts), the
-    * same silent-narrowing class leakageSafeSplit/forgetFromSpanIndex
-    * were hardened against. */
+    * fully-cancelled buckets drop out), then the same summary.
+    *
+    * Guard scope — what the negative-count check does and does NOT
+    * catch: a bucket whose merged count goes NET-NEGATIVE (a retraction
+    * exceeding what was ever built) fails loudly, because letting it
+    * through would corrupt every downstream quantile (the cum walk
+    * subtracts). But a retraction of never-built docs whose buckets
+    * ALSO hold live docs stays net-positive and passes silently —
+    * counts are anonymous, so the index cannot tell "retracted a ghost"
+    * from "retracted a twin". The exactness contract therefore lives at
+    * the WRITE side: retract only docs previously built/appended
+    * ([[graft.Forget.forget]]'s histogram leg enforces
+    * removedDocs ⊆ delete list for exactly this reason). Callers
+    * wanting belt-and-braces read-time strictness can diff a batch's
+    * per-bucket counts against the merged index (cnt ≤ merged) before
+    * retracting. */
   def readHistogramIndex(spark: SparkSession, dir: String,
                          pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame =
     quantileSummary(

@@ -711,7 +711,12 @@ object Pipeline {
     * parallelizes across the whole cluster instead of funneling its
     * cumsum onto a single window task; chunk assignment is byte-identical
     * to the window formulation (same global (stratum, id) order, same
-    * exact-integer arithmetic). Pass 2 reuses pass 1's shuffle files
+    * exact-integer arithmetic). `strataCol` is contractually
+    * LOW-CARDINALITY (sources/domains — tens to thousands): the driver
+    * fold holds one entry per (partition, stratum) run, and a
+    * high-cardinality stratum (per-doc key, source×date) is refused
+    * loudly past `spark.graft.pack.maxStrataRuns` (default 4M) rather
+    * than silently bloating the driver. Pass 2 reuses pass 1's shuffle files
     * (same RDD lineage — the exchange's map stage is skipped, and an
     * executor loss recomputes from shuffle files rather than failing the
     * job, unlike a localCheckpoint).
@@ -766,7 +771,24 @@ object Pipeline {
       Iterator.single(runs.toArray)
     }.collect()
     // driver fold: the range partitioning keeps each stratum CONTIGUOUS
-    // across partitions, so total entries ≤ partitions + strata.
+    // across partitions, so total entries ≤ partitions + strata — the
+    // LOW-CARDINALITY-STRATA CONTRACT this API is built on (strata are
+    // corpus sources/domains: tens to thousands). A caller passing a
+    // high-cardinality strataCol (per-doc key, source×date) would build
+    // O(|strata|) driver state here; refuse LOUDLY at a threshold far
+    // above any sane stratification rather than degrade silently
+    // (conf `spark.graft.pack.maxStrataRuns` to raise knowingly — each
+    // entry is ~tens of bytes, so the 4M default is ~hundreds of MB of
+    // driver headroom, caught right after the collect that built it).
+    val maxRuns = spark.conf.getOption("spark.graft.pack.maxStrataRuns")
+      .map(_.toLong).getOrElse(4000000L)
+    val nRuns = runSums.iterator.map(_.length.toLong).sum
+    require(nRuns <= maxRuns,
+      s"packSequences: $nRuns (partition, stratum) runs collected - " +
+        s"'$strataCol' looks high-cardinality, which this packer's " +
+        "driver fold is not built for (strata are sources/domains, not " +
+        "per-doc keys); coarsen the stratum or raise " +
+        "spark.graft.pack.maxStrataRuns")
     val offsets: Array[Map[Any, Long]] = {
       val acc = scala.collection.mutable.HashMap.empty[Any, Long]
       runSums.map { runs =>
@@ -1119,22 +1141,39 @@ object Pipeline {
 
   /** The artifact's partition columns as the filesystem records them:
     * each nesting level contributes one `name=value` directory layer
-    * (hidden/`_temporary` entries ignored). Empty for a flat artifact. */
+    * (hidden/`_temporary` entries ignored). Empty for a flat artifact.
+    *
+    * Descent rule: at each level, recurse into the first value
+    * directory that has partition SUBDIRECTORIES, not blindly into
+    * `head` — in a multi-level layout, one value directory can be empty
+    * (crash residue, a fully-pruned partition value) and a head-only
+    * descent would stop there, silently under-detecting the deeper
+    * levels (and a caller-omitted rewrite would then flatten them). */
   private[operators] def detectPartitionCols(
       fs: org.apache.hadoop.fs.FileSystem,
       dirPath: org.apache.hadoop.fs.Path): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var cur = dirPath
-    var descend = true
-    while (descend) {
-      val partDirs = fs.listStatus(cur)
+    def partDirsOf(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p)
         .filter(st => st.isDirectory && {
           val n = st.getPath.getName
           n.contains("=") && !n.startsWith("_") && !n.startsWith(".")
         })
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = Array(dirPath)
+    var descend = true
+    while (descend) {
+      val perSibling = cur.map(partDirsOf)
+      val partDirs = perSibling.flatten
       val names = partDirs.map(_.getPath.getName.split("=", 2)(0)).distinct
-      if (names.length == 1) { out += names.head; cur = partDirs.head.getPath }
-      else descend = false
+      if (names.length == 1 && partDirs.nonEmpty) {
+        out += names.head
+        // recurse across ALL of this level's value dirs — agreement on
+        // the next level's name is then checked over every sibling, so
+        // a layout where siblings DISAGREE stops detection (mixed
+        // layouts are not a partitioned artifact) instead of picking
+        // whichever branch listed first
+        cur = partDirs.map(_.getPath)
+      } else descend = false
     }
     out.toSeq
   }

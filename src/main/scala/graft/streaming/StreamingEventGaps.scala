@@ -34,15 +34,28 @@ object StreamingEventGaps {
 
   private[streaming] case class LastSeen(ts: Long, id: Long)
 
-  /** Pure-Scala mirror of the codegen'd bucketRep column (subBits = 5);
-    * HistogramPropertySuite pins the agreement on randomized longs. */
-  private[graft] def bucketRep(v: Long, subBits: Int = 5): Long =
-    if (v <= 0) 0L
+  /** Pure-Scala mirror of the codegen'd bucketRep column;
+    * HistogramPropertySuite pins the agreement on randomized
+    * non-negative longs. TOTAL agreement on the defined domain only:
+    * the batch column maps a negative value to null (row dropped), a
+    * shape a Long-returning mirror cannot express — so negatives are
+    * REFUSED loudly here rather than silently mapped to bucket 0
+    * (unreachable from [[GapProcessor]], which drops late events before
+    * any gap can go negative; a future caller feeding raw deltas hits
+    * the require, not a silent batch/stream divergence). */
+  private[graft] def bucketRep(
+      v: Long,
+      subBits: Int = graft.operators.HistogramSketch.DefaultSubBits): Long = {
+    require(v >= 0,
+      s"bucketRep mirror: negative value $v - the batch column NULLs " +
+        "(drops) negatives; filter them before bucketing")
+    if (v == 0) 0L
     else {
       val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
       val shift = math.max(0, e - subBits)
       (v >> shift) << shift
     }
+  }
 
   /** Per-user processor: fold the batch's events in `(ts, id)` order
     * against the stored latest event, emit one bucket arrival per gap. */

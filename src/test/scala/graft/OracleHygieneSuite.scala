@@ -80,4 +80,32 @@ class OracleHygieneSuite extends AnyFunSuite with BeforeAndAfterAll {
         s"$name's oracle reads $path but the query never persisted it")
     }
   }
+
+  test("histogram-family oracle shift literals match DefaultSubBits") {
+    // the q158-family oracles replay bucketRep as
+    // `(v >> greatest(0, length(bin(v)) - 1 - <subBits>)) << ...` with
+    // the sub-bucket constant INLINED as a literal. If DefaultSubBits
+    // ever moves while an oracle string keeps the old literal, every
+    // band shifts subtly: the Spark side and the oracle would each be
+    // internally consistent, and only the driver's hash gate — at round
+    // end — would notice. Pin the coupling here instead.
+    val sb = graft.operators.HistogramSketch.DefaultSubBits
+    // the bucketed value is `v` in most oracles, a CAST(...) in q142's
+    // funnel stage — match both (backtracking closes bin's parens)
+    val shiftRe = """length\(bin\(.*?\)\) - 1 - (\d+)""".r
+    val histOracles = SparkEntry.oracleSql.toSeq.collect {
+      case (name, sql) if sql.contains("bin(") =>
+        name -> shiftRe.findAllMatchIn(sql).map(_.group(1).toInt).toList
+    }
+    assert(histOracles.size >= 5,
+      s"expected the q158 family's oracles to use bin(); regex drift? $histOracles")
+    histOracles.foreach { case (name, shifts) =>
+      assert(shifts.nonEmpty,
+        s"$name: oracle uses bin() but no recognizable shift literal — " +
+          "the bucketRep replay pattern changed; update this gate with it")
+      assert(shifts.forall(_ == sb),
+        s"$name: oracle shift literals $shifts != DefaultSubBits $sb — " +
+          "a fit/oracle subBits mismatch produces subtly-shifted bands")
+    }
+  }
 }

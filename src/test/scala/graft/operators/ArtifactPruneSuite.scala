@@ -245,6 +245,40 @@ class ArtifactPruneSuite extends AnyFunSuite with BeforeAndAfterAll {
       "partition pruning must still fire after the detected rewrites")
   }
 
+  test("auto-detect survives an EMPTY first value directory in a multi-level layout") {
+    val sql = spark
+    import sql.implicits._
+    // two-level layout a/b; then make the lexicographically-FIRST a-value
+    // directory empty (crash residue / fully-pruned value). A head-only
+    // descent stops at level 1 and under-detects; the sibling-scanning
+    // detector must still find both levels.
+    val dir = Files.createTempDirectory("graft-empty-sibling").toString + "/idx"
+    (1L to 80L).map(i => (i, (i % 2).toInt, (i % 3).toInt))
+      .toDF("id", "a", "b").write.partitionBy("a", "b").parquet(dir)
+    val a0 = new java.io.File(s"$dir/a=0")
+    a0.listFiles().foreach(f => {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm); x.delete(); ()
+      }
+      rm(f)
+    })
+    assert(a0.exists() && a0.listFiles().isEmpty, "fixture: a=0 must be empty")
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val detected = Pipeline.detectPartitionCols(fs,
+      new org.apache.hadoop.fs.Path(dir))
+    assert(detected === Seq("a", "b"),
+      s"empty a=0 sibling must not hide the b level: $detected")
+
+    // and the rewrite built on detection preserves the full layout
+    Pipeline.pruneArtifact(Seq(1L).toDF("id"), dir, "id")
+    val lvl2 = new java.io.File(s"$dir/a=1").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(lvl2 === Set("b=0", "b=1", "b=2"),
+      s"prune after detection must keep the b level: $lvl2")
+  }
+
   test("partitioned compact honors targetBytes: a hot partition splits, cold stay single") {
     val sql = spark
     import sql.implicits._

@@ -125,6 +125,18 @@ class HistogramPropertySuite extends AnyFunSuite {
         assert(graft.streaming.StreamingEventGaps.bucketRep(v, S) === rep(v),
           s"streaming mirror diverges at $v")
       }
+      // outside the defined domain the batch column NULLs the row — a
+      // Long mirror can't express that, so it must REFUSE loudly rather
+      // than silently return bucket 0 (the r12 ADVICE divergence)
+      val neg = intercept[IllegalArgumentException] {
+        graft.streaming.StreamingEventGaps.bucketRep(-1L, S)
+      }
+      assert(neg.getMessage.contains("negative"))
+      // and the mirror's default subBits is COUPLED to the shipped
+      // constant, not a restated literal
+      assert(graft.streaming.StreamingEventGaps.bucketRep(12345L) ===
+        rep(12345L),
+        "mirror default subBits drifted from HistogramSketch.DefaultSubBits")
     } finally spark.stop()
   }
 }
