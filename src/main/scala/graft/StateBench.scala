@@ -100,7 +100,9 @@ object StateBench {
     val js = results.map { case (k, (evps, commit, dur)) =>
       s""""$k":{"events_per_sec":${evps.toLong},"avg_commit_ms":${commit.round},"avg_snapshot_durability_ms":${dur.round}}"""
     }.mkString(",")
-    val json = s"""{"metric":"state_store_bench","batches":$nBatches,"events_per_batch":$eventsPerBatch,"keys":$nKeys,"providers":{$js}}"""
+    // date stamp: the pin must say WHEN it was taken (r13 — the r10-era
+    // numbers sat unrefreshed for three rounds with no way to tell)
+    val json = s"""{"metric":"state_store_bench","date":"${java.time.LocalDate.now}","batches":$nBatches,"events_per_batch":$eventsPerBatch,"keys":$nKeys,"providers":{$js}}"""
     println(json)
     // committed into the repo so every round's artifacts carry the
     // state-throughput numbers (BASELINE.md state-store target)
