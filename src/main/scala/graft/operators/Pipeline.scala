@@ -691,6 +691,55 @@ object Pipeline {
         col("alloc_tokens"), col("epochs_micro"))
   }
 
+  /** EXECUTE a mixture plan — the recipe-materialization step between
+    * [[mixPlan]]'s per-stratum epoch table and packing: emit every doc
+    * with a `copy` index so a stratum allocated `epochs_micro` = e
+    * appears ⌊e⌋ full times plus a deterministic hash draw of
+    * probability frac(e) for one extra copy (document-level sampling —
+    * how multi-epoch mixtures are actually run; the realized token
+    * fraction converges to frac(e) because the md5 draw is independent
+    * of length). Fully deterministic from (doc, stratum) alone — the
+    * same plan always materializes the same multiset, across runs,
+    * engines (md5-prefix draw, [[shardAssign]]'s discipline), and
+    * re-orderings — so a crashed run's re-materialization is
+    * byte-identical and the oracle replays it row-for-row.
+    *
+    * Downstream: feed the output to [[packSequences]] (copy in the id
+    * key keeps repeated docs distinct) and [[trainingOrder]] (keys
+    * (idCol, "copy")) for the full plan→materialize→pack→shuffle
+    * pipeline.
+    *
+    * Scale shape: the plan is a |strata|-row BROADCAST; the draw, copy
+    * count, and explode are all map-side — the operator adds ZERO
+    * shuffles and the output is Σ copies rows. A pathological plan
+    * (epochs ≥ `spark.graft.mix.maxEpochs`, default 1000 — far past
+    * memorization territory) raise_errors instead of exploding a
+    * million copies of a source. */
+  def materializeMix(docs: DataFrame, plan: DataFrame,
+                     strataCol: String = "source",
+                     idCol: String = "doc_id"): DataFrame = {
+    val maxEpochs = docs.sparkSession.conf
+      .getOption("spark.graft.mix.maxEpochs").map(_.toLong).getOrElse(1000L)
+    val draw = conv(substring(md5(concat_ws(":",
+        col(idCol).cast("string"), col(strataCol))), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+    docs.join(broadcast(plan.select(col(strataCol), col("epochs_micro"))),
+        Seq(strataCol))
+      .withColumn("__full",
+        when(expr("epochs_micro div 1000000") > maxEpochs,
+          expr(s"raise_error(CONCAT('materializeMix: ', $strataCol, " +
+            s"' plans ', epochs_micro div 1000000, ' epochs - past " +
+            s"spark.graft.mix.maxEpochs ($maxEpochs); a plan this hot is " +
+            "memorization, not mixing'))").cast("long"))
+          .otherwise(expr("epochs_micro div 1000000")))
+      .withColumn("n_copies",
+        (col("__full") + when(draw < expr("epochs_micro % 1000000"), 1L)
+          .otherwise(0L)).cast("long"))
+      .filter(col("n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("__full", "epochs_micro")
+  }
+
   /** Sequence packing: assign each doc to a training chunk of
     * ~`budgetTokens` tokens by CONTIGUOUS concatenation order — the way
     * pretraining actually fills context windows (docs are laid end to end
@@ -973,6 +1022,47 @@ object Pipeline {
     spark.createDataFrame(out,
         StructType(schema.fields :+ StructField(posCol, LongType)))
       .drop("__h")
+  }
+
+  /** Mixing audit over a [[trainingOrder]]-positioned table — the
+    * governance check that the shuffle actually DECORRELATED the
+    * stream: for each stratum, of its chunks that have a global
+    * successor, how many successors share the stratum. Under a healthy
+    * permutation `same_next_micro` ≈ `share_micro` (the stratum's
+    * overall share — successor stratum independent of current); the
+    * packing layout it replaced scores ~10⁶ (every chunk followed by
+    * its own stratum). All counts and ratios are exact integers, so the
+    * audit hash-gates; a seed or kernel regression that leaves runs of
+    * one source back-to-back moves `same_next_micro` far off
+    * `share_micro` and a threshold alarm on |Δ| catches it.
+    *
+    * Scale shape: successor pairing is ONE equi-join on `pos` over the
+    * CHUNK table (corpus ÷ budget rows — never the corpus), then
+    * |strata|-row aggregates; the 1-row total broadcasts back.
+    */
+  def orderMixingAudit(ordered: DataFrame, strataCol: String = "stratum",
+                       posCol: String = "pos"): DataFrame = {
+    val nxt = ordered.select((col(posCol) - 1).as(posCol),
+      col(strataCol).as("__next"))
+    val counts = ordered.groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("bigint").as("n_chunks"))
+    val tot = counts.agg(sum(col("n_chunks")).cast("long").as("__n_total"))
+    val pairs = ordered.join(nxt, Seq(posCol))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        sum(when(col("__next") === col(strataCol), 1L).otherwise(0L))
+          .cast("bigint").as("n_same_next"))
+    counts.join(pairs, Seq(strataCol), "left")
+      .na.fill(0L, Seq("n_pairs", "n_same_next"))
+      .crossJoin(broadcast(tot))
+      .withColumn("same_next_micro",
+        when(col("n_pairs") === 0L, 0L)
+          .otherwise(expr("CAST(n_same_next AS DECIMAL(38,0)) * 1000000 div n_pairs"))
+          .cast("long"))
+      .withColumn("share_micro",
+        expr("CAST(n_chunks AS DECIMAL(38,0)) * 1000000 div __n_total")
+          .cast("long"))
+      .drop("__n_total")
   }
 
   /** Length-bucketed padding-minimizing batch packing — the DYNAMIC
@@ -2347,6 +2437,48 @@ object Pipeline {
                END AS epochs_micro
         FROM w, t ORDER BY source""")),
 
+    // Mixture-plan EXECUTION (r13): q113's epoch table materialized into
+    // the deterministic repeat-and-trim doc multiset a training run
+    // reads — ⌊epochs⌋ full copies per doc plus an md5-draw extra copy
+    // at probability frac(epochs). Engine-portable draw ⇒ the whole
+    // multiset hash-gates row-for-row. Zero shuffles added (broadcast
+    // plan + map-side explode).
+    QuerySpec(
+      "q171_materialize_mix",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        materializeMix(docs, mixPlan(docs, "source", budgetTokens = 400000L))
+          .select(col("doc_id"), col("source"), col("n_copies"), col("copy"))
+          .orderBy(col("source"), col("doc_id"), col("copy"))
+      },
+      Some("""
+        WITH c AS (SELECT source,
+                          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY source),
+        w AS (SELECT source, n_tokens,
+                     CAST(floor(sqrt(n_tokens) * 1e6) AS BIGINT) AS w_micro
+              FROM c),
+        t AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot_w FROM w),
+        p AS (SELECT source,
+                     CASE WHEN n_tokens = 0 THEN 0
+                          ELSE CAST(((400000 * w_micro) // tot_w) * 1000000 // n_tokens AS BIGINT)
+                     END AS epochs_micro
+              FROM w, t),
+        j AS (SELECT d.doc_id, d.source AS source,
+                     p.epochs_micro // 1000000 AS fullc,
+                     p.epochs_micro % 1000000 AS frac,
+                     ('0x' || substr(md5(concat(CAST(d.doc_id AS VARCHAR),
+                       ':', d.source)), 1, 8))::BIGINT % 1000000 AS draw
+              FROM documents d JOIN p ON d.source = p.source),
+        n AS (SELECT doc_id, source,
+                     CAST(fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END
+                       AS BIGINT) AS n_copies
+              FROM j
+              WHERE fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END > 0)
+        SELECT doc_id, source, n_copies,
+               CAST(unnest(range(n_copies)) AS BIGINT) AS copy
+        FROM n ORDER BY source, doc_id, copy""")),
+
     QuerySpec(
       "q67_pack_sequences",
       (s, d) => {
@@ -2504,6 +2636,55 @@ object Pipeline {
                  AS BIGINT) AS pos
         FROM h
         ORDER BY pos""")),
+
+    // Mixing audit of the q169 permutation (r13): per stratum, the
+    // successor-same-stratum rate vs the stratum's overall share — the
+    // exact-integer proof the shuffle decorrelated the stream (packing
+    // order scores ~10^6; a healthy permutation sits near share_micro).
+    QuerySpec(
+      "q172_order_mixing_audit",
+      (s, d) => orderMixingAudit(
+          trainingOrder(
+            packSequences(Tables.documents(s, d), budgetTokens = 256)
+              .filter(col("chunk_id").isNotNull)
+              .select(col("source").as("stratum"), col("chunk_id")).distinct(),
+            seed = 42, keyCols = Seq("stratum", "chunk_id")))
+        .orderBy(col("stratum")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+                 len(string_split(text,' ')) AS n_tokens,
+                 SUM(len(string_split(text,' '))) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM documents),
+        k AS (SELECT DISTINCT source AS stratum,
+                     CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id
+              FROM t WHERE cum IS NOT NULL),
+        o AS (SELECT stratum, chunk_id,
+                     ROW_NUMBER() OVER (ORDER BY
+                       substr(md5(concat('42:', stratum, ':',
+                         CAST(chunk_id AS VARCHAR))), 1, 8),
+                       stratum, chunk_id) - 1 AS pos
+              FROM k),
+        c AS (SELECT stratum, COUNT(*) AS n_chunks FROM o GROUP BY stratum),
+        tt AS (SELECT SUM(n_chunks) AS n_total FROM c),
+        pr AS (SELECT a.stratum,
+                      COUNT(*) AS n_pairs,
+                      SUM(CASE WHEN b.stratum = a.stratum THEN 1 ELSE 0 END)
+                        AS n_same_next
+               FROM o a JOIN o b ON b.pos = a.pos + 1
+               GROUP BY a.stratum)
+        SELECT c.stratum,
+               CAST(c.n_chunks AS BIGINT) AS n_chunks,
+               CAST(COALESCE(pr.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(pr.n_same_next, 0) AS BIGINT) AS n_same_next,
+               CAST(CASE WHEN COALESCE(pr.n_pairs, 0) = 0 THEN 0
+                    ELSE COALESCE(pr.n_same_next, 0) * 1000000 // pr.n_pairs
+                    END AS BIGINT) AS same_next_micro,
+               CAST(c.n_chunks * 1000000 // tt.n_total AS BIGINT) AS share_micro
+        FROM c LEFT JOIN pr ON c.stratum = pr.stratum, tt
+        ORDER BY c.stratum""")),
 
     // Production tier of the same pipeline: near-dup token-df cap ON.
     // Same deterministic-candidate-rule oracle treatment as q37/q96 —

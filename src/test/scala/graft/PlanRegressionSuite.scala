@@ -148,6 +148,23 @@ class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(rangeEx == 1, s"expected exactly 1 range exchange, got $rangeEx:\n$p")
   }
 
+  test("q171: materializeMix adds zero shuffles (broadcast plan + map-side explode)") {
+    // with a literal plan the operator's own shape is isolated: one
+    // BroadcastHashJoin, one Generate (the copy explode), and NO
+    // exchange introduced by the mix execution itself
+    val sql = spark
+    import sql.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val plan = Seq(("src1", 1500000L)).toDF("source", "epochs_micro")
+    val p = graft.operators.Pipeline.materializeMix(docs, plan)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"plan table must broadcast into the corpus:\n$p")
+    assert(p.contains("Generate"), s"expected the copy explode:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"mix execution must not shuffle the corpus:\n$p")
+  }
+
   test("q67 pre-pass: a stratum spans MANY partitions (range exchange on (stratum, id))") {
     // the de-funnel property itself: the ordering exchange is a RANGE
     // partitioning on (source, doc_id) — a single hot source spreads

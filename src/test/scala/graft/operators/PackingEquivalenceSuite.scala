@@ -176,6 +176,75 @@ class PackingEquivalenceSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(moved > a1.size / 2, s"only $moved/${a1.size} keys moved between seeds")
   }
 
+  test("materializeMix: copies are floor/ceil of epochs, extra-copy rate tracks frac, guard fires") {
+    val sql = spark
+    import sql.implicits._
+    // two strata: A at 2.4 epochs (full=2, frac=0.4), B at 0.5 (draw-only)
+    val docs = (1L to 400L).map(i => (i, if (i <= 200) "A" else "B", s"t$i"))
+      .toDF("doc_id", "source", "text")
+    val plan = Seq(("A", 2400000L), ("B", 500000L)).toDF("source", "epochs_micro")
+    val out = Pipeline.materializeMix(docs, plan)
+      .groupBy($"doc_id", $"source").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("copies"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val aCopies = out.filter(_._2 == "A").map(_._3)
+    val bDocs = out.filter(_._2 == "B")
+    assert(aCopies.forall(c => c == 2L || c == 3L),
+      s"A copies must be floor/ceil of 2.4: ${aCopies.distinct.toSeq}")
+    val aExtra = aCopies.count(_ == 3L)
+    // md5 draw over 200 docs at p=0.4: expect ~80, allow wide noise band
+    assert(aExtra > 40 && aExtra < 120, s"A extra-copy rate off: $aExtra/200")
+    assert(bDocs.forall(_._3 == 1L), "B emits only the drawn single copies")
+    assert(bDocs.length > 50 && bDocs.length < 150,
+      s"B draw rate off: ${bDocs.length}/200 at p=0.5")
+    // and each (doc, copy) pair is distinct with contiguous copy indices
+    val copies = Pipeline.materializeMix(docs, plan)
+      .select($"doc_id", $"copy").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(copies.distinct.length === copies.length, "duplicate (doc, copy) rows")
+    copies.groupBy(_._1).foreach { case (id, cs) =>
+      assert(cs.map(_._2).sorted.toSeq == (0L until cs.length.toLong),
+        s"doc $id copy indices not contiguous from 0")
+    }
+    // pathological plan refused loudly
+    val hot = Seq(("A", 2000L * 1000000L)).toDF("source", "epochs_micro")
+    val ex = intercept[Exception] {
+      Pipeline.materializeMix(docs.filter($"source" === "A"), hot).collect()
+    }
+    assert(ex.getMessage.contains("maxEpochs") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxEpochs")),
+      s"hot plan must name the guard: $ex")
+  }
+
+  test("orderMixingAudit discriminates: packing order ~10^6, shuffled order ~share") {
+    val sql = spark
+    import sql.implicits._
+    // 4 strata x 100 chunks
+    val chunks = (0 until 400).map(i => (s"s${i / 100}", (i % 100).toLong))
+      .toDF("stratum", "chunk_id")
+    // packing order: pos = rank in (stratum, chunk_id) — runs of 100
+    val packedOrder = chunks.withColumn("pos",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"stratum", $"chunk_id")).cast("long") - 1)
+    val packed = Pipeline.orderMixingAudit(packedOrder)
+      .collect().map(r => r.getAs[String]("stratum") ->
+        (r.getAs[Long]("same_next_micro"), r.getAs[Long]("share_micro"))).toMap
+    packed.foreach { case (s, (same, share)) =>
+      assert(same > 950000L, s"$s: packing order must score near 10^6, got $same")
+      assert(share === 250000L, s"$s: share must be exactly 1/4, got $share")
+    }
+    // the q169 shuffle: same chunks, hash order — near the 1/4 share
+    val shuffled = Pipeline.orderMixingAudit(
+        Pipeline.trainingOrder(chunks, seed = 42, Seq("stratum", "chunk_id")))
+      .collect().map(r => r.getAs[String]("stratum") ->
+        r.getAs[Long]("same_next_micro")).toMap
+    shuffled.foreach { case (s, same) =>
+      assert(same < 450000L,
+        s"$s: shuffled order must sit near the 250000 share, got $same")
+    }
+  }
+
   test("trainingOrder: null keys and pre-existing pos column fail loudly") {
     val sql = spark
     import sql.implicits._
