@@ -1225,6 +1225,40 @@ object TextOps {
         expr("(n_contaminated * 1000000) div n_docs"))
   }
 
+  /** SURGICAL decontamination — the span-level action tier of the
+    * contamination family: where [[contaminatedIds]]/q65 DROPS every
+    * doc sharing an eval n-gram, this cuts only the leaked passage and
+    * keeps the rest of the document (a doc quoting one benchmark
+    * question keeps its other 95% — whole-doc decontamination throws
+    * away good tokens exactly where eval sets quote popular sources).
+    * Every token covered by some eval-matching n-gram `[s, s+n-1]` is
+    * removed; emits `(doc_id, source, n_tokens, n_removed, clean_text)`
+    * for EVERY corpus doc (untouched docs pass through with
+    * `n_removed = 0`, so the output is the publishable corpus, not a
+    * report).
+    *
+    * Composition: the positioned gram stream and coverage-rebuild
+    * kernel are [[dedupSpans]]' (one definition of "covered"), with the
+    * duplicated-gram set replaced by the BROADCAST eval gram set — so
+    * the corpus is never shuffled by gram at all: matching is a
+    * broadcast semi-join, and the only exchange is the per-doc start
+    * collection rejoined by id. Removal maximality and island semantics
+    * are inherited: overlapping eval grams merge into one removed span.
+    */
+  def decontaminateSpans(docs: DataFrame, evalDocs: DataFrame, n: Int = 4,
+                         textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"decontaminateSpans: span width must be >= 2, got $n")
+    // two consumers (gram stream + rebuild join): cut once
+    val toks = docs.select(col("doc_id"), col("source"),
+        tokens(col(textCol)).as("__toks"))
+      .localCheckpoint(false)
+    val starts = positionedGrams(toks, n, identity)
+      .join(broadcast(evalGramSet(evalDocs, n, textCol)), Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("__starts"))
+    rebuildWithoutCoverage(toks.join(starts, Seq("doc_id"), "left_outer"),
+      n, carryCols = Seq("source"))
+  }
+
   /** Composite document quality score in [0, 1] — the weighted ensemble
     * of heuristic signals (lexical diversity, stopword density, length)
     * that curation pipelines threshold on when no learned classifier is
@@ -2084,6 +2118,46 @@ object TextOps {
                     AS BIGINT) AS n_contaminated
         FROM documents WHERE doc_id >= 20
         GROUP BY source ORDER BY source""")),
+
+    // Surgical span-level decontamination (r13): q65's eval split, but
+    // only the leaked passage is cut — dedupSpans' coverage-rebuild
+    // kernel fed by the BROADCAST eval gram set instead of the corpus
+    // dup set. Full oracle down to the rebuilt text (q104's proven
+    // formulation with eval_g in place of dfs).
+    QuerySpec(
+      "q173_decontaminate_spans",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        decontaminateSpans(docs.filter(col("doc_id") >= 20),
+            docs.filter(col("doc_id") < 20), n = 4)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS t
+                      FROM documents),
+        g AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+3],' ') AS gram
+              FROM toks, UNNEST(generate_series(1, greatest(len(t)-3, 0))) AS u(i)),
+        eval_g AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20),
+        starts AS (SELECT doc_id, list(DISTINCT pos) AS ss
+                   FROM g WHERE doc_id >= 20
+                     AND gram IN (SELECT gram FROM eval_g)
+                   GROUP BY doc_id),
+        kept AS (
+          SELECT toks.doc_id, toks.source,
+                 len(toks.t) AS n_tokens,
+                 list_filter(range(1, len(toks.t)+1),
+                   p -> len(list_filter(COALESCE(starts.ss, []),
+                            s -> p >= s AND p <= s + 3)) = 0) AS kp,
+                 toks.t AS t
+          FROM toks LEFT JOIN starts USING (doc_id)
+          WHERE toks.doc_id >= 20)
+        SELECT doc_id, source,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_tokens - len(kp) AS BIGINT) AS n_removed,
+               COALESCE(array_to_string(list_transform(kp, p -> t[p]), ' '), '')
+                 AS clean_text
+        FROM kept
+        ORDER BY doc_id""")),
 
     // Graded contamination: same eval-set split as q65/q100, but counts
     // per-doc distinct-gram overlap instead of a binary flag — the

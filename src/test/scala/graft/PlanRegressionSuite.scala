@@ -148,6 +148,16 @@ class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(rangeEx == 1, s"expected exactly 1 range exchange, got $rangeEx:\n$p")
   }
 
+  test("q173: surgical decontamination probes eval grams via broadcast semi-join") {
+    // the eval gram set is eval-set-sized: the corpus gram stream must
+    // stream past it map-side, never sort-merge by gram
+    val p = plan("q173_decontaminate_spans")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"eval-gram probe is not a broadcast semi-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must not sort-merge by gram:\n$p")
+  }
+
   test("q171: materializeMix adds zero shuffles (broadcast plan + map-side explode)") {
     // with a literal plan the operator's own shape is isolated: one
     // BroadcastHashJoin, one Generate (the copy explode), and NO

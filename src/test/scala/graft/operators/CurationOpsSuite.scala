@@ -58,6 +58,38 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(1L, 3L))
   }
 
+  test("decontaminateSpans cuts only the leaked passage; clean docs pass untouched") {
+    val sql = spark
+    import sql.implicits._
+    val evalSet = Seq((100L, "q1 q2 q3 q4 tail")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "web", "clean doc with no overlap at all"),
+      // one eval 4-gram mid-doc: whole-doc decontamination (above) drops
+      // the doc; surgical keeps prefix+suffix
+      (2L, "web", "keep me q1 q2 q3 q4 and me too"),
+      // two OVERLAPPING eval grams (q1..q4, q2..tail): coverage merges
+      (3L, "book", "a q1 q2 q3 q4 tail b"),
+      (4L, "book", "q1 q2 q3 stop")) // sub-n overlap: untouched
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.decontaminateSpans(corpus, evalSet, n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) === ((7L, 0L, "clean doc with no overlap at all")))
+    assert(out(2L) === ((9L, 4L, "keep me and me too")),
+      s"only the leaked 4-gram is cut: ${out(2L)}")
+    assert(out(3L) === ((7L, 5L, "a b")),
+      s"overlapping eval grams merge into one removed span: ${out(3L)}")
+    assert(out(4L) === ((4L, 0L, "q1 q2 q3 stop")),
+      "a sub-n overlap never cuts")
+    // the surgical output keeps tokens the whole-doc tier throws away
+    val wholeDocKeptTokens = TextOps.decontaminate(corpus, evalSet, n = 4)
+      .select(org.apache.spark.sql.functions.sum(
+        TextOps.tokenCount($"text"))).head().getLong(0)
+    val surgicalKeptTokens = out.values.map { case (n, r, _) => n - r }.sum
+    assert(surgicalKeptTokens > wholeDocKeptTokens,
+      s"surgical ($surgicalKeptTokens) must keep more than whole-doc ($wholeDocKeptTokens)")
+  }
+
   test("contaminationRate counts distinct-gram overlap per doc") {
     val sql = spark
     import sql.implicits._
