@@ -1085,6 +1085,18 @@ object TextOps {
       s"$dir/index"
     }
 
+  /** Build-once memo for the q174 harness query: a 4-gram string-keyed
+    * span index over q167's corpus split (doc_id >= 40), so the
+    * serve-from-index matrix screens the identical corpus the direct
+    * q167 pass screens. Library users call [[buildSpanIndex]] with
+    * their own storage. */
+  private def cachedContamIndex(s: SparkSession, d: String): String =
+    graft.operators.BuildOnce.dir("graft-contam-index", d) { dir =>
+      buildSpanIndex(Tables.documents(s, d).filter(col("doc_id") >= 40),
+        s"$dir/index", n = 4)
+      s"$dir/index"
+    }
+
   /** Build-once memo for the q153 harness query (the q146 memo
     * discipline): the CDC chunk-digest index of the corpus generation
     * (doc_id < 250), built once per sf-dir per JVM. Library users call
@@ -1257,6 +1269,46 @@ object TextOps {
       .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("__starts"))
     rebuildWithoutCoverage(toks.join(starts, Seq("doc_id"), "left_outer"),
       n, carryCols = Seq("source"))
+  }
+
+  /** [[contaminationMatrix]] served FROM the persisted span index — the
+    * nightly tier: screening a NEW benchmark against a 100 TB corpus
+    * must not re-read (or re-tokenize) a byte of corpus text, and the
+    * span index's `pos/` table already IS the corpus's positioned gram
+    * stream. The tagged eval-gram union (same shared builder) probes
+    * `pos/` via broadcast join; distinct (doc, eval) hits — bounded by
+    * the contamination rate — broadcast into the caller's `(doc_id,
+    * source)` meta projection for source attribution; totals are a
+    * |sources|-row aggregate of the same meta. Output is row-identical
+    * to [[contaminationMatrix]] on the indexed corpus (the q157/q159
+    * serve-from-index identity — the full-corpus construction IS the
+    * oracle).
+    *
+    * Requirements: the index was built with `hashGrams = false` (string
+    * grams — the eval side must join them verbatim) and the SAME `n` as
+    * this screen. `docsMeta` is the corpus id→source projection (a
+    * 2-column scan; at 100 TB this is the catalog/metadata table, not
+    * the text).
+    */
+  def contaminationMatrixFromIndex(spark: SparkSession, dir: String,
+                                   evals: Seq[(String, DataFrame)],
+                                   docsMeta: DataFrame,
+                                   n: Int = 4): DataFrame = {
+    require(evals.nonEmpty, "contaminationMatrixFromIndex: no eval sets given")
+    require(evals.map(_._1).distinct.size == evals.size,
+      s"contaminationMatrixFromIndex: duplicate eval names in ${evals.map(_._1)}")
+    val tagged = taggedEvalGrams(evals, n)
+    val hits = spark.read.parquet(s"$dir/pos")
+      .join(broadcast(tagged), Seq("gram"))
+      .select(col("doc_id"), col("eval_name")).distinct()
+    val meta = docsMeta.select(col("doc_id"), col("source"))
+    val totals = meta.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    meta.join(broadcast(hits), Seq("doc_id"))
+      .groupBy(col("source"), col("eval_name"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .join(broadcast(totals), Seq("source"))
+      .withColumn("contam_rate_micro",
+        expr("(n_contaminated * 1000000) div n_docs"))
   }
 
   /** Composite document quality score in [0, 1] — the weighted ensemble
@@ -2196,6 +2248,48 @@ object TextOps {
             Seq("evalA" -> docs.filter(col("doc_id") < 20),
               "evalB" -> docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)),
             n = 4)
+          .orderBy(col("source"), col("eval_name"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS t
+                      FROM documents),
+        g AS (SELECT doc_id, source, array_to_string(t[i:i+3],' ') AS gram
+              FROM toks, UNNEST(generate_series(1, greatest(len(t)-3, 0))) AS u(i)),
+        ev AS (
+          SELECT DISTINCT gram, 'evalA' AS eval_name FROM g WHERE doc_id < 20
+          UNION
+          SELECT DISTINCT gram, 'evalB' AS eval_name FROM g
+          WHERE doc_id >= 20 AND doc_id < 40),
+        hits AS (
+          SELECT DISTINCT g.doc_id, g.source, ev.eval_name
+          FROM g JOIN ev USING (gram) WHERE g.doc_id >= 40),
+        totals AS (
+          SELECT source, COUNT(*) AS n_docs FROM documents
+          WHERE doc_id >= 40 GROUP BY source)
+        SELECT h.source, h.eval_name,
+               CAST(COUNT(*) AS BIGINT) AS n_contaminated,
+               CAST(t.n_docs AS BIGINT) AS n_docs,
+               CAST((COUNT(*) * 1000000) // t.n_docs AS BIGINT)
+                 AS contam_rate_micro
+        FROM hits h JOIN totals t ON t.source = h.source
+        GROUP BY h.source, h.eval_name, t.n_docs
+        ORDER BY h.source, h.eval_name""")),
+
+    // Contamination matrix served FROM the persisted span index (r13):
+    // the nightly tier — a NEW benchmark screens against the corpus's
+    // positioned-gram index (pos/), never re-reading or re-tokenizing
+    // corpus text; only the 2-column id→source meta projection is
+    // touched. The oracle is LITERALLY q167's direct-pass construction
+    // — the hash gate proves the serve-from-index identity (the
+    // q157/q159 discipline).
+    QuerySpec(
+      "q174_contamination_from_index",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        contaminationMatrixFromIndex(s, cachedContamIndex(s, d),
+            Seq("evalA" -> docs.filter(col("doc_id") < 20),
+              "evalB" -> docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)),
+            docs.filter(col("doc_id") >= 40), n = 4)
           .orderBy(col("source"), col("eval_name"))
       },
       Some("""

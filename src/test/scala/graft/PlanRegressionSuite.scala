@@ -148,6 +148,38 @@ class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(rangeEx == 1, s"expected exactly 1 range exchange, got $rangeEx:\n$p")
   }
 
+  test("q174: matrix-from-index never re-tokenizes — no Generate on the corpus side") {
+    // the whole point of the index tier: the corpus's gram stream is
+    // READ from pos/, not re-derived — so the corpus-side plan may not
+    // contain a single explode (Generate); eval grams (small) still
+    // explode on the broadcast side, so the gate pins the SCAN shape:
+    // pos/ is a parquet scan and the probe is a broadcast join
+    val s = spark
+    val docs = graft.Tables.documents(s, sfDir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-pg-contamidx").toString
+    graft.operators.TextOps.buildSpanIndex(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 40),
+      idx, n = 4)
+    val meta = docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 40)
+      .select("doc_id", "source")
+    val evals = Seq("e" -> docs.filter(
+      org.apache.spark.sql.functions.col("doc_id") < 20))
+    val probe = graft.operators.TextOps.contaminationMatrixFromIndex(
+      s, idx, evals, meta, n = 4)
+    val p = probe.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval grams and hits must broadcast:\n$p")
+    assert(p.contains("pos"), s"expected the pos/ index scan:\n$p")
+    // count Generate NODES (formatted explain lists each node twice:
+    // once in the tree, once as a "(n) Generate" detail header)
+    val generates = """\(\d+\) Generate""".r.findAllIn(p).size
+    // exactly ONE Generate is legitimate: the eval set's gram explode
+    // (eval-set-sized, feeds the broadcast); a second would mean the
+    // corpus text is being re-tokenized
+    assert(generates <= 1,
+      s"corpus side must not re-derive grams ($generates Generates):\n$p")
+  }
+
   test("q173: surgical decontamination probes eval grams via broadcast semi-join") {
     // the eval gram set is eval-set-sized: the corpus gram stream must
     // stream past it map-side, never sort-merge by gram
