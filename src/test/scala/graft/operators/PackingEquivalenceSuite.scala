@@ -245,6 +245,31 @@ class PackingEquivalenceSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("materializeMix → trainingOrder composition: (doc, copy) keys order the multiset") {
+    val sql = spark
+    import sql.implicits._
+    val docs = (1L to 120L).map(i => (i, if (i % 2 == 0) "A" else "B", s"t$i"))
+      .toDF("doc_id", "source", "text")
+    val plan = Seq(("A", 2200000L), ("B", 700000L)).toDF("source", "epochs_micro")
+    val mixed = Pipeline.materializeMix(docs, plan)
+    val ordered = Pipeline.trainingOrder(mixed, seed = 9L,
+      keyCols = Seq("doc_id", "copy"))
+    val rows = ordered.select($"doc_id", $"copy", $"pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the permutation covers the full multiset exactly
+    assert(rows.map(_._3).sorted.toSeq == (0L until rows.length.toLong))
+    // copies of the SAME doc land apart: with >100 rows, a shuffled
+    // order should separate nearly all of a doc's copies
+    val adjacentSameDoc = rows.sortBy(_._3).sliding(2).count {
+      case Array(a, b) => a._1 == b._1
+      case _ => false
+    }
+    // deterministic fixture outcome: 4 of ~160 adjacencies (expected ~1
+    // under independence; a per-doc grouping would score ~60+)
+    assert(adjacentSameDoc <= 8,
+      s"copies of one doc must scatter, found $adjacentSameDoc adjacent")
+  }
+
   test("trainingOrder: null keys and pre-existing pos column fail loudly") {
     val sql = spark
     import sql.implicits._

@@ -282,6 +282,42 @@ class StreamingCurationSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"stream kept $streamKept must equal batch kept $batchKept")
   }
 
+  test("materializeMix executes a plan on a stream; parity with the batch multiset") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the mix executor is broadcast-plan + map-side draw/explode — a
+    // pure projection, so the SAME call runs on an ingest stream (the
+    // scoreImportance/flagOutliers serve-tier rule)
+    val corpus = (1L to 60L).map(i =>
+      (i, if (i % 3 == 0) "big" else "small", s"text $i"))
+    val corpusDf = corpus.toDF("doc_id", "source", "text")
+    val plan = Seq(("big", 1700000L), ("small", 400000L))
+      .toDF("source", "epochs_micro")
+    val batch = graft.operators.Pipeline.materializeMix(corpusDf, plan)
+      .select($"doc_id", $"copy").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val input = MemoryStream[(Long, String, String)]
+    val mixed = graft.operators.Pipeline.materializeMix(
+      input.toDS().toDF("doc_id", "source", "text"), plan)
+    val query = mixed.select($"doc_id", $"copy").writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("smix")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-smix").toString)
+      .start()
+    corpus.grouped(25).foreach { g =>
+      input.addData(g.toSeq: _*); query.processAllAvailable()
+    }
+    val streamed = spark.table("smix").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    query.stop()
+    assert(batch.nonEmpty && streamed === batch,
+      s"stream mix diverged: batch ${batch.size} rows, stream ${streamed.size}")
+  }
+
   test("map-side gates (blocklist) apply to a stream unchanged") {
     val sql = spark
     import sql.implicits._
