@@ -325,7 +325,11 @@ object Bench {
     // calibration: the 3 fixed-probe samples (start/middle/end);
     // retired_flags: queries whose preliminary flag did NOT reproduce on
     // the tail re-measure — ambient one-offs, by construction
-    val calJson = cal.map(s => f"$s%.4f").mkString("[", ",", "]")
+    // Locale.ROOT: f"%.4f" renders "0,1834" under a comma-decimal
+    // default locale and silently corrupts the JSON — the only number
+    // here that doesn't go through locale-safe Double.toString
+    val calJson = cal.map(s => String.format(java.util.Locale.ROOT,
+      "%.4f", Double.box(s))).mkString("[", ",", "]")
     val retiredJson = retired.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","warmup":"full-pass-min2-mat","tier":"capped","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"n_regressions":${regs.size},"regressions":$regJson,"n_drift":${drift.size},"drift":$driftJson,"calibration":$calJson,"retired_flags":$retiredJson,"verify_only":$skipped,"queries":$qs,"sf":"$sfDir"}"""
     // persist BEFORE stop so the on-disk copy exists even if shutdown hangs

@@ -196,7 +196,12 @@ object Forget {
     //    check above protects against. (⊆, not =: a replayed delete
     //    log may list ids whose docs never reached this corpus, and
     //    retraction of an absent doc has no row to recompute.)
-    removedDocs.filter(_ => histIndexDirs.nonEmpty).foreach { docs =>
+    removedDocs.filter(_ => histIndexDirs.nonEmpty).foreach { rawDocs =>
+      // dedup by doc_id: retraction SUBTRACTS, so a doc appearing twice
+      // in the caller's frame (union of two delete manifests) would
+      // double-subtract its buckets — silently, because shared buckets
+      // stay net-positive and the read guard never fires
+      val docs = rawDocs.dropDuplicates("doc_id")
       val extra = docs.select(col("doc_id").cast("long").as("__rid"))
         .na.drop().distinct()
         .filter(!col("__rid").isInCollection(idSet)).count()
@@ -204,8 +209,30 @@ object Forget {
         s"forget: removedDocs holds $extra doc_ids not in the delete " +
           "list — refusing to retract histogram counts for docs nobody " +
           "asked to forget")
+      // replay idempotence (the object's doctrine) for a NON-idempotent
+      // append: a per-(dir, idSet) marker file records an applied
+      // retraction, so re-running the same forget call — the standard
+      // recovery after the exit gate throws on ANOTHER surface — skips
+      // the already-landed subtraction instead of double-retracting. A
+      // different delete list hashes to a different marker and retracts
+      // normally. (Marker written AFTER the append: the crash window
+      // between them re-retracts on replay — the same non-atomicity any
+      // append-only parquet maintenance has; the marker closes the
+      // COMMON replay path, the gate-threw-later rerun.)
+      val setDigest = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        idSet.toSeq.sorted.foreach(id => md.update(id.toString.getBytes("UTF-8")))
+        md.digest().map("%02x".format(_)).mkString
+      }
       histIndexDirs.foreach { d =>
-        HistogramSketch.retractHistogramIndex(docs, d, histSubBits)
+        val markerDir = new org.apache.hadoop.fs.Path(s"$d/hist_forget_markers")
+        val marker = new org.apache.hadoop.fs.Path(markerDir, setDigest)
+        val fs = markerDir.getFileSystem(hadoopConf)
+        if (!fs.exists(marker)) {
+          HistogramSketch.retractHistogramIndex(docs, d, histSubBits)
+          fs.mkdirs(markerDir)
+          fs.create(marker, true).close()
+        }
       }
     }
     // KMV sketch indexes get NO delete leg by algebra: a bottom-k set is

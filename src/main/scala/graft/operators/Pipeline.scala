@@ -718,6 +718,12 @@ object Pipeline {
   def materializeMix(docs: DataFrame, plan: DataFrame,
                      strataCol: String = "source",
                      idCol: String = "doc_id"): DataFrame = {
+    // the appended columns would silently REPLACE a caller's existing
+    // ones (withColumn semantics) — the packSequences chunk_id rule
+    Seq("copy", "n_copies").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"materializeMix: input already has a '$c' column - drop or " +
+          "rename it before materializing"))
     val maxEpochs = docs.sparkSession.conf
       .getOption("spark.graft.mix.maxEpochs").map(_.toLong).getOrElse(1000L)
     val draw = conv(substring(md5(concat_ws(":",
@@ -726,7 +732,7 @@ object Pipeline {
     docs.join(broadcast(plan.select(col(strataCol), col("epochs_micro"))),
         Seq(strataCol))
       .withColumn("__full",
-        when(expr("epochs_micro div 1000000") > maxEpochs,
+        when(expr("epochs_micro div 1000000") >= maxEpochs,
           expr(s"raise_error(CONCAT('materializeMix: ', $strataCol, " +
             s"' plans ', epochs_micro div 1000000, ' epochs - past " +
             s"spark.graft.mix.maxEpochs ($maxEpochs); a plan this hot is " +
@@ -991,6 +997,9 @@ object Pipeline {
     require(!rows.columns.contains(posCol),
       s"trainingOrder: input already has a '$posCol' column - drop or " +
         "rename it before ordering")
+    require(!rows.columns.contains("__h"),
+      "trainingOrder: input already has a '__h' column (the kernel's " +
+        "internal hash name) - rename it before ordering")
     val spark = rows.sparkSession
     val ordered = orderedByHash(rows, seed, keyCols)
     val schema = ordered.schema
@@ -998,16 +1007,32 @@ object Pipeline {
     // one RDD DAG for both passes: the range boundaries are sampled once
     // and pass 2 reuses pass 1's shuffle files (packSequences' rule)
     val rdd = ordered.rdd
-    // pass 1: per-partition row counts (+ the loud null-key check, free
-    // inside the counting scan)
+    // pass 1: per-partition row counts, plus two loud checks that are
+    // free inside the counting scan: null keys (engine-dependent order)
+    // and DUPLICATE key tuples — for duplicates the "reproducible across
+    // runs and partition counts" guarantee is FALSE (equal (hash, keys)
+    // rows tie completely, so their relative pos is whatever order the
+    // shuffle delivered — and they'd sit back-to-back, defeating the
+    // decorrelation). Rows are sorted by (hash, keys) within partitions
+    // and the range partitioner never splits equal keys across
+    // partitions, so adjacent comparison is a COMPLETE duplicate check.
     val counts: Array[Long] = rdd.mapPartitions { it =>
       var n = 0L
+      var prev: Seq[Any] = null
       it.foreach { r =>
         keyIdx.foreach { i =>
           if (r.isNullAt(i)) throw new IllegalArgumentException(
             s"trainingOrder: null key in column '${schema(i).name}' - " +
               "null keys make the permutation engine-dependent")
         }
+        val cur = keyIdx.map(r.get)
+        if (prev != null && prev == cur)
+          throw new IllegalArgumentException(
+            s"trainingOrder: duplicate key tuple ${cur.mkString("(", ",", ")")} " +
+              s"in (${keyCols.mkString(", ")}) - equal keys tie on the " +
+              "hash and their order is not reproducible; include a " +
+              "disambiguating column (e.g. 'copy' for a materialized mix)")
+        prev = cur
         n += 1
       }
       Iterator.single(n)

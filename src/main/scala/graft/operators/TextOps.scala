@@ -1297,8 +1297,19 @@ object TextOps {
     require(evals.nonEmpty, "contaminationMatrixFromIndex: no eval sets given")
     require(evals.map(_._1).distinct.size == evals.size,
       s"contaminationMatrixFromIndex: duplicate eval names in ${evals.map(_._1)}")
+    val pos = spark.read.parquet(s"$dir/pos")
+    // a hash-built index (gram: bigint) joined against string eval grams
+    // would coerce both sides and match NOTHING — an all-clear
+    // contamination report is the worst possible silent failure, so the
+    // stated string-gram requirement is CHECKED, not assumed
+    val gramType = pos.schema("gram").dataType
+    require(gramType == org.apache.spark.sql.types.StringType,
+      s"contaminationMatrixFromIndex: index at $dir/pos keys grams as " +
+        s"$gramType - it was built with hashGrams=true, which this " +
+        "screen cannot probe (eval grams are strings); build the " +
+        "contamination index with hashGrams=false")
     val tagged = taggedEvalGrams(evals, n)
-    val hits = spark.read.parquet(s"$dir/pos")
+    val hits = pos
       .join(broadcast(tagged), Seq("gram"))
       .select(col("doc_id"), col("eval_name")).distinct()
     val meta = docsMeta.select(col("doc_id"), col("source"))

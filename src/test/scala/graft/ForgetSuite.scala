@@ -364,5 +364,20 @@ class ForgetSuite extends AnyFunSuite with BeforeAndAfterAll {
     // clean sweep: the compliance re-proof over both aggregate indexes
     assert(Forget.residuals(deleteIds.toDF("doc_id"), "doc_id",
       histIndexDirs = Seq(histDir), kmvIndexDirs = Seq(kmvDir)).isEmpty)
+
+    // REPLAY idempotence (the object's doctrine) for the retraction
+    // leg: re-running the SAME forget call — the standard recovery when
+    // the exit gate threw on another surface — must not double-subtract
+    // (the marker skips the already-landed retraction); and a
+    // duplicate-row removedDocs frame must not double-count either
+    val dupRows = removed.union(removed)
+    Forget.forget(deleteIds.toDF("doc_id"), "doc_id",
+      histIndexDirs = Seq(histDir), removedDocs = Some(dupRows),
+      kmvIndexDirs = Seq(kmvDir))
+    val replayed = HistogramSketch.readHistogramIndex(spark, histDir)
+      .collect().map(_.toString).sorted
+    assert(replayed.sameElements(fromScratch),
+      "replaying the forget (with a duplicated removedDocs frame) must " +
+        "leave the index at the survivor-only statistics, not subtract again")
   }
 }

@@ -58,6 +58,22 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(1L, 3L))
   }
 
+  test("contaminationMatrixFromIndex refuses a hash-built index loudly") {
+    val sql = spark
+    import sql.implicits._
+    // a hashed pos/ (gram: bigint) joined against string eval grams
+    // would match NOTHING — an all-clear contamination report; the
+    // string-gram requirement is checked, not assumed
+    val dir = java.nio.file.Files.createTempDirectory("graft-hashidx").toString
+    val docs = Seq((1L, "web", "a b c d e f")).toDF("doc_id", "source", "text")
+    TextOps.buildSpanIndex(docs, dir, n = 4, hashGrams = true)
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.contaminationMatrixFromIndex(spark, dir,
+        Seq("e" -> docs), docs.select($"doc_id", $"source"), n = 4)
+    }
+    assert(ex.getMessage.contains("hashGrams"), s"must name the fix: $ex")
+  }
+
   test("decontaminateSpans cuts only the leaked passage; clean docs pass untouched") {
     val sql = spark
     import sql.implicits._

@@ -286,5 +286,35 @@ class PackingEquivalenceSuite extends AnyFunSuite with BeforeAndAfterAll {
       Pipeline.trainingOrder(withPos, 7L, Seq("stratum", "chunk_id"))
     }
     assert(ex2.getMessage.contains("pos"))
+    // duplicate key tuples tie completely on (hash, keys): their order
+    // is shuffle-delivery-dependent, so the reproducibility guarantee
+    // would be silently false — refused loudly instead
+    val dup = Seq(("s0", 1L, "a"), ("s0", 1L, "b"), ("s0", 2L, "c"))
+      .toDF("stratum", "chunk_id", "payload")
+    val ex3 = intercept[Exception] {
+      Pipeline.trainingOrder(dup, 7L, Seq("stratum", "chunk_id")).collect()
+    }
+    assert(ex3.getMessage.contains("duplicate key") ||
+      Option(ex3.getCause).exists(_.getMessage.contains("duplicate key")),
+      s"duplicate keys must name the refusal: $ex3")
+  }
+
+  test("materializeMix: guard boundary (exactly maxEpochs refuses) and column collisions") {
+    val sql = spark
+    import sql.implicits._
+    val docs = Seq((1L, "A", "x")).toDF("doc_id", "source", "text")
+    // exactly 1000 epochs = the documented refusal point (≥, not >)
+    val atLimit = Seq(("A", 1000L * 1000000L)).toDF("source", "epochs_micro")
+    val ex = intercept[Exception] {
+      Pipeline.materializeMix(docs, atLimit).collect()
+    }
+    assert(ex.getMessage.contains("maxEpochs") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxEpochs")))
+    // pre-existing output columns refuse loudly (the chunk_id rule)
+    val withCopy = docs.withColumn("copy", org.apache.spark.sql.functions.lit(0L))
+    val ex2 = intercept[IllegalArgumentException] {
+      Pipeline.materializeMix(withCopy, Seq(("A", 500000L)).toDF("source", "epochs_micro"))
+    }
+    assert(ex2.getMessage.contains("copy"))
   }
 }
