@@ -150,18 +150,52 @@ object HistogramSketch {
                             pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame =
     quantileSummary(lengthFrame(docs, subBits), "source", pcts)
 
-  /** Per-source `(lo_rep, hi_rep)` trim band from the sketch: the bucket
-    * reps at `lowPct`/`highPct`. ≤ |sources| rows — the fitted-model
-    * class that rides a broadcast join. */
-  def lengthThresholds(docs: DataFrame, lowPct: Int, highPct: Int,
-                       subBits: Int = DefaultSubBits): DataFrame = {
+  /** GENERIC per-key `(lo_rep, hi_rep)` trim band over any non-negative
+    * value expression — the fitted-model tier [[valueQuantiles]] is the
+    * report tier of. ≤ |keys| rows, the broadcast-join class. Length is
+    * one instance ([[lengthThresholds]]); LM surprisal, quality scores,
+    * or any per-row long can fit a band through the same integer bucket
+    * arithmetic (so the fitted band — and every trim decision made with
+    * it — is engine-exact). */
+  def valueThresholds(rows: DataFrame, keyCol: String, value: Column,
+                      lowPct: Int, highPct: Int,
+                      subBits: Int = DefaultSubBits,
+                      nName: String = "n_vals"): DataFrame = {
     require(0 < lowPct && lowPct < highPct && highPct <= 100,
-      s"lengthThresholds: need 0 < lowPct < highPct <= 100, got $lowPct/$highPct")
-    quantileSummary(lengthFrame(docs, subBits), "source",
-        Seq(lowPct, highPct))
-      .select(col("source"), col("n_docs"),
+      s"valueThresholds: need 0 < lowPct < highPct <= 100, got $lowPct/$highPct")
+    quantileSummary(histFrame(rows, keyCol, value, subBits), keyCol,
+        Seq(lowPct, highPct), nName)
+      .select(col(keyCol), col(nName),
         col(s"p$lowPct").as("lo_rep"), col(s"p$highPct").as("hi_rep"))
   }
+
+  /** GENERIC band trim: keep rows whose value BUCKET falls inside the
+    * per-key `[lo_rep, hi_rep]` band ([[valueThresholds]] output or any
+    * frame with those columns). Membership is decided in bucket space —
+    * the same integer arithmetic an oracle replays. Rows with a null
+    * key or null/negative value are dropped EXPLICITLY (the capByKey
+    * null-key rule — the histogram never saw them either). Thresholds
+    * broadcast onto one scan: zero extra shuffles. */
+  def valueBandTrim(rows: DataFrame, keyCol: String, value: Column,
+                    thresholds: DataFrame,
+                    subBits: Int = DefaultSubBits): DataFrame =
+    rows.filter(col(keyCol).isNotNull)
+      .withColumn("__rep", bucketRep(value, subBits))
+      .filter(col("__rep").isNotNull)
+      .join(broadcast(thresholds.select(col(keyCol),
+        col("lo_rep"), col("hi_rep"))), Seq(keyCol))
+      .filter(col("__rep") >= col("lo_rep") && col("__rep") <= col("hi_rep"))
+      .drop("__rep", "lo_rep", "hi_rep")
+
+  /** Per-source `(lo_rep, hi_rep)` trim band from the sketch: the bucket
+    * reps at `lowPct`/`highPct`. ≤ |sources| rows — the fitted-model
+    * class that rides a broadcast join. The length instance of
+    * [[valueThresholds]]. */
+  def lengthThresholds(docs: DataFrame, lowPct: Int, highPct: Int,
+                       subBits: Int = DefaultSubBits): DataFrame =
+    valueThresholds(docs.filter(col("text").isNotNull), "source",
+      TextOps.tokenCount(col("text")).cast("long"), lowPct, highPct,
+      subBits, nName = "n_docs")
 
   /** Sketch-driven length-outlier trim — the curation step the quantile
     * report exists to drive: keep docs whose length BUCKET falls inside

@@ -2095,6 +2095,81 @@ object TextOps {
         FROM scored JOIN documents d USING (doc_id)
         GROUP BY d.lang ORDER BY d.lang""")),
 
+    // Fluency band trim (r13): the CCNet-style perplexity-band curation
+    // move, fully engine-exact — per-doc bigram-LM surprisal (−score,
+    // integer µnats, the q64 tier) enters the generic sketch band
+    // machinery (valueThresholds/valueBandTrim, q160's kernel
+    // generalized): keep docs inside each lang's [p10, p90] surprisal
+    // band, dropping both gibberish (high surprisal) AND degenerate
+    // templated text (suspiciously low). Bucket-space decisions ⇒ the
+    // kept set hash-gates.
+    QuerySpec(
+      "q175_fluency_band_trim",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // one LM pass feeds BOTH the band fit and the trim
+        val scored = bigramLmScoreMicro(docs)
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .withColumn("surprisal_micro", -col("score_micro"))
+          .localCheckpoint(false)
+        val thr = HistogramSketch.valueThresholds(scored, "lang",
+          col("surprisal_micro"), 10, 90)
+        HistogramSketch.valueBandTrim(scored, "lang",
+            col("surprisal_micro"), thr)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_bigrams")).cast("bigint").as("kept_bigrams"))
+          .join(broadcast(thr), Seq("lang"))
+          .select(col("lang"), col("n_kept"), col("kept_bigrams"),
+            col("n_vals"), col("lo_rep"), col("hi_rep"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        bi0 AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(t)),
+                   i -> struct_pack(w1 := t[i], bg := t[i] || ' ' || t[i+1]))) AS e
+          FROM toks),
+        bi AS (SELECT doc_id, e.w1 AS w1, e.bg AS bg FROM bi0),
+        cbg AS (SELECT bg, COUNT(*) AS c2 FROM bi GROUP BY bg),
+        cw1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+        lp AS (
+          SELECT doc_id,
+                 CAST(round(ln(CAST(c2 AS DOUBLE) / c1) * 1e6) AS BIGINT) AS lp_micro
+          FROM bi JOIN cbg USING (bg) JOIN cw1 USING (w1)),
+        per_doc AS (
+          SELECT doc_id, SUM(lp_micro) AS s, COUNT(*) AS n
+          FROM lp GROUP BY doc_id),
+        scored AS (
+          SELECT doc_id,
+                 CAST(sign(s) AS BIGINT) * ((abs(s)*2 + n) // (2*n)) AS score_micro,
+                 n AS n_bigrams
+          FROM per_doc),
+        r AS (
+          SELECT d.lang, sc.n_bigrams,
+                 ((-sc.score_micro) >> greatest(0, length(bin(-sc.score_micro)) - 1 - 5))
+                   << greatest(0, length(bin(-sc.score_micro)) - 1 - 5) AS rep
+          FROM scored sc JOIN documents d USING (doc_id)),
+        g AS (SELECT lang, rep, COUNT(*) AS cnt FROM r GROUP BY lang, rep),
+        c AS (SELECT lang, rep,
+                     SUM(cnt) OVER (PARTITION BY lang ORDER BY rep) AS cum,
+                     SUM(cnt) OVER (PARTITION BY lang) AS nv
+              FROM g),
+        thr AS (SELECT lang, CAST(MAX(nv) AS BIGINT) AS n_vals,
+                       CAST(MIN(CASE WHEN cum >= (nv*10+99)//100 THEN rep END) AS BIGINT) AS lo_rep,
+                       CAST(MIN(CASE WHEN cum >= (nv*90+99)//100 THEN rep END) AS BIGINT) AS hi_rep
+                FROM c GROUP BY lang)
+        SELECT r.lang, COUNT(*) AS n_kept,
+               CAST(SUM(r.n_bigrams) AS BIGINT) AS kept_bigrams,
+               t.n_vals, t.lo_rep, t.hi_rep
+        FROM r JOIN thr t ON r.lang = t.lang
+        WHERE r.rep >= t.lo_rep AND r.rep <= t.hi_rep
+        GROUP BY r.lang, t.n_vals, t.lo_rep, t.hi_rep
+        ORDER BY r.lang""")),
+
     QuerySpec(
       "q56_tfidf_terms",
       (s, d) => tfidfTopTerms(Tables.documents(s, d), "lang", 5)

@@ -148,6 +148,19 @@ class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(rangeEx == 1, s"expected exactly 1 range exchange, got $rangeEx:\n$p")
   }
 
+  test("q175: fluency band rides ONE LM pass — thresholds broadcast back onto the cut") {
+    // the fitted band is ≤|langs| rows and must broadcast; the scored
+    // frame is cut once (ExistingRDD) and feeds both fit and trim — a
+    // second LM pass would double the dominant cost
+    val p = plan("q175_fluency_band_trim")
+    assert(p.contains("BroadcastHashJoin"),
+      s"thresholds must broadcast onto the scored cut:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"expected the scored localCheckpoint cut:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing here may sort-merge:\n$p")
+  }
+
   test("q174: matrix-from-index never re-tokenizes — no Generate on the corpus side") {
     // the whole point of the index tier: the corpus's gram stream is
     // READ from pos/, not re-derived — so the corpus-side plan may not

@@ -131,6 +131,46 @@ class HistogramSketchSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("generic value band: any score column trims through the same kernel") {
+    val sql = spark
+    import sql.implicits._
+    // a per-row SCORE (not length): long-tailed synthetic surprisal per
+    // key, with a null key and a negative score that must drop loudly
+    // by the documented rule (explicit filter, not a silent join miss)
+    val rnd = new scala.util.Random(23)
+    val rows = (1L to 500L).map { i =>
+      val k: String = if (i == 500) null else s"k${i % 3}"
+      val v: java.lang.Long =
+        if (i == 499) java.lang.Long.valueOf(-5L)
+        else java.lang.Long.valueOf(1L + math.pow(2.0, rnd.nextDouble() * 12).toLong)
+      (i, k, v)
+    }.toDF("id", "key", "score")
+    val thr = HistogramSketch.valueThresholds(rows, "key", col("score"), 10, 90)
+    val thrMap = thr.collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val kept = HistogramSketch.valueBandTrim(rows, "key", col("score"), thr)
+      .select(col("id"), col("key"),
+        HistogramSketch.bucketRep(col("score"), 5).as("rep"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(!kept.exists(t => t._1 == 499L || t._1 == 500L),
+      "null key / negative value rows must drop")
+    val all = rows.filter(col("key").isNotNull && col("score") >= 0)
+      .select(col("id"), col("key"),
+        HistogramSketch.bucketRep(col("score"), 5).as("rep"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = all.filter { case (_, k, rep) =>
+      val (lo, hi) = thrMap(k); rep >= lo && rep <= hi }
+    assert(kept.toSet === expect.toSet,
+      "generic trim must equal bucket-band membership")
+    // the fit keeps a null-key group (plain GROUP BY semantics, same as
+    // the SQL oracle side); only the TRIM drops null keys — so the
+    // bite check runs over the real keys
+    thrMap.keys.filter(_ != null).foreach { k =>
+      assert(kept.count(_._2 == k) < all.count(_._2 == k),
+        s"$k: the long tail must make the band bite")
+    }
+  }
+
   test("drift: zero on identical snapshots, positive under a length shift") {
     val sql = spark
     import sql.implicits._
