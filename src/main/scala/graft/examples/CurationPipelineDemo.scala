@@ -17,7 +17,11 @@ import graft.operators.{Dedup, Pipeline, TextOps}
   *                                  index)
   *   3. a daily ingest probing + growing both indexes (work ∝ batch)
   *   4. the governance report card a mix review reads
-  *   5. right-to-be-forgotten across the persisted indexes, with the
+  *   5. recipe execution (r13): mixture plan → materialized multiset →
+  *      packing → seeded training-order shuffle → mixing audit
+  *   6. surgical span-level decontamination (cut the leaked passage,
+  *      keep the doc)
+  *   7. right-to-be-forgotten across the persisted indexes, with the
   *      forced deletion-audit gate
   *
   * Run: `sbt "runMain graft.examples.CurationPipelineDemo [sfDir]"`
@@ -66,7 +70,34 @@ object CurationPipelineDemo {
         isBadSeed = col("source") === "src0" && col("lang") =!= "en")
       .orderBy(col("source")).show(5, truncate = false)
 
-    // 5) forget one doc everywhere it landed — the audit gate proves it
+    // 5) recipe execution (r13): plan the mixture, materialize the
+    //    repeat-and-trim multiset, pack it, shuffle the chunks into a
+    //    seeded deterministic training order, and AUDIT the mixing
+    val plan = Pipeline.mixPlan(docs, "source", budgetTokens = 200000L)
+    println("== mixture plan (first 5) ==")
+    plan.orderBy(col("source")).show(5, truncate = false)
+    val multiset = Pipeline.materializeMix(docs, plan)
+    val chunks = Pipeline.packSequences(
+        multiset.withColumn("mix_id",
+          concat_ws("#", col("doc_id"), col("copy"))),
+        budgetTokens = 256, idCol = "mix_id")
+      .select(col("source").as("stratum"), col("chunk_id")).distinct()
+    val ordered = Pipeline.trainingOrder(chunks, seed = 7L,
+      keyCols = Seq("stratum", "chunk_id"))
+    println("== training-order mixing audit (same_next vs share, first 5) ==")
+    Pipeline.orderMixingAudit(ordered)
+      .orderBy(col("stratum")).show(5, truncate = false)
+
+    // 6) surgical decontamination: cut the leaked passages, keep the docs
+    val evalSet = docs.filter(col("doc_id") < 20)
+    val scrubbed = TextOps.decontaminateSpans(
+      docs.filter(col("doc_id") >= 20), evalSet, n = 4)
+    println("== surgical decontamination (touched docs, first 5) ==")
+    scrubbed.filter(col("n_removed") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"))
+      .orderBy(col("doc_id")).show(5, truncate = false)
+
+    // 7) forget one doc everywhere it landed — the audit gate proves it
     import spark.implicits._
     val report = graft.Forget.forget(Seq(42L).toDF("doc_id"), "doc_id",
       cdcIndexDirs = Seq(s"$base/cdc"))
