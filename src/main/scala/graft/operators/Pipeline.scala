@@ -1049,6 +1049,51 @@ object Pipeline {
       .drop("__h")
   }
 
+  /** Deterministic per-stratum TOKEN QUOTA — admission control for
+    * ingest and mixture enforcement: keep each stratum's docs, in
+    * seeded-hash order, until the stratum's running token sum reaches
+    * `budgetTokens` ("cap source X at N tokens" — the hard ceiling a
+    * mix plan's allocation becomes at ingest time). Hash order makes
+    * the kept set a uniform sample (no head-of-file bias), and the
+    * seed + md5 make it REPRODUCIBLE across runs, engines, and
+    * re-ingests — re-running admission on the same corpus admits the
+    * identical set, so downstream incremental indexes never churn.
+    *
+    * Mechanics: pure reuse of [[packSequences]]' distributed prefix-sum
+    * kernel — the quota keep is exactly `chunk_id == 0` (cumulative
+    * tokens BEFORE the doc < budget) under a hash-order id. The order
+    * key is `lower(hex(md5prefix)) : id` (fixed-width hex then the id
+    * as a tie-break, both engine-portable strings), so a 32-bit prefix
+    * collision — certain at 10⁹ docs — still yields a total,
+    * deterministic order. One doc larger than the whole budget is still
+    * admitted when it arrives first (cum-before 0 < budget) — a quota
+    * that could admit NOTHING from a stratum would silently erase it
+    * from the mix.
+    *
+    * Scale shape: [[packSequences]]' shape verbatim — one range
+    * exchange, two passes sharing shuffle files, map-side cumsum; the
+    * keep filter is a map-side predicate on the kernel's output.
+    */
+  def tokenQuota(docs: DataFrame, budgetTokens: Int,
+                 strataCol: String = "source",
+                 idCol: String = "doc_id",
+                 seed: Long = 42L,
+                 tokenCountCol: Option[String] = None): DataFrame = {
+    require(!docs.columns.contains("__qkey"),
+      "tokenQuota: input already has a '__qkey' column (the kernel's " +
+        "internal order key) - rename it first")
+    val keyed = docs.withColumn("__qkey",
+      concat_ws(":",
+        lpad(lower(hex(conv(substring(md5(concat_ws(":",
+            lit(seed.toString), col(idCol).cast("string"))), 1, 8), 16, 10)
+          .cast("long"))), 16, "0"),
+        col(idCol).cast("string")))
+    packSequences(keyed, budgetTokens, strataCol, idCol = "__qkey",
+        tokenCountCol = tokenCountCol)
+      .filter(col("chunk_id") === 0L)
+      .drop("__qkey", "chunk_id")
+  }
+
   /** Mixing audit over a [[trainingOrder]]-positioned table — the
     * governance check that the shuffle actually DECORRELATED the
     * stream: for each stratum, of its chunks that have a global
@@ -2503,6 +2548,34 @@ object Pipeline {
         SELECT doc_id, source, n_copies,
                CAST(unnest(range(n_copies)) AS BIGINT) AS copy
         FROM n ORDER BY source, doc_id, copy""")),
+
+    // Per-source token QUOTA (r13): deterministic admission control —
+    // keep docs in seeded-hash order until the source's running token
+    // sum hits the budget (the packSequences kernel's chunk 0 under a
+    // hash-order key). Uniform sample + reproducible admission; at
+    // budget 700 vs ~1.4k tokens/source both branches bite at sf0.01.
+    QuerySpec(
+      "q176_token_quota",
+      (s, d) => tokenQuota(Tables.documents(s, d), budgetTokens = 700)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).cast("bigint").as("kept_tokens"))
+        .orderBy(col("source")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source, len(string_split(text,' ')) AS n_tokens,
+                 concat(lpad(lower(to_hex(('0x' || substr(md5(concat('42:',
+                     CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT)), 16, '0'),
+                   ':', CAST(doc_id AS VARCHAR)) AS k
+          FROM documents),
+        c AS (SELECT source, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY source ORDER BY k
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM t)
+        SELECT source, COUNT(*) AS n_kept,
+               CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+        FROM c WHERE cum - n_tokens < 700
+        GROUP BY source ORDER BY source""")),
 
     QuerySpec(
       "q67_pack_sequences",

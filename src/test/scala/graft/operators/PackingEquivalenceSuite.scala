@@ -270,6 +270,32 @@ class PackingEquivalenceSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"copies of one doc must scatter, found $adjacentSameDoc adjacent")
   }
 
+  test("tokenQuota: partition-invariant, monotone in budget, oversize-first admitted") {
+    val sql = spark
+    import sql.implicits._
+    val rnd = new scala.util.Random(31)
+    val docs = ((1L to 200L).map { i =>
+      (i, s"s${i % 3}", Seq.fill(1 + rnd.nextInt(12))("w").mkString(" "))
+    } :+ ((999L, "solo", Seq.fill(500)("w").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    def kept(budget: Int, parts: Int): Set[Long] =
+      Pipeline.tokenQuota(docs.repartition(parts), budget)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val k1 = kept(40, 1); val k7 = kept(40, 7)
+    assert(k1 === k7, "admission must not depend on partitioning")
+    assert(k1.nonEmpty && (k1 -- Set(999L)).size < 200,
+      s"budget must bite: ${k1.size}")
+    // monotone: raising the budget only admits more
+    val k2 = kept(80, 4)
+    assert(k1.subsetOf(k2), "a higher budget must be a superset admission")
+    // budget >= total admits everything
+    assert(kept(10000, 4).size === 201)
+    // a doc bigger than the whole budget still enters when it is its
+    // stratum's hash-first (cum-before 0 < budget): the solo stratum's
+    // one 500-token doc survives a 40-token budget
+    assert(k1.contains(999L), "a quota must never erase a stratum")
+  }
+
   test("trainingOrder: null keys and pre-existing pos column fail loudly") {
     val sql = spark
     import sql.implicits._
