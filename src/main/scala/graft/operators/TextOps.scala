@@ -1271,6 +1271,47 @@ object TextOps {
       n, carryCols = Seq("source"))
   }
 
+  /** SERVE tier of [[decontaminateSpans]] — the admission-gate
+    * formulation: the eval gram set rides the plan as a LITERAL MAP
+    * (eval sets are small — the scoreQuality/flagOutliers fitted-model
+    * class), and the whole cut is ONE pure projection: per row, the
+    * covered starts come from an O(1)-per-gram map lookup
+    * (`try_element_at` — null on miss, never ANSI-throws) over the
+    * token array, then the SAME coverage-rebuild kernel. Zero joins,
+    * zero shuffles, zero state — so the IDENTICAL call runs on an
+    * ingest STREAM unchanged, scrubbing leaked passages at the door
+    * (suite-gated ≡ the batch join tier, batch and stream).
+    *
+    * Use [[decontaminateSpans]] when the eval set is a DataFrame and
+    * the corpus is batch; use this when serving (stream admission, or
+    * a fleet of small jobs where re-planning the broadcast join per
+    * job costs more than shipping the gram map). */
+  def decontaminateSpansServe(docs: DataFrame, evalGrams: Seq[String],
+                              n: Int = 4,
+                              textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"decontaminateSpansServe: span width must be >= 2, got $n")
+    require(evalGrams.nonEmpty, "decontaminateSpansServe: empty eval gram set")
+    val grams = evalGrams.distinct.toArray
+    val gmap = map_from_arrays(
+      lit(grams), lit(Array.fill(grams.length)(true)))
+    val toks = docs.select(col("doc_id"), col("source"),
+      tokens(col(textCol)).as("__toks"))
+    val starts = when(size(col("__toks")) >= n,
+        filter(sequence(lit(1), size(col("__toks")) - (n - 1)),
+          i => try_element_at(gmap,
+            concat_ws(" ", slice(col("__toks"), i, lit(n)))).isNotNull))
+      .otherwise(array().cast("array<int>"))
+    rebuildWithoutCoverage(toks.withColumn("__starts", starts),
+      n, carryCols = Seq("source"))
+  }
+
+  /** The distinct gram STRINGS of an eval corpus, driver-collected —
+    * the input [[decontaminateSpansServe]] ships as a plan literal.
+    * Bounded by the eval set's size (the fitted-model collect class). */
+  def evalGramStrings(evalDocs: DataFrame, n: Int = 4,
+                      textCol: String = "text"): Seq[String] =
+    evalGramSet(evalDocs, n, textCol).collect().map(_.getString(0)).toSeq
+
   /** [[contaminationMatrix]] served FROM the persisted span index — the
     * nightly tier: screening a NEW benchmark against a 100 TB corpus
     * must not re-read (or re-tokenize) a byte of corpus text, and the

@@ -58,6 +58,28 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(1L, 3L))
   }
 
+  test("decontaminateSpansServe ≡ the batch join tier (map-literal serve)") {
+    val sql = spark
+    import sql.implicits._
+    val evalSet = Seq((100L, "q1 q2 q3 q4 tail"), (101L, "r1 r2 r3 r4 x"))
+      .toDF("doc_id", "text")
+    val corpus = (1L to 40L).map { i =>
+      val mid = i % 4 match {
+        case 0 => "q1 q2 q3 q4"; case 1 => "r2 r3 r4 x"
+        case _ => s"c$i d$i e$i f$i"
+      }
+      (i, s"s${i % 3}", s"pre$i a b $mid y z post$i")
+    }.toDF("doc_id", "source", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    val batch = rows(TextOps.decontaminateSpans(corpus, evalSet, n = 4))
+    val serve = rows(TextOps.decontaminateSpansServe(corpus,
+      TextOps.evalGramStrings(evalSet, n = 4), n = 4))
+    assert(batch.exists(_._4 > 0), "fixture must actually cut something")
+    assert(serve === batch, "serve tier must equal the join tier row-for-row")
+  }
+
   test("contaminationMatrixFromIndex refuses a hash-built index loudly") {
     val sql = spark
     import sql.implicits._

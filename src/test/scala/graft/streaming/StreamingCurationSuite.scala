@@ -282,6 +282,41 @@ class StreamingCurationSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"stream kept $streamKept must equal batch kept $batchKept")
   }
 
+  test("surgical decontamination serve tier scrubs a stream; parity with batch") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val evalSet = Seq((100L, "q1 q2 q3 q4 tail")).toDF("doc_id", "text")
+    val grams = TextOps.evalGramStrings(evalSet, n = 4)
+    val corpus = Seq(
+      (1L, "web", "clean words entirely here today"),
+      (2L, "web", "keep q1 q2 q3 q4 rest stays"),
+      (3L, "book", "a q1 q2 q3 q4 tail b"))
+    val batch = TextOps.decontaminateSpansServe(
+        corpus.toDF("doc_id", "source", "text"), grams, n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getString(4))).toSet
+
+    // zero joins/state: the SAME call runs on the ingest stream
+    val input = MemoryStream[(Long, String, String)]
+    val scrubbed = TextOps.decontaminateSpansServe(
+      input.toDS().toDF("doc_id", "source", "text"), grams, n = 4)
+    val query = scrubbed.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("sscrub")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sscrub").toString)
+      .start()
+    corpus.grouped(2).foreach { g =>
+      input.addData(g.toSeq: _*); query.processAllAvailable()
+    }
+    val streamed = spark.table("sscrub")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getString(4))).toSet
+    query.stop()
+    assert(batch.exists(_._2 > 0) && streamed === batch,
+      s"stream scrub diverged:\nbatch  $batch\nstream $streamed")
+  }
+
   test("materializeMix executes a plan on a stream; parity with the batch multiset") {
     val sql = spark
     import sql.implicits._
