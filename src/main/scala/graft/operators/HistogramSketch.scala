@@ -178,7 +178,12 @@ object HistogramSketch {
     * broadcast onto one scan: zero extra shuffles. */
   def valueBandTrim(rows: DataFrame, keyCol: String, value: Column,
                     thresholds: DataFrame,
-                    subBits: Int = DefaultSubBits): DataFrame =
+                    subBits: Int = DefaultSubBits): DataFrame = {
+    // the internal bucket column would silently replace-then-drop a
+    // caller's __rep (the tokenQuota __qkey rule)
+    require(!rows.columns.contains("__rep"),
+      "valueBandTrim: input already has a '__rep' column (the kernel's " +
+        "internal bucket name) - rename it first")
     rows.filter(col(keyCol).isNotNull)
       .withColumn("__rep", bucketRep(value, subBits))
       .filter(col("__rep").isNotNull)
@@ -186,6 +191,7 @@ object HistogramSketch {
         col("lo_rep"), col("hi_rep"))), Seq(keyCol))
       .filter(col("__rep") >= col("lo_rep") && col("__rep") <= col("hi_rep"))
       .drop("__rep", "lo_rep", "hi_rep")
+  }
 
   /** Per-source `(lo_rep, hi_rep)` trim band from the sketch: the bucket
     * reps at `lowPct`/`highPct`. ≤ |sources| rows — the fitted-model
@@ -211,17 +217,14 @@ object HistogramSketch {
     * shuffles. */
   def lengthBandTrim(docs: DataFrame, thresholds: DataFrame,
                      subBits: Int = DefaultSubBits): DataFrame =
-    // null-source docs are dropped EXPLICITLY (the capByKey null-key
-    // rule): the equality join below can never match them, so leaving
-    // them to the join would be the silent-narrowing class — filtering
-    // here makes the drop visible and intentional
-    docs.filter(col("text").isNotNull && col("source").isNotNull)
-      .withColumn("__rep",
-        bucketRep(TextOps.tokenCount(col("text")).cast("long"), subBits))
-      .join(broadcast(thresholds.select(col("source"),
-        col("lo_rep"), col("hi_rep"))), Seq("source"))
-      .filter(col("__rep") >= col("lo_rep") && col("__rep") <= col("hi_rep"))
-      .drop("__rep", "lo_rep", "hi_rep")
+    // the length instance of [[valueBandTrim]] — ONE trim kernel, so
+    // band semantics (the explicit null-key drop, the bucket-space
+    // membership, the broadcast join) cannot drift between the length
+    // and generic tiers. Null text → null tokenCount → null rep →
+    // dropped by the kernel's rep filter, the old explicit text filter's
+    // exact effect.
+    valueBandTrim(docs, "source",
+      TextOps.tokenCount(col("text")).cast("long"), thresholds, subBits)
 
   /** One-call tier: fit the band on `docs` itself, then trim. */
   def lengthBandTrim(docs: DataFrame, lowPct: Int,

@@ -788,6 +788,15 @@ object Pipeline {
     require(!docs.columns.contains("chunk_id"),
       "packSequences: input already has a chunk_id column - drop or " +
         "rename it before re-packing")
+    // the appended n_tokens would silently REPLACE a caller's existing
+    // column (e.g. real BPE counts) with whitespace counts — refuse
+    // unless the caller's n_tokens IS the declared budget measure
+    require(!docs.columns.contains("n_tokens") ||
+        tokenCountCol.contains("n_tokens"),
+      "packSequences: input already has an 'n_tokens' column that is " +
+        "not the declared tokenCountCol - it would be silently " +
+        "replaced by whitespace counts; pass tokenCountCol = " +
+        "Some(\"n_tokens\") to pack on it, or rename it")
     // tokenCountCol: pack on a caller-supplied budget measure (e.g. real
     // BPE token counts from TextOps.bpeTokenCounts — what the training
     // batch actually pays for) instead of the whitespace default.
@@ -1073,6 +1082,13 @@ object Pipeline {
     * Scale shape: [[packSequences]]' shape verbatim — one range
     * exchange, two passes sharing shuffle files, map-side cumsum; the
     * keep filter is a map-side predicate on the kernel's output.
+    *
+    * Contract: `idCol` is the corpus primary key (non-null — raises
+    * map-side — and unique); null `strataCol` rows drop explicitly,
+    * matching [[graft.streaming.StreamingQuota]] so the two tiers admit
+    * the same strata. Output appends `n_tokens` (the admission
+    * measure); an existing `n_tokens` column is refused by the kernel
+    * unless it IS the declared `tokenCountCol`.
     */
   def tokenQuota(docs: DataFrame, budgetTokens: Int,
                  strataCol: String = "source",
@@ -1082,12 +1098,26 @@ object Pipeline {
     require(!docs.columns.contains("__qkey"),
       "tokenQuota: input already has a '__qkey' column (the kernel's " +
         "internal order key) - rename it first")
-    val keyed = docs.withColumn("__qkey",
-      concat_ws(":",
-        lpad(lower(hex(conv(substring(md5(concat_ws(":",
-            lit(seed.toString), col(idCol).cast("string"))), 1, 8), 16, 10)
-          .cast("long"))), 16, "0"),
-        col(idCol).cast("string")))
+    // `idCol` is contractually the corpus PRIMARY KEY (unique, non-null
+    // — the assumption every id-keyed operator here shares): a null id
+    // would make concat_ws silently collapse the tie-break and boundary
+    // admission would depend on shuffle delivery, so nulls raise
+    // map-side; duplicates inherit the same hazard and the same
+    // contract. Null STRATA drop explicitly (the capByKey /
+    // lengthBandTrim null-key rule — and the streaming twin's, so the
+    // two tiers admit the same strata).
+    val checkedId = when(col(idCol).isNull,
+        expr(s"raise_error('tokenQuota: null $idCol - the order key " +
+          "needs the corpus primary key; null ids make admission " +
+          "shuffle-order-dependent')").cast("string"))
+      .otherwise(col(idCol).cast("string"))
+    val keyed = docs.filter(col(strataCol).isNotNull)
+      .withColumn("__qkey",
+        concat_ws(":",
+          lpad(lower(hex(conv(substring(md5(concat_ws(":",
+              lit(seed.toString), checkedId)), 1, 8), 16, 10)
+            .cast("long"))), 16, "0"),
+          checkedId))
     packSequences(keyed, budgetTokens, strataCol, idCol = "__qkey",
         tokenCountCol = tokenCountCol)
       .filter(col("chunk_id") === 0L)

@@ -1272,25 +1272,33 @@ object TextOps {
   }
 
   /** SERVE tier of [[decontaminateSpans]] — the admission-gate
-    * formulation: the eval gram set rides the plan as a LITERAL MAP
-    * (eval sets are small — the scoreQuality/flagOutliers fitted-model
-    * class), and the whole cut is ONE pure projection: per row, the
-    * covered starts come from an O(1)-per-gram map lookup
-    * (`try_element_at` — null on miss, never ANSI-throws) over the
-    * token array, then the SAME coverage-rebuild kernel. Zero joins,
-    * zero shuffles, zero state — so the IDENTICAL call runs on an
-    * ingest STREAM unchanged, scrubbing leaked passages at the door
-    * (suite-gated ≡ the batch join tier, batch and stream).
+    * formulation: the eval gram set rides the plan as a LITERAL MAP,
+    * and the whole cut is ONE pure projection: per row, covered starts
+    * come from a `try_element_at` map lookup (null on miss, never
+    * ANSI-throws) over the token array, then the SAME coverage-rebuild
+    * kernel. Zero joins, zero shuffles, zero state — so the IDENTICAL
+    * call runs on an ingest STREAM unchanged, scrubbing leaked passages
+    * at the door (suite-gated ≡ the batch join tier, batch and stream).
     *
-    * Use [[decontaminateSpans]] when the eval set is a DataFrame and
-    * the corpus is batch; use this when serving (stream admission, or
-    * a fleet of small jobs where re-planning the broadcast join per
-    * job costs more than shipping the gram map). */
+    * Cost honesty: Spark evaluates `element_at` on a literal map by
+    * LINEAR SCAN (no hash), so this tier is O(tokens × |evalGrams|)
+    * per doc and the gram set serializes into every task — right for
+    * the SMALL eval panels an admission gate screens (the
+    * scoreQuality fitted-model class), wrong for a 50k-gram benchmark
+    * suite, which is the broadcast-join tier's job. The guard below
+    * refuses past `maxServeGrams` (default 4096) rather than letting
+    * the "cheap serve tier" silently become the dominant cost. */
   def decontaminateSpansServe(docs: DataFrame, evalGrams: Seq[String],
                               n: Int = 4,
-                              textCol: String = "text"): DataFrame = {
+                              textCol: String = "text",
+                              maxServeGrams: Int = 4096): DataFrame = {
     require(n >= 2, s"decontaminateSpansServe: span width must be >= 2, got $n")
     require(evalGrams.nonEmpty, "decontaminateSpansServe: empty eval gram set")
+    require(evalGrams.distinct.size <= maxServeGrams,
+      s"decontaminateSpansServe: ${evalGrams.distinct.size} eval grams " +
+        s"exceed maxServeGrams ($maxServeGrams) - the literal-map lookup " +
+        "is a linear scan per gram; use decontaminateSpans (broadcast " +
+        "join) for large eval suites, or raise the cap knowingly")
     val grams = evalGrams.distinct.toArray
     val gmap = map_from_arrays(
       lit(grams), lit(Array.fill(grams.length)(true)))

@@ -119,8 +119,20 @@ class PackingEquivalenceSuite extends AnyFunSuite with BeforeAndAfterAll {
       Pipeline.packSequences(packed, budgetTokens = 5)
     }
     assert(ex.getMessage.contains("chunk_id"))
-    // and the documented recovery works
-    assert(Pipeline.packSequences(packed.drop("chunk_id"), budgetTokens = 5)
+    // an undeclared n_tokens column refuses too (r13): it would be
+    // silently replaced by whitespace counts
+    val ex2 = intercept[IllegalArgumentException] {
+      Pipeline.packSequences(packed.drop("chunk_id"), budgetTokens = 5)
+    }
+    assert(ex2.getMessage.contains("n_tokens"))
+    // and both documented recoveries work: declare the existing counts
+    // as the budget measure (reuses them — no re-tokenize)...
+    assert(Pipeline.packSequences(packed.drop("chunk_id"), budgetTokens = 5,
+        tokenCountCol = Some("n_tokens"))
+      .columns.count(_ == "chunk_id") === 1)
+    // ...or drop them and re-count
+    assert(Pipeline.packSequences(packed.drop("chunk_id", "n_tokens"),
+        budgetTokens = 5)
       .columns.count(_ == "chunk_id") === 1)
   }
 
