@@ -115,6 +115,17 @@ class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashEx == 1, s"expected 1 hash exchange, found $hashEx:\n$p")
   }
 
+  test("q176: token quota is the prefix-sum kernel, not a per-source window") {
+    // admission = chunk 0 of the packSequences kernel under a hash key:
+    // no Window (a per-source cumsum window would funnel a giant source
+    // onto one task), the kernel surfaces as an ExistingRDD scan
+    val p = plan("q176_token_quota")
+    assert(!p.contains("Window"),
+      s"quota must not plan a per-source window:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"expected the prefix-sum kernel's RDD scan:\n$p")
+  }
+
   test("q169: training order is the count-offset kernel, not a window or global sort") {
     // the permutation's global position must come from the two-pass
     // count-offset kernel (ExistingRDD scan), never a ROW_NUMBER window
