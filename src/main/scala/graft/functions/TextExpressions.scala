@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Character k-gram (shingle) array of a string — the standard MinHash
@@ -164,6 +164,108 @@ object NgramRepetitionStats {
   }
 }
 
+/** Positions (1-based) of every word n-gram of a token array that is a
+  * member of a FIXED gram set — the serve-tier primitive of surgical
+  * decontamination ([[graft.operators.TextOps.decontaminateSpansServe]]):
+  * the eval gram set compiles into the expression, each executor builds
+  * ONE `HashSet[UTF8String]` from it lazily (once per task pipeline, not
+  * per row), and the per-row cost is O(tokens) hash probes. The
+  * literal-map `try_element_at` formulation this replaces was a LINEAR
+  * scan of the map per gram — O(tokens × |grams|) — which is why its cap
+  * sat at 4096 grams; here the cap is plan-serialization size only.
+  *
+  * Tokens must come from `split(text, " ")` (the engine-wide
+  * tokenization): the joined token stream IS the source text, so every
+  * n-gram is a contiguous byte range of ONE rebuilt buffer — zero
+  * per-gram copying (the [[NgramRepetitionStats]] technique) and the
+  * gram bytes are byte-identical to `concat_ws(" ", slice(toks, i, n))`,
+  * the construction the eval side used. A null token element is REFUSED
+  * loudly (split never produces one; `concat_ws` would silently skip it
+  * and desynchronize gram text from positions).
+  */
+case class GramSetStarts(child: Expression, n: Int, grams: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes with Serializable {
+  require(n >= 2, s"gram width must be >= 2, got $n")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "gram_set_starts"
+
+  // one set per deserialized expression instance per executor — shared by
+  // every task that pipeline runs, never rebuilt per row
+  @transient private lazy val gramSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](grams.size * 2)
+    grams.foreach(g => s.add(UTF8String.fromString(g)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  def compute(arr: ArrayData): ArrayData = {
+    val nTokens = arr.numElements()
+    if (nTokens < n) return GramSetStarts.Empty
+    val toks = new Array[UTF8String](nTokens)
+    var total = nTokens - 1 // single-space separators
+    var i = 0
+    while (i < nTokens) {
+      val t = arr.getUTF8String(i)
+      if (t == null) throw new IllegalArgumentException(
+        s"gram_set_starts: null token at index $i - token arrays must " +
+          "come from split() (concat_ws would skip the null and shift " +
+          "gram text against positions)")
+      toks(i) = t
+      total += t.numBytes
+      i += 1
+    }
+    val bytes = new Array[Byte](total)
+    // starts(t) = byte offset of token t; sentinel so gram g spans
+    // bytes [starts(g), starts(g + n) - 1) — one space before the next
+    // token's start
+    val starts = new Array[Int](nTokens + 1)
+    var off = 0
+    i = 0
+    while (i < nTokens) {
+      starts(i) = off
+      toks(i).writeToMemory(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off)
+      off += toks(i).numBytes
+      if (i < nTokens - 1) { bytes(off) = ' '; off += 1 }
+      i += 1
+    }
+    starts(nTokens) = total + 1
+    val nGrams = nTokens - n + 1
+    val out = new Array[Int](nGrams)
+    var cnt = 0
+    var g = 0
+    while (g < nGrams) {
+      val st = starts(g)
+      val key = UTF8String.fromBytes(bytes, st, starts(g + n) - 1 - st)
+      if (gramSet.contains(key)) { out(cnt) = g + 1; cnt += 1 }
+      g += 1
+    }
+    if (cnt == 0) GramSetStarts.Empty
+    else UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, cnt))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the gram set rides the references array (one object per plan, not
+    // per row); codegen emits a single virtual call into the shared
+    // O(tokens) routine
+    val ref = ctx.addReferenceObj("gramSetStarts", this,
+      classOf[GramSetStarts].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.compute($arr);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramSetStarts =
+    copy(child = newChild)
+}
+
+object GramSetStarts {
+  private val Empty: ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(Array.emptyIntArray)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -174,4 +276,9 @@ object TextFunctions {
   /** Word-n-gram repetition stats struct of a text column (codegen'd). */
   def ngram_repetition(text: Column, n: Int): Column =
     column(NgramRepetitionStats(expression(text), n))
+
+  /** 1-based start positions of token-array n-grams that are members of
+    * the fixed gram set (codegen'd HashSet probe, O(tokens) per row). */
+  def gram_set_starts(toks: Column, n: Int, grams: Seq[String]): Column =
+    column(GramSetStarts(expression(toks), n, grams))
 }

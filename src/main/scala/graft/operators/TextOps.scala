@@ -1272,44 +1272,42 @@ object TextOps {
   }
 
   /** SERVE tier of [[decontaminateSpans]] — the admission-gate
-    * formulation: the eval gram set rides the plan as a LITERAL MAP,
-    * and the whole cut is ONE pure projection: per row, covered starts
-    * come from a `try_element_at` map lookup (null on miss, never
-    * ANSI-throws) over the token array, then the SAME coverage-rebuild
-    * kernel. Zero joins, zero shuffles, zero state — so the IDENTICAL
-    * call runs on an ingest STREAM unchanged, scrubbing leaked passages
-    * at the door (suite-gated ≡ the batch join tier, batch and stream).
+    * formulation: the eval gram set COMPILES INTO THE PLAN as a
+    * codegen'd set-membership expression
+    * ([[graft.functions.GramSetStarts]]), and the whole cut is ONE pure
+    * projection: per row, covered starts come from O(tokens) hash probes
+    * of a per-executor `HashSet` built once from the compiled set, then
+    * the SAME coverage-rebuild kernel. Zero joins, zero shuffles, zero
+    * state — so the IDENTICAL call runs on an ingest STREAM unchanged,
+    * scrubbing leaked passages at the door (suite-gated ≡ the batch join
+    * tier, batch and stream, on a >4096-gram panel).
     *
-    * Cost honesty: Spark evaluates `element_at` on a literal map by
-    * LINEAR SCAN (no hash), so this tier is O(tokens × |evalGrams|)
-    * per doc and the gram set serializes into every task — right for
-    * the SMALL eval panels an admission gate screens (the
-    * scoreQuality fitted-model class), wrong for a 50k-gram benchmark
-    * suite, which is the broadcast-join tier's job. The guard below
-    * refuses past `maxServeGrams` (default 4096) rather than letting
-    * the "cheap serve tier" silently become the dominant cost. */
+    * Cost: O(tokens) per doc regardless of panel size — the earlier
+    * literal-map `try_element_at` formulation was a LINEAR SCAN per gram
+    * (O(tokens × |grams|), capped at 4096); the remaining bound is plan
+    * size (the gram set serializes once into each task's plan, ~30-50 B
+    * per gram), so `maxServeGrams` now guards plan-serialization weight
+    * at 500k grams (~20 MB) — benchmark-suite-sized panels fit. Past
+    * that, the broadcast-join tier ([[decontaminateSpans]]) is the right
+    * shape anyway: a multi-million-gram set belongs on the broadcast
+    * bus, not in the plan. */
   def decontaminateSpansServe(docs: DataFrame, evalGrams: Seq[String],
                               n: Int = 4,
                               textCol: String = "text",
-                              maxServeGrams: Int = 4096): DataFrame = {
+                              maxServeGrams: Int = 500000): DataFrame = {
     require(n >= 2, s"decontaminateSpansServe: span width must be >= 2, got $n")
     require(evalGrams.nonEmpty, "decontaminateSpansServe: empty eval gram set")
-    require(evalGrams.distinct.size <= maxServeGrams,
-      s"decontaminateSpansServe: ${evalGrams.distinct.size} eval grams " +
-        s"exceed maxServeGrams ($maxServeGrams) - the literal-map lookup " +
-        "is a linear scan per gram; use decontaminateSpans (broadcast " +
-        "join) for large eval suites, or raise the cap knowingly")
-    val grams = evalGrams.distinct.toArray
-    val gmap = map_from_arrays(
-      lit(grams), lit(Array.fill(grams.length)(true)))
+    val grams = evalGrams.distinct
+    require(grams.size <= maxServeGrams,
+      s"decontaminateSpansServe: ${grams.size} eval grams exceed " +
+        s"maxServeGrams ($maxServeGrams) - the compiled gram set " +
+        "serializes into every task's plan; use decontaminateSpans " +
+        "(broadcast join) for larger suites, or raise the cap knowingly")
     val toks = docs.select(col("doc_id"), col("source"),
       tokens(col(textCol)).as("__toks"))
-    val starts = when(size(col("__toks")) >= n,
-        filter(sequence(lit(1), size(col("__toks")) - (n - 1)),
-          i => try_element_at(gmap,
-            concat_ws(" ", slice(col("__toks"), i, lit(n)))).isNotNull))
-      .otherwise(array().cast("array<int>"))
-    rebuildWithoutCoverage(toks.withColumn("__starts", starts),
+    rebuildWithoutCoverage(
+      toks.withColumn("__starts",
+        graft.functions.TextFunctions.gram_set_starts(col("__toks"), n, grams)),
       n, carryCols = Seq("source"))
   }
 

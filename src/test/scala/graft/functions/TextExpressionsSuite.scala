@@ -128,6 +128,73 @@ class TextExpressionsSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("gram_set_starts: membership positions match the composed HOF formulation") {
+    val sql = spark
+    import sql.implicits._
+    import graft.operators.TextOps
+    val grams = Seq("q1 q2 q3", "q3 q4 q5", "日本 語 x", "a  b") // incl. empty token
+    val docs = Seq(
+      (1L, "q1 q2 q3 q4 q5 tail"),        // matches at 1 and 3
+      (2L, "no hits here at all"),
+      (3L, "日本 語 x mid q1 q2 q3 end"), // multibyte gram at 1, ascii at 5
+      (4L, "a  b c"),                      // empty token: tokens [a,"",b,c] → "a  b" at 1
+      (5L, "q1 q2"),                       // shorter than n → empty
+      (6L, "")                             // [""] → empty
+    ).toDF("doc_id", "text")
+    val got = docs
+      .select($"doc_id", TextFunctions.gram_set_starts(
+        TextOps.tokens($"text"), 3, grams).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).sorted).toMap
+    assert(got(1L) === Seq(1, 3))
+    assert(got(2L) === Seq.empty)
+    assert(got(3L) === Seq(1, 5))
+    assert(got(4L) === Seq(1))
+    assert(got(5L) === Seq.empty && got(6L) === Seq.empty)
+    // composed cross-check: filter(sequence) + array_contains
+    val composed = docs
+      .select($"doc_id", TextOps.tokens($"text").as("t"))
+      .select($"doc_id", when(size($"t") >= 3,
+          filter(sequence(lit(1), size($"t") - 2),
+            i => array_contains(typedLit(grams),
+              concat_ws(" ", slice($"t", i, lit(3))))))
+        .otherwise(array().cast("array<int>")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).sorted).toMap
+    assert(got === composed)
+  }
+
+  test("gram_set_starts: null array passes through; null token refuses loudly") {
+    val sql = spark
+    import sql.implicits._
+    val nullArr = Seq((1L, None: Option[Seq[String]]),
+      (2L, Some(Seq("a", "b", "c")))).toDF("doc_id", "toks")
+    val got = nullArr.select($"doc_id",
+        TextFunctions.gram_set_starts($"toks", 2, Seq("a b")).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Int](1))).toMap
+    assert(got(1L) == null && got(2L) === Seq(1))
+    val withNullTok = Seq((1L, Seq("a", null, "b"))).toDF("doc_id", "toks")
+    val ex = intercept[Exception] {
+      withNullTok.select(TextFunctions.gram_set_starts($"toks", 2, Seq("a b")))
+        .collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("null token") ||
+      (ex.getCause != null && ex.getCause.getMessage.contains("null token")),
+      s"must refuse null tokens loudly: $ex")
+  }
+
+  test("gram_set_starts stays in whole-stage codegen") {
+    val sql = spark
+    import sql.implicits._
+    import graft.operators.TextOps
+    val got = Seq("q1 q2 q3 q4").toDF("text").repartition(1)
+      .select(TextFunctions.gram_set_starts(
+        TextOps.tokens($"text"), 3, Seq("q2 q3 q4")).as("s"))
+    assert(got.collect()(0).getSeq[Int](0) === Seq(2))
+    val line = got.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("gram_set_starts")).get
+    assert(line.contains("*("), "gram_set_starts must stay in WSCG")
+  }
+
   test("shingle-minhash catches intra-token edits that token-minhash misses") {
     val sql = spark
     import sql.implicits._

@@ -80,6 +80,47 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(serve === batch, "serve tier must equal the join tier row-for-row")
   }
 
+  test("decontaminateSpansServe ≡ batch on a >4096-gram panel; zero joins/shuffles") {
+    val sql = spark
+    import sql.implicits._
+    // a benchmark-suite-sized panel: 1100 eval docs × 5 four-grams each
+    // = 5500 grams — past the old literal-map tier's 4096 cap (it was a
+    // linear scan per gram; the compiled-HashSet tier is O(tokens))
+    val evalSet = (0L until 1100L).map(k =>
+        (k, s"e${k}a e${k}b e${k}c e${k}d e${k}e e${k}f e${k}g e${k}h"))
+      .toDF("doc_id", "text")
+    val grams = TextOps.evalGramStrings(evalSet, n = 4)
+    assert(grams.size > 4096, s"fixture must exceed the old cap: ${grams.size}")
+    val corpus = (1L to 120L).map { i =>
+      val k = i % 1100
+      val mid = if (i % 3 == 0) s"e${k}b e${k}c e${k}d e${k}e" // one eval gram
+        else s"c$i d$i f$i g$i"
+      (i, s"s${i % 4}", s"pre$i a b $mid y z post$i")
+    }.toDF("doc_id", "source", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    val serveDf = TextOps.decontaminateSpansServe(corpus, grams, n = 4)
+    val batch = rows(TextOps.decontaminateSpans(corpus, evalSet, n = 4))
+    val serve = rows(serveDf)
+    assert(batch.exists(_._4 > 0), "fixture must actually cut something")
+    assert(serve === batch, "serve tier must equal the join tier row-for-row")
+    // the serve tier's contract: ONE pure projection — no join, no
+    // exchange, no state, so the identical call runs on a stream.
+    // (plan read off a Range-backed frame: a local Seq constant-folds
+    // the whole projection into a LocalTableScan and hides the shape)
+    val rangeCorpus = spark.range(120)
+      .select($"id".as("doc_id"), lit("s").as("source"),
+        concat_ws(" ", lit("pre"), $"id".cast("string"), lit("y z")).as("text"))
+    val p = TextOps.decontaminateSpansServe(rangeCorpus, grams, n = 4)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"serve tier must stay a zero-join zero-shuffle projection:\n$p")
+    assert(p.contains("gram_set_starts"),
+      s"expected the compiled set-membership expression:\n$p")
+  }
+
   test("contaminationMatrixFromIndex refuses a hash-built index loudly") {
     val sql = spark
     import sql.implicits._
