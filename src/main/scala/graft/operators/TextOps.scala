@@ -1361,7 +1361,16 @@ object TextOps {
       .select(col("doc_id"), col("eval_name")).distinct()
     val meta = docsMeta.select(col("doc_id"), col("source"))
     val totals = meta.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-    meta.join(broadcast(hits), Seq("doc_id"))
+    // hits is sized by the CONTAMINATION ITSELF — the one frame here whose
+    // size this screen exists to discover. A forced broadcast hint would
+    // bypass Spark's size checks and OOM exactly when the corpus is
+    // pervasively leaked (large |hits| × many evals), so the join is left
+    // UNHINTED: AQE reads the actual runtime size and broadcasts a small
+    // hit set (the common case) or degrades to a shuffle join when the
+    // contamination is corpus-scale. Only the two frames bounded BY
+    // CONSTRUCTION stay force-broadcast: the tagged eval grams and the
+    // |sources|-row totals.
+    meta.join(hits, Seq("doc_id"))
       .groupBy(col("source"), col("eval_name"))
       .agg(count(lit(1)).as("n_contaminated"))
       .join(broadcast(totals), Seq("source"))

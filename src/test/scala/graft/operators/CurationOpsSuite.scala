@@ -121,6 +121,44 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the compiled set-membership expression:\n$p")
   }
 
+  test("contaminationMatrixFromIndex survives pervasive contamination (unhinted hits join)") {
+    val sql = spark
+    import sql.implicits._
+    // the r13 code FORCE-broadcast the (doc_id, eval_name) hit set — a
+    // frame sized by the contamination itself, i.e. exactly what this
+    // screen exists to discover; pervasive leakage would OOM it. The
+    // join is now unhinted (AQE picks from the runtime size); this
+    // fixture leaks eval grams into >50% of the corpus and pins the
+    // serve-from-index identity there.
+    val evalSet = Seq((1000L, "z1 z2 z3 z4 z5"), (1001L, "w1 w2 w3 w4"))
+      .map { case (id, t) => (id, "eval", t) }.toDF("doc_id", "source", "text")
+    val corpus = (1L to 60L).map { i =>
+      val mid = i % 5 match {
+        case 0 | 1 => "z1 z2 z3 z4"   // evalA gram
+        case 2     => "w1 w2 w3 w4"   // evalB gram
+        case 3     => "z2 z3 z4 z5"   // another evalA gram
+        case _     => s"c$i d$i e$i f$i"
+      }
+      (i, s"s${i % 2}", s"pre$i $mid post$i")
+    }.toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pervasive").toString
+    TextOps.buildSpanIndex(corpus, dir, n = 4, hashGrams = false)
+    val evals = Seq(
+      "evalA" -> evalSet.filter($"doc_id" === 1000L),
+      "evalB" -> evalSet.filter($"doc_id" === 1001L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val fromIndex = rows(TextOps.contaminationMatrixFromIndex(
+      spark, dir, evals, corpus.select($"doc_id", $"source"), n = 4))
+    val direct = rows(TextOps.contaminationMatrix(corpus, evals, n = 4))
+    assert(fromIndex === direct, "serve-from-index identity under pervasive leak")
+    // toSeq before map: both sources carry the SAME count (18), and a
+    // Set.map would collapse them before the sum
+    val nContam = fromIndex.toSeq.filter(_._2 == "evalA").map(_._3).sum
+    assert(nContam >= 30, s"fixture must be pervasively leaked: $nContam/60")
+  }
+
   test("contaminationMatrixFromIndex refuses a hash-built index loudly") {
     val sql = spark
     import sql.implicits._
