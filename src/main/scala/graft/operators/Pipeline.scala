@@ -779,7 +779,8 @@ object Pipeline {
   def packSequences(docs: DataFrame, budgetTokens: Int,
                     strataCol: String = "source",
                     idCol: String = "doc_id",
-                    tokenCountCol: Option[String] = None): DataFrame = {
+                    tokenCountCol: Option[String] = None,
+                    refuseDuplicateIds: Boolean = false): DataFrame = {
     require(budgetTokens > 0,
       s"chunk budget must be positive, got $budgetTokens") // div-by-zero aborts under ANSI
     // the schema-append below would DUPLICATE an existing chunk_id field
@@ -810,6 +811,7 @@ object Pipeline {
     val schema = ordered.schema
     val sIdx = schema.fieldIndex(strataCol)
     val tIdx = schema.fieldIndex("n_tokens")
+    val iIdx = schema.fieldIndex(idCol)
     // `.rdd` is a lazy val: both passes share ONE RDD DAG, so the range
     // partitioner (sampled boundaries) is fixed once and pass 2 reuses
     // pass 1's shuffle files — no checkpoint needed for consistency.
@@ -817,14 +819,35 @@ object Pipeline {
     // pass 1: per-partition partial token sums, one entry per contiguous
     // stratum run (rows are sorted by (stratum, id) within partitions).
     // Null n_tokens rows contribute 0, matching `sum() OVER` semantics.
+    // With `refuseDuplicateIds`, pass 1 also enforces the primary-key
+    // contract FREE inside the scan it already makes: rows are sorted by
+    // (stratum, id) within partitions and the range partitioner never
+    // splits equal keys across partitions, so an adjacent comparison is
+    // a COMPLETE duplicate check (trainingOrder's proof). tokenQuota
+    // opts in — a duplicated id there silently DOUBLE-SPENDS the budget
+    // (both copies share one order key and sit back-to-back); plain
+    // packing callers keep the permissive default (a repeated id merely
+    // packs both copies, which mix materialization uses deliberately).
     val runSums: Array[Array[(Any, Long)]] = rows.mapPartitions { it =>
       val runs = scala.collection.mutable.ArrayBuffer.empty[(Any, Long)]
       var cur: Any = null; var have = false; var acc = 0L
+      var prevId: Any = null; var hasPrevId = false
       it.foreach { r =>
         val s = r.get(sIdx)
         if (!have || !java.util.Objects.equals(s, cur)) {
           if (have) runs += ((cur, acc))
           cur = s; acc = 0L; have = true
+          hasPrevId = false // ids only collide within one stratum's order
+        }
+        if (refuseDuplicateIds) {
+          val id = r.get(iIdx)
+          if (hasPrevId && java.util.Objects.equals(id, prevId))
+            throw new IllegalArgumentException(
+              s"packSequences: duplicate $idCol '$id' in stratum '$cur' - " +
+                s"'$idCol' is contractually the primary key here " +
+                "(tokenQuota would double-spend the budget on the copies); " +
+                "dedup the input or disambiguate the id")
+          prevId = id; hasPrevId = true
         }
         // n_tokens is int (default whitespace count) or bigint
         // (caller-supplied measure) — read either exactly
@@ -1083,8 +1106,12 @@ object Pipeline {
     * exchange, two passes sharing shuffle files, map-side cumsum; the
     * keep filter is a map-side predicate on the kernel's output.
     *
-    * Contract: `idCol` is the corpus primary key (non-null — raises
-    * map-side — and unique); null `strataCol` rows drop explicitly,
+    * Contract: `idCol` is the corpus primary key — ENFORCED, not
+    * assumed: null ids raise map-side, and a DUPLICATE id (which would
+    * silently double-spend the budget — both copies share one order key
+    * and sit adjacent) is refused loudly by the kernel's pass-1 scan
+    * (`refuseDuplicateIds`, complete because the range partitioner
+    * never splits equal keys). Null `strataCol` rows drop explicitly,
     * matching [[graft.streaming.StreamingQuota]] so the two tiers admit
     * the same strata. Output appends `n_tokens` (the admission
     * measure); an existing `n_tokens` column is refused by the kernel
@@ -1118,8 +1145,12 @@ object Pipeline {
               lit(seed.toString), checkedId)), 1, 8), 16, 10)
             .cast("long"))), 16, "0"),
           checkedId))
+    // refuseDuplicateIds: the PK contract is ENFORCED, not just
+    // documented — a duplicated doc_id shares one __qkey, sits adjacent
+    // in the kernel's order, and would silently double-spend the budget;
+    // the kernel's pass-1 scan catches it for free (r14)
     packSequences(keyed, budgetTokens, strataCol, idCol = "__qkey",
-        tokenCountCol = tokenCountCol)
+        tokenCountCol = tokenCountCol, refuseDuplicateIds = true)
       .filter(col("chunk_id") === 0L)
       .drop("__qkey", "chunk_id")
   }

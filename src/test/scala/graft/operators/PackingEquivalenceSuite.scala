@@ -308,6 +308,33 @@ class PackingEquivalenceSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(k1.contains(999L), "a quota must never erase a stratum")
   }
 
+  test("tokenQuota: duplicate doc_id refuses loudly; plain packing stays permissive") {
+    val sql = spark
+    import sql.implicits._
+    // both copies of doc 5 share one __qkey and sit adjacent in the
+    // kernel's order — without the refusal they'd silently double-spend
+    // the budget; the pass-1 scan catches them (complete: the range
+    // partitioner never splits equal keys)
+    val dup = ((1L to 10L).map(i => (i, "s0", s"w$i x$i y$i")) :+
+        ((5L, "s0", "dup copy text"))).toDF("doc_id", "source", "text")
+    val ex = intercept[Exception] {
+      Pipeline.tokenQuota(dup, 1000).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("duplicate") ||
+      Option(ex.getCause).exists(c => c.getMessage != null &&
+        c.getMessage.contains("duplicate")),
+      s"duplicate id must name the refusal: $ex")
+    // the same id in ANOTHER stratum is not a double-spend (separate
+    // budgets) and must pass
+    val crossStrata = ((1L to 10L).map(i => (i, "s0", s"w$i")) :+
+        ((5L, "s1", "other stratum"))).toDF("doc_id", "source", "text")
+    assert(Pipeline.tokenQuota(crossStrata, 1000).count() === 11)
+    // packSequences' DEFAULT keeps today's permissive semantics: a
+    // repeated id simply packs both copies (mix materialization relies
+    // on it via the copy-composite key)
+    assert(Pipeline.packSequences(dup, 1000).count() === 11)
+  }
+
   test("trainingOrder: null keys and pre-existing pos column fail loudly") {
     val sql = spark
     import sql.implicits._
