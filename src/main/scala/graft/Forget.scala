@@ -197,6 +197,21 @@ object Forget {
     //    log may list ids whose docs never reached this corpus, and
     //    retraction of an absent doc has no row to recompute.)
     removedDocs.filter(_ => histIndexDirs.nonEmpty).foreach { rawDocs =>
+      // fail FAST, pre-write (r13 ADVICE): the id-freedom schema audit
+      // used to run only in the exit gate — AFTER this leg had already
+      // appended (source, rep, cnt) rows, so a drifted index gained
+      // mixed-schema parquet files before the audit failed, compounding
+      // the corruption the audit exists to catch. Checked here BEFORE
+      // any write; the exit-gate re-check below remains the formal proof.
+      histIndexDirs.foreach { d =>
+        val actual = rawDocs.sparkSession.read.parquet(s"$d/hist")
+          .schema.fieldNames.toSet
+        require(actual == Set("source", "rep", "cnt"),
+          s"forget: histogram index $d/hist schema " +
+            s"${actual.toSeq.sorted.mkString("(", ",", ")")} is not the " +
+            "id-free aggregate shape (cnt,rep,source) - refusing to " +
+            "append retraction rows into a drifted index")
+      }
       // dedup by doc_id: retraction SUBTRACTS, so a doc appearing twice
       // in the caller's frame (union of two delete manifests) would
       // double-subtract its buckets — silently, because shared buckets

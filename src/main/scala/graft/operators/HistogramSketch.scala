@@ -307,9 +307,24 @@ object HistogramSketch {
     * batch's bucket rows without reading the index (work ∝ batch), and
     * [[readHistogramIndex]] merges generations at read by summing. */
   def buildHistogramIndex(docs: DataFrame, dir: String,
-                          subBits: Int = DefaultSubBits): Unit =
+                          subBits: Int = DefaultSubBits): Unit = {
+    // a rebuild starts a NEW count history: replay markers from the
+    // previous build describe retractions that are no longer in the
+    // index, and keeping them would make a later LEGITIMATE forget of
+    // the same id set silently skip (r13 ADVICE). Invalidated BEFORE the
+    // overwrite: the crash window then leaves old-index-without-markers,
+    // whose natural recovery is rerunning this build — the reverse order
+    // would leave new-index-with-stale-markers, which IS the bug.
+    val markers = new org.apache.hadoop.fs.Path(s"$dir/hist_forget_markers")
+    val fs = markers.getFileSystem(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(markers))
+      require(fs.delete(markers, true),
+        s"buildHistogramIndex: could not invalidate stale forget " +
+          s"markers at $markers - a rebuild must not inherit them")
     lengthFrame(docs, subBits)
       .write.mode("overwrite").parquet(s"$dir/hist")
+  }
 
   /** Append a batch generation's bucket rows (same `subBits` as the
     * build — a coarser generation would not merge bucket-for-bucket). */
@@ -371,6 +386,46 @@ object HistogramSketch {
               "' - a retraction exceeded what was built'))").cast("long"))
           .otherwise(col("cnt")))
         .filter(col("cnt") =!= 0), "source", pcts)
+
+  /** Consolidate the index's generation history into ONE generation —
+    * the maintenance leg the append-forever discipline needs: nightly
+    * [[appendHistogramIndex]]s plus retractions accumulate parquet
+    * generations without bound, and [[readHistogramIndex]] re-merges ALL
+    * of them on every read (a year of nightly appends makes every
+    * quantile read scan ~365 generations for a ≤1920-row answer).
+    * Count addition is associative, so summing the generations down to
+    * one row per live (source, rep) bucket — net-zero (fully-retracted)
+    * buckets dropped — is LOSSLESS: read-before ≡ read-after exactly.
+    * Runs as the crash-safe staged rename-aside rewrite
+    * ([[graft.operators.Pipeline]]'s `stagedRewrite` discipline): the
+    * index is never unreadable, and a rerun self-heals residue.
+    *
+    * Marker semantics (the forget-replay contract): applied retractions
+    * are IN the consolidated counts, so the per-(dir, idSet) replay
+    * markers at `hist_forget_markers/` MUST survive consolidation —
+    * they live beside `hist/`, not inside it, and this rewrite touches
+    * only `hist/`. Replaying an already-applied forget after a
+    * consolidation therefore still skips, exactly as before. (A full
+    * REBUILD is the opposite case: [[buildHistogramIndex]] invalidates
+    * the markers, because a fresh build contains no retractions.)
+    *
+    * The same net-negative guard as the read applies: a bucket whose
+    * merged count is negative means a retraction exceeded what was ever
+    * built, and consolidating it would bake the corruption into the
+    * single surviving generation — refused loudly instead. */
+  def consolidateHistogramIndex(spark: SparkSession, dir: String): Unit =
+    Pipeline.stagedRewrite(spark, s"$dir/hist", "consolidate") { df =>
+      df.groupBy(col("source"), col("rep"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .withColumn("cnt", when(col("cnt") < 0,
+            expr("raise_error(CONCAT('consolidateHistogramIndex: bucket (', " +
+              "source, ', ', rep, ') has negative merged count ', cnt, " +
+              "' - a retraction exceeded what was built; refusing to " +
+              "bake the corruption into the consolidated generation'))")
+              .cast("long"))
+          .otherwise(col("cnt")))
+        .filter(col("cnt") =!= 0)
+    }
 
   /** Build-once memo for the q159 harness query (the q157 split: corpus
     * built from doc_id < 250, the later generation appended — once per

@@ -1406,9 +1406,9 @@ object Pipeline {
     * leaves a recoverable full copy at a deterministic path, and a
     * rerun self-heals the two crash residues first (aside restored if
     * `dir` vanished mid-swap; stale aside deleted otherwise). */
-  private def stagedRewrite(spark: SparkSession, dir: String, tag: String,
-                            partitionCols: Seq[String] = Seq.empty)
-                           (transform: DataFrame => DataFrame): Unit = {
+  private[graft] def stagedRewrite(spark: SparkSession, dir: String, tag: String,
+                                   partitionCols: Seq[String] = Seq.empty)
+                                  (transform: DataFrame => DataFrame): Unit = {
     val base = dir.stripSuffix("/")
     val dirPath = new org.apache.hadoop.fs.Path(base)
     val stagePath = new org.apache.hadoop.fs.Path(base + s"__${tag}_stage")

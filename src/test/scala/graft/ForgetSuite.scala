@@ -380,4 +380,71 @@ class ForgetSuite extends AnyFunSuite with BeforeAndAfterAll {
       "replaying the forget (with a duplicated removedDocs frame) must " +
         "leave the index at the survivor-only statistics, not subtract again")
   }
+
+  test("histogram markers: survive consolidation, invalidate on rebuild, fail-fast pre-write") {
+    val sql = spark
+    import sql.implicits._
+    import graft.operators.HistogramSketch
+    val base = Files.createTempDirectory("graft-forget-markers").toString
+    val docs = (1L to 30L).map { id =>
+      (id, if (id % 2 == 0) "web" else "book",
+        Seq.fill((id % 5 + 2).toInt)(s"t$id w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val histDir = s"$base/hist_idx"
+    HistogramSketch.buildHistogramIndex(docs, histDir)
+    val deleteIds = Seq(4L, 9L)
+    val removed = docs.filter(col("doc_id").isin(deleteIds: _*))
+    Forget.forget(deleteIds.toDF("doc_id"), "doc_id",
+      histIndexDirs = Seq(histDir), removedDocs = Some(removed))
+    val survivorStats = HistogramSketch.sourceLengthQuantiles(
+        docs.filter(!col("doc_id").isin(deleteIds: _*)))
+      .collect().map(_.toString).sorted
+
+    // 1) consolidation keeps the markers: applied retractions are IN
+    //    the consolidated counts, so a replayed forget must STILL skip
+    //    (a re-subtraction against the consolidated generation would
+    //    corrupt silently — shared buckets stay net-positive)
+    HistogramSketch.consolidateHistogramIndex(spark, histDir)
+    Forget.forget(deleteIds.toDF("doc_id"), "doc_id",
+      histIndexDirs = Seq(histDir), removedDocs = Some(removed))
+    val afterReplay = HistogramSketch.readHistogramIndex(spark, histDir)
+      .collect().map(_.toString).sorted
+    assert(afterReplay.sameElements(survivorStats),
+      "replay after consolidation must skip (marker survives the rewrite)")
+
+    // 2) REBUILD invalidates the markers (r13 ADVICE): a fresh build
+    //    contains no retractions, so a stale (dir, idSet) marker from
+    //    the previous build would silently skip a LEGITIMATE forget of
+    //    the same id set — the rebuilt index would keep counting the
+    //    deleted docs with no error anywhere
+    HistogramSketch.buildHistogramIndex(docs, histDir) // re-includes 4, 9
+    Forget.forget(deleteIds.toDF("doc_id"), "doc_id",
+      histIndexDirs = Seq(histDir), removedDocs = Some(removed))
+    val afterRebuildForget = HistogramSketch.readHistogramIndex(spark, histDir)
+      .collect().map(_.toString).sorted
+    assert(afterRebuildForget.sameElements(survivorStats),
+      "the same id set must retract NORMALLY against a rebuilt index - " +
+        "stale markers from the previous build must not survive it")
+
+    // 3) fail-FAST pre-write (r13 ADVICE): against a schema-drifted
+    //    index the old flow appended (source, rep, cnt) retraction rows
+    //    FIRST and only then failed in the exit gate — landing
+    //    mixed-schema parquet into the very index the audit protects.
+    //    The pre-write check must refuse BEFORE anything lands.
+    val driftedDir = s"$base/drifted_idx"
+    Seq(("web", 8L, 2L, 99L)).toDF("source", "rep", "cnt", "doc_id")
+      .write.parquet(s"$driftedDir/hist")
+    val filesBefore = new java.io.File(s"$driftedDir/hist")
+      .listFiles().map(_.getName).toSet
+    val eDrift = intercept[IllegalArgumentException] {
+      Forget.forget(deleteIds.toDF("doc_id"), "doc_id",
+        histIndexDirs = Seq(driftedDir), removedDocs = Some(removed))
+    }
+    assert(eDrift.getMessage.contains("id-free aggregate shape"),
+      s"pre-write refusal must name the drift: $eDrift")
+    val filesAfter = new java.io.File(s"$driftedDir/hist")
+      .listFiles().map(_.getName).toSet
+    assert(filesAfter === filesBefore,
+      "the refusal must land BEFORE any retraction rows are written")
+  }
 }

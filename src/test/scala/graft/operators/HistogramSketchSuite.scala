@@ -291,4 +291,66 @@ class HistogramSketchSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(msgs(ex).exists(_.contains("negative merged count")),
       s"over-retraction must name the corruption: ${msgs(ex)}")
   }
+
+  test("index: consolidation is lossless and collapses the generation history") {
+    val sql = spark
+    import sql.implicits._
+    val docs = randomDocs(29, 400).toDF("doc_id", "source", "text")
+    val dir = Files.createTempDirectory("graft-hist-consol").toString
+    // a realistic history: build + three nightly appends + a retraction
+    HistogramSketch.buildHistogramIndex(docs.filter(col("doc_id") < 100), dir)
+    HistogramSketch.appendHistogramIndex(
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 200), dir)
+    HistogramSketch.appendHistogramIndex(
+      docs.filter(col("doc_id") >= 200 && col("doc_id") < 300), dir)
+    HistogramSketch.appendHistogramIndex(docs.filter(col("doc_id") >= 300), dir)
+    HistogramSketch.retractHistogramIndex(
+      docs.filter(col("doc_id") % 5 === 0), dir)
+    val before = HistogramSketch.readHistogramIndex(spark, dir)
+      .collect().map(_.toString).sorted
+    val rawBefore = spark.read.parquet(s"$dir/hist")
+    val rowsBefore = rawBefore.count()
+    HistogramSketch.consolidateHistogramIndex(spark, dir)
+    // lossless: the read is row-identical
+    val after = HistogramSketch.readHistogramIndex(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(after.sameElements(before),
+      "consolidation must not change the read (count addition is lossless)")
+    // collapsed: exactly one row per live (source, rep) bucket, so the
+    // raw row count equals the distinct-bucket count — strictly fewer
+    // rows than the 5-generation history held
+    val raw = spark.read.parquet(s"$dir/hist")
+    val rowsAfter = raw.count()
+    assert(rowsAfter === raw.select("source", "rep").distinct().count(),
+      "one row per bucket after consolidation")
+    assert(rowsAfter < rowsBefore,
+      s"history must shrink: $rowsBefore -> $rowsAfter")
+    // schema unchanged: the id-freedom audit contract survives
+    assert(raw.schema.fieldNames.toSet === Set("source", "rep", "cnt"))
+    // net-zero buckets drop OUT of the stored rows, not just the read:
+    // fully retract one source, consolidate, and the raw parquet holds
+    // no rows for it
+    HistogramSketch.retractHistogramIndex(
+      docs.filter(col("source") === "s1" && col("doc_id") % 5 =!= 0), dir)
+    HistogramSketch.consolidateHistogramIndex(spark, dir)
+    val sources = spark.read.parquet(s"$dir/hist")
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(!sources.contains("s1"),
+      s"fully-cancelled buckets must not survive consolidation: $sources")
+    // corruption refuses: an over-retraction (net-negative bucket) must
+    // not get baked into the single surviving generation
+    HistogramSketch.retractHistogramIndex(
+      docs.filter(col("source") === "s1"), dir) // s1 already gone
+    val ex2 = intercept[Exception] {
+      HistogramSketch.consolidateHistogramIndex(spark, dir)
+    }
+    def msgs2(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs2(t.getCause)
+    assert(msgs2(ex2).exists(_.contains("negative merged count")),
+      s"consolidating corruption must refuse loudly: ${msgs2(ex2)}")
+    // and the refusal left the live index untouched (staged rewrite:
+    // the swap never happened)
+    assert(spark.read.parquet(s"$dir/hist").count() > 0)
+  }
 }
