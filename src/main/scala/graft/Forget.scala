@@ -35,9 +35,12 @@ import graft.state.{GraftStateStoreProviderBase, StateRescale}
   *    id-freedom audit in the exit gate
   *  - the KMV sketch index ([[graft.operators.Dedup.buildSketchIndex]]'s
   *    `sketches/`) — id-free AND monoid-only (a bottom-k insert cannot
-  *    be undone), so deletion-accuracy maintenance is a caller-cadence
-  *    REBUILD over the survivors; the exit gate still audits its
-  *    id-freedom so the exemption is proven, not assumed
+  *    be undone), so deletion-accuracy maintenance is a REBUILD over
+  *    the survivors: pass `kmvSurvivors` and the rebuild runs INSIDE
+  *    this call (r14; guarded — a survivor frame still holding a
+  *    delete-list id refuses loudly), or omit it to keep the caller's
+  *    own cadence; the exit gate audits the index's id-freedom either
+  *    way so the exemption is proven, not assumed
   *
   * followed by the audits as a FORCED exit gate:
   * [[graft.operators.Pipeline.deletionAudit]] over every parquet
@@ -118,6 +121,8 @@ object Forget {
              removedDocs: Option[DataFrame] = None,
              histSubBits: Int = HistogramSketch.DefaultSubBits,
              kmvIndexDirs: Seq[String] = Seq.empty,
+             kmvSurvivors: Option[DataFrame] = None,
+             kmvK: Int = 64,
              hadoopConf: Configuration = new Configuration()): ForgetReport = {
     require(states.nonEmpty || annDir.nonEmpty || artifacts.nonEmpty ||
         spanIndexDirs.nonEmpty || cdcIndexDirs.nonEmpty ||
@@ -250,13 +255,30 @@ object Forget {
         }
       }
     }
-    // KMV sketch indexes get NO delete leg by algebra: a bottom-k set is
-    // a monoid (inserts cannot be undone), so deletion-accuracy
-    // maintenance is a REBUILD of the affected sources' sketches
-    // (buildSketchIndex over the survivors) on the caller's cadence.
+    // KMV sketch indexes get NO subtraction leg by algebra: a bottom-k
+    // set is a monoid (inserts cannot be undone), so deletion-accuracy
+    // maintenance is a REBUILD over the survivors. r13 prescribed that
+    // rebuild "on the caller's cadence" — the one deletion-accuracy step
+    // that stayed hand-sequenced and therefore forgettable; passing
+    // `kmvSurvivors` now runs it INSIDE the call (r14), so the returned
+    // report covers it like every other leg. The guard is the inverse of
+    // the histogram leg's: a "survivor" frame that still contains a
+    // delete-list id would re-insert the deleted doc's shingle minima
+    // into the fresh sketches — refused loudly before any write.
     // Like the histogram, the index stores no doc ids — hashed shingle
     // minima only — so there is nothing for a GDPR audit to find; the
     // exit gate below proves that id-freedom structurally.
+    kmvSurvivors.filter(_ => kmvIndexDirs.nonEmpty).foreach { survivors =>
+      val ghosts = survivors.select(col("doc_id").cast("long").as("__sid"))
+        .na.drop().distinct()
+        .filter(col("__sid").isInCollection(idSet)).count()
+      require(ghosts == 0L,
+        s"forget: kmvSurvivors still contains $ghosts delete-list doc_ids " +
+          "- rebuilding from them would re-insert deleted content into " +
+          "the sketch index; pass the corpus MINUS the delete list")
+      kmvIndexDirs.foreach(d =>
+        graft.operators.Dedup.buildSketchIndex(survivors, d, kmvK))
+    }
 
     // 7) the exit gate — every surface must PROVE zero residuals, and
     //    the aggregate indexes must PROVE they carry no id column

@@ -381,6 +381,52 @@ class ForgetSuite extends AnyFunSuite with BeforeAndAfterAll {
         "leave the index at the survivor-only statistics, not subtract again")
   }
 
+  test("KMV leg: in-call survivor rebuild ≡ a fresh survivor-only build; ghosts refused") {
+    val sql = spark
+    import sql.implicits._
+    import graft.operators.Dedup
+    val base = Files.createTempDirectory("graft-forget-kmv").toString
+    val docs = (1L to 40L).map { id =>
+      (id, if (id % 3 == 0) "web" else "book",
+        Seq.fill((id % 6 + 3).toInt)(s"tok${id % 11} w${id % 7}").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val kmvDir = s"$base/kmv_idx"
+    Dedup.buildSketchIndex(docs, kmvDir)
+    val deleteIds = Seq(6L, 11L, 30L)
+    val survivors = docs.filter(!col("doc_id").isin(deleteIds: _*))
+
+    // the prescribed-but-manual maintenance step now runs INSIDE the
+    // call: the bottom-k monoid cannot subtract, so accuracy maintenance
+    // is a survivor rebuild — and after it, the index reads EXACTLY like
+    // a fresh build over the survivors (q157's lossless-merge identity)
+    Forget.forget(deleteIds.toDF("doc_id"), "doc_id",
+      kmvIndexDirs = Seq(kmvDir), kmvSurvivors = Some(survivors))
+    val rebuilt = Dedup.readSketchIndex(spark, kmvDir)
+      .collect().map(_.toString).sorted
+    val freshDir = s"$base/fresh_idx"
+    Dedup.buildSketchIndex(survivors, freshDir)
+    val fresh = Dedup.readSketchIndex(spark, freshDir)
+      .collect().map(_.toString).sorted
+    assert(rebuilt.sameElements(fresh),
+      "forget-with-rebuild must equal a survivor-only fresh build")
+
+    // a "survivor" frame still holding a delete-list id would re-insert
+    // the deleted doc's shingle minima — refused loudly, nothing written
+    val beforeRows = spark.read.parquet(s"$kmvDir/sketches")
+      .collect().map(_.toString).sorted
+    val eGhost = intercept[IllegalArgumentException] {
+      Forget.forget(deleteIds.toDF("doc_id"), "doc_id",
+        kmvIndexDirs = Seq(kmvDir),
+        kmvSurvivors = Some(docs.filter(!col("doc_id").isin(6L, 11L))))
+    }
+    assert(eGhost.getMessage.contains("delete-list doc_ids"),
+      s"ghost survivors must name the refusal: $eGhost")
+    val afterRows = spark.read.parquet(s"$kmvDir/sketches")
+      .collect().map(_.toString).sorted
+    assert(afterRows.sameElements(beforeRows),
+      "the refusal must land before any rebuild write")
+  }
+
   test("histogram markers: survive consolidation, invalidate on rebuild, fail-fast pre-write") {
     val sql = spark
     import sql.implicits._
