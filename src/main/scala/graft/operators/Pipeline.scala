@@ -1081,6 +1081,50 @@ object Pipeline {
       .drop("__h")
   }
 
+  /** EPOCH-INDEXED training order — the multi-epoch form of
+    * [[trainingOrder]]: a run that sees the corpus `nEpochs` times needs
+    * a DIFFERENT permutation per epoch (repeating one order correlates
+    * gradient noise across epochs — the classic reshuffle-each-epoch
+    * rule), derived from ONE seed so the whole schedule stays
+    * reproducible. Epoch `e` is [[trainingOrder]]'s kernel at
+    * `seed XOR e` with an `epoch` column appended; epoch 0 IS the
+    * single-epoch q169 order, so upgrading a run to multi-epoch never
+    * changes what epoch 0 trains on. Positions are per-epoch
+    * (each epoch holds the exact permutation 0..n-1).
+    *
+    * Cross-epoch decorrelation is a measurable property, not a hope:
+    * for independent permutations the expected number of positions
+    * holding the same chunk in two epochs is 1 (fixed points of a
+    * random permutation) — suite-gated, alongside the per-epoch
+    * [[orderMixingAudit]].
+    *
+    * Scale shape: the audited [[trainingOrder]] kernel runs VERBATIM
+    * per epoch — one range exchange of chunk-table rows and one long
+    * per partition to the driver, times `nEpochs` (epoch counts are
+    * single digits; a plan past `spark.graft.mix.maxEpochs` is refused
+    * the same way [[materializeMix]] refuses it). Null and duplicate
+    * keys inherit the kernel's loud refusal.
+    */
+  def trainingOrderEpochs(rows: DataFrame, seed: Long, nEpochs: Int,
+                          keyCols: Seq[String],
+                          posCol: String = "pos",
+                          epochCol: String = "epoch"): DataFrame = {
+    require(nEpochs >= 1, s"trainingOrderEpochs: nEpochs must be >= 1, got $nEpochs")
+    val maxEpochs = rows.sparkSession.conf
+      .getOption("spark.graft.mix.maxEpochs").map(_.toLong).getOrElse(1000L)
+    require(nEpochs <= maxEpochs,
+      s"trainingOrderEpochs: $nEpochs epochs - past spark.graft.mix" +
+        s".maxEpochs ($maxEpochs); a schedule this hot is memorization, " +
+        "not training")
+    require(!rows.columns.contains(epochCol),
+      s"trainingOrderEpochs: input already has a '$epochCol' column - " +
+        "drop or rename it before ordering")
+    (0 until nEpochs).map { e =>
+      trainingOrder(rows, seed ^ e.toLong, keyCols, posCol)
+        .withColumn(epochCol, lit(e.toLong))
+    }.reduce(_ unionByName _)
+  }
+
   /** Deterministic per-stratum TOKEN QUOTA — admission control for
     * ingest and mixture enforcement: keep each stratum's docs, in
     * seeded-hash order, until the stratum's running token sum reaches
@@ -2795,6 +2839,44 @@ object Pipeline {
                  AS BIGINT) AS pos
         FROM h
         ORDER BY pos""")),
+
+    // Epoch-indexed training order (r14): nEpochs DIFFERENT permutations
+    // of the same chunk table from ONE seed (epoch e = the q169 kernel
+    // at seed XOR e; epoch 0 IS q169's order). The oracle is q169's CTE
+    // with the epoch folded into the hash input via xor — ROW_NUMBER
+    // per epoch reproduces every per-epoch position exactly.
+    QuerySpec(
+      "q177_training_order_epochs",
+      (s, d) => trainingOrderEpochs(
+          packSequences(Tables.documents(s, d), budgetTokens = 256)
+            .filter(col("chunk_id").isNotNull)
+            .select(col("source").as("stratum"), col("chunk_id")).distinct(),
+          seed = 42, nEpochs = 3, keyCols = Seq("stratum", "chunk_id"))
+        .orderBy(col("epoch"), col("pos")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+                 len(string_split(text,' ')) AS n_tokens,
+                 SUM(len(string_split(text,' '))) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM documents),
+        k AS (SELECT DISTINCT source AS stratum,
+                     CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id
+              FROM t WHERE cum IS NOT NULL),
+        ep AS (SELECT CAST(u.e AS BIGINT) AS epoch
+               FROM UNNEST(generate_series(0, 2)) AS u(e)),
+        h AS (SELECT ep.epoch, k.stratum, k.chunk_id,
+                     substr(md5(concat(CAST(xor(42, ep.epoch) AS VARCHAR),
+                       ':', k.stratum, ':',
+                       CAST(k.chunk_id AS VARCHAR))), 1, 8) AS hx
+              FROM k CROSS JOIN ep)
+        SELECT stratum, chunk_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+                 ORDER BY hx, stratum, chunk_id) - 1 AS BIGINT) AS pos,
+               epoch
+        FROM h
+        ORDER BY epoch, pos""")),
 
     // Mixing audit of the q169 permutation (r13): per stratum, the
     // successor-same-stratum rate vs the stratum's overall share — the

@@ -138,6 +138,21 @@ class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the count-offset kernel's RDD scan:\n$p")
   }
 
+  test("q177: epoch schedule is the count-offset kernel per epoch — no window, no global sort") {
+    // each epoch runs the audited q169 kernel verbatim (one range
+    // exchange per epoch over the chunk table); the union of epochs may
+    // not introduce a ranking window or a global sort anywhere — only
+    // the presentation orderBy(epoch, pos) sorts, and it sorts kernel
+    // OUTPUT rows
+    val p = plan("q177_training_order_epochs")
+    assert(!p.contains("Window"),
+      s"epoch schedule must not plan a ranking window:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"expected the count-offset kernel's RDD scan:\n$p")
+    assert(p.contains("Union"),
+      s"expected the per-epoch union:\n$p")
+  }
+
   test("q169 pre-pass: RANGE exchange on the seeded hash, no hash exchange, no Window") {
     // the de-funnel property: the permutation lays out by a range
     // exchange on (__h, keys) — a single hot stratum's chunks spread

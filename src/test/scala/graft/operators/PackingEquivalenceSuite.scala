@@ -188,6 +188,75 @@ class PackingEquivalenceSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(moved > a1.size / 2, s"only $moved/${a1.size} keys moved between seeds")
   }
 
+  test("trainingOrderEpochs: per-epoch permutations, epoch 0 ≡ q169, decorrelated, stable") {
+    val base = chunkFixture(seed = 17, n = 700)
+    val n = 700L
+    def collectEpochs(parts: Int) =
+      Pipeline.trainingOrderEpochs(base.repartition(parts), seed = 7L,
+          nEpochs = 3, keyCols = Seq("stratum", "chunk_id"))
+        .collect()
+        .map(r => (r.getLong(3), (r.getString(0), r.getLong(1)), r.getLong(2)))
+    val rows = collectEpochs(4)
+    // each epoch is an EXACT permutation 0..n-1
+    (0L to 2L).foreach { e =>
+      val pos = rows.filter(_._1 == e).map(_._3).sorted
+      assert(pos.toSeq == (0L until n), s"epoch $e is not a permutation")
+    }
+    // epoch 0 IS the single-epoch order (seed ^ 0 = seed): upgrading a
+    // run to multi-epoch never changes what epoch 0 trains on
+    val single = Pipeline.trainingOrder(base, seed = 7L,
+        keyCols = Seq("stratum", "chunk_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val epoch0 = rows.filter(_._1 == 0L).map(t => t._2 -> t._3).toMap
+    assert(epoch0 == single, "epoch 0 must equal trainingOrder at the same seed")
+    // cross-epoch decorrelation: for independent permutations the
+    // expected count of positions holding the SAME chunk in two epochs
+    // is 1 (fixed points of a random permutation) — a kernel regression
+    // that reuses one permutation scores n
+    for (Seq(a, b) <- Seq(0L, 1L, 2L).combinations(2)) {
+      val pa = rows.filter(_._1 == a).map(t => t._3 -> t._2).toMap
+      val pb = rows.filter(_._1 == b).map(t => t._3 -> t._2).toMap
+      val same = (0L until n).count(p => pa(p) == pb(p))
+      assert(same <= 8,
+        s"epochs $a/$b share $same same-pos chunks (expected ~1 of $n)")
+    }
+    // per-epoch mixing health: the q172 audit on each epoch's slice
+    // stays near share_micro (packing order would score ~10^6)
+    val asDf = {
+      val sql = spark
+      import sql.implicits._
+      rows.toSeq.map(t => (t._2._1, t._2._2, t._3, t._1))
+        .toDF("stratum", "chunk_id", "pos", "epoch")
+    }
+    (0L to 2L).foreach { e =>
+      val audit = Pipeline.orderMixingAudit(
+          asDf.filter(col("epoch") === e).drop("epoch"))
+        .select("stratum", "same_next_micro", "share_micro")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      audit.foreach { case (stratum, sameMicro, shareMicro) =>
+        assert(math.abs(sameMicro - shareMicro) < 120000,
+          s"epoch $e stratum $stratum: same_next $sameMicro far from " +
+            s"share $shareMicro - the permutation left runs back-to-back")
+      }
+    }
+    // partition-count invariance: the schedule is a pure function of
+    // (seed, keys), never of layout
+    assert(collectEpochs(1).toSet == rows.toSet &&
+      collectEpochs(11).toSet == rows.toSet,
+      "epoch schedule must not depend on partitioning")
+    // guards: zero epochs, hot schedules, epoch-column collision
+    intercept[IllegalArgumentException] {
+      Pipeline.trainingOrderEpochs(base, 7L, 0, Seq("stratum", "chunk_id"))
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.trainingOrderEpochs(base, 7L, 1001, Seq("stratum", "chunk_id"))
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.trainingOrderEpochs(base.withColumn("epoch", lit(0)),
+        7L, 2, Seq("stratum", "chunk_id"))
+    }
+  }
+
   test("materializeMix: copies are floor/ceil of epochs, extra-copy rate tracks frac, guard fires") {
     val sql = spark
     import sql.implicits._
