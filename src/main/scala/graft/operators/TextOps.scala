@@ -1097,6 +1097,18 @@ object TextOps {
       s"$dir/index"
     }
 
+  /** Build-once memo for the q178 drift harness: the EARLIER snapshot —
+    * the corpus as it stood at the last audit (doc_id in [40, 90)),
+    * before the ingest that grew it to [[cachedContamIndex]]'s full
+    * `doc_id >= 40` generation. */
+  private def cachedContamIndexOld(s: SparkSession, d: String): String =
+    graft.operators.BuildOnce.dir("graft-contam-index-old", d) { dir =>
+      buildSpanIndex(Tables.documents(s, d)
+          .filter(col("doc_id") >= 40 && col("doc_id") < 90),
+        s"$dir/index", n = 4)
+      s"$dir/index"
+    }
+
   /** Build-once memo for the q153 harness query (the q146 memo
     * discipline): the CDC chunk-digest index of the corpus generation
     * (doc_id < 250), built once per sf-dir per JVM. Library users call
@@ -1376,6 +1388,49 @@ object TextOps {
       .join(broadcast(totals), Seq("source"))
       .withColumn("contam_rate_micro",
         expr("(n_contaminated * 1000000) div n_docs"))
+  }
+
+  /** Contamination DRIFT between two span-index snapshots — the nightly
+    * governance delta the matrix family was missing: q174 answers
+    * "which sources leak which benchmarks NOW"; this answers "which
+    * sources got cleaner or dirtier SINCE THE LAST AUDIT" — the signal
+    * that catches a new ingest source quietly re-introducing benchmark
+    * text, or a decontamination pass actually paying off. Composes
+    * [[contaminationMatrixFromIndex]] over both snapshots (each probe
+    * rides its index's `pos/` — corpus text is never re-read or
+    * re-tokenized on either side) and diffs per `(source, eval_name)`
+    * in EXACT integers (the q129/q161 drift discipline): a pair absent
+    * from a snapshot is zero contamination, so sources appearing or
+    * vanishing between audits surface as full-magnitude deltas rather
+    * than dropped rows.
+    *
+    * Output per pair: old/new contaminated-doc counts, old/new integer-µ
+    * rates, and their deltas (`delta_docs`, `delta_rate_micro` — sign
+    * says cleaner (<0) or dirtier (>0)).
+    *
+    * Scale shape: both matrices are |sources| × |evals| rows — the
+    * full-outer diff join is output-sized, trivially broadcastable, and
+    * the heavy side (the two pos/ probes) inherits q174's shape,
+    * including the unhinted hits join. */
+  def contaminationDrift(spark: SparkSession, dirOld: String, dirNew: String,
+                         evals: Seq[(String, DataFrame)],
+                         metaOld: DataFrame, metaNew: DataFrame,
+                         n: Int = 4): DataFrame = {
+    val old = contaminationMatrixFromIndex(spark, dirOld, evals, metaOld, n)
+      .select(col("source"), col("eval_name"),
+        col("n_contaminated").as("contam_docs_old"),
+        col("contam_rate_micro").as("rate_old_micro"))
+    val nw = contaminationMatrixFromIndex(spark, dirNew, evals, metaNew, n)
+      .select(col("source"), col("eval_name"),
+        col("n_contaminated").as("contam_docs_new"),
+        col("contam_rate_micro").as("rate_new_micro"))
+    old.join(nw, Seq("source", "eval_name"), "full_outer")
+      .na.fill(0L, Seq("contam_docs_old", "contam_docs_new",
+        "rate_old_micro", "rate_new_micro"))
+      .withColumn("delta_docs",
+        col("contam_docs_new") - col("contam_docs_old"))
+      .withColumn("delta_rate_micro",
+        col("rate_new_micro") - col("rate_old_micro"))
   }
 
   /** Composite document quality score in [0, 1] — the weighted ensemble
@@ -2458,6 +2513,76 @@ object TextOps {
         FROM hits h JOIN totals t ON t.source = h.source
         GROUP BY h.source, h.eval_name, t.n_docs
         ORDER BY h.source, h.eval_name""")),
+
+    // Contamination DRIFT between index generations (r14): the
+    // per-(source, eval) matrix DELTA between the last audit's snapshot
+    // ([40, 90)) and the grown corpus (>= 40) — which sources got
+    // cleaner/dirtier since. The oracle is TWO direct q167
+    // constructions full-outer-diffed in exact integer µ.
+    QuerySpec(
+      "q178_contamination_drift",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        contaminationDrift(s,
+            cachedContamIndexOld(s, d), cachedContamIndex(s, d),
+            Seq("evalA" -> docs.filter(col("doc_id") < 20),
+              "evalB" -> docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)),
+            docs.filter(col("doc_id") >= 40 && col("doc_id") < 90),
+            docs.filter(col("doc_id") >= 40), n = 4)
+          .orderBy(col("source"), col("eval_name"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS t
+                      FROM documents),
+        g AS (SELECT doc_id, source, array_to_string(t[i:i+3],' ') AS gram
+              FROM toks, UNNEST(generate_series(1, greatest(len(t)-3, 0))) AS u(i)),
+        ev AS (
+          SELECT DISTINCT gram, 'evalA' AS eval_name FROM g WHERE doc_id < 20
+          UNION
+          SELECT DISTINCT gram, 'evalB' AS eval_name FROM g
+          WHERE doc_id >= 20 AND doc_id < 40),
+        mo AS (
+          SELECT h.source, h.eval_name,
+                 CAST(COUNT(*) AS BIGINT) AS contam_docs_old,
+                 CAST((COUNT(*) * 1000000) // t.n_docs AS BIGINT)
+                   AS rate_old_micro
+          FROM (SELECT DISTINCT g.doc_id, g.source, ev.eval_name
+                FROM g JOIN ev USING (gram)
+                WHERE g.doc_id >= 40 AND g.doc_id < 90) h
+          JOIN (SELECT source, COUNT(*) AS n_docs FROM documents
+                WHERE doc_id >= 40 AND doc_id < 90 GROUP BY source) t
+            ON t.source = h.source
+          GROUP BY h.source, h.eval_name, t.n_docs),
+        mn AS (
+          SELECT h.source, h.eval_name,
+                 CAST(COUNT(*) AS BIGINT) AS contam_docs_new,
+                 CAST((COUNT(*) * 1000000) // t.n_docs AS BIGINT)
+                   AS rate_new_micro
+          FROM (SELECT DISTINCT g.doc_id, g.source, ev.eval_name
+                FROM g JOIN ev USING (gram)
+                WHERE g.doc_id >= 40) h
+          JOIN (SELECT source, COUNT(*) AS n_docs FROM documents
+                WHERE doc_id >= 40 GROUP BY source) t
+            ON t.source = h.source
+          GROUP BY h.source, h.eval_name, t.n_docs)
+        SELECT COALESCE(mo.source, mn.source) AS source,
+               COALESCE(mo.eval_name, mn.eval_name) AS eval_name,
+               CAST(COALESCE(mo.contam_docs_old, 0) AS BIGINT)
+                 AS contam_docs_old,
+               CAST(COALESCE(mo.rate_old_micro, 0) AS BIGINT)
+                 AS rate_old_micro,
+               CAST(COALESCE(mn.contam_docs_new, 0) AS BIGINT)
+                 AS contam_docs_new,
+               CAST(COALESCE(mn.rate_new_micro, 0) AS BIGINT)
+                 AS rate_new_micro,
+               CAST(COALESCE(mn.contam_docs_new, 0)
+                 - COALESCE(mo.contam_docs_old, 0) AS BIGINT) AS delta_docs,
+               CAST(COALESCE(mn.rate_new_micro, 0)
+                 - COALESCE(mo.rate_old_micro, 0) AS BIGINT)
+                 AS delta_rate_micro
+        FROM mo FULL OUTER JOIN mn
+          ON mo.source = mn.source AND mo.eval_name = mn.eval_name
+        ORDER BY source, eval_name""")),
 
     QuerySpec(
       "q66_blocklist_filter",

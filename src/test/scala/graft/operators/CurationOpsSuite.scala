@@ -159,6 +159,50 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(nContam >= 30, s"fixture must be pervasively leaked: $nContam/60")
   }
 
+  test("contaminationDrift: signs track cleaner/dirtier; identical snapshots read zero") {
+    val sql = spark
+    import sql.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val evalSet = Seq((1000L, "e", "z1 z2 z3 z4 z5")).toDF("doc_id", "source", "text")
+    val evals = Seq("evalA" -> evalSet)
+    // old audit: web leaks 1 of 2 docs (500000µ); book is clean
+    val oldCorpus = Seq(
+      (1L, "web", "a z1 z2 z3 z4 b"),
+      (2L, "web", "clean doc here now"),
+      (3L, "book", "also clean text here")).toDF("doc_id", "source", "text")
+    // since then: web got CLEANER (the leak scrubbed), book DIRTIER
+    // (a new ingest brought eval text), and a NEW source appeared leaked
+    val newCorpus = Seq(
+      (1L, "web", "a scrubbed now clean b"),
+      (2L, "web", "clean doc here now"),
+      (3L, "book", "also clean text here"),
+      (4L, "book", "x z2 z3 z4 z5 y"),
+      (5L, "forum", "z1 z2 z3 z4 fresh leak")).toDF("doc_id", "source", "text")
+    TextOps.buildSpanIndex(oldCorpus, s"$base/old", n = 4)
+    TextOps.buildSpanIndex(newCorpus, s"$base/new", n = 4)
+    val drift = TextOps.contaminationDrift(spark, s"$base/old", s"$base/new",
+        evals, oldCorpus.select($"doc_id", $"source"),
+        newCorpus.select($"doc_id", $"source"), n = 4)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4),
+        r.getLong(6), r.getLong(7))).toList
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    // (source -> (old_docs, new_docs, delta_docs, delta_rate_micro))
+    assert(drift("web") === ((1L, 0L, -1L, -500000L)),
+      s"web got cleaner: ${drift.get("web")}")
+    assert(drift("book") === ((0L, 1L, 1L, 500000L)),
+      s"book got dirtier: ${drift.get("book")}")
+    assert(drift("forum") === ((0L, 1L, 1L, 1000000L)),
+      s"a new leaked source surfaces at full magnitude: ${drift.get("forum")}")
+    // identical snapshots: every delta is exactly zero (the q129/q161
+    // zero-on-identical drift discipline)
+    val zero = TextOps.contaminationDrift(spark, s"$base/new", s"$base/new",
+        evals, newCorpus.select($"doc_id", $"source"),
+        newCorpus.select($"doc_id", $"source"), n = 4)
+      .collect().map(r => (r.getLong(6), r.getLong(7)))
+    assert(zero.nonEmpty && zero.forall(_ == ((0L, 0L))),
+      s"identical snapshots must drift zero: ${zero.toSeq}")
+  }
+
   test("contaminationMatrixFromIndex refuses a hash-built index loudly") {
     val sql = spark
     import sql.implicits._
