@@ -238,10 +238,40 @@ object Dedup {
     * bottom-k-of-union algebra. */
   private def mergedSketches(spark: SparkSession, dir: String,
                              k: Int): DataFrame =
-    spark.read.parquet(s"$dir/sketches")
-      .groupBy(col("source"))
+    mergeKmvGenerations(spark.read.parquet(s"$dir/sketches"), k)
+
+  /** The one definition of the KMV generation merge — shared by the
+    * read path and [[consolidateSketchIndex]] so the two cannot drift
+    * on what "current sketch" means. */
+  private def mergeKmvGenerations(gens: DataFrame, k: Int): DataFrame =
+    gens.groupBy(col("source"))
       .agg(slice(array_sort(array_distinct(flatten(collect_list(col("kmv"))))),
         1, k).as("kmv"))
+
+  /** Consolidate the sketch index's generation history into ONE row per
+    * source — the KMV twin of
+    * [[graft.operators.HistogramSketch.consolidateHistogramIndex]]:
+    * nightly [[appendSketchIndex]]s accumulate parquet generations
+    * without bound and [[readSketchIndex]] re-merges ALL of them on
+    * every read. The merge is LOSSLESS by the bottom-k monoid law —
+    * `bottomK(bottomK(A) ∪ B) = bottomK(A ∪ B)` — so read-before ≡
+    * read-after EXACTLY, and generations appended AFTER a consolidation
+    * still merge exactly (the homomorphism property, suite-pinned).
+    * Staged rename-aside rewrite: the index is never unreadable.
+    *
+    * `k` must be ≥ the largest k any read uses (the build's k — a
+    * consolidation at smaller k would silently truncate the minima
+    * larger-k reads need; same contract as [[appendSketchIndex]]).
+    * Unlike the histogram index there are no forget markers to manage:
+    * the KMV deletion posture is the survivor REBUILD
+    * ([[graft.Forget.forget]]'s `kmvSurvivors` leg), which overwrites
+    * the whole history anyway. */
+  def consolidateSketchIndex(spark: SparkSession, dir: String,
+                             k: Int = 64): Unit = {
+    require(k >= 2, s"consolidateSketchIndex: k must be >= 2, got $k")
+    Pipeline.stagedRewrite(spark, s"$dir/sketches", "consolidate")(
+      mergeKmvGenerations(_, k))
+  }
 
   /** Cross-source overlap ESTIMATED from the KMV sketches — the
     * 100 TB tier of [[crossSourceOverlap]]'s exact digest matrix: the

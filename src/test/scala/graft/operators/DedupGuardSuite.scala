@@ -156,6 +156,30 @@ class DedupGuardSuite extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toSeq).toSet
     assert(fromIndex === fromCorpus && fromIndex.nonEmpty,
       s"index-served overlap must equal corpus-computed:\n$fromIndex\n$fromCorpus")
+
+    // CONSOLIDATION (r14): collapse the 3-generation history to one row
+    // per source — read-before ≡ read-after (bottom-k merge is lossless)
+    val rowsBefore = spark.read.parquet(s"$dir/sketches").count()
+    Dedup.consolidateSketchIndex(spark, dir, k = 8)
+    val afterConsol = Dedup.readSketchIndex(spark, dir, k = 8)
+      .collect().map(_.toSeq).toSet
+    assert(afterConsol === full, "consolidation must not change the read")
+    val raw = spark.read.parquet(s"$dir/sketches")
+    assert(raw.count() === 3L && raw.count() < rowsBefore,
+      s"one row per source after consolidation (was $rowsBefore)")
+    assert(raw.schema.fieldNames.toSet === Set("source", "kmv"),
+      "the id-freedom audit shape must survive consolidation")
+    // the monoid homomorphism: generations appended AFTER a
+    // consolidation still merge exactly (bottomK(bottomK(A) ∪ B) =
+    // bottomK(A ∪ B)) — the property that makes consolidate-then-append
+    // a safe nightly cadence
+    Dedup.appendSketchIndex(gen(91, 120), dir, k = 8)
+    val grown = Dedup.readSketchIndex(spark, dir, k = 8)
+      .collect().map(_.toSeq).toSet
+    val fullGrown = Dedup.sourceSketches(gen(1, 120), k = 8)
+      .collect().map(_.toSeq).toSet
+    assert(grown === fullGrown,
+      "append-after-consolidation must still equal the full-corpus run")
   }
 
   test("capByKey: null keys drop; guarded shuffled fallback matches the broadcast path") {
