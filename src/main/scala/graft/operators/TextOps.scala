@@ -2408,6 +2408,50 @@ object TextOps {
         FROM kept
         ORDER BY doc_id""")),
 
+    // The SERVE tier of q173 as its own oracle-gated query (r14): the
+    // identical cut computed with ZERO joins — the eval gram set is
+    // driver-collected (evalGramStrings, the fitted-model collect class)
+    // and compiles into the plan as the codegen'd gram_set_starts
+    // HashSet probe. The oracle is q173's proven rebuild SQL VERBATIM:
+    // the hash gate drives the serve ≡ batch identity through the
+    // driver's own DuckDB compare (991 grams at sf0.01; the >4096-gram
+    // panel the old literal-map cap excluded is CurationOpsSuite's
+    // 5500-gram parity gate).
+    QuerySpec(
+      "q179_decontaminate_serve",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        decontaminateSpansServe(docs.filter(col("doc_id") >= 20),
+            evalGramStrings(docs.filter(col("doc_id") < 20), n = 4), n = 4)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS t
+                      FROM documents),
+        g AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+3],' ') AS gram
+              FROM toks, UNNEST(generate_series(1, greatest(len(t)-3, 0))) AS u(i)),
+        eval_g AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20),
+        starts AS (SELECT doc_id, list(DISTINCT pos) AS ss
+                   FROM g WHERE doc_id >= 20
+                     AND gram IN (SELECT gram FROM eval_g)
+                   GROUP BY doc_id),
+        kept AS (
+          SELECT toks.doc_id, toks.source,
+                 len(toks.t) AS n_tokens,
+                 list_filter(range(1, len(toks.t)+1),
+                   p -> len(list_filter(COALESCE(starts.ss, []),
+                            s -> p >= s AND p <= s + 3)) = 0) AS kp,
+                 toks.t AS t
+          FROM toks LEFT JOIN starts USING (doc_id)
+          WHERE toks.doc_id >= 20)
+        SELECT doc_id, source,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_tokens - len(kp) AS BIGINT) AS n_removed,
+               COALESCE(array_to_string(list_transform(kp, p -> t[p]), ' '), '')
+                 AS clean_text
+        FROM kept
+        ORDER BY doc_id""")),
+
     // Graded contamination: same eval-set split as q65/q100, but counts
     // per-doc distinct-gram overlap instead of a binary flag — the
     // quarantine-by-degree signal. Integer counts only; deterministic
