@@ -308,6 +308,32 @@ object Dedup {
     pairResemblance(mergedSketches(spark, dir, k), k)
   }
 
+  /** Distinct-content DRIFT between two sketch-index snapshots — the
+    * dedup-governance delta completing the drift family (q161 length
+    * drift, q178 contamination drift): per source, the KMV
+    * distinct-content estimate at the last audit vs now. A source whose
+    * estimate barely moves while its row count doubles is ingesting
+    * duplicates; one whose estimate jumps is genuinely new content —
+    * the signal that decides which sources deserve a dedup pass before
+    * the next training cut. Diffs in exact integers (the estimates are
+    * already exact-DECIMAL divisions, so the delta hash-gates); a
+    * source absent from a snapshot is zero distinct content, surfacing
+    * new/retired sources at full magnitude.
+    *
+    * Scale shape: two index reads (each ≤ generations × |sources| rows
+    * of k-long arrays — never the corpus) and a |sources|-row diff
+    * join. */
+  def sketchIndexDrift(spark: SparkSession, dirOld: String, dirNew: String,
+                       k: Int = 64): DataFrame = {
+    val old = readSketchIndex(spark, dirOld, k)
+      .select(col("source"), col("est_distinct").as("est_old"))
+    val nw = readSketchIndex(spark, dirNew, k)
+      .select(col("source"), col("est_distinct").as("est_new"))
+    old.join(nw, Seq("source"), "full_outer")
+      .na.fill(0L, Seq("est_old", "est_new"))
+      .withColumn("delta_est", col("est_new") - col("est_old"))
+  }
+
   /** The min-wise resemblance pair join over a `(source, kmv)` frame. */
   private def pairResemblance(sketches: DataFrame, k: Int): DataFrame = {
     val sk = sketches
@@ -1164,6 +1190,16 @@ object Dedup {
       dir
     }
 
+  /** Build-once memo for the q180 drift harness: the EARLIER snapshot —
+    * the corpus as it stood at the last audit (doc_id < 250), before
+    * the ingest that grew [[cachedSketchIndex]] to the full corpus. */
+  private def cachedSketchIndexOld(s: SparkSession, d: String): String =
+    BuildOnce.dir("graft-sketch-index-old", d) { dir =>
+      buildSketchIndex(Tables.documents(s, d).filter(col("doc_id") < 250),
+        dir, k = 64)
+      dir
+    }
+
   private def cachedSemDeDupIndex(s: SparkSession, d: String): String =
     BuildOnce.dir("graft-semdd-index", d) { dir =>
       buildSemDeDupIndex(
@@ -1774,6 +1810,48 @@ object Dedup {
                array_to_string(list_transform(kmv, v -> CAST(v AS VARCHAR)),
                  ',') AS kmv_csv
         FROM sk ORDER BY source""")),
+
+    // Distinct-content drift between sketch-index snapshots (r14): per
+    // source, the KMV estimate at the last audit (doc_id < 250) vs the
+    // grown corpus — which sources ingested genuinely new content vs
+    // duplicates. Oracle = two direct q155 constructions diffed; the
+    // estimates are exact-DECIMAL divisions, so even the DELTA
+    // hash-gates exactly.
+    QuerySpec(
+      "q180_sketch_drift",
+      (s, d) => sketchIndexDrift(s, cachedSketchIndexOld(s, d),
+          cachedSketchIndex(s, d), k = 64)
+        .orderBy(col("source")),
+      Some("""
+        WITH h AS (
+          SELECT source, doc_id,
+                 ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv
+          FROM documents),
+        so AS (
+          SELECT source, list_sort(list(DISTINCT hv))[1:64] AS kmv
+          FROM h WHERE doc_id < 250 GROUP BY source),
+        sn AS (
+          SELECT source, list_sort(list(DISTINCT hv))[1:64] AS kmv
+          FROM h GROUP BY source),
+        eo AS (
+          SELECT source,
+                 CAST(CASE WHEN len(kmv) < 64 THEN len(kmv)
+                      ELSE (CAST(63 AS HUGEINT) * 1152921504606846976)
+                           // kmv[64] END AS BIGINT) AS est_old
+          FROM so),
+        en AS (
+          SELECT source,
+                 CAST(CASE WHEN len(kmv) < 64 THEN len(kmv)
+                      ELSE (CAST(63 AS HUGEINT) * 1152921504606846976)
+                           // kmv[64] END AS BIGINT) AS est_new
+          FROM sn)
+        SELECT COALESCE(eo.source, en.source) AS source,
+               CAST(COALESCE(eo.est_old, 0) AS BIGINT) AS est_old,
+               CAST(COALESCE(en.est_new, 0) AS BIGINT) AS est_new,
+               CAST(COALESCE(en.est_new, 0) - COALESCE(eo.est_old, 0)
+                 AS BIGINT) AS delta_est
+        FROM eo FULL OUTER JOIN en ON eo.source = en.source
+        ORDER BY source""")),
 
     // Sketch-estimated cross-source overlap (r12): the 100 TB tier of
     // q79's exact matrix — min-wise resemblance from the q155 KMV

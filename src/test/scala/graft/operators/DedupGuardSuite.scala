@@ -182,6 +182,41 @@ class DedupGuardSuite extends AnyFunSuite with BeforeAndAfterAll {
       "append-after-consolidation must still equal the full-corpus run")
   }
 
+  test("sketchIndexDrift: duplicates don't move the estimate, new content does, identical zero") {
+    val sql = spark
+    import sql.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-kmvdrift").toString
+    def corpus(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "source", "text")
+    val old = corpus((1L to 30L).map(i => (i, "dupsrc", s"payload ${i % 5}")) ++
+      (31L to 60L).map(i => (i, "fresh", s"unique doc $i")))
+    // since then: dupsrc doubled its rows with PURE DUPLICATES (same 5
+    // payloads), fresh ingested genuinely new content, and a brand-new
+    // source appeared
+    val nw = corpus((1L to 60L).map(i => (i, "dupsrc", s"payload ${i % 5}")) ++
+      (61L to 90L).map(i => (i, "fresh", s"unique doc ${i - 30}")) ++
+      (91L to 120L).map(i => (i, "fresh", s"brand new doc $i")) ++
+      (121L to 130L).map(i => (i, "newsrc", s"newcomer $i")))
+    Dedup.buildSketchIndex(old, s"$base/old", k = 16)
+    Dedup.buildSketchIndex(nw, s"$base/new", k = 16)
+    val drift = Dedup.sketchIndexDrift(spark, s"$base/old", s"$base/new", k = 16)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // pure duplicates: the sketch is identical, delta exactly 0 — the
+    // discrimination this governance view exists for
+    assert(drift("dupsrc")._3 === 0L,
+      s"duplicate ingest must not move the estimate: ${drift("dupsrc")}")
+    assert(drift("fresh")._3 > 0L,
+      s"new content must grow the estimate: ${drift("fresh")}")
+    assert(drift("newsrc")._1 === 0L && drift("newsrc")._3 === drift("newsrc")._2,
+      s"a new source surfaces at full magnitude: ${drift("newsrc")}")
+    // identical snapshots: every delta exactly zero
+    val zero = Dedup.sketchIndexDrift(spark, s"$base/new", s"$base/new", k = 16)
+      .collect().map(_.getLong(3))
+    assert(zero.nonEmpty && zero.forall(_ == 0L),
+      s"identical snapshots must drift zero: ${zero.toSeq}")
+  }
+
   test("capByKey: null keys drop; guarded shuffled fallback matches the broadcast path") {
     val sql = spark
     import sql.implicits._
