@@ -1037,6 +1037,68 @@ object TextOps {
     * forgotten doc's rows and df contributions are gone, which
     * [[graft.operators.Pipeline.deletionAudit]] on `pos/` proves.
     */
+  /** Consolidate the span index's `grams/` generation history — the
+    * last algebra-bearing surface of the append-forever family to get a
+    * compaction leg (histogram r14, KMV r14): every
+    * [[dupSpansIncremental]] append and every [[forgetFromSpanIndex]]
+    * adds generation rows, and every future increment's df lookup
+    * re-aggregates ALL of them for its touched buckets. Collapses each
+    * gram to its NET state under the exact read algebra: `df` sums
+    * (net-zero grams drop; net-negative — an over-forget — refuses
+    * loudly), and the live rider set (`positives EXCEPT negatives`, the
+    * 1 → 0 → 1 rule) is PRESERVED BY DECOMPOSITION — one `(gram, 1,
+    * rider)` row per surviving rider plus one riderless remainder row —
+    * so a read over consolidated-plus-future generations computes the
+    * IDENTICAL (df, rider) state it would have over the full history
+    * (suite-gated: increment results and forget-after-consolidation
+    * byte-equal). `gb` partitioning is preserved (the pruneArtifact
+    * layout rule).
+    *
+    * Compliance bonus: the negative generations a forget wrote carry
+    * the forgotten doc's id as df ACCOUNTING (documented against the
+    * audit's scope) — consolidation cancels them against their positive
+    * riders, so the forgotten ids stop being physically readable in
+    * `grams/` at the next compaction cadence.
+    *
+    * A history where a gram's rider count exceeds its net df is
+    * structurally impossible (each rider is a +1 contribution and
+    * negatives cancel riders they name) and refuses loudly rather than
+    * fabricating df rows. */
+  def consolidateSpanIndexGrams(spark: SparkSession, dir: String): Unit =
+    Pipeline.stagedRewrite(spark, s"$dir/grams", "consolidate", Seq("gb")) { df =>
+      val rowType = "array<struct<df:bigint,solo_doc_id:bigint>>"
+      df.groupBy(col("gb"), col("gram"))
+        .agg(sum(col("df")).as("__dfc"),
+          array_except(
+            collect_set(when(col("df") > 0, col("solo_doc_id"))),
+            collect_set(when(col("df") < 0, col("solo_doc_id")))).as("__solos"))
+        .withColumn("__dfc", when(col("__dfc") < 0,
+            expr("raise_error(CONCAT('consolidateSpanIndexGrams: gram ', " +
+              "CAST(gram AS STRING), ' has negative merged df ', " +
+              "CAST(__dfc AS STRING), ' - a forget exceeded what was " +
+              "built; refusing to bake the corruption in'))").cast("long"))
+          .otherwise(col("__dfc")))
+        .filter(col("__dfc") =!= 0)
+        .withColumn("__rem", col("__dfc") - size(col("__solos")))
+        .withColumn("__rem", when(col("__rem") < 0,
+            expr("raise_error(CONCAT('consolidateSpanIndexGrams: gram ', " +
+              "CAST(gram AS STRING), ' carries more live riders than net " +
+              "df - structurally impossible history, refusing'))")
+              .cast("long"))
+          .otherwise(col("__rem")))
+        .select(col("gb"), col("gram"),
+          explode(concat(
+            transform(col("__solos"),
+              r => struct(lit(1L).as("df"), r.as("solo_doc_id")))
+              .cast(rowType),
+            when(col("__rem") > 0,
+              array(struct(col("__rem").as("df"),
+                lit(null).cast("long").as("solo_doc_id")))).otherwise(array())
+              .cast(rowType))).as("__r"))
+        .select(col("gram"), col("__r.df").as("df"),
+          col("__r.solo_doc_id").as("solo_doc_id"), col("gb"))
+    }
+
   def forgetFromSpanIndex(ids: DataFrame, dir: String,
                           hashGrams: Boolean = false): Unit = {
     val spark = ids.sparkSession

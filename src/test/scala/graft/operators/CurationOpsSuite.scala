@@ -932,6 +932,72 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(hInc === inc1, s"hashed tier diverged: $hInc vs $inc1")
   }
 
+  test("consolidateSpanIndexGrams: reads identical to the full history; forgotten ids vanish") {
+    val sql = spark
+    import sql.implicits._
+    val U = (1 to 12).map(i => s"u$i").mkString(" ")
+    val W = (1 to 10).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (100L, ((1 to 5).map(i => s"f$i") ++ Seq(U)).mkString(" ")), // U unique
+      (101L, (Seq("a b c d e") ++ (1 to 8).map(i => s"g$i")).mkString(" ")),
+      (103L, ((1 to 4).map(i => s"h$i") ++ Seq(W)).mkString(" "))) // W's solo owner
+      .toDF("doc_id", "text")
+    // identical histories on TWO dirs; only A consolidates — every later
+    // read must be byte-equal between them (the losslessness gate)
+    val base = java.nio.file.Files.createTempDirectory("graft-grams-consol")
+    val (dirA, dirB) = (base.resolve("a").toString, base.resolve("b").toString)
+    val batch1 = Seq((1L, (Seq(U) ++ (1 to 7).map(i => s"p$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    Seq(dirA, dirB).foreach { d =>
+      TextOps.buildSpanIndex(corpus, d, n = 6)
+      TextOps.dupSpansIncremental(batch1, d, n = 6).collect() // appends U gen
+      // forget the batch doc (U: 2 → 1, its rider cancelled by the
+      // negative) and W's solo owner (W: 1 → 0, net-zero gram)
+      TextOps.forgetFromSpanIndex(Seq(1L, 103L).toDF("doc_id"), d)
+    }
+    TextOps.consolidateSpanIndexGrams(spark, dirA)
+    // physical state after consolidation: no negative generations, no
+    // forgotten ids readable, net-zero gram W gone, history collapsed
+    val rawA = spark.read.parquet(s"$dirA/grams")
+    assert(rawA.filter(col("df") < 0).count() === 0, "negatives must cancel")
+    assert(rawA.filter(col("solo_doc_id").isin(1L, 103L)).count() === 0,
+      "forgotten ids must stop being physically readable in grams/")
+    assert(rawA.filter(col("gram").startsWith("w1 ")).count() === 0,
+      "the fully-forgotten gram must vanish")
+    assert(rawA.count() < spark.read.parquet(s"$dirB/grams").count(),
+      "the history must actually collapse")
+    assert(rawA.schema.fieldNames.toSet === Set("gram", "df", "solo_doc_id", "gb"))
+    // the algebra is preserved: a new increment re-duplicating U must
+    // retro-report the SURVIVING owner (100) identically in both dirs —
+    // the 1 → 0 → 1 rider rule working THROUGH a consolidation
+    val batch2 = Seq((2L, ((1 to 3).map(i => s"x$i") ++ Seq(U)).mkString(" ")))
+      .toDF("doc_id", "text")
+    def inc(d: String) = TextOps.dupSpansIncremental(batch2, d, n = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val incA = inc(dirA); val incB = inc(dirB)
+    assert(incA === incB,
+      s"consolidated read diverged from the full history:\nA $incA\nB $incB")
+    assert(incA.exists(t => t._1 == 100L && t._4 == "retro"),
+      s"the surviving owner must retro-report: $incA")
+    assert(!incA.exists(t => t._1 == 1L || t._1 == 103L),
+      s"forgotten docs must never resurface: $incA")
+    // corruption refuses: a hand-planted over-forget (negative past net
+    // zero) must not get baked into the consolidated generation
+    spark.read.parquet(s"$dirA/grams").filter(col("df") > 0).limit(1)
+      .select(col("gram"), lit(-99L).as("df"),
+        lit(null).cast("long").as("solo_doc_id"), col("gb"))
+      .write.mode("append").partitionBy("gb").parquet(s"$dirA/grams")
+    val ex = intercept[Exception] {
+      TextOps.consolidateSpanIndexGrams(spark, dirA)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("negative merged df")),
+      s"over-forget corruption must refuse loudly: ${msgs(ex)}")
+  }
+
   test("forgetFromSpanIndex: positions pruned, dfs decremented, probes consistent") {
     val sql = spark
     import sql.implicits._
