@@ -1418,17 +1418,7 @@ object TextOps {
     require(evals.nonEmpty, "contaminationMatrixFromIndex: no eval sets given")
     require(evals.map(_._1).distinct.size == evals.size,
       s"contaminationMatrixFromIndex: duplicate eval names in ${evals.map(_._1)}")
-    val pos = spark.read.parquet(s"$dir/pos")
-    // a hash-built index (gram: bigint) joined against string eval grams
-    // would coerce both sides and match NOTHING — an all-clear
-    // contamination report is the worst possible silent failure, so the
-    // stated string-gram requirement is CHECKED, not assumed
-    val gramType = pos.schema("gram").dataType
-    require(gramType == org.apache.spark.sql.types.StringType,
-      s"contaminationMatrixFromIndex: index at $dir/pos keys grams as " +
-        s"$gramType - it was built with hashGrams=true, which this " +
-        "screen cannot probe (eval grams are strings); build the " +
-        "contamination index with hashGrams=false")
+    val pos = stringGramPos(spark, dir, "contaminationMatrixFromIndex")
     val tagged = taggedEvalGrams(evals, n)
     val hits = pos
       .join(broadcast(tagged), Seq("gram"))
@@ -1450,6 +1440,55 @@ object TextOps {
       .join(broadcast(totals), Seq("source"))
       .withColumn("contam_rate_micro",
         expr("(n_contaminated * 1000000) div n_docs"))
+  }
+
+  /** The span index's positioned gram stream, CHECKED for string grams:
+    * a hash-built index (gram: bigint) joined against string eval grams
+    * would coerce both sides and match NOTHING — an all-clear
+    * contamination report is the worst possible silent failure, so
+    * every from-index contamination screen checks the stated
+    * requirement instead of assuming it. */
+  private def stringGramPos(spark: SparkSession, dir: String,
+                            caller: String): DataFrame = {
+    val pos = spark.read.parquet(s"$dir/pos")
+    val gramType = pos.schema("gram").dataType
+    require(gramType == org.apache.spark.sql.types.StringType,
+      s"$caller: index at $dir/pos keys grams as " +
+        s"$gramType - it was built with hashGrams=true, which this " +
+        "screen cannot probe (eval grams are strings); build the " +
+        "contamination index with hashGrams=false")
+    pos
+  }
+
+  /** [[contaminationRate]] served FROM the persisted span index — the
+    * graded tier's nightly form, completing the serve-from-index family
+    * (binary drop = q65, matrix = q174, surgical cut = q173's index-fed
+    * spans, and now quarantine-by-degree): per indexed doc, how many of
+    * its distinct word n-grams appear in the eval set — computed
+    * entirely from `pos/`, which already IS the doc's positioned gram
+    * stream, so grading a corpus against a NEW benchmark never re-reads
+    * or re-tokenizes a byte of corpus text. Output is row-identical to
+    * [[contaminationRate]] on the indexed corpus (the serve-from-index
+    * identity — the direct construction is the oracle).
+    *
+    * Scale shape: one pos/ scan, the eval gram set broadcast, one
+    * doc-keyed distinct-count aggregation (pos/ repeats a gram per
+    * occurrence; the distinct is part of the aggregate, partial
+    * map-side). Same string-gram and same-`n` requirements as the
+    * matrix probe. */
+  def contaminationRateFromIndex(spark: SparkSession, dir: String,
+                                 evalDocs: DataFrame,
+                                 n: Int = 4,
+                                 textCol: String = "text"): DataFrame = {
+    val pos = stringGramPos(spark, dir, "contaminationRateFromIndex")
+    val evalGrams = evalGramSet(evalDocs, n, textCol).withColumn("hit", lit(1))
+    pos.select(col("doc_id"), col("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("gram")).as("n_grams"),
+        count_distinct(when(col("hit").isNotNull, col("gram")))
+          .as("contam_grams"))
+      .filter(col("contam_grams") >= 1)
   }
 
   /** Contamination DRIFT between two span-index snapshots — the nightly
@@ -2535,6 +2574,32 @@ object TextOps {
                CAST(COUNT(*) FILTER (WHERE gram IN (SELECT gram FROM eval_g))
                     AS BIGINT) AS contam_grams
         FROM g WHERE doc_id >= 20
+        GROUP BY doc_id
+        HAVING COUNT(*) FILTER (WHERE gram IN (SELECT gram FROM eval_g)) >= 1
+        ORDER BY doc_id""")),
+
+    // Graded contamination served FROM the span index (r14): q103's
+    // quarantine-by-degree counts computed entirely from pos/ — the
+    // corpus never re-read or re-tokenized. The oracle is the direct
+    // q103 construction over the indexed docs (the serve-from-index
+    // identity, the q174 discipline).
+    QuerySpec(
+      "q181_contamination_rate_from_index",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        contaminationRateFromIndex(s, cachedContamIndex(s, d),
+            docs.filter(col("doc_id") < 20), n = 4)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3],' ') AS gram
+              FROM toks, UNNEST(generate_series(1, greatest(len(t)-3, 0))) AS u(i)),
+        eval_g AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20)
+        SELECT doc_id, COUNT(*) AS n_grams,
+               CAST(COUNT(*) FILTER (WHERE gram IN (SELECT gram FROM eval_g))
+                    AS BIGINT) AS contam_grams
+        FROM g WHERE doc_id >= 40
         GROUP BY doc_id
         HAVING COUNT(*) FILTER (WHERE gram IN (SELECT gram FROM eval_g)) >= 1
         ORDER BY doc_id""")),

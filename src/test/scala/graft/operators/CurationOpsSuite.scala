@@ -217,6 +217,32 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
         Seq("e" -> docs), docs.select($"doc_id", $"source"), n = 4)
     }
     assert(ex.getMessage.contains("hashGrams"), s"must name the fix: $ex")
+    // the graded tier shares the check (one helper, all probes refuse)
+    val ex2 = intercept[IllegalArgumentException] {
+      TextOps.contaminationRateFromIndex(spark, dir, docs, n = 4)
+    }
+    assert(ex2.getMessage.contains("hashGrams"), s"must name the fix: $ex2")
+  }
+
+  test("contaminationRateFromIndex ≡ the direct pass (serve-from-index identity)") {
+    val sql = spark
+    import sql.implicits._
+    val evalSet = Seq((1000L, "z1 z2 z3 z4 z5 z6")).toDF("doc_id", "text")
+    val corpus = (1L to 30L).map { i =>
+      val mid = if (i % 3 == 0) "z1 z2 z3 z4" else s"c$i d$i e$i f$i"
+      // a repeated gram INSIDE one doc: pos/ holds it per occurrence,
+      // the graded counts must still be per-doc DISTINCT
+      (i, s"pre$i $mid y $mid z")
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-rate-idx").toString
+    TextOps.buildSpanIndex(corpus, dir, n = 4, hashGrams = false)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fromIndex = rows(TextOps.contaminationRateFromIndex(
+      spark, dir, evalSet, n = 4))
+    val direct = rows(TextOps.contaminationRate(corpus, evalSet, n = 4))
+    assert(fromIndex === direct && fromIndex.nonEmpty,
+      s"graded serve-from-index identity:\nindex  $fromIndex\ndirect $direct")
   }
 
   test("decontaminateSpans cuts only the leaked passage; clean docs pass untouched") {
