@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, HistogramSketch, Pipeline, TextOps}
+
+/** One-call nightly index MAINTENANCE — the compaction counterpart of
+  * [[Forget]]'s one-call deletion: the library's persisted indexes all
+  * follow the generation-append discipline (appends are crash-safe and
+  * work ∝ batch; reads merge generations), which means every one of
+  * them accumulates history without bound until someone runs its
+  * consolidation leg. Until r14 those legs were hand-sequenced — the
+  * same forgettable-step hazard `Forget.forget` exists to prevent on
+  * the deletion side. `maintain` runs them in one call and PROVES the
+  * cheap invariants before returning:
+  *
+  *  - histogram indexes ([[graft.operators.HistogramSketch
+  *    .consolidateHistogramIndex]]): generations summed to one row per
+  *    live bucket — read-before ≡ read-after is FORCED here (both reads
+  *    are bounded-bucket aggregates, so the proof costs nothing at any
+  *    corpus scale).
+  *  - KMV sketch indexes ([[graft.operators.Dedup
+  *    .consolidateSketchIndex]]): one merged sketch row per source —
+  *    read-before ≡ read-after FORCED (|sources|-row reads).
+  *  - span-index gram tables ([[graft.operators.TextOps
+  *    .consolidateSpanIndexGrams]]): the df/rider algebra collapsed to
+  *    net state. The full read-equality proof is corpus-gram-scale, so
+  *    it lives in the suite; what is forced here is the cheap
+  *    CONSERVATION law — `sum(df)` is invariant under consolidation
+  *    (net-zero grams contribute 0), one column scan on each side.
+  *  - plain fact artifacts (`pos/`, `digests/`, `members/`, shards):
+  *    no algebra to merge, just the small-files problem —
+  *    [[graft.operators.Pipeline.compactArtifact]] per entry, partition
+  *    layout named by the caller (the pruneArtifact rule).
+  *
+  * Every rewrite underneath is the shared staged rename-aside swap, so
+  * a crash at any point leaves a readable index and a rerun self-heals.
+  * Idempotent: consolidating a consolidated index is a no-op rewrite.
+  */
+object Maintain {
+
+  /** What ran and what was proven; returned only if every forced check
+    * passed (the [[Forget.ForgetReport]] doctrine — observing a report
+    * IS the proof). */
+  final case class MaintainReport(
+      histConsolidated: Seq[String],
+      kmvConsolidated: Seq[String],
+      spanGramsConsolidated: Seq[String],
+      compacted: Seq[String])
+
+  def maintain(spark: SparkSession,
+               histIndexDirs: Seq[String] = Seq.empty,
+               kmvIndexDirs: Seq[String] = Seq.empty,
+               kmvK: Int = 64,
+               spanIndexDirs: Seq[String] = Seq.empty,
+               compactTargets: Seq[(String, Seq[String])] = Seq.empty,
+               compactTargetBytes: Long = 128L << 20): MaintainReport = {
+    require(histIndexDirs.nonEmpty || kmvIndexDirs.nonEmpty ||
+        spanIndexDirs.nonEmpty || compactTargets.nonEmpty,
+      "maintain: nothing to maintain — no histogram, KMV, or span " +
+        "indexes and no compaction targets given")
+
+    histIndexDirs.foreach { d =>
+      val before = HistogramSketch.readHistogramIndex(spark, d)
+        .collect().map(_.toString).sorted.toSeq
+      HistogramSketch.consolidateHistogramIndex(spark, d)
+      val after = HistogramSketch.readHistogramIndex(spark, d)
+        .collect().map(_.toString).sorted.toSeq
+      require(after == before,
+        s"maintain: histogram consolidation at $d changed the read - " +
+          "staged aside copy preserved at the __consolidate_old path of " +
+          "the crashed swap; investigate before rerunning")
+    }
+    kmvIndexDirs.foreach { d =>
+      val before = Dedup.readSketchIndex(spark, d, kmvK)
+        .collect().map(_.toString).sorted.toSeq
+      Dedup.consolidateSketchIndex(spark, d, kmvK)
+      val after = Dedup.readSketchIndex(spark, d, kmvK)
+        .collect().map(_.toString).sorted.toSeq
+      require(after == before,
+        s"maintain: KMV consolidation at $d changed the read")
+    }
+    spanIndexDirs.foreach { d =>
+      // the conservation law, not the full equality (that proof is
+      // corpus-gram-scale and suite-pinned): net-zero grams carry 0, so
+      // total df is invariant — one column scan per side
+      def totalDf: Long = spark.read.parquet(s"$d/grams")
+        .agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0)
+      val before = totalDf
+      TextOps.consolidateSpanIndexGrams(spark, d)
+      val after = totalDf
+      require(after == before,
+        s"maintain: span-gram consolidation at $d broke df conservation " +
+          s"($before -> $after)")
+    }
+    compactTargets.foreach { case (dir, partitionCols) =>
+      Pipeline.compactArtifact(spark, dir, compactTargetBytes, partitionCols)
+    }
+    MaintainReport(
+      histIndexDirs.map(d => s"$d/hist"),
+      kmvIndexDirs.map(d => s"$d/sketches"),
+      spanIndexDirs.map(d => s"$d/grams"),
+      compactTargets.map(_._1))
+  }
+}

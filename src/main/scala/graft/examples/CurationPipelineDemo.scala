@@ -104,6 +104,12 @@ object CurationPipelineDemo {
     println(s"== forgotten ${report.nIds} id(s); " +
       s"pruned+audited: ${report.artifactsPruned.mkString(", ")} ==")
 
+    // 8) nightly maintenance (r14): one call consolidates every index
+    //    family's generation history, proving the reads unchanged
+    val maint = graft.Maintain.maintain(spark,
+      kmvIndexDirs = Seq(s"$base/sketch"))
+    println(s"== maintained: ${maint.kmvConsolidated.mkString(", ")} ==")
+
     spark.stop()
   }
 }
