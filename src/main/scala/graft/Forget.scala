@@ -142,6 +142,14 @@ object Forget {
       "forget: histIndexDirs given without removedDocs — histogram " +
         "retraction recomputes the removed docs' bucket rows from their " +
         "text; pass the deletion batch (doc_id, source, text)")
+    // the inverse direction of the guard above: a caller passing the
+    // survivor frame clearly WANTS the KMV rebuild, and silently
+    // dropping it (no dirs to rebuild) would be exactly the
+    // forgettable-maintenance hazard the parameter exists to close
+    require(kmvSurvivors.isEmpty || kmvIndexDirs.nonEmpty,
+      "forget: kmvSurvivors given without kmvIndexDirs — the survivor " +
+        "rebuild has no sketch index to rebuild; pass the index dirs " +
+        "or drop the survivors")
     val idList = ids.select(col(idCol).cast("long").as("__id"))
       .na.drop().distinct()
     val idSet = idList.collect().map(_.getLong(0)).toSet
@@ -268,7 +276,7 @@ object Forget {
     // Like the histogram, the index stores no doc ids — hashed shingle
     // minima only — so there is nothing for a GDPR audit to find; the
     // exit gate below proves that id-freedom structurally.
-    kmvSurvivors.filter(_ => kmvIndexDirs.nonEmpty).foreach { survivors =>
+    kmvSurvivors.foreach { survivors =>
       val ghosts = survivors.select(col("doc_id").cast("long").as("__sid"))
         .na.drop().distinct()
         .filter(col("__sid").isInCollection(idSet)).count()
@@ -276,8 +284,12 @@ object Forget {
         s"forget: kmvSurvivors still contains $ghosts delete-list doc_ids " +
           "- rebuilding from them would re-insert deleted content into " +
           "the sketch index; pass the corpus MINUS the delete list")
+      // staged rebuild, never a bare overwrite: a mid-job crash on the
+      // GDPR path must not leave the sketch index unreadable; the
+      // effective k derives from the index being replaced, so a
+      // default-k call cannot silently downgrade a wider build
       kmvIndexDirs.foreach(d =>
-        graft.operators.Dedup.buildSketchIndex(survivors, d, kmvK))
+        graft.operators.Dedup.rebuildSketchIndex(survivors, d, kmvK))
     }
 
     // 7) the exit gate — every surface must PROVE zero residuals, and

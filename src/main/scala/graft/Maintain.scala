@@ -67,10 +67,15 @@ object Maintain {
       HistogramSketch.consolidateHistogramIndex(spark, d)
       val after = HistogramSketch.readHistogramIndex(spark, d)
         .collect().map(_.toString).sorted.toSeq
+      // detection, not rollback: the staged swap completed, so the
+      // pre-consolidation history is gone — a mismatch here (a
+      // deterministic sum/filter cannot produce one on a quiescent
+      // index) means a CONCURRENT WRITER raced the rewrite; stop the
+      // writers, restore from backup or rebuild from corpus
       require(after == before,
-        s"maintain: histogram consolidation at $d changed the read - " +
-          "staged aside copy preserved at the __consolidate_old path of " +
-          "the crashed swap; investigate before rerunning")
+        s"maintain: histogram consolidation at $d changed the read - a " +
+          "concurrent append/retract likely raced the rewrite; the " +
+          "pre-consolidation history is not recoverable from this path")
     }
     kmvIndexDirs.foreach { d =>
       val before = Dedup.readSketchIndex(spark, d, kmvK)

@@ -259,18 +259,51 @@ object Dedup {
     * still merge exactly (the homomorphism property, suite-pinned).
     * Staged rename-aside rewrite: the index is never unreadable.
     *
-    * `k` must be ≥ the largest k any read uses (the build's k — a
-    * consolidation at smaller k would silently truncate the minima
-    * larger-k reads need; same contract as [[appendSketchIndex]]).
-    * Unlike the histogram index there are no forget markers to manage:
-    * the KMV deletion posture is the survivor REBUILD
+    * The stated `k` contract (must be ≥ the largest k any read uses) is
+    * ENFORCED BY DERIVATION, not trusted: the effective merge width is
+    * `max(k, longest sketch in the index)` — a caller (or
+    * [[graft.Maintain.maintain]]'s default) passing a k smaller than
+    * the build's cannot silently truncate minima that larger-k reads
+    * need, because the index's own rows reveal the build width (a
+    * filled source carries exactly build-k minima; if NO source ever
+    * filled, every sketch is complete and any width ≥ the observed max
+    * is exact). One extra size scan over the rows the rewrite reads
+    * anyway. Unlike the histogram index there are no forget markers to
+    * manage: the KMV deletion posture is the survivor REBUILD
     * ([[graft.Forget.forget]]'s `kmvSurvivors` leg), which overwrites
     * the whole history anyway. */
   def consolidateSketchIndex(spark: SparkSession, dir: String,
                              k: Int = 64): Unit = {
     require(k >= 2, s"consolidateSketchIndex: k must be >= 2, got $k")
-    Pipeline.stagedRewrite(spark, s"$dir/sketches", "consolidate")(
-      mergeKmvGenerations(_, k))
+    Pipeline.stagedRewrite(spark, s"$dir/sketches", "consolidate") { df =>
+      val observed = df.agg(coalesce(max(size(col("kmv"))), lit(0)))
+        .head().getInt(0)
+      mergeKmvGenerations(df, math.max(k, observed))
+    }
+  }
+
+  /** Crash-safe SURVIVOR REBUILD of the sketch index — the deletion-
+    * accuracy maintenance the bottom-k monoid prescribes
+    * ([[graft.Forget.forget]]'s `kmvSurvivors` leg routes here): a
+    * plain `buildSketchIndex` overwrite deletes the live `sketches/`
+    * before the job commits, so a mid-job crash leaves the index
+    * missing — on the GDPR path, exactly where an unreadable index
+    * hurts most. This variant computes the survivors' sketches into the
+    * staged rename-aside swap instead (the consolidation discipline):
+    * the index is never unreadable and a rerun self-heals residue.
+    * The effective k is `max(k, longest sketch in the index being
+    * replaced)` — the same derivation as [[consolidateSketchIndex]],
+    * so a default-k call cannot silently downgrade an index built
+    * wider. */
+  def rebuildSketchIndex(survivors: DataFrame, dir: String, k: Int = 64,
+                         textCol: String = "text"): Unit = {
+    require(k >= 2, s"rebuildSketchIndex: k must be >= 2, got $k")
+    Pipeline.stagedRewrite(survivors.sparkSession, s"$dir/sketches",
+        "rebuild") { existing =>
+      val observed = existing.agg(coalesce(max(size(col("kmv"))), lit(0)))
+        .head().getInt(0)
+      kmvFrame(survivors, math.max(k, observed), textCol, identity)
+    }
   }
 
   /** Cross-source overlap ESTIMATED from the KMV sketches — the

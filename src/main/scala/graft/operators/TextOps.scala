@@ -1037,6 +1037,43 @@ object TextOps {
     * forgotten doc's rows and df contributions are gone, which
     * [[graft.operators.Pipeline.deletionAudit]] on `pos/` proves.
     */
+  def forgetFromSpanIndex(ids: DataFrame, dir: String,
+                          hashGrams: Boolean = false): Unit = {
+    val spark = ids.sparkSession
+    val idList = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+      .na.drop().distinct().localCheckpoint(true)
+    val idSeq = idList.collect().map(_.getLong(0)).toSeq
+    require(idSeq.nonEmpty, "forgetFromSpanIndex: empty id list")
+    // the deletion must cover exactly the submitted list: a null (or,
+    // with ANSI off, uncastable) id that na.drop silently removed would
+    // make the delete narrower than the request without anyone noticing —
+    // the same raw-vs-normalized count check as [[graft.Forget.forget]]
+    val rawDistinct = ids.select(col(ids.columns.head)).distinct().count()
+    require(rawDistinct == idSeq.size.toLong,
+      s"forgetFromSpanIndex: ${rawDistinct - idSeq.size} of $rawDistinct " +
+        "distinct delete-list entries are null or not castable to long — " +
+        "refusing to delete a narrower list than was submitted")
+    val touchedDb = idSeq.map(id => (id % 64).toInt).distinct
+    // negative df generations FIRST (derived from pos/ before the
+    // prune). The negative row CARRIES the forgotten id as its
+    // solo_doc_id so [[dupSpansIncremental]]'s rider set-algebra cancels
+    // any stale df=1 rider of this doc — without it, a 1 → 0 → 1 df
+    // history (forget, then a later append restores the gram) would
+    // leave the forgotten id shadowing the live doc's rider. The id in a
+    // negative generation is df ACCOUNTING, not content, the same class
+    // as the ids grams/ already exposes (Forget.forget's audit covers
+    // pos/, where the positions live).
+    spark.read.parquet(s"$dir/pos")
+      .filter(col("db").isin(touchedDb: _*) && col("doc_id").isin(idSeq: _*))
+      .select(col("doc_id"), col("gram")).distinct()
+      .select(col("gram"), lit(-1L).as("df"),
+        col("doc_id").as("solo_doc_id"),
+        gramBucketCol(col("gram"), hashGrams).as("gb"))
+      .write.mode("append").partitionBy("gb").parquet(s"$dir/grams")
+    Pipeline.pruneArtifact(idList, s"$dir/pos", "doc_id",
+      partitionCols = Seq("db"))
+  }
+
   /** Consolidate the span index's `grams/` generation history — the
     * last algebra-bearing surface of the append-forever family to get a
     * compaction leg (histogram r14, KMV r14): every
@@ -1098,43 +1135,6 @@ object TextOps {
         .select(col("gram"), col("__r.df").as("df"),
           col("__r.solo_doc_id").as("solo_doc_id"), col("gb"))
     }
-
-  def forgetFromSpanIndex(ids: DataFrame, dir: String,
-                          hashGrams: Boolean = false): Unit = {
-    val spark = ids.sparkSession
-    val idList = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
-      .na.drop().distinct().localCheckpoint(true)
-    val idSeq = idList.collect().map(_.getLong(0)).toSeq
-    require(idSeq.nonEmpty, "forgetFromSpanIndex: empty id list")
-    // the deletion must cover exactly the submitted list: a null (or,
-    // with ANSI off, uncastable) id that na.drop silently removed would
-    // make the delete narrower than the request without anyone noticing —
-    // the same raw-vs-normalized count check as [[graft.Forget.forget]]
-    val rawDistinct = ids.select(col(ids.columns.head)).distinct().count()
-    require(rawDistinct == idSeq.size.toLong,
-      s"forgetFromSpanIndex: ${rawDistinct - idSeq.size} of $rawDistinct " +
-        "distinct delete-list entries are null or not castable to long — " +
-        "refusing to delete a narrower list than was submitted")
-    val touchedDb = idSeq.map(id => (id % 64).toInt).distinct
-    // negative df generations FIRST (derived from pos/ before the
-    // prune). The negative row CARRIES the forgotten id as its
-    // solo_doc_id so [[dupSpansIncremental]]'s rider set-algebra cancels
-    // any stale df=1 rider of this doc — without it, a 1 → 0 → 1 df
-    // history (forget, then a later append restores the gram) would
-    // leave the forgotten id shadowing the live doc's rider. The id in a
-    // negative generation is df ACCOUNTING, not content, the same class
-    // as the ids grams/ already exposes (Forget.forget's audit covers
-    // pos/, where the positions live).
-    spark.read.parquet(s"$dir/pos")
-      .filter(col("db").isin(touchedDb: _*) && col("doc_id").isin(idSeq: _*))
-      .select(col("doc_id"), col("gram")).distinct()
-      .select(col("gram"), lit(-1L).as("df"),
-        col("doc_id").as("solo_doc_id"),
-        gramBucketCol(col("gram"), hashGrams).as("gb"))
-      .write.mode("append").partitionBy("gb").parquet(s"$dir/grams")
-    Pipeline.pruneArtifact(idList, s"$dir/pos", "doc_id",
-      partitionCols = Seq("db"))
-  }
 
   /** Build-once memo for the q146 harness query (the q134/q135 memo
     * discipline): the span index of the corpus generation

@@ -425,6 +425,47 @@ class ForgetSuite extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toString).sorted
     assert(afterRows.sameElements(beforeRows),
       "the refusal must land before any rebuild write")
+
+    // survivors WITHOUT index dirs is a loud refusal, not a silent
+    // no-op: the caller clearly wanted the rebuild (review fix) — with
+    // another surface present so the entry guard passes and THIS guard
+    // is the one proven
+    val artDir = s"$base/some_artifact"
+    docs.write.parquet(artDir)
+    val eNoDirs = intercept[IllegalArgumentException] {
+      Forget.forget(deleteIds.toDF("doc_id"), "doc_id",
+        artifacts = Seq((artDir, "doc_id")),
+        kmvSurvivors = Some(survivors))
+    }
+    assert(eNoDirs.getMessage.contains("kmvSurvivors given without"),
+      s"dropped rebuild must refuse: $eNoDirs")
+  }
+
+  test("KMV rebuild derives k from the index: a default-k forget cannot downgrade a wide build") {
+    val sql = spark
+    import sql.implicits._
+    import graft.operators.Dedup
+    val base = Files.createTempDirectory("graft-forget-kmvk").toString
+    // 3 sources × 120 unique docs: every source FILLS a k=96 sketch, so
+    // a rebuild at the default kmvK=64 would permanently discard minima
+    // 65..96 and readSketchIndex(k=96) would report est_distinct as an
+    // exact 64 — the silent downgrade the derivation closes (review fix)
+    val docs = (1L to 360L).map(i => (i, s"s${i % 3}", s"unique body $i"))
+      .toDF("doc_id", "source", "text")
+    val kmvDir = s"$base/kmv_idx"
+    Dedup.buildSketchIndex(docs, kmvDir, k = 96)
+    val deleteIds = Seq(5L, 17L)
+    val survivors = docs.filter(!col("doc_id").isin(deleteIds: _*))
+    Forget.forget(deleteIds.toDF("doc_id"), "doc_id",
+      kmvIndexDirs = Seq(kmvDir), kmvSurvivors = Some(survivors)) // kmvK default
+    val rebuilt = Dedup.readSketchIndex(spark, kmvDir, k = 96)
+      .collect().map(_.toString).sorted
+    val freshDir = s"$base/fresh_idx"
+    Dedup.buildSketchIndex(survivors, freshDir, k = 96)
+    val fresh = Dedup.readSketchIndex(spark, freshDir, k = 96)
+      .collect().map(_.toString).sorted
+    assert(rebuilt.sameElements(fresh),
+      "a default-kmvK forget must preserve the wide build's k=96 reads")
   }
 
   test("histogram markers: survive consolidation, invalidate on rebuild, fail-fast pre-write") {

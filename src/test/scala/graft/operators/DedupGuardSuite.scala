@@ -180,6 +180,15 @@ class DedupGuardSuite extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toSeq).toSet
     assert(grown === fullGrown,
       "append-after-consolidation must still equal the full-corpus run")
+
+    // the k contract is enforced BY DERIVATION (review fix): asking for
+    // a consolidation at k=2 on an index whose sketches are 8 long must
+    // merge at 8, not truncate — the k=8 read stays exact
+    Dedup.consolidateSketchIndex(spark, dir, k = 2)
+    val afterNarrowAsk = Dedup.readSketchIndex(spark, dir, k = 8)
+      .collect().map(_.toSeq).toSet
+    assert(afterNarrowAsk === fullGrown,
+      "a narrow-k consolidation ask must not truncate a wider build")
   }
 
   test("sketchIndexDrift: duplicates don't move the estimate, new content does, identical zero") {
