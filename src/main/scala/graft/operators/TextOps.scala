@@ -387,8 +387,19 @@ object TextOps {
   private def rebuildWithoutCoverage(toksWithStarts: DataFrame, n: Int,
                                      carryCols: Seq[String]): DataFrame = {
     val starts = coalesce(col("__starts"), array().cast("array<int>"))
-    val keptPos = filter(sequence(lit(1), size(col("__toks"))),
-      p => size(filter(starts, s => p >= s && p <= s + (n - 1))) === 0)
+    // coverage as ONE set difference, not a per-position containment
+    // scan: the old `filter(sequence, p => filter(starts, …))` nested
+    // `starts` INSIDE the position lambda, so when __starts is an
+    // inlined expression (the serve tier's gram_set_starts — attributes
+    // survive, expressions get CollapseProject'd into the lambda) it
+    // re-evaluated per token position — O(tokens²·probe) per doc,
+    // measured 3× the batch tier at sf0.1. Here `starts` is the input
+    // of ONE outer transform (evaluated once per row however it is
+    // inlined), the covered positions flatten to a single array, and
+    // array_except preserves the ascending sequence order — identical
+    // kept set, O(tokens + starts·n) per doc for BOTH tiers.
+    val keptPos = array_except(sequence(lit(1), size(col("__toks"))),
+      flatten(transform(starts, s => sequence(s, s + (n - 1)))))
     toksWithStarts
       // kept positions materialize once (own projection): the coverage
       // filter is the kernel and is consumed by both n_removed and the
