@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{ArrayDot, ArrayNorm, CharShingles, EqualLanes, LshSignBits, MinHash64, NgramRepetitionStats, SimHash64}
+import graft.functions.{ArrayDot, ArrayNorm, CharShingles, EqualLanes, GramSetStarts, LshSignBits, MinHash64, NgramRepetitionStats, SimHash64}
 
 /** SQL-surface registration of the engine's codegen'd expressions via
   * `SparkSessionExtensions` (preference (c) of the custom-operator
@@ -68,6 +68,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(text, n) => NgramRepetitionStats(text, intLit(n, "n"))
       case other => throw new IllegalArgumentException(
         s"graft_ngram_repetition expects 2 arguments, got ${other.length}")
+    }
+    register(ext, "graft_gram_set_starts",
+      "graft_gram_set_starts(tokens, n, grams) - 1-based positions of " +
+        "token-array n-grams that are members of the FOLDABLE grams " +
+        "array (compiled per-executor HashSet, O(tokens) per row)") {
+      case Seq(toks, n, grams) =>
+        // the gram set compiles into the expression, so it must be known
+        // at plan time — a foldable array literal (array('a b','c d')),
+        // never a per-row column
+        require(grams.foldable && grams.dataType.isInstanceOf[
+            org.apache.spark.sql.types.ArrayType] &&
+            grams.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+              .elementType == org.apache.spark.sql.types.StringType,
+          "graft_gram_set_starts: grams must be a foldable ARRAY<STRING> " +
+            "literal - the set compiles into the plan")
+        val arr = grams.eval().asInstanceOf[
+          org.apache.spark.sql.catalyst.util.ArrayData]
+        val lits = (0 until arr.numElements())
+          .map(i => arr.getUTF8String(i).toString)
+        GramSetStarts(toks, intLit(n, "n"), lits)
+      case other => throw new IllegalArgumentException(
+        s"graft_gram_set_starts expects 3 arguments, got ${other.length}")
     }
     register(ext, "graft_equal_lanes",
       "graft_equal_lanes(a, b) - count of equal positions of two ARRAY<BIGINT> (minhash agreement)") {

@@ -62,6 +62,23 @@ class GraftExtensionsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Seq("abc", "bcd", "cde"))
   }
 
+  test("graft_gram_set_starts works in SQL; non-foldable grams refused") {
+    val got = spark.sql(
+        "SELECT graft_gram_set_starts(split('a b c d e', ' '), 3, " +
+          "array('b c d', 'c d e')) AS s")
+      .head().getSeq[Int](0)
+    assert(got === Seq(2, 3))
+    // the gram set compiles into the plan — a per-row column cannot
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_gram_set_starts(split(x, ' '), 3, split(x, ' ')) " +
+        "FROM (SELECT 'a b c' AS x)").head()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("foldable")), s"must refuse: $err")
+  }
+
   test("graft_lsh_sign_bits works in SQL; literal params are enforced") {
     val n = spark.sql(
       "SELECT graft_lsh_sign_bits(array(0.5d, -0.2d, 1.0d), 0, 4) AS sig").head().getLong(0)
