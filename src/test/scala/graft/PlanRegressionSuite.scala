@@ -138,6 +138,44 @@ class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the count-offset kernel's RDD scan:\n$p")
   }
 
+  test("q179: the serve tier is a pure projection — no joins, no hash exchange") {
+    // the admission-gate contract: the eval gram set rides the plan as
+    // the compiled gram_set_starts expression, so the only exchange in
+    // the whole query is the PRESENTATION orderBy's range layout; a Join
+    // or hash exchange would mean the serve tier regressed into the
+    // batch tier's shape and can no longer run on a stream
+    val p = plan("q179_decontaminate_serve")
+    assert(p.contains("gram_set_starts"),
+      s"expected the compiled set-membership expression:\n$p")
+    assert(!p.contains("Join"), s"the serve tier may not join:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"the serve tier may not hash-shuffle:\n$p")
+  }
+
+  test("q178/q180/q181: drift + graded from-index tiers never re-tokenize the corpus") {
+    // the family property: every from-index screen reads pos/ (or
+    // sketches/) and broadcasts the small side; the ONLY Generates are
+    // eval-side gram explodes. q178 composes two q174 probes over TWO
+    // tagged eval sets → ≤ 2 evals × 2 probes = 4; q181 has one eval
+    // side → ≤1; q180 reads sketch rows only → 0. The corpus
+    // contributes only pos/ scans — a fifth Generate would mean corpus
+    // text is being re-tokenized.
+    def generates(p: String) = """\(\d+\) Generate""".r.findAllIn(p).size
+    val p178 = plan("q178_contamination_drift")
+    assert(p178.contains("BroadcastHashJoin") && generates(p178) <= 4,
+      s"q178 corpus side must not re-derive grams (${generates(p178)}):\n$p178")
+    val p181 = plan("q181_contamination_rate_from_index")
+    assert(p181.contains("BroadcastHashJoin") && generates(p181) <= 1,
+      s"q181 corpus side must not re-derive grams (${generates(p181)}):\n$p181")
+    // q181's distinct counts must partially aggregate before the doc
+    // exchange (pos/ repeats grams per occurrence)
+    assert(p181.contains("partial_"),
+      s"q181 distinct-count must partial-aggregate map-side:\n$p181")
+    val p180 = plan("q180_sketch_drift")
+    assert(generates(p180) == 0 && !p180.contains("split("),
+      s"q180 touches sketch rows only — no tokenize, no explode:\n$p180")
+  }
+
   test("q177: epoch schedule is the count-offset kernel per epoch — no window, no global sort") {
     // each epoch runs the audited q169 kernel verbatim (one range
     // exchange per epoch over the chunk table); the union of epochs may
