@@ -49,6 +49,42 @@ object Maintain {
       spanGramsConsolidated: Seq[String],
       compacted: Seq[String])
 
+  /** The decision input for [[maintain]]'s cadence: per named parquet
+    * surface, its file count, byte size, and row count — "run the
+    * compaction when `listStatus` shows 10× the optimum" needs a view
+    * that shows it ([[graft.state.StateInventory]]'s census discipline
+    * applied to the index artifacts). File/byte numbers come from ONE
+    * recursive listing per surface (cost ∝ the file count being
+    * measured — the census is cheapest exactly when it matters least);
+    * row counts are parquet-footer counts (no data pages read). For the
+    * generation-append families the file count IS the generation
+    * pressure: every append lands at least one file, so a surface whose
+    * `n_files` dwarfs its post-consolidation size is overdue.
+    */
+  def indexCensus(spark: SparkSession,
+                  surfaces: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    require(surfaces.nonEmpty, "indexCensus: no surfaces given")
+    require(surfaces.map(_._1).distinct.size == surfaces.size,
+      s"indexCensus: duplicate surface labels in ${surfaces.map(_._1)}")
+    val rows = surfaces.map { case (label, path) =>
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var nFiles = 0L
+      var bytes = 0L
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_")) {
+          nFiles += 1; bytes += f.getLen
+        }
+      }
+      val nRows = spark.read.parquet(path).count()
+      (label, path, nFiles, bytes, nRows)
+    }
+    spark.createDataFrame(rows)
+      .toDF("surface", "path", "n_files", "bytes", "n_rows")
+  }
+
   def maintain(spark: SparkSession,
                histIndexDirs: Seq[String] = Seq.empty,
                kmvIndexDirs: Seq[String] = Seq.empty,

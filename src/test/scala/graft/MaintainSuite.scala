@@ -103,4 +103,32 @@ class MaintainSuite extends AnyFunSuite with BeforeAndAfterAll {
     val ex = intercept[IllegalArgumentException] { Maintain.maintain(spark) }
     assert(ex.getMessage.contains("nothing to maintain"))
   }
+
+  test("indexCensus: files/bytes/rows per surface; shows the maintenance payoff") {
+    val sql = spark
+    import sql.implicits._
+    val base = Files.createTempDirectory("graft-census").toString
+    val docs = (1L to 40L).map(id => (id, s"s${id % 2}", s"w$id x$id"))
+      .toDF("doc_id", "source", "text")
+    val histDir = s"$base/hist"
+    HistogramSketch.buildHistogramIndex(docs.filter($"doc_id" <= 20), histDir)
+    HistogramSketch.appendHistogramIndex(docs.filter($"doc_id" > 20), histDir)
+    val before = Maintain.indexCensus(spark,
+        Seq("hist" -> s"$histDir/hist"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(before("hist")._1 >= 2L, "two generations land >= 2 files")
+    assert(before("hist")._3 ===
+      spark.read.parquet(s"$histDir/hist").count())
+    Maintain.maintain(spark, histIndexDirs = Seq(histDir))
+    val after = Maintain.indexCensus(spark, Seq("hist" -> s"$histDir/hist"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(after("hist") < before("hist")._1,
+      s"the census must show the compaction payoff: ${before("hist")._1} -> ${after("hist")}")
+    // duplicate labels refuse
+    intercept[IllegalArgumentException] {
+      Maintain.indexCensus(spark,
+        Seq("a" -> s"$histDir/hist", "a" -> s"$histDir/hist"))
+    }
+  }
 }
