@@ -1014,28 +1014,72 @@ object Pipeline {
     * hide behind the ExistingRDD scan in the registered query's plan,
     * packOrdered's rule). */
   private[graft] def orderedByHash(rows: DataFrame, seed: Long,
-                                   keyCols: Seq[String]): DataFrame = {
+                                   keyCols: Seq[String],
+                                   prefixCols: Seq[String] = Seq.empty): DataFrame = {
     val keyExprs = keyCols.map(c => col(c).cast("string"))
     val h = conv(substring(md5(concat_ws(":",
         lit(seed.toString) +: keyExprs: _*)), 1, 8), 16, 10).cast("long")
+    val order = prefixCols.map(col) ++ (col("__h") +: keyCols.map(col))
     rows.withColumn("__h", h)
-      .repartitionByRange((col("__h") +: keyCols.map(col)): _*)
-      .sortWithinPartitions((col("__h") +: keyCols.map(col)): _*)
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
   }
 
   def trainingOrder(rows: DataFrame, seed: Long, keyCols: Seq[String],
-                    posCol: String = "pos"): DataFrame = {
-    require(keyCols.nonEmpty, "trainingOrder: keyCols must be non-empty")
+                    posCol: String = "pos"): DataFrame =
+    orderedPositions(rows, seed, keyCols, Seq.empty, posCol, "trainingOrder")
+
+  /** CURRICULUM training order — [[trainingOrder]] with a difficulty
+    * band as the LEADING order dimension: all of band 0's chunks come
+    * before band 1's (easy → hard, the curriculum-learning schedule),
+    * and WITHIN a band the stream is the same seeded decorrelated
+    * permutation q169 produces (band-local [[orderMixingAudit]] holds).
+    * Bands are caller-computed — the natural feed is
+    * [[graft.operators.HistogramSketch.valueThresholds]]' integer
+    * quantile cuts over a difficulty signal (length, LM surprisal q64,
+    * quality q43) — and LOW-CARDINALITY (single digits of stages).
+    *
+    * Determinism contract inherited from the kernel: null bands AND
+    * null keys refuse loudly (engines disagree on null order), and a
+    * duplicate (band, keys…) tuple refuses (full tie — its relative
+    * order would be shuffle-delivery-dependent; the same key in TWO
+    * bands is fine, they sort apart). Scale shape identical to q169:
+    * ONE range exchange on (band, hash, keys…) — a range exchange
+    * whose leading key has few values still spreads, because the hash
+    * follows it in the sampled boundaries — and the two-pass
+    * count-offset kernel; no Window, no global sort. */
+  def curriculumOrder(rows: DataFrame, seed: Long, keyCols: Seq[String],
+                      bandCol: String = "band",
+                      posCol: String = "pos"): DataFrame = {
+    require(rows.columns.contains(bandCol),
+      s"curriculumOrder: no '$bandCol' column - compute difficulty " +
+        "bands first (valueThresholds' quantile cuts are the natural feed)")
+    orderedPositions(rows, seed, keyCols, Seq(bandCol), posCol,
+      "curriculumOrder")
+  }
+
+  /** The shared two-pass position kernel behind [[trainingOrder]] and
+    * [[curriculumOrder]] — optional prefix columns lead the order
+    * (before the seeded hash), everything else is q169's audited
+    * mechanics verbatim. */
+  private def orderedPositions(rows: DataFrame, seed: Long,
+                               keyCols: Seq[String], prefixCols: Seq[String],
+                               posCol: String, caller: String): DataFrame = {
+    require(keyCols.nonEmpty, s"$caller: keyCols must be non-empty")
     require(!rows.columns.contains(posCol),
-      s"trainingOrder: input already has a '$posCol' column - drop or " +
+      s"$caller: input already has a '$posCol' column - drop or " +
         "rename it before ordering")
     require(!rows.columns.contains("__h"),
-      "trainingOrder: input already has a '__h' column (the kernel's " +
+      s"$caller: input already has a '__h' column (the kernel's " +
         "internal hash name) - rename it before ordering")
     val spark = rows.sparkSession
-    val ordered = orderedByHash(rows, seed, keyCols)
+    val ordered = orderedByHash(rows, seed, keyCols, prefixCols)
     val schema = ordered.schema
-    val keyIdx = keyCols.map(schema.fieldIndex)
+    // the tie identity is (prefix, keys): the hash is a function of the
+    // keys, so equal (prefix, keys) rows tie COMPLETELY and sit adjacent
+    // (the range partitioner never splits equal keys) — while null
+    // checks must cover the prefix too (engines disagree on null order)
+    val keyIdx = (prefixCols ++ keyCols).map(schema.fieldIndex)
     // one RDD DAG for both passes: the range boundaries are sampled once
     // and pass 2 reuses pass 1's shuffle files (packSequences' rule)
     val rdd = ordered.rdd
@@ -1054,14 +1098,14 @@ object Pipeline {
       it.foreach { r =>
         keyIdx.foreach { i =>
           if (r.isNullAt(i)) throw new IllegalArgumentException(
-            s"trainingOrder: null key in column '${schema(i).name}' - " +
-              "null keys make the permutation engine-dependent")
+            s"$caller: null key in column '${schema(i).name}' - " +
+              "null keys make the order engine-dependent")
         }
         val cur = keyIdx.map(r.get)
         if (prev != null && prev == cur)
           throw new IllegalArgumentException(
-            s"trainingOrder: duplicate key tuple ${cur.mkString("(", ",", ")")} " +
-              s"in (${keyCols.mkString(", ")}) - equal keys tie on the " +
+            s"$caller: duplicate key tuple ${cur.mkString("(", ",", ")")} " +
+              s"in (${(prefixCols ++ keyCols).mkString(", ")}) - equal keys tie on the " +
               "hash and their order is not reproducible; include a " +
               "disambiguating column (e.g. 'copy' for a materialized mix)")
         prev = cur
@@ -2836,6 +2880,33 @@ object Pipeline {
               FROM k)
         SELECT stratum, chunk_id,
                CAST(ROW_NUMBER() OVER (ORDER BY hx, stratum, chunk_id) - 1
+                 AS BIGINT) AS pos
+        FROM h
+        ORDER BY pos""")),
+
+    // Curriculum order (r14): difficulty band leads the order (easy →
+    // hard), the seeded hash decorrelates within bands — q169's kernel
+    // with a prefix dimension. Bands here are integer length classes
+    // (least(n_tokens div 64, 3)); production feeds valueThresholds'
+    // quantile cuts over any difficulty signal.
+    QuerySpec(
+      "q182_curriculum_order",
+      (s, d) => curriculumOrder(
+          Tables.documents(s, d).select(col("doc_id"),
+            expr("CAST(least(" +
+              "(size(split(text, ' ')) div 64), 3) AS BIGINT)").as("band")),
+          seed = 7, keyCols = Seq("doc_id"))
+        .orderBy(col("pos")),
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     least(len(string_split(text,' ')) // 64, 3) AS band
+                   FROM documents),
+        h AS (SELECT doc_id, CAST(band AS BIGINT) AS band,
+                     substr(md5(concat('7:', CAST(doc_id AS VARCHAR))), 1, 8)
+                       AS hx
+              FROM t)
+        SELECT doc_id, band,
+               CAST(ROW_NUMBER() OVER (ORDER BY band, hx, doc_id) - 1
                  AS BIGINT) AS pos
         FROM h
         ORDER BY pos""")),

@@ -176,6 +176,27 @@ class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"q180 touches sketch rows only — no tokenize, no explode:\n$p180")
   }
 
+  test("q182: curriculum order is the count-offset kernel — no window; band leads ONE range exchange") {
+    val p = plan("q182_curriculum_order")
+    assert(!p.contains("Window"),
+      s"curriculum order must not plan a ranking window:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"expected the count-offset kernel's RDD scan:\n$p")
+    // the pre-pass: band leads the range layout so bands are contiguous
+    // while the trailing hash still spreads a band across the cluster
+    val chunks = graft.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        (org.apache.spark.sql.functions.col("doc_id") % 3).as("band"))
+    val pp = graft.operators.Pipeline
+      .orderedByHash(chunks, seed = 7L, keyCols = Seq("doc_id"),
+        prefixCols = Seq("band"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(pp.contains("rangepartitioning(band"),
+      s"band must lead the range exchange:\n$pp")
+    assert("rangepartitioning".r.findAllIn(pp).size == 1 && !pp.contains("Window"),
+      s"exactly one range exchange, no window:\n$pp")
+  }
+
   test("q177: epoch schedule is the count-offset kernel per epoch — no window, no global sort") {
     // each epoch runs the audited q169 kernel verbatim (one range
     // exchange per epoch over the chunk table); the union of epochs may

@@ -188,6 +188,59 @@ class PackingEquivalenceSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(moved > a1.size / 2, s"only $moved/${a1.size} keys moved between seeds")
   }
 
+  test("curriculumOrder: bands contiguous ascending, hash-decorrelated within, guards") {
+    val sql = spark
+    import sql.implicits._
+    val base = chunkFixture(seed = 23, n = 600)
+      .withColumn("band", (col("chunk_id") % 3).cast("long"))
+    def run(parts: Int) = Pipeline.curriculumOrder(base.repartition(parts),
+        seed = 7L, keyCols = Seq("stratum", "chunk_id"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2),
+        r.getLong(3))).toSeq // (key, band, pos)
+    val rows = run(5)
+    // exact permutation, bands form contiguous ascending blocks
+    assert(rows.map(_._3).sorted == (0L until 600L))
+    val byPos = rows.sortBy(_._3).map(_._2)
+    assert(byPos == byPos.sorted,
+      "band must be non-decreasing along the schedule (easy -> hard)")
+    // within a band the order IS the q169 permutation restricted to it:
+    // the hash is the same function of the keys, so the relative order
+    // of two same-band keys must match trainingOrder's
+    val flat = Pipeline.trainingOrder(base.drop("band"), seed = 7L,
+        keyCols = Seq("stratum", "chunk_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (0L to 2L).foreach { b =>
+      val inBand = rows.filter(_._2 == b).sortBy(_._3).map(_._1)
+      assert(inBand == inBand.sortBy(flat),
+        s"band $b must preserve the seeded within-band permutation")
+    }
+    // partition invariance
+    assert(run(1).toSet == rows.toSet && run(11).toSet == rows.toSet)
+    // guards: null band, duplicate (band, keys), missing band column —
+    // while the SAME key in two DIFFERENT bands is legal (sorts apart)
+    val nullBand = base.withColumn("band",
+      when(col("chunk_id") === 0L, lit(null)).otherwise(col("band")))
+    val e1 = intercept[Exception] {
+      Pipeline.curriculumOrder(nullBand, 7L, Seq("stratum", "chunk_id")).collect()
+    }
+    assert(e1.getMessage != null && e1.getMessage.contains("null key") ||
+      Option(e1.getCause).exists(_.getMessage.contains("null key")))
+    val dup = Seq(("s0", 1L, 0L), ("s0", 1L, 0L), ("s0", 2L, 0L))
+      .toDF("stratum", "chunk_id", "band")
+    val e2 = intercept[Exception] {
+      Pipeline.curriculumOrder(dup, 7L, Seq("stratum", "chunk_id")).collect()
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("duplicate key") ||
+      Option(e2.getCause).exists(_.getMessage.contains("duplicate key")))
+    val crossBand = Seq(("s0", 1L, 0L), ("s0", 1L, 1L), ("s0", 2L, 0L))
+      .toDF("stratum", "chunk_id", "band")
+    assert(Pipeline.curriculumOrder(crossBand, 7L,
+      Seq("stratum", "chunk_id")).count() === 3)
+    intercept[IllegalArgumentException] {
+      Pipeline.curriculumOrder(base.drop("band"), 7L, Seq("stratum", "chunk_id"))
+    }
+  }
+
   test("trainingOrderEpochs: per-epoch permutations, epoch 0 ≡ q169, decorrelated, stable") {
     val base = chunkFixture(seed = 17, n = 700)
     val n = 700L
