@@ -25,6 +25,19 @@ import org.apache.spark.sql.streaming._
   * decision). Within one micro-batch, docs fold in `(doc_id)` order so
   * replayed batches admit identically.
   *
+  * Duplicate-id honesty (r14 — the batch tier now REFUSES duplicate
+  * doc_ids, which double-spend the budget): this tier cannot — spotting
+  * a cross-batch duplicate needs one state entry per ADMITTED doc_id,
+  * and unbounded per-doc state is exactly what a one-long-per-source
+  * gate exists to avoid. A duplicate arriving in a later batch spends
+  * the budget again, the same as any other arrival; id uniqueness at
+  * the door is the upstream exactly-once delivery contract's job
+  * (within one batch the doc_id-order fold makes the replay identical,
+  * so checkpoint recovery never double-admits). Pipelines that cannot
+  * trust upstream uniqueness should run the batch tier's hash-order
+  * admission over the landed corpus, where the kernel proves the
+  * contract.
+  *
   * State: ONE long per source. Emission: admitted `(doc_id, source,
   * n_tokens)` rows, each exactly once.
   */
