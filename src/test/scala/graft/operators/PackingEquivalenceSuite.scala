@@ -188,6 +188,35 @@ class PackingEquivalenceSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(moved > a1.size / 2, s"only $moved/${a1.size} keys moved between seeds")
   }
 
+  test("tokenQuota composes with materializeMix via the copy-composite key") {
+    val sql = spark
+    import sql.implicits._
+    // a materialized mix REPEATS doc_ids (copies) — the r14 duplicate
+    // refusal must not break the recipe pipeline: the copy-composite
+    // key is the multiset's primary key, exactly as packSequences uses
+    val docs = (1L to 60L).map(i => (i, "A", Seq.fill(5)(s"w$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val plan = Seq(("A", 2500000L)).toDF("source", "epochs_micro") // 2.5 epochs
+    val multiset = Pipeline.materializeMix(docs, plan)
+      .withColumn("mix_id", concat_ws("#", $"doc_id", $"copy"))
+    // raw doc_id would refuse (copies duplicate it) — loudly, not wrong
+    val eDup = intercept[Exception] {
+      Pipeline.tokenQuota(multiset, 100).collect()
+    }
+    assert(eDup.getMessage != null && eDup.getMessage.contains("duplicate") ||
+      Option(eDup.getCause).exists(c => c.getMessage != null &&
+        c.getMessage.contains("duplicate")))
+    // the composite key admits deterministically across partitionings
+    def kept(parts: Int) = Pipeline.tokenQuota(
+        multiset.repartition(parts), 100, idCol = "mix_id")
+      .select($"mix_id").collect().map(_.getString(0)).toSet
+    val k = kept(3)
+    assert(k.nonEmpty && k.size < multiset.count(),
+      s"budget must bite: ${k.size}")
+    assert(kept(1) === k && kept(9) === k,
+      "mix admission must not depend on partitioning")
+  }
+
   test("curriculumOrder: bands contiguous ascending, hash-decorrelated within, guards") {
     val sql = spark
     import sql.implicits._
