@@ -83,10 +83,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               .elementType == org.apache.spark.sql.types.StringType,
           "graft_gram_set_starts: grams must be a foldable ARRAY<STRING> " +
             "literal - the set compiles into the plan")
-        val arr = grams.eval().asInstanceOf[
+        val evaled = grams.eval()
+        require(evaled != null,
+          "graft_gram_set_starts: grams must not be NULL")
+        val arr = evaled.asInstanceOf[
           org.apache.spark.sql.catalyst.util.ArrayData]
-        val lits = (0 until arr.numElements())
-          .map(i => arr.getUTF8String(i).toString)
+        val lits = (0 until arr.numElements()).map { i =>
+          val g = arr.getUTF8String(i)
+          require(g != null,
+            s"graft_gram_set_starts: null gram at index $i - the " +
+              "compiled set cannot hold NULL")
+          g.toString
+        }.distinct
+        // the SQL surface honors the same plan-serialization-weight cap
+        // the Scala API enforces (decontaminateSpansServe's
+        // maxServeGrams default): the set ships in every task's plan
+        require(lits.size <= 500000,
+          s"graft_gram_set_starts: ${lits.size} distinct grams exceed " +
+            "the 500000 plan-weight cap; use the broadcast-join tier " +
+            "(decontaminateSpans) for larger suites")
         GramSetStarts(toks, intLit(n, "n"), lits)
       case other => throw new IllegalArgumentException(
         s"graft_gram_set_starts expects 3 arguments, got ${other.length}")

@@ -71,12 +71,18 @@ object Maintain {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       var nFiles = 0L
       var bytes = 0L
+      val base = p.toUri.getPath
       val it = fs.listFiles(p, true)
       while (it.hasNext) {
         val f = it.next()
-        if (!f.getPath.getName.startsWith("_")) {
-          nFiles += 1; bytes += f.getLen
-        }
+        // hidden means ANY path component under the surface is '_'- or
+        // '.'-prefixed (a crashed writer's _temporary/**/part files have
+        // clean leaf names) — otherwise the census counts bytes the
+        // n_rows read ignores and reports phantom generation pressure
+        val rel = f.getPath.toUri.getPath.stripPrefix(base)
+        val hidden = rel.split('/').exists(seg =>
+          seg.startsWith("_") || seg.startsWith("."))
+        if (!hidden) { nFiles += 1; bytes += f.getLen }
       }
       val nRows = spark.read.parquet(path).count()
       (label, path, nFiles, bytes, nRows)

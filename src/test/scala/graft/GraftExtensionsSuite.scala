@@ -77,6 +77,19 @@ class GraftExtensionsSuite extends AnyFunSuite with BeforeAndAfterAll {
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(err).exists(_.contains("foldable")), s"must refuse: $err")
+    // a NULL array and a null element refuse LOUDLY, never NPE
+    val errNull = intercept[Exception] {
+      spark.sql("SELECT graft_gram_set_starts(split('a b', ' '), 2, " +
+        "CAST(NULL AS ARRAY<STRING>))").head()
+    }
+    assert(msgs(errNull).exists(_.contains("must not be NULL")),
+      s"NULL grams must refuse: $errNull")
+    val errElem = intercept[Exception] {
+      spark.sql("SELECT graft_gram_set_starts(split('a b', ' '), 2, " +
+        "array('a b', NULL))").head()
+    }
+    assert(msgs(errElem).exists(_.contains("null gram")),
+      s"null gram element must refuse: $errElem")
   }
 
   test("graft_lsh_sign_bits works in SQL; literal params are enforced") {

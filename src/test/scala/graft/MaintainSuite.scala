@@ -118,8 +118,24 @@ class MaintainSuite extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getString(0) ->
         ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(before("hist")._1 >= 2L, "two generations land >= 2 files")
-    assert(before("hist")._3 ===
-      spark.read.parquet(s"$histDir/hist").count())
+    assert(before("hist")._2 > 0L, "bytes must be counted")
+    // independent expectation, not the implementation's own computation:
+    // two generations of 2-source length histograms over 2-token docs =
+    // one (source, rep) bucket row per (source, generation) = 4 rows
+    assert(before("hist")._3 === 4L,
+      s"fixture row count must gate n_rows: ${before("hist")._3}")
+    // hidden files (a crashed writer's _temporary residue with a clean
+    // leaf name) must not count as generation pressure
+    val tmpDir = new java.io.File(s"$histDir/hist/_temporary/0")
+    tmpDir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${tmpDir.getPath}/part-ghost.parquet"),
+      Array.fill(64)(0.toByte))
+    val withGhost = Maintain.indexCensus(spark, Seq("hist" -> s"$histDir/hist"))
+      .collect().map(r => (r.getLong(2), r.getLong(3))).head
+    assert(withGhost === ((before("hist")._1, before("hist")._2)),
+      "files under _temporary must be invisible to the census")
+    assert(new java.io.File(s"${tmpDir.getPath}/part-ghost.parquet").delete())
     Maintain.maintain(spark, histIndexDirs = Seq(histDir))
     val after = Maintain.indexCensus(spark, Seq("hist" -> s"$histDir/hist"))
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
