@@ -104,8 +104,14 @@ object CurationPipelineDemo {
     println(s"== forgotten ${report.nIds} id(s); " +
       s"pruned+audited: ${report.artifactsPruned.mkString(", ")} ==")
 
-    // 8) nightly maintenance (r14): one call consolidates every index
-    //    family's generation history, proving the reads unchanged
+    // 8) nightly maintenance (r14): the census says when, one call
+    //    consolidates every index family's generation history with the
+    //    reads proven unchanged
+    println("== index census (generation pressure before maintenance) ==")
+    graft.Maintain.indexCensus(spark,
+        Seq("sketch" -> s"$base/sketch/sketches",
+          "cdc" -> s"$base/cdc/digests"))
+      .show(truncate = false)
     val maint = graft.Maintain.maintain(spark,
       kmvIndexDirs = Seq(s"$base/sketch"))
     println(s"== maintained: ${maint.kmvConsolidated.mkString(", ")} ==")
