@@ -1209,7 +1209,56 @@ object Pipeline {
                  strataCol: String = "source",
                  idCol: String = "doc_id",
                  seed: Long = 42L,
-                 tokenCountCol: Option[String] = None): DataFrame = {
+                 tokenCountCol: Option[String] = None): DataFrame =
+    // refuseDuplicateIds inside quotaPacked: the PK contract is
+    // ENFORCED, not just documented — a duplicated doc_id shares one
+    // __qkey, sits adjacent in the kernel's order, and would silently
+    // double-spend the budget; the kernel's pass-1 scan catches it for
+    // free (r14)
+    quotaPacked(docs, budgetTokens, strataCol, idCol, seed, tokenCountCol)
+      .filter(col("chunk_id") === 0L)
+      .drop("__qkey", "chunk_id")
+
+  /** Per-stratum QUOTA ADMISSION REPORT — the governance view of
+    * [[tokenQuota]]'s gate, completing the recipe arc's audit tier
+    * (pack has q67's chunk economics, order has q172's mixing audit;
+    * admission gets this): per stratum, what was OFFERED vs ADMITTED
+    * under the identical kernel and order — docs and tokens on both
+    * sides, the spilled remainder, and the exact-integer budget
+    * utilization (`admitted_tokens·10⁶ div budget`; can exceed 10⁶ —
+    * the oversize-first admission is visible, not smoothed away). A mix
+    * plan whose allocation a source cannot FILL (utilization far under
+    * 10⁶) or overflows at the door (heavy spill) shows up here before
+    * a training run bakes it in.
+    *
+    * One kernel pass — the same keyed prefix-sum [[tokenQuota]] runs,
+    * aggregated instead of filtered — so the report can never disagree
+    * with the gate; |strata|-row output. */
+  def tokenQuotaReport(docs: DataFrame, budgetTokens: Int,
+                       strataCol: String = "source",
+                       idCol: String = "doc_id",
+                       seed: Long = 42L,
+                       tokenCountCol: Option[String] = None): DataFrame =
+    quotaPacked(docs, budgetTokens, strataCol, idCol, seed, tokenCountCol)
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_offered"),
+        coalesce(sum(col("n_tokens")), lit(0L)).cast("bigint")
+          .as("offered_tokens"),
+        count(when(col("chunk_id") === 0L, lit(1))).as("n_admitted"),
+        coalesce(sum(when(col("chunk_id") === 0L, col("n_tokens"))), lit(0L))
+          .cast("bigint").as("admitted_tokens"))
+      .withColumn("spilled_tokens",
+        col("offered_tokens") - col("admitted_tokens"))
+      .withColumn("utilization_micro",
+        expr(s"(admitted_tokens * 1000000) div $budgetTokens"))
+
+  /** The shared quota kernel: seeded-hash order key + the packSequences
+    * prefix sum with the PK contract enforced — [[tokenQuota]] filters
+    * it, [[tokenQuotaReport]] aggregates it, ONE definition of
+    * "admitted". */
+  private def quotaPacked(docs: DataFrame, budgetTokens: Int,
+                          strataCol: String, idCol: String, seed: Long,
+                          tokenCountCol: Option[String]): DataFrame = {
     require(!docs.columns.contains("__qkey"),
       "tokenQuota: input already has a '__qkey' column (the kernel's " +
         "internal order key) - rename it first")
@@ -1233,14 +1282,8 @@ object Pipeline {
               lit(seed.toString), checkedId)), 1, 8), 16, 10)
             .cast("long"))), 16, "0"),
           checkedId))
-    // refuseDuplicateIds: the PK contract is ENFORCED, not just
-    // documented — a duplicated doc_id shares one __qkey, sits adjacent
-    // in the kernel's order, and would silently double-spend the budget;
-    // the kernel's pass-1 scan catches it for free (r14)
     packSequences(keyed, budgetTokens, strataCol, idCol = "__qkey",
-        tokenCountCol = tokenCountCol, refuseDuplicateIds = true)
-      .filter(col("chunk_id") === 0L)
-      .drop("__qkey", "chunk_id")
+      tokenCountCol = tokenCountCol, refuseDuplicateIds = true)
   }
 
   /** Mixing audit over a [[trainingOrder]]-positioned table — the
@@ -2725,6 +2768,42 @@ object Pipeline {
                CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
         FROM c WHERE cum - n_tokens < 700
         GROUP BY source ORDER BY source""")),
+
+    // Quota admission report (r14): offered vs admitted per source under
+    // the SAME kernel and order q176 admits with — docs, tokens, spill,
+    // and exact-integer budget utilization. The oracle is q176's hash
+    // key + cumsum CTE aggregated on both sides of the cut.
+    QuerySpec(
+      "q183_quota_report",
+      (s, d) => tokenQuotaReport(Tables.documents(s, d), budgetTokens = 700)
+        .orderBy(col("source")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source, len(string_split(text,' ')) AS n_tokens,
+                 concat(lpad(lower(to_hex(('0x' || substr(md5(concat('42:',
+                     CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT)), 16, '0'),
+                   ':', CAST(doc_id AS VARCHAR)) AS k
+          FROM documents),
+        c AS (SELECT source, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY source ORDER BY k
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM t)
+        SELECT source,
+               COUNT(*) AS n_offered,
+               CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS offered_tokens,
+               CAST(COUNT(*) FILTER (WHERE cum - n_tokens < 700) AS BIGINT)
+                 AS n_admitted,
+               CAST(COALESCE(SUM(n_tokens)
+                   FILTER (WHERE cum - n_tokens < 700), 0) AS BIGINT)
+                 AS admitted_tokens,
+               CAST(COALESCE(SUM(n_tokens), 0)
+                 - COALESCE(SUM(n_tokens)
+                     FILTER (WHERE cum - n_tokens < 700), 0) AS BIGINT)
+                 AS spilled_tokens,
+               CAST((COALESCE(SUM(n_tokens)
+                   FILTER (WHERE cum - n_tokens < 700), 0) * 1000000) // 700
+                 AS BIGINT) AS utilization_micro
+        FROM c GROUP BY source ORDER BY source""")),
 
     QuerySpec(
       "q67_pack_sequences",

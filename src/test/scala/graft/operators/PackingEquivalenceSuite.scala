@@ -459,6 +459,42 @@ class PackingEquivalenceSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(k1.contains(999L), "a quota must never erase a stratum")
   }
 
+  test("tokenQuotaReport reconciles exactly with the gate; oversize utilization visible") {
+    val sql = spark
+    import sql.implicits._
+    val rnd = new scala.util.Random(41)
+    val docs = ((1L to 150L).map { i =>
+      (i, s"s${i % 3}", Seq.fill(1 + rnd.nextInt(10))("w").mkString(" "))
+    } :+ ((999L, "solo", Seq.fill(400)("w").mkString(" ")))
+      :+ ((998L, null.asInstanceOf[String], "dropped strata row")))
+      .toDF("doc_id", "source", "text")
+    val report = Pipeline.tokenQuotaReport(docs, budgetTokens = 60)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // the report can never disagree with the gate: same kernel, one pass
+    val admitted = Pipeline.tokenQuota(docs, budgetTokens = 60)
+      .groupBy($"source").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum($"n_tokens").as("tok"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    report.foreach { case (src, (nOff, offTok, nAdm, admTok, spill, util)) =>
+      assert(admitted.get(src).map(_._1).getOrElse(0L) === nAdm,
+        s"$src: report n_admitted must equal the gate's")
+      assert(admitted.get(src).map(_._2).getOrElse(0L) === admTok,
+        s"$src: report admitted_tokens must equal the gate's")
+      assert(spill === offTok - admTok && nOff >= nAdm)
+      assert(util === admTok * 1000000L / 60L)
+    }
+    // offered covers every non-null-strata doc — the dropped-strata row
+    // is in NEITHER side (the streaming-twin admission rule)
+    assert(report.values.map(_._1).sum === 151L, s"offered: $report")
+    assert(!report.contains(null))
+    // the solo oversize doc: utilization exceeds 10^6 VISIBLY
+    assert(report("solo")._6 > 1000000L,
+      s"oversize-first admission must be visible: ${report("solo")}")
+  }
+
   test("tokenQuota: duplicate doc_id refuses loudly; plain packing stays permissive") {
     val sql = spark
     import sql.implicits._
