@@ -277,13 +277,23 @@ object Forget {
     // minima only — so there is nothing for a GDPR audit to find; the
     // exit gate below proves that id-freedom structurally.
     kmvSurvivors.foreach { survivors =>
-      val ghosts = survivors.select(col("doc_id").cast("long").as("__sid"))
+      // the ghost check must compare ids in the CALL's id namespace —
+      // a hardcoded column name would either throw a raw
+      // unresolved-column error or, worse, pass vacuously against a
+      // column that is not the delete list's namespace
+      require(survivors.columns.contains(idCol),
+        s"forget: kmvSurvivors has no '$idCol' column (found " +
+          s"${survivors.columns.sorted.mkString("(", ",", ")")}) - the " +
+          "ghost check compares survivor ids against the delete list " +
+          s"in the call's id namespace; pass survivors keyed by '$idCol'")
+      val ghosts = survivors.select(col(idCol).cast("long").as("__sid"))
         .na.drop().distinct()
         .filter(col("__sid").isInCollection(idSet)).count()
       require(ghosts == 0L,
-        s"forget: kmvSurvivors still contains $ghosts delete-list doc_ids " +
-          "- rebuilding from them would re-insert deleted content into " +
-          "the sketch index; pass the corpus MINUS the delete list")
+        s"forget: kmvSurvivors still contains $ghosts delete-list " +
+          s"'$idCol' ids - rebuilding from them would re-insert deleted " +
+          "content into the sketch index; pass the corpus MINUS the " +
+          "delete list")
       // staged rebuild, never a bare overwrite: a mid-job crash on the
       // GDPR path must not leave the sketch index unreadable; the
       // effective k derives from the index being replaced, so a
@@ -355,17 +365,23 @@ object Forget {
     // index turns every forget into a loud failure instead of a silent
     // compliance hole.
     val spark = idList.sparkSession
-    def schemaAudit(dir: String, expected: Set[String], kind: String): Unit = {
+    def schemaAudit(dir: String, allowed: Seq[Set[String]],
+                    kind: String): Unit = {
       val actual = spark.read.parquet(dir).schema.fieldNames.toSet
-      if (actual != expected)
+      if (!allowed.contains(actual))
         out += s"$kind $dir: schema ${actual.toSeq.sorted.mkString("(", ",", ")")} " +
-          s"is not the id-free aggregate shape ${expected.toSeq.sorted.mkString("(", ",", ")")}" +
+          s"is not the id-free aggregate shape ${allowed.head.toSeq.sorted.mkString("(", ",", ")")}" +
           " - the no-doc-id exemption no longer holds"
     }
     histIndexDirs.foreach(d =>
-      schemaAudit(s"$d/hist", Set("source", "rep", "cnt"), "histogram index"))
+      schemaAudit(s"$d/hist", Seq(Set("source", "rep", "cnt")),
+        "histogram index"))
+    // two allowed shapes: the r15 metadata shape (build_k is a constant
+    // width, never an id) and the legacy pre-metadata shape
     kmvIndexDirs.foreach(d =>
-      schemaAudit(s"$d/sketches", Set("source", "kmv"), "kmv sketch index"))
+      schemaAudit(s"$d/sketches",
+        Seq(Set("source", "kmv", "build_k"), Set("source", "kmv")),
+        "kmv sketch index"))
     // deletionAudit joins each artifact on ITS OWN id column name, so the
     // ids frame carries every needed column (aliased copies of __id).
     // Span indexes audit through pos/ — the surface holding the doc's

@@ -210,10 +210,21 @@ object Dedup {
     * rewritten), and [[readSketchIndex]] merges generations at read.
     * Unlike the dedup indexes, the merge is LOSSLESS by algebra, so
     * build ∪ increments ≡ a full-corpus run EXACTLY — the q157 oracle
-    * is literally the full-run oracle. */
+    * is literally the full-run oracle.
+    *
+    * Every persisted generation carries its build width as a constant
+    * `build_k` column — metadata that travels WITH the rows (a sidecar
+    * file would not survive a partial dir copy), so the maintenance
+    * legs can derive the width the index was BUILT at rather than
+    * infer it from sketch lengths. The distinction matters exactly when
+    * no source ever filled its sketch: observed lengths then understate
+    * the build width, and a narrower consolidation would be exact on
+    * the rows it reads yet truncate the cross-generation UNION a
+    * build-width read is entitled to see. */
   def buildSketchIndex(docs: DataFrame, dir: String, k: Int = 64,
                        textCol: String = "text"): Unit =
     kmvFrame(docs, k, textCol, identity)
+      .withColumn("build_k", lit(k))
       .write.mode("overwrite").parquet(s"$dir/sketches")
 
   /** Append a batch generation's sketches (same `k` as the build — a
@@ -222,6 +233,7 @@ object Dedup {
   def appendSketchIndex(batch: DataFrame, dir: String, k: Int = 64,
                         textCol: String = "text"): Unit =
     kmvFrame(batch, k, textCol, identity)
+      .withColumn("build_k", lit(k))
       .write.mode("append").parquet(s"$dir/sketches")
 
   /** Merge the index's generations to current per-source sketches and
@@ -261,25 +273,44 @@ object Dedup {
     *
     * The stated `k` contract (must be ≥ the largest k any read uses) is
     * ENFORCED BY DERIVATION, not trusted: the effective merge width is
-    * `max(k, longest sketch in the index)` — a caller (or
-    * [[graft.Maintain.maintain]]'s default) passing a k smaller than
-    * the build's cannot silently truncate minima that larger-k reads
-    * need, because the index's own rows reveal the build width (a
-    * filled source carries exactly build-k minima; if NO source ever
-    * filled, every sketch is complete and any width ≥ the observed max
-    * is exact). One extra size scan over the rows the rewrite reads
-    * anyway. Unlike the histogram index there are no forget markers to
-    * manage: the KMV deletion posture is the survivor REBUILD
-    * ([[graft.Forget.forget]]'s `kmvSurvivors` leg), which overwrites
-    * the whole history anyway. */
+    * `max(k, persisted build_k, longest sketch in the index)` — a
+    * caller (or [[graft.Maintain.maintain]]'s default) passing a k
+    * smaller than the build's cannot silently truncate minima that
+    * larger-k reads need. The PERSISTED width is the load-bearing term:
+    * observed sketch lengths alone are NOT a safe bound, because an
+    * index whose generations never individually filled build-k
+    * (observed max < build k) can still hold a cross-generation UNION
+    * wider than any single sketch — a length-derived width would merge
+    * exactly over the rows it reads yet drop union minima a
+    * build-width read saw before the consolidation (the r14 hole,
+    * DedupGuardSuite's unfilled-generations case). Legacy indexes
+    * written before the metadata column fall back to the length
+    * derivation. One extra bounded scan over the rows the rewrite
+    * reads anyway. Unlike the histogram index there are no forget
+    * markers to manage: the KMV deletion posture is the survivor
+    * REBUILD ([[graft.Forget.forget]]'s `kmvSurvivors` leg), which
+    * overwrites the whole history anyway. */
   def consolidateSketchIndex(spark: SparkSession, dir: String,
                              k: Int = 64): Unit = {
     require(k >= 2, s"consolidateSketchIndex: k must be >= 2, got $k")
     Pipeline.stagedRewrite(spark, s"$dir/sketches", "consolidate") { df =>
-      val observed = df.agg(coalesce(max(size(col("kmv"))), lit(0)))
-        .head().getInt(0)
-      mergeKmvGenerations(df, math.max(k, observed))
+      val eff = effectiveKmvWidth(df, k)
+      mergeKmvGenerations(df, eff).withColumn("build_k", lit(eff))
     }
+  }
+
+  /** The one definition of the maintenance width: `max(asked, persisted
+    * build_k, observed sketch length)` — shared by
+    * [[consolidateSketchIndex]] and [[rebuildSketchIndex]] so the two
+    * legs cannot disagree on what width the index must keep. */
+  private def effectiveKmvWidth(df: DataFrame, asked: Int): Int = {
+    val persisted =
+      if (df.columns.contains("build_k"))
+        df.agg(coalesce(max(col("build_k")), lit(0))).head().getInt(0)
+      else 0
+    val observed = df.agg(coalesce(max(size(col("kmv"))), lit(0)))
+      .head().getInt(0)
+    Seq(asked, persisted, observed).max
   }
 
   /** Crash-safe SURVIVOR REBUILD of the sketch index — the deletion-
@@ -291,18 +322,19 @@ object Dedup {
     * hurts most. This variant computes the survivors' sketches into the
     * staged rename-aside swap instead (the consolidation discipline):
     * the index is never unreadable and a rerun self-heals residue.
-    * The effective k is `max(k, longest sketch in the index being
-    * replaced)` — the same derivation as [[consolidateSketchIndex]],
-    * so a default-k call cannot silently downgrade an index built
-    * wider. */
+    * The effective k is `max(k, persisted build_k, longest sketch in
+    * the index being replaced)` — [[effectiveKmvWidth]], the same
+    * derivation as [[consolidateSketchIndex]], so a default-k call
+    * cannot silently downgrade an index built wider even when no
+    * generation ever filled its sketch. */
   def rebuildSketchIndex(survivors: DataFrame, dir: String, k: Int = 64,
                          textCol: String = "text"): Unit = {
     require(k >= 2, s"rebuildSketchIndex: k must be >= 2, got $k")
     Pipeline.stagedRewrite(survivors.sparkSession, s"$dir/sketches",
         "rebuild") { existing =>
-      val observed = existing.agg(coalesce(max(size(col("kmv"))), lit(0)))
-        .head().getInt(0)
-      kmvFrame(survivors, math.max(k, observed), textCol, identity)
+      val eff = effectiveKmvWidth(existing, k)
+      kmvFrame(survivors, eff, textCol, identity)
+        .withColumn("build_k", lit(eff))
     }
   }
 

@@ -419,7 +419,7 @@ class ForgetSuite extends AnyFunSuite with BeforeAndAfterAll {
         kmvIndexDirs = Seq(kmvDir),
         kmvSurvivors = Some(docs.filter(!col("doc_id").isin(6L, 11L))))
     }
-    assert(eGhost.getMessage.contains("delete-list doc_ids"),
+    assert(eGhost.getMessage.contains("delete-list 'doc_id' ids"),
       s"ghost survivors must name the refusal: $eGhost")
     val afterRows = spark.read.parquet(s"$kmvDir/sketches")
       .collect().map(_.toString).sorted

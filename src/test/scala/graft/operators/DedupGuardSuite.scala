@@ -167,8 +167,9 @@ class DedupGuardSuite extends AnyFunSuite with BeforeAndAfterAll {
     val raw = spark.read.parquet(s"$dir/sketches")
     assert(raw.count() === 3L && raw.count() < rowsBefore,
       s"one row per source after consolidation (was $rowsBefore)")
-    assert(raw.schema.fieldNames.toSet === Set("source", "kmv"),
-      "the id-freedom audit shape must survive consolidation")
+    assert(raw.schema.fieldNames.toSet === Set("source", "kmv", "build_k"),
+      "the id-freedom audit shape (+ the build_k width metadata) must " +
+        "survive consolidation")
     // the monoid homomorphism: generations appended AFTER a
     // consolidation still merge exactly (bottomK(bottomK(A) ∪ B) =
     // bottomK(A ∪ B)) — the property that makes consolidate-then-append
@@ -189,6 +190,57 @@ class DedupGuardSuite extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toSeq).toSet
     assert(afterNarrowAsk === fullGrown,
       "a narrow-k consolidation ask must not truncate a wider build")
+  }
+
+  test("sketch index: unfilled generations cannot be narrowed below the persisted build k") {
+    val sql = spark
+    import sql.implicits._
+    // Three generations, NONE of which fills build-k: each generation
+    // holds 10 distinct texts per source (sketch length 10), build k =
+    // 64, so observed max sketch length (10) < a narrow consolidation
+    // ask (16) < the cross-generation union (30) < build k (64). A
+    // length-derived effective width would merge at max(16, 10) = 16
+    // and silently drop union minima 17..30 that a build-width read is
+    // entitled to see — the persisted build_k metadata is what keeps
+    // the derivation safe here (the r14 hole).
+    def gen(g: Int) =
+      (1L to 20L).map(i => (g * 100L + i, s"s${i % 2}", s"gen $g text $i"))
+        .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmv-unfilled")
+      .toString
+    Dedup.buildSketchIndex(gen(1), dir, k = 64)
+    Dedup.appendSketchIndex(gen(2), dir, k = 64)
+    Dedup.appendSketchIndex(gen(3), dir, k = 64)
+    val wideBefore = Dedup.readSketchIndex(spark, dir, k = 64)
+      .collect().map(_.toSeq).toSet
+    // sanity: the scenario is the hole's shape — no sketch filled, the
+    // union exceeds every single-generation sketch
+    val gens = spark.read.parquet(s"$dir/sketches")
+    import org.apache.spark.sql.functions.{col, max, size}
+    val obs = gens.agg(max(size(col("kmv")))).head().getInt(0)
+    assert(obs === 10, s"fixture drift: observed max sketch length $obs")
+    assert(wideBefore.map(_(1).asInstanceOf[Long]).max === 30L,
+      "fixture drift: the union must exceed the observed max")
+
+    Dedup.consolidateSketchIndex(spark, dir, k = 16)
+    val wideAfterConsol = Dedup.readSketchIndex(spark, dir, k = 64)
+      .collect().map(_.toSeq).toSet
+    assert(wideAfterConsol === wideBefore,
+      "a narrow-k consolidation of an UNFILLED-generation index must " +
+        "not truncate the cross-generation union the build width saw")
+    assert(spark.read.parquet(s"$dir/sketches")
+        .agg(max(col("build_k"))).head().getInt(0) === 64,
+      "the persisted width must survive the consolidation")
+
+    // same hole on the GDPR rebuild path: a narrow-k rebuild ask over
+    // the full corpus as survivors must re-sketch at the build width
+    Dedup.rebuildSketchIndex(
+      gen(1).union(gen(2)).union(gen(3)), dir, k = 16)
+    val wideAfterRebuild = Dedup.readSketchIndex(spark, dir, k = 64)
+      .collect().map(_.toSeq).toSet
+    assert(wideAfterRebuild === wideBefore,
+      "a narrow-k survivor rebuild must re-sketch at the persisted " +
+        "build width, not the asked width")
   }
 
   test("sketchIndexDrift: duplicates don't move the estimate, new content does, identical zero") {
