@@ -104,17 +104,23 @@ object CurationPipelineDemo {
     println(s"== forgotten ${report.nIds} id(s); " +
       s"pruned+audited: ${report.artifactsPruned.mkString(", ")} ==")
 
-    // 8) nightly maintenance (r14): the census says when, one call
-    //    consolidates every index family's generation history with the
-    //    reads proven unchanged
+    // 8) nightly maintenance (r15): ONE census-driven call — maintain
+    //    measures each surface itself, only overdue ones pay the
+    //    rewrite, and the report says who ran and why. The standalone
+    //    census remains the governance view of the same pressure.
     println("== index census (generation pressure before maintenance) ==")
     graft.Maintain.indexCensus(spark,
         Seq("sketch" -> s"$base/sketch/sketches",
           "cdc" -> s"$base/cdc/digests"))
       .show(truncate = false)
     val maint = graft.Maintain.maintain(spark,
-      kmvIndexDirs = Seq(s"$base/sketch"))
-    println(s"== maintained: ${maint.kmvConsolidated.mkString(", ")} ==")
+      kmvIndexDirs = Seq(s"$base/sketch"),
+      compactTargets = Seq(s"$base/cdc/digests" -> Seq("db")),
+      auto = true, autoFactor = 2)
+    maint.decisions.foreach(d => println(
+      s"== maintenance decision: ${d.surface}: ${d.reason} =="))
+    println(s"== maintained: ${(maint.kmvConsolidated ++ maint.compacted)
+      .mkString(", ")} ==")
 
     spark.stop()
   }

@@ -1543,15 +1543,9 @@ object Pipeline {
     val base = dir.stripSuffix("/")
     val dirPath = new org.apache.hadoop.fs.Path(base)
     val stagePath = new org.apache.hadoop.fs.Path(base + s"__${tag}_stage")
-    val oldPath = new org.apache.hadoop.fs.Path(base + s"__${tag}_old")
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // self-heal residue of a crashed prior run before touching anything
-    if (!fs.exists(dirPath) && fs.exists(oldPath))
-      require(fs.rename(oldPath, dirPath),
-        s"${tag}Artifact: could not restore crashed swap ($oldPath -> $dirPath)")
-    if (fs.exists(oldPath))
-      require(fs.delete(oldPath, true),
-        s"${tag}Artifact: could not clear stale aside copy at $oldPath")
+    val oldPath = healStagedResidue(spark, base, tag)
     // layout preservation is not optional: detect the partition columns
     // from the directory structure when the caller didn't name them
     val effectiveCols =
@@ -1568,6 +1562,31 @@ object Pipeline {
         s"($stagePath -> $dirPath)")
     require(fs.delete(oldPath, true),
       s"${tag}Artifact: could not remove aside copy at $oldPath")
+  }
+
+  /** The [[stagedRewrite]] crash-residue self-heal as a CALLABLE step —
+    * restore the rename-aside copy if a prior run crashed inside the
+    * swap window (`dir` renamed aside, stage not yet renamed in), then
+    * clear any stale aside. [[stagedRewrite]] runs it first; a caller
+    * that READS the artifact before rewriting it (e.g.
+    * [[graft.Maintain.maintain]]'s read-equality gates) must run it
+    * before that read, or a crashed prior run turns the rerun's
+    * before-read into PATH_NOT_FOUND instead of self-healing. Returns
+    * the aside path (cleared) for the caller's subsequent swap. */
+  private[graft] def healStagedResidue(
+      spark: SparkSession, dir: String,
+      tag: String): org.apache.hadoop.fs.Path = {
+    val base = dir.stripSuffix("/")
+    val dirPath = new org.apache.hadoop.fs.Path(base)
+    val oldPath = new org.apache.hadoop.fs.Path(base + s"__${tag}_old")
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dirPath) && fs.exists(oldPath))
+      require(fs.rename(oldPath, dirPath),
+        s"${tag}Artifact: could not restore crashed swap ($oldPath -> $dirPath)")
+    if (fs.exists(oldPath))
+      require(fs.delete(oldPath, true),
+        s"${tag}Artifact: could not clear stale aside copy at $oldPath")
+    oldPath
   }
 
   /** Compact an append-grown parquet artifact back to a bounded file

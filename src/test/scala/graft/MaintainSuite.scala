@@ -104,6 +104,118 @@ class MaintainSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("nothing to maintain"))
   }
 
+  test("auto mode: a fresh index is skipped, an overdue one pays; report names both") {
+    val sql = spark
+    import sql.implicits._
+    val base = Files.createTempDirectory("graft-maintain-auto").toString
+    def docs(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, s"s${i % 2}", s"doc $i words ${i * 3}"))
+        .toDF("doc_id", "source", "text")
+    val (freshDir, overdueDir) = (s"$base/fresh", s"$base/overdue")
+    Dedup.buildSketchIndex(docs(1, 20), freshDir, k = 8)
+    Dedup.buildSketchIndex(docs(1, 20), overdueDir, k = 8)
+    (1 to 10).foreach(g =>
+      Dedup.appendSketchIndex(docs(g * 20L + 1, g * 20L + 20), overdueDir, k = 8))
+    val freshFiles = new java.io.File(s"$freshDir/sketches")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val overdueFiles = new java.io.File(s"$overdueDir/sketches")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(freshFiles < 8 && overdueFiles >= 8,
+      s"fixture drift: fresh=$freshFiles overdue=$overdueFiles vs threshold 8")
+    val freshReadBefore = Dedup.readSketchIndex(spark, freshDir, k = 8)
+      .collect().map(_.toString).sorted.toSeq
+    val overdueReadBefore = Dedup.readSketchIndex(spark, overdueDir, k = 8)
+      .collect().map(_.toString).sorted.toSeq
+
+    val report = Maintain.maintain(spark,
+      kmvIndexDirs = Seq(freshDir, overdueDir), kmvK = 8,
+      auto = true, autoFactor = 8)
+    // ONE call: only the overdue surface paid the rewrite
+    assert(report.kmvConsolidated === Seq(s"$overdueDir/sketches"),
+      s"only the overdue surface must consolidate: $report")
+    val bySurface = report.decisions.map(d => d.surface -> d).toMap
+    val fresh = bySurface(s"$freshDir/sketches")
+    val over = bySurface(s"$overdueDir/sketches")
+    assert(!fresh.ran && fresh.reason.contains("skipped") &&
+        fresh.nFiles == freshFiles.toLong,
+      s"the report must say WHY the fresh surface was spared: $fresh")
+    assert(over.ran && over.reason.contains("overdue") &&
+        over.nFiles == overdueFiles.toLong,
+      s"the report must name the overdue surface's pressure: $over")
+    // skipped surface untouched on disk, consolidated one read-equal
+    assert(new java.io.File(s"$freshDir/sketches")
+      .listFiles().count(_.getName.endsWith(".parquet")) === freshFiles,
+      "a skipped surface must not be rewritten")
+    assert(Dedup.readSketchIndex(spark, freshDir, k = 8)
+      .collect().map(_.toString).sorted.toSeq == freshReadBefore)
+    assert(Dedup.readSketchIndex(spark, overdueDir, k = 8)
+      .collect().map(_.toString).sorted.toSeq == overdueReadBefore)
+    assert(new java.io.File(s"$overdueDir/sketches")
+      .listFiles().count(_.getName.endsWith(".parquet")) < overdueFiles,
+      "the overdue surface's history must collapse")
+  }
+
+  test("a crashed swap self-heals BEFORE the gate read (rerun, not PATH_NOT_FOUND)") {
+    val sql = spark
+    import sql.implicits._
+    val base = Files.createTempDirectory("graft-maintain-heal").toString
+    val kmvDir = s"$base/kmv"
+    val docs = (1L to 30L).map(i => (i, s"s${i % 2}", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    Dedup.buildSketchIndex(docs, kmvDir, k = 8)
+    Dedup.appendSketchIndex(docs.withColumn("text", concat($"text", lit(" more"))),
+      kmvDir, k = 8)
+    val readBefore = Dedup.readSketchIndex(spark, kmvDir, k = 8)
+      .collect().map(_.toString).sorted.toSeq
+    // simulate a crash INSIDE the swap window: dir renamed aside, stage
+    // never renamed in — the exact residue ADVICE r14 flagged as
+    // breaking maintain's before-read
+    val live = new java.io.File(s"$kmvDir/sketches")
+    val aside = new java.io.File(s"$kmvDir/sketches__consolidate_old")
+    assert(live.renameTo(aside), "fixture: could not stage the crash residue")
+    val report = Maintain.maintain(spark, kmvIndexDirs = Seq(kmvDir), kmvK = 8)
+    assert(report.kmvConsolidated === Seq(s"$kmvDir/sketches"))
+    assert(Dedup.readSketchIndex(spark, kmvDir, k = 8)
+      .collect().map(_.toString).sorted.toSeq == readBefore,
+      "the healed rerun must read exactly the pre-crash index")
+    assert(!aside.exists(), "the aside residue must be cleared")
+  }
+
+  test("census reports marker debt: survives consolidation, cleared by rebuild") {
+    val sql = spark
+    import sql.implicits._
+    val base = Files.createTempDirectory("graft-maintain-markers").toString
+    val histDir = s"$base/hist"
+    val docs = (1L to 40L).map(id => (id, s"s${id % 2}", s"w$id x$id y$id"))
+      .toDF("doc_id", "source", "text")
+    HistogramSketch.buildHistogramIndex(docs.filter($"doc_id" <= 20), histDir)
+    HistogramSketch.appendHistogramIndex(docs.filter($"doc_id" > 20), histDir)
+    def markerCount: Long = Maintain.indexCensus(spark,
+        Seq("hist" -> s"$histDir/hist"))
+      .collect().head.getLong(5)
+    assert(markerCount === 0L, "no forgets yet, no marker debt")
+    // a forget writes one replay marker per (dir, idSet)
+    Forget.forget(Seq(7L).toDF("doc_id"), "doc_id",
+      histIndexDirs = Seq(histDir),
+      removedDocs = Some(docs.filter($"doc_id" === 7)))
+    Forget.forget(Seq(8L, 9L).toDF("doc_id"), "doc_id",
+      histIndexDirs = Seq(histDir),
+      removedDocs = Some(docs.filter($"doc_id".isin(8L, 9L))))
+    assert(markerCount === 2L,
+      "each distinct delete list must surface as marker debt")
+    // markers SURVIVE consolidation (the retraction is folded into the
+    // consolidated rows; the marker still guards replay)
+    Maintain.maintain(spark, histIndexDirs = Seq(histDir))
+    assert(markerCount === 2L,
+      "consolidation must not clear marker debt - the r14 invariant, " +
+        "now observable in the census")
+    // and are CLEARED by a full rebuild (fresh index, stale markers
+    // would wrongly suppress future retractions)
+    HistogramSketch.buildHistogramIndex(docs, histDir)
+    assert(markerCount === 0L,
+      "a rebuild must invalidate the marker debt the census shows")
+  }
+
   test("indexCensus: files/bytes/rows per surface; shows the maintenance payoff") {
     val sql = spark
     import sql.implicits._
@@ -146,5 +258,13 @@ class MaintainSuite extends AnyFunSuite with BeforeAndAfterAll {
       Maintain.indexCensus(spark,
         Seq("a" -> s"$histDir/hist", "a" -> s"$histDir/hist"))
     }
+    // a not-yet-built surface fails WITH its label - the census is the
+    // cadence decision input; a bare FileNotFoundException doesn't say
+    // which of a dozen surfaces is missing
+    val eMissing = intercept[IllegalArgumentException] {
+      Maintain.indexCensus(spark, Seq("ghost" -> s"$base/never_built"))
+    }
+    assert(eMissing.getMessage.contains("'ghost'"),
+      s"the missing surface must be named: ${eMissing.getMessage}")
   }
 }
