@@ -95,13 +95,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "compiled set cannot hold NULL")
           g.toString
         }.distinct
-        // the SQL surface honors the same plan-serialization-weight cap
-        // the Scala API enforces (decontaminateSpansServe's
-        // maxServeGrams default): the set ships in every task's plan
+        // the SQL surface honors the same plan-serialization-weight caps
+        // the Scala API enforces (decontaminateSpansServe's defaults):
+        // the set ships in every task's plan, and the task binary grows
+        // with gram BYTES (~1.1x, measured in PLANS.md), so both the
+        // element count and the UTF-8 payload are bounded
         require(lits.size <= 500000,
           s"graft_gram_set_starts: ${lits.size} distinct grams exceed " +
             "the 500000 plan-weight cap; use the broadcast-join tier " +
             "(decontaminateSpans) for larger suites")
+        val litBytes = lits.iterator
+          .map(g => g.getBytes("UTF-8").length.toLong).sum
+        require(litBytes <= (32L << 20),
+          s"graft_gram_set_starts: grams total $litBytes UTF-8 bytes, " +
+            "exceeding the 33554432-byte plan-weight cap; use the " +
+            "broadcast-join tier (decontaminateSpans) for heavier suites")
         GramSetStarts(toks, intLit(n, "n"), lits)
       case other => throw new IllegalArgumentException(
         s"graft_gram_set_starts expects 3 arguments, got ${other.length}")

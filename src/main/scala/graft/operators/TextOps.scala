@@ -1370,16 +1370,21 @@ object TextOps {
     * Cost: O(tokens) per doc regardless of panel size — the earlier
     * literal-map `try_element_at` formulation was a LINEAR SCAN per gram
     * (O(tokens × |grams|), capped at 4096); the remaining bound is plan
-    * size (the gram set serializes once into each task's plan, ~30-50 B
-    * per gram), so `maxServeGrams` now guards plan-serialization weight
-    * at 500k grams (~20 MB) — benchmark-suite-sized panels fit. Past
-    * that, the broadcast-join tier ([[decontaminateSpans]]) is the right
-    * shape anyway: a multi-million-gram set belongs on the broadcast
-    * bus, not in the plan. */
+    * size: the gram set rides the stage's TASK BINARY, measured
+    * (graft.tools.PlanWeight, r15, PLANS.md table) at ~35 KB base +
+    * gram UTF-8 bytes × ~1.1 — 16.1 MB at 500k × ~29 B grams. The cap
+    * is therefore TWO-DIMENSIONAL: `maxServeGrams` bounds the element
+    * count and `maxServeGramBytes` bounds the total UTF-8 payload, so
+    * long grams (large n, long tokens) cannot smuggle an arbitrarily
+    * heavy set under a pure element-count guard. Past either cap, the
+    * broadcast-join tier ([[decontaminateSpans]]) is the right shape
+    * anyway: a multi-million-gram set belongs on the broadcast bus, not
+    * in the plan. */
   def decontaminateSpansServe(docs: DataFrame, evalGrams: Seq[String],
                               n: Int = 4,
                               textCol: String = "text",
-                              maxServeGrams: Int = 500000): DataFrame = {
+                              maxServeGrams: Int = 500000,
+                              maxServeGramBytes: Long = 32L << 20): DataFrame = {
     require(n >= 2, s"decontaminateSpansServe: span width must be >= 2, got $n")
     require(evalGrams.nonEmpty, "decontaminateSpansServe: empty eval gram set")
     val grams = evalGrams.distinct
@@ -1388,6 +1393,14 @@ object TextOps {
         s"maxServeGrams ($maxServeGrams) - the compiled gram set " +
         "serializes into every task's plan; use decontaminateSpans " +
         "(broadcast join) for larger suites, or raise the cap knowingly")
+    val gramBytes = grams.iterator
+      .map(g => g.getBytes("UTF-8").length.toLong).sum
+    require(gramBytes <= maxServeGramBytes,
+      s"decontaminateSpansServe: eval grams total $gramBytes UTF-8 bytes, " +
+        s"exceeding maxServeGramBytes ($maxServeGramBytes) - the task " +
+        "binary grows with gram BYTES (~1.1x, measured in PLANS.md), " +
+        "not just count; use decontaminateSpans (broadcast join) for " +
+        "heavier suites, or raise the cap knowingly")
     val toks = docs.select(col("doc_id"), col("source"),
       tokens(col(textCol)).as("__toks"))
     rebuildWithoutCoverage(

@@ -90,6 +90,17 @@ class GraftExtensionsSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(msgs(errElem).exists(_.contains("null gram")),
       s"null gram element must refuse: $errElem")
+    // the byte-dimension cap (r15): ONE gram can be a 34 MB payload —
+    // far under the 500k element cap yet past the 32 MB byte cap. The
+    // guard fires at expression-build time (before anything serializes
+    // into a plan), so the fixture costs one string allocation.
+    val errBytes = intercept[Exception] {
+      spark.sql("SELECT graft_gram_set_starts(split('a b', ' '), 2, " +
+        "array(repeat('xy', 17000000)))").head()
+    }
+    assert(msgs(errBytes).exists(m =>
+        m.contains("UTF-8 bytes") && m.contains("plan-weight cap")),
+      s"a heavy payload must refuse by BYTES: $errBytes")
   }
 
   test("graft_lsh_sign_bits works in SQL; literal params are enforced") {

@@ -119,6 +119,19 @@ class CurationOpsSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"serve tier must stay a zero-join zero-shuffle projection:\n$p")
     assert(p.contains("gram_set_starts"),
       s"expected the compiled set-membership expression:\n$p")
+
+    // the plan-weight caps are TWO-DIMENSIONAL (r15): an element count
+    // under maxServeGrams can still carry an arbitrarily heavy UTF-8
+    // payload (long grams), so the byte cap refuses it by total bytes —
+    // message names the measured growth law so the caller knows what
+    // resource the refusal protects
+    val eBytes = intercept[IllegalArgumentException] {
+      TextOps.decontaminateSpansServe(corpus, grams, n = 4,
+        maxServeGramBytes = 1024L)
+    }
+    assert(eBytes.getMessage.contains("UTF-8 bytes") &&
+        eBytes.getMessage.contains("task") ,
+      s"the byte-cap refusal must name the resource: ${eBytes.getMessage}")
   }
 
   test("contaminationMatrixFromIndex survives pervasive contamination (unhinted hits join)") {
