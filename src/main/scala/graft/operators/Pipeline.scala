@@ -1169,6 +1169,55 @@ object Pipeline {
     }.reduce(_ unionByName _)
   }
 
+  /** EPOCH-INDEXED curriculum order — [[curriculumOrder]] ×
+    * [[trainingOrderEpochs]] on the shared kernel, because the two r14
+    * operators compose on paper but a multi-epoch curriculum run needs
+    * them composed IN THE API: the band schedule (easy → hard) must
+    * hold WITHIN every epoch, while the within-band permutation must
+    * DIFFER per epoch (reshuffle-each-epoch — repeating one order
+    * correlates gradient noise across epochs). Epoch `e` is
+    * [[curriculumOrder]]'s kernel VERBATIM at `seed XOR e`: the band
+    * prefix leads the order key every epoch, the seeded hash re-deals
+    * within bands, and epoch 0 IS the single-epoch q182 schedule — so
+    * upgrading a curriculum run to multi-epoch never changes what
+    * epoch 0 trains on, the exact compatibility contract
+    * [[trainingOrderEpochs]] pins for the flat order.
+    *
+    * Positions are per-epoch (each epoch holds the exact permutation
+    * 0..n-1, band blocks contiguous ascending). Cross-epoch
+    * decorrelation is per-BAND, not global — a chunk can never leave
+    * its band, so the fixed-point expectation is |band| × (1/|band|)
+    * = 1 per band, suite-gated alongside the band-contiguity and
+    * epoch-0 identities.
+    *
+    * Scale shape: the audited kernel per epoch — one range exchange on
+    * (band, hash, keys…) and one long per partition to the driver,
+    * times `nEpochs` (single digits; a hotter schedule is refused via
+    * `spark.graft.mix.maxEpochs`, the [[materializeMix]] rule). Null
+    * bands/keys and duplicate (band, keys) tuples inherit the kernel's
+    * loud refusals. */
+  def curriculumOrderEpochs(rows: DataFrame, seed: Long, nEpochs: Int,
+                            keyCols: Seq[String],
+                            bandCol: String = "band",
+                            posCol: String = "pos",
+                            epochCol: String = "epoch"): DataFrame = {
+    require(nEpochs >= 1,
+      s"curriculumOrderEpochs: nEpochs must be >= 1, got $nEpochs")
+    val maxEpochs = rows.sparkSession.conf
+      .getOption("spark.graft.mix.maxEpochs").map(_.toLong).getOrElse(1000L)
+    require(nEpochs <= maxEpochs,
+      s"curriculumOrderEpochs: $nEpochs epochs - past spark.graft.mix" +
+        s".maxEpochs ($maxEpochs); a schedule this hot is memorization, " +
+        "not training")
+    require(!rows.columns.contains(epochCol),
+      s"curriculumOrderEpochs: input already has a '$epochCol' column - " +
+        "drop or rename it before ordering")
+    (0 until nEpochs).map { e =>
+      curriculumOrder(rows, seed ^ e.toLong, keyCols, bandCol, posCol)
+        .withColumn(epochCol, lit(e.toLong))
+    }.reduce(_ unionByName _)
+  }
+
   /** Deterministic per-stratum TOKEN QUOTA — admission control for
     * ingest and mixture enforcement: keep each stratum's docs, in
     * seeded-hash order, until the stratum's running token sum reaches
@@ -3043,6 +3092,36 @@ object Pipeline {
         SELECT stratum, chunk_id,
                CAST(ROW_NUMBER() OVER (PARTITION BY epoch
                  ORDER BY hx, stratum, chunk_id) - 1 AS BIGINT) AS pos,
+               epoch
+        FROM h
+        ORDER BY epoch, pos""")),
+
+    // Epoch-indexed CURRICULUM order (r15): q182 × q177 on the shared
+    // kernel — every epoch keeps the band schedule (easy → hard) while
+    // re-dealing the within-band permutation at seed XOR epoch; epoch 0
+    // IS q182's schedule. Oracle = q182's CTE crossed with the epoch
+    // list, band leading the per-epoch ROW_NUMBER order.
+    QuerySpec(
+      "q184_curriculum_order_epochs",
+      (s, d) => curriculumOrderEpochs(
+          Tables.documents(s, d).select(col("doc_id"),
+            expr("CAST(least(" +
+              "(size(split(text, ' ')) div 64), 3) AS BIGINT)").as("band")),
+          seed = 7, nEpochs = 3, keyCols = Seq("doc_id"))
+        .orderBy(col("epoch"), col("pos")),
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     least(len(string_split(text,' ')) // 64, 3) AS band
+                   FROM documents),
+        ep AS (SELECT CAST(u.e AS BIGINT) AS epoch
+               FROM UNNEST(generate_series(0, 2)) AS u(e)),
+        h AS (SELECT ep.epoch, t.doc_id, CAST(t.band AS BIGINT) AS band,
+                     substr(md5(concat(CAST(xor(7, ep.epoch) AS VARCHAR),
+                       ':', CAST(t.doc_id AS VARCHAR))), 1, 8) AS hx
+              FROM t CROSS JOIN ep)
+        SELECT doc_id, band,
+               CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+                 ORDER BY band, hx, doc_id) - 1 AS BIGINT) AS pos,
                epoch
         FROM h
         ORDER BY epoch, pos""")),

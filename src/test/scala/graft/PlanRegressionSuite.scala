@@ -212,6 +212,33 @@ class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the per-epoch union:\n$p")
   }
 
+  test("q184: epoch curriculum is the kernel per epoch — band leads each range exchange, no window") {
+    val p = plan("q184_curriculum_order_epochs")
+    assert(!p.contains("Window"),
+      s"epoch curriculum must not plan a ranking window:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"expected the count-offset kernel's RDD scan:\n$p")
+    assert(p.contains("Union"),
+      s"expected the per-epoch union:\n$p")
+    // each epoch's pre-pass: ONE range exchange with the band leading —
+    // bands stay contiguous per epoch while the epoch-salted hash
+    // spreads a band across the cluster (read off the pre-pass: the
+    // registered query hides kernel internals behind ExistingRDD)
+    val chunks = graft.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        (org.apache.spark.sql.functions.col("doc_id") % 3).as("band"))
+    (0 to 2).foreach { e =>
+      val pp = graft.operators.Pipeline
+        .orderedByHash(chunks, seed = 7L ^ e.toLong, keyCols = Seq("doc_id"),
+          prefixCols = Seq("band"))
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(pp.contains("rangepartitioning(band"),
+        s"epoch $e: band must lead the range exchange:\n$pp")
+      assert("rangepartitioning".r.findAllIn(pp).size == 1,
+        s"epoch $e: exactly one range exchange:\n$pp")
+    }
+  }
+
   test("q169 pre-pass: RANGE exchange on the seeded hash, no hash exchange, no Window") {
     // the de-funnel property: the permutation lays out by a range
     // exchange on (__h, keys) — a single hot stratum's chunks spread
