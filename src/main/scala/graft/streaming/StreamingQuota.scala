@@ -28,7 +28,7 @@ import org.apache.spark.sql.streaming._
   * Duplicate-id honesty (r14 — the batch tier now REFUSES duplicate
   * doc_ids, which double-spend the budget): this tier cannot — spotting
   * a cross-batch duplicate needs one state entry per ADMITTED doc_id,
-  * and unbounded per-doc state is exactly what a one-long-per-source
+  * and unbounded per-doc state is exactly what a few-longs-per-source
   * gate exists to avoid. A duplicate arriving in a later batch spends
   * the budget again, the same as any other arrival; id uniqueness at
   * the door is the upstream exactly-once delivery contract's job
@@ -38,47 +38,99 @@ import org.apache.spark.sql.streaming._
   * admission over the landed corpus, where the kernel proves the
   * contract.
   *
-  * State: ONE long per source. Emission: admitted `(doc_id, source,
-  * n_tokens)` rows, each exactly once.
+  * State: FOUR longs per source (the admitted cum the gate decides on,
+  * plus the offered/admitted counters the report serves — r15). Gate
+  * emission: admitted `(doc_id, source, n_tokens)` rows, each exactly
+  * once. Report emission ([[tokenQuotaReportStream]]): the source's
+  * RUNNING admission report after every micro-batch that touched it —
+  * q183's governance view for the live gate, with the q183/q176 rule
+  * carried into state: gate and report fold the SAME transition
+  * ([[foldBatch]]) over the SAME state shape, so the report can never
+  * disagree with the gate about what was admitted.
   */
 object StreamingQuota {
 
   case class DocTok(doc_id: Long, source: String, n_tokens: Long)
-  private[streaming] case class Cum(sum: Long)
+
+  /** The per-source admission state BOTH processors fold: `cum` is the
+    * admitted token sum the gate's cum-before < budget rule reads; the
+    * counters are the report's. */
+  private[streaming] case class QuotaState(
+      cum: Long, nOffered: Long, offeredTokens: Long, nAdmitted: Long)
+
+  /** The streaming twin of q183's row shape — running per-source
+    * counters as of the last micro-batch that touched the source. */
+  case class QuotaReport(source: String, n_offered: Long,
+      offered_tokens: Long, n_admitted: Long, admitted_tokens: Long,
+      spilled_tokens: Long, utilization_micro: Long)
+
+  /** ONE definition of the admission transition — the gate emits the
+    * admitted docs, the report emits the counters, both from THIS fold
+    * over THIS state, so the two streaming views reconcile by
+    * construction (the shared-`quotaPacked` rule, in state). Docs fold
+    * in doc_id order (replay determinism); every doc counts as offered;
+    * a doc is admitted iff its source's cum-before is under budget. */
+  private[streaming] def foldBatch(rows: Iterator[DocTok],
+                                   prev: QuotaState,
+                                   budgetTokens: Long): (QuotaState, Seq[DocTok]) = {
+    var c = prev.cum
+    var nOff = prev.nOffered
+    var offTok = prev.offeredTokens
+    var nAdm = prev.nAdmitted
+    val out = scala.collection.mutable.ArrayBuffer.empty[DocTok]
+    rows.toArray.sortBy(_.doc_id).foreach { d =>
+      nOff += 1
+      offTok += d.n_tokens
+      if (c < budgetTokens) { out += d; c += d.n_tokens; nAdm += 1 }
+    }
+    (QuotaState(c, nOff, offTok, nAdm), out.toSeq)
+  }
+
+  private[streaming] def reportOf(source: String, s: QuotaState,
+                                  budgetTokens: Long): QuotaReport =
+    QuotaReport(source, s.nOffered, s.offeredTokens, s.nAdmitted,
+      s.cum, s.offeredTokens - s.cum,
+      s.cum * 1000000L / budgetTokens)
 
   class QuotaProcessor(budgetTokens: Long)
       extends StatefulProcessor[String, DocTok, DocTok] {
-    @transient private var cum: ValueState[Cum] = _
+    @transient private var st: ValueState[QuotaState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      cum = getHandle.getValueState[Cum]("cum",
-        Encoders.product[Cum], TTLConfig.NONE)
+      st = getHandle.getValueState[QuotaState]("quota",
+        Encoders.product[QuotaState], TTLConfig.NONE)
 
     override def handleInputRows(key: String, rows: Iterator[DocTok],
                                  timerValues: TimerValues): Iterator[DocTok] = {
-      var c = Option(cum.get()).map(_.sum).getOrElse(0L)
-      val out = scala.collection.mutable.ArrayBuffer.empty[DocTok]
-      // deterministic within-batch order: replaying a batch admits the
-      // identical docs regardless of shuffle delivery order
-      rows.toArray.sortBy(_.doc_id).foreach { d =>
-        if (c < budgetTokens) { out += d; c += d.n_tokens }
-      }
-      cum.update(Cum(c))
-      out.iterator
+      val prev = Option(st.get()).getOrElse(QuotaState(0L, 0L, 0L, 0L))
+      val (next, admitted) = foldBatch(rows, prev, budgetTokens)
+      st.update(next)
+      admitted.iterator
     }
   }
 
-  /** Admitted-doc stream of a streaming `docs` frame (columns `doc_id`,
-    * `source`, `text`): each admitted doc emitted exactly once; a
-    * source's gate closes for good once its budget is spent. Token
-    * counts are the batch tier's [[graft.operators.TextOps.tokenCount]]
-    * (one definition). Null-text docs carry no tokens and are dropped
-    * (the histogram family's rule — they would be admitted "for free"
-    * and spend nothing, but admission is a TOKEN gate and they have
-    * none). */
-  def tokenQuotaStream(docs: DataFrame, budgetTokens: Long): Dataset[DocTok] = {
-    require(budgetTokens > 0,
-      s"tokenQuotaStream: budget must be positive, got $budgetTokens")
+  class QuotaReportProcessor(budgetTokens: Long)
+      extends StatefulProcessor[String, DocTok, QuotaReport] {
+    @transient private var st: ValueState[QuotaState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[QuotaState]("quota",
+        Encoders.product[QuotaState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[DocTok],
+                                 timerValues: TimerValues): Iterator[QuotaReport] = {
+      val prev = Option(st.get()).getOrElse(QuotaState(0L, 0L, 0L, 0L))
+      val (next, _) = foldBatch(rows, prev, budgetTokens)
+      st.update(next)
+      Iterator.single(reportOf(key, next, budgetTokens))
+    }
+  }
+
+  /** The shared input projection: token counts are the batch tier's
+    * [[graft.operators.TextOps.tokenCount]] (one definition); null-text
+    * and null-source docs drop before the gate (the batch kernel's
+    * rule, so the two tiers see the same offered set). */
+  private def docToks(docs: DataFrame): Dataset[DocTok] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.filter(col("text").isNotNull && col("source").isNotNull)
@@ -86,8 +138,50 @@ object StreamingQuota {
         graft.operators.TextOps.tokenCount(col("text")).cast("long")
           .as("n_tokens"))
       .as[DocTok]
-      .groupByKey(_.source)
-      .transformWithState(new QuotaProcessor(budgetTokens),
-        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Admitted-doc stream of a streaming `docs` frame (columns `doc_id`,
+    * `source`, `text`): each admitted doc emitted exactly once; a
+    * source's gate closes for good once its budget is spent. Null-text
+    * docs carry no tokens and are dropped (the histogram family's rule —
+    * they would be admitted "for free" and spend nothing, but admission
+    * is a TOKEN gate and they have none). */
+  def tokenQuotaStream(docs: DataFrame, budgetTokens: Long): Dataset[DocTok] = {
+    require(budgetTokens > 0,
+      s"tokenQuotaStream: budget must be positive, got $budgetTokens")
+    docTok(docs, budgetTokens)._1
+  }
+
+  /** RUNNING admission report of a streaming `docs` frame — q183's
+    * governance view for the live gate: after every micro-batch, each
+    * touched source emits its counters-so-far (offered docs/tokens,
+    * admitted docs/tokens, spilled tokens, utilization in exact
+    * micro-units — q183's columns, q183's integer arithmetic). The
+    * LATEST row per source is the current report; the append stream of
+    * rows is the admission audit log. Folds the exact transition the
+    * gate folds ([[foldBatch]]), so replaying the gate's feed through
+    * the report reconciles doc-for-doc with aggregating the gate's own
+    * admitted output (suite-pinned ×2 backends, including the
+    * hash-order-arrival case where both ≡ the batch q183/q176 pair). */
+  def tokenQuotaReportStream(docs: DataFrame,
+                             budgetTokens: Long): Dataset[QuotaReport] = {
+    require(budgetTokens > 0,
+      s"tokenQuotaReportStream: budget must be positive, got $budgetTokens")
+    docTok(docs, budgetTokens)._2
+  }
+
+  /** Both typed streams off one projection; only the requested one is
+    * started by the caller, but building them together keeps the
+    * budget/projection/grouping identical by construction. */
+  private def docTok(docs: DataFrame, budgetTokens: Long)
+      : (Dataset[DocTok], Dataset[QuotaReport]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docToks(docs)
+    val grouped = toks.groupByKey(_.source)
+    (grouped.transformWithState(new QuotaProcessor(budgetTokens),
+        TimeMode.None(), OutputMode.Append()),
+      grouped.transformWithState(new QuotaReportProcessor(budgetTokens),
+        TimeMode.None(), OutputMode.Append()))
   }
 }

@@ -83,6 +83,100 @@ abstract class StreamingQuotaSuiteBase extends AnyFunSuite with BeforeAndAfterAl
     query.stop()
   }
 
+  test(s"$suiteName: report ≡ gate by construction; hash-order replay ≡ batch q183/q176 doc-for-doc") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+
+    // a fixture where the budget genuinely bites per source: A spills,
+    // B admits an oversize doc, C never fills its budget
+    val fixture = Seq(
+      (1L, "A", 4), (2L, "A", 5), (3L, "A", 20), (4L, "A", 2), (5L, "A", 3),
+      (10L, "B", 50), (11L, "B", 1),
+      (20L, "C", 3), (21L, "C", 2))
+    val docsDf = fixture.map { case (id, s, n) => (id, s, words(n)) }
+      .toDF("doc_id", "source", "text")
+    val budget = 10
+
+    // the batch pair (q176 gate / q183 report) on the same corpus
+    val batchAdmitted = graft.operators.Pipeline.tokenQuota(docsDf, budget)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val batchReport = graft.operators.Pipeline
+      .tokenQuotaReport(docsDf, budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+
+    // the batch kernel's admission order: the seeded md5 prefix over the
+    // doc_id (quotaPacked's formula, seed 42) — delivering the stream in
+    // THIS order, one doc per micro-batch, makes arrival order coincide
+    // with hash order, so the two tiers' admitted sets must coincide
+    val hashOrdered = docsDf.withColumn("__h",
+        conv(substring(md5(concat_ws(":", lit("42"),
+          $"doc_id".cast("string"))), 1, 8), 16, 10).cast("long"))
+      .orderBy($"__h", $"doc_id".cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+    val input = MemoryStream[(Long, String, String)]
+    val gate = StreamingQuota.tokenQuotaStream(
+      input.toDS().toDF("doc_id", "source", "text"), budget.toLong)
+    val report = StreamingQuota.tokenQuotaReportStream(
+      input.toDS().toDF("doc_id", "source", "text"), budget.toLong)
+    val qGate = gate.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(s"sqparity_gate_$suiteName")
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft-sqpg-$suiteName").toString)
+      .start()
+    val qReport = report.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(s"sqparity_rep_$suiteName")
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft-sqpr-$suiteName").toString)
+      .start()
+    hashOrdered.foreach { d =>
+      input.addData(d)
+      qGate.processAllAvailable()
+      qReport.processAllAvailable()
+    }
+    qGate.stop(); qReport.stop()
+
+    val streamAdmitted = spark.table(s"sqparity_gate_$suiteName")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamAdmitted === batchAdmitted,
+      s"hash-order arrival must admit the batch kernel's exact set: " +
+        s"stream $streamAdmitted vs batch $batchAdmitted")
+
+    // the report stream is an audit log (one row per touched source per
+    // batch); the LATEST row per source is the current report — and it
+    // must equal q183's row doc-for-doc, column-for-column
+    val repRows = spark.table(s"sqparity_rep_$suiteName").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val latest = repRows.groupBy(_._1).map { case (_, rows) =>
+      rows.maxBy(_._2) // n_offered grows monotonically per source
+    }.toSet
+    assert(latest === batchReport,
+      s"replayed report must equal batch q183:\nstream $latest\nbatch  $batchReport")
+
+    // and the audit-log rows reconcile INTERNALLY at every step:
+    // spilled = offered - admitted tokens, counters never decrease
+    repRows.groupBy(_._1).foreach { case (src, rows) =>
+      rows.foreach { r =>
+        assert(r._6 == r._3 - r._5,
+          s"$src: spilled must be offered - admitted: $r")
+      }
+      val ordered = rows.sortBy(_._2).toSeq
+      ordered.sliding(2).foreach { w =>
+        if (w.size == 2) {
+          val (a, b) = (w(0), w(1))
+          assert(a._3 <= b._3 && a._4 <= b._4 && a._5 <= b._5,
+            s"$src: running counters must be monotone: $a -> $b")
+        }
+      }
+    }
+  }
+
   test(s"$suiteName: within-batch admission is doc_id-ordered (replay-deterministic)") {
     val sql = spark
     import sql.implicits._
