@@ -1352,20 +1352,65 @@ object Pipeline {
     * |strata|-row aggregates; the 1-row total broadcasts back.
     */
   def orderMixingAudit(ordered: DataFrame, strataCol: String = "stratum",
-                       posCol: String = "pos"): DataFrame = {
-    val nxt = ordered.select((col(posCol) - 1).as(posCol),
-      col(strataCol).as("__next"))
-    val counts = ordered.groupBy(col(strataCol))
+                       posCol: String = "pos"): DataFrame =
+    mixingAuditKernel(ordered, strataCol, posCol, Seq.empty)
+
+  /** [[orderMixingAudit]] PER EPOCH — the audit tier the epoch-order
+    * operators ([[trainingOrderEpochs]] q177 / [[curriculumOrderEpochs]]
+    * q184) were missing: q172 proves ONE permutation decorrelated the
+    * stream, but a multi-epoch schedule is `nEpochs` permutations and a
+    * seed-derivation bug can leave exactly one of them pathological
+    * (e.g. an epoch whose salt collides back to packing order) — a flat
+    * audit over the union would AVERAGE it away. Successor pairing joins
+    * on `(epoch, pos)` (an epoch's last chunk has no successor — epochs
+    * never chain into each other), shares/totals are per epoch, and the
+    * output is one row per (epoch, stratum) in q172's exact-integer
+    * columns. The SAME kernel as q172 ([[mixingAuditKernel]]), so the
+    * two audit tiers cannot drift on what "mixed" means.
+    *
+    * Scale shape: q172's — the pos equi-join is over the CHUNK table
+    * (corpus ÷ budget rows) × nEpochs, the totals are |epochs|-row
+    * broadcasts. */
+  def orderMixingAuditEpochs(ordered: DataFrame,
+                             strataCol: String = "stratum",
+                             posCol: String = "pos",
+                             epochCol: String = "epoch"): DataFrame = {
+    require(ordered.columns.contains(epochCol),
+      s"orderMixingAuditEpochs: no '$epochCol' column - audit an " +
+        "epoch-indexed order (trainingOrderEpochs / curriculumOrderEpochs)")
+    mixingAuditKernel(ordered, strataCol, posCol, Seq(epochCol))
+  }
+
+  /** ONE definition of the mixing audit — [[orderMixingAudit]] is the
+    * flat instance, [[orderMixingAuditEpochs]] the epoch-partitioned
+    * one; prefix columns scope the successor join, the counts, and the
+    * share denominators. */
+  private def mixingAuditKernel(ordered: DataFrame, strataCol: String,
+                                posCol: String,
+                                prefixCols: Seq[String]): DataFrame = {
+    val pcols = prefixCols.map(col)
+    val grp = prefixCols :+ strataCol
+    val nxt = ordered.select(
+      pcols ++ Seq((col(posCol) - 1).as(posCol), col(strataCol).as("__next")): _*)
+    val counts = ordered.groupBy(grp.map(col): _*)
       .agg(count(lit(1)).cast("bigint").as("n_chunks"))
-    val tot = counts.agg(sum(col("n_chunks")).cast("long").as("__n_total"))
-    val pairs = ordered.join(nxt, Seq(posCol))
-      .groupBy(col(strataCol))
+    val tot =
+      if (prefixCols.isEmpty)
+        counts.agg(sum(col("n_chunks")).cast("long").as("__n_total"))
+      else
+        counts.groupBy(pcols: _*)
+          .agg(sum(col("n_chunks")).cast("long").as("__n_total"))
+    val pairs = ordered.join(nxt, prefixCols :+ posCol)
+      .groupBy(grp.map(col): _*)
       .agg(count(lit(1)).cast("bigint").as("n_pairs"),
         sum(when(col("__next") === col(strataCol), 1L).otherwise(0L))
           .cast("bigint").as("n_same_next"))
-    counts.join(pairs, Seq(strataCol), "left")
+    val base = counts.join(pairs, grp, "left")
       .na.fill(0L, Seq("n_pairs", "n_same_next"))
-      .crossJoin(broadcast(tot))
+    val withTot =
+      if (prefixCols.isEmpty) base.crossJoin(broadcast(tot))
+      else base.join(broadcast(tot), prefixCols)
+    withTot
       .withColumn("same_next_micro",
         when(col("n_pairs") === 0L, 0L)
           .otherwise(expr("CAST(n_same_next AS DECIMAL(38,0)) * 1000000 div n_pairs"))
@@ -3174,6 +3219,64 @@ object Pipeline {
                CAST(c.n_chunks * 1000000 // tt.n_total AS BIGINT) AS share_micro
         FROM c LEFT JOIN pr ON c.stratum = pr.stratum, tt
         ORDER BY c.stratum""")),
+
+    // Per-epoch mixing audit (r15): q172's audit partitioned by epoch
+    // over the q177 schedule — a seed-derivation bug that wrecks ONE
+    // epoch's permutation is invisible to a flat audit over the union
+    // (it averages away); this one surfaces it as that epoch's rows.
+    // Oracle = q177's per-epoch ROW_NUMBER order + q172's audit CTEs
+    // with epoch in every join/group key.
+    QuerySpec(
+      "q185_epoch_mixing_audit",
+      (s, d) => orderMixingAuditEpochs(
+          trainingOrderEpochs(
+            packSequences(Tables.documents(s, d), budgetTokens = 256)
+              .filter(col("chunk_id").isNotNull)
+              .select(col("source").as("stratum"), col("chunk_id")).distinct(),
+            seed = 42, nEpochs = 3, keyCols = Seq("stratum", "chunk_id")))
+        .orderBy(col("epoch"), col("stratum")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+                 len(string_split(text,' ')) AS n_tokens,
+                 SUM(len(string_split(text,' '))) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM documents),
+        k AS (SELECT DISTINCT source AS stratum,
+                     CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id
+              FROM t WHERE cum IS NOT NULL),
+        ep AS (SELECT CAST(u.e AS BIGINT) AS epoch
+               FROM UNNEST(generate_series(0, 2)) AS u(e)),
+        o AS (SELECT ep.epoch, k.stratum, k.chunk_id,
+                     ROW_NUMBER() OVER (PARTITION BY ep.epoch ORDER BY
+                       substr(md5(concat(CAST(xor(42, ep.epoch) AS VARCHAR),
+                         ':', k.stratum, ':',
+                         CAST(k.chunk_id AS VARCHAR))), 1, 8),
+                       k.stratum, k.chunk_id) - 1 AS pos
+              FROM k CROSS JOIN ep),
+        c AS (SELECT epoch, stratum, COUNT(*) AS n_chunks
+              FROM o GROUP BY epoch, stratum),
+        tt AS (SELECT epoch, SUM(n_chunks) AS n_total FROM c GROUP BY epoch),
+        pr AS (SELECT a.epoch, a.stratum,
+                      COUNT(*) AS n_pairs,
+                      SUM(CASE WHEN b.stratum = a.stratum THEN 1 ELSE 0 END)
+                        AS n_same_next
+               FROM o a JOIN o b ON b.epoch = a.epoch AND b.pos = a.pos + 1
+               GROUP BY a.epoch, a.stratum)
+        SELECT c.epoch, c.stratum,
+               CAST(c.n_chunks AS BIGINT) AS n_chunks,
+               CAST(COALESCE(pr.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(pr.n_same_next, 0) AS BIGINT) AS n_same_next,
+               CAST(CASE WHEN COALESCE(pr.n_pairs, 0) = 0 THEN 0
+                    ELSE COALESCE(pr.n_same_next, 0) * 1000000 // pr.n_pairs
+                    END AS BIGINT) AS same_next_micro,
+               CAST(c.n_chunks * 1000000 // tt.n_total AS BIGINT)
+                 AS share_micro
+        FROM c LEFT JOIN pr
+          ON c.epoch = pr.epoch AND c.stratum = pr.stratum
+        JOIN tt ON tt.epoch = c.epoch
+        ORDER BY c.epoch, c.stratum""")),
 
     // Production tier of the same pipeline: near-dup token-df cap ON.
     // Same deterministic-candidate-rule oracle treatment as q37/q96 —

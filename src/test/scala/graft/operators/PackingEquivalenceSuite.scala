@@ -400,6 +400,47 @@ class PackingEquivalenceSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("orderMixingAuditEpochs: one wrecked epoch surfaces; the flat audit averages it away") {
+    val sql = spark
+    import sql.implicits._
+    // two healthy epochs (the real kernel) + one WRECKED epoch whose
+    // "permutation" is packing order (every stratum a contiguous run) —
+    // the seed-derivation-bug shape the per-epoch audit exists to catch
+    val base = chunkFixture(seed = 31, n = 400)
+    val healthy = Pipeline.trainingOrderEpochs(base, seed = 7L, nEpochs = 2,
+      keyCols = Seq("stratum", "chunk_id"))
+    val wrecked = base.orderBy(col("stratum"), col("chunk_id"))
+      .withColumn("pos", expr("row_number() over (order by stratum, chunk_id) - 1")
+        .cast("long"))
+      .withColumn("epoch", lit(2L))
+    val ordered = healthy.unionByName(wrecked.select(healthy.columns.map(col): _*))
+
+    val perEpoch = Pipeline.orderMixingAuditEpochs(ordered)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(5),
+        r.getLong(6))) // (epoch, stratum, same_next_micro, share_micro)
+    // healthy epochs: same_next ≈ share everywhere
+    perEpoch.filter(_._1 < 2L).foreach { case (e, s, same, share) =>
+      assert(math.abs(same - share) < 150000,
+        s"healthy epoch $e stratum $s: same_next $same vs share $share")
+    }
+    // the wrecked epoch: every stratum's successors are its own rows —
+    // same_next_micro pegs near 10^6 regardless of share
+    val badRows = perEpoch.filter(_._1 == 2L)
+    assert(badRows.nonEmpty && badRows.forall(_._3 > 900000),
+      s"the wrecked epoch must peg same_next_micro near 10^6: " +
+        badRows.mkString(", "))
+    // and the FLAT audit over the union averages the wreck into noise:
+    // positions repeat across epochs so pairing is cross-epoch garbage,
+    // but the point stands structurally — per-stratum same_next over the
+    // union sits far from 10^6, so the wreck is invisible without the
+    // epoch dimension
+    val flat = Pipeline.orderMixingAudit(ordered.drop("epoch"))
+      .collect().map(r => r.getLong(4))
+    assert(flat.forall(_ < 900000),
+      s"the flat audit must NOT show the wreck (that's the gap the " +
+        s"epoch audit closes): ${flat.toSeq}")
+  }
+
   test("materializeMix: copies are floor/ceil of epochs, extra-copy rate tracks frac, guard fires") {
     val sql = spark
     import sql.implicits._
