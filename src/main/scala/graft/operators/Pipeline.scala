@@ -783,18 +783,39 @@ object Pipeline {
                     refuseDuplicateIds: Boolean = false): DataFrame = {
     require(budgetTokens > 0,
       s"chunk budget must be positive, got $budgetTokens") // div-by-zero aborts under ANSI
+    packWithBudget(docs, budgetTokens.toLong, None, strataCol, idCol,
+      tokenCountCol, refuseDuplicateIds, "packSequences")
+  }
+
+  /** The packing kernel with the budget RESOLVED PER STRATUM — shared
+    * by [[packSequences]] (one constant budget: the chunking contract)
+    * and [[tokenQuotaPlan]]'s kernel (one budget per stratum: a mix
+    * plan's allocations enforced at the door). Per-stratum rules, both
+    * loud: a stratum ABSENT from the budget map throws (a feed stratum
+    * the plan predates must be planned or filtered explicitly, never
+    * silently defaulted), and a 0-token allocation admits nothing
+    * (chunk_id = Long.MaxValue sentinel — an EXPLICIT zero row is the
+    * plan saying "drop this stratum", which is sanctioned, unlike
+    * absence). */
+  private def packWithBudget(docs: DataFrame, budgetTokens: Long,
+                             budgetByStratum: Option[Map[Any, Long]],
+                             strataCol: String,
+                             idCol: String,
+                             tokenCountCol: Option[String],
+                             refuseDuplicateIds: Boolean,
+                             caller: String): DataFrame = {
     // the schema-append below would DUPLICATE an existing chunk_id field
     // (the old withColumn replaced it) — fail loudly rather than emit an
     // ambiguous-reference time bomb for downstream select/groupBy
     require(!docs.columns.contains("chunk_id"),
-      "packSequences: input already has a chunk_id column - drop or " +
+      s"$caller: input already has a chunk_id column - drop or " +
         "rename it before re-packing")
     // the appended n_tokens would silently REPLACE a caller's existing
     // column (e.g. real BPE counts) with whitespace counts — refuse
     // unless the caller's n_tokens IS the declared budget measure
     require(!docs.columns.contains("n_tokens") ||
         tokenCountCol.contains("n_tokens"),
-      "packSequences: input already has an 'n_tokens' column that is " +
+      s"$caller: input already has an 'n_tokens' column that is " +
         "not the declared tokenCountCol - it would be silently " +
         "replaced by whitespace counts; pass tokenCountCol = " +
         "Some(\"n_tokens\") to pack on it, or rename it")
@@ -843,7 +864,7 @@ object Pipeline {
           val id = r.get(iIdx)
           if (hasPrevId && java.util.Objects.equals(id, prevId))
             throw new IllegalArgumentException(
-              s"packSequences: duplicate $idCol '$id' in stratum '$cur' - " +
+              s"$caller: duplicate $idCol '$id' in stratum '$cur' - " +
                 s"'$idCol' is contractually the primary key here " +
                 "(tokenQuota would double-spend the budget on the copies); " +
                 "dedup the input or disambiguate the id")
@@ -871,7 +892,7 @@ object Pipeline {
       .map(_.toLong).getOrElse(4000000L)
     val nRuns = runSums.iterator.map(_.length.toLong).sum
     require(nRuns <= maxRuns,
-      s"packSequences: $nRuns (partition, stratum) runs collected - " +
+      s"$caller: $nRuns (partition, stratum) runs collected - " +
         s"'$strataCol' looks high-cardinality, which this packer's " +
         "driver fold is not built for (strata are sources/domains, not " +
         "per-doc keys); coarsen the stratum or raise " +
@@ -885,7 +906,8 @@ object Pipeline {
       }
     }
     val bc = spark.sparkContext.broadcast(offsets)
-    val budget = budgetTokens.toLong
+    val budget = budgetTokens
+    val perStratum = budgetByStratum // |strata|-sized; rides the closure
     // pass 2: map-side local cumsum seeded by the broadcast offset. Long
     // `/` truncates exactly like SQL `div` (exact-integer — a
     // corpus-scale running sum can pass 2^53, where double division
@@ -894,15 +916,25 @@ object Pipeline {
     // null-skipping semantics.
     val out = rows.mapPartitionsWithIndex { (pid, it) =>
       val off = bc.value(pid)
-      var cur: Any = null; var have = false; var cum = 0L
+      var cur: Any = null; var have = false; var cum = 0L; var b = budget
       it.map { r =>
         val s = r.get(sIdx)
         if (!have || !java.util.Objects.equals(s, cur)) {
           cur = s; have = true; cum = off.getOrElse(s, 0L)
+          b = perStratum match {
+            case None => budget
+            case Some(m) => m.getOrElse(s, throw new IllegalArgumentException(
+              s"$caller: stratum '$s' has no allocation in the plan - a " +
+                "feed stratum the plan predates must be planned (or " +
+                "filtered) explicitly, never silently defaulted"))
+          }
         }
         if (r.isNullAt(tIdx)) Row.fromSeq(r.toSeq :+ null)
         else {
-          val chunk = cum / budget
+          // an explicit 0-token allocation is the plan saying "drop this
+          // stratum": nothing lands in chunk 0, and the sentinel keeps
+          // the exact-integer arithmetic div-by-zero-free
+          val chunk = if (b <= 0L) Long.MaxValue else cum / b
           cum += r.get(tIdx).asInstanceOf[Number].longValue
           Row.fromSeq(r.toSeq :+ chunk)
         }
@@ -1307,7 +1339,16 @@ object Pipeline {
     * "admitted". */
   private def quotaPacked(docs: DataFrame, budgetTokens: Int,
                           strataCol: String, idCol: String, seed: Long,
-                          tokenCountCol: Option[String]): DataFrame = {
+                          tokenCountCol: Option[String]): DataFrame =
+    packSequences(quotaKeyed(docs, strataCol, idCol, seed), budgetTokens,
+      strataCol, idCol = "__qkey",
+      tokenCountCol = tokenCountCol, refuseDuplicateIds = true)
+
+  /** The quota kernels' shared pre-pass: the seeded-hash admission
+    * order key — one definition for the scalar-budget and plan-budget
+    * tiers, so "admission order" can never mean two things. */
+  private def quotaKeyed(docs: DataFrame, strataCol: String, idCol: String,
+                         seed: Long): DataFrame = {
     require(!docs.columns.contains("__qkey"),
       "tokenQuota: input already has a '__qkey' column (the kernel's " +
         "internal order key) - rename it first")
@@ -1324,15 +1365,111 @@ object Pipeline {
           "needs the corpus primary key; null ids make admission " +
           "shuffle-order-dependent')").cast("string"))
       .otherwise(col(idCol).cast("string"))
-    val keyed = docs.filter(col(strataCol).isNotNull)
+    docs.filter(col(strataCol).isNotNull)
       .withColumn("__qkey",
         concat_ws(":",
           lpad(lower(hex(conv(substring(md5(concat_ws(":",
               lit(seed.toString), checkedId)), 1, 8), 16, 10)
             .cast("long"))), 16, "0"),
           checkedId))
-    packSequences(keyed, budgetTokens, strataCol, idCol = "__qkey",
-      tokenCountCol = tokenCountCol, refuseDuplicateIds = true)
+  }
+
+  /** PER-STRATUM quota admission — a [[mixPlan]] ENFORCED at the door:
+    * [[tokenQuota]] holds every stratum to one scalar budget, but a mix
+    * plan allocates each stratum its OWN `alloc_tokens`, and enforcing
+    * that meant one tokenQuota call per stratum (the hand composition
+    * this closes — the allocation step and the admission step now share
+    * one call path the way the report/gate pairs do). Admission is the
+    * identical kernel — seeded-hash order, cum-before < alloc, the
+    * oversize-first rule — with the budget resolved per stratum from
+    * the plan.
+    *
+    * Plan contract, all loud: `plan` is broadcast-sized (|strata| rows —
+    * [[mixPlan]]'s output shape, collected once), one row per stratum
+    * (duplicates refuse — two allocations for one stratum is ambiguity,
+    * not data), allocs non-null and ≥ 0. A doc stratum ABSENT from the
+    * plan throws mid-scan (a feed stratum the plan predates must be
+    * planned or filtered explicitly — silently defaulting it is the
+    * forgettable-governance hazard); an EXPLICIT 0-token row is the
+    * plan saying "drop this stratum" and admits nothing, visibly
+    * ([[tokenQuotaPlanReport]] shows the zeros).
+    *
+    * Scale shape: [[tokenQuota]]'s exactly — one range exchange, the
+    * two-pass prefix sum, a |strata| map riding the task closure. */
+  def tokenQuotaPlan(docs: DataFrame, plan: DataFrame,
+                     strataCol: String = "source",
+                     idCol: String = "doc_id",
+                     seed: Long = 42L,
+                     tokenCountCol: Option[String] = None,
+                     allocCol: String = "alloc_tokens"): DataFrame =
+    quotaPackedPlan(docs, plan, strataCol, idCol, seed, tokenCountCol,
+      allocCol)
+      .filter(col("chunk_id") === 0L)
+      .drop("__qkey", "chunk_id")
+
+  /** [[tokenQuotaReport]] for the PLAN tier — per stratum, its own
+    * allocation next to what was offered/admitted/spilled under it, and
+    * utilization against ITS allocation (not a shared scalar). Strata
+    * the plan allocates but the feed never offered still report (zeros
+    * with their alloc — "allocated but nothing arrived" is a mix-plan
+    * failure this view exists to surface). Same shared kernel as the
+    * gate ([[quotaPackedPlan]]), so report and gate cannot disagree. */
+  def tokenQuotaPlanReport(docs: DataFrame, plan: DataFrame,
+                           strataCol: String = "source",
+                           idCol: String = "doc_id",
+                           seed: Long = 42L,
+                           tokenCountCol: Option[String] = None,
+                           allocCol: String = "alloc_tokens"): DataFrame = {
+    val agg = quotaPackedPlan(docs, plan, strataCol, idCol, seed,
+        tokenCountCol, allocCol)
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_offered"),
+        coalesce(sum(col("n_tokens")), lit(0L)).cast("bigint")
+          .as("offered_tokens"),
+        count(when(col("chunk_id") === 0L, lit(1))).as("n_admitted"),
+        coalesce(sum(when(col("chunk_id") === 0L, col("n_tokens"))), lit(0L))
+          .cast("bigint").as("admitted_tokens"))
+    plan.select(col(strataCol), col(allocCol).cast("long").as("alloc_tokens"))
+      .join(agg, Seq(strataCol), "left")
+      .na.fill(0L, Seq("n_offered", "offered_tokens", "n_admitted",
+        "admitted_tokens"))
+      .withColumn("spilled_tokens",
+        col("offered_tokens") - col("admitted_tokens"))
+      .withColumn("utilization_micro",
+        when(col("alloc_tokens") === 0L, lit(0L))
+          .otherwise(expr("(admitted_tokens * 1000000) div alloc_tokens"))
+          .cast("long"))
+  }
+
+  /** The plan tier's kernel: [[quotaKeyed]]'s order + the packing
+    * prefix sum with budgets resolved per stratum — [[tokenQuotaPlan]]
+    * filters it, [[tokenQuotaPlanReport]] aggregates it. */
+  private def quotaPackedPlan(docs: DataFrame, plan: DataFrame,
+                              strataCol: String, idCol: String, seed: Long,
+                              tokenCountCol: Option[String],
+                              allocCol: String): DataFrame = {
+    Seq(strataCol, allocCol).foreach(c => require(plan.columns.contains(c),
+      s"tokenQuotaPlan: plan has no '$c' column (found " +
+        s"${plan.columns.sorted.mkString("(", ",", ")")}) - pass " +
+        "mixPlan's output, or name the columns"))
+    val rows = plan.select(col(strataCol), col(allocCol).cast("long"))
+      .collect()
+    require(rows.nonEmpty, "tokenQuotaPlan: empty plan")
+    rows.foreach { r =>
+      require(!r.isNullAt(0), "tokenQuotaPlan: null stratum in plan")
+      require(!r.isNullAt(1) && r.getLong(1) >= 0L,
+        s"tokenQuotaPlan: stratum '${r.get(0)}' has a null/negative " +
+          s"allocation - a plan row must say how many tokens (0 = drop)")
+    }
+    val strata = rows.map(_.get(0))
+    require(strata.distinct.length == strata.length,
+      s"tokenQuotaPlan: duplicate strata in plan " +
+        s"(${strata.diff(strata.distinct).distinct.mkString(", ")}) - " +
+        "two allocations for one stratum is ambiguity, not data")
+    val budgets: Map[Any, Long] = rows.map(r => r.get(0) -> r.getLong(1)).toMap
+    packWithBudget(quotaKeyed(docs, strataCol, idCol, seed), 0L,
+      Some(budgets), strataCol, "__qkey", tokenCountCol,
+      refuseDuplicateIds = true, "tokenQuotaPlan")
   }
 
   /** Mixing audit over a [[trainingOrder]]-positioned table — the
@@ -2917,6 +3054,110 @@ object Pipeline {
                    FILTER (WHERE cum - n_tokens < 700), 0) * 1000000) // 700
                  AS BIGINT) AS utilization_micro
         FROM c GROUP BY source ORDER BY source""")),
+
+    // Mix-plan ENFORCEMENT at the door (r15): q113's per-stratum
+    // allocations become each source's own admission budget — the same
+    // hash-order kernel as q176, budget resolved per stratum. Budget
+    // 15000 over ~28k corpus tokens makes every source's allocation
+    // bite at sf0.01 (the q176 regime, but per-plan).
+    QuerySpec(
+      "q186_quota_plan",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        tokenQuotaPlan(docs, mixPlan(docs, "source", budgetTokens = 15000L))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_tokens")).cast("bigint").as("kept_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH c AS (SELECT source,
+                          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY source),
+        w AS (SELECT source, n_tokens,
+                     CAST(floor(sqrt(n_tokens) * 1e6) AS BIGINT) AS w_micro
+              FROM c),
+        tw AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot_w FROM w),
+        p AS (SELECT source,
+                     CAST((15000 * w_micro) // tot_w AS BIGINT) AS alloc
+              FROM w, tw),
+        t AS (SELECT doc_id, source, len(string_split(text,' ')) AS n_tokens,
+                     concat(lpad(lower(to_hex(('0x' || substr(md5(concat('42:',
+                         CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT)), 16, '0'),
+                       ':', CAST(doc_id AS VARCHAR)) AS k
+              FROM documents),
+        cc AS (SELECT source, n_tokens,
+                      SUM(n_tokens) OVER (PARTITION BY source ORDER BY k
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM t)
+        SELECT cc.source, COUNT(*) AS n_kept,
+               CAST(SUM(cc.n_tokens) AS BIGINT) AS kept_tokens
+        FROM cc JOIN p ON p.source = cc.source
+        WHERE cc.cum - cc.n_tokens < p.alloc
+        GROUP BY cc.source ORDER BY cc.source""")),
+
+    // The plan tier's admission report (r15): per source, its OWN
+    // allocation next to offered/admitted/spilled and utilization
+    // against that allocation — q183's view with the plan column the
+    // governance question actually asks about ("did source X fill what
+    // the mix gave it?"). Plan-left join: allocated-but-silent sources
+    // report zeros.
+    QuerySpec(
+      "q187_quota_plan_report",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        tokenQuotaPlanReport(docs,
+            mixPlan(docs, "source", budgetTokens = 15000L))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH c AS (SELECT source,
+                          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY source),
+        w AS (SELECT source, n_tokens,
+                     CAST(floor(sqrt(n_tokens) * 1e6) AS BIGINT) AS w_micro
+              FROM c),
+        tw AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot_w FROM w),
+        p AS (SELECT source,
+                     CAST((15000 * w_micro) // tot_w AS BIGINT) AS alloc_tokens
+              FROM w, tw),
+        t AS (SELECT doc_id, source, len(string_split(text,' ')) AS n_tokens,
+                     concat(lpad(lower(to_hex(('0x' || substr(md5(concat('42:',
+                         CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT)), 16, '0'),
+                       ':', CAST(doc_id AS VARCHAR)) AS k
+              FROM documents),
+        cc AS (SELECT source, n_tokens,
+                      SUM(n_tokens) OVER (PARTITION BY source ORDER BY k
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM t),
+        agg AS (SELECT cc.source,
+                       COUNT(*) AS n_offered,
+                       CAST(COALESCE(SUM(cc.n_tokens), 0) AS BIGINT)
+                         AS offered_tokens,
+                       CAST(COUNT(*) FILTER
+                           (WHERE cc.cum - cc.n_tokens < p.alloc_tokens)
+                         AS BIGINT) AS n_admitted,
+                       CAST(COALESCE(SUM(cc.n_tokens) FILTER
+                           (WHERE cc.cum - cc.n_tokens < p.alloc_tokens), 0)
+                         AS BIGINT) AS admitted_tokens
+                FROM cc JOIN p ON p.source = cc.source
+                GROUP BY cc.source)
+        SELECT p.source, p.alloc_tokens,
+               CAST(COALESCE(agg.n_offered, 0) AS BIGINT) AS n_offered,
+               CAST(COALESCE(agg.offered_tokens, 0) AS BIGINT)
+                 AS offered_tokens,
+               CAST(COALESCE(agg.n_admitted, 0) AS BIGINT) AS n_admitted,
+               CAST(COALESCE(agg.admitted_tokens, 0) AS BIGINT)
+                 AS admitted_tokens,
+               CAST(COALESCE(agg.offered_tokens, 0)
+                 - COALESCE(agg.admitted_tokens, 0) AS BIGINT)
+                 AS spilled_tokens,
+               CAST(CASE WHEN p.alloc_tokens = 0 THEN 0
+                    ELSE (COALESCE(agg.admitted_tokens, 0) * 1000000)
+                         // p.alloc_tokens END AS BIGINT)
+                 AS utilization_micro
+        FROM p LEFT JOIN agg ON agg.source = p.source
+        ORDER BY p.source""")),
 
     QuerySpec(
       "q67_pack_sequences",

@@ -400,6 +400,83 @@ class PackingEquivalenceSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("tokenQuotaPlan: per-stratum allocs ≡ one tokenQuota per stratum; plan contract loud") {
+    val sql = spark
+    import sql.implicits._
+    val docs = (1L to 90L).map { i =>
+      val src = s"s${i % 3}"
+      (i, src, Seq.fill((i % 5 + 1).toInt)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val plan = Seq(("s0", 20L), ("s1", 45L), ("s2", 7L))
+      .toDF("source", "alloc_tokens")
+    val kept = Pipeline.tokenQuotaPlan(docs, plan)
+      .select($"doc_id", $"source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // ground truth: the scalar-budget kernel once per stratum at that
+    // stratum's allocation — the exact hand composition the operator
+    // replaces
+    val byHand = Seq(("s0", 20), ("s1", 45), ("s2", 7)).flatMap {
+      case (src, b) =>
+        Pipeline.tokenQuota(docs.filter($"source" === src), b)
+          .select($"doc_id").collect().map(r => (r.getLong(0), src))
+    }.toSet
+    assert(kept === byHand,
+      s"plan admission must equal per-stratum scalar admission:\n" +
+        s"plan $kept\nhand $byHand")
+    // every stratum's budget must actually bite in this fixture
+    Seq("s0", "s1", "s2").foreach { src =>
+      val offered = docs.filter($"source" === src).count()
+      val keptN = kept.count(_._2 == src)
+      assert(keptN > 0 && keptN < offered,
+        s"fixture drift: $src kept $keptN of $offered")
+    }
+    // explicit 0 = sanctioned drop, visible in the report as zeros with
+    // the alloc; absent stratum = loud refusal, never a silent default
+    val planDrop = Seq(("s0", 20L), ("s1", 45L), ("s2", 0L))
+      .toDF("source", "alloc_tokens")
+    val dropped = Pipeline.tokenQuotaPlan(docs, planDrop)
+      .select($"source").collect().map(_.getString(0)).toSet
+    assert(dropped === Set("s0", "s1"),
+      s"an explicit 0-alloc stratum must admit nothing: $dropped")
+    val report = Pipeline.tokenQuotaPlanReport(docs, planDrop)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(6)))).toMap
+    assert(report("s2")._1 == 0L && report("s2")._3 == 0L &&
+        report("s2")._2 == 30L,
+      s"the drop must be VISIBLE: alloc 0, offered counted, admitted 0: " +
+        s"${report("s2")}")
+    val ePlanGap = intercept[Exception] {
+      Pipeline.tokenQuotaPlan(docs,
+        Seq(("s0", 20L), ("s1", 45L)).toDF("source", "alloc_tokens"))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ePlanGap).exists(_.contains("no allocation in the plan")),
+      s"an unplanned stratum must refuse loudly: $ePlanGap")
+    // allocated-but-silent strata report zeros (a mix-plan failure the
+    // report exists to surface), and plan hygiene refuses loudly
+    val reportGhost = Pipeline.tokenQuotaPlanReport(
+        docs.filter($"source" =!= "s2"),
+        Seq(("s0", 20L), ("s1", 45L), ("ghost", 99L))
+          .toDF("source", "alloc_tokens"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(4)))).toMap
+    assert(reportGhost("ghost") === ((99L, 0L, 0L)),
+      s"allocated-but-silent must report zeros: ${reportGhost("ghost")}")
+    intercept[IllegalArgumentException] {
+      Pipeline.tokenQuotaPlan(docs,
+        Seq(("s0", 20L), ("s0", 30L), ("s1", 1L), ("s2", 1L))
+          .toDF("source", "alloc_tokens")).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.tokenQuotaPlan(docs,
+        Seq(("s0", -5L), ("s1", 1L), ("s2", 1L))
+          .toDF("source", "alloc_tokens")).collect()
+    }
+  }
+
   test("orderMixingAuditEpochs: one wrecked epoch surfaces; the flat audit averages it away") {
     val sql = spark
     import sql.implicits._
