@@ -64,6 +64,29 @@ object StreamingQuota {
       offered_tokens: Long, n_admitted: Long, admitted_tokens: Long,
       spilled_tokens: Long, utilization_micro: Long)
 
+  /** The budget a processor resolves per source — ONE scalar for the
+    * flat tier, the mix plan's per-source allocations for the plan tier
+    * ([[graft.operators.Pipeline.tokenQuotaPlan]]'s twin). The plan
+    * tier's contract matches the batch tier's, loud for loud: a source
+    * ABSENT from the plan throws (failing the query — a feed source the
+    * plan predates must be planned or filtered upstream, never silently
+    * defaulted), an explicit 0 admits nothing while still counting
+    * offered. */
+  private[streaming] sealed trait Budget extends Serializable {
+    def of(source: String): Long
+  }
+  private[streaming] final case class ScalarBudget(b: Long) extends Budget {
+    def of(source: String): Long = b
+  }
+  private[streaming] final case class PlanBudget(m: Map[String, Long])
+      extends Budget {
+    def of(source: String): Long = m.getOrElse(source,
+      throw new IllegalArgumentException(
+        s"tokenQuotaStreamPlan: source '$source' has no allocation in " +
+          "the plan - a feed source the plan predates must be planned " +
+          "(or filtered) explicitly, never silently defaulted"))
+  }
+
   /** ONE definition of the admission transition — the gate emits the
     * admitted docs, the report emits the counters, both from THIS fold
     * over THIS state, so the two streaming views reconcile by
@@ -90,9 +113,11 @@ object StreamingQuota {
                                   budgetTokens: Long): QuotaReport =
     QuotaReport(source, s.nOffered, s.offeredTokens, s.nAdmitted,
       s.cum, s.offeredTokens - s.cum,
-      s.cum * 1000000L / budgetTokens)
+      // an explicit 0 allocation admits nothing; its utilization is 0
+      // by definition (the batch plan report's rule), never a div-0
+      if (budgetTokens <= 0L) 0L else s.cum * 1000000L / budgetTokens)
 
-  class QuotaProcessor(budgetTokens: Long)
+  class QuotaProcessor(budget: Budget)
       extends StatefulProcessor[String, DocTok, DocTok] {
     @transient private var st: ValueState[QuotaState] = _
 
@@ -103,13 +128,13 @@ object StreamingQuota {
     override def handleInputRows(key: String, rows: Iterator[DocTok],
                                  timerValues: TimerValues): Iterator[DocTok] = {
       val prev = Option(st.get()).getOrElse(QuotaState(0L, 0L, 0L, 0L))
-      val (next, admitted) = foldBatch(rows, prev, budgetTokens)
+      val (next, admitted) = foldBatch(rows, prev, budget.of(key))
       st.update(next)
       admitted.iterator
     }
   }
 
-  class QuotaReportProcessor(budgetTokens: Long)
+  class QuotaReportProcessor(budget: Budget)
       extends StatefulProcessor[String, DocTok, QuotaReport] {
     @transient private var st: ValueState[QuotaState] = _
 
@@ -120,9 +145,10 @@ object StreamingQuota {
     override def handleInputRows(key: String, rows: Iterator[DocTok],
                                  timerValues: TimerValues): Iterator[QuotaReport] = {
       val prev = Option(st.get()).getOrElse(QuotaState(0L, 0L, 0L, 0L))
-      val (next, _) = foldBatch(rows, prev, budgetTokens)
+      val b = budget.of(key)
+      val (next, _) = foldBatch(rows, prev, b)
       st.update(next)
-      Iterator.single(reportOf(key, next, budgetTokens))
+      Iterator.single(reportOf(key, next, b))
     }
   }
 
@@ -149,7 +175,62 @@ object StreamingQuota {
   def tokenQuotaStream(docs: DataFrame, budgetTokens: Long): Dataset[DocTok] = {
     require(budgetTokens > 0,
       s"tokenQuotaStream: budget must be positive, got $budgetTokens")
-    docTok(docs, budgetTokens)._1
+    docTok(docs, ScalarBudget(budgetTokens))._1
+  }
+
+  /** [[tokenQuotaStream]] with a MIX PLAN's per-source allocations —
+    * [[graft.operators.Pipeline.tokenQuotaPlan]]'s live twin: each
+    * arriving source is admitted in arrival order until ITS OWN
+    * allocation is spent. `plan` is the collected |sources|-row
+    * allocation map ([[planAllocs]] collects a mixPlan frame with the
+    * batch tier's validation); the per-source gate-close, the
+    * oversize-first rule, and the state shape are the flat tier's —
+    * only the budget resolution differs. */
+  def tokenQuotaStreamPlan(docs: DataFrame,
+                           plan: Map[String, Long]): Dataset[DocTok] = {
+    docTok(docs, validatedPlan("tokenQuotaStreamPlan", plan))._1
+  }
+
+  /** The plan tier's running report — [[tokenQuotaReportStream]] with
+    * each source's utilization measured against ITS OWN allocation
+    * (the q187 view, live). */
+  def tokenQuotaReportStreamPlan(docs: DataFrame,
+                                 plan: Map[String, Long]): Dataset[QuotaReport] = {
+    docTok(docs, validatedPlan("tokenQuotaReportStreamPlan", plan))._2
+  }
+
+  /** Collect a [[graft.operators.Pipeline.mixPlan]]-shaped frame into
+    * the plan map the streaming tier takes — the batch tier's plan
+    * hygiene (non-null strata, non-negative allocs; the frame is
+    * |strata|-row broadcast-sized by contract). */
+  def planAllocs(plan: DataFrame, strataCol: String = "source",
+                 allocCol: String = "alloc_tokens"): Map[String, Long] = {
+    Seq(strataCol, allocCol).foreach(c => require(plan.columns.contains(c),
+      s"planAllocs: plan has no '$c' column (found " +
+        s"${plan.columns.sorted.mkString("(", ",", ")")})"))
+    val rows = plan.select(col(strataCol).cast("string"),
+      col(allocCol).cast("long")).collect()
+    rows.foreach { r =>
+      require(!r.isNullAt(0), "planAllocs: null stratum in plan")
+      require(!r.isNullAt(1) && r.getLong(1) >= 0L,
+        s"planAllocs: stratum '${r.getString(0)}' has a null/negative " +
+          "allocation - a plan row must say how many tokens (0 = drop)")
+    }
+    val strata = rows.map(_.getString(0))
+    require(strata.distinct.length == strata.length,
+      s"planAllocs: duplicate strata in plan " +
+        s"(${strata.diff(strata.distinct).distinct.mkString(", ")})")
+    rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  private def validatedPlan(caller: String,
+                            plan: Map[String, Long]): PlanBudget = {
+    require(plan.nonEmpty, s"$caller: empty plan")
+    plan.foreach { case (s, b) =>
+      require(b >= 0L,
+        s"$caller: source '$s' has a negative allocation ($b)")
+    }
+    PlanBudget(plan)
   }
 
   /** RUNNING admission report of a streaming `docs` frame — q183's
@@ -167,21 +248,21 @@ object StreamingQuota {
                              budgetTokens: Long): Dataset[QuotaReport] = {
     require(budgetTokens > 0,
       s"tokenQuotaReportStream: budget must be positive, got $budgetTokens")
-    docTok(docs, budgetTokens)._2
+    docTok(docs, ScalarBudget(budgetTokens))._2
   }
 
   /** Both typed streams off one projection; only the requested one is
     * started by the caller, but building them together keeps the
     * budget/projection/grouping identical by construction. */
-  private def docTok(docs: DataFrame, budgetTokens: Long)
+  private def docTok(docs: DataFrame, budget: Budget)
       : (Dataset[DocTok], Dataset[QuotaReport]) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = docToks(docs)
     val grouped = toks.groupByKey(_.source)
-    (grouped.transformWithState(new QuotaProcessor(budgetTokens),
+    (grouped.transformWithState(new QuotaProcessor(budget),
         TimeMode.None(), OutputMode.Append()),
-      grouped.transformWithState(new QuotaReportProcessor(budgetTokens),
+      grouped.transformWithState(new QuotaReportProcessor(budget),
         TimeMode.None(), OutputMode.Append()))
   }
 }

@@ -177,6 +177,100 @@ abstract class StreamingQuotaSuiteBase extends AnyFunSuite with BeforeAndAfterAl
     }
   }
 
+  test(s"$suiteName: plan tier - per-source allocs live; hash-order replay ≡ batch q186/q187") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+
+    val fixture = Seq(
+      (1L, "A", 4), (2L, "A", 5), (3L, "A", 20), (4L, "A", 2),
+      (10L, "B", 6), (11L, "B", 7), (12L, "B", 8),
+      (20L, "C", 3), (21L, "C", 2))
+    val docsDf = fixture.map { case (id, s, n) => (id, s, words(n)) }
+      .toDF("doc_id", "source", "text")
+    // per-source allocations that bite differently per source, plus an
+    // explicit 0-alloc drop
+    val planDf = Seq(("A", 8L), ("B", 15L), ("C", 0L))
+      .toDF("source", "alloc_tokens")
+    val plan = StreamingQuota.planAllocs(planDf)
+
+    val batchAdmitted = graft.operators.Pipeline
+      .tokenQuotaPlan(docsDf, planDf)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val batchReport = graft.operators.Pipeline
+      .tokenQuotaPlanReport(docsDf, planDf)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+
+    val hashOrdered = docsDf.withColumn("__h",
+        conv(substring(md5(concat_ws(":", lit("42"),
+          $"doc_id".cast("string"))), 1, 8), 16, 10).cast("long"))
+      .orderBy($"__h", $"doc_id".cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+    val input = MemoryStream[(Long, String, String)]
+    val gate = StreamingQuota.tokenQuotaStreamPlan(
+      input.toDS().toDF("doc_id", "source", "text"), plan)
+    val report = StreamingQuota.tokenQuotaReportStreamPlan(
+      input.toDS().toDF("doc_id", "source", "text"), plan)
+    val qGate = gate.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(s"sqplan_gate_$suiteName")
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft-sqplg-$suiteName").toString)
+      .start()
+    val qReport = report.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(s"sqplan_rep_$suiteName")
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft-sqplr-$suiteName").toString)
+      .start()
+    hashOrdered.foreach { d =>
+      input.addData(d)
+      qGate.processAllAvailable()
+      qReport.processAllAvailable()
+    }
+    qGate.stop(); qReport.stop()
+
+    val streamAdmitted = spark.table(s"sqplan_gate_$suiteName")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamAdmitted === batchAdmitted,
+      s"plan tier, hash-order arrival: stream $streamAdmitted vs " +
+        s"batch $batchAdmitted")
+    assert(!streamAdmitted.exists(Set(20L, 21L)),
+      "the explicit 0-alloc source must admit nothing")
+
+    // latest report row per source ≡ the batch q187 row (the stream
+    // cannot report an allocated-but-never-arrived source - compare on
+    // the sources that arrived, which here is all of them)
+    val latest = spark.table(s"sqplan_rep_$suiteName").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }.toSet
+    assert(latest === batchReport,
+      s"plan report must equal batch q187:\nstream $latest\nbatch  $batchReport")
+
+    // an unplanned source fails the query loudly (the batch tier's rule)
+    val input2 = MemoryStream[(Long, String, String)]
+    val q2 = StreamingQuota.tokenQuotaStreamPlan(
+        input2.toDS().toDF("doc_id", "source", "text"), plan)
+      .toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(s"sqplan_gap_$suiteName")
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft-sqgap-$suiteName").toString)
+      .start()
+    input2.addData((99L, "GHOST", words(2)))
+    val eGap = intercept[Exception] { q2.processAllAvailable() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(eGap).exists(_.contains("no allocation in the plan")),
+      s"an unplanned source must fail the query loudly: $eGap")
+    q2.stop()
+  }
+
   test(s"$suiteName: within-batch admission is doc_id-ordered (replay-deterministic)") {
     val sql = spark
     import sql.implicits._
