@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pipeline
+
+/** One-call RECIPE EXECUTION — the publish counterpart of
+  * [[Maintain.maintain]] (compaction) and [[Forget.forget]] (deletion):
+  * the mixture pipeline `plan → materialize → pack → order → audit` has
+  * been four hand-sequenced operator calls plus the composite-id glue
+  * since r13 (CurationPipelineDemo step 5 was the documentation), and a
+  * hand-sequenced step is a forgettable step — skip the mixing audit
+  * and a bad shuffle trains; forget the `copy` column in the pack key
+  * and repeated docs silently merge. `run` composes the audited kernels
+  * in one call, PROVES the cheap cross-step invariants before
+  * returning, and persists the dataloader contract as parquet
+  * artifacts:
+  *
+  *  - `outDir/plan` — [[Pipeline.mixPlan]]'s per-stratum allocation
+  *    table (|strata| rows; the governance record of what was decided).
+  *  - `outDir/assignments` — one row per materialized doc COPY with its
+  *    packed chunk: `(idCol, strataCol, copy, mix_id, n_tokens,
+  *    chunk_id)`. The composite `mix_id = id#copy` is built HERE, once
+  *    — the glue a hand composition gets subtly wrong.
+  *  - `outDir/order` — the seeded deterministic schedule over distinct
+  *    `(stratum, chunk_id)`: [[Pipeline.trainingOrder]] at `nEpochs=1`,
+  *    [[Pipeline.trainingOrderEpochs]] above (per-epoch permutations
+  *    from one seed, `epoch` column appended).
+  *
+  * Forced gates (all bounded reads — chunk-table or |strata| scale,
+  * never the corpus):
+  *  - CONSERVATION: every materialized copy received a chunk assignment
+  *    (assignment rows ≡ multiset rows; every non-null-token row got a
+  *    non-null chunk_id).
+  *  - PERMUTATION: each epoch's positions are exactly 0..n-1 over the
+  *    chunk table (count, distinct count, max — the count-offset
+  *    kernel's integrity, re-proved on the artifact actually written).
+  *  - MIXING: [[Pipeline.orderMixingAudit]] per epoch; every stratum's
+  *    `|same_next − share|` must sit within `mixingTolMicro` (a
+  *    permutation that left one source's chunks back-to-back trains
+  *    correlated batches — the audit exists to refuse that, so the
+  *    one-call form REFUSES rather than logs).
+  *
+  * Scale shape: exactly the composed kernels' — the plan is a |strata|
+  * broadcast, materialization adds zero shuffles, packing is the
+  * two-pass range-exchange prefix sum, ordering is one range exchange
+  * per epoch; the gates re-read only chunk-scale artifacts.
+  */
+object Recipe {
+
+  /** What ran and what was proven ([[Forget.ForgetReport]] doctrine —
+    * observing the report IS the proof). `maxMixDeltaMicro` is the
+    * worst per-(epoch, stratum) |same_next − share| the audit saw —
+    * the published schedule's measured mixing health. */
+  final case class RecipeReport(
+      nStrata: Long,
+      multisetRows: Long,
+      multisetTokens: Long,
+      nChunks: Long,
+      nEpochs: Int,
+      maxMixDeltaMicro: Long,
+      artifacts: Seq[String])
+
+  def run(docs: DataFrame, outDir: String,
+          budgetTokens: Long,
+          chunkTokens: Int = 2048,
+          seed: Long = 42L,
+          nEpochs: Int = 1,
+          strataCol: String = "source",
+          idCol: String = "doc_id",
+          textCol: String = "text",
+          mixingTolMicro: Long = 250000L): RecipeReport = {
+    require(nEpochs >= 1, s"Recipe.run: nEpochs must be >= 1, got $nEpochs")
+    require(mixingTolMicro > 0,
+      s"Recipe.run: mixingTolMicro must be positive, got $mixingTolMicro")
+    val spark = docs.sparkSession
+
+    // 1) plan — persisted first: the allocation decision is the
+    //    governance record even if a later step refuses
+    val plan = Pipeline.mixPlan(docs, strataCol, budgetTokens, textCol)
+    plan.write.mode("overwrite").parquet(s"$outDir/plan")
+    val nStrata = spark.read.parquet(s"$outDir/plan").count()
+
+    // 2) materialize + pack, with the composite key built ONCE here —
+    //    `copy` in the pack id keeps repeated docs distinct (the glue
+    //    step hand compositions get wrong)
+    val multiset = Pipeline.materializeMix(docs,
+        spark.read.parquet(s"$outDir/plan"), strataCol, idCol)
+      .withColumn("mix_id",
+        concat_ws("#", col(idCol).cast("string"), col("copy")))
+    val packed = Pipeline.packSequences(multiset, chunkTokens, strataCol,
+      idCol = "mix_id")
+    packed.select(col(idCol), col(strataCol), col("copy"), col("mix_id"),
+        col("n_tokens"), col("chunk_id"))
+      .write.mode("overwrite").parquet(s"$outDir/assignments")
+
+    // conservation gate — on the artifact actually written
+    val assigned = spark.read.parquet(s"$outDir/assignments")
+    val multisetRows = multiset.count()
+    val aCount = assigned.count()
+    require(aCount == multisetRows,
+      s"Recipe.run: $multisetRows materialized copies but $aCount " +
+        "assignment rows - the packer dropped or duplicated rows")
+    val unassigned = assigned
+      .filter(col("n_tokens").isNotNull && col("chunk_id").isNull).count()
+    require(unassigned == 0L,
+      s"Recipe.run: $unassigned tokenized copies received no chunk - " +
+        "the packing prefix sum is broken")
+    val multisetTokens = assigned
+      .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
+
+    // 3) order — per-epoch permutations from one seed
+    val chunks = assigned.filter(col("chunk_id").isNotNull)
+      .select(col(strataCol).as("stratum"), col("chunk_id")).distinct()
+    val order =
+      if (nEpochs == 1)
+        Pipeline.trainingOrder(chunks, seed, Seq("stratum", "chunk_id"))
+      else
+        Pipeline.trainingOrderEpochs(chunks, seed, nEpochs,
+          Seq("stratum", "chunk_id"))
+    order.write.mode("overwrite").parquet(s"$outDir/order")
+
+    // permutation + mixing gates — per epoch, on the written artifact
+    val written = spark.read.parquet(s"$outDir/order")
+    val nChunks = chunks.count()
+    var maxDelta = 0L
+    (0 until nEpochs).foreach { e =>
+      val ep = if (nEpochs == 1) written
+        else written.filter(col("epoch") === e.toLong)
+      val stats = ep.agg(count(lit(1)), countDistinct(col("pos")),
+        coalesce(max(col("pos")), lit(-1L))).head()
+      require(stats.getLong(0) == nChunks &&
+          stats.getLong(1) == nChunks &&
+          stats.getLong(2) == nChunks - 1,
+        s"Recipe.run: epoch $e positions are not the exact permutation " +
+          s"0..${nChunks - 1}: (count, distinct, max) = $stats")
+      val audit = Pipeline.orderMixingAudit(ep.drop("epoch"))
+        .select(col("stratum"),
+          abs(col("same_next_micro") - col("share_micro")).as("d"))
+        .collect()
+      audit.foreach { r =>
+        maxDelta = math.max(maxDelta, r.getLong(1))
+        require(r.getLong(1) <= mixingTolMicro,
+          s"Recipe.run: epoch $e stratum ${r.getString(0)} mixing " +
+            s"|same_next - share| = ${r.getLong(1)} exceeds " +
+            s"$mixingTolMicro micro - the schedule left this stratum's " +
+            "chunks back-to-back; do not train on it (raise the seed " +
+            "question, not the tolerance)")
+      }
+    }
+
+    RecipeReport(nStrata, multisetRows, multisetTokens, nChunks, nEpochs,
+      maxDelta,
+      Seq(s"$outDir/plan", s"$outDir/assignments", s"$outDir/order"))
+  }
+}

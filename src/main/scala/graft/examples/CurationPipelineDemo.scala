@@ -17,8 +17,9 @@ import graft.operators.{Dedup, Pipeline, TextOps}
   *                                  index)
   *   3. a daily ingest probing + growing both indexes (work ∝ batch)
   *   4. the governance report card a mix review reads
-  *   5. recipe execution (r13): mixture plan → materialized multiset →
-  *      packing → seeded training-order shuffle → mixing audit
+  *   5. recipe execution (r15): mixture plan → materialized multiset →
+  *      packing → seeded training-order shuffle → mixing audit, as ONE
+  *      gated Recipe.run call with persisted artifacts
   *   6. surgical span-level decontamination (cut the leaked passage,
   *      keep the doc)
   *   7. right-to-be-forgotten across the persisted indexes, with the
@@ -70,22 +71,22 @@ object CurationPipelineDemo {
         isBadSeed = col("source") === "src0" && col("lang") =!= "en")
       .orderBy(col("source")).show(5, truncate = false)
 
-    // 5) recipe execution (r13): plan the mixture, materialize the
-    //    repeat-and-trim multiset, pack it, shuffle the chunks into a
-    //    seeded deterministic training order, and AUDIT the mixing
-    val plan = Pipeline.mixPlan(docs, "source", budgetTokens = 200000L)
-    println("== mixture plan (first 5) ==")
-    plan.orderBy(col("source")).show(5, truncate = false)
-    val multiset = Pipeline.materializeMix(docs, plan)
-    val chunks = Pipeline.packSequences(
-        multiset.withColumn("mix_id",
-          concat_ws("#", col("doc_id"), col("copy"))),
-        budgetTokens = 256, idCol = "mix_id")
-      .select(col("source").as("stratum"), col("chunk_id")).distinct()
-    val ordered = Pipeline.trainingOrder(chunks, seed = 7L,
-      keyCols = Seq("stratum", "chunk_id"))
+    // 5) recipe execution (r15): the whole plan → materialize → pack →
+    //    order pipeline is ONE gated call now — the conservation,
+    //    permutation, and mixing proofs ran or Recipe.run threw; the
+    //    report is the record
+    val recipe = graft.Recipe.run(docs, s"$base/recipe",
+      budgetTokens = 200000L, chunkTokens = 256, seed = 7L)
+    println(s"== recipe: ${recipe.nStrata} strata, " +
+      s"${recipe.multisetRows} copies / ${recipe.multisetTokens} tokens " +
+      s"packed into ${recipe.nChunks} chunks; worst mixing delta " +
+      s"${recipe.maxMixDeltaMicro} micro ==")
+    println("== mixture plan (first 5, from the persisted artifact) ==")
+    spark.read.parquet(s"$base/recipe/plan")
+      .orderBy(col("source")).show(5, truncate = false)
     println("== training-order mixing audit (same_next vs share, first 5) ==")
-    Pipeline.orderMixingAudit(ordered)
+    Pipeline.orderMixingAudit(
+        spark.read.parquet(s"$base/recipe/order"))
       .orderBy(col("stratum")).show(5, truncate = false)
 
     // 6) surgical decontamination: cut the leaked passages, keep the docs

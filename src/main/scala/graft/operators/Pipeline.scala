@@ -2216,6 +2216,18 @@ object Pipeline {
       broadcast(report.filter(col("verdict") === "keep").select(col("source"))),
       Seq("source"), "left_semi")
 
+  /** Build-once memo for the q188 harness query: [[graft.Recipe.run]]'s
+    * ONE-CALL pipeline executed into a temp dir; the query reads the
+    * persisted `order/` artifact, so the hash gate covers the composed
+    * path (and its forced gates ran, or the build threw). Library users
+    * call Recipe.run with their own storage. */
+  private def cachedRecipe(s: SparkSession, d: String): String =
+    BuildOnce.dir("graft-recipe", d) { dir =>
+      graft.Recipe.run(Tables.documents(s, d), dir,
+        budgetTokens = 400000L, chunkTokens = 256, seed = 7L, nEpochs = 1)
+      dir
+    }
+
   val specs: Seq[QuerySpec] = Seq(
     // Snapshot diff between two deterministic views of the corpus:
     // "old" drops every 7th doc (so those read as added), "new" drops
@@ -3158,6 +3170,63 @@ object Pipeline {
                  AS utilization_micro
         FROM p LEFT JOIN agg ON agg.source = p.source
         ORDER BY p.source""")),
+
+    // (q188's build-once memo lives below, next to the spec it serves)
+    // ONE-CALL recipe execution (r15): Recipe.run's plan → materialize →
+    // pack → order pipeline executed into a temp dir ONCE, the persisted
+    // order artifact read back — so the driver's hash gate covers the
+    // composed one-call path (composite mix_id glue, conservation /
+    // permutation / mixing gates) and not just the operators it chains.
+    // Oracle = q171's multiset CTE → the mix_id-ordered per-source
+    // cumsum → q169's hash order over the distinct chunk table.
+    QuerySpec(
+      "q188_recipe_order",
+      (s, d) => s.read.parquet(s"${cachedRecipe(s, d)}/order")
+        .orderBy(col("pos")),
+      Some("""
+        WITH c AS (SELECT source,
+                          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY source),
+        w AS (SELECT source, n_tokens,
+                     CAST(floor(sqrt(n_tokens) * 1e6) AS BIGINT) AS w_micro
+              FROM c),
+        tw AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot_w FROM w),
+        p AS (SELECT source,
+                     CASE WHEN n_tokens = 0 THEN 0
+                          ELSE CAST(((400000 * w_micro) // tot_w) * 1000000 // n_tokens AS BIGINT)
+                     END AS epochs_micro
+              FROM w, tw),
+        j AS (SELECT d.doc_id, d.source AS source,
+                     len(string_split(d.text, ' ')) AS n_tokens,
+                     p.epochs_micro // 1000000 AS fullc,
+                     p.epochs_micro % 1000000 AS frac,
+                     ('0x' || substr(md5(concat(CAST(d.doc_id AS VARCHAR),
+                       ':', d.source)), 1, 8))::BIGINT % 1000000 AS draw
+              FROM documents d JOIN p ON d.source = p.source),
+        m AS (SELECT doc_id, source, n_tokens,
+                     CAST(fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END
+                       AS BIGINT) AS n_copies
+              FROM j
+              WHERE fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END > 0),
+        x AS (SELECT doc_id, source, n_tokens,
+                     concat(CAST(doc_id AS VARCHAR), '#',
+                       CAST(unnest(range(n_copies)) AS VARCHAR)) AS mix_id
+              FROM m),
+        cs AS (SELECT source, mix_id, n_tokens,
+                      SUM(n_tokens) OVER (PARTITION BY source ORDER BY mix_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM x),
+        k AS (SELECT DISTINCT source AS stratum,
+                     CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id
+              FROM cs WHERE n_tokens IS NOT NULL),
+        h AS (SELECT stratum, chunk_id,
+                     substr(md5(concat('7:', stratum, ':',
+                       CAST(chunk_id AS VARCHAR))), 1, 8) AS hx
+              FROM k)
+        SELECT stratum, chunk_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY hx, stratum, chunk_id) - 1
+                 AS BIGINT) AS pos
+        FROM h ORDER BY pos""")),
 
     QuerySpec(
       "q67_pack_sequences",
