@@ -146,11 +146,29 @@ object Maintain {
       val raw = new org.apache.hadoop.fs.Path(path)
       val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val p = fs.makeQualified(raw)
-      require(fs.exists(p),
-        s"indexCensus: surface '$label' does not exist at $p - censusing " +
-          "an index before its build (or after a failed one) has no " +
-          "file pressure to report; build the surface or drop it from " +
-          "the census")
+      if (!fs.exists(p)) {
+        // a missing surface with a rename-aside sibling is not "never
+        // built" — it's a crashed staged rewrite mid-swap, and the data
+        // is one rename away; the census is read-only by design, so it
+        // points at the healer instead of healing
+        val parent = p.getParent
+        val residue =
+          if (parent != null && fs.exists(parent))
+            fs.listStatus(parent).map(_.getPath.getName)
+              .filter(n => n.startsWith(p.getName + "__") &&
+                n.endsWith("_old")).toSeq
+          else Seq.empty[String]
+        require(residue.isEmpty,
+          s"indexCensus: surface '$label' is missing at $p but a crashed " +
+            s"staged rewrite left ${residue.mkString(", ")} beside it - " +
+            "the index is recoverable; run Maintain.maintain (it " +
+            "self-heals the swap residue first) and census after")
+        require(requirement = false,
+          s"indexCensus: surface '$label' does not exist at $p - " +
+            "censusing an index before its build (or after a failed " +
+            "one) has no file pressure to report; build the surface or " +
+            "drop it from the census")
+      }
       val (nFiles, bytes, _) = surfaceFiles(spark, p, fs)
       val markers = new org.apache.hadoop.fs.Path(
         p.getParent, "hist_forget_markers")

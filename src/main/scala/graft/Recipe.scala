@@ -84,18 +84,28 @@ object Recipe {
 
     // 2) materialize + pack, with the composite key built ONCE here —
     //    `copy` in the pack id keeps repeated docs distinct (the glue
-    //    step hand compositions get wrong)
+    //    step hand compositions get wrong). Token counts come from the
+    //    SAME textCol the plan budgeted on — packing on a different
+    //    column than the allocation would silently divorce the chunk
+    //    economics from the governance record — threaded through
+    //    packSequences' tokenCountCol (one tokenCount definition).
     val multiset = Pipeline.materializeMix(docs,
         spark.read.parquet(s"$outDir/plan"), strataCol, idCol)
       .withColumn("mix_id",
         concat_ws("#", col(idCol).cast("string"), col("copy")))
+      .withColumn("__rtok",
+        graft.operators.TextOps.tokenCount(col(textCol)).cast("bigint"))
     val packed = Pipeline.packSequences(multiset, chunkTokens, strataCol,
-      idCol = "mix_id")
+      idCol = "mix_id", tokenCountCol = Some("__rtok"))
     packed.select(col(idCol), col(strataCol), col("copy"), col("mix_id"),
         col("n_tokens"), col("chunk_id"))
       .write.mode("overwrite").parquet(s"$outDir/assignments")
 
-    // conservation gate — on the artifact actually written
+    // conservation gate — on the artifact actually written, against an
+    // INDEPENDENT re-execution of the deterministic multiset lineage
+    // (comparing the artifact against itself would prove nothing).
+    // Cheap at scale: count() prunes to the join/draw columns, so the
+    // recount never re-reads text bytes or re-tokenizes.
     val assigned = spark.read.parquet(s"$outDir/assignments")
     val multisetRows = multiset.count()
     val aCount = assigned.count()

@@ -294,19 +294,30 @@ object Dedup {
                              k: Int = 64): Unit = {
     require(k >= 2, s"consolidateSketchIndex: k must be >= 2, got $k")
     Pipeline.stagedRewrite(spark, s"$dir/sketches", "consolidate") { df =>
-      val eff = effectiveKmvWidth(df, k)
+      val eff = effectiveKmvWidth(spark, s"$dir/sketches", df, k)
       mergeKmvGenerations(df, eff).withColumn("build_k", lit(eff))
+        // |sources| rows → ONE file (the compaction's point; Maintain's
+        // auto-cadence floor counts on it)
+        .coalesce(1)
     }
   }
 
   /** The one definition of the maintenance width: `max(asked, persisted
     * build_k, observed sketch length)` — shared by
     * [[consolidateSketchIndex]] and [[rebuildSketchIndex]] so the two
-    * legs cannot disagree on what width the index must keep. */
-  private def effectiveKmvWidth(df: DataFrame, asked: Int): Int = {
+    * legs cannot disagree on what width the index must keep. The
+    * metadata read re-opens the dir with `mergeSchema` FORCED: an index
+    * holding pre-metadata generations next to r15 ones has MIXED
+    * footers, and a plain read may resolve the legacy schema (no
+    * build_k column) — silently re-opening the unfilled-generation
+    * truncation hole on exactly the indexes mid-migration. One bounded
+    * extra read of rows the rewrite reads anyway. */
+  private def effectiveKmvWidth(spark: SparkSession, sketchesDir: String,
+                                df: DataFrame, asked: Int): Int = {
+    val meta = spark.read.option("mergeSchema", "true").parquet(sketchesDir)
     val persisted =
-      if (df.columns.contains("build_k"))
-        df.agg(coalesce(max(col("build_k")), lit(0))).head().getInt(0)
+      if (meta.columns.contains("build_k"))
+        meta.agg(coalesce(max(col("build_k")), lit(0))).head().getInt(0)
       else 0
     val observed = df.agg(coalesce(max(size(col("kmv"))), lit(0)))
       .head().getInt(0)
@@ -332,9 +343,11 @@ object Dedup {
     require(k >= 2, s"rebuildSketchIndex: k must be >= 2, got $k")
     Pipeline.stagedRewrite(survivors.sparkSession, s"$dir/sketches",
         "rebuild") { existing =>
-      val eff = effectiveKmvWidth(existing, k)
+      val eff = effectiveKmvWidth(survivors.sparkSession, s"$dir/sketches",
+        existing, k)
       kmvFrame(survivors, eff, textCol, identity)
         .withColumn("build_k", lit(eff))
+        .coalesce(1)
     }
   }
 

@@ -425,6 +425,11 @@ object HistogramSketch {
               .cast("long"))
           .otherwise(col("cnt")))
         .filter(col("cnt") =!= 0)
+        // bounded rows (|sources| × buckets) → ONE file: the
+        // consolidation's whole point is collapsing file pressure, and
+        // Maintain's auto-cadence optimum counts on the post-rewrite
+        // floor being the leaf-dir count, not shuffle.partitions
+        .coalesce(1)
     }
 
   /** Build-once memo for the q159 harness query (the q157 split: corpus

@@ -1448,28 +1448,41 @@ object Pipeline {
                               strataCol: String, idCol: String, seed: Long,
                               tokenCountCol: Option[String],
                               allocCol: String): DataFrame = {
+    val budgets: Map[Any, Long] =
+      validatedPlanRows(plan, strataCol, allocCol, "tokenQuotaPlan").toMap
+    packWithBudget(quotaKeyed(docs, strataCol, idCol, seed), 0L,
+      Some(budgets), strataCol, "__qkey", tokenCountCol,
+      refuseDuplicateIds = true, "tokenQuotaPlan")
+  }
+
+  /** ONE definition of plan hygiene — shared by the batch plan-quota
+    * kernel and the streaming tier's [[graft.streaming.StreamingQuota
+    * .planAllocs]] collector, so the two tiers cannot drift on what a
+    * valid plan is: named columns present, non-null strata, non-null
+    * non-negative allocs (0 = sanctioned drop), one row per stratum.
+    * The plan frame is |strata|-row broadcast-sized by contract. */
+  private[graft] def validatedPlanRows(plan: DataFrame, strataCol: String,
+                                       allocCol: String,
+                                       caller: String): Seq[(Any, Long)] = {
     Seq(strataCol, allocCol).foreach(c => require(plan.columns.contains(c),
-      s"tokenQuotaPlan: plan has no '$c' column (found " +
+      s"$caller: plan has no '$c' column (found " +
         s"${plan.columns.sorted.mkString("(", ",", ")")}) - pass " +
         "mixPlan's output, or name the columns"))
     val rows = plan.select(col(strataCol), col(allocCol).cast("long"))
       .collect()
-    require(rows.nonEmpty, "tokenQuotaPlan: empty plan")
+    require(rows.nonEmpty, s"$caller: empty plan")
     rows.foreach { r =>
-      require(!r.isNullAt(0), "tokenQuotaPlan: null stratum in plan")
+      require(!r.isNullAt(0), s"$caller: null stratum in plan")
       require(!r.isNullAt(1) && r.getLong(1) >= 0L,
-        s"tokenQuotaPlan: stratum '${r.get(0)}' has a null/negative " +
+        s"$caller: stratum '${r.get(0)}' has a null/negative " +
           s"allocation - a plan row must say how many tokens (0 = drop)")
     }
     val strata = rows.map(_.get(0))
     require(strata.distinct.length == strata.length,
-      s"tokenQuotaPlan: duplicate strata in plan " +
+      s"$caller: duplicate strata in plan " +
         s"(${strata.diff(strata.distinct).distinct.mkString(", ")}) - " +
         "two allocations for one stratum is ambiguity, not data")
-    val budgets: Map[Any, Long] = rows.map(r => r.get(0) -> r.getLong(1)).toMap
-    packWithBudget(quotaKeyed(docs, strataCol, idCol, seed), 0L,
-      Some(budgets), strataCol, "__qkey", tokenCountCol,
-      refuseDuplicateIds = true, "tokenQuotaPlan")
+    rows.toSeq.map(r => r.get(0) -> r.getLong(1))
   }
 
   /** Mixing audit over a [[trainingOrder]]-positioned table — the

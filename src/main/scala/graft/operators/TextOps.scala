@@ -1145,6 +1145,15 @@ object TextOps {
               .cast(rowType))).as("__r"))
         .select(col("gram"), col("__r.df").as("df"),
           col("__r.solo_doc_id").as("solo_doc_id"), col("gb"))
+        // one writing task per gb value → ~one file per partition dir:
+        // without this, the (gb, gram) shuffle leaves every task holding
+        // rows of MANY gb values and partitionBy writes tasks × dirs
+        // small files — recreating the pressure the consolidation exists
+        // to collapse (and breaking Maintain's auto-cadence floor, which
+        // counts one file per leaf dir). gb cardinality is the bucket
+        // count (double digits), and this is the nightly rewrite job,
+        // not a probe — the per-bucket funnel is the right trade here.
+        .repartition(col("gb"))
     }
 
   /** Build-once memo for the q146 harness query (the q134/q135 memo

@@ -39,7 +39,14 @@ import org.apache.spark.sql.streaming._
   * contract.
   *
   * State: FOUR longs per source (the admitted cum the gate decides on,
-  * plus the offered/admitted counters the report serves — r15). Gate
+  * plus the offered/admitted counters the report serves — r15). The
+  * state VARIABLE changed in r15 (`cum`: one long → `quota`: the
+  * four-counter record): a pre-r15 checkpoint restarted on this version
+  * finds no `quota` state and every source's spent budget resets to
+  * zero — over-admitting silently. Drain (stop the feed, finish the
+  * budget question) before upgrading a live quota query, or restart
+  * the admission epoch deliberately; there is no in-place migration.
+  * Gate
   * emission: admitted `(doc_id, source, n_tokens)` rows, each exactly
   * once. Report emission ([[tokenQuotaReportStream]]): the source's
   * RUNNING admission report after every micro-batch that touched it —
@@ -153,9 +160,16 @@ object StreamingQuota {
   }
 
   /** The shared input projection: token counts are the batch tier's
-    * [[graft.operators.TextOps.tokenCount]] (one definition); null-text
-    * and null-source docs drop before the gate (the batch kernel's
-    * rule, so the two tiers see the same offered set). */
+    * [[graft.operators.TextOps.tokenCount]] (one definition). Null
+    * SOURCES drop — the batch kernel's strata rule, so the two tiers
+    * gate the same strata. Null TEXTS also drop here, and this is a
+    * DOCUMENTED divergence from the batch report: the batch kernel
+    * keeps a null-text row as offered-but-never-admitted (its null
+    * chunk_id can't be 0), while a stream admission gate has nothing to
+    * decide about a doc with no tokens and drops it at the door — so a
+    * feed containing null texts reconciles with q183 on every admitted
+    * column but reports fewer offered docs. Feeds with non-null text
+    * (the parity suite's case) reconcile doc-for-doc. */
   private def docToks(docs: DataFrame): Dataset[DocTok] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -200,28 +214,17 @@ object StreamingQuota {
   }
 
   /** Collect a [[graft.operators.Pipeline.mixPlan]]-shaped frame into
-    * the plan map the streaming tier takes — the batch tier's plan
-    * hygiene (non-null strata, non-negative allocs; the frame is
-    * |strata|-row broadcast-sized by contract). */
+    * the plan map the streaming tier takes — THE BATCH TIER'S plan
+    * hygiene, literally ([[graft.operators.Pipeline.validatedPlanRows]]
+    * is the one shared validator), with the streaming tier's one extra
+    * constraint: stream group keys are strings, so strata are cast to
+    * string before validation. */
   def planAllocs(plan: DataFrame, strataCol: String = "source",
-                 allocCol: String = "alloc_tokens"): Map[String, Long] = {
-    Seq(strataCol, allocCol).foreach(c => require(plan.columns.contains(c),
-      s"planAllocs: plan has no '$c' column (found " +
-        s"${plan.columns.sorted.mkString("(", ",", ")")})"))
-    val rows = plan.select(col(strataCol).cast("string"),
-      col(allocCol).cast("long")).collect()
-    rows.foreach { r =>
-      require(!r.isNullAt(0), "planAllocs: null stratum in plan")
-      require(!r.isNullAt(1) && r.getLong(1) >= 0L,
-        s"planAllocs: stratum '${r.getString(0)}' has a null/negative " +
-          "allocation - a plan row must say how many tokens (0 = drop)")
-    }
-    val strata = rows.map(_.getString(0))
-    require(strata.distinct.length == strata.length,
-      s"planAllocs: duplicate strata in plan " +
-        s"(${strata.diff(strata.distinct).distinct.mkString(", ")})")
-    rows.map(r => r.getString(0) -> r.getLong(1)).toMap
-  }
+                 allocCol: String = "alloc_tokens"): Map[String, Long] =
+    graft.operators.Pipeline.validatedPlanRows(
+        plan.withColumn(strataCol, col(strataCol).cast("string")),
+        strataCol, allocCol, "planAllocs")
+      .map { case (s, b) => s.asInstanceOf[String] -> b }.toMap
 
   private def validatedPlan(caller: String,
                             plan: Map[String, Long]): PlanBudget = {

@@ -155,6 +155,42 @@ class MaintainSuite extends AnyFunSuite with BeforeAndAfterAll {
       "the overdue surface's history must collapse")
   }
 
+  test("auto cadence is idempotent: a just-consolidated surface is NOT overdue again") {
+    val sql = spark
+    import sql.implicits._
+    // the r15 review finding: with shuffle.partitions > autoFactor, a
+    // consolidation that wrote one file per shuffle partition would make
+    // the surface immediately overdue again and auto mode would rewrite
+    // every night forever — the consolidations therefore coalesce their
+    // bounded outputs to ONE file, and this pins it at a partition count
+    // ABOVE the threshold
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val base = Files.createTempDirectory("graft-maintain-idem").toString
+      val kmvDir = s"$base/kmv"
+      def docs(lo: Long, hi: Long) =
+        (lo to hi).map(i => (i, s"s${i % 8}", s"idem doc $i"))
+          .toDF("doc_id", "source", "text")
+      Dedup.buildSketchIndex(docs(1, 40), kmvDir, k = 8)
+      (1 to 9).foreach(g =>
+        Dedup.appendSketchIndex(docs(g * 40L + 1, g * 40L + 40), kmvDir, k = 8))
+      val first = Maintain.maintain(spark, kmvIndexDirs = Seq(kmvDir),
+        kmvK = 8, auto = true, autoFactor = 8)
+      assert(first.kmvConsolidated === Seq(s"$kmvDir/sketches"),
+        s"the grown index must be overdue: ${first.decisions}")
+      val files = new java.io.File(s"$kmvDir/sketches")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files === 1,
+        s"a bounded consolidation must collapse to ONE file, got $files")
+      val second = Maintain.maintain(spark, kmvIndexDirs = Seq(kmvDir),
+        kmvK = 8, auto = true, autoFactor = 8)
+      assert(second.kmvConsolidated.isEmpty,
+        s"a just-consolidated surface must be SKIPPED, not rewritten " +
+          s"nightly forever: ${second.decisions}")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("a crashed swap self-heals BEFORE the gate read (rerun, not PATH_NOT_FOUND)") {
     val sql = spark
     import sql.implicits._

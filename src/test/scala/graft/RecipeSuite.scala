@@ -90,6 +90,30 @@ class RecipeSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(o1.count() === r1.nChunks)
   }
 
+  test("textCol threads through BOTH the plan and the packing (never a hardcoded 'text')") {
+    val sql = spark
+    import sql.implicits._
+    // docs carry a DECOY 'text' column with wildly different token
+    // counts: if either the plan or the packing read 'text' instead of
+    // the declared textCol, the token economics split from the
+    // governance record and the numbers below diverge
+    val docs = corpus.withColumnRenamed("text", "body")
+      .withColumn("text", lit("one two"))
+    val out = Files.createTempDirectory("graft-recipe-textcol").toString
+    val report = Recipe.run(docs, out, budgetTokens = 20000L,
+      chunkTokens = 64, seed = 11L, textCol = "body")
+    val assigned = spark.read.parquet(s"$out/assignments")
+    // every copy's n_tokens is its body's count, never the decoy's 2
+    val twoTok = assigned.filter(col("n_tokens") === 2L).count()
+    val bodyToks = corpus.select(
+      sum(size(split(col("text"), " "))).cast("long")).head().getLong(0)
+    assert(twoTok === 0L,
+      s"packing read the decoy 'text' column: $twoTok rows at 2 tokens")
+    assert(report.multisetTokens > bodyToks,
+      s"fixture drift: the mix must oversample body tokens " +
+        s"(${report.multisetTokens} vs corpus $bodyToks)")
+  }
+
   test("the mixing gate REFUSES a schedule outside tolerance; bad params refuse") {
     val out = Files.createTempDirectory("graft-recipe-tol").toString
     val e = intercept[IllegalArgumentException] {

@@ -243,6 +243,44 @@ class DedupGuardSuite extends AnyFunSuite with BeforeAndAfterAll {
         "build width, not the asked width")
   }
 
+  test("sketch index mid-migration: legacy generations without build_k next to r15 ones") {
+    val sql = spark
+    import sql.implicits._
+    import org.apache.spark.sql.functions.col
+    // a PRE-metadata index (no build_k column in its footers) that a
+    // current appendSketchIndex has since grown: the dir holds MIXED
+    // parquet schemas, and a plain read may resolve the legacy footer —
+    // the width derivation must still see the r15 generations' build_k
+    // (mergeSchema-forced metadata read), or the narrow-consolidation
+    // hole silently re-opens on exactly the indexes mid-migration
+    def gen(g: Int) =
+      (1L to 20L).map(i => (g * 100L + i, s"s${i % 2}", s"mig $g text $i"))
+        .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmv-mig")
+      .toString
+    Dedup.buildSketchIndex(gen(1), dir, k = 64)
+    // strip the metadata column in place — the legacy footer shape
+    val legacy = spark.read.parquet(s"$dir/sketches")
+      .drop("build_k").collect()
+    val legacySchema = spark.read.parquet(s"$dir/sketches")
+      .drop("build_k").schema
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(legacy.toSeq), legacySchema)
+      .write.mode("overwrite").parquet(s"$dir/sketches")
+    Dedup.appendSketchIndex(gen(2), dir, k = 64)
+    Dedup.appendSketchIndex(gen(3), dir, k = 64)
+    val wideBefore = Dedup.readSketchIndex(spark, dir, k = 64)
+      .collect().map(_.toSeq).toSet
+    assert(wideBefore.map(_(1).asInstanceOf[Long]).max === 30L,
+      "fixture drift: the union must exceed any single generation")
+    Dedup.consolidateSketchIndex(spark, dir, k = 16)
+    val wideAfter = Dedup.readSketchIndex(spark, dir, k = 64)
+      .collect().map(_.toSeq).toSet
+    assert(wideAfter === wideBefore,
+      "a narrow-k consolidation of a MIXED-SCHEMA index must derive " +
+        "the width from the r15 generations' metadata")
+  }
+
   test("sketchIndexDrift: duplicates don't move the estimate, new content does, identical zero") {
     val sql = spark
     import sql.implicits._
