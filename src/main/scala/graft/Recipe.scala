@@ -164,4 +164,141 @@ object Recipe {
       maxDelta,
       Seq(s"$outDir/plan", s"$outDir/assignments", s"$outDir/order"))
   }
+
+  /** What a retraction removed and what was re-proven: `chunksDropped`
+    * counts chunks whose EVERY copy was forgotten (they leave the
+    * schedule entirely; a chunk that only lost some members stays, with
+    * less mass), `maxMixDeltaMicro` is the re-MEASURED mixing health of
+    * the pruned schedule — reported, never gated, see [[retract]]. */
+  final case class RetractReport(
+      nIds: Long,
+      copiesRemoved: Long,
+      tokensRemoved: Long,
+      chunksDropped: Long,
+      nChunks: Long,
+      nEpochs: Int,
+      maxMixDeltaMicro: Long,
+      artifacts: Seq[String])
+
+  /** Propagate a right-to-be-forgotten batch into a PUBLISHED recipe —
+    * the deletion leg [[graft.Forget.forget]] cannot cover generically:
+    * a recipe's `order/` artifact references forgotten docs INDIRECTLY
+    * (through chunk membership), so a plain id-keyed artifact prune
+    * leaves a schedule whose positions point at chunks that no longer
+    * exist, and a dataloader reading "position k of n" stalls on the
+    * holes. `retract` closes the whole chain in one call:
+    *
+    *  1. `assignments/` — staged anti-join prune of every copy of every
+    *     listed id ([[graft.operators.Pipeline.pruneArtifact]]), then a
+    *     ZERO-RESIDUAL audit on the rewritten artifact (the Forget
+    *     doctrine: the proof is the exit, not a follow-up).
+    *  2. `order/` — chunks whose every member was forgotten leave the
+    *     schedule (semi-join against the surviving chunk set; AQE picks
+    *     broadcast vs shuffle — survivors are chunk-scale, not
+    *     human-scale), and positions recompact to the exact permutation
+    *     0..n−1 per epoch with relative order PRESERVED
+    *     ([[graft.operators.Pipeline.recompactPositions]]). Staged
+    *     rewrite — a crash at any point leaves a readable artifact and
+    *     a rerun self-heals.
+    *
+    * The permutation gate re-proves each epoch on the artifact actually
+    * written. The MIXING audit is re-measured and REPORTED but never
+    * gated — a deletion required by law must not be refusable on a
+    * statistical property of what remains; a caller whose
+    * `maxMixDeltaMicro` degraded past their tolerance re-runs [[run]]
+    * for a fresh schedule (new positions — resume bookkeeping resets),
+    * which is a training decision, not a compliance one. `plan/` is
+    * deliberately untouched: it is the governance record of what was
+    * DECIDED at publish time; `tokensRemoved` quantifies the drift.
+    *
+    * Idempotent: replaying a delete log re-prunes nothing and re-proves
+    * the gates. Scale shape: the delete list broadcasts (GDPR batches
+    * are bounded), each artifact rewrites once (work ∝ artifact size),
+    * the recompaction is the two-pass count-offset kernel — the corpus
+    * text is never touched.
+    */
+  def retract(ids: DataFrame, recipeDir: String,
+              strataCol: String = "source",
+              idCol: String = "doc_id"): RetractReport = {
+    val spark = ids.sparkSession
+    val aDir = s"$recipeDir/assignments"
+    val oDir = s"$recipeDir/order"
+    // heal crashed-swap residue BEFORE any read (Maintain's r15 lesson:
+    // a before-read against a mid-swap dir throws PATH_NOT_FOUND where
+    // a rerun should self-heal) — each artifact under its own tag
+    Pipeline.healStagedResidue(spark, aDir, "prune")
+    Pipeline.healStagedResidue(spark, oDir, "retract")
+    val before = spark.read.parquet(aDir)
+    Seq(idCol, strataCol, "n_tokens", "chunk_id").foreach { c =>
+      require(before.columns.contains(c),
+        s"Recipe.retract: assignments at $aDir has no '$c' column " +
+          s"(found ${before.columns.mkString(", ")}) - is this a " +
+          "Recipe.run output dir?")
+    }
+    require(ids.columns.contains(idCol),
+      s"Recipe.retract: ids has no '$idCol' column (found " +
+        s"${ids.columns.mkString(", ")})")
+    val idList = ids.select(col(idCol)).distinct()
+    val nIds = idList.count()
+    // before-stats for the report — column-pruned reads, never text
+    val hitAgg = before.join(broadcast(idList), Seq(idCol), "left_semi")
+      .agg(count(lit(1)), coalesce(sum(col("n_tokens")), lit(0L))).head()
+    val copiesRemoved = hitAgg.getLong(0)
+    val tokensRemoved = hitAgg.getLong(1)
+    val beforeChunks = spark.read.parquet(oDir)
+    val nEpochs = if (beforeChunks.columns.contains("epoch"))
+      (beforeChunks.agg(max(col("epoch"))).head().getLong(0) + 1L).toInt
+    else 1
+    val chunksBefore = beforeChunks
+      .select(col("stratum"), col("chunk_id")).distinct().count()
+
+    // 1) assignments: staged prune + zero-residual audit
+    Pipeline.pruneArtifact(idList, aDir, idCol)
+    val after = spark.read.parquet(aDir)
+    val residual = after.join(broadcast(idList), Seq(idCol), "left_semi").count()
+    require(residual == 0L,
+      s"Recipe.retract: $residual assignment rows still hold a listed " +
+        s"$idCol after the prune - the rewrite is broken; do not trust " +
+        "this recipe dir")
+    val survivors = after.filter(col("chunk_id").isNotNull)
+      .select(col(strataCol).as("stratum"), col("chunk_id")).distinct()
+
+    // 2) order: drop fully-forgotten chunks, recompact per epoch —
+    //    survivors are CHUNK-scale, so the semi-join stays unhinted
+    //    (AQE decides broadcast vs shuffle, the q174 rule)
+    Pipeline.stagedRewrite(spark, oDir, "retract") { df =>
+      Pipeline.recompactPositions(
+        df.join(survivors, Seq("stratum", "chunk_id"), "left_semi"))
+    }
+
+    // permutation gate per epoch on the artifact actually written
+    val written = spark.read.parquet(oDir)
+    val nChunks = survivors.count()
+    var maxDelta = 0L
+    (0 until nEpochs).foreach { e =>
+      val ep = if (nEpochs == 1) written
+        else written.filter(col("epoch") === e.toLong)
+      val stats = ep.agg(count(lit(1)), countDistinct(col("pos")),
+        coalesce(max(col("pos")), lit(-1L))).head()
+      require(stats.getLong(0) == nChunks &&
+          stats.getLong(1) == nChunks &&
+          stats.getLong(2) == nChunks - 1,
+        s"Recipe.retract: epoch $e positions are not the exact " +
+          s"permutation 0..${nChunks - 1} after recompaction: " +
+          s"(count, distinct, max) = $stats")
+      // mixing re-MEASURED, never gated (deletion is not refusable on a
+      // statistical property of what remains — see scaladoc)
+      if (nChunks > 0L) {
+        val audit = Pipeline.orderMixingAudit(ep.drop("epoch"))
+          .agg(coalesce(max(
+            abs(col("same_next_micro") - col("share_micro"))), lit(0L)))
+          .head().getLong(0)
+        maxDelta = math.max(maxDelta, audit)
+      }
+    }
+
+    RetractReport(nIds, copiesRemoved, tokensRemoved,
+      chunksBefore - nChunks, nChunks, nEpochs, maxDelta,
+      Seq(aDir, oDir))
+  }
 }

@@ -1250,6 +1250,174 @@ object Pipeline {
     }.reduce(_ unionByName _)
   }
 
+  /** RECOMPACT a training-order artifact whose positions have HOLES —
+    * the position-space repair a retraction leaves behind: after
+    * [[graft.Recipe.retract]] drops chunks from a persisted schedule,
+    * the surviving rows still carry their ORIGINAL positions (0, 1, 3,
+    * 7, …) and a dataloader reading "position k of n" would stall on
+    * the gaps. This rewrites `posCol` to the exact permutation 0..n−1
+    * per epoch, PRESERVING the surviving rows' relative order — the
+    * schedule's decorrelation structure is kept, only the gaps close.
+    *
+    * Scale shape: the [[trainingOrder]] two-pass discipline on the
+    * EXISTING order key — one range exchange on (epoch?, pos), pass 1
+    * collects per-partition row counts per contiguous epoch run (epoch
+    * cardinality is single digits, so the driver fold is ≤ partitions ×
+    * epochs entries), pass 2 is a map-side count-up seeded by the
+    * broadcast per-epoch offsets. No Window, no global sort; both
+    * passes share one RDD lineage. Null positions/epochs refuse loudly
+    * (engines disagree on null order) and a DUPLICATE (epoch, pos) is
+    * refused by pass 1's adjacent scan (complete because the range
+    * partitioner never splits equal keys) — two rows at one position
+    * would recompact in shuffle-delivery order.
+    */
+  def recompactPositions(order: DataFrame, posCol: String = "pos",
+                         epochCol: String = "epoch"): DataFrame = {
+    require(order.columns.contains(posCol),
+      s"recompactPositions: no '$posCol' column - this operates on a " +
+        "training-order artifact (stratum, chunk_id, pos[, epoch])")
+    val spark = order.sparkSession
+    val hasEpoch = order.columns.contains(epochCol)
+    val orderCols = (if (hasEpoch) Seq(col(epochCol)) else Seq.empty) :+ col(posCol)
+    val laid = order.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val schema = laid.schema
+    val pIdx = schema.fieldIndex(posCol)
+    val eIdx = if (hasEpoch) schema.fieldIndex(epochCol) else -1
+    val rdd = laid.rdd
+    // pass 1: per-partition row counts per contiguous epoch run, plus
+    // the loud null/duplicate checks that are free inside the scan
+    val runCounts: Array[Array[(Any, Long)]] = rdd.mapPartitions { it =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Any, Long)]
+      var cur: Any = null; var have = false; var n = 0L
+      var prevPos: Long = 0L; var hasPrev = false
+      it.foreach { r =>
+        if (hasEpoch && r.isNullAt(eIdx))
+          throw new IllegalArgumentException(
+            s"recompactPositions: null '$epochCol' - null epochs make " +
+              "the recompaction engine-dependent")
+        if (r.isNullAt(pIdx))
+          throw new IllegalArgumentException(
+            s"recompactPositions: null '$posCol' - a positionless row " +
+              "cannot hold a place in the schedule")
+        val e = if (hasEpoch) r.get(eIdx) else 0L
+        if (!have || !java.util.Objects.equals(e, cur)) {
+          if (have) runs += ((cur, n))
+          cur = e; n = 0L; have = true; hasPrev = false
+        }
+        val p = r.get(pIdx).asInstanceOf[Number].longValue
+        if (hasPrev && p == prevPos)
+          throw new IllegalArgumentException(
+            s"recompactPositions: duplicate position $p in epoch '$cur' " +
+              "- two rows at one position would recompact in " +
+              "shuffle-delivery order; the input is not a valid schedule")
+        prevPos = p; hasPrev = true
+        n += 1L
+      }
+      if (have) runs += ((cur, n))
+      Iterator.single(runs.toArray)
+    }.collect()
+    // driver fold: per-epoch cumulative offsets across partitions (the
+    // packSequences fold with counts instead of token sums; entries ≤
+    // partitions + epochs by epoch contiguity under the range exchange)
+    val offsets: Array[Map[Any, Long]] = {
+      val acc = scala.collection.mutable.HashMap.empty[Any, Long]
+      runCounts.map { runs =>
+        val off = runs.map { case (e, _) => e -> acc.getOrElse(e, 0L) }.toMap
+        runs.foreach { case (e, n) => acc.update(e, acc.getOrElse(e, 0L) + n) }
+        off
+      }
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    // pass 2: map-side count-up seeded by the broadcast per-epoch offset,
+    // REPLACING posCol in place so the artifact schema is preserved
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val off = bc.value(pid)
+      var cur: Any = null; var have = false; var pos = 0L
+      it.map { r =>
+        val e = if (hasEpoch) r.get(eIdx) else 0L
+        if (!have || !java.util.Objects.equals(e, cur)) {
+          cur = e; have = true; pos = off.getOrElse(e, 0L)
+        }
+        val seq = r.toSeq.updated(pIdx, pos)
+        pos += 1L
+        Row.fromSeq(seq)
+      }
+    }
+    spark.createDataFrame(out, StructType(schema.fields.zipWithIndex.map {
+      case (f, i) => if (i == pIdx) StructField(posCol, LongType, nullable = false)
+                     else f
+    }))
+  }
+
+  /** SHARD MANIFEST — the dataloader's read-side contract over a
+    * published schedule: walk the order artifact's positions and cut
+    * them into contiguous token-budget shards (`shard_id` = greedy
+    * cumulative-sum bucket, [[packSequences]]' rule applied to chunk
+    * positions), emitting one row per (epoch?, shard) with its chunk
+    * count, token mass, and inclusive position range — the manifest a
+    * training fleet uses to hand each reader a contiguous byte-bounded
+    * slice of the schedule without scanning it.
+    *
+    * `order` is the (stratum, chunk_id, pos[, epoch]) artifact;
+    * `chunkTokens` maps each scheduled chunk to its token mass (`keyCols`
+    * + `n_tokens` — [[graft.Recipe]]'s `assignments` aggregated by
+    * chunk). Gates, both loud: every scheduled chunk must have EXACTLY
+    * one token row (a manifest missing a position would hand a reader a
+    * slice with a hole; a duplicated token row would double-count a
+    * shard's mass), and token masses must be non-null.
+    *
+    * Mechanics: pure reuse of [[packSequences]]' audited prefix-sum
+    * kernel — epoch is the stratum (single digits; the flat artifact
+    * packs as one), `pos` is the order key, `refuseDuplicateIds` makes
+    * pass 1 enforce the position primary key for free. Scale shape: one
+    * chunk-scale equi-join (AQE picks broadcast vs shuffle), the
+    * kernel's range exchange + two passes, then a |shards|-row
+    * aggregate. The corpus text is never touched.
+    */
+  def shardManifest(order: DataFrame, chunkTokens: DataFrame,
+                    shardTokens: Int,
+                    keyCols: Seq[String] = Seq("stratum", "chunk_id"),
+                    posCol: String = "pos",
+                    epochCol: String = "epoch"): DataFrame = {
+    require(shardTokens > 0,
+      s"shardManifest: shardTokens must be positive, got $shardTokens")
+    require(keyCols.nonEmpty, "shardManifest: keyCols must be non-empty")
+    require(chunkTokens.columns.contains("n_tokens"),
+      "shardManifest: chunkTokens needs an 'n_tokens' column (aggregate " +
+        "the recipe's assignments by chunk)")
+    val hasEpoch = order.columns.contains(epochCol)
+    val joined = order.join(chunkTokens.select(
+      (keyCols.map(col) :+ col("n_tokens")): _*), keyCols)
+    // completeness gate: an inner join silently DROPS scheduled chunks
+    // with no token row (a reader's slice would have holes) and
+    // duplicated token rows double-count — both chunk-scale counts
+    val nOrder = order.count()
+    val nJoined = joined.count()
+    require(nJoined == nOrder,
+      s"shardManifest: $nOrder scheduled chunks joined to $nJoined token " +
+        "rows - every (stratum, chunk_id) needs exactly one n_tokens row")
+    val nNull = joined.filter(col("n_tokens").isNull).count()
+    require(nNull == 0L,
+      s"shardManifest: $nNull scheduled chunks have null n_tokens - a " +
+        "massless chunk cannot be budgeted into a shard")
+    val base0 = if (hasEpoch) joined
+      else joined.withColumn(epochCol, lit(0L))
+    // the packer appends its own chunk_id (the shard index here) — move
+    // the schedule's chunk key aside so the kernel's name guard passes
+    val base = base0.withColumnRenamed("chunk_id", "__sched_chunk")
+    val packed = packSequences(base, shardTokens, strataCol = epochCol,
+      idCol = posCol, tokenCountCol = Some("n_tokens"),
+      refuseDuplicateIds = true)
+    val groupCols = (if (hasEpoch) Seq(col(epochCol)) else Seq.empty) :+
+      col("chunk_id").as("shard_id")
+    packed.groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).cast("bigint").as("sum_tokens"),
+        min(col(posCol)).cast("bigint").as("first_pos"),
+        max(col(posCol)).cast("bigint").as("last_pos"))
+  }
+
   /** Deterministic per-stratum TOKEN QUOTA — admission control for
     * ingest and mixture enforcement: keep each stratum's docs, in
     * seeded-hash order, until the stratum's running token sum reaches
@@ -1806,6 +1974,13 @@ object Pipeline {
         s"($stagePath -> $dirPath)")
     require(fs.delete(oldPath, true),
       s"${tag}Artifact: could not remove aside copy at $oldPath")
+    // the swap happened via raw FileSystem renames, UNDER Spark's two
+    // path-keyed caches (the shared file-status cache and any cached
+    // InMemoryRelation over this path) — without this, a session that
+    // read the artifact before the rewrite keeps being served the
+    // PRE-REWRITE rows (cache hit) or chases deleted file names
+    // (stale listing) on every later read of the same path
+    spark.catalog.refreshByPath(base)
   }
 
   /** The [[stagedRewrite]] crash-residue self-heal as a CALLABLE step —
@@ -1824,9 +1999,13 @@ object Pipeline {
     val dirPath = new org.apache.hadoop.fs.Path(base)
     val oldPath = new org.apache.hadoop.fs.Path(base + s"__${tag}_old")
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dirPath) && fs.exists(oldPath))
+    if (!fs.exists(dirPath) && fs.exists(oldPath)) {
       require(fs.rename(oldPath, dirPath),
         s"${tag}Artifact: could not restore crashed swap ($oldPath -> $dirPath)")
+      // the restore changed what `base` serves via raw renames — drop
+      // the path's cached listing/relation (stagedRewrite's rule)
+      spark.catalog.refreshByPath(base)
+    }
     if (fs.exists(oldPath))
       require(fs.delete(oldPath, true),
         s"${tag}Artifact: could not clear stale aside copy at $oldPath")
@@ -2238,6 +2417,22 @@ object Pipeline {
     BuildOnce.dir("graft-recipe", d) { dir =>
       graft.Recipe.run(Tables.documents(s, d), dir,
         budgetTokens = 400000L, chunkTokens = 256, seed = 7L, nEpochs = 1)
+      dir
+    }
+
+  /** Build-once memo for the q189 harness query: [[cachedRecipe]]'s
+    * exact publish into a SEPARATE dir (q188's memo must stay
+    * unmutated — it is the untouched-schedule baseline), then
+    * [[graft.Recipe.retract]] of every doc_id ≡ 0 (mod 13) applied
+    * in place — the query reads the retracted `order/`, so the hash
+    * gate covers prune + survivor semi-join + recompaction composed. */
+  private def cachedRetractedRecipe(s: SparkSession, d: String): String =
+    BuildOnce.dir("graft-recipe-retract", d) { dir =>
+      graft.Recipe.run(Tables.documents(s, d), dir,
+        budgetTokens = 400000L, chunkTokens = 256, seed = 7L, nEpochs = 1)
+      graft.Recipe.retract(
+        Tables.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") % 13 === 0), dir)
       dir
     }
 
@@ -3240,6 +3435,146 @@ object Pipeline {
                CAST(ROW_NUMBER() OVER (ORDER BY hx, stratum, chunk_id) - 1
                  AS BIGINT) AS pos
         FROM h ORDER BY pos""")),
+
+    // RECIPE RETRACTION (r15): Recipe.retract applied to a published
+    // q188-shaped recipe — every doc_id ≡ 0 (mod 13) forgotten, the
+    // assignments pruned, fully-forgotten chunks dropped from the
+    // schedule, positions recompacted 0..n−1 with relative order
+    // preserved. The oracle recomputes the WHOLE chain in DuckDB:
+    // q188's multiset → chunk assignment (with the forgotten docs still
+    // PRESENT — chunk ids were fixed at pack time), survivors = chunks
+    // with ≥1 unforgotten member, the original hash order filtered to
+    // survivors, then ROW_NUMBER over the old positions.
+    QuerySpec(
+      "q189_recipe_retract",
+      (s, d) => s.read.parquet(s"${cachedRetractedRecipe(s, d)}/order")
+        .orderBy(col("pos")),
+      Some("""
+        WITH c AS (SELECT source,
+                          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY source),
+        w AS (SELECT source, n_tokens,
+                     CAST(floor(sqrt(n_tokens) * 1e6) AS BIGINT) AS w_micro
+              FROM c),
+        tw AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot_w FROM w),
+        p AS (SELECT source,
+                     CASE WHEN n_tokens = 0 THEN 0
+                          ELSE CAST(((400000 * w_micro) // tot_w) * 1000000 // n_tokens AS BIGINT)
+                     END AS epochs_micro
+              FROM w, tw),
+        j AS (SELECT d.doc_id, d.source AS source,
+                     len(string_split(d.text, ' ')) AS n_tokens,
+                     p.epochs_micro // 1000000 AS fullc,
+                     p.epochs_micro % 1000000 AS frac,
+                     ('0x' || substr(md5(concat(CAST(d.doc_id AS VARCHAR),
+                       ':', d.source)), 1, 8))::BIGINT % 1000000 AS draw
+              FROM documents d JOIN p ON d.source = p.source),
+        m AS (SELECT doc_id, source, n_tokens,
+                     CAST(fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END
+                       AS BIGINT) AS n_copies
+              FROM j
+              WHERE fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END > 0),
+        x AS (SELECT doc_id, source, n_tokens,
+                     concat(CAST(doc_id AS VARCHAR), '#',
+                       CAST(unnest(range(n_copies)) AS VARCHAR)) AS mix_id
+              FROM m),
+        cs AS (SELECT doc_id, source, mix_id, n_tokens,
+                      SUM(n_tokens) OVER (PARTITION BY source ORDER BY mix_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM x),
+        k AS (SELECT DISTINCT source AS stratum,
+                     CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id
+              FROM cs WHERE n_tokens IS NOT NULL),
+        surv AS (SELECT DISTINCT source AS stratum,
+                        CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id
+                 FROM cs WHERE n_tokens IS NOT NULL AND doc_id % 13 <> 0),
+        h AS (SELECT stratum, chunk_id,
+                     substr(md5(concat('7:', stratum, ':',
+                       CAST(chunk_id AS VARCHAR))), 1, 8) AS hx
+              FROM k),
+        o AS (SELECT stratum, chunk_id,
+                     ROW_NUMBER() OVER (ORDER BY hx, stratum, chunk_id) - 1
+                       AS opos
+              FROM h)
+        SELECT o.stratum, o.chunk_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY o.opos) - 1 AS BIGINT) AS pos
+        FROM o JOIN surv USING (stratum, chunk_id)
+        ORDER BY pos""")),
+
+    // SHARD MANIFEST (r15): the read-side contract over q188's
+    // published schedule — contiguous positions cut into 4096-token
+    // shards by the packSequences prefix-sum rule (epoch as stratum,
+    // pos as the order key), one row per shard with chunk count, token
+    // mass, and inclusive position range. Oracle = q188's chain +
+    // per-chunk token totals + cumsum over pos.
+    QuerySpec(
+      "q190_order_shards",
+      (s, d) => {
+        val dir = cachedRecipe(s, d)
+        val order = s.read.parquet(s"$dir/order")
+        val chunkTokens = s.read.parquet(s"$dir/assignments")
+          .filter(col("chunk_id").isNotNull)
+          .groupBy(col("source").as("stratum"), col("chunk_id"))
+          .agg(sum(col("n_tokens")).cast("bigint").as("n_tokens"))
+        shardManifest(order, chunkTokens, shardTokens = 4096)
+          .orderBy(col("shard_id"))
+      },
+      Some("""
+        WITH c AS (SELECT source,
+                          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY source),
+        w AS (SELECT source, n_tokens,
+                     CAST(floor(sqrt(n_tokens) * 1e6) AS BIGINT) AS w_micro
+              FROM c),
+        tw AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot_w FROM w),
+        p AS (SELECT source,
+                     CASE WHEN n_tokens = 0 THEN 0
+                          ELSE CAST(((400000 * w_micro) // tot_w) * 1000000 // n_tokens AS BIGINT)
+                     END AS epochs_micro
+              FROM w, tw),
+        j AS (SELECT d.doc_id, d.source AS source,
+                     len(string_split(d.text, ' ')) AS n_tokens,
+                     p.epochs_micro // 1000000 AS fullc,
+                     p.epochs_micro % 1000000 AS frac,
+                     ('0x' || substr(md5(concat(CAST(d.doc_id AS VARCHAR),
+                       ':', d.source)), 1, 8))::BIGINT % 1000000 AS draw
+              FROM documents d JOIN p ON d.source = p.source),
+        m AS (SELECT doc_id, source, n_tokens,
+                     CAST(fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END
+                       AS BIGINT) AS n_copies
+              FROM j
+              WHERE fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END > 0),
+        x AS (SELECT doc_id, source, n_tokens,
+                     concat(CAST(doc_id AS VARCHAR), '#',
+                       CAST(unnest(range(n_copies)) AS VARCHAR)) AS mix_id
+              FROM m),
+        cs AS (SELECT source, mix_id, n_tokens,
+                      SUM(n_tokens) OVER (PARTITION BY source ORDER BY mix_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM x),
+        ct AS (SELECT source AS stratum,
+                      CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id,
+                      CAST(SUM(n_tokens) AS BIGINT) AS tok
+               FROM cs WHERE n_tokens IS NOT NULL GROUP BY 1, 2),
+        h AS (SELECT stratum, chunk_id,
+                     substr(md5(concat('7:', stratum, ':',
+                       CAST(chunk_id AS VARCHAR))), 1, 8) AS hx
+              FROM ct),
+        o AS (SELECT stratum, chunk_id,
+                     ROW_NUMBER() OVER (ORDER BY hx, stratum, chunk_id) - 1
+                       AS pos
+              FROM h),
+        sc AS (SELECT o.pos, ct.tok,
+                      SUM(ct.tok) OVER (ORDER BY o.pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cum2
+               FROM o JOIN ct USING (stratum, chunk_id))
+        SELECT CAST((cum2 - tok) // 4096 AS BIGINT) AS shard_id,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+               CAST(MIN(pos) AS BIGINT) AS first_pos,
+               CAST(MAX(pos) AS BIGINT) AS last_pos
+        FROM sc GROUP BY 1 ORDER BY shard_id""")),
 
     QuerySpec(
       "q67_pack_sequences",

@@ -1,0 +1,218 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Pipeline
+
+/** [[Recipe.retract]] + [[Pipeline.recompactPositions]] +
+  * [[Pipeline.shardManifest]]: the r15 deletion-propagation and
+  * read-side manifest tier over published recipe artifacts.
+  */
+class RecipeRetractSuite extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("recipe-retract-suite")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs = {
+    import spark.implicits._
+    // RecipeSuite's proven fixture shape: 4 sources, 600 docs, enough
+    // chunks that the mixing gate's tolerance is comfortably met
+    (1L to 600L).map { i =>
+      (i, s"src${i % 4}",
+        Seq.tabulate((i % 7 + 3).toInt)(j => s"w${(i * 13 + j) % 40}")
+          .mkString(" "))
+    }.toDF("doc_id", "source", "text")
+  }
+
+  private def tmp(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  test("recompactPositions: holes close, relative order preserved, per epoch") {
+    import spark.implicits._
+    val order = Seq(
+      // epoch 0 with holes at 1 and 4
+      ("a", 0L, 0L, 0L), ("b", 1L, 2L, 0L), ("c", 2L, 3L, 0L), ("d", 3L, 5L, 0L),
+      // epoch 1 with a different survivor order
+      ("c", 2L, 0L, 1L), ("a", 0L, 3L, 1L), ("d", 3L, 4L, 1L), ("b", 1L, 6L, 1L)
+    ).toDF("stratum", "chunk_id", "pos", "epoch")
+    val out = Pipeline.recompactPositions(order)
+      .orderBy(col("epoch"), col("pos"))
+      .select(col("epoch"), col("pos"), col("stratum")).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ===
+      Seq((0L, 0L, "a"), (0L, 1L, "b"), (0L, 2L, "c"), (0L, 3L, "d"),
+        (1L, 0L, "c"), (1L, 1L, "a"), (1L, 2L, "d"), (1L, 3L, "b")))
+  }
+
+  test("recompactPositions: flat (no epoch column) input keeps its schema") {
+    import spark.implicits._
+    val order = Seq(("a", 0L, 10L), ("b", 1L, 20L), ("c", 2L, 35L))
+      .toDF("stratum", "chunk_id", "pos")
+    val out = Pipeline.recompactPositions(order)
+    assert(out.columns.toSeq === Seq("stratum", "chunk_id", "pos"))
+    assert(out.orderBy("pos").select("stratum", "pos")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 0L), ("b", 1L), ("c", 2L)))
+  }
+
+  test("recompactPositions: duplicate position refuses loudly") {
+    import spark.implicits._
+    val order = Seq(("a", 0L, 1L), ("b", 1L, 1L)).toDF("stratum", "chunk_id", "pos")
+    val e = intercept[org.apache.spark.SparkException] {
+      Pipeline.recompactPositions(order).collect()
+    }
+    assert(e.getMessage.contains("duplicate position") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate position")))
+  }
+
+  test("retract: prune + chunk drop + recompaction on a 3-epoch recipe") {
+    import spark.implicits._
+    val dir = tmp("graft-retract-epochs")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64,
+      seed = 11L, nEpochs = 3)
+    // PRE-RETRACT state as plain values: the staged rewrite refreshes
+    // the path's caches, so frames over these dirs re-read the
+    // POST-rewrite files once retract has run
+    val orderBefore = spark.read.parquet(s"$dir/order")
+    val assignedBefore = spark.read.parquet(s"$dir/assignments")
+    val victimIds = assignedBefore.select("doc_id").distinct()
+      .orderBy("doc_id").limit(8).as[Long].collect().toSeq
+    val victims = victimIds.toDF("doc_id")
+    val chunksBeforeCount = orderBefore
+      .select("stratum", "chunk_id").distinct().count()
+
+    // expected survivors + recompacted order, computed the SLOW way
+    // (Window) as an independent check of the two-pass kernel
+    val survivors = assignedBefore
+      .filter(!col("doc_id").isin(victimIds: _*) && col("chunk_id").isNotNull)
+      .select(col("source").as("stratum"), col("chunk_id")).distinct()
+    val expectedNChunks = survivors.count()
+    val expected = orderBefore
+      .join(survivors, Seq("stratum", "chunk_id"))
+      .withColumn("npos", row_number().over(
+        Window.partitionBy("epoch").orderBy("pos")).cast("long") - 1L)
+      .select(col("stratum"), col("chunk_id"), col("npos").as("pos"), col("epoch"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    val rep = Recipe.retract(victims, dir)
+    assert(rep.nIds === victimIds.length.toLong)
+    assert(rep.nEpochs === 3)
+    assert(rep.copiesRemoved > 0L && rep.tokensRemoved > 0L)
+
+    val after = spark.read.parquet(s"$dir/order")
+    val got = after.collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("pos"), r.getAs[Long]("epoch"))).toSet
+    assert(got === expected)
+
+    // zero-residual: assignments hold none of the victims
+    val res = spark.read.parquet(s"$dir/assignments")
+      .filter(col("doc_id").isin(victimIds: _*)).count()
+    assert(res === 0L)
+    // report reconciles with the artifacts
+    assert(rep.nChunks === expectedNChunks)
+    assert(rep.chunksDropped === chunksBeforeCount - rep.nChunks)
+
+    // idempotent: replaying the delete log re-proves the gates, changes nothing
+    val rep2 = Recipe.retract(victims, dir)
+    assert(rep2.copiesRemoved === 0L)
+    assert(rep2.chunksDropped === 0L)
+    assert(rep2.nChunks === rep.nChunks)
+  }
+
+  test("retract: flat (nEpochs=1) recipe and absent ids are a no-op") {
+    import spark.implicits._
+    val dir = tmp("graft-retract-flat")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+    val before = spark.read.parquet(s"$dir/order").collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("pos"))).toSet
+    val rep = Recipe.retract(Seq(99999L, 88888L).toDF("doc_id"), dir)
+    assert(rep.copiesRemoved === 0L && rep.chunksDropped === 0L)
+    val after = spark.read.parquet(s"$dir/order").collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("pos"))).toSet
+    assert(after === before)
+  }
+
+  test("shardManifest: greedy token-budget shards per epoch, ranges contiguous") {
+    import spark.implicits._
+    val dir = tmp("graft-shards")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64,
+      seed = 11L, nEpochs = 2)
+    val order = spark.read.parquet(s"$dir/order")
+    val chunkTokens = spark.read.parquet(s"$dir/assignments")
+      .filter(col("chunk_id").isNotNull)
+      .groupBy(col("source").as("stratum"), col("chunk_id"))
+      .agg(sum(col("n_tokens")).cast("bigint").as("n_tokens"))
+    val manifest = Pipeline.shardManifest(order, chunkTokens, shardTokens = 150)
+      .orderBy(col("epoch"), col("shard_id")).collect()
+
+    // expected via the slow Window cumsum
+    val expected = order.join(chunkTokens, Seq("stratum", "chunk_id"))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.partitionBy("epoch").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("shard_id", ((col("cum") - col("n_tokens")) / 150L)
+        .cast("long"))
+      .groupBy("epoch", "shard_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("n_tokens").cast("bigint").as("sum_tokens"),
+        min("pos").cast("bigint").as("first_pos"),
+        max("pos").cast("bigint").as("last_pos"))
+      .orderBy(col("epoch"), col("shard_id")).collect()
+    assert(manifest.map(_.toSeq).toSeq === expected.map(_.toSeq).toSeq)
+
+    // position ranges tile each epoch contiguously: next first = prev last + 1
+    manifest.groupBy(_.getAs[Long]("epoch")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("shard_id"))
+      assert(sorted.head.getAs[Long]("first_pos") === 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("first_pos") === a.getAs[Long]("last_pos") + 1L)
+        case _ => ()
+      }
+    }
+  }
+
+  test("stagedRewrite refreshes the path: a pre-retract cached read never serves deleted rows") {
+    import spark.implicits._
+    val dir = tmp("graft-retract-cache")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+    // cache a read of the artifact BEFORE the rewrite — without the
+    // refreshByPath in stagedRewrite, this relation keeps serving the
+    // pre-prune rows (the exact bug the r15 fix closes)
+    val cached = spark.read.parquet(s"$dir/assignments").cache()
+    assert(cached.filter(col("doc_id") === 1L).count() > 0L)
+    Recipe.retract(Seq(1L).toDF("doc_id"), dir)
+    assert(cached.filter(col("doc_id") === 1L).count() === 0L,
+      "a cached pre-rewrite relation must not survive the staged swap")
+    cached.unpersist()
+  }
+
+  test("shardManifest: missing or duplicated token rows refuse loudly") {
+    import spark.implicits._
+    val order = Seq(("a", 0L, 0L), ("a", 1L, 1L)).toDF("stratum", "chunk_id", "pos")
+    val missing = Seq(("a", 0L, 10L)).toDF("stratum", "chunk_id", "n_tokens")
+    val e1 = intercept[IllegalArgumentException] {
+      Pipeline.shardManifest(order, missing, 100)
+    }
+    assert(e1.getMessage.contains("exactly one n_tokens row"))
+    val dup = Seq(("a", 0L, 10L), ("a", 0L, 10L), ("a", 1L, 5L))
+      .toDF("stratum", "chunk_id", "n_tokens")
+    val e2 = intercept[IllegalArgumentException] {
+      Pipeline.shardManifest(order, dup, 100)
+    }
+    assert(e2.getMessage.contains("exactly one n_tokens row"))
+  }
+}
