@@ -1271,6 +1271,18 @@ object Pipeline {
     * partitioner never splits equal keys) — two rows at one position
     * would recompact in shuffle-delivery order.
     */
+  /** [[recompactPositions]]' pre-pass: the (epoch?, pos) range layout —
+    * `private[graft]` so PlanRegressionSuite can assert the shape (the
+    * kernel's internals hide behind the ExistingRDD scan in the output
+    * plan, [[packOrdered]]'s rule). */
+  private[graft] def recompactLaid(order: DataFrame, posCol: String,
+                                   epochCol: String): DataFrame = {
+    val orderCols = (if (order.columns.contains(epochCol)) Seq(col(epochCol))
+                     else Seq.empty) :+ col(posCol)
+    order.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+  }
+
   def recompactPositions(order: DataFrame, posCol: String = "pos",
                          epochCol: String = "epoch"): DataFrame = {
     require(order.columns.contains(posCol),
@@ -1278,9 +1290,7 @@ object Pipeline {
         "training-order artifact (stratum, chunk_id, pos[, epoch])")
     val spark = order.sparkSession
     val hasEpoch = order.columns.contains(epochCol)
-    val orderCols = (if (hasEpoch) Seq(col(epochCol)) else Seq.empty) :+ col(posCol)
-    val laid = order.repartitionByRange(orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
+    val laid = recompactLaid(order, posCol, epochCol)
     val schema = laid.schema
     val pIdx = schema.fieldIndex(posCol)
     val eIdx = if (hasEpoch) schema.fieldIndex(epochCol) else -1

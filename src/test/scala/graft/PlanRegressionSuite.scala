@@ -239,6 +239,50 @@ class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q189 recompaction: one (epoch, pos) range exchange in the pre-pass, kernel output is an RDD scan, no window") {
+    val sql = spark; import sql.implicits._
+    val order = Seq(("a", 0L, 0L, 0L), ("b", 1L, 2L, 0L), ("c", 2L, 0L, 1L))
+      .toDF("stratum", "chunk_id", "pos", "epoch")
+    // the pre-pass: epoch leads the range layout (epochs contiguous for
+    // the count-offset fold) with pos following inside each epoch block
+    val pp = graft.operators.Pipeline.recompactLaid(order, "pos", "epoch")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(pp.contains("rangepartitioning(epoch"),
+      s"epoch must lead the range exchange:\n$pp")
+    assert("rangepartitioning".r.findAllIn(pp).size == 1 && !pp.contains("Window"),
+      s"exactly one range exchange, no window:\n$pp")
+    // the kernel output: ExistingRDD, never a ranking window or global sort
+    val p = graft.operators.Pipeline.recompactPositions(order)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("ExistingRDD") && !p.contains("Window") &&
+        !"(?m)^\\s*\\+?-? ?Sort \\(".r.findFirstIn(p).isDefined,
+      s"recompaction must be the count-offset kernel, not window/sort:\n$p")
+  }
+
+  test("q190 shard manifest: packer kernel behind ExistingRDD, one partial+final aggregate, no window") {
+    val sql = spark; import sql.implicits._
+    val order = (0L until 40L).map(i => (s"s${i % 3}", i / 3L, i))
+      .toDF("stratum", "chunk_id", "pos")
+      .dropDuplicates("stratum", "chunk_id")
+      .withColumn("pos", org.apache.spark.sql.functions
+        .row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("stratum", "chunk_id")).cast("long") - 1L)
+    val toks = order.select(org.apache.spark.sql.functions.col("stratum"),
+      org.apache.spark.sql.functions.col("chunk_id"),
+      (org.apache.spark.sql.functions.col("chunk_id") % 7L + 1L).as("n_tokens"))
+    val p = graft.operators.Pipeline.shardManifest(order, toks, 10)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("ExistingRDD"),
+      s"expected the packing kernel's RDD scan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"manifest aggregate must be partial+final:\n$p")
+    assert(!p.contains("Window"),
+      s"no window may appear above the kernel:\n$p")
+    val exchanges = "(?m)^\\s*\\+?-? ?Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1,
+      s"exactly the aggregate's exchange above the kernel, got $exchanges:\n$p")
+  }
+
   test("q169 pre-pass: RANGE exchange on the seeded hash, no hash exchange, no Window") {
     // the de-funnel property: the permutation lays out by a range
     // exchange on (__h, keys) — a single hot stratum's chunks spread
