@@ -41,6 +41,12 @@ import graft.state.{GraftStateStoreProviderBase, StateRescale}
   *    delete-list id refuses loudly), or omit it to keep the caller's
   *    own cadence; the exit gate audits the index's id-freedom either
   *    way so the exemption is proven, not assumed
+  *  - published recipe dirs ([[graft.Recipe.run]] artifacts) — the
+  *    `order/` schedule references forgotten docs through CHUNK
+  *    MEMBERSHIP, so each dir runs [[graft.Recipe.retract]]'s full
+  *    chain (r15): assignments pruned, fully-forgotten chunks dropped,
+  *    positions recompacted, permutation re-proved; the exit gate then
+  *    re-proves the assignments surface independently
   *
   * followed by the audits as a FORCED exit gate:
   * [[graft.operators.Pipeline.deletionAudit]] over every parquet
@@ -123,12 +129,16 @@ object Forget {
              kmvIndexDirs: Seq[String] = Seq.empty,
              kmvSurvivors: Option[DataFrame] = None,
              kmvK: Int = 64,
+             recipeDirs: Seq[String] = Seq.empty,
+             recipeStrataCol: String = "source",
+             recipeIdCol: String = "doc_id",
              hadoopConf: Configuration = new Configuration()): ForgetReport = {
     require(states.nonEmpty || annDir.nonEmpty || artifacts.nonEmpty ||
         spanIndexDirs.nonEmpty || cdcIndexDirs.nonEmpty ||
-        histIndexDirs.nonEmpty || kmvIndexDirs.nonEmpty,
+        histIndexDirs.nonEmpty || kmvIndexDirs.nonEmpty ||
+        recipeDirs.nonEmpty,
       "forget: nothing to forget from — no state, index, artifacts, " +
-        "span, CDC, histogram, or KMV indexes given")
+        "span, CDC, histogram, KMV indexes, or recipe dirs given")
     // The histogram index holds only (source, rep, cnt) — no doc ids —
     // so its GDPR exposure is nil (formally PROVED by the id-freedom
     // audit in the exit gate below). What a deletion batch owes it is
@@ -302,17 +312,32 @@ object Forget {
         graft.operators.Dedup.rebuildSketchIndex(survivors, d, kmvK))
     }
 
-    // 7) the exit gate — every surface must PROVE zero residuals, and
+    // 7) published recipe dirs (Recipe.run artifacts): a plain id-keyed
+    //    prune cannot cover these — the order/ schedule references
+    //    forgotten docs through CHUNK MEMBERSHIP, so the deletion must
+    //    also drop fully-forgotten chunks and recompact positions, or a
+    //    dataloader reading "position k of n" stalls on the holes.
+    //    Recipe.retract runs the whole chain per dir (its own staged
+    //    prune + zero-residual audit + permutation re-proof); the exit
+    //    gate below re-proves the assignments surface independently.
+    recipeDirs.foreach { d =>
+      Recipe.retract(idList.select(col("__id").as(recipeIdCol)), d,
+        recipeStrataCol, recipeIdCol)
+    }
+
+    // 8) the exit gate — every surface must PROVE zero residuals, and
     //    the aggregate indexes must PROVE they carry no id column
     val found = residualsOf(idList, idSet, states, annDir, artifacts,
-      spanIndexDirs, cdcIndexDirs, histIndexDirs, kmvIndexDirs, hadoopConf)
+      spanIndexDirs, cdcIndexDirs, histIndexDirs, kmvIndexDirs,
+      recipeDirs, recipeIdCol, hadoopConf)
     if (found.nonEmpty)
       throw new IllegalStateException(
         s"forget: deletion audit FAILED — ${found.mkString("; ")}")
     ForgetReport(idSet.size.toLong, stateReports.map(_.keysMoved),
       artifacts.map(_._1) ++ annDir.map(d => s"$d/codes") ++
         spanIndexDirs.map(d => s"$d/pos") ++
-        cdcIndexDirs.map(d => s"$d/digests"),
+        cdcIndexDirs.map(d => s"$d/digests") ++
+        recipeDirs.flatMap(d => Seq(s"$d/assignments", s"$d/order")),
       histIndexDirs.map(d => s"$d/hist") ++
         kmvIndexDirs.map(d => s"$d/sketches"))
   }
@@ -334,12 +359,14 @@ object Forget {
                 cdcIndexDirs: Seq[String] = Seq.empty,
                 histIndexDirs: Seq[String] = Seq.empty,
                 kmvIndexDirs: Seq[String] = Seq.empty,
+                recipeDirs: Seq[String] = Seq.empty,
+                recipeIdCol: String = "doc_id",
                 hadoopConf: Configuration = new Configuration()): Seq[String] = {
     val idList = ids.select(col(idCol).cast("long").as("__id"))
       .na.drop().distinct()
     residualsOf(idList, idList.collect().map(_.getLong(0)).toSet,
       states, annDir, artifacts, spanIndexDirs, cdcIndexDirs,
-      histIndexDirs, kmvIndexDirs, hadoopConf)
+      histIndexDirs, kmvIndexDirs, recipeDirs, recipeIdCol, hadoopConf)
   }
 
   /** [[residuals]] over an already-normalized id frame/set — [[forget]]
@@ -353,6 +380,8 @@ object Forget {
                           cdcIndexDirs: Seq[String],
                           histIndexDirs: Seq[String] = Seq.empty,
                           kmvIndexDirs: Seq[String] = Seq.empty,
+                          recipeDirs: Seq[String] = Seq.empty,
+                          recipeIdCol: String = "doc_id",
                           hadoopConf: Configuration): Seq[String] = {
     val out = scala.collection.mutable.ListBuffer.empty[String]
     // Aggregate-index id-freedom audit: the histogram ((source, rep,
@@ -396,7 +425,11 @@ object Forget {
     // it, which is why the audit surface (and the GDPR claim) is pos/.
     val auditTargets = artifacts ++ annDir.map(d => s"$d/codes" -> "nid") ++
       spanIndexDirs.map(d => s"$d/pos" -> "doc_id") ++
-      cdcIndexDirs.map(d => s"$d/digests" -> "doc_id")
+      cdcIndexDirs.map(d => s"$d/digests" -> "doc_id") ++
+      // recipe audit surface: assignments/ (the id-keyed artifact);
+      // order/ holds chunk keys only — its correctness is Recipe
+      // .retract's permutation gate, not an id-residual question
+      recipeDirs.map(d => s"$d/assignments" -> recipeIdCol)
     if (auditTargets.nonEmpty) {
       val cols = auditTargets.map(_._2).distinct
       val auditIds = idList.select(cols.map(c => col("__id").as(c)): _*)

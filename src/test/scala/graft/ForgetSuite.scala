@@ -287,6 +287,47 @@ class ForgetSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"unparsable id must fail before the audit gate: $eBad")
   }
 
+  test("recipe leg: one call retracts published recipe artifacts and audits them") {
+    val sql = spark
+    import sql.implicits._
+    val base = Files.createTempDirectory("graft-forget-recipe").toString
+    val corpus = (1L to 600L).map { i =>
+      (i, s"src${i % 4}",
+        Seq.tabulate((i % 7 + 3).toInt)(j => s"w${(i * 13 + j) % 40}")
+          .mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val recipeDir = s"$base/recipe"
+    Recipe.run(corpus, recipeDir, budgetTokens = 20000L, chunkTokens = 64,
+      seed = 11L, nEpochs = 2)
+    val forget = Seq(5L, 9L, 13L).toDF("doc_id")
+
+    // red before: the compliance sweep covers the recipe's assignments
+    val before = Forget.residuals(forget, "doc_id",
+      recipeDirs = Seq(recipeDir))
+    assert(before.size === 1 && before.head.contains("residual rows"),
+      s"unretracted recipe must surface: $before")
+
+    val report = Forget.forget(forget, "doc_id", recipeDirs = Seq(recipeDir))
+    assert(report.artifactsPruned.toSet ===
+      Set(s"$recipeDir/assignments", s"$recipeDir/order"))
+    assert(Forget.residuals(forget, "doc_id",
+      recipeDirs = Seq(recipeDir)).isEmpty)
+
+    // the schedule was repaired, not just pruned: each epoch is the
+    // exact permutation 0..n-1 over the surviving chunk table
+    val order = spark.read.parquet(s"$recipeDir/order")
+    val nChunks = spark.read.parquet(s"$recipeDir/assignments")
+      .filter(col("chunk_id").isNotNull)
+      .select("source", "chunk_id").distinct().count()
+    (0L to 1L).foreach { e =>
+      val pos = order.filter(col("epoch") === e).select("pos")
+        .collect().map(_.getLong(0)).sorted
+      assert(pos.length.toLong === nChunks &&
+          pos.headOption.contains(0L) && pos.last === nChunks - 1,
+        s"epoch $e must be the exact permutation 0..${nChunks - 1}")
+    }
+  }
+
   test("aggregate indexes: histogram retraction leg + id-freedom audit for both") {
     val sql = spark
     import sql.implicits._
