@@ -165,6 +165,30 @@ object Recipe {
       Seq(s"$outDir/plan", s"$outDir/assignments", s"$outDir/order"))
   }
 
+  /** Publish the SHARD MANIFEST for a recipe's schedule — the read-side
+    * contract [[graft.operators.Pipeline.shardManifest]] computes, as a
+    * one-call artifact step: per-chunk token masses aggregated from
+    * `assignments/`, the manifest cut at `shardTokens`, written to
+    * `recipeDir/shards` (overwrite — the manifest is a pure function of
+    * the other two artifacts, so regenerating after a [[retract]] is
+    * the intended refresh). Returns the shard count. Gates inherited
+    * from the kernel: every scheduled chunk must carry exactly one
+    * non-null token row, duplicate positions refuse. Scale shape: one
+    * chunk-scale join + the packing kernel + a |shards|-row aggregate;
+    * the corpus text is never read.
+    */
+  def shards(spark: SparkSession, recipeDir: String,
+             shardTokens: Int): Long = {
+    val order = spark.read.parquet(s"$recipeDir/order")
+    val chunkTokens = spark.read.parquet(s"$recipeDir/assignments")
+      .filter(col("chunk_id").isNotNull)
+      .groupBy(col("source").as("stratum"), col("chunk_id"))
+      .agg(sum(col("n_tokens")).cast("bigint").as("n_tokens"))
+    val manifest = Pipeline.shardManifest(order, chunkTokens, shardTokens)
+    manifest.write.mode("overwrite").parquet(s"$recipeDir/shards")
+    spark.read.parquet(s"$recipeDir/shards").count()
+  }
+
   /** What a retraction removed and what was re-proven: `chunksDropped`
     * counts chunks whose EVERY copy was forgotten (they leave the
     * schedule entirely; a chunk that only lost some members stays, with

@@ -3839,6 +3839,85 @@ object Pipeline {
         FROM h
         ORDER BY epoch, pos""")),
 
+    // CURRICULUM RECIPE SCHEDULE (r15): the multi-epoch curriculum
+    // order composed over the RECIPE's chunk table — difficulty bands
+    // from the chunks' own economics (mean member doc length, exact
+    // integer: (sum_tokens div n_docs) div 16, capped at 3), then
+    // curriculumOrderEpochs: band-led within every epoch, within-band
+    // permutation re-dealt at seed XOR epoch. Until now a curriculum
+    // over a published mixture was a hand composition of q188's
+    // assignments aggregate and q184's kernel; this registers that
+    // composition so the driver hash-gates it end to end. Oracle =
+    // q188's multiset/chunk chain → per-chunk band → epoch cross join
+    // → per-epoch ROW_NUMBER with band leading.
+    QuerySpec(
+      "q191_recipe_curriculum",
+      (s, d) => {
+        val dir = cachedRecipe(s, d)
+        val chunks = s.read.parquet(s"$dir/assignments")
+          .filter(col("chunk_id").isNotNull)
+          .groupBy(col("source").as("stratum"), col("chunk_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("st"))
+          .select(col("stratum"), col("chunk_id"),
+            expr("CAST(least((st div n_docs) div 16, 3) AS BIGINT)")
+              .as("band"))
+        curriculumOrderEpochs(chunks, seed = 7, nEpochs = 2,
+          keyCols = Seq("stratum", "chunk_id"))
+          .orderBy(col("epoch"), col("pos"))
+      },
+      Some("""
+        WITH c AS (SELECT source,
+                          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY source),
+        w AS (SELECT source, n_tokens,
+                     CAST(floor(sqrt(n_tokens) * 1e6) AS BIGINT) AS w_micro
+              FROM c),
+        tw AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot_w FROM w),
+        p AS (SELECT source,
+                     CASE WHEN n_tokens = 0 THEN 0
+                          ELSE CAST(((400000 * w_micro) // tot_w) * 1000000 // n_tokens AS BIGINT)
+                     END AS epochs_micro
+              FROM w, tw),
+        j AS (SELECT d.doc_id, d.source AS source,
+                     len(string_split(d.text, ' ')) AS n_tokens,
+                     p.epochs_micro // 1000000 AS fullc,
+                     p.epochs_micro % 1000000 AS frac,
+                     ('0x' || substr(md5(concat(CAST(d.doc_id AS VARCHAR),
+                       ':', d.source)), 1, 8))::BIGINT % 1000000 AS draw
+              FROM documents d JOIN p ON d.source = p.source),
+        m AS (SELECT doc_id, source, n_tokens,
+                     CAST(fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END
+                       AS BIGINT) AS n_copies
+              FROM j
+              WHERE fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END > 0),
+        x AS (SELECT doc_id, source, n_tokens,
+                     concat(CAST(doc_id AS VARCHAR), '#',
+                       CAST(unnest(range(n_copies)) AS VARCHAR)) AS mix_id
+              FROM m),
+        cs AS (SELECT source, mix_id, n_tokens,
+                      SUM(n_tokens) OVER (PARTITION BY source ORDER BY mix_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM x),
+        ct AS (SELECT source AS stratum,
+                      CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id,
+                      CAST(least((SUM(n_tokens) // COUNT(*)) // 16, 3)
+                        AS BIGINT) AS band
+               FROM cs WHERE n_tokens IS NOT NULL GROUP BY 1, 2),
+        ep AS (SELECT CAST(u.e AS BIGINT) AS epoch
+               FROM UNNEST(generate_series(0, 1)) AS u(e)),
+        h AS (SELECT ep.epoch, ct.stratum, ct.chunk_id, ct.band,
+                     substr(md5(concat(CAST(xor(7, ep.epoch) AS VARCHAR),
+                       ':', ct.stratum, ':',
+                       CAST(ct.chunk_id AS VARCHAR))), 1, 8) AS hx
+              FROM ct CROSS JOIN ep)
+        SELECT stratum, chunk_id, band,
+               CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+                 ORDER BY band, hx, stratum, chunk_id) - 1 AS BIGINT) AS pos,
+               epoch
+        FROM h
+        ORDER BY epoch, pos""")),
+
     // Mixing audit of the q169 permutation (r13): per stratum, the
     // successor-same-stratum rate vs the stratum's overall share — the
     // exact-integer proof the shuffle decorrelated the stream (packing

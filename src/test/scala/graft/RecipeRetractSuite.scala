@@ -200,6 +200,38 @@ class RecipeRetractSuite extends AnyFunSuite {
     cached.unpersist()
   }
 
+  test("Recipe.shards: manifest artifact ≡ the hand composition; refresh after retract") {
+    import spark.implicits._
+    val dir = tmp("graft-recipe-shards")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+    val n = Recipe.shards(spark, dir, shardTokens = 150)
+    val manifest = spark.read.parquet(s"$dir/shards")
+    assert(n === manifest.count())
+    val hand = Pipeline.shardManifest(
+      spark.read.parquet(s"$dir/order"),
+      spark.read.parquet(s"$dir/assignments")
+        .filter(col("chunk_id").isNotNull)
+        .groupBy(col("source").as("stratum"), col("chunk_id"))
+        .agg(sum(col("n_tokens")).cast("bigint").as("n_tokens")), 150)
+    assert(manifest.orderBy("shard_id").collect().map(_.toSeq).toSeq ===
+      hand.orderBy("shard_id").collect().map(_.toSeq).toSeq)
+
+    // refresh after a retraction: the regenerated manifest tiles the
+    // RECOMPACTED position space exactly
+    Recipe.retract(Seq(2L, 4L, 6L).toDF("doc_id"), dir)
+    Recipe.shards(spark, dir, shardTokens = 150)
+    val refreshed = spark.read.parquet(s"$dir/shards")
+      .orderBy("shard_id").collect()
+    val nChunks = spark.read.parquet(s"$dir/order").count()
+    assert(refreshed.head.getAs[Long]("first_pos") === 0L)
+    assert(refreshed.last.getAs[Long]("last_pos") === nChunks - 1L)
+    refreshed.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("first_pos") === a.getAs[Long]("last_pos") + 1L)
+      case _ => ()
+    }
+  }
+
   test("shardManifest: missing or duplicated token rows refuse loudly") {
     import spark.implicits._
     val order = Seq(("a", 0L, 0L), ("a", 1L, 1L)).toDF("stratum", "chunk_id", "pos")
