@@ -88,6 +88,13 @@ object CurationPipelineDemo {
     Pipeline.orderMixingAudit(
         spark.read.parquet(s"$base/recipe/order"))
       .orderBy(col("stratum")).show(5, truncate = false)
+    //    ... and the read side: the shard manifest a training fleet
+    //    uses to hand each reader a contiguous slice of the schedule
+    val nShards = graft.Recipe.shards(spark, s"$base/recipe",
+      shardTokens = 8192)
+    println(s"== shard manifest: $nShards shards (first 5) ==")
+    spark.read.parquet(s"$base/recipe/shards")
+      .orderBy(col("shard_id")).show(5, truncate = false)
 
     // 6) surgical decontamination: cut the leaked passages, keep the docs
     val evalSet = docs.filter(col("doc_id") < 20)
@@ -98,12 +105,19 @@ object CurationPipelineDemo {
       .select(col("doc_id"), col("n_tokens"), col("n_removed"))
       .orderBy(col("doc_id")).show(5, truncate = false)
 
-    // 7) forget one doc everywhere it landed — the audit gate proves it
+    // 7) forget one doc everywhere it landed — the audit gate proves it,
+    //    and the published recipe rides the same call (r15): assignments
+    //    pruned, fully-forgotten chunks dropped, the schedule recompacted
     import spark.implicits._
     val report = graft.Forget.forget(Seq(42L).toDF("doc_id"), "doc_id",
-      cdcIndexDirs = Seq(s"$base/cdc"))
+      cdcIndexDirs = Seq(s"$base/cdc"),
+      recipeDirs = Seq(s"$base/recipe"))
     println(s"== forgotten ${report.nIds} id(s); " +
       s"pruned+audited: ${report.artifactsPruned.mkString(", ")} ==")
+    //    the manifest is a pure function of the other artifacts —
+    //    regenerate it over the recompacted schedule
+    graft.Recipe.shards(spark, s"$base/recipe", shardTokens = 8192)
+    println("== shard manifest refreshed over the retracted schedule ==")
 
     // 8) nightly maintenance (r15): ONE census-driven call — maintain
     //    measures each surface itself, only overdue ones pay the
