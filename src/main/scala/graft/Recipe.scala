@@ -189,6 +189,62 @@ object Recipe {
     spark.read.parquet(s"$recipeDir/shards").count()
   }
 
+  /** The per-stratum GOVERNANCE CARD over a published recipe — the
+    * reconciliation a review builds by hand today from three artifacts:
+    * what the plan DECIDED (`alloc_tokens`), what materialization +
+    * packing DELIVERED (`n_copies`, `packed_tokens`, `n_chunks`), how
+    * fully the allocation was realized (`utilization_micro` =
+    * packed·10⁶ div alloc, exact integer — an under-filled stratum
+    * reads far below 10⁶ BEFORE a training run bakes the shortfall
+    * in), and how healthy the published schedule is for the stratum
+    * (`mix_delta_micro` = the WORST |same_next − share| across epochs
+    * from the same [[graft.operators.Pipeline.orderMixingAudit]]
+    * kernel the run gate used — one column that works for flat and
+    * epoch schedules alike). One row per PLANNED stratum: a stratum
+    * whose allocation materialized nothing still shows (zeros), which
+    * is exactly the row a review needs to see.
+    *
+    * Read-only and safe after a [[retract]] (the audit re-reads the
+    * artifacts as they are). Scale shape: |strata| plan rows broadcast
+    * into the joins; the assignments aggregate is one hash exchange of
+    * chunk-table-scale rows; the mixing audit is the chunk-table pos
+    * equi-join. Text is never read.
+    */
+  def report(spark: SparkSession, recipeDir: String,
+             strataCol: String = "source"): DataFrame = {
+    val plan = spark.read.parquet(s"$recipeDir/plan")
+    require(plan.columns.contains(strataCol) &&
+        plan.columns.contains("alloc_tokens"),
+      s"Recipe.report: plan at $recipeDir/plan has no '$strataCol'/" +
+        s"'alloc_tokens' columns (found ${plan.columns.mkString(", ")}) " +
+        "- is this a Recipe.run output dir?")
+    val assigned = spark.read.parquet(s"$recipeDir/assignments")
+    val agg = assigned.groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("bigint").as("n_copies"),
+        coalesce(sum(col("n_tokens")), lit(0L)).cast("bigint")
+          .as("packed_tokens"),
+        countDistinct(when(col("chunk_id").isNotNull, col("chunk_id")))
+          .cast("bigint").as("n_chunks"))
+    val order = spark.read.parquet(s"$recipeDir/order")
+    val audit =
+      if (order.columns.contains("epoch"))
+        Pipeline.orderMixingAuditEpochs(order)
+      else Pipeline.orderMixingAudit(order)
+    val delta = audit.groupBy(col("stratum").as(strataCol))
+      .agg(max(abs(col("same_next_micro") - col("share_micro")))
+        .cast("bigint").as("mix_delta_micro"))
+    plan.select(col(strataCol), col("alloc_tokens"))
+      .join(agg, Seq(strataCol), "left")
+      .join(delta, Seq(strataCol), "left")
+      .na.fill(0L,
+        Seq("n_copies", "packed_tokens", "n_chunks", "mix_delta_micro"))
+      .withColumn("utilization_micro",
+        when(col("alloc_tokens") === 0L, 0L)
+          .otherwise(expr(
+            "CAST(packed_tokens AS DECIMAL(38,0)) * 1000000 div alloc_tokens"))
+          .cast("long"))
+  }
+
   /** What a retraction removed and what was re-proven: `chunksDropped`
     * counts chunks whose EVERY copy was forgotten (they leave the
     * schedule entirely; a chunk that only lost some members stays, with

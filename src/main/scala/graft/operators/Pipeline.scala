@@ -3918,6 +3918,94 @@ object Pipeline {
         FROM h
         ORDER BY epoch, pos""")),
 
+    // RECIPE GOVERNANCE CARD (r15): Recipe.report — per PLANNED
+    // stratum, what the plan decided (alloc_tokens) vs what
+    // materialize+pack delivered (copies, tokens, chunks), the
+    // exact-integer utilization, and the schedule's worst mixing delta
+    // from the same audit kernel the run gate used. Oracle = q188's
+    // chain + the plan's alloc + q172's pairing, every column exact
+    // integer arithmetic.
+    QuerySpec(
+      "q192_recipe_report",
+      (s, d) => graft.Recipe.report(s, cachedRecipe(s, d))
+        .orderBy(col("source")),
+      Some("""
+        WITH c AS (SELECT source,
+                          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY source),
+        w AS (SELECT source, n_tokens,
+                     CAST(floor(sqrt(n_tokens) * 1e6) AS BIGINT) AS w_micro
+              FROM c),
+        tw AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot_w FROM w),
+        p AS (SELECT source, n_tokens,
+                     CAST((400000 * w_micro) // tot_w AS BIGINT) AS alloc_tokens,
+                     CASE WHEN n_tokens = 0 THEN 0
+                          ELSE CAST(((400000 * w_micro) // tot_w) * 1000000 // n_tokens AS BIGINT)
+                     END AS epochs_micro
+              FROM w, tw),
+        j AS (SELECT d.doc_id, d.source AS source,
+                     len(string_split(d.text, ' ')) AS n_tokens,
+                     p.epochs_micro // 1000000 AS fullc,
+                     p.epochs_micro % 1000000 AS frac,
+                     ('0x' || substr(md5(concat(CAST(d.doc_id AS VARCHAR),
+                       ':', d.source)), 1, 8))::BIGINT % 1000000 AS draw
+              FROM documents d JOIN p ON d.source = p.source),
+        m AS (SELECT doc_id, source, n_tokens,
+                     CAST(fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END
+                       AS BIGINT) AS n_copies
+              FROM j
+              WHERE fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END > 0),
+        x AS (SELECT doc_id, source, n_tokens,
+                     concat(CAST(doc_id AS VARCHAR), '#',
+                       CAST(unnest(range(n_copies)) AS VARCHAR)) AS mix_id
+              FROM m),
+        cs AS (SELECT source, mix_id, n_tokens,
+                      SUM(n_tokens) OVER (PARTITION BY source ORDER BY mix_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM x),
+        agg AS (SELECT source,
+                       COUNT(*) AS n_copies,
+                       CAST(SUM(n_tokens) AS BIGINT) AS packed_tokens,
+                       COUNT(DISTINCT CASE WHEN n_tokens IS NOT NULL
+                         THEN (cum - n_tokens) // 256 END) AS n_chunks
+                FROM cs GROUP BY source),
+        k AS (SELECT DISTINCT source AS stratum,
+                     CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id
+              FROM cs WHERE n_tokens IS NOT NULL),
+        o AS (SELECT stratum, chunk_id,
+                     ROW_NUMBER() OVER (ORDER BY
+                       substr(md5(concat('7:', stratum, ':',
+                         CAST(chunk_id AS VARCHAR))), 1, 8),
+                       stratum, chunk_id) - 1 AS pos
+              FROM k),
+        cnt AS (SELECT stratum, COUNT(*) AS nc FROM o GROUP BY stratum),
+        tt AS (SELECT CAST(SUM(nc) AS BIGINT) AS n_total FROM cnt),
+        pr AS (SELECT a.stratum, COUNT(*) AS n_pairs,
+                      SUM(CASE WHEN b.stratum = a.stratum THEN 1 ELSE 0 END)
+                        AS n_same
+               FROM o a JOIN o b ON b.pos = a.pos + 1
+               GROUP BY a.stratum),
+        mix AS (SELECT cnt.stratum,
+                       abs(CASE WHEN pr.n_pairs IS NULL OR pr.n_pairs = 0
+                                THEN 0
+                                ELSE CAST(pr.n_same * 1000000 // pr.n_pairs AS BIGINT)
+                           END
+                         - CAST(cnt.nc * 1000000 // tt.n_total AS BIGINT))
+                         AS mix_delta_micro
+                FROM cnt LEFT JOIN pr ON pr.stratum = cnt.stratum, tt)
+        SELECT p.source, p.alloc_tokens,
+               COALESCE(agg.n_copies, 0) AS n_copies,
+               COALESCE(agg.packed_tokens, 0) AS packed_tokens,
+               COALESCE(agg.n_chunks, 0) AS n_chunks,
+               COALESCE(mix.mix_delta_micro, 0) AS mix_delta_micro,
+               CASE WHEN p.alloc_tokens = 0 THEN 0
+                    ELSE CAST(COALESCE(agg.packed_tokens, 0) * 1000000
+                      // p.alloc_tokens AS BIGINT)
+               END AS utilization_micro
+        FROM p LEFT JOIN agg ON agg.source = p.source
+               LEFT JOIN mix ON mix.stratum = p.source
+        ORDER BY p.source""")),
+
     // Mixing audit of the q169 permutation (r13): per stratum, the
     // successor-same-stratum rate vs the stratum's overall share — the
     // exact-integer proof the shuffle decorrelated the stream (packing

@@ -232,6 +232,45 @@ class RecipeRetractSuite extends AnyFunSuite {
     }
   }
 
+  test("Recipe.report: plan vs delivered reconciliation; a fully-retracted stratum shows zeros") {
+    import spark.implicits._
+    val dir = tmp("graft-recipe-report")
+    val rep = Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64,
+      seed = 5L)
+    val card = Recipe.report(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(card.size.toLong === rep.nStrata)
+    // reconciles with the run report and the plan artifact
+    assert(card.values.map(_.getAs[Long]("packed_tokens")).sum ===
+      rep.multisetTokens)
+    assert(card.values.map(_.getAs[Long]("n_chunks")).sum === rep.nChunks)
+    val plan = spark.read.parquet(s"$dir/plan").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("alloc_tokens")).toMap
+    card.foreach { case (s, r) =>
+      assert(r.getAs[Long]("alloc_tokens") === plan(s))
+      assert(r.getAs[Long]("mix_delta_micro") <= 250000L,
+        "the card's mixing delta must sit within the gate the run passed")
+    }
+
+    // retract EVERY doc of one stratum: its plan row survives (the
+    // governance record) with delivered columns at zero — the row a
+    // review needs to see
+    val victimSrc = card.keys.min
+    val victims = docs.filter(col("source") === victimSrc)
+      .select("doc_id").distinct()
+    Recipe.retract(victims, dir)
+    val after = Recipe.report(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(after.size.toLong === rep.nStrata)
+    val z = after(victimSrc)
+    assert(z.getAs[Long]("alloc_tokens") === plan(victimSrc))
+    assert(z.getAs[Long]("n_copies") === 0L &&
+      z.getAs[Long]("packed_tokens") === 0L &&
+      z.getAs[Long]("n_chunks") === 0L &&
+      z.getAs[Long]("utilization_micro") === 0L &&
+      z.getAs[Long]("mix_delta_micro") === 0L)
+  }
+
   test("shardManifest: missing or duplicated token rows refuse loudly") {
     import spark.implicits._
     val order = Seq(("a", 0L, 0L), ("a", 1L, 1L)).toDF("stratum", "chunk_id", "pos")
