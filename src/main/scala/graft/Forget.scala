@@ -93,11 +93,19 @@ object Forget {
     * parquet directory rewritten (ANN `codes/` included), and the gate
     * already passed — a returned report IS the zero-residual proof.
     */
+  /** `recipeMixDeltasMicro` carries each recipe leg's re-measured worst
+    * mixing delta (in `recipeDirs` order): [[graft.Recipe.retract]]'s
+    * contract is "reported, never gated" — a deletion must not be
+    * refusable on a statistical property of what remains — so the
+    * one-call path must SURFACE the measurement the operator is told to
+    * act on (re-run the recipe if it degraded past their tolerance),
+    * not swallow it. */
   final case class ForgetReport(
       nIds: Long,
       stateKeysKept: Seq[Long],
       artifactsPruned: Seq[String],
-      aggregateIndexes: Seq[String] = Seq.empty)
+      aggregateIndexes: Seq[String] = Seq.empty,
+      recipeMixDeltasMicro: Seq[Long] = Seq.empty)
 
   /** Forget `ids` (column `idCol`, castable to long) everywhere:
     * streaming state (one target per stateful operator — a
@@ -320,7 +328,7 @@ object Forget {
     //    Recipe.retract runs the whole chain per dir (its own staged
     //    prune + zero-residual audit + permutation re-proof); the exit
     //    gate below re-proves the assignments surface independently.
-    recipeDirs.foreach { d =>
+    val recipeReports = recipeDirs.map { d =>
       Recipe.retract(idList.select(col("__id").as(recipeIdCol)), d,
         recipeStrataCol, recipeIdCol)
     }
@@ -337,9 +345,10 @@ object Forget {
       artifacts.map(_._1) ++ annDir.map(d => s"$d/codes") ++
         spanIndexDirs.map(d => s"$d/pos") ++
         cdcIndexDirs.map(d => s"$d/digests") ++
-        recipeDirs.flatMap(d => Seq(s"$d/assignments", s"$d/order")),
+        recipeReports.flatMap(_.artifacts),
       histIndexDirs.map(d => s"$d/hist") ++
-        kmvIndexDirs.map(d => s"$d/sketches"))
+        kmvIndexDirs.map(d => s"$d/sketches"),
+      recipeReports.map(_.maxMixDeltaMicro))
   }
 
   /** The exit gate alone: one description per surface still holding a

@@ -134,6 +134,24 @@ object Recipe {
     // permutation + mixing gates — per epoch, on the written artifact
     val written = spark.read.parquet(s"$outDir/order")
     val nChunks = chunks.count()
+    val maxDelta = proveOrder(written, nEpochs, nChunks, "Recipe.run",
+      mixingTol = Some(mixingTolMicro))
+
+    RecipeReport(nStrata, multisetRows, multisetTokens, nChunks, nEpochs,
+      maxDelta,
+      Seq(s"$outDir/plan", s"$outDir/assignments", s"$outDir/order"))
+  }
+
+  /** The ONE definition of the per-epoch order proof [[run]] and
+    * [[retract]] both exit through: each epoch must hold the exact
+    * permutation 0..nChunks−1 (count, distinct, max — required), and
+    * the mixing audit is folded to the worst per-(epoch, stratum)
+    * |same_next − share| — REQUIRED within `mixingTol` when given
+    * (run's gate), measured-only when None (retract's report: a
+    * deletion must not be refusable on a statistical property of what
+    * remains). Returns the measured worst delta. */
+  private def proveOrder(written: DataFrame, nEpochs: Int, nChunks: Long,
+                         caller: String, mixingTol: Option[Long]): Long = {
     var maxDelta = 0L
     (0 until nEpochs).foreach { e =>
       val ep = if (nEpochs == 1) written
@@ -143,26 +161,25 @@ object Recipe {
       require(stats.getLong(0) == nChunks &&
           stats.getLong(1) == nChunks &&
           stats.getLong(2) == nChunks - 1,
-        s"Recipe.run: epoch $e positions are not the exact permutation " +
+        s"$caller: epoch $e positions are not the exact permutation " +
           s"0..${nChunks - 1}: (count, distinct, max) = $stats")
-      val audit = Pipeline.orderMixingAudit(ep.drop("epoch"))
-        .select(col("stratum"),
-          abs(col("same_next_micro") - col("share_micro")).as("d"))
-        .collect()
-      audit.foreach { r =>
-        maxDelta = math.max(maxDelta, r.getLong(1))
-        require(r.getLong(1) <= mixingTolMicro,
-          s"Recipe.run: epoch $e stratum ${r.getString(0)} mixing " +
-            s"|same_next - share| = ${r.getLong(1)} exceeds " +
-            s"$mixingTolMicro micro - the schedule left this stratum's " +
-            "chunks back-to-back; do not train on it (raise the seed " +
-            "question, not the tolerance)")
+      if (nChunks > 0L) {
+        val audit = Pipeline.orderMixingAudit(ep.drop("epoch"))
+          .select(col("stratum"),
+            abs(col("same_next_micro") - col("share_micro")).as("d"))
+          .collect()
+        audit.foreach { r =>
+          maxDelta = math.max(maxDelta, r.getLong(1))
+          mixingTol.foreach(tol => require(r.getLong(1) <= tol,
+            s"$caller: epoch $e stratum ${r.getString(0)} mixing " +
+              s"|same_next - share| = ${r.getLong(1)} exceeds " +
+              s"$tol micro - the schedule left this stratum's " +
+              "chunks back-to-back; do not train on it (raise the seed " +
+              "question, not the tolerance)"))
+        }
       }
     }
-
-    RecipeReport(nStrata, multisetRows, multisetTokens, nChunks, nEpochs,
-      maxDelta,
-      Seq(s"$outDir/plan", s"$outDir/assignments", s"$outDir/order"))
+    maxDelta
   }
 
   /** Publish the SHARD MANIFEST for a recipe's schedule — the read-side
@@ -170,21 +187,33 @@ object Recipe {
     * one-call artifact step: per-chunk token masses aggregated from
     * `assignments/`, the manifest cut at `shardTokens`, written to
     * `recipeDir/shards` (overwrite — the manifest is a pure function of
-    * the other two artifacts, so regenerating after a [[retract]] is
-    * the intended refresh). Returns the shard count. Gates inherited
-    * from the kernel: every scheduled chunk must carry exactly one
-    * non-null token row, duplicate positions refuse. Scale shape: one
-    * chunk-scale join + the packing kernel + a |shards|-row aggregate;
-    * the corpus text is never read.
+    * the other two artifacts; [[retract]] regenerates it automatically
+    * when present). The budget is PERSISTED in the manifest
+    * (`shard_tokens`, one constant column — the KMV `build_k`
+    * discipline) so the retract-time regeneration can never silently
+    * re-cut at a different budget than the fleet was configured for.
+    * Returns the shard count. Gates inherited from the kernel: every
+    * scheduled chunk must carry exactly one non-null token row,
+    * duplicate positions refuse. Scale shape: one chunk-scale join +
+    * the packing kernel + a |shards|-row aggregate; the corpus text is
+    * never read.
     */
   def shards(spark: SparkSession, recipeDir: String,
-             shardTokens: Int): Long = {
+             shardTokens: Int, strataCol: String = "source"): Long = {
     val order = spark.read.parquet(s"$recipeDir/order")
-    val chunkTokens = spark.read.parquet(s"$recipeDir/assignments")
+    val assigned = spark.read.parquet(s"$recipeDir/assignments")
+    Seq(strataCol, "n_tokens", "chunk_id").foreach { c =>
+      require(assigned.columns.contains(c),
+        s"Recipe.shards: assignments at $recipeDir/assignments has no " +
+          s"'$c' column (found ${assigned.columns.mkString(", ")}) - is " +
+          "this a Recipe.run output dir?")
+    }
+    val chunkTokens = assigned
       .filter(col("chunk_id").isNotNull)
-      .groupBy(col("source").as("stratum"), col("chunk_id"))
+      .groupBy(col(strataCol).as("stratum"), col("chunk_id"))
       .agg(sum(col("n_tokens")).cast("bigint").as("n_tokens"))
     val manifest = Pipeline.shardManifest(order, chunkTokens, shardTokens)
+      .withColumn("shard_tokens", lit(shardTokens.toLong))
     manifest.write.mode("overwrite").parquet(s"$recipeDir/shards")
     spark.read.parquet(s"$recipeDir/shards").count()
   }
@@ -280,6 +309,11 @@ object Recipe {
     *     ([[graft.operators.Pipeline.recompactPositions]]). Staged
     *     rewrite — a crash at any point leaves a readable artifact and
     *     a rerun self-heals.
+    *  3. `shards/` — a published manifest tiles the OLD position space
+    *     (its last shard claims positions past the recompacted end), so
+    *     when present it is REGENERATED at its own persisted
+    *     `shard_tokens` budget (validated before any mutation; a
+    *     manifest without the budget column refuses up front).
     *
     * The permutation gate re-proves each epoch on the artifact actually
     * written. The MIXING audit is re-measured and REPORTED but never
@@ -325,9 +359,31 @@ object Recipe {
       .agg(count(lit(1)), coalesce(sum(col("n_tokens")), lit(0L))).head()
     val copiesRemoved = hitAgg.getLong(0)
     val tokensRemoved = hitAgg.getLong(1)
+    // shards/ pre-flight, BEFORE any mutation: the regeneration at the
+    // end needs the manifest's persisted budget, and a manifest without
+    // one must refuse while the recipe dir is still untouched
+    val shardBudget: Option[Int] = {
+      val sPath = new org.apache.hadoop.fs.Path(s"$recipeDir/shards")
+      val fs = sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(sPath)) None
+      else {
+        val m = spark.read.parquet(s"$recipeDir/shards")
+        require(m.columns.contains("shard_tokens"),
+          s"Recipe.retract: $recipeDir/shards exists but carries no " +
+            "'shard_tokens' column, so the retraction cannot know the " +
+            "budget to re-cut at - regenerate it with Recipe.shards " +
+            "(which persists the budget) and retry")
+        Some(m.agg(coalesce(max(col("shard_tokens")), lit(0L)))
+          .head().getLong(0).toInt)
+      }
+    }
     val beforeChunks = spark.read.parquet(oDir)
+    // coalesce(-1): a replayed delete log against an order/ that a prior
+    // retraction emptied must re-prove the gates, not NPE on a null max
     val nEpochs = if (beforeChunks.columns.contains("epoch"))
-      (beforeChunks.agg(max(col("epoch"))).head().getLong(0) + 1L).toInt
+      math.max(1L, beforeChunks
+        .agg(coalesce(max(col("epoch")), lit(-1L))).head().getLong(0) + 1L)
+        .toInt
     else 1
     val chunksBefore = beforeChunks
       .select(col("stratum"), col("chunk_id")).distinct().count()
@@ -351,34 +407,31 @@ object Recipe {
         df.join(survivors, Seq("stratum", "chunk_id"), "left_semi"))
     }
 
-    // permutation gate per epoch on the artifact actually written
+    // permutation re-proved per epoch on the artifact actually written;
+    // mixing re-MEASURED, never gated (deletion is not refusable on a
+    // statistical property of what remains — see scaladoc)
     val written = spark.read.parquet(oDir)
     val nChunks = survivors.count()
-    var maxDelta = 0L
-    (0 until nEpochs).foreach { e =>
-      val ep = if (nEpochs == 1) written
-        else written.filter(col("epoch") === e.toLong)
-      val stats = ep.agg(count(lit(1)), countDistinct(col("pos")),
-        coalesce(max(col("pos")), lit(-1L))).head()
-      require(stats.getLong(0) == nChunks &&
-          stats.getLong(1) == nChunks &&
-          stats.getLong(2) == nChunks - 1,
-        s"Recipe.retract: epoch $e positions are not the exact " +
-          s"permutation 0..${nChunks - 1} after recompaction: " +
-          s"(count, distinct, max) = $stats")
-      // mixing re-MEASURED, never gated (deletion is not refusable on a
-      // statistical property of what remains — see scaladoc)
-      if (nChunks > 0L) {
-        val audit = Pipeline.orderMixingAudit(ep.drop("epoch"))
-          .agg(coalesce(max(
-            abs(col("same_next_micro") - col("share_micro"))), lit(0L)))
-          .head().getLong(0)
-        maxDelta = math.max(maxDelta, audit)
+    val maxDelta = proveOrder(written, nEpochs, nChunks, "Recipe.retract",
+      mixingTol = None)
+
+    // 3) a published shards/ manifest tiles the OLD position space —
+    //    left in place it would hand readers slices past the recompacted
+    //    end, the exact stall retract exists to prevent. The manifest is
+    //    a pure function of the other artifacts, so REGENERATE it at its
+    //    own persisted budget (validated up front, before any mutation)
+    shardBudget.foreach { budget =>
+      if (budget > 0) { shards(spark, recipeDir, budget, strataCol); () }
+      else { // empty manifest carried no budget: nothing to re-cut
+        val sPath = new org.apache.hadoop.fs.Path(s"$recipeDir/shards")
+        sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(sPath, true); ()
       }
     }
 
     RetractReport(nIds, copiesRemoved, tokensRemoved,
       chunksBefore - nChunks, nChunks, nEpochs, maxDelta,
-      Seq(aDir, oDir))
+      Seq(aDir, oDir) ++
+        shardBudget.map(_ => s"$recipeDir/shards").toSeq)
   }
 }

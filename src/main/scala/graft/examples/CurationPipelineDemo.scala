@@ -114,10 +114,12 @@ object CurationPipelineDemo {
       recipeDirs = Seq(s"$base/recipe"))
     println(s"== forgotten ${report.nIds} id(s); " +
       s"pruned+audited: ${report.artifactsPruned.mkString(", ")} ==")
-    //    the manifest is a pure function of the other artifacts —
-    //    regenerate it over the recompacted schedule
-    graft.Recipe.shards(spark, s"$base/recipe", shardTokens = 8192)
-    println("== shard manifest refreshed over the retracted schedule ==")
+    //    the shards manifest was REGENERATED inside the retract leg (it
+    //    persists its own budget); the re-measured mixing health of the
+    //    pruned schedule is reported, never gated
+    println(s"== recipe schedule after retract: worst mixing delta " +
+      s"${report.recipeMixDeltasMicro.mkString(", ")} micro; " +
+      "shard manifest re-cut at its persisted budget ==")
 
     // 8) nightly maintenance (r15): ONE census-driven call — maintain
     //    measures each surface itself, only overdue ones pay the

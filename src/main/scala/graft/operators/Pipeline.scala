@@ -1250,6 +1250,18 @@ object Pipeline {
     }.reduce(_ unionByName _)
   }
 
+  /** [[recompactPositions]]' pre-pass: the (epoch?, pos) range layout —
+    * `private[graft]` so PlanRegressionSuite can assert the shape (the
+    * kernel's internals hide behind the ExistingRDD scan in the output
+    * plan, [[packOrdered]]'s rule). */
+  private[graft] def recompactLaid(order: DataFrame, posCol: String,
+                                   epochCol: String): DataFrame = {
+    val orderCols = (if (order.columns.contains(epochCol)) Seq(col(epochCol))
+                     else Seq.empty) :+ col(posCol)
+    order.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+  }
+
   /** RECOMPACT a training-order artifact whose positions have HOLES —
     * the position-space repair a retraction leaves behind: after
     * [[graft.Recipe.retract]] drops chunks from a persisted schedule,
@@ -1271,18 +1283,6 @@ object Pipeline {
     * partitioner never splits equal keys) — two rows at one position
     * would recompact in shuffle-delivery order.
     */
-  /** [[recompactPositions]]' pre-pass: the (epoch?, pos) range layout —
-    * `private[graft]` so PlanRegressionSuite can assert the shape (the
-    * kernel's internals hide behind the ExistingRDD scan in the output
-    * plan, [[packOrdered]]'s rule). */
-  private[graft] def recompactLaid(order: DataFrame, posCol: String,
-                                   epochCol: String): DataFrame = {
-    val orderCols = (if (order.columns.contains(epochCol)) Seq(col(epochCol))
-                     else Seq.empty) :+ col(posCol)
-    order.repartitionByRange(orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
-  }
-
   def recompactPositions(order: DataFrame, posCol: String = "pos",
                          epochCol: String = "epoch"): DataFrame = {
     require(order.columns.contains(posCol),
@@ -1401,13 +1401,16 @@ object Pipeline {
       (keyCols.map(col) :+ col("n_tokens")): _*), keyCols)
     // completeness gate: an inner join silently DROPS scheduled chunks
     // with no token row (a reader's slice would have holes) and
-    // duplicated token rows double-count — both chunk-scale counts
+    // duplicated token rows double-count. ONE aggregate job over the
+    // join yields both the row count and the null count (count(col)
+    // skips nulls), so the gate costs one pass, not two
     val nOrder = order.count()
-    val nJoined = joined.count()
+    val gate = joined.agg(count(lit(1)), count(col("n_tokens"))).head()
+    val nJoined = gate.getLong(0)
     require(nJoined == nOrder,
       s"shardManifest: $nOrder scheduled chunks joined to $nJoined token " +
         "rows - every (stratum, chunk_id) needs exactly one n_tokens row")
-    val nNull = joined.filter(col("n_tokens").isNull).count()
+    val nNull = nJoined - gate.getLong(1)
     require(nNull == 0L,
       s"shardManifest: $nNull scheduled chunks have null n_tokens - a " +
         "massless chunk cannot be budgeted into a shard")

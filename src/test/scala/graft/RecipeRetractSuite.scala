@@ -213,15 +213,22 @@ class RecipeRetractSuite extends AnyFunSuite {
         .filter(col("chunk_id").isNotNull)
         .groupBy(col("source").as("stratum"), col("chunk_id"))
         .agg(sum(col("n_tokens")).cast("bigint").as("n_tokens")), 150)
-    assert(manifest.orderBy("shard_id").collect().map(_.toSeq).toSeq ===
+    // the artifact = the kernel's manifest + the persisted budget column
+    assert(manifest.drop("shard_tokens").orderBy("shard_id").collect()
+      .map(_.toSeq).toSeq ===
       hand.orderBy("shard_id").collect().map(_.toSeq).toSeq)
 
-    // refresh after a retraction: the regenerated manifest tiles the
-    // RECOMPACTED position space exactly
-    Recipe.retract(Seq(2L, 4L, 6L).toDF("doc_id"), dir)
-    Recipe.shards(spark, dir, shardTokens = 150)
+    // retract REGENERATES the manifest itself (at the budget the
+    // manifest persists): the refreshed tiling must cover exactly the
+    // RECOMPACTED position space — a stale manifest would hand readers
+    // slices past the new end
+    val rep = Recipe.retract(Seq(2L, 4L, 6L).toDF("doc_id"), dir)
+    assert(rep.artifacts.contains(s"$dir/shards"),
+      "retract must report the regenerated manifest")
     val refreshed = spark.read.parquet(s"$dir/shards")
       .orderBy("shard_id").collect()
+    assert(refreshed.forall(_.getAs[Long]("shard_tokens") === 150L),
+      "regeneration must re-cut at the manifest's own persisted budget")
     val nChunks = spark.read.parquet(s"$dir/order").count()
     assert(refreshed.head.getAs[Long]("first_pos") === 0L)
     assert(refreshed.last.getAs[Long]("last_pos") === nChunks - 1L)
@@ -230,6 +237,36 @@ class RecipeRetractSuite extends AnyFunSuite {
         assert(b.getAs[Long]("first_pos") === a.getAs[Long]("last_pos") + 1L)
       case _ => ()
     }
+  }
+
+  test("retract: a budget-less shards manifest refuses BEFORE any mutation") {
+    import spark.implicits._
+    val dir = tmp("graft-retract-badshards")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+    // a hand-rolled manifest without the persisted budget column
+    Seq((0L, 1L)).toDF("shard_id", "n_chunks")
+      .write.parquet(s"$dir/shards")
+    val before = spark.read.parquet(s"$dir/assignments").count()
+    val e = intercept[IllegalArgumentException] {
+      Recipe.retract(Seq(1L).toDF("doc_id"), dir)
+    }
+    assert(e.getMessage.contains("shard_tokens"))
+    // fail-fast: the recipe dir is untouched
+    assert(spark.read.parquet(s"$dir/assignments").count() === before)
+  }
+
+  test("retract: idempotent replay against a fully-emptied epoch order (no NPE)") {
+    import spark.implicits._
+    val dir = tmp("graft-retract-empty")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64,
+      seed = 11L, nEpochs = 2)
+    val all = docs.select("doc_id").distinct()
+    val rep1 = Recipe.retract(all, dir)
+    assert(rep1.nChunks === 0L)
+    assert(spark.read.parquet(s"$dir/order").count() === 0L)
+    // the replay must re-prove the gates on the emptied artifact, not NPE
+    val rep2 = Recipe.retract(all, dir)
+    assert(rep2.nChunks === 0L && rep2.copiesRemoved === 0L)
   }
 
   test("Recipe.report: plan vs delivered reconciliation; a fully-retracted stratum shows zeros") {
