@@ -1390,11 +1390,75 @@ object Pipeline {
                     keyCols: Seq[String] = Seq("stratum", "chunk_id"),
                     posCol: String = "pos",
                     epochCol: String = "epoch"): DataFrame = {
+    val (packed, hasEpoch) = shardPacked(order, chunkTokens, shardTokens,
+      keyCols, posCol, epochCol, "shardManifest")
+    val groupCols = (if (hasEpoch) Seq(col(epochCol)) else Seq.empty) :+
+      col("chunk_id").as("shard_id")
+    packed.groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).cast("bigint").as("sum_tokens"),
+        min(col(posCol)).cast("bigint").as("first_pos"),
+        max(col(posCol)).cast("bigint").as("last_pos"))
+  }
+
+  /** Per-shard STRATUM BREAKDOWN — the reader-side mixing audit
+    * [[shardManifest]]'s totals cannot show: a fleet reader consumes
+    * ONE shard, so a shard dominated by a single stratum trains
+    * correlated batches inside that reader even when the global
+    * schedule's [[orderMixingAudit]] is healthy (the global audit
+    * averages across shard boundaries). One row per (epoch?, shard,
+    * stratum): chunk count, token mass, and the stratum's exact-integer
+    * token share of ITS shard (`token_share_micro` = tokens·10⁶ div
+    * shard total) — a share near 10⁶ is a single-stratum shard, the
+    * thing to alarm on.
+    *
+    * Same audited kernel and gates as [[shardManifest]] (one shard
+    * assignment definition — the breakdown can never disagree with the
+    * manifest about which shard a chunk landed in); above it, one
+    * grouped aggregate and a |shards|-row totals join (AQE broadcasts).
+    */
+  def shardBreakdown(order: DataFrame, chunkTokens: DataFrame,
+                     shardTokens: Int,
+                     keyCols: Seq[String] = Seq("stratum", "chunk_id"),
+                     posCol: String = "pos",
+                     epochCol: String = "epoch",
+                     strataCol: String = "stratum"): DataFrame = {
+    val (packed, hasEpoch) = shardPacked(order, chunkTokens, shardTokens,
+      keyCols, posCol, epochCol, "shardBreakdown")
+    val epochCols = if (hasEpoch) Seq(col(epochCol)) else Seq.empty
+    val perStratum = packed
+      .groupBy((epochCols :+ col("chunk_id").as("shard_id")) :+
+        col(strataCol): _*)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).cast("bigint").as("sum_tokens"))
+    val totals = perStratum
+      .groupBy((epochCols :+ col("shard_id")): _*)
+      .agg(sum(col("sum_tokens")).cast("bigint").as("__shard_tokens"))
+    perStratum
+      .join(totals,
+        (if (hasEpoch) Seq(epochCol) else Seq.empty) :+ "shard_id")
+      .withColumn("token_share_micro",
+        when(col("__shard_tokens") === 0L, 0L)
+          .otherwise(expr(
+            "CAST(sum_tokens AS DECIMAL(38,0)) * 1000000 div __shard_tokens"))
+          .cast("long"))
+      .drop("__shard_tokens")
+  }
+
+  /** The shared shard-assignment kernel behind [[shardManifest]] and
+    * [[shardBreakdown]]: gate the (order ⋈ chunkTokens) completeness,
+    * then run [[packSequences]]' audited prefix sum with epoch as the
+    * stratum and `posCol` as the order key. Returns the packed frame
+    * (shard index in `chunk_id`) and whether the input carried epochs. */
+  private def shardPacked(order: DataFrame, chunkTokens: DataFrame,
+                          shardTokens: Int, keyCols: Seq[String],
+                          posCol: String, epochCol: String,
+                          caller: String): (DataFrame, Boolean) = {
     require(shardTokens > 0,
-      s"shardManifest: shardTokens must be positive, got $shardTokens")
-    require(keyCols.nonEmpty, "shardManifest: keyCols must be non-empty")
+      s"$caller: shardTokens must be positive, got $shardTokens")
+    require(keyCols.nonEmpty, s"$caller: keyCols must be non-empty")
     require(chunkTokens.columns.contains("n_tokens"),
-      "shardManifest: chunkTokens needs an 'n_tokens' column (aggregate " +
+      s"$caller: chunkTokens needs an 'n_tokens' column (aggregate " +
         "the recipe's assignments by chunk)")
     val hasEpoch = order.columns.contains(epochCol)
     val joined = order.join(chunkTokens.select(
@@ -1408,27 +1472,20 @@ object Pipeline {
     val gate = joined.agg(count(lit(1)), count(col("n_tokens"))).head()
     val nJoined = gate.getLong(0)
     require(nJoined == nOrder,
-      s"shardManifest: $nOrder scheduled chunks joined to $nJoined token " +
+      s"$caller: $nOrder scheduled chunks joined to $nJoined token " +
         "rows - every (stratum, chunk_id) needs exactly one n_tokens row")
     val nNull = nJoined - gate.getLong(1)
     require(nNull == 0L,
-      s"shardManifest: $nNull scheduled chunks have null n_tokens - a " +
+      s"$caller: $nNull scheduled chunks have null n_tokens - a " +
         "massless chunk cannot be budgeted into a shard")
     val base0 = if (hasEpoch) joined
       else joined.withColumn(epochCol, lit(0L))
     // the packer appends its own chunk_id (the shard index here) — move
     // the schedule's chunk key aside so the kernel's name guard passes
     val base = base0.withColumnRenamed("chunk_id", "__sched_chunk")
-    val packed = packSequences(base, shardTokens, strataCol = epochCol,
+    (packSequences(base, shardTokens, strataCol = epochCol,
       idCol = posCol, tokenCountCol = Some("n_tokens"),
-      refuseDuplicateIds = true)
-    val groupCols = (if (hasEpoch) Seq(col(epochCol)) else Seq.empty) :+
-      col("chunk_id").as("shard_id")
-    packed.groupBy(groupCols: _*)
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(col("n_tokens")).cast("bigint").as("sum_tokens"),
-        min(col(posCol)).cast("bigint").as("first_pos"),
-        max(col(posCol)).cast("bigint").as("last_pos"))
+      refuseDuplicateIds = true), hasEpoch)
   }
 
   /** Deterministic per-stratum TOKEN QUOTA — admission control for
@@ -3588,6 +3645,93 @@ object Pipeline {
                CAST(MIN(pos) AS BIGINT) AS first_pos,
                CAST(MAX(pos) AS BIGINT) AS last_pos
         FROM sc GROUP BY 1 ORDER BY shard_id""")),
+
+    // PER-SHARD STRATUM BREAKDOWN (r15): the reader-side mixing audit
+    // the manifest's totals cannot show — a fleet reader consumes ONE
+    // shard, so a single-stratum shard trains correlated batches inside
+    // that reader even when the global q172 audit is healthy. One row
+    // per (shard, stratum) with the stratum's exact-integer token share
+    // of ITS shard. Same shard-assignment kernel as q190 (they cannot
+    // disagree about where a chunk landed). Oracle = q190's chain with
+    // the stratum retained through the cumsum, grouped by (shard,
+    // stratum), shares against per-shard totals.
+    QuerySpec(
+      "q193_shard_mix",
+      (s, d) => {
+        val dir = cachedRecipe(s, d)
+        val order = s.read.parquet(s"$dir/order")
+        val chunkTokens = s.read.parquet(s"$dir/assignments")
+          .filter(col("chunk_id").isNotNull)
+          .groupBy(col("source").as("stratum"), col("chunk_id"))
+          .agg(sum(col("n_tokens")).cast("bigint").as("n_tokens"))
+        shardBreakdown(order, chunkTokens, shardTokens = 4096)
+          .orderBy(col("shard_id"), col("stratum"))
+      },
+      Some("""
+        WITH c AS (SELECT source,
+                          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY source),
+        w AS (SELECT source, n_tokens,
+                     CAST(floor(sqrt(n_tokens) * 1e6) AS BIGINT) AS w_micro
+              FROM c),
+        tw AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot_w FROM w),
+        p AS (SELECT source,
+                     CASE WHEN n_tokens = 0 THEN 0
+                          ELSE CAST(((400000 * w_micro) // tot_w) * 1000000 // n_tokens AS BIGINT)
+                     END AS epochs_micro
+              FROM w, tw),
+        j AS (SELECT d.doc_id, d.source AS source,
+                     len(string_split(d.text, ' ')) AS n_tokens,
+                     p.epochs_micro // 1000000 AS fullc,
+                     p.epochs_micro % 1000000 AS frac,
+                     ('0x' || substr(md5(concat(CAST(d.doc_id AS VARCHAR),
+                       ':', d.source)), 1, 8))::BIGINT % 1000000 AS draw
+              FROM documents d JOIN p ON d.source = p.source),
+        m AS (SELECT doc_id, source, n_tokens,
+                     CAST(fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END
+                       AS BIGINT) AS n_copies
+              FROM j
+              WHERE fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END > 0),
+        x AS (SELECT doc_id, source, n_tokens,
+                     concat(CAST(doc_id AS VARCHAR), '#',
+                       CAST(unnest(range(n_copies)) AS VARCHAR)) AS mix_id
+              FROM m),
+        cs AS (SELECT source, mix_id, n_tokens,
+                      SUM(n_tokens) OVER (PARTITION BY source ORDER BY mix_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM x),
+        ct AS (SELECT source AS stratum,
+                      CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id,
+                      CAST(SUM(n_tokens) AS BIGINT) AS tok
+               FROM cs WHERE n_tokens IS NOT NULL GROUP BY 1, 2),
+        h AS (SELECT stratum, chunk_id,
+                     substr(md5(concat('7:', stratum, ':',
+                       CAST(chunk_id AS VARCHAR))), 1, 8) AS hx
+              FROM ct),
+        o AS (SELECT stratum, chunk_id,
+                     ROW_NUMBER() OVER (ORDER BY hx, stratum, chunk_id) - 1
+                       AS pos
+              FROM h),
+        sc AS (SELECT o.stratum, o.pos, ct.tok,
+                      SUM(ct.tok) OVER (ORDER BY o.pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cum2
+               FROM o JOIN ct USING (stratum, chunk_id)),
+        perstrat AS (SELECT CAST((cum2 - tok) // 4096 AS BIGINT) AS shard_id,
+                            stratum,
+                            COUNT(*) AS n_chunks,
+                            CAST(SUM(tok) AS BIGINT) AS sum_tokens
+                     FROM sc GROUP BY 1, 2),
+        tots AS (SELECT shard_id,
+                        CAST(SUM(sum_tokens) AS BIGINT) AS shard_tokens
+                 FROM perstrat GROUP BY shard_id)
+        SELECT ps.shard_id, ps.stratum, ps.n_chunks, ps.sum_tokens,
+               CASE WHEN t.shard_tokens = 0 THEN 0
+                    ELSE CAST(ps.sum_tokens * 1000000 // t.shard_tokens
+                      AS BIGINT)
+               END AS token_share_micro
+        FROM perstrat ps JOIN tots t USING (shard_id)
+        ORDER BY ps.shard_id, ps.stratum""")),
 
     QuerySpec(
       "q67_pack_sequences",

@@ -308,6 +308,43 @@ class RecipeRetractSuite extends AnyFunSuite {
       z.getAs[Long]("mix_delta_micro") === 0L)
   }
 
+  test("shardBreakdown: reconciles with the manifest; shares are exact per-shard fractions") {
+    import spark.implicits._
+    val dir = tmp("graft-shard-mix")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64,
+      seed = 11L, nEpochs = 2)
+    val order = spark.read.parquet(s"$dir/order")
+    val chunkTokens = spark.read.parquet(s"$dir/assignments")
+      .filter(col("chunk_id").isNotNull)
+      .groupBy(col("source").as("stratum"), col("chunk_id"))
+      .agg(sum(col("n_tokens")).cast("bigint").as("n_tokens"))
+    val manifest = Pipeline.shardManifest(order, chunkTokens, 150)
+    val breakdown = Pipeline.shardBreakdown(order, chunkTokens, 150)
+
+    // the two views fold the SAME shard assignment: per-(epoch, shard)
+    // chunk and token totals must agree exactly
+    val fromBreakdown = breakdown.groupBy("epoch", "shard_id")
+      .agg(sum("n_chunks").as("n_chunks"),
+        sum("sum_tokens").cast("bigint").as("sum_tokens"))
+      .orderBy("epoch", "shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val fromManifest = manifest
+      .select("epoch", "shard_id", "n_chunks", "sum_tokens")
+      .orderBy("epoch", "shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(fromBreakdown.toSeq === fromManifest.toSeq)
+
+    // shares: exact integer fractions of the shard's own mass — they
+    // sum to 10^6 minus div-truncation slack (< strata per shard)
+    breakdown.groupBy("epoch", "shard_id")
+      .agg(sum("token_share_micro").as("s"), count(lit(1)).as("n"))
+      .collect().foreach { r =>
+        val (s, n) = (r.getAs[Long]("s"), r.getAs[Long]("n"))
+        assert(s <= 1000000L && s > 1000000L - n,
+          s"shares must sum to 1e6 within truncation slack: $r")
+      }
+  }
+
   test("shardManifest: missing or duplicated token rows refuse loudly") {
     import spark.implicits._
     val order = Seq(("a", 0L, 0L), ("a", 1L, 1L)).toDF("stratum", "chunk_id", "pos")
