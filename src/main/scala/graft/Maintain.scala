@@ -85,8 +85,7 @@ object Maintain {
     * writer's _temporary/&#42;&#42;/part files have clean leaf names) —
     * otherwise the census counts bytes the n_rows read ignores and
     * reports phantom generation pressure. */
-  private def surfaceFiles(spark: SparkSession,
-                           qualified: org.apache.hadoop.fs.Path,
+  private def surfaceFiles(qualified: org.apache.hadoop.fs.Path,
                            fs: org.apache.hadoop.fs.FileSystem): (Long, Long, Long) = {
     var nFiles = 0L
     var bytes = 0L
@@ -169,7 +168,7 @@ object Maintain {
             "one) has no file pressure to report; build the surface or " +
             "drop it from the census")
       }
-      val (nFiles, bytes, _) = surfaceFiles(spark, p, fs)
+      val (nFiles, bytes, _) = surfaceFiles(p, fs)
       val markers = new org.apache.hadoop.fs.Path(
         p.getParent, "hist_forget_markers")
       val nMarkers =
@@ -218,7 +217,7 @@ object Maintain {
         require(fs.exists(p),
           s"maintain: surface $p does not exist - it cannot be " +
             "maintained before its build; drop it from the call")
-        val (nFiles, bytes, leafDirs) = surfaceFiles(spark, p, fs)
+        val (nFiles, bytes, leafDirs) = surfaceFiles(p, fs)
         // the post-consolidation floor: one file per partition-value
         // directory (a partitioned rewrite cannot merge across values),
         // never below the byte-budget file count the compaction itself

@@ -75,6 +75,31 @@ object Recipe {
     require(mixingTolMicro > 0,
       s"Recipe.run: mixingTolMicro must be positive, got $mixingTolMicro")
     val spark = docs.sparkSession
+    // the WHOLE publish is one staged swap on the recipe ROOT: every
+    // artifact (and every gate) lands in a stage dir first, and the
+    // live dir flips only after the gates passed — a re-publish over an
+    // existing recipe (retract's own advice when mixing degraded) can
+    // never leave a half-deleted overwrite window or a MIXED-generation
+    // dir (new assignments beside the previous publish's order), the
+    // cross-artifact hazard a per-file overwrite cannot close
+    var staged: RecipeReport = null
+    Pipeline.stagedOverwrite(spark, outDir, "publish") { stageRoot =>
+      staged = buildInto(docs, stageRoot, budgetTokens, chunkTokens, seed,
+        nEpochs, strataCol, idCol, textCol, mixingTolMicro)
+    }
+    staged.copy(artifacts =
+      Seq(s"$outDir/plan", s"$outDir/assignments", s"$outDir/order"))
+  }
+
+  /** [[run]]'s body, building into `outDir` (a private stage root) —
+    * the gates read back the artifacts actually written there, so the
+    * caller's swap publishes only a fully-proven recipe. */
+  private def buildInto(docs: DataFrame, outDir: String,
+                        budgetTokens: Long, chunkTokens: Int, seed: Long,
+                        nEpochs: Int, strataCol: String, idCol: String,
+                        textCol: String,
+                        mixingTolMicro: Long): RecipeReport = {
+    val spark = docs.sparkSession
 
     // 1) plan — persisted first: the allocation decision is the
     //    governance record even if a later step refuses
@@ -200,6 +225,9 @@ object Recipe {
     */
   def shards(spark: SparkSession, recipeDir: String,
              shardTokens: Int, strataCol: String = "source"): Long = {
+    // self-heal a crashed publish/manifest swap before any read
+    Pipeline.healStagedResidue(spark, recipeDir, "publish")
+    Pipeline.healStagedResidue(spark, s"$recipeDir/shards", "publish")
     val order = spark.read.parquet(s"$recipeDir/order")
     val assigned = spark.read.parquet(s"$recipeDir/assignments")
     Seq(strataCol, "n_tokens", "chunk_id").foreach { c =>
@@ -214,7 +242,12 @@ object Recipe {
       .agg(sum(col("n_tokens")).cast("bigint").as("n_tokens"))
     val manifest = Pipeline.shardManifest(order, chunkTokens, shardTokens)
       .withColumn("shard_tokens", lit(shardTokens.toLong))
-    manifest.write.mode("overwrite").parquet(s"$recipeDir/shards")
+    // staged swap, never a bare overwrite: retract regenerates THROUGH
+    // this call, and its replay idempotence claim needs a crash here to
+    // leave either the old manifest or the new one readable
+    Pipeline.stagedOverwrite(spark, s"$recipeDir/shards", "publish") {
+      stage => manifest.write.mode("overwrite").parquet(stage)
+    }
     spark.read.parquet(s"$recipeDir/shards").count()
   }
 
@@ -241,6 +274,8 @@ object Recipe {
     */
   def report(spark: SparkSession, recipeDir: String,
              strataCol: String = "source"): DataFrame = {
+    // self-heal a crashed publish swap before any read
+    Pipeline.healStagedResidue(spark, recipeDir, "publish")
     val plan = spark.read.parquet(s"$recipeDir/plan")
     require(plan.columns.contains(strataCol) &&
         plan.columns.contains("alloc_tokens"),
@@ -339,9 +374,12 @@ object Recipe {
     val oDir = s"$recipeDir/order"
     // heal crashed-swap residue BEFORE any read (Maintain's r15 lesson:
     // a before-read against a mid-swap dir throws PATH_NOT_FOUND where
-    // a rerun should self-heal) — each artifact under its own tag
+    // a rerun should self-heal) — the publish root plus each artifact
+    // under its own tag
+    Pipeline.healStagedResidue(spark, recipeDir, "publish")
     Pipeline.healStagedResidue(spark, aDir, "prune")
     Pipeline.healStagedResidue(spark, oDir, "retract")
+    Pipeline.healStagedResidue(spark, s"$recipeDir/shards", "publish")
     val before = spark.read.parquet(aDir)
     Seq(idCol, strataCol, "n_tokens", "chunk_id").foreach { c =>
       require(before.columns.contains(c),
@@ -420,13 +458,12 @@ object Recipe {
     //    end, the exact stall retract exists to prevent. The manifest is
     //    a pure function of the other artifacts, so REGENERATE it at its
     //    own persisted budget (validated up front, before any mutation)
+    // budget 0 means the manifest is EMPTY (rows carry the positive
+    // budget they were cut at) — an empty manifest tiles the empty
+    // space correctly, so leave it in place: deleting it would break
+    // replay idempotence for a monitor of the published path
     shardBudget.foreach { budget =>
       if (budget > 0) { shards(spark, recipeDir, budget, strataCol); () }
-      else { // empty manifest carried no budget: nothing to re-cut
-        val sPath = new org.apache.hadoop.fs.Path(s"$recipeDir/shards")
-        sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(sPath, true); ()
-      }
     }
 
     RetractReport(nIds, copiesRemoved, tokensRemoved,

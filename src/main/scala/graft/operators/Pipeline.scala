@@ -923,10 +923,13 @@ object Pipeline {
           cur = s; have = true; cum = off.getOrElse(s, 0L)
           b = perStratum match {
             case None => budget
-            case Some(m) => m.getOrElse(s, throw new IllegalArgumentException(
-              s"$caller: stratum '$s' has no allocation in the plan - a " +
-                "feed stratum the plan predates must be planned (or " +
-                "filtered) explicitly, never silently defaulted"))
+            // normStratumKey on the row side too: the map was built with
+            // normalized keys, and a width mismatch must match, not throw
+            case Some(m) => m.getOrElse(normStratumKey(s),
+              throw new IllegalArgumentException(
+                s"$caller: stratum '$s' has no allocation in the plan - a " +
+                  "feed stratum the plan predates must be planned (or " +
+                  "filtered) explicitly, never silently defaulted"))
           }
         }
         if (r.isNullAt(tIdx)) Row.fromSeq(r.toSeq :+ null)
@@ -1569,7 +1572,11 @@ object Pipeline {
       .withColumn("spilled_tokens",
         col("offered_tokens") - col("admitted_tokens"))
       .withColumn("utilization_micro",
-        expr(s"(admitted_tokens * 1000000) div $budgetTokens"))
+        // DECIMAL(38,0) before the micro product: a filled multi-T-token
+        // allocation overflows a raw Long multiply (the repo-wide rule —
+        // mixPlan, mixingAuditKernel, Recipe.report all route through it)
+        expr(s"CAST(admitted_tokens AS DECIMAL(38,0)) * 1000000 div $budgetTokens")
+          .cast("long"))
 
   /** The shared quota kernel: seeded-hash order key + the packSequences
     * prefix sum with the PK contract enforced — [[tokenQuota]] filters
@@ -1675,7 +1682,8 @@ object Pipeline {
         col("offered_tokens") - col("admitted_tokens"))
       .withColumn("utilization_micro",
         when(col("alloc_tokens") === 0L, lit(0L))
-          .otherwise(expr("(admitted_tokens * 1000000) div alloc_tokens"))
+          .otherwise(expr(
+            "CAST(admitted_tokens AS DECIMAL(38,0)) * 1000000 div alloc_tokens"))
           .cast("long"))
   }
 
@@ -1687,10 +1695,23 @@ object Pipeline {
                               tokenCountCol: Option[String],
                               allocCol: String): DataFrame = {
     val budgets: Map[Any, Long] =
-      validatedPlanRows(plan, strataCol, allocCol, "tokenQuotaPlan").toMap
+      validatedPlanRows(plan, strataCol, allocCol, "tokenQuotaPlan")
+        .map { case (k, v) => normStratumKey(k) -> v }.toMap
     packWithBudget(quotaKeyed(docs, strataCol, idCol, seed), 0L,
       Some(budgets), strataCol, "__qkey", tokenCountCol,
       refuseDuplicateIds = true, "tokenQuotaPlan")
+  }
+
+  /** Integral stratum values normalized to Long before plan-map lookups:
+    * Java equality across boxed widths is FALSE even for equal values,
+    * so a plan collected with IntegerType strata against LongType doc
+    * rows (or vice versa) would spuriously refuse every stratum as
+    * "absent from the plan". Non-integral strata pass through. */
+  private def normStratumKey(v: Any): Any = v match {
+    case n: java.lang.Byte    => java.lang.Long.valueOf(n.longValue)
+    case n: java.lang.Short   => java.lang.Long.valueOf(n.longValue)
+    case n: java.lang.Integer => java.lang.Long.valueOf(n.longValue)
+    case other => other
   }
 
   /** ONE definition of plan hygiene — shared by the batch plan-quota
@@ -2050,6 +2071,41 @@ object Pipeline {
     // read the artifact before the rewrite keeps being served the
     // PRE-REWRITE rows (cache hit) or chases deleted file names
     // (stale listing) on every later read of the same path
+    spark.catalog.refreshByPath(base)
+  }
+
+  /** The PUBLISH variant of [[stagedRewrite]]: stage FRESH content (not
+    * a transform of the existing artifact) and swap it in under the same
+    * crash discipline — heal prior residue, let `writeTo` produce the
+    * stage directory, move any live copy aside, rename the stage in,
+    * delete the aside, refresh the path's caches. A crash at any point
+    * leaves either the old publish or the new one fully readable at
+    * `dir` (or restorable from the deterministic aside path on the next
+    * run's self-heal) — never a half-deleted overwrite window, which is
+    * what a bare `write.mode("overwrite")` has. First publish (no live
+    * copy) degrades to stage-then-rename. */
+  private[graft] def stagedOverwrite(spark: SparkSession, dir: String,
+                                     tag: String)
+                                    (writeTo: String => Unit): Unit = {
+    val base = dir.stripSuffix("/")
+    val dirPath = new org.apache.hadoop.fs.Path(base)
+    val stagePath = new org.apache.hadoop.fs.Path(base + s"__${tag}_stage")
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldPath = healStagedResidue(spark, base, tag)
+    if (fs.exists(stagePath))
+      require(fs.delete(stagePath, true),
+        s"${tag}Publish: could not clear stale stage at $stagePath")
+    writeTo(stagePath.toString)
+    if (fs.exists(dirPath))
+      require(fs.rename(dirPath, oldPath),
+        s"${tag}Publish: could not move live artifact aside " +
+          s"($dirPath -> $oldPath)")
+    require(fs.rename(stagePath, dirPath),
+      s"${tag}Publish: could not swap staged artifact into place " +
+        s"($stagePath -> $dirPath)")
+    if (fs.exists(oldPath))
+      require(fs.delete(oldPath, true),
+        s"${tag}Publish: could not remove aside copy at $oldPath")
     spark.catalog.refreshByPath(base)
   }
 

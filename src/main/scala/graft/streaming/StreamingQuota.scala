@@ -121,8 +121,13 @@ object StreamingQuota {
     QuotaReport(source, s.nOffered, s.offeredTokens, s.nAdmitted,
       s.cum, s.offeredTokens - s.cum,
       // an explicit 0 allocation admits nothing; its utilization is 0
-      // by definition (the batch plan report's rule), never a div-0
-      if (budgetTokens <= 0L) 0L else s.cum * 1000000L / budgetTokens)
+      // by definition (the batch plan report's rule), never a div-0.
+      // BigInt before the micro product: a filled multi-T-token
+      // allocation overflows a raw Long multiply SILENTLY on the JVM
+      // (no ANSI guard here) — the batch tier routes the same product
+      // through DECIMAL(38,0), and the two views are pinned equal
+      if (budgetTokens <= 0L) 0L
+      else (BigInt(s.cum) * 1000000 / budgetTokens).toLong)
 
   class QuotaProcessor(budget: Budget)
       extends StatefulProcessor[String, DocTok, DocTok] {
