@@ -345,6 +345,22 @@ class RecipeRetractSuite extends AnyFunSuite {
       }
   }
 
+  test("publish self-heal: a crash inside the root swap window is restored by the next reader") {
+    import spark.implicits._
+    val dir = tmp("graft-publish-heal")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+    val before = Recipe.report(spark, dir).collect().map(_.toSeq).toSet
+    // simulate the crash window: live dir renamed aside, stage never
+    // renamed in (the exact residue stagedOverwrite's swap can leave)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(dir + "__publish_old")))
+    // the next reader self-heals and serves the intact publish
+    val healed = Recipe.report(spark, dir).collect().map(_.toSeq).toSet
+    assert(healed === before)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__publish_old")))
+  }
+
   test("shardManifest: missing or duplicated token rows refuse loudly") {
     import spark.implicits._
     val order = Seq(("a", 0L, 0L), ("a", 1L, 1L)).toDF("stratum", "chunk_id", "pos")
