@@ -88,7 +88,8 @@ object Recipe {
         nEpochs, strataCol, idCol, textCol, mixingTolMicro)
     }
     staged.copy(artifacts =
-      Seq(s"$outDir/plan", s"$outDir/assignments", s"$outDir/order"))
+      Seq(s"$outDir/plan", s"$outDir/assignments", s"$outDir/order",
+        s"$outDir/meta"))
   }
 
   /** [[run]]'s body, building into `outDir` (a private stage root) —
@@ -156,30 +157,46 @@ object Recipe {
           Seq("stratum", "chunk_id"))
     order.write.mode("overwrite").parquet(s"$outDir/order")
 
+    // 4) meta — the run's parameters as a one-row governance record:
+    //    without it a published dir does not record HOW it was produced,
+    //    and [[extendEpochs]] could not derive epochs k.. from the same
+    //    seed (or hold new epochs to the same mixing tolerance)
+    val sqlc = spark
+    import sqlc.implicits._
+    Seq((budgetTokens, chunkTokens.toLong, seed, nEpochs.toLong,
+        strataCol, idCol, textCol, mixingTolMicro))
+      .toDF("budget_tokens", "chunk_tokens", "seed", "n_epochs",
+        "strata_col", "id_col", "text_col", "mixing_tol_micro")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/meta")
+
     // permutation + mixing gates — per epoch, on the written artifact
     val written = spark.read.parquet(s"$outDir/order")
     val nChunks = chunks.count()
-    val maxDelta = proveOrder(written, nEpochs, nChunks, "Recipe.run",
-      mixingTol = Some(mixingTolMicro))
+    val maxDelta = proveOrder(written, 0 until nEpochs,
+      flat = nEpochs == 1, nChunks, "Recipe.run",
+      mixingTol = _ => Some(mixingTolMicro))
 
     RecipeReport(nStrata, multisetRows, multisetTokens, nChunks, nEpochs,
       maxDelta,
-      Seq(s"$outDir/plan", s"$outDir/assignments", s"$outDir/order"))
+      Seq(s"$outDir/plan", s"$outDir/assignments", s"$outDir/order",
+        s"$outDir/meta"))
   }
 
-  /** The ONE definition of the per-epoch order proof [[run]] and
-    * [[retract]] both exit through: each epoch must hold the exact
-    * permutation 0..nChunks−1 (count, distinct, max — required), and
-    * the mixing audit is folded to the worst per-(epoch, stratum)
-    * |same_next − share| — REQUIRED within `mixingTol` when given
-    * (run's gate), measured-only when None (retract's report: a
-    * deletion must not be refusable on a statistical property of what
-    * remains). Returns the measured worst delta. */
-  private def proveOrder(written: DataFrame, nEpochs: Int, nChunks: Long,
-                         caller: String, mixingTol: Option[Long]): Long = {
+  /** The ONE definition of the per-epoch order proof [[run]],
+    * [[retract]], and [[extendEpochs]] all exit through: each listed
+    * epoch must hold the exact permutation 0..nChunks−1 (count,
+    * distinct, max — required), and the mixing audit is folded to the
+    * worst per-(epoch, stratum) |same_next − share| — REQUIRED within
+    * `mixingTol(e)` when that returns Some (run gates every epoch,
+    * extendEpochs only the NEW ones), measured-only on None (retract's
+    * report: a deletion must not be refusable on a statistical property
+    * of what remains). Returns the measured worst delta. */
+  private def proveOrder(written: DataFrame, epochs: Seq[Int],
+                         flat: Boolean, nChunks: Long,
+                         caller: String, mixingTol: Int => Option[Long]): Long = {
     var maxDelta = 0L
-    (0 until nEpochs).foreach { e =>
-      val ep = if (nEpochs == 1) written
+    epochs.foreach { e =>
+      val ep = if (flat) written
         else written.filter(col("epoch") === e.toLong)
       val stats = ep.agg(count(lit(1)), countDistinct(col("pos")),
         coalesce(max(col("pos")), lit(-1L))).head()
@@ -195,7 +212,7 @@ object Recipe {
           .collect()
         audit.foreach { r =>
           maxDelta = math.max(maxDelta, r.getLong(1))
-          mixingTol.foreach(tol => require(r.getLong(1) <= tol,
+          mixingTol(e).foreach(tol => require(r.getLong(1) <= tol,
             s"$caller: epoch $e stratum ${r.getString(0)} mixing " +
               s"|same_next - share| = ${r.getLong(1)} exceeds " +
               s"$tol micro - the schedule left this stratum's " +
@@ -400,21 +417,7 @@ object Recipe {
     // shards/ pre-flight, BEFORE any mutation: the regeneration at the
     // end needs the manifest's persisted budget, and a manifest without
     // one must refuse while the recipe dir is still untouched
-    val shardBudget: Option[Int] = {
-      val sPath = new org.apache.hadoop.fs.Path(s"$recipeDir/shards")
-      val fs = sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(sPath)) None
-      else {
-        val m = spark.read.parquet(s"$recipeDir/shards")
-        require(m.columns.contains("shard_tokens"),
-          s"Recipe.retract: $recipeDir/shards exists but carries no " +
-            "'shard_tokens' column, so the retraction cannot know the " +
-            "budget to re-cut at - regenerate it with Recipe.shards " +
-            "(which persists the budget) and retry")
-        Some(m.agg(coalesce(max(col("shard_tokens")), lit(0L)))
-          .head().getLong(0).toInt)
-      }
-    }
+    val shardBudget = persistedShardBudget(spark, recipeDir, "Recipe.retract")
     val beforeChunks = spark.read.parquet(oDir)
     // coalesce(-1): a replayed delete log against an order/ that a prior
     // retraction emptied must re-prove the gates, not NPE on a null max
@@ -450,8 +453,8 @@ object Recipe {
     // statistical property of what remains — see scaladoc)
     val written = spark.read.parquet(oDir)
     val nChunks = survivors.count()
-    val maxDelta = proveOrder(written, nEpochs, nChunks, "Recipe.retract",
-      mixingTol = None)
+    val maxDelta = proveOrder(written, 0 until nEpochs,
+      flat = nEpochs == 1, nChunks, "Recipe.retract", mixingTol = _ => None)
 
     // 3) a published shards/ manifest tiles the OLD position space —
     //    left in place it would hand readers slices past the recompacted
@@ -470,5 +473,140 @@ object Recipe {
       chunksBefore - nChunks, nChunks, nEpochs, maxDelta,
       Seq(aDir, oDir) ++
         shardBudget.map(_ => s"$recipeDir/shards").toSeq)
+  }
+
+  /** The shards manifest's persisted budget, validated up front: Some
+    * when a manifest exists (0 = empty manifest, nothing to re-cut),
+    * None when none was ever published; a manifest without the
+    * `shard_tokens` column refuses LOUDLY before any caller mutates the
+    * recipe dir. Shared by [[retract]] and [[extendEpochs]]. */
+  private def persistedShardBudget(spark: SparkSession, recipeDir: String,
+                                   caller: String): Option[Int] = {
+    val sPath = new org.apache.hadoop.fs.Path(s"$recipeDir/shards")
+    val fs = sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sPath)) None
+    else {
+      val m = spark.read.parquet(s"$recipeDir/shards")
+      require(m.columns.contains("shard_tokens"),
+        s"$caller: $recipeDir/shards exists but carries no " +
+          "'shard_tokens' column, so the manifest cannot be re-cut at " +
+          "its original budget - regenerate it with Recipe.shards " +
+          "(which persists the budget) and retry")
+      Some(m.agg(coalesce(max(col("shard_tokens")), lit(0L)))
+        .head().getLong(0).toInt)
+    }
+  }
+
+  /** What an extension added and re-proved: epochs `oldEpochs..nEpochs−1`
+    * are NEW permutations, epochs below `oldEpochs` are byte-identical
+    * to what the dataloader already consumed. */
+  final case class ExtendReport(
+      oldEpochs: Int,
+      nEpochs: Int,
+      nChunks: Long,
+      maxMixDeltaMicro: Long,
+      artifacts: Seq[String])
+
+  /** EXTEND a published schedule to more epochs — "train 3 epochs, not
+    * 2", decided after the publish: epoch `e` of a recipe is the
+    * [[graft.operators.Pipeline.trainingOrder]] kernel at
+    * `seed XOR e`, so epochs `oldN..nEpochs−1` are DERIVABLE from the
+    * persisted `meta/` (seed + mixing tolerance + epoch count — the
+    * governance record [[run]] writes) without touching the epochs a
+    * resumable training run may already have consumed. The existing
+    * epochs' rows pass through the staged rewrite UNCHANGED (a flat
+    * single-epoch schedule gains its explicit `epoch = 0` column); the
+    * new epochs are fresh permutations over the CURRENT chunk table
+    * (assignments as they stand — a retracted recipe extends over its
+    * survivors).
+    *
+    * Gates: the permutation proof re-runs over EVERY epoch on the
+    * written artifact; the mixing gate holds only the NEW epochs to the
+    * run's own persisted tolerance (old epochs are re-measured, never
+    * re-gated — a retraction may have degraded them, and extension must
+    * not be refusable on history it didn't write). `meta/` flips to the
+    * new epoch count (staged), and a published shards manifest is
+    * re-cut at its persisted budget (new epochs need read slices too).
+    *
+    * Scale shape: the audited order kernel per NEW epoch (one range
+    * exchange of chunk-table rows each), one staged rewrite of the
+    * chunk-scale order artifact, |1|-row meta flip. Pre-meta recipe
+    * dirs (published before the meta record existed) refuse loudly with
+    * the upgrade path. */
+  def extendEpochs(spark: SparkSession, recipeDir: String, nEpochs: Int,
+                   strataCol: String = "source"): ExtendReport = {
+    val oDir = s"$recipeDir/order"
+    val mDir = s"$recipeDir/meta"
+    Pipeline.healStagedResidue(spark, recipeDir, "publish")
+    Pipeline.healStagedResidue(spark, oDir, "extend")
+    Pipeline.healStagedResidue(spark, mDir, "extend")
+    Pipeline.healStagedResidue(spark, s"$recipeDir/shards", "publish")
+    val mPath = new org.apache.hadoop.fs.Path(mDir)
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(mPath),
+      s"Recipe.extendEpochs: no meta/ record at $recipeDir - this " +
+        "recipe predates the persisted run parameters; re-publish with " +
+        "Recipe.run (which writes meta/) to make it extendable")
+    val meta = spark.read.parquet(mDir)
+    Seq("seed", "n_epochs", "mixing_tol_micro").foreach(c =>
+      require(meta.columns.contains(c),
+        s"Recipe.extendEpochs: meta/ at $recipeDir has no '$c' column " +
+          s"(found ${meta.columns.mkString(", ")})"))
+    val m = meta.head()
+    val seed = m.getAs[Long]("seed")
+    val oldN = m.getAs[Long]("n_epochs").toInt
+    val tol = m.getAs[Long]("mixing_tol_micro")
+    require(nEpochs > oldN,
+      s"Recipe.extendEpochs: schedule already has $oldN epoch(s); " +
+        s"nEpochs must exceed it, got $nEpochs (shrinking a schedule " +
+        "would orphan consumed positions - republish instead)")
+    val maxEpochs = spark.conf
+      .getOption("spark.graft.mix.maxEpochs").map(_.toLong).getOrElse(1000L)
+    require(nEpochs <= maxEpochs,
+      s"Recipe.extendEpochs: $nEpochs epochs - past spark.graft.mix" +
+        s".maxEpochs ($maxEpochs); a schedule this hot is memorization, " +
+        "not training")
+    // shards pre-flight BEFORE any mutation (retract's rule)
+    val shardBudget = persistedShardBudget(spark, recipeDir,
+      "Recipe.extendEpochs")
+
+    val chunks = spark.read.parquet(s"$recipeDir/assignments")
+      .filter(col("chunk_id").isNotNull)
+      .select(col(strataCol).as("stratum"), col("chunk_id")).distinct()
+    val nChunks = chunks.count()
+    val newEpochs = (oldN until nEpochs).map { e =>
+      Pipeline.trainingOrder(chunks, seed ^ e.toLong,
+          Seq("stratum", "chunk_id"))
+        .withColumn("epoch", lit(e.toLong))
+    }.reduce(_ unionByName _)
+
+    // staged rewrite: existing epochs pass through UNCHANGED (the flat
+    // schedule gains its explicit epoch 0), new epochs append
+    Pipeline.stagedRewrite(spark, oDir, "extend") { df =>
+      (if (df.columns.contains("epoch")) df
+       else df.withColumn("epoch", lit(0L)))
+        .unionByName(newEpochs)
+    }
+
+    val written = spark.read.parquet(oDir)
+    val maxDelta = proveOrder(written, 0 until nEpochs, flat = false,
+      nChunks, "Recipe.extendEpochs",
+      mixingTol = e => if (e >= oldN) Some(tol) else None)
+
+    // meta flips to the new epoch count — staged, so a crash leaves a
+    // readable record either way
+    val newMeta = meta.withColumn("n_epochs", lit(nEpochs.toLong))
+    Pipeline.stagedOverwrite(spark, mDir, "extend") { stage =>
+      newMeta.coalesce(1).write.mode("overwrite").parquet(stage)
+    }
+
+    // the manifest tiles per-epoch position ranges — the new epochs
+    // need read slices too; re-cut at the persisted budget
+    shardBudget.foreach { budget =>
+      if (budget > 0) { shards(spark, recipeDir, budget, strataCol); () }
+    }
+
+    ExtendReport(oldN, nEpochs, nChunks, maxDelta,
+      Seq(oDir, mDir) ++ shardBudget.map(_ => s"$recipeDir/shards").toSeq)
   }
 }

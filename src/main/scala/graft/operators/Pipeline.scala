@@ -2546,6 +2546,20 @@ object Pipeline {
       dir
     }
 
+  /** Build-once memo for the q194 harness query: a SINGLE-epoch publish
+    * of [[cachedRecipe]]'s exact recipe into its own dir, then
+    * [[graft.Recipe.extendEpochs]] to 2 — the query reads the extended
+    * `order/`, so the hash gate covers the meta-derived extension
+    * (epoch 0 must be the original flat schedule verbatim, epoch 1 the
+    * kernel at seed XOR 1) composed end to end. */
+  private def cachedExtendedRecipe(s: SparkSession, d: String): String =
+    BuildOnce.dir("graft-recipe-extend", d) { dir =>
+      graft.Recipe.run(Tables.documents(s, d), dir,
+        budgetTokens = 400000L, chunkTokens = 256, seed = 7L, nEpochs = 1)
+      graft.Recipe.extendEpochs(s, dir, nEpochs = 2)
+      dir
+    }
+
   /** Build-once memo for the q189 harness query: [[cachedRecipe]]'s
     * exact publish into a SEPARATE dir (q188's memo must stay
     * unmutated — it is the untouched-schedule baseline), then
@@ -3561,6 +3575,67 @@ object Pipeline {
                CAST(ROW_NUMBER() OVER (ORDER BY hx, stratum, chunk_id) - 1
                  AS BIGINT) AS pos
         FROM h ORDER BY pos""")),
+
+    // RECIPE EPOCH EXTENSION (r15): Recipe.extendEpochs applied to a
+    // published single-epoch recipe — "train 2 epochs, not 1", decided
+    // after the publish. Epoch 0 must be the ORIGINAL flat schedule
+    // verbatim (the dataloader may already have consumed it); epoch 1
+    // is derived from the persisted meta/ (seed XOR 1 over the same
+    // chunk table). Oracle = q188's chunk chain crossed with the epoch
+    // list, q177's xor-hash construction.
+    QuerySpec(
+      "q194_recipe_extend",
+      (s, d) => s.read.parquet(s"${cachedExtendedRecipe(s, d)}/order")
+        .orderBy(col("epoch"), col("pos")),
+      Some("""
+        WITH c AS (SELECT source,
+                          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY source),
+        w AS (SELECT source, n_tokens,
+                     CAST(floor(sqrt(n_tokens) * 1e6) AS BIGINT) AS w_micro
+              FROM c),
+        tw AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot_w FROM w),
+        p AS (SELECT source,
+                     CASE WHEN n_tokens = 0 THEN 0
+                          ELSE CAST(((400000 * w_micro) // tot_w) * 1000000 // n_tokens AS BIGINT)
+                     END AS epochs_micro
+              FROM w, tw),
+        j AS (SELECT d.doc_id, d.source AS source,
+                     len(string_split(d.text, ' ')) AS n_tokens,
+                     p.epochs_micro // 1000000 AS fullc,
+                     p.epochs_micro % 1000000 AS frac,
+                     ('0x' || substr(md5(concat(CAST(d.doc_id AS VARCHAR),
+                       ':', d.source)), 1, 8))::BIGINT % 1000000 AS draw
+              FROM documents d JOIN p ON d.source = p.source),
+        m AS (SELECT doc_id, source, n_tokens,
+                     CAST(fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END
+                       AS BIGINT) AS n_copies
+              FROM j
+              WHERE fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END > 0),
+        x AS (SELECT doc_id, source, n_tokens,
+                     concat(CAST(doc_id AS VARCHAR), '#',
+                       CAST(unnest(range(n_copies)) AS VARCHAR)) AS mix_id
+              FROM m),
+        cs AS (SELECT source, mix_id, n_tokens,
+                      SUM(n_tokens) OVER (PARTITION BY source ORDER BY mix_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM x),
+        k AS (SELECT DISTINCT source AS stratum,
+                     CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id
+              FROM cs WHERE n_tokens IS NOT NULL),
+        ep AS (SELECT CAST(u.e AS BIGINT) AS epoch
+               FROM UNNEST(generate_series(0, 1)) AS u(e)),
+        h AS (SELECT ep.epoch, k.stratum, k.chunk_id,
+                     substr(md5(concat(CAST(xor(7, ep.epoch) AS VARCHAR),
+                       ':', k.stratum, ':',
+                       CAST(k.chunk_id AS VARCHAR))), 1, 8) AS hx
+              FROM k CROSS JOIN ep)
+        SELECT stratum, chunk_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+                 ORDER BY hx, stratum, chunk_id) - 1 AS BIGINT) AS pos,
+               epoch
+        FROM h
+        ORDER BY epoch, pos""")),
 
     // RECIPE RETRACTION (r15): Recipe.retract applied to a published
     // q188-shaped recipe — every doc_id ≡ 0 (mod 13) forgotten, the

@@ -361,6 +361,69 @@ class RecipeRetractSuite extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__publish_old")))
   }
 
+  test("extendEpochs: old epochs byte-identical, new epochs are the seed-derived permutations") {
+    import spark.implicits._
+    val dir = tmp("graft-extend")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64,
+      seed = 11L, nEpochs = 2)
+    val before = spark.read.parquet(s"$dir/order").collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("pos"), r.getAs[Long]("epoch"))).toSet
+
+    val rep = Recipe.extendEpochs(spark, dir, 3)
+    assert(rep.oldEpochs === 2 && rep.nEpochs === 3)
+    val after = spark.read.parquet(s"$dir/order")
+    // epochs 0-1 unchanged row-for-row
+    val oldRows = after.filter(col("epoch") < 2L).collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("pos"), r.getAs[Long]("epoch"))).toSet
+    assert(oldRows === before)
+    // epoch 2 IS the kernel at seed XOR 2 over the same chunk table
+    val chunks = spark.read.parquet(s"$dir/assignments")
+      .filter(col("chunk_id").isNotNull)
+      .select(col("source").as("stratum"), col("chunk_id")).distinct()
+    val expected = graft.operators.Pipeline
+      .trainingOrder(chunks, 11L ^ 2L, Seq("stratum", "chunk_id"))
+      .collect().map(r => (r.getAs[String]("stratum"),
+        r.getAs[Long]("chunk_id"), r.getAs[Long]("pos"))).toSet
+    val got = after.filter(col("epoch") === 2L)
+      .collect().map(r => (r.getAs[String]("stratum"),
+        r.getAs[Long]("chunk_id"), r.getAs[Long]("pos"))).toSet
+    assert(got === expected)
+    // meta flipped
+    assert(spark.read.parquet(s"$dir/meta").head()
+      .getAs[Long]("n_epochs") === 3L)
+    // shrinking refuses
+    val e = intercept[IllegalArgumentException] {
+      Recipe.extendEpochs(spark, dir, 2)
+    }
+    assert(e.getMessage.contains("must exceed"))
+  }
+
+  test("extendEpochs: a flat single-epoch schedule gains its epoch column; manifest re-cut") {
+    import spark.implicits._
+    val dir = tmp("graft-extend-flat")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+    Recipe.shards(spark, dir, shardTokens = 150)
+    val flatBefore = spark.read.parquet(s"$dir/order").collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("pos"))).toSet
+
+    val rep = Recipe.extendEpochs(spark, dir, 2)
+    assert(rep.artifacts.contains(s"$dir/shards"))
+    val after = spark.read.parquet(s"$dir/order")
+    assert(after.columns.contains("epoch"))
+    val epoch0 = after.filter(col("epoch") === 0L).collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("pos"))).toSet
+    assert(epoch0 === flatBefore)
+    // manifest re-cut over BOTH epochs at the persisted budget
+    val manifest = spark.read.parquet(s"$dir/shards")
+    assert(manifest.columns.contains("epoch"))
+    assert(manifest.select("epoch").distinct().count() === 2L)
+    assert(manifest.head().getAs[Long]("shard_tokens") === 150L)
+  }
+
   test("shardManifest: missing or duplicated token rows refuse loudly") {
     import spark.implicits._
     val order = Seq(("a", 0L, 0L), ("a", 1L, 1L)).toDF("stratum", "chunk_id", "pos")
