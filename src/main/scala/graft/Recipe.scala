@@ -82,14 +82,23 @@ object Recipe {
     // never leave a half-deleted overwrite window or a MIXED-generation
     // dir (new assignments beside the previous publish's order), the
     // cross-artifact hazard a per-file overwrite cannot close
+    // a re-publish must not silently orphan a fleet's shards path: if
+    // the dir being replaced carries a manifest, remember its persisted
+    // budget and re-cut it over the NEW publish after the swap
+    healResidues(spark, outDir)
+    val priorShardBudget = persistedShardBudget(spark, outDir, "Recipe.run")
     var staged: RecipeReport = null
     Pipeline.stagedOverwrite(spark, outDir, "publish") { stageRoot =>
       staged = buildInto(docs, stageRoot, budgetTokens, chunkTokens, seed,
         nEpochs, strataCol, idCol, textCol, mixingTolMicro)
     }
+    priorShardBudget.filter(_ > 0).foreach { budget =>
+      shards(spark, outDir, budget, strataCol); ()
+    }
     staged.copy(artifacts =
       Seq(s"$outDir/plan", s"$outDir/assignments", s"$outDir/order",
-        s"$outDir/meta"))
+        s"$outDir/meta") ++
+        priorShardBudget.filter(_ > 0).map(_ => s"$outDir/shards").toSeq)
   }
 
   /** [[run]]'s body, building into `outDir` (a private stage root) —
@@ -102,8 +111,12 @@ object Recipe {
                         mixingTolMicro: Long): RecipeReport = {
     val spark = docs.sparkSession
 
-    // 1) plan — persisted first: the allocation decision is the
-    //    governance record even if a later step refuses
+    // 1) plan — persisted first within the stage: on a later gate's
+    //    refusal the allocation decision survives for post-mortem at
+    //    `outDir__publish_stage/plan` (the stage is cleared only by the
+    //    NEXT publish attempt), while the live dir stays whatever it
+    //    was — the staged-root discipline trades the old "refused plan
+    //    lands live" behavior for never exposing a half-proven publish
     val plan = Pipeline.mixPlan(docs, strataCol, budgetTokens, textCol)
     plan.write.mode("overwrite").parquet(s"$outDir/plan")
     val nStrata = spark.read.parquet(s"$outDir/plan").count()
@@ -242,9 +255,8 @@ object Recipe {
     */
   def shards(spark: SparkSession, recipeDir: String,
              shardTokens: Int, strataCol: String = "source"): Long = {
-    // self-heal a crashed publish/manifest swap before any read
-    Pipeline.healStagedResidue(spark, recipeDir, "publish")
-    Pipeline.healStagedResidue(spark, s"$recipeDir/shards", "publish")
+    // self-heal every crash residue the dir can carry before any read
+    healResidues(spark, recipeDir)
     val order = spark.read.parquet(s"$recipeDir/order")
     val assigned = spark.read.parquet(s"$recipeDir/assignments")
     Seq(strataCol, "n_tokens", "chunk_id").foreach { c =>
@@ -291,8 +303,8 @@ object Recipe {
     */
   def report(spark: SparkSession, recipeDir: String,
              strataCol: String = "source"): DataFrame = {
-    // self-heal a crashed publish swap before any read
-    Pipeline.healStagedResidue(spark, recipeDir, "publish")
+    // self-heal every crash residue the dir can carry before any read
+    healResidues(spark, recipeDir)
     val plan = spark.read.parquet(s"$recipeDir/plan")
     require(plan.columns.contains(strataCol) &&
         plan.columns.contains("alloc_tokens"),
@@ -391,12 +403,9 @@ object Recipe {
     val oDir = s"$recipeDir/order"
     // heal crashed-swap residue BEFORE any read (Maintain's r15 lesson:
     // a before-read against a mid-swap dir throws PATH_NOT_FOUND where
-    // a rerun should self-heal) — the publish root plus each artifact
-    // under its own tag
-    Pipeline.healStagedResidue(spark, recipeDir, "publish")
-    Pipeline.healStagedResidue(spark, aDir, "prune")
-    Pipeline.healStagedResidue(spark, oDir, "retract")
-    Pipeline.healStagedResidue(spark, s"$recipeDir/shards", "publish")
+    // a rerun should self-heal) — every tag the dir can carry, in one
+    // shared place
+    healResidues(spark, recipeDir)
     val before = spark.read.parquet(aDir)
     Seq(idCol, strataCol, "n_tokens", "chunk_id").foreach { c =>
       require(before.columns.contains(c),
@@ -520,27 +529,31 @@ object Recipe {
     * (assignments as they stand — a retracted recipe extends over its
     * survivors).
     *
-    * Gates: the permutation proof re-runs over EVERY epoch on the
-    * written artifact; the mixing gate holds only the NEW epochs to the
-    * run's own persisted tolerance (old epochs are re-measured, never
+    * Gates BEFORE the swap ([[run]]'s rule): the extended order is
+    * staged, the permutation proof re-runs over EVERY epoch ON THE
+    * STAGE, and the mixing gate holds only the NEW epochs to the run's
+    * own persisted tolerance (old epochs are re-measured, never
     * re-gated — a retraction may have degraded them, and extension must
-    * not be refusable on history it didn't write). `meta/` flips to the
-    * new epoch count (staged), and a published shards manifest is
-    * re-cut at its persisted budget (new epochs need read slices too).
+    * not be refusable on history it didn't write) — a refusal leaves
+    * the live schedule untouched. Crash/replay discipline: the rewrite
+    * DERIVES every epoch ≥ the meta-recorded count (dropping any
+    * partial prior extension before unioning), the shards manifest is
+    * re-cut BEFORE the meta flip, and the meta flip comes LAST — so a
+    * crash at any point leaves a rerun of the SAME call that converges
+    * (meta still says oldN until everything else landed). Every
+    * parameter comes from `meta/` (seed, strata column, tolerance) —
+    * the record exists precisely so the extension cannot be run with
+    * mismatched parameters. Pre-meta recipe dirs refuse loudly with the
+    * upgrade path.
     *
     * Scale shape: the audited order kernel per NEW epoch (one range
     * exchange of chunk-table rows each), one staged rewrite of the
-    * chunk-scale order artifact, |1|-row meta flip. Pre-meta recipe
-    * dirs (published before the meta record existed) refuse loudly with
-    * the upgrade path. */
-  def extendEpochs(spark: SparkSession, recipeDir: String, nEpochs: Int,
-                   strataCol: String = "source"): ExtendReport = {
+    * chunk-scale order artifact, |1|-row meta flip. */
+  def extendEpochs(spark: SparkSession, recipeDir: String,
+                   nEpochs: Int): ExtendReport = {
     val oDir = s"$recipeDir/order"
     val mDir = s"$recipeDir/meta"
-    Pipeline.healStagedResidue(spark, recipeDir, "publish")
-    Pipeline.healStagedResidue(spark, oDir, "extend")
-    Pipeline.healStagedResidue(spark, mDir, "extend")
-    Pipeline.healStagedResidue(spark, s"$recipeDir/shards", "publish")
+    healResidues(spark, recipeDir)
     val mPath = new org.apache.hadoop.fs.Path(mDir)
     val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(mPath),
@@ -548,7 +561,7 @@ object Recipe {
         "recipe predates the persisted run parameters; re-publish with " +
         "Recipe.run (which writes meta/) to make it extendable")
     val meta = spark.read.parquet(mDir)
-    Seq("seed", "n_epochs", "mixing_tol_micro").foreach(c =>
+    Seq("seed", "n_epochs", "mixing_tol_micro", "strata_col").foreach(c =>
       require(meta.columns.contains(c),
         s"Recipe.extendEpochs: meta/ at $recipeDir has no '$c' column " +
           s"(found ${meta.columns.mkString(", ")})"))
@@ -556,16 +569,12 @@ object Recipe {
     val seed = m.getAs[Long]("seed")
     val oldN = m.getAs[Long]("n_epochs").toInt
     val tol = m.getAs[Long]("mixing_tol_micro")
+    val strataCol = m.getAs[String]("strata_col")
     require(nEpochs > oldN,
       s"Recipe.extendEpochs: schedule already has $oldN epoch(s); " +
         s"nEpochs must exceed it, got $nEpochs (shrinking a schedule " +
         "would orphan consumed positions - republish instead)")
-    val maxEpochs = spark.conf
-      .getOption("spark.graft.mix.maxEpochs").map(_.toLong).getOrElse(1000L)
-    require(nEpochs <= maxEpochs,
-      s"Recipe.extendEpochs: $nEpochs epochs - past spark.graft.mix" +
-        s".maxEpochs ($maxEpochs); a schedule this hot is memorization, " +
-        "not training")
+    Pipeline.requireSaneEpochs(spark, nEpochs, "Recipe.extendEpochs")
     // shards pre-flight BEFORE any mutation (retract's rule)
     val shardBudget = persistedShardBudget(spark, recipeDir,
       "Recipe.extendEpochs")
@@ -580,33 +589,54 @@ object Recipe {
         .withColumn("epoch", lit(e.toLong))
     }.reduce(_ unionByName _)
 
-    // staged rewrite: existing epochs pass through UNCHANGED (the flat
-    // schedule gains its explicit epoch 0), new epochs append
-    Pipeline.stagedRewrite(spark, oDir, "extend") { df =>
-      (if (df.columns.contains("epoch")) df
-       else df.withColumn("epoch", lit(0L)))
+    // stage → PROVE → swap: existing epochs below the meta-recorded
+    // count pass through UNCHANGED (the flat schedule gains its
+    // explicit epoch 0); any epoch ≥ oldN already present is a partial
+    // prior extension and is RE-DERIVED, not doubled (replay
+    // idempotence); the gates run on the stage, so a refusal leaves
+    // the live schedule untouched
+    var maxDelta = 0L
+    Pipeline.stagedOverwrite(spark, oDir, "extend") { stage =>
+      val live = spark.read.parquet(oDir)
+      val withEpoch = if (live.columns.contains("epoch")) live
+        else live.withColumn("epoch", lit(0L))
+      withEpoch.filter(col("epoch") < oldN.toLong)
         .unionByName(newEpochs)
+        .write.mode("overwrite").parquet(stage)
+      maxDelta = proveOrder(spark.read.parquet(stage), 0 until nEpochs,
+        flat = false, nChunks, "Recipe.extendEpochs",
+        mixingTol = e => if (e >= oldN) Some(tol) else None)
     }
 
-    val written = spark.read.parquet(oDir)
-    val maxDelta = proveOrder(written, 0 until nEpochs, flat = false,
-      nChunks, "Recipe.extendEpochs",
-      mixingTol = e => if (e >= oldN) Some(tol) else None)
+    // the manifest tiles per-epoch position ranges — the new epochs
+    // need read slices too; re-cut at the persisted budget, BEFORE the
+    // meta flip so a crash in between is replayable (see scaladoc)
+    shardBudget.foreach { budget =>
+      if (budget > 0) { shards(spark, recipeDir, budget, strataCol); () }
+    }
 
-    // meta flips to the new epoch count — staged, so a crash leaves a
-    // readable record either way
+    // meta flips to the new epoch count LAST — the commit point: only
+    // once everything else landed does a rerun of the same call refuse
     val newMeta = meta.withColumn("n_epochs", lit(nEpochs.toLong))
     Pipeline.stagedOverwrite(spark, mDir, "extend") { stage =>
       newMeta.coalesce(1).write.mode("overwrite").parquet(stage)
     }
 
-    // the manifest tiles per-epoch position ranges — the new epochs
-    // need read slices too; re-cut at the persisted budget
-    shardBudget.foreach { budget =>
-      if (budget > 0) { shards(spark, recipeDir, budget, strataCol); () }
-    }
-
     ExtendReport(oldN, nEpochs, nChunks, maxDelta,
       Seq(oDir, mDir) ++ shardBudget.map(_ => s"$recipeDir/shards").toSeq)
+  }
+
+  /** Every crash residue a recipe dir can carry, healed in one place —
+    * the publish-root swap plus each artifact's own rewrite tags. Every
+    * reader/mutator of a recipe dir calls this first, so a crash in ANY
+    * prior operation self-heals on the next touch instead of surfacing
+    * as PATH_NOT_FOUND from whichever function happens to run next. */
+  private def healResidues(spark: SparkSession, recipeDir: String): Unit = {
+    Pipeline.healStagedResidue(spark, recipeDir, "publish")
+    Pipeline.healStagedResidue(spark, s"$recipeDir/assignments", "prune")
+    Pipeline.healStagedResidue(spark, s"$recipeDir/order", "retract")
+    Pipeline.healStagedResidue(spark, s"$recipeDir/order", "extend")
+    Pipeline.healStagedResidue(spark, s"$recipeDir/meta", "extend")
+    Pipeline.healStagedResidue(spark, s"$recipeDir/shards", "publish")
   }
 }

@@ -1184,17 +1184,25 @@ object Pipeline {
     * the same way [[materializeMix]] refuses it). Null and duplicate
     * keys inherit the kernel's loud refusal.
     */
+  /** ONE definition of the epoch-count sanity guard — shared by the
+    * epoch-order operators and [[graft.Recipe.extendEpochs]], so the
+    * conf key, default, and refusal cannot drift between them. */
+  private[graft] def requireSaneEpochs(spark: SparkSession, nEpochs: Int,
+                                       caller: String): Unit = {
+    val maxEpochs = spark.conf
+      .getOption("spark.graft.mix.maxEpochs").map(_.toLong).getOrElse(1000L)
+    require(nEpochs <= maxEpochs,
+      s"$caller: $nEpochs epochs - past spark.graft.mix" +
+        s".maxEpochs ($maxEpochs); a schedule this hot is memorization, " +
+        "not training")
+  }
+
   def trainingOrderEpochs(rows: DataFrame, seed: Long, nEpochs: Int,
                           keyCols: Seq[String],
                           posCol: String = "pos",
                           epochCol: String = "epoch"): DataFrame = {
     require(nEpochs >= 1, s"trainingOrderEpochs: nEpochs must be >= 1, got $nEpochs")
-    val maxEpochs = rows.sparkSession.conf
-      .getOption("spark.graft.mix.maxEpochs").map(_.toLong).getOrElse(1000L)
-    require(nEpochs <= maxEpochs,
-      s"trainingOrderEpochs: $nEpochs epochs - past spark.graft.mix" +
-        s".maxEpochs ($maxEpochs); a schedule this hot is memorization, " +
-        "not training")
+    requireSaneEpochs(rows.sparkSession, nEpochs, "trainingOrderEpochs")
     require(!rows.columns.contains(epochCol),
       s"trainingOrderEpochs: input already has a '$epochCol' column - " +
         "drop or rename it before ordering")
@@ -1238,12 +1246,7 @@ object Pipeline {
                             epochCol: String = "epoch"): DataFrame = {
     require(nEpochs >= 1,
       s"curriculumOrderEpochs: nEpochs must be >= 1, got $nEpochs")
-    val maxEpochs = rows.sparkSession.conf
-      .getOption("spark.graft.mix.maxEpochs").map(_.toLong).getOrElse(1000L)
-    require(nEpochs <= maxEpochs,
-      s"curriculumOrderEpochs: $nEpochs epochs - past spark.graft.mix" +
-        s".maxEpochs ($maxEpochs); a schedule this hot is memorization, " +
-        "not training")
+    requireSaneEpochs(rows.sparkSession, nEpochs, "curriculumOrderEpochs")
     require(!rows.columns.contains(epochCol),
       s"curriculumOrderEpochs: input already has a '$epochCol' column - " +
         "drop or rename it before ordering")

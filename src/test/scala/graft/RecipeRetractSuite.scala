@@ -424,6 +424,54 @@ class RecipeRetractSuite extends AnyFunSuite {
     assert(manifest.head().getAs[Long]("shard_tokens") === 150L)
   }
 
+  test("extendEpochs: replay after a crash-before-meta-flip converges, never duplicates") {
+    import spark.implicits._
+    val dir = tmp("graft-extend-replay")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+    Recipe.extendEpochs(spark, dir, 2)
+    val extended = spark.read.parquet(s"$dir/order").collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("pos"), r.getAs[Long]("epoch"))).toSet
+    // simulate the crash window: order/ and shards/ already extended,
+    // meta/ still records the OLD epoch count (the flip is the commit
+    // point and never happened)
+    val rolled = spark.read.parquet(s"$dir/meta")
+      .withColumn("n_epochs", lit(1L))
+    val rows = rolled.collect() // break lineage off the path being rewritten
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq), rolled.schema)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    // the replayed call must RE-DERIVE epoch 1, not append a duplicate
+    val rep = Recipe.extendEpochs(spark, dir, 2)
+    assert(rep.oldEpochs === 1 && rep.nEpochs === 2)
+    val replayed = spark.read.parquet(s"$dir/order").collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("pos"), r.getAs[Long]("epoch"))).toSet
+    assert(replayed === extended)
+    assert(spark.read.parquet(s"$dir/meta").head()
+      .getAs[Long]("n_epochs") === 2L)
+  }
+
+  test("run re-publish: an existing shards manifest is re-cut over the new publish, not orphaned") {
+    import spark.implicits._
+    val dir = tmp("graft-republish")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+    Recipe.shards(spark, dir, shardTokens = 150)
+    // re-publish with a different seed: the whole root swaps, but the
+    // fleet's shards path must keep serving — re-cut at the persisted
+    // budget over the NEW schedule
+    val rep = Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64,
+      seed = 9L)
+    assert(rep.artifacts.contains(s"$dir/shards"))
+    val manifest = spark.read.parquet(s"$dir/shards")
+      .orderBy("shard_id").collect()
+    assert(manifest.nonEmpty)
+    assert(manifest.forall(_.getAs[Long]("shard_tokens") === 150L))
+    val nChunks = spark.read.parquet(s"$dir/order").count()
+    assert(manifest.last.getAs[Long]("last_pos") === nChunks - 1L,
+      "the re-cut manifest must tile the NEW publish's position space")
+  }
+
   test("shardManifest: missing or duplicated token rows refuse loudly") {
     import spark.implicits._
     val order = Seq(("a", 0L, 0L), ("a", 1L, 1L)).toDF("stratum", "chunk_id", "pos")
