@@ -83,22 +83,33 @@ object Recipe {
     // dir (new assignments beside the previous publish's order), the
     // cross-artifact hazard a per-file overwrite cannot close
     // a re-publish must not silently orphan a fleet's shards path: if
-    // the dir being replaced carries a manifest, remember its persisted
-    // budget and re-cut it over the NEW publish after the swap
+    // the dir being replaced carries a manifest, its persisted budget is
+    // read BEFORE the swap and the manifest is re-cut INTO THE STAGE —
+    // the new root arrives atomically WITH its shards, so neither a
+    // crash after the swap nor a concurrent reader ever sees the path
+    // missing (and the budget's only persisted copy is never destroyed
+    // before the re-cut exists). An EMPTY prior manifest (budget 0 —
+    // the fully-retracted case) is unknowable: an empty manifest would
+    // LIE about the new non-empty schedule, so refuse up front while
+    // the dir is untouched rather than guess or silently drop the path.
     healResidues(spark, outDir)
     val priorShardBudget = persistedShardBudget(spark, outDir, "Recipe.run")
+    require(!priorShardBudget.contains(0),
+      s"Recipe.run: $outDir/shards is an EMPTY manifest (no persisted " +
+        "budget to re-cut the new publish at) - delete it, or plan to " +
+        "call Recipe.shards with an explicit budget, then re-publish")
     var staged: RecipeReport = null
     Pipeline.stagedOverwrite(spark, outDir, "publish") { stageRoot =>
       staged = buildInto(docs, stageRoot, budgetTokens, chunkTokens, seed,
         nEpochs, strataCol, idCol, textCol, mixingTolMicro)
-    }
-    priorShardBudget.filter(_ > 0).foreach { budget =>
-      shards(spark, outDir, budget, strataCol); ()
+      priorShardBudget.foreach { budget =>
+        shards(spark, stageRoot, budget, strataCol); ()
+      }
     }
     staged.copy(artifacts =
       Seq(s"$outDir/plan", s"$outDir/assignments", s"$outDir/order",
         s"$outDir/meta") ++
-        priorShardBudget.filter(_ > 0).map(_ => s"$outDir/shards").toSeq)
+        priorShardBudget.map(_ => s"$outDir/shards").toSeq)
   }
 
   /** [[run]]'s body, building into `outDir` (a private stage root) —
@@ -485,10 +496,13 @@ object Recipe {
   }
 
   /** The shards manifest's persisted budget, validated up front: Some
-    * when a manifest exists (0 = empty manifest, nothing to re-cut),
-    * None when none was ever published; a manifest without the
-    * `shard_tokens` column refuses LOUDLY before any caller mutates the
-    * recipe dir. Shared by [[retract]] and [[extendEpochs]]. */
+    * when a manifest exists (0 = empty manifest — nothing to re-cut for
+    * [[retract]]/[[extendEpochs]], a loud refusal for [[run]]'s
+    * re-publish where an empty manifest would lie about a non-empty
+    * schedule), None when none was ever published; a manifest without
+    * the `shard_tokens` column refuses LOUDLY before any caller mutates
+    * the recipe dir. Shared by [[run]], [[retract]], and
+    * [[extendEpochs]]. */
   private def persistedShardBudget(spark: SparkSession, recipeDir: String,
                                    caller: String): Option[Int] = {
     val sPath = new org.apache.hadoop.fs.Path(s"$recipeDir/shards")

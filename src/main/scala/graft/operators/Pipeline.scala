@@ -1160,6 +1160,19 @@ object Pipeline {
       .drop("__h")
   }
 
+  /** ONE definition of the epoch-count sanity guard — shared by the
+    * epoch-order operators and [[graft.Recipe.extendEpochs]], so the
+    * conf key, default, and refusal cannot drift between them. */
+  private[graft] def requireSaneEpochs(spark: SparkSession, nEpochs: Int,
+                                       caller: String): Unit = {
+    val maxEpochs = spark.conf
+      .getOption("spark.graft.mix.maxEpochs").map(_.toLong).getOrElse(1000L)
+    require(nEpochs <= maxEpochs,
+      s"$caller: $nEpochs epochs - past spark.graft.mix" +
+        s".maxEpochs ($maxEpochs); a schedule this hot is memorization, " +
+        "not training")
+  }
+
   /** EPOCH-INDEXED training order — the multi-epoch form of
     * [[trainingOrder]]: a run that sees the corpus `nEpochs` times needs
     * a DIFFERENT permutation per epoch (repeating one order correlates
@@ -1184,19 +1197,6 @@ object Pipeline {
     * the same way [[materializeMix]] refuses it). Null and duplicate
     * keys inherit the kernel's loud refusal.
     */
-  /** ONE definition of the epoch-count sanity guard — shared by the
-    * epoch-order operators and [[graft.Recipe.extendEpochs]], so the
-    * conf key, default, and refusal cannot drift between them. */
-  private[graft] def requireSaneEpochs(spark: SparkSession, nEpochs: Int,
-                                       caller: String): Unit = {
-    val maxEpochs = spark.conf
-      .getOption("spark.graft.mix.maxEpochs").map(_.toLong).getOrElse(1000L)
-    require(nEpochs <= maxEpochs,
-      s"$caller: $nEpochs epochs - past spark.graft.mix" +
-        s".maxEpochs ($maxEpochs); a schedule this hot is memorization, " +
-        "not training")
-  }
-
   def trainingOrderEpochs(rows: DataFrame, seed: Long, nEpochs: Int,
                           keyCols: Seq[String],
                           posCol: String = "pos",

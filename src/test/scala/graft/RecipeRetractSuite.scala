@@ -470,6 +470,19 @@ class RecipeRetractSuite extends AnyFunSuite {
     val nChunks = spark.read.parquet(s"$dir/order").count()
     assert(manifest.last.getAs[Long]("last_pos") === nChunks - 1L,
       "the re-cut manifest must tile the NEW publish's position space")
+
+    // an EMPTY prior manifest has no knowable budget: re-publish must
+    // refuse up front (an empty manifest would lie about the new
+    // schedule; silently dropping the path would orphan its readers)
+    val dir2 = tmp("graft-republish-empty")
+    Recipe.run(docs, dir2, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+    Recipe.shards(spark, dir2, shardTokens = 150)
+    Recipe.retract(docs.select("doc_id").distinct(), dir2) // empties it
+    val e = intercept[IllegalArgumentException] {
+      Recipe.run(docs, dir2, budgetTokens = 20000L, chunkTokens = 64,
+        seed = 9L)
+    }
+    assert(e.getMessage.contains("EMPTY manifest"))
   }
 
   test("shardManifest: missing or duplicated token rows refuse loudly") {
