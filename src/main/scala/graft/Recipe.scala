@@ -62,6 +62,55 @@ object Recipe {
       maxMixDeltaMicro: Long,
       artifacts: Seq[String])
 
+  /** CURRICULUM publish mode — the band spec [[run]] records in `meta/`
+    * and [[extendEpochs]] re-derives from: a chunk's difficulty band is
+    * its mean member doc length banded in exact integers,
+    * `least((sum_tokens div n_docs) div bandDivisor, maxBand)` — the
+    * q191 economics band, computed from the `assignments/` artifact
+    * ALONE so a retraction or an extension can re-derive it without the
+    * corpus (the property that makes curriculum a recordable kernel
+    * parameter rather than a hand-fed column). Low-cardinality by
+    * construction (`maxBand` + 1 bands). */
+  final case class CurriculumSpec(bandDivisor: Long = 16L,
+                                  maxBand: Long = 3L) {
+    require(bandDivisor >= 1L,
+      s"CurriculumSpec: bandDivisor must be >= 1, got $bandDivisor")
+    require(maxBand >= 0L,
+      s"CurriculumSpec: maxBand must be >= 0, got $maxBand")
+  }
+
+  /** The ONE derivation of curriculum bands over a recipe's chunk
+    * table — shared by [[run]]'s publish and [[extendEpochs]]'s
+    * meta-driven extension so the two cannot band differently. Input is
+    * the `assignments/` frame; output one row per (stratum, chunk_id)
+    * with its `band`. One chunk-scale aggregate; the corpus text is
+    * never read. */
+  private def bandedChunks(assigned: DataFrame, strataCol: String,
+                           spec: CurriculumSpec): DataFrame =
+    assigned.filter(col("chunk_id").isNotNull)
+      .groupBy(col(strataCol).as("stratum"), col("chunk_id"))
+      .agg(count(lit(1)).as("__nd"),
+        sum(col("n_tokens")).cast("bigint").as("__st"))
+      .select(col("stratum"), col("chunk_id"),
+        least(expr(s"(__st div __nd) div ${spec.bandDivisor}"),
+          lit(spec.maxBand)).cast("long").as("band"))
+
+  /** @param curriculum Some(spec) publishes a CURRICULUM schedule:
+    *        chunks gain difficulty bands ([[bandedChunks]] — derived
+    *        from the assignments artifact, so mutations re-derive them)
+    *        and the order runs through
+    *        [[graft.operators.Pipeline.curriculumOrder]] (band-led
+    *        within every epoch, within-band permutation re-dealt per
+    *        epoch). The kernel CHOICE is persisted in `meta/`
+    *        (`order_kernel` + the band spec) — the contract
+    *        [[extendEpochs]] derives the matching kernel from, so a
+    *        curriculum recipe can never be silently extended with
+    *        non-band epochs. The mixing gate goes BAND-LOCAL
+    *        ([[graft.operators.Pipeline.orderMixingAuditBands]]): the
+    *        band blocks are ordered deliberately, so within-band
+    *        decorrelation is what the schedule promises; a band
+    *        contiguity gate (blocks tile each epoch in ascending band
+    *        order) is forced alongside the permutation proof. */
   def run(docs: DataFrame, outDir: String,
           budgetTokens: Long,
           chunkTokens: Int = 2048,
@@ -70,7 +119,8 @@ object Recipe {
           strataCol: String = "source",
           idCol: String = "doc_id",
           textCol: String = "text",
-          mixingTolMicro: Long = 250000L): RecipeReport = {
+          mixingTolMicro: Long = 250000L,
+          curriculum: Option[CurriculumSpec] = None): RecipeReport = {
     require(nEpochs >= 1, s"Recipe.run: nEpochs must be >= 1, got $nEpochs")
     require(mixingTolMicro > 0,
       s"Recipe.run: mixingTolMicro must be positive, got $mixingTolMicro")
@@ -85,23 +135,31 @@ object Recipe {
     // a re-publish must not silently orphan a fleet's shards path: if
     // the dir being replaced carries a manifest, its persisted budget is
     // read BEFORE the swap and the manifest is re-cut INTO THE STAGE —
-    // the new root arrives atomically WITH its shards, so neither a
-    // crash after the swap nor a concurrent reader ever sees the path
-    // missing (and the budget's only persisted copy is never destroyed
-    // before the re-cut exists). An EMPTY prior manifest (budget 0 —
-    // the fully-retracted case) is unknowable: an empty manifest would
-    // LIE about the new non-empty schedule, so refuse up front while
-    // the dir is untouched rather than guess or silently drop the path.
+    // the new root arrives WITH its shards under the swap's
+    // crash-recovery guarantee (a crash at any point leaves the old or
+    // the new publish readable, or restorable from the aside on the
+    // next touch; the swap itself is two renames, so a reader hitting
+    // the in-between window may see one PATH_NOT_FOUND and should
+    // retry — see Pipeline.stagedOverwrite), and the budget's persisted
+    // copy is never destroyed before the re-cut exists. A LEGACY empty
+    // prior manifest (pre-sidecar, zero rows — budget 0) is unknowable:
+    // an empty manifest would LIE about the new non-empty schedule, so
+    // refuse up front while the dir is untouched rather than guess or
+    // silently drop the path. (r16+ manifests persist the budget in a
+    // `_budget` sidecar that survives an emptied manifest, so this
+    // refusal only fires on pre-sidecar residue.)
     healResidues(spark, outDir)
     val priorShardBudget = persistedShardBudget(spark, outDir, "Recipe.run")
     require(!priorShardBudget.contains(0),
-      s"Recipe.run: $outDir/shards is an EMPTY manifest (no persisted " +
-        "budget to re-cut the new publish at) - delete it, or plan to " +
-        "call Recipe.shards with an explicit budget, then re-publish")
+      s"Recipe.run: $outDir/shards is a legacy EMPTY manifest (no " +
+        "persisted budget to re-cut the new publish at) - either " +
+        "delete shards/ and re-publish, or run Recipe.shards with an " +
+        "explicit budget first (it now persists a _budget sidecar that " +
+        "survives an emptied manifest) and retry")
     var staged: RecipeReport = null
     Pipeline.stagedOverwrite(spark, outDir, "publish") { stageRoot =>
       staged = buildInto(docs, stageRoot, budgetTokens, chunkTokens, seed,
-        nEpochs, strataCol, idCol, textCol, mixingTolMicro)
+        nEpochs, strataCol, idCol, textCol, mixingTolMicro, curriculum)
       priorShardBudget.foreach { budget =>
         shards(spark, stageRoot, budget, strataCol); ()
       }
@@ -118,8 +176,8 @@ object Recipe {
   private def buildInto(docs: DataFrame, outDir: String,
                         budgetTokens: Long, chunkTokens: Int, seed: Long,
                         nEpochs: Int, strataCol: String, idCol: String,
-                        textCol: String,
-                        mixingTolMicro: Long): RecipeReport = {
+                        textCol: String, mixingTolMicro: Long,
+                        curriculum: Option[CurriculumSpec]): RecipeReport = {
     val spark = docs.sparkSession
 
     // 1) plan — persisted first within the stage: on a later gate's
@@ -170,27 +228,46 @@ object Recipe {
     val multisetTokens = assigned
       .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
 
-    // 3) order — per-epoch permutations from one seed
+    // 3) order — per-epoch permutations from one seed, through the
+    //    PUBLISH-MODE kernel: trainingOrder (flat decorrelation) or
+    //    curriculumOrder (band-led; bands derived from the assignments
+    //    artifact by the shared bandedChunks definition)
     val chunks = assigned.filter(col("chunk_id").isNotNull)
       .select(col(strataCol).as("stratum"), col("chunk_id")).distinct()
-    val order =
-      if (nEpochs == 1)
-        Pipeline.trainingOrder(chunks, seed, Seq("stratum", "chunk_id"))
-      else
-        Pipeline.trainingOrderEpochs(chunks, seed, nEpochs,
-          Seq("stratum", "chunk_id"))
+    val order = curriculum match {
+      case None =>
+        if (nEpochs == 1)
+          Pipeline.trainingOrder(chunks, seed, Seq("stratum", "chunk_id"))
+        else
+          Pipeline.trainingOrderEpochs(chunks, seed, nEpochs,
+            Seq("stratum", "chunk_id"))
+      case Some(spec) =>
+        val banded = bandedChunks(assigned, strataCol, spec)
+        if (nEpochs == 1)
+          Pipeline.curriculumOrder(banded, seed, Seq("stratum", "chunk_id"))
+        else
+          Pipeline.curriculumOrderEpochs(banded, seed, nEpochs,
+            Seq("stratum", "chunk_id"))
+    }
     order.write.mode("overwrite").parquet(s"$outDir/order")
 
     // 4) meta — the run's parameters as a one-row governance record:
     //    without it a published dir does not record HOW it was produced,
     //    and [[extendEpochs]] could not derive epochs k.. from the same
-    //    seed (or hold new epochs to the same mixing tolerance)
+    //    seed (or hold new epochs to the same mixing tolerance). The
+    //    ORDER KERNEL is part of the record (r16): a schedule does not
+    //    say which kernel dealt it, and an extension that guessed wrong
+    //    would silently append non-band epochs to a curriculum — the
+    //    exact mismatched-parameter class meta/ was invented to kill.
     val sqlc = spark
     import sqlc.implicits._
     Seq((budgetTokens, chunkTokens.toLong, seed, nEpochs.toLong,
-        strataCol, idCol, textCol, mixingTolMicro))
+        strataCol, idCol, textCol, mixingTolMicro,
+        if (curriculum.isDefined) "curriculumOrder" else "trainingOrder",
+        curriculum.map(_.bandDivisor), curriculum.map(_.maxBand)))
       .toDF("budget_tokens", "chunk_tokens", "seed", "n_epochs",
-        "strata_col", "id_col", "text_col", "mixing_tol_micro")
+        "strata_col", "id_col", "text_col", "mixing_tol_micro",
+        "order_kernel", "band_divisor", "band_max")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/meta")
 
     // permutation + mixing gates — per epoch, on the written artifact
@@ -210,14 +287,27 @@ object Recipe {
     * [[retract]], and [[extendEpochs]] all exit through: each listed
     * epoch must hold the exact permutation 0..nChunks−1 (count,
     * distinct, max — required), and the mixing audit is folded to the
-    * worst per-(epoch, stratum) |same_next − share| — REQUIRED within
-    * `mixingTol(e)` when that returns Some (run gates every epoch,
-    * extendEpochs only the NEW ones), measured-only on None (retract's
-    * report: a deletion must not be refusable on a statistical property
-    * of what remains). Returns the measured worst delta. */
+    * worst per-(epoch, [band,] stratum) |same_next − share| — REQUIRED
+    * within `mixingTol(e)` when that returns Some (run gates every
+    * epoch, extendEpochs only the NEW ones), measured-only on None
+    * (retract's report: a deletion must not be refusable on a
+    * statistical property of what remains). Returns the measured worst
+    * delta.
+    *
+    * KERNEL-AWARE by artifact shape: a schedule carrying a `band`
+    * column is a curriculum publish, so the mixing audit goes
+    * BAND-LOCAL ([[graft.operators.Pipeline.orderMixingAuditBands]] —
+    * the band blocks are ordered deliberately; within-band
+    * decorrelation is what the kernel promises) and a STRUCTURAL band
+    * contiguity gate is forced on every listed epoch (band blocks tile
+    * the epoch contiguously in ascending band order — required
+    * everywhere, retraction included: relative-order-preserving
+    * mutations cannot break contiguity, so a violation is a kernel bug,
+    * never a statistical property of what remains). */
   private def proveOrder(written: DataFrame, epochs: Seq[Int],
                          flat: Boolean, nChunks: Long,
                          caller: String, mixingTol: Int => Option[Long]): Long = {
+    val banded = written.columns.contains("band")
     var maxDelta = 0L
     epochs.foreach { e =>
       val ep = if (flat) written
@@ -229,8 +319,17 @@ object Recipe {
           stats.getLong(2) == nChunks - 1,
         s"$caller: epoch $e positions are not the exact permutation " +
           s"0..${nChunks - 1}: (count, distinct, max) = $stats")
+      if (banded) proveBandContiguity(ep, e, caller)
       if (nChunks > 0L) {
-        val audit = Pipeline.orderMixingAudit(ep.drop("epoch"))
+        val auditDf =
+          if (banded) Pipeline.orderMixingAuditBands(ep.drop("epoch"))
+          else Pipeline.orderMixingAudit(ep.drop("epoch"))
+        // n_pairs == 0 rows carry NO successor evidence (a stratum whose
+        // only chunks close their scope; a singleton band) — their
+        // same_next reads 0 by convention, so |0 − share| would "measure"
+        // a delta no permutation could avoid. No evidence, no gate.
+        val audit = auditDf
+          .filter(col("n_pairs") > 0L)
           .select(col("stratum"),
             abs(col("same_next_micro") - col("share_micro")).as("d"))
           .collect()
@@ -246,6 +345,31 @@ object Recipe {
       }
     }
     maxDelta
+  }
+
+  /** The curriculum schedule's STRUCTURAL gate: one epoch's band blocks
+    * must tile positions 0..n−1 contiguously in ascending band order
+    * (easy → hard, no interleaving, no gaps). |bands|-row aggregate +
+    * driver check — bands are single digits by [[CurriculumSpec]]
+    * construction. */
+  private def proveBandContiguity(epochRows: DataFrame, epoch: Int,
+                                  caller: String): Unit = {
+    val blocks = epochRows.groupBy(col("band"))
+      .agg(min(col("pos")).as("lo"), max(col("pos")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect().sortBy(_.getAs[Long]("lo"))
+    var expect = 0L
+    var prevBand = Long.MinValue
+    blocks.foreach { r =>
+      val b = r.getAs[Long]("band"); val lo = r.getAs[Long]("lo")
+      val hi = r.getAs[Long]("hi"); val n = r.getAs[Long]("n")
+      require(b > prevBand && lo == expect && hi - lo + 1L == n,
+        s"$caller: epoch $epoch band $b occupies positions [$lo, $hi] " +
+          s"with $n rows - band blocks must tile the epoch contiguously " +
+          s"in ascending band order (expected next block to start at " +
+          s"$expect after band $prevBand); the band contract is broken")
+      prevBand = b; expect = hi + 1L
+    }
   }
 
   /** Publish the SHARD MANIFEST for a recipe's schedule — the read-side
@@ -284,11 +408,112 @@ object Recipe {
       .withColumn("shard_tokens", lit(shardTokens.toLong))
     // staged swap, never a bare overwrite: retract regenerates THROUGH
     // this call, and its replay idempotence claim needs a crash here to
-    // leave either the old manifest or the new one readable
+    // leave either the old manifest or the new one readable. The
+    // `_budget` sidecar (one row, underscore-prefixed so manifest reads
+    // skip it) lands INSIDE the stage, so budget and rows swap as one
+    // unit — and the budget survives a later retraction emptying the
+    // rows (see [[persistedShardBudget]]).
+    val sqlc = spark
+    import sqlc.implicits._
     Pipeline.stagedOverwrite(spark, s"$recipeDir/shards", "publish") {
-      stage => manifest.write.mode("overwrite").parquet(stage)
+      stage =>
+        manifest.write.mode("overwrite").parquet(stage)
+        Seq(shardTokens.toLong).toDF("shard_tokens")
+          .coalesce(1).write.mode("overwrite").parquet(s"$stage/_budget")
     }
     spark.read.parquet(s"$recipeDir/shards").count()
+  }
+
+  /** READ one shard of a published schedule — the CONSUMER the manifest
+    * exists for, as API: a fleet reader is handed `(epoch?, shard_id)`
+    * and must materialize exactly its contiguous slice of the schedule,
+    * in schedule order, with the chunk members to load. Until r16 that
+    * read was left to the dataloader ("filter the order by the
+    * manifest's position range, join assignments yourself") — the same
+    * hand-sequenced-step hazard everywhere else in this object: an
+    * off-by-one on the INCLUSIVE range bounds, or a join that forgets
+    * the stratum half of the chunk key, silently trains a hole or a
+    * duplicate. This call is the one definition, and it is AUDITED:
+    * the slice's chunk count must equal the manifest row's `n_chunks`
+    * (a mismatch means order/ and shards/ have drifted — a stale
+    * manifest after a hand mutation — and the reader must not proceed).
+    *
+    * Returns one row per chunk MEMBER in the slice:
+    * `([epoch,] pos, stratum, chunk_id, <idCol>, mix_id, n_tokens)` —
+    * `idCol`/strata column come from `meta/` (the persisted record, so
+    * a caller cannot read with mismatched key names). Contract: an
+    * epoch-indexed manifest requires `epoch` (a flat one refuses it);
+    * an absent `(epoch, shard_id)` refuses loudly, never an empty
+    * frame (an empty shard read is a fleet bug, not a result).
+    *
+    * The suite-level contract this call makes checkable: the union of
+    * every shard's slice IS the schedule, pairwise disjoint —
+    * suite-pinned over a retracted AND an extended recipe (the two
+    * mutations that re-tile the position space). Scale shape: the
+    * manifest row is a |shards|-row pruned read; the order slice is a
+    * position-range parquet filter (row-group pruned at scale); the
+    * members join is slice ⋈ assignments on the chunk key, unhinted
+    * (the slice side is shard-budget-bounded — AQE broadcasts it). */
+  def readShard(spark: SparkSession, recipeDir: String, shardId: Long,
+                epoch: Option[Long] = None): DataFrame = {
+    healResidues(spark, recipeDir)
+    val sPath = new org.apache.hadoop.fs.Path(s"$recipeDir/shards")
+    val fs = sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(sPath),
+      s"Recipe.readShard: no shards/ manifest at $recipeDir - publish " +
+        "one with Recipe.shards first")
+    val manifest = spark.read.parquet(s"$recipeDir/shards")
+    val hasEpoch = manifest.columns.contains("epoch")
+    require(hasEpoch == epoch.isDefined,
+      if (hasEpoch)
+        s"Recipe.readShard: the manifest at $recipeDir/shards is " +
+          "epoch-indexed - name the epoch to read"
+      else
+        s"Recipe.readShard: the manifest at $recipeDir/shards is flat " +
+          s"but epoch ${epoch.get} was requested - omit the epoch")
+    // meta names the join keys — the persisted record, not caller guesses
+    val mPath = new org.apache.hadoop.fs.Path(s"$recipeDir/meta")
+    require(fs.exists(mPath),
+      s"Recipe.readShard: no meta/ record at $recipeDir - the read " +
+        "derives its key columns from the persisted run record; " +
+        "re-publish with Recipe.run")
+    val meta = spark.read.parquet(s"$recipeDir/meta").head()
+    val strataCol = meta.getAs[String]("strata_col")
+    val idCol = meta.getAs[String]("id_col")
+    val rows = manifest
+      .filter(col("shard_id") === shardId &&
+        epoch.map(e => col("epoch") === e).getOrElse(lit(true)))
+      .select(col("first_pos"), col("last_pos"), col("n_chunks"))
+      .collect()
+    require(rows.length == 1,
+      s"Recipe.readShard: ${rows.length} manifest rows for shard " +
+        s"$shardId${epoch.map(e => s" epoch $e").getOrElse("")} at " +
+        s"$recipeDir/shards - an absent or duplicated shard is a " +
+        "manifest integrity failure, not an empty read")
+    val (firstPos, lastPos, nChunks) =
+      (rows(0).getLong(0), rows(0).getLong(1), rows(0).getLong(2))
+    val slice = spark.read.parquet(s"$recipeDir/order")
+      .filter(col("pos") >= firstPos && col("pos") <= lastPos &&
+        epoch.map(e => col("epoch") === e).getOrElse(lit(true)))
+      .select(col("stratum"), col("chunk_id"), col("pos"))
+    // drift audit: the slice must hold exactly the chunks the manifest
+    // row claims — order/ re-tiled (retract/extend) without a manifest
+    // re-cut would hand this reader someone else's positions
+    val nSlice = slice.count()
+    require(nSlice == nChunks,
+      s"Recipe.readShard: shard $shardId claims $nChunks chunks but the " +
+        s"order slice [$firstPos, $lastPos] holds $nSlice - order/ and " +
+        "shards/ have drifted; regenerate the manifest with " +
+        "Recipe.shards before reading")
+    val members = spark.read.parquet(s"$recipeDir/assignments")
+      .filter(col("chunk_id").isNotNull)
+      .select(col(strataCol).as("stratum"), col("chunk_id"),
+        col(idCol), col("mix_id"), col("n_tokens"))
+    val joined = slice.join(members, Seq("stratum", "chunk_id"))
+    val outCols = epoch.map(e => lit(e).as("epoch")).toSeq ++
+      Seq(col("pos"), col("stratum"), col("chunk_id"), col(idCol),
+        col("mix_id"), col("n_tokens"))
+    joined.select(outCols: _*).orderBy(col("pos"), col("mix_id"))
   }
 
   /** The per-stratum GOVERNANCE CARD over a published recipe — the
@@ -306,6 +531,17 @@ object Recipe {
     * whose allocation materialized nothing still shows (zeros), which
     * is exactly the row a review needs to see.
     *
+    * The card carries its own VERDICT (r16): `mixing_tol_micro` is the
+    * run's persisted tolerance from `meta/`, and `within_tolerance`
+    * says `within` / `degraded` per stratum (the q121 verdict
+    * discipline) — the governance read needs no side lookup into meta
+    * to know whether a post-retraction `mix_delta_micro` still sits
+    * inside what the publish promised. The audit is KERNEL-AWARE by
+    * artifact shape: a curriculum schedule (band column) audits
+    * band-locally ([[graft.operators.Pipeline.orderMixingAuditBands]] —
+    * the same yardstick the run gate held it to), epoch schedules per
+    * epoch, flat schedules flat.
+    *
     * Read-only and safe after a [[retract]] (the audit re-reads the
     * artifacts as they are). Scale shape: |strata| plan rows broadcast
     * into the joins; the assignments aggregate is one hash exchange of
@@ -322,6 +558,17 @@ object Recipe {
       s"Recipe.report: plan at $recipeDir/plan has no '$strataCol'/" +
         s"'alloc_tokens' columns (found ${plan.columns.mkString(", ")}) " +
         "- is this a Recipe.run output dir?")
+    val mPath = new org.apache.hadoop.fs.Path(s"$recipeDir/meta")
+    val mfs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(mfs.exists(mPath),
+      s"Recipe.report: no meta/ record at $recipeDir - the card's " +
+        "verdict column needs the run's persisted mixing tolerance; " +
+        "re-publish with Recipe.run (which writes meta/)")
+    val metaDf = spark.read.parquet(s"$recipeDir/meta")
+    require(metaDf.columns.contains("mixing_tol_micro"),
+      s"Recipe.report: meta/ at $recipeDir has no 'mixing_tol_micro' " +
+        s"column (found ${metaDf.columns.mkString(", ")})")
+    val tol = metaDf.head().getAs[Long]("mixing_tol_micro")
     val assigned = spark.read.parquet(s"$recipeDir/assignments")
     val agg = assigned.groupBy(col(strataCol))
       .agg(count(lit(1)).cast("bigint").as("n_copies"),
@@ -331,7 +578,9 @@ object Recipe {
           .cast("bigint").as("n_chunks"))
     val order = spark.read.parquet(s"$recipeDir/order")
     val audit =
-      if (order.columns.contains("epoch"))
+      if (order.columns.contains("band"))
+        Pipeline.orderMixingAuditBands(order)
+      else if (order.columns.contains("epoch"))
         Pipeline.orderMixingAuditEpochs(order)
       else Pipeline.orderMixingAudit(order)
     val delta = audit.groupBy(col("stratum").as(strataCol))
@@ -347,6 +596,10 @@ object Recipe {
           .otherwise(expr(
             "CAST(packed_tokens AS DECIMAL(38,0)) * 1000000 div alloc_tokens"))
           .cast("long"))
+      .withColumn("mixing_tol_micro", lit(tol))
+      .withColumn("within_tolerance",
+        when(col("mix_delta_micro") <= lit(tol), "within")
+          .otherwise("degraded"))
   }
 
   /** What a retraction removed and what was re-proven: `chunksDropped`
@@ -496,13 +749,23 @@ object Recipe {
   }
 
   /** The shards manifest's persisted budget, validated up front: Some
-    * when a manifest exists (0 = empty manifest — nothing to re-cut for
-    * [[retract]]/[[extendEpochs]], a loud refusal for [[run]]'s
-    * re-publish where an empty manifest would lie about a non-empty
-    * schedule), None when none was ever published; a manifest without
-    * the `shard_tokens` column refuses LOUDLY before any caller mutates
-    * the recipe dir. Shared by [[run]], [[retract]], and
-    * [[extendEpochs]]. */
+    * when a manifest exists, None when none was ever published; a
+    * manifest without a recoverable budget refuses LOUDLY before any
+    * caller mutates the recipe dir. Shared by [[run]], [[retract]], and
+    * [[extendEpochs]].
+    *
+    * Two persisted copies, reconciled: the per-row `shard_tokens`
+    * constant (the r15 `build_k` discipline) and the r16 `_budget`
+    * SIDECAR — a one-row parquet INSIDE `shards/` (underscore-prefixed,
+    * so the manifest read never sees it, and it rides the staged swap
+    * with the rows it describes). The sidecar exists because the row
+    * copy EVAPORATES with the rows: a fully-retracted schedule's
+    * manifest has zero rows and its budget used to read back as 0 —
+    * unknowable, forcing [[run]]'s re-publish to refuse. Rules:
+    * sidecar + rows must AGREE (a hand-edited hybrid refuses); rows
+    * alone must agree with THEMSELVES (min == max — mixed budgets are
+    * ambiguity, never silently re-cut at the max); a legacy empty
+    * manifest (no sidecar, no rows) reads 0 = unknowable. */
   private def persistedShardBudget(spark: SparkSession, recipeDir: String,
                                    caller: String): Option[Int] = {
     val sPath = new org.apache.hadoop.fs.Path(s"$recipeDir/shards")
@@ -515,8 +778,34 @@ object Recipe {
           "'shard_tokens' column, so the manifest cannot be re-cut at " +
           "its original budget - regenerate it with Recipe.shards " +
           "(which persists the budget) and retry")
-      Some(m.agg(coalesce(max(col("shard_tokens")), lit(0L)))
-        .head().getLong(0).toInt)
+      val mm = m.agg(min(col("shard_tokens")), max(col("shard_tokens"))).head()
+      val rowBudget: Option[Long] =
+        if (mm.isNullAt(1)) None
+        else {
+          require(mm.getLong(0) == mm.getLong(1),
+            s"$caller: $recipeDir/shards rows disagree on their own " +
+              s"budget (shard_tokens min ${mm.getLong(0)} != max " +
+              s"${mm.getLong(1)}) - a mixed-budget manifest is " +
+              "hand-edited or hybrid residue; refusing to re-cut at " +
+              "either value - delete shards/ and regenerate with " +
+              "Recipe.shards")
+          Some(mm.getLong(1))
+        }
+      val scPath = new org.apache.hadoop.fs.Path(s"$recipeDir/shards/_budget")
+      val sidecar: Option[Long] =
+        if (!fs.exists(scPath)) None
+        else Some(spark.read.parquet(scPath.toString).head().getLong(0))
+      (sidecar, rowBudget) match {
+        case (Some(sb), Some(rb)) =>
+          require(sb == rb,
+            s"$caller: $recipeDir/shards _budget sidecar says $sb but " +
+              s"the manifest rows say $rb - the two persisted copies " +
+              "disagree; delete shards/ and regenerate with Recipe.shards")
+          Some(sb.toInt)
+        case (Some(sb), None) => Some(sb.toInt) // emptied manifest, budget known
+        case (None, Some(rb)) => Some(rb.toInt) // legacy (pre-sidecar) manifest
+        case (None, None)     => Some(0)        // legacy empty: unknowable
+      }
     }
   }
 
@@ -531,12 +820,18 @@ object Recipe {
       artifacts: Seq[String])
 
   /** EXTEND a published schedule to more epochs — "train 3 epochs, not
-    * 2", decided after the publish: epoch `e` of a recipe is the
-    * [[graft.operators.Pipeline.trainingOrder]] kernel at
-    * `seed XOR e`, so epochs `oldN..nEpochs−1` are DERIVABLE from the
-    * persisted `meta/` (seed + mixing tolerance + epoch count — the
-    * governance record [[run]] writes) without touching the epochs a
-    * resumable training run may already have consumed. The existing
+    * 2", decided after the publish: epoch `e` of a recipe is its
+    * RECORDED order kernel at `seed XOR e` —
+    * [[graft.operators.Pipeline.trainingOrder]] or
+    * [[graft.operators.Pipeline.curriculumOrder]] per meta's
+    * `order_kernel` (+ band spec), r16 — so epochs `oldN..nEpochs−1`
+    * are DERIVABLE from the persisted `meta/` (kernel + seed + mixing
+    * tolerance + epoch count — the governance record [[run]] writes)
+    * without touching the epochs a resumable training run may already
+    * have consumed. A meta that cannot name its kernel REFUSES: before
+    * the record existed, extension hard-assumed trainingOrder, and
+    * extending a curriculum-ordered schedule that way passed every
+    * generic gate while silently appending non-band epochs. The existing
     * epochs' rows pass through the staged rewrite UNCHANGED (a flat
     * single-epoch schedule gains its explicit `epoch = 0` column); the
     * new epochs are fresh permutations over the CURRENT chunk table
@@ -579,11 +874,24 @@ object Recipe {
       require(meta.columns.contains(c),
         s"Recipe.extendEpochs: meta/ at $recipeDir has no '$c' column " +
           s"(found ${meta.columns.mkString(", ")})"))
+    // the kernel record is NOT optional (r16): an extension that
+    // guessed trainingOrder against a schedule some other kernel dealt
+    // would pass every generic gate (any permutation proves; mixing
+    // gates only the new epochs) and silently append epochs that break
+    // the schedule's own contract — the exact mismatched-parameter
+    // class meta/ exists to kill. A meta that cannot say refuses.
+    require(meta.columns.contains("order_kernel"),
+      s"Recipe.extendEpochs: meta/ at $recipeDir records no " +
+        "'order_kernel' - this recipe predates the r16 kernel record, " +
+        "so the extension cannot derive the MATCHING kernel (extending " +
+        "a curriculum-ordered schedule with trainingOrder epochs would " +
+        "silently break the band contract); re-publish with Recipe.run")
     val m = meta.head()
     val seed = m.getAs[Long]("seed")
     val oldN = m.getAs[Long]("n_epochs").toInt
     val tol = m.getAs[Long]("mixing_tol_micro")
     val strataCol = m.getAs[String]("strata_col")
+    val kernel = m.getAs[String]("order_kernel")
     require(nEpochs > oldN,
       s"Recipe.extendEpochs: schedule already has $oldN epoch(s); " +
         s"nEpochs must exceed it, got $nEpochs (shrinking a schedule " +
@@ -593,14 +901,39 @@ object Recipe {
     val shardBudget = persistedShardBudget(spark, recipeDir,
       "Recipe.extendEpochs")
 
-    val chunks = spark.read.parquet(s"$recipeDir/assignments")
+    val assigned = spark.read.parquet(s"$recipeDir/assignments")
       .filter(col("chunk_id").isNotNull)
+    val chunks = assigned
       .select(col(strataCol).as("stratum"), col("chunk_id")).distinct()
     val nChunks = chunks.count()
+    // the MATCHING kernel, derived from the persisted record — for a
+    // curriculum recipe the bands are RE-DERIVED from the assignments
+    // as they stand (the shared bandedChunks definition at the
+    // persisted spec): a retraction may have changed chunk membership,
+    // and "fresh permutations over the CURRENT chunk table" means the
+    // new epochs band on current economics, not on publish-time ghosts
+    val orderKeys = Seq("stratum", "chunk_id")
+    val epochRows: Int => DataFrame = kernel match {
+      case "trainingOrder" =>
+        e => Pipeline.trainingOrder(chunks, seed ^ e.toLong, orderKeys)
+      case "curriculumOrder" =>
+        Seq("band_divisor", "band_max").foreach(c =>
+          require(meta.columns.contains(c) && !m.isNullAt(m.fieldIndex(c)),
+            s"Recipe.extendEpochs: meta/ at $recipeDir says " +
+              s"order_kernel=curriculumOrder but '$c' is missing/null - " +
+              "the band spec is part of the kernel record; re-publish " +
+              "with Recipe.run(curriculum = Some(...))"))
+        val spec = CurriculumSpec(m.getAs[Long]("band_divisor"),
+          m.getAs[Long]("band_max"))
+        val banded = bandedChunks(assigned, strataCol, spec)
+        e => Pipeline.curriculumOrder(banded, seed ^ e.toLong, orderKeys)
+      case other => throw new IllegalArgumentException(
+        s"Recipe.extendEpochs: meta/ at $recipeDir records unknown " +
+          s"order_kernel '$other' - this build cannot derive its " +
+          "epochs; upgrade, or re-publish with Recipe.run")
+    }
     val newEpochs = (oldN until nEpochs).map { e =>
-      Pipeline.trainingOrder(chunks, seed ^ e.toLong,
-          Seq("stratum", "chunk_id"))
-        .withColumn("epoch", lit(e.toLong))
+      epochRows(e).withColumn("epoch", lit(e.toLong))
     }.reduce(_ unionByName _)
 
     // stage → PROVE → swap: existing epochs below the meta-recorded

@@ -1471,15 +1471,28 @@ object Pipeline {
       (keyCols.map(col) :+ col("n_tokens")): _*), keyCols)
     // completeness gate: an inner join silently DROPS scheduled chunks
     // with no token row (a reader's slice would have holes) and
-    // duplicated token rows double-count. ONE aggregate job over the
-    // join yields both the row count and the null count (count(col)
-    // skips nulls), so the gate costs one pass, not two
+    // duplicated token rows double-count. A count-only gate is not
+    // enough: one missing token row plus one duplicated token row
+    // OFFSET each other (nJoined == nOrder), shipping a manifest with a
+    // double-counted shard mass AND a positional hole — so the same
+    // aggregate pass also counts DISTINCT scheduled positions surviving
+    // the join (the schedule's (epoch?, pos) is its primary key; a
+    // duplicate leaves the distinct count intact while a hole lowers
+    // it, so the pair (count, distinct) separates every case). ONE
+    // aggregate job yields all three gates (count(col) skips nulls).
     val nOrder = order.count()
-    val gate = joined.agg(count(lit(1)), count(col("n_tokens"))).head()
+    val posKey = if (hasEpoch) Seq(col(epochCol), col(posCol))
+                 else Seq(col(posCol))
+    val gate = joined.agg(count(lit(1)), count(col("n_tokens")),
+      countDistinct(posKey.head, posKey.tail: _*)).head()
     val nJoined = gate.getLong(0)
-    require(nJoined == nOrder,
+    val nDistinct = gate.getLong(2)
+    require(nJoined == nOrder && nDistinct == nOrder,
       s"$caller: $nOrder scheduled chunks joined to $nJoined token " +
-        "rows - every (stratum, chunk_id) needs exactly one n_tokens row")
+        s"rows covering $nDistinct distinct positions - every " +
+        "(stratum, chunk_id) needs exactly one n_tokens row (a missing " +
+        "row leaves a positional hole; a duplicated row double-counts " +
+        "a shard's mass)")
     val nNull = nJoined - gate.getLong(1)
     require(nNull == 0L,
       s"$caller: $nNull scheduled chunks have null n_tokens - a " +
@@ -1793,9 +1806,39 @@ object Pipeline {
     mixingAuditKernel(ordered, strataCol, posCol, Seq(epochCol))
   }
 
+  /** [[orderMixingAudit]] scoped to CURRICULUM BANDS — the audit tier a
+    * banded schedule actually promises: [[curriculumOrder]] decorrelates
+    * strata WITHIN each band (the band blocks themselves are ordered,
+    * deliberately), so the flat audit's global share is the wrong
+    * yardstick — a stratum concentrated in one band legitimately reads
+    * `same_next` near its WITHIN-BAND share, which can sit far from its
+    * corpus share without anything being wrong. Successor pairing joins
+    * on `(epoch?, band, pos)`: positions are globally consecutive
+    * within an epoch, so a band's last chunk finds no successor inside
+    * its own band and band-boundary pairs drop out — exactly the pairs
+    * the band contract excuses. Shares/totals are per (epoch?, band);
+    * output is one row per (epoch?, band, stratum) in q172's
+    * exact-integer columns, from the SAME [[mixingAuditKernel]] as the
+    * flat and epoch tiers. Epoch scoping is auto-detected from the
+    * input ([[graft.Recipe.report]]'s rule). Scale shape: q172's —
+    * one chunk-table pos equi-join, |epoch × band|-row broadcasts. */
+  def orderMixingAuditBands(ordered: DataFrame,
+                            strataCol: String = "stratum",
+                            posCol: String = "pos",
+                            bandCol: String = "band",
+                            epochCol: String = "epoch"): DataFrame = {
+    require(ordered.columns.contains(bandCol),
+      s"orderMixingAuditBands: no '$bandCol' column - audit a " +
+        "curriculum order (curriculumOrder / curriculumOrderEpochs)")
+    val prefix = (if (ordered.columns.contains(epochCol)) Seq(epochCol)
+                  else Seq.empty) :+ bandCol
+    mixingAuditKernel(ordered, strataCol, posCol, prefix)
+  }
+
   /** ONE definition of the mixing audit — [[orderMixingAudit]] is the
     * flat instance, [[orderMixingAuditEpochs]] the epoch-partitioned
-    * one; prefix columns scope the successor join, the counts, and the
+    * one, [[orderMixingAuditBands]] the curriculum band-local one;
+    * prefix columns scope the successor join, the counts, and the
     * share denominators. */
   private def mixingAuditKernel(ordered: DataFrame, strataCol: String,
                                 posCol: String,
@@ -2576,6 +2619,59 @@ object Pipeline {
       graft.Recipe.retract(
         Tables.documents(s, d).select(col("doc_id"))
           .filter(col("doc_id") % 13 === 0), dir)
+      dir
+    }
+
+  /** Build-once memo for the q195 harness query: [[cachedRecipe]]'s
+    * exact mixture published in CURRICULUM mode ([[graft.Recipe.run]]
+    * with the q191 band spec recorded in meta) — the query reads the
+    * persisted banded `order/`, so the hash gate covers curriculum as a
+    * first-class publish path (bands derived in-call, band-led order,
+    * band contiguity + band-local mixing gates forced) and not just the
+    * hand composition q191 registers. The mixing tolerance is wide:
+    * the band-LOCAL audit at sf0.01 has bands of a handful of chunks
+    * whose same-next rate is all variance — the gate's refusal
+    * semantics are suite-pinned on a fixture built to fail, not here. */
+  private def cachedCurriculumRecipe(s: SparkSession, d: String): String =
+    BuildOnce.dir("graft-recipe-curr", d) { dir =>
+      graft.Recipe.run(Tables.documents(s, d), dir,
+        budgetTokens = 400000L, chunkTokens = 256, seed = 7L, nEpochs = 2,
+        mixingTolMicro = 990000L,
+        curriculum = Some(graft.Recipe.CurriculumSpec(16L, 3L)))
+      dir
+    }
+
+  /** Build-once memo for the q196 harness query: a SINGLE-epoch
+    * curriculum publish of [[cachedCurriculumRecipe]]'s exact recipe,
+    * then [[graft.Recipe.extendEpochs]] to 2 — the extension must
+    * derive the CURRICULUM kernel from meta's r16 `order_kernel`
+    * record (bands re-derived from assignments by the shared
+    * definition, epoch 1 dealt at seed XOR 1), so the extended
+    * schedule is byte-identical to the 2-epoch publish and the two
+    * queries share one oracle: the strongest possible pin that the
+    * kernel record closes the silently-mismatched-extension hole. */
+  private def cachedExtendedCurriculumRecipe(s: SparkSession, d: String): String =
+    BuildOnce.dir("graft-recipe-curr-ext", d) { dir =>
+      graft.Recipe.run(Tables.documents(s, d), dir,
+        budgetTokens = 400000L, chunkTokens = 256, seed = 7L, nEpochs = 1,
+        mixingTolMicro = 990000L,
+        curriculum = Some(graft.Recipe.CurriculumSpec(16L, 3L)))
+      graft.Recipe.extendEpochs(s, dir, nEpochs = 2)
+      dir
+    }
+
+  /** Build-once memo for the q197 harness query: [[cachedRecipe]]'s
+    * exact publish into its own dir (the shared memo must stay
+    * shards-free — it is the untouched baseline) plus a PUBLISHED
+    * shards manifest at the q190 budget, so
+    * [[graft.Recipe.readShard]]'s consumer read — manifest row →
+    * inclusive position slice → members join, with the n_chunks drift
+    * audit — is what the driver hash-gates. */
+  private def cachedShardedRecipe(s: SparkSession, d: String): String =
+    BuildOnce.dir("graft-recipe-sharded", d) { dir =>
+      graft.Recipe.run(Tables.documents(s, d), dir,
+        budgetTokens = 400000L, chunkTokens = 256, seed = 7L, nEpochs = 1)
+      graft.Recipe.shards(s, dir, shardTokens = 4096)
       dir
     }
 
@@ -3780,6 +3876,80 @@ object Pipeline {
                CAST(MAX(pos) AS BIGINT) AS last_pos
         FROM sc GROUP BY 1 ORDER BY shard_id""")),
 
+    // SHARD READ (r16): Recipe.readShard — the consumer the manifest
+    // exists for, as API: shard 3 of a PUBLISHED manifest (the q190
+    // cut, persisted by Recipe.shards) materialized as its contiguous
+    // member slice — manifest row → inclusive position range → order
+    // slice → assignments join on the meta-recorded keys, with the
+    // n_chunks drift audit forced. Oracle = q190's chain with the
+    // shard filter applied and the member rows joined back (the
+    // manifest chain + the slice filter, recomputed independently).
+    QuerySpec(
+      "q197_read_shard",
+      (s, d) => graft.Recipe.readShard(s, cachedShardedRecipe(s, d),
+        shardId = 3L),
+      Some("""
+        WITH c AS (SELECT source,
+                          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY source),
+        w AS (SELECT source, n_tokens,
+                     CAST(floor(sqrt(n_tokens) * 1e6) AS BIGINT) AS w_micro
+              FROM c),
+        tw AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot_w FROM w),
+        p AS (SELECT source,
+                     CASE WHEN n_tokens = 0 THEN 0
+                          ELSE CAST(((400000 * w_micro) // tot_w) * 1000000 // n_tokens AS BIGINT)
+                     END AS epochs_micro
+              FROM w, tw),
+        j AS (SELECT d.doc_id, d.source AS source,
+                     len(string_split(d.text, ' ')) AS n_tokens,
+                     p.epochs_micro // 1000000 AS fullc,
+                     p.epochs_micro % 1000000 AS frac,
+                     ('0x' || substr(md5(concat(CAST(d.doc_id AS VARCHAR),
+                       ':', d.source)), 1, 8))::BIGINT % 1000000 AS draw
+              FROM documents d JOIN p ON d.source = p.source),
+        m AS (SELECT doc_id, source, n_tokens,
+                     CAST(fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END
+                       AS BIGINT) AS n_copies
+              FROM j
+              WHERE fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END > 0),
+        x AS (SELECT doc_id, source, n_tokens,
+                     concat(CAST(doc_id AS VARCHAR), '#',
+                       CAST(unnest(range(n_copies)) AS VARCHAR)) AS mix_id
+              FROM m),
+        cs AS (SELECT doc_id, source, mix_id, n_tokens,
+                      SUM(n_tokens) OVER (PARTITION BY source ORDER BY mix_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM x),
+        ct AS (SELECT source AS stratum,
+                      CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id,
+                      CAST(SUM(n_tokens) AS BIGINT) AS tok
+               FROM cs WHERE n_tokens IS NOT NULL GROUP BY 1, 2),
+        h AS (SELECT stratum, chunk_id,
+                     substr(md5(concat('7:', stratum, ':',
+                       CAST(chunk_id AS VARCHAR))), 1, 8) AS hx
+              FROM ct),
+        o AS (SELECT stratum, chunk_id,
+                     ROW_NUMBER() OVER (ORDER BY hx, stratum, chunk_id) - 1
+                       AS pos
+              FROM h),
+        sc AS (SELECT o.stratum, o.chunk_id, o.pos, ct.tok,
+                      SUM(ct.tok) OVER (ORDER BY o.pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cum2
+               FROM o JOIN ct USING (stratum, chunk_id)),
+        sl AS (SELECT stratum, chunk_id, CAST(pos AS BIGINT) AS pos
+               FROM sc WHERE (cum2 - tok) // 4096 = 3),
+        mem AS (SELECT source AS stratum,
+                       CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id,
+                       doc_id, mix_id,
+                       CAST(n_tokens AS BIGINT) AS n_tokens
+                FROM cs WHERE n_tokens IS NOT NULL)
+        SELECT sl.pos, sl.stratum, sl.chunk_id, mem.doc_id, mem.mix_id,
+               mem.n_tokens
+        FROM sl JOIN mem USING (stratum, chunk_id)
+        ORDER BY pos, mix_id""")),
+
     // PER-SHARD STRATUM BREAKDOWN (r15): the reader-side mixing audit
     // the manifest's totals cannot show — a fleet reader consumes ONE
     // shard, so a single-stratum shard trains correlated batches inside
@@ -4199,6 +4369,138 @@ object Pipeline {
         FROM h
         ORDER BY epoch, pos""")),
 
+    // CURRICULUM PUBLISH (r16): q191's exact schedule produced by
+    // Recipe.run AS A PUBLISH MODE — curriculum = Some(spec) records
+    // the order kernel + band spec in meta/, derives the bands in-call
+    // from the assignments (the shared bandedChunks definition), orders
+    // band-led per epoch, and forces band contiguity + band-local
+    // mixing gates before the root swap. The query reads the persisted
+    // banded order/; the oracle is q191's chain VERBATIM — the
+    // one-call publish must land the identical schedule the hand
+    // composition builds.
+    QuerySpec(
+      "q195_curriculum_publish",
+      (s, d) => s.read.parquet(s"${cachedCurriculumRecipe(s, d)}/order")
+        .orderBy(col("epoch"), col("pos")),
+      Some("""
+        WITH c AS (SELECT source,
+                          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY source),
+        w AS (SELECT source, n_tokens,
+                     CAST(floor(sqrt(n_tokens) * 1e6) AS BIGINT) AS w_micro
+              FROM c),
+        tw AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot_w FROM w),
+        p AS (SELECT source,
+                     CASE WHEN n_tokens = 0 THEN 0
+                          ELSE CAST(((400000 * w_micro) // tot_w) * 1000000 // n_tokens AS BIGINT)
+                     END AS epochs_micro
+              FROM w, tw),
+        j AS (SELECT d.doc_id, d.source AS source,
+                     len(string_split(d.text, ' ')) AS n_tokens,
+                     p.epochs_micro // 1000000 AS fullc,
+                     p.epochs_micro % 1000000 AS frac,
+                     ('0x' || substr(md5(concat(CAST(d.doc_id AS VARCHAR),
+                       ':', d.source)), 1, 8))::BIGINT % 1000000 AS draw
+              FROM documents d JOIN p ON d.source = p.source),
+        m AS (SELECT doc_id, source, n_tokens,
+                     CAST(fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END
+                       AS BIGINT) AS n_copies
+              FROM j
+              WHERE fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END > 0),
+        x AS (SELECT doc_id, source, n_tokens,
+                     concat(CAST(doc_id AS VARCHAR), '#',
+                       CAST(unnest(range(n_copies)) AS VARCHAR)) AS mix_id
+              FROM m),
+        cs AS (SELECT source, mix_id, n_tokens,
+                      SUM(n_tokens) OVER (PARTITION BY source ORDER BY mix_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM x),
+        ct AS (SELECT source AS stratum,
+                      CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id,
+                      CAST(least((SUM(n_tokens) // COUNT(*)) // 16, 3)
+                        AS BIGINT) AS band
+               FROM cs WHERE n_tokens IS NOT NULL GROUP BY 1, 2),
+        ep AS (SELECT CAST(u.e AS BIGINT) AS epoch
+               FROM UNNEST(generate_series(0, 1)) AS u(e)),
+        h AS (SELECT ep.epoch, ct.stratum, ct.chunk_id, ct.band,
+                     substr(md5(concat(CAST(xor(7, ep.epoch) AS VARCHAR),
+                       ':', ct.stratum, ':',
+                       CAST(ct.chunk_id AS VARCHAR))), 1, 8) AS hx
+              FROM ct CROSS JOIN ep)
+        SELECT stratum, chunk_id, band,
+               CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+                 ORDER BY band, hx, stratum, chunk_id) - 1 AS BIGINT) AS pos,
+               epoch
+        FROM h
+        ORDER BY epoch, pos""")),
+
+    // CURRICULUM EXTENSION (r16): a single-epoch curriculum publish
+    // extended to 2 via the meta-recorded kernel — extendEpochs reads
+    // order_kernel = curriculumOrder (+ band spec) from meta/, re-bands
+    // the current chunk table with the shared definition, and deals
+    // epoch 1 at seed XOR 1 band-led. The oracle is q195's chain
+    // VERBATIM: publish-then-extend must be byte-identical to the
+    // 2-epoch publish, the strongest pin that the kernel record closes
+    // the silently-mismatched-extension hole (pre-r16, this path
+    // hard-assumed trainingOrder and would have appended non-band
+    // epochs with every gate green).
+    QuerySpec(
+      "q196_curriculum_extend",
+      (s, d) => s.read.parquet(
+          s"${cachedExtendedCurriculumRecipe(s, d)}/order")
+        .orderBy(col("epoch"), col("pos")),
+      Some("""
+        WITH c AS (SELECT source,
+                          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY source),
+        w AS (SELECT source, n_tokens,
+                     CAST(floor(sqrt(n_tokens) * 1e6) AS BIGINT) AS w_micro
+              FROM c),
+        tw AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot_w FROM w),
+        p AS (SELECT source,
+                     CASE WHEN n_tokens = 0 THEN 0
+                          ELSE CAST(((400000 * w_micro) // tot_w) * 1000000 // n_tokens AS BIGINT)
+                     END AS epochs_micro
+              FROM w, tw),
+        j AS (SELECT d.doc_id, d.source AS source,
+                     len(string_split(d.text, ' ')) AS n_tokens,
+                     p.epochs_micro // 1000000 AS fullc,
+                     p.epochs_micro % 1000000 AS frac,
+                     ('0x' || substr(md5(concat(CAST(d.doc_id AS VARCHAR),
+                       ':', d.source)), 1, 8))::BIGINT % 1000000 AS draw
+              FROM documents d JOIN p ON d.source = p.source),
+        m AS (SELECT doc_id, source, n_tokens,
+                     CAST(fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END
+                       AS BIGINT) AS n_copies
+              FROM j
+              WHERE fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END > 0),
+        x AS (SELECT doc_id, source, n_tokens,
+                     concat(CAST(doc_id AS VARCHAR), '#',
+                       CAST(unnest(range(n_copies)) AS VARCHAR)) AS mix_id
+              FROM m),
+        cs AS (SELECT source, mix_id, n_tokens,
+                      SUM(n_tokens) OVER (PARTITION BY source ORDER BY mix_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM x),
+        ct AS (SELECT source AS stratum,
+                      CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id,
+                      CAST(least((SUM(n_tokens) // COUNT(*)) // 16, 3)
+                        AS BIGINT) AS band
+               FROM cs WHERE n_tokens IS NOT NULL GROUP BY 1, 2),
+        ep AS (SELECT CAST(u.e AS BIGINT) AS epoch
+               FROM UNNEST(generate_series(0, 1)) AS u(e)),
+        h AS (SELECT ep.epoch, ct.stratum, ct.chunk_id, ct.band,
+                     substr(md5(concat(CAST(xor(7, ep.epoch) AS VARCHAR),
+                       ':', ct.stratum, ':',
+                       CAST(ct.chunk_id AS VARCHAR))), 1, 8) AS hx
+              FROM ct CROSS JOIN ep)
+        SELECT stratum, chunk_id, band,
+               CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+                 ORDER BY band, hx, stratum, chunk_id) - 1 AS BIGINT) AS pos,
+               epoch
+        FROM h
+        ORDER BY epoch, pos""")),
+
     // RECIPE GOVERNANCE CARD (r15): Recipe.report — per PLANNED
     // stratum, what the plan decided (alloc_tokens) vs what
     // materialize+pack delivered (copies, tokens, chunks), the
@@ -4282,7 +4584,11 @@ object Pipeline {
                CASE WHEN p.alloc_tokens = 0 THEN 0
                     ELSE CAST(COALESCE(agg.packed_tokens, 0) * 1000000
                       // p.alloc_tokens AS BIGINT)
-               END AS utilization_micro
+               END AS utilization_micro,
+               CAST(250000 AS BIGINT) AS mixing_tol_micro,
+               CASE WHEN COALESCE(mix.mix_delta_micro, 0) <= 250000
+                    THEN 'within' ELSE 'degraded'
+               END AS within_tolerance
         FROM p LEFT JOIN agg ON agg.source = p.source
                LEFT JOIN mix ON mix.stratum = p.source
         ORDER BY p.source""")),

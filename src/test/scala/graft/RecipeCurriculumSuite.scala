@@ -1,0 +1,369 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Pipeline
+
+/** r16: the order KERNEL as a recorded recipe parameter — curriculum as
+  * a first-class publish mode ([[Recipe.run]]'s `curriculum` option),
+  * [[Recipe.extendEpochs]] deriving the MATCHING kernel from meta (and
+  * refusing a meta that cannot say), [[Recipe.readShard]] as the audited
+  * consumer of the shards manifest, and the `_budget` sidecar closing
+  * the emptied-manifest re-publish hole.
+  */
+class RecipeCurriculumSuite extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("recipe-curriculum-suite")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs = {
+    import spark.implicits._
+    // RecipeSuite's proven fixture: 4 sources, 600 docs, 3-9 tokens each
+    (1L to 600L).map { i =>
+      (i, s"src${i % 4}",
+        Seq.tabulate((i % 7 + 3).toInt)(j => s"w${(i * 13 + j) % 40}")
+          .mkString(" "))
+    }.toDF("doc_id", "source", "text")
+  }
+
+  private def tmp(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  // the band derivation the publish records — recomputed independently
+  // here (divisor 2 over 3-9-token docs lands chunks in bands 1..3, so
+  // the curriculum structure is non-trivial in this fixture)
+  private def expectedBands(dir: String, divisor: Long, maxBand: Long): DataFrame =
+    spark.read.parquet(s"$dir/assignments")
+      .filter(col("chunk_id").isNotNull)
+      .groupBy(col("source").as("stratum"), col("chunk_id"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_tokens")).as("st"))
+      .select(col("stratum"), col("chunk_id"),
+        least(expr(s"(st div nd) div $divisor"), lit(maxBand))
+          .cast("long").as("band"))
+
+  private def overwriteMeta(dir: String, rows: Seq[Row],
+                            schema: org.apache.spark.sql.types.StructType): Unit = {
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    spark.catalog.refreshByPath(s"$dir/meta")
+  }
+
+  test("curriculum publish: banded order, contiguity per epoch, kernel recorded in meta") {
+    val dir = tmp("graft-curr-pub")
+    val rep = Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64,
+      seed = 11L, nEpochs = 2, mixingTolMicro = 990000L,
+      curriculum = Some(Recipe.CurriculumSpec(2L, 3L)))
+    assert(rep.nEpochs === 2)
+
+    // meta records the kernel + band spec — the contract extendEpochs
+    // derives from
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    assert(meta.getAs[String]("order_kernel") === "curriculumOrder")
+    assert(meta.getAs[Long]("band_divisor") === 2L)
+    assert(meta.getAs[Long]("band_max") === 3L)
+
+    val order = spark.read.parquet(s"$dir/order")
+    assert(order.columns.contains("band"))
+
+    // bands match the shared derivation, per chunk
+    val exp = expectedBands(dir, 2L, 3L).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = order.select("stratum", "chunk_id", "band").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === exp)
+    assert(exp.values.toSet.size > 1,
+      "fixture drift: the curriculum must produce MULTIPLE bands")
+
+    // per epoch: exact permutation AND band blocks contiguous ascending
+    (0L to 1L).foreach { e =>
+      val rows = order.filter(col("epoch") === e)
+        .select("pos", "band").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(rows.map(_._1).toSeq === (0L until rep.nChunks).toSeq,
+        s"epoch $e must be the exact permutation")
+      rows.sliding(2).foreach { case Array((_, b1), (_, b2)) =>
+        assert(b1 <= b2, s"epoch $e: band order must be non-decreasing")
+      case _ => ()
+      }
+    }
+
+    // epoch 0 IS the single-epoch curriculumOrder schedule (the
+    // compatibility contract), and epochs differ within bands
+    val banded = expectedBands(dir, 2L, 3L)
+    val e0exp = Pipeline.curriculumOrder(banded, 11L,
+        Seq("stratum", "chunk_id")).collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("chunk_id")) ->
+        r.getAs[Long]("pos")).toMap
+    val e0got = order.filter(col("epoch") === 0L).collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("chunk_id")) ->
+        r.getAs[Long]("pos")).toMap
+    assert(e0got === e0exp)
+    val e1got = order.filter(col("epoch") === 1L).collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("chunk_id")) ->
+        r.getAs[Long]("pos")).toMap
+    assert(e0got !== e1got, "epochs must re-deal within bands")
+  }
+
+  test("extendEpochs over a curriculum recipe: the MATCHING kernel, band contiguity in new epochs") {
+    val dir = tmp("graft-curr-ext")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64,
+      seed = 11L, nEpochs = 1, mixingTolMicro = 990000L,
+      curriculum = Some(Recipe.CurriculumSpec(2L, 3L)))
+    val flat = spark.read.parquet(s"$dir/order").collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("chunk_id")) ->
+        (r.getAs[Long]("pos"), r.getAs[Long]("band"))).toMap
+
+    val rep = Recipe.extendEpochs(spark, dir, nEpochs = 2)
+    assert(rep.oldEpochs === 1 && rep.nEpochs === 2)
+    val order = spark.read.parquet(s"$dir/order")
+
+    // epoch 0 byte-identical to the flat publish (plus its epoch column)
+    val e0 = order.filter(col("epoch") === 0L).collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("chunk_id")) ->
+        (r.getAs[Long]("pos"), r.getAs[Long]("band"))).toMap
+    assert(e0 === flat)
+
+    // epoch 1 is the CURRICULUM kernel at seed XOR 1 over re-derived
+    // bands — pre-r16 this path hard-assumed trainingOrder and would
+    // have dealt a band-blind permutation here
+    val banded = expectedBands(dir, 2L, 3L)
+    val e1exp = Pipeline.curriculumOrder(banded, 11L ^ 1L,
+        Seq("stratum", "chunk_id")).collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("chunk_id")) ->
+        r.getAs[Long]("pos")).toMap
+    val e1 = order.filter(col("epoch") === 1L).collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("chunk_id")) ->
+        r.getAs[Long]("pos")).toMap
+    assert(e1 === e1exp)
+
+    // band contiguity holds in the NEW epoch
+    val rows = order.filter(col("epoch") === 1L)
+      .select("pos", "band").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    rows.sliding(2).foreach { case Array((_, b1), (_, b2)) =>
+      assert(b1 <= b2, "new epoch must keep the band contract")
+    case _ => ()
+    }
+  }
+
+  test("extendEpochs REFUSES a meta that cannot name its kernel (and an unknown one)") {
+    val dir = tmp("graft-curr-refuse")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64,
+      seed = 11L, nEpochs = 1, mixingTolMicro = 990000L,
+      curriculum = Some(Recipe.CurriculumSpec(2L, 3L)))
+    // collect the record ONCE — the meta files are replaced below, so a
+    // lazy frame over them must never be re-scanned afterwards
+    val meta = spark.read.parquet(s"$dir/meta")
+    val metaSchema = meta.schema
+    val metaRow = meta.collect().head
+
+    // a kernel this build does not know refuses (never guesses)
+    val kIdx = metaSchema.fieldIndex("order_kernel")
+    overwriteMeta(dir,
+      Seq(Row.fromSeq(metaRow.toSeq.updated(kIdx, "mysteryOrder"))),
+      metaSchema)
+    val e2 = intercept[IllegalArgumentException] {
+      Recipe.extendEpochs(spark, dir, nEpochs = 2)
+    }
+    assert(e2.getMessage.contains("mysteryOrder"))
+
+    // a meta that cannot name its kernel at all (the pre-r16 shape)
+    val legacyIdx = Seq("order_kernel", "band_divisor", "band_max")
+      .map(metaSchema.fieldIndex).toSet
+    val legacySchema = org.apache.spark.sql.types.StructType(
+      metaSchema.fields.zipWithIndex.filterNot(f => legacyIdx(f._2)).map(_._1))
+    val legacyRow = Row.fromSeq(metaRow.toSeq.zipWithIndex
+      .filterNot(v => legacyIdx(v._2)).map(_._1))
+    overwriteMeta(dir, Seq(legacyRow), legacySchema)
+    val e1 = intercept[IllegalArgumentException] {
+      Recipe.extendEpochs(spark, dir, nEpochs = 2)
+    }
+    assert(e1.getMessage.contains("order_kernel"))
+    // the live schedule is untouched by the refusals
+    assert(!spark.read.parquet(s"$dir/order").columns.contains("epoch"))
+  }
+
+  test("retract on a curriculum recipe keeps band contiguity; the card carries its verdict") {
+    import spark.implicits._
+    val dir = tmp("graft-curr-retract")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64,
+      seed = 11L, nEpochs = 2, mixingTolMicro = 990000L,
+      curriculum = Some(Recipe.CurriculumSpec(2L, 3L)))
+    Recipe.retract((1L to 600L by 7).toDF("doc_id"), dir)
+
+    val order = spark.read.parquet(s"$dir/order")
+    (0L to 1L).foreach { e =>
+      val rows = order.filter(col("epoch") === e)
+        .select("pos", "band").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(rows.map(_._1).toSeq === rows.indices.map(_.toLong).toSeq)
+      rows.sliding(2).foreach { case Array((_, b1), (_, b2)) =>
+        assert(b1 <= b2, s"epoch $e: retraction must preserve band order")
+      case _ => ()
+      }
+    }
+
+    // the governance card needs no side lookup: tolerance + verdict ride
+    // the row (band-local audit for a banded schedule)
+    val card = Recipe.report(spark, dir).collect()
+    assert(card.nonEmpty)
+    card.foreach { r =>
+      assert(r.getAs[Long]("mixing_tol_micro") === 990000L)
+      val expect = if (r.getAs[Long]("mix_delta_micro") <= 990000L)
+        "within" else "degraded"
+      assert(r.getAs[String]("within_tolerance") === expect)
+    }
+
+    // a hand-shrunk tolerance flips the verdict — the column reads meta,
+    // not a constant
+    val meta = spark.read.parquet(s"$dir/meta")
+    val shrunk = meta.withColumn("mixing_tol_micro", lit(0L))
+    val shrunkRows = shrunk.collect().toSeq
+    overwriteMeta(dir, shrunkRows, shrunk.schema)
+    val degraded = Recipe.report(spark, dir).collect()
+    degraded.foreach { r =>
+      assert(r.getAs[Long]("mixing_tol_micro") === 0L)
+      assert((r.getAs[String]("within_tolerance") === "degraded") ===
+        (r.getAs[Long]("mix_delta_micro") > 0L))
+    }
+  }
+
+  test("readShard: slices tile the schedule exactly — over a retracted AND extended recipe") {
+    import spark.implicits._
+    val dir = tmp("graft-readshard")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+    Recipe.shards(spark, dir, shardTokens = 150)
+    // the two mutations that re-tile the position space
+    Recipe.retract((1L to 600L by 5).toDF("doc_id"), dir)
+    Recipe.extendEpochs(spark, dir, nEpochs = 2)
+
+    val manifest = spark.read.parquet(s"$dir/shards").collect()
+    assert(manifest.nonEmpty && manifest.head.schema.fieldNames.contains("epoch"))
+    val slices = manifest.toSeq.map { r =>
+      Recipe.readShard(spark, dir, r.getAs[Long]("shard_id"),
+        Some(r.getAs[Long]("epoch")))
+    }
+    val union = slices.reduce(_ unionByName _)
+      .select("epoch", "pos", "mix_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // pairwise disjoint: no (epoch, pos, mix_id) appears twice
+    assert(union.length === union.toSet.size)
+    // union ≡ the schedule joined to its members
+    val order = spark.read.parquet(s"$dir/order")
+    val members = spark.read.parquet(s"$dir/assignments")
+      .filter(col("chunk_id").isNotNull)
+      .select(col("source").as("stratum"), col("chunk_id"), col("mix_id"))
+    val expected = order.join(members, Seq("stratum", "chunk_id"))
+      .select("epoch", "pos", "mix_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(union.toSet === expected.toSet)
+    assert(union.length === expected.length)
+
+    // a slice is in schedule order and carries the meta-named id column
+    val first = slices.head
+    assert(first.columns.toSeq ===
+      Seq("epoch", "pos", "stratum", "chunk_id", "doc_id", "mix_id", "n_tokens"))
+
+    // contract refusals: flat epoch arg on an epoch manifest and back
+    val eNoEpoch = intercept[IllegalArgumentException] {
+      Recipe.readShard(spark, dir, 0L)
+    }
+    assert(eNoEpoch.getMessage.contains("epoch-indexed"))
+    val eAbsent = intercept[IllegalArgumentException] {
+      Recipe.readShard(spark, dir, 9999L, Some(0L))
+    }
+    assert(eAbsent.getMessage.contains("manifest rows"))
+  }
+
+  test("readShard: a stale manifest (order re-tiled underneath) refuses with the drift audit") {
+    val dir = tmp("graft-readshard-drift")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+    Recipe.shards(spark, dir, shardTokens = 150)
+    val last = spark.read.parquet(s"$dir/shards")
+      .agg(max(col("shard_id"))).head().getLong(0)
+    // order loses its tail WITHOUT a manifest re-cut — the hand-mutation
+    // drift the audit exists to catch
+    val maxPos = spark.read.parquet(s"$dir/order")
+      .agg(max(col("pos"))).head().getLong(0)
+    Pipeline.stagedRewrite(spark, s"$dir/order", "retract") { df =>
+      df.filter(col("pos") < maxPos)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Recipe.readShard(spark, dir, last)
+    }
+    assert(e.getMessage.contains("drifted"))
+  }
+
+  test("budget sidecar: an emptied manifest keeps its budget, so a re-publish re-cuts instead of refusing") {
+    import spark.implicits._
+    val dir = tmp("graft-sidecar")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+    Recipe.shards(spark, dir, shardTokens = 150)
+    // full retraction empties the schedule AND the regenerated manifest
+    Recipe.retract(docs.select("doc_id").distinct(), dir)
+    assert(spark.read.parquet(s"$dir/shards").count() === 0L)
+    // pre-r16 this refused (budget read back as 0); the sidecar keeps it
+    val rep = Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64,
+      seed = 5L)
+    assert(rep.artifacts.contains(s"$dir/shards"))
+    val m = spark.read.parquet(s"$dir/shards")
+    assert(m.count() > 0L)
+    assert(m.select("shard_tokens").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(150L),
+      "the re-cut must use the ORIGINAL budget, not a default")
+  }
+
+  test("budget sidecar: legacy empty manifest still refuses; disagreeing copies refuse") {
+    import spark.implicits._
+    val dir = tmp("graft-sidecar-legacy")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+    Recipe.shards(spark, dir, shardTokens = 150)
+    Recipe.retract(docs.select("doc_id").distinct(), dir)
+    // strip the sidecar: the pre-r16 on-disk shape
+    val scPath = new org.apache.hadoop.fs.Path(s"$dir/shards/_budget")
+    val fs = scPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(scPath, true))
+    val e1 = intercept[IllegalArgumentException] {
+      Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+    }
+    assert(e1.getMessage.contains("EMPTY manifest"))
+
+    // sidecar disagreeing with the rows refuses before any mutation
+    val dir2 = tmp("graft-sidecar-conflict")
+    Recipe.run(docs, dir2, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+    Recipe.shards(spark, dir2, shardTokens = 150)
+    Seq(999L).toDF("shard_tokens").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir2/shards/_budget")
+    val before = spark.read.parquet(s"$dir2/order").count()
+    val e2 = intercept[IllegalArgumentException] {
+      Recipe.retract(Seq(1L).toDF("doc_id"), dir2)
+    }
+    assert(e2.getMessage.contains("disagree"))
+    assert(spark.read.parquet(s"$dir2/order").count() === before)
+  }
+
+  test("mixed-budget manifest rows refuse loudly (never silently re-cut at the max)") {
+    import spark.implicits._
+    val dir = tmp("graft-mixed-budget")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+    // a hand-edited manifest whose rows disagree on the budget
+    Seq((0L, 1L, 10L, 0L, 0L, 100L), (1L, 1L, 10L, 1L, 1L, 200L))
+      .toDF("shard_id", "n_chunks", "sum_tokens", "first_pos", "last_pos",
+        "shard_tokens")
+      .write.parquet(s"$dir/shards")
+    val e = intercept[IllegalArgumentException] {
+      Recipe.retract(Seq(1L).toDF("doc_id"), dir)
+    }
+    assert(e.getMessage.contains("min 100") && e.getMessage.contains("max 200"))
+  }
+}

@@ -471,18 +471,21 @@ class RecipeRetractSuite extends AnyFunSuite {
     assert(manifest.last.getAs[Long]("last_pos") === nChunks - 1L,
       "the re-cut manifest must tile the NEW publish's position space")
 
-    // an EMPTY prior manifest has no knowable budget: re-publish must
-    // refuse up front (an empty manifest would lie about the new
-    // schedule; silently dropping the path would orphan its readers)
+    // an EMPTY prior manifest keeps its budget in the r16 `_budget`
+    // sidecar: re-publish re-cuts at it instead of refusing (the legacy
+    // sidecar-less refusal is pinned in RecipeCurriculumSuite)
     val dir2 = tmp("graft-republish-empty")
     Recipe.run(docs, dir2, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
     Recipe.shards(spark, dir2, shardTokens = 150)
     Recipe.retract(docs.select("doc_id").distinct(), dir2) // empties it
-    val e = intercept[IllegalArgumentException] {
-      Recipe.run(docs, dir2, budgetTokens = 20000L, chunkTokens = 64,
-        seed = 9L)
-    }
-    assert(e.getMessage.contains("EMPTY manifest"))
+    val rep2 = Recipe.run(docs, dir2, budgetTokens = 20000L, chunkTokens = 64,
+      seed = 9L)
+    assert(rep2.artifacts.contains(s"$dir2/shards"))
+    val m2 = spark.read.parquet(s"$dir2/shards")
+    assert(m2.count() > 0L &&
+      m2.select("shard_tokens").distinct().collect()
+        .map(_.getLong(0)).toSeq === Seq(150L),
+      "the re-publish must re-cut the emptied manifest at its sidecar budget")
   }
 
   test("shardManifest: missing or duplicated token rows refuse loudly") {
@@ -499,5 +502,16 @@ class RecipeRetractSuite extends AnyFunSuite {
       Pipeline.shardManifest(order, dup, 100)
     }
     assert(e2.getMessage.contains("exactly one n_tokens row"))
+
+    // r16: one MISSING + one DUPLICATED row OFFSET in the raw count
+    // (nJoined == nOrder) — the count-only gate shipped a manifest with
+    // a double-counted mass and a positional hole; the distinct-position
+    // leg separates the cases
+    val offset = Seq(("a", 0L, 10L), ("a", 0L, 10L))
+      .toDF("stratum", "chunk_id", "n_tokens") // chunk 1 missing, chunk 0 doubled
+    val e3 = intercept[IllegalArgumentException] {
+      Pipeline.shardManifest(order, offset, 100)
+    }
+    assert(e3.getMessage.contains("distinct positions"))
   }
 }
