@@ -41,11 +41,13 @@ import org.apache.spark.sql.streaming._
   * State: FOUR longs per source (the admitted cum the gate decides on,
   * plus the offered/admitted counters the report serves — r15). The
   * state VARIABLE changed in r15 (`cum`: one long → `quota`: the
-  * four-counter record): a pre-r15 checkpoint restarted on this version
-  * finds no `quota` state and every source's spent budget resets to
-  * zero — over-admitting silently. Drain (stop the feed, finish the
-  * budget question) before upgrading a live quota query, or restart
-  * the admission epoch deliberately; there is no in-place migration.
+  * four-counter record); since r16 the upgrade is GUARDED, not merely
+  * documented: both processors register the legacy `cum` handle, and a
+  * restarted query that finds legacy state under a key with no `quota`
+  * state FAILS LOUDLY with the drain-or-fresh-checkpoint runbook
+  * instead of silently resetting every source's spent budget to zero
+  * (see [[guardLegacyState]] — the check reads legacy state only on a
+  * key's first touch, so steady-state cost is zero).
   * Gate
   * emission: admitted `(doc_id, source, n_tokens)` rows, each exactly
   * once. Report emission ([[tokenQuotaReportStream]]): the source's
@@ -64,6 +66,38 @@ object StreamingQuota {
     * counters are the report's. */
   private[streaming] case class QuotaState(
       cum: Long, nOffered: Long, offeredTokens: Long, nAdmitted: Long)
+
+  /** The PRE-r15 state shape (one long named `cum`), registered only to
+    * DETECT it: an admission gate whose upgrade failure mode is
+    * "quietly re-open a spent budget" gets the repo's loud-refusal
+    * doctrine, not a doc comment — see [[guardLegacyState]]. */
+  private[streaming] case class Cum(sum: Long)
+
+  /** r16 upgrade guard: a pre-r15 checkpoint restarted on this build
+    * finds no `quota` state, so every source's spent budget would
+    * silently reset to zero — OVER-ADMITTING with nothing in any output
+    * saying so. Both processors register the legacy `cum` handle
+    * alongside `quota`; on a key's FIRST touch under the new shape
+    * (current `quota` is null — the only case that costs an extra state
+    * read), a non-empty legacy value fails the query loudly with the
+    * runbook: drain the feed on the pre-r15 build (finish the admission
+    * epoch), or deliberately restart the admission epoch from a fresh
+    * checkpoint. There is no in-place migration — the legacy shape
+    * never recorded offered counters, so a folded `QuotaState` would
+    * serve a report whose history is silently partial. */
+  private def guardLegacyState(legacy: ValueState[Cum], key: String): Unit = {
+    val l = legacy.get()
+    if (l != null) throw new IllegalStateException(
+      s"StreamingQuota: source '$key' carries pre-r15 'cum' state " +
+        s"(${l.sum} tokens already spent) and no 'quota' state - " +
+        "resuming this checkpoint on the r15+ state shape would reset " +
+        "every source's spent budget to zero and silently over-admit. " +
+        "Runbook: drain the feed on the pre-r15 build (finish the " +
+        "admission epoch there), or restart the admission epoch " +
+        "deliberately from a fresh checkpoint; there is no in-place " +
+        "migration (the legacy shape has no offered/admitted history " +
+        "for the report)")
+  }
 
   /** The streaming twin of q183's row shape — running per-source
     * counters as of the last micro-batch that touched the source. */
@@ -132,14 +166,20 @@ object StreamingQuota {
   class QuotaProcessor(budget: Budget)
       extends StatefulProcessor[String, DocTok, DocTok] {
     @transient private var st: ValueState[QuotaState] = _
+    @transient private var legacy: ValueState[Cum] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       st = getHandle.getValueState[QuotaState]("quota",
         Encoders.product[QuotaState], TTLConfig.NONE)
+      legacy = getHandle.getValueState[Cum]("cum",
+        Encoders.product[Cum], TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: String, rows: Iterator[DocTok],
                                  timerValues: TimerValues): Iterator[DocTok] = {
-      val prev = Option(st.get()).getOrElse(QuotaState(0L, 0L, 0L, 0L))
+      val cur = st.get()
+      if (cur == null) guardLegacyState(legacy, key)
+      val prev = Option(cur).getOrElse(QuotaState(0L, 0L, 0L, 0L))
       val (next, admitted) = foldBatch(rows, prev, budget.of(key))
       st.update(next)
       admitted.iterator
@@ -149,14 +189,20 @@ object StreamingQuota {
   class QuotaReportProcessor(budget: Budget)
       extends StatefulProcessor[String, DocTok, QuotaReport] {
     @transient private var st: ValueState[QuotaState] = _
+    @transient private var legacy: ValueState[Cum] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       st = getHandle.getValueState[QuotaState]("quota",
         Encoders.product[QuotaState], TTLConfig.NONE)
+      legacy = getHandle.getValueState[Cum]("cum",
+        Encoders.product[Cum], TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: String, rows: Iterator[DocTok],
                                  timerValues: TimerValues): Iterator[QuotaReport] = {
-      val prev = Option(st.get()).getOrElse(QuotaState(0L, 0L, 0L, 0L))
+      val cur = st.get()
+      if (cur == null) guardLegacyState(legacy, key)
+      val prev = Option(cur).getOrElse(QuotaState(0L, 0L, 0L, 0L))
       val b = budget.of(key)
       val (next, _) = foldBatch(rows, prev, b)
       st.update(next)

@@ -295,6 +295,95 @@ abstract class StreamingQuotaSuiteBase extends AnyFunSuite with BeforeAndAfterAl
     query.stop()
     assert(ids == Seq(5L, 6L), s"id-ordered admission: $ids")
   }
+
+  test(s"$suiteName: a pre-r15 checkpoint never silently re-opens a spent budget") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.{Encoders => Encs}
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode,
+      TimerValues, TTLConfig, ValueState, OutputMode => OM}
+
+    // the r14 processor shape, verbatim: ONE long of state named "cum"
+    class LegacyCumProcessor(budget: Long)
+        extends StatefulProcessor[String, StreamingQuota.DocTok,
+          StreamingQuota.DocTok] {
+      @transient private var cum: ValueState[StreamingQuota.Cum] = _
+      override def init(outputMode: OM, timeMode: TimeMode): Unit =
+        cum = getHandle.getValueState[StreamingQuota.Cum]("cum",
+          Encs.product[StreamingQuota.Cum], TTLConfig.NONE)
+      override def handleInputRows(key: String,
+          rows: Iterator[StreamingQuota.DocTok],
+          timerValues: TimerValues): Iterator[StreamingQuota.DocTok] = {
+        var c = Option(cum.get()).map(_.sum).getOrElse(0L)
+        val out = rows.toArray.sortBy(_.doc_id).filter { d =>
+          if (c < budget) { c += d.n_tokens; true } else false
+        }
+        cum.update(StreamingQuota.Cum(c))
+        out.iterator
+      }
+    }
+
+    val ckpt = Files.createTempDirectory(s"graft-squpgrade-$suiteName").toString
+    val input = MemoryStream[(Long, String, String)]
+    def docToks = {
+      import org.apache.spark.sql.functions._
+      input.toDS().toDF("doc_id", "source", "text")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          graft.operators.TextOps.tokenCount(col("text")).cast("long")
+            .as("n_tokens"))
+        .as[StreamingQuota.DocTok]
+    }
+
+    // the memory sink refuses checkpoint recovery — foreachBatch (which
+    // supports it) collects into buffers instead
+    val legacyOut = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val newOut = scala.collection.mutable.ArrayBuffer.empty[Long]
+
+    // 1) the pre-r15 build spends A's budget and checkpoints it
+    val legacyQ = docToks.groupByKey(_.source)
+      .transformWithState(new LegacyCumProcessor(10L),
+        TimeMode.None(), OM.Append())
+      .toDF().writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        legacyOut.synchronized {
+          legacyOut ++= df.collect().map(_.getLong(0))
+        }; ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    input.addData((1L, "A", words(9)), (2L, "A", words(9)))
+    legacyQ.processAllAvailable()
+    legacyQ.stop()
+    assert(legacyOut.sorted.toSeq === Seq(1L, 2L),
+      "fixture: A must have SPENT its budget under the legacy shape")
+
+    // 2) the r15+ build resumes the same checkpoint: A's next doc must
+    //    FAIL the query with the runbook — never admit as if unspent
+    val newQ = docToks.groupByKey(_.source)
+      .transformWithState(
+        new StreamingQuota.QuotaProcessor(StreamingQuota.ScalarBudget(10L)),
+        TimeMode.None(), OM.Append())
+      .toDF().writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        newOut.synchronized {
+          newOut ++= df.collect().map(_.getLong(0))
+        }; ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    input.addData((3L, "A", words(1)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      newQ.processAllAvailable()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m => m.contains("pre-r15 'cum' state") &&
+        m.contains("over-admit")),
+      s"must refuse with the runbook, got: ${messages(e).mkString(" | ")}")
+    assert(newOut.isEmpty, "nothing may be admitted past the guard")
+    newQ.stop()
+  }
 }
 
 class StreamingQuotaRocksDbSuite extends StreamingQuotaSuiteBase {
