@@ -169,10 +169,17 @@ object Maintain {
             "drop it from the census")
       }
       val (nFiles, bytes, _) = surfaceFiles(p, fs)
+      // marker debt belongs to the HISTOGRAM surface alone: the
+      // `hist_forget_markers/` sibling lives beside `hist/` in the
+      // index root, so attributing it by parent directory would charge
+      // every co-located surface (a KMV `sketches/`, a compact target
+      // sharing the root) with the histogram's debt — double-counted
+      // pressure in the one view that drives cadence (r16)
       val markers = new org.apache.hadoop.fs.Path(
         p.getParent, "hist_forget_markers")
       val nMarkers =
-        if (fs.exists(markers)) fs.listStatus(markers).count(_.isFile).toLong
+        if (p.getName == "hist" && fs.exists(markers))
+          fs.listStatus(markers).count(_.isFile).toLong
         else 0L
       val nRows = spark.read.parquet(path).count()
       (label, path, nFiles, bytes, nRows, nMarkers)

@@ -252,6 +252,29 @@ class MaintainSuite extends AnyFunSuite with BeforeAndAfterAll {
       "a rebuild must invalidate the marker debt the census shows")
   }
 
+  test("census marker debt is scoped to the histogram surface, never a co-located sibling") {
+    val sql = spark
+    import sql.implicits._
+    // ONE index root hosting BOTH families: hist/ + hist_forget_markers/
+    // beside sketches/ — the r15 census attributed the markers by parent
+    // dir, so the KMV surface inherited the histogram's debt
+    val root = Files.createTempDirectory("graft-marker-scope").toString
+    val docs = (1L to 40L).map(id => (id, s"s${id % 2}", s"w$id x$id y$id"))
+      .toDF("doc_id", "source", "text")
+    HistogramSketch.buildHistogramIndex(docs, root)
+    graft.operators.Dedup.buildSketchIndex(docs, root, 16)
+    Forget.forget(Seq(7L).toDF("doc_id"), "doc_id",
+      histIndexDirs = Seq(root),
+      removedDocs = Some(docs.filter($"doc_id" === 7)))
+    val census = Maintain.indexCensus(spark,
+        Seq("hist" -> s"$root/hist", "kmv" -> s"$root/sketches"))
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(census("hist") === 1L,
+      "the histogram surface owns its marker debt")
+    assert(census("kmv") === 0L,
+      "a co-located surface must not inherit the histogram's markers")
+  }
+
   test("indexCensus: files/bytes/rows per surface; shows the maintenance payoff") {
     val sql = spark
     import sql.implicits._
