@@ -46,7 +46,9 @@ import graft.state.{GraftStateStoreProviderBase, StateRescale}
   *    MEMBERSHIP, so each dir runs [[graft.Recipe.retract]]'s full
   *    chain (r15): assignments pruned, fully-forgotten chunks dropped,
   *    positions recompacted, permutation re-proved; the exit gate then
-  *    re-proves the assignments surface independently
+  *    re-proves the assignments surface independently. Recipes with
+  *    HETEROGENEOUS schemas ride one call via `recipeTargets` —
+  *    per-dir `(dir, idCol, strataCol)` tuples (r16)
   *
   * followed by the audits as a FORCED exit gate:
   * [[graft.operators.Pipeline.deletionAudit]] over every parquet
@@ -140,11 +142,25 @@ object Forget {
              recipeDirs: Seq[String] = Seq.empty,
              recipeStrataCol: String = "source",
              recipeIdCol: String = "doc_id",
+             recipeTargets: Seq[(String, String, String)] = Seq.empty,
              hadoopConf: Configuration = new Configuration()): ForgetReport = {
+    // recipe legs come in two spellings: `recipeDirs` shares ONE
+    // id/strata column pair across every dir (the common fleet case),
+    // while `recipeTargets` names `(dir, idCol, strataCol)` PER DIR
+    // (the compactTargets pattern, r16) so one compliance call covers
+    // recipes published with different schemas — forcing a second
+    // forget call per schema was exactly the forgettable-step hazard
+    // this object exists to prevent
+    val allRecipes = recipeDirs.map(d => (d, recipeIdCol, recipeStrataCol)) ++
+      recipeTargets
+    require(allRecipes.map(_._1).distinct.size == allRecipes.size,
+      s"forget: duplicate recipe dirs across recipeDirs/recipeTargets " +
+        s"(${allRecipes.map(_._1).diff(allRecipes.map(_._1).distinct).distinct
+          .mkString(", ")}) - one retraction per dir, listed once")
     require(states.nonEmpty || annDir.nonEmpty || artifacts.nonEmpty ||
         spanIndexDirs.nonEmpty || cdcIndexDirs.nonEmpty ||
         histIndexDirs.nonEmpty || kmvIndexDirs.nonEmpty ||
-        recipeDirs.nonEmpty,
+        allRecipes.nonEmpty,
       "forget: nothing to forget from — no state, index, artifacts, " +
         "span, CDC, histogram, KMV indexes, or recipe dirs given")
     // The histogram index holds only (source, rep, cnt) — no doc ids —
@@ -328,16 +344,15 @@ object Forget {
     //    Recipe.retract runs the whole chain per dir (its own staged
     //    prune + zero-residual audit + permutation re-proof); the exit
     //    gate below re-proves the assignments surface independently.
-    val recipeReports = recipeDirs.map { d =>
-      Recipe.retract(idList.select(col("__id").as(recipeIdCol)), d,
-        recipeStrataCol, recipeIdCol)
+    val recipeReports = allRecipes.map { case (d, idc, sc) =>
+      Recipe.retract(idList.select(col("__id").as(idc)), d, sc, idc)
     }
 
     // 8) the exit gate — every surface must PROVE zero residuals, and
     //    the aggregate indexes must PROVE they carry no id column
     val found = residualsOf(idList, idSet, states, annDir, artifacts,
       spanIndexDirs, cdcIndexDirs, histIndexDirs, kmvIndexDirs,
-      recipeDirs, recipeIdCol, hadoopConf)
+      allRecipes.map(t => (t._1, t._2)), hadoopConf)
     if (found.nonEmpty)
       throw new IllegalStateException(
         s"forget: deletion audit FAILED — ${found.mkString("; ")}")
@@ -348,7 +363,7 @@ object Forget {
         recipeReports.flatMap(_.artifacts),
       histIndexDirs.map(d => s"$d/hist") ++
         kmvIndexDirs.map(d => s"$d/sketches"),
-      recipeReports.map(_.maxMixDeltaMicro))
+      recipeReports.map(_.maxMixDeltaMicro)) // allRecipes order
   }
 
   /** The exit gate alone: one description per surface still holding a
@@ -370,12 +385,16 @@ object Forget {
                 kmvIndexDirs: Seq[String] = Seq.empty,
                 recipeDirs: Seq[String] = Seq.empty,
                 recipeIdCol: String = "doc_id",
+                recipeTargets: Seq[(String, String, String)] = Seq.empty,
                 hadoopConf: Configuration = new Configuration()): Seq[String] = {
     val idList = ids.select(col(idCol).cast("long").as("__id"))
       .na.drop().distinct()
     residualsOf(idList, idList.collect().map(_.getLong(0)).toSet,
       states, annDir, artifacts, spanIndexDirs, cdcIndexDirs,
-      histIndexDirs, kmvIndexDirs, recipeDirs, recipeIdCol, hadoopConf)
+      histIndexDirs, kmvIndexDirs,
+      recipeDirs.map(d => (d, recipeIdCol)) ++
+        recipeTargets.map(t => (t._1, t._2)),
+      hadoopConf)
   }
 
   /** [[residuals]] over an already-normalized id frame/set — [[forget]]
@@ -389,8 +408,7 @@ object Forget {
                           cdcIndexDirs: Seq[String],
                           histIndexDirs: Seq[String] = Seq.empty,
                           kmvIndexDirs: Seq[String] = Seq.empty,
-                          recipeDirs: Seq[String] = Seq.empty,
-                          recipeIdCol: String = "doc_id",
+                          recipeAudits: Seq[(String, String)] = Seq.empty,
                           hadoopConf: Configuration): Seq[String] = {
     val out = scala.collection.mutable.ListBuffer.empty[String]
     // Aggregate-index id-freedom audit: the histogram ((source, rep,
@@ -435,10 +453,11 @@ object Forget {
     val auditTargets = artifacts ++ annDir.map(d => s"$d/codes" -> "nid") ++
       spanIndexDirs.map(d => s"$d/pos" -> "doc_id") ++
       cdcIndexDirs.map(d => s"$d/digests" -> "doc_id") ++
-      // recipe audit surface: assignments/ (the id-keyed artifact);
-      // order/ holds chunk keys only — its correctness is Recipe
-      // .retract's permutation gate, not an id-residual question
-      recipeDirs.map(d => s"$d/assignments" -> recipeIdCol)
+      // recipe audit surface: assignments/ (the id-keyed artifact, each
+      // dir joined on ITS OWN id column); order/ holds chunk keys only —
+      // its correctness is Recipe.retract's permutation gate, not an
+      // id-residual question
+      recipeAudits.map { case (d, idc) => s"$d/assignments" -> idc }
     if (auditTargets.nonEmpty) {
       val cols = auditTargets.map(_._2).distinct
       val auditIds = idList.select(cols.map(c => col("__id").as(c)): _*)

@@ -328,6 +328,53 @@ class ForgetSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("recipe leg: heterogeneous key columns - one call covers differently-keyed recipes") {
+    val sql = spark
+    import sql.implicits._
+    val base = Files.createTempDirectory("graft-forget-recipe-het").toString
+    def corpus(idName: String, srcName: String) =
+      (1L to 400L).map { i =>
+        (i, s"s${i % 3}",
+          Seq.tabulate((i % 5 + 3).toInt)(j => s"w${(i * 7 + j) % 30}")
+            .mkString(" "))
+      }.toDF(idName, srcName, "text")
+    // two recipes published with DIFFERENT id/strata column names —
+    // pre-r16 this took one forget call per schema (the forgettable-step
+    // hazard); recipeTargets names the keys per dir
+    val dirA = s"$base/recipeA"
+    val dirB = s"$base/recipeB"
+    Recipe.run(corpus("doc_id", "source"), dirA, budgetTokens = 12000L,
+      chunkTokens = 64, seed = 3L)
+    Recipe.run(corpus("item_id", "origin"), dirB, budgetTokens = 12000L,
+      chunkTokens = 64, seed = 3L, strataCol = "origin", idCol = "item_id")
+    val forget = Seq(5L, 9L).toDF("uid")
+
+    // red before on BOTH, each audited on its own id column
+    val before = Forget.residuals(forget, "uid",
+      recipeTargets = Seq((dirA, "doc_id", "source"),
+        (dirB, "item_id", "origin")))
+    assert(before.size === 2, s"both unretracted recipes must surface: $before")
+
+    val report = Forget.forget(forget, "uid",
+      recipeTargets = Seq((dirA, "doc_id", "source"),
+        (dirB, "item_id", "origin")))
+    assert(report.recipeMixDeltasMicro.size === 2)
+    assert(report.artifactsPruned.contains(s"$dirA/assignments") &&
+      report.artifactsPruned.contains(s"$dirB/assignments"))
+
+    // green after on both
+    assert(Forget.residuals(forget, "uid",
+      recipeTargets = Seq((dirA, "doc_id", "source"),
+        (dirB, "item_id", "origin"))).isEmpty)
+
+    // a dir listed in both spellings refuses (one retraction per dir)
+    val dup = intercept[IllegalArgumentException] {
+      Forget.forget(forget, "uid", recipeDirs = Seq(dirA),
+        recipeTargets = Seq((dirA, "doc_id", "source")))
+    }
+    assert(dup.getMessage.contains("duplicate recipe dirs"))
+  }
+
   test("aggregate indexes: histogram retraction leg + id-freedom audit for both") {
     val sql = spark
     import sql.implicits._
