@@ -619,6 +619,20 @@ class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
       s"corpus gram stream shuffled into a sort-merge join:\n$p")
   }
 
+  test("q197: readShard's position slice is PUSHED to the order scan") {
+    // the read-side contract's scale property: a reader materializes ONE
+    // shard by a pos-range filter the parquet reader row-group-prunes
+    // (order/ is written in pos order, so min/max stats line up) — a
+    // slice that filtered post-scan would read the whole schedule per
+    // reader, N× the schedule for an N-shard fleet
+    val p = plan("q197_read_shard")
+    assert(
+      "PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(pos".r.findFirstIn(p).isDefined &&
+        "PushedFilters: \\[[^\\]]*LessThanOrEqual\\(pos".r.findFirstIn(p).isDefined,
+      s"the inclusive pos-range bounds must reach the order scan:\n$p")
+    assert(!p.contains("Window"), s"no Window in a shard read:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct") {
     // the one shape that cannot survive any scale-up; cross joins against
     // broadcast fitted models plan as BroadcastNestedLoopJoin instead
