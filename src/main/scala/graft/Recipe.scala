@@ -516,6 +516,109 @@ object Recipe {
     joined.select(outCols: _*).orderBy(col("pos"), col("mix_id"))
   }
 
+  /** The RESUME manifest — what remains of a published schedule after a
+    * training run consumed everything before the cursor: a fleet that
+    * restarts mid-epoch must hand its readers the REMAINING slices, and
+    * hand-deriving them ("clamp the boundary shard, keep the rest")
+    * is the off-by-one factory [[readShard]]'s scaladoc names — get the
+    * clamp wrong by one and the fleet re-trains (or skips) a chunk with
+    * nothing downstream noticing. Returns rows in the manifest's EXACT
+    * schema (so fleet code that consumes `shards/` consumes a resume
+    * unchanged): shards wholly past the cursor pass through verbatim;
+    * the one shard straddling it is CLAMPED — `first_pos` moves to the
+    * cursor, `n_chunks` shrinks to the remaining dense range, and
+    * `sum_tokens` is RE-AGGREGATED from the order slice + assignments
+    * (never prorated — token masses are facts, not estimates). Shards
+    * (and epochs) wholly before the cursor drop.
+    *
+    * Cursor semantics: `pos` is the FIRST position not yet consumed
+    * (resume-at, not last-done) in `epoch` (required for epoch-indexed
+    * manifests, refused for flat ones — [[readShard]]'s contract);
+    * epochs after the named one remain in full. `pos` past the end of
+    * the epoch simply yields no rows for it — a finished epoch is a
+    * valid cursor, not an error. The boundary recomputation carries
+    * [[readShard]]'s drift audit: the clamped slice's chunk count must
+    * equal its dense range, or order/ and shards/ have diverged and
+    * the resume refuses.
+    *
+    * Scale shape: |shards|-row manifest filter; at most ONE boundary
+    * shard recomputes — a shard-budget-bounded order slice (pos-range
+    * parquet-pruned) joined to assignments unhinted (AQE broadcasts the
+    * slice). */
+  def resumeShards(spark: SparkSession, recipeDir: String, pos: Long,
+                   epoch: Option[Long] = None): DataFrame = {
+    healResidues(spark, recipeDir)
+    val sPath = new org.apache.hadoop.fs.Path(s"$recipeDir/shards")
+    val fs = sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(sPath),
+      s"Recipe.resumeShards: no shards/ manifest at $recipeDir - " +
+        "publish one with Recipe.shards first")
+    require(pos >= 0L,
+      s"Recipe.resumeShards: cursor position must be >= 0, got $pos")
+    val manifest = spark.read.parquet(s"$recipeDir/shards")
+    val hasEpoch = manifest.columns.contains("epoch")
+    require(hasEpoch == epoch.isDefined,
+      if (hasEpoch)
+        s"Recipe.resumeShards: the manifest at $recipeDir/shards is " +
+          "epoch-indexed - name the epoch the cursor sits in"
+      else
+        s"Recipe.resumeShards: the manifest at $recipeDir/shards is " +
+          s"flat but epoch ${epoch.getOrElse(-1L)} was given - omit it")
+    val inCursorEpoch =
+      epoch.map(e => col("epoch") === e).getOrElse(lit(true))
+    val afterCursorEpoch =
+      epoch.map(e => col("epoch") > e).getOrElse(lit(false))
+    // untouched: wholly at/after the cursor; dropped: wholly before it
+    val untouched = manifest.filter(
+      afterCursorEpoch || (inCursorEpoch && col("first_pos") >= pos))
+    val boundary = manifest.filter(inCursorEpoch &&
+      col("first_pos") < pos && col("last_pos") >= pos).collect()
+    require(boundary.length <= 1,
+      s"Recipe.resumeShards: ${boundary.length} manifest shards straddle " +
+        s"position $pos - overlapping ranges are a manifest integrity " +
+        "failure; regenerate with Recipe.shards")
+    val clamped = boundary.headOption.map { r =>
+      val lastPos = r.getAs[Long]("last_pos")
+      // the boundary shard's remaining mass, re-aggregated from facts
+      val mPath = new org.apache.hadoop.fs.Path(s"$recipeDir/meta")
+      require(fs.exists(mPath),
+        s"Recipe.resumeShards: no meta/ record at $recipeDir - the " +
+          "boundary recomputation derives its key columns from the " +
+          "persisted run record; re-publish with Recipe.run")
+      val strataCol = spark.read.parquet(s"$recipeDir/meta")
+        .head().getAs[String]("strata_col")
+      val slice = spark.read.parquet(s"$recipeDir/order")
+        .filter(col("pos") >= pos && col("pos") <= lastPos &&
+          epoch.map(e => col("epoch") === e).getOrElse(lit(true)))
+        .select(col("stratum"), col("chunk_id"))
+      val masses = spark.read.parquet(s"$recipeDir/assignments")
+        .filter(col("chunk_id").isNotNull)
+        .groupBy(col(strataCol).as("stratum"), col("chunk_id"))
+        .agg(sum(col("n_tokens")).cast("bigint").as("__tok"))
+      val agg = slice.join(masses, Seq("stratum", "chunk_id"))
+        .agg(count(lit(1)), coalesce(sum(col("__tok")), lit(0L))).head()
+      val nRemain = agg.getLong(0)
+      require(nRemain == lastPos - pos + 1L,
+        s"Recipe.resumeShards: the boundary slice [$pos, $lastPos] " +
+          s"holds $nRemain chunks, expected ${lastPos - pos + 1} - " +
+          "order/ and shards/ have drifted; regenerate the manifest " +
+          "with Recipe.shards before resuming")
+      val row = org.apache.spark.sql.Row.fromSeq(
+        manifest.schema.fieldNames.toSeq.map {
+          case "n_chunks"   => nRemain
+          case "sum_tokens" => agg.getLong(1)
+          case "first_pos"  => pos
+          case other        => r.getAs[Any](other)
+        })
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(row), 1), manifest.schema)
+    }
+    val out = clamped.fold(untouched)(c => untouched.unionByName(c))
+    val sortCols = (if (hasEpoch) Seq(col("epoch")) else Seq.empty) :+
+      col("shard_id")
+    out.orderBy(sortCols: _*)
+  }
+
   /** The per-stratum GOVERNANCE CARD over a published recipe — the
     * reconciliation a review builds by hand today from three artifacts:
     * what the plan DECIDED (`alloc_tokens`), what materialization +

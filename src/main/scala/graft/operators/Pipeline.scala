@@ -4501,6 +4501,76 @@ object Pipeline {
         FROM h
         ORDER BY epoch, pos""")),
 
+    // RESUME MANIFEST (r16): Recipe.resumeShards — what remains of the
+    // published schedule after a fleet consumed positions < 100: shards
+    // wholly past the cursor verbatim, the straddling shard CLAMPED
+    // (first_pos → cursor, n_chunks to the dense remainder, sum_tokens
+    // re-aggregated from the order slice + assignments — facts, never
+    // prorated), earlier shards dropped. Oracle = q190's shard chain
+    // with the cursor filter applied before the per-shard aggregate —
+    // the clamp IS the filtered re-aggregation, recomputed in SQL.
+    QuerySpec(
+      "q198_resume_shards",
+      (s, d) => graft.Recipe.resumeShards(s, cachedShardedRecipe(s, d),
+        pos = 100L),
+      Some("""
+        WITH c AS (SELECT source,
+                          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY source),
+        w AS (SELECT source, n_tokens,
+                     CAST(floor(sqrt(n_tokens) * 1e6) AS BIGINT) AS w_micro
+              FROM c),
+        tw AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot_w FROM w),
+        p AS (SELECT source,
+                     CASE WHEN n_tokens = 0 THEN 0
+                          ELSE CAST(((400000 * w_micro) // tot_w) * 1000000 // n_tokens AS BIGINT)
+                     END AS epochs_micro
+              FROM w, tw),
+        j AS (SELECT d.doc_id, d.source AS source,
+                     len(string_split(d.text, ' ')) AS n_tokens,
+                     p.epochs_micro // 1000000 AS fullc,
+                     p.epochs_micro % 1000000 AS frac,
+                     ('0x' || substr(md5(concat(CAST(d.doc_id AS VARCHAR),
+                       ':', d.source)), 1, 8))::BIGINT % 1000000 AS draw
+              FROM documents d JOIN p ON d.source = p.source),
+        m AS (SELECT doc_id, source, n_tokens,
+                     CAST(fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END
+                       AS BIGINT) AS n_copies
+              FROM j
+              WHERE fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END > 0),
+        x AS (SELECT doc_id, source, n_tokens,
+                     concat(CAST(doc_id AS VARCHAR), '#',
+                       CAST(unnest(range(n_copies)) AS VARCHAR)) AS mix_id
+              FROM m),
+        cs AS (SELECT source, mix_id, n_tokens,
+                      SUM(n_tokens) OVER (PARTITION BY source ORDER BY mix_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM x),
+        ct AS (SELECT source AS stratum,
+                      CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id,
+                      CAST(SUM(n_tokens) AS BIGINT) AS tok
+               FROM cs WHERE n_tokens IS NOT NULL GROUP BY 1, 2),
+        h AS (SELECT stratum, chunk_id,
+                     substr(md5(concat('7:', stratum, ':',
+                       CAST(chunk_id AS VARCHAR))), 1, 8) AS hx
+              FROM ct),
+        o AS (SELECT stratum, chunk_id,
+                     ROW_NUMBER() OVER (ORDER BY hx, stratum, chunk_id) - 1
+                       AS pos
+              FROM h),
+        sc AS (SELECT o.pos, ct.tok,
+                      SUM(ct.tok) OVER (ORDER BY o.pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cum2
+               FROM o JOIN ct USING (stratum, chunk_id))
+        SELECT CAST((cum2 - tok) // 4096 AS BIGINT) AS shard_id,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+               CAST(MIN(pos) AS BIGINT) AS first_pos,
+               CAST(MAX(pos) AS BIGINT) AS last_pos,
+               CAST(4096 AS BIGINT) AS shard_tokens
+        FROM sc WHERE pos >= 100 GROUP BY 1 ORDER BY shard_id""")),
+
     // RECIPE GOVERNANCE CARD (r15): Recipe.report — per PLANNED
     // stratum, what the plan decided (alloc_tokens) vs what
     // materialize+pack delivered (copies, tokens, chunks), the

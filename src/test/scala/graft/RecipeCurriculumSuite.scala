@@ -285,6 +285,62 @@ class RecipeCurriculumSuite extends AnyFunSuite {
     assert(eAbsent.getMessage.contains("manifest rows"))
   }
 
+  test("resumeShards: boundary clamp re-aggregates facts; epochs before/after the cursor drop/survive") {
+    import spark.implicits._
+    val dir = tmp("graft-resume")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64,
+      seed = 5L, nEpochs = 2)
+    Recipe.shards(spark, dir, shardTokens = 150)
+    val manifest = spark.read.parquet(s"$dir/shards")
+    val e0 = manifest.filter(col("epoch") === 0L)
+      .orderBy("shard_id").collect()
+    assert(e0.length >= 3, s"fixture needs >= 3 shards, got ${e0.length}")
+    // cursor strictly inside shard 1 of epoch 0
+    val target = e0(1)
+    val cursor = target.getAs[Long]("first_pos") + 1L
+    assert(cursor <= target.getAs[Long]("last_pos"))
+
+    val resumed = Recipe.resumeShards(spark, dir, cursor, Some(0L))
+    assert(resumed.columns.toSeq === manifest.columns.toSeq,
+      "resume rows must be manifest-shaped - fleet code consumes them unchanged")
+    val r0 = resumed.filter(col("epoch") === 0L).orderBy("shard_id").collect()
+    // shard 0 dropped; boundary clamped; later shards verbatim
+    assert(r0.head.getAs[Long]("shard_id") === target.getAs[Long]("shard_id"))
+    assert(r0.head.getAs[Long]("first_pos") === cursor)
+    assert(r0.head.getAs[Long]("n_chunks") ===
+      target.getAs[Long]("last_pos") - cursor + 1L)
+    assert(r0.drop(1).map(_.toSeq).toSeq ===
+      e0.drop(2).map(_.toSeq).toSeq, "post-boundary shards pass verbatim")
+    // the clamp is a re-aggregation of facts: boundary mass ≡ an
+    // independent order ⋈ assignments recomputation over [cursor, last]
+    val expTok = spark.read.parquet(s"$dir/order")
+      .filter(col("epoch") === 0L && col("pos") >= cursor &&
+        col("pos") <= target.getAs[Long]("last_pos"))
+      .join(spark.read.parquet(s"$dir/assignments")
+          .filter(col("chunk_id").isNotNull)
+          .groupBy(col("source").as("stratum"), col("chunk_id"))
+          .agg(sum(col("n_tokens")).as("t")),
+        Seq("stratum", "chunk_id"))
+      .agg(sum(col("t"))).head().getLong(0)
+    assert(r0.head.getAs[Long]("sum_tokens") === expTok)
+    // epoch 1 remains IN FULL
+    assert(resumed.filter(col("epoch") === 1L).collect().map(_.toSeq).toSeq ===
+      manifest.filter(col("epoch") === 1L).orderBy("shard_id")
+        .collect().map(_.toSeq).toSeq)
+    // a finished epoch is a valid cursor: pos past epoch 0's end yields
+    // only epoch 1
+    val maxPos0 = e0.last.getAs[Long]("last_pos")
+    val done0 = Recipe.resumeShards(spark, dir, maxPos0 + 1L, Some(0L))
+    assert(done0.filter(col("epoch") === 0L).count() === 0L &&
+      done0.filter(col("epoch") === 1L).count() ===
+        manifest.filter(col("epoch") === 1L).count())
+    // contract: an epoch-indexed manifest requires the epoch
+    val e = intercept[IllegalArgumentException] {
+      Recipe.resumeShards(spark, dir, cursor)
+    }
+    assert(e.getMessage.contains("epoch-indexed"))
+  }
+
   test("readShard: a stale manifest (order re-tiled underneath) refuses with the drift audit") {
     val dir = tmp("graft-readshard-drift")
     Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
