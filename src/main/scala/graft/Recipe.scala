@@ -705,6 +705,206 @@ object Recipe {
           .otherwise("degraded"))
   }
 
+  /** One-call INTEGRITY RE-PROOF of a published recipe dir — the
+    * compliance/ops sweep ([[Forget.residuals]]' doctrine applied to
+    * the artifact lifecycle): every mutation in this object proves its
+    * own gates at write time, but a fleet also needs to re-prove a dir
+    * it did NOT just write — after a suspected hand edit, before
+    * pointing a training run at it, on an audit cadence. `verify` reads
+    * the artifacts as they stand and returns the CARD: one row per
+    * check, `(check, status, measure)`, ordered by check name —
+    * observing an all-ok card IS the proof, and a violated check names
+    * itself instead of surfacing as a reader's stall three systems
+    * later.
+    *
+    * Checks (all bounded reads — chunk-table/|strata|/|shards| scale;
+    * the corpus text is never touched):
+    *  - `mix_id_unique`: the assignments' composite key is a primary
+    *    key (measure = row count; a duplicate means the materialize
+    *    glue was hand-broken).
+    *  - `tokenized_assigned`: zero tokenized copies without a chunk
+    *    (measure = violations — the conservation gate's read side).
+    *  - `order_chunks_match`: the schedule references EXACTLY the
+    *    assignments' chunk set (measure = symmetric-difference count;
+    *    a retraction that pruned one artifact but not the other shows
+    *    here).
+    *  - `order_permutation`: every epoch is the exact permutation
+    *    0..n−1, band blocks contiguous when banded (measure = epoch
+    *    count) — the [[run]] gate re-run read-only.
+    *  - `kernel_shape`: meta's recorded `order_kernel` agrees with the
+    *    artifact's shape, and a curriculum's persisted bands equal the
+    *    shared derivation at meta's spec (measure = mismatch count).
+    *  - `mixing`: measured worst per-(epoch[, band], stratum) delta vs
+    *    meta's tolerance — status `within`/`degraded`, measure = the
+    *    delta (a statistical property: reported, never a `fail`).
+    *  - when `shards/` exists: `shards_tiling` (ranges tile each
+    *    epoch contiguously, disjointly, chunk counts dense; measure =
+    *    shard count), `shards_mass` (each shard's `sum_tokens` ≡ the
+    *    re-aggregated order ⋈ assignments mass over its range —
+    *    measure = violations), `shards_budget` (the persisted copies
+    *    reconcile; measure = the budget).
+    *
+    * Statuses: `ok`/`fail` for structural checks, `within`/`degraded`
+    * for mixing. Throws only when the dir is not a recipe dir at all
+    * (missing artifacts/meta) — a verify that silently "passed" a
+    * non-recipe path would be worse than a refusal. */
+  def verify(spark: SparkSession, recipeDir: String): DataFrame = {
+    healResidues(spark, recipeDir)
+    val fs = new org.apache.hadoop.fs.Path(recipeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("assignments", "order", "meta").foreach { a =>
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"$recipeDir/$a")),
+        s"Recipe.verify: no $a/ at $recipeDir - not a Recipe.run " +
+          "output dir (verifying the wrong path must refuse, not pass)")
+    }
+    val meta = spark.read.parquet(s"$recipeDir/meta").head()
+    val strataCol = meta.getAs[String]("strata_col")
+    val tol = meta.getAs[Long]("mixing_tol_micro")
+    val card = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+
+    // assignments internals
+    val assigned = spark.read.parquet(s"$recipeDir/assignments")
+    val aStats = assigned.agg(count(lit(1)),
+      countDistinct(col("mix_id")),
+      sum(when(col("n_tokens").isNotNull && col("chunk_id").isNull, 1L)
+        .otherwise(0L))).head()
+    card += (("mix_id_unique",
+      if (aStats.getLong(0) == aStats.getLong(1)) "ok" else "fail",
+      aStats.getLong(0)))
+    card += (("tokenized_assigned",
+      if (aStats.getLong(2) == 0L) "ok" else "fail", aStats.getLong(2)))
+
+    // the schedule vs the assignments' chunk set
+    val aChunks = assigned.filter(col("chunk_id").isNotNull)
+      .select(col(strataCol).as("stratum"), col("chunk_id")).distinct()
+    val order = spark.read.parquet(s"$recipeDir/order")
+    val oChunks = order.select(col("stratum"), col("chunk_id")).distinct()
+    val symDiff = aChunks.exceptAll(oChunks).count() +
+      oChunks.exceptAll(aChunks).count()
+    card += (("order_chunks_match",
+      if (symDiff == 0L) "ok" else "fail", symDiff))
+
+    // permutation (+ band contiguity) per epoch, read-only: the run
+    // gate's ONE definition, refusals converted to a failed check
+    val nChunks = aChunks.count()
+    val nEpochs = if (order.columns.contains("epoch"))
+      math.max(1L, order.agg(coalesce(max(col("epoch")), lit(-1L)))
+        .head().getLong(0) + 1L).toInt
+    else 1
+    val measuredDelta =
+      try {
+        val d = proveOrder(order, 0 until nEpochs, flat = nEpochs == 1,
+          nChunks, "Recipe.verify", mixingTol = _ => None)
+        card += (("order_permutation", "ok", nEpochs.toLong))
+        Some(d)
+      } catch {
+        case _: IllegalArgumentException =>
+          card += (("order_permutation", "fail", nEpochs.toLong))
+          None
+      }
+
+    // kernel record vs artifact shape (+ curriculum band agreement)
+    val kernel = if (meta.schema.fieldNames.contains("order_kernel"))
+      meta.getAs[String]("order_kernel") else "trainingOrder"
+    val banded = order.columns.contains("band")
+    val kernelMismatches =
+      if ((kernel == "curriculumOrder") != banded) 1L
+      else if (!banded) 0L
+      else {
+        val spec = CurriculumSpec(meta.getAs[Long]("band_divisor"),
+          meta.getAs[Long]("band_max"))
+        val expected = bandedChunks(assigned, strataCol, spec)
+        val got = order.select(col("stratum"), col("chunk_id"), col("band"))
+          .distinct()
+        expected.exceptAll(got).count() + got.exceptAll(expected).count()
+      }
+    card += (("kernel_shape",
+      if (kernelMismatches == 0L) "ok" else "fail", kernelMismatches))
+
+    // mixing: measured vs the run's persisted tolerance — a verdict,
+    // never a structural failure
+    measuredDelta.foreach { d =>
+      card += (("mixing", if (d <= tol) "within" else "degraded", d))
+    }
+
+    // shards, when published
+    val sPath = new org.apache.hadoop.fs.Path(s"$recipeDir/shards")
+    if (fs.exists(sPath)) {
+      val manifest = spark.read.parquet(s"$recipeDir/shards")
+      val hasEpoch = manifest.columns.contains("epoch")
+      val rows = manifest.collect()
+      val byEpoch = rows.groupBy(r =>
+        if (hasEpoch) r.getAs[Long]("epoch") else 0L)
+      var tilingOk = byEpoch.keySet ==
+        (if (rows.isEmpty) Set.empty[Long]
+         else (0L until nEpochs.toLong).toSet) || rows.isEmpty
+      byEpoch.values.foreach { es =>
+        var expect = 0L
+        es.sortBy(_.getAs[Long]("first_pos")).foreach { r =>
+          val lo = r.getAs[Long]("first_pos")
+          val hi = r.getAs[Long]("last_pos")
+          if (lo != expect || hi < lo ||
+              r.getAs[Long]("n_chunks") != hi - lo + 1L) tilingOk = false
+          expect = hi + 1L
+        }
+        if (expect != nChunks) tilingOk = false
+      }
+      card += (("shards_tiling", if (tilingOk) "ok" else "fail",
+        rows.length.toLong))
+      // masses: re-aggregate order ⋈ assignments over each shard range
+      val masses = assigned.filter(col("chunk_id").isNotNull)
+        .groupBy(col(strataCol).as("stratum"), col("chunk_id"))
+        .agg(sum(col("n_tokens")).cast("bigint").as("__tok"))
+      val epochKey = if (hasEpoch) col("epoch") else lit(0L)
+      val posMass = order.join(masses, Seq("stratum", "chunk_id"))
+        .select(epochKey.as("__e"), col("pos"), col("__tok"))
+      val rangeDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq.map { r =>
+          org.apache.spark.sql.Row(
+            if (hasEpoch) r.getAs[Long]("epoch") else 0L,
+            r.getAs[Long]("shard_id"), r.getAs[Long]("first_pos"),
+            r.getAs[Long]("last_pos"), r.getAs[Long]("sum_tokens"))
+        }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__re",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("__sid",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("__lo",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("__hi",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("__claimed",
+            org.apache.spark.sql.types.LongType))))
+      // group by (epoch, shard): shard ids RESTART per epoch, so a
+      // shard-only key would merge epoch 0's shard k with epoch 1's
+      // and "find" a 2x mass violation on a perfectly healthy manifest
+      val massViolations = posMass
+        .join(broadcast(rangeDf),
+          col("__e") === col("__re") &&
+            col("pos") >= col("__lo") && col("pos") <= col("__hi"))
+        .groupBy(col("__re"), col("__sid"), col("__claimed"))
+        .agg(coalesce(sum(col("__tok")), lit(0L)).as("__actual"))
+        .filter(col("__actual") =!= col("__claimed")).count()
+      card += (("shards_mass",
+        if (massViolations == 0L) "ok" else "fail", massViolations))
+      val budgetRow =
+        try {
+          val b = persistedShardBudget(spark, recipeDir, "Recipe.verify")
+            .getOrElse(0)
+          (("shards_budget", if (b > 0 || rows.isEmpty) "ok" else "fail",
+            b.toLong))
+        } catch {
+          case _: IllegalArgumentException => (("shards_budget", "fail", -1L))
+        }
+      card += budgetRow
+    }
+
+    val sqlc = spark
+    import sqlc.implicits._
+    card.toSeq.toDF("check", "status", "measure").orderBy(col("check"))
+  }
+
   /** What a retraction removed and what was re-proven: `chunksDropped`
     * counts chunks whose EVERY copy was forgotten (they leave the
     * schedule entirely; a chunk that only lost some members stays, with

@@ -4501,6 +4501,106 @@ object Pipeline {
         FROM h
         ORDER BY epoch, pos""")),
 
+    // RECIPE INTEGRITY CARD (r16): Recipe.verify — the one-call
+    // read-only re-proof of a published dir (mix_id PK, conservation,
+    // schedule ≡ assignments chunk set, per-epoch permutation, kernel
+    // record vs artifact shape, mixing vs persisted tolerance, shards
+    // tiling/mass/budget). The oracle recomputes every status AND
+    // measure from the q188/q190 chains — the card's numbers are facts,
+    // not the implementation echoing itself.
+    QuerySpec(
+      "q199_recipe_verify",
+      (s, d) => graft.Recipe.verify(s, cachedShardedRecipe(s, d)),
+      Some("""
+        WITH c AS (SELECT source,
+                          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY source),
+        w AS (SELECT source, n_tokens,
+                     CAST(floor(sqrt(n_tokens) * 1e6) AS BIGINT) AS w_micro
+              FROM c),
+        tw AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot_w FROM w),
+        p AS (SELECT source,
+                     CASE WHEN n_tokens = 0 THEN 0
+                          ELSE CAST(((400000 * w_micro) // tot_w) * 1000000 // n_tokens AS BIGINT)
+                     END AS epochs_micro
+              FROM w, tw),
+        j AS (SELECT d.doc_id, d.source AS source,
+                     len(string_split(d.text, ' ')) AS n_tokens,
+                     p.epochs_micro // 1000000 AS fullc,
+                     p.epochs_micro % 1000000 AS frac,
+                     ('0x' || substr(md5(concat(CAST(d.doc_id AS VARCHAR),
+                       ':', d.source)), 1, 8))::BIGINT % 1000000 AS draw
+              FROM documents d JOIN p ON d.source = p.source),
+        m AS (SELECT doc_id, source, n_tokens,
+                     CAST(fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END
+                       AS BIGINT) AS n_copies
+              FROM j
+              WHERE fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END > 0),
+        x AS (SELECT doc_id, source, n_tokens,
+                     concat(CAST(doc_id AS VARCHAR), '#',
+                       CAST(unnest(range(n_copies)) AS VARCHAR)) AS mix_id
+              FROM m),
+        cs AS (SELECT source, mix_id, n_tokens,
+                      SUM(n_tokens) OVER (PARTITION BY source ORDER BY mix_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM x),
+        nrows AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cs),
+        ct AS (SELECT source AS stratum,
+                      CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id,
+                      CAST(SUM(n_tokens) AS BIGINT) AS tok
+               FROM cs WHERE n_tokens IS NOT NULL GROUP BY 1, 2),
+        h AS (SELECT stratum, chunk_id,
+                     substr(md5(concat('7:', stratum, ':',
+                       CAST(chunk_id AS VARCHAR))), 1, 8) AS hx
+              FROM ct),
+        o AS (SELECT stratum, chunk_id,
+                     ROW_NUMBER() OVER (ORDER BY hx, stratum, chunk_id) - 1
+                       AS pos
+              FROM h),
+        cnt AS (SELECT stratum, COUNT(*) AS nc FROM o GROUP BY stratum),
+        tt AS (SELECT CAST(SUM(nc) AS BIGINT) AS n_total FROM cnt),
+        pr AS (SELECT a.stratum, COUNT(*) AS n_pairs,
+                      SUM(CASE WHEN b.stratum = a.stratum THEN 1 ELSE 0 END)
+                        AS n_same
+               FROM o a JOIN o b ON b.pos = a.pos + 1
+               GROUP BY a.stratum),
+        mixmax AS (SELECT CAST(MAX(abs(
+                     CAST(pr.n_same * 1000000 // pr.n_pairs AS BIGINT)
+                     - CAST(cnt.nc * 1000000 // tt.n_total AS BIGINT)))
+                     AS BIGINT) AS d
+                   FROM cnt JOIN pr ON pr.stratum = cnt.stratum, tt
+                   WHERE pr.n_pairs > 0),
+        sc AS (SELECT o.pos, ct.tok,
+                      SUM(ct.tok) OVER (ORDER BY o.pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cum2
+               FROM o JOIN ct USING (stratum, chunk_id)),
+        nsh AS (SELECT CAST(COUNT(DISTINCT (cum2 - tok) // 4096) AS BIGINT)
+                  AS n FROM sc)
+        SELECT * FROM (
+          SELECT 'kernel_shape' AS "check", 'ok' AS status,
+                 CAST(0 AS BIGINT) AS measure
+          UNION ALL
+          SELECT 'mix_id_unique', 'ok', n FROM nrows
+          UNION ALL
+          SELECT 'mixing',
+                 CASE WHEN d <= 250000 THEN 'within' ELSE 'degraded' END,
+                 d
+          FROM mixmax
+          UNION ALL
+          SELECT 'order_chunks_match', 'ok', CAST(0 AS BIGINT)
+          UNION ALL
+          SELECT 'order_permutation', 'ok', CAST(1 AS BIGINT)
+          UNION ALL
+          SELECT 'shards_budget', 'ok', CAST(4096 AS BIGINT)
+          UNION ALL
+          SELECT 'shards_mass', 'ok', CAST(0 AS BIGINT)
+          UNION ALL
+          SELECT 'shards_tiling', 'ok', n FROM nsh
+          UNION ALL
+          SELECT 'tokenized_assigned', 'ok', CAST(0 AS BIGINT)
+        ) ORDER BY "check"""")),
+
     // RESUME MANIFEST (r16): Recipe.resumeShards — what remains of the
     // published schedule after a fleet consumed positions < 100: shards
     // wholly past the cursor verbatim, the straddling shard CLAMPED

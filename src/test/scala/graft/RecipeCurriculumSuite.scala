@@ -360,6 +360,66 @@ class RecipeCurriculumSuite extends AnyFunSuite {
     assert(e.getMessage.contains("drifted"))
   }
 
+  test("verify: an all-ok card on a clean curriculum recipe; named failures on corruption") {
+    val dir = tmp("graft-verify")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64,
+      seed = 11L, nEpochs = 2, mixingTolMicro = 990000L,
+      curriculum = Some(Recipe.CurriculumSpec(2L, 3L)))
+    Recipe.shards(spark, dir, shardTokens = 150)
+
+    def cardOf(d: String): Map[String, (String, Long)] =
+      Recipe.verify(spark, d).collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+
+    val clean = cardOf(dir)
+    assert(clean.keySet === Set("mix_id_unique", "tokenized_assigned",
+      "order_chunks_match", "order_permutation", "kernel_shape", "mixing",
+      "shards_tiling", "shards_mass", "shards_budget"))
+    clean.filterKeys(_ != "mixing").foreach { case (k, (s, _)) =>
+      assert(s === "ok", s"$k must be ok on a clean dir, got $s")
+    }
+    assert(clean("mixing")._1 === "within" &&
+      clean("mixing")._2 <= 990000L)
+    assert(clean("kernel_shape")._2 === 0L,
+      "curriculum bands must equal the shared derivation")
+    assert(clean("shards_budget")._2 === 150L)
+
+    // corruption: hand-cut one scheduled chunk WITHOUT touching anything
+    // else — permutation breaks (a hole), the chunk sets diverge, and
+    // the stale manifest's tiling no longer covers the schedule
+    val maxPos = spark.read.parquet(s"$dir/order")
+      .agg(max(col("pos"))).head().getLong(0)
+    Pipeline.stagedRewrite(spark, s"$dir/order", "retract") { df =>
+      df.filter(col("epoch") =!= 1L || col("pos") =!= maxPos)
+    }
+    val bad = cardOf(dir)
+    assert(bad("order_permutation")._1 === "fail")
+    // the chunk still schedules in epoch 0, so the SET check stays ok —
+    // the permutation gate is what owns the one-epoch hole
+    assert(bad("order_chunks_match")._1 === "ok")
+    // the structural checks that were untouched stay ok
+    assert(bad("mix_id_unique")._1 === "ok" &&
+      bad("tokenized_assigned")._1 === "ok")
+
+    // second corruption: a chunk vanishes from EVERY epoch — now the
+    // schedule no longer references the assignments' chunk set
+    val victim = spark.read.parquet(s"$dir/order")
+      .select("stratum", "chunk_id").head()
+    Pipeline.stagedRewrite(spark, s"$dir/order", "retract") { df =>
+      df.filter(col("stratum") =!= victim.getString(0) ||
+        col("chunk_id") =!= victim.getLong(1))
+    }
+    val bad2 = cardOf(dir)
+    assert(bad2("order_chunks_match")._1 === "fail" &&
+      bad2("order_chunks_match")._2 === 1L)
+
+    // a non-recipe path refuses rather than "passing"
+    val e = intercept[IllegalArgumentException] {
+      Recipe.verify(spark, tmp("graft-verify-empty"))
+    }
+    assert(e.getMessage.contains("not a Recipe.run output dir"))
+  }
+
   test("budget sidecar: an emptied manifest keeps its budget, so a re-publish re-cuts instead of refusing") {
     import spark.implicits._
     val dir = tmp("graft-sidecar")
