@@ -95,6 +95,15 @@ object CurationPipelineDemo {
     println(s"== shard manifest: $nShards shards (first 5) ==")
     spark.read.parquet(s"$base/recipe/shards")
       .orderBy(col("shard_id")).show(5, truncate = false)
+    //    ... a reader consumes ONE audited slice (r16) ...
+    println("== readShard(1): the slice a fleet reader materializes (first 5) ==")
+    graft.Recipe.readShard(spark, s"$base/recipe", shardId = 1L)
+      .show(5, truncate = false)
+    //    ... and a restart mid-schedule resumes from the clamped
+    //    remainder — manifest-shaped, so the fleet code is unchanged
+    println("== resumeShards(pos = 5): the remaining manifest (first 5) ==")
+    graft.Recipe.resumeShards(spark, s"$base/recipe", pos = 5L)
+      .show(5, truncate = false)
 
     // 6) surgical decontamination: cut the leaked passages, keep the docs
     val evalSet = docs.filter(col("doc_id") < 20)
@@ -120,6 +129,10 @@ object CurationPipelineDemo {
     println(s"== recipe schedule after retract: worst mixing delta " +
       s"${report.recipeMixDeltasMicro.mkString(", ")} micro; " +
       "shard manifest re-cut at its persisted budget ==")
+    //    ... and the integrity card re-proves the mutated dir (r16):
+    //    the compliance sweep before pointing a training run at it
+    println("== Recipe.verify: the integrity card after the retraction ==")
+    graft.Recipe.verify(spark, s"$base/recipe").show(truncate = false)
 
     // 8) nightly maintenance (r15): ONE census-driven call — maintain
     //    measures each surface itself, only overdue ones pay the
