@@ -564,6 +564,18 @@ object Recipe {
       else
         s"Recipe.resumeShards: the manifest at $recipeDir/shards is " +
           s"flat but epoch ${epoch.getOrElse(-1L)} was given - omit it")
+    // an epoch the manifest never cut refuses (a typo'd cursor epoch
+    // returning an empty "all done" would stop a fleet silently); a pos
+    // past a REAL epoch's end stays valid — that epoch is finished
+    epoch.foreach { e =>
+      val maxE = manifest.agg(coalesce(max(col("epoch")), lit(-1L)))
+        .head().getLong(0)
+      require(e >= 0L && e <= maxE,
+        s"Recipe.resumeShards: cursor epoch $e is outside the " +
+          s"manifest's epochs [0, $maxE] at $recipeDir/shards - a " +
+          "cursor in an epoch that was never cut is a fleet bug, not " +
+          "a finished schedule")
+    }
     val inCursorEpoch =
       epoch.map(e => col("epoch") === e).getOrElse(lit(true))
     val afterCursorEpoch =
@@ -802,6 +814,17 @@ object Recipe {
           card += (("order_permutation", "fail", nEpochs.toLong))
           None
       }
+
+    // meta's recorded epoch count vs the schedule's actual extent: a
+    // hand-truncated epoch passes every per-epoch proof (each surviving
+    // epoch is still a permutation) while a dataloader driven by meta
+    // looks for slices that do not exist — and the inverse (order ahead
+    // of meta) is a crashed extension awaiting its replay. Vacuous on a
+    // fully-retracted schedule (no chunks, no epochs to serve).
+    val metaEpochs = meta.getAs[Long]("n_epochs")
+    card += (("epochs_recorded",
+      if (nChunks == 0L || metaEpochs == nEpochs.toLong) "ok" else "fail",
+      metaEpochs))
 
     // kernel record vs artifact shape (+ curriculum band agreement)
     val kernel = if (meta.schema.fieldNames.contains("order_kernel"))

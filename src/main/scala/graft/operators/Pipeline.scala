@@ -4581,6 +4581,8 @@ object Pipeline {
           SELECT 'kernel_shape' AS "check", 'ok' AS status,
                  CAST(0 AS BIGINT) AS measure
           UNION ALL
+          SELECT 'epochs_recorded', 'ok', CAST(1 AS BIGINT)
+          UNION ALL
           SELECT 'mix_id_unique', 'ok', n FROM nrows
           UNION ALL
           SELECT 'mixing',

@@ -334,11 +334,17 @@ class RecipeCurriculumSuite extends AnyFunSuite {
     assert(done0.filter(col("epoch") === 0L).count() === 0L &&
       done0.filter(col("epoch") === 1L).count() ===
         manifest.filter(col("epoch") === 1L).count())
-    // contract: an epoch-indexed manifest requires the epoch
+    // contract: an epoch-indexed manifest requires the epoch, and an
+    // epoch the manifest never cut refuses (a typo'd cursor returning
+    // "all done" would stop a fleet silently)
     val e = intercept[IllegalArgumentException] {
       Recipe.resumeShards(spark, dir, cursor)
     }
     assert(e.getMessage.contains("epoch-indexed"))
+    val eOut = intercept[IllegalArgumentException] {
+      Recipe.resumeShards(spark, dir, 0L, Some(99L))
+    }
+    assert(eOut.getMessage.contains("outside the manifest"))
   }
 
   test("readShard: a stale manifest (order re-tiled underneath) refuses with the drift audit") {
@@ -373,8 +379,10 @@ class RecipeCurriculumSuite extends AnyFunSuite {
 
     val clean = cardOf(dir)
     assert(clean.keySet === Set("mix_id_unique", "tokenized_assigned",
-      "order_chunks_match", "order_permutation", "kernel_shape", "mixing",
-      "shards_tiling", "shards_mass", "shards_budget"))
+      "order_chunks_match", "order_permutation", "epochs_recorded",
+      "kernel_shape", "mixing", "shards_tiling", "shards_mass",
+      "shards_budget"))
+    assert(clean("epochs_recorded")._2 === 2L)
     clean.filterKeys(_ != "mixing").foreach { case (k, (s, _)) =>
       assert(s === "ok", s"$k must be ok on a clean dir, got $s")
     }
@@ -412,6 +420,17 @@ class RecipeCurriculumSuite extends AnyFunSuite {
     val bad2 = cardOf(dir)
     assert(bad2("order_chunks_match")._1 === "fail" &&
       bad2("order_chunks_match")._2 === 1L)
+    assert(bad2("epochs_recorded")._1 === "ok")
+
+    // third corruption: the WHOLE epoch 1 vanishes — every surviving
+    // epoch can still prove, but meta promises 2 and a dataloader
+    // driven by it would look for slices that do not exist
+    Pipeline.stagedRewrite(spark, s"$dir/order", "retract") { df =>
+      df.filter(col("epoch") === 0L)
+    }
+    val bad3 = cardOf(dir)
+    assert(bad3("epochs_recorded")._1 === "fail" &&
+      bad3("epochs_recorded")._2 === 2L)
 
     // a non-recipe path refuses rather than "passing"
     val e = intercept[IllegalArgumentException] {
