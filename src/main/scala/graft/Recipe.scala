@@ -744,8 +744,14 @@ object Recipe {
     *    0..n−1, band blocks contiguous when banded (measure = epoch
     *    count) — the [[run]] gate re-run read-only.
     *  - `kernel_shape`: meta's recorded `order_kernel` agrees with the
-    *    artifact's shape, and a curriculum's persisted bands equal the
-    *    shared derivation at meta's spec (measure = mismatch count).
+    *    artifact's shape (a curriculum record with a band-less
+    *    schedule, or the inverse, is a hand swap — measure = 0/1).
+    *  - `bands_current` (curriculum only): chunks whose PERSISTED band
+    *    differs from the current-economics derivation at meta's spec —
+    *    status `ok`/`stale`, never `fail`: publish-time bands were
+    *    correct, and a retraction legitimately shifts surviving chunks'
+    *    mean lengths; staleness is the signal to re-publish for a fresh
+    *    curriculum, not an integrity violation.
     *  - `mixing`: measured worst per-(epoch[, band], stratum) delta vs
     *    meta's tolerance — status `within`/`degraded`, measure = the
     *    delta (a statistical property: reported, never a `fail`).
@@ -826,23 +832,33 @@ object Recipe {
       if (nChunks == 0L || metaEpochs == nEpochs.toLong) "ok" else "fail",
       metaEpochs))
 
-    // kernel record vs artifact shape (+ curriculum band agreement)
+    // kernel record vs artifact shape: a curriculum record must have a
+    // banded schedule and vice versa — a hand-swapped order/ shows here
     val kernel = if (meta.schema.fieldNames.contains("order_kernel"))
       meta.getAs[String]("order_kernel") else "trainingOrder"
     val banded = order.columns.contains("band")
-    val kernelMismatches =
-      if ((kernel == "curriculumOrder") != banded) 1L
-      else if (!banded) 0L
-      else {
-        val spec = CurriculumSpec(meta.getAs[Long]("band_divisor"),
-          meta.getAs[Long]("band_max"))
-        val expected = bandedChunks(assigned, strataCol, spec)
-        val got = order.select(col("stratum"), col("chunk_id"), col("band"))
-          .distinct()
-        expected.exceptAll(got).count() + got.exceptAll(expected).count()
-      }
     card += (("kernel_shape",
-      if (kernelMismatches == 0L) "ok" else "fail", kernelMismatches))
+      if ((kernel == "curriculumOrder") == banded) "ok" else "fail",
+      if ((kernel == "curriculumOrder") == banded) 0L else 1L))
+    // band STALENESS is a separate, informative row — never a failure:
+    // the persisted bands were correct AT PUBLISH, and a retraction
+    // legitimately shifts surviving chunks' mean lengths, so persisted
+    // vs re-derived divergence is a training decision (re-publish for a
+    // fresh curriculum) rather than an integrity violation. Measure =
+    // chunks whose persisted band differs from the current-economics
+    // derivation at meta's spec.
+    if (banded && kernel == "curriculumOrder") {
+      val spec = CurriculumSpec(meta.getAs[Long]("band_divisor"),
+        meta.getAs[Long]("band_max"))
+      val expected = bandedChunks(assigned, strataCol, spec)
+      val got = order.select(col("stratum"), col("chunk_id"), col("band"))
+        .distinct()
+      val diverged = got.join(expected.withColumnRenamed("band", "__cb"),
+          Seq("stratum", "chunk_id"))
+        .filter(col("band") =!= col("__cb")).count()
+      card += (("bands_current",
+        if (diverged == 0L) "ok" else "stale", diverged))
+    }
 
     // mixing: measured vs the run's persisted tolerance — a verdict,
     // never a structural failure

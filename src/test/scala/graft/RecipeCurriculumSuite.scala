@@ -236,6 +236,23 @@ class RecipeCurriculumSuite extends AnyFunSuite {
       assert((r.getAs[String]("within_tolerance") === "degraded") ===
         (r.getAs[Long]("mix_delta_micro") > 0L))
     }
+
+    // the integrity card on the RETRACTED dir: structure intact, and
+    // band staleness (publish-time bands vs current economics — a
+    // retraction legitimately shifts mean lengths) is informative,
+    // never a failure
+    val vcard = Recipe.verify(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(vcard("order_permutation")._1 === "ok" &&
+      vcard("kernel_shape")._1 === "ok")
+    val expectedStale = spark.read.parquet(s"$dir/order")
+      .select("stratum", "chunk_id", "band").distinct()
+      .join(expectedBands(dir, 2L, 3L).withColumnRenamed("band", "cb"),
+        Seq("stratum", "chunk_id"))
+      .filter(col("band") =!= col("cb")).count()
+    assert(vcard("bands_current")._2 === expectedStale)
+    assert(vcard("bands_current")._1 ===
+      (if (expectedStale == 0L) "ok" else "stale"))
   }
 
   test("readShard: slices tile the schedule exactly — over a retracted AND extended recipe") {
@@ -380,16 +397,16 @@ class RecipeCurriculumSuite extends AnyFunSuite {
     val clean = cardOf(dir)
     assert(clean.keySet === Set("mix_id_unique", "tokenized_assigned",
       "order_chunks_match", "order_permutation", "epochs_recorded",
-      "kernel_shape", "mixing", "shards_tiling", "shards_mass",
-      "shards_budget"))
+      "kernel_shape", "bands_current", "mixing", "shards_tiling",
+      "shards_mass", "shards_budget"))
     assert(clean("epochs_recorded")._2 === 2L)
     clean.filterKeys(_ != "mixing").foreach { case (k, (s, _)) =>
       assert(s === "ok", s"$k must be ok on a clean dir, got $s")
     }
     assert(clean("mixing")._1 === "within" &&
       clean("mixing")._2 <= 990000L)
-    assert(clean("kernel_shape")._2 === 0L,
-      "curriculum bands must equal the shared derivation")
+    assert(clean("bands_current")._2 === 0L,
+      "an unmutated curriculum's bands must equal the shared derivation")
     assert(clean("shards_budget")._2 === 150L)
 
     // corruption: hand-cut one scheduled chunk WITHOUT touching anything
