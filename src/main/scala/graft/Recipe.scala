@@ -24,9 +24,15 @@ import graft.operators.Pipeline
   *    chunk_id)`. The composite `mix_id = id#copy` is built HERE, once
   *    — the glue a hand composition gets subtly wrong.
   *  - `outDir/order` — the seeded deterministic schedule over distinct
-  *    `(stratum, chunk_id)`: [[Pipeline.trainingOrder]] at `nEpochs=1`,
-  *    [[Pipeline.trainingOrderEpochs]] above (per-epoch permutations
-  *    from one seed, `epoch` column appended).
+  *    `(stratum, chunk_id)` through the publish-mode KERNEL:
+  *    [[Pipeline.trainingOrder]] / [[Pipeline.trainingOrderEpochs]]
+  *    (per-epoch permutations from one seed, `epoch` column appended),
+  *    or [[Pipeline.curriculumOrder]] / `curriculumOrderEpochs` when
+  *    `curriculum` is set (band-led; the banded rows carry `band`).
+  *  - `outDir/meta` — the one-row run record (budget, chunk size, seed,
+  *    epochs, columns, tolerance, ORDER KERNEL + band spec — r16): the
+  *    contract [[extendEpochs]] derives from and [[verify]] re-proves
+  *    against.
   *
   * Forced gates (all bounded reads — chunk-table or |strata| scale,
   * never the corpus):
@@ -36,11 +42,14 @@ import graft.operators.Pipeline
   *  - PERMUTATION: each epoch's positions are exactly 0..n-1 over the
   *    chunk table (count, distinct count, max — the count-offset
   *    kernel's integrity, re-proved on the artifact actually written).
-  *  - MIXING: [[Pipeline.orderMixingAudit]] per epoch; every stratum's
-  *    `|same_next − share|` must sit within `mixingTolMicro` (a
-  *    permutation that left one source's chunks back-to-back trains
+  *  - MIXING: [[Pipeline.orderMixingAudit]] per epoch (band-LOCAL via
+  *    [[Pipeline.orderMixingAuditBands]] for a curriculum publish —
+  *    within-band decorrelation is what that kernel promises); every
+  *    stratum's `|same_next − share|` must sit within `mixingTolMicro`
+  *    (a permutation that left one source's chunks back-to-back trains
   *    correlated batches — the audit exists to refuse that, so the
-  *    one-call form REFUSES rather than logs).
+  *    one-call form REFUSES rather than logs). Curriculum publishes
+  *    additionally force BAND CONTIGUITY per epoch.
   *
   * Scale shape: exactly the composed kernels' — the plan is a |strata|
   * broadcast, materialization adds zero shuffles, packing is the
