@@ -769,7 +769,9 @@ object Recipe {
     *    shard count), `shards_mass` (each shard's `sum_tokens` ≡ the
     *    re-aggregated order ⋈ assignments mass over its range —
     *    measure = violations), `shards_budget` (the persisted copies
-    *    reconcile; measure = the budget).
+    *    reconcile — `ok` positive budget, `stale` the legacy
+    *    pre-sidecar empty manifest whose budget is unknowable, `fail`
+    *    contradicting copies; measure = the budget).
     *
     * Statuses: `ok`/`fail` for structural checks, `within`/`degraded`
     * for mixing. Throws only when the dir is not a recipe dir at all
@@ -936,12 +938,15 @@ object Recipe {
         .filter(col("__actual") =!= col("__claimed")).count()
       card += (("shards_mass",
         if (massViolations == 0L) "ok" else "fail", massViolations))
+      // ok = a positive budget is recoverable; stale = unknowable (the
+      // legacy pre-sidecar empty manifest — a re-publish would refuse;
+      // re-cut with Recipe.shards to upgrade); fail = the persisted
+      // copies contradict each other (mixed rows, sidecar disagreement)
       val budgetRow =
         try {
           val b = persistedShardBudget(spark, recipeDir, "Recipe.verify")
             .getOrElse(0)
-          (("shards_budget", if (b > 0 || rows.isEmpty) "ok" else "fail",
-            b.toLong))
+          (("shards_budget", if (b > 0) "ok" else "stale", b.toLong))
         } catch {
           case _: IllegalArgumentException => (("shards_budget", "fail", -1L))
         }
