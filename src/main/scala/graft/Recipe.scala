@@ -958,6 +958,70 @@ object Recipe {
     card.toSeq.toDF("check", "status", "measure").orderBy(col("check"))
   }
 
+  /** PUBLISH-TO-PUBLISH drift — the governance comparison of two
+    * published recipes ("did the re-publish change the mix
+    * materially?"): after [[retract]] degrades mixing past tolerance
+    * the prescribed move is a fresh [[run]], and the review question
+    * that follows is what the new publish actually changed. One row per
+    * stratum in EITHER plan: the allocation each plan decided
+    * (`alloc_a`/`alloc_b`, 0 when the stratum is absent — a stratum
+    * appearing or vanishing is the loudest drift there is), what each
+    * publish packed (`packed_a`/`packed_b`), and the materialized
+    * sample's CHURN — `copies_only_a`/`copies_only_b` count `mix_id`s
+    * (the `doc#copy` composite — deterministic given plan + seed, so
+    * comparable ACROSS publishes, unlike chunk ids, which are packing
+    * positions and mean different content in each publish) present in
+    * one multiset and not the other. All exact integers.
+    *
+    * Scale shape: two |strata| plan reads broadcast into a full outer
+    * join; the copy churn is one (stratum, mix_id)-keyed full outer
+    * over the two assignments artifacts (chunk-table-scale rows, text
+    * never read) aggregated per stratum. */
+  def diff(spark: SparkSession, dirA: String, dirB: String,
+           strataCol: String = "source"): DataFrame = {
+    healResidues(spark, dirA)
+    healResidues(spark, dirB)
+    def planOf(d: String): DataFrame = {
+      val p = spark.read.parquet(s"$d/plan")
+      require(p.columns.contains(strataCol) &&
+          p.columns.contains("alloc_tokens"),
+        s"Recipe.diff: plan at $d/plan has no '$strataCol'/" +
+          s"'alloc_tokens' columns - is this a Recipe.run output dir?")
+      p.select(col(strataCol), col("alloc_tokens"))
+    }
+    def packedOf(d: String): DataFrame =
+      spark.read.parquet(s"$d/assignments")
+        .groupBy(col(strataCol))
+        .agg(coalesce(sum(col("n_tokens")), lit(0L)).cast("bigint")
+          .as("packed"),
+          count(lit(1)).cast("bigint").as("n_copies"))
+    def copiesOf(d: String): DataFrame =
+      spark.read.parquet(s"$d/assignments")
+        .select(col(strataCol), col("mix_id"))
+    val churn = copiesOf(dirA).withColumn("__a", lit(1))
+      .join(copiesOf(dirB).withColumn("__b", lit(1)),
+        Seq(strataCol, "mix_id"), "full_outer")
+      .groupBy(col(strataCol))
+      .agg(sum(when(col("__b").isNull, 1L).otherwise(0L))
+          .cast("bigint").as("copies_only_a"),
+        sum(when(col("__a").isNull, 1L).otherwise(0L))
+          .cast("bigint").as("copies_only_b"))
+    planOf(dirA).withColumnRenamed("alloc_tokens", "alloc_a")
+      .join(planOf(dirB).withColumnRenamed("alloc_tokens", "alloc_b"),
+        Seq(strataCol), "full_outer")
+      .join(packedOf(dirA)
+          .withColumnRenamed("packed", "packed_a")
+          .withColumnRenamed("n_copies", "n_copies_a"),
+        Seq(strataCol), "left")
+      .join(packedOf(dirB)
+          .withColumnRenamed("packed", "packed_b")
+          .withColumnRenamed("n_copies", "n_copies_b"),
+        Seq(strataCol), "left")
+      .join(churn, Seq(strataCol), "left")
+      .na.fill(0L, Seq("alloc_a", "alloc_b", "packed_a", "packed_b",
+        "n_copies_a", "n_copies_b", "copies_only_a", "copies_only_b"))
+  }
+
   /** What a retraction removed and what was re-proven: `chunksDropped`
     * counts chunks whose EVERY copy was forgotten (they leave the
     * schedule entirely; a chunk that only lost some members stays, with

@@ -2660,6 +2660,17 @@ object Pipeline {
       dir
     }
 
+  /** Build-once memo for the q200 harness query: the SAME corpus
+    * published at a DIFFERENT budget (300k vs [[cachedRecipe]]'s 400k,
+    * same seed/chunk size) — the re-publish [[graft.Recipe.diff]]
+    * compares against. */
+  private def cachedRecipeAlt(s: SparkSession, d: String): String =
+    BuildOnce.dir("graft-recipe-alt", d) { dir =>
+      graft.Recipe.run(Tables.documents(s, d), dir,
+        budgetTokens = 300000L, chunkTokens = 256, seed = 7L, nEpochs = 1)
+      dir
+    }
+
   /** Build-once memo for the q197 harness query: [[cachedRecipe]]'s
     * exact publish into its own dir (the shared memo must stay
     * shards-free — it is the untouched baseline) plus a PUBLISHED
@@ -4500,6 +4511,94 @@ object Pipeline {
                epoch
         FROM h
         ORDER BY epoch, pos""")),
+
+    // PUBLISH-TO-PUBLISH drift (r16): Recipe.diff — the governance
+    // comparison after a re-publish: per stratum, each plan's
+    // allocation, each publish's packed mass/copies, and the
+    // materialized sample's churn counted over mix_ids (the doc#copy
+    // composite is deterministic given plan + seed, so it compares
+    // ACROSS publishes — chunk ids are packing positions and do not).
+    // Oracle = the q188 multiset chain at BOTH budgets (400k vs 300k),
+    // per-source aggregates + a full-outer mix_id churn.
+    QuerySpec(
+      "q200_recipe_diff",
+      (s, d) => graft.Recipe.diff(s, cachedRecipe(s, d),
+          cachedRecipeAlt(s, d))
+        .orderBy(col("source")),
+      Some("""
+        WITH c AS (SELECT source,
+                          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY source),
+        w AS (SELECT source, n_tokens,
+                     CAST(floor(sqrt(n_tokens) * 1e6) AS BIGINT) AS w_micro
+              FROM c),
+        tw AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot_w FROM w),
+        pa AS (SELECT source,
+                      CAST((400000 * w_micro) // tot_w AS BIGINT) AS alloc_a,
+                      CASE WHEN n_tokens = 0 THEN 0
+                           ELSE CAST(((400000 * w_micro) // tot_w) * 1000000 // n_tokens AS BIGINT)
+                      END AS em
+               FROM w, tw),
+        pb AS (SELECT source,
+                      CAST((300000 * w_micro) // tot_w AS BIGINT) AS alloc_b,
+                      CASE WHEN n_tokens = 0 THEN 0
+                           ELSE CAST(((300000 * w_micro) // tot_w) * 1000000 // n_tokens AS BIGINT)
+                      END AS em
+               FROM w, tw),
+        ja AS (SELECT d.doc_id, d.source AS source,
+                      len(string_split(d.text, ' ')) AS n_tokens,
+                      pa.em // 1000000 AS fullc, pa.em % 1000000 AS frac,
+                      ('0x' || substr(md5(concat(CAST(d.doc_id AS VARCHAR),
+                        ':', d.source)), 1, 8))::BIGINT % 1000000 AS draw
+               FROM documents d JOIN pa ON d.source = pa.source),
+        jb AS (SELECT d.doc_id, d.source AS source,
+                      len(string_split(d.text, ' ')) AS n_tokens,
+                      pb.em // 1000000 AS fullc, pb.em % 1000000 AS frac,
+                      ('0x' || substr(md5(concat(CAST(d.doc_id AS VARCHAR),
+                        ':', d.source)), 1, 8))::BIGINT % 1000000 AS draw
+               FROM documents d JOIN pb ON d.source = pb.source),
+        xa AS (SELECT source, n_tokens,
+                      concat(CAST(doc_id AS VARCHAR), '#',
+                        CAST(unnest(range(fullc + CASE WHEN draw < frac
+                          THEN 1 ELSE 0 END)) AS VARCHAR)) AS mix_id
+               FROM ja
+               WHERE fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END > 0),
+        xb AS (SELECT source, n_tokens,
+                      concat(CAST(doc_id AS VARCHAR), '#',
+                        CAST(unnest(range(fullc + CASE WHEN draw < frac
+                          THEN 1 ELSE 0 END)) AS VARCHAR)) AS mix_id
+               FROM jb
+               WHERE fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END > 0),
+        aggA AS (SELECT source,
+                        CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS packed_a,
+                        CAST(COUNT(*) AS BIGINT) AS n_copies_a
+                 FROM xa GROUP BY source),
+        aggB AS (SELECT source,
+                        CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS packed_b,
+                        CAST(COUNT(*) AS BIGINT) AS n_copies_b
+                 FROM xb GROUP BY source),
+        churn AS (SELECT COALESCE(a.source, b.source) AS source,
+                         CAST(COALESCE(SUM(CASE WHEN b.mix_id IS NULL
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS copies_only_a,
+                         CAST(COALESCE(SUM(CASE WHEN a.mix_id IS NULL
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS copies_only_b
+                  FROM xa a FULL JOIN xb b
+                    ON a.source = b.source AND a.mix_id = b.mix_id
+                  GROUP BY 1)
+        SELECT COALESCE(pa.source, pb.source) AS source,
+               COALESCE(pa.alloc_a, 0) AS alloc_a,
+               COALESCE(pb.alloc_b, 0) AS alloc_b,
+               COALESCE(aggA.packed_a, 0) AS packed_a,
+               COALESCE(aggA.n_copies_a, 0) AS n_copies_a,
+               COALESCE(aggB.packed_b, 0) AS packed_b,
+               COALESCE(aggB.n_copies_b, 0) AS n_copies_b,
+               COALESCE(churn.copies_only_a, 0) AS copies_only_a,
+               COALESCE(churn.copies_only_b, 0) AS copies_only_b
+        FROM pa FULL JOIN pb ON pb.source = pa.source
+          LEFT JOIN aggA ON aggA.source = COALESCE(pa.source, pb.source)
+          LEFT JOIN aggB ON aggB.source = COALESCE(pa.source, pb.source)
+          LEFT JOIN churn ON churn.source = COALESCE(pa.source, pb.source)
+        ORDER BY source""")),
 
     // RECIPE INTEGRITY CARD (r16): Recipe.verify — the one-call
     // read-only re-proof of a published dir (mix_id PK, conservation,

@@ -456,6 +456,36 @@ class RecipeCurriculumSuite extends AnyFunSuite {
     assert(e.getMessage.contains("not a Recipe.run output dir"))
   }
 
+  test("diff: a retraction's churn is exactly the removed copies; untouched plans compare verbatim") {
+    import spark.implicits._
+    val dirA = tmp("graft-diff-a")
+    val dirB = tmp("graft-diff-b")
+    Recipe.run(docs, dirA, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+    Recipe.run(docs, dirB, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+    val rep = Recipe.retract((1L to 600L by 9).toDF("doc_id"), dirB)
+
+    val d = Recipe.diff(spark, dirA, dirB).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // plan/ is the untouched governance record on both sides
+    d.values.foreach { r =>
+      assert(r.getAs[Long]("alloc_a") === r.getAs[Long]("alloc_b"))
+      assert(r.getAs[Long]("copies_only_b") === 0L,
+        "a pure retraction adds nothing to B")
+    }
+    assert(d.values.map(_.getAs[Long]("copies_only_a")).sum ===
+      rep.copiesRemoved, "churn must be exactly the removed copies")
+    assert(d.values.map(r => r.getAs[Long]("packed_a") -
+        r.getAs[Long]("packed_b")).sum === rep.tokensRemoved)
+
+    // identical publishes diff to zero churn
+    val same = Recipe.diff(spark, dirA, dirA).collect()
+    same.foreach { r =>
+      assert(r.getAs[Long]("copies_only_a") === 0L &&
+        r.getAs[Long]("copies_only_b") === 0L)
+      assert(r.getAs[Long]("packed_a") === r.getAs[Long]("packed_b"))
+    }
+  }
+
   test("budget sidecar: an emptied manifest keeps its budget, so a re-publish re-cuts instead of refusing") {
     import spark.implicits._
     val dir = tmp("graft-sidecar")
