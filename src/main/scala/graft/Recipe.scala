@@ -33,6 +33,11 @@ import graft.operators.Pipeline
   *    epochs, columns, tolerance, ORDER KERNEL + band spec — r16): the
   *    contract [[extendEpochs]] derives from and [[verify]] re-proves
   *    against.
+  *  - `outDir/stats` — the per-doc token INDEX `(idCol, strataCol,
+  *    n_tokens)`, one row per corpus doc (r17): the publish's single
+  *    text scan, and the record that makes [[refresh]] possible — a
+  *    corpus delta re-plans, re-materializes, and re-packs from this
+  *    index alone, tokenizing only the delta.
   *
   * Forced gates (all bounded reads — chunk-table or |strata| scale,
   * never the corpus):
@@ -175,7 +180,7 @@ object Recipe {
     }
     staged.copy(artifacts =
       Seq(s"$outDir/plan", s"$outDir/assignments", s"$outDir/order",
-        s"$outDir/meta") ++
+        s"$outDir/meta", s"$outDir/stats") ++
         priorShardBudget.map(_ => s"$outDir/shards").toSeq)
   }
 
@@ -189,31 +194,48 @@ object Recipe {
                         curriculum: Option[CurriculumSpec]): RecipeReport = {
     val spark = docs.sparkSession
 
+    // 0) stats — the per-doc token INDEX `(idCol, strataCol, n_tokens)`,
+    //    one row per CORPUS doc (including docs that draw zero copies):
+    //    the ONE text scan of the whole publish. Everything downstream —
+    //    the plan's totals, the materialization draw, the packing
+    //    measure — derives from this index, so the corpus text is read
+    //    exactly once here (pre-r17 it was tokenized twice: once for the
+    //    plan, once for the pack), and [[refresh]] can re-run the whole
+    //    chain over a corpus delta without touching base text at all
+    //    (~20 B/doc: a 100 TB corpus's index is tens of GB).
+    docs.select(col(idCol), col(strataCol),
+        graft.operators.TextOps.tokenCount(col(textCol)).cast("bigint")
+          .as("n_tokens"))
+      .write.mode("overwrite").parquet(s"$outDir/stats")
+    val stats = spark.read.parquet(s"$outDir/stats")
+
     // 1) plan — persisted first within the stage: on a later gate's
     //    refusal the allocation decision survives for post-mortem at
     //    `outDir__publish_stage/plan` (the stage is cleared only by the
     //    NEXT publish attempt), while the live dir stays whatever it
     //    was — the staged-root discipline trades the old "refused plan
     //    lands live" behavior for never exposing a half-proven publish
-    val plan = Pipeline.mixPlan(docs, strataCol, budgetTokens, textCol)
+    val plan = Pipeline.mixPlanFromTotals(
+      stats.groupBy(col(strataCol))
+        .agg(sum(col("n_tokens")).cast("long").as("n_tokens")),
+      strataCol, budgetTokens)
     plan.write.mode("overwrite").parquet(s"$outDir/plan")
     val nStrata = spark.read.parquet(s"$outDir/plan").count()
 
-    // 2) materialize + pack, with the composite key built ONCE here —
-    //    `copy` in the pack id keeps repeated docs distinct (the glue
-    //    step hand compositions get wrong). Token counts come from the
-    //    SAME textCol the plan budgeted on — packing on a different
-    //    column than the allocation would silently divorce the chunk
-    //    economics from the governance record — threaded through
-    //    packSequences' tokenCountCol (one tokenCount definition).
-    val multiset = Pipeline.materializeMix(docs,
+    // 2) materialize + pack FROM THE INDEX, with the composite key built
+    //    ONCE here — `copy` in the pack id keeps repeated docs distinct
+    //    (the glue step hand compositions get wrong). Token counts are
+    //    the index's — the SAME measure the plan budgeted on — threaded
+    //    through packSequences' tokenCountCol (one tokenCount
+    //    definition; packing on a different column than the allocation
+    //    would silently divorce the chunk economics from the governance
+    //    record).
+    val multiset = Pipeline.materializeMix(stats,
         spark.read.parquet(s"$outDir/plan"), strataCol, idCol)
       .withColumn("mix_id",
         concat_ws("#", col(idCol).cast("string"), col("copy")))
-      .withColumn("__rtok",
-        graft.operators.TextOps.tokenCount(col(textCol)).cast("bigint"))
     val packed = Pipeline.packSequences(multiset, chunkTokens, strataCol,
-      idCol = "mix_id", tokenCountCol = Some("__rtok"))
+      idCol = "mix_id", tokenCountCol = Some("n_tokens"))
     packed.select(col(idCol), col(strataCol), col("copy"), col("mix_id"),
         col("n_tokens"), col("chunk_id"))
       .write.mode("overwrite").parquet(s"$outDir/assignments")
@@ -241,24 +263,8 @@ object Recipe {
     //    PUBLISH-MODE kernel: trainingOrder (flat decorrelation) or
     //    curriculumOrder (band-led; bands derived from the assignments
     //    artifact by the shared bandedChunks definition)
-    val chunks = assigned.filter(col("chunk_id").isNotNull)
-      .select(col(strataCol).as("stratum"), col("chunk_id")).distinct()
-    val order = curriculum match {
-      case None =>
-        if (nEpochs == 1)
-          Pipeline.trainingOrder(chunks, seed, Seq("stratum", "chunk_id"))
-        else
-          Pipeline.trainingOrderEpochs(chunks, seed, nEpochs,
-            Seq("stratum", "chunk_id"))
-      case Some(spec) =>
-        val banded = bandedChunks(assigned, strataCol, spec)
-        if (nEpochs == 1)
-          Pipeline.curriculumOrder(banded, seed, Seq("stratum", "chunk_id"))
-        else
-          Pipeline.curriculumOrderEpochs(banded, seed, nEpochs,
-            Seq("stratum", "chunk_id"))
-    }
-    order.write.mode("overwrite").parquet(s"$outDir/order")
+    dealOrder(assigned, strataCol, seed, nEpochs, curriculum)
+      .write.mode("overwrite").parquet(s"$outDir/order")
 
     // 4) meta — the run's parameters as a one-row governance record:
     //    without it a published dir does not record HOW it was produced,
@@ -281,7 +287,8 @@ object Recipe {
 
     // permutation + mixing gates — per epoch, on the written artifact
     val written = spark.read.parquet(s"$outDir/order")
-    val nChunks = chunks.count()
+    val nChunks = assigned.filter(col("chunk_id").isNotNull)
+      .select(col(strataCol), col("chunk_id")).distinct().count()
     val maxDelta = proveOrder(written, 0 until nEpochs,
       flat = nEpochs == 1, nChunks, "Recipe.run",
       mixingTol = _ => Some(mixingTolMicro))
@@ -289,7 +296,313 @@ object Recipe {
     RecipeReport(nStrata, multisetRows, multisetTokens, nChunks, nEpochs,
       maxDelta,
       Seq(s"$outDir/plan", s"$outDir/assignments", s"$outDir/order",
-        s"$outDir/meta"))
+        s"$outDir/meta", s"$outDir/stats"))
+  }
+
+  /** The publish-mode ORDER kernel over a recipe's assignments — shared
+    * by [[run]]'s build and [[refresh]]'s re-deal so the two cannot
+    * order differently: distinct (stratum, chunk_id) through
+    * trainingOrder (flat decorrelation) or curriculumOrder (band-led;
+    * bands from the shared [[bandedChunks]] derivation), single-epoch
+    * kernels for nEpochs == 1 (the flat artifact shape), the epoch
+    * variants otherwise. */
+  private def dealOrder(assigned: DataFrame, strataCol: String, seed: Long,
+                        nEpochs: Int,
+                        curriculum: Option[CurriculumSpec]): DataFrame = {
+    val chunks = assigned.filter(col("chunk_id").isNotNull)
+      .select(col(strataCol).as("stratum"), col("chunk_id")).distinct()
+    curriculum match {
+      case None =>
+        if (nEpochs == 1)
+          Pipeline.trainingOrder(chunks, seed, Seq("stratum", "chunk_id"))
+        else
+          Pipeline.trainingOrderEpochs(chunks, seed, nEpochs,
+            Seq("stratum", "chunk_id"))
+      case Some(spec) =>
+        val banded = bandedChunks(assigned, strataCol, spec)
+        if (nEpochs == 1)
+          Pipeline.curriculumOrder(banded, seed, Seq("stratum", "chunk_id"))
+        else
+          Pipeline.curriculumOrderEpochs(banded, seed, nEpochs,
+            Seq("stratum", "chunk_id"))
+    }
+  }
+
+  /** What a refresh ingested and re-proved: `deltaDocs`/`deltaTokens`
+    * are the appended corpus slice (the ONLY text the refresh read);
+    * `repackedStrata` vs `passthroughStrata` splits the plan's strata
+    * into those whose materialized multiset changed (re-packed from the
+    * index) and those proven byte-unchanged (their packed assignment
+    * rows passed through verbatim — the pack exchange skipped). */
+  final case class RefreshReport(
+      deltaDocs: Long,
+      deltaTokens: Long,
+      nStrata: Long,
+      repackedStrata: Long,
+      passthroughStrata: Long,
+      nChunks: Long,
+      nEpochs: Int,
+      maxMixDeltaMicro: Long,
+      artifacts: Seq[String])
+
+  /** INCREMENTAL RE-PUBLISH from a corpus delta — the one lifecycle step
+    * whose cost was corpus-scale: appending documents to a published
+    * mixture used to force a full [[run]] over base ∪ delta, which at
+    * 100 TB means re-tokenizing 100 TB of text a nightly pipeline cannot
+    * afford. `refresh` re-runs the ENTIRE publish chain — re-plan,
+    * re-materialize, re-pack, re-order, every [[run]] gate, the same
+    * staged root swap — while reading text ONLY from the delta:
+    *
+    *  - the per-stratum totals the plan needs come from the persisted
+    *    `stats/` token index plus the delta's own tokenization (the
+    *    SAME arithmetic, via [[graft.operators.Pipeline.mixPlanFromTotals]]
+    *    — the seam [[run]]'s plan goes through too, so the two cannot
+    *    drift);
+    *  - the materialization draw and the packing measure are index
+    *    columns (`materializeMix` needs only (id, stratum); packing
+    *    needs only per-copy `n_tokens` — both persisted at publish);
+    *  - strata whose materialized multiset is PROVEN unchanged
+    *    (per-stratum count + token sum + two independent order-free
+    *    checksums over (mix_id, n_tokens) equal between the old
+    *    assignments and the re-derived multiset) keep their packed
+    *    rows VERBATIM — sound because packing is a pure per-stratum
+    *    function of the (mix_id, n_tokens) multiset (chunk ids are the
+    *    stratum's own running sum divided by the recorded budget), so
+    *    an identical multiset packs identically; everything else
+    *    re-packs through the audited kernel. A mixture re-plan shifts
+    *    most allocations on any material delta (every `epochs_micro`
+    *    moves with `tot_w`), so the split's floor is honesty, not
+    *    magic: the 100 TB win is the text never re-read, the
+    *    passthrough is the bonus when the integer allocation arithmetic
+    *    leaves a stratum's draw untouched.
+    *
+    * CONTRACT: `refresh(delta, dir)` publishes artifacts byte-identical
+    * to `run(corpus ∪ delta, dir)` with the dir's own recorded
+    * parameters (the q196 discipline — oracle-pinned end to end), where
+    * `corpus` is the index's current doc set: a [[retract]] prunes the
+    * index too, so a refresh after a retraction equals a fresh publish
+    * over survivors ∪ delta and a forgotten doc CANNOT resurrect.
+    * Append-only: a delta id already present in the index refuses (an
+    * in-place text mutation is a re-publish decision, not an append);
+    * duplicate ids within the delta refuse; every parameter comes from
+    * `meta/` (the [[extendEpochs]] rule — a refresh with mismatched
+    * parameters cannot be expressed). Pre-r17 dirs (no `stats/` index,
+    * or no kernel record) refuse with the re-publish upgrade path.
+    *
+    * The prior publish's drift card — [[diff]]'s exact comparison,
+    * computed against the stage BEFORE the swap — is persisted at
+    * `recipeDir/refresh_diff` as the refresh's own governance exit
+    * record (what did the re-publish change, per stratum), and the
+    * shards manifest re-cuts at its persisted budget inside the stage
+    * ([[run]]'s re-publish rule).
+    *
+    * Scale shape: text reads ∝ |delta|; everything else is index-scale
+    * (~20 B/doc) or chunk-scale — one index aggregate for totals
+    * (|strata| out), a map-side materialization, two |strata|-row
+    * fingerprint aggregates, the two-pass pack exchange over only the
+    * re-packed strata's copies, one range exchange per epoch for the
+    * order, bounded-read gates. */
+  def refresh(delta: DataFrame, recipeDir: String): RefreshReport = {
+    val spark = delta.sparkSession
+    healResidues(spark, recipeDir)
+    val fs = new org.apache.hadoop.fs.Path(recipeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("plan", "assignments", "order", "meta").foreach { a =>
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"$recipeDir/$a")),
+        s"Recipe.refresh: no $a/ at $recipeDir - not a Recipe.run " +
+          "output dir")
+    }
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$recipeDir/stats")),
+      s"Recipe.refresh: no stats/ token index at $recipeDir - this " +
+        "recipe predates the r17 per-doc index the incremental re-plan " +
+        "derives from; re-publish once with Recipe.run (which writes " +
+        "stats/) to make it refreshable")
+    val meta = spark.read.parquet(s"$recipeDir/meta")
+    Seq("budget_tokens", "chunk_tokens", "seed", "n_epochs", "strata_col",
+        "id_col", "text_col", "mixing_tol_micro").foreach(c =>
+      require(meta.columns.contains(c),
+        s"Recipe.refresh: meta/ at $recipeDir has no '$c' column " +
+          s"(found ${meta.columns.mkString(", ")})"))
+    require(meta.columns.contains("order_kernel"),
+      s"Recipe.refresh: meta/ at $recipeDir records no 'order_kernel' - " +
+        "the refresh cannot derive the matching kernel (extendEpochs' " +
+        "rule); re-publish with Recipe.run")
+    val m = meta.head()
+    val budgetTokens = m.getAs[Long]("budget_tokens")
+    val chunkTokens = m.getAs[Long]("chunk_tokens").toInt
+    val seed = m.getAs[Long]("seed")
+    val nEpochs = m.getAs[Long]("n_epochs").toInt
+    val strataCol = m.getAs[String]("strata_col")
+    val idCol = m.getAs[String]("id_col")
+    val textCol = m.getAs[String]("text_col")
+    val tol = m.getAs[Long]("mixing_tol_micro")
+    val curriculum = m.getAs[String]("order_kernel") match {
+      case "trainingOrder" => None
+      case "curriculumOrder" =>
+        Seq("band_divisor", "band_max").foreach(c =>
+          require(meta.columns.contains(c) && !m.isNullAt(m.fieldIndex(c)),
+            s"Recipe.refresh: meta/ at $recipeDir says " +
+              s"order_kernel=curriculumOrder but '$c' is missing/null; " +
+              "re-publish with Recipe.run(curriculum = Some(...))"))
+        Some(CurriculumSpec(m.getAs[Long]("band_divisor"),
+          m.getAs[Long]("band_max")))
+      case other => throw new IllegalArgumentException(
+        s"Recipe.refresh: meta/ at $recipeDir records unknown " +
+          s"order_kernel '$other' - this build cannot derive its " +
+          "schedule; upgrade, or re-publish with Recipe.run")
+    }
+    Seq(idCol, strataCol, textCol).foreach(c =>
+      require(delta.columns.contains(c),
+        s"Recipe.refresh: delta has no '$c' column (found " +
+          s"${delta.columns.mkString(", ")}) - the recipe's meta/ " +
+          s"records ($idCol, $strataCol, $textCol)"))
+    // append-only hygiene, both loud: a duplicated id WITHIN the delta
+    // would mint colliding mix_ids, and an id already in the index is a
+    // text mutation wearing an append's clothes
+    val deltaIds = delta.select(col(idCol)).distinct()
+    val dupIds = delta.count() - deltaIds.count()
+    require(dupIds == 0L,
+      s"Recipe.refresh: the delta repeats $dupIds $idCol value(s) - " +
+        "ids are the corpus primary key; dedup the delta first")
+    val known = spark.read.parquet(s"$recipeDir/stats")
+      .join(broadcast(deltaIds), Seq(idCol), "left_semi").count()
+    require(known == 0L,
+      s"Recipe.refresh: $known delta $idCol value(s) are already in the " +
+        s"corpus index at $recipeDir/stats - refresh is APPEND-ONLY " +
+        "(an in-place mutation changes published history); retract the " +
+        "old rows first, or re-publish with Recipe.run")
+    // the ONE text read of the whole refresh: the delta's token counts
+    val deltaStats = delta.select(col(idCol), col(strataCol),
+      graft.operators.TextOps.tokenCount(col(textCol)).cast("bigint")
+        .as("n_tokens"))
+    val dAgg = deltaStats.agg(count(lit(1)),
+      coalesce(sum(col("n_tokens")), lit(0L))).head()
+    val (deltaDocs, deltaTokens) = (dAgg.getLong(0), dAgg.getLong(1))
+    // run's re-publish shards rule, verbatim: the budget is read BEFORE
+    // any mutation and the manifest re-cuts INTO the stage
+    val priorShardBudget = persistedShardBudget(spark, recipeDir,
+      "Recipe.refresh")
+    require(!priorShardBudget.contains(0),
+      s"Recipe.refresh: $recipeDir/shards is a legacy EMPTY manifest " +
+        "(no persisted budget to re-cut at) - delete shards/ or re-cut " +
+        "with Recipe.shards first")
+
+    var nStrata = 0L; var nChunks = 0L; var maxDelta = 0L
+    var repacked = 0L; var passthrough = 0L
+    Pipeline.stagedOverwrite(spark, recipeDir, "publish") { stage =>
+      // stats: base index ∪ delta index — the refreshed corpus inventory
+      spark.read.parquet(s"$recipeDir/stats")
+        .select(col(idCol), col(strataCol),
+          col("n_tokens").cast("bigint").as("n_tokens"))
+        .unionByName(deltaStats)
+        .write.mode("overwrite").parquet(s"$stage/stats")
+      // the index and the prior assignments each feed several
+      // downstream reads (totals, materialization, fingerprints, the
+      // diff card) — cache them for the build's lifetime rather than
+      // re-scanning per consumer; both unpersist before the swap
+      val stats = spark.read.parquet(s"$stage/stats").persist()
+      val oldAssigned = spark.read.parquet(s"$recipeDir/assignments")
+        .persist()
+      try {
+
+      // plan: run's exact arithmetic over the index totals — no text
+      Pipeline.mixPlanFromTotals(
+          stats.groupBy(col(strataCol))
+            .agg(sum(col("n_tokens")).cast("long").as("n_tokens")),
+          strataCol, budgetTokens)
+        .write.mode("overwrite").parquet(s"$stage/plan")
+      nStrata = spark.read.parquet(s"$stage/plan").count()
+
+      // the refreshed multiset, from the index (map-side: |strata|
+      // broadcast + explode; run's composite-key glue, built once)
+      val multiset = Pipeline.materializeMix(stats,
+          spark.read.parquet(s"$stage/plan"), strataCol, idCol)
+        .withColumn("mix_id",
+          concat_ws("#", col(idCol).cast("string"), col("copy")))
+
+      // the passthrough proof: per-stratum count, token sum, and two
+      // independent order-free checksums over (mix_id, n_tokens) —
+      // equal multiset, identical pack (per-stratum purity), so the
+      // stratum's packed rows pass through verbatim. Checksums ride
+      // mod 2^30 primes so the ANSI-mode Long sum cannot overflow.
+      def fpOf(df: DataFrame): Map[Any, (Long, Long, Long, Long)] =
+        df.groupBy(col(strataCol))
+          .agg(count(lit(1)),
+            coalesce(sum(col("n_tokens")), lit(0L)),
+            coalesce(sum(pmod(xxhash64(col("mix_id"), col("n_tokens")),
+              lit(1073741789L))), lit(0L)),
+            coalesce(sum(pmod(xxhash64(col("n_tokens"), col("mix_id")),
+              lit(1073741783L))), lit(0L)))
+          .collect()
+          .map(r => r.get(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+          .toMap
+      val newFp = fpOf(multiset)
+      val oldFp = fpOf(oldAssigned)
+      val passStrata = newFp.keysIterator
+        .filter(k => k != null && oldFp.get(k).contains(newFp(k)))
+        .toSeq
+      passthrough = passStrata.size.toLong
+      repacked = newFp.size.toLong - passthrough
+      val passMask =
+        if (passStrata.isEmpty) lit(false)
+        else coalesce(col(strataCol).isInCollection(passStrata), lit(false))
+      val assignCols = Seq(col(idCol), col(strataCol), col("copy"),
+        col("mix_id"), col("n_tokens"), col("chunk_id"))
+      val packedNew = Pipeline.packSequences(multiset.filter(!passMask),
+        chunkTokens, strataCol, idCol = "mix_id",
+        tokenCountCol = Some("n_tokens"))
+      oldAssigned.filter(passMask).select(assignCols: _*)
+        .unionByName(packedNew.select(assignCols: _*))
+        .write.mode("overwrite").parquet(s"$stage/assignments")
+
+      // run's conservation gates, on the artifact actually written
+      val assignedNew = spark.read.parquet(s"$stage/assignments")
+      val msRows = multiset.count()
+      val aCount = assignedNew.count()
+      require(aCount == msRows,
+        s"Recipe.refresh: $msRows materialized copies but $aCount " +
+          "assignment rows - the passthrough/re-pack split dropped or " +
+          "duplicated rows")
+      val unassigned = assignedNew
+        .filter(col("n_tokens").isNotNull && col("chunk_id").isNull).count()
+      require(unassigned == 0L,
+        s"Recipe.refresh: $unassigned tokenized copies received no chunk")
+
+      // order through the RECORDED kernel; meta passes through verbatim
+      // (every parameter is unchanged — that is the point)
+      dealOrder(assignedNew, strataCol, seed, nEpochs, curriculum)
+        .write.mode("overwrite").parquet(s"$stage/order")
+      spark.read.parquet(s"$recipeDir/meta")
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/meta")
+
+      // the governance exit record: diff's exact card, prior publish vs
+      // the staged one, persisted WITH the publish it describes
+      diffFrames(spark.read.parquet(s"$recipeDir/plan"), oldAssigned,
+          spark.read.parquet(s"$stage/plan"), assignedNew,
+          strataCol, s"$recipeDir/plan", s"$stage/plan")
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/refresh_diff")
+
+      // run's permutation + mixing gates — a refusal leaves the live
+      // publish untouched (the stage never swaps)
+      nChunks = assignedNew.filter(col("chunk_id").isNotNull)
+        .select(col(strataCol), col("chunk_id")).distinct().count()
+      maxDelta = proveOrder(spark.read.parquet(s"$stage/order"),
+        0 until nEpochs, flat = nEpochs == 1, nChunks, "Recipe.refresh",
+        mixingTol = _ => Some(tol))
+      priorShardBudget.foreach { budget =>
+        shards(spark, stage, budget, strataCol); ()
+      }
+      } finally {
+        stats.unpersist(); oldAssigned.unpersist(); ()
+      }
+    }
+    RefreshReport(deltaDocs, deltaTokens, nStrata, repacked, passthrough,
+      nChunks, nEpochs, maxDelta,
+      Seq(s"$recipeDir/plan", s"$recipeDir/assignments",
+        s"$recipeDir/order", s"$recipeDir/meta", s"$recipeDir/stats",
+        s"$recipeDir/refresh_diff") ++
+        priorShardBudget.map(_ => s"$recipeDir/shards").toSeq)
   }
 
   /** The ONE definition of the per-epoch order proof [[run]],
@@ -707,7 +1020,13 @@ object Recipe {
       else if (order.columns.contains("epoch"))
         Pipeline.orderMixingAuditEpochs(order)
       else Pipeline.orderMixingAudit(order)
-    val delta = audit.groupBy(col("stratum").as(strataCol))
+    // n_pairs == 0 rows carry NO successor evidence (their same_next
+    // reads 0 by convention, so |0 − share| degenerates to the share) —
+    // proveOrder and verify exclude them, and the card must share that
+    // yardstick or a singleton band reads 'degraded' on a dir whose
+    // publish gate passed
+    val delta = audit.filter(col("n_pairs") > 0L)
+      .groupBy(col("stratum").as(strataCol))
       .agg(max(abs(col("same_next_micro") - col("share_micro")))
         .cast("bigint").as("mix_delta_micro"))
     plan.select(col(strataCol), col("alloc_tokens"))
@@ -749,6 +1068,12 @@ object Recipe {
     *    assignments' chunk set (measure = symmetric-difference count;
     *    a retraction that pruned one artifact but not the other shows
     *    here).
+    *  - `plan_strata`: every stratum the assignments materialized was
+    *    PLANNED (measure = assigned-but-unplanned strata; a vanished or
+    *    orphaned stratum is the loudest hand-mutation of `plan/`). The
+    *    inverse — a planned stratum that materialized nothing — is
+    *    legitimate (the zeros row [[report]] exists to show) and does
+    *    not fail.
     *  - `order_permutation`: every epoch is the exact permutation
     *    0..n−1, band blocks contiguous when banded (measure = epoch
     *    count) — the [[run]] gate re-run read-only.
@@ -781,7 +1106,7 @@ object Recipe {
     healResidues(spark, recipeDir)
     val fs = new org.apache.hadoop.fs.Path(recipeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("assignments", "order", "meta").foreach { a =>
+    Seq("plan", "assignments", "order", "meta").foreach { a =>
       require(fs.exists(new org.apache.hadoop.fs.Path(s"$recipeDir/$a")),
         s"Recipe.verify: no $a/ at $recipeDir - not a Recipe.run " +
           "output dir (verifying the wrong path must refuse, not pass)")
@@ -791,12 +1116,20 @@ object Recipe {
     val tol = meta.getAs[Long]("mixing_tol_micro")
     val card = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
 
-    // assignments internals
-    val assigned = spark.read.parquet(s"$recipeDir/assignments")
+    // the two artifacts every check below re-reads are cached for the
+    // card's lifetime: the checks are deliberately independent reads
+    // (each one names its own evidence), and without the cache the
+    // chunk-scale assignments scan re-runs once per check
+    val assigned = spark.read.parquet(s"$recipeDir/assignments").persist()
+    val order = spark.read.parquet(s"$recipeDir/order").persist()
+    try {
+    // assignments internals — every aggregate coalesced: a
+    // fully-retracted recipe is a VALID dir (zero assignment rows), and
+    // a bare sum() over it reads null, not 0
     val aStats = assigned.agg(count(lit(1)),
       countDistinct(col("mix_id")),
-      sum(when(col("n_tokens").isNotNull && col("chunk_id").isNull, 1L)
-        .otherwise(0L))).head()
+      coalesce(sum(when(col("n_tokens").isNotNull && col("chunk_id").isNull,
+        1L).otherwise(0L)), lit(0L))).head()
     card += (("mix_id_unique",
       if (aStats.getLong(0) == aStats.getLong(1)) "ok" else "fail",
       aStats.getLong(0)))
@@ -806,12 +1139,40 @@ object Recipe {
     // the schedule vs the assignments' chunk set
     val aChunks = assigned.filter(col("chunk_id").isNotNull)
       .select(col(strataCol).as("stratum"), col("chunk_id")).distinct()
-    val order = spark.read.parquet(s"$recipeDir/order")
     val oChunks = order.select(col("stratum"), col("chunk_id")).distinct()
     val symDiff = aChunks.exceptAll(oChunks).count() +
       oChunks.exceptAll(aChunks).count()
     card += (("order_chunks_match",
       if (symDiff == 0L) "ok" else "fail", symDiff))
+
+    // plan/ coverage: every assigned stratum must be planned — a plan
+    // whose stratum vanished under hand edits is the exact mutation
+    // class this card exists for; the inverse (planned, nothing
+    // materialized) is the legitimate zeros row report shows
+    val planStrata = spark.read.parquet(s"$recipeDir/plan")
+      .select(col(strataCol).as("stratum")).distinct()
+    val orphanStrata = assigned.select(col(strataCol).as("stratum"))
+      .distinct().exceptAll(planStrata).count()
+    card += (("plan_strata",
+      if (orphanStrata == 0L) "ok" else "fail", orphanStrata))
+
+    // the stats/ token index vs the plan's recorded totals (r17
+    // publishes carry the index): per-stratum divergence is the
+    // signature of a retraction since publish (stats and assignments
+    // prune, plan/ is deliberately the untouched decision record) —
+    // informative `stale`, never `fail`; measure = diverging strata.
+    // Absent on pre-r17 dirs, and its absence is not a failure.
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$recipeDir/stats"))) {
+      val statsTotals = spark.read.parquet(s"$recipeDir/stats")
+        .groupBy(col(strataCol).as("stratum"))
+        .agg(sum(col("n_tokens")).cast("long").as("__st"))
+      val planTotals = spark.read.parquet(s"$recipeDir/plan")
+        .select(col(strataCol).as("stratum"), col("n_tokens").as("__pt"))
+      val diverged = statsTotals.join(planTotals, Seq("stratum"), "full_outer")
+        .filter(!(col("__st") <=> col("__pt"))).count()
+      card += (("stats_tokens",
+        if (diverged == 0L) "ok" else "stale", diverged))
+    }
 
     // permutation (+ band contiguity) per epoch, read-only: the run
     // gate's ONE definition, refusals converted to a failed check
@@ -956,6 +1317,9 @@ object Recipe {
     val sqlc = spark
     import sqlc.implicits._
     card.toSeq.toDF("check", "status", "measure").orderBy(col("check"))
+    } finally {
+      assigned.unpersist(); order.unpersist(); ()
+    }
   }
 
   /** PUBLISH-TO-PUBLISH drift — the governance comparison of two
@@ -973,47 +1337,84 @@ object Recipe {
     * positions and mean different content in each publish) present in
     * one multiset and not the other. All exact integers.
     *
+    * The strata column comes from each dir's `meta/` — the persisted
+    * record, never a caller guess ([[readShard]]'s doctrine): two
+    * publishes keyed on different columns are not comparable, so an A/B
+    * mismatch REFUSES naming both. `strataColOverride` exists only for
+    * pre-meta dirs (it is applied to both sides — the refusal semantics
+    * survive the override).
+    *
     * Scale shape: two |strata| plan reads broadcast into a full outer
     * join; the copy churn is one (stratum, mix_id)-keyed full outer
     * over the two assignments artifacts (chunk-table-scale rows, text
     * never read) aggregated per stratum. */
   def diff(spark: SparkSession, dirA: String, dirB: String,
-           strataCol: String = "source"): DataFrame = {
+           strataColOverride: Option[String] = None): DataFrame = {
     healResidues(spark, dirA)
     healResidues(spark, dirB)
-    def planOf(d: String): DataFrame = {
-      val p = spark.read.parquet(s"$d/plan")
+    val strataCol = strataColOverride.getOrElse {
+      def metaStrataOf(d: String): String = {
+        val p = new org.apache.hadoop.fs.Path(s"$d/meta")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(fs.exists(p),
+          s"Recipe.diff: no meta/ record at $d - the comparison derives " +
+            "its strata column from the persisted run record; pass " +
+            "strataColOverride for a pre-meta dir")
+        spark.read.parquet(p.toString).head().getAs[String]("strata_col")
+      }
+      val (a, b) = (metaStrataOf(dirA), metaStrataOf(dirB))
+      require(a == b,
+        s"Recipe.diff: the two publishes are keyed on different strata " +
+          s"columns ('$a' at $dirA vs '$b' at $dirB) - per-stratum drift " +
+          "between them is not comparable")
+      a
+    }
+    diffFrames(
+      spark.read.parquet(s"$dirA/plan"),
+      spark.read.parquet(s"$dirA/assignments"),
+      spark.read.parquet(s"$dirB/plan"),
+      spark.read.parquet(s"$dirB/assignments"),
+      strataCol, s"$dirA/plan", s"$dirB/plan")
+  }
+
+  /** [[diff]]'s card over in-hand frames — shared with [[refresh]],
+    * which persists the same comparison (prior publish vs the staged
+    * one) as the refresh's own governance exit record, so the two
+    * drift readings cannot diverge. */
+  private def diffFrames(planA: DataFrame, assignedA: DataFrame,
+                         planB: DataFrame, assignedB: DataFrame,
+                         strataCol: String, labelA: String,
+                         labelB: String): DataFrame = {
+    def planSel(p: DataFrame, label: String): DataFrame = {
       require(p.columns.contains(strataCol) &&
           p.columns.contains("alloc_tokens"),
-        s"Recipe.diff: plan at $d/plan has no '$strataCol'/" +
+        s"Recipe.diff: plan at $label has no '$strataCol'/" +
           s"'alloc_tokens' columns - is this a Recipe.run output dir?")
       p.select(col(strataCol), col("alloc_tokens"))
     }
-    def packedOf(d: String): DataFrame =
-      spark.read.parquet(s"$d/assignments")
-        .groupBy(col(strataCol))
+    def packedOf(a: DataFrame): DataFrame =
+      a.groupBy(col(strataCol))
         .agg(coalesce(sum(col("n_tokens")), lit(0L)).cast("bigint")
           .as("packed"),
           count(lit(1)).cast("bigint").as("n_copies"))
-    def copiesOf(d: String): DataFrame =
-      spark.read.parquet(s"$d/assignments")
-        .select(col(strataCol), col("mix_id"))
-    val churn = copiesOf(dirA).withColumn("__a", lit(1))
-      .join(copiesOf(dirB).withColumn("__b", lit(1)),
+    def copiesOf(a: DataFrame): DataFrame =
+      a.select(col(strataCol), col("mix_id"))
+    val churn = copiesOf(assignedA).withColumn("__a", lit(1))
+      .join(copiesOf(assignedB).withColumn("__b", lit(1)),
         Seq(strataCol, "mix_id"), "full_outer")
       .groupBy(col(strataCol))
       .agg(sum(when(col("__b").isNull, 1L).otherwise(0L))
           .cast("bigint").as("copies_only_a"),
         sum(when(col("__a").isNull, 1L).otherwise(0L))
           .cast("bigint").as("copies_only_b"))
-    planOf(dirA).withColumnRenamed("alloc_tokens", "alloc_a")
-      .join(planOf(dirB).withColumnRenamed("alloc_tokens", "alloc_b"),
+    planSel(planA, labelA).withColumnRenamed("alloc_tokens", "alloc_a")
+      .join(planSel(planB, labelB).withColumnRenamed("alloc_tokens", "alloc_b"),
         Seq(strataCol), "full_outer")
-      .join(packedOf(dirA)
+      .join(packedOf(assignedA)
           .withColumnRenamed("packed", "packed_a")
           .withColumnRenamed("n_copies", "n_copies_a"),
         Seq(strataCol), "left")
-      .join(packedOf(dirB)
+      .join(packedOf(assignedB)
           .withColumnRenamed("packed", "packed_b")
           .withColumnRenamed("n_copies", "n_copies_b"),
         Seq(strataCol), "left")
@@ -1130,6 +1531,22 @@ object Recipe {
       s"Recipe.retract: $residual assignment rows still hold a listed " +
         s"$idCol after the prune - the rewrite is broken; do not trust " +
         "this recipe dir")
+    // 1b) the stats/ token index (r17 publishes carry it) holds one row
+    //     per corpus doc — forgotten ids must leave it too, or a later
+    //     [[refresh]] re-materializing from the index would RESURRECT
+    //     them (the exact GDPR residue class Forget.residuals hunts)
+    val stDir = s"$recipeDir/stats"
+    val stPath = new org.apache.hadoop.fs.Path(stDir)
+    val stFs = stPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (stFs.exists(stPath)) {
+      Pipeline.pruneArtifact(idList, stDir, idCol)
+      val stResidual = spark.read.parquet(stDir)
+        .join(broadcast(idList), Seq(idCol), "left_semi").count()
+      require(stResidual == 0L,
+        s"Recipe.retract: $stResidual stats rows still hold a listed " +
+          s"$idCol after the prune - the rewrite is broken; do not trust " +
+          "this recipe dir")
+    }
     val survivors = after.filter(col("chunk_id").isNotNull)
       .select(col(strataCol).as("stratum"), col("chunk_id")).distinct()
 
@@ -1165,6 +1582,7 @@ object Recipe {
     RetractReport(nIds, copiesRemoved, tokensRemoved,
       chunksBefore - nChunks, nChunks, nEpochs, maxDelta,
       Seq(aDir, oDir) ++
+        (if (stFs.exists(stPath)) Seq(stDir) else Seq.empty) ++
         shardBudget.map(_ => s"$recipeDir/shards").toSeq)
   }
 
@@ -1401,6 +1819,7 @@ object Recipe {
   private def healResidues(spark: SparkSession, recipeDir: String): Unit = {
     Pipeline.healStagedResidue(spark, recipeDir, "publish")
     Pipeline.healStagedResidue(spark, s"$recipeDir/assignments", "prune")
+    Pipeline.healStagedResidue(spark, s"$recipeDir/stats", "prune")
     Pipeline.healStagedResidue(spark, s"$recipeDir/order", "retract")
     Pipeline.healStagedResidue(spark, s"$recipeDir/order", "extend")
     Pipeline.healStagedResidue(spark, s"$recipeDir/meta", "extend")

@@ -19,7 +19,12 @@ import graft.operators.{Dedup, Pipeline, TextOps}
   *   4. the governance report card a mix review reads
   *   5. recipe execution (r15): mixture plan → materialized multiset →
   *      packing → seeded training-order shuffle → mixing audit, as ONE
-  *      gated Recipe.run call with persisted artifacts
+  *      gated Recipe.run call with persisted artifacts — then the
+  *      nightly corpus delta re-published INCREMENTALLY
+  *      (Recipe.refresh, r17: delta text only, index-derived re-plan,
+  *      refresh_diff governance card) and the fleet restart walk
+  *      (readShard consumed + resumeShards remainder ≡ the schedule
+  *      exactly once)
   *   6. surgical span-level decontamination (cut the leaked passage,
   *      keep the doc)
   *   7. right-to-be-forgotten across the persisted indexes, with the
@@ -74,13 +79,29 @@ object CurationPipelineDemo {
     // 5) recipe execution (r15): the whole plan → materialize → pack →
     //    order pipeline is ONE gated call now — the conservation,
     //    permutation, and mixing proofs ran or Recipe.run threw; the
-    //    report is the record
-    val recipe = graft.Recipe.run(docs, s"$base/recipe",
-      budgetTokens = 200000L, chunkTokens = 256, seed = 7L)
+    //    report is the record. Published over 9/10ths of the corpus so
+    //    the nightly INCREMENTAL path (r17) can be driven next.
+    val recipe = graft.Recipe.run(docs.filter(col("doc_id") % 10 =!= 0),
+      s"$base/recipe", budgetTokens = 200000L, chunkTokens = 256, seed = 7L)
     println(s"== recipe: ${recipe.nStrata} strata, " +
       s"${recipe.multisetRows} copies / ${recipe.multisetTokens} tokens " +
       s"packed into ${recipe.nChunks} chunks; worst mixing delta " +
       s"${recipe.maxMixDeltaMicro} micro ==")
+    //    ... the nightly corpus delta re-publishes INCREMENTALLY (r17):
+    //    text is read only from the delta — plan, multiset, packing,
+    //    and order re-derive from the persisted stats/ token index, and
+    //    strata whose multiset provably did not move keep their packed
+    //    rows verbatim; the drift vs the prior publish persists at
+    //    refresh_diff/ as the governance exit record
+    val refreshed = graft.Recipe.refresh(
+      docs.filter(col("doc_id") % 10 === 0), s"$base/recipe")
+    println(s"== refresh: +${refreshed.deltaDocs} docs / " +
+      s"${refreshed.deltaTokens} tokens ingested; " +
+      s"${refreshed.repackedStrata} strata re-packed, " +
+      s"${refreshed.passthroughStrata} passed through ==")
+    println("== refresh_diff: what the re-publish changed (first 5) ==")
+    spark.read.parquet(s"$base/recipe/refresh_diff")
+      .orderBy(col("source")).show(5, truncate = false)
     println("== mixture plan (first 5, from the persisted artifact) ==")
     spark.read.parquet(s"$base/recipe/plan")
       .orderBy(col("source")).show(5, truncate = false)
@@ -104,6 +125,30 @@ object CurationPipelineDemo {
     println("== resumeShards(pos = 5): the remaining manifest (first 5) ==")
     graft.Recipe.resumeShards(spark, s"$base/recipe", pos = 5L)
       .show(5, truncate = false)
+    //    ... the full restart WALK (r17): shard 0 was consumed via
+    //    readShard, the run crashed 2 chunks into shard 1, and the
+    //    resume manifest drives the SAME consumer code for the rest —
+    //    consumed ∪ resumed must be the schedule exactly once
+    val walkManifest = spark.read.parquet(s"$base/recipe/shards")
+      .orderBy(col("shard_id")).collect()
+    val crashAt = walkManifest(1).getAs[Long]("first_pos") + 2L
+    def sliceRows(lo: Long, hi: Long): Long =
+      spark.read.parquet(s"$base/recipe/order")
+        .filter(col("pos") >= lo && col("pos") <= hi).count()
+    val consumedRows =
+      graft.Recipe.readShard(spark, s"$base/recipe", 0L).select("pos")
+        .distinct().count() +
+        sliceRows(walkManifest(1).getAs[Long]("first_pos"), crashAt - 1L)
+    val resumedRows = graft.Recipe.resumeShards(spark, s"$base/recipe",
+        crashAt).collect()
+      .map(r => sliceRows(r.getAs[Long]("first_pos"),
+        r.getAs[Long]("last_pos"))).sum
+    val scheduleRows = spark.read.parquet(s"$base/recipe/order").count()
+    require(consumedRows + resumedRows == scheduleRows,
+      s"restart walk must tile the schedule exactly once: " +
+        s"$consumedRows consumed + $resumedRows resumed != $scheduleRows")
+    println(s"== restart walk: $consumedRows positions consumed + " +
+      s"$resumedRows resumed = $scheduleRows scheduled, exactly once ==")
 
     // 6) surgical decontamination: cut the leaked passages, keep the docs
     val evalSet = docs.filter(col("doc_id") < 20)

@@ -671,10 +671,30 @@ object Pipeline {
     * of the 1-row total — the corpus is scanned once and never
     * shuffled. */
   def mixPlan(docs: DataFrame, strataCol: String, budgetTokens: Long,
-              textCol: String = "text"): DataFrame = {
+              textCol: String = "text"): DataFrame =
+    mixPlanFromTotals(
+      docs.groupBy(col(strataCol))
+        .agg(sum(TextOps.tokenCount(col(textCol))).cast("long").as("n_tokens")),
+      strataCol, budgetTokens)
+
+  /** [[mixPlan]]'s allocation arithmetic over PRE-AGGREGATED per-stratum
+    * token totals (`strataCol`, `n_tokens`) — the seam that makes the
+    * plan recomputable WITHOUT re-reading corpus text:
+    * [[graft.Recipe.refresh]] re-plans a corpus delta from the persisted
+    * per-doc token index (totals = one aggregate over ~20 B/doc rows),
+    * paying tokenization only for the delta, and the two paths cannot
+    * drift because this IS the arithmetic `mixPlan` runs. Identical
+    * determinism envelope (one IEEE-exact sqrt per stratum, exact
+    * DECIMAL(38,0) integer products — see [[mixPlan]]'s scaladoc). */
+  def mixPlanFromTotals(totals: DataFrame, strataCol: String,
+                        budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
-    val w = docs.groupBy(col(strataCol))
-      .agg(sum(TextOps.tokenCount(col(textCol))).cast("long").as("n_tokens"))
+    Seq(strataCol, "n_tokens").foreach(c =>
+      require(totals.columns.contains(c),
+        s"mixPlanFromTotals: totals has no '$c' column (found " +
+          s"${totals.columns.mkString(", ")})"))
+    val w = totals.select(col(strataCol),
+        col("n_tokens").cast("long").as("n_tokens"))
       .withColumn("w_micro", floor(sqrt(col("n_tokens")) * 1e6).cast("long"))
       .localCheckpoint(false) // |strata| rows; read by the total + output
     val tot = w.agg(sum(col("w_micro")).cast("long").as("tot_w"))
@@ -2686,6 +2706,23 @@ object Pipeline {
       dir
     }
 
+  /** Build-once memo for the q201 harness query: [[cachedRecipe]]'s
+    * exact parameters published over a BASE slice of the corpus
+    * (doc_id % 9 ≠ 0), then [[graft.Recipe.refresh]] with the held-out
+    * ninth as the delta — text read only for the delta; plan,
+    * materialization, pack, and order re-derived from the persisted
+    * stats index. The query reads the refreshed `order/` and shares
+    * q188's FULL-CORPUS oracle verbatim: refresh(base, delta) must be
+    * byte-identical to the publish that saw everything. */
+  private def cachedRefreshedRecipe(s: SparkSession, d: String): String =
+    BuildOnce.dir("graft-recipe-refresh", d) { dir =>
+      val docs = Tables.documents(s, d)
+      graft.Recipe.run(docs.filter(col("doc_id") % 9 =!= 0), dir,
+        budgetTokens = 400000L, chunkTokens = 256, seed = 7L, nEpochs = 1)
+      graft.Recipe.refresh(docs.filter(col("doc_id") % 9 === 0), dir)
+      dir
+    }
+
   val specs: Seq[QuerySpec] = Seq(
     // Snapshot diff between two deterministic views of the corpus:
     // "old" drops every 7th doc (so those read as added), "new" drops
@@ -4693,14 +4730,74 @@ object Pipeline {
           UNION ALL
           SELECT 'order_permutation', 'ok', CAST(1 AS BIGINT)
           UNION ALL
+          SELECT 'plan_strata', 'ok', CAST(0 AS BIGINT)
+          UNION ALL
           SELECT 'shards_budget', 'ok', CAST(4096 AS BIGINT)
           UNION ALL
           SELECT 'shards_mass', 'ok', CAST(0 AS BIGINT)
           UNION ALL
           SELECT 'shards_tiling', 'ok', n FROM nsh
           UNION ALL
+          SELECT 'stats_tokens', 'ok', CAST(0 AS BIGINT)
+          UNION ALL
           SELECT 'tokenized_assigned', 'ok', CAST(0 AS BIGINT)
         ) ORDER BY "check"""")),
+
+    // INCREMENTAL RE-PUBLISH (r17): Recipe.refresh — the corpus-delta
+    // re-publish that tokenizes ONLY the delta and re-derives plan /
+    // multiset / pack / order from the persisted per-doc stats index.
+    // The memo publishes over 8/9ths of the corpus and refreshes in the
+    // held-out ninth; the oracle is q188's FULL-corpus chain VERBATIM —
+    // the strongest pin available: the incremental path must land
+    // byte-identical to the publish that read everything.
+    QuerySpec(
+      "q201_recipe_refresh",
+      (s, d) => s.read.parquet(s"${cachedRefreshedRecipe(s, d)}/order")
+        .orderBy(col("pos")),
+      Some("""
+        WITH c AS (SELECT source,
+                          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY source),
+        w AS (SELECT source, n_tokens,
+                     CAST(floor(sqrt(n_tokens) * 1e6) AS BIGINT) AS w_micro
+              FROM c),
+        tw AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot_w FROM w),
+        p AS (SELECT source,
+                     CASE WHEN n_tokens = 0 THEN 0
+                          ELSE CAST(((400000 * w_micro) // tot_w) * 1000000 // n_tokens AS BIGINT)
+                     END AS epochs_micro
+              FROM w, tw),
+        j AS (SELECT d.doc_id, d.source AS source,
+                     len(string_split(d.text, ' ')) AS n_tokens,
+                     p.epochs_micro // 1000000 AS fullc,
+                     p.epochs_micro % 1000000 AS frac,
+                     ('0x' || substr(md5(concat(CAST(d.doc_id AS VARCHAR),
+                       ':', d.source)), 1, 8))::BIGINT % 1000000 AS draw
+              FROM documents d JOIN p ON d.source = p.source),
+        m AS (SELECT doc_id, source, n_tokens,
+                     CAST(fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END
+                       AS BIGINT) AS n_copies
+              FROM j
+              WHERE fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END > 0),
+        x AS (SELECT doc_id, source, n_tokens,
+                     concat(CAST(doc_id AS VARCHAR), '#',
+                       CAST(unnest(range(n_copies)) AS VARCHAR)) AS mix_id
+              FROM m),
+        cs AS (SELECT source, mix_id, n_tokens,
+                      SUM(n_tokens) OVER (PARTITION BY source ORDER BY mix_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM x),
+        k AS (SELECT DISTINCT source AS stratum,
+                     CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id
+              FROM cs WHERE n_tokens IS NOT NULL),
+        h AS (SELECT stratum, chunk_id,
+                     substr(md5(concat('7:', stratum, ':',
+                       CAST(chunk_id AS VARCHAR))), 1, 8) AS hx
+              FROM k)
+        SELECT stratum, chunk_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY hx, stratum, chunk_id) - 1
+                 AS BIGINT) AS pos
+        FROM h ORDER BY pos""")),
 
     // RESUME MANIFEST (r16): Recipe.resumeShards — what remains of the
     // published schedule after a fleet consumed positions < 100: shards
@@ -4840,13 +4937,11 @@ object Pipeline {
                FROM o a JOIN o b ON b.pos = a.pos + 1
                GROUP BY a.stratum),
         mix AS (SELECT cnt.stratum,
-                       abs(CASE WHEN pr.n_pairs IS NULL OR pr.n_pairs = 0
-                                THEN 0
-                                ELSE CAST(pr.n_same * 1000000 // pr.n_pairs AS BIGINT)
-                           END
+                       abs(CAST(pr.n_same * 1000000 // pr.n_pairs AS BIGINT)
                          - CAST(cnt.nc * 1000000 // tt.n_total AS BIGINT))
                          AS mix_delta_micro
-                FROM cnt LEFT JOIN pr ON pr.stratum = cnt.stratum, tt)
+                FROM cnt JOIN pr ON pr.stratum = cnt.stratum, tt
+                WHERE pr.n_pairs > 0)
         SELECT p.source, p.alloc_tokens,
                COALESCE(agg.n_copies, 0) AS n_copies,
                COALESCE(agg.packed_tokens, 0) AS packed_tokens,

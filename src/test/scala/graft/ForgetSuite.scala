@@ -309,7 +309,12 @@ class ForgetSuite extends AnyFunSuite with BeforeAndAfterAll {
 
     val report = Forget.forget(forget, "doc_id", recipeDirs = Seq(recipeDir))
     assert(report.artifactsPruned.toSet ===
-      Set(s"$recipeDir/assignments", s"$recipeDir/order"))
+      Set(s"$recipeDir/assignments", s"$recipeDir/order",
+        s"$recipeDir/stats"))
+    // the r17 token index is pruned too — an unpruned index would
+    // RESURRECT forgotten docs through Recipe.refresh
+    assert(spark.read.parquet(s"$recipeDir/stats")
+      .join(forget, Seq("doc_id"), "left_semi").count() === 0L)
     assert(Forget.residuals(forget, "doc_id",
       recipeDirs = Seq(recipeDir)).isEmpty)
 

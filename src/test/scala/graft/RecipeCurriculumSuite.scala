@@ -364,6 +364,54 @@ class RecipeCurriculumSuite extends AnyFunSuite {
     assert(eOut.getMessage.contains("outside the manifest"))
   }
 
+  test("restart walk: consumed slices ∪ resumed slices ≡ the schedule exactly once") {
+    val dir = tmp("graft-restart-walk")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+    Recipe.shards(spark, dir, shardTokens = 150)
+    val manifest = spark.read.parquet(s"$dir/shards")
+      .orderBy("shard_id").collect()
+    assert(manifest.length >= 3, s"fixture needs >= 3 shards")
+    // the fleet consumed shard 0 entirely (readShard — the audited
+    // consumer) plus the first 2 chunks of shard 1, then crashed
+    val consumed0 = Recipe.readShard(spark, dir, 0L)
+      .select(col("pos"), col("mix_id"))
+    val s1 = manifest(1)
+    val cursor = s1.getAs[Long]("first_pos") + 2L
+    assert(cursor <= s1.getAs[Long]("last_pos"))
+    // the manifest-shaped consumer read: fleet code slices the order by
+    // a row's inclusive range and joins members — resume rows drive the
+    // SAME code because they are manifest-shaped
+    def sliceOf(lo: Long, hi: Long) =
+      spark.read.parquet(s"$dir/order")
+        .filter(col("pos") >= lo && col("pos") <= hi)
+        .join(spark.read.parquet(s"$dir/assignments")
+            .filter(col("chunk_id").isNotNull)
+            .select(col("source").as("stratum"), col("chunk_id"),
+              col("mix_id")),
+          Seq("stratum", "chunk_id"))
+        .select(col("pos"), col("mix_id"))
+    val consumedPartial = sliceOf(s1.getAs[Long]("first_pos"), cursor - 1L)
+    // restart: the resume manifest hands back exactly the remainder
+    val resumed = Recipe.resumeShards(spark, dir, cursor).collect()
+    assert(resumed.head.getAs[Long]("first_pos") === cursor,
+      "the boundary shard must resume at the cursor")
+    val resumedSlices = resumed.toSeq.map(r =>
+      sliceOf(r.getAs[Long]("first_pos"), r.getAs[Long]("last_pos")))
+    val union = (Seq(consumed0, consumedPartial) ++ resumedSlices)
+      .reduce(_ unionByName _).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // exactly once: no (pos, mix_id) consumed twice, none skipped
+    assert(union.length === union.toSet.size,
+      "restart must not re-train any (pos, mix_id)")
+    val expected = spark.read.parquet(s"$dir/order").count()
+    val expectedRows = sliceOf(0L, Long.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(union.toSet === expectedRows.toSet &&
+      union.length === expectedRows.length,
+      s"union of consumed + resumed slices must BE the schedule " +
+        s"($expected positions)")
+  }
+
   test("readShard: a stale manifest (order re-tiled underneath) refuses with the drift audit") {
     val dir = tmp("graft-readshard-drift")
     Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
@@ -397,8 +445,8 @@ class RecipeCurriculumSuite extends AnyFunSuite {
     val clean = cardOf(dir)
     assert(clean.keySet === Set("mix_id_unique", "tokenized_assigned",
       "order_chunks_match", "order_permutation", "epochs_recorded",
-      "kernel_shape", "bands_current", "mixing", "shards_tiling",
-      "shards_mass", "shards_budget"))
+      "kernel_shape", "bands_current", "mixing", "plan_strata",
+      "stats_tokens", "shards_tiling", "shards_mass", "shards_budget"))
     assert(clean("epochs_recorded")._2 === 2L)
     clean.filterKeys(_ != "mixing").foreach { case (k, (s, _)) =>
       assert(s === "ok", s"$k must be ok on a clean dir, got $s")
@@ -454,6 +502,77 @@ class RecipeCurriculumSuite extends AnyFunSuite {
       Recipe.verify(spark, tmp("graft-verify-empty"))
     }
     assert(e.getMessage.contains("not a Recipe.run output dir"))
+  }
+
+  test("verify: plan/ is a required artifact, and an orphaned stratum fails plan_strata") {
+    val dir = tmp("graft-verify-plan")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+
+    // orphan: hand-cut one ASSIGNED stratum out of plan/ — the loudest
+    // plan hand-mutation, which pre-r17 verify could not see at all
+    val victim = spark.read.parquet(s"$dir/assignments")
+      .select("source").head().getString(0)
+    Pipeline.stagedRewrite(spark, s"$dir/plan", "retract") { df =>
+      df.filter(col("source") =!= victim)
+    }
+    val card = Recipe.verify(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(card("plan_strata")._1 === "fail" && card("plan_strata")._2 === 1L)
+
+    // a deleted plan/ refuses outright — report and diff would crash on
+    // the missing path, so the integrity card must not read all-ok
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/plan"), true)
+    val e = intercept[IllegalArgumentException] {
+      Recipe.verify(spark, dir)
+    }
+    assert(e.getMessage.contains("no plan/"))
+  }
+
+  test("verify: a FULLY-retracted recipe dir is a valid card, not an NPE") {
+    import spark.implicits._
+    val dir = tmp("graft-verify-retracted")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+    Recipe.shards(spark, dir, shardTokens = 150)
+    Recipe.retract((1L to 600L).toDF("doc_id"), dir)
+    // every aggregate in the card runs over ZERO assignment rows — the
+    // documented contract ('throws only when the dir is not a recipe
+    // dir') must hold on the emptiest dir retraction can produce
+    val card = Recipe.verify(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(card("mix_id_unique") === (("ok", 0L)))
+    assert(card("tokenized_assigned") === (("ok", 0L)))
+    assert(card("order_chunks_match")._1 === "ok")
+    assert(card("epochs_recorded")._1 === "ok")
+    assert(card("plan_strata") === (("ok", 0L)))
+    // the pruned stats index now diverges from plan's publish-time
+    // totals — the retraction signature, informative, never a failure
+    assert(card("stats_tokens")._1 === "stale")
+  }
+
+  test("diff: strata columns come from each dir's meta; an A/B mismatch refuses naming both") {
+    val dirA = tmp("graft-diff-meta-a")
+    val dirB = tmp("graft-diff-meta-b")
+    Recipe.run(docs, dirA, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+    Recipe.run(docs.withColumnRenamed("source", "origin"), dirB,
+      budgetTokens = 20000L, chunkTokens = 64, seed = 5L,
+      strataCol = "origin")
+    val e = intercept[IllegalArgumentException] {
+      Recipe.diff(spark, dirA, dirB)
+    }
+    assert(e.getMessage.contains("'source'") &&
+      e.getMessage.contains("'origin'"),
+      s"the refusal must name both columns, got: ${e.getMessage}")
+    // the override exists for pre-meta dirs — it applies to both sides
+    val fs = new org.apache.hadoop.fs.Path(dirA)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dirA/meta"), true)
+    val eNoMeta = intercept[IllegalArgumentException] {
+      Recipe.diff(spark, dirA, dirA)
+    }
+    assert(eNoMeta.getMessage.contains("no meta/"))
+    assert(Recipe.diff(spark, dirA, dirA, Some("source")).count() > 0L)
   }
 
   test("diff: a retraction's churn is exactly the removed copies; untouched plans compare verbatim") {

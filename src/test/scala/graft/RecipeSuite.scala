@@ -45,7 +45,8 @@ class RecipeSuite extends AnyFunSuite with BeforeAndAfterAll {
       chunkTokens = 64, seed = 11L, nEpochs = 2)
 
     assert(report.artifacts ===
-      Seq(s"$out/plan", s"$out/assignments", s"$out/order", s"$out/meta"))
+      Seq(s"$out/plan", s"$out/assignments", s"$out/order", s"$out/meta",
+        s"$out/stats"))
     assert(report.nStrata === 4L && report.nEpochs === 2)
 
     // assignments: every materialized copy exactly once, the composite
