@@ -1136,12 +1136,17 @@ object Recipe {
     card += (("tokenized_assigned",
       if (aStats.getLong(2) == 0L) "ok" else "fail", aStats.getLong(2)))
 
-    // the schedule vs the assignments' chunk set
+    // the schedule vs the assignments' chunk set: ONE full-outer join of
+    // the two distinct chunk sets counts the symmetric difference (a
+    // two-directional exceptAll pays two wide shuffles for the same set
+    // arithmetic — both inputs are already distinct)
     val aChunks = assigned.filter(col("chunk_id").isNotNull)
       .select(col(strataCol).as("stratum"), col("chunk_id")).distinct()
     val oChunks = order.select(col("stratum"), col("chunk_id")).distinct()
-    val symDiff = aChunks.exceptAll(oChunks).count() +
-      oChunks.exceptAll(aChunks).count()
+    val symDiff = aChunks.withColumn("__a", lit(1))
+      .join(oChunks.withColumn("__o", lit(1)),
+        Seq("stratum", "chunk_id"), "full_outer")
+      .filter(col("__a").isNull || col("__o").isNull).count()
     card += (("order_chunks_match",
       if (symDiff == 0L) "ok" else "fail", symDiff))
 

@@ -372,12 +372,13 @@ class RecipeCurriculumSuite extends AnyFunSuite {
       .orderBy("shard_id").collect()
     assert(manifest.length >= 3, s"fixture needs >= 3 shards")
     // the fleet consumed shard 0 entirely (readShard — the audited
-    // consumer) plus the first 2 chunks of shard 1, then crashed
+    // consumer) plus the first chunk of shard 1, then crashed
     val consumed0 = Recipe.readShard(spark, dir, 0L)
       .select(col("pos"), col("mix_id"))
     val s1 = manifest(1)
-    val cursor = s1.getAs[Long]("first_pos") + 2L
-    assert(cursor <= s1.getAs[Long]("last_pos"))
+    val cursor = s1.getAs[Long]("first_pos") + 1L
+    assert(cursor <= s1.getAs[Long]("last_pos"),
+      "fixture drift: shard 1 must hold at least 2 chunks")
     // the manifest-shaped consumer read: fleet code slices the order by
     // a row's inclusive range and joins members — resume rows drive the
     // SAME code because they are manifest-shaped
