@@ -267,8 +267,17 @@ object Bench {
       (findRegressions(prevRecord, minOf2).keySet ++
        findRegressions(baseline, minOf2, factor = 1.5).keySet).toSeq.sorted
     val benchedByName = benched.toMap
+    // each tail re-measure carries its own machine-state evidence: one
+    // calibration sample taken IMMEDIATELY before it. A flag that
+    // survives the re-measure at an inflated probe (≥2x the settled
+    // 0.06-0.09 band) is ambient heat by its own record — the r16
+    // driver run shipped 33 surviving flags, every one in a uniform
+    // heat band, and each had to be hand-adjudicated; this column makes
+    // that adjudication mechanical.
+    val remeasureCal = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val remeasured = prelimFlagged.flatMap { name =>
       benchedByName.get(name).map { fn =>
+        remeasureCal(name) = calibrationProbe(spark)
         val (sec, _) = timeOne(spark, sfDir, fn)
         dropLeftoverBlocks(spark)
         name -> sec
@@ -322,6 +331,15 @@ object Bench {
     val driftJson = drift.toSeq.sortBy(_._1)
       .map { case (n, (p, t)) => s"${jstr(n)}:[$p,$t]" }
       .mkString("{", ",", "}")
+    // the per-flag probe samples, keyed like "drift"/"regressions" (a
+    // separate map keeps those two shapes unchanged for older readers):
+    // a surviving flag whose sample sits in the settled band is a real
+    // slowdown; one at 2x+ the band is the machine, not the code
+    val flagCalJson = (regs.keySet ++ drift.keySet).toSeq.sorted
+      .flatMap(n => remeasureCal.get(n).map(c =>
+        s"${jstr(n)}:" + String.format(java.util.Locale.ROOT, "%.4f",
+          Double.box(c))))
+      .mkString("{", ",", "}")
     // calibration: the 3 fixed-probe samples (start/middle/end);
     // retired_flags: queries whose preliminary flag did NOT reproduce on
     // the tail re-measure — ambient one-offs, by construction
@@ -331,7 +349,7 @@ object Bench {
     val calJson = cal.map(s => String.format(java.util.Locale.ROOT,
       "%.4f", Double.box(s))).mkString("[", ",", "]")
     val retiredJson = retired.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","warmup":"full-pass-min2-mat","tier":"capped","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"n_regressions":${regs.size},"regressions":$regJson,"n_drift":${drift.size},"drift":$driftJson,"calibration":$calJson,"retired_flags":$retiredJson,"verify_only":$skipped,"queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warmup":"full-pass-min2-mat","tier":"capped","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"n_regressions":${regs.size},"regressions":$regJson,"n_drift":${drift.size},"drift":$driftJson,"flag_cal":$flagCalJson,"calibration":$calJson,"retired_flags":$retiredJson,"verify_only":$skipped,"queries":$qs,"sf":"$sfDir"}"""
     // persist BEFORE stop so the on-disk copy exists even if shutdown hangs
     java.nio.file.Files.writeString(resultPath, json)
     // The driver parses a JSON line from a bounded stdout TAIL; the full
