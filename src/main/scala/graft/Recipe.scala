@@ -470,7 +470,9 @@ object Recipe {
       s"Recipe.refresh: $known delta $idCol value(s) are already in the " +
         s"corpus index at $recipeDir/stats - refresh is APPEND-ONLY " +
         "(an in-place mutation changes published history); retract the " +
-        "old rows first, or re-publish with Recipe.run")
+        "old rows first, or re-publish with Recipe.run. (If this is a " +
+        "REPLAY of a refresh that already landed, the delta is applied - " +
+        "run Recipe.verify instead of retrying.)")
     // the ONE text read of the whole refresh: the delta's token counts
     val deltaStats = delta.select(col(idCol), col(strataCol),
       graft.operators.TextOps.tokenCount(col(textCol)).cast("bigint")
