@@ -209,6 +209,27 @@ object Recipe {
       .write.mode("overwrite").parquet(s"$outDir/stats")
     val stats = spark.read.parquet(s"$outDir/stats")
 
+    // identity hygiene, enforced AT THE DOOR on the index just written
+    // (one cheap aggregate — never the text): `mix_id = id#copy` is the
+    // artifacts' composite primary key, and a duplicated doc id (even
+    // across strata — the composite does not carry the stratum) or a
+    // null id/stratum mints COLLIDING mix_ids that every downstream
+    // consumer then trusts; discovering that later in Recipe.verify's
+    // card is the wrong place for an input-data bug to surface
+    val idStats = stats.agg(count(lit(1)),
+      coalesce(sum(when(col(idCol).isNull || col(strataCol).isNull, 1L)
+        .otherwise(0L)), lit(0L)),
+      countDistinct(col(idCol))).head()
+    require(idStats.getLong(1) == 0L,
+      s"Recipe.run: ${idStats.getLong(1)} corpus doc(s) have a null " +
+        s"'$idCol' or '$strataCol' - null identities mint colliding " +
+        "mix_ids (and a null id can never be retracted); fix the corpus")
+    require(idStats.getLong(0) == idStats.getLong(2),
+      s"Recipe.run: '$idCol' repeats across the corpus " +
+        s"(${idStats.getLong(0)} docs, ${idStats.getLong(2)} distinct " +
+        "ids) - mix_id = id#copy is the artifacts' primary key and " +
+        "duplicate ids collide it; dedup or disambiguate the ids")
+
     // 1) plan — persisted first within the stage: on a later gate's
     //    refusal the allocation decision survives for post-mortem at
     //    `outDir__publish_stage/plan` (the stage is cleared only by the
@@ -460,6 +481,12 @@ object Recipe {
     // would mint colliding mix_ids, and an id already in the index is a
     // text mutation wearing an append's clothes
     val deltaIds = delta.select(col(idCol)).distinct()
+    val nullIds = delta
+      .filter(col(idCol).isNull || col(strataCol).isNull).count()
+    require(nullIds == 0L,
+      s"Recipe.refresh: $nullIds delta doc(s) have a null '$idCol' or " +
+        s"'$strataCol' - null identities mint colliding mix_ids (and a " +
+        "null id can never be retracted); fix the delta")
     val dupIds = delta.count() - deltaIds.count()
     require(dupIds == 0L,
       s"Recipe.refresh: the delta repeats $dupIds $idCol value(s) - " +

@@ -207,6 +207,12 @@ class RecipeRefreshSuite extends AnyFunSuite {
         .toDF("doc_id", "source", "text"), dir)
     }
     assert(eDup.getMessage.contains("repeats"))
+    // a null identity can never be retracted and collides its mix_ids
+    val eNull = intercept[IllegalArgumentException] {
+      Recipe.refresh(Seq((Option.empty[java.lang.Long], "src1", "a b"))
+        .toDF("doc_id", "source", "text"), dir)
+    }
+    assert(eNull.getMessage.contains("null"))
     // a pre-r17 dir (no stats index) names the upgrade path
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

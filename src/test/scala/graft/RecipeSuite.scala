@@ -131,4 +131,26 @@ class RecipeSuite extends AnyFunSuite with BeforeAndAfterAll {
       Recipe.run(corpus, out, budgetTokens = 20000L, mixingTolMicro = 0L)
     }
   }
+
+  test("identity hygiene at the door: duplicate or null doc ids refuse before any artifact proves") {
+    val sql = spark
+    import sql.implicits._
+    val out = Files.createTempDirectory("graft-recipe-ids").toString
+    // a repeated id mints colliding mix_ids (id#copy carries no stratum)
+    val duped = corpus.unionByName(
+      Seq((7L, "srcX", "a b c")).toDF("doc_id", "source", "text"))
+    val eDup = intercept[IllegalArgumentException] {
+      Recipe.run(duped, out, budgetTokens = 20000L, chunkTokens = 64)
+    }
+    assert(eDup.getMessage.contains("repeats across the corpus") &&
+      eDup.getMessage.contains("mix_id"))
+    // a null id can never be retracted and also collides its mix_ids
+    val withNull = corpus.unionByName(
+      Seq((Option.empty[java.lang.Long], "src0", "a b"))
+        .toDF("doc_id", "source", "text"))
+    val eNull = intercept[IllegalArgumentException] {
+      Recipe.run(withNull, out, budgetTokens = 20000L, chunkTokens = 64)
+    }
+    assert(eNull.getMessage.contains("null"))
+  }
 }
