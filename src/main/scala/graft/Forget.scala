@@ -453,11 +453,21 @@ object Forget {
     val auditTargets = artifacts ++ annDir.map(d => s"$d/codes" -> "nid") ++
       spanIndexDirs.map(d => s"$d/pos" -> "doc_id") ++
       cdcIndexDirs.map(d => s"$d/digests" -> "doc_id") ++
-      // recipe audit surface: assignments/ (the id-keyed artifact, each
-      // dir joined on ITS OWN id column); order/ holds chunk keys only —
-      // its correctness is Recipe.retract's permutation gate, not an
+      // recipe audit surfaces: assignments/ (the id-keyed artifact, each
+      // dir joined on ITS OWN id column) and — when the r17 publish
+      // wrote one — the stats/ token index, which is the REFRESH
+      // materialization source: a stats row surviving a forget is not
+      // just readable residue, it re-enters the published schedule on
+      // the next Recipe.refresh. order/ holds chunk keys only — its
+      // correctness is Recipe.retract's permutation gate, not an
       // id-residual question
-      recipeAudits.map { case (d, idc) => s"$d/assignments" -> idc }
+      recipeAudits.flatMap { case (d, idc) =>
+        val statsPath = new org.apache.hadoop.fs.Path(s"$d/stats")
+        val statsFs = statsPath.getFileSystem(hadoopConf)
+        Seq(s"$d/assignments" -> idc) ++
+          (if (statsFs.exists(statsPath)) Seq(s"$d/stats" -> idc)
+           else Seq.empty)
+      }
     if (auditTargets.nonEmpty) {
       val cols = auditTargets.map(_._2).distinct
       val auditIds = idList.select(cols.map(c => col("__id").as(c)): _*)

@@ -301,11 +301,15 @@ class ForgetSuite extends AnyFunSuite with BeforeAndAfterAll {
       seed = 11L, nEpochs = 2)
     val forget = Seq(5L, 9L, 13L).toDF("doc_id")
 
-    // red before: the compliance sweep covers the recipe's assignments
+    // red before: the compliance sweep covers BOTH id-keyed recipe
+    // surfaces — assignments AND the r17 stats index (the refresh
+    // materialization source, where a residual row resurrects)
     val before = Forget.residuals(forget, "doc_id",
       recipeDirs = Seq(recipeDir))
-    assert(before.size === 1 && before.head.contains("residual rows"),
-      s"unretracted recipe must surface: $before")
+    assert(before.size === 2 && before.forall(_.contains("residual rows")),
+      s"unretracted recipe must surface on both surfaces: $before")
+    assert(before.exists(_.contains("/assignments")) &&
+      before.exists(_.contains("/stats")))
 
     val report = Forget.forget(forget, "doc_id", recipeDirs = Seq(recipeDir))
     assert(report.artifactsPruned.toSet ===
@@ -354,11 +358,13 @@ class ForgetSuite extends AnyFunSuite with BeforeAndAfterAll {
       chunkTokens = 64, seed = 3L, strataCol = "origin", idCol = "item_id")
     val forget = Seq(5L, 9L).toDF("uid")
 
-    // red before on BOTH, each audited on its own id column
+    // red before on BOTH dirs (assignments + stats each), audited on
+    // each dir's own id column
     val before = Forget.residuals(forget, "uid",
       recipeTargets = Seq((dirA, "doc_id", "source"),
         (dirB, "item_id", "origin")))
-    assert(before.size === 2, s"both unretracted recipes must surface: $before")
+    assert(before.size === 4, s"both unretracted recipes must surface " +
+      s"on both surfaces: $before")
 
     val report = Forget.forget(forget, "uid",
       recipeTargets = Seq((dirA, "doc_id", "source"),
