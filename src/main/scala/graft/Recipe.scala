@@ -1130,7 +1130,12 @@ object Recipe {
     * Statuses: `ok`/`fail` for structural checks, `within`/`degraded`
     * for mixing. Throws only when the dir is not a recipe dir at all
     * (missing artifacts/meta) — a verify that silently "passed" a
-    * non-recipe path would be worse than a refusal. */
+    * non-recipe path would be worse than a refusal.
+    *
+    * Execution shape (r17): the checks are independent bounded reads,
+    * so they run as CONCURRENT Spark jobs over the two cached artifacts
+    * — the card's wall time is its slowest check, not the sum of ~10
+    * driver-synchronous job round-trips. */
   def verify(spark: SparkSession, recipeDir: String): DataFrame = {
     healResidues(spark, recipeDir)
     val fs = new org.apache.hadoop.fs.Path(recipeDir)
@@ -1143,7 +1148,6 @@ object Recipe {
     val meta = spark.read.parquet(s"$recipeDir/meta").head()
     val strataCol = meta.getAs[String]("strata_col")
     val tol = meta.getAs[Long]("mixing_tol_micro")
-    val card = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
 
     // the two artifacts every check below re-reads are cached for the
     // card's lifetime: the checks are deliberately independent reads
@@ -1151,207 +1155,242 @@ object Recipe {
     // chunk-scale assignments scan re-runs once per check
     val assigned = spark.read.parquet(s"$recipeDir/assignments").persist()
     val order = spark.read.parquet(s"$recipeDir/order").persist()
+    // the checks are INDEPENDENT bounded reads, so they run as
+    // CONCURRENT Spark jobs (Spark schedules jobs from multiple threads
+    // in one session natively) — the card's wall time is the slowest
+    // check, not the sum of ~10 driver-synchronous job round-trips. The
+    // two shared scalars (chunk count, epoch extent) are their own
+    // futures, submitted FIRST so a dependent group can never starve
+    // them of a pool thread.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try {
-    // assignments internals — every aggregate coalesced: a
-    // fully-retracted recipe is a VALID dir (zero assignment rows), and
-    // a bare sum() over it reads null, not 0
-    val aStats = assigned.agg(count(lit(1)),
-      countDistinct(col("mix_id")),
-      coalesce(sum(when(col("n_tokens").isNotNull && col("chunk_id").isNull,
-        1L).otherwise(0L)), lit(0L))).head()
-    card += (("mix_id_unique",
-      if (aStats.getLong(0) == aStats.getLong(1)) "ok" else "fail",
-      aStats.getLong(0)))
-    card += (("tokenized_assigned",
-      if (aStats.getLong(2) == 0L) "ok" else "fail", aStats.getLong(2)))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      type CardRows = Seq[(String, String, Long)]
 
-    // the schedule vs the assignments' chunk set: ONE full-outer join of
-    // the two distinct chunk sets counts the symmetric difference (a
-    // two-directional exceptAll pays two wide shuffles for the same set
-    // arithmetic — both inputs are already distinct)
-    val aChunks = assigned.filter(col("chunk_id").isNotNull)
-      .select(col(strataCol).as("stratum"), col("chunk_id")).distinct()
-    val oChunks = order.select(col("stratum"), col("chunk_id")).distinct()
-    val symDiff = aChunks.withColumn("__a", lit(1))
-      .join(oChunks.withColumn("__o", lit(1)),
-        Seq("stratum", "chunk_id"), "full_outer")
-      .filter(col("__a").isNull || col("__o").isNull).count()
-    card += (("order_chunks_match",
-      if (symDiff == 0L) "ok" else "fail", symDiff))
-
-    // plan/ coverage: every assigned stratum must be planned — a plan
-    // whose stratum vanished under hand edits is the exact mutation
-    // class this card exists for; the inverse (planned, nothing
-    // materialized) is the legitimate zeros row report shows
-    val planStrata = spark.read.parquet(s"$recipeDir/plan")
-      .select(col(strataCol).as("stratum")).distinct()
-    val orphanStrata = assigned.select(col(strataCol).as("stratum"))
-      .distinct().exceptAll(planStrata).count()
-    card += (("plan_strata",
-      if (orphanStrata == 0L) "ok" else "fail", orphanStrata))
-
-    // the stats/ token index vs the plan's recorded totals (r17
-    // publishes carry the index): per-stratum divergence is the
-    // signature of a retraction since publish (stats and assignments
-    // prune, plan/ is deliberately the untouched decision record) —
-    // informative `stale`, never `fail`; measure = diverging strata.
-    // Absent on pre-r17 dirs, and its absence is not a failure.
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$recipeDir/stats"))) {
-      val statsTotals = spark.read.parquet(s"$recipeDir/stats")
-        .groupBy(col(strataCol).as("stratum"))
-        .agg(sum(col("n_tokens")).cast("long").as("__st"))
-      val planTotals = spark.read.parquet(s"$recipeDir/plan")
-        .select(col(strataCol).as("stratum"), col("n_tokens").as("__pt"))
-      val diverged = statsTotals.join(planTotals, Seq("stratum"), "full_outer")
-        .filter(!(col("__st") <=> col("__pt"))).count()
-      card += (("stats_tokens",
-        if (diverged == 0L) "ok" else "stale", diverged))
-    }
-
-    // permutation (+ band contiguity) per epoch, read-only: the run
-    // gate's ONE definition, refusals converted to a failed check
-    val nChunks = aChunks.count()
-    val nEpochs = if (order.columns.contains("epoch"))
-      math.max(1L, order.agg(coalesce(max(col("epoch")), lit(-1L)))
-        .head().getLong(0) + 1L).toInt
-    else 1
-    val measuredDelta =
-      try {
-        val d = proveOrder(order, 0 until nEpochs, flat = nEpochs == 1,
-          nChunks, "Recipe.verify", mixingTol = _ => None)
-        card += (("order_permutation", "ok", nEpochs.toLong))
-        Some(d)
-      } catch {
-        case _: IllegalArgumentException =>
-          card += (("order_permutation", "fail", nEpochs.toLong))
-          None
+      val aChunks = assigned.filter(col("chunk_id").isNotNull)
+        .select(col(strataCol).as("stratum"), col("chunk_id")).distinct()
+      val oChunks = order.select(col("stratum"), col("chunk_id")).distinct()
+      val nChunksF = Future { aChunks.count() }
+      val nEpochsF = Future {
+        if (order.columns.contains("epoch"))
+          math.max(1L, order.agg(coalesce(max(col("epoch")), lit(-1L)))
+            .head().getLong(0) + 1L).toInt
+        else 1
       }
 
-    // meta's recorded epoch count vs the schedule's actual extent: a
-    // hand-truncated epoch passes every per-epoch proof (each surviving
-    // epoch is still a permutation) while a dataloader driven by meta
-    // looks for slices that do not exist — and the inverse (order ahead
-    // of meta) is a crashed extension awaiting its replay. Vacuous on a
-    // fully-retracted schedule (no chunks, no epochs to serve).
-    val metaEpochs = meta.getAs[Long]("n_epochs")
-    card += (("epochs_recorded",
-      if (nChunks == 0L || metaEpochs == nEpochs.toLong) "ok" else "fail",
-      metaEpochs))
-
-    // kernel record vs artifact shape: a curriculum record must have a
-    // banded schedule and vice versa — a hand-swapped order/ shows here
-    val kernel = if (meta.schema.fieldNames.contains("order_kernel"))
-      meta.getAs[String]("order_kernel") else "trainingOrder"
-    val banded = order.columns.contains("band")
-    card += (("kernel_shape",
-      if ((kernel == "curriculumOrder") == banded) "ok" else "fail",
-      if ((kernel == "curriculumOrder") == banded) 0L else 1L))
-    // band STALENESS is a separate, informative row — never a failure:
-    // the persisted bands were correct AT PUBLISH, and a retraction
-    // legitimately shifts surviving chunks' mean lengths, so persisted
-    // vs re-derived divergence is a training decision (re-publish for a
-    // fresh curriculum) rather than an integrity violation. Measure =
-    // chunks whose persisted band differs from the current-economics
-    // derivation at meta's spec.
-    if (banded && kernel == "curriculumOrder") {
-      val spec = CurriculumSpec(meta.getAs[Long]("band_divisor"),
-        meta.getAs[Long]("band_max"))
-      val expected = bandedChunks(assigned, strataCol, spec)
-      val got = order.select(col("stratum"), col("chunk_id"), col("band"))
-        .distinct()
-      val diverged = got.join(expected.withColumnRenamed("band", "__cb"),
-          Seq("stratum", "chunk_id"))
-        .filter(col("band") =!= col("__cb")).count()
-      card += (("bands_current",
-        if (diverged == 0L) "ok" else "stale", diverged))
-    }
-
-    // mixing: measured vs the run's persisted tolerance — a verdict,
-    // never a structural failure
-    measuredDelta.foreach { d =>
-      card += (("mixing", if (d <= tol) "within" else "degraded", d))
-    }
-
-    // shards, when published
-    val sPath = new org.apache.hadoop.fs.Path(s"$recipeDir/shards")
-    if (fs.exists(sPath)) {
-      val manifest = spark.read.parquet(s"$recipeDir/shards")
-      val hasEpoch = manifest.columns.contains("epoch")
-      val rows = manifest.collect()
-      val byEpoch = rows.groupBy(r =>
-        if (hasEpoch) r.getAs[Long]("epoch") else 0L)
-      var tilingOk = byEpoch.keySet ==
-        (if (rows.isEmpty) Set.empty[Long]
-         else (0L until nEpochs.toLong).toSet) || rows.isEmpty
-      byEpoch.values.foreach { es =>
-        var expect = 0L
-        es.sortBy(_.getAs[Long]("first_pos")).foreach { r =>
-          val lo = r.getAs[Long]("first_pos")
-          val hi = r.getAs[Long]("last_pos")
-          if (lo != expect || hi < lo ||
-              r.getAs[Long]("n_chunks") != hi - lo + 1L) tilingOk = false
-          expect = hi + 1L
-        }
-        if (expect != nChunks) tilingOk = false
+      // assignments internals — every aggregate coalesced: a
+      // fully-retracted recipe is a VALID dir (zero assignment rows),
+      // and a bare sum() over it reads null, not 0
+      val gAssigned = Future[CardRows] {
+        val aStats = assigned.agg(count(lit(1)),
+          countDistinct(col("mix_id")),
+          coalesce(sum(when(col("n_tokens").isNotNull &&
+            col("chunk_id").isNull, 1L).otherwise(0L)), lit(0L))).head()
+        Seq(("mix_id_unique",
+            if (aStats.getLong(0) == aStats.getLong(1)) "ok" else "fail",
+            aStats.getLong(0)),
+          ("tokenized_assigned",
+            if (aStats.getLong(2) == 0L) "ok" else "fail",
+            aStats.getLong(2)))
       }
-      card += (("shards_tiling", if (tilingOk) "ok" else "fail",
-        rows.length.toLong))
-      // masses: re-aggregate order ⋈ assignments over each shard range
-      val masses = assigned.filter(col("chunk_id").isNotNull)
-        .groupBy(col(strataCol).as("stratum"), col("chunk_id"))
-        .agg(sum(col("n_tokens")).cast("bigint").as("__tok"))
-      val epochKey = if (hasEpoch) col("epoch") else lit(0L)
-      val posMass = order.join(masses, Seq("stratum", "chunk_id"))
-        .select(epochKey.as("__e"), col("pos"), col("__tok"))
-      val rangeDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toSeq.map { r =>
-          org.apache.spark.sql.Row(
-            if (hasEpoch) r.getAs[Long]("epoch") else 0L,
-            r.getAs[Long]("shard_id"), r.getAs[Long]("first_pos"),
-            r.getAs[Long]("last_pos"), r.getAs[Long]("sum_tokens"))
-        }, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("__re",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("__sid",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("__lo",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("__hi",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("__claimed",
-            org.apache.spark.sql.types.LongType))))
-      // group by (epoch, shard): shard ids RESTART per epoch, so a
-      // shard-only key would merge epoch 0's shard k with epoch 1's
-      // and "find" a 2x mass violation on a perfectly healthy manifest
-      val massViolations = posMass
-        .join(broadcast(rangeDf),
-          col("__e") === col("__re") &&
-            col("pos") >= col("__lo") && col("pos") <= col("__hi"))
-        .groupBy(col("__re"), col("__sid"), col("__claimed"))
-        .agg(coalesce(sum(col("__tok")), lit(0L)).as("__actual"))
-        .filter(col("__actual") =!= col("__claimed")).count()
-      card += (("shards_mass",
-        if (massViolations == 0L) "ok" else "fail", massViolations))
-      // ok = a positive budget is recoverable; stale = unknowable (the
-      // legacy pre-sidecar empty manifest — a re-publish would refuse;
-      // re-cut with Recipe.shards to upgrade); fail = the persisted
-      // copies contradict each other (mixed rows, sidecar disagreement)
-      val budgetRow =
-        try {
-          val b = persistedShardBudget(spark, recipeDir, "Recipe.verify")
-            .getOrElse(0)
-          (("shards_budget", if (b > 0) "ok" else "stale", b.toLong))
-        } catch {
-          case _: IllegalArgumentException => (("shards_budget", "fail", -1L))
-        }
-      card += budgetRow
-    }
 
-    val sqlc = spark
-    import sqlc.implicits._
-    card.toSeq.toDF("check", "status", "measure").orderBy(col("check"))
+      // the schedule vs the assignments' chunk set: ONE full-outer join
+      // of the two distinct chunk sets counts the symmetric difference
+      // (a two-directional exceptAll pays two wide shuffles for the
+      // same set arithmetic — both inputs are already distinct)
+      val gChunkSet = Future[CardRows] {
+        val symDiff = aChunks.withColumn("__a", lit(1))
+          .join(oChunks.withColumn("__o", lit(1)),
+            Seq("stratum", "chunk_id"), "full_outer")
+          .filter(col("__a").isNull || col("__o").isNull).count()
+        Seq(("order_chunks_match",
+          if (symDiff == 0L) "ok" else "fail", symDiff))
+      }
+
+      // plan/ coverage: every assigned stratum must be planned — a plan
+      // whose stratum vanished under hand edits is the exact mutation
+      // class this card exists for; the inverse (planned, nothing
+      // materialized) is the legitimate zeros row report shows
+      val gPlan = Future[CardRows] {
+        val planStrata = spark.read.parquet(s"$recipeDir/plan")
+          .select(col(strataCol).as("stratum")).distinct()
+        val orphanStrata = assigned.select(col(strataCol).as("stratum"))
+          .distinct().exceptAll(planStrata).count()
+        Seq(("plan_strata",
+          if (orphanStrata == 0L) "ok" else "fail", orphanStrata))
+      }
+
+      // the stats/ token index vs the plan's recorded totals (r17
+      // publishes carry the index): per-stratum divergence is the
+      // signature of a retraction since publish (stats and assignments
+      // prune, plan/ is deliberately the untouched decision record) —
+      // informative `stale`, never `fail`; measure = diverging strata.
+      // Absent on pre-r17 dirs, and its absence is not a failure.
+      val gStats = Future[CardRows] {
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$recipeDir/stats")))
+          Seq.empty
+        else {
+          val statsTotals = spark.read.parquet(s"$recipeDir/stats")
+            .groupBy(col(strataCol).as("stratum"))
+            .agg(sum(col("n_tokens")).cast("long").as("__st"))
+          val planTotals = spark.read.parquet(s"$recipeDir/plan")
+            .select(col(strataCol).as("stratum"), col("n_tokens").as("__pt"))
+          val diverged = statsTotals
+            .join(planTotals, Seq("stratum"), "full_outer")
+            .filter(!(col("__st") <=> col("__pt"))).count()
+          Seq(("stats_tokens",
+            if (diverged == 0L) "ok" else "stale", diverged))
+        }
+      }
+
+      // the ORDER group: permutation (+ band contiguity) per epoch
+      // through the run gate's ONE proveOrder definition (refusals
+      // converted to a failed check), meta's epoch record vs the
+      // schedule's actual extent (vacuous on a fully-retracted
+      // schedule), kernel record vs artifact shape, curriculum band
+      // staleness (ok/stale — publish-time bands were correct; a
+      // retraction legitimately shifts mean lengths), and the mixing
+      // verdict vs the persisted tolerance — these share nChunks/nEpochs
+      // and each other's intermediate state, so they stay one
+      // sequential group inside their future
+      val gOrder = Future[CardRows] {
+        val nChunks = Await.result(nChunksF, Duration.Inf)
+        val nEpochs = Await.result(nEpochsF, Duration.Inf)
+        val rows = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        val measuredDelta =
+          try {
+            val d = proveOrder(order, 0 until nEpochs, flat = nEpochs == 1,
+              nChunks, "Recipe.verify", mixingTol = _ => None)
+            rows += (("order_permutation", "ok", nEpochs.toLong))
+            Some(d)
+          } catch {
+            case _: IllegalArgumentException =>
+              rows += (("order_permutation", "fail", nEpochs.toLong))
+              None
+          }
+        val metaEpochs = meta.getAs[Long]("n_epochs")
+        rows += (("epochs_recorded",
+          if (nChunks == 0L || metaEpochs == nEpochs.toLong) "ok"
+          else "fail", metaEpochs))
+        val kernel = if (meta.schema.fieldNames.contains("order_kernel"))
+          meta.getAs[String]("order_kernel") else "trainingOrder"
+        val banded = order.columns.contains("band")
+        rows += (("kernel_shape",
+          if ((kernel == "curriculumOrder") == banded) "ok" else "fail",
+          if ((kernel == "curriculumOrder") == banded) 0L else 1L))
+        if (banded && kernel == "curriculumOrder") {
+          val spec = CurriculumSpec(meta.getAs[Long]("band_divisor"),
+            meta.getAs[Long]("band_max"))
+          val expected = bandedChunks(assigned, strataCol, spec)
+          val got = order
+            .select(col("stratum"), col("chunk_id"), col("band")).distinct()
+          val diverged = got
+            .join(expected.withColumnRenamed("band", "__cb"),
+              Seq("stratum", "chunk_id"))
+            .filter(col("band") =!= col("__cb")).count()
+          rows += (("bands_current",
+            if (diverged == 0L) "ok" else "stale", diverged))
+        }
+        measuredDelta.foreach { d =>
+          rows += (("mixing", if (d <= tol) "within" else "degraded", d))
+        }
+        rows.toSeq
+      }
+
+      // shards, when published
+      val gShards = Future[CardRows] {
+        val sPath = new org.apache.hadoop.fs.Path(s"$recipeDir/shards")
+        if (!fs.exists(sPath)) Seq.empty
+        else {
+          val nChunks = Await.result(nChunksF, Duration.Inf)
+          val nEpochs = Await.result(nEpochsF, Duration.Inf)
+          val rows = scala.collection.mutable.ArrayBuffer
+            .empty[(String, String, Long)]
+          val manifest = spark.read.parquet(s"$recipeDir/shards")
+          val hasEpoch = manifest.columns.contains("epoch")
+          val mRows = manifest.collect()
+          val byEpoch = mRows.groupBy(r =>
+            if (hasEpoch) r.getAs[Long]("epoch") else 0L)
+          var tilingOk = byEpoch.keySet ==
+            (if (mRows.isEmpty) Set.empty[Long]
+             else (0L until nEpochs.toLong).toSet) || mRows.isEmpty
+          byEpoch.values.foreach { es =>
+            var expect = 0L
+            es.sortBy(_.getAs[Long]("first_pos")).foreach { r =>
+              val lo = r.getAs[Long]("first_pos")
+              val hi = r.getAs[Long]("last_pos")
+              if (lo != expect || hi < lo ||
+                  r.getAs[Long]("n_chunks") != hi - lo + 1L) tilingOk = false
+              expect = hi + 1L
+            }
+            if (expect != nChunks) tilingOk = false
+          }
+          rows += (("shards_tiling", if (tilingOk) "ok" else "fail",
+            mRows.length.toLong))
+          // masses: re-aggregate order ⋈ assignments over each range
+          val masses = assigned.filter(col("chunk_id").isNotNull)
+            .groupBy(col(strataCol).as("stratum"), col("chunk_id"))
+            .agg(sum(col("n_tokens")).cast("bigint").as("__tok"))
+          val epochKey = if (hasEpoch) col("epoch") else lit(0L)
+          val posMass = order.join(masses, Seq("stratum", "chunk_id"))
+            .select(epochKey.as("__e"), col("pos"), col("__tok"))
+          val rangeDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(mRows.toSeq.map { r =>
+              org.apache.spark.sql.Row(
+                if (hasEpoch) r.getAs[Long]("epoch") else 0L,
+                r.getAs[Long]("shard_id"), r.getAs[Long]("first_pos"),
+                r.getAs[Long]("last_pos"), r.getAs[Long]("sum_tokens"))
+            }, 1),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("__re",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("__sid",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("__lo",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("__hi",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("__claimed",
+                org.apache.spark.sql.types.LongType))))
+          // group by (epoch, shard): shard ids RESTART per epoch, so a
+          // shard-only key would merge epoch 0's shard k with epoch 1's
+          // and "find" a 2x mass violation on a healthy manifest
+          val massViolations = posMass
+            .join(broadcast(rangeDf),
+              col("__e") === col("__re") &&
+                col("pos") >= col("__lo") && col("pos") <= col("__hi"))
+            .groupBy(col("__re"), col("__sid"), col("__claimed"))
+            .agg(coalesce(sum(col("__tok")), lit(0L)).as("__actual"))
+            .filter(col("__actual") =!= col("__claimed")).count()
+          rows += (("shards_mass",
+            if (massViolations == 0L) "ok" else "fail", massViolations))
+          // ok = a positive budget is recoverable; stale = unknowable
+          // (the legacy pre-sidecar empty manifest — a re-publish would
+          // refuse; re-cut with Recipe.shards to upgrade); fail = the
+          // persisted copies contradict each other
+          rows += (try {
+            val b = persistedShardBudget(spark, recipeDir, "Recipe.verify")
+              .getOrElse(0)
+            ("shards_budget", if (b > 0) "ok" else "stale", b.toLong)
+          } catch {
+            case _: IllegalArgumentException => ("shards_budget", "fail", -1L)
+          })
+          rows.toSeq
+        }
+      }
+
+      val card = Await.result(
+        Future.sequence(Seq(gAssigned, gChunkSet, gPlan, gStats, gOrder,
+          gShards)), Duration.Inf).flatten
+      val sqlc = spark
+      import sqlc.implicits._
+      card.toDF("check", "status", "measure").orderBy(col("check"))
     } finally {
+      pool.shutdown()
       assigned.unpersist(); order.unpersist(); ()
     }
   }
