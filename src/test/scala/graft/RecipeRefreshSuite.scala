@@ -111,6 +111,42 @@ class RecipeRefreshSuite extends AnyFunSuite {
     }
   }
 
+  test("curriculum + retract + refresh compose: equals the curriculum publish over survivors ∪ delta") {
+    import spark.implicits._
+    val inc = tmp("graft-refresh-cr-inc")
+    val full = tmp("graft-refresh-cr-full")
+    val spec = Some(Recipe.CurriculumSpec(2L, 3L))
+    Recipe.run(baseDocs, inc, budgetTokens = 20000L, chunkTokens = 64,
+      seed = 11L, nEpochs = 2, mixingTolMicro = 990000L, curriculum = spec)
+    val forgotten = (1L to 600L by 17).toSeq
+    Recipe.retract(forgotten.toDF("doc_id"), inc)
+    Recipe.refresh(deltaDocs, inc)
+    Recipe.run(allDocs.filter(!col("doc_id").isin(forgotten: _*)), full,
+      budgetTokens = 20000L, chunkTokens = 64,
+      seed = 11L, nEpochs = 2, mixingTolMicro = 990000L, curriculum = spec)
+    assertSameArtifacts(inc, full)
+    // the refreshed dir re-proves clean end to end
+    val card = Recipe.verify(spark, inc).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    Seq("order_permutation", "kernel_shape", "bands_current",
+      "plan_strata", "stats_tokens", "mix_id_unique").foreach { k =>
+      assert(card(k) === "ok", s"$k must be ok after the composition")
+    }
+  }
+
+  test("refresh of an EXTENDED recipe re-deals every recorded epoch: equals the multi-epoch publish over the union") {
+    val inc = tmp("graft-refresh-ext-inc")
+    val full = tmp("graft-refresh-ext-full")
+    Recipe.run(baseDocs, inc, budgetTokens = 20000L, chunkTokens = 64,
+      seed = 5L, nEpochs = 1)
+    Recipe.extendEpochs(spark, inc, nEpochs = 3)
+    val rep = Recipe.refresh(deltaDocs, inc)
+    assert(rep.nEpochs === 3, "refresh must honor the EXTENDED meta record")
+    Recipe.run(allDocs, full, budgetTokens = 20000L, chunkTokens = 64,
+      seed = 5L, nEpochs = 3)
+    assertSameArtifacts(inc, full)
+  }
+
   test("refresh re-cuts a published shards manifest at its persisted budget; verify reads all-ok after") {
     val dir = tmp("graft-refresh-shards")
     Recipe.run(baseDocs, dir, budgetTokens = 20000L, chunkTokens = 64,
