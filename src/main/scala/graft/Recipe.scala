@@ -382,11 +382,15 @@ object Recipe {
     *  - the materialization draw and the packing measure are index
     *    columns (`materializeMix` needs only (id, stratum); packing
     *    needs only per-copy `n_tokens` — both persisted at publish);
-    *  - strata whose materialized multiset is PROVEN unchanged
+    *  - strata whose materialized multiset is CERTIFIED unchanged
     *    (per-stratum count + token sum + two independent order-free
     *    checksums over (mix_id, n_tokens) equal between the old
-    *    assignments and the re-derived multiset) keep their packed
-    *    rows VERBATIM — sound because packing is a pure per-stratum
+    *    assignments and the re-derived multiset — a PROBABILISTIC
+    *    certificate: ~60 independent checksum bits per stratum, so a
+    *    non-adversarial collision passing a changed stratum through is
+    *    ~2⁻⁶⁰, and the count/sum legs mean any collision still
+    *    conserves rows and token mass) keep their packed rows
+    *    VERBATIM — sound because packing is a pure per-stratum
     *    function of the (mix_id, n_tokens) multiset (chunk ids are the
     *    stratum's own running sum divided by the recorded budget), so
     *    an identical multiset packs identically; everything else
@@ -404,7 +408,7 @@ object Recipe {
     * index too, so a refresh after a retraction equals a fresh publish
     * over survivors ∪ delta and a forgotten doc CANNOT resurrect.
     * Append-only: a delta id already present in the index refuses (an
-    * in-place text mutation is a re-publish decision, not an append);
+    * in-place text mutation is an [[upsert]], not an append);
     * duplicate ids within the delta refuse; every parameter comes from
     * `meta/` (the [[extendEpochs]] rule — a refresh with mismatched
     * parameters cannot be expressed). Pre-r17 dirs (no `stats/` index,
@@ -423,18 +427,90 @@ object Recipe {
     * fingerprint aggregates, the two-pass pack exchange over only the
     * re-packed strata's copies, one range exchange per epoch for the
     * order, bounded-read gates. */
-  def refresh(delta: DataFrame, recipeDir: String): RefreshReport = {
+  def refresh(delta: DataFrame, recipeDir: String): RefreshReport =
+    incrementalPublish(delta, recipeDir, "Recipe.refresh",
+      replaceKnown = false)._1
+
+  /** What an upsert replaced and re-proved: `updatedDocs` had an index
+    * row before the call (their old text's contribution is gone from
+    * every artifact), `insertedDocs` are net-new; the remaining fields
+    * are [[RefreshReport]]'s, measured over the whole delta. */
+  final case class UpsertReport(
+      updatedDocs: Long,
+      insertedDocs: Long,
+      deltaTokens: Long,
+      nStrata: Long,
+      repackedStrata: Long,
+      passthroughStrata: Long,
+      nChunks: Long,
+      nEpochs: Int,
+      maxMixDeltaMicro: Long,
+      artifacts: Seq[String])
+
+  /** DOCUMENT UPDATE as ONE staged swap — the lifecycle seam [[refresh]]
+    * deliberately refuses: refresh is append-only (a known id is a text
+    * mutation wearing an append's clothes), so updating a doc's text
+    * used to be [[retract]] + [[refresh]] — two swaps, two crash
+    * windows, and a mid-state publish (the doc absent) a reading fleet
+    * could legitimately consume between them. `upsert(changed, dir)`
+    * composes the two inside a SINGLE [[graft.operators.Pipeline.stagedOverwrite]]:
+    * ids already in the index are REPLACED (retract's prune, applied to
+    * the staged index), net-new ids are APPENDED (refresh's delta
+    * path), and the whole chain — re-plan, re-materialize, re-pack with
+    * the passthrough certificate, re-order through the recorded kernel,
+    * every run gate, the [[diff]] exit card at `refresh_diff/`, the
+    * shards re-cut — runs against the staged index before the one swap.
+    * A reader never sees a corpus state that was not either the old
+    * publish or the new one.
+    *
+    * CONTRACT: `upsert(changed, dir)` publishes artifacts byte-identical
+    * to `run(survivors ∪ changed, dir)` with the dir's own recorded
+    * parameters, where `survivors` is the index's current doc set minus
+    * `changed`'s ids (oracle-pinned end to end — q202). Unlike refresh,
+    * REPLAY IS IDEMPOTENT: re-running the same upsert prunes the ids it
+    * just wrote and re-adds the same rows, landing byte-identical —
+    * crash-after-swap needs no refusal, just the rerun. Text is read
+    * only from `changed`; the base corpus is never re-tokenized.
+    *
+    * Scale shape: [[refresh]]'s exactly — text ∝ |changed|, one
+    * unhinted anti-join over the ~20 B/doc index for the replacement
+    * prune (AQE picks the strategy; a nightly changed-set can exceed
+    * broadcast capacity), everything else index- or chunk-scale. */
+  def upsert(changed: DataFrame, recipeDir: String): UpsertReport = {
+    val (r, updated) = incrementalPublish(changed, recipeDir,
+      "Recipe.upsert", replaceKnown = true)
+    UpsertReport(updated, r.deltaDocs - updated, r.deltaTokens, r.nStrata,
+      r.repackedStrata, r.passthroughStrata, r.nChunks, r.nEpochs,
+      r.maxMixDeltaMicro, r.artifacts)
+  }
+
+  /** The shared body of [[refresh]] (`replaceKnown = false`: a known id
+    * REFUSES — append-only) and [[upsert]] (`replaceKnown = true`: known
+    * ids are pruned from the staged index and replaced by the delta's
+    * rows). Returns the report plus the known-id count.
+    *
+    * The delta is TOKENIZED EXACTLY ONCE (r18): its index rows are
+    * written to a `stats_delta` scratch inside the stage FIRST, and
+    * every consumer — the hygiene refusals, the report aggregates, the
+    * known-id probe, the index union — reads that WRITTEN artifact
+    * ([[run]]'s check-the-written-index pattern), so a
+    * non-deterministic delta source (files changing between actions)
+    * cannot persist an index that diverges from the counts that were
+    * checked. The scratch is deleted before the swap. */
+  private def incrementalPublish(delta: DataFrame, recipeDir: String,
+                                 caller: String, replaceKnown: Boolean):
+      (RefreshReport, Long) = {
     val spark = delta.sparkSession
     healResidues(spark, recipeDir)
     val fs = new org.apache.hadoop.fs.Path(recipeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq("plan", "assignments", "order", "meta").foreach { a =>
       require(fs.exists(new org.apache.hadoop.fs.Path(s"$recipeDir/$a")),
-        s"Recipe.refresh: no $a/ at $recipeDir - not a Recipe.run " +
+        s"$caller: no $a/ at $recipeDir - not a Recipe.run " +
           "output dir")
     }
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$recipeDir/stats")),
-      s"Recipe.refresh: no stats/ token index at $recipeDir - this " +
+      s"$caller: no stats/ token index at $recipeDir - this " +
         "recipe predates the r17 per-doc index the incremental re-plan " +
         "derives from; re-publish once with Recipe.run (which writes " +
         "stats/) to make it refreshable")
@@ -442,10 +518,10 @@ object Recipe {
     Seq("budget_tokens", "chunk_tokens", "seed", "n_epochs", "strata_col",
         "id_col", "text_col", "mixing_tol_micro").foreach(c =>
       require(meta.columns.contains(c),
-        s"Recipe.refresh: meta/ at $recipeDir has no '$c' column " +
+        s"$caller: meta/ at $recipeDir has no '$c' column " +
           s"(found ${meta.columns.mkString(", ")})"))
     require(meta.columns.contains("order_kernel"),
-      s"Recipe.refresh: meta/ at $recipeDir records no 'order_kernel' - " +
+      s"$caller: meta/ at $recipeDir records no 'order_kernel' - " +
         "the refresh cannot derive the matching kernel (extendEpochs' " +
         "rule); re-publish with Recipe.run")
     val m = meta.head()
@@ -462,69 +538,90 @@ object Recipe {
       case "curriculumOrder" =>
         Seq("band_divisor", "band_max").foreach(c =>
           require(meta.columns.contains(c) && !m.isNullAt(m.fieldIndex(c)),
-            s"Recipe.refresh: meta/ at $recipeDir says " +
+            s"$caller: meta/ at $recipeDir says " +
               s"order_kernel=curriculumOrder but '$c' is missing/null; " +
               "re-publish with Recipe.run(curriculum = Some(...))"))
         Some(CurriculumSpec(m.getAs[Long]("band_divisor"),
           m.getAs[Long]("band_max")))
       case other => throw new IllegalArgumentException(
-        s"Recipe.refresh: meta/ at $recipeDir records unknown " +
+        s"$caller: meta/ at $recipeDir records unknown " +
           s"order_kernel '$other' - this build cannot derive its " +
           "schedule; upgrade, or re-publish with Recipe.run")
     }
     Seq(idCol, strataCol, textCol).foreach(c =>
       require(delta.columns.contains(c),
-        s"Recipe.refresh: delta has no '$c' column (found " +
+        s"$caller: delta has no '$c' column (found " +
           s"${delta.columns.mkString(", ")}) - the recipe's meta/ " +
           s"records ($idCol, $strataCol, $textCol)"))
-    // append-only hygiene, both loud: a duplicated id WITHIN the delta
-    // would mint colliding mix_ids, and an id already in the index is a
-    // text mutation wearing an append's clothes
-    val deltaIds = delta.select(col(idCol)).distinct()
-    val nullIds = delta
-      .filter(col(idCol).isNull || col(strataCol).isNull).count()
-    require(nullIds == 0L,
-      s"Recipe.refresh: $nullIds delta doc(s) have a null '$idCol' or " +
-        s"'$strataCol' - null identities mint colliding mix_ids (and a " +
-        "null id can never be retracted); fix the delta")
-    val dupIds = delta.count() - deltaIds.count()
-    require(dupIds == 0L,
-      s"Recipe.refresh: the delta repeats $dupIds $idCol value(s) - " +
-        "ids are the corpus primary key; dedup the delta first")
-    val known = spark.read.parquet(s"$recipeDir/stats")
-      .join(broadcast(deltaIds), Seq(idCol), "left_semi").count()
-    require(known == 0L,
-      s"Recipe.refresh: $known delta $idCol value(s) are already in the " +
-        s"corpus index at $recipeDir/stats - refresh is APPEND-ONLY " +
-        "(an in-place mutation changes published history); retract the " +
-        "old rows first, or re-publish with Recipe.run. (If this is a " +
-        "REPLAY of a refresh that already landed, the delta is applied - " +
-        "run Recipe.verify instead of retrying.)")
-    // the ONE text read of the whole refresh: the delta's token counts
-    val deltaStats = delta.select(col(idCol), col(strataCol),
-      graft.operators.TextOps.tokenCount(col(textCol)).cast("bigint")
-        .as("n_tokens"))
-    val dAgg = deltaStats.agg(count(lit(1)),
-      coalesce(sum(col("n_tokens")), lit(0L))).head()
-    val (deltaDocs, deltaTokens) = (dAgg.getLong(0), dAgg.getLong(1))
     // run's re-publish shards rule, verbatim: the budget is read BEFORE
     // any mutation and the manifest re-cuts INTO the stage
-    val priorShardBudget = persistedShardBudget(spark, recipeDir,
-      "Recipe.refresh")
+    val priorShardBudget = persistedShardBudget(spark, recipeDir, caller)
     require(!priorShardBudget.contains(0),
-      s"Recipe.refresh: $recipeDir/shards is a legacy EMPTY manifest " +
+      s"$caller: $recipeDir/shards is a legacy EMPTY manifest " +
         "(no persisted budget to re-cut at) - delete shards/ or re-cut " +
         "with Recipe.shards first")
 
     var nStrata = 0L; var nChunks = 0L; var maxDelta = 0L
     var repacked = 0L; var passthrough = 0L
+    var deltaDocs = 0L; var deltaTokens = 0L; var known = 0L
     Pipeline.stagedOverwrite(spark, recipeDir, "publish") { stage =>
-      // stats: base index ∪ delta index — the refreshed corpus inventory
-      spark.read.parquet(s"$recipeDir/stats")
+      // the ONE text read of the whole call: the delta's token counts,
+      // written FIRST into a stage scratch — the hygiene refusals, the
+      // report aggregates, and the index union below all read this
+      // WRITTEN artifact, never the caller's (possibly
+      // non-deterministic) frame twice
+      delta.select(col(idCol), col(strataCol),
+          graft.operators.TextOps.tokenCount(col(textCol)).cast("bigint")
+            .as("n_tokens"))
+        .write.mode("overwrite").parquet(s"$stage/stats_delta")
+      val deltaStats = spark.read.parquet(s"$stage/stats_delta")
+      // delta hygiene, one aggregate over the written rows (both loud:
+      // a duplicated id WITHIN the delta would mint colliding mix_ids,
+      // a null identity can never be retracted)
+      val dAgg = deltaStats.agg(count(lit(1)),
+        coalesce(sum(col("n_tokens")), lit(0L)),
+        coalesce(sum(when(col(idCol).isNull || col(strataCol).isNull, 1L)
+          .otherwise(0L)), lit(0L)),
+        countDistinct(col(idCol))).head()
+      deltaDocs = dAgg.getLong(0); deltaTokens = dAgg.getLong(1)
+      require(dAgg.getLong(2) == 0L,
+        s"$caller: ${dAgg.getLong(2)} delta doc(s) have a null '$idCol' " +
+          s"or '$strataCol' - null identities mint colliding mix_ids " +
+          "(and a null id can never be retracted); fix the delta")
+      val dupIds = deltaDocs - dAgg.getLong(3)
+      require(dupIds == 0L,
+        s"$caller: the delta repeats $dupIds $idCol value(s) - " +
+          "ids are the corpus primary key; dedup the delta first")
+      val baseStats = spark.read.parquet(s"$recipeDir/stats")
         .select(col(idCol), col(strataCol),
           col("n_tokens").cast("bigint").as("n_tokens"))
-        .unionByName(deltaStats)
+      // unhinted semi-join (AQE picks the strategy): a nightly delta's
+      // id set can exceed broadcast capacity at corpus scale
+      known = baseStats
+        .join(deltaStats.select(col(idCol)), Seq(idCol), "left_semi")
+        .count()
+      if (!replaceKnown)
+        require(known == 0L,
+          s"Recipe.refresh: $known delta $idCol value(s) are already in " +
+            s"the corpus index at $recipeDir/stats - refresh is " +
+            "APPEND-ONLY (an in-place mutation changes published " +
+            "history); Recipe.upsert replaces in one swap, or retract " +
+            "the old rows first. (If this is a REPLAY of a refresh that " +
+            "already landed, the delta is applied - run Recipe.verify " +
+            "instead of retrying.)")
+      // stats: base index (minus replaced ids, for upsert) ∪ delta
+      // index — the refreshed corpus inventory
+      val survivors =
+        if (replaceKnown && known > 0L)
+          baseStats.join(deltaStats.select(col(idCol)), Seq(idCol),
+            "left_anti")
+        else baseStats
+      survivors.unionByName(deltaStats)
         .write.mode("overwrite").parquet(s"$stage/stats")
+      // the scratch must not ride the swap into the live dir
+      require(fs.delete(
+          new org.apache.hadoop.fs.Path(s"$stage/stats_delta"), true),
+        s"$caller: could not clear the stats_delta scratch at $stage")
       // the index and the prior assignments each feed several
       // downstream reads (totals, materialization, fingerprints, the
       // diff card) — cache them for the build's lifetime rather than
@@ -549,11 +646,18 @@ object Recipe {
         .withColumn("mix_id",
           concat_ws("#", col(idCol).cast("string"), col("copy")))
 
-      // the passthrough proof: per-stratum count, token sum, and two
-      // independent order-free checksums over (mix_id, n_tokens) —
+      // the passthrough certificate: per-stratum count, token sum, and
+      // two independent order-free checksums over (mix_id, n_tokens) —
       // equal multiset, identical pack (per-stratum purity), so the
       // stratum's packed rows pass through verbatim. Checksums ride
       // mod 2^30 primes so the ANSI-mode Long sum cannot overflow.
+      // The certificate is PROBABILISTIC, not a proof: ~60 bits of
+      // independent checksum per stratum puts a non-adversarial
+      // collision (a changed multiset reading as unchanged, passing
+      // stale packed rows through) at ~2^-60 per stratum — the
+      // documented trade for never re-shuffling an unchanged stratum's
+      // copies; the count and token sum must ALSO agree, so any
+      // collision conserves rows and mass and every downstream gate.
       def fpOf(df: DataFrame): Map[Any, (Long, Long, Long, Long)] =
         df.groupBy(col(strataCol))
           .agg(count(lit(1)),
@@ -590,13 +694,13 @@ object Recipe {
       val msRows = multiset.count()
       val aCount = assignedNew.count()
       require(aCount == msRows,
-        s"Recipe.refresh: $msRows materialized copies but $aCount " +
+        s"$caller: $msRows materialized copies but $aCount " +
           "assignment rows - the passthrough/re-pack split dropped or " +
           "duplicated rows")
       val unassigned = assignedNew
         .filter(col("n_tokens").isNotNull && col("chunk_id").isNull).count()
       require(unassigned == 0L,
-        s"Recipe.refresh: $unassigned tokenized copies received no chunk")
+        s"$caller: $unassigned tokenized copies received no chunk")
 
       // order through the RECORDED kernel; meta passes through verbatim
       // (every parameter is unchanged — that is the point)
@@ -617,7 +721,7 @@ object Recipe {
       nChunks = assignedNew.filter(col("chunk_id").isNotNull)
         .select(col(strataCol), col("chunk_id")).distinct().count()
       maxDelta = proveOrder(spark.read.parquet(s"$stage/order"),
-        0 until nEpochs, flat = nEpochs == 1, nChunks, "Recipe.refresh",
+        0 until nEpochs, flat = nEpochs == 1, nChunks, caller,
         mixingTol = _ => Some(tol))
       priorShardBudget.foreach { budget =>
         shards(spark, stage, budget, strataCol); ()
@@ -626,12 +730,12 @@ object Recipe {
         stats.unpersist(); oldAssigned.unpersist(); ()
       }
     }
-    RefreshReport(deltaDocs, deltaTokens, nStrata, repacked, passthrough,
+    (RefreshReport(deltaDocs, deltaTokens, nStrata, repacked, passthrough,
       nChunks, nEpochs, maxDelta,
       Seq(s"$recipeDir/plan", s"$recipeDir/assignments",
         s"$recipeDir/order", s"$recipeDir/meta", s"$recipeDir/stats",
         s"$recipeDir/refresh_diff") ++
-        priorShardBudget.map(_ => s"$recipeDir/shards").toSeq)
+        priorShardBudget.map(_ => s"$recipeDir/shards").toSeq), known)
   }
 
   /** The ONE definition of the per-epoch order proof [[run]],
@@ -1118,8 +1222,18 @@ object Recipe {
     *  - `mixing`: measured worst per-(epoch[, band], stratum) delta vs
     *    meta's tolerance — status `within`/`degraded`, measure = the
     *    delta (a statistical property: reported, never a `fail`).
+    *  - when `stats/` exists (r17+ publishes): `stats_tokens` (the
+    *    index's per-stratum totals vs plan's recorded totals —
+    *    `ok`/`stale`, divergence is the retraction signature, never a
+    *    failure) and `stats_ids` (every ASSIGNED doc id exists in the
+    *    index — `fail` on misses: the index is [[refresh]]'s
+    *    materialization source, and a hand-pruned index row silently
+    *    drops that doc from the next refresh, so the card asserts the
+    *    coverage precondition; measure = missing ids).
     *  - when `shards/` exists: `shards_tiling` (ranges tile each
-    *    epoch contiguously, disjointly, chunk counts dense; measure =
+    *    epoch contiguously, disjointly, chunk counts dense; an EMPTY
+    *    manifest passes only when the schedule itself is empty — a
+    *    hand-emptied manifest over a live schedule fails; measure =
     *    shard count), `shards_mass` (each shard's `sum_tokens` ≡ the
     *    re-aggregated order ⋈ assignments mass over its range —
     *    measure = violations), `shards_budget` (the persisted copies
@@ -1229,11 +1343,19 @@ object Recipe {
       // prune, plan/ is deliberately the untouched decision record) —
       // informative `stale`, never `fail`; measure = diverging strata.
       // Absent on pre-r17 dirs, and its absence is not a failure.
+      // `stats_ids` is the index's COVERAGE check and it DOES fail: the
+      // index is [[refresh]]'s materialization source, so an assigned
+      // doc id missing from stats/ (a hand-pruned index row) silently
+      // drops that doc from the NEXT refresh — no refusal, the loss
+      // surfaces only as diff-card churn. The card asserts the
+      // precondition instead: every assigned id must exist in the
+      // index; measure = missing ids.
       val gStats = Future[CardRows] {
         if (!fs.exists(new org.apache.hadoop.fs.Path(s"$recipeDir/stats")))
           Seq.empty
         else {
-          val statsTotals = spark.read.parquet(s"$recipeDir/stats")
+          val statsDf = spark.read.parquet(s"$recipeDir/stats")
+          val statsTotals = statsDf
             .groupBy(col(strataCol).as("stratum"))
             .agg(sum(col("n_tokens")).cast("long").as("__st"))
           val planTotals = spark.read.parquet(s"$recipeDir/plan")
@@ -1241,8 +1363,17 @@ object Recipe {
           val diverged = statsTotals
             .join(planTotals, Seq("stratum"), "full_outer")
             .filter(!(col("__st") <=> col("__pt"))).count()
+          // a dir carrying stats/ is an r17+ publish, whose meta records
+          // id_col; the fallback only guards a hand-assembled hybrid
+          val idc = if (meta.schema.fieldNames.contains("id_col"))
+            meta.getAs[String]("id_col") else "doc_id"
+          val missingIds = assigned.select(col(idc)).distinct()
+            .join(statsDf.select(col(idc)).distinct(), Seq(idc), "left_anti")
+            .count()
           Seq(("stats_tokens",
-            if (diverged == 0L) "ok" else "stale", diverged))
+              if (diverged == 0L) "ok" else "stale", diverged),
+            ("stats_ids",
+              if (missingIds == 0L) "ok" else "fail", missingIds))
         }
       }
 
@@ -1315,9 +1446,15 @@ object Recipe {
           val mRows = manifest.collect()
           val byEpoch = mRows.groupBy(r =>
             if (hasEpoch) r.getAs[Long]("epoch") else 0L)
-          var tilingOk = byEpoch.keySet ==
-            (if (mRows.isEmpty) Set.empty[Long]
-             else (0L until nEpochs.toLong).toSet) || mRows.isEmpty
+          // an EMPTY manifest is excused ONLY when the schedule itself
+          // is empty (a fully-retracted dir): with chunks scheduled, a
+          // hand-emptied manifest (parts deleted, `_budget` sidecar
+          // surviving) is the exact mutation class this card exists
+          // for — the per-epoch walk below never runs on zero rows, so
+          // without this gate all three shard checks read ok on it
+          var tilingOk =
+            if (mRows.isEmpty) nChunks == 0L
+            else byEpoch.keySet == (0L until nEpochs.toLong).toSet
           byEpoch.values.foreach { es =>
             var expect = 0L
             es.sortBy(_.getAs[Long]("first_pos")).foreach { r =>

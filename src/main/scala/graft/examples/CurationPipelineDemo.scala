@@ -102,6 +102,16 @@ object CurationPipelineDemo {
     println("== refresh_diff: what the re-publish changed (first 5) ==")
     spark.read.parquet(s"$base/recipe/refresh_diff")
       .orderBy(col("source")).show(5, truncate = false)
+    //    ... and a DOCUMENT UPDATE lands in ONE swap (r18): a corrected
+    //    doc replaces its old rows in every artifact — no
+    //    retract-then-refresh mid-state a reading fleet could see
+    val upserted = graft.Recipe.upsert(
+      docs.filter(col("doc_id") === 7L)
+        .withColumn("text", concat(col("text"), lit(" corrected"))),
+      s"$base/recipe")
+    println(s"== upsert: ${upserted.updatedDocs} doc updated in one " +
+      s"swap (${upserted.insertedDocs} inserted); " +
+      s"${upserted.repackedStrata} strata re-packed ==")
     println("== mixture plan (first 5, from the persisted artifact) ==")
     spark.read.parquet(s"$base/recipe/plan")
       .orderBy(col("source")).show(5, truncate = false)
@@ -131,6 +141,14 @@ object CurationPipelineDemo {
     //    consumed ∪ resumed must be the schedule exactly once
     val walkManifest = spark.read.parquet(s"$base/recipe/shards")
       .orderBy(col("shard_id")).collect()
+    // fixture guard (the suite version asserts the same shape): the walk
+    // below indexes shard 1 and crashes 2 chunks into it — a corpus
+    // drift that shards thinner than that must say so, not out-of-bounds
+    require(walkManifest.length >= 3 &&
+        walkManifest(1).getAs[Long]("n_chunks") >= 2L,
+      s"demo fixture drift: the restart walk needs >= 3 shards with " +
+        s">= 2 chunks in shard 1, got ${walkManifest.length} shard(s) " +
+        "- lower shardTokens above or grow the demo corpus")
     val crashAt = walkManifest(1).getAs[Long]("first_pos") + 2L
     def sliceRows(lo: Long, hi: Long): Long =
       spark.read.parquet(s"$base/recipe/order")

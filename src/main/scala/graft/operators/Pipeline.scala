@@ -2723,6 +2723,30 @@ object Pipeline {
       dir
     }
 
+  /** Build-once memo for the q202 harness query: a base publish that is
+    * WRONG in both upsert dimensions — the held-out ninth is absent
+    * (the insert leg) and every doc_id ≡ 3 (mod 7) doc carries
+    * PERTURBED text (the update leg) — then ONE
+    * [[graft.Recipe.upsert]] call with the true text of both sets. The
+    * query reads the upserted `order/` and shares q188's FULL-CORPUS
+    * oracle verbatim: the one-swap update must land byte-identical to
+    * the publish that saw the corrected corpus from the start. */
+  private def cachedUpsertedRecipe(s: SparkSession, d: String): String =
+    BuildOnce.dir("graft-recipe-upsert", d) { dir =>
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") % 9 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 3,
+            concat(col("text"), lit(" STALE DRAFT TEXT")))
+            .otherwise(col("text")))
+      graft.Recipe.run(base, dir,
+        budgetTokens = 400000L, chunkTokens = 256, seed = 7L, nEpochs = 1)
+      graft.Recipe.upsert(
+        docs.filter(col("doc_id") % 9 === 0 || col("doc_id") % 7 === 3),
+        dir)
+      dir
+    }
+
   val specs: Seq[QuerySpec] = Seq(
     // Snapshot diff between two deterministic views of the corpus:
     // "old" drops every 7th doc (so those read as added), "new" drops
@@ -4738,6 +4762,8 @@ object Pipeline {
           UNION ALL
           SELECT 'shards_tiling', 'ok', n FROM nsh
           UNION ALL
+          SELECT 'stats_ids', 'ok', CAST(0 AS BIGINT)
+          UNION ALL
           SELECT 'stats_tokens', 'ok', CAST(0 AS BIGINT)
           UNION ALL
           SELECT 'tokenized_assigned', 'ok', CAST(0 AS BIGINT)
@@ -4753,6 +4779,64 @@ object Pipeline {
     QuerySpec(
       "q201_recipe_refresh",
       (s, d) => s.read.parquet(s"${cachedRefreshedRecipe(s, d)}/order")
+        .orderBy(col("pos")),
+      Some("""
+        WITH c AS (SELECT source,
+                          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY source),
+        w AS (SELECT source, n_tokens,
+                     CAST(floor(sqrt(n_tokens) * 1e6) AS BIGINT) AS w_micro
+              FROM c),
+        tw AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot_w FROM w),
+        p AS (SELECT source,
+                     CASE WHEN n_tokens = 0 THEN 0
+                          ELSE CAST(((400000 * w_micro) // tot_w) * 1000000 // n_tokens AS BIGINT)
+                     END AS epochs_micro
+              FROM w, tw),
+        j AS (SELECT d.doc_id, d.source AS source,
+                     len(string_split(d.text, ' ')) AS n_tokens,
+                     p.epochs_micro // 1000000 AS fullc,
+                     p.epochs_micro % 1000000 AS frac,
+                     ('0x' || substr(md5(concat(CAST(d.doc_id AS VARCHAR),
+                       ':', d.source)), 1, 8))::BIGINT % 1000000 AS draw
+              FROM documents d JOIN p ON d.source = p.source),
+        m AS (SELECT doc_id, source, n_tokens,
+                     CAST(fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END
+                       AS BIGINT) AS n_copies
+              FROM j
+              WHERE fullc + CASE WHEN draw < frac THEN 1 ELSE 0 END > 0),
+        x AS (SELECT doc_id, source, n_tokens,
+                     concat(CAST(doc_id AS VARCHAR), '#',
+                       CAST(unnest(range(n_copies)) AS VARCHAR)) AS mix_id
+              FROM m),
+        cs AS (SELECT source, mix_id, n_tokens,
+                      SUM(n_tokens) OVER (PARTITION BY source ORDER BY mix_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM x),
+        k AS (SELECT DISTINCT source AS stratum,
+                     CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id
+              FROM cs WHERE n_tokens IS NOT NULL),
+        h AS (SELECT stratum, chunk_id,
+                     substr(md5(concat('7:', stratum, ':',
+                       CAST(chunk_id AS VARCHAR))), 1, 8) AS hx
+              FROM k)
+        SELECT stratum, chunk_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY hx, stratum, chunk_id) - 1
+                 AS BIGINT) AS pos
+        FROM h ORDER BY pos""")),
+
+    // DOCUMENT UPDATE IN ONE SWAP (r18): Recipe.upsert — the composed
+    // retract+refresh the append-only refresh refuses: known ids are
+    // REPLACED (old text's contribution gone from every artifact), new
+    // ids appended, all inside one staged root swap so a reading fleet
+    // never sees the mid-state publish the two-call sequence exposes.
+    // The memo publishes with the ninth missing AND every 7k+3 doc's
+    // text perturbed, then one upsert corrects both; the oracle is
+    // q188's FULL-corpus chain verbatim — upsert(changed, dir) must be
+    // byte-identical to the publish that saw the corrected corpus.
+    QuerySpec(
+      "q202_recipe_upsert",
+      (s, d) => s.read.parquet(s"${cachedUpsertedRecipe(s, d)}/order")
         .orderBy(col("pos")),
       Some("""
         WITH c AS (SELECT source,

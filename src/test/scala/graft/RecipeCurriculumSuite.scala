@@ -447,7 +447,8 @@ class RecipeCurriculumSuite extends AnyFunSuite {
     assert(clean.keySet === Set("mix_id_unique", "tokenized_assigned",
       "order_chunks_match", "order_permutation", "epochs_recorded",
       "kernel_shape", "bands_current", "mixing", "plan_strata",
-      "stats_tokens", "shards_tiling", "shards_mass", "shards_budget"))
+      "stats_tokens", "stats_ids", "shards_tiling", "shards_mass",
+      "shards_budget"))
     assert(clean("epochs_recorded")._2 === 2L)
     clean.filterKeys(_ != "mixing").foreach { case (k, (s, _)) =>
       assert(s === "ok", s"$k must be ok on a clean dir, got $s")
@@ -550,6 +551,81 @@ class RecipeCurriculumSuite extends AnyFunSuite {
     // the pruned stats index now diverges from plan's publish-time
     // totals — the retraction signature, informative, never a failure
     assert(card("stats_tokens")._1 === "stale")
+    // zero assigned ids, zero index rows — coverage holds vacuously
+    assert(card("stats_ids") === (("ok", 0L)))
+    // the regenerated manifest is EMPTY over an EMPTY schedule — the
+    // one case the r18 empty-manifest gate must keep excusing
+    assert(card("shards_tiling")._1 === "ok")
+    assert(card("shards_mass")._1 === "ok")
+  }
+
+  test("verify: a hand-emptied shards manifest over a live schedule fails shards_tiling") {
+    val dir = tmp("graft-verify-emptyshards")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+    Recipe.shards(spark, dir, shardTokens = 150)
+    // the judge's r17 scenario: replace the manifest's data files with a
+    // ZERO-ROW part while the `_budget` sidecar survives — pre-r18 all
+    // three shard checks read ok on this (the keySet comparison excused
+    // an empty manifest unconditionally, the per-epoch walk never ran,
+    // the mass join saw no ranges, and the sidecar still answers the
+    // budget) over a schedule that plainly has chunks
+    val sPath = new org.apache.hadoop.fs.Path(s"$dir/shards")
+    val fs = sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schema = spark.read.parquet(s"$dir/shards").schema
+    val scratch = tmp("graft-verify-emptyshards-scratch")
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$scratch/m")
+    fs.listStatus(sPath)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .foreach(st => assert(fs.delete(st.getPath, false)))
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$scratch/m"))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .foreach(st => assert(fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(sPath, st.getPath.getName))))
+    spark.catalog.refreshByPath(s"$dir/shards")
+
+    val card = Recipe.verify(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(card("shards_tiling")._1 === "fail",
+      "an emptied manifest over a non-empty schedule must fail tiling")
+    // the sidecar legitimately still answers the budget question, and
+    // zero ranges carry zero mass violations — tiling is the check that
+    // owns this mutation class
+    assert(card("shards_budget")._1 === "ok")
+    assert(card("shards_mass")._1 === "ok")
+  }
+
+  test("verify: a hand-pruned stats/ row fails stats_ids (the refresh materialization source)") {
+    val dir = tmp("graft-verify-statsids")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+    // pick an ASSIGNED doc (one that drew copies) and prune only its
+    // index row: the next refresh would silently drop it from the
+    // publish — the card must assert the coverage precondition instead
+    val victim = spark.read.parquet(s"$dir/assignments")
+      .select(col("doc_id")).head().getLong(0)
+    import spark.implicits._
+    Pipeline.pruneArtifact(Seq(victim).toDF("doc_id"), s"$dir/stats",
+      "doc_id")
+    val card = Recipe.verify(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(card("stats_ids") === (("fail", 1L)))
+    // totals diverge too (the pruned tokens), but stale is informative —
+    // stats_ids is the row that FAILS
+    assert(card("stats_tokens")._1 === "stale")
+  }
+
+  test("verify: a pre-r17 dir without stats/ carries no stats rows, not a failure") {
+    val dir = tmp("graft-verify-nostats")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/stats"), true))
+    val card = Recipe.verify(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(!card.contains("stats_ids") && !card.contains("stats_tokens"))
+    assert(card("order_permutation")._1 === "ok")
   }
 
   test("diff: strata columns come from each dir's meta; an A/B mismatch refuses naming both") {
