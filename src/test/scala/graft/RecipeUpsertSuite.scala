@@ -164,6 +164,46 @@ class RecipeUpsertSuite extends AnyFunSuite {
     }
   }
 
+  test("an upsert that MOVES a doc across strata leaves no trace in the old stratum") {
+    import spark.implicits._
+    val up = tmp("graft-upsert-move")
+    val full = tmp("graft-upsert-move-full")
+    Recipe.run(allDocs, up, budgetTokens = 20000L, chunkTokens = 64,
+      seed = 5L)
+    // doc 5 lived in src1; the correction re-homes it to src2 — the old
+    // (id, src1) index row must be pruned, not joined around, or the
+    // doc would double-count across strata
+    val delta = Seq((5L, "src2", "a b c d e f"))
+      .toDF("doc_id", "source", "text")
+    val rep = Recipe.upsert(delta, up)
+    assert(rep.updatedDocs === 1L)
+    val homes = spark.read.parquet(s"$up/stats")
+      .filter(col("doc_id") === 5L).select(col("source"))
+      .collect().map(_.getString(0)).toSeq
+    assert(homes === Seq("src2"), s"doc 5 must live ONLY in src2: $homes")
+    Recipe.run(allDocs.filter(col("doc_id") =!= 5L).unionByName(delta),
+      full, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+    assertSameArtifacts(up, full)
+  }
+
+  test("an EMPTY delta is a no-op re-publish, not a refusal") {
+    import spark.implicits._
+    val up = tmp("graft-upsert-empty")
+    Recipe.run(allDocs, up, budgetTokens = 20000L, chunkTokens = 64,
+      seed = 5L)
+    val before = Seq("plan", "assignments", "order", "stats")
+      .map(a => a -> artifactSet(up, a)).toMap
+    val rep = Recipe.upsert(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text"),
+      up)
+    assert(rep.updatedDocs === 0L && rep.insertedDocs === 0L)
+    assert(rep.passthroughStrata === rep.nStrata,
+      "an unchanged corpus must pass every stratum through")
+    Seq("plan", "assignments", "order", "stats").foreach { a =>
+      assert(artifactSet(up, a) === before(a))
+    }
+  }
+
   test("a retract after upsert leaves no residue — the forget surfaces stay consistent") {
     import spark.implicits._
     val up = tmp("graft-upsert-forget")
