@@ -22,7 +22,8 @@ import graft.operators.{Dedup, Pipeline, TextOps}
   *      gated Recipe.run call with persisted artifacts — then the
   *      nightly corpus delta re-published INCREMENTALLY
   *      (Recipe.refresh, r17: delta text only, index-derived re-plan,
-  *      refresh_diff governance card) and the fleet restart walk
+  *      refresh_diff governance card), a document correction landing
+  *      as ONE swap (Recipe.upsert, r18), and the fleet restart walk
   *      (readShard consumed + resumeShards remainder ≡ the schedule
   *      exactly once)
   *   6. surgical span-level decontamination (cut the leaked passage,
