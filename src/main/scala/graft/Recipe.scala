@@ -627,6 +627,28 @@ object Recipe {
       // diff card) — cache them for the build's lifetime rather than
       // re-scanning per consumer; both unpersist before the swap
       val stats = spark.read.parquet(s"$stage/stats").persist()
+      // run's door check, re-asserted on the STAGED index (r18): the
+      // delta was held to the identity bar above, but the BASE index is
+      // an artifact a hand edit can corrupt — a duplicated or null id
+      // there would mint colliding mix_ids through this very publish
+      // (the delta-only guards never see it). One aggregate over the
+      // index this call is about to materialize from; refuses before
+      // any artifact builds, live dir untouched.
+      val stagedIdStats = stats.agg(count(lit(1)),
+        coalesce(sum(when(col(idCol).isNull || col(strataCol).isNull, 1L)
+          .otherwise(0L)), lit(0L)),
+        countDistinct(col(idCol))).head()
+      require(stagedIdStats.getLong(1) == 0L,
+        s"$caller: ${stagedIdStats.getLong(1)} doc(s) in the refreshed " +
+          s"index have a null '$idCol' or '$strataCol' - the base " +
+          s"stats/ at $recipeDir is hand-corrupted (run refuses null " +
+          "identities at the door); re-publish with Recipe.run")
+      require(stagedIdStats.getLong(0) == stagedIdStats.getLong(2),
+        s"$caller: '$idCol' repeats across the refreshed index " +
+          s"(${stagedIdStats.getLong(0)} rows, " +
+          s"${stagedIdStats.getLong(2)} distinct) - the base stats/ at " +
+          s"$recipeDir is hand-corrupted (duplicate ids mint colliding " +
+          "mix_ids); re-publish with Recipe.run")
       val oldAssigned = spark.read.parquet(s"$recipeDir/assignments")
         .persist()
       try {
@@ -1225,11 +1247,15 @@ object Recipe {
     *  - when `stats/` exists (r17+ publishes): `stats_tokens` (the
     *    index's per-stratum totals vs plan's recorded totals —
     *    `ok`/`stale`, divergence is the retraction signature, never a
-    *    failure) and `stats_ids` (every ASSIGNED doc id exists in the
+    *    failure), `stats_ids` (every ASSIGNED doc id exists in the
     *    index — `fail` on misses: the index is [[refresh]]'s
     *    materialization source, and a hand-pruned index row silently
     *    drops that doc from the next refresh, so the card asserts the
-    *    coverage precondition; measure = missing ids).
+    *    coverage precondition; measure = missing ids), and
+    *    `stats_unique` (the index's id primary key holds — `fail` on
+    *    repeats: [[run]] refuses duplicates at the door, so a repeat
+    *    is a hand edit, and the next refresh would materialize the doc
+    *    twice minting colliding mix_ids; measure = repeated rows).
     *  - when `shards/` exists: `shards_tiling` (ranges tile each
     *    epoch contiguously, disjointly, chunk counts dense; an EMPTY
     *    manifest passes only when the schedule itself is empty — a
@@ -1239,7 +1265,9 @@ object Recipe {
     *    measure = violations), `shards_budget` (the persisted copies
     *    reconcile — `ok` positive budget, `stale` the legacy
     *    pre-sidecar empty manifest whose budget is unknowable, `fail`
-    *    contradicting copies; measure = the budget).
+    *    contradicting copies; measure = the budget). An UNREADABLE
+    *    manifest (every data file deleted, only the sidecar left)
+    *    fails all three at measure −1 instead of crashing the card.
     *
     * Statuses: `ok`/`fail` for structural checks, `within`/`degraded`
     * for mixing. Throws only when the dir is not a recipe dir at all
@@ -1370,10 +1398,21 @@ object Recipe {
           val missingIds = assigned.select(col(idc)).distinct()
             .join(statsDf.select(col(idc)).distinct(), Seq(idc), "left_anti")
             .count()
+          // the index's own PK: run refuses duplicate ids at the door,
+          // so a repeat here is a hand edit — and the NEXT refresh would
+          // materialize the duplicated doc twice, minting colliding
+          // mix_ids (refresh re-asserts this on its staged index too;
+          // the card surfaces it on the audit cadence, before a publish
+          // trips over it). measure = repeated rows.
+          val sIdStats = statsDf.agg(count(lit(1)),
+            countDistinct(col(idc))).head()
+          val dupRows = sIdStats.getLong(0) - sIdStats.getLong(1)
           Seq(("stats_tokens",
               if (diverged == 0L) "ok" else "stale", diverged),
             ("stats_ids",
-              if (missingIds == 0L) "ok" else "fail", missingIds))
+              if (missingIds == 0L) "ok" else "fail", missingIds),
+            ("stats_unique",
+              if (dupRows == 0L) "ok" else "fail", dupRows))
         }
       }
 
@@ -1441,7 +1480,25 @@ object Recipe {
           val nEpochs = Await.result(nEpochsF, Duration.Inf)
           val rows = scala.collection.mutable.ArrayBuffer
             .empty[(String, String, Long)]
-          val manifest = spark.read.parquet(s"$recipeDir/shards")
+          // an UNREADABLE manifest (every data file hand-deleted, only
+          // the `_budget` sidecar left — schema inference has nothing
+          // to read) is a corruption the card must NAME, not crash on:
+          // report all three shard checks failed (tiling owns the
+          // no-manifest-over-a-live-schedule class; budget/mass cannot
+          // be computed, and an uncomputable integrity check is a
+          // failure, never a silent skip)
+          val manifestOpt =
+            try Some(spark.read.parquet(s"$recipeDir/shards"))
+            catch {
+              case _: org.apache.spark.sql.AnalysisException => None
+            }
+          if (manifestOpt.isEmpty) {
+            rows += (("shards_tiling", "fail", -1L))
+            rows += (("shards_mass", "fail", -1L))
+            rows += (("shards_budget", "fail", -1L))
+            rows.toSeq
+          } else {
+          val manifest = manifestOpt.get
           val hasEpoch = manifest.columns.contains("epoch")
           val mRows = manifest.collect()
           val byEpoch = mRows.groupBy(r =>
@@ -1517,6 +1574,7 @@ object Recipe {
             case _: IllegalArgumentException => ("shards_budget", "fail", -1L)
           })
           rows.toSeq
+          }
         }
       }
 

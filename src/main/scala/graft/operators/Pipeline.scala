@@ -4766,6 +4766,8 @@ object Pipeline {
           UNION ALL
           SELECT 'stats_tokens', 'ok', CAST(0 AS BIGINT)
           UNION ALL
+          SELECT 'stats_unique', 'ok', CAST(0 AS BIGINT)
+          UNION ALL
           SELECT 'tokenized_assigned', 'ok', CAST(0 AS BIGINT)
         ) ORDER BY "check"""")),
 

@@ -447,8 +447,8 @@ class RecipeCurriculumSuite extends AnyFunSuite {
     assert(clean.keySet === Set("mix_id_unique", "tokenized_assigned",
       "order_chunks_match", "order_permutation", "epochs_recorded",
       "kernel_shape", "bands_current", "mixing", "plan_strata",
-      "stats_tokens", "stats_ids", "shards_tiling", "shards_mass",
-      "shards_budget"))
+      "stats_tokens", "stats_ids", "stats_unique", "shards_tiling",
+      "shards_mass", "shards_budget"))
     assert(clean("epochs_recorded")._2 === 2L)
     clean.filterKeys(_ != "mixing").foreach { case (k, (s, _)) =>
       assert(s === "ok", s"$k must be ok on a clean dir, got $s")
@@ -614,6 +614,53 @@ class RecipeCurriculumSuite extends AnyFunSuite {
     // totals diverge too (the pruned tokens), but stale is informative —
     // stats_ids is the row that FAILS
     assert(card("stats_tokens")._1 === "stale")
+  }
+
+  test("verify: a hand-duplicated stats/ row fails stats_unique, and a refresh over it refuses") {
+    import spark.implicits._
+    val dir = tmp("graft-verify-statsdup")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+    // hand edit: append a second index row for an existing doc — run
+    // refused this at the door, so only a mutation can produce it; the
+    // NEXT refresh would materialize the doc twice (colliding mix_ids)
+    val row = spark.read.parquet(s"$dir/stats").limit(1)
+    row.write.mode("append").parquet(s"$dir/stats")
+    spark.catalog.refreshByPath(s"$dir/stats")
+    val card = Recipe.verify(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(card("stats_unique") === (("fail", 1L)))
+    // and the incremental publish re-asserts the same bar on its staged
+    // index — the corrupted base cannot flow into a publish
+    val e = intercept[IllegalArgumentException] {
+      Recipe.refresh(Seq((9001L, "src1", "a b c"))
+        .toDF("doc_id", "source", "text"), dir)
+    }
+    assert(e.getMessage.contains("repeats across the refreshed index"))
+    // the refusal left the live dir untouched (stage never swapped)
+    assert(spark.read.parquet(s"$dir/stats")
+      .filter(col("doc_id") === 9001L).count() === 0L)
+  }
+
+  test("verify: an UNREADABLE shards manifest (all data files deleted) fails the shard checks, not the card") {
+    val dir = tmp("graft-verify-deadshards")
+    Recipe.run(docs, dir, budgetTokens = 20000L, chunkTokens = 64, seed = 5L)
+    Recipe.shards(spark, dir, shardTokens = 150)
+    val sPath = new org.apache.hadoop.fs.Path(s"$dir/shards")
+    val fs = sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the harsher hand mutation: EVERY data file gone (no schema left to
+    // infer), only the _budget sidecar dir survives
+    fs.listStatus(sPath)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .foreach(st => assert(fs.delete(st.getPath, false)))
+    spark.catalog.refreshByPath(s"$dir/shards")
+    val card = Recipe.verify(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(card("shards_tiling") === (("fail", -1L)))
+    assert(card("shards_mass") === (("fail", -1L)))
+    assert(card("shards_budget") === (("fail", -1L)))
+    // the rest of the card still computed
+    assert(card("order_permutation")._1 === "ok")
   }
 
   test("verify: a pre-r17 dir without stats/ carries no stats rows, not a failure") {
