@@ -226,6 +226,41 @@ class RecipeRefreshSuite extends AnyFunSuite {
     assertSameArtifacts(dir, full)
   }
 
+  test("continuous ingest: micro-batched refresh via foreachBatch ≡ the one-shot publish") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("graft-refresh-stream")
+    val full = tmp("graft-refresh-stream-full")
+    Recipe.run(baseDocs, dir, budgetTokens = 20000L, chunkTokens = 64,
+      seed = 5L)
+    // the "nightly delta" generalized to a live feed: each micro-batch
+    // of new docs refreshes the published recipe in place — the same
+    // API, driven by Structured Streaming's foreachBatch (the sink that
+    // owns arbitrary batch-side effects), no streaming twin needed
+    def docsTuple(i: Long): (Long, String, String) =
+      (i, s"src${i % 4}",
+        Seq.tabulate((i % 7 + 3).toInt)(j => s"w${(i * 13 + j) % 40}")
+          .mkString(" "))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val q = input.toDS().toDF("doc_id", "source", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        if (!df.isEmpty) { Recipe.refresh(df, dir); () }
+      }
+      .option("checkpointLocation", tmp("graft-refresh-stream-ckpt"))
+      .start()
+    Seq(601L to 620L, 621L to 640L, 641L to 660L).foreach { batch =>
+      input.addData(batch.map(docsTuple): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    Recipe.run(allDocs, full, budgetTokens = 20000L, chunkTokens = 64,
+      seed = 5L)
+    assertSameArtifacts(dir, full)
+  }
+
   test("refusals: non-append deltas, duplicate ids, and pre-index dirs refuse loudly") {
     import spark.implicits._
     val dir = tmp("graft-refresh-refuse")
