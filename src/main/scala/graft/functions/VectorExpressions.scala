@@ -385,6 +385,83 @@ case class EqualLanes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `signed_fold_micro(q)` → ARRAY<LONG> of `outDim` signed sums
+  * `proj[j] = Σ_i q[i] · signs[i·outDim + j]` over an ARRAY<LONG> µ-unit
+  * vector — the Johnson–Lindenstrauss ±1 projection kernel in ONE
+  * codegen'd loop. Replaces an `array(outDim × aggregate(zip_with(...)))`
+  * formulation whose 16 interpreted lambda folds × 64 elements paid
+  * per-row boxing for every multiply-add (the r18 q109 measurement);
+  * integer arithmetic is identical, so results are bit-equal.
+  *
+  * Null/length semantics mirror the HOF formulation exactly: `zip_with`
+  * null-pads a length mismatch and a null lane nulls its products, so any
+  * input that is not a fully-non-null `inDim`-length array yields every
+  * output dim NULL.
+  */
+case class SignedFoldMicro(child: Expression, signs: Array[Long], outDim: Int)
+    extends UnaryExpression with ExpectsInputTypes with Serializable {
+  require(outDim > 0 && signs.length % outDim == 0,
+    s"signs length ${signs.length} not a multiple of outDim $outDim")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "signed_fold_micro"
+
+  private lazy val inDim = signs.length / outDim
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != inDim || (0 until inDim).exists(x.isNullAt))
+      return new GenericArrayData(new Array[Any](outDim))
+    val acc = new Array[Long](outDim)
+    var i = 0
+    while (i < inDim) {
+      val q = x.getLong(i)
+      val base = i * outDim
+      var j = 0
+      while (j < outDim) { acc(j) += q * signs(base + j); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(acc.map(Long.box(_): Any))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val signsRef = ctx.addReferenceObj("signs", signs, "long[]")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val q = ctx.freshName("q")
+      val base = ctx.freshName("base")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      val out = ctx.freshName("out")
+      s"""
+        boolean $bad = $a.numElements() != $inDim;
+        for (int $i = 0; !$bad && $i < $inDim; $i++) {
+          if ($a.isNullAt($i)) $bad = true;
+        }
+        Object[] $out = new Object[$outDim];
+        if (!$bad) {
+          long[] $acc = new long[$outDim];
+          for (int $i = 0; $i < $inDim; $i++) {
+            long $q = $a.getLong($i);
+            int $base = $i * $outDim;
+            for (int $j = 0; $j < $outDim; $j++) {
+              $acc[$j] += $q * $signsRef[$base + $j];
+            }
+          }
+          for (int $j = 0; $j < $outDim; $j++) {
+            $out[$j] = java.lang.Long.valueOf($acc[$j]);
+          }
+        }
+        ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignedFoldMicro =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -398,6 +475,10 @@ object VectorFunctions {
   /** Equal-position count of two ARRAY<LONG> columns (codegen'd). */
   def equal_lanes(a: Column, b: Column): Column =
     column(EqualLanes(expression(a), expression(b)))
+
+  /** JL ±1 projection kernel over an ARRAY<LONG> µ-unit vector (codegen'd). */
+  def signed_fold_micro(q: Column, signs: Array[Long], outDim: Int): Column =
+    column(SignedFoldMicro(expression(q), signs, outDim))
 
   /** Cosine similarity via the codegen'd primitives. */
   def array_cosine(a: Column, b: Column): Column =

@@ -157,6 +157,7 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
       javax.imageio.ImageIO.setUseCache(false) // no tmp-file spill per task
+      val writer = Codecs.pngWriter() // SPI lookup once per task, not per row
       ids.map { id =>
         val (w, h) = dims(id)
         val img = new java.awt.image.BufferedImage(w, h,
@@ -168,9 +169,7 @@ object Multimodal {
           while (x < w) { raster.setSample(x, y, 0, gray(id, x, y)); x += 1 }
           y += 1
         }
-        val out = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", out)
-        PngRow(id, out.toByteArray)
+        PngRow(id, Codecs.encodePng(writer, img))
       }
     }
   }
@@ -186,9 +185,9 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
+      val reader = Codecs.pngReader() // SPI lookup once per task
       rows.map { m =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.data))
-        require(img != null, s"undecodable PNG payload for doc ${m.doc_id}")
+        val img = Codecs.decodePng(reader, m.data, m.doc_id)
         val raster = img.getRaster
         val (w, h) = (img.getWidth, img.getHeight)
         var sum = 0L
@@ -223,9 +222,9 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
+      val reader = Codecs.pngReader() // SPI lookup once per task
       rows.map { m =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.data))
-        require(img != null, s"undecodable PNG payload for doc ${m.doc_id}")
+        val img = Codecs.decodePng(reader, m.data, m.doc_id)
         val raster = img.getRaster
         val (w, h) = (img.getWidth, img.getHeight)
         var sum = 0L
@@ -265,8 +264,9 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
+      val reader = Codecs.pngReader() // SPI lookup once per task
       rows.map { m =>
-        val (hi, lo) = dHashOfPng(m.data, m.doc_id)
+        val (hi, lo) = dHashOfPng(reader, m.data, m.doc_id)
         DHashRow(m.doc_id, hi, lo)
       }
     }
@@ -275,9 +275,9 @@ object Multimodal {
   /** The dHash core shared by the image (q115) and video-keyframe (q133)
     * paths: ImageIO decode, 9×8 nearest-neighbor grid, 64 horizontal
     * comparisons → (hi, lo) 32-bit halves. */
-  private def dHashOfPng(data: Array[Byte], ctxId: Long): (Long, Long) = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
-    require(img != null, s"undecodable PNG payload for doc $ctxId")
+  private def dHashOfPng(reader: javax.imageio.ImageReader,
+                         data: Array[Byte], ctxId: Long): (Long, Long) = {
+    val img = Codecs.decodePng(reader, data, ctxId)
     val raster = img.getRaster
     val (w, h) = (img.getWidth, img.getHeight)
     val grid = Array.tabulate(8, 9)((r, c) =>
@@ -489,6 +489,7 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
       javax.imageio.ImageIO.setUseCache(false)
+      val writer = Codecs.pngWriter() // SPI lookup once per task
       // same-(seed, f) frames are byte-identical across clips (trimmed
       // copies of one master) — encode each once per partition; the
       // DOWNSTREAM decode+fingerprint work stays honestly per-clip-frame
@@ -509,9 +510,7 @@ object Multimodal {
               }
               y += 1
             }
-            val out = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", out)
-            out.toByteArray
+            Codecs.encodePng(writer, img)
           })
           FrameRow(id, f, bytes)
         }
@@ -528,8 +527,9 @@ object Multimodal {
     import spark.implicits._
     frames.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
+      val reader = Codecs.pngReader() // SPI lookup once per task
       rows.map { m =>
-        val (hi, lo) = dHashOfPng(m.data, m.doc_id)
+        val (hi, lo) = dHashOfPng(reader, m.data, m.doc_id)
         FrameHashRow(m.doc_id, m.frame_idx, hi, lo)
       }
     }
@@ -732,6 +732,7 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      val writer = Codecs.wavWriter() // SPI lookup once per task, not per row
       ids.map { id =>
         val n = numSamples(id)
         val pcm = new Array[Byte](n * 2)
@@ -745,8 +746,7 @@ object Multimodal {
         val ais = new javax.sound.sampled.AudioInputStream(
           new java.io.ByteArrayInputStream(pcm), WavFormat, n.toLong)
         val out = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        writer.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
         WavRow(id, out.toByteArray)
       }
     }
@@ -755,9 +755,9 @@ object Multimodal {
   /** Decode a WAV blob to its s16 samples via `AudioSystem` (header parse
     * + frame read — the real container path, shared by decode/resample).
     */
-  private def readWavSamples(data: Array[Byte], docId: Long): Array[Int] = {
-    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(data))
+  private def readWavSamples(readers: Array[javax.sound.sampled.spi.AudioFileReader],
+                             data: Array[Byte], docId: Long): Array[Int] = {
+    val in = Codecs.openWav(readers, data)
     try {
       val fmt = in.getFormat
       require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
@@ -783,8 +783,9 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
+      val readers = Codecs.wavReaders() // SPI lookup once per task
       rows.map { m =>
-        val s = readWavSamples(m.data, m.doc_id)
+        val s = readWavSamples(readers, m.data, m.doc_id)
         var sum = 0L; var sumAbs = 0L; var zc = 0L; var peak = 0L
         var i = 0
         while (i < s.length) {
@@ -810,8 +811,9 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
+      val readers = Codecs.wavReaders() // SPI lookup once per task
       rows.map { m =>
-        val s = readWavSamples(m.data, m.doc_id)
+        val s = readWavSamples(readers, m.data, m.doc_id)
         var sum = 0L
         var i = 0
         while (i < targetN) {
@@ -842,8 +844,9 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
+      val readers = Codecs.wavReaders() // SPI lookup once per task
       rows.map { m =>
-        val s = readWavSamples(m.data, m.doc_id)
+        val s = readWavSamples(readers, m.data, m.doc_id)
         val n = s.length
         require(n > 0, s"empty clip for doc ${m.doc_id}")
         val e = new Array[Long](33)

@@ -136,23 +136,18 @@ object Similarity {
                          idCol: String = "vec_id"): DataFrame = {
     require(inDim > 0 && outDim > 0, s"bad dims: $inDim -> $outDim")
     val m = rpSignMatrix(inDim, outDim)
-    // One sign VECTOR literal per output dim, and one zip_with per dim —
-    // NOT an index-juggling fold over a flattened matrix. Shape matters
-    // for two reasons: (1) zip_with evaluates its array input once and
-    // then iterates, where an aggregate-with-element_at lambda is outside
-    // codegen subexpression elimination (PLANS.md lesson 2); (2) the µ-unit
-    // array is referenced outDim times, which trips CollapseProject's
-    // duplication guard and keeps it materialized in its own projection —
-    // a single syntactic reference gets INLINED into the lambda and the
-    // array rebuilds per fold step (measured: 165 s for sf0.1's 15k
-    // vectors; this shape runs it in well under a second).
-    val dims = (0 until outDim).map { j =>
-      val sj = typedlit((0 until inDim).map(i => m(i * outDim + j)))
-      aggregate(zip_with(col("__q"), sj, (a, b) => a * b), lit(0L), _ + _)
-    }
+    // The µ-unit quantization keeps Spark's own `round` (bit-identical to
+    // the oracle by construction); the 16×64 multiply-add fold runs in the
+    // codegen'd SignedFoldMicro kernel — the previous
+    // `array(outDim × aggregate(zip_with(...)))` shape paid 16 interpreted
+    // lambda folds per row (r18 measurement: 2.4 s → the kernel's one
+    // generated loop; same integer arithmetic, bit-equal output, and the
+    // operator still plans ZERO exchanges).
     emb.select(col(idCol),
         transform(asDouble(col(vecCol)), x => round(x * 1e6).cast("long")).as("__q"))
-      .select(col(idCol), array(dims: _*).as("proj_micro"))
+      .select(col(idCol),
+        graft.functions.VectorFunctions.signed_fold_micro(col("__q"), m, outDim)
+          .as("proj_micro"))
   }
 
   /** ANN via random projection: candidate top-`shortlist` by cosine in
