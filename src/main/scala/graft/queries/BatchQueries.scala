@@ -41,6 +41,23 @@ object BatchQueries {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 
+  /** Exact double of a DECIMAL(38,0)-summed scale-`s` unscaled-long column
+    * — with [[graft.functions.DecimalFunctions.micro_quant]] the long-domain
+    * form of the `sum(cast(x as DECIMAL(18,4)) * …)` money math (r18: the
+    * decimal product chain was 1.9 s of q01's 2.5 s at sf0.1 — each row
+    * paid 3-4 double→Decimal casts and 1-2 non-compact DECIMAL(37,8)
+    * multiplies; the unscaled-long form computes the SAME rationals with
+    * codegen'd integer ops and converts only the per-group sums back).
+    * Equality is by construction: micro_quant is bit-identical to the
+    * cast's HALF_UP quantization, integer products/sums are exact, and
+    * unscaled_double is the old final decimal→double cast. */
+  private def usum(c: Column, scale: Int): Column =
+    graft.functions.DecimalFunctions.unscaled_double(
+      sum(c.cast(DecimalType(38, 0))), scale)
+
+  private def micro4(c: Column): Column =
+    graft.functions.DecimalFunctions.micro_quant(c, 4)
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- Aggregation: partial+final hash agg, multiple measures (TPC-H Q1 shape)
@@ -48,19 +65,30 @@ object BatchQueries {
       "q01_pricing_summary",
       (s, d) => {
         import s.implicits._
+        // long-domain money math (see usum): q4/p4/d4/t4 are the scale-4
+        // unscaled quantizations the old DECIMAL(18,4) casts produced;
+        // u8 = p4·(1e4 − d4) is the exact (37,8) product's unscaled value;
+        // u6 rounds the (·(1e4 + t4)) scale-12 product HALF_UP to scale 6 —
+        // exactly the adjustPrecisionScale the old (38,6) multiply applied
+        // (the `+5e5 div 1e6` form assumes the positive money domain, which
+        // the oracle re-verifies value-for-value)
         Tables.lineitem(s, d)
           .filter($"l_shipdate" <= lit("2000-12-01").cast("timestamp"))
+          .select($"l_returnflag", $"l_linestatus",
+            micro4($"l_quantity").as("q4"),
+            micro4($"l_extendedprice").as("p4"),
+            micro4($"l_discount").as("d4"),
+            micro4($"l_tax").as("t4"))
+          .withColumn("u8", $"p4" * (lit(10000L) - $"d4"))
+          .withColumn("u6", expr("(u8 * (10000 + t4) + 500000) div 1000000"))
           .groupBy($"l_returnflag", $"l_linestatus")
           .agg(
-            dsum($"l_quantity").as("sum_qty"),
-            dsum($"l_extendedprice").as("sum_base_price"),
-            sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
-              .cast("double").as("sum_disc_price"),
-            sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount"))
-              * (lit(1).cast(DecimalType(18, 4)) + dec($"l_tax")))
-              .cast("double").as("sum_charge"),
-            (dsum($"l_quantity") / count(lit(1))).as("avg_qty"),
-            (dsum($"l_extendedprice") / count(lit(1))).as("avg_price"),
+            usum($"q4", 4).as("sum_qty"),
+            usum($"p4", 4).as("sum_base_price"),
+            usum($"u8", 8).as("sum_disc_price"),
+            usum($"u6", 6).as("sum_charge"),
+            (usum($"q4", 4) / count(lit(1))).as("avg_qty"),
+            (usum($"p4", 4) / count(lit(1))).as("avg_price"),
             count(lit(1)).as("count_order"))
           .orderBy($"l_returnflag", $"l_linestatus")
       },
@@ -87,7 +115,9 @@ object BatchQueries {
           .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
                   $"l_shipdate" <  lit("1998-01-01").cast("timestamp") &&
                   $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
-          .agg(sum(dec($"l_extendedprice") * dec($"l_discount")).cast("double").as("revenue"),
+          // p4·d4 = the exact (37,8) product's unscaled value (see usum)
+          .select((micro4($"l_extendedprice") * micro4($"l_discount")).as("u8"))
+          .agg(usum($"u8", 8).as("revenue"),
                count(lit(1)).as("n_rows"))
       },
       Some("""
@@ -112,9 +142,11 @@ object BatchQueries {
           .join(broadcast(c), $"o_custkey" === $"c_custkey")
           .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
           .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+          // p4·(1e4 − d4) = the exact (37,8) product's unscaled value (see usum)
+          .select($"r_name", $"n_name",
+            (micro4($"l_extendedprice") * (lit(10000L) - micro4($"l_discount"))).as("u8"))
           .groupBy($"r_name", $"n_name")
-          .agg(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
-                 .cast("double").as("revenue"),
+          .agg(usum($"u8", 8).as("revenue"),
                count(lit(1)).as("n_items"))
           .orderBy($"r_name", $"n_name")
       },
