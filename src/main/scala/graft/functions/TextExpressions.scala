@@ -266,12 +266,88 @@ object GramSetStarts {
     UnsafeArrayData.fromPrimitiveArray(Array.emptyIntArray)
 }
 
+/** Overlapping word n-grams of a token array — the gram stream every
+  * span-dedup / contamination operator explodes. Codegen'd for the same
+  * reason as [[CharShingles]]: the HOF formulation
+  * (`transform(sequence(1, size−n+1), i -> concat_ws(" ", slice(toks, i,
+  * n)))`) is CodegenFallback — per GRAM it paid an interpreted lambda
+  * frame, a `slice` array allocation, and a boxed loop index (r18 profile:
+  * the three gram-generation pipelines of q144 ran ~560 ms each at sf0.1,
+  * ~2 µs/gram). This expression emits the identical strings from one
+  * O(tokens·n) loop.
+  *
+  * Semantics pinned to the HOF form it replaces: `size < n` (or a NULL
+  * array) yields an EMPTY array, never null; null tokens inside a window
+  * are skipped by the same `concat_ws` null rule (`UTF8String.concatWs`
+  * is `concat_ws`'s own kernel).
+  */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes with Serializable {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "word_ngrams"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) WordNgrams.Empty
+    else WordNgrams.compute(v.asInstanceOf[ArrayData], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    val m = "graft.functions.WordNgrams$.MODULE$"
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          ${c.isNull} ? $m.Empty() : $m.compute(${c.value}, $n);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+  val Empty: ArrayData = new GenericArrayData(new Array[Any](0))
+  private val Sep = UTF8String.fromString(" ")
+
+  def compute(toks: ArrayData, n: Int): ArrayData = {
+    val sz = toks.numElements()
+    if (sz < n) return Empty
+    val m = sz - n + 1
+    val out = new Array[Any](m)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < m) {
+      var j = 0
+      while (j < n) {
+        parts(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(Sep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   /** Overlapping character k-grams of a string column (codegen'd). */
   def char_shingles(text: Column, k: Int): Column =
     column(CharShingles(expression(text), k))
+
+  /** Overlapping word n-grams of a token-array column (codegen'd; empty —
+    * never null — below n tokens, matching the HOF form it replaced). */
+  def word_ngrams(toks: Column, n: Int): Column =
+    column(WordNgrams(expression(toks), n))
 
   /** Word-n-gram repetition stats struct of a text column (codegen'd). */
   def ngram_repetition(text: Column, n: Int): Column =

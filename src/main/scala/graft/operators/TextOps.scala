@@ -214,10 +214,13 @@ object TextOps {
     */
   def wordNgramsOfTokens(toks: Column, n: Int): Column = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    // codegen'd kernel (r18): the previous
+    // `when(size >= n, transform(sequence(…), i => concat_ws(" ",
+    // slice(toks, i, n)))).otherwise(array())` HOF form was interpreted
+    // per gram (~2 µs/gram measured on the q144 stream); WordNgrams emits
+    // the identical strings — including the empty-array (<n tokens /
+    // null array) and concat_ws null-token rules — from one tight loop
+    graft.functions.TextFunctions.word_ngrams(toks, n)
   }
 
   /** The exploded word-n-gram stream of `df`: `keep` columns + `gram`,
@@ -351,16 +354,7 @@ object TextOps {
       tokens(col("text")).as("__toks"))
       .localCheckpoint(false)
     val gramKey = (g: Column) => if (hashGrams) xxhash64(g) else g
-    // positioned gram stream: (doc_id, pos, gram), pos 1-based
-    val gramPos = toks
-      .select(col("doc_id"),
-        explode(when(size(col("__toks")) >= n,
-          transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
-            i => struct(i.as("pos"),
-              concat_ws(" ", slice(col("__toks"), i, lit(n))).as("gram"))))
-          .otherwise(array().cast("array<struct<pos:int,gram:string>>"))).as("pg"))
-      .select(col("doc_id"), col("pg.pos").as("pos"),
-        gramKey(col("pg.gram")).as("gram"))
+    val gramPos = positionedGrams(toks, n, gramKey)
     // corpus df over per-doc DISTINCT grams (the q90 df definition);
     // array_distinct BEFORE explode keeps the distinct map-side. Built
     // from `toks`, not the raw docs, so this scan reuses the already-
@@ -465,15 +459,15 @@ object TextOps {
     * index. */
   private def positionedGrams(toks: DataFrame, n: Int,
                               gramKey: Column => Column): DataFrame =
+    // posexplode over the codegen'd gram kernel (r18): same (pos, gram)
+    // rows as the previous struct-building transform lambda — posexplode's
+    // 0-based index + 1 IS the old 1-based sequence position — without the
+    // per-gram interpreted struct allocation
     toks
       .select(col("doc_id"),
-        explode(when(size(col("__toks")) >= n,
-          transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
-            i => struct(i.as("pos"),
-              concat_ws(" ", slice(col("__toks"), i, lit(n))).as("gram"))))
-          .otherwise(array().cast("array<struct<pos:int,gram:string>>"))).as("pg"))
-      .select(col("doc_id"), col("pg.pos").as("pos"),
-        gramKey(col("pg.gram")).as("gram"))
+        posexplode(wordNgramsOfTokens(col("__toks"), n)).as(Seq("__p0", "gram")))
+      .select(col("doc_id"), (col("__p0") + 1).as("pos"),
+        gramKey(col("gram")).as("gram"))
 
   /** Merge a duplicated-position stream `(doc_id, pos)` into maximal
     * per-doc islands — ONE per-doc collect_set exchange, then the
