@@ -214,6 +214,52 @@ case class LshSignBits(child: Expression, table: Int, nBits: Int)
     copy(child = newChild)
 }
 
+/** `md5_bucket(s, buckets)` ≡ `conv(substring(md5(s), 1, 8), 16, 10) %
+  * buckets` — the feature-hash bucket of the importance/quality family —
+  * without materializing the 32-char hex string, substring-slicing it, and
+  * string-parsing it back per gram (r18: the feature stream is
+  * tokens+bigrams, ~1.2M grams per corpus pass at sf0.1, and the hex
+  * round-trip was most of the q139/q145 agg pipelines). The first four
+  * digest bytes big-endian ARE that hex prefix's value; same md5, same
+  * bucket for every input, DuckDB oracles unchanged.
+  */
+case class Md5Prefix(child: Expression, hexLen: Int)
+    extends UnaryExpression with ExpectsInputTypes with Serializable {
+  require(hexLen >= 1 && hexLen <= 15, s"hexLen must be in [1,15], got $hexLen")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Prefix.compute(input.asInstanceOf[UTF8String], hexLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.Md5Prefix$$.MODULE$$.compute($s, $hexLen);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix =
+    copy(child = newChild)
+}
+
+object Md5Prefix {
+  /** Value of the first `hexLen` hex digits of md5(s) — one nibble per
+    * digit, most-significant first, exactly the number
+    * `conv(substring(md5(s), 1, hexLen), 16, 10)` parses back out of the
+    * hex string. */
+  def compute(s: UTF8String, hexLen: Int): Long = {
+    val d = org.apache.commons.codec.digest.DigestUtils.md5(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < hexLen) {
+      val b = d(i >> 1) & 0xFF
+      val nibble = if ((i & 1) == 0) b >> 4 else b & 0xF
+      v = (v << 4) | nibble
+      i += 1
+    }
+    v
+  }
+}
+
 object HashFunctions {
   import ColumnBridge.{column, expression}
 
@@ -225,4 +271,9 @@ object HashFunctions {
 
   def lsh_sign_bits(vec: Column, table: Int, nBits: Int): Column =
     column(LshSignBits(expression(vec), table, nBits))
+
+  /** md5 hex-prefix value (codegen'd; ≡ conv(substring(md5(s), 1, hexLen),
+    * 16, 10) — same values, no hex round-trip). */
+  def md5_prefix(s: Column, hexLen: Int): Column =
+    column(Md5Prefix(expression(s), hexLen))
 }

@@ -169,7 +169,9 @@ object Dedup {
     * prefix — uniform, engine-portable, non-negative): ONE definition,
     * so the streaming twin reproduces the batch sketches exactly. */
   private[graft] def kmvHash(text: Column): Column =
-    conv(substring(md5(text), 1, 15), 16, 10).cast("long")
+    // ≡ conv(substring(md5(text), 1, 15), 16, 10) — digest-byte kernel,
+    // no hex round-trip (r18; graft.functions.Md5Prefix), same values
+    graft.functions.HashFunctions.md5_prefix(text, 15)
 
   /** `(source, kmv)` sketch frame — shared by [[sourceSketches]],
     * [[sketchOverlap]], and the persisted index family. */

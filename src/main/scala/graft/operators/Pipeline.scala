@@ -366,7 +366,10 @@ object Pipeline {
   }
 
   private def bucketOf(gram: Column, buckets: Int): Column =
-    conv(substring(md5(gram), 1, 8), 16, 10).cast("long") % buckets
+    // ≡ conv(substring(md5(gram), 1, 8), 16, 10) % buckets, computed from
+    // the digest bytes (r18 — see graft.functions.Md5Prefix); DuckDB
+    // oracles keep the hex formulation and values are identical
+    graft.functions.HashFunctions.md5_prefix(gram, 8) % buckets
 
   /** A fitted importance-reweighting model: the per-bucket log-ratio
     * table (≤ `buckets` entries — bounded by config, not data, like the
@@ -746,9 +749,8 @@ object Pipeline {
           "rename it before materializing"))
     val maxEpochs = docs.sparkSession.conf
       .getOption("spark.graft.mix.maxEpochs").map(_.toLong).getOrElse(1000L)
-    val draw = conv(substring(md5(concat_ws(":",
-        col(idCol).cast("string"), col(strataCol))), 1, 8), 16, 10)
-      .cast("long") % 1000000L
+    val draw = graft.functions.HashFunctions.md5_prefix(concat_ws(":",
+        col(idCol).cast("string"), col(strataCol)), 8) % 1000000L
     docs.join(broadcast(plan.select(col(strataCol), col("epochs_micro"))),
         Seq(strataCol))
       .withColumn("__full",
@@ -1072,8 +1074,8 @@ object Pipeline {
                                    keyCols: Seq[String],
                                    prefixCols: Seq[String] = Seq.empty): DataFrame = {
     val keyExprs = keyCols.map(c => col(c).cast("string"))
-    val h = conv(substring(md5(concat_ws(":",
-        lit(seed.toString) +: keyExprs: _*)), 1, 8), 16, 10).cast("long")
+    val h = graft.functions.HashFunctions.md5_prefix(concat_ws(":",
+        lit(seed.toString) +: keyExprs: _*), 8)
     val order = prefixCols.map(col) ++ (col("__h") +: keyCols.map(col))
     rows.withColumn("__h", h)
       .repartitionByRange(order: _*)
@@ -1939,8 +1941,8 @@ object Pipeline {
         docs.withColumn("n_tokens", col(c).cast("bigint")))
       .withColumn("bucket", expr(s"n_tokens div $bucketWidth").cast("bigint"))
       .withColumn("salt",
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % nSalts).cast("bigint"))
+        (graft.functions.HashFunctions.md5_prefix(
+          col("doc_id").cast("string"), 8) % nSalts).cast("bigint"))
     val w = Window.partitionBy(col("bucket"), col("salt"))
       .orderBy(col("n_tokens"), col("doc_id"))
     counted
@@ -1984,8 +1986,8 @@ object Pipeline {
         docs.withColumn("n_tokens", col(c).cast("bigint")))
       .withColumn("bucket", expr(s"n_tokens div $bucketWidth").cast("bigint"))
       .withColumn("salt",
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % nSalts).cast("bigint"))
+        (graft.functions.HashFunctions.md5_prefix(
+          col("doc_id").cast("string"), 8) % nSalts).cast("bigint"))
     val w = Window.partitionBy(col("bucket"), col("salt"))
       .orderBy(col("n_tokens"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2342,8 +2344,7 @@ object Pipeline {
     require(nShards <= (1 << 30),
       s"shardAssign: nShards $nShards exceeds the 32-bit hash prefix's range")
     docs.withColumn(shardCol,
-      conv(substring(md5(col(textCol)), 1, 8), 16, 10)
-        .cast("long") % nShards)
+      graft.functions.HashFunctions.md5_prefix(col(textCol), 8) % nShards)
   }
 
   /** LEAKAGE-SAFE split assignment — [[shardAssign]] hardened against

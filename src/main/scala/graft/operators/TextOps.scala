@@ -818,7 +818,7 @@ object TextOps {
 
   private def gramBucketCol(gram: Column, hashGrams: Boolean): Column =
     if (hashGrams) pmod(gram, lit(64L)).cast("int")
-    else (conv(substring(md5(gram), 1, 8), 16, 10).cast("long") % 64).cast("int")
+    else (graft.functions.HashFunctions.md5_prefix(gram, 8) % 64).cast("int")
 
   /** Persisted SPAN INDEX — the nightly artifact that makes
     * [[maximalDupSpans]] incremental (the `tokenIndex`/`videoBandIndex`
