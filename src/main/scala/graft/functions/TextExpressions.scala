@@ -337,6 +337,47 @@ object WordNgrams {
   }
 }
 
+/** The 64-char-prefix polynomial rolling hash (mod 1e9+7) behind
+  * [[graft.operators.TextOps.fingerprint]] — codegen'd (r18). The HOF form
+  * `aggregate(sequence(1, length(t)), 0L, (acc, i) => (acc·31 +
+  * ascii(substring(t, i, 1))) % 1000000007)` re-evaluated an interpreted
+  * lambda (plus a substring slice) PER CHARACTER. This kernel walks the
+  * string's code points once — `length`/`substring` count code points and
+  * `ascii` returns the first character's code point, so the fold values
+  * are identical (TextExprSuite pins equality against the HOF form,
+  * including non-ASCII and empty inputs).
+  */
+case class PrefixPolyHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with Serializable {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "prefix_poly_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    PrefixPolyHash.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.PrefixPolyHash$$.MODULE$$.compute($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): PrefixPolyHash =
+    copy(child = newChild)
+}
+
+object PrefixPolyHash {
+  def compute(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -357,4 +398,9 @@ object TextFunctions {
     * the fixed gram set (codegen'd HashSet probe, O(tokens) per row). */
   def gram_set_starts(toks: Column, n: Int, grams: Seq[String]): Column =
     column(GramSetStarts(expression(toks), n, grams))
+
+  /** 31-base polynomial rolling hash mod 1e9+7 over a string's code
+    * points (codegen'd; ≡ the per-char HOF fold it replaced). */
+  def prefix_poly_hash(s: Column): Column =
+    column(PrefixPolyHash(expression(s)))
 }

@@ -55,10 +55,11 @@ object TextOps {
     * `...OfTokens` note applies — lambda captures sit outside
     * subexpression elimination). Feed an attribute. */
   def fingerprintOfPrefix(t: Column): Column =
-    aggregate(
-      sequence(lit(1), length(t)),
-      lit(0L),
-      (acc, i) => (acc * 31 + ascii(substring(t, i.cast("int"), lit(1)))) % 1000000007L)
+    // codegen'd kernel (r18): the previous aggregate(sequence(1,
+    // length(t)), …) fold paid an interpreted lambda + substring slice PER
+    // CHARACTER; PrefixPolyHash walks the code points once — same values
+    // (TextExprSuite pins equality against the HOF form)
+    graft.functions.TextFunctions.prefix_poly_hash(t)
 
   /** Marker-stopword language-ID heuristic. On real corpora the marker sets
     * would be per-language n-gram tables; the argmax-with-tie-break shape is
@@ -148,12 +149,14 @@ object TextOps {
   private def bigramLogProbs(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
-    val bi = toks.select(col("doc_id"),
-        explode(zip_with(
-          slice(col("t"), lit(1), size(col("t")) - 1),
-          slice(col("t"), lit(2), size(col("t")) - 1),
-          (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bg")))).as("e"))
-      .select(col("doc_id"), col("e.w1").as("w1"), col("e.bg").as("bg"))
+    // bigram stream off the codegen'd WordNgrams kernel (r18): posexplode's
+    // 0-based index i addresses the bigram's FIRST token (element_at is
+    // 1-based, hence i+1); the previous zip_with(slice, slice, struct)
+    // lambda was interpreted per bigram — same (w1, "w1 w2") rows
+    val bi = toks.select(col("doc_id"), col("t"),
+        posexplode(wordNgramsOfTokens(col("t"), 2)).as(Seq("__i", "bg")))
+      .select(col("doc_id"),
+        element_at(col("t"), col("__i") + 1).as("w1"), col("bg"))
       // three consumers, three different join/agg keys (bg, w1, bg→w1):
       // checkpoint the bigram stream once rather than re-scanning and
       // re-exploding the text per consumer. Trade: stores ~2× the text

@@ -208,4 +208,68 @@ class TextExpressionsSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(shingle.head.getDouble(2) >= 0.8,
       s"shingle estimate too low: ${shingle.head.getDouble(2)}")
   }
+
+  // --- r18 optimization kernels: pinned equal to the HOF forms they replaced
+
+  test("word_ngrams ≡ transform/concat_ws HOF form (incl. <n tokens, null array, null token)") {
+    val sql = spark
+    import sql.implicits._
+    val df = Seq(
+      Some(Seq("a", "b", "c", "d")),
+      Some(Seq("a", "b")),
+      Some(Seq("a")),
+      Some(Seq.empty[String]),
+      None,
+      Some(Seq("x", null, "z", "w"))).toDF("toks")
+    for (n <- Seq(1, 2, 3)) {
+      val hof = when(size($"toks") >= n,
+        transform(sequence(lit(1), size($"toks") - (n - 1)),
+          i => concat_ws(" ", slice($"toks", i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      val rows = df.select(TextFunctions.word_ngrams($"toks", n).as("k"),
+        hof.as("h")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"n=$n row=$r")
+      }
+    }
+  }
+
+  test("word_ngrams stays in whole-stage codegen") {
+    val sql = spark
+    import sql.implicits._
+    val got = Seq(Seq("a", "b", "c")).toDF("toks").repartition(1)
+      .select(TextFunctions.word_ngrams($"toks", 2).as("g"))
+    assert(got.collect()(0).getSeq[String](0) === Seq("a b", "b c"))
+    val line = got.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("word_ngrams")).get
+    assert(line.contains("*("), "word_ngrams must stay in WSCG")
+  }
+
+  test("prefix_poly_hash ≡ per-char HOF fold (ASCII, non-ASCII, empty, null)") {
+    val sql = spark
+    import sql.implicits._
+    val df = Seq(Some("hello world"), Some(""), Some("héllo"),
+      Some("日本語だよ"), Some("a"), None, Some("x" * 64)).toDF("t")
+    val hof = aggregate(
+      sequence(lit(1), length($"t")),
+      lit(0L),
+      (acc, i) => (acc * 31 + ascii(substring($"t", i.cast("int"), lit(1)))) % 1000000007L)
+    val rows = df.select(TextFunctions.prefix_poly_hash($"t").as("k"), hof.as("h"))
+      .collect()
+    rows.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(0), s"null mismatch: $r")
+      else assert(r.getLong(0) === r.getLong(1), s"row=$r")
+    }
+  }
+
+  test("md5_prefix ≡ conv(substring(md5, 1, L), 16, 10)") {
+    val sql = spark
+    import sql.implicits._
+    val df = Seq("", "a", "hello world", "héllo", "日本語").toDF("t")
+    for (l <- Seq(1, 8, 15)) {
+      val rows = df.select(HashFunctions.md5_prefix($"t", l).as("k"),
+        conv(substring(md5($"t"), 1, l), 16, 10).cast("long").as("h")).collect()
+      rows.foreach(r => assert(r.getLong(0) === r.getLong(1), s"L=$l row=$r"))
+    }
+  }
 }
