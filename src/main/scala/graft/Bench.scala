@@ -353,14 +353,23 @@ object Bench {
     // persist BEFORE stop so the on-disk copy exists even if shutdown hangs
     java.nio.file.Files.writeString(resultPath, json)
     // The driver parses a JSON line from a bounded stdout TAIL; the full
-    // per-query record (~8 KB) overflowed that window in r05+r06
-    // ("parsed": null). The LAST line is therefore a compact summary that
-    // always fits; per-query detail lives in bench_result.json only.
-    // compact line carries only the COUNT: the per-query regression map
-    // is unbounded (one entry per query in a machine-wide slowdown) and
-    // would reintroduce the bounded-tail overflow this line exists to
-    // avoid — the full map lives in bench_result.json and on stderr
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","warmup":"full-pass-min2-mat","tier":"capped","n_queries":${results.size},"n_errors":${errors.size},"n_regressions":${regs.size},"n_drift":${drift.size},"n_retired_flags":${retired.size},"calibration":$calJson,"file":"$resultPath","sf":"$sfDir"}"""
+    // per-query record (~8 KB with 17-digit doubles) overflowed that
+    // window in r05+r06 ("parsed": null). r18's fix (count-only compact
+    // line) starved the driver the other way: PERF_r18 had per_query: {},
+    // no geomean, and an empty scaling block. The r19 contract restores
+    // the "queries" map to the stdout line (additive — every r18 field
+    // kept, so full-pass-min2-mat records stay comparable) but rounds
+    // each value to 4 decimals (~5.5 KB for 193 queries vs ~8 KB raw), and
+    // the line is the LAST stdout line (printed after spark.stop()), so
+    // the bounded tail holds it. Sub-0.1 ms truncation is far below the
+    // min-of-2 run-to-run noise; full precision stays in bench_result.json.
+    // The regression/drift maps stay count-only here (unbounded in a
+    // machine-wide slowdown); their full maps live in bench_result.json
+    // and on stderr.
+    val qsCompact = results.map { case (k, v) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","warmup":"full-pass-min2-mat","tier":"capped","n_queries":${results.size},"n_errors":${errors.size},"n_regressions":${regs.size},"n_drift":${drift.size},"n_retired_flags":${retired.size},"calibration":$calJson,"file":"$resultPath","queries":$qsCompact,"sf":"$sfDir"}"""
     // stop FIRST so no Spark background thread can interleave log output
     // with the one JSON line the harness parses
     spark.stop()
