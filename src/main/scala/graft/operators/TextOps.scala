@@ -732,16 +732,39 @@ object TextOps {
     * distinct chunk digests per doc, the per-doc chunk-type count rider
     * (bounded by document length), the prospective digest cap
     * ([[graft.operators.Dedup.capByKey]] — applied per GENERATION, the
-    * standing incremental contract), and the `db` partition bucket. */
+    * standing incremental contract), and the `db` partition bucket.
+    *
+    * The per-doc distinct + count are computed INSIDE the chunking task
+    * (r19): a document's chunk rows are born task-local in the
+    * [[cdcChunkRowsOf]] flatMap, so `distinct (doc_id, digest)` and the
+    * per-doc digest-type count are a per-document hash set — no data
+    * leaves the task. The declarative form this replaces paid two full
+    * exchanges for the same rows (a distinct shuffle of every chunk row
+    * and a doc_id window shuffle for `n_key`), both scaling with corpus
+    * chunk count at 100 TB. capByKey's digest-keyed aggregation is the
+    * frame's first (and now only) exchange. */
   private def cdcDigestFrame(docs: DataFrame, w: Int, modSel: Int,
                              maxBucketSize: Int, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    Dedup.capByKey(
-      cdcChunks(docs, w, modSel, textCol)
-        .select(col("doc_id"), col("digest")).distinct()
-        .withColumn("n_key", count(lit(1)).over(
-          Window.partitionBy(col("doc_id")))),
-      Seq("digest"), maxBucketSize)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val perDoc = docs.select(col("doc_id").cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, text) =>
+          // LinkedHashSet: first-occurrence order keeps the kernel
+          // deterministic (row order is not load-bearing downstream, but
+          // determinism keeps plan-for-plan reruns byte-stable)
+          val seen = new java.util.LinkedHashSet[String]()
+          cdcChunkRowsOf(text, w, modSel, 1, Int.MaxValue, md)
+            .foreach { case (_, _, _, digest) => seen.add(digest) }
+          val n = seen.size.toLong
+          scala.jdk.CollectionConverters.IteratorHasAsScala(seen.iterator())
+            .asScala.map(d => (id, d, n))
+        }
+      }
+      .toDF("doc_id", "digest", "n_key")
+    Dedup.capByKey(perDoc, Seq("digest"), maxBucketSize)
       .withColumn("db", digestBucketCol(col("digest")))
   }
 
