@@ -105,11 +105,32 @@ object AdvancedJoins {
         "of the other side; use a plain join for right/full outer")
     Seq(skewed, other).foreach(df => require(!df.columns.contains("__salt"),
       "saltedJoin: input already has a __salt column"))
-    val salted = skewed.withColumn("__salt",
-      pmod(xxhash64(struct(skewed.columns.map(col): _*)), lit(saltFactor)).cast("int"))
-    val replicated = other.withColumn("__salt",
-      explode(array((0 until saltFactor).map(i => lit(i)): _*)))
-    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+    // Salting exists to spread a hot key across shuffle reducers — but a
+    // join whose other side fits the broadcast threshold never shuffles
+    // the skewed side at all, so its replicas are pure overhead (the ×N
+    // explode inflates the broadcast build N-fold and the probe pays N
+    // candidate rows per key) while fixing a skew that cannot occur.
+    // Gate the salt on the other side's planned size (r19): at or under
+    // the session's own broadcast threshold the plain join is emitted —
+    // result-identical by this operator's contract — and above it the
+    // salt applies exactly as before. `spark.graft.saltedJoin.minOtherBytes`
+    // overrides the cutoff (set 0 to force salting, e.g. when broadcast
+    // is disabled session-wide). At 100 TB both TPC-H sides exceed any
+    // broadcast threshold, so the production plan keeps the salt.
+    val sessionConf = skewed.sparkSession.sessionState.conf
+    val cutoff = skewed.sparkSession.conf
+      .getOption("spark.graft.saltedJoin.minOtherBytes").map(_.toLong)
+      .getOrElse(sessionConf.autoBroadcastJoinThreshold)
+    val otherBytes = other.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (cutoff > 0 && otherBytes <= cutoff)
+      skewed.join(other, keys, joinType)
+    else {
+      val salted = skewed.withColumn("__salt",
+        pmod(xxhash64(struct(skewed.columns.map(col): _*)), lit(saltFactor)).cast("int"))
+      val replicated = other.withColumn("__salt",
+        explode(array((0 until saltFactor).map(i => lit(i)): _*)))
+      salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+    }
   }
 
   val specs: Seq[QuerySpec] = Seq(

@@ -9,7 +9,7 @@ package graft.operators
   * `build*` entry points with their own storage paths; this memo exists
   * only for the driver-contract queries.
   */
-private[operators] object BuildOnce {
+private[graft] object BuildOnce {
 
   private val built =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

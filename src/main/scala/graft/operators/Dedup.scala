@@ -804,27 +804,26 @@ object Dedup {
     * never emitted as a pair, so per-pair "keep the smaller id" is wrong —
     * only the component's canonical member is retained.
     *
-    * Algorithm: min-label propagation with SEEDED INIT, TWO HOPS PER
-    * ROUND, and POINTER DOUBLING (r19 — the round-count rewrite). The
-    * round count, not per-round bytes, owns CC wall time: every round is
-    * a full stage-barrier chain (and at cluster scale a straggler
-    * window), so the rewrite spends slightly more per round to run FAR
-    * fewer rounds:
-    *  - init: `L(v) = min(v, Γ(v))` — the node-listing aggregation that
-    *    replaced the old `distinct` computes the 1-hop min in the same
-    *    shuffle, so the first propagation round is free;
-    *  - per round: two neighbor-min propagation steps chained in one
-    *    lineage (no intermediate action), then a SHORTCUT `L(v) ←
-    *    L(L(v))` — a self-join on the freshly propagated table. A label
-    *    chain of length d collapses in O(log d) rounds instead of d.
+    * Algorithm: FRONTIER-restricted min-label propagation with SEEDED
+    * INIT and POINTER DOUBLING (r19). Two independent costs own CC wall
+    * time and each gets its own lever:
+    *  - per-round BYTES (dense graphs — q49's jaccard graph is 445k
+    *    edges on ~20k nodes): messages flow only FROM nodes whose label
+    *    changed last round, so after round 1 the edge join touches
+    *    frontier-incident edges, not the graph;
+    *  - ROUND COUNT (deep graphs — q141's media graph has diameter ~12):
+    *    init seeds `L(v) = min(v, Γ(v))` in the same shuffle that used
+    *    to just list the nodes, and each round ends with a SHORTCUT
+    *    `L(v) ← L(L(v))` — a NODE-sized self-join that collapses a label
+    *    chain of length d in O(log d) rounds.
     *  - labels only decrease and every label is a node id present in
     *    the table, so the shortcut join always hits; at the
     *    `changed = 0` fixpoint both endpoints of every edge hold equal
     *    labels and the component minimum holds its own id, i.e.
     *    comp = component min (the argument is about the final state
-    *    only, so the seeded init cannot weaken it).
-    * Measured on the q141 media graph (24k edges, diameter ~12, sf0.1):
-    * 12 rounds of ~0.3 s → 3 rounds of ~0.7 s plus the seeded setup.
+    *    only: every decrease re-enters the frontier and is re-offered to
+    *    its neighbors, whether a message or a shortcut caused it, so
+    *    neither the seed nor the shortcut can weaken it).
     * Each round is ONE Spark job: the propagated frame and the shortcut
     * frame are lazily checkpointed and materialized by the changed-count
     * action that doubles as the convergence check. No driver-side graph
@@ -847,6 +846,14 @@ object Dedup {
     // materializing before the union guarantees one evaluation regardless
     // of exchange-reuse. Duplicate input pairs are tolerated (min-agg is
     // idempotent), so no dedup shuffle.
+    // fwd stays EAGER; edges/labels are lazy (r19). Laziness trims setup
+    // jobs (round 1's changed-count materializes edges → labels → prop →
+    // jumped in one job), but fwd's upstream is the expensive near-dup
+    // join and a lazy fwd gets recomputed by every concurrent downstream
+    // stage that runs before its blocks land — measured: q49's jaccard
+    // pairs re-ran ~5× (1.0 → 5.5 s). Everything derived from fwd is
+    // union/agg over its stored blocks, i.e. cheap to recompute, so the
+    // same hazard is harmless for edges/labels.
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .localCheckpoint()
     // both directions, materialized off fwd's stored blocks. The
@@ -854,45 +861,59 @@ object Dedup {
     // swapped leg reuses fwd's attribute ids, and joining that raw union
     // against frames derived from it trips physical planning
     // ("key not found: src#...") — the LogicalRDD cut gives the loop a
-    // clean, self-contained relation to join against every round.
+    // clean, self-contained relation to join against every round (lazy
+    // and eager checkpoints both make that cut; only materialization
+    // timing differs).
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // seeded init: the same shuffle that used to just list the nodes
     // (distinct) now also takes each node's 1-hop neighborhood min
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("__nmin"))
       .select(col("id"), least(col("id"), col("__nmin")).as("comp"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+    // round-1 frontier: only nodes whose seed improved carry new
+    // information — a node still labeled with its own id was already
+    // incorporated into every neighbor's seed by the init aggregation
+    var frontier = labels.filter(col("comp") < col("id"))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIterations) {
-      // 1. propagate twice: each node takes the min of its neighbors'
-      // labels, chained in one lineage — two hops per stage-barrier chain
-      var cur = labels.withColumn("old", col("comp"))
-      var hop = 0
-      while (hop < 2) {
-        val nbrMin = edges.join(
-            cur.select(col("id").as("src"), col("comp")), "src")
-          .select(col("dst").as("id"), col("comp"))
-          .groupBy("id").agg(min("comp").as("__nc"))
-        cur = cur.join(nbrMin, Seq("id"), "left_outer")
-          .select(col("id"), col("old"),
-            least(col("comp"), coalesce(col("__nc"), col("comp"))).as("comp"))
-        hop += 1
-      }
-      val prop = cur.localCheckpoint(eager = false) // read by BOTH shortcut sides
-      // 2. shortcut (pointer doubling): L(v) ← L(L(v)). comp is always a
-      // node id present in `prop` (ids only ever relabel to smaller ids
-      // seen in the graph), so the lookup is total; coalesce is belt and
-      // braces against an absent row ever appearing.
+      // 1. propagate FROM the frontier only (the r18 sparsity lever,
+      // restored in r19 after the full-edge two-hop variant re-scanned a
+      // 445k-edge dense graph's whole edge list twice per round — q49
+      // 1.0 → 5.1 s): messages flow only from nodes whose label changed
+      // last round, so after round 1 the edge join's output is
+      // frontier-incident edges, not the graph.
+      val msgs = edges.join(
+          frontier.select(col("id").as("src"), col("comp")), "src")
+        .select(col("dst").as("id"), col("comp"))
+        .groupBy("id").agg(min("comp").as("__nc"))
+      val prop = labels.withColumn("old", col("comp"))
+        .join(msgs, Seq("id"), "left_outer")
+        .select(col("id"), col("old"),
+          least(col("comp"), coalesce(col("__nc"), col("comp"))).as("comp"))
+        .localCheckpoint(eager = false) // read by BOTH shortcut sides
+      // 2. shortcut (pointer doubling): L(v) ← L(L(v)) — a NODE-sized
+      // self-join (never edge-sized), so a label chain of length d
+      // collapses in O(log d) rounds at per-round cost ∝ nodes. comp is
+      // always a node id present in `prop` (ids only ever relabel to
+      // smaller ids seen in the graph), so the lookup is total; coalesce
+      // is belt and braces against an absent row ever appearing.
       val jumped = prop.join(
           prop.select(col("id").as("comp"), col("comp").as("__cc")),
           Seq("comp"), "left_outer")
         .select(col("id"), col("old"),
           coalesce(col("__cc"), col("comp")).as("comp"))
         .localCheckpoint(eager = false)
-      // one action per round: materializes prop + jumped, checks fixpoint
+      // one action per round: materializes prop + jumped, checks fixpoint.
+      // A shortcut-improved node re-enters the frontier exactly like a
+      // message-improved one (frontier = changed-this-round), which is
+      // what keeps the termination argument intact: every label decrease
+      // is re-offered to the node's neighbors before the loop can stop.
       changed = jumped.filter(col("comp") < col("old")).count()
+      frontier = jumped.filter(col("comp") < col("old"))
+        .select(col("id"), col("comp"))
       labels = jumped.select(col("id"), col("comp"))
       iter += 1
     }

@@ -460,7 +460,7 @@ object TextOps {
   /** The positioned gram stream `(doc_id, pos, gram)` (pos 1-based) of a
     * tokenized frame — shared by the span family and its persisted
     * index. */
-  private def positionedGrams(toks: DataFrame, n: Int,
+  private[graft] def positionedGrams(toks: DataFrame, n: Int,
                               gramKey: Column => Column): DataFrame =
     // posexplode over the codegen'd gram kernel (r18): same (pos, gram)
     // rows as the previous struct-building transform lambda — posexplode's
@@ -475,7 +475,7 @@ object TextOps {
   /** Merge a duplicated-position stream `(doc_id, pos)` into maximal
     * per-doc islands — ONE per-doc collect_set exchange, then the
     * map-side gaps-and-islands array expression (no window). */
-  private def islandsOf(dupPos: DataFrame, n: Int): DataFrame = {
+  private[graft] def islandsOf(dupPos: DataFrame, n: Int): DataFrame = {
     val starts = dupPos
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("__ss"))
@@ -778,6 +778,9 @@ object TextOps {
                     modSel: Int = 32, maxBucketSize: Int = 64,
                     textCol: String = "text"): Unit =
     cdcDigestFrame(docs, w, modSel, maxBucketSize, textCol)
+      // one writing task per db value — see [[buildSpanIndex]]'s
+      // file-fan-out note
+      .repartition(col("db"))
       .write.mode("overwrite").partitionBy("db").parquet(s"$dir/digests")
 
   /** Incremental CDC near-dup — [[cdcNearDupPairs]]' daily-ingest twin
@@ -870,8 +873,17 @@ object TextOps {
     val gk = (g: Column) => if (hashGrams) xxhash64(g) else g
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("__toks"))
       .localCheckpoint(false)
+    // one writing task per partition value (r19): without the
+    // repartition, every upstream task holds rows of MANY db/gb values
+    // and partitionBy writes tasks × dirs tiny files — the probe side
+    // then pays a file-open per fragment on every read (measured at
+    // sf0.1: the q146 corpus-df probe spent ~0.7 s mostly opening
+    // shuffle-partitions × 64 fragments). Same discipline as
+    // [[graft.operators.Pipeline.compactArtifact]]'s consolidation; the
+    // build is the nightly job, so the extra shuffle is the right trade.
     positionedGrams(toks, n, gk)
       .withColumn("db", pmod(col("doc_id"), lit(64L)).cast("int"))
+      .repartition(col("db"))
       .write.mode("overwrite").partitionBy("db").parquet(s"$dir/pos")
     toks.select(col("doc_id"), explode(array_distinct(
         wordNgramsOfTokens(col("__toks"), n))).as("g0"))
@@ -881,6 +893,7 @@ object TextOps {
       .withColumn("solo_doc_id",
         when(col("df") === 1, col("solo_doc_id")))
       .withColumn("gb", gramBucketCol(col("gram"), hashGrams))
+      .repartition(col("gb"))
       .write.mode("overwrite").partitionBy("gb").parquet(s"$dir/grams")
   }
 
@@ -931,8 +944,18 @@ object TextOps {
     // ([[forgetFromSpanIndex]] writes its negative generations WITH the
     // forgotten id so the except can cancel it). Rider sets are tiny —
     // only df=1 generations carry one — so the arrays are O(#gens).
+    // gram-level pre-filter BEFORE the per-gram aggregation (r19): the
+    // partition prune is bucket-granular (1/64), so the touched
+    // directories still hold every gram sharing a bucket with the batch —
+    // but corpusDf is only ever consumed through the dfB-keyed join
+    // below, so index rows for non-batch grams are dead weight in the
+    // aggregation. The batch gram set is batch-sized by contract:
+    // broadcast it and semi-join the pruned scan down to batch grams
+    // before grouping. At 100 TB this is the difference between
+    // aggregating a 64th of the corpus index and aggregating ~the batch.
     val corpusDf = spark.read.parquet(s"$dir/grams")
       .filter(col("gb").isin(touchedGb: _*))
+      .join(broadcast(dfB.select(col("gram"))), Seq("gram"), "left_semi")
       .groupBy(col("gram"))
       .agg(sum(col("df")).as("dfc"),
         array_except(
@@ -973,8 +996,13 @@ object TextOps {
         val affGb = affPos
           .select(gramBucketCol(col("gram"), hashGrams).as("gb"))
           .distinct().collect().map(_.getInt(0)).toSeq
+        // same gram-level pre-filter as the batch leg: dupForAff is
+        // consumed only semi-joined against affPos, so index rows for
+        // grams outside the affected docs' streams never matter
         val corpusDfAff = spark.read.parquet(s"$dir/grams")
           .filter(col("gb").isin(affGb: _*))
+          .join(broadcast(affPos.select(col("gram")).distinct()),
+            Seq("gram"), "left_semi")
           .groupBy(col("gram")).agg(sum(col("df")).as("dfc2"))
         val dupForAff = corpusDfAff
           .join(dfB.select(col("gram"), col("dfb")), Seq("gram"), "left_outer")
@@ -1032,8 +1060,12 @@ object TextOps {
       .localCheckpoint(false) // feeds the touched-gb set AND the df join
     val touchedGb = dfB.select(col("gb")).distinct()
       .collect().map(_.getInt(0)).toSeq
+    // gram-level pre-filter before the aggregation — see
+    // [[dupSpansIncremental]]'s probe note: corpusDf only matters on
+    // batch grams, so cut the bucket-pruned scan to them first
     val corpusDf = spark.read.parquet(s"$dir/grams")
       .filter(col("gb").isin(touchedGb: _*))
+      .join(broadcast(dfB.select(col("gram"))), Seq("gram"), "left_semi")
       .groupBy(col("gram")).agg(sum(col("df")).as("dfc"))
     val dupForBatch = dfB.join(corpusDf, Seq("gram"), "left_outer")
       .filter(col("dfb") + coalesce(col("dfc"), lit(0L)) >= 2)

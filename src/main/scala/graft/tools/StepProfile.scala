@@ -247,6 +247,115 @@ object StepProfile {
           println(f"ROUND $iter%2d ${(System.nanoTime() - t0) / 1e9}%.3f s  frontier=$frontierSize")
         }
 
+      case "q146" =>
+        // the q146 serve side, leg by leg: index prebuilt via the same
+        // BuildOnce memo the harness query uses, batch = doc_id < 250
+        val dir = graft.operators.BuildOnce.dir("graft-span-index", sfDir) { d =>
+          TextOps.buildSpanIndex(docs.filter(col("doc_id") >= 250),
+            s"$d/index", n = 6)
+          s"$d/index"
+        }
+        val batch = docs.filter(col("doc_id") < 250)
+        // warm
+        TextOps.dupSpansIncremental(batch, dir, n = 6, append = false)
+          .queryExecution.toRdd.count()
+        // leg timings: replay the serve side's internal stations
+        var t0 = System.nanoTime()
+        def lap(name: String): Unit = {
+          println(f"LEG $name%-30s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+          t0 = System.nanoTime()
+        }
+        val toksB = batch.select(col("doc_id"),
+            TextOps.tokens(col("text")).as("__toks"))
+          .localCheckpoint(false)
+        toksB.queryExecution.toRdd.count(); lap("tokenize batch")
+        val gramPosB = TextOps.positionedGrams(toksB, 6, g => g)
+          .localCheckpoint(false)
+        gramPosB.queryExecution.toRdd.count(); lap("positioned grams")
+        val dfB = toksB.select(col("doc_id"), explode(array_distinct(
+            TextOps.wordNgramsOfTokens(col("__toks"), 6))).as("g0"))
+          .select(col("doc_id"), col("g0").as("gram"))
+          .groupBy(col("gram"))
+          .agg(count(lit(1)).as("dfb"), min(col("doc_id")).as("solo_doc_id"))
+          .withColumn("gb",
+            (graft.functions.HashFunctions.md5_prefix(col("gram"), 8) % 64)
+              .cast("int"))
+          .localCheckpoint(false)
+        dfB.queryExecution.toRdd.count(); lap("dfB aggregate")
+        val touchedGb = dfB.select(col("gb")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        lap("touchedGb collect")
+        val corpusDf = spark.read.parquet(s"$dir/grams")
+          .filter(col("gb").isin(touchedGb: _*))
+          .join(broadcast(dfB.select(col("gram"))), Seq("gram"), "left_semi")
+          .groupBy(col("gram")).agg(sum(col("df")).as("dfc"))
+        corpusDf.queryExecution.toRdd.count(); lap("corpusDf probe")
+        val joined = dfB.join(corpusDf, Seq("gram"), "left_outer")
+          .select(col("gram"), col("dfb"),
+            coalesce(col("dfc"), lit(0L)).as("dfc"))
+          .localCheckpoint(false)
+        joined.queryExecution.toRdd.count(); lap("joined df")
+        val dupForBatch = joined.filter(col("dfb") + col("dfc") >= 2)
+          .select(col("gram"))
+        val bs = TextOps.islandsOf(
+          gramPosB.join(dupForBatch, Seq("gram"), "left_semi"), 6)
+        bs.queryExecution.toRdd.count(); lap("batch islands")
+        val full = TextOps.dupSpansIncremental(batch, dir, n = 6,
+          append = false)
+        full.queryExecution.toRdd.count(); lap("FULL serve")
+
+      case "ccold49" =>
+        // the r18 frontier loop, replayed inline on q49's dense graph
+        val pairs49 = Dedup.jaccardPairs(docs, 0.5, maxTokenDf = Int.MaxValue)
+          .localCheckpoint()
+        println(s"EDGES ${pairs49.count()}")
+        var t0o = System.nanoTime()
+        val fwdO = pairs49.select(col("doc_a").cast("long").as("src"),
+          col("doc_b").cast("long").as("dst")).localCheckpoint()
+        val edgesO = fwdO.union(
+            fwdO.select(col("dst").as("src"), col("src").as("dst")))
+          .localCheckpoint()
+        var labelsO = edgesO.select(col("src").as("id")).distinct()
+          .withColumn("comp", col("id"))
+          .localCheckpoint()
+        println(f"SETUP ${(System.nanoTime() - t0o) / 1e9}%.3f s")
+        var frontierO = labelsO
+        var fs = 1L
+        var itO = 0
+        while (fs > 0 && itO < 30) {
+          t0o = System.nanoTime()
+          val improved = edgesO.join(
+              frontierO.withColumnRenamed("id", "src"), "src")
+            .select(col("dst").as("id"), col("comp"))
+            .groupBy("id").agg(min("comp").as("new_comp"))
+          val joinedO = labelsO.join(improved, Seq("id"), "left_outer")
+            .localCheckpoint(eager = false)
+          fs = joinedO.filter(col("new_comp") < col("comp")).count()
+          frontierO = joinedO.filter(col("new_comp") < col("comp"))
+            .select(col("id"), col("new_comp").as("comp"))
+          labelsO = joinedO.select(col("id"),
+            least(col("comp"), coalesce(col("new_comp"), col("comp"))).as("comp"))
+          itO += 1
+          println(f"ROUND $itO%2d ${(System.nanoTime() - t0o) / 1e9}%.3f s  frontier=$fs")
+        }
+
+      case "ccq49" =>
+        val t1 = System.nanoTime()
+        val pairs = Dedup.jaccardPairs(docs, 0.5, maxTokenDf = Int.MaxValue)
+          .localCheckpoint()
+        println(f"PAIRS ${(System.nanoTime() - t1) / 1e9}%.3f s  n=${pairs.count()}")
+        val t2 = System.nanoTime()
+        Dedup.connectedComponents(pairs).queryExecution.toRdd.count()
+        println(f"CC    ${(System.nanoTime() - t2) / 1e9}%.3f s")
+        val t3 = System.nanoTime()
+        Dedup.dedupClusters(docs, pairs)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("retained")).cast("bigint").as("n_retained"),
+            countDistinct(col("comp")).as("n_clusters"))
+          .queryExecution.toRdd.count()
+        println(f"FULL  ${(System.nanoTime() - t3) / 1e9}%.3f s")
+
       case other => sys.error(s"unknown composition $other")
     }
     spark.stop()

@@ -86,6 +86,31 @@ class SkewJoinSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("saltedJoin skips the salt when the other side is broadcastable") {
+    val sql = spark
+    import sql.implicits._
+    val skewed = Seq.fill(100)((0L, "hot")).toDF("k", "v")
+    val other = Seq((0L, "dim")).toDF("k", "dim")
+    // this session disables auto-broadcast (threshold -1), so the gate
+    // must default to salting; identity is covered by the test above
+    val saltedDefault = AdvancedJoins.saltedJoin(skewed, other, Seq("k"), 8)
+    assert(saltedDefault.queryExecution.optimizedPlan.toString
+      .contains("__salt"), "threshold -1 must keep the salt")
+    try {
+      // an explicit cutoff far above the 1-row other side → plain join
+      spark.conf.set("spark.graft.saltedJoin.minOtherBytes", "1000000000")
+      val gated = AdvancedJoins.saltedJoin(skewed, other, Seq("k"), 8)
+      assert(!gated.queryExecution.optimizedPlan.toString.contains("__salt"),
+        "broadcastable other side must skip the salt")
+      assert(gated.collect().length === 100)
+      // cutoff 0 forces the salt back on
+      spark.conf.set("spark.graft.saltedJoin.minOtherBytes", "0")
+      val forced = AdvancedJoins.saltedJoin(skewed, other, Seq("k"), 8)
+      assert(forced.queryExecution.optimizedPlan.toString.contains("__salt"),
+        "minOtherBytes=0 must force the salt")
+    } finally spark.conf.unset("spark.graft.saltedJoin.minOtherBytes")
+  }
+
   test("saltedJoin spreads the hot key across salt sub-keys") {
     val sql = spark
     import sql.implicits._
