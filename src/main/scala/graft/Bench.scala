@@ -138,6 +138,23 @@ object Bench {
     // SPARK_GRAFT_CPUS set, and a 4-thread default wastes 28 cores
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
+    // Scale-adaptive scan splitting (r19): Spark already derives each
+    // scan's split size as min(maxPartitionBytes, max(openCostInBytes,
+    // scanBytes / defaultParallelism)) — per relation, from actual input
+    // size and core count. What stopped it from ever splitting the bench
+    // tier is the stock 4 MB openCostInBytes FLOOR: every table under
+    // ~4 MB/core collapsed to one task per file, and r18's c8/c32 run
+    // measured 8 cores BEATING 32. Lowering the floor to 256 KB lets the
+    // stock formula work at every scale: a 16 MB lineitem scan on 32
+    // cores splits ~32 ways (the fixtures carry ≥ 32 row groups so byte
+    // splits land on row-group boundaries), while at 100 TB
+    // scanBytes/parallelism dominates the floor and planning is
+    // byte-identical to stock. 256 KB measured best of {4 MB stock,
+    // 256 KB, 64 KB}: 64 KB over-fragments the codec scans, whose cost
+    // is per-task init (audio 0.75 → 1.1 s), for no extra win elsewhere.
+    // SPARK_GRAFT_OPEN_COST_BYTES overrides.
+    val openCost = sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES",
+      (256L << 10).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -146,6 +163,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", openCost)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Truncation insurance: the harness parses one JSON line from stdout,
