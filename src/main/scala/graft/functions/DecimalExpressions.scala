@@ -27,6 +27,15 @@ import org.apache.spark.sql.types.{DataType, Decimal, DecimalType, DoubleType, L
   */
 case class MicroQuant(child: Expression, scale: Int)
     extends UnaryExpression with ExpectsInputTypes with Serializable {
+  // Domain note (ADVICE r18): OUT of the bounded money domain this
+  // expression diverges from the `cast(x as DECIMAL(18,4))` it replaced —
+  // the non-ANSI cast returns NULL on NaN/Infinity/precision overflow,
+  // while BigDecimal.valueOf(NaN) / longValueExact THROW, failing the
+  // task loudly instead of nulling the row. That is deliberate: every
+  // call site feeds TPC-H money columns whose products are bounded
+  // ≤ ~1.1e17 < 2^63 (BatchQueries q01-q03 bounds note), so an overflow
+  // here means corrupted input, and a loud failure beats a silent NULL
+  // changing an aggregate. Do not reuse for unbounded/NaN-able domains.
   require(scale >= 0 && scale <= 9, s"unsupported scale $scale")
   override def inputTypes: Seq[DataType] = Seq(DoubleType)
   override def dataType: DataType = LongType

@@ -393,10 +393,16 @@ case class EqualLanes(left: Expression, right: Expression)
   * per-row boxing for every multiply-add (the r18 q109 measurement);
   * integer arithmetic is identical, so results are bit-equal.
   *
-  * Null/length semantics mirror the HOF formulation exactly: `zip_with`
-  * null-pads a length mismatch and a null lane nulls its products, so any
-  * input that is not a fully-non-null `inDim`-length array yields every
-  * output dim NULL.
+  * Null/length semantics mirror the HOF formulation for every NON-NULL
+  * input array: `zip_with` null-pads a length mismatch and a null lane
+  * nulls its products, so any input that is not a fully-non-null
+  * `inDim`-length array yields every output dim NULL. One DELIBERATE
+  * divergence (ADVICE r18): a NULL input ARRAY null-propagates to a NULL
+  * result (UnaryExpression default), where the old
+  * `array(aggregate(zip_with(null,…))…)` built a non-null array of
+  * `outDim` NULLs. Embeddings are non-null at every call site, so no
+  * declared query can observe the difference; a downstream `is null`
+  * check on the projection WOULD.
   */
 case class SignedFoldMicro(child: Expression, signs: Array[Long], outDim: Int)
     extends UnaryExpression with ExpectsInputTypes with Serializable {

@@ -40,13 +40,17 @@ private[operators] object Codecs {
 
   /** Decode image 0 — same provider `ImageIO.read` resolves to; the
     * undecodable-payload failure keeps the message the `require(img !=
-    * null)` path raised. */
+    * null)` path raised. An IOException from a truncated-but-recognized
+    * payload is RETHROWN AS-IS (the pre-r18 `ImageIO.read` path let it
+    * propagate, and corrupt-data diagnostics must stay distinguishable
+    * from "no decoder claimed the format"). */
   def decodePng(r: ImageReader, data: Array[Byte],
                 ctxId: Long): java.awt.image.BufferedImage = {
     val iis = new MemoryCacheImageInputStream(new java.io.ByteArrayInputStream(data))
     val img =
       try { r.setInput(iis, true, true); r.read(0) }
       catch {
+        case e: java.io.IOException => throw e
         case e: Exception => throw new IllegalArgumentException(
           s"requirement failed: undecodable PNG payload for doc $ctxId", e)
       } finally iis.close()

@@ -1567,12 +1567,20 @@ object TextOps {
                                  textCol: String = "text"): DataFrame = {
     val pos = stringGramPos(spark, dir, "contaminationRateFromIndex")
     val evalGrams = evalGramSet(evalDocs, n, textCol).withColumn("hit", lit(1))
+    // two-stage distinct (r19): the old twin count_distinct over the
+    // same column planned an Expand that DOUBLED the pos/ occurrence
+    // stream — the largest frame in the query — before the shuffle.
+    // Collapsing to (doc_id, gram) first is a partial-aggregated
+    // distinct (map-side combine), and both counts then read the
+    // collapsed groups once; `max(hit)` is null iff no occurrence hit,
+    // so count(__hit) ≡ count_distinct(gram | hit) exactly.
     pos.select(col("doc_id"), col("gram"))
       .join(broadcast(evalGrams), Seq("gram"), "left_outer")
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(max(col("hit")).as("__hit"))
       .groupBy(col("doc_id"))
-      .agg(count_distinct(col("gram")).as("n_grams"),
-        count_distinct(when(col("hit").isNotNull, col("gram")))
-          .as("contam_grams"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("__hit")).as("contam_grams"))
       .filter(col("contam_grams") >= 1)
   }
 

@@ -304,6 +304,23 @@ object StepProfile {
           append = false)
         full.queryExecution.toRdd.count(); lap("FULL serve")
 
+      case "q24" =>
+        spark.conf.set("spark.sql.files.openCostInBytes", (256L << 10).toString)
+        val li = Tables.lineitem(spark, sfDir)
+          .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"))
+        println(s"SCAN PARTITIONS ${li.rdd.getNumPartitions}")
+        def q24(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
+        q24(li).queryExecution.toRdd.count() // warm
+        var t0q = System.nanoTime()
+        q24(li).queryExecution.toRdd.count()
+        println(f"HLL as-is    ${(System.nanoTime() - t0q) / 1e9}%.3f s")
+        t0q = System.nanoTime()
+        li.queryExecution.toRdd.count()
+        println(f"scan only    ${(System.nanoTime() - t0q) / 1e9}%.3f s")
+
       case "ccold49" =>
         // the r18 frontier loop, replayed inline on q49's dense graph
         val pairs49 = Dedup.jaccardPairs(docs, 0.5, maxTokenDf = Int.MaxValue)
