@@ -470,10 +470,21 @@ class PlanRegressionSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Generate"), s"expected posexplode Generate:\n$p")
   }
 
-  test("q83: salt participates in the join keys") {
+  test("q83: salt is gated on broadcastability of the other side") {
+    // r19 contract: at this suite's SF orders fits the broadcast
+    // threshold, so the salt must be SKIPPED (replicating the build side
+    // of a broadcast join N-fold fixes a reducer skew that cannot occur)
     val p = plan("q83_salted_join")
-    assert(p.contains("__salt"),
-      s"salted join must key on (orderkey, __salt):\n$p")
+    assert(!p.contains("__salt"),
+      s"broadcastable other side must plan the plain join, no salt:\n$p")
+    // and with the cutoff forced to 0 the salt must come back — the
+    // 100 TB shape, where neither side broadcasts
+    spark.conf.set("spark.graft.saltedJoin.minOtherBytes", "0")
+    try {
+      val forced = plan("q83_salted_join")
+      assert(forced.contains("__salt"),
+        s"salted join must key on (orderkey, __salt) when forced:\n$forced")
+    } finally spark.conf.unset("spark.graft.saltedJoin.minOtherBytes")
   }
 
   test("q85: retention is join-free — collect_set, not a cohort join-back") {
